@@ -13,6 +13,9 @@ import graft.rel.Aggregates
   * deterministic: exact decimal sums for money columns (see
   * [[graft.core.Exact]]), rounding for real-valued statistics, and total
   * ORDER BY (with tiebreakers) everywhere.
+  *
+  * Entries live in per-domain objects under [[graft.entries]]; this
+  * object is the aggregation point the driver reads.
   */
 object SparkEntry {
 
@@ -20,7 +23,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("smart_group")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++
+      entries.RelEntries.queries
+
+  def oracleSql: Map[String, String] =
+    baseOracle ++
+      entries.RelEntries.oracleSql
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.
     // TPC-H-Q1 shape on lineitem.
     "smart_group" -> ((s, dir) => {
@@ -42,8 +53,7 @@ object SparkEntry {
     })
   )
 
-  /** DuckDB-dialect oracle for each SQL-expressible query. */
-  def oracleSql: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "smart_group" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,110 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators.
+  *
+  * Equi-joins are declared and Catalyst picks the physical strategy
+  * (broadcast-hash / sort-merge / shuffled-hash, AQE-adjusted). We add
+  * an explicit broadcast hint for declared dimension tables — at 100 TB
+  * a fact⋈dim join must never sort-merge the fact side.
+  *
+  * The as-of join is the one operator three reference functions need
+  * (`truncate_data` data_utils.py:2623, `dual_merge`
+  * spatial_utils.py:2318, `mask_by_reference find_closest`) and Spark
+  * lacks; see [[asofJoin]] for the single-shuffle formulation.
+  */
+object Joins {
+
+  /** n-ary equi-join fold. Reference: `merge_datasets`
+    * (gofast/utils/data_utils.py:5429) — `how` ∈ inner|outer|left|right.
+    * Frames flagged small are broadcast.
+    */
+  def mergeDatasets(frames: Seq[DataFrame], on: Seq[String], how: String = "inner",
+                    broadcastSmall: Set[Int] = Set.empty): DataFrame = {
+    require(frames.size >= 2, "need at least two frames")
+    frames.zipWithIndex.map { case (f, i) =>
+      if (broadcastSmall(i)) broadcast(f) else f
+    }.reduce((a, b) => a.join(b, on, how))
+  }
+
+  /** Keep rows of `df` whose `key` appears in `ref`'s `refKey`.
+    * Reference: `filter_by_isin` (gofast/utils/data_utils.py:6597).
+    * A semi-join never duplicates or widens rows — at scale it also
+    * lets Spark build only the (deduplicated) key set on the build side.
+    */
+  def semiJoin(df: DataFrame, ref: DataFrame, key: String, refKey: String): DataFrame =
+    df.join(ref.select(col(refKey).as(key)), Seq(key), "left_semi")
+
+  /** Keep rows of `df` whose `key` does NOT appear in `ref`'s `refKey`.
+    * Reference: `filter_by_isin(invert=True)`. */
+  def antiJoin(df: DataFrame, ref: DataFrame, key: String, refKey: String): DataFrame =
+    df.join(ref.select(col(refKey).as(key)), Seq(key), "left_anti")
+
+  /** Tolerance equi-join: equal after rounding the key to `decimals`.
+    * Reference: `pair_data` (gofast/utils/data_utils.py:3355) — rounds
+    * coordinate keys to `decimals=7` before matching.
+    */
+  def roundedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                  rightKey: String, decimals: Int = 7): DataFrame =
+    left.join(right, round(left(leftKey), decimals) === round(right(rightKey), decimals))
+
+  /** As-of join: for each left row, the latest right row of the same
+    * `partitionKey` with `right.ts <= left.ts`.
+    *
+    * Reference semantics: `truncate_data(find_closest=True)`
+    * (gofast/utils/data_utils.py:2623) / classic trades-quotes.
+    *
+    * Implementation is the scalable union-and-carry-forward pattern —
+    * ONE shuffle on (partitionKey) and a sort within partitions, instead
+    * of the naive range-join + per-left-row top-1 (which is a near-cross
+    * product on dense keys). Right columns to carry must be named
+    * disjointly from left's.
+    *
+    * @param valueCols right-side columns carried onto matching left rows
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, partitionKey: String,
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // tag 1 = left (probe), 0 = right (reference); on ts ties the right
+    // row sorts first so `<=` matches, like DuckDB/pandas merge_asof.
+    val taggedL = left
+      .withColumn("_tag", lit(1))
+      .select(Seq(col(partitionKey), col(tsCol), col("_tag")) ++
+        leftCols.filterNot(c => c == partitionKey || c == tsCol).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val taggedR = right
+      .withColumn("_tag", lit(0))
+      .select(Seq(col(partitionKey), col(tsCol), col("_tag")) ++
+        leftCols.filterNot(c => c == partitionKey || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+    val w = Window.partitionBy(partitionKey)
+      .orderBy(col(tsCol).asc, col("_tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(taggedL.unionByName(taggedR)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_tag") === 1).drop("_tag")
+  }
+
+  /** Nearest join within tolerance: match each left row to the right row
+    * minimizing |left.key - right.key|, keeping only |Δ| <= tolerance.
+    * Reference: `dual_merge` (gofast/utils/spatial_utils.py:2318),
+    * `truncate_data` threshold branch. Non-equi range join + window
+    * top-1; callers should bucket the key first when both sides are
+    * large (the range join is then banded).
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, leftKey: String,
+                  rightKey: String, tolerance: Double,
+                  leftId: String): DataFrame = {
+    val joined = left.join(right,
+      abs(left(leftKey) - right(rightKey)) <= tolerance)
+    val w = Window.partitionBy(left(leftId))
+      .orderBy(abs(left(leftKey) - right(rightKey)).asc, right(rightKey).asc)
+    joined.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+}

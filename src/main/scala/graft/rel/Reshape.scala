@@ -1,0 +1,62 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pivot / melt / replication reshapes.
+  *
+  * Reference: `to_wide` (gofast/utils/data_utils.py:4762), `to_long`
+  * (:4979), `repeat_feature_accross` (:5197), `to_categories` (:5927).
+  */
+object Reshape {
+
+  /** Long→wide pivot: one row per `idCols`, one column per distinct
+    * `pivotCol` value, cell = `agg` of `valueExpr`.
+    *
+    * Reference: `to_wide` (data_utils.py:4762), aggfunc='first' default;
+    * here any aggregate Column builder. `pivotValues`, when supplied,
+    * avoids the extra distinct-values job AND fixes column order —
+    * always pass it in production at scale.
+    */
+  def toWide(df: DataFrame, idCols: Seq[String], pivotCol: String,
+             agg: Column, pivotValues: Seq[Any] = Nil): DataFrame = {
+    val g = df.groupBy(idCols.map(col): _*)
+    val p = if (pivotValues.nonEmpty) g.pivot(pivotCol, pivotValues) else g.pivot(pivotCol)
+    p.agg(agg)
+  }
+
+  /** Wide→long melt of `valueCols` into (`varName`, `valName`) rows.
+    * Reference: `to_long` (data_utils.py:4979). Uses the native unpivot
+    * operator (a Generator — no shuffle, no data blow-up beyond the
+    * k× row multiplication itself). Null cells are dropped, matching
+    * pandas `melt` + `dropna` and making pivot∘unpivot a clean inverse.
+    */
+  def toLong(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+             varName: String = "variable", valName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray, varName, valName)
+      .filter(col(valName).isNotNull)
+
+  /** Replicate each row across `n` sequence values (e.g. per-year copies).
+    * Reference: `repeat_feature_accross` (data_utils.py:5197). `explode`
+    * is a Generator — runs inside the same stage, no shuffle.
+    */
+  def repeatAcross(df: DataFrame, seqName: String, from: Int, to: Int): DataFrame =
+    df.withColumn(seqName, explode(sequence(lit(from), lit(to))))
+
+  /** Numeric → categorical label by equal-width bins over [lo, hi).
+    * Reference: `to_categories` (data_utils.py:5927), equal_range mode.
+    * Pure expression — codegen'd, no shuffle. Values outside the range
+    * clamp into the edge bins, as the reference does.
+    */
+  def toCategories(df: DataFrame, column: String, lo: Double, hi: Double,
+                   nBins: Int, labels: Seq[String], outCol: String): DataFrame = {
+    require(labels.size == nBins, "one label per bin")
+    val width = (hi - lo) / nBins
+    val rawBin = floor((col(column) - lit(lo)) / lit(width)).cast("int")
+    val bin = least(greatest(rawBin, lit(0)), lit(nBins - 1))
+    val labelMap = map(labels.zipWithIndex.flatMap {
+      case (l, i) => Seq(lit(i), lit(l))
+    }: _*)
+    df.withColumn(outCol, labelMap(bin))
+  }
+}

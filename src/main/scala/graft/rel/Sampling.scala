@@ -1,0 +1,67 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling, splits, and top-k.
+  *
+  * Reference: `random_sampling` (gofast/utils/data_utils.py:3524),
+  * `split_train_test_by_id` (gofast/core/array_manager.py:2356),
+  * `ts_split` (gofast/utils/ts_utils.py:3577), geo top-k
+  * (gofast/geo/system.py:499).
+  */
+object Sampling {
+
+  /** Fraction sample, optionally with replacement.
+    * Reference: `random_sampling`/`resample_data` (data_utils.py:3524,
+    * :3187). Per-partition Bernoulli/Poisson — no shuffle. */
+  def sample(df: DataFrame, fraction: Double, seed: Long = 42L,
+             withReplacement: Boolean = false): DataFrame =
+    df.sample(withReplacement, fraction, seed)
+
+  /** Deterministic id-hash split: stable train/test membership under
+    * appends, the property `split_train_test_by_id`
+    * (gofast/core/array_manager.py:2356, crc32(id) % 100) exists for.
+    * `keep` of `outOf` buckets by `id % outOf` — engine-portable (same
+    * result in any SQL engine, unlike hash functions).
+    */
+  def splitByIdMod(df: DataFrame, idCol: String, keep: Int, outOf: Int = 100,
+                   invert: Boolean = false): DataFrame = {
+    val bucket = pmod(col(idCol), lit(outOf))
+    df.filter(if (invert) bucket >= keep else bucket < keep)
+  }
+
+  /** Time-ordered split: rows strictly before `cutoff` (train side).
+    * Reference: `ts_split` (ts_utils.py:3577). A pure filter —
+    * partition-prunes on date-partitioned layouts. */
+  def timeSplit(df: DataFrame, tsCol: String, cutoff: String,
+                test: Boolean = false): DataFrame =
+    if (test) df.filter(col(tsCol) >= lit(cutoff))
+    else df.filter(col(tsCol) < lit(cutoff))
+
+  /** Top-k rows per group by `order` (with deterministic tiebreakers in
+    * `order`). Reference: `nsmallest(n_neighbors)` per point
+    * (gofast/geo/system.py:499). row_number over a partitioned window —
+    * one shuffle on the group key; with many groups this is the
+    * scalable formulation (no global sort).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
+                   k: Int, rankName: String = "rk"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
+  }
+
+  /** Stratified sample: per-stratum fractions without replacement.
+    * Reference: `stratify_categories`/`groupwise_train_test_split`
+    * (gofast/utils/ml/utils.py:610, :43). */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
+  /** Bootstrap-duplicate every row n times.
+    * Reference: `replace_data` (data_utils.py:4642). explode of a
+    * repeated array — stays in-stage, no union chain. */
+  def replicateRows(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("_rep", explode(array_repeat(lit(1), n))).drop("_rep")
+}

@@ -1,0 +1,43 @@
+package graft.rel
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Set operations over frames and column value-sets.
+  *
+  * Reference: `Frames.concat` (gofast/dataops/core.py:579),
+  * `compute_set_operation` (gofast/utils/base_utils.py:4278),
+  * `find_intersection` (:4340), `find_unique_elements` (:4379),
+  * `generate_comparison` (gofast/utils/data_utils.py:647).
+  */
+object SetOps {
+
+  /** Vertical concat of n frames, aligning columns by name and allowing
+    * missing columns (null-filled) — pandas `concat(axis=0)` semantics.
+    * Reference: `Frames.concat` (gofast/dataops/core.py:579). */
+  def concatRows(frames: Seq[DataFrame]): DataFrame =
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Distinct union of two columns' value sets.
+    * Reference: `compute_set_operation('union')` (base_utils.py:4278). */
+  def unionValues(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                  outName: String = "value"): DataFrame =
+    a.select(col(aCol).as(outName)).union(b.select(col(bCol).as(outName))).distinct()
+
+  /** Set intersection of two columns' value sets.
+    * Reference: `find_intersection` (base_utils.py:4340). */
+  def intersectValues(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                      outName: String = "value"): DataFrame =
+    a.select(col(aCol).as(outName)).intersect(b.select(col(bCol).as(outName)))
+
+  /** Values in `a` not in `b` (set difference).
+    * Reference: `find_unique_elements` (base_utils.py:4379). */
+  def exceptValues(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                   outName: String = "value"): DataFrame =
+    a.select(col(aCol).as(outName)).except(b.select(col(bCol).as(outName)))
+
+  /** Frame equality as a count of asymmetric rows (0 == equal, multiset
+    * semantics). Reference: `Frames.compare` (gofast/dataops/core.py:588). */
+  def symmetricDiffCount(a: DataFrame, b: DataFrame): Long =
+    a.exceptAll(b).count() + b.exceptAll(a).count()
+}

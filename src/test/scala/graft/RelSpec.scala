@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.rel._
+
+class RelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin matches <= semantics including ts ties") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "id")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 6L, 9.0))
+      .toDF("k", "t", "v")
+    val out = Joins.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("id", "v").as[(String, Option[Double])].collect().toMap
+    assert(out("a").contains(1.0))  // tie: right at t=10 matches left at t=10
+    assert(out("b").contains(2.0))  // latest prior
+    assert(out("c").isEmpty)        // nothing at or before t=5
+  }
+
+  test("nearestJoin keeps only the closest match within tolerance") {
+    val left = Seq((1, 10.0), (2, 50.0)).toDF("lid", "x")
+    val right = Seq((100, 11.0), (101, 8.5), (102, 49.0)).toDF("rid", "y")
+    val out = Joins.nearestJoin(left, right, "x", "y", tolerance = 2.0, leftId = "lid")
+      .select("lid", "rid").as[(Int, Int)].collect().toMap
+    assert(out == Map(1 -> 100, 2 -> 102)) // |10-11|=1 beats |10-8.5|=1.5
+  }
+
+  test("toCategories clamps out-of-range values into edge bins") {
+    val df = Seq(-5.0, 0.0, 9.9, 25.0, 99.0).toDF("x")
+    val out = Reshape.toCategories(df, "x", 0.0, 30.0, 3,
+        Seq("a", "b", "c"), "band")
+      .select("band").as[String].collect().toSeq
+    assert(out == Seq("a", "a", "a", "c", "c"))
+  }
+
+  test("splitByIdMod partitions are a disjoint cover") {
+    val ord = T.orders(spark, sf)
+    val train = Sampling.splitByIdMod(ord, "o_orderkey", 4, 5)
+    val test0 = Sampling.splitByIdMod(ord, "o_orderkey", 4, 5, invert = true)
+    assert(train.count() + test0.count() == ord.count())
+    assert(train.join(test0, Seq("o_orderkey"), "inner").count() == 0)
+  }
+
+  test("sample fraction is deterministic under a fixed seed") {
+    val ord = T.orders(spark, sf)
+    val a = Sampling.sample(ord, 0.1, seed = 7).count()
+    val b = Sampling.sample(ord, 0.1, seed = 7).count()
+    assert(a == b && a > 0)
+  }
+
+  test("symmetricDiffCount is 0 iff frames are multiset-equal") {
+    val ord = T.orders(spark, sf)
+    assert(SetOps.symmetricDiffCount(ord, ord) == 0)
+    assert(SetOps.symmetricDiffCount(ord, ord.limit(10)) > 0)
+  }
+
+  test("concatRows aligns by name and null-fills missing columns") {
+    val a = Seq((1, "x")).toDF("id", "s")
+    val b = Seq((2, 3.5)).toDF("id", "d")
+    val out = SetOps.concatRows(Seq(a, b))
+    assert(out.columns.toSet == Set("id", "s", "d"))
+    assert(out.count() == 2)
+    assert(out.filter(col("s").isNull).count() == 1)
+  }
+
+  test("filterOutliersZ drops far outliers only") {
+    val df = (Seq.fill(100)(10.0) :+ 1e6).toDF("x")
+    val out = Filters.filterOutliersZ(df, "x", 3.0)
+    assert(out.count() == 100)
+  }
+}
