@@ -25,11 +25,15 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++
-      entries.RelEntries.queries
+      entries.RelEntries.queries ++
+      entries.StatsEntries.queries ++
+      entries.CleanEntries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
-      entries.RelEntries.oracleSql
+      entries.RelEntries.oracleSql ++
+      entries.StatsEntries.oracleSql ++
+      entries.CleanEntries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

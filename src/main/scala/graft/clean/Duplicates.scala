@@ -1,0 +1,30 @@
+package graft.clean
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate detection and removal.
+  *
+  * Reference: `has_duplicates` (gofast/utils/data_utils.py:2425),
+  * `handle_duplicates` (gofast/dataops/quality.py:4677), `sanitize`
+  * (gofast/dataops/transformation.py:372).
+  */
+object Duplicates {
+
+  /** Exact dedup on `cols` (all columns when empty). One shuffle on the
+    * key columns; Catalyst rewrites to a first-row-per-key aggregate. */
+  def drop(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
+    if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
+
+  /** Keys appearing more than once, with their multiplicity —
+    * `handle_duplicates(return_counts)`. */
+  def report(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("n_dup"))
+      .filter(col("n_dup") > 1)
+
+  /** Whether any duplicate exists on `cols` — `has_duplicates`.
+    * Short-circuits via limit(1) rather than counting everything. */
+  def exists(df: DataFrame, cols: Seq[String]): Boolean =
+    !report(df, cols).isEmpty
+}
