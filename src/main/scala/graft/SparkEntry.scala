@@ -27,13 +27,15 @@ object SparkEntry {
     baseQueries ++
       entries.RelEntries.queries ++
       entries.StatsEntries.queries ++
-      entries.CleanEntries.queries
+      entries.CleanEntries.queries ++
+      entries.TsEntries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
       entries.RelEntries.oracleSql ++
       entries.StatsEntries.oracleSql ++
-      entries.CleanEntries.oracleSql
+      entries.CleanEntries.oracleSql ++
+      entries.TsEntries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

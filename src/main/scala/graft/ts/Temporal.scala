@@ -1,0 +1,133 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal pipeline operators (SURVEY §2.11): resampling, calendar
+  * features, trend, autocorrelation, classical decomposition.
+  *
+  * Per-series regressions (trend, ACF) are expressed as exact integer/
+  * decimal sufficient statistics per group — one shuffle, no driver
+  * loops, no per-group model fitting; the closed forms are identical in
+  * the SQL oracle.
+  */
+object Temporal {
+
+  /** Frequency resample: `groupBy(date_trunc(unit, ts)).agg(...)`.
+    * Reference: `resample('D')` inside `ts_engineering`
+    * (gofast/utils/ts_utils.py:2482). */
+  def resample(df: DataFrame, tsCol: String, unit: String,
+               aggs: Seq[Column], keyName: String = "period"): DataFrame =
+    df.groupBy(date_trunc(unit, col(tsCol)).as(keyName))
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Calendar feature extraction.
+    * Reference: `convert_date_features` (gofast/dataops/quality.py:398),
+    * `DateFeatureExtractor` (gofast/transformers/ts.py:989).
+    * day_of_week is ISO (Mon=1..Sun=7) — documented, since pandas,
+    * Spark and DuckDB all default differently. */
+  def dateFeatures(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn("year", year(col(tsCol)))
+      .withColumn("month", month(col(tsCol)))
+      .withColumn("day", dayofmonth(col(tsCol)))
+      .withColumn("day_of_week", dayofweek(col(tsCol))) // 1=Sunday
+      .withColumn("iso_dow", weekday(col(tsCol)) + 1)   // 1=Monday
+      .withColumn("quarter", quarter(col(tsCol)))
+      .withColumn("hour", hour(col(tsCol)))
+
+  /** Cyclical sin/cos encoding of a bounded integer unit.
+    * Reference: `DateTimeCyclicalEncoder` (gofast/transformers/ts.py:887).
+    * Rounded to 9 dp: libm sin/cos differ in the last ulp across
+    * platforms. */
+  def cyclicalEncode(df: DataFrame, unitCol: Column, period: Int,
+                     prefix: String): DataFrame =
+    df.withColumn(s"${prefix}_sin",
+        round(sin(unitCol.cast("double") * (2.0 * math.Pi / period)), 9))
+      .withColumn(s"${prefix}_cos",
+        round(cos(unitCol.cast("double") * (2.0 * math.Pi / period)), 9))
+
+  /** Per-group OLS trend y = a + b·i over the row index i (1..n in
+    * `orderCols` order): slope/intercept from exact sums.
+    * Reference: `trend_analysis` linear branch
+    * (gofast/utils/ts_utils.py:720); detrending (`trend_ops` :1026) is
+    * `y - (a + b*i)` with these coefficients.
+    *
+    * Σi and Σi² are exact longs, Σy and Σiy exact decimals — the double
+    * formula is engine-identical (inputs pre-rounded to 6 dp).
+    */
+  def trendOls(df: DataFrame, valueCol: String, partitionCols: Seq[String],
+               orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    val indexed = df.withColumn("_i", row_number().over(w).cast("long"))
+    val n = count(lit(1)).cast("double")
+    val si = sum(col("_i")).cast("double")
+    val sii = sum(col("_i") * col("_i")).cast("double")
+    val sy = sum(col(valueCol).cast("decimal(18,6)")).cast("double")
+    val siy = sum((col("_i").cast("decimal(10,0)") * col(valueCol).cast("decimal(18,6)"))
+      .cast("decimal(32,6)")).cast("double")
+    val slope = (n * siy - si * sy) / (n * sii - si * si)
+    indexed.groupBy(partitionCols.map(col): _*)
+      .agg(slope.as("slope"), ((sy - slope * si) / n).as("intercept"),
+           count(lit(1)).as("n"))
+  }
+
+  /** Autocorrelation at `lags`, per group: Pearson corr of (y, lag_k(y))
+    * over the overlapping rows, from exact decimal cross-moments.
+    * Reference: `ts_corr_analysis` ACF (gofast/utils/ts_utils.py:2913).
+    * Rounded to 9 dp (moment sums can exceed the cast-exact range). */
+  def acf(df: DataFrame, valueCol: String, lags: Seq[Int],
+          partitionCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    val withLags = lags.foldLeft(df)((d, k) =>
+      d.withColumn(s"_lag$k", lag(col(valueCol), k).over(w)))
+    def corrOf(k: Int): Column = {
+      val x = col(valueCol).cast("decimal(18,6)")
+      val y = col(s"_lag$k").cast("decimal(18,6)")
+      val m = col(s"_lag$k").isNotNull
+      val n = sum(when(m, 1L).otherwise(0L)).cast("double")
+      val sx = sum(when(m, x)).cast("double")
+      val sy = sum(when(m, y)).cast("double")
+      val sxy = sum(when(m, (x * y).cast("decimal(38,12)"))).cast("double")
+      val sxx = sum(when(m, (x * x).cast("decimal(38,12)"))).cast("double")
+      val syy = sum(when(m, (y * y).cast("decimal(38,12)"))).cast("double")
+      round((n * sxy - sx * sy) /
+        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+    }
+    withLags.groupBy(partitionCols.map(col): _*)
+      .agg(corrOf(lags.head).as(s"acf${lags.head}"),
+           lags.tail.map(k => corrOf(k).as(s"acf$k")): _*)
+  }
+
+  /** Classical additive decomposition on a regular series:
+    * trend = centered (2k+1)-row MA, seasonal = phase mean of (y−trend)
+    * minus its grand mean, resid = y − trend − seasonal.
+    * Reference: `decompose_ts(method='additive')`
+    * (gofast/utils/ts_utils.py:2263). Two window passes + one broadcast
+    * join on phase — no per-group collection; series length unbounded.
+    */
+  def decomposeClassical(df: DataFrame, valueCol: String, period: Int,
+                         partitionCols: Seq[String], orderCols: Seq[Column])
+      : DataFrame = {
+    val half = period / 2
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    val frame = w.rowsBetween(-half, half)
+    val withTrend = df
+      .withColumn("_i", row_number().over(w))
+      .withColumn("trend",
+        sum(col(valueCol).cast("decimal(18,6)")).over(frame).cast("double") /
+          count(col(valueCol)).over(frame))
+      .withColumn("_phase", pmod(col("_i"), lit(period)))
+    val phaseKey = partitionCols :+ "_phase"
+    val detr = col(valueCol) - col("trend")
+    val phaseMeans = withTrend.groupBy(phaseKey.map(col): _*)
+      .agg(avg(detr).as("_pmean"))
+    val grand = avg(col("_pmean")).over(
+      Window.partitionBy(partitionCols.map(col): _*))
+    val seasonal = phaseMeans.withColumn("seasonal", col("_pmean") - grand)
+      .drop("_pmean")
+    withTrend.join(broadcast(seasonal), phaseKey, "left")
+      .withColumn("resid", col(valueCol) - col("trend") - col("seasonal"))
+      .drop("_i", "_phase")
+  }
+}

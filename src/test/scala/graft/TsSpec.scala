@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.ts.{Temporal, Windows}
+
+class TsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(vals: Seq[Double]) =
+    vals.zipWithIndex.map { case (v, i) => (1, i.toLong, v) }.toDF("g", "t", "v")
+
+  test("lagFeatures shifts within partitions only") {
+    val df = Seq((1, 1L, 10.0), (1, 2L, 20.0), (2, 1L, 30.0)).toDF("g", "t", "v")
+    val out = Windows.lagFeatures(df, "v", Seq(1), Seq("g"), Seq(col("t")))
+      .orderBy("g", "t").select("v_lag1").as[Option[Double]].collect().toSeq
+    assert(out == Seq(None, Some(10.0), None)) // no leak across partitions
+  }
+
+  test("movingAverage equals arithmetic mean of trailing window") {
+    val out = Windows.movingAverage(series(Seq(1, 2, 3, 4, 5).map(_.toDouble)),
+        "v", 3, Seq("g"), Seq(col("t")), "ma")
+      .orderBy("t").select("ma").as[Double].collect().toSeq
+    assert(out == Seq(1.0, 1.5, 2.0, 3.0, 4.0))
+  }
+
+  test("difference telescopes back to cumulative sum") {
+    val df = series(Seq(3.0, 7.0, 12.0, 20.0))
+    val d = Windows.difference(df, "v", 1, Seq("g"), Seq(col("t")), "d1")
+    val total = d.agg(sum("d1")).head.getDouble(0)
+    assert(total == 20.0 - 3.0)
+  }
+
+  test("averageRank matches pandas method='average' on ties") {
+    val df = Seq((1, 10.0), (1, 10.0), (1, 20.0)).toDF("g", "v")
+    val out = Windows.averageRank(df, Seq("g"), "v")
+      .orderBy("v").select("avg_rank").as[Double].collect().toSeq
+    assert(out == Seq(1.5, 1.5, 3.0))
+  }
+
+  test("trendOls recovers an exact linear trend") {
+    val df = series((1 to 50).map(i => 2.5 * i + 7.0))
+    val r = Temporal.trendOls(df, "v", Seq("g"), Seq(col("t"))).head
+    assert(math.abs(r.getAs[Double]("slope") - 2.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 7.0) < 1e-9)
+  }
+
+  test("acf of a constant-increment series is ~1 at lag 1") {
+    val df = series((1 to 100).map(_.toDouble))
+    val r = Temporal.acf(df, "v", Seq(1), Seq("g"), Seq(col("t"))).head
+    assert(r.getAs[Double]("acf1") > 0.99)
+  }
+
+  test("decomposeClassical: components sum back to the value") {
+    val period = 4
+    val vals = (0 until 64).map(i => 10.0 + 0.5 * i + Seq(3.0, -1.0, -2.0, 0.0)(i % period))
+    val out = Temporal.decomposeClassical(series(vals), "v", period,
+      Seq("g"), Seq(col("t")))
+    val bad = out.filter(col("trend").isNotNull && col("seasonal").isNotNull &&
+      abs(col("v") - (col("trend") + col("seasonal") + col("resid"))) > 1e-9)
+    assert(bad.count() == 0)
+    // seasonal should pick up the injected period-4 pattern's shape
+    val seas = out.filter(col("t") >= period && col("t") < 2 * period)
+      .orderBy("t").select("seasonal").as[Double].collect()
+    assert(seas.max - seas.min > 2.0)
+  }
+
+  test("resample daily covers every event exactly once") {
+    val ev = T.events(spark, sf)
+    val out = Temporal.resample(ev, "ts", "day", Seq(count(lit(1)).as("n")))
+    assert(out.agg(sum("n")).head.getLong(0) == ev.count())
+  }
+}
