@@ -28,14 +28,16 @@ object SparkEntry {
       entries.RelEntries.queries ++
       entries.StatsEntries.queries ++
       entries.CleanEntries.queries ++
-      entries.TsEntries.queries
+      entries.TsEntries.queries ++
+      entries.TextEntries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
       entries.RelEntries.oracleSql ++
       entries.StatsEntries.oracleSql ++
       entries.CleanEntries.oracleSql ++
-      entries.TsEntries.oracleSql
+      entries.TsEntries.oracleSql ++
+      entries.TextEntries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -1,0 +1,71 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (north-star similarity-search operators).
+  *
+  * Baseline: brute-force cosine top-k — one streaming pass per query,
+  * fine for a broadcastable query set. Scale path: random-hyperplane
+  * LSH bucketing so candidate generation joins on bucket keys instead
+  * of crossing n².
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns as a sequential
+    * left-to-right fold — deterministic, engine-portable. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k against one query vector (as a literal
+    * array). No shuffle except the final top-k (TakeOrdered). */
+  def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
+                 query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component h_{p,i} in [-1,1]
+    * derived from xxhash64 — no RNG state, same plane set on every
+    * executor and engine. */
+  private def plane(p: Int, dim: Int): Column =
+    array((0 until dim).map { i =>
+      (xxhash64(lit(p * 10007 + i)).cast("double") / lit(Long.MaxValue.toDouble))
+    }: _*)
+
+  /** LSH bucket key: sign bits of `nPlanes` random-hyperplane dots.
+    * Vectors in the same bucket are near in angle with high
+    * probability. */
+  def lshBucket(vecCol: Column, dim: Int, nPlanes: Int = 8): Column =
+    aggregate(
+      array((0 until nPlanes).map { p =>
+        when(dot(vecCol, plane(p, dim)) > 0,
+          shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }: _*),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
+  /** All-pairs near-neighbor join restricted to shared LSH buckets:
+    * returns (id_a, id_b, cos) with id_a < id_b and cos >= threshold.
+    * Shuffle cost ∝ bucket sizes, not n². */
+  def lshCosineJoin(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    nPlanes: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      lshBucket(col(vecCol), dim, nPlanes).as("_bucket"))
+    val a = bucketed.select(col("_id").as("id_a"), col("_v").as("_va"), col("_bucket"))
+    val b = bucketed.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_bucket"))
+    a.join(b, Seq("_bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+      .distinct()
+  }
+}

@@ -1,0 +1,137 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication — exact, MinHash/LSH, SimHash, n-gram
+  * Jaccard (north-star training-data-pipeline operators).
+  *
+  * Scale design: every variant is bounded-shuffle —
+  *  - exact: one groupBy on a 128-bit hash;
+  *  - MinHash: signatures are per-row expressions (no shuffle), banding
+  *    turns the O(n²) pair search into groupBys on band keys;
+  *  - SimHash: per-row 64-bit sketch + prefix-band self-join;
+  *  - verification joins only touch candidate pairs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: one row per distinct text
+    * with multiplicity and canonical (min) id.
+    * Reference: `handle_duplicates` (quality.py:4677) on text. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("canonical_id"))
+
+  /** Drop exact duplicates, keeping the min-id row per text. */
+  def dropExact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** k-word shingles of a text column → array<string>. */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val toks = TextFns.tokens(c)
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => when(size(toks) >= k,
+          concat_ws(" ", slice(toks, i + 1, lit(k))))),
+      s => s.isNotNull)
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum xxhash64 over the shingle set. Pure expression —
+    * signatures cost one pass, no shuffle. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** Candidate near-duplicate pairs via LSH banding: rows sharing any
+    * band (contiguous signature slice) hash are candidates; candidates
+    * are verified with exact signature similarity >= `threshold`.
+    *
+    * bands*rowsPerBand must equal numHashes. Returns (id_a, id_b,
+    * sig_similarity) with id_a < id_b. The heavy O(n²) compare never
+    * happens: the join key is the band hash.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.6, shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPer = numHashes / bands
+    val sig = df
+      .withColumn("_sig", minhashSignature(shingles(col(textCol), shingleK), numHashes))
+      .filter(size(col("_sig")) > 0)
+      .select(col(idCol).as("_id"), col("_sig"))
+    val banded = sig.select(col("_id"), col("_sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("_sig"), b * rowsPer + 1, rowsPer)).as("bh"))
+      }: _*)).as("_band"))
+    val a = banded.select(col("_id").as("id_a"), col("_sig").as("_sig_a"), col("_band"))
+    val b = banded.select(col("_id").as("id_b"), col("_sig").as("_sig_b"), col("_band"))
+    a.join(b, a("_band") === b("_band") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("_sig_a"), col("_sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("double") / lit(numHashes)).as("sig_sim"))
+      .distinct()
+      .filter(col("sig_sim") >= threshold)
+  }
+
+  /** 64-bit SimHash per row: sum ±1 per bit over token hashes, take
+    * signs. Pure expression — one aggregate fold over the token array
+    * per bit, all codegen'd, no shuffle. */
+  def simhash(c: Column): Column = {
+    val toks = TextFns.tokens(c)
+    (0 until 64).map { i =>
+      val bitSum = aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L)
+          .otherwise(-1L))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Near-duplicate candidates by SimHash: rows sharing any of four
+    * 16-bit bands of the 64-bit sketch, verified by Hamming distance
+    * <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 8): DataFrame = {
+    val sk = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sh"))
+    val banded = sk.select(col("_id"), col("_sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("_sh"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
+      }: _*)).as("_band"))
+    val a = banded.select(col("_id").as("id_a"), col("_sh").as("_sha"), col("_band"))
+    val b = banded.select(col("_id").as("id_b"), col("_sh").as("_shb"), col("_band"))
+    val hamming = bit_count(col("_sha").bitwiseXOR(col("_shb")))
+    a.join(b, a("_band") === b("_band") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs produced by a
+    * cheap blocker (here: shared rare shingle). explode+groupBy —
+    * shuffle is proportional to shingle postings, not n². */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("_id"),
+        explode(array_distinct(shingles(col(textCol), k))).as("_sh"))
+    val a = sh.select(col("_id").as("id_a"), col("_sh"))
+    val b = sh.select(col("_id").as("id_b"), col("_sh"))
+    val inter = a.join(b, Seq("_sh")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
+    inter
+      .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
+      .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_na") + col("_nb") - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document quality scoring and language identification — the
+  * training-data-pipeline operators (north-star additions; quality
+  * heuristics follow `text_analysis` gofast/utils/text.py:838).
+  * Pure column expressions: one streaming pass, no shuffle.
+  */
+object Quality {
+
+  private val defaultStopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Length, punctuation ratio, stopword ratio, mean token length,
+    * digit ratio — the standard cheap quality signals. All ratios are
+    * exact integer-count divisions. */
+  def qualityScores(df: DataFrame, textCol: String,
+                    stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val c = col(textCol)
+    val len = length(c).cast("double")
+    val toks = TextFns.tokens(c)
+    val nTok = size(toks).cast("double")
+    val nStop = size(array_intersect_keep(toks, stopwords)).cast("double")
+    df.withColumn("n_chars_q", length(c))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("punct_ratio",
+        when(len === 0, 0.0)
+          .otherwise(size(regexp_extract_all(c, lit("[^\\w\\s]"), lit(0))).cast("double") / len))
+      .withColumn("digit_ratio",
+        when(len === 0, 0.0)
+          .otherwise(size(regexp_extract_all(c, lit("[0-9]"), lit(0))).cast("double") / len))
+      .withColumn("stopword_ratio",
+        when(nTok === 0, 0.0).otherwise(nStop / nTok))
+      .withColumn("mean_token_len",
+        when(nTok === 0, 0.0)
+          .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok))
+  }
+
+  /** Tokens that are stopwords, duplicates preserved (ratio needs
+    * multiplicity — `array_intersect` would dedup). */
+  private def array_intersect_keep(toks: Column, stop: Seq[String]): Column =
+    filter(toks, t => t.isin(stop: _*))
+
+  /** Marker-word language scores + argmax prediction.
+    *
+    * Language-ID heuristic (north-star): count hits of per-language
+    * marker words (top stopwords), predict the language with the most
+    * hits; ties resolve in the fixed `profiles` order. O(tokens) per
+    * row, no shuffle — at 100 TB this is the right first-pass filter
+    * before any model-based ID.
+    */
+  def langId(df: DataFrame, textCol: String,
+             profiles: Seq[(String, Seq[String])] = Seq(
+               "en" -> Seq("the", "and", "of", "to", "is"),
+               "de" -> Seq("der", "die", "und", "das", "ist"),
+               "es" -> Seq("el", "la", "los", "que", "es"),
+               "fr" -> Seq("le", "la", "les", "des", "est"),
+               "zh" -> Seq("的", "是", "了", "在", "我"))): DataFrame = {
+    val toks = TextFns.tokens(lower(col(textCol)))
+    val scored = profiles.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"_score_$lang", size(filter(toks, t => t.isin(markers: _*))))
+    }
+    // argmax with fixed precedence: later profiles win only on strictly
+    // greater score.
+    val pred = profiles.tail.foldLeft(
+      (lit(profiles.head._1), col(s"_score_${profiles.head._1}"))) {
+      case ((bestLang, bestScore), (lang, _)) =>
+        val s = col(s"_score_$lang")
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+         when(s > bestScore, s).otherwise(bestScore))
+    }._1
+    scored.withColumn("lang_pred", pred)
+      .drop(profiles.map(p => s"_score_${p._1}"): _*)
+  }
+}
