@@ -29,7 +29,8 @@ object SparkEntry {
       entries.StatsEntries.queries ++
       entries.CleanEntries.queries ++
       entries.TsEntries.queries ++
-      entries.TextEntries.queries
+      entries.TextEntries.queries ++
+      entries.EncodeEntries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -37,7 +38,8 @@ object SparkEntry {
       entries.StatsEntries.oracleSql ++
       entries.CleanEntries.oracleSql ++
       entries.TsEntries.oracleSql ++
-      entries.TextEntries.oracleSql
+      entries.TextEntries.oracleSql ++
+      entries.EncodeEntries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

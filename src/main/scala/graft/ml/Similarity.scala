@@ -59,7 +59,7 @@ object Similarity {
   def lshCosineJoin(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                     nPlanes: Int = 8, threshold: Double = 0.8): DataFrame = {
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
-      lshBucket(col(vecCol), dim, nPlanes).as("_bucket"))
+      lshBucket(col(vecCol), dim, nPlanes).as("_bucket")).persist()
     val a = bucketed.select(col("_id").as("id_a"), col("_v").as("_va"), col("_bucket"))
     val b = bucketed.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_bucket"))
     a.join(b, Seq("_bucket")).filter(col("id_a") < col("id_b"))

@@ -42,14 +42,27 @@ object Sampling {
 
   /** Top-k rows per group by `order` (with deterministic tiebreakers in
     * `order`). Reference: `nsmallest(n_neighbors)` per point
-    * (gofast/geo/system.py:499). row_number over a partitioned window —
-    * one shuffle on the group key; with many groups this is the
-    * scalable formulation (no global sort).
+    * (gofast/geo/system.py:499).
+    *
+    * Two exact phases: (1) top-k within (group, input-partition) — the
+    * window parallelism is groups × partitions, so a low-cardinality
+    * group column (the classic few-groups skew) never serializes onto
+    * one task and each task sorts only its slice; (2) top-k per group
+    * over the ≤ k·P surviving rows. Any partition's local top-k is a
+    * superset of its contribution to the global top-k, so phase 2 is
+    * exact regardless of row placement.
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], order: Seq[Column],
                    k: Int, rankName: String = "rk"): DataFrame = {
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
-    df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
+    val local = Window
+      .partitionBy((groupCols.map(col) :+ spark_partition_id()): _*)
+      .orderBy(order: _*)
+    val survivors = df
+      .withColumn("_lrk", row_number().over(local))
+      .filter(col("_lrk") <= k).drop("_lrk")
+    val global = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    survivors.withColumn(rankName, row_number().over(global))
+      .filter(col(rankName) <= k)
   }
 
   /** Stratified sample: per-stratum fractions without replacement.

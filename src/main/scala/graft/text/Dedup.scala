@@ -40,13 +40,29 @@ object Dedup {
       s => s.isNotNull)
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum xxhash64 over the shingle set. Pure expression —
-    * signatures cost one pass, no shuffle. */
+  /** MinHash signature expression: for each of `numHashes` seeded hash
+    * functions, the minimum xxhash64 over the shingle set. NOTE:
+    * higher-order functions are interpreted (not codegen'd) — use
+    * [[minhashSignatures]] for corpus-scale signature computation. */
   def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(shingleCol, s => xxhash64(lit(seed), s)))
     }: _*)
+
+  /** Corpus-scale MinHash signatures: explode shingles once, hash in
+    * codegen'd projections, take `numHashes` min-aggregates in ONE
+    * groupBy on the id. Output: (_id, _sig array<long>). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleK: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("_id"),
+      explode(array_distinct(shingles(col(textCol), shingleK))).as("_sh"))
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(lit(seed), col("_sh"))).as(s"_h$seed"))
+    exploded.groupBy("_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("_id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
+  }
 
   /** Candidate near-duplicate pairs via LSH banding: rows sharing any
     * band (contiguous signature slice) hash are candidates; candidates
@@ -61,10 +77,10 @@ object Dedup {
                    threshold: Double = 0.6, shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPer = numHashes / bands
-    val sig = df
-      .withColumn("_sig", minhashSignature(shingles(col(textCol), shingleK), numHashes))
-      .filter(size(col("_sig")) > 0)
-      .select(col(idCol).as("_id"), col("_sig"))
+    // persist: both sides of the self-join reuse the computed signatures
+    // instead of re-hashing the corpus.
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+      .persist()
     val banded = sig.select(col("_id"), col("_sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -81,17 +97,35 @@ object Dedup {
       .filter(col("sig_sim") >= threshold)
   }
 
-  /** 64-bit SimHash per row: sum ±1 per bit over token hashes, take
-    * signs. Pure expression — one aggregate fold over the token array
-    * per bit, all codegen'd, no shuffle. */
+  /** 64-bit SimHash per row as a pure expression (small inputs only —
+    * higher-order folds are interpreted; use [[simhashes]] at corpus
+    * scale). */
   def simhash(c: Column): Column = {
     val toks = TextFns.tokens(c)
+    val hashes = transform(toks, t => xxhash64(t))
     (0 until 64).map { i =>
-      val bitSum = aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(shiftright(xxhash64(t), i).bitwiseAND(1L) === 1L, 1L)
-          .otherwise(-1L))
+      val bitSum = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
+  }
+
+  /** Corpus-scale SimHash: explode tokens, hash once per token in a
+    * codegen'd projection, 64 conditional-sum aggregates in ONE groupBy,
+    * then assemble the sketch. Output: (_id, _sh long). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("_id"),
+        explode(TextFns.tokens(col(textCol))).as("_t"))
+      .withColumn("_h", xxhash64(col("_t")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("_h"), i).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"_b$i"))
+    exploded.groupBy("_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("_id"),
+        (0 until 64).map(i =>
+          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("_sh"))
   }
 
   /** Near-duplicate candidates by SimHash: rows sharing any of four
@@ -99,7 +133,7 @@ object Dedup {
     * <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8): DataFrame = {
-    val sk = df.select(col(idCol).as("_id"), simhash(col(textCol)).as("_sh"))
+    val sk = simhashes(df, idCol, textCol).persist()
     val banded = sk.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
