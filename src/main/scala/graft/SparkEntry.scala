@@ -30,7 +30,8 @@ object SparkEntry {
       entries.CleanEntries.queries ++
       entries.TsEntries.queries ++
       entries.TextEntries.queries ++
-      entries.EncodeEntries.queries
+      entries.EncodeEntries.queries ++
+      entries.InferEntries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -39,7 +40,8 @@ object SparkEntry {
       entries.CleanEntries.oracleSql ++
       entries.TsEntries.oracleSql ++
       entries.TextEntries.oracleSql ++
-      entries.EncodeEntries.oracleSql
+      entries.EncodeEntries.oracleSql ++
+      entries.InferEntries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -1,0 +1,243 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hypothesis tests as sufficient-statistics plans (SURVEY §2.4
+  * inferential row; gofast/stats/inferential.py).
+  *
+  * Each test aggregates exact decimal moments in ONE pass (map-side
+  * partials intact) and evaluates the closed-form statistic; nothing is
+  * collected but the final scalar row(s). P-values (scipy in the
+  * reference) are provided via [[PValues]] on the driver — the
+  * distribution CDFs are not data-parallel work.
+  */
+object Inferential {
+
+  private def s1(c: Column) = sum(c.cast("decimal(18,2)")).cast("double")
+  private def s2(c: Column) =
+    sum((c.cast("decimal(15,2)") * c.cast("decimal(15,2)")).cast("decimal(24,4)")).cast("double")
+
+  /** Welch's two-sample t: per-group moments → t and Welch df.
+    * Reference: `t_test_independent` (inferential.py:388).
+    * Output: one row (t_stat, welch_df, n_a, n_b). */
+  def tTestWelch(df: DataFrame, valueCol: String, groupCol: String,
+                 groupA: String, groupB: String): DataFrame = {
+    val c = col(valueCol)
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    val base = df.filter(isA || isB).agg(
+      sum(when(isA, 1L).otherwise(0L)).cast("double").as("na"),
+      sum(when(isB, 1L).otherwise(0L)).cast("double").as("nb"),
+      sum(when(isA, c.cast("decimal(18,2)"))).cast("double").as("sa"),
+      sum(when(isB, c.cast("decimal(18,2)"))).cast("double").as("sb"),
+      sum(when(isA, (c.cast("decimal(15,2)") * c.cast("decimal(15,2)")).cast("decimal(24,4)")))
+        .cast("double").as("qa"),
+      sum(when(isB, (c.cast("decimal(15,2)") * c.cast("decimal(15,2)")).cast("decimal(24,4)")))
+        .cast("double").as("qb"))
+    base.select(
+      {
+        val va = (col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+        val vb = (col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+        val se2 = va / col("na") + vb / col("nb")
+        val t = (col("sa") / col("na") - col("sb") / col("nb")) / sqrt(se2)
+        val welch = se2 * se2 /
+          ((va / col("na")) * (va / col("na")) / (col("na") - 1) +
+           (vb / col("nb")) * (vb / col("nb")) / (col("nb") - 1))
+        Seq(round(t, 9).as("t_stat"), round(welch, 6).as("welch_df"),
+            col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"))
+      }: _*)
+  }
+
+  /** Paired t on a per-row difference expression.
+    * Reference: `paired_t_test` (inferential.py:526). */
+  def pairedTTest(df: DataFrame, diff: Column): DataFrame = {
+    val d = diff.cast("decimal(18,2)")
+    df.agg(count(d).cast("double").as("n"),
+        sum(d).cast("double").as("s"),
+        sum((diff.cast("decimal(15,2)") * diff.cast("decimal(15,2)")).cast("decimal(24,4)"))
+          .cast("double").as("q"))
+      .select({
+        val mean = col("s") / col("n")
+        val varS = (col("q") - col("s") * col("s") / col("n")) / (col("n") - 1)
+        Seq(round(mean / sqrt(varS / col("n")), 9).as("t_stat"),
+            (col("n") - 1).cast("long").as("dof"))
+      }: _*)
+  }
+
+  /** Pearson chi-square over an r×c contingency of two categorical
+    * columns. Reference: `chi2_test` (inferential.py:1496).
+    * Cell/marginal counts are exact; the statistic sums c·r terms —
+    * rounded, since that final small sum is order-dependent. */
+  def chi2Test(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(aCol, bCol).agg(count(lit(1)).cast("double").as("o"))
+    val withMargins = cells
+      .withColumn("ra", sum("o").over(Window.partitionBy(aCol)))
+      .withColumn("cb", sum("o").over(Window.partitionBy(bCol)))
+      .withColumn("n", sum("o").over())
+    val term = pow(col("o") - col("ra") * col("cb") / col("n"), 2) /
+      (col("ra") * col("cb") / col("n"))
+    withMargins.agg(
+      round(sum(term), 6).as("chi2"),
+      ((count_distinct(col(aCol)) - 1) * (count_distinct(col(bCol)) - 1))
+        .cast("long").as("dof"))
+  }
+
+  /** One-way ANOVA F from per-group exact moments.
+    * Reference: `anova_test` (inferential.py:1605). */
+  def anovaF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val c = col(valueCol)
+    val groups = df.groupBy(groupCol).agg(
+      count(c).cast("double").as("ni"), s1(c).as("si"), s2(c).as("qi"))
+    groups.agg(
+        sum("ni").as("n"), count(lit(1)).cast("double").as("k"),
+        sum("si").as("s"), sum("qi").as("q"),
+        sum(col("si") * col("si") / col("ni")).as("sb"))
+      .select({
+        val ssb = col("sb") - col("s") * col("s") / col("n")
+        val ssw = col("q") - col("sb")
+        val f = (ssb / (col("k") - 1)) / (ssw / (col("n") - col("k")))
+        Seq(round(f, 9).as("f_stat"),
+            (col("k") - 1).cast("long").as("df_between"),
+            (col("n") - col("k")).cast("long").as("df_within"))
+      }: _*)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D: max |ECDF_a − ECDF_b| over the
+    * pooled values — window cumulative counts, exact rational
+    * arithmetic. Reference: `kolmogorov_smirnov_test`
+    * (inferential.py:1173). One global ordered window over DISTINCT
+    * values: bounded by value-domain cardinality, not row count. */
+  def ksTest(df: DataFrame, valueCol: String, groupCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    val isA = col(groupCol) === groupA
+    val isB = col(groupCol) === groupB
+    val perValue = df.filter(isA || isB)
+      .groupBy(col(valueCol).as("v"))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("ca"),
+           sum(when(isB, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perValue
+      .withColumn("fa", sum("ca").over(w))
+      .withColumn("fb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over())
+      .withColumn("nb", sum("cb").over())
+    cum.agg(max(abs(col("fa").cast("double") / col("na") -
+                    col("fb").cast("double") / col("nb"))).as("ks_d"))
+  }
+
+  /** Cronbach's α over item columns: k/(k−1)·(1 − Σvarᵢ/var_total),
+    * sample variances from exact moments.
+    * Reference: `cronbach_alpha` (inferential.py:1391). */
+  def cronbachAlpha(df: DataFrame, items: Seq[String]): DataFrame = {
+    val k = items.size.toDouble
+    val total = items.map(col).reduce(_ + _)
+    val aggs =
+      items.zipWithIndex.flatMap { case (it, i) =>
+        Seq(s1(col(it)).as(s"s$i"), s2(col(it)).as(s"q$i"))
+      } ++ Seq(
+        sum(total.cast("decimal(18,2)")).cast("double").as("st"),
+        sum((total.cast("decimal(15,2)") * total.cast("decimal(15,2)")).cast("decimal(24,4)"))
+          .cast("double").as("qt"),
+        count(lit(1)).cast("double").as("n"))
+    df.agg(aggs.head, aggs.tail: _*).select {
+      val n = col("n")
+      def varOf(s: Column, q: Column) = (q - s * s / n) / (n - 1)
+      val sumItemVar = items.indices
+        .map(i => varOf(col(s"s$i"), col(s"q$i"))).reduce(_ + _)
+      val varTotal = varOf(col("st"), col("qt"))
+      round(lit(k / (k - 1)) * (lit(1.0) - sumItemVar / varTotal), 9).as("alpha")
+    }
+  }
+}
+
+/** Driver-side p-value helpers (scipy's role in the reference).
+  * Standard continued-fraction / series implementations of the
+  * regularized incomplete beta and gamma functions.
+  */
+object PValues {
+
+  /** Regularized incomplete beta I_x(a,b) via Lentz continued fraction. */
+  def incompleteBeta(a: Double, b: Double, x: Double): Double = {
+    if (x <= 0) return 0.0
+    if (x >= 1) return 1.0
+    val lbeta = logGamma(a) + logGamma(b) - logGamma(a + b)
+    val front = math.exp(a * math.log(x) + b * math.log(1 - x) - lbeta)
+    val symmetric = x > (a + 1) / (a + b + 2)
+    val (aa, bb, xx) = if (symmetric) (b, a, 1 - x) else (a, b, x)
+    var f = 1.0; var c = 1.0; var d = 0.0
+    var i = 0
+    while (i <= 300) {
+      val m = i / 2
+      val num =
+        if (i == 0) 1.0
+        else if (i % 2 == 0) m * (bb - m) * xx / ((aa + 2 * m - 1) * (aa + 2 * m))
+        else -(aa + m) * (aa + bb + m) * xx / ((aa + 2 * m) * (aa + 2 * m + 1))
+      d = 1.0 + num * d
+      if (math.abs(d) < 1e-30) d = 1e-30
+      d = 1.0 / d
+      c = 1.0 + num / c
+      if (math.abs(c) < 1e-30) c = 1e-30
+      f *= c * d
+      if (math.abs(1.0 - c * d) < 1e-12) {
+        val fr = math.exp(aa * math.log(xx) + bb * math.log(1 - xx) -
+          (logGamma(aa) + logGamma(bb) - logGamma(aa + bb)))
+        val res = fr * (f - 1.0) / aa
+        return if (symmetric) 1.0 - res else res
+      }
+      i += 1
+    }
+    val res = front * (f - 1.0) / aa
+    if (symmetric) 1.0 - res else res
+  }
+
+  /** Lanczos log-gamma. */
+  def logGamma(x: Double): Double = {
+    val g = Array(676.5203681218851, -1259.1392167224028, 771.32342877765313,
+      -176.61502916214059, 12.507343278686905, -0.13857109526572012,
+      9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x)) - logGamma(1 - x)
+    else {
+      val z = x - 1
+      var a = 0.99999999999980993
+      for (i <- g.indices) a += g(i) / (z + i + 1)
+      val t = z + g.length - 0.5
+      0.5 * math.log(2 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** Two-sided p for a t statistic with df degrees of freedom. */
+  def tTwoSided(t: Double, df: Double): Double =
+    incompleteBeta(df / 2.0, 0.5, df / (df + t * t))
+
+  /** Upper-tail p for chi-square via regularized incomplete gamma. */
+  def chi2Upper(x: Double, k: Double): Double = 1.0 - gammaP(k / 2.0, x / 2.0)
+
+  /** Regularized lower incomplete gamma P(a, x). */
+  def gammaP(a: Double, x: Double): Double = {
+    if (x <= 0) return 0.0
+    if (x < a + 1) {
+      var sum = 1.0 / a; var term = sum; var n = 1
+      while (n < 300 && math.abs(term) > math.abs(sum) * 1e-14) {
+        term *= x / (a + n); sum += term; n += 1
+      }
+      sum * math.exp(-x + a * math.log(x) - logGamma(a))
+    } else {
+      var b = x + 1 - a; var c = 1e300; var d = 1.0 / b; var h = d
+      var i = 1
+      while (i <= 300) {
+        val an = -i * (i - a)
+        b += 2
+        d = an * d + b; if (math.abs(d) < 1e-30) d = 1e-30
+        c = b + an / c; if (math.abs(c) < 1e-30) c = 1e-30
+        d = 1.0 / d
+        val del = d * c
+        h *= del
+        if (math.abs(del - 1.0) < 1e-12) i = 301 else i += 1
+      }
+      1.0 - math.exp(-x + a * math.log(x) - logGamma(a)) * h
+    }
+  }
+}
