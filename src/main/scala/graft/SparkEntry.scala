@@ -31,7 +31,8 @@ object SparkEntry {
       entries.TsEntries.queries ++
       entries.TextEntries.queries ++
       entries.EncodeEntries.queries ++
-      entries.InferEntries.queries
+      entries.InferEntries.queries ++
+      entries.SqlEntries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -41,7 +42,8 @@ object SparkEntry {
       entries.TsEntries.oracleSql ++
       entries.TextEntries.oracleSql ++
       entries.EncodeEntries.oracleSql ++
-      entries.InferEntries.oracleSql
+      entries.InferEntries.oracleSql ++
+      entries.SqlEntries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -1,0 +1,90 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming pipeline (SURVEY §2.12).
+  *
+  * The reference's only streaming surface is a Kafka micro-batch loop
+  * (`StreamingInference`, gofast/mlops/inference.py:403): poll batch →
+  * preprocess → model → postprocess → produce, with retry/backoff and a
+  * claimed exactly-once. Here the same pipeline is declarative:
+  * readStream → transform → writeStream with checkpointing (real
+  * exactly-once to idempotent/transactional sinks), plus the event-time
+  * semantics the reference lacks entirely: watermarks, tumbling/
+  * sliding/session windows, and streaming dedup.
+  */
+object Streaming {
+
+  /** Kafka micro-batch pipeline — the `StreamingInference` shape.
+    * (Not testable in this container: no Kafka; the transform logic is
+    * what the engine owns and it is stream-agnostic.) */
+  def kafkaPipeline(spark: SparkSession, bootstrap: String, topic: String,
+                    resultTopic: String, checkpoint: String,
+                    batchInterval: String = "10 seconds")(
+                    transform: DataFrame => DataFrame): StreamingQuery = {
+    val in = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+    transform(in)
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", resultTopic)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(batchInterval))
+      .start()
+  }
+
+  /** Tumbling/sliding event-time counts with a watermark: late rows
+    * beyond `watermark` are dropped, state is bounded. */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+                     window: String, slide: Option[String] = None): DataFrame = {
+    val w = slide.map(s => org.apache.spark.sql.functions.window(col(tsCol), window, s))
+      .getOrElse(org.apache.spark.sql.functions.window(col(tsCol), window))
+    events.withWatermark(tsCol, watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("event_type"), col("n"))
+  }
+
+  /** Session windows (gap-based) per user — new design, absent in the
+    * reference (SURVEY §2.12). */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+                    gap: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("sess.start").as("sess_start"), col("sess.end").as("sess_end"),
+        col("user_id"), col("n"))
+
+  /** Streaming dedup on a key within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
+                           keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Custom keyed state: running count + exponential moving average per
+    * user (the `preprocess_fn → model` per-batch state the reference
+    * keeps in process memory, here fault-tolerant in the state store). */
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserStat(user_id: Long, n: Long, ema: Double)
+
+  def runningEma(events: Dataset[UserEvent], alpha: Double = 0.1)
+      : Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          val next = rows.foldLeft(prev) { (st, e) =>
+            val ema = if (st.n == 0) e.value
+                      else alpha * e.value + (1 - alpha) * st.ema
+            UserStat(uid, st.n + 1, ema)
+          }
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.stream.Streaming
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windowedCounts aggregates by tumbling event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.windowedCounts(in.toDF(), "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append)
+      .start()
+    in.addData(Ev(t(0), 1, "click", 1.0), Ev(t(1), 2, "click", 1.0),
+               Ev(t(6), 1, "view", 1.0))
+    q.processAllAvailable()
+    // advance watermark far so earlier windows close and emit
+    in.addData(Ev(t(59), 9, "click", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("wc").select("event_type", "n").as[(String, Long)]
+      .collect().toMap
+    q.stop()
+    assert(out("click") == 2 && out("view") == 1)
+  }
+
+  test("dedupWithinWatermark drops re-deliveries of the same key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.dedupWithinWatermark(in.toDF(), "ts", "30 minutes",
+        Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append)
+      .start()
+    in.addData(Ev(t(0), 1, "click", 1.0), Ev(t(1), 1, "click", 99.0),
+               Ev(t(2), 2, "click", 1.0))
+    q.processAllAvailable()
+    val n = spark.table("dd").count()
+    q.stop()
+    assert(n == 2) // the duplicate (1, click) was suppressed
+  }
+
+  test("sessionCounts merges events within the gap into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.sessionCounts(in.toDF(), "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("sc").outputMode(OutputMode.Append)
+      .start()
+    // user 1: events at 0,3,6 -> one session (gaps < 5m); user 2: 0 and 20 -> two
+    in.addData(Ev(t(0), 1, "c", 1), Ev(t(3), 1, "c", 1), Ev(t(6), 1, "c", 1),
+               Ev(t(0), 2, "c", 1), Ev(t(20), 2, "c", 1))
+    q.processAllAvailable()
+    in.addData(Ev(t(59), 9, "c", 1)) // close sessions via watermark
+    q.processAllAvailable()
+    val rows = spark.table("sc").select("user_id", "n").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    q.stop()
+    assert(rows(1L) == Seq(3))
+    assert(rows(2L) == Seq(1, 1))
+  }
+
+  test("runningEma keeps per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.UserEvent]
+    val q = Streaming.runningEma(in.toDS(), alpha = 0.5)
+      .writeStream.format("memory").queryName("ema").outputMode(OutputMode.Update)
+      .start()
+    in.addData(Streaming.UserEvent(1, 10.0))
+    q.processAllAvailable()
+    in.addData(Streaming.UserEvent(1, 20.0))
+    q.processAllAvailable()
+    val last = spark.table("ema").filter(col("n") === 2).as[Streaming.UserStat]
+      .collect()
+    q.stop()
+    assert(last.length == 1 && last.head.ema == 15.0) // 0.5*20 + 0.5*10
+  }
+}
