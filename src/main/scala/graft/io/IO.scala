@@ -1,0 +1,94 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Unified reader/writer facade + parquet table catalog (SURVEY §2.1).
+  *
+  * Reference: `read_data` (gofast/core/io.py:826) with its
+  * extension→parser map (gofast/api/property.py:2781), `export_data`
+  * (io.py:1137), and the HDF5 store/retrieve family
+  * (`handle_datasets_with_hdfstore`, management.py:424) which here is a
+  * parquet warehouse of named tables — the format a 100 TB deployment
+  * actually uses (columnar, splittable, predicate/partition pruning).
+  */
+object IO {
+
+  /** Extension-dispatched read, mirroring `read_data`'s map. Formats
+    * without a distributed reader (.pkl/.npy/.h5) are intentionally
+    * unsupported. `sanitizeNames` lower-snake-cases columns, the
+    * `sanitize=True` read option (io.py:826). */
+  def readData(spark: SparkSession, path: String,
+               inferSchema: Boolean = true,
+               sanitizeNames: Boolean = false): DataFrame = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    val df = ext match {
+      case "csv" | "txt" =>
+        spark.read.option("header", "true")
+          .option("inferSchema", inferSchema.toString).csv(path)
+      case "tsv" | "fwf" =>
+        spark.read.option("header", "true").option("sep", "\t")
+          .option("inferSchema", inferSchema.toString).csv(path)
+      case "json" => spark.read.option("multiLine", "false").json(path)
+      case "parquet" | "parq" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format: .$other")
+    }
+    if (sanitizeNames) sanitizeColumns(df) else df
+  }
+
+  /** Column-name sanitization (`sanitize_frame_cols`,
+    * gofast/core/utils.py:1941): trim, lower, non-alnum → '_'. */
+  def sanitizeColumns(df: DataFrame): DataFrame =
+    df.withColumnsRenamed(df.columns.map { c =>
+      c -> c.trim.toLowerCase.replaceAll("[^a-z0-9]+", "_")
+        .replaceAll("^_+|_+$", "")
+    }.toMap)
+
+  /** Extension-dispatched write (`export_data`, io.py:1137). */
+  def exportData(df: DataFrame, path: String,
+                 mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase
+    val w = df.write.mode(mode)
+    ext match {
+      case "csv"            => w.option("header", "true").csv(path)
+      case "json"           => w.json(path)
+      case "parquet" | "parq" => w.parquet(path)
+      case "orc"            => w.orc(path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported format: .$other")
+    }
+  }
+}
+
+/** Named-dataset warehouse: the reference's HDF5 store/retrieve
+  * (`store_or_retrieve_data`, management.py:521) as a parquet
+  * directory-per-table layout. */
+class Catalog(spark: SparkSession, warehouse: String) {
+  private def pathOf(name: String) = s"$warehouse/$name"
+
+  def save(name: String, df: DataFrame,
+           partitionBy: Seq[String] = Nil,
+           mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(pathOf(name))
+  }
+
+  def table(name: String): DataFrame = spark.read.parquet(pathOf(name))
+
+  def list(): Seq[String] = {
+    val dir = new java.io.File(warehouse)
+    if (!dir.exists) Nil
+    else dir.listFiles.filter(_.isDirectory).map(_.getName).sorted.toSeq
+  }
+
+  def drop(name: String): Boolean = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    val f = new java.io.File(pathOf(name))
+    if (f.exists) { rm(f); true } else false
+  }
+}
