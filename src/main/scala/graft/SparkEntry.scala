@@ -32,7 +32,8 @@ object SparkEntry {
       entries.TextEntries.queries ++
       entries.EncodeEntries.queries ++
       entries.InferEntries.queries ++
-      entries.SqlEntries.queries
+      entries.SqlEntries.queries ++
+      entries.MoreEntries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -43,7 +44,8 @@ object SparkEntry {
       entries.TextEntries.oracleSql ++
       entries.EncodeEntries.oracleSql ++
       entries.InferEntries.oracleSql ++
-      entries.SqlEntries.oracleSql
+      entries.SqlEntries.oracleSql ++
+      entries.MoreEntries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

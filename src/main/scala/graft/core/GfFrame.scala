@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Fluent enrichment of DataFrame with the engine's operator surface —
+  * the Spark-idiomatic analog of the reference's
+  * `@make_data_dynamic(dynamize=True)` monkey-patching
+  * (gofast/utils/func_utils.py:966) and the deferred `Data` builder
+  * (gofast/dataops/core.py:31): `import graft.core.GfFrame._` and chain
+  * `df.graft.filterExpr("age > 23").smartGroup(...)`. Zero-cost — every
+  * call returns the lazy DataFrame plan Catalyst optimizes as one tree.
+  */
+object GfFrame {
+
+  implicit class GraftOps(private val df: DataFrame) extends AnyVal {
+    def graft: Fluent = new Fluent(df)
+  }
+
+  final class Fluent(private val df: DataFrame) extends AnyVal {
+    import graft.rel._
+    import graft.clean._
+
+    def result: DataFrame = df
+
+    // §2.2 filters
+    def filterExpr(condition: String): Fluent =
+      new Fluent(Filters.filterExpr(df, condition))
+    def filterDf(c: String, op: String, v: Any): Fluent =
+      new Fluent(Filters.filterDf(df, c, op, v))
+    def popLabels(c: String, labels: Seq[Any]): Fluent =
+      new Fluent(Filters.popLabels(df, c, labels))
+    def selectFeatures(names: Seq[String] = Nil, regex: Option[String] = None): Fluent =
+      new Fluent(Filters.selectFeatures(df, names, regex))
+
+    // §2.4 aggregation
+    def smartGroup(by: Seq[String], aggs: Seq[Column],
+                   having: Option[Column] = None,
+                   sortBy: Seq[Column] = Nil): Fluent =
+      new Fluent(Aggregates.smartGroup(df, by, aggs, having, sortBy))
+
+    // §2.9 cleaning
+    def dropNulls(cols: Seq[String] = Nil): Fluent =
+      new Fluent(Missing.dropNulls(df, cols))
+    def fillConst(fills: Map[String, Any]): Fluent =
+      new Fluent(Missing.fillConst(df, fills))
+    def dedup(cols: Seq[String] = Nil): Fluent =
+      new Fluent(Duplicates.drop(df, cols))
+    def clipOutliers(column: String, qLo: Double = 0.01, qHi: Double = 0.99): Fluent = {
+      val (lo, hi) = Outliers.quantileBounds(df, column, qLo, qHi)
+      new Fluent(Outliers.clip(df, column, lo, hi))
+    }
+
+    // §2.7/§2.6
+    def concatWith(others: DataFrame*): Fluent =
+      new Fluent(SetOps.concatRows(df +: others))
+    def sampleFraction(fraction: Double, seed: Long = 42L): Fluent =
+      new Fluent(Sampling.sample(df, fraction, seed))
+  }
+}
