@@ -33,7 +33,8 @@ object SparkEntry {
       entries.EncodeEntries.queries ++
       entries.InferEntries.queries ++
       entries.SqlEntries.queries ++
-      entries.MoreEntries.queries
+      entries.MoreEntries.queries ++
+      entries.Batch10Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -45,7 +46,8 @@ object SparkEntry {
       entries.EncodeEntries.oracleSql ++
       entries.InferEntries.oracleSql ++
       entries.SqlEntries.oracleSql ++
-      entries.MoreEntries.oracleSql
+      entries.MoreEntries.oracleSql ++
+      entries.Batch10Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

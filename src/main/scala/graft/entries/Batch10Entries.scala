@@ -1,0 +1,169 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.rel.Sampling
+import graft.ts.{PerGroup, Windows}
+
+/** Entries for smoothing, rank correlation, extrema, coverage,
+  * replication, and per-series recursion (SURVEY §2.5/§2.6/§2.9 math).
+  */
+object Batch10Entries {
+
+  // Savitzky–Golay quadratic, window 5: (-3, 12, 17, 12, -3)/35.
+  private val sg5 = Seq(-3.0, 12.0, 17.0, 12.0, -3.0).map(_ / 35.0)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.5 savgol_filter (spatial_utils.py:3937) as window convolution.
+    "sg_smooth" -> ((s, dir) => {
+      Windows.convolve(T.events(s, dir), "value", sg5,
+          Seq("user_id"), Seq(col("ts"), col("event_id")), "sg")
+        .select(col("event_id"), round(col("sg"), 9).as("sg"))
+        .orderBy("event_id")
+    }),
+
+    // §2.5 rolling std (ts_engineering, ts_utils.py:2482).
+    "rolling_std" -> ((s, dir) => {
+      Windows.rollingStd(T.events(s, dir), "value", 7,
+          Seq("user_id"), Seq(col("ts"), col("event_id")), "rstd")
+        .select("event_id", "rstd")
+        .orderBy("event_id")
+    }),
+
+    // §2.5 optimized_spearmanr (mathext.py:3063): Pearson on average
+    // ranks, per group.
+    "spearman" -> ((s, dir) => {
+      val li = T.lineitem(s, dir)
+      def avgRank(c: String) = {
+        val w = Window.partitionBy("l_returnflag").orderBy(col(c))
+        val tieW = Window.partitionBy(col("l_returnflag"), col(c))
+        rank().over(w).cast("double") +
+          (count(lit(1)).over(tieW).cast("double") - 1.0) / 2.0
+      }
+      val ranked = li.select(col("l_returnflag"),
+        avgRank("l_quantity").as("rq"), avgRank("l_extendedprice").as("rp"))
+      val n = count(lit(1)).cast("double")
+      def sd(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(15,2)")).cast("double")
+      def sdd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        sum((a.cast("decimal(15,2)") * b.cast("decimal(15,2)")).cast("decimal(32,4)")).cast("double")
+      ranked.groupBy("l_returnflag").agg(
+          round((n * sdd(col("rq"), col("rp")) - sd(col("rq")) * sd(col("rp"))) /
+            (sqrt(n * sdd(col("rq"), col("rq")) - sd(col("rq")) * sd(col("rq"))) *
+             sqrt(n * sdd(col("rp"), col("rp")) - sd(col("rp")) * sd(col("rp")))), 9)
+            .as("spearman"))
+        .orderBy("l_returnflag")
+    }),
+
+    // §2.9 count_local_minima (mathext.py:4820) per series.
+    "local_minima" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      T.events(s, dir)
+        .withColumn("_isMin",
+          when(col("value") < lag(col("value"), 1).over(w) &&
+               col("value") < lead(col("value"), 1).over(w), 1L).otherwise(0L))
+        .groupBy("user_id").agg(sum("_isMin").as("n_minima"))
+        .orderBy("user_id")
+    }),
+
+    // §2.9 compute_coverage (mathext.py:925): share of values inside
+    // the exact [q05, q95] band.
+    "coverage" -> ((s, dir) => {
+      val ev = T.events(s, dir)
+      val b = ev.agg(percentile(col("value"), lit(0.05)),
+                     percentile(col("value"), lit(0.95))).head()
+      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      ev.groupBy("event_type")
+        .agg((sum(when(col("value").between(lo, hi), 1L).otherwise(0L)).cast("double") /
+              count(lit(1))).as("coverage"))
+        .orderBy("event_type")
+    }),
+
+    // §2.6 replace_data bootstrap replication (data_utils.py:4642).
+    "replicate_rows" -> ((s, dir) => {
+      Sampling.replicateRows(T.region(s, dir), 3)
+        .groupBy("r_regionkey", "r_name").agg(count(lit(1)).as("n"))
+        .orderBy("r_regionkey")
+    }),
+
+    // ---- rows-only: per-series recursion via flatMapGroups ----
+    "ewm" -> ((s, dir) => {
+      PerGroup.ewm(T.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", "ts_us", "value", alpha = 0.3)
+        .orderBy("user_id", "ts_us")
+    }),
+
+    "adf" -> ((s, dir) => {
+      PerGroup.adf(T.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", "ts_us", "value")
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sg_smooth" ->
+      """SELECT event_id,
+        |  ROUND((-3.0/35.0) * LAG(value, 2) OVER w + (12.0/35.0) * LAG(value, 1) OVER w
+        |   + (17.0/35.0) * value
+        |   + (12.0/35.0) * LEAD(value, 1) OVER w + (-3.0/35.0) * LEAD(value, 2) OVER w, 9) AS sg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "rolling_std" ->
+      """SELECT event_id,
+        |  CASE WHEN COUNT(value) OVER w > 1 THEN
+        |    ROUND(SQRT((CAST(SUM(CAST(CAST(value AS DECIMAL(15,6)) * CAST(value AS DECIMAL(15,6)) AS DECIMAL(32,12))) OVER w AS DOUBLE)
+        |      - CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / CAST(COUNT(value) OVER w AS DOUBLE))
+        |      / (CAST(COUNT(value) OVER w AS DOUBLE) - 1)), 6)
+        |  END AS rstd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "spearman" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag,
+        |    CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS DOUBLE)
+        |      + (CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) AS DOUBLE) - 1.0) / 2.0 AS rq,
+        |    CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS DOUBLE)
+        |      + (CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) AS DOUBLE) - 1.0) / 2.0 AS rp
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) n,
+        |    CAST(SUM(CAST(rq AS DECIMAL(15,2))) AS DOUBLE) sq,
+        |    CAST(SUM(CAST(rp AS DECIMAL(15,2))) AS DOUBLE) sp,
+        |    CAST(SUM(CAST(CAST(rq AS DECIMAL(15,2)) * CAST(rp AS DECIMAL(15,2)) AS DECIMAL(32,4))) AS DOUBLE) sqp,
+        |    CAST(SUM(CAST(CAST(rq AS DECIMAL(15,2)) * CAST(rq AS DECIMAL(15,2)) AS DECIMAL(32,4))) AS DOUBLE) sqq,
+        |    CAST(SUM(CAST(CAST(rp AS DECIMAL(15,2)) * CAST(rp AS DECIMAL(15,2)) AS DECIMAL(32,4))) AS DOUBLE) spp
+        |  FROM ranked GROUP BY 1)
+        |SELECT l_returnflag,
+        |  ROUND((n * sqp - sq * sp) /
+        |    (SQRT(n * sqq - sq * sq) * SQRT(n * spp - sp * sp)), 9) AS spearman
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "local_minima" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    CASE WHEN value < LAG(value, 1) OVER w
+        |      AND value < LEAD(value, 1) OVER w THEN 1 ELSE 0 END AS ismin
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, SUM(ismin) AS n_minima
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "coverage" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.05) lo, quantile_cont(value, 0.95) hi FROM events)
+        |SELECT event_type,
+        |  CAST(SUM(CASE WHEN value BETWEEN lo AND hi THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS coverage
+        |FROM events, b GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "replicate_rows" ->
+      """SELECT r_regionkey, r_name, COUNT(*) AS n
+        |FROM region, generate_series(1, 3)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  )
+}

@@ -75,6 +75,46 @@ object Windows {
       .withColumn("percent_rank", percent_rank().over(w))
   }
 
+  /** Centered convolution Σ wᵢ·x_{t+i−c}: the Savitzky–Golay /
+    * smoothing kernel as a fixed expression tree over lag/lead —
+    * codegen'd, no shuffle beyond the window's.
+    * Reference: `savgol_filter` (gofast/utils/spatial_utils.py:3937),
+    * `smooth1d` (base_utils.py:5221). Rows whose window is incomplete
+    * (series edges) yield null, like mode='interp' trimming. */
+  def convolve(df: DataFrame, valueCol: String, weights: Seq[Double],
+               partitionCols: Seq[String], orderCols: Seq[Column],
+               outName: String): DataFrame = {
+    require(weights.size % 2 == 1, "need an odd, centered kernel")
+    val half = weights.size / 2
+    val w = ordered(partitionCols, orderCols)
+    val terms = weights.zipWithIndex.map { case (wt, i) =>
+      val off = i - half
+      val x = if (off < 0) lag(col(valueCol), -off).over(w)
+              else if (off > 0) lead(col(valueCol), off).over(w)
+              else col(valueCol)
+      lit(wt) * x
+    }
+    df.withColumn(outName, terms.reduce(_ + _))
+  }
+
+  /** Trailing rolling sample std over `window` rows, from exact decimal
+    * frame sums (deterministic under any window algorithm).
+    * Reference: rolling std in `ts_engineering` (ts_utils.py:2482). */
+  def rollingStd(df: DataFrame, valueCol: String, window: Int,
+                 partitionCols: Seq[String], orderCols: Seq[Column],
+                 outName: String): DataFrame = {
+    val w = ordered(partitionCols, orderCols).rowsBetween(-(window - 1), 0)
+    val c = col(valueCol)
+    val n = count(c).over(w).cast("double")
+    val s = sum(c.cast("decimal(18,6)")).over(w).cast("double")
+    val q = sum((c.cast("decimal(15,6)") * c.cast("decimal(15,6)")).cast("decimal(32,12)"))
+      .over(w).cast("double")
+    // scale-12 sums exceed the 2^53 cast-exact range -> round to 6 dp
+    // for cross-engine determinism (values are O(100)).
+    df.withColumn(outName,
+      when(n > 1, round(sqrt((q - s * s / n) / (n - 1)), 6)).otherwise(lit(null)))
+  }
+
   /** Average rank (pandas `rank(method='average')`): rank + (ties−1)/2,
     * via the count-over-identical-keys trick — no extra shuffle beyond
     * the window's. */

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ts.{PerGroup, Windows}
+
+class PerGroupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ewm matches the hand-computed pandas ewm(adjust=True) values") {
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0))
+      .toDF("k", "t", "v")
+    val out = PerGroup.ewm(df, "k", "t", "v", alpha = 0.5)
+      .orderBy("t").select("ewm").as[Double].collect().toSeq
+    // pandas ewm(alpha=.5, adjust=True): [1.0, (2+0.5*1)/1.5, (3+0.5*2+0.25*1)/1.75]
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) - 2.5 / 1.5) < 1e-12)
+    assert(math.abs(out(2) - 4.25 / 1.75) < 1e-12)
+  }
+
+  test("adf separates a random walk from white noise") {
+    val rnd = new scala.util.Random(11)
+    val walk = Iterator.iterate(0.0)(_ + rnd.nextGaussian()).take(300).toSeq
+    val noise = Seq.fill(300)(rnd.nextGaussian())
+    val df = (walk.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) } ++
+      noise.zipWithIndex.map { case (v, i) => (2L, i.toLong, v) })
+      .toDF("k", "t", "v")
+    val out = PerGroup.adf(df, "k", "t", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) < -5.0)       // white noise: strongly stationary
+    assert(out(1L) > -3.0)       // random walk: fails to reject unit root
+    assert(out(2L) < out(1L))
+  }
+
+  test("convolve with identity kernel returns the value itself") {
+    val df = (1 to 20).map(i => (1, i.toLong, i * 1.5)).toDF("g", "t", "v")
+    val out = Windows.convolve(df, "v", Seq(0.0, 1.0, 0.0),
+        Seq("g"), Seq(col("t")), "c")
+      .filter(col("c").isNotNull)
+    assert(out.filter(col("c") =!= col("v")).count() == 0)
+    assert(out.count() == 18) // edges trimmed
+  }
+
+  test("rollingStd of a constant series is 0") {
+    val df = (1 to 30).map(i => (1, i.toLong, 5.0)).toDF("g", "t", "v")
+    val out = Windows.rollingStd(df, "v", 7, Seq("g"), Seq(col("t")), "s")
+      .filter(col("s").isNotNull)
+    assert(out.filter(col("s") =!= 0.0).count() == 0)
+  }
+}
