@@ -24,12 +24,22 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Codegen'd cosine over array<float> columns — identical double
+    * math to [[cosine]] (per-element double products, sequential sum)
+    * but a tight JIT loop instead of interpreted HOF dispatch. */
+  def cosineNative(df: DataFrame, a: Column, b: Column): Column = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    call_function("cosine_f32", a, b)
+  }
+
   /** Brute-force cosine top-k against one query vector (as a literal
-    * array). No shuffle except the final top-k (TakeOrdered). */
+    * array). No shuffle except the final top-k (TakeOrdered). Query is
+    * float-cast: the native kernel runs on array<float>, the embedding
+    * storage type. */
   def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
                  query: Seq[Double], k: Int): DataFrame = {
-    val q = array(query.map(lit): _*)
-    df.select(col(idCol), cosine(col(vecCol), q).as("cos"))
+    val q = array(query.map(v => lit(v.toFloat)): _*)
+    df.select(col(idCol), cosineNative(df, col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
@@ -63,7 +73,7 @@ object Similarity {
     val a = bucketed.select(col("_id").as("id_a"), col("_v").as("_va"), col("_bucket"))
     val b = bucketed.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_bucket"))
     a.join(b, Seq("_bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .withColumn("cos", cosineNative(df, col("_va"), col("_vb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .distinct()
