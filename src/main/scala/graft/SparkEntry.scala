@@ -34,7 +34,8 @@ object SparkEntry {
       entries.InferEntries.queries ++
       entries.SqlEntries.queries ++
       entries.MoreEntries.queries ++
-      entries.Batch10Entries.queries
+      entries.Batch10Entries.queries ++
+      entries.Batch11Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -47,7 +48,8 @@ object SparkEntry {
       entries.InferEntries.oracleSql ++
       entries.SqlEntries.oracleSql ++
       entries.MoreEntries.oracleSql ++
-      entries.Batch10Entries.oracleSql
+      entries.Batch10Entries.oracleSql ++
+      entries.Batch11Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.
