@@ -52,12 +52,31 @@ object Dedup {
   /** Corpus-scale MinHash signatures: explode shingles once, hash in
     * codegen'd projections, take `numHashes` min-aggregates in ONE
     * groupBy on the id. Output: (_id, _sig array<long>). */
+  /** Distinct k-word shingles, one row per (id, shingle), built with
+    * codegen'd operators: posexplode tokens, then concat with lead()
+    * windows — the array-HOF shingle constructor is interpreted and
+    * dominates corpus-scale runs. One shuffle on the id. */
+  def shinglesExploded(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("_id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("_p", "_t")))
+    val w = Window.partitionBy("_id").orderBy("_p")
+    val parts = (0 until k).map(i =>
+      if (i == 0) col("_t") else lead(col("_t"), i).over(w))
+    toks.withColumn("_sh", concat_ws(" ", parts: _*))
+      .withColumn("_last", parts.last)
+      .filter(col("_last").isNotNull)
+      .select("_id", "_sh").distinct()
+  }
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleK: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("_id"),
-      explode(array_distinct(shingles(col(textCol), shingleK))).as("_sh"))
+    // hash the shingle STRING once; the k-hash family then re-hashes the
+    // 64-bit value (integer-input xxhash is ~10x cheaper than string).
+    val exploded = shinglesExploded(df, idCol, textCol, shingleK)
+      .withColumn("_h", xxhash64(col("_sh")))
     val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(lit(seed), col("_sh"))).as(s"_h$seed"))
+      min(xxhash64(lit(seed), col("_h"))).as(s"_h$seed"))
     exploded.groupBy("_id")
       .agg(mins.head, mins.tail: _*)
       .select(col("_id"),
@@ -153,8 +172,7 @@ object Dedup {
     * shuffle is proportional to shingle postings, not n². */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("_id"),
-        explode(array_distinct(shingles(col(textCol), k))).as("_sh"))
+    val sh = shinglesExploded(df, idCol, textCol, k).persist()
     val a = sh.select(col("_id").as("id_a"), col("_sh"))
     val b = sh.select(col("_id").as("id_b"), col("_sh"))
     val inter = a.join(b, Seq("_sh")).filter(col("id_a") < col("id_b"))
