@@ -35,7 +35,8 @@ object SparkEntry {
       entries.SqlEntries.queries ++
       entries.MoreEntries.queries ++
       entries.Batch10Entries.queries ++
-      entries.Batch11Entries.queries
+      entries.Batch11Entries.queries ++
+      entries.Batch12Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -49,7 +50,8 @@ object SparkEntry {
       entries.SqlEntries.oracleSql ++
       entries.MoreEntries.oracleSql ++
       entries.Batch10Entries.oracleSql ++
-      entries.Batch11Entries.oracleSql
+      entries.Batch11Entries.oracleSql ++
+      entries.Batch12Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

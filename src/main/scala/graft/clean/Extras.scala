@@ -1,0 +1,64 @@
+package graft.clean
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Remaining cleaning/augmentation operators. */
+object Extras {
+
+  /** Fill nulls in a categorical/numeric column with its deterministic
+    * mode (most frequent, smallest on ties).
+    * Reference: `nan_to_mode` (gofast/utils/base_utils.py:5110). */
+  def fillMode(df: DataFrame, column: String): DataFrame = {
+    val mode = df.filter(col(column).isNotNull)
+      .groupBy(col(column)).agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col(column).asc)
+      .limit(1).head().get(0)
+    df.na.fill(Map(column -> mode))
+  }
+
+  /** Otsu threshold of a numeric column from an equal-width histogram:
+    * maximizes between-class variance. One groupBy for the histogram,
+    * O(bins) driver work. Reference: `get_threshold_from(method='otsu')`
+    * (gofast/utils/mathext.py:156). */
+  def otsuThreshold(df: DataFrame, column: String, bins: Int = 256): Double = {
+    val r = df.agg(min(col(column)), max(col(column))).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val width = (hi - lo) / bins
+    val hist = df.groupBy(
+        least(floor((col(column) - lo) / width).cast("int"), lit(bins - 1)).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val counts = Array.tabulate(bins)(i => hist.getOrElse(i, 0L).toDouble)
+    val total = counts.sum
+    val mids = Array.tabulate(bins)(i => lo + (i + 0.5) * width)
+    val globalMean = counts.zip(mids).map { case (n, m) => n * m }.sum / total
+    var bestT = 0; var bestVar = -1.0
+    var w0 = 0.0; var sum0 = 0.0
+    for (t <- 0 until bins - 1) {
+      w0 += counts(t); sum0 += counts(t) * mids(t)
+      val w1 = total - w0
+      if (w0 > 0 && w1 > 0) {
+        val m0 = sum0 / w0
+        val m1 = (globalMean * total - sum0) / w1
+        val between = w0 * w1 * (m0 - m1) * (m0 - m1)
+        if (between > bestVar) { bestVar = between; bestT = t }
+      }
+    }
+    lo + (bestT + 1) * width
+  }
+
+  /** Row augmentation: append `n` jittered copies of each row
+    * (gaussian noise on `noiseCols`, deterministic under Spark's seeded
+    * randn). Reference: `augment_data`
+    * (gofast/dataops/preprocessing.py:3083). */
+  def augmentRows(df: DataFrame, noiseCols: Seq[String], sigma: Double,
+                  n: Int = 1, seed: Long = 42L): DataFrame = {
+    val copies = (1 to n).map { i =>
+      noiseCols.foldLeft(df) { (d, c) =>
+        d.withColumn(c, col(c) + randn(seed + i) * sigma)
+      }
+    }
+    copies.foldLeft(df)(_ unionByName _)
+  }
+}

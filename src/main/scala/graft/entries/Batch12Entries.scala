@@ -1,0 +1,68 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.stats.{Descriptive, Regression}
+
+/** Entries for describe, OLS coefficients/residualization. */
+object Batch12Entries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.4 describe (descriptive.py:2224) — long-form exact summary.
+    "describe" -> ((s, dir) => {
+      Descriptive.describeExact(T.lineitem(s, dir),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("column")
+    }),
+
+    // §2.9 adjust_for_control_vars (mathext.py:3217): OLS residuals of
+    // extendedprice against quantity (sufficient-statistics fit; the
+    // coefficients are rounded and the residual recomputed from the
+    // rounded fit on both engines, so every row is deterministic).
+    "ols_residuals" -> ((s, dir) => {
+      val li = T.lineitem(s, dir)
+      val fit = Regression.ols(li, "l_extendedprice", Seq("l_quantity"))
+      val b0 = BigDecimal(fit.beta(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val b1 = BigDecimal(fit.beta(1)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") - (lit(b0) + col("l_quantity") * lit(b1)))
+            .as("resid"))
+        .orderBy("l_orderkey", "l_linenumber")
+    })
+  )
+
+  private def momentCols(c: String) = {
+    val n = s"CAST(COUNT($c) AS DOUBLE)"
+    val sx = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+    val sxx = s"CAST(SUM(CAST(CAST($c AS DECIMAL(15,2)) * CAST($c AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE)"
+    s"""SELECT '$c' AS "column", COUNT($c) AS n,
+       |  $sx / $n AS mean,
+       |  SQRT(($sxx - $sx * $sx / $n) / ($n - 1)) AS std,
+       |  MIN($c) AS min, MAX($c) AS max
+       |FROM lineitem""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "describe" ->
+      Seq("l_discount", "l_extendedprice", "l_quantity")
+        .map(momentCols).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+
+    "ols_residuals" -> {
+      // same closed-form slope/intercept from exact moments, rounded to
+      // 6 dp exactly like the Spark side before the residual projection.
+      val n = "CAST(COUNT(*) AS DOUBLE)"
+      val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+      val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+      val sxx = "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE)"
+      val sxy = "CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_extendedprice AS DECIMAL(15,2)) AS DECIMAL(32,4))) AS DOUBLE)"
+      s"""WITH m AS (
+         |  SELECT ROUND(($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx), 6) AS b1r,
+         |    ROUND(($sy - ($n * $sxy - $sx * $sy) / ($n * $sxx - $sx * $sx) * $sx) / $n, 6) AS b0r
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  l_extendedprice - (b0r + l_quantity * b1r) AS resid
+         |FROM lineitem, m ORDER BY l_orderkey, l_linenumber""".stripMargin
+    }
+  )
+}

@@ -83,6 +83,20 @@ class Catalog(spark: SparkSession, warehouse: String) {
     else dir.listFiles.filter(_.isDirectory).map(_.getName).sorted.toSeq
   }
 
+  /** Bucketed managed table: co-locates rows by hash(bucketCols) at
+    * WRITE time so later equi-joins/aggregations on those keys run
+    * WITHOUT a shuffle — the 100 TB answer to repeated fact⋈fact joins
+    * (SURVEY §2.3 scale note). Both join sides must use the same bucket
+    * count and keys. */
+  def saveBucketed(name: String, df: DataFrame, buckets: Int,
+                   bucketCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(name)
+
+  def managed(name: String): DataFrame = spark.table(name)
+
   def drop(name: String): Boolean = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)

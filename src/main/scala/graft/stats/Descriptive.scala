@@ -68,6 +68,30 @@ object Descriptive {
   def quantileAggs(c: Column, qs: Seq[Double]): Seq[Column] =
     qs.map(q => percentile(c, lit(q)).as(s"q${(q * 100).round}"))
 
+  /** Long-form describe: one row per column with n/mean/std/min/max
+    * from exact moments — pandas `describe` (descriptive.py:2224) /
+    * `df.summary()` with deterministic floats. One aggregate pass for
+    * ALL columns. */
+  def describeExact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val n = count(col(c)).cast("double")
+      val sx = powerSum(col(c), 1)
+      val sxx = powerSum(col(c), 2)
+      Seq(count(col(c)).as(s"${c}__n"),
+        (sx / n).as(s"${c}__mean"),
+        sqrt((sxx - sx * sx / n) / (n - 1)).as(s"${c}__std"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.zipWithIndex.map { case (c, i) =>
+      (c, r.getLong(5 * i), r.getDouble(5 * i + 1), r.getDouble(5 * i + 2),
+        r.getDouble(5 * i + 3), r.getDouble(5 * i + 4))
+    }.toDF("column", "n", "mean", "std", "min", "max")
+  }
+
   /** Deterministic mode: most frequent value, smallest value on ties.
     * Reference: `mode` (descriptive.py:664). Two shuffles (value counts,
     * then per-group argmax) — no driver collect. */
