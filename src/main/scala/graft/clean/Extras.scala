@@ -17,6 +17,24 @@ object Extras {
     df.na.fill(Map(column -> mode))
   }
 
+  /** Numeric columns with few distincts become categorical (string) —
+    * `handle_categorical_features` (gofast/dataops/quality.py:325).
+    * One HLL pass decides; the cast is a projection. */
+  def numericToCategorical(df: DataFrame, maxDistinct: Int = 10): DataFrame = {
+    val numeric = df.schema.fields.filter(f =>
+      f.dataType.typeName match {
+        case "integer" | "long" | "double" | "float" | "short" => true
+        case _ => false
+      }).map(_.name)
+    if (numeric.isEmpty) return df
+    val aggs = numeric.map(c => approx_count_distinct(col(c)).as(c))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val toCast = numeric.zipWithIndex.collect {
+      case (c, i) if r.getLong(i) <= maxDistinct => c
+    }
+    toCast.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("string")))
+  }
+
   /** Otsu threshold of a numeric column from an equal-width histogram:
     * maximizes between-class variance. One groupBy for the histogram,
     * O(bins) driver work. Reference: `get_threshold_from(method='otsu')`

@@ -3,12 +3,29 @@ package graft.entries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Tables => T}
-import graft.stats.{Descriptive, Regression}
+import graft.rel.Filters
+import graft.stats.{Descriptive, Distributions, Regression}
 
-/** Entries for describe, OLS coefficients/residualization. */
+/** Entries for describe, OLS residualization, spatial box filter, and
+  * Poisson log-pmf. */
 object Batch12Entries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 filter_position/extract_zones (spatial_utils.py:1813) as a
+    // 2-D range predicate.
+    "box_filter" -> ((s, dir) => {
+      Filters.boxFilter(T.events(s, dir), "value", "user_id",
+          (100.0, 500.0), (10.0, 60.0))
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
+    // §2.9 poisson_logpmf (probs.py:425) over a generated k grid.
+    "poisson_logpmf" -> ((s, dir) => {
+      s.range(0, 15).select(col("id").as("k"),
+          Distributions.poissonLogPmf(col("k"), lambda = 3.0).as("lpmf"))
+        .orderBy("k")
+    }),
     // §2.4 describe (descriptive.py:2224) — long-form exact summary.
     "describe" -> ((s, dir) => {
       Descriptive.describeExact(T.lineitem(s, dir),
@@ -44,6 +61,22 @@ object Batch12Entries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "box_filter" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value BETWEEN 100.0 AND 500.0 AND user_id BETWEEN 10 AND 60
+        |ORDER BY event_id""".stripMargin,
+
+    "poisson_logpmf" -> {
+      val lnFacts = (0 to 20).map { kk =>
+        s"($kk, ${math.log((1 to kk).foldLeft(1.0)(_ * _))})"
+      }.mkString(", ")
+      s"""WITH lf(k, lnf) AS (VALUES $lnFacts),
+         |g AS (SELECT unnest(range(0, 15)) AS k)
+         |SELECT g.k,
+         |  ROUND(CAST(g.k AS DOUBLE) * ${math.log(3.0)} - 3.0 - lnf, 9) AS lpmf
+         |FROM g JOIN lf ON lf.k = g.k ORDER BY g.k""".stripMargin
+    },
+
     "describe" ->
       Seq("l_discount", "l_extendedprice", "l_quantity")
         .map(momentCols).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),

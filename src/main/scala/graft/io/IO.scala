@@ -61,6 +61,27 @@ object IO {
   }
 }
 
+/** Driver-side HTTP(S)/file fetch into a DataFrame — `request_data`
+  * (gofast/dataops/management.py:202), `fetch_remote_data` (:714). The
+  * body lands on the driver (small API payloads by design); at scale a
+  * DataSource V2 connector replaces this. */
+object Remote {
+  def requestJsonLines(spark: SparkSession, url: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val src = scala.io.Source.fromURL(url)
+    val body = try src.getLines().toList finally src.close()
+    spark.read.json(spark.createDataset(body))
+  }
+
+  def requestCsv(spark: SparkSession, url: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val src = scala.io.Source.fromURL(url)
+    val body = try src.getLines().toList finally src.close()
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(spark.createDataset(body))
+  }
+}
+
 /** Named-dataset warehouse: the reference's HDF5 store/retrieve
   * (`store_or_retrieve_data`, management.py:521) as a parquet
   * directory-per-table layout. */

@@ -87,6 +87,16 @@ object Filters {
     df.select(cols.map(col): _*)
   }
 
+  /** 2-D box filter — the spatial position/zone filters
+    * (`filter_position` gofast/utils/spatial_utils.py:1813,
+    * `extract_zones_from` :2036) generalized to any two numeric axes.
+    * Pure range predicates: push down to the scan and partition-prune
+    * on spatially-partitioned layouts. */
+  def boxFilter(df: DataFrame, xCol: String, yCol: String,
+                xRange: (Double, Double), yRange: (Double, Double)): DataFrame =
+    df.filter(col(xCol).between(xRange._1, xRange._2) &&
+      col(yCol).between(yRange._1, yRange._2))
+
   /** Z-score / IQR noise filter on one numeric column.
     * Reference: `filter_data` (gofast/utils/data_utils.py:2075). The
     * bounds come from one aggregate pass (sufficient statistics), the

@@ -28,6 +28,16 @@ object Distributions {
     round(lit(0.5) * (lit(1.0) + erf), 9)
   }
 
+  /** Poisson log-pmf k·lnλ − λ − ln(k!) for small k: ln(k!) from exact
+    * driver-side factorials (probs.py:425). */
+  def poissonLogPmf(k: Column, lambda: Double, maxK: Int = 20): Column = {
+    val lnFact = (0 to maxK).map { kk =>
+      kk -> math.log((1 to kk).foldLeft(1.0)(_ * _))
+    }
+    val m = map(lnFact.flatMap { case (kk, v) => Seq(lit(kk), lit(v)) }: _*)
+    round(k.cast("double") * math.log(lambda) - lambda - element_at(m, k.cast("int")), 9)
+  }
+
   /** C(n,k)·pᵏ(1−p)ⁿ⁻ᵏ for a small fixed n: the binomial coefficients
     * are exact driver-side longs baked into a map literal. */
   def binomialPmf(k: Column, n: Int, p: Double): Column = {

@@ -51,6 +51,29 @@ class Batch12Spec extends SparkSpec {
     assert(a1.exceptAll(a2).count() == 0) // same seed -> same noise
   }
 
+  test("Typed datasets expose case-class fields") {
+    import graft.core.Typed
+    val li = Typed.lineitem(spark, sf)
+    val total = li.filter(_.l_quantity > 45).map(_.l_extendedprice).reduce(_ + _)
+    assert(total > 0)
+    val docs = Typed.documents(spark, sf)
+    assert(docs.filter(_.lang == "en").count() > 0)
+  }
+
+  test("Remote.requestCsv reads a file:// URL onto the driver") {
+    val f = Files.createTempFile("graft_req", ".csv")
+    Files.writeString(f, "a,b\n1,x\n2,y\n")
+    val df = graft.io.Remote.requestCsv(spark, f.toUri.toString)
+    assert(df.count() == 2 && df.columns.toSeq == Seq("a", "b"))
+  }
+
+  test("numericToCategorical casts low-cardinality numerics only") {
+    val df = Seq((1, 100.5), (2, 200.5), (1, 300.5)).toDF("code", "amount")
+    val out = Extras.numericToCategorical(df, maxDistinct = 2)
+    assert(out.schema("code").dataType.typeName == "string")
+    assert(out.schema("amount").dataType.typeName == "double")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val cat = new Catalog(spark, Files.createTempDirectory("graft_bt").toString)
     val ord = T.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
