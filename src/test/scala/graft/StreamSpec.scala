@@ -66,6 +66,39 @@ class StreamSpec extends SparkSpec {
     assert(rows(2L) == Seq(1, 1))
   }
 
+  test("stream-static join enriches a stream with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = in.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append)
+      .start()
+    in.addData(Ev(t(0), 1, "click", 1.0), Ev(t(1), 3, "click", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("ssj").select("user_id", "tier")
+      .as[(Long, Option[String])].collect().toMap
+    q.stop()
+    assert(out(1L).contains("gold"))
+    assert(out(3L).isEmpty) // unknown user passes through with null tier
+  }
+
+  test("sliding windows emit overlapping window counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.windowedCounts(in.toDF(), "ts", "10 minutes",
+        "10 minutes", slide = Some("5 minutes"))
+      .writeStream.format("memory").queryName("slw").outputMode(OutputMode.Append)
+      .start()
+    in.addData(Ev(t(7), 1, "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Ev(t(59), 9, "view", 1.0))
+    q.processAllAvailable()
+    // one event at minute 7 belongs to windows [0,10) and [5,15)
+    val n = spark.table("slw").where("event_type = 'click'").count()
+    q.stop()
+    assert(n == 2)
+  }
+
   test("runningEma keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.UserEvent]
