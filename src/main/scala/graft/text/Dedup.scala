@@ -177,10 +177,14 @@ object Dedup {
     val b = sh.select(col("_id").as("id_b"), col("_sh"))
     val inter = a.join(b, Seq("_sh")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    // per-doc shingle counts: one row per document — broadcast both
+    // lookup joins instead of shuffling the candidate pairs twice.
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
     inter
-      .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "_na"), "id_a")
-      .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+      .join(broadcast(sizes.withColumnRenamed("_id", "id_a")
+        .withColumnRenamed("_n", "_na")), "id_a")
+      .join(broadcast(sizes.withColumnRenamed("_id", "id_b")
+        .withColumnRenamed("_n", "_nb")), "id_b")
       .withColumn("jaccard",
         col("_inter").cast("double") / (col("_na") + col("_nb") - col("_inter")))
       .filter(col("jaccard") >= threshold)

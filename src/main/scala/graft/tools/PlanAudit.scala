@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scans every SparkEntry query's physical plan for scale red flags:
+  * cartesian products, unpartitioned window sorts, excessive exchanges.
+  * Run: sbt 'runMain graft.tools.PlanAudit <sfDir>'
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.split('\n').count(_.contains("CartesianProduct"))
+        val nlj = plan.split('\n').count(_.contains("BroadcastNestedLoopJoin"))
+        val exchanges = plan.split('\n').count(_.contains("Exchange"))
+        val globalSortWindows = plan.split('\n')
+          .count(l => l.contains("Window") && l.contains("windowspecdefinition()"))
+        val flags = Seq(
+          if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
+          if (nlj > 0) s"NLJ=$nlj" else "",
+          if (exchanges > 6) s"EXCHANGES=$exchanges" else "").filter(_.nonEmpty)
+        println(f"$name%-22s exch=$exchanges%2d ${flags.mkString(" ")}")
+      } catch { case e: Throwable => println(f"$name%-22s ERROR ${e.getMessage.take(60)}") }
+    }
+    spark.stop()
+  }
+}

@@ -99,6 +99,38 @@ object Temporal {
            lags.tail.map(k => corrOf(k).as(s"acf$k")): _*)
   }
 
+  /** PACF via Durbin–Levinson from the ACF vector (SURVEY §2.11:
+    * `ts_corr_analysis` PACF branch, gofast/utils/ts_utils.py:2913 —
+    * "PACF via Durbin-Levinson on driver from ACF vector"). The ACF is
+    * distributed ([[acf]]); the recursion is O(groups·m²) driver work
+    * on one tiny collected row per group. */
+  def pacf(df: DataFrame, valueCol: String, maxLag: Int,
+           partitionCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val acfDf = acf(df, valueCol, 1 to maxLag, partitionCols, orderCols)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = acfDf.collect().map { r =>
+      val key = r.get(0).toString
+      val rho = (1 to maxLag).map(k => r.getAs[Double](s"acf$k")).toArray
+      // Durbin–Levinson: phi(k,k) is the PACF at lag k.
+      val phi = Array.ofDim[Double](maxLag + 1, maxLag + 1)
+      phi(1)(1) = rho(0)
+      for (k <- 2 to maxLag) {
+        val num = rho(k - 1) -
+          (1 until k).map(j => phi(k - 1)(j) * rho(k - 1 - j)).sum
+        val den = 1.0 -
+          (1 until k).map(j => phi(k - 1)(j) * rho(j - 1)).sum
+        phi(k)(k) = num / den
+        for (j <- 1 until k)
+          phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+      }
+      (key, (1 to maxLag).map(k => phi(k)(k)))
+    }
+    rows.toSeq.flatMap { case (key, ps) =>
+      ps.zipWithIndex.map { case (p, i) => (key, i + 1, p) }
+    }.toDF(partitionCols.head, "lag", "pacf")
+  }
+
   /** Classical additive decomposition on a regular series:
     * trend = centered (2k+1)-row MA, seasonal = phase mean of (y−trend)
     * minus its grand mean, resid = y − trend − seasonal.

@@ -31,6 +31,19 @@ class PerGroupSpec extends SparkSpec {
     assert(out(2L) < out(1L))
   }
 
+  test("pacf of an AR(1) process is near zero beyond lag 1") {
+    val rnd = new scala.util.Random(21)
+    var x = 0.0
+    val vals = (0 until 2000).map { _ => x = 0.7 * x + rnd.nextGaussian(); x }
+    val df = vals.zipWithIndex.map { case (v, i) => (1, i.toLong, v) }
+      .toDF("g", "t", "v")
+    val p = graft.ts.Temporal.pacf(df, "v", 3, Seq("g"), Seq(col("t")))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(p(1) > 0.6)               // strong AR(1) coefficient
+    assert(math.abs(p(2)) < 0.1)     // partial correlations vanish
+    assert(math.abs(p(3)) < 0.1)
+  }
+
   test("convolve with identity kernel returns the value itself") {
     val df = (1 to 20).map(i => (1, i.toLong, i * 1.5)).toDF("g", "t", "v")
     val out = Windows.convolve(df, "v", Seq(0.0, 1.0, 0.0),
