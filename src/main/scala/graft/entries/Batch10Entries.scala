@@ -20,7 +20,7 @@ object Batch10Entries {
     "sg_smooth" -> ((s, dir) => {
       Windows.convolve(T.events(s, dir), "value", sg5,
           Seq("user_id"), Seq(col("ts"), col("event_id")), "sg")
-        .select(col("event_id"), round(col("sg"), 9).as("sg"))
+        .select(col("event_id"), col("sg"))
         .orderBy("event_id")
     }),
 
@@ -104,9 +104,9 @@ object Batch10Entries {
   val oracleSql: Map[String, String] = Map(
     "sg_smooth" ->
       """SELECT event_id,
-        |  ROUND((-3.0/35.0) * LAG(value, 2) OVER w + (12.0/35.0) * LAG(value, 1) OVER w
+        |  (-3.0/35.0) * LAG(value, 2) OVER w + (12.0/35.0) * LAG(value, 1) OVER w
         |   + (17.0/35.0) * value
-        |   + (12.0/35.0) * LEAD(value, 1) OVER w + (-3.0/35.0) * LEAD(value, 2) OVER w, 9) AS sg
+        |   + (12.0/35.0) * LEAD(value, 1) OVER w + (-3.0/35.0) * LEAD(value, 2) OVER w AS sg
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
@@ -114,9 +114,9 @@ object Batch10Entries {
     "rolling_std" ->
       """SELECT event_id,
         |  CASE WHEN COUNT(value) OVER w > 1 THEN
-        |    ROUND(SQRT((CAST(SUM(CAST(CAST(value AS DECIMAL(15,6)) * CAST(value AS DECIMAL(15,6)) AS DECIMAL(32,12))) OVER w AS DOUBLE)
-        |      - CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / CAST(COUNT(value) OVER w AS DOUBLE))
-        |      / (CAST(COUNT(value) OVER w AS DOUBLE) - 1)), 6)
+        |    SQRT((CAST(SUM(CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)) AS DECIMAL(26,6))) OVER w AS DOUBLE)
+        |      - CAST(SUM(CAST(value AS DECIMAL(12,3))) OVER w AS DOUBLE) * CAST(SUM(CAST(value AS DECIMAL(12,3))) OVER w AS DOUBLE) / CAST(COUNT(value) OVER w AS DOUBLE))
+        |      / (CAST(COUNT(value) OVER w AS DOUBLE) - 1))
         |  END AS rstd
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -55,7 +55,7 @@ object Batch12Entries {
     val sxx = s"CAST(SUM(CAST(CAST($c AS DECIMAL(15,2)) * CAST($c AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE)"
     s"""SELECT '$c' AS "column", COUNT($c) AS n,
        |  $sx / $n AS mean,
-       |  SQRT(($sxx - $sx * $sx / $n) / ($n - 1)) AS std,
+       |  ROUND(SQRT(($sxx - $sx * $sx / $n) / ($n - 1)), 9) AS std,
        |  MIN($c) AS min, MAX($c) AS max
        |FROM lineitem""".stripMargin
   }

@@ -78,7 +78,7 @@ object EncodeEntries {
     // λ search itself is exercised in EncodeSpec (driver-side argmax).
     "boxcox_half" -> ((s, dir) => {
       T.orders(s, dir).select(col("o_orderkey"),
-          round((sqrt(col("o_totalprice")) - 1.0) / 0.5, 9).as("bc"))
+          ((sqrt(col("o_totalprice")) - 1.0) / 0.5).as("bc"))
         .orderBy("o_orderkey")
     }),
 
@@ -96,7 +96,7 @@ object EncodeEntries {
     // skew-reducing transforms (quality.py:4372): log1p + sqrt.
     "handle_skew" -> ((s, dir) => {
       T.orders(s, dir).select(col("o_orderkey"),
-          round(log1p(col("o_totalprice")), 9).as("log1p_price"),
+          round(log1p(col("o_totalprice")), 6).as("log1p_price"),
           sqrt(col("o_totalprice")).as("sqrt_price"))
         .orderBy("o_orderkey")
     })
@@ -152,7 +152,7 @@ object EncodeEntries {
 
     "boxcox_half" ->
       """SELECT o_orderkey,
-        |  ROUND((SQRT(o_totalprice) - 1.0) / 0.5, 9) AS bc
+        |  (SQRT(o_totalprice) - 1.0) / 0.5 AS bc
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "residuals" ->
@@ -164,7 +164,7 @@ object EncodeEntries {
 
     "handle_skew" ->
       """SELECT o_orderkey,
-        |  ROUND(LN(1 + o_totalprice), 9) AS log1p_price,
+        |  ROUND(LN(1 + o_totalprice), 6) AS log1p_price,
         |  SQRT(o_totalprice) AS sqrt_price
         |FROM orders ORDER BY o_orderkey""".stripMargin
   )

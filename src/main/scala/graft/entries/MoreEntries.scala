@@ -117,8 +117,8 @@ object MoreEntries {
     "fourier_day" -> ((s, dir) => {
       val phase = dayofyear(col("ts")).cast("double") * (2.0 * math.Pi / 366.0)
       T.events(s, dir).select(col("event_id"),
-          round(sin(phase), 9).as("f1_sin"), round(cos(phase), 9).as("f1_cos"),
-          round(sin(phase * 2), 9).as("f2_sin"), round(cos(phase * 2), 9).as("f2_cos"))
+          round(sin(phase), 6).as("f1_sin"), round(cos(phase), 6).as("f1_cos"),
+          round(sin(phase * 2), 6).as("f2_sin"), round(cos(phase * 2), 6).as("f2_cos"))
         .orderBy("event_id")
     }),
 
@@ -183,8 +183,8 @@ object MoreEntries {
       def corrRow(a: String, b: String) = {
         val n = "CAST(COUNT(*) AS DOUBLE)"
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
-           |  ($n * ${sxy(a, b)} - ${sx(a)} * ${sx(b)}) /
-           |    (SQRT($n * ${sxx(a)} - ${sx(a)} * ${sx(a)}) * SQRT($n * ${sxx(b)} - ${sx(b)} * ${sx(b)})) AS corr
+           |  ROUND(($n * ${sxy(a, b)} - ${sx(a)} * ${sx(b)}) /
+           |    (SQRT($n * ${sxx(a)} - ${sx(a)} * ${sx(a)}) * SQRT($n * ${sxx(b)} - ${sx(b)} * ${sx(b)})), 9) AS corr
            |FROM lineitem""".stripMargin
       }
       Seq(corrRow("l_quantity", "l_extendedprice"),
@@ -248,10 +248,10 @@ object MoreEntries {
 
     "fourier_day" ->
       """SELECT event_id,
-        |  ROUND(SIN(CAST(dayofyear(ts) AS DOUBLE) * (2 * PI() / 366.0)), 9) AS f1_sin,
-        |  ROUND(COS(CAST(dayofyear(ts) AS DOUBLE) * (2 * PI() / 366.0)), 9) AS f1_cos,
-        |  ROUND(SIN(CAST(dayofyear(ts) AS DOUBLE) * (2 * PI() / 366.0) * 2), 9) AS f2_sin,
-        |  ROUND(COS(CAST(dayofyear(ts) AS DOUBLE) * (2 * PI() / 366.0) * 2), 9) AS f2_cos
+        |  ROUND(SIN(CAST(dayofyear(ts) AS DOUBLE) * (2 * PI() / 366.0)), 6) AS f1_sin,
+        |  ROUND(COS(CAST(dayofyear(ts) AS DOUBLE) * (2 * PI() / 366.0)), 6) AS f1_cos,
+        |  ROUND(SIN(CAST(dayofyear(ts) AS DOUBLE) * (2 * PI() / 366.0) * 2), 6) AS f2_sin,
+        |  ROUND(COS(CAST(dayofyear(ts) AS DOUBLE) * (2 * PI() / 366.0) * 2), 6) AS f2_cos
         |FROM events ORDER BY event_id""".stripMargin,
 
     "kaplan_meier" ->

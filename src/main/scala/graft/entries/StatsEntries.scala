@@ -179,9 +179,9 @@ object StatsEntries {
         |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS i
         |  FROM orders)
         |SELECT o_orderpriority,
-        |  2.0 * CAST(SUM(CAST(CAST(i AS DECIMAL(10,0)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(32,2))) AS DOUBLE)
+        |  ROUND(2.0 * CAST(SUM(CAST(CAST(i AS DECIMAL(10,0)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(32,2))) AS DOUBLE)
         |    / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE))
-        |  - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE) AS gini
+        |  - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE), 9) AS gini
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "weighted_median" ->
@@ -199,17 +199,18 @@ object StatsEntries {
     "corr_pair" -> {
       val (n, q, p, d) = (s"CAST(COUNT(*) AS DOUBLE)", "l_quantity", "l_extendedprice", "l_discount")
       s"""SELECT l_returnflag,
-         |  ($n * ${sxy(q, p)} - ${sx(q)} * ${sx(p)}) /
-         |    (SQRT($n * ${sxx(q)} - ${sx(q)} * ${sx(q)}) * SQRT($n * ${sxx(p)} - ${sx(p)} * ${sx(p)})) AS corr_qp,
-         |  (${sxy(q, d)} - ${sx(q)} * ${sx(d)} / $n) / ($n - 1) AS cov_qd
+         |  ROUND(($n * ${sxy(q, p)} - ${sx(q)} * ${sx(p)}) /
+         |    (SQRT($n * ${sxx(q)} - ${sx(q)} * ${sx(q)}) * SQRT($n * ${sxx(p)} - ${sx(p)} * ${sx(p)})), 9) AS corr_qp,
+         |  ROUND((${sxy(q, d)} - ${sx(q)} * ${sx(d)} / $n) / ($n - 1), 9) AS cov_qd
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     },
 
     "zscore" -> {
       val c = "o_totalprice"
-      s"""WITH m AS (SELECT ${sx(c)} AS _sx, ${sxx(c)} AS _sxx, ${nD(c)} AS _n FROM orders)
-         |SELECT o_orderkey,
-         |  ($c - _sx / _n) / SQRT((_sxx - _sx * _sx / _n) / (_n - 1)) AS z
+      s"""WITH m AS (SELECT ROUND(${sx(c)} / ${nD(c)}, 9) AS mean,
+         |  ROUND(SQRT((${sxx(c)} - ${sx(c)} * ${sx(c)} / ${nD(c)}) / (${nD(c)} - 1)), 9) AS std
+         |  FROM orders)
+         |SELECT o_orderkey, ($c - mean) / std AS z
          |FROM orders, m ORDER BY o_orderkey""".stripMargin
     },
 

@@ -166,8 +166,8 @@ object TsEntries {
 
     "cyclical_month" ->
       """SELECT event_id,
-        |  ROUND(SIN(CAST(month(ts) AS DOUBLE) * (2 * PI() / 12)), 9) AS month_sin,
-        |  ROUND(COS(CAST(month(ts) AS DOUBLE) * (2 * PI() / 12)), 9) AS month_cos
+        |  ROUND(SIN(CAST(month(ts) AS DOUBLE) * (2 * PI() / 12)), 6) AS month_sin,
+        |  ROUND(COS(CAST(month(ts) AS DOUBLE) * (2 * PI() / 12)), 6) AS month_cos
         |FROM events ORDER BY event_id""".stripMargin,
 
     "trend_ols" ->

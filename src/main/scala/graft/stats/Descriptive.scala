@@ -79,7 +79,7 @@ object Descriptive {
       val sxx = powerSum(col(c), 2)
       Seq(count(col(c)).as(s"${c}__n"),
         (sx / n).as(s"${c}__mean"),
-        sqrt((sxx - sx * sx / n) / (n - 1)).as(s"${c}__std"),
+        round(sqrt((sxx - sx * sx / n) / (n - 1)), 9).as(s"${c}__std"),
         min(col(c)).as(s"${c}__min"),
         max(col(c)).as(s"${c}__max"))
     }
@@ -127,7 +127,7 @@ object Descriptive {
     val sx = sum(col(valueCol).cast("decimal(18,2)")).cast("double")
     val six = sum((col("_i").cast("decimal(10,0)") * col(valueCol).cast("decimal(18,2)"))
       .cast("decimal(32,2)")).cast("double")
-    g.agg((lit(2.0) * six / (n * sx) - (n + lit(1.0)) / n).as("gini"))
+    g.agg(round(lit(2.0) * six / (n * sx) - (n + lit(1.0)) / n, 9).as("gini"))
   }
 
   /** Per-row z-scores from exact global moments — one agg pass, then a
@@ -139,12 +139,16 @@ object Descriptive {
     val sx = sum(col(valueCol).cast("decimal(18,2)")).cast("double")
     val sxx = sum((col(valueCol).cast("decimal(15,2)") * col(valueCol).cast("decimal(15,2)"))
       .cast("decimal(24,4)")).cast("double")
-    val m = df.agg(sx.as("_sx"), sxx.as("_sxx"), n.as("_n"))
-    df.crossJoin(broadcast(m))
-      .withColumn(outName,
-        (col(valueCol) - col("_sx") / col("_n")) /
-          sqrt((col("_sxx") - col("_sx") * col("_sx") / col("_n")) / (col("_n") - 1)))
-      .drop("_sx", "_sxx", "_n")
+    // mean/std become TWO rounded driver scalars; the per-row projection
+    // is then exact IEEE arithmetic — no per-row rounding, so the
+    // round-boundary risk is O(1) per query instead of O(rows).
+    val r = df.agg(sx.as("_sx"), sxx.as("_sxx"), n.as("_n")).head()
+    val (sxv, sxxv, nv) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean = r9(sxv / nv)
+    val std = r9(math.sqrt((sxxv - sxv * sxv / nv) / (nv - 1)))
+    df.withColumn(outName, (col(valueCol) - lit(mean)) / lit(std))
   }
 
   /** Pearson correlation from exact decimal cross-moments.
@@ -157,7 +161,10 @@ object Descriptive {
     val sxy = sum((x.cast("decimal(15,2)") * y.cast("decimal(15,2)")).cast("decimal(32,4)")).cast("double")
     val sxx = sum((x.cast("decimal(15,2)") * x.cast("decimal(15,2)")).cast("decimal(32,4)")).cast("double")
     val syy = sum((y.cast("decimal(15,2)") * y.cast("decimal(15,2)")).cast("decimal(32,4)")).cast("double")
-    (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+    // squared sums can exceed the 2^53 cast-exact range for wide-valued
+    // columns, where Spark's and DuckDB's decimal->double casts differ in
+    // the last bit -> round the O(1) statistic.
+    round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
   }
 
   /** Sample covariance from exact decimal cross-moments. */
@@ -166,6 +173,6 @@ object Descriptive {
     val sx = sum(x.cast("decimal(15,2)")).cast("double")
     val sy = sum(y.cast("decimal(15,2)")).cast("double")
     val sxy = sum((x.cast("decimal(15,2)") * y.cast("decimal(15,2)")).cast("decimal(32,4)")).cast("double")
-    (sxy - sx * sy / n) / (n - 1)
+    round((sxy - sx * sy / n) / (n - 1), 9)
   }
 }

@@ -34,7 +34,7 @@ object Keywords {
     val scored = tf.join(broadcast(dfreq), "token")
       .withColumn("score",
         round(col("tf").cast("double") *
-          log(lit(n.toDouble) / col("df").cast("double")), 9))
+          log(lit(n.toDouble) / col("df").cast("double")), 6))
     val w = Window.partitionBy("doc")
       .orderBy(col("score").desc, col("token").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -43,9 +43,9 @@ object Temporal {
   def cyclicalEncode(df: DataFrame, unitCol: Column, period: Int,
                      prefix: String): DataFrame =
     df.withColumn(s"${prefix}_sin",
-        round(sin(unitCol.cast("double") * (2.0 * math.Pi / period)), 9))
+        round(sin(unitCol.cast("double") * (2.0 * math.Pi / period)), 6))
       .withColumn(s"${prefix}_cos",
-        round(cos(unitCol.cast("double") * (2.0 * math.Pi / period)), 9))
+        round(cos(unitCol.cast("double") * (2.0 * math.Pi / period)), 6))
 
   /** Per-group OLS trend y = a + b·i over the row index i (1..n in
     * `orderCols` order): slope/intercept from exact sums.

@@ -106,13 +106,14 @@ object Windows {
     val w = ordered(partitionCols, orderCols).rowsBetween(-(window - 1), 0)
     val c = col(valueCol)
     val n = count(c).over(w).cast("double")
-    val s = sum(c.cast("decimal(18,6)")).over(w).cast("double")
-    val q = sum((c.cast("decimal(15,6)") * c.cast("decimal(15,6)")).cast("decimal(32,12)"))
+    val s = sum(c.cast("decimal(12,3)")).over(w).cast("double")
+    // 3-dp value quantization keeps the squared frame sums inside the
+    // 2^53 cast-exact range: the statistic is then bit-exact across
+    // engines with NO final rounding (semantics: std of 3-dp values).
+    val q = sum((c.cast("decimal(12,3)") * c.cast("decimal(12,3)")).cast("decimal(26,6)"))
       .over(w).cast("double")
-    // scale-12 sums exceed the 2^53 cast-exact range -> round to 6 dp
-    // for cross-engine determinism (values are O(100)).
     df.withColumn(outName,
-      when(n > 1, round(sqrt((q - s * s / n) / (n - 1)), 6)).otherwise(lit(null)))
+      when(n > 1, sqrt((q - s * s / n) / (n - 1))).otherwise(lit(null)))
   }
 
   /** Average rank (pandas `rank(method='average')`): rank + (ties−1)/2,
