@@ -31,6 +31,7 @@ object IO {
       case "json" => spark.read.option("multiLine", "false").json(path)
       case "parquet" | "parq" => spark.read.parquet(path)
       case "orc" => spark.read.orc(path)
+      case "xml" => spark.read.option("rowTag", "row").xml(path)
       case other =>
         throw new IllegalArgumentException(s"unsupported format: .$other")
     }

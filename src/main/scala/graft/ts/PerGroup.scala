@@ -91,6 +91,38 @@ object PerGroup {
     }.toDF(keyCol, "adf_t", "n")
   }
 
+  /** KPSS level-stationarity statistic per series:
+    * η = Σ_t S_t² / (n² σ̂²) with S_t the partial sums of demeaned
+    * values and σ̂² the Newey-West long-run variance (Bartlett kernel,
+    * lag ⌊4(n/100)^0.25⌋). Large η ⇒ REJECT stationarity (complement of
+    * [[adf]]). Reference: `trend_analysis(method='kpss')`
+    * (gofast/utils/ts_utils.py:720). */
+  def kpss(df: DataFrame, keyCol: String, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(col(keyCol).cast("long"), col(tsCol).cast("long"),
+      col(valueCol).cast("double")).as[(Long, Long, Double)]
+    prepared.groupByKey(_._1).mapGroups { (key, it) =>
+      val y = it.toArray.sortBy(_._2).map(_._3)
+      val n = y.length
+      if (n < 10) (key, Double.NaN, n)
+      else {
+        val mean = y.sum / n
+        val e = y.map(_ - mean)
+        val s = e.scanLeft(0.0)(_ + _).tail // partial sums
+        val lag = math.floor(4.0 * math.pow(n / 100.0, 0.25)).toInt
+        var lrv = e.map(x => x * x).sum / n
+        for (l <- 1 to lag) {
+          val gamma = (l until n).map(t => e(t) * e(t - l)).sum / n
+          lrv += 2.0 * (1.0 - l.toDouble / (lag + 1)) * gamma
+        }
+        val eta = s.map(x => x * x).sum / (n.toDouble * n * lrv)
+        (key, eta, n)
+      }
+    }.toDF(keyCol, "kpss_eta", "n")
+  }
+
   /** column `idx` of (m)^-1 e_idx — one Gaussian solve. */
   private def solveFor(m: Array[Array[Double]], idx: Int): Double = {
     val p = m.length

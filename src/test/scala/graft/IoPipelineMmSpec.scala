@@ -22,6 +22,16 @@ class IoPipelineMmSpec extends SparkSpec {
     intercept[IllegalArgumentException] { IO.readData(spark, s"$tmp/t.pkl") }
   }
 
+  test("IO reads xml via the built-in reader") {
+    val tmp = Files.createTempDirectory("graft_xml").toString
+    val f = java.nio.file.Paths.get(tmp, "t.xml")
+    Files.writeString(f,
+      "<rows><row><id>1</id><name>a</name></row><row><id>2</id><name>b</name></row></rows>")
+    val df = IO.readData(spark, f.toString)
+    assert(df.count() == 2)
+    assert(df.columns.toSet == Set("id", "name"))
+  }
+
   test("Catalog save/table/list/drop lifecycle") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val cat = new Catalog(spark, wh)

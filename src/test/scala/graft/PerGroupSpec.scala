@@ -31,6 +31,19 @@ class PerGroupSpec extends SparkSpec {
     assert(out(2L) < out(1L))
   }
 
+  test("kpss distinguishes stationary noise from a random walk") {
+    val rnd = new scala.util.Random(13)
+    val walk = Iterator.iterate(0.0)(_ + rnd.nextGaussian()).take(400).toSeq
+    val noise = Seq.fill(400)(rnd.nextGaussian())
+    val df = (walk.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) } ++
+      noise.zipWithIndex.map { case (v, i) => (2L, i.toLong, v) })
+      .toDF("k", "t", "v")
+    val out = PerGroup.kpss(df, "k", "t", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(2L) < 0.463)  // stationary: below 5% critical value
+    assert(out(1L) > 0.463)  // random walk: rejects stationarity
+  }
+
   test("pacf of an AR(1) process is near zero beyond lag 1") {
     val rnd = new scala.util.Random(21)
     var x = 0.0
