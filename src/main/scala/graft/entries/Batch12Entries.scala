@@ -20,6 +20,20 @@ object Batch12Entries {
         .orderBy("event_id")
     }),
 
+    // §2.4 dca_analysis (survival_reliability.py:112): net benefit over
+    // a threshold grid, score = minmax acctbal, label = BUILDING.
+    "decision_curve" -> ((s, dir) => {
+      val cust = T.customer(s, dir)
+      val r = cust.agg(min("c_acctbal"), max("c_acctbal")).head()
+      val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+      val scored = cust.withColumn("score",
+        (col("c_acctbal") - lit(lo)) / lit(hi - lo))
+      graft.stats.Survival.decisionCurve(scored, "score",
+          col("c_mktsegment") === "BUILDING",
+          Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+        .orderBy("pt")
+    }),
+
     // §2.9 poisson_logpmf (probs.py:425) over a generated k grid.
     "poisson_logpmf" -> ((s, dir) => {
       s.range(0, 15).select(col("id").as("k"),
@@ -65,6 +79,19 @@ object Batch12Entries {
       """SELECT event_id, user_id, value FROM events
         |WHERE value BETWEEN 100.0 AND 500.0 AND user_id BETWEEN 10 AND 60
         |ORDER BY event_id""".stripMargin,
+
+    "decision_curve" ->
+      """WITH b AS (SELECT MIN(c_acctbal) lo, MAX(c_acctbal) hi FROM customer),
+        |s AS (SELECT (c_acctbal - lo) / (hi - lo) AS score,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+        |  FROM customer, b),
+        |g AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS pt)
+        |SELECT pt,
+        |  CAST(SUM(CASE WHEN score >= pt THEN y ELSE 0 END) AS DOUBLE) / COUNT(*) AS tp_rate,
+        |  CAST(SUM(CASE WHEN score >= pt THEN 1 - y ELSE 0 END) AS DOUBLE) / COUNT(*) AS fp_rate,
+        |  CAST(SUM(CASE WHEN score >= pt THEN y ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    - CAST(SUM(CASE WHEN score >= pt THEN 1 - y ELSE 0 END) AS DOUBLE) / COUNT(*) * (pt / (1.0 - pt)) AS net_benefit
+        |FROM s, g GROUP BY pt ORDER BY pt""".stripMargin,
 
     "poisson_logpmf" -> {
       val lnFacts = (0 to 20).map { kk =>

@@ -20,6 +20,30 @@ object Survival {
     * Spark has no product aggregate — rounded to 9 dp for cross-engine
     * determinism.
     */
+  /** Decision-curve analysis: net benefit of treating at score ≥ pt,
+    * NB(pt) = TP/N − FP/N · pt/(1−pt), over a threshold grid.
+    * Reference: `dca_analysis`
+    * (gofast/stats/survival_reliability.py:112). One broadcast
+    * cross-join of the tiny grid + one aggregation — exact count
+    * arithmetic. */
+  def decisionCurve(df: DataFrame, scoreCol: String, labelCol: Column,
+                    thresholds: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = broadcast(thresholds.toDF("pt"))
+    df.select(col(scoreCol).as("_score"),
+        when(labelCol, 1L).otherwise(0L).as("_y"))
+      .crossJoin(grid)
+      .groupBy("pt")
+      .agg(
+        (sum(when(col("_score") >= col("pt"), col("_y")).otherwise(0L)).cast("double") /
+          count(lit(1))).as("tp_rate"),
+        (sum(when(col("_score") >= col("pt"), lit(1L) - col("_y")).otherwise(0L)).cast("double") /
+          count(lit(1))).as("fp_rate"))
+      .withColumn("net_benefit",
+        col("tp_rate") - col("fp_rate") * (col("pt") / (lit(1.0) - col("pt"))))
+  }
+
   def kaplanMeier(df: DataFrame, durationCol: String, eventCol: Column)
       : DataFrame = {
     val perTime = df.groupBy(col(durationCol).as("t"))

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.clean.Missing
+import graft.rel.{Filters, Reshape}
+
+/** Algebraic property tests (SURVEY §5 engine test plan): filter
+  * composition, pivot∘unpivot round-trip, ffill idempotence.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling loop (no scalatest-scalacheck bridge in the
+    * offline cache): evaluates the property on `n` seeded samples. */
+  private def forSamples[A](gen: Gen[A], n: Int = 10)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  private val rowsGen = Gen.listOfN(40,
+    Gen.zip(Gen.choose(0, 5), Gen.choose(-100, 100)))
+
+  test("filter(a) ∘ filter(b) == filter(a AND b)") {
+    forSamples(Gen.zip(rowsGen, Gen.choose(-50, 50), Gen.choose(-50, 50))) {
+      case (rows, t1, t2) =>
+        val df = rows.toDF("g", "v")
+        val chained = Filters.filterExpr(Filters.filterExpr(df, s"v > $t1"), s"v < $t2")
+        val combined = Filters.filterExpr(df, s"v > $t1 AND v < $t2")
+        assert(chained.exceptAll(combined).isEmpty &&
+          combined.exceptAll(chained).isEmpty)
+    }
+  }
+
+  test("pivot then unpivot recovers the original aggregate") {
+    forSamples(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.map { case (g, v) => (g, s"c${math.abs(v) % 3}", v.toLong) }
+          .toDF("id", "cat", "v")
+        val agg = df.groupBy("id", "cat").agg(sum("v").as("value"))
+        val cats = Seq("c0", "c1", "c2")
+        val wide = Reshape.toWide(df, Seq("id"), "cat", sum("v"), cats)
+        val long = Reshape.toLong(wide, Seq("id"), cats, "cat", "value")
+        assert(long.exceptAll(agg).isEmpty && agg.exceptAll(long).isEmpty)
+      }
+    }
+  }
+
+  test("ffill is idempotent") {
+    forSamples(Gen.listOfN(30, Gen.zip(Gen.choose(0, 3), Gen.option(Gen.choose(-9.0, 9.0))))) {
+      rows =>
+        val df = rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+          .toDF("g", "t", "v")
+        val once = Missing.ffill(df, "v", Seq("g"), Seq(col("t")), "f")
+          .select("g", "t", "f")
+        val twice = Missing.ffill(once.withColumnRenamed("f", "v"), "v",
+            Seq("g"), Seq(col("t")), "f")
+          .select("g", "t", "f")
+        assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    }
+  }
+
+  test("clip is idempotent and bounded") {
+    forSamples(Gen.listOfN(30, Gen.choose(-1000.0, 1000.0))) { vals =>
+      if (vals.nonEmpty) {
+        val df = vals.toDF("x")
+        val once = graft.clean.Outliers.clip(df, "x", -100.0, 100.0)
+        val twice = graft.clean.Outliers.clip(once, "x", -100.0, 100.0)
+        assert(once.exceptAll(twice).isEmpty)
+        val r = once.agg(min("x"), max("x")).head
+        assert(r.getDouble(0) >= -100.0 && r.getDouble(1) <= 100.0)
+      }
+    }
+  }
+}
