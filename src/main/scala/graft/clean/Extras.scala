@@ -66,6 +66,18 @@ object Extras {
     lo + (bestT + 1) * width
   }
 
+  /** Model-metric delta with vs without outliers: fit the supplied
+    * model factory on both frames, return (rmseAll, rmseFiltered).
+    * Reference: `assess_outlier_impact` (gofast/dataops/quality.py:887).
+    */
+  def outlierImpact(df: DataFrame, column: String,
+                    fitEval: DataFrame => Double,
+                    qLo: Double = 0.01, qHi: Double = 0.99): (Double, Double) = {
+    val r = df.stat.approxQuantile(column, Array(qLo, qHi), 1e-3)
+    val filtered = df.filter(col(column).between(r(0), r(1)))
+    (fitEval(df), fitEval(filtered))
+  }
+
   /** Row augmentation: append `n` jittered copies of each row
     * (gaussian noise on `noiseCols`, deterministic under Spark's seeded
     * randn). Reference: `augment_data`

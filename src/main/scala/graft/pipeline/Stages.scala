@@ -79,6 +79,18 @@ object Stages {
     new Pipeline().setStages(Array(assembler, p))
   }
 
+  /** Gradient-boosted trees regressor pipeline
+    * (`gradient_boosting_regressor`, gofast/utils/mathext.py:5135). */
+  def gbtRegressor(numCols: Seq[String], labelCol: String,
+                   maxIter: Int = 10, seed: Long = 42L): Pipeline = {
+    val assembler = new VectorAssembler().setInputCols(numCols.toArray)
+      .setOutputCol("_gbt_in")
+    val gbt = new org.apache.spark.ml.regression.GBTRegressor()
+      .setFeaturesCol("_gbt_in").setLabelCol(labelCol)
+      .setMaxIter(maxIter).setSeed(seed)
+    new Pipeline().setStages(Array(assembler, gbt))
+  }
+
   /** Equal-frequency discretizer (`to_categories(method='quantile')`,
     * data_utils.py:5927). */
   def quantileBinner(col: String, bins: Int, outCol: String): QuantileDiscretizer =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.clean.Extras
 import graft.core.{Tables => T}
 import graft.io.Catalog
+import graft.pipeline.Stages
 import graft.stats.Regression
 
 class Batch12Spec extends SparkSpec {
@@ -72,6 +73,34 @@ class Batch12Spec extends SparkSpec {
     val out = Extras.numericToCategorical(df, maxDistinct = 2)
     assert(out.schema("code").dataType.typeName == "string")
     assert(out.schema("amount").dataType.typeName == "double")
+  }
+
+  test("gbtRegressor learns a nonlinear monotone relation") {
+    val rnd = new scala.util.Random(8)
+    val df = (1 to 1000).map { _ =>
+      val x = rnd.nextDouble() * 10
+      (x, x * x + rnd.nextGaussian())
+    }.toDF("x", "y")
+    val model = Stages.gbtRegressor(Seq("x"), "y", maxIter = 5).fit(df)
+    val pred = model.transform(df)
+    val low = pred.filter(col("x") <= 3).agg(avg("prediction")).head.getDouble(0)
+    val high = pred.filter(col("x") >= 7).agg(avg("prediction")).head.getDouble(0)
+    assert(high > low + 20)
+  }
+
+  test("outlierImpact reports a smaller error after trimming outliers") {
+    import graft.clean.Extras
+    val rnd = new scala.util.Random(2)
+    val base = (1 to 500).map(i => (i.toDouble, 2.0 * i + rnd.nextGaussian()))
+    val spiked = base ++ Seq((250.0, 1e6))
+    val df = spiked.toDF("x", "y")
+    def rmse(d: org.apache.spark.sql.DataFrame): Double = {
+      val fit = graft.stats.Regression.ols(d, "y", Seq("x"))
+      math.sqrt(d.withColumn("e", col("y") - fit.predictExpr)
+        .agg(avg(col("e") * col("e"))).head.getDouble(0))
+    }
+    val (withOut, without) = Extras.outlierImpact(df, "y", rmse)
+    assert(without < withOut)
   }
 
   test("bucketed tables join without a shuffle exchange") {
