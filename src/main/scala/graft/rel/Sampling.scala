@@ -72,6 +72,11 @@ object Sampling {
                        fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Split into `n` disjoint batches (random, seed-deterministic) —
+    * `batch_sampling` (data_utils.py:5677) without replacement. */
+  def batches(df: DataFrame, n: Int, seed: Long = 42L): Array[DataFrame] =
+    df.randomSplit(Array.fill(n)(1.0), seed)
+
   /** Bootstrap-duplicate every row n times.
     * Reference: `replace_data` (data_utils.py:4642). explode of a
     * repeated array — stays in-stage, no union chain. */

@@ -29,6 +29,22 @@ object TextFns {
   def subtokenCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
+  /** snake_case / camelCase / Capitalize-first conversions.
+    * Reference: `to_snake_case` (text.py:552), `to_camel_case` (:426),
+    * `capitalize_first` (:651). */
+  def toSnakeCase(c: Column): Column =
+    lower(regexp_replace(regexp_replace(c, "([a-z0-9])([A-Z])", "$1_$2"), "[\\s-]+", "_"))
+
+  def toCamelCase(c: Column): Column = {
+    // split on separators, capitalize each tail word, join
+    val parts = split(lower(regexp_replace(c, "[\\s_-]+", " ")), " ")
+    concat(element_at(parts, 1),
+      concat_ws("", transform(slice(parts, 2, 1000), w => initcap(w))))
+  }
+
+  def capitalizeFirst(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), substring(c, 2, 1000000))
+
   /** URL-ish slug. Reference: `slugify` (text.py:1192). */
   def slugify(c: Column): Column =
     regexp_replace(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")), " +", "-")

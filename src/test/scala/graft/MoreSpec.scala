@@ -36,6 +36,36 @@ class MoreSpec extends SparkSpec {
     assert(s.zip(s.tail).forall { case (a, b) => b <= a + 1e-12 })
   }
 
+  test("case conversions match reference semantics") {
+    import graft.text.TextFns
+    val df = Seq("Hello World-Example", "someCamelCase").toDF("t")
+    val out = df.select(
+      TextFns.toSnakeCase(col("t")).as("s"),
+      TextFns.toCamelCase(col("t")).as("c"),
+      TextFns.capitalizeFirst(lower(col("t"))).as("f")).collect()
+    assert(out(0).getString(0) == "hello_world_example")
+    assert(out(0).getString(1) == "helloWorldExample")
+    assert(out(0).getString(2) == "Hello world-example")
+    assert(out(1).getString(0) == "some_camel_case")
+  }
+
+  test("batches partition the frame disjointly and completely") {
+    val ord = T.orders(spark, sf)
+    val bs = graft.rel.Sampling.batches(ord, 4)
+    assert(bs.map(_.count()).sum == ord.count())
+    assert(bs.length == 4)
+  }
+
+  test("Reports.audit summarizes nulls and distincts in one pass") {
+    import graft.core.Reports
+    val df = Seq((1, Some("a")), (2, None), (3, Some("b"))).toDF("id", "s")
+    val rep = Reports.audit(df)
+    assert(rep.nRows == 3)
+    val sCol = rep.columns.find(_.name == "s").get
+    assert(sCol.nNull == 1 && math.abs(sCol.nullRatio - 1.0 / 3) < 1e-9)
+    assert(rep.render.contains("AuditReport: 3 rows"))
+  }
+
   test("GfFrame fluent chain composes into one lazy plan") {
     val out = T.lineitem(spark, sf).graft
       .filterExpr("l_quantity > 10")
