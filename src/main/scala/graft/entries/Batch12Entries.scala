@@ -34,6 +34,13 @@ object Batch12Entries {
         .orderBy("pt")
     }),
 
+    // §2.9 calculate_binary_iv (mathext.py:3710): information value of
+    // priority vs the F-status target.
+    "binary_iv" -> ((s, dir) => {
+      Descriptive.binaryIV(T.orders(s, dir), "o_orderpriority",
+        col("o_orderstatus") === "F")
+    }),
+
     // §2.9 poisson_logpmf (probs.py:425) over a generated k grid.
     "poisson_logpmf" -> ((s, dir) => {
       s.range(0, 15).select(col("id").as("k"),
@@ -79,6 +86,18 @@ object Batch12Entries {
       """SELECT event_id, user_id, value FROM events
         |WHERE value BETWEEN 100.0 AND 500.0 AND user_id BETWEEN 10 AND 60
         |ORDER BY event_id""".stripMargin,
+
+    "binary_iv" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS g,
+        |    SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS b
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT (CAST(g AS DOUBLE) + 0.5) / (CAST(SUM(g) OVER () AS DOUBLE) + 0.5) AS gp,
+        |    (CAST(b AS DOUBLE) + 0.5) / (CAST(SUM(b) OVER () AS DOUBLE) + 0.5) AS bp
+        |  FROM c)
+        |SELECT ROUND(SUM((gp - bp) * LN(gp / bp)), 6) AS iv FROM p""".stripMargin,
 
     "decision_curve" ->
       """WITH b AS (SELECT MIN(c_acctbal) lo, MAX(c_acctbal) hi FROM customer),

@@ -151,6 +151,24 @@ object Descriptive {
     df.withColumn(outName, (col(valueCol) - lit(mean)) / lit(std))
   }
 
+  /** Information value of a categorical feature vs a binary target:
+    * IV = Σ_cat (good%−bad%)·ln(good%/bad%), smoothed by +0.5 per cell
+    * to keep logs finite. Reference: `calculate_binary_iv`
+    * (gofast/utils/mathext.py:3710). Exact count arithmetic + one ln —
+    * rounded 6 dp for engine portability. */
+  def binaryIV(df: DataFrame, featureCol: String, target: Column): DataFrame = {
+    val perCat = df.groupBy(col(featureCol))
+      .agg(sum(when(target, 1L).otherwise(0L)).as("_g"),
+           sum(when(target, 0L).otherwise(1L)).as("_b"))
+    val tot = Window.partitionBy()
+    val gPct = (col("_g").cast("double") + 0.5) /
+      (sum("_g").over(tot).cast("double") + 0.5)
+    val bPct = (col("_b").cast("double") + 0.5) /
+      (sum("_b").over(tot).cast("double") + 0.5)
+    perCat.withColumn("_term", (gPct - bPct) * log(gPct / bPct))
+      .agg(round(sum("_term"), 6).as("iv"))
+  }
+
   /** Pearson correlation from exact decimal cross-moments.
     * Reference: `corr` (descriptive.py:177), `correlation`
     * (relationships.py:32). */
