@@ -66,6 +66,29 @@ class RelSpec extends SparkSpec {
     assert(out.filter(col("s").isNull).count() == 1)
   }
 
+  test("saltedDecimalSum equals the direct aggregate on skewed keys") {
+    import graft.rel.Skew
+    // 90% of rows share one key - the skew case salting exists for
+    val rows = Seq.fill(900)(("hot", 1.25)) ++
+      (1 to 100).map(i => (s"k$i", i * 0.5))
+    val df = rows.toDF("k", "v").repartition(8)
+    val salted = Skew.saltedDecimalSum(df, Seq("k"), "v", salts = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val direct = df.groupBy("k")
+      .agg(sum(col("v").cast("decimal(28,2)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(salted.toSeq == direct.toSeq)
+  }
+
+  test("keySkewReport surfaces the hot key first") {
+    import graft.rel.Skew
+    val rows = Seq.fill(900)(("hot", 1)) ++ (1 to 100).map(i => (s"k$i", 1))
+    val rep = Skew.keySkewReport(rows.toDF("k", "x"), Seq("k"), topN = 1).head
+    assert(rep.getString(0) == "hot")
+    assert(rep.getAs[Double]("share") > 0.8)
+  }
+
   test("filterOutliersZ drops far outliers only") {
     val df = (Seq.fill(100)(10.0) :+ 1e6).toDF("x")
     val out = Filters.filterOutliersZ(df, "x", 3.0)
