@@ -60,6 +60,12 @@ object Encoders {
     df.join(broadcast(dict), Seq(column))
   }
 
+  /** Inverse min-max scaling: x·(hi−lo)+lo.
+    * Reference: `denormalize(_in)` (gofast/core/array_manager.py:2953,
+    * gofast/utils/ext.py:1891). */
+  def denormalize(c: Column, lo: Double, hi: Double): Column =
+    c * (hi - lo) + lo
+
   /** Threshold binarization. Reference: `Target.binarize`
     * (dataops/preprocessing.py:265), ML `Binarizer`. */
   def binarize(c: Column, threshold: Double): Column =

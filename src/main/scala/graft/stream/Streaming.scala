@@ -65,6 +65,20 @@ object Streaming {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** foreachBatch parquet sink: idempotent per-micro-batch overwrite
+    * into a Catalog table partition keyed by batch id — with
+    * checkpointing this is the standard exactly-once pattern for
+    * non-transactional sinks (a replayed batch overwrites its own
+    * partition instead of duplicating). */
+  def toCatalogSink(df: DataFrame, warehouse: String, table: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite")
+          .parquet(s"$warehouse/$table/batch_id=$batchId")
+      }
+
   /** Custom keyed state: running count + exponential moving average per
     * user (the `preprocess_fn → model` per-batch state the reference
     * keeps in process memory, here fault-tolerant in the state store). */

@@ -99,6 +99,22 @@ class StreamSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("foreachBatch sink writes idempotent per-batch partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val in = MemoryStream[Ev]
+    val q = Streaming.toCatalogSink(in.toDF(), wh, "events_out", cp).start()
+    in.addData(Ev(t(0), 1, "click", 1.0), Ev(t(1), 2, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Ev(t(2), 3, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$wh/events_out")
+    assert(out.count() == 3)
+    assert(out.select("batch_id").distinct().count() >= 2)
+  }
+
   test("runningEma keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.UserEvent]

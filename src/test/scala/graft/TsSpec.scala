@@ -65,6 +65,27 @@ class TsSpec extends SparkSpec {
     assert(seas.max - seas.min > 2.0)
   }
 
+  test("TsValidate.prepare parses strings and drops unparseable rows") {
+    import graft.ts.TsValidate
+    val df = Seq("2024-01-01 10:00:00", "garbage", "2024-01-02 11:30:00")
+      .toDF("ts").withColumn("v", lit(1.0))
+    val out = TsValidate.prepare(df, "ts")
+    assert(out.count() == 2)
+    assert(out.schema("ts").dataType.typeName == "timestamp")
+  }
+
+  test("TsValidate.regularityReport infers the modal gap") {
+    import graft.ts.TsValidate
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 20).map(i =>
+      (1L, new java.sql.Timestamp(base + i * 60000L))) // 1-minute grid
+    val df = rows.toDF("k", "ts")
+    val rep = TsValidate.regularityReport(df, "ts", Seq("k")).head
+    assert(rep.getAs[Long]("n") == 20)
+    assert(rep.getAs[Long]("n_distinct_ts") == 20)
+    assert(rep.getAs[Long]("modal_gap_us") == 60L * 1000000)
+  }
+
   test("resample daily covers every event exactly once") {
     val ev = T.events(spark, sf)
     val out = Temporal.resample(ev, "ts", "day", Seq(count(lit(1)).as("n")))
