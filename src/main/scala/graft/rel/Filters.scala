@@ -97,6 +97,16 @@ object Filters {
     df.filter(col(xCol).between(xRange._1, xRange._2) &&
       col(yCol).between(yRange._1, yRange._2))
 
+  /** Custom-callable predicate filter — the reference's `operator`
+    * escape hatch (`filter_df(operator=callable)`,
+    * gofast/utils/data_utils.py:1220). A Scala closure becomes a UDF;
+    * prefer [[filterExpr]] (codegen'd) whenever the predicate is
+    * expressible. */
+  def filterDfFn(df: DataFrame, column: String, pred: Double => Boolean): DataFrame = {
+    val u = udf(pred)
+    df.filter(u(col(column).cast("double")))
+  }
+
   /** Z-score / IQR noise filter on one numeric column.
     * Reference: `filter_data` (gofast/utils/data_utils.py:2075). The
     * bounds come from one aggregate pass (sufficient statistics), the

@@ -89,6 +89,12 @@ class RelSpec extends SparkSpec {
     assert(rep.getAs[Double]("share") > 0.8)
   }
 
+  test("filterDfFn applies a custom callable predicate via UDF") {
+    val df = Seq(1.0, 4.0, 9.0, 16.0).toDF("x")
+    val out = Filters.filterDfFn(df, "x", v => math.sqrt(v) % 2 == 0)
+    assert(out.as[Double].collect().toSet == Set(4.0, 16.0))
+  }
+
   test("filterOutliersZ drops far outliers only") {
     val df = (Seq.fill(100)(10.0) :+ 1e6).toDF("x")
     val out = Filters.filterOutliersZ(df, "x", 3.0)
