@@ -42,6 +42,12 @@ object TextEntries {
         .orderBy("doc_id")
     }),
 
+    // north-star repetitiveness signal: per-doc token entropy.
+    "token_entropy" -> ((s, dir) => {
+      Quality.tokenEntropy(T.documents(s, dir), "doc_id", "text")
+        .orderBy("doc")
+    }),
+
     // north-star document fingerprinting (md5 content hash).
     "fingerprint" -> ((s, dir) => {
       T.documents(s, dir)
@@ -148,6 +154,15 @@ object TextEntries {
          |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
          |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS digit_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "token_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id AS doc, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |c AS (SELECT doc, token, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+        |p AS (SELECT doc, CAST(tf AS DOUBLE) / CAST(SUM(tf) OVER (PARTITION BY doc) AS DOUBLE) AS p FROM c)
+        |SELECT doc, ROUND(-SUM(p * LN(p)), 6) AS token_entropy
+        |FROM p GROUP BY doc ORDER BY doc""".stripMargin,
 
     "fingerprint" ->
       """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""".stripMargin,

@@ -44,6 +44,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN index: coarse KMeans centroids learned
+    * once; vectors live in their nearest-centroid bucket; a query
+    * searches only the `nprobe` closest buckets. The north-star scale
+    * path beside LSH — bucket assignment is one pass, the search
+    * touches n·nprobe/nlist vectors.
+    *
+    * @param nlist  number of coarse centroids (√n is the usual choice)
+    * @param nprobe buckets searched per query (recall/cost dial)
+    */
+  class IvfIndex private[Similarity] (
+      bucketed: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String, idCol: String) {
+
+    def search(query: Seq[Double], k: Int, nprobe: Int = 4): DataFrame = {
+      def cos(a: Seq[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < math.min(a.length, b.length)) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val probeIds = centroids.zipWithIndex
+        .sortBy { case (c, _) => -cos(query, c) }
+        .take(nprobe).map(_._2)
+      val q = array(query.map(v => lit(v.toFloat)): _*)
+      val candidates = bucketed.filter(col("_ivf_bucket").isin(probeIds: _*))
+      candidates.select(col(idCol),
+          cosineNative(candidates, col(vecCol), q).as("cos"))
+        .orderBy(col("cos").desc, col(idCol).asc)
+        .limit(k)
+    }
+
+    def unpersist(): Unit = bucketed.unpersist()
+  }
+
+  /** Build an IVF index over an array<float> embedding column. */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = df.withColumn("_v", array_to_vector(col(vecCol)))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("_v")
+      .setPredictionCol("_ivf_bucket")
+    val model = km.fit(withVec)
+    val bucketed = model.transform(withVec).drop("_v").persist()
+    new IvfIndex(bucketed, model.clusterCenters.map(_.toArray), vecCol, idCol)
+  }
+
   /** Deterministic pseudo-random hyperplane component h_{p,i} in [-1,1]
     * derived from xxhash64 — no RNG state, same plane set on every
     * executor and engine. */

@@ -38,6 +38,21 @@ object Quality {
           .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok))
   }
 
+  /** Shannon entropy of a document's token distribution (nats):
+    * −Σ p·ln p over token frequencies — the repetitiveness signal a
+    * training-data filter uses alongside length/stopword ratios.
+    * Plan: explode → per-(doc,token) counts → per-doc entropy (exact
+    * count ratios; rounded 6 for the ln). */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc"),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+    tf.withColumn("_p", col("tf").cast("double") / sum("tf").over(n).cast("double"))
+      .groupBy("doc")
+      .agg(round(-sum(col("_p") * log(col("_p"))), 6).as("token_entropy"))
+  }
+
   /** Tokens that are stopwords, duplicates preserved (ratio needs
     * multiplicity — `array_intersect` would dedup). */
   private def array_intersect_keep(toks: Column, stop: Seq[String]): Column =

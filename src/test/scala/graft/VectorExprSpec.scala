@@ -44,6 +44,21 @@ class VectorExprSpec extends SparkSpec {
     assert(math.abs(top.getDouble(1) - 1.0) < 1e-6)
   }
 
+  test("IVF index recall vs brute force on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 7).head.getSeq[Float](1)
+      .map(_.toDouble).toSeq
+    val exact = Similarity.cosineTopK(emb, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val approx = idx.search(q, 10, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    idx.unpersist()
+    val recall = (exact intersect approx).size / 10.0
+    assert(recall >= 0.5, s"recall $recall too low")
+    assert(approx.contains(7L)) // the query vector's own bucket is probed
+  }
+
   test("SQL surface works after registration") {
     VectorExpressions.register(spark)
     val r = spark.sql(
