@@ -91,6 +91,88 @@ object PerGroup {
     }.toDF(keyCol, "adf_t", "n")
   }
 
+  /** Tricube-weighted local linear regression (loess) smoother —
+    * the STL building block. O(n·q) per series; series-local. */
+  private[ts] def loess(ys: Array[Double], frac: Double): Array[Double] = {
+    val n = ys.length
+    val q = math.max(3, math.ceil(frac * n).toInt)
+    Array.tabulate(n) { i =>
+      val lo = math.max(0, math.min(i - q / 2, n - q))
+      val hi = lo + q - 1
+      val maxD = math.max(i - lo, hi - i).toDouble.max(1.0)
+      var sw = 0.0; var swx = 0.0; var swy = 0.0; var swxx = 0.0; var swxy = 0.0
+      var j = lo
+      while (j <= hi) {
+        val u = math.abs(j - i) / maxD
+        val w = { val t = 1 - u * u * u; t * t * t }
+        sw += w; swx += w * j; swy += w * ys(j)
+        swxx += w * j * j; swxy += w * j * ys(j)
+        j += 1
+      }
+      val den = sw * swxx - swx * swx
+      if (math.abs(den) < 1e-12) swy / sw
+      else {
+        val b = (sw * swxy - swx * swy) / den
+        val a = (swy - b * swx) / sw
+        a + b * i
+      }
+    }
+  }
+
+  /** STL-style seasonal-trend decomposition per series: iterated
+    * loess smoothing of cycle-subseries (seasonal) and of the
+    * deseasonalized series (trend).
+    * Reference: `decompose_ts(method='stl')`
+    * (gofast/utils/ts_utils.py:2263; SURVEY: "STL = per-key
+    * flatMapGroups loop"). Output: one row per input point with
+    * (key, ts, value, trend, seasonal, resid). */
+  def stl(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+          period: Int, iterations: Int = 2,
+          seasonalFrac: Double = 0.6, trendFrac: Double = 0.4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(col(keyCol).cast("long"), col(tsCol).cast("long"),
+      col(valueCol).cast("double")).as[(Long, Long, Double)]
+    prepared.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val y = rows.map(_._3)
+      val n = y.length
+      if (n < 2 * period) {
+        rows.map { case (_, t, v) => (key, t, v, Double.NaN, Double.NaN, Double.NaN) }
+      } else {
+        var trend = new Array[Double](n)
+        var seasonal = new Array[Double](n)
+        for (_ <- 1 to iterations) {
+          val detr = Array.tabulate(n)(i => y(i) - trend(i))
+          // loess-smooth each cycle-subseries
+          val seas = new Array[Double](n)
+          for (p <- 0 until period) {
+            val idxs = p.until(n, period).toArray
+            val sub = idxs.map(detr)
+            val smooth = loess(sub, seasonalFrac)
+            idxs.zip(smooth).foreach { case (ix, v) => seas(ix) = v }
+          }
+          // low-pass the seasonal candidate (centered MA of one period)
+          // and subtract it: removes the trend that leaks into the
+          // cycle-subseries smooths (the STL low-pass step).
+          val half = period / 2
+          val lowPass = Array.tabulate(n) { i =>
+            val lo = math.max(0, i - half); val hi = math.min(n - 1, i + half)
+            var s = 0.0; var j = lo
+            while (j <= hi) { s += seas(j); j += 1 }
+            s / (hi - lo + 1)
+          }
+          seasonal = Array.tabulate(n)(i => seas(i) - lowPass(i))
+          val deseason = Array.tabulate(n)(i => y(i) - seasonal(i))
+          trend = loess(deseason, trendFrac)
+        }
+        rows.zipWithIndex.map { case ((_, t, v), i) =>
+          (key, t, v, trend(i), seasonal(i), v - trend(i) - seasonal(i))
+        }
+      }
+    }.toDF(keyCol, tsCol, valueCol, "trend", "seasonal", "resid")
+  }
+
   /** KPSS level-stationarity statistic per series:
     * η = Σ_t S_t² / (n² σ̂²) with S_t the partial sums of demeaned
     * values and σ̂² the Newey-West long-run variance (Bartlett kernel,

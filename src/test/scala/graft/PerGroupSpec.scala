@@ -31,6 +31,29 @@ class PerGroupSpec extends SparkSpec {
     assert(out(2L) < out(1L))
   }
 
+  test("stl recovers trend and seasonality from a synthetic series") {
+    val period = 12
+    val rnd = new scala.util.Random(5)
+    val vals = (0 until 240).map { i =>
+      0.05 * i + 3.0 * math.sin(2 * math.Pi * i / period) + 0.2 * rnd.nextGaussian()
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "t", "v")
+    val out = PerGroup.stl(df, "k", "t", "v", period).orderBy("t").collect()
+    // components reconstruct the series exactly
+    assert(out.forall(r => math.abs(r.getDouble(2) -
+      (r.getDouble(3) + r.getDouble(4) + r.getDouble(5))) < 1e-9))
+    // trend rises by ~0.05/step over the middle section
+    val mid = out.slice(60, 180)
+    val slope = (mid.last.getDouble(3) - mid.head.getDouble(3)) / 120.0
+    assert(slope > 0.03 && slope < 0.07)
+    // seasonal amplitude ~3 and residual small
+    val seas = out.map(_.getDouble(4))
+    assert(seas.max > 2.0 && seas.min < -2.0)
+    val residRms = math.sqrt(out.map(r => math.pow(r.getDouble(5), 2)).sum / out.length)
+    assert(residRms < 1.0)
+  }
+
   test("kpss distinguishes stationary noise from a random walk") {
     val rnd = new scala.util.Random(13)
     val walk = Iterator.iterate(0.0)(_ + rnd.nextGaussian()).take(400).toSeq
