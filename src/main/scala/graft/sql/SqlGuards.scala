@@ -51,7 +51,32 @@ class SqlGuards(spark: SparkSession) {
     spark.sql(sql)
   }
 
-  /** Subquery/CTE intent (query.py:429): analyzed tree must be deeper
-    * than a single relation scan + project/filter. */
-  def subqueries(sql: String): DataFrame = spark.sql(sql)
+  /** Subquery/CTE intent (query.py:429 checks for WITH/nested SELECT
+    * with a regex): the PARSED tree must contain a CTE (UnresolvedWith)
+    * or a subquery expression (scalar/IN/EXISTS) — checked before
+    * analysis, since the analyzer inlines CTEs. */
+  def subqueries(sql: String): DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val hasCte = parsed.collectFirst {
+      case p if p.getClass.getSimpleName == "UnresolvedWith" => p
+    }.isDefined
+    val hasSubqueryExpr = parsed.exists(_.expressions.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+      case _ => false
+    }))
+    require(hasCte || hasSubqueryExpr,
+      "query has no CTE or subquery expression")
+    spark.sql(sql)
+  }
+
+  /** The reference's DML surface (`manipulate`, query.py:488 —
+    * UPDATE/DELETE against SQLite). Spark tables are immutable; the
+    * documented mapping (SURVEY §7.4) is view REDEFINITION: the "update"
+    * is a SELECT producing the new state, registered under the same
+    * name. Returns the new view. */
+  def redefineView(table: String, selectSql: String): DataFrame = {
+    val df = spark.sql(selectSql)
+    df.createOrReplaceTempView(table)
+    df
+  }
 }
