@@ -84,6 +84,20 @@ class TextSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("meanWordEmbedding averages in-vocabulary token vectors") {
+    import graft.text.Embeddings
+    val docs = Seq((1L, "cat dog"), (2L, "cat unknown"), (3L, "zzz")).toDF("doc_id", "text")
+    val vocab = Seq(
+      ("cat", Array(1.0f, 0.0f)),
+      ("dog", Array(0.0f, 2.0f))).toDF("token", "vec")
+    val out = Embeddings.meanWordEmbedding(docs, "doc_id", "text", vocab)
+      .orderBy("doc")
+      .as[(Long, Seq[Double], Long)].collect()
+    assert(out.length == 2) // doc 3 fully OOV -> absent
+    assert(out(0) == ((1L, Seq(0.5, 1.0), 2L)))
+    assert(out(1) == ((2L, Seq(1.0, 0.0), 1L)))
+  }
+
   test("tfidfTopK ranks a document-unique token first") {
     val df = Seq(
       (1L, "common common unique1 common"),
