@@ -36,7 +36,8 @@ object SparkEntry {
       entries.MoreEntries.queries ++
       entries.Batch10Entries.queries ++
       entries.Batch11Entries.queries ++
-      entries.Batch12Entries.queries
+      entries.Batch12Entries.queries ++
+      entries.Batch13Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -51,7 +52,8 @@ object SparkEntry {
       entries.MoreEntries.oracleSql ++
       entries.Batch10Entries.oracleSql ++
       entries.Batch11Entries.oracleSql ++
-      entries.Batch12Entries.oracleSql
+      entries.Batch12Entries.oracleSql ++
+      entries.Batch13Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -99,6 +99,23 @@ object Temporal {
            lags.tail.map(k => corrOf(k).as(s"acf$k")): _*)
   }
 
+  /** Batch sessionization: a new session starts when the gap to the
+    * previous event exceeds `gapSeconds`; session_id is the running
+    * count of session starts per key (the batch analog of
+    * `session_window`, SURVEY §2.12). Two stacked windows over one
+    * shuffle on the key. */
+  def sessionize(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                 gapSeconds: Long, orderTiebreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: orderTiebreak): _*)
+    val isStart = when(
+      unix_micros(col(tsCol)) -
+        lag(unix_micros(col(tsCol)), 1).over(w) > gapSeconds * 1000000L ||
+        lag(col(tsCol), 1).over(w).isNull, 1L).otherwise(0L)
+    df.withColumn("session_id",
+      sum(isStart).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** PACF via Durbin–Levinson from the ACF vector (SURVEY §2.11:
     * `ts_corr_analysis` PACF branch, gofast/utils/ts_utils.py:2913 —
     * "PACF via Durbin-Levinson on driver from ACF vector"). The ACF is
