@@ -1,0 +1,50 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based primitives for cardinality-heavy work at scale
+  * (SURVEY §2.13 "a novel sketch" custom-operator slot; north-star
+  * scale list).
+  *
+  * Both sketches are mergeable one-pass structures from Spark's stat
+  * functions; the value added here is the OPERATOR shape: heavy-hitter
+  * reporting and bloom-accelerated semi-joins.
+  */
+object Sketches {
+
+  /** Approximate heavy hitters: estimate counts of the `candidates`
+    * values from one count-min pass (ε relative error, δ confidence).
+    * For unknown candidates, combine with [[Skew.keySkewReport]] on a
+    * sample. Reference adjacency: `category_count`/value counts at a
+    * scale where exact groupBy is wasteful. */
+  def heavyHitters(df: DataFrame, column: String, candidates: Seq[String],
+                   eps: Double = 0.001, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    val sketch = df.stat.countMinSketch(col(column), eps, confidence, seed)
+    val spark = df.sparkSession
+    import spark.implicits._
+    candidates.map(v => (v, sketch.estimateCount(v)))
+      .toDF(column, "est_count")
+  }
+
+  /** Bloom-accelerated semi-join: build a bloom filter over the
+    * (deduplicated) build-side keys, pre-filter the probe side with
+    * `might_contain` (no false negatives), then run the exact
+    * semi-join on the survivors. At 100 TB this sends a few MB of
+    * bitset to every executor instead of shuffling the probe side on
+    * keys that cannot match.
+    *
+    * @param expectedKeys sizing for the filter (build-side distinct)
+    * @param fpp          false-positive probability (probe overshoot)
+    */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                    buildKey: String, expectedKeys: Long,
+                    fpp: Double = 0.01): DataFrame = {
+    val bloom = build.stat.bloomFilter(col(buildKey), expectedKeys, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val prefiltered = probe.filter(mightContain(col(probeKey).cast("long")))
+    Joins.semiJoin(prefiltered, build, probeKey, buildKey)
+  }
+}

@@ -89,6 +89,29 @@ class RelSpec extends SparkSpec {
     assert(rep.getAs[Double]("share") > 0.8)
   }
 
+  test("heavyHitters count-min estimates dominate counts, never undercount") {
+    import graft.rel.Sketches
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(20)("warm") ++ Seq("cold")
+    val df = rows.toDF("k")
+    val est = Sketches.heavyHitters(df, "k", Seq("hot", "warm", "cold", "absent"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("hot") >= 500 && est("hot") <= 530)  // CMS overestimates only
+    assert(est("warm") >= 20)
+    assert(est("absent") <= 5)
+  }
+
+  test("bloomSemiJoin equals the exact semi-join (no false negatives)") {
+    import graft.rel.Sketches
+    val cust = T.customer(spark, sf)
+    val bigOrders = T.orders(spark, sf).filter(col("o_totalprice") > 400000.0)
+    val exact = Joins.semiJoin(cust, bigOrders, "c_custkey", "o_custkey")
+      .select("c_custkey").as[Long].collect().toSet
+    val viaBloom = Sketches.bloomSemiJoin(cust, bigOrders, "c_custkey",
+        "o_custkey", expectedKeys = 2000)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(viaBloom == exact)
+  }
+
   test("filterDfFn applies a custom callable predicate via UDF") {
     val df = Seq(1.0, 4.0, 9.0, 16.0).toDF("x")
     val out = Filters.filterDfFn(df, "x", v => math.sqrt(v) % 2 == 0)
