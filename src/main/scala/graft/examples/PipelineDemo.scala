@@ -1,0 +1,71 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+import graft.core.{GraftSession, Reports, Tables => T}
+import graft.core.GfFrame._
+import graft.clean.{Missing, Outliers}
+import graft.encode.{Encoders => E}
+import graft.ml.Similarity
+import graft.rel.{Joins, Sampling}
+import graft.stats.{Descriptive, Inferential}
+import graft.text.{Dedup, Quality}
+import graft.ts.Windows
+
+/** End-to-end tour of the engine on the driver testdata — the workflow
+  * a reference (gofast) user runs daily, re-expressed on Spark. Run:
+  * `sbt 'runMain graft.examples.PipelineDemo [sfDir]'`.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = GraftSession.local(4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 1. audit the raw data (audit_data + report objects)
+    val orders = T.orders(spark, sfDir)
+    println(Reports.audit(orders).render)
+
+    // 2. clean + fluent chain: filter, dedup, clip, aggregate
+    val revenue = T.lineitem(spark, sfDir).graft
+      .filterExpr("l_quantity > 5")
+      .smartGroup(Seq("l_returnflag"),
+        Seq(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"), count(lit(1)).as("n")),
+        sortBy = Seq(col("l_returnflag")))
+      .result
+    println("\nrevenue by returnflag:")
+    revenue.show()
+
+    // 3. enrich: broadcast dim join + encodings + window features
+    val enriched = Joins.mergeDatasets(
+      Seq(orders,
+        T.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey")),
+      on = Seq("o_custkey"), broadcastSmall = Set(1))
+    val features = E.frequencyEncode(enriched, "o_orderpriority", "pri_freq")
+    println(s"enriched columns: ${features.columns.length}")
+
+    // 4. stats: hypothesis test + descriptive moments
+    println("\nWelch t (AUTOMOBILE vs BUILDING acctbal):")
+    Inferential.tTestWelch(T.customer(spark, sfDir), "c_acctbal",
+      "c_mktsegment", "AUTOMOBILE", "BUILDING").show()
+
+    // 5. documents: quality scores, language ID, near-dup candidates
+    val docs = T.documents(spark, sfDir)
+    val quality = Quality.qualityScores(docs, "text")
+    println("docs failing a length/stopword filter: " +
+      quality.filter(col("n_tokens") < 20 || col("stopword_ratio") < 0.02).count())
+    val nearDups = Dedup.minhashPairs(
+      docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", regexp_replace(col("text"), "^\\S+\\s+", ""))),
+      "doc_id", "text", threshold = 0.5)
+    println("near-duplicate candidate pairs: " + nearDups.count())
+
+    // 6. embeddings: ANN search
+    val emb = T.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1).map(_.toDouble)
+    println("\ntop-5 cosine neighbors of vec 0:")
+    Similarity.cosineTopK(emb, "embedding", "vec_id", q, 5).show()
+
+    spark.stop()
+  }
+}
