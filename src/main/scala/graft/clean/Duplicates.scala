@@ -16,6 +16,16 @@ object Duplicates {
   def drop(df: DataFrame, cols: Seq[String] = Nil): DataFrame =
     if (cols.isEmpty) df.dropDuplicates() else df.dropDuplicates(cols)
 
+  /** Dedup keeping the row with the greatest `orderCol` per key
+    * (pandas `drop_duplicates(keep='last')` on a sorted frame). */
+  def dropKeepLatest(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc)
+    df.withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Keys appearing more than once, with their multiplicity —
     * `handle_duplicates(return_counts)`. */
   def report(df: DataFrame, cols: Seq[String]): DataFrame =

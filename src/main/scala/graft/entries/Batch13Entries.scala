@@ -20,6 +20,15 @@ object Batch13Entries {
         .orderBy("event_id")
     }),
 
+    // §2.11 trend_ops(remove) (ts_utils.py:1026): per-row detrend via
+    // window sufficient statistics, one shuffle.
+    "detrend" -> ((s, dir) => {
+      Temporal.detrend(T.events(s, dir), "value", Seq("user_id"),
+          Seq(col("ts"), col("event_id")), "detrended")
+        .select("event_id", "detrended")
+        .orderBy("event_id")
+    }),
+
     // north-star corpus filter: one pass combining token count,
     // stopword ratio, and exact-dup rank into a keep decision — the
     // composite a training-data pipeline actually runs.
@@ -57,6 +66,25 @@ object Batch13Entries {
         |  SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |FROM g ORDER BY event_id""".stripMargin,
+
+    "detrend" ->
+      """WITH idx AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS i
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, value, i,
+        |    CAST(COUNT(*) OVER wa AS DOUBLE) AS n,
+        |    CAST(SUM(i) OVER wa AS DOUBLE) AS si,
+        |    CAST(SUM(i * i) OVER wa AS DOUBLE) AS sii,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wa AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(i AS DECIMAL(10,0)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(32,6))) OVER wa AS DOUBLE) AS siy
+        |  FROM idx
+        |  WINDOW wa AS (PARTITION BY user_id))
+        |SELECT event_id,
+        |  value - ((sy - (n * siy - si * sy) / (n * sii - si * si) * si) / n
+        |    + (n * siy - si * sy) / (n * sii - si * si) * CAST(i AS DOUBLE)) AS detrended
+        |FROM m ORDER BY event_id""".stripMargin,
 
     "corpus_filter" ->
       """WITH doubled AS (

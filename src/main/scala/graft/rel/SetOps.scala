@@ -36,6 +36,19 @@ object SetOps {
                    outName: String = "value"): DataFrame =
     a.select(col(aCol).as(outName)).except(b.select(col(bCol).as(outName)))
 
+  /** Element-wise arithmetic between two frames aligned on `keys` —
+    * `Frames.add` / `MergeableFrames` (gofast/dataops/core.py:593,
+    * :766). Output: keys + op(colA, colB) per listed column. */
+  def elementWise(a: DataFrame, b: DataFrame, keys: Seq[String],
+                  cols: Seq[String],
+                  op: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val bRenamed = cols.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"${c}__b"))
+    val joined = a.join(bRenamed, keys)
+    val out = keys.map(col) ++ cols.map(c => op(col(c), col(s"${c}__b")).as(c))
+    joined.select(out: _*)
+  }
+
   /** Frame equality as a count of asymmetric rows (0 == equal, multiset
     * semantics). Reference: `Frames.compare` (gofast/dataops/core.py:588). */
   def symmetricDiffCount(a: DataFrame, b: DataFrame): Long =

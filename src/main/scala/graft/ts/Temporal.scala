@@ -99,6 +99,28 @@ object Temporal {
            lags.tail.map(k => corrOf(k).as(s"acf$k")): _*)
   }
 
+  /** Per-row detrending y − (a + b·i) with per-group OLS coefficients
+    * computed from window sufficient statistics — trend removal in ONE
+    * shuffle, no join back. Reference: `trend_ops(method='remove')`
+    * (gofast/utils/ts_utils.py:1026). */
+  def detrend(df: DataFrame, valueCol: String, partitionCols: Seq[String],
+              orderCols: Seq[Column], outName: String): DataFrame = {
+    val wOrd = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    val wAll = Window.partitionBy(partitionCols.map(col): _*)
+    val indexed = df.withColumn("_i", row_number().over(wOrd).cast("long"))
+    val n = count(lit(1)).over(wAll).cast("double")
+    val si = sum(col("_i")).over(wAll).cast("double")
+    val sii = sum(col("_i") * col("_i")).over(wAll).cast("double")
+    val sy = sum(col(valueCol).cast("decimal(18,6)")).over(wAll).cast("double")
+    val siy = sum((col("_i").cast("decimal(10,0)") * col(valueCol).cast("decimal(18,6)"))
+      .cast("decimal(32,6)")).over(wAll).cast("double")
+    val slope = (n * siy - si * sy) / (n * sii - si * si)
+    val intercept = (sy - slope * si) / n
+    indexed.withColumn(outName,
+        col(valueCol) - (intercept + slope * col("_i").cast("double")))
+      .drop("_i")
+  }
+
   /** Batch sessionization: a new session starts when the gap to the
     * previous event exceeds `gapSeconds`; session_id is the running
     * count of session starts per key (the batch analog of

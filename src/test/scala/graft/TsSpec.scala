@@ -86,6 +86,41 @@ class TsSpec extends SparkSpec {
     assert(rep.getAs[Long]("modal_gap_us") == 60L * 1000000)
   }
 
+  test("detrend removes an exact linear trend") {
+    val df = (1 to 60).map(i => (1, i.toLong, 3.0 * i + 5.0)).toDF("g", "t", "v")
+    val out = Temporal.detrend(df, "v", Seq("g"), Seq(col("t")), "d")
+    assert(out.agg(max(abs(col("d")))).head.getDouble(0) < 1e-9)
+  }
+
+  test("sessionize splits on gaps and numbers sessions per user") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(min: Long) = new java.sql.Timestamp(base + min * 60000)
+    val df = Seq((1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(120), 3L),
+                 (2L, ts(0), 4L)).toDF("user_id", "ts", "event_id")
+    val out = Temporal.sessionize(df, "ts", Seq("user_id"), 1800,
+        Seq(col("event_id")))
+      .orderBy("event_id").select("session_id").as[Long].collect().toSeq
+    assert(out == Seq(1, 1, 2, 1)) // 2h gap starts session 2
+  }
+
+  test("dropKeepLatest keeps the most recent row per key") {
+    import graft.clean.Duplicates
+    val df = Seq((1, 10L, "old"), (1, 20L, "new"), (2, 5L, "only"))
+      .toDF("k", "t", "v")
+    val out = Duplicates.dropKeepLatest(df, Seq("k"), "t")
+      .orderBy("k").select("v").as[String].collect().toSeq
+    assert(out == Seq("new", "only"))
+  }
+
+  test("elementWise adds aligned frames by key") {
+    import graft.rel.SetOps
+    val a = Seq((1, 10.0), (2, 20.0)).toDF("k", "x")
+    val b = Seq((1, 1.0), (2, 2.0)).toDF("k", "x")
+    val out = SetOps.elementWise(a, b, Seq("k"), Seq("x"), _ + _)
+      .orderBy("k").select("x").as[Double].collect().toSeq
+    assert(out == Seq(11.0, 22.0))
+  }
+
   test("resample daily covers every event exactly once") {
     val ev = T.events(spark, sf)
     val out = Temporal.resample(ev, "ts", "day", Seq(count(lit(1)).as("n")))
