@@ -87,12 +87,18 @@ object Batch10Entries {
         .orderBy("r_regionkey")
     }),
 
-    // ---- rows-only: per-series recursion via flatMapGroups ----
+    // Full per-series recursion (adjust=True ewm), surfaced as the final
+    // value per series so DuckDB can replay the identical fold with
+    // list_reduce (same IEEE expression tree -> exact hash match).
     "ewm" -> ((s, dir) => {
       PerGroup.ewm(T.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
           "user_id", "ts_us", "value", alpha = 0.3)
-        .orderBy("user_id", "ts_us")
+        .groupBy("user_id")
+        .agg(max_by(col("ewm"), col("ts_us")).as("ewm_last"))
+        .orderBy("user_id")
     }),
+
+    // ---- rows-only: per-series model fit via flatMapGroups ----
 
     "adf" -> ((s, dir) => {
       PerGroup.adf(T.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
@@ -102,6 +108,21 @@ object Batch10Entries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Replays the Spark-side recursion num_t = v + (1-0.3)*num,
+    // den_t = 1 + (1-0.3)*den (adjust=True ewm) with the identical
+    // IEEE expression tree; list_reduce seeds acc with the first
+    // element, which equals the Spark fold's first step from 0.
+    "ewm" ->
+      """WITH o AS (
+        |  SELECT CAST(user_id AS BIGINT) AS user_id,
+        |    list(value ORDER BY ts, event_id) AS vs
+        |  FROM events GROUP BY 1)
+        |SELECT user_id,
+        |  list_reduce(vs, (acc, x) -> x + (1 - 0.3) * acc) /
+        |  list_reduce(list_transform(vs, x -> CAST(1 AS DOUBLE)),
+        |    (acc, x) -> x + (1 - 0.3) * acc) AS ewm_last
+        |FROM o ORDER BY user_id""".stripMargin,
+
     "sg_smooth" ->
       """SELECT event_id,
         |  (-3.0/35.0) * LAG(value, 2) OVER w + (12.0/35.0) * LAG(value, 1) OVER w
@@ -151,7 +172,7 @@ object Batch10Entries {
         |      AND value < LEAD(value, 1) OVER w THEN 1 ELSE 0 END AS ismin
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-        |SELECT user_id, SUM(ismin) AS n_minima
+        |SELECT user_id, CAST(SUM(ismin) AS BIGINT) AS n_minima
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "coverage" ->

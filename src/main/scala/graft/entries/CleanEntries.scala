@@ -105,11 +105,11 @@ object CleanEntries {
 
   val oracleSql: Map[String, String] = Map(
     "missing_report" ->
-      """SELECT 'props' AS "column", SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_null,
+      """SELECT 'props' AS "column", CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_ratio
         |FROM events
         |UNION ALL
-        |SELECT 'value_n', SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END),
+        |SELECT 'value_n', CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
         |FROM events
         |ORDER BY "column"""".stripMargin,

@@ -271,7 +271,7 @@ object MoreEntries {
         |    SUM(CASE WHEN d < n_risk THEN LN(1.0 - CAST(d AS DOUBLE) / n_risk) END)
         |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS slog
         |  FROM r)
-        |SELECT t, d AS n_events, n_risk,
+        |SELECT t, CAST(d AS BIGINT) AS n_events, CAST(n_risk AS BIGINT) AS n_risk,
         |  CASE WHEN hit0 = 1 THEN 0.0 ELSE ROUND(EXP(COALESCE(slog, 0.0)), 9) END AS surv
         |FROM s ORDER BY t""".stripMargin,
 

@@ -121,7 +121,7 @@ object TextEntries {
 
     "lsh_cosine_join" -> ((s, dir) => {
       Similarity.lshCosineJoin(T.embeddings(s, dir), "vec_id", "embedding",
-          dim = 64, nPlanes = 6, threshold = 0.5)
+          dim = 64, nPlanes = 4, threshold = 0.25)
         .orderBy("id_a", "id_b")
     })
   )
@@ -130,6 +130,33 @@ object TextEntries {
   private def ntok = s"CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len($tokArr) END"
 
   val oracleSql: Map[String, String] = Map(
+    // Marker-word language ID is pure int/string arithmetic, so the
+    // heuristic replays exactly in SQL. The CASE ladder (checked from
+    // the last profile down) equals the Spark fold: the prediction is
+    // the last profile whose score strictly exceeds the max of all
+    // earlier profiles.
+    "lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS s_en,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+        |    len(list_filter(toks, t -> t IN ('el','la','los','que','es'))) AS s_es,
+        |    len(list_filter(toks, t -> t IN ('le','la','les','des','est'))) AS s_fr,
+        |    len(list_filter(toks, t -> t IN ('的','是','了','在','我'))) AS s_zh
+        |  FROM s)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN s_zh > GREATEST(s_en, s_de, s_es, s_fr) THEN 'zh'
+        |    WHEN s_fr > GREATEST(s_en, s_de, s_es) THEN 'fr'
+        |    WHEN s_es > GREATEST(s_en, s_de) THEN 'es'
+        |    WHEN s_de > s_en THEN 'de'
+        |    ELSE 'en' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     "text_clean" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean,

@@ -22,11 +22,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df):
-    # mirror the driver: sort columns by name, then sort rows, then hash
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+def keyed_rows(tbl):
+    """Arrow table -> sorted list of row-tuples of reprs.
+
+    Uses pyarrow (not pandas) so NULL vs NaN and -0.0 vs 0.0 survive —
+    the driver's value-hash distinguishes them.
+    """
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = []
+    for i in range(tbl.num_rows):
+        rows.append(tuple(
+            ("\x00null" if v is None else repr(v)) for v in
+            (data[j][i] for j in range(len(cols)))))
+    rows.sort()
+    return cols, rows
 
 
 def main():
@@ -43,15 +53,16 @@ def main():
             continue
         try:
             got = con.sql(
-                f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
-            exp = con.sql(sql).df()
+                f"SELECT * FROM read_parquet('{pdir}/*.parquet')").arrow()
+            exp = con.sql(sql).arrow()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
-        g, e = norm(got), norm(exp)
-        if sorted(g.columns) != sorted(e.columns):
-            print(f"FAIL {name}: cols {list(g.columns)} vs {list(e.columns)}")
+        gc, g = keyed_rows(got)
+        ec, e = keyed_rows(exp)
+        if gc != ec:
+            print(f"FAIL {name}: cols {gc} vs {ec}")
             n_bad += 1
             continue
         if len(g) != len(e):
@@ -59,15 +70,14 @@ def main():
             n_bad += 1
             continue
         mism = []
-        for c in g.columns:
-            a, b = g[c], e[c]
-            if a.dtype.kind == "f" or b.dtype.kind == "f":
-                bad = ~((a.isna() & b.isna()) | (a == b))
-            else:
-                bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
-            if bad.any():
-                i = bad.idxmax()
-                mism.append(f"{c}[{i}]: {a[i]!r} != {b[i]!r}")
+        for i, (rg, re_) in enumerate(zip(g, e)):
+            if rg != re_:
+                for c, (vg, ve) in zip(gc, zip(rg, re_)):
+                    if vg != ve:
+                        mism.append(f"row{i} {c}: {vg} != {ve}")
+                        break
+            if len(mism) >= 3:
+                break
         if mism:
             print(f"FAIL {name}: {'; '.join(mism[:3])}")
             n_bad += 1
