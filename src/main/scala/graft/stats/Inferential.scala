@@ -127,6 +127,158 @@ object Inferential {
                     col("fb").cast("double") / col("nb"))).as("ks_d"))
   }
 
+  /** Twice the average rank of each distinct pooled value: integers,
+    * so rank sums stay exact in bigint. `perValue` must hold one row
+    * per distinct value with its pooled count `cv`. The ordered window
+    * runs over DISTINCT values (domain cardinality, not row count). */
+  private def rank2OverValues(perValue: DataFrame): DataFrame = {
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    perValue
+      .withColumn("before", coalesce(sum("cv").over(w), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("before") + col("cv") + lit(1L))
+  }
+
+  /** Kruskal–Wallis H (rank ANOVA, tie-corrected) over k groups.
+    * Reference: `kruskal_wallis_test` (inferential.py:1039).
+    * Ranks are carried as 2×rank longs (exact through every shuffle);
+    * only the final k-term fold and the H expression run in double.
+    * Output: one row (h_stat, dof). */
+  def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val gv = df.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cgv"))
+    val perValue = gv.groupBy("v").agg(sum("cgv").as("cv"))
+    val ranked = rank2OverValues(perValue)
+    val perGroup = gv.join(ranked.select("v", "rank2"), Seq("v"))
+      .groupBy("g")
+      .agg(sum(col("cgv") * col("rank2")).as("r2i"), sum("cgv").as("ni"))
+    val ties = ranked.agg(
+      sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tsum"))
+    perGroup
+      .agg(
+        sum((col("r2i").cast("double") / 2) * (col("r2i").cast("double") / 2) /
+          col("ni").cast("double")).as("srr"),
+        sum("ni").cast("double").as("n"),
+        count(lit(1)).cast("double").as("k"))
+      .crossJoin(ties)
+      .select({
+        val n = col("n")
+        val h = lit(12.0) / (n * (n + 1)) * col("srr") - lit(3.0) * (n + 1)
+        val corr = lit(1.0) - col("tsum").cast("double") / (n * n * n - n)
+        Seq(round(h / corr, 9).as("h_stat"),
+            (col("k") - 1).cast("long").as("dof"))
+      }: _*)
+  }
+
+  /** Brown–Forsythe Levene test (center = group median) for equal
+    * variances. Reference: `levene_test` (inferential.py:793).
+    * |x − med| is an exact ≤3-dp quantity for 2-dp inputs (the median
+    * interpolates at most one midpoint), so the spreads aggregate as
+    * decimal(15,3) moments — no order-dependent double sums until the
+    * final k-term fold. Output: one row (w_stat, df_between, df_within). */
+  def levene(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val meds = df.groupBy(col(groupCol).as("_lev_g"))
+      .agg(percentile(col(valueCol).cast("double"), lit(0.5)).as("_lev_med"))
+    val z = abs(col(valueCol).cast("double") - col("_lev_med"))
+      .cast("decimal(15,3)")
+    val perGroup = df
+      .join(broadcast(meds), df(groupCol) === meds("_lev_g"))
+      .groupBy("_lev_g")
+      .agg(count(lit(1)).cast("double").as("ni"),
+           sum(z).cast("double").as("szi"),
+           sum((z * z).cast("decimal(24,6)")).cast("double").as("qzi"))
+    perGroup
+      .agg(sum("ni").as("n"), count(lit(1)).cast("double").as("k"),
+           sum("szi").as("sz"), sum("qzi").as("qz"),
+           sum(col("szi") * col("szi") / col("ni")).as("sb"))
+      .select({
+        val ssb = col("sb") - col("sz") * col("sz") / col("n")
+        val ssw = col("qz") - col("sb")
+        val w = (ssb / (col("k") - 1)) / (ssw / (col("n") - col("k")))
+        Seq(round(w, 9).as("w_stat"),
+            (col("k") - 1).cast("long").as("df_between"),
+            (col("n") - col("k")).cast("long").as("df_within"))
+      }: _*)
+  }
+
+  /** Wilcoxon signed-rank on an exact-decimal per-row difference:
+    * zeros dropped, |d| average-ranked (2×rank longs), W+ = rank sum of
+    * positive differences, tie-corrected normal approximation z.
+    * Reference: `wilcoxon_signed_rank_test` (inferential.py:200).
+    * Output: one row (w_plus, n_nonzero, z_stat). */
+  def wilcoxonSignedRank(df: DataFrame, diff: Column): DataFrame = {
+    val d = diff.cast("decimal(18,2)")
+    val nz = df.select(d.as("d")).filter(col("d") =!= 0)
+    val gv = nz.groupBy((col("d") > 0).as("g"), abs(col("d")).as("v"))
+      .agg(count(lit(1)).as("cgv"))
+    val perValue = gv.groupBy("v").agg(sum("cgv").as("cv"))
+    val ranked = rank2OverValues(perValue)
+    val joined = gv.join(ranked.select("v", "rank2"), Seq("v"))
+    val stats = joined.agg(
+      sum(when(col("g"), col("cgv") * col("rank2")).otherwise(0L)).as("w2p"),
+      sum("cgv").as("nl"))
+    val ties = ranked.agg(
+      sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tsum"))
+    stats.crossJoin(ties).select({
+      val n = col("nl").cast("double")
+      val wPlus = col("w2p").cast("double") / 2
+      val mu = n * (n + 1) / 4
+      val sigma2 = n * (n + 1) * (lit(2) * n + 1) / 24 -
+        col("tsum").cast("double") / 48
+      Seq(wPlus.as("w_plus"), col("nl").as("n_nonzero"),
+          round((wPlus - mu) / sqrt(sigma2), 9).as("z_stat"))
+    }: _*)
+  }
+
+  /** Friedman test over complete blocks (one observation per
+    * block×treatment): within-block average ranks (2×rank longs), rank
+    * sums per treatment, tie-general statistic
+    * Q = (k−1)·Σ(R_j − n(k+1)/2)² / (A − nk(k+1)²/4) with A = Σr².
+    * Reference: `friedman_test` (inferential.py:1272).
+    * Output: one row (q_stat, dof, n_blocks). */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String, k: Int): DataFrame = {
+    val complete = df.groupBy(col(blockCol).as("_fr_b"))
+      .agg(count(lit(1)).as("c")).filter(col("c") === k).select("_fr_b")
+    val kept = df.join(complete, df(blockCol) === complete("_fr_b"))
+    val wr = Window.partitionBy(col(blockCol)).orderBy(col(valueCol))
+    val wv = Window.partitionBy(col(blockCol), col(valueCol))
+    val ranked = kept.select(col(treatCol).as("t"),
+      (lit(2L) * rank().over(wr) + count(lit(1)).over(wv) - 1).as("rank2"))
+    val perTreat = ranked.groupBy("t").agg(sum("rank2").as("r2j"))
+    val a4 = ranked.agg(sum(col("rank2") * col("rank2")).as("a4"),
+      (count(lit(1)) / k).as("nb"))
+    val folded = perTreat.crossJoin(a4).agg(
+      sum({
+        val dev = col("r2j").cast("double") / 2 -
+          col("nb").cast("double") * (k + 1) / 2
+        dev * dev
+      }).as("sdev"),
+      first("a4").as("a4"), first("nb").as("nb"))
+    folded.select({
+      val n = col("nb").cast("double")
+      val denom = col("a4").cast("double") / 4 - n * k * ((k + 1) * (k + 1)) / 4.0
+      Seq(round(lit((k - 1).toDouble) * col("sdev") / denom, 9).as("q_stat"),
+          lit((k - 1).toLong).as("dof"), col("nb").cast("long").as("n_blocks"))
+    }: _*)
+  }
+
+  /** McNemar χ² (continuity-corrected) for paired binary outcomes:
+    * discordant counts b = Σ(a∧¬b), c = Σ(¬a∧b), then (|b−c|−1)²/(b+c).
+    * Exact integer counts; the statistic is a single IEEE division.
+    * Reference: `mcnemar_test` (inferential.py:911). */
+  def mcnemar(df: DataFrame, condA: Column, condB: Column): DataFrame = {
+    df.agg(
+        sum(when(condA && !condB, 1L).otherwise(0L)).as("b10"),
+        sum(when(!condA && condB, 1L).otherwise(0L)).as("b01"))
+      .select({
+        val b = col("b10").cast("double")
+        val c = col("b01").cast("double")
+        val num = (abs(b - c) - 1) * (abs(b - c) - 1)
+        Seq((num / (b + c)).as("chi2_cc"), col("b10"), col("b01"))
+      }: _*)
+  }
+
   /** Cronbach's α over item columns: k/(k−1)·(1 − Σvarᵢ/var_total),
     * sample variances from exact moments.
     * Reference: `cronbach_alpha` (inferential.py:1391). */
