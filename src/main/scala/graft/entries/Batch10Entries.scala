@@ -33,25 +33,30 @@ object Batch10Entries {
     }),
 
     // §2.5 optimized_spearmanr (mathext.py:3063): Pearson on average
-    // ranks, per group.
+    // ranks, per group. Ranks come from the distributed two-phase rank
+    // (parallel across value buckets, not one task per group) and are
+    // carried as 2×rank integers: moment sums stay exact in
+    // long/decimal(38,0), and Pearson is bit-invariant under the
+    // exact power-of-two scaling.
     "spearman" -> ((s, dir) => {
       val li = T.lineitem(s, dir)
-      def avgRank(c: String) = {
-        val w = Window.partitionBy("l_returnflag").orderBy(col(c))
-        val tieW = Window.partitionBy(col("l_returnflag"), col(c))
-        rank().over(w).cast("double") +
-          (count(lit(1)).over(tieW).cast("double") - 1.0) / 2.0
-      }
-      val ranked = li.select(col("l_returnflag"),
-        avgRank("l_quantity").as("rq"), avgRank("l_extendedprice").as("rp"))
+      val rq = Windows.rank2ByValue(li, Seq("l_returnflag"), "l_quantity")
+        .select(col("l_returnflag"), col("_v").as("l_quantity"),
+          col("_r2").as("r2q"))
+      val rp = Windows.rank2ByValue(li, Seq("l_returnflag"), "l_extendedprice")
+        .select(col("l_returnflag"), col("_v").as("l_extendedprice"),
+          col("_r2").as("r2p"))
+      val base = li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .join(broadcast(rq), Seq("l_returnflag", "l_quantity"))
+        .join(rp, Seq("l_returnflag", "l_extendedprice"))
       val n = count(lit(1)).cast("double")
-      def sd(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(15,2)")).cast("double")
-      def sdd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        sum((a.cast("decimal(15,2)") * b.cast("decimal(15,2)")).cast("decimal(32,4)")).cast("double")
-      ranked.groupBy("l_returnflag").agg(
-          round((n * sdd(col("rq"), col("rp")) - sd(col("rq")) * sd(col("rp"))) /
-            (sqrt(n * sdd(col("rq"), col("rq")) - sd(col("rq")) * sd(col("rq"))) *
-             sqrt(n * sdd(col("rp"), col("rp")) - sd(col("rp")) * sd(col("rp")))), 9)
+      def s1(c: String) = sum(c).cast("double")
+      def s2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        sum((a * b).cast("decimal(38,0)")).cast("double")
+      base.groupBy("l_returnflag").agg(
+          round((n * s2(col("r2q"), col("r2p")) - s1("r2q") * s1("r2p")) /
+            (sqrt(n * s2(col("r2q"), col("r2q")) - s1("r2q") * s1("r2q")) *
+             sqrt(n * s2(col("r2p"), col("r2p")) - s1("r2p") * s1("r2p"))), 9)
             .as("spearman"))
         .orderBy("l_returnflag")
     }),
@@ -144,21 +149,24 @@ object Batch10Entries {
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    // 2×rank integer carriers, mirroring the Spark plan: moment sums
+    // are exact in bigint/decimal(38,0) and Pearson is bit-invariant
+    // under the power-of-two scaling.
     "spearman" ->
       """WITH ranked AS (
         |  SELECT l_returnflag,
-        |    CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS DOUBLE)
-        |      + (CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) AS DOUBLE) - 1.0) / 2.0 AS rq,
-        |    CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS DOUBLE)
-        |      + (CAST(COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) AS DOUBLE) - 1.0) / 2.0 AS rp
+        |    CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + COUNT(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS BIGINT) AS r2q,
+        |    CAST(2 * RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |      + COUNT(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS BIGINT) AS r2p
         |  FROM lineitem),
         |m AS (
         |  SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) n,
-        |    CAST(SUM(CAST(rq AS DECIMAL(15,2))) AS DOUBLE) sq,
-        |    CAST(SUM(CAST(rp AS DECIMAL(15,2))) AS DOUBLE) sp,
-        |    CAST(SUM(CAST(CAST(rq AS DECIMAL(15,2)) * CAST(rp AS DECIMAL(15,2)) AS DECIMAL(32,4))) AS DOUBLE) sqp,
-        |    CAST(SUM(CAST(CAST(rq AS DECIMAL(15,2)) * CAST(rq AS DECIMAL(15,2)) AS DECIMAL(32,4))) AS DOUBLE) sqq,
-        |    CAST(SUM(CAST(CAST(rp AS DECIMAL(15,2)) * CAST(rp AS DECIMAL(15,2)) AS DECIMAL(32,4))) AS DOUBLE) spp
+        |    CAST(SUM(r2q) AS DOUBLE) sq,
+        |    CAST(SUM(r2p) AS DOUBLE) sp,
+        |    CAST(SUM(CAST(r2q * r2p AS DECIMAL(38,0))) AS DOUBLE) sqp,
+        |    CAST(SUM(CAST(r2q * r2q AS DECIMAL(38,0))) AS DOUBLE) sqq,
+        |    CAST(SUM(CAST(r2p * r2p AS DECIMAL(38,0))) AS DOUBLE) spp
         |  FROM ranked GROUP BY 1)
         |SELECT l_returnflag,
         |  ROUND((n * sqp - sq * sp) /

@@ -195,11 +195,11 @@ object TsEntries {
            |    (SQRT(n$k * sxx$k - sx$k * sx$k) * SQRT(n$k * syy$k - sy$k * sy$k)), 9)""".stripMargin
       def sums(k: Int) =
         s"""CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n$k,
-           |    CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sx$k,
-           |    CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN CAST(lag$k AS DECIMAL(18,6)) END) AS DOUBLE) AS sy$k,
-           |    CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN CAST(CAST(value AS DECIMAL(18,6)) * CAST(lag$k AS DECIMAL(18,6)) AS DECIMAL(38,12)) END) AS DOUBLE) AS sxy$k,
-           |    CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12)) END) AS DOUBLE) AS sxx$k,
-           |    CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN CAST(CAST(lag$k AS DECIMAL(18,6)) * CAST(lag$k AS DECIMAL(18,6)) AS DECIMAL(38,12)) END) AS DOUBLE) AS syy$k""".stripMargin
+           |    CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN CAST(value AS DECIMAL(12,3)) END) AS DOUBLE) AS sx$k,
+           |    CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN CAST(lag$k AS DECIMAL(12,3)) END) AS DOUBLE) AS sy$k,
+           |    CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN CAST(CAST(value AS DECIMAL(12,3)) * CAST(lag$k AS DECIMAL(12,3)) AS DECIMAL(28,6)) END) AS DOUBLE) AS sxy$k,
+           |    CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3)) AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx$k,
+           |    CAST(SUM(CASE WHEN lag$k IS NOT NULL THEN CAST(CAST(lag$k AS DECIMAL(12,3)) * CAST(lag$k AS DECIMAL(12,3)) AS DECIMAL(28,6)) END) AS DOUBLE) AS syy$k""".stripMargin
       s"""WITH l AS (
          |  SELECT user_id, value,
          |    LAG(value, 1) OVER w AS lag1, LAG(value, 2) OVER w AS lag2

@@ -129,14 +129,17 @@ object Inferential {
 
   /** Twice the average rank of each distinct pooled value: integers,
     * so rank sums stay exact in bigint. `perValue` must hold one row
-    * per distinct value with its pooled count `cv`. The ordered window
-    * runs over DISTINCT values (domain cardinality, not row count). */
-  private def rank2OverValues(perValue: DataFrame): DataFrame = {
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    perValue
-      .withColumn("before", coalesce(sum("cv").over(w), lit(0L)))
-      .withColumn("rank2", lit(2L) * col("before") + col("cv") + lit(1L))
-  }
+    * per distinct value with its pooled count `cv`. Delegates to the
+    * bucketed distributed kernel ([[graft.ts.Windows.rank2OfCounts]])
+    * so the cumulative count never funnels through one task even when
+    * the value domain is large. */
+  private def rank2OverValues(perValue: DataFrame): DataFrame =
+    graft.ts.Windows.rank2OfCounts(
+        perValue.withColumnRenamed("v", "_v").withColumnRenamed("cv", "_cv"),
+        Seq.empty)
+      .withColumnRenamed("_v", "v")
+      .withColumnRenamed("_cv", "cv")
+      .withColumnRenamed("_r2", "rank2")
 
   /** Kruskal–Wallis H (rank ANOVA, tie-corrected) over k groups.
     * Reference: `kruskal_wallis_test` (inferential.py:1039).

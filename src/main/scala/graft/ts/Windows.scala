@@ -120,11 +120,80 @@ object Windows {
     * via the count-over-identical-keys trick — no extra shuffle beyond
     * the window's. */
   def averageRank(df: DataFrame, partitionCols: Seq[String], valueCol: String,
-                  outName: String = "avg_rank"): DataFrame = {
-    val w = ordered(partitionCols, Seq(col(valueCol)))
-    val tieW = Window.partitionBy((partitionCols :+ valueCol).map(col): _*)
-    df.withColumn(outName,
-      rank().over(w).cast("double") +
-        (count(lit(1)).over(tieW).cast("double") - 1.0) / 2.0)
+                  outName: String = "avg_rank"): DataFrame =
+    distributedAvgRank(df, partitionCols, valueCol, outName)
+
+  /** 2×average-rank per distinct value from a pre-aggregated count
+    * table — the distributed order-statistics kernel.
+    *
+    * Input: one row per (partitionCols..., `_v`, `_cv`) where `_cv` is
+    * the value's multiplicity. Output adds `_r2` = 2·averageRank =
+    * 2·(rows before v) + cv + 1, an exact bigint (no .5 ranks, no
+    * doubles until the caller divides).
+    *
+    * Plan shape: per-group min/max → `buckets` equal-width ranges
+    * (`width_bucket` is monotone, so bucket order == value order and
+    * ties share a bucket) → per-bucket count sums → running offsets
+    * over ≤`buckets` rows per group (tiny window, broadcast back) →
+    * cumulative counts WITHIN each (group, bucket) — parallel across
+    * group×bucket partitions. A plain ordered window per group funnels
+    * each group through ONE task — the 100 TB killer when groups are
+    * few or skewed; here every sort is 1/`buckets` the size. */
+  def rank2OfCounts(pv: DataFrame, partitionCols: Seq[String],
+                    buckets: Int = 256): DataFrame = {
+    val g = partitionCols.map(col)
+    val v = col("_v")
+    val bounds = pv.groupBy(g: _*)
+      .agg(min(v.cast("double")).as("_lo"), max(v.cast("double")).as("_hi"))
+    val withBounds =
+      if (partitionCols.isEmpty) pv.crossJoin(broadcast(bounds))
+      else pv.join(broadcast(bounds), partitionCols)
+    val bucket = when(v.isNull, lit(0))
+      .when(col("_hi") <= col("_lo"), lit(1))
+      .otherwise(least(
+        width_bucket(v.cast("double"), col("_lo"), col("_hi"), lit(buckets)),
+        lit(buckets)))
+    val bucketed = withBounds.withColumn("_bk", bucket).drop("_lo", "_hi")
+    val keyCols = partitionCols :+ "_bk"
+    val bucketCounts = bucketed.groupBy(keyCols.map(col): _*)
+      .agg(sum("_cv").as("_c"))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("_bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketCounts
+      .withColumn("_off", coalesce(sum("_c").over(wOff), lit(0L)))
+      .drop("_c")
+    val wLocal = Window.partitionBy(keyCols.map(col): _*).orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), keyCols)
+      .withColumn("_before", col("_off") + coalesce(sum("_cv").over(wLocal), lit(0L)))
+      .withColumn("_r2", lit(2L) * col("_before") + col("_cv") + lit(1L))
+      .drop("_bk", "_off", "_before")
+  }
+
+  /** Per-distinct-value 2×average-rank map for a raw column:
+    * (partitionCols..., `_v`, `_cv`, `_r2`). One count shuffle +
+    * the [[rank2OfCounts]] kernel. */
+  def rank2ByValue(df: DataFrame, partitionCols: Seq[String],
+                   valueCol: String, buckets: Int = 256): DataFrame = {
+    val pv = df
+      .groupBy((partitionCols.map(col) :+ col(valueCol).as("_v")): _*)
+      .agg(count(lit(1)).as("_cv"))
+    rank2OfCounts(pv, partitionCols, buckets)
+  }
+
+  /** Exact average rank (pandas `rank(method='average')`): the
+    * [[rank2ByValue]] map joined back on (group, value) — a broadcast
+    * join whenever the value domain is small, a distributed hash join
+    * otherwise; never a single-task per-group sort. Rows with a null
+    * value get a null rank (pandas `na_option='keep'`). */
+  def distributedAvgRank(df: DataFrame, partitionCols: Seq[String],
+                         valueCol: String, outName: String = "avg_rank",
+                         buckets: Int = 256): DataFrame = {
+    val rmap = rank2ByValue(df.filter(col(valueCol).isNotNull),
+        partitionCols, valueCol, buckets)
+      .withColumnRenamed("_v", valueCol)
+      .withColumn(outName, col("_r2").cast("double") / 2.0)
+      .drop("_cv", "_r2")
+    df.join(rmap, partitionCols :+ valueCol, "left")
   }
 }
