@@ -116,6 +116,22 @@ object RelEntries {
 
     // §2.7 find_unique_elements (difference): order statuses never seen
     // as a lineitem linestatus ({F,O,P} \ {F,O} = {P}).
+    // §2.7 generate_comparison (data_utils.py:647): row-level diff of
+    // two datasets — removed keys, added keys, changed values.
+    "frame_diff" -> ((s, dir) => {
+      val base = T.customer(s, dir)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val b = base.filter(col("c_custkey") % 7 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, -col("c_acctbal"))
+            .otherwise(col("c_acctbal")))
+        .unionByName(base.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000))
+      SetOps.compareFrames(base, b, Seq("c_custkey"),
+          Seq("c_acctbal", "c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     "except_values" -> ((s, dir) => {
       SetOps.exceptValues(T.orders(s, dir), "o_orderstatus",
           T.lineitem(s, dir), "l_linestatus", "status")
@@ -240,6 +256,27 @@ object RelEntries {
       """SELECT DISTINCT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT DISTINCT s_nationkey FROM supplier
         |ORDER BY nationkey""".stripMargin,
+
+    "frame_diff" ->
+      """WITH base AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |b AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN -c_acctbal ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM base WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+        |  FROM base WHERE c_custkey % 7 = 0)
+        |SELECT COALESCE(base.c_custkey, b.c_custkey) AS c_custkey,
+        |  base.c_acctbal AS c_acctbal_a, base.c_mktsegment AS c_mktsegment_a,
+        |  b.c_acctbal AS c_acctbal_b, b.c_mktsegment AS c_mktsegment_b,
+        |  CASE WHEN base.c_custkey IS NULL THEN 'only_b'
+        |       WHEN b.c_custkey IS NULL THEN 'only_a'
+        |       WHEN base.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+        |        AND base.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment THEN 'same'
+        |       ELSE 'diff' END AS status
+        |FROM base FULL OUTER JOIN b ON base.c_custkey = b.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
 
     "except_values" ->
       """SELECT DISTINCT o_orderstatus AS status FROM orders

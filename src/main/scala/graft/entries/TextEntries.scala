@@ -119,6 +119,14 @@ object TextEntries {
         .orderBy("doc_id")
     }),
 
+    // §2.9 summarize_text_columns (transformation.py:31): top-TF-IDF
+    // sentence per document.
+    "extractive_summary" -> ((s, dir) => {
+      Keywords.extractiveSummary(T.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "lsh_cosine_join" -> ((s, dir) => {
       Similarity.lshCosineJoin(T.embeddings(s, dir), "vec_id", "embedding",
           dim = 64, nPlanes = 4, threshold = 0.25)
@@ -156,6 +164,41 @@ object TextEntries {
         |    WHEN s_de > s_en THEN 'de'
         |    ELSE 'en' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Mirrors the Spark plan: RE2-portable sentence split, exact
+    // decimal token scores (tf · 6-dp-rounded ln), one double division
+    // per sentence, ties to the first sentence.
+    "extractive_summary" ->
+      """WITH sent0 AS (
+        |  SELECT doc_id AS doc, x AS sidx, arr[x + 1] AS sent
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]\s+') AS arr FROM documents),
+        |    LATERAL UNNEST(range(len(arr))) AS u(x)),
+        |sentf AS (SELECT * FROM sent0 WHERE len(trim(sent)) > 0),
+        |toks AS (
+        |  SELECT doc, sidx, t AS token
+        |  FROM sentf, LATERAL UNNEST(string_split_regex(trim(lower(sent)), '\s+')) AS u(t)
+        |  WHERE len(t) >= 2),
+        |tf AS (SELECT doc, sidx, token, COUNT(*) tf FROM toks GROUP BY 1, 2, 3),
+        |sdf AS (SELECT doc, token, CAST(COUNT(*) AS BIGINT) sdf
+        |  FROM (SELECT DISTINCT doc, sidx, token FROM toks) GROUP BY 1, 2),
+        |ns AS (SELECT doc, CAST(COUNT(*) AS BIGINT) ns FROM sentf GROUP BY 1),
+        |ts AS (
+        |  SELECT doc, sidx,
+        |    CAST(CAST(tf AS DECIMAL(10,0)) *
+        |      CAST(ROUND(LN(CAST(ns AS DOUBLE) / CAST(sdf AS DOUBLE)), 6) AS DECIMAL(10,6))
+        |      AS DECIMAL(20,6)) AS tokscore
+        |  FROM tf JOIN sdf USING (doc, token) JOIN ns USING (doc)),
+        |ss AS (
+        |  SELECT doc, sidx,
+        |    CAST(SUM(tokscore) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS score
+        |  FROM ts GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc, sidx, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc ORDER BY score DESC, sidx ASC) rk
+        |  FROM ss)
+        |SELECT b.doc AS doc_id, CAST(b.sidx AS INT) AS sidx, s.sent AS summary, b.score
+        |FROM best b JOIN sentf s USING (doc, sidx)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "text_clean" ->
       """SELECT doc_id,

@@ -53,4 +53,27 @@ object SetOps {
     * semantics). Reference: `Frames.compare` (gofast/dataops/core.py:588). */
   def symmetricDiffCount(a: DataFrame, b: DataFrame): Long =
     a.exceptAll(b).count() + b.exceptAll(a).count()
+
+  /** Row-level dataset diff: one full-outer join on `keys`, each value
+    * column surfaced as `<c>_a` / `<c>_b`, and a status column —
+    * only_a / only_b / same / diff (null-safe comparisons).
+    * Reference: `generate_comparison` (gofast/utils/data_utils.py:647).
+    * The single equi-join shuffle is the whole cost; Catalyst picks
+    * broadcast vs sort-merge by side size. */
+  def compareFrames(a: DataFrame, b: DataFrame, keys: Seq[String],
+                    cols: Seq[String]): DataFrame = {
+    val aa = a.select(keys.map(col) ++ cols.map(c => col(c).as(s"${c}_a")): _*)
+      .withColumn("_in_a", lit(true))
+    val bb = b.select(keys.map(col) ++ cols.map(c => col(c).as(s"${c}_b")): _*)
+      .withColumn("_in_b", lit(true))
+    val allSame = cols.map(c => col(s"${c}_a") <=> col(s"${c}_b"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    aa.join(bb, keys, "full_outer")
+      .withColumn("status",
+        when(col("_in_a").isNull, "only_b")
+          .when(col("_in_b").isNull, "only_a")
+          .when(allSame, "same")
+          .otherwise("diff"))
+      .drop("_in_a", "_in_b")
+  }
 }

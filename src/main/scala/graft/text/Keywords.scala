@@ -40,4 +40,48 @@ object Keywords {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("doc"), col("rk"), col("token"), col("score"))
   }
+
+  /** Extractive summary: the highest-TF-IDF sentence per document.
+    * Reference: `summarize_text_columns`
+    * (gofast/dataops/transformation.py:31), `simple_extractive_summary`
+    * (gofast/dataops/enrichment.py:228).
+    *
+    * Sentences split on `[.!?]\s+` (delimiter consumed — no lookbehind,
+    * so the split is portable to RE2-based engines). Sentence score =
+    * mean over its tokens of tf·ln(n_sentences/df), where df counts the
+    * doc's sentences containing the token. Token scores are exact
+    * decimals (tf·6-dp-rounded-ln), so the per-sentence mean is one
+    * deterministic double division and the argmax (ties → first
+    * sentence) is engine-stable.
+    *
+    * Plan: sentence/token explodes → three aggregates keyed by doc —
+    * every shuffle is on (doc[, sidx|token]); no cross-document state,
+    * so the operator scales linearly with corpus size. */
+  def extractiveSummary(df: DataFrame, idCol: String, textCol: String,
+                        minTokenLen: Int = 2): DataFrame = {
+    val sent = df.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), "[.!?]\\s+")).as(Seq("sidx", "sent")))
+      .filter(length(trim(col("sent"))) > 0)
+    val toks = sent.select(col("doc"), col("sidx"),
+        explode(TextFns.tokens(lower(col("sent")))).as("token"))
+      .filter(length(col("token")) >= minTokenLen)
+    val tf = toks.groupBy("doc", "sidx", "token").agg(count(lit(1)).as("tf"))
+    val sdf = toks.select("doc", "sidx", "token").distinct()
+      .groupBy("doc", "token").agg(count(lit(1)).as("sdf"))
+    val ns = sent.groupBy("doc").agg(count(lit(1)).as("ns"))
+    val scoredTok = tf
+      .join(sdf, Seq("doc", "token"))
+      .join(ns, Seq("doc"))
+      .withColumn("tokscore",
+        (col("tf").cast("decimal(10,0)") *
+          round(log(col("ns").cast("double") / col("sdf").cast("double")), 6)
+            .cast("decimal(10,6)")).cast("decimal(20,6)"))
+    val sentScore = scoredTok.groupBy("doc", "sidx")
+      .agg((sum("tokscore").cast("double") / count(lit(1)).cast("double"))
+        .as("score"))
+    val w = Window.partitionBy("doc").orderBy(col("score").desc, col("sidx").asc)
+    sentScore.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(sent, Seq("doc", "sidx"))
+      .select(col("doc"), col("sidx"), col("sent").as("summary"), col("score"))
+  }
 }

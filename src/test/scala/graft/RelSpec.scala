@@ -123,4 +123,15 @@ class RelSpec extends SparkSpec {
     val out = Filters.filterOutliersZ(df, "x", 3.0)
     assert(out.count() == 100)
   }
+
+  test("compareFrames classifies only_a/only_b/same/diff") {
+    val a = Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "z", 30.0))
+      .toDF("k", "s", "v")
+    val b = Seq((2L, "y", 20.0), (3L, "z", 99.0), (4L, "w", 40.0))
+      .toDF("k", "s", "v")
+    val out = SetOps.compareFrames(a, b, Seq("k"), Seq("s", "v"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "only_a", 2L -> "same", 3L -> "diff",
+      4L -> "only_b"))
+  }
 }

@@ -107,4 +107,20 @@ class TextSpec extends SparkSpec {
       .filter(col("doc") === 1).select("token").as[String].head
     assert(top1 == "unique1")
   }
+
+  test("extractiveSummary picks the most distinctive sentence") {
+    // "aa bb" tokens recur in every sentence (idf 0); the rare-token
+    // sentence wins.
+    val df = Seq(
+      (1L, "aa bb aa bb. rare tokens here. aa bb again")).toDF("doc_id", "text")
+    val r = Keywords.extractiveSummary(df, "doc_id", "text").head
+    assert(r.getAs[String]("summary") == "rare tokens here")
+    assert(r.getAs[Int]("sidx") == 1)
+  }
+
+  test("extractiveSummary ties break to the first sentence") {
+    val df = Seq((1L, "one two. one two")).toDF("doc_id", "text")
+    val r = Keywords.extractiveSummary(df, "doc_id", "text").head
+    assert(r.getAs[Int]("sidx") == 0)
+  }
 }
