@@ -148,14 +148,16 @@ object Inferential {
     * Output: one row (h_stat, dof). */
   def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String)
       : DataFrame = {
+    // gv/perValue are value-domain-sized; persisted so the rank kernel,
+    // the rank join, and the tie sum don't re-aggregate the raw data.
     val gv = df.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
-      .agg(count(lit(1)).as("cgv"))
-    val perValue = gv.groupBy("v").agg(sum("cgv").as("cv"))
+      .agg(count(lit(1)).as("cgv")).persist()
+    val perValue = gv.groupBy("v").agg(sum("cgv").as("cv")).persist()
     val ranked = rank2OverValues(perValue)
     val perGroup = gv.join(ranked.select("v", "rank2"), Seq("v"))
       .groupBy("g")
       .agg(sum(col("cgv") * col("rank2")).as("r2i"), sum("cgv").as("ni"))
-    val ties = ranked.agg(
+    val ties = perValue.agg(
       sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tsum"))
     perGroup
       .agg(
@@ -213,14 +215,14 @@ object Inferential {
     val d = diff.cast("decimal(18,2)")
     val nz = df.select(d.as("d")).filter(col("d") =!= 0)
     val gv = nz.groupBy((col("d") > 0).as("g"), abs(col("d")).as("v"))
-      .agg(count(lit(1)).as("cgv"))
-    val perValue = gv.groupBy("v").agg(sum("cgv").as("cv"))
+      .agg(count(lit(1)).as("cgv")).persist()
+    val perValue = gv.groupBy("v").agg(sum("cgv").as("cv")).persist()
     val ranked = rank2OverValues(perValue)
     val joined = gv.join(ranked.select("v", "rank2"), Seq("v"))
     val stats = joined.agg(
       sum(when(col("g"), col("cgv") * col("rank2")).otherwise(0L)).as("w2p"),
       sum("cgv").as("nl"))
-    val ties = ranked.agg(
+    val ties = perValue.agg(
       sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tsum"))
     stats.crossJoin(ties).select({
       val n = col("nl").cast("double")
