@@ -82,6 +82,31 @@ object RelEntries {
     }),
 
     // §2.8 to_wide — pivot orders to year × priority revenue.
+    // §2.8 melt_q_data (q_utils.py:229): quantile-encoded wide columns
+    // (pred_q0.25…) to long (q, pred) rows.
+    "melt_q" -> ((s, dir) => {
+      val q = col("l_quantity").cast("double")
+      val wide = T.lineitem(s, dir).groupBy("l_returnflag").agg(
+        percentile(q, lit(0.25)).as("pred_q0.25"),
+        percentile(q, lit(0.5)).as("pred_q0.5"),
+        percentile(q, lit(0.75)).as("pred_q0.75"))
+      Reshape.meltQ(wide, Seq("l_returnflag"), "pred")
+        .orderBy("l_returnflag", "q")
+    }),
+
+    // §2.8 pivot_q_data (q_utils.py:532): meltQ ∘ pivotQ round-trip
+    // back to the wide quantile-column convention.
+    "pivot_q" -> ((s, dir) => {
+      val q = col("l_quantity").cast("double")
+      val wide = T.lineitem(s, dir).groupBy("l_returnflag").agg(
+        percentile(q, lit(0.25)).as("pred_q0.25"),
+        percentile(q, lit(0.5)).as("pred_q0.5"),
+        percentile(q, lit(0.75)).as("pred_q0.75"))
+      Reshape.pivotQ(Reshape.meltQ(wide, Seq("l_returnflag"), "pred"),
+          Seq("l_returnflag"), "pred", Seq(0.25, 0.5, 0.75))
+        .orderBy("l_returnflag")
+    }),
+
     "pivot_wide" -> ((s, dir) => {
       Reshape.toWide(T.orders(s, dir).withColumn("order_year", year(col("o_orderdate"))),
           idCols = Seq("order_year"), pivotCol = "o_orderpriority",
@@ -237,6 +262,25 @@ object RelEntries {
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "melt_q" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) q25,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) q50,
+        |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) q75
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS q, q25 AS pred FROM w
+        |UNION ALL SELECT l_returnflag, CAST(0.5 AS DOUBLE), q50 FROM w
+        |UNION ALL SELECT l_returnflag, CAST(0.75 AS DOUBLE), q75 FROM w
+        |ORDER BY l_returnflag, q""".stripMargin,
+
+    "pivot_q" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS "pred_q0.25",
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS "pred_q0.5",
+        |  quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS "pred_q0.75"
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "pivot_wide" ->
       s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,

@@ -98,6 +98,13 @@ object TsEntries {
     "acf" -> ((s, dir) => {
       Temporal.acf(T.events(s, dir), "value", Seq(1, 2), Seq("user_id"), evOrder)
         .orderBy("user_id")
+    }),
+
+    // §2.11 PACF via Durbin–Levinson on the ACF (rows-only: the
+    // recursion is driver-side on the per-series ACF rows).
+    "pacf" -> ((s, dir) => {
+      Temporal.pacf(T.events(s, dir), "value", 3, Seq("user_id"), evOrder)
+        .orderBy("user_id", "lag")
     })
   )
 

@@ -59,4 +59,37 @@ object Reshape {
     }: _*)
     df.withColumn(outCol, labelMap(bin))
   }
+
+  /** Melt quantile-encoded wide columns (`<prefix>_q<level>`, the
+    * reference's `pred_q0.5` convention) into long rows
+    * (idCols…, q double, <prefix>). The level is parsed from the
+    * column NAME — schema work on the driver; the data path is one
+    * explode (no shuffle).
+    * Reference: `melt_q_data` / `reshape_quantile_data`
+    * (gofast/utils/q_utils.py:229, :32). */
+  def meltQ(df: DataFrame, idCols: Seq[String], prefix: String): DataFrame = {
+    val tag = prefix + "_q"
+    val qCols = df.columns.filter(_.startsWith(tag)).sortBy(_.stripPrefix(tag).toDouble)
+    require(qCols.nonEmpty, s"no columns named $tag<level>")
+    val structs = qCols.map { c =>
+      struct(lit(c.stripPrefix(tag).toDouble).as("q"),
+        col(s"`$c`").cast("double").as(prefix))
+    }
+    df.select(idCols.map(col) :+ explode(array(structs: _*)).as("_s"): _*)
+      .select(idCols.map(col) :+ col("_s.q").as("q") :+ col(s"_s.$prefix"): _*)
+  }
+
+  /** Inverse of [[meltQ]]: long (idCols…, q, <prefix>) back to wide
+    * `<prefix>_q<level>` columns. `levels` fixes the pivot values (no
+    * distinct-scan job) and the output column order.
+    * Reference: `pivot_q_data` (gofast/utils/q_utils.py:532). */
+  def pivotQ(df: DataFrame, idCols: Seq[String], prefix: String,
+             levels: Seq[Double]): DataFrame = {
+    val wide = df.groupBy(idCols.map(col): _*)
+      .pivot("q", levels).agg(first(prefix))
+    levels.foldLeft(wide) { (d, q) =>
+      val from = q.toString
+      d.withColumnRenamed(from, s"${prefix}_q$q")
+    }
+  }
 }
