@@ -76,9 +76,9 @@ object Batch10Entries {
     // the exact [q05, q95] band.
     "coverage" -> ((s, dir) => {
       val ev = T.events(s, dir)
-      val b = ev.agg(percentile(col("value"), lit(0.05)),
-                     percentile(col("value"), lit(0.95))).head()
-      val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+      val f = graft.stats.Quantiles
+        .exactPercentiles(ev, "value", Seq(0.05, 0.95))
+      val (lo, hi) = (f(0), f(1))
       ev.groupBy("event_type")
         .agg((sum(when(col("value").between(lo, hi), 1L).otherwise(0L)).cast("double") /
               count(lit(1))).as("coverage"))

@@ -135,12 +135,12 @@ object MoreEntries {
       val li = T.lineitem(s, dir)
         .withColumn("qty_n",
           when(col("l_linenumber") === 5, lit(null)).otherwise(col("l_quantity")))
-      val b = li.agg(
-        percentile(col("l_extendedprice"), lit(0.01)),
-        percentile(col("l_extendedprice"), lit(0.99)),
-        min(col("l_discount")), max(col("l_discount"))).head()
-      val (lo, hi, dLo, dHi) =
-        (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+      // distributed exact fences (the built-in percentile aggregate
+      // merges all values into one buffer — the 100 TB bottleneck)
+      val f = graft.stats.Quantiles
+        .exactPercentiles(li, "l_extendedprice", Seq(0.01, 0.99))
+      val mm = li.agg(min(col("l_discount")), max(col("l_discount"))).head()
+      val (lo, hi, dLo, dHi) = (f(0), f(1), mm.getDouble(0), mm.getDouble(1))
       li.na.fill(Map("qty_n" -> 25.0))
         .withColumn("price_clipped",
           least(greatest(col("l_extendedprice"), lit(lo)), lit(hi)))

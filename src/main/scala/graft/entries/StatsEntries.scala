@@ -47,11 +47,16 @@ object StatsEntries {
         .orderBy("c_mktsegment")
     }),
 
-    // exact percentiles (quartiles, descriptive.py:1084).
+    // exact percentiles (quartiles, descriptive.py:1084) — distributed
+    // order statistics, bit-identical to the percentile aggregate.
     "quantiles_exact" -> ((s, dir) => {
-      T.lineitem(s, dir).groupBy("l_returnflag")
-        .agg(D.quantileAggs(col("l_quantity"), Seq(0.25, 0.5, 0.75)).head,
-             D.quantileAggs(col("l_quantity"), Seq(0.25, 0.5, 0.75)).tail: _*)
+      graft.stats.Quantiles.exactPercentilesByGroup(T.lineitem(s, dir),
+          Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75))
+        .groupBy("l_returnflag").pivot("p", Seq(0.25, 0.5, 0.75))
+        .agg(first("value"))
+        .withColumnRenamed("0.25", "q25")
+        .withColumnRenamed("0.5", "q50")
+        .withColumnRenamed("0.75", "q75")
         .orderBy("l_returnflag")
     }),
 

@@ -167,7 +167,7 @@ object Windows {
     bucketed.join(broadcast(offsets), keyCols)
       .withColumn("_before", col("_off") + coalesce(sum("_cv").over(wLocal), lit(0L)))
       .withColumn("_r2", lit(2L) * col("_before") + col("_cv") + lit(1L))
-      .drop("_bk", "_off", "_before")
+      .drop("_bk", "_off")
   }
 
   /** Per-distinct-value 2×average-rank map for a raw column:
@@ -193,7 +193,7 @@ object Windows {
         partitionCols, valueCol, buckets)
       .withColumnRenamed("_v", valueCol)
       .withColumn(outName, col("_r2").cast("double") / 2.0)
-      .drop("_cv", "_r2")
+      .drop("_cv", "_r2", "_before")
     df.join(rmap, partitionCols :+ valueCol, "left")
   }
 }
