@@ -72,8 +72,8 @@ object Batch12Entries {
 
   private def momentCols(c: String) = {
     val n = s"CAST(COUNT($c) AS DOUBLE)"
-    val sx = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
-    val sxx = s"CAST(SUM(CAST(CAST($c AS DECIMAL(15,2)) * CAST($c AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE)"
+    val sx = s"(CAST(SUM(CAST(ROUND($c * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)"
+    val sxx = s"(CAST(SUM(CAST(ROUND($c * 100, 0) AS BIGINT) * CAST(ROUND($c * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0)"
     s"""SELECT '$c' AS "column", COUNT($c) AS n,
        |  $sx / $n AS mean,
        |  ROUND(SQRT(($sxx - $sx * $sx / $n) / ($n - 1)), 9) AS std,

@@ -84,10 +84,10 @@ object InferEntries {
         |  SELECT
         |    CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
         |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
-        |    CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS sa,
-        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS sb,
-        |    CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(CAST(c_acctbal AS DECIMAL(15,2)) * CAST(c_acctbal AS DECIMAL(15,2)) AS DECIMAL(24,4)) END) AS DOUBLE) AS qa,
-        |    CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(CAST(c_acctbal AS DECIMAL(15,2)) * CAST(c_acctbal AS DECIMAL(15,2)) AS DECIMAL(24,4)) END) AS DOUBLE) AS qb
+        |    (CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) END) AS DOUBLE) / 100.0) AS sa,
+        |    (CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) END) AS DOUBLE) / 100.0) AS sb,
+        |    (CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) END) AS DOUBLE) / 10000.0) AS qa,
+        |    (CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) END) AS DOUBLE) / 10000.0) AS qb
         |  FROM customer WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING'))
         |SELECT
         |  ROUND((sa/na - sb/nb) / SQRT((qa - sa*sa/na)/(na-1)/na + (qb - sb*sb/nb)/(nb-1)/nb), 9) AS t_stat,
@@ -101,8 +101,8 @@ object InferEntries {
     "paired_t" ->
       """WITH m AS (
         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |    CAST(SUM(CAST(l_quantity - l_tax * 100.0 AS DECIMAL(18,2))) AS DOUBLE) AS s,
-        |    CAST(SUM(CAST(CAST(l_quantity - l_tax * 100.0 AS DECIMAL(15,2)) * CAST(l_quantity - l_tax * 100.0 AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE) AS q
+        |    (CAST(SUM(CAST(ROUND((l_quantity - l_tax * 100.0) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS s,
+        |    (CAST(SUM(CAST(ROUND((l_quantity - l_tax * 100.0) * 100, 0) AS BIGINT) * CAST(ROUND((l_quantity - l_tax * 100.0) * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0) AS q
         |  FROM lineitem)
         |SELECT ROUND((s/n) / SQRT(((q - s*s/n)/(n-1))/n), 9) AS t_stat,
         |  CAST(n - 1 AS BIGINT) AS dof
@@ -124,8 +124,8 @@ object InferEntries {
       """WITH g AS (
         |  SELECT c_mktsegment,
         |    CAST(COUNT(*) AS DOUBLE) ni,
-        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) si,
-        |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(15,2)) * CAST(c_acctbal AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE) qi
+        |    (CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) si,
+        |    (CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0) qi
         |  FROM customer GROUP BY 1),
         |t AS (
         |  SELECT SUM(ni) n, CAST(COUNT(*) AS DOUBLE) k, SUM(si) s, SUM(qi) q,
@@ -154,14 +154,14 @@ object InferEntries {
     "cronbach" ->
       """WITH m AS (
         |  SELECT CAST(COUNT(*) AS DOUBLE) n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) s0,
-        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE) q0,
-        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) s1,
-        |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE) q1,
-        |    CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) s2,
-        |    CAST(SUM(CAST(CAST(l_tax AS DECIMAL(15,2)) * CAST(l_tax AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE) q2,
-        |    CAST(SUM(CAST(l_quantity + l_discount + l_tax AS DECIMAL(18,2))) AS DOUBLE) st,
-        |    CAST(SUM(CAST(CAST(l_quantity + l_discount + l_tax AS DECIMAL(15,2)) * CAST(l_quantity + l_discount + l_tax AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE) qt
+        |    (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) s0,
+        |    (CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT) * CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0) q0,
+        |    (CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) s1,
+        |    (CAST(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT) * CAST(ROUND(l_discount * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0) q1,
+        |    (CAST(SUM(CAST(ROUND(l_tax * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) s2,
+        |    (CAST(SUM(CAST(ROUND(l_tax * 100, 0) AS BIGINT) * CAST(ROUND(l_tax * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0) q2,
+        |    (CAST(SUM(CAST(ROUND((l_quantity + l_discount + l_tax) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) st,
+        |    (CAST(SUM(CAST(ROUND((l_quantity + l_discount + l_tax) * 100, 0) AS BIGINT) * CAST(ROUND((l_quantity + l_discount + l_tax) * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0) qt
         |  FROM lineitem)
         |SELECT ROUND(1.5 * (1.0 -
         |    (((q0 - s0*s0/n)/(n-1) + (q1 - s1*s1/n)/(n-1)) + (q2 - s2*s2/n)/(n-1))
@@ -197,12 +197,12 @@ object InferEntries {
         |  SELECT l_returnflag g, quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) med
         |  FROM lineitem GROUP BY 1),
         |z AS (
-        |  SELECT g, CAST(ABS(CAST(l_quantity AS DOUBLE) - med) AS DECIMAL(15,3)) z
+        |  SELECT g, CAST(ROUND(ABS(CAST(l_quantity AS DOUBLE) - med) * 1000, 0) AS BIGINT) zl
         |  FROM lineitem JOIN med ON l_returnflag = g),
         |pg AS (
         |  SELECT g, CAST(COUNT(*) AS DOUBLE) ni,
-        |    CAST(SUM(z) AS DOUBLE) szi,
-        |    CAST(SUM(CAST(z * z AS DECIMAL(24,6))) AS DOUBLE) qzi
+        |    (CAST(SUM(zl) AS DOUBLE) / 1000.0) szi,
+        |    (CAST(SUM(zl * zl) AS DOUBLE) / 1000000.0) qzi
         |  FROM z GROUP BY g),
         |t AS (
         |  SELECT SUM(ni) n, CAST(COUNT(*) AS DOUBLE) k, SUM(szi) sz, SUM(qzi) qz,

@@ -15,12 +15,14 @@ import graft.ts.Interpolate
   */
 object MoreEntries {
 
-  // shared moment-sum SQL (same trees as graft.stats.Descriptive).
-  private def sx(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+  // shared moment-sum SQL (same trees as graft.stats.Descriptive):
+  // scaled-long products, exact accumulation, one de-scaling division.
+  private def sx(c: String) =
+    s"(CAST(SUM(CAST(ROUND($c * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)"
   private def sxx(c: String) =
-    s"CAST(SUM(CAST(CAST($c AS DECIMAL(15,2)) * CAST($c AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE)"
+    s"(CAST(SUM(CAST(ROUND($c * 100, 0) AS BIGINT) * CAST(ROUND($c * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0)"
   private def sxy(a: String, b: String) =
-    s"CAST(SUM(CAST(CAST($a AS DECIMAL(15,2)) * CAST($b AS DECIMAL(15,2)) AS DECIMAL(32,4))) AS DOUBLE)"
+    s"(CAST(SUM(CAST(ROUND($a * 100, 0) AS BIGINT) * CAST(ROUND($b * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0)"
 
   private def eventsGapped(s: SparkSession, dir: String): DataFrame =
     T.events(s, dir).withColumn("value_n",

@@ -15,10 +15,13 @@ object StatsEntries {
 
   // SQL mirrors of Descriptive.powerSum — identical casts, identical
   // double expression trees, so both engines produce the same bits.
+  // scaled-long moments, mirroring Descriptive.powerSum/crossSum: per-row
+  // products in BIGINT (codegen'd both engines), exact HUGEINT/decimal(38)
+  // accumulation, one deterministic de-scaling division.
   private def sx(c: String) =
-    s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+    s"(CAST(SUM(CAST(ROUND($c * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0)"
   private def sxx(c: String) =
-    s"CAST(SUM(CAST(CAST($c AS DECIMAL(15,2)) * CAST($c AS DECIMAL(15,2)) AS DECIMAL(24,4))) AS DOUBLE)"
+    s"(CAST(SUM(CAST(ROUND($c * 100, 0) AS BIGINT) * CAST(ROUND($c * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0)"
   private def sx3(c: String) =
     s"CAST(SUM(CAST(CAST($c AS DECIMAL(12,2)) * CAST($c AS DECIMAL(12,2)) * CAST($c AS DECIMAL(12,2)) AS DECIMAL(30,6))) AS DOUBLE)"
   // DuckDB computes a DECIMAL(18)×DECIMAL(18) product in int64 and
@@ -27,7 +30,7 @@ object StatsEntries {
   private def sx4(c: String) =
     s"CAST(SUM(CAST(CAST(CAST($c AS DECIMAL(9,2)) * CAST($c AS DECIMAL(9,2)) AS DECIMAL(19,4)) * CAST(CAST($c AS DECIMAL(9,2)) * CAST($c AS DECIMAL(9,2)) AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)"
   private def sxy(a: String, b: String) =
-    s"CAST(SUM(CAST(CAST($a AS DECIMAL(15,2)) * CAST($b AS DECIMAL(15,2)) AS DECIMAL(32,4))) AS DOUBLE)"
+    s"(CAST(SUM(CAST(ROUND($a * 100, 0) AS BIGINT) * CAST(ROUND($b * 100, 0) AS BIGINT)) AS DOUBLE) / 10000.0)"
   private def nD(c: String) = s"CAST(COUNT($c) AS DOUBLE)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

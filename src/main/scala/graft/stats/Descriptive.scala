@@ -23,11 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Descriptive {
 
-  /** Exact decimal power sum Σ xᵏ for 2-decimal inputs.
-    * Intermediate casts keep precision ≤ 38 on both Spark and DuckDB. */
+  /** x·100 as an exact long for 2-decimal inputs — keeps per-row moment
+    * products in codegen'd integer arithmetic (Spark's decimal multiply
+    * boxes to java.math.BigDecimal on EVERY row; long·long is a single
+    * JIT instruction). The decimal(38,0) accumulator stays on the
+    * compact-long fast path until the running sum exceeds 2⁶³. */
+  private[stats] def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  /** Exact de-scaled cross-moment Σa·b via cents products. */
+  private[stats] def crossSum(a: Column, b: Column): Column =
+    sum((cents(a) * cents(b)).cast("decimal(38,0)")).cast("double") / 10000.0
+
+  /** Exact power sum Σ xᵏ for 2-decimal inputs, de-scaled to value
+    * units. k ≤ 2 runs on scaled-long products (codegen'd); k = 3, 4
+    * stay decimal — a 4th power of cents overflows int64 for values
+    * above ~550. Intermediate casts keep precision ≤ 38 on both Spark
+    * and DuckDB. */
   private def powerSum(c: Column, k: Int): Column = k match {
-    case 1 => sum(c.cast("decimal(18,2)")).cast("double")
-    case 2 => sum((c.cast("decimal(15,2)") * c.cast("decimal(15,2)")).cast("decimal(24,4)")).cast("double")
+    case 1 => sum(cents(c).cast("decimal(38,0)")).cast("double") / 100.0
+    case 2 => crossSum(c, c)
     case 3 => sum((c.cast("decimal(12,2)") * c.cast("decimal(12,2)") * c.cast("decimal(12,2)")).cast("decimal(30,6)")).cast("double")
     case 4 => sum(((c.cast("decimal(9,2)") * c.cast("decimal(9,2)")).cast("decimal(18,4)") *
                    (c.cast("decimal(9,2)") * c.cast("decimal(9,2)")).cast("decimal(18,4)")).cast("decimal(36,8)")).cast("double")
@@ -136,9 +150,8 @@ object Descriptive {
     * Reference: `z_scores` (descriptive.py:2356). */
   def zscores(df: DataFrame, valueCol: String, outName: String = "z"): DataFrame = {
     val n = count(col(valueCol)).cast("double")
-    val sx = sum(col(valueCol).cast("decimal(18,2)")).cast("double")
-    val sxx = sum((col(valueCol).cast("decimal(15,2)") * col(valueCol).cast("decimal(15,2)"))
-      .cast("decimal(24,4)")).cast("double")
+    val sx = powerSum(col(valueCol), 1)
+    val sxx = powerSum(col(valueCol), 2)
     // mean/std become TWO rounded driver scalars; the per-row projection
     // is then exact IEEE arithmetic — no per-row rounding, so the
     // round-boundary risk is O(1) per query instead of O(rows).
@@ -174,11 +187,11 @@ object Descriptive {
     * (relationships.py:32). */
   def corrExact(x: Column, y: Column): Column = {
     val n = count(lit(1)).cast("double")
-    val sx = sum(x.cast("decimal(15,2)")).cast("double")
-    val sy = sum(y.cast("decimal(15,2)")).cast("double")
-    val sxy = sum((x.cast("decimal(15,2)") * y.cast("decimal(15,2)")).cast("decimal(32,4)")).cast("double")
-    val sxx = sum((x.cast("decimal(15,2)") * x.cast("decimal(15,2)")).cast("decimal(32,4)")).cast("double")
-    val syy = sum((y.cast("decimal(15,2)") * y.cast("decimal(15,2)")).cast("decimal(32,4)")).cast("double")
+    val sx = powerSum(x, 1)
+    val sy = powerSum(y, 1)
+    val sxy = crossSum(x, y)
+    val sxx = crossSum(x, x)
+    val syy = crossSum(y, y)
     // squared sums can exceed the 2^53 cast-exact range for wide-valued
     // columns, where Spark's and DuckDB's decimal->double casts differ in
     // the last bit -> round the O(1) statistic.
@@ -188,9 +201,9 @@ object Descriptive {
   /** Sample covariance from exact decimal cross-moments. */
   def covExact(x: Column, y: Column): Column = {
     val n = count(lit(1)).cast("double")
-    val sx = sum(x.cast("decimal(15,2)")).cast("double")
-    val sy = sum(y.cast("decimal(15,2)")).cast("double")
-    val sxy = sum((x.cast("decimal(15,2)") * y.cast("decimal(15,2)")).cast("decimal(32,4)")).cast("double")
+    val sx = powerSum(x, 1)
+    val sy = powerSum(y, 1)
+    val sxy = crossSum(x, y)
     round((sxy - sx * sy / n) / (n - 1), 9)
   }
 }

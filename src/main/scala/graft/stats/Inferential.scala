@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Inferential {
 
-  private def s1(c: Column) = sum(c.cast("decimal(18,2)")).cast("double")
+  // Scaled-long moments (x·100 exact ints): per-row products stay in
+  // codegen'd integer arithmetic, the decimal(38,0) accumulator is
+  // exact, and one de-scaling division is deterministic on both engines.
+  private def cents(c: Column) = round(c * 100, 0).cast("long")
+  private def s1(c: Column) =
+    sum(cents(c).cast("decimal(38,0)")).cast("double") / 100.0
   private def s2(c: Column) =
-    sum((c.cast("decimal(15,2)") * c.cast("decimal(15,2)")).cast("decimal(24,4)")).cast("double")
+    sum((cents(c) * cents(c)).cast("decimal(38,0)")).cast("double") / 10000.0
 
   /** Welch's two-sample t: per-group moments → t and Welch df.
     * Reference: `t_test_independent` (inferential.py:388).
@@ -30,12 +35,10 @@ object Inferential {
     val base = df.filter(isA || isB).agg(
       sum(when(isA, 1L).otherwise(0L)).cast("double").as("na"),
       sum(when(isB, 1L).otherwise(0L)).cast("double").as("nb"),
-      sum(when(isA, c.cast("decimal(18,2)"))).cast("double").as("sa"),
-      sum(when(isB, c.cast("decimal(18,2)"))).cast("double").as("sb"),
-      sum(when(isA, (c.cast("decimal(15,2)") * c.cast("decimal(15,2)")).cast("decimal(24,4)")))
-        .cast("double").as("qa"),
-      sum(when(isB, (c.cast("decimal(15,2)") * c.cast("decimal(15,2)")).cast("decimal(24,4)")))
-        .cast("double").as("qb"))
+      (sum(when(isA, cents(c)).cast("decimal(38,0)")).cast("double") / 100.0).as("sa"),
+      (sum(when(isB, cents(c)).cast("decimal(38,0)")).cast("double") / 100.0).as("sb"),
+      (sum(when(isA, cents(c) * cents(c)).cast("decimal(38,0)")).cast("double") / 10000.0).as("qa"),
+      (sum(when(isB, cents(c) * cents(c)).cast("decimal(38,0)")).cast("double") / 10000.0).as("qb"))
     base.select(
       {
         val va = (col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
@@ -55,9 +58,8 @@ object Inferential {
   def pairedTTest(df: DataFrame, diff: Column): DataFrame = {
     val d = diff.cast("decimal(18,2)")
     df.agg(count(d).cast("double").as("n"),
-        sum(d).cast("double").as("s"),
-        sum((diff.cast("decimal(15,2)") * diff.cast("decimal(15,2)")).cast("decimal(24,4)"))
-          .cast("double").as("q"))
+        (sum(cents(diff).cast("decimal(38,0)")).cast("double") / 100.0).as("s"),
+        (sum((cents(diff) * cents(diff)).cast("decimal(38,0)")).cast("double") / 10000.0).as("q"))
       .select({
         val mean = col("s") / col("n")
         val varS = (col("q") - col("s") * col("s") / col("n")) / (col("n") - 1)
@@ -184,14 +186,14 @@ object Inferential {
   def levene(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     val meds = df.groupBy(col(groupCol).as("_lev_g"))
       .agg(percentile(col(valueCol).cast("double"), lit(0.5)).as("_lev_med"))
-    val z = abs(col(valueCol).cast("double") - col("_lev_med"))
-      .cast("decimal(15,3)")
+    val zl = round(abs(col(valueCol).cast("double") - col("_lev_med")) * 1000, 0)
+      .cast("long")
     val perGroup = df
       .join(broadcast(meds), df(groupCol) === meds("_lev_g"))
       .groupBy("_lev_g")
       .agg(count(lit(1)).cast("double").as("ni"),
-           sum(z).cast("double").as("szi"),
-           sum((z * z).cast("decimal(24,6)")).cast("double").as("qzi"))
+           (sum(zl.cast("decimal(38,0)")).cast("double") / 1000.0).as("szi"),
+           (sum((zl * zl).cast("decimal(38,0)")).cast("double") / 1000000.0).as("qzi"))
     perGroup
       .agg(sum("ni").as("n"), count(lit(1)).cast("double").as("k"),
            sum("szi").as("sz"), sum("qzi").as("qz"),
@@ -294,9 +296,8 @@ object Inferential {
       items.zipWithIndex.flatMap { case (it, i) =>
         Seq(s1(col(it)).as(s"s$i"), s2(col(it)).as(s"q$i"))
       } ++ Seq(
-        sum(total.cast("decimal(18,2)")).cast("double").as("st"),
-        sum((total.cast("decimal(15,2)") * total.cast("decimal(15,2)")).cast("decimal(24,4)"))
-          .cast("double").as("qt"),
+        (sum(cents(total).cast("decimal(38,0)")).cast("double") / 100.0).as("st"),
+        (sum((cents(total) * cents(total)).cast("decimal(38,0)")).cast("double") / 10000.0).as("qt"),
         count(lit(1)).cast("double").as("n"))
     df.agg(aggs.head, aggs.tail: _*).select {
       val n = col("n")
