@@ -9,8 +9,26 @@ import org.apache.spark.sql.SparkSession
   * and eliminate sorts that don't change the row count, the noop sink
   * evaluates every output column of every row (honest end-to-end cost,
   * no result-collection or disk cost).
+  *
+  * Output contract: the FINAL stdout line is a single JSON object
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * The driver only retains the last ~2000 characters of output, so the
+  * final line carries a headline subset of per-query times (3 dp) and
+  * stays well under that limit; the full per-query map is printed on
+  * the preceding `BENCHALL` diagnostic line.
   */
 object Bench {
+  /** Representative queries across the operator families for the
+    * compact headline map (full map goes on the BENCHALL line). */
+  private val headline = Seq(
+    "smart_group", "merge_datasets", "asof_join", "topk_per_group",
+    "pivot_wide", "quantiles_exact", "describe", "corr_matrix",
+    "rank_window", "moving_avg", "decompose_seasonal", "acf",
+    "sessionize", "audit_composite", "dedup_exact", "minhash_pairs",
+    "simhash_pairs", "cosine_topk", "lang_id", "text_quality",
+    "extractive_summary", "sql_window", "ols_residuals",
+    "kruskal_wallis", "zscore")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,16 +48,26 @@ object Bench {
     // so the first measured queries aren't charged for it
     for (w <- Seq("smart_group", "rank_window", "merge_datasets", "token_stats"))
       try exec(w) catch { case _: Throwable => }
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.map { case (name, _) =>
       val t0 = System.nanoTime()
       try exec(name) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // entries persist() intermediates; drop them so storage doesn't
+      // accumulate across 120+ queries and skew later timings via GC
+      spark.catalog.clearCache()
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = "%.3f".format(v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val allQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"BENCHALL $allQs")
+    val qs = headline.filter(results.contains)
+      .map(k => s"\"" + k + "\":" + fmt(results(k)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
