@@ -37,7 +37,8 @@ object SparkEntry {
       entries.Batch10Entries.queries ++
       entries.Batch11Entries.queries ++
       entries.Batch12Entries.queries ++
-      entries.Batch13Entries.queries
+      entries.Batch13Entries.queries ++
+      entries.Batch14Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -53,7 +54,8 @@ object SparkEntry {
       entries.Batch10Entries.oracleSql ++
       entries.Batch11Entries.oracleSql ++
       entries.Batch12Entries.oracleSql ++
-      entries.Batch13Entries.oracleSql
+      entries.Batch13Entries.oracleSql ++
+      entries.Batch14Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -40,15 +40,13 @@ object Batch10Entries {
     // exact power-of-two scaling.
     "spearman" -> ((s, dir) => {
       val li = T.lineitem(s, dir)
-      val rq = Windows.rank2ByValue(li, Seq("l_returnflag"), "l_quantity")
-        .select(col("l_returnflag"), col("_v").as("l_quantity"),
-          col("_r2").as("r2q"))
-      val rp = Windows.rank2ByValue(li, Seq("l_returnflag"), "l_extendedprice")
-        .select(col("l_returnflag"), col("_v").as("l_extendedprice"),
-          col("_r2").as("r2p"))
-      val base = li.select("l_returnflag", "l_quantity", "l_extendedprice")
-        .join(broadcast(rq), Seq("l_returnflag", "l_quantity"))
-        .join(rp, Seq("l_returnflag", "l_extendedprice"))
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+      // per-row two-phase ranks: no distinct-value join-back — the
+      // price domain is near-unique, so a rank map would be as large
+      // as the data and the join-back the dominant shuffle
+      val base = Windows.rank2Rows(
+        Windows.rank2Rows(li, Seq("l_returnflag"), "l_quantity", "r2q"),
+        Seq("l_returnflag"), "l_extendedprice", "r2p")
       val n = count(lit(1)).cast("double")
       def s1(c: String) = sum(c).cast("double")
       def s2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

@@ -1,0 +1,243 @@
+package graft.entries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.ml.Similarity
+import graft.ts.PerGroup
+
+/** Round-4 batch: cross-correlation, equal-width histograms, Laplace
+  * smoothing, NTILE, KPSS, and the embedding-cosine near-dup /
+  * IVF-search north-star entries.
+  */
+object Batch14Entries {
+
+  /** Exact decimal cross-moment Pearson corr(x, y) with null-pair
+    * masking, rounded 9 — the Temporal.acf kernel generalized to two
+    * distinct series (ts_corr_analysis cross-correlation,
+    * gofast/utils/ts_utils.py:2913). */
+  private def xcorr(x: Column, y: Column): Column = {
+    val xd = x.cast("decimal(12,3)")
+    val yd = y.cast("decimal(12,3)")
+    val m = x.isNotNull && y.isNotNull
+    val n = sum(when(m, 1L).otherwise(0L)).cast("double")
+    val sx = sum(when(m, xd)).cast("double")
+    val sy = sum(when(m, yd)).cast("double")
+    val sxy = sum(when(m, (xd * yd).cast("decimal(28,6)"))).cast("double")
+    val sxx = sum(when(m, (xd * xd).cast("decimal(28,6)"))).cast("double")
+    val syy = sum(when(m, (yd * yd).cast("decimal(28,6)"))).cast("double")
+    round((n * sxy - sx * sy) /
+      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9)
+  }
+
+  /** Deterministic near-dup planting for the embedding table: copy
+    * every vector with its last 8 components scaled 1.5× (float math,
+    * engine-portable). Planted pairs land at cosine ≈ 0.98; every
+    * cross pair stays ≤ 0.61 at all scale factors, so the 0.9
+    * threshold has a ~0.3 safety margin. */
+  private def withPlantedDups(emb: DataFrame): DataFrame = {
+    val pert = emb.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      concat(slice(col("embedding"), 1, 56),
+        transform(slice(col("embedding"), 57, 8), v => v * lit(1.5f)))
+        .as("embedding"))
+    emb.select("vec_id", "embedding").unionByName(pert)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.11 ts_corr_analysis (ts_utils.py:2913): cross-correlation of
+    // `value` against a second per-event signal (props length) at lags
+    // 0..2, per series. Same one-shuffle sufficient-statistics plan as
+    // ACF: lags via the series window, then one groupBy.
+    "ccf" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val xlen = length(col("props")).cast("long")
+      val d = T.events(s, dir)
+        .withColumn("_x0", xlen)
+        .withColumn("_x1", lag(xlen, 1).over(w))
+        .withColumn("_x2", lag(xlen, 2).over(w))
+      d.groupBy("user_id").agg(
+          xcorr(col("value"), col("_x0")).as("ccf0"),
+          xcorr(col("value"), col("_x1")).as("ccf1"),
+          xcorr(col("value"), col("_x2")).as("ccf2"))
+        .orderBy("user_id")
+    }),
+
+    // §2.9 calculate_histogram_bins (mathext.py:2920): 20 equal-width
+    // bins over l_extendedprice. Bounds from one tiny agg (broadcast
+    // back), bin arithmetic is pure IEEE on identical inputs — no
+    // rounding needed anywhere.
+    "histogram" -> ((s, dir) => {
+      val li = T.lineitem(s, dir)
+      val b = li.agg(min("l_extendedprice").as("_lo"),
+        max("l_extendedprice").as("_hi"))
+      val w = (col("_hi") - col("_lo")) / lit(20.0)
+      li.crossJoin(broadcast(b))
+        .withColumn("bin",
+          least(floor((col("l_extendedprice") - col("_lo")) / w), lit(19L)))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          (min("_lo") + col("bin") * ((min("_hi") - min("_lo")) / lit(20.0)))
+            .as("bin_lo"))
+        .orderBy("bin")
+    }),
+
+    // §2.4 laplace_smoothing_categorical (gofast/utils/ml/utils.py:688):
+    // add-one smoothed class probabilities. Integer-exact until the one
+    // final double division.
+    "laplace_smooth" -> ((s, dir) => {
+      val o = T.orders(s, dir)
+      val counts = o.groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum("cnt").as("n"), count(lit(1)).as("k"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"), col("cnt"),
+          ((col("cnt") + lit(1L)).cast("double") /
+            (col("n") + col("k")).cast("double")).as("p_smooth"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // §2.5 ranking family: NTILE(4) quartile buckets per priority with
+    // per-bucket exact-decimal revenue. Deterministic tiebreak on
+    // o_orderkey. (Per-group ordered window: parallelism = #groups —
+    // fine for few large groups only when the group fits a task; the
+    // distributed alternative for the same statistic is rank2Rows /
+    // exactPercentiles.)
+    "ntile_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T.orders(s, dir)
+        .withColumn("tile", ntile(4).over(w))
+        .groupBy("o_orderpriority", "tile")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderpriority", "tile")
+    }),
+
+    // north-star dedup: embedding-cosine near-duplicate pairs over the
+    // planted corpus. Brute-force n² candidate generation with the
+    // codegen'd cosine kernel — the oracle-checkable baseline; the LSH
+    // bucketed variant (lsh_cosine_join) is the 100 TB path.
+    "embed_dedup" -> ((s, dir) => {
+      val all = withPlantedDups(T.embeddings(s, dir))
+      val a = all.select(col("vec_id").as("id_a"), col("embedding").as("_ea"))
+      val b = all.select(col("vec_id").as("id_b"), col("embedding").as("_eb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+      pairs
+        .select(col("id_a"), col("id_b"),
+          Similarity.cosineNative(pairs, col("_ea"), col("_eb")).as("_cos"))
+        .filter(col("_cos") >= 0.9)
+        .select(col("id_a"), col("id_b"), round(col("_cos"), 9).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // north-star similarity search: IVF index probed exhaustively
+    // (nprobe = nlist), which must reproduce the brute-force top-k
+    // exactly — an oracle-checked completeness proof of the
+    // bucket-partitioned index (no vector lost to bucketing).
+    "ivf_topk" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 1)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 16)
+      idx.search(q, k = 15, nprobe = 16)
+        .withColumn("cos", round(col("cos"), 9))
+    }),
+
+    // ---- rows-only: per-series stationarity fit via flatMapGroups ----
+    "kpss" -> ((s, dir) => {
+      PerGroup.kpss(T.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", "ts_us", "value")
+        .orderBy("user_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ccf" -> {
+      def sums(k: Int) =
+        s"""CAST(SUM(CASE WHEN m$k THEN 1 ELSE 0 END) AS DOUBLE) AS n$k,
+           |    CAST(SUM(CASE WHEN m$k THEN xd END) AS DOUBLE) AS sx$k,
+           |    CAST(SUM(CASE WHEN m$k THEN yd$k END) AS DOUBLE) AS sy$k,
+           |    CAST(SUM(CASE WHEN m$k THEN CAST(xd * yd$k AS DECIMAL(28,6)) END) AS DOUBLE) AS sxy$k,
+           |    CAST(SUM(CASE WHEN m$k THEN CAST(xd * xd AS DECIMAL(28,6)) END) AS DOUBLE) AS sxx$k,
+           |    CAST(SUM(CASE WHEN m$k THEN CAST(yd$k * yd$k AS DECIMAL(28,6)) END) AS DOUBLE) AS syy$k""".stripMargin
+      def corrK(k: Int) =
+        s"""ROUND((n$k * sxy$k - sx$k * sy$k) /
+           |    (SQRT(n$k * sxx$k - sx$k * sx$k) * SQRT(n$k * syy$k - sy$k * sy$k)), 9)""".stripMargin
+      s"""WITH l AS (
+         |  SELECT user_id, CAST(value AS DECIMAL(12,3)) AS xd,
+         |    CAST(length(props) AS DECIMAL(12,3)) AS yd0,
+         |    CAST(LAG(length(props), 1) OVER w AS DECIMAL(12,3)) AS yd1,
+         |    CAST(LAG(length(props), 2) OVER w AS DECIMAL(12,3)) AS yd2,
+         |    value IS NOT NULL AND length(props) IS NOT NULL AS m0,
+         |    value IS NOT NULL AND LAG(length(props), 1) OVER w IS NOT NULL AS m1,
+         |    value IS NOT NULL AND LAG(length(props), 2) OVER w IS NOT NULL AS m2
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |m AS (
+         |  SELECT user_id,
+         |    ${sums(0)},
+         |    ${sums(1)},
+         |    ${sums(2)}
+         |  FROM l GROUP BY user_id)
+         |SELECT user_id, ${corrK(0)} AS ccf0, ${corrK(1)} AS ccf1, ${corrK(2)} AS ccf2
+         |FROM m ORDER BY user_id""".stripMargin
+    },
+
+    "histogram" ->
+      """WITH b AS (SELECT MIN(l_extendedprice) lo, MAX(l_extendedprice) hi FROM lineitem),
+        |binned AS (
+        |  SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+        |               19) AS bin
+        |  FROM lineitem, b)
+        |SELECT bin, COUNT(*) AS n,
+        |  (SELECT lo FROM b) + bin * (((SELECT hi FROM b) - (SELECT lo FROM b)) / 20.0) AS bin_lo
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "laplace_smooth" ->
+      """WITH c AS (SELECT o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS n, COUNT(*) AS k FROM c)
+        |SELECT o_orderpriority, cnt,
+        |  CAST(cnt + 1 AS DOUBLE) / CAST(n + k AS DOUBLE) AS p_smooth
+        |FROM c, t ORDER BY o_orderpriority""".stripMargin,
+
+    "ntile_window" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS INT) AS tile
+        |  FROM orders)
+        |SELECT o_orderpriority, tile, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "embed_dedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |pert AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_concat(embedding[1:56],
+        |      list_transform(embedding[57:64], v -> CAST(v * CAST(1.5 AS FLOAT) AS FLOAT))) AS embedding
+        |  FROM base),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |     * SQRT(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(c, 9) AS cos FROM p
+        |WHERE c >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    "ivf_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(list_zip(embedding, qe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |      / (SQRT(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * SQRT(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM embeddings, q)
+        |SELECT vec_id, ROUND(cos, 9) AS cos FROM scored
+        |ORDER BY cos DESC, vec_id LIMIT 15""".stripMargin
+  )
+}

@@ -181,19 +181,62 @@ object Windows {
     rank2OfCounts(pv, partitionCols, buckets)
   }
 
-  /** Exact average rank (pandas `rank(method='average')`): the
-    * [[rank2ByValue]] map joined back on (group, value) — a broadcast
-    * join whenever the value domain is small, a distributed hash join
-    * otherwise; never a single-task per-group sort. Rows with a null
-    * value get a null rank (pandas `na_option='keep'`). */
+  /** Per-row 2×average-rank attached directly to the rows — the
+    * two-phase bucket kernel of [[rank2OfCounts]] applied to the row
+    * set itself, so near-unique value domains (where the distinct-value
+    * count table is as big as the data) don't pay a groupBy + join-back
+    * shuffle pair on (group, value).
+    *
+    * Plan shape: per-group min/max (tiny agg, broadcast) assigns each
+    * row a `width_bucket` (monotone, so bucket order == value order and
+    * ties share a bucket) → per-bucket row counts → running offsets
+    * over ≤`buckets` rows per group (tiny window, broadcast back) →
+    * ONE window over (group, bucket) yielding both `rank()` (min rank
+    * among ties) and a RANGE-frame `count()` (rows with value ≤ v);
+    * 2·avgRank = 2·offset + rank + cntLE, an exact bigint. Rows with a
+    * null value keep a null rank (pandas `na_option='keep'`): they land
+    * in a null bucket that no offset row matches. */
+  def rank2Rows(df: DataFrame, partitionCols: Seq[String], valueCol: String,
+                outName: String, buckets: Int = 256): DataFrame = {
+    val g = partitionCols.map(col)
+    val v = col(valueCol)
+    val bounds = df.filter(v.isNotNull).groupBy(g: _*)
+      .agg(min(v.cast("double")).as("_lo"), max(v.cast("double")).as("_hi"))
+    val withBounds =
+      if (partitionCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds), partitionCols, "left")
+    val bucket = when(v.isNull, lit(null))
+      .when(col("_hi") <= col("_lo"), lit(1))
+      .otherwise(least(
+        width_bucket(v.cast("double"), col("_lo"), col("_hi"), lit(buckets)),
+        lit(buckets)))
+    val bucketed = withBounds.withColumn("_bk", bucket).drop("_lo", "_hi")
+    val keyCols = partitionCols :+ "_bk"
+    val bucketCounts = bucketed.filter(col("_bk").isNotNull)
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_c"))
+    val wOff = Window.partitionBy(g: _*).orderBy(col("_bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketCounts
+      .withColumn("_off", coalesce(sum("_c").over(wOff), lit(0L)))
+      .drop("_c")
+    val wLocal = Window.partitionBy(keyCols.map(col): _*).orderBy(v)
+    val cntLE = count(lit(1))
+      .over(wLocal.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    bucketed.join(broadcast(offsets), keyCols, "left")
+      .withColumn(outName,
+        when(v.isNull, lit(null))
+          .otherwise(lit(2L) * col("_off") + rank().over(wLocal) + cntLE))
+      .drop("_bk", "_off")
+  }
+
+  /** Exact average rank (pandas `rank(method='average')`): per-row
+    * [[rank2Rows]] halved — no single-task per-group sort, no
+    * distinct-value join-back. Rows with a null value get a null rank
+    * (pandas `na_option='keep'`). */
   def distributedAvgRank(df: DataFrame, partitionCols: Seq[String],
                          valueCol: String, outName: String = "avg_rank",
-                         buckets: Int = 256): DataFrame = {
-    val rmap = rank2ByValue(df.filter(col(valueCol).isNotNull),
-        partitionCols, valueCol, buckets)
-      .withColumnRenamed("_v", valueCol)
-      .withColumn(outName, col("_r2").cast("double") / 2.0)
-      .drop("_cv", "_r2", "_before")
-    df.join(rmap, partitionCols :+ valueCol, "left")
-  }
+                         buckets: Int = 256): DataFrame =
+    rank2Rows(df, partitionCols, valueCol, "_r2x", buckets)
+      .withColumn(outName, col("_r2x").cast("double") / 2.0)
+      .drop("_r2x")
 }
