@@ -197,7 +197,8 @@ object Windows {
     * null value keep a null rank (pandas `na_option='keep'`): they land
     * in a null bucket that no offset row matches. */
   def rank2Rows(df: DataFrame, partitionCols: Seq[String], valueCol: String,
-                outName: String, buckets: Int = 256): DataFrame = {
+                outName: String, buckets: Int = 256,
+                tieCountCol: Option[String] = None): DataFrame = {
     val g = partitionCols.map(col)
     val v = col(valueCol)
     val bounds = df.filter(v.isNotNull).groupBy(g: _*)
@@ -222,11 +223,19 @@ object Windows {
     val wLocal = Window.partitionBy(keyCols.map(col): _*).orderBy(v)
     val cntLE = count(lit(1))
       .over(wLocal.rangeBetween(Window.unboundedPreceding, Window.currentRow))
-    bucketed.join(broadcast(offsets), keyCols, "left")
+    val withRank = bucketed.join(broadcast(offsets), keyCols, "left")
       .withColumn(outName,
         when(v.isNull, lit(null))
           .otherwise(lit(2L) * col("_off") + rank().over(wLocal) + cntLE))
-      .drop("_bk", "_off")
+    // tie multiplicity of the row's value (cv = cntLE − rank + 1), from
+    // the same window — lets callers fold tie corrections Σ(cv³−cv) as
+    // Σ_rows(cv²−1) without a distinct-value aggregation
+    tieCountCol.fold(withRank.drop("_bk", "_off")) { cvName =>
+      withRank.withColumn(cvName,
+          when(v.isNull, lit(null))
+            .otherwise(cntLE - rank().over(wLocal) + lit(1L)))
+        .drop("_bk", "_off")
+    }
   }
 
   /** Exact average rank (pandas `rank(method='average')`): per-row
