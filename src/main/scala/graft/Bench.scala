@@ -32,6 +32,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev-only subset filter (comma-separated names); driver leaves unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,7 +53,9 @@ object Bench {
       try exec(w) catch { case _: Throwable => }
     spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.map { case (name, _) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, _) =>
       val t0 = System.nanoTime()
       try exec(name) catch { case _: Throwable => }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -59,7 +64,10 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    def fmt(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: the driver parses this JSON; a comma decimal
+    // separator under e.g. de_DE would break it.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val allQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -101,16 +101,21 @@ object Batch10Entries {
         .orderBy("user_id")
     }),
 
-    // ---- rows-only: per-series model fit via flatMapGroups ----
-
+    // §2.11 ADF, distributed closed form: one lag window + one groupBy
+    // of exact-decimal sufficient statistics, Cramer-rule solve in the
+    // projection — no per-series materialization (PerGroup.adf is the
+    // bounded-series API variant; this is the 100 TB plan).
     "adf" -> ((s, dir) => {
-      PerGroup.adf(T.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
-          "user_id", "ts_us", "value")
+      graft.ts.Stationarity.adf(T.events(s, dir), "user_id",
+          Seq(col("ts"), col("event_id")), "value")
         .orderBy("user_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "adf" -> (graft.ts.Stationarity.adfSql("events", "user_id",
+      "ts, event_id", "value") + "\nORDER BY user_id"),
+
     // Replays the Spark-side recursion num_t = v + (1-0.3)*num,
     // den_t = 1 + (1-0.3)*den (adjust=True ewm) with the identical
     // IEEE expression tree; list_reduce seeds acc with the first

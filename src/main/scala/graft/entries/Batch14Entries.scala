@@ -73,9 +73,12 @@ object Batch14Entries {
       val b = li.agg(min("l_extendedprice").as("_lo"),
         max("l_extendedprice").as("_hi"))
       val w = (col("_hi") - col("_lo")) / lit(20.0)
+      // hi==lo guard: degenerate one-value domain puts everything in
+      // bin 0 on both engines (0/0 = NaN would diverge Spark vs DuckDB).
       li.crossJoin(broadcast(b))
         .withColumn("bin",
-          least(floor((col("l_extendedprice") - col("_lo")) / w), lit(19L)))
+          when(col("_hi") <= col("_lo"), lit(0L)).otherwise(
+            least(floor((col("l_extendedprice") - col("_lo")) / w), lit(19L))))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
           (min("_lo") + col("bin") * ((min("_hi") - min("_lo")) / lit(20.0)))
@@ -145,15 +148,21 @@ object Batch14Entries {
         .withColumn("cos", round(col("cos"), 9))
     }),
 
-    // ---- rows-only: per-series stationarity fit via flatMapGroups ----
+    // §2.11 KPSS, distributed closed form: n-scaled demeaned series +
+    // partial-sum cumsum window + one groupBy of exact-decimal sums —
+    // no per-series materialization (PerGroup.kpss is the
+    // bounded-series API variant; this is the 100 TB plan).
     "kpss" -> ((s, dir) => {
-      PerGroup.kpss(T.events(s, dir).withColumn("ts_us", unix_micros(col("ts"))),
-          "user_id", "ts_us", "value")
+      graft.ts.Stationarity.kpss(T.events(s, dir), "user_id",
+          Seq(col("ts"), col("event_id")), "value")
         .orderBy("user_id")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "kpss" -> (graft.ts.Stationarity.kpssSql("events", "user_id",
+      "ts, event_id", "value") + "\nORDER BY user_id"),
+
     "ccf" -> {
       def sums(k: Int) =
         s"""CAST(SUM(CASE WHEN m$k THEN 1 ELSE 0 END) AS DOUBLE) AS n$k,
@@ -188,8 +197,9 @@ object Batch14Entries {
     "histogram" ->
       """WITH b AS (SELECT MIN(l_extendedprice) lo, MAX(l_extendedprice) hi FROM lineitem),
         |binned AS (
-        |  SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)) AS BIGINT),
-        |               19) AS bin
+        |  SELECT CASE WHEN hi <= lo THEN 0 ELSE
+        |    LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+        |          19) END AS bin
         |  FROM lineitem, b)
         |SELECT bin, COUNT(*) AS n,
         |  (SELECT lo FROM b) + bin * (((SELECT hi FROM b) - (SELECT lo FROM b)) / 20.0) AS bin_lo
@@ -237,7 +247,7 @@ object Batch14Entries {
         |      / (SQRT(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
         |       * SQRT(list_sum(list_transform(qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
         |  FROM embeddings, q)
-        |SELECT vec_id, ROUND(cos, 9) AS cos FROM scored
-        |ORDER BY cos DESC, vec_id LIMIT 15""".stripMargin
+        |SELECT vec_id, ROUND(scored.cos, 9) AS cos FROM scored
+        |ORDER BY scored.cos DESC, vec_id LIMIT 15""".stripMargin
   )
 }

@@ -100,15 +100,19 @@ object TsEntries {
         .orderBy("user_id")
     }),
 
-    // §2.11 PACF via Durbin–Levinson on the ACF (rows-only: the
-    // recursion is driver-side on the per-series ACF rows).
+    // §2.11 PACF via Durbin–Levinson unrolled in closed form over the
+    // exact-moment ACF — fully distributed column expressions
+    // (Temporal.pacf is the any-maxLag driver-side variant).
     "pacf" -> ((s, dir) => {
-      Temporal.pacf(T.events(s, dir), "value", 3, Seq("user_id"), evOrder)
+      graft.ts.Stationarity.pacf3(T.events(s, dir), "user_id", evOrder, "value")
         .orderBy("user_id", "lag")
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "pacf" -> (graft.ts.Stationarity.pacf3Sql("events", "user_id",
+      "ts, event_id", "value") + "\nORDER BY user_id, lag"),
+
     "lag_features" ->
       """SELECT event_id,
         |  LAG(value, 1) OVER w AS value_lag1,

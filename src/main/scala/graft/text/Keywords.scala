@@ -59,15 +59,22 @@ object Keywords {
     * so the operator scales linearly with corpus size. */
   def extractiveSummary(df: DataFrame, idCol: String, textCol: String,
                         minTokenLen: Int = 2): DataFrame = {
+    // sent feeds four consumers (tf, ns, and the final join) — persist
+    // so the regex sentence split of the corpus runs once, not four
+    // times (the split dominates per-row cost on long documents).
     val sent = df.select(col(idCol).as("doc"),
         posexplode(split(col(textCol), "[.!?]\\s+")).as(Seq("sidx", "sent")))
       .filter(length(trim(col("sent"))) > 0)
+      .persist()
     val toks = sent.select(col("doc"), col("sidx"),
         explode(TextFns.tokens(lower(col("sent")))).as("token"))
       .filter(length(col("token")) >= minTokenLen)
     val tf = toks.groupBy("doc", "sidx", "token").agg(count(lit(1)).as("tf"))
-    val sdf = toks.select("doc", "sidx", "token").distinct()
-      .groupBy("doc", "token").agg(count(lit(1)).as("sdf"))
+      .persist()
+    // tf is unique per (doc, sidx, token), so the sentence-frequency of
+    // a token is just its row count in tf — no second pass over the raw
+    // token stream and no distinct() shuffle of it.
+    val sdf = tf.groupBy("doc", "token").agg(count(lit(1)).as("sdf"))
     val ns = sent.groupBy("doc").agg(count(lit(1)).as("ns"))
     val scoredTok = tf
       .join(sdf, Seq("doc", "token"))

@@ -39,14 +39,17 @@ object PerGroup {
     * stationary. Reference: `trend_analysis(method='adf')`
     * (gofast/utils/ts_utils.py:720). Hand-rolled 3×3 normal equations —
     * no linalg dependency. */
-  def adf(df: DataFrame, keyCol: String, tsCol: String, valueCol: String)
-      : DataFrame = {
+  def adf(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tieCol: String = null): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // tieCol breaks duplicate-timestamp ordering; without it the sort
+    // within a tie depends on shuffle iteration order (nondeterministic).
+    val tie = if (tieCol == null) lit(0L) else col(tieCol).cast("long")
     val prepared = df.select(col(keyCol).cast("long"), col(tsCol).cast("long"),
-      col(valueCol).cast("double")).as[(Long, Long, Double)]
+      tie, col(valueCol).cast("double")).as[(Long, Long, Long, Double)]
     prepared.groupByKey(_._1).mapGroups { (key, it) =>
-      val y = it.toArray.sortBy(_._2).map(_._3)
+      val y = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
       if (y.length < 8) (key, Double.NaN, y.length)
       else {
         val dy = y.indices.tail.map(i => y(i) - y(i - 1)).toArray
@@ -179,14 +182,17 @@ object PerGroup {
     * lag ⌊4(n/100)^0.25⌋). Large η ⇒ REJECT stationarity (complement of
     * [[adf]]). Reference: `trend_analysis(method='kpss')`
     * (gofast/utils/ts_utils.py:720). */
-  def kpss(df: DataFrame, keyCol: String, tsCol: String, valueCol: String)
-      : DataFrame = {
+  def kpss(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      tieCol: String = null): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // tieCol: see [[adf]] — duplicate timestamps need a total order for
+    // the partial-sum statistic to be deterministic across runs.
+    val tie = if (tieCol == null) lit(0L) else col(tieCol).cast("long")
     val prepared = df.select(col(keyCol).cast("long"), col(tsCol).cast("long"),
-      col(valueCol).cast("double")).as[(Long, Long, Double)]
+      tie, col(valueCol).cast("double")).as[(Long, Long, Long, Double)]
     prepared.groupByKey(_._1).mapGroups { (key, it) =>
-      val y = it.toArray.sortBy(_._2).map(_._3)
+      val y = it.toArray.sortBy(r => (r._2, r._3)).map(_._4)
       val n = y.length
       if (n < 10) (key, Double.NaN, n)
       else {

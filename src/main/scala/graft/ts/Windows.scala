@@ -195,7 +195,16 @@ object Windows {
     * among ties) and a RANGE-frame `count()` (rows with value ≤ v);
     * 2·avgRank = 2·offset + rank + cntLE, an exact bigint. Rows with a
     * null value keep a null rank (pandas `na_option='keep'`): they land
-    * in a null bucket that no offset row matches. */
+    * in a null bucket that no offset row matches.
+    *
+    * Scale constraint: `bounds` (#groups rows) and `offsets`
+    * (#groups × ≤`buckets` rows) are BROADCAST — correct only while
+    * #groups × buckets stays well under the broadcast limit (~10M rows
+    * at default 8 GB/row budget; fine for the usual few-to-thousands of
+    * groups). For high-cardinality partition keys drop the
+    * [[org.apache.spark.sql.functions.broadcast]] hints (Catalyst/AQE
+    * then picks a shuffled hash join on the same keys; the plan stays
+    * two-phase and exact, just pays the join shuffle). */
   def rank2Rows(df: DataFrame, partitionCols: Seq[String], valueCol: String,
                 outName: String, buckets: Int = 256,
                 tieCountCol: Option[String] = None): DataFrame = {
