@@ -66,6 +66,45 @@ object Extras {
     lo + (bestT + 1) * width
   }
 
+  /** Distributed Otsu: the full split search as a PLAN — histogram
+    * groupBy → cumulative class moments over the (≤`bins`-row) bin
+    * table via an ordered window → between-class variance per split →
+    * argmax by (variance desc, bin asc) limit 1. Unlike
+    * [[otsuThreshold]] nothing is collected; the histogram scan is the
+    * only pass over the data. Output: one row
+    * (bin, threshold, between_var). */
+  def otsuThresholdDf(df: DataFrame, column: String, bins: Int = 32)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.agg(min(col(column)).as("_lo"), max(col(column)).as("_hi"))
+    val width = (col("_hi") - col("_lo")) / lit(bins.toDouble)
+    val hist = df.crossJoin(broadcast(b))
+      .withColumn("bin",
+        when(col("_hi") <= col("_lo"), lit(0L)).otherwise(
+          least(floor((col(column) - col("_lo")) / width), lit(bins - 1L))))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), min("_lo").as("_lo"), min("_hi").as("_hi"))
+    val mid = col("_lo") + (col("bin") + lit(0.5)) *
+      ((col("_hi") - col("_lo")) / lit(bins.toDouble))
+    val wCum = Window.orderBy("bin")
+    val wAll = Window.partitionBy()
+    val cum = hist
+      .withColumn("_w0", sum(col("n")).over(wCum).cast("double"))
+      .withColumn("_s0", sum(col("n") * mid).over(wCum))
+      .withColumn("_tot", sum(col("n")).over(wAll).cast("double"))
+      .withColumn("_stot", sum(col("n") * mid).over(wAll))
+    val w1 = col("_tot") - col("_w0")
+    val m0 = col("_s0") / col("_w0")
+    val m1 = (col("_stot") - col("_s0")) / w1
+    val between = col("_w0") * w1 * (m0 - m1) * (m0 - m1)
+    cum.filter(col("bin") < (bins - 1) && w1 > 0)
+      .select(col("bin"), (col("_lo") + (col("bin") + 1) *
+          ((col("_hi") - col("_lo")) / lit(bins.toDouble))).as("threshold"),
+        between.as("between_var"))
+      .orderBy(col("between_var").desc, col("bin").asc)
+      .limit(1)
+  }
+
   /** Model-metric delta with vs without outliers: fit the supplied
     * model factory on both frames, return (rmseAll, rmseFiltered).
     * Reference: `assess_outlier_impact` (gofast/dataops/quality.py:887).

@@ -80,13 +80,19 @@ object Similarity {
     def unpersist(): Unit = bucketed.unpersist()
   }
 
-  /** Build an IVF index over an array<float> embedding column. */
+  /** Build an IVF index over an array<float> embedding column.
+    *
+    * `maxIter` bounds the KMeans refinement: centroid quality affects
+    * only probe *recall* at nprobe < nlist (bucket-count balance), never
+    * result correctness — a full probe (nprobe = nlist) is exact under
+    * any clustering, so cheap index builds are safe. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-               nlist: Int = 16, seed: Long = 42L): IvfIndex = {
+               nlist: Int = 16, seed: Long = 42L, maxIter: Int = 8): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     val withVec = df.withColumn("_v", array_to_vector(col(vecCol)))
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_v")
+      .setMaxIter(maxIter)
       .setPredictionCol("_ivf_bucket")
     val model = km.fit(withVec)
     val bucketed = model.transform(withVec).drop("_v").persist()

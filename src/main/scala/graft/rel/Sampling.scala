@@ -82,4 +82,41 @@ object Sampling {
     * repeated array — stays in-stage, no union chain. */
   def replicateRows(df: DataFrame, n: Int): DataFrame =
     df.withColumn("_rep", explode(array_repeat(lit(1), n))).drop("_rep")
+
+  /** Deterministic bootstrap CI of the mean (reference: `bootstrap`,
+    * gofast/stats/inferential.py:1713; `uniform_sampling`, probs.py:504).
+    *
+    * `b` resamples of size n with replacement, where draw i of
+    * replicate r picks row ((r·n + i)·2654435761 mod 1000003) mod n —
+    * a Knuth multiplicative hash instead of RNG state, so the draw set
+    * is identical on every engine and cluster size. Requires `idCol`
+    * DENSE in [0, n) (the driver's synthetic keys are). Products stay
+    * < 2⁶³ for b·n up to ~3.5e9 draws.
+    *
+    * Plan: b×n draw rows (a crossJoin of the table's id column with
+    * `range(b)`) → broadcast-join the value column → one groupBy(b) of
+    * exact-decimal sums → exact percentiles over the b means. The only
+    * driver value is n. Output: one row (ci_lo, ci_med, ci_hi). */
+  def bootstrapMeanCi(df: DataFrame, idCol: String, valueCol: String,
+                      b: Int, ps: Seq[Double] = Seq(0.025, 0.5, 0.975))
+      : DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count()
+    val reps = spark.range(b).select(col("id").as("_r"))
+    val draws = df.select(col(idCol).cast("long").as("_i")).crossJoin(reps)
+      .select(col("_r"),
+        ((((col("_r") * n + col("_i")) * lit(2654435761L)) % lit(1000003L))
+          % lit(n)).as("_idx"))
+    val dim = df.select(col(idCol).cast("long").as("_idx"),
+      col(valueCol).cast("decimal(12,2)").as("_v"))
+    val means = draws.join(broadcast(dim), "_idx")
+      .groupBy("_r")
+      .agg((sum("_v").cast("double") / lit(n.toDouble)).as("_mean"))
+    val q = means.agg(
+      percentile(col("_mean"), array(ps.map(lit): _*)).as("_q"))
+    q.select(
+      element_at(col("_q"), 1).as("ci_lo"),
+      element_at(col("_q"), 2).as("ci_med"),
+      element_at(col("_q"), 3).as("ci_hi"))
+  }
 }

@@ -129,20 +129,6 @@ object Inferential {
                     col("fb").cast("double") / col("nb"))).as("ks_d"))
   }
 
-  /** Twice the average rank of each distinct pooled value: integers,
-    * so rank sums stay exact in bigint. `perValue` must hold one row
-    * per distinct value with its pooled count `cv`. Delegates to the
-    * bucketed distributed kernel ([[graft.ts.Windows.rank2OfCounts]])
-    * so the cumulative count never funnels through one task even when
-    * the value domain is large. */
-  private def rank2OverValues(perValue: DataFrame): DataFrame =
-    graft.ts.Windows.rank2OfCounts(
-        perValue.withColumnRenamed("v", "_v").withColumnRenamed("cv", "_cv"),
-        Seq.empty)
-      .withColumnRenamed("_v", "v")
-      .withColumnRenamed("_cv", "cv")
-      .withColumnRenamed("_r2", "rank2")
-
   /** Kruskal–Wallis H (rank ANOVA, tie-corrected) over k groups.
     * Reference: `kruskal_wallis_test` (inferential.py:1039).
     * Ranks are carried as 2×rank longs (exact through every shuffle);
@@ -150,24 +136,25 @@ object Inferential {
     * Output: one row (h_stat, dof). */
   def kruskalWallis(df: DataFrame, valueCol: String, groupCol: String)
       : DataFrame = {
-    // gv/perValue are value-domain-sized; persisted so the rank kernel,
-    // the rank join, and the tie sum don't re-aggregate the raw data.
-    val gv = df.groupBy(col(groupCol).as("g"), col(valueCol).as("v"))
-      .agg(count(lit(1)).as("cgv")).persist()
-    val perValue = gv.groupBy("v").agg(sum("cgv").as("cv")).persist()
-    val ranked = rank2OverValues(perValue)
-    val perGroup = gv.join(ranked.select("v", "rank2"), Seq("v"))
-      .groupBy("g")
-      .agg(sum(col("cgv") * col("rank2")).as("r2i"), sum("cgv").as("ni"))
-    val ties = perValue.agg(
-      sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tsum"))
+    // Per-row two-phase ranks (rank2Rows): the pooled rank and the tie
+    // multiplicity arrive attached to each row, so the whole statistic
+    // is ONE groupBy + one k-row fold — no value-domain table, no
+    // persist, no join-back. Tie sum Σ_v(cv³−cv) folds per-row as
+    // Σ_rows(cv²−1).
+    val base = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+    val ranked = graft.ts.Windows
+      .rank2Rows(base, Seq.empty, "v", "rank2", tieCountCol = Some("cv"))
+      .filter(col("rank2").isNotNull)
+    val perGroup = ranked.groupBy("g")
+      .agg(sum("rank2").as("r2i"), count(lit(1)).as("ni"),
+           sum(col("cv") * col("cv") - lit(1L)).as("tg"))
     perGroup
       .agg(
         sum((col("r2i").cast("double") / 2) * (col("r2i").cast("double") / 2) /
           col("ni").cast("double")).as("srr"),
         sum("ni").cast("double").as("n"),
-        count(lit(1)).cast("double").as("k"))
-      .crossJoin(ties)
+        count(lit(1)).cast("double").as("k"),
+        sum("tg").as("tsum"))
       .select({
         val n = col("n")
         val h = lit(12.0) / (n * (n + 1)) * col("srr") - lit(3.0) * (n + 1)
@@ -216,16 +203,23 @@ object Inferential {
   def wilcoxonSignedRank(df: DataFrame, diff: Column): DataFrame = {
     val d = diff.cast("decimal(18,2)")
     val nz = df.select(d.as("d")).filter(col("d") =!= 0)
+    // 2-dp |d| has a SMALL value domain: collapse rows to per-value
+    // counts first (cheap partial-agg groupBy), rank the tiny count
+    // table, join back — cheaper than per-row ranking here, unlike
+    // kruskalWallis whose near-unique domain wants rank2Rows.
     val gv = nz.groupBy((col("d") > 0).as("g"), abs(col("d")).as("v"))
-      .agg(count(lit(1)).as("cgv")).persist()
-    val perValue = gv.groupBy("v").agg(sum("cgv").as("cv")).persist()
-    val ranked = rank2OverValues(perValue)
+      .agg(count(lit(1)).as("cgv"))
+    val perValue = gv.groupBy("v").agg(sum("cgv").as("cv"))
+    val ranked = graft.ts.Windows.rank2OfCounts(
+        perValue.withColumnRenamed("v", "_v").withColumnRenamed("cv", "_cv"),
+        Seq.empty)
+      .withColumnRenamed("_v", "v").withColumnRenamed("_r2", "rank2")
     val joined = gv.join(ranked.select("v", "rank2"), Seq("v"))
+    val ties = perValue.agg(
+      sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tsum"))
     val stats = joined.agg(
       sum(when(col("g"), col("cgv") * col("rank2")).otherwise(0L)).as("w2p"),
       sum("cgv").as("nl"))
-    val ties = perValue.agg(
-      sum(col("cv") * col("cv") * col("cv") - col("cv")).as("tsum"))
     stats.crossJoin(ties).select({
       val n = col("nl").cast("double")
       val wPlus = col("w2p").cast("double") / 2

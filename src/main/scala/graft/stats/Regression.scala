@@ -59,6 +59,47 @@ object Regression {
     Fit(names, beta.toSeq)
   }
 
+  /** Regression error metrics (`compute_errors`, mathext.py:4887) for
+    * the one-regressor OLS ŷ = a + b·x, entirely in-plan: slope and
+    * intercept come from exact-decimal moments (closed form — no driver
+    * round-trip), residuals are quantized to 3 dp so their absolute and
+    * squared sums aggregate exactly in decimal, and SStot comes from
+    * the same exact moments. Output: one row (mae, rmse, r2, n). */
+  def errorMetricsSimple(df: DataFrame, yCol: String, xCol: String)
+      : DataFrame = {
+    val xd = col(xCol).cast("decimal(12,2)")
+    val yd = col(yCol).cast("decimal(12,2)")
+    val m = df.filter(col(xCol).isNotNull && col(yCol).isNotNull).agg(
+      count(lit(1)).as("_nl"),
+      sum(xd).cast("double").as("sx"), sum(yd).cast("double").as("sy"),
+      sum((xd * yd).cast("decimal(28,4)")).cast("double").as("sxy"),
+      sum((xd * xd).cast("decimal(28,4)")).cast("double").as("sxx"),
+      sum((yd * yd).cast("decimal(28,4)")).cast("double").as("syy"))
+    val n = col("_nl").cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    val fitted = m.select(col("_nl"), slope.as("b"),
+      ((col("sy") - slope * col("sx")) / n).as("a"),
+      (col("syy") - col("sy") * col("sy") / n).as("sstot"))
+    // e3 = round(1000·(y − ŷ)): identical doubles in, identical bigint
+    // out; |e3| and e3² then sum exactly in decimal on any engine.
+    val joined = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .crossJoin(broadcast(fitted))
+    val e3 = round((col(yCol).cast("double") -
+      (col("a") + col("b") * col(xCol).cast("double"))) * 1000.0, 0)
+      .cast("long")
+    joined.groupBy("_nl", "sstot")
+      .agg(sum(abs(e3).cast("decimal(38,0)")).cast("double").as("_sa"),
+           sum((e3 * e3).cast("decimal(38,0)")).cast("double").as("_sq"))
+      .select({
+        val nn = col("_nl").cast("double")
+        Seq(round(col("_sa") / 1000.0 / nn, 6).as("mae"),
+            round(sqrt(col("_sq") / 1000000.0 / nn), 6).as("rmse"),
+            round(lit(1.0) - (col("_sq") / 1000000.0) / col("sstot"), 9).as("r2"),
+            col("_nl").as("n"))
+      }: _*)
+  }
+
   /** Residualize `yCol` against controls: y − ŷ (the
     * `adjust_for_control_vars` regression branch). */
   def residualize(df: DataFrame, yCol: String, controls: Seq[String],

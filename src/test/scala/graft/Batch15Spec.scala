@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.clean.Extras
+import graft.rel.{Sampling, Spatial}
+import graft.stats.Regression
+
+class Batch15Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed Otsu agrees with the driver-side scalar on a bimodal column") {
+    val vals = (Seq.fill(300)(10.0) ++ Seq.fill(200)(90.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v + (i % 7) * 0.5) }
+    val df = vals.toDF("id", "v")
+    val scalar = Extras.otsuThreshold(df, "v", bins = 32)
+    val row = Extras.otsuThresholdDf(df, "v", bins = 32).head()
+    assert(math.abs(row.getAs[Double]("threshold") - scalar) < 1e-9)
+    // threshold separates the two modes
+    assert(row.getAs[Double]("threshold") > 15 &&
+      row.getAs[Double]("threshold") < 90)
+  }
+
+  test("errorMetricsSimple recovers a perfect linear fit") {
+    val df = (1 to 500).map(i => (i.toDouble, 3.0 + 2.0 * i)).toDF("x", "y")
+    val r = Regression.errorMetricsSimple(df, "y", "x").head()
+    assert(r.getAs[Double]("mae") < 1e-9)
+    assert(r.getAs[Double]("rmse") < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-9)
+    assert(r.getAs[Long]("n") === 500L)
+  }
+
+  test("errorMetricsSimple R2 drops on noisy data") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 500)
+      .map(i => (i.toDouble, 2.0 * i + 50 * rnd.nextGaussian()))
+      .toDF("x", "y")
+    val r = Regression.errorMetricsSimple(df, "y", "x").head()
+    assert(r.getAs[Double]("r2") > 0.8 && r.getAs[Double]("r2") < 1.0)
+    assert(r.getAs[Double]("rmse") > r.getAs[Double]("mae"))
+  }
+
+  test("bootstrapMeanCi brackets the true mean with a sane interval") {
+    val df = (0 until 400).map(i => (i.toLong, 10.0 + (i % 21))).toDF("id", "v")
+    val r = Sampling.bootstrapMeanCi(df, "id", "v", b = 100).head()
+    val (lo, med, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    val trueMean = (0 until 400).map(i => 10.0 + (i % 21)).sum / 400
+    assert(lo <= med && med <= hi)
+    assert(lo < trueMean + 1 && hi > trueMean - 1)
+    assert(hi - lo < 3.0) // n=400 → se ≈ 0.3; CI must be tight
+  }
+
+  test("haversine matches a known city-pair distance") {
+    // Paris (48.8566, 2.3522) — Berlin (52.52, 13.405): ~878 km
+    val df = Seq(Tuple1(1L)).toDF("id")
+    val d = df.select(Spatial.haversineKm(lit(48.8566), lit(2.3522),
+      lit(52.52), lit(13.405)).as("d")).head().getDouble(0)
+    assert(math.abs(d - 878) < 5, s"got $d")
+  }
+
+  test("nearestByHaversine picks the closest point with deterministic ties") {
+    val left = Seq((1L, 0.0, 0.0)).toDF("lid", "clat", "clon")
+    val right = Seq((10L, 0.0, 1.0), (11L, 0.0, 1.0), (12L, 0.0, 2.0))
+      .toDF("rid", "slat", "slon")
+    val r = Spatial.nearestByHaversine(left, right, "lid", "rid",
+      "clat", "clon", "slat", "slon").head()
+    assert(r.getAs[Long]("rid") === 10L) // tie with 11 broken by id
+  }
+}
