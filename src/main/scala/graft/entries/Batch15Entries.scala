@@ -184,16 +184,23 @@ object Batch15Entries {
         |FROM e GROUP BY nl, sstot""".stripMargin,
 
     "bootstrap_ci" ->
-      """WITH cnt AS (SELECT COUNT(*) AS n FROM customer),
-        |draws AS (
-        |  SELECT t.range AS r,
-        |    (((t.range * n + c_custkey) * 2654435761) % 1000003) % n AS idx
+      """WITH cnt AS (SELECT COUNT(*) AS n, MIN(c_custkey) AS lo FROM customer),
+        |keys AS (
+        |  SELECT t.range AS r, n,
+        |    CAST(t.range * n + c_custkey - lo AS HUGEINT) AS k
         |  FROM customer, range(200) t, cnt),
+        |draws AS (
+        |  SELECT r,
+        |    ((1803442081483830013 * ((k * k) % 2305843009213693951)
+        |      + k * 656901407040548081 + 98764321261)
+        |     % 2305843009213693951) % n AS idx
+        |  FROM keys),
         |means AS (
         |  SELECT r,
         |    CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
         |      / CAST((SELECT n FROM cnt) AS DOUBLE) AS m
-        |  FROM draws JOIN customer c2 ON draws.idx = c2.c_custkey
+        |  FROM draws JOIN customer c2
+        |    ON draws.idx = c2.c_custkey - (SELECT lo FROM cnt)
         |  GROUP BY r),
         |q AS (SELECT quantile_cont(m, [0.025, 0.5, 0.975]) AS l FROM means)
         |SELECT l[1] AS ci_lo, l[2] AS ci_med, l[3] AS ci_hi FROM q""".stripMargin,

@@ -83,31 +83,78 @@ object Sampling {
   def replicateRows(df: DataFrame, n: Int): DataFrame =
     df.withColumn("_rep", explode(array_repeat(lit(1), n))).drop("_rep")
 
+  /** Mersenne prime 2^61 − 1: modulus of the deterministic draw mixer. */
+  val DrawP: Long = 2305843009213693951L
+  /** Arbitrary fixed mixer constants < [[DrawP]] (documented, not magic:
+    * any large odd constants work; these are fixed so draws are
+    * reproducible across releases and engines). */
+  val DrawA: Long = 1803442081483830013L
+  val DrawB: Long = 656901407040548081L
+  val DrawC: Long = 98764321261L
+
+  /** Deterministic pseudo-random index in [0, n) for draw key `k`.
+    *
+    * Quadratic congruential mixer mod the Mersenne prime P = 2^61 − 1:
+    * {{{ idx = ((A·(k² mod P) + B·k + C) mod P) mod n }}}
+    * computed in exact decimal(38,0) arithmetic, so DuckDB (HUGEINT)
+    * reproduces it bit-for-bit — an xor/shift mixer (splitmix64) can't
+    * be mirrored exactly in portable SQL, and a purely LINEAR map
+    * (the classic Knuth hash) is low-discrepancy over sequential keys:
+    * it covers rows near-evenly per replicate, destroying the
+    * multinomial resampling variance a bootstrap needs. The k² term
+    * supplies the non-linearity (quadratic Weyl sums are O(√N)), so
+    * per-replicate draw counts are near-Poisson.
+    *
+    * Valid for any k < 2^63 (k² ≤ 8.5e37 < 10^38 fits decimal(38,0);
+    * A·(k² mod P) + B·k + C ≤ 4.2e36 + 6.1e36 < 10^38). Modulo bias
+    * after the final `% n` is ≤ n/P ≈ 4.3e-7 even at n = 10^12 rows.
+    */
+  private[graft] def drawIndex(k: Column, n: Long): Column = {
+    val kd = k.cast("decimal(19,0)")
+    val p = lit(DrawP).cast("decimal(19,0)")
+    val h1 = (kd * kd) % p
+    val h = (h1 * lit(DrawA).cast("decimal(19,0)")
+      + kd * lit(DrawB).cast("decimal(19,0)")
+      + lit(DrawC).cast("decimal(19,0)")) % p
+    (h % lit(n).cast("decimal(19,0)")).cast("long")
+  }
+
   /** Deterministic bootstrap CI of the mean (reference: `bootstrap`,
     * gofast/stats/inferential.py:1713; `uniform_sampling`, probs.py:504).
     *
     * `b` resamples of size n with replacement, where draw i of
-    * replicate r picks row ((r·n + i)·2654435761 mod 1000003) mod n —
-    * a Knuth multiplicative hash instead of RNG state, so the draw set
-    * is identical on every engine and cluster size. Requires `idCol`
-    * DENSE in [0, n) (the driver's synthetic keys are). Products stay
-    * < 2⁶³ for b·n up to ~3.5e9 draws.
+    * replicate r picks row [[drawIndex]](r·n + i) — a seedless
+    * deterministic mixer instead of RNG state, so the draw set is
+    * identical on every engine and cluster size. `idCol` must be DENSE
+    * (max − min + 1 == n, asserted with one aggregate); ids are
+    * normalized to [0, n) internally, so 1-based keys are fine. Valid
+    * for b·n < 2^63 draws.
     *
     * Plan: b×n draw rows (a crossJoin of the table's id column with
     * `range(b)`) → broadcast-join the value column → one groupBy(b) of
     * exact-decimal sums → exact percentiles over the b means. The only
-    * driver value is n. Output: one row (ci_lo, ci_med, ci_hi). */
+    * driver values are (n, min-id). Output: one row (ci_lo, ci_med,
+    * ci_hi). */
   def bootstrapMeanCi(df: DataFrame, idCol: String, valueCol: String,
                       b: Int, ps: Seq[Double] = Seq(0.025, 0.5, 0.975))
       : DataFrame = {
     val spark = df.sparkSession
-    val n = df.count()
+    val bounds = df.agg(count(lit(1)).as("n"),
+      min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi")).head()
+    val n = bounds.getLong(0)
+    val lo = bounds.getLong(1)
+    require(bounds.getLong(2) - lo + 1 == n,
+      s"bootstrapMeanCi: $idCol must be dense (min=$lo " +
+        s"max=${bounds.getLong(2)} n=$n)")
+    require(b.toLong <= Long.MaxValue / math.max(n, 1L),
+      s"bootstrapMeanCi: b*n must stay below 2^63 (b=$b n=$n)")
     val reps = spark.range(b).select(col("id").as("_r"))
-    val draws = df.select(col(idCol).cast("long").as("_i")).crossJoin(reps)
+    val draws = df.select((col(idCol).cast("long") - lo).as("_i"))
+      .crossJoin(reps)
       .select(col("_r"),
-        ((((col("_r") * n + col("_i")) * lit(2654435761L)) % lit(1000003L))
-          % lit(n)).as("_idx"))
-    val dim = df.select(col(idCol).cast("long").as("_idx"),
+        drawIndex(col("_r") * n + col("_i"), n).as("_idx"))
+    val dim = df.select((col(idCol).cast("long") - lo).as("_idx"),
       col(valueCol).cast("decimal(12,2)").as("_v"))
     val means = draws.join(broadcast(dim), "_idx")
       .groupBy("_r")

@@ -49,6 +49,46 @@ class Batch15Spec extends SparkSpec {
     assert(hi - lo < 3.0) // n=400 → se ≈ 0.3; CI must be tight
   }
 
+  test("drawIndex covers the full range past n = 1,000,003 and is uniform") {
+    val n = 1200000L
+    val idx = spark.range(2 * n)
+      .select(Sampling.drawIndex(col("id"), n).as("i")).persist()
+    val row = idx.agg(min("i"), max("i"), countDistinct("i")).head()
+    // reaches both ends — in particular PAST the old 1,000,003 modulus cap
+    assert(row.getLong(0) < 100, s"min=${row.getLong(0)}")
+    assert(row.getLong(1) > n - 100, s"max=${row.getLong(1)}")
+    assert(row.getLong(1) > 1000003L)
+    // 2n draws from n: iid coverage is 1 - e^-2 = 0.8647
+    assert(math.abs(row.getLong(2).toDouble / n - 0.8647) < 0.01,
+      s"coverage=${row.getLong(2).toDouble / n}")
+    // one replicate (n draws of n): iid distinct fraction 1 - 1/e = 0.6321
+    // — a LINEAR hash fails this (near 1.0: low-discrepancy, no variance)
+    val d0 = spark.range(n).select(Sampling.drawIndex(col("id"), n).as("i"))
+      .agg(countDistinct("i")).head().getLong(0)
+    assert(math.abs(d0.toDouble / n - 0.6321) < 0.01, s"rep0=${d0.toDouble / n}")
+    // uniform marginal: 100 equal bins of 2n draws, expect 24000 ± 5%
+    val bins = idx.select((col("i") / lit(n / 100)).cast("int").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c")).collect()
+    assert(bins.length === 100)
+    bins.foreach(r => assert(math.abs(r.getLong(1) - 24000.0) < 1200.0,
+      s"bin ${r.getInt(0)} = ${r.getLong(1)}"))
+    idx.unpersist()
+  }
+
+  test("bootstrapMeanCi is shift-invariant in ids and rejects sparse ids") {
+    val vals = (0 until 400).map(i => 10.0 + (i % 21))
+    val df0 = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val df1 = vals.zipWithIndex.map { case (v, i) => (i.toLong + 1, v) }.toDF("id", "v")
+    val a = Sampling.bootstrapMeanCi(df0, "id", "v", b = 50).head()
+    val c = Sampling.bootstrapMeanCi(df1, "id", "v", b = 50).head()
+    assert(a.getDouble(0) === c.getDouble(0))
+    assert(a.getDouble(1) === c.getDouble(1))
+    assert(a.getDouble(2) === c.getDouble(2))
+    intercept[IllegalArgumentException] {
+      Sampling.bootstrapMeanCi(df0.filter(col("id") =!= 5L), "id", "v", b = 10)
+    }
+  }
+
   test("haversine matches a known city-pair distance") {
     // Paris (48.8566, 2.3522) — Berlin (52.52, 13.405): ~878 km
     val df = Seq(Tuple1(1L)).toDF("id")
