@@ -124,6 +124,17 @@ object Stationarity {
        |FROM b""".stripMargin
   }
 
+  /** wide exact product for KPSS carriers: decimal(19,2) × decimal(19,2)
+    * → decimal(38,4), the widest square DuckDB can mirror (its decimal
+    * multiply requires w1+w2 ≤ 38; 19-wide operands also force int128
+    * arithmetic there instead of silently-overflowing int64). */
+  private def prodSum19(a: Column, b: Column, m: Column): Column =
+    sum(when(m, (a * b).cast("decimal(38,4)"))).cast("double")
+
+  /** Newey–West/Bartlett truncation lag L = ⌊4·√√(n/100)⌋. */
+  def bartlettLag(n: Long): Int =
+    math.floor(4.0 * math.sqrt(math.sqrt(n.toDouble / 100.0))).toInt
+
   /** KPSS level-stationarity η, closed form. Works on the n-scaled
     * demeaned series E_t = n·y_t − Σy (exact decimal — no division
     * before aggregation): partial sums P_t = Σ_{u≤t}E_u via one ordered
@@ -131,42 +142,65 @@ object Stationarity {
     * long-run variance lrv = (ΣE² + 2Σ_{l≤L}w_l·ΣE_tE_{t−l})/n³,
     * Bartlett weights w_l = 1 − l/(L+1), L = ⌊4·√√(n/100)⌋ (√√ not
     * pow(·,0.25): sqrt is IEEE-exact, pow is libm and engine-varying).
-    * Lag sums are aggregated unconditionally for l = 1..`maxLag` and
-    * weighted post-agg once n (hence L) is known. */
+    * Lag sums are aggregated unconditionally for l = 1..maxLag and
+    * weighted post-agg once n (hence L) is known.
+    *
+    * `maxLag` < 0 (the default) sizes the lag window automatically from
+    * one driver-side max-group-count aggregate, so L never exceeds it.
+    * An explicit `maxLag` smaller than a group's L raises at runtime
+    * (`raise_error`) rather than silently dropping γ terms.
+    *
+    * Exactness bounds (decimal(19,2) carriers, squares in decimal(38,4)):
+    * |E| ≤ n·range(y) must stay < 10^17 and |P| ≤ n²·range(y) < 10^17
+    * (worst case; demeaned partial sums are typically far smaller).
+    * Beyond that Spark raises a decimal-overflow error (ANSI) — never a
+    * silent NULL. For larger series, rescale y first. */
   def kpss(df: DataFrame, keyCol: String, orderCols: Seq[Column],
-           valueCol: String, maxLag: Int = 8, minObs: Int = 10): DataFrame = {
+           valueCol: String, maxLag: Int = -1, minObs: Int = 10): DataFrame = {
+    val effLag =
+      if (maxLag >= 0) maxLag
+      else {
+        val maxN = Option(df.groupBy(keyCol).agg(count(lit(1)).as("_c"))
+          .agg(max("_c")).head().get(0)).fold(0L)(_.asInstanceOf[Long])
+        math.max(1, bartlettLag(maxN))
+      }
     val wAll = Window.partitionBy(keyCol)
     val wOrd = Window.partitionBy(keyCol).orderBy(orderCols: _*)
     val y = dec2(col(valueCol))
     val e = (count(lit(1)).over(wAll) * y - sum(y).over(wAll))
-      .cast("decimal(18,2)")
+      .cast("decimal(19,2)")
     val base = df.withColumn("_e", e)
     val cum = base.withColumn("_p",
       sum(col("_e")).over(wOrd.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)).cast("decimal(18,2)"))
-    val withLags = (1 to maxLag).foldLeft(cum) { (d, l) =>
+        Window.currentRow)).cast("decimal(19,2)"))
+    val withLags = (1 to effLag).foldLeft(cum) { (d, l) =>
       d.withColumn(s"_el$l", lag(col("_e"), l).over(wOrd))
     }
     val t = lit(true)
-    val gammaAggs = (1 to maxLag).map { l =>
-      prodSum(col("_e"), col(s"_el$l"), col(s"_el$l").isNotNull).as(s"g$l")
+    val gammaAggs = (1 to effLag).map { l =>
+      prodSum19(col("_e"), col(s"_el$l"), col(s"_el$l").isNotNull).as(s"g$l")
     }
     val agg = withLags.groupBy(keyCol).agg(
       count(lit(1)).as("_n"),
-      (prodSum(col("_p"), col("_p"), t).as("sp2") +:
-        prodSum(col("_e"), col("_e"), t).as("g0") +: gammaAggs): _*)
+      (prodSum19(col("_p"), col("_p"), t).as("sp2") +:
+        prodSum19(col("_e"), col("_e"), t).as("g0") +: gammaAggs): _*)
       .filter(col("_n") >= minObs)
     val n = col("_n").cast("double")
     val bigL = floor(lit(4.0) * sqrt(sqrt(n / 100.0)))
-    val wsum = (1 to maxLag).map { l =>
+    val wsum = (1 to effLag).map { l =>
       when(bigL >= l,
         (lit(1.0) - lit(l.toDouble) / (bigL + 1.0)) * col(s"g$l"))
         .otherwise(lit(0.0))
     }.reduce(_ + _)
     val lrv = (col("g0") + lit(2.0) * wsum) / (n * n * n)
     val ssq = col("sp2") / (n * n)
+    val eta = when(bigL > lit(effLag.toDouble),
+      raise_error(concat(lit("kpss: Bartlett lag L="),
+        bigL.cast("string"),
+        lit(s" exceeds maxLag=$effLag; pass a larger maxLag or -1 (auto)"))))
+      .otherwise(round(ssq / (n * n * lrv), 9))
     agg.select(col(keyCol),
-      round(ssq / (n * n * lrv), 9).as("kpss_eta"),
+      eta.as("kpss_eta"),
       col("_n").as("n_obs"))
   }
 
@@ -234,13 +268,18 @@ object Stationarity {
        |UNION ALL SELECT $keyCol, CAST(3 AS INT), p33 FROM w2""".stripMargin
   }
 
-  /** SQL rendering of [[kpss]] for the DuckDB oracle. */
+  /** SQL rendering of [[kpss]] for the DuckDB oracle. Static SQL needs a
+    * fixed lag count; results equal the (auto-sized) [[kpss]] as long as
+    * `maxLag` here ≥ every group's Bartlett L — extra γ sums carry zero
+    * weight via the `bigl >= l` conditionals. Carriers mirror the Scala
+    * side: DECIMAL(19,2) values, DECIMAL(38,4) squares (19+19 ≤ 38 is
+    * DuckDB's decimal-multiply width limit, and forces int128). */
   def kpssSql(table: String, keyCol: String, orderBy: String,
               valueCol: String, maxLag: Int = 8, minObs: Int = 10): String = {
     val lagCols = (1 to maxLag).map(l =>
       s"LAG(e, $l) OVER wo AS el$l").mkString(",\n       |    ")
     val gammaSums = (1 to maxLag).map(l =>
-      s"CAST(SUM(CASE WHEN el$l IS NOT NULL THEN CAST(e * el$l AS DECIMAL(28,4)) END) AS DOUBLE) AS g$l")
+      s"CAST(SUM(CASE WHEN el$l IS NOT NULL THEN CAST(e * el$l AS DECIMAL(38,4)) END) AS DOUBLE) AS g$l")
       .mkString(",\n       |    ")
     val wterms = (1 to maxLag).map(l =>
       s"CASE WHEN bigl >= $l THEN (1.0 - $l.0 / (bigl + 1.0)) * g$l ELSE 0.0 END")
@@ -248,20 +287,20 @@ object Stationarity {
     s"""WITH d AS (
        |  SELECT $keyCol, $orderBy,
        |    CAST(COUNT(*) OVER wa * CAST($valueCol AS DECIMAL(12,2))
-       |         - SUM(CAST($valueCol AS DECIMAL(12,2))) OVER wa AS DECIMAL(18,2)) AS e
+       |         - SUM(CAST($valueCol AS DECIMAL(12,2))) OVER wa AS DECIMAL(19,2)) AS e
        |  FROM $table
        |  WINDOW wa AS (PARTITION BY $keyCol)),
        |c AS (
        |  SELECT $keyCol, e,
-       |    CAST(SUM(e) OVER wo AS DECIMAL(18,2)) AS p,
+       |    CAST(SUM(e) OVER wo AS DECIMAL(19,2)) AS p,
        |    $lagCols
        |  FROM d
        |  WINDOW wo AS (PARTITION BY $keyCol ORDER BY $orderBy
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
        |a AS (
        |  SELECT $keyCol, COUNT(*) AS n_obs,
-       |    CAST(SUM(CAST(p * p AS DECIMAL(28,4))) AS DOUBLE) AS sp2,
-       |    CAST(SUM(CAST(e * e AS DECIMAL(28,4))) AS DOUBLE) AS g0,
+       |    CAST(SUM(CAST(p * p AS DECIMAL(38,4))) AS DOUBLE) AS sp2,
+       |    CAST(SUM(CAST(e * e AS DECIMAL(38,4))) AS DOUBLE) AS g0,
        |    $gammaSums
        |  FROM c GROUP BY $keyCol HAVING COUNT(*) >= $minObs),
        |f AS (

@@ -43,6 +43,32 @@ class StationaritySpec extends SparkSpec {
     assert(cf(1L) > cf(2L))
   }
 
+  test("KPSS at n=1e5 with TPC-H magnitudes yields exact non-null eta") {
+    // linear ramp to 1e5: |P_t| peaks at n^3/8 ≈ 1.25e14, whose square
+    // overflowed the old decimal(28,4) carrier; decimal(38,4) holds it
+    val big = spark.range(1, 100001).select(lit(1L).as("k"),
+      col("id").as("t"), col("id").cast("double").as("v"))
+    val r = Stationarity.kpss(big, "k", Seq(col("t")), "v").head()
+    assert(!r.isNullAt(1) && !r.getDouble(1).isNaN && r.getDouble(1) > 0)
+    assert(r.getLong(2) === 100000L)
+  }
+
+  test("KPSS auto-sizes the Bartlett lag past 8 and errors on truncation") {
+    val rnd = new scala.util.Random(11)
+    def q(x: Double) = math.rint(x * 100) / 100
+    val s = Seq.tabulate(3000)(i => (1L, i.toLong, q(20 + 3 * rnd.nextGaussian())))
+      .toDF("k", "t", "v")
+    assert(Stationarity.bartlettLag(3000) === 9) // exceeds the old fixed 8
+    val auto = Stationarity.kpss(s, "k", Seq(col("t")), "v")
+      .head().getDouble(1)
+    val wide = Stationarity.kpss(s, "k", Seq(col("t")), "v", maxLag = 15)
+      .head().getDouble(1)
+    assert(auto === wide) // every weighted gamma term l <= 9 included in both
+    intercept[Exception] { // explicit maxLag too small must fail LOUDLY
+      Stationarity.kpss(s, "k", Seq(col("t")), "v", maxLag = 8).collect()
+    }
+  }
+
   test("closed-form PACF(1..3) matches driver-side Durbin-Levinson") {
     val cf = Stationarity.pacf3(df, "k", Seq(col("t")), "v")
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
