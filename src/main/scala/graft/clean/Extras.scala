@@ -72,7 +72,14 @@ object Extras {
     * argmax by (variance desc, bin asc) limit 1. Unlike
     * [[otsuThreshold]] nothing is collected; the histogram scan is the
     * only pass over the data. Output: one row
-    * (bin, threshold, between_var). */
+    * (bin, threshold, between_var).
+    *
+    * Determinism: the class moment Σnᵢ·midᵢ is never accumulated in
+    * floating point (accumulation order would be engine-dependent).
+    * Since midᵢ = lo + (i+0.5)·w, it factors as lo·Σnᵢ + w·(Σnᵢ·i +
+    * Σnᵢ/2) — the window sums are exact BIGINT, and every double is
+    * then derived through one fixed expression tree, bit-identical on
+    * any engine and any row order. */
   def otsuThresholdDf(df: DataFrame, column: String, bins: Int = 32)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -84,22 +91,24 @@ object Extras {
           least(floor((col(column) - col("_lo")) / width), lit(bins - 1L))))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), min("_lo").as("_lo"), min("_hi").as("_hi"))
-    val mid = col("_lo") + (col("bin") + lit(0.5)) *
-      ((col("_hi") - col("_lo")) / lit(bins.toDouble))
     val wCum = Window.orderBy("bin")
     val wAll = Window.partitionBy()
     val cum = hist
-      .withColumn("_w0", sum(col("n")).over(wCum).cast("double"))
-      .withColumn("_s0", sum(col("n") * mid).over(wCum))
-      .withColumn("_tot", sum(col("n")).over(wAll).cast("double"))
-      .withColumn("_stot", sum(col("n") * mid).over(wAll))
-    val w1 = col("_tot") - col("_w0")
-    val m0 = col("_s0") / col("_w0")
-    val m1 = (col("_stot") - col("_s0")) / w1
-    val between = col("_w0") * w1 * (m0 - m1) * (m0 - m1)
-    cum.filter(col("bin") < (bins - 1) && w1 > 0)
-      .select(col("bin"), (col("_lo") + (col("bin") + 1) *
-          ((col("_hi") - col("_lo")) / lit(bins.toDouble))).as("threshold"),
+      .withColumn("_a0", sum(col("n")).over(wCum))
+      .withColumn("_b0", sum(col("n") * col("bin")).over(wCum))
+      .withColumn("_at", sum(col("n")).over(wAll))
+      .withColumn("_bt", sum(col("n") * col("bin")).over(wAll))
+    val wd = (col("_hi") - col("_lo")) / lit(bins.toDouble)
+    val a0 = col("_a0").cast("double")
+    val at = col("_at").cast("double")
+    val s0 = col("_lo") * a0 + wd * (col("_b0").cast("double") + a0 * lit(0.5))
+    val st = col("_lo") * at + wd * (col("_bt").cast("double") + at * lit(0.5))
+    val w1 = at - a0
+    val m0 = s0 / a0
+    val m1 = (st - s0) / w1
+    val between = a0 * w1 * (m0 - m1) * (m0 - m1)
+    cum.filter(col("bin") < (bins - 1) && w1 > lit(0.0))
+      .select(col("bin"), (col("_lo") + (col("bin") + 1) * wd).as("threshold"),
         between.as("between_var"))
       .orderBy(col("between_var").desc, col("bin").asc)
       .limit(1)

@@ -146,15 +146,21 @@ object Batch15Entries {
         |  FROM lineitem, b GROUP BY 1),
         |c AS (
         |  SELECT bin, n, lo, hi,
-        |    CAST(SUM(n) OVER (ORDER BY bin) AS DOUBLE) AS w0,
-        |    SUM(n * (lo + (bin + 0.5) * ((hi - lo) / 32.0))) OVER (ORDER BY bin) AS s0,
-        |    CAST(SUM(n) OVER () AS DOUBLE) AS tot,
-        |    SUM(n * (lo + (bin + 0.5) * ((hi - lo) / 32.0))) OVER () AS stot
-        |  FROM h)
-        |SELECT bin, lo + (bin + 1) * ((hi - lo) / 32.0) AS threshold,
-        |  w0 * (tot - w0) * (s0 / w0 - (stot - s0) / (tot - w0))
-        |               * (s0 / w0 - (stot - s0) / (tot - w0)) AS between_var
-        |FROM c WHERE bin < 31 AND tot - w0 > 0
+        |    CAST(SUM(n) OVER (ORDER BY bin) AS DOUBLE) AS a0,
+        |    CAST(SUM(n * bin) OVER (ORDER BY bin) AS DOUBLE) AS b0,
+        |    CAST(SUM(n) OVER () AS DOUBLE) AS att,
+        |    CAST(SUM(n * bin) OVER () AS DOUBLE) AS bt,
+        |    (hi - lo) / 32.0 AS w
+        |  FROM h),
+        |e AS (
+        |  SELECT bin, lo, hi, w, a0, att,
+        |    lo * a0 + w * (b0 + a0 * 0.5) AS s0,
+        |    lo * att + w * (bt + att * 0.5) AS st
+        |  FROM c)
+        |SELECT bin, lo + (bin + 1) * w AS threshold,
+        |  a0 * (att - a0) * (s0 / a0 - (st - s0) / (att - a0))
+        |               * (s0 / a0 - (st - s0) / (att - a0)) AS between_var
+        |FROM e WHERE bin < 31 AND att - a0 > 0
         |ORDER BY between_var DESC, bin ASC LIMIT 1""".stripMargin,
 
     "reg_metrics" ->
