@@ -127,9 +127,21 @@ object TextEntries {
         .orderBy("doc_id")
     }),
 
+    // OR-amplified LSH near-dup join over the planted corpus (same
+    // plants as embed_dedup, whose exact n² pair set is the ground
+    // truth DedupRecallSpec measures this against: recall >= 0.9 at
+    // 4 planes x 8 tables, precision 1.0 by exact verification).
     "lsh_cosine_join" -> ((s, dir) => {
-      Similarity.lshCosineJoin(T.embeddings(s, dir), "vec_id", "embedding",
-          dim = 64, nPlanes = 4, threshold = 0.25)
+      val emb = T.embeddings(s, dir)
+      val pert = emb.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(col("embedding"), 1, 56),
+          transform(slice(col("embedding"), 57, 8), v => v * lit(1.5f)))
+          .as("embedding"))
+      val all = emb.select("vec_id", "embedding").unionByName(pert)
+      Similarity.lshCosineJoin(all, "vec_id", "embedding",
+          dim = 64, nPlanes = 4, nTables = 8, threshold = 0.9)
+        .withColumn("cos", round(col("cos"), 9))
         .orderBy("id_a", "id_b")
     })
   )

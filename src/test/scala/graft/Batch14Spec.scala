@@ -90,6 +90,31 @@ class Batch14Spec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("ivf partial probe (nprobe=4 of 16) keeps recall@15 >= 0.9") {
+    // 8 well-separated clusters in 32-dim: each point = one-hot-ish
+    // center + small deterministic jitter. The query's true top-15 all
+    // live in its own cluster, so probing the 4 nearest centroids must
+    // recover (nearly) all of them — the recall dial actually dialed,
+    // unlike the exhaustive nprobe = nlist completeness check above.
+    val rnd = new scala.util.Random(21)
+    val vecs = for (c <- 0 until 8; i <- 0 until 100) yield {
+      val v = Array.fill(32)(rnd.nextGaussian().toFloat * 0.05f)
+      v(c * 4) += 1.0f
+      ((c * 100 + i).toLong, v)
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(8)
+    val q = vecs(7)._2.map(_.toDouble).toSeq // a cluster-0 member
+    val idx = Similarity.ivfIndex(df, "vec_id", "embedding", nlist = 16)
+    val exact = idx.search(q, k = 15, nprobe = 16)
+      .select("vec_id").as[Long].collect().toSet
+    val probed = idx.search(q, k = 15, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    idx.unpersist()
+    val recall = exact.intersect(probed).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@15 = $recall")
+    assert(exact.forall(_ < 100L)) // sanity: true neighbors are cluster 0
+  }
+
   test("planted embedding near-dups pass the 0.9 cosine gate; originals don't") {
     val rnd = new scala.util.Random(9)
     val vecs = (0L until 30L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))

@@ -79,7 +79,8 @@ class TextSpec extends SparkSpec {
       (s, (0 until 64).map(i => math.cos(i * 0.31 * s + s).toFloat).toArray)
     }
     val df = rows.toDF("vec_id", "embedding")
-    val pairs = Similarity.lshCosineJoin(df, "vec_id", "embedding", 64, 6, 0.99)
+    val pairs = Similarity.lshCosineJoin(df, "vec_id", "embedding", 64,
+      nPlanes = 6, nTables = 4, threshold = 0.99)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
   }
