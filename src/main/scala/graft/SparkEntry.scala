@@ -39,7 +39,8 @@ object SparkEntry {
       entries.Batch12Entries.queries ++
       entries.Batch13Entries.queries ++
       entries.Batch14Entries.queries ++
-      entries.Batch15Entries.queries
+      entries.Batch15Entries.queries ++
+      entries.Batch16Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -57,7 +58,8 @@ object SparkEntry {
       entries.Batch12Entries.oracleSql ++
       entries.Batch13Entries.oracleSql ++
       entries.Batch14Entries.oracleSql ++
-      entries.Batch15Entries.oracleSql
+      entries.Batch15Entries.oracleSql ++
+      entries.Batch16Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -134,9 +134,13 @@ object MoreEntries {
     // §3.2 audit_data composite (quality.py:98): one fused lazy chain of
     // fill -> clip -> date features -> scale.
     "audit_composite" -> ((s, dir) => {
+      // persist: the fence pass, the min/max aggregate, and the output
+      // projection otherwise each rescan the parquet — one scan + two
+      // cache reads instead of three scans (Bench clearCache() reclaims)
       val li = T.lineitem(s, dir)
         .withColumn("qty_n",
           when(col("l_linenumber") === 5, lit(null)).otherwise(col("l_quantity")))
+        .persist()
       // distributed exact fences (the built-in percentile aggregate
       // merges all values into one buffer — the 100 TB bottleneck)
       val f = graft.stats.Quantiles

@@ -43,6 +43,30 @@ object Joins {
   def antiJoin(df: DataFrame, ref: DataFrame, key: String, refKey: String): DataFrame =
     df.join(ref.select(col(refKey).as(key)), Seq(key), "left_anti")
 
+  /** Align frames to a reference frame's key set — `index_based_selector`
+    * (gofast/core/array_manager.py:4186). Spark frames carry no pandas
+    * row index, so the key column IS the index: each input is left-semi
+    * joined to the reference's distinct keys (rows never widened or
+    * duplicated; Catalyst/AQE picks broadcast vs shuffle from the key
+    * set's size). `onMissing = "raise"` mirrors the reference's
+    * error='raise' — any reference key absent from an input aborts,
+    * at the cost of one anti-join count per frame; "ignore" (default)
+    * intersects silently, as error='ignore'. */
+  def indexBasedSelector(dfs: Seq[DataFrame], ref: DataFrame, keyCol: String,
+                         refKeyCol: String = null,
+                         onMissing: String = "ignore"): Seq[DataFrame] = {
+    val rk = Option(refKeyCol).getOrElse(keyCol)
+    val refKeys = ref.select(col(rk).as(keyCol)).distinct()
+    dfs.map { d =>
+      if (onMissing == "raise") {
+        val absent = refKeys.join(d, Seq(keyCol), "left_anti").count()
+        require(absent == 0L,
+          s"index_based_selector: $absent reference keys missing from input")
+      }
+      d.join(refKeys, Seq(keyCol), "left_semi")
+    }
+  }
+
   /** Tolerance equi-join: equal after rounding the key to `decimals`.
     * Reference: `pair_data` (gofast/utils/data_utils.py:3355) — rounds
     * coordinate keys to `decimals=7` before matching.

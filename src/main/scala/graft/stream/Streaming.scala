@@ -17,24 +17,47 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streaming {
 
+  /** Source option contract for the Kafka binding — pure, asserted by
+    * StreamSpec without a broker. */
+  def kafkaSourceOptions(bootstrap: String, topic: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrap, "subscribe" -> topic)
+
+  /** Sink option contract for the Kafka binding. */
+  def kafkaSinkOptions(bootstrap: String, resultTopic: String,
+                       checkpoint: String): Map[String, String] =
+    Map("kafka.bootstrap.servers" -> bootstrap, "topic" -> resultTopic,
+      "checkpointLocation" -> checkpoint)
+
+  /** Micro-batch pipeline kernel: source stream → transform → sink with
+    * a processing-time trigger. Everything the engine owns (transform
+    * plan, trigger cadence, sink options) lives here, exercised
+    * end-to-end in StreamSpec over MemoryStream + memory sink; the
+    * Kafka entry points below only bind source/sink formats. */
+  def microBatch(source: DataFrame, sinkFormat: String,
+                 sinkOptions: Map[String, String], batchInterval: String,
+                 queryName: Option[String] = None)(
+                 transform: DataFrame => DataFrame): StreamingQuery = {
+    val w = transform(source)
+      .writeStream.format(sinkFormat)
+      .options(sinkOptions)
+      .trigger(Trigger.ProcessingTime(batchInterval))
+    queryName.fold(w)(w.queryName).start()
+  }
+
   /** Kafka micro-batch pipeline — the `StreamingInference` shape.
-    * (Not testable in this container: no Kafka; the transform logic is
-    * what the engine owns and it is stream-agnostic.) */
+    * (The Kafka connector itself isn't on this container's classpath;
+    * the [[microBatch]] kernel and the option contracts above are the
+    * tested surface, per COVERAGE.md.) */
   def kafkaPipeline(spark: SparkSession, bootstrap: String, topic: String,
                     resultTopic: String, checkpoint: String,
                     batchInterval: String = "10 seconds")(
                     transform: DataFrame => DataFrame): StreamingQuery = {
     val in = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
+      .options(kafkaSourceOptions(bootstrap, topic))
       .load()
-    transform(in)
-      .writeStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("topic", resultTopic)
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime(batchInterval))
-      .start()
+    microBatch(in, "kafka",
+      kafkaSinkOptions(bootstrap, resultTopic, checkpoint),
+      batchInterval)(transform)
   }
 
   /** Tumbling/sliding event-time counts with a watermark: late rows

@@ -134,4 +134,22 @@ class RelSpec extends SparkSpec {
     assert(out == Map(1L -> "only_a", 2L -> "same", 3L -> "diff",
       4L -> "only_b"))
   }
+
+  test("indexBasedSelector aligns frames to the reference key set") {
+    val ref = Seq((1L, "x"), (2L, "y")).toDF("k", "r")
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "va")
+    val b = Seq((2L, "bb"), (4L, "dd")).toDF("k", "vb")
+    val Seq(aa, ba) = Joins.indexBasedSelector(Seq(a, b), ref, "k")
+    assert(aa.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(ba.select("k").as[Long].collect().toSeq === Seq(2L))
+    // schema untouched: a semi-join never widens
+    assert(aa.columns.toSeq === Seq("k", "va"))
+    // raise mode: ref key 1 is missing from b
+    intercept[IllegalArgumentException] {
+      Joins.indexBasedSelector(Seq(b), ref, "k", onMissing = "raise")
+    }
+    // raise mode passes when every ref key is present
+    val Seq(ok) = Joins.indexBasedSelector(Seq(a), ref, "k", onMissing = "raise")
+    assert(ok.count() === 2L)
+  }
 }

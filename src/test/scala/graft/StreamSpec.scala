@@ -115,6 +115,29 @@ class StreamSpec extends SparkSpec {
     assert(out.select("batch_id").distinct().count() >= 2)
   }
 
+  test("microBatch kernel runs transform + trigger + sink; Kafka binding " +
+      "reuses it with the asserted option contract") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.microBatch(in.toDF(), "memory", Map.empty,
+      "1 second", queryName = Some("mb_out")) { df =>
+      df.withColumn("etype_uc", upper(col("event_type")))
+    }
+    in.addData(Ev(t(0), 1, "click", 1.0), Ev(t(1), 2, "view", 2.0))
+    q.processAllAvailable()
+    val out = spark.table("mb_out").select("etype_uc").as[String]
+      .collect().toSet
+    q.stop()
+    assert(out === Set("CLICK", "VIEW"))
+    // the Kafka entry point binds exactly these source/sink options
+    // around the kernel (no broker in this container; see COVERAGE.md)
+    assert(Streaming.kafkaSourceOptions("broker:9092", "in_topic") ===
+      Map("kafka.bootstrap.servers" -> "broker:9092", "subscribe" -> "in_topic"))
+    assert(Streaming.kafkaSinkOptions("broker:9092", "out_topic", "/cp") ===
+      Map("kafka.bootstrap.servers" -> "broker:9092", "topic" -> "out_topic",
+        "checkpointLocation" -> "/cp"))
+  }
+
   test("runningEma keeps per-user state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streaming.UserEvent]
