@@ -33,6 +33,44 @@ object PerGroup {
     }.toDF(keyCol, tsCol, valueCol, outName)
   }
 
+  /** Torres-Verdín adaptive moving average (EMAP spatial filter):
+    * w_i = min(wf·(1 + β·|y_i − y_{i−1}|), 1),
+    * ama_i = w_i·y_i + (1 − w_i)·ama_{i−1}, ama_0 = y_0 — the weight
+    * rises with local volatility so sharp fronts are tracked while
+    * quiet intervals smooth hard. Reference: `torres_verdin_filter`
+    * (gofast/utils/spatial_utils.py:4685). Data-dependent weights make
+    * the recursion non-linear, so it is not window-expressible; each
+    * bounded series is folded in event order like [[ewm]]. `logify`
+    * filters log10(y) and returns 10^ama (resistivity/phase data).
+    * Output: one row per input row (key, ts, tie, value, `outName`). */
+  def torresVerdin(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, valueCol: String,
+                   weightFactor: Double = 0.1, beta: Double = 1.0,
+                   logify: Boolean = false, outName: String = "ama")
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tie = if (tieCol == null) lit(0L) else col(tieCol).cast("long")
+    val prepared = df.select(col(keyCol).cast("long"), col(tsCol).cast("long"),
+      tie, col(valueCol).cast("double")).as[(Long, Long, Long, Double)]
+    prepared.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val rows = it.toArray.sortBy(r => (r._2, r._3))
+      var ama = 0.0
+      var pv = 0.0
+      var first = true
+      rows.iterator.map { case (_, t, e, v0) =>
+        val v = if (logify) math.log10(v0) else v0
+        if (first) { first = false; ama = v }
+        else {
+          val w = math.min(weightFactor * (1 + beta * math.abs(v - pv)), 1.0)
+          ama = w * v + (1 - w) * ama
+        }
+        pv = v
+        (key, t, e, v0, if (logify) math.pow(10, ama) else ama)
+      }
+    }.toDF(keyCol, tsCol, "_tie", valueCol, outName).drop("_tie")
+  }
+
   /** Augmented Dickey-Fuller (one augmenting lag, constant included)
     * per series: regress Δy_t on [1, y_{t-1}, Δy_{t-1}] and return the
     * t-statistic of the y_{t-1} coefficient. Strongly negative ⇒

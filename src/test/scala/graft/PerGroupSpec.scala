@@ -95,4 +95,41 @@ class PerGroupSpec extends SparkSpec {
       .filter(col("s").isNotNull)
     assert(out.filter(col("s") =!= 0.0).count() == 0)
   }
+
+  test("torresVerdin matches the reference recursion and adapts to jumps") {
+    val vals = Seq(1.0, 1.1, 0.9, 1.0, 10.0, 10.1, 9.9, 10.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "t", "v")
+    val got = PerGroup.torresVerdin(df, "k", "t", null, "v",
+        weightFactor = 0.1, beta = 1.0)
+      .orderBy("t").select("ama").as[Double].collect()
+    // reference fold (spatial_utils.py:4685 semantics)
+    val expect = {
+      val out = Array.fill(vals.size)(0.0)
+      out(0) = vals.head
+      for (i <- 1 until vals.size) {
+        val w = math.min(0.1 * (1 + 1.0 * math.abs(vals(i) - vals(i - 1))), 1.0)
+        out(i) = w * vals(i) + (1 - w) * out(i - 1)
+      }
+      out
+    }
+    assert(got.toSeq === expect.toSeq)
+    // adaptivity: the step from 1.0 to 10.0 raises w from 0.1 to ~1, so
+    // the filter reaches the new level far faster than a fixed-0.1 EMA
+    val fixed = vals.tail.foldLeft(vals.head)((a, v) => 0.1 * v + 0.9 * a)
+    assert(got.last > 9.0 && fixed < 6.0)
+  }
+
+  test("torresVerdin logify filters in log10 space and returns 10^ama") {
+    val vals = Seq(10.0, 100.0, 1000.0, 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "t", "v")
+    val lin = PerGroup.torresVerdin(
+      df.withColumn("v", log10(col("v"))), "k", "t", null, "v")
+      .orderBy("t").select("ama").as[Double].collect()
+    val log = PerGroup.torresVerdin(df, "k", "t", null, "v", logify = true)
+      .orderBy("t").select("ama").as[Double].collect()
+    lin.zip(log).foreach { case (l, g) =>
+      assert(math.abs(math.pow(10, l) - g) < 1e-9, s"$l vs $g") }
+  }
 }
