@@ -37,13 +37,15 @@ object Batch15Entries {
         b = 200)
     }),
 
-    // §2.4 uniform_sampling (probs.py:504): deterministic multiplicative
-    // hash draws binned into deciles — the engine's seeded-RNG-free
-    // uniform generator, checkable bit-for-bit.
+    // §2.4 uniform_sampling (probs.py:504): deterministic draws from
+    // the engine's seeded-RNG-free uniform generator (the same
+    // quadratic mixer bootstrapMeanCi samples with — unbiased over the
+    // full range, unlike a bare multiplicative hash), binned into
+    // deciles and checkable bit-for-bit.
     "uniform_hist" -> ((s, dir) => {
       s.range(10000)
-        .select((((col("id") * lit(2654435761L)) % lit(1000003L))
-          .cast("double") / lit(1000003.0)).as("u"))
+        .select((Sampling.drawIndex(col("id"), 1000000L).cast("double")
+          / lit(1000000.0)).as("u"))
         .select(floor(col("u") * 10).cast("int").as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
         .orderBy("bin")
@@ -212,9 +214,14 @@ object Batch15Entries {
         |SELECT l[1] AS ci_lo, l[2] AS ci_med, l[3] AS ci_hi FROM q""".stripMargin,
 
     "uniform_hist" ->
-      """SELECT CAST(FLOOR(CAST((range * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 * 10) AS INT) AS bin,
-        |  COUNT(*) AS n
-        |FROM range(10000) GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH k AS (SELECT CAST(range AS HUGEINT) AS k FROM range(10000)),
+        |u AS (
+        |  SELECT CAST(((1803442081483830013 * ((k * k) % 2305843009213693951)
+        |      + k * 656901407040548081 + 98764321261)
+        |     % 2305843009213693951) % 1000000 AS DOUBLE) / 1000000.0 AS u
+        |  FROM k)
+        |SELECT CAST(FLOOR(u * 10) AS INT) AS bin, COUNT(*) AS n
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "haversine_nn" ->
       """WITH c AS (

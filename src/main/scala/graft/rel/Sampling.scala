@@ -130,8 +130,10 @@ object Sampling {
     * normalized to [0, n) internally, so 1-based keys are fine. Valid
     * for b·n < 2^63 draws.
     *
-    * Plan: b×n draw rows (a crossJoin of the table's id column with
-    * `range(b)`) → broadcast-join the value column → one groupBy(b) of
+    * Plan: b×n draw rows from `spark.range(b·n)` (draw key k = r·n+i is
+    * the range id itself, so the mixer projection is evenly partitioned
+    * across the cluster by construction — never inherits a narrow scan's
+    * parallelism) → broadcast-join the value column → one groupBy(b) of
     * exact-decimal sums → exact percentiles over the b means. The only
     * driver values are (n, min-id). Output: one row (ci_lo, ci_med,
     * ci_hi). */
@@ -149,11 +151,9 @@ object Sampling {
         s"max=${bounds.getLong(2)} n=$n)")
     require(b.toLong <= Long.MaxValue / math.max(n, 1L),
       s"bootstrapMeanCi: b*n must stay below 2^63 (b=$b n=$n)")
-    val reps = spark.range(b).select(col("id").as("_r"))
-    val draws = df.select((col(idCol).cast("long") - lo).as("_i"))
-      .crossJoin(reps)
-      .select(col("_r"),
-        drawIndex(col("_r") * n + col("_i"), n).as("_idx"))
+    val draws = spark.range(b * n)
+      .select(expr(s"id DIV $n").as("_r"),
+        drawIndex(col("id"), n).as("_idx"))
     val dim = df.select((col(idCol).cast("long") - lo).as("_idx"),
       col(valueCol).cast("decimal(12,2)").as("_v"))
     val means = draws.join(broadcast(dim), "_idx")
