@@ -55,5 +55,17 @@ object GfFrame {
       new Fluent(SetOps.concatRows(df +: others))
     def sampleFraction(fraction: Double, seed: Long = 42L): Fluent =
       new Fluent(Sampling.sample(df, fraction, seed))
+
+    // §2.2 index_based_selector: subset to a reference frame's key set
+    def alignTo(ref: DataFrame, keyCol: String,
+                onMissing: String = "ignore"): Fluent =
+      new Fluent(Joins.indexBasedSelector(Seq(df), ref, keyCol,
+        onMissing = onMissing).head)
+
+    // §2.5 torres_verdin_filter: adaptive moving average per series
+    def tvFilter(keyCol: String, tsCol: String, valueCol: String,
+                 weightFactor: Double = 0.1, beta: Double = 1.0): Fluent =
+      new Fluent(graft.ts.PerGroup.torresVerdin(df, keyCol, tsCol, null,
+        valueCol, weightFactor, beta))
   }
 }

@@ -66,6 +66,23 @@ object PipelineDemo {
     println("\ntop-5 cosine neighbors of vec 0:")
     Similarity.cosineTopK(emb, "embedding", "vec_id", q, 5).show()
 
+    // 7. orchestrate the whole flow as a named step DAG with a
+    // conditional branch and retries (mlops PipelineManager semantics)
+    val dag = new graft.pipeline.StepDag(Seq(
+      graft.pipeline.Step("load", identity),
+      graft.pipeline.Step("sample", df => df.sample(0.5, 42L)), // fallback
+      graft.pipeline.Step("full_or_sample", identity,
+        dependsOn = Seq("load"),
+        condition = Some(_.count() < 1000000L), // small -> keep full
+        fallback = Some("sample")),
+      graft.pipeline.Step("aggregate",
+        df => df.groupBy("o_orderpriority").count(),
+        dependsOn = Seq("full_or_sample"), maxRetries = 2)))
+    val report = dag.run(orders)
+    println("\nstep DAG: " + report.states
+      .map { case (n, s) => s"$n=${s.status}" }.mkString(", "))
+    report.output.foreach(_.show(3))
+
     spark.stop()
   }
 }

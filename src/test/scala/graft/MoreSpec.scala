@@ -79,4 +79,16 @@ class MoreSpec extends SparkSpec {
     val plan = out.queryExecution.optimizedPlan.toString
     assert(plan.contains("Aggregate"))
   }
+
+  test("GfFrame alignTo and tvFilter compose fluently") {
+    val ref = Seq((1L, "a"), (3L, "b")).toDF("k", "tag")
+    val aligned = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .graft.alignTo(ref, "k").result
+    assert(aligned.select("k").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    val smoothed = Seq((1L, 0L, 1.0), (1L, 1L, 1.1), (1L, 2L, 9.0))
+      .toDF("k", "t", "v")
+      .graft.tvFilter("k", "t", "v").result
+    assert(smoothed.columns.contains("ama"))
+    assert(smoothed.count() === 3L)
+  }
 }
