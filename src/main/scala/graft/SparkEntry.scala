@@ -40,7 +40,8 @@ object SparkEntry {
       entries.Batch13Entries.queries ++
       entries.Batch14Entries.queries ++
       entries.Batch15Entries.queries ++
-      entries.Batch16Entries.queries
+      entries.Batch16Entries.queries ++
+      entries.Batch17Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -59,7 +60,8 @@ object SparkEntry {
       entries.Batch13Entries.oracleSql ++
       entries.Batch14Entries.oracleSql ++
       entries.Batch15Entries.oracleSql ++
-      entries.Batch16Entries.oracleSql
+      entries.Batch16Entries.oracleSql ++
+      entries.Batch17Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

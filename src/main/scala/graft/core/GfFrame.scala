@@ -67,5 +67,20 @@ object GfFrame {
                  weightFactor: Double = 0.1, beta: Double = 1.0): Fluent =
       new Fluent(graft.ts.PerGroup.torresVerdin(df, keyCol, tsCol, null,
         valueCol, weightFactor, beta))
+
+    // §2.13 activation transformers (appends <col>_<name>)
+    def activate(cols: Seq[String], name: String,
+                 preScale: Double = 1.0, preShift: Double = 0.0): Fluent =
+      new Fluent(graft.encode.Activations.transformColumns(
+        df, cols, name, preScale, preShift))
+    def softmaxRows(cols: Seq[String]): Fluent =
+      new Fluent(graft.encode.Activations.softmaxRows(df, cols))
+
+    // north-star text pipeline: repetition quality signals; resolve a
+    // near-dup PAIR frame into duplicate clusters
+    def repetitionStats(idCol: String, textCol: String): Fluent =
+      new Fluent(graft.text.Quality.repetitionStats(df, idCol, textCol))
+    def dedupClusters(aCol: String = "id_a", bCol: String = "id_b"): Fluent =
+      new Fluent(graft.text.Dedup.connectedComponents(df, aCol, bCol))
   }
 }

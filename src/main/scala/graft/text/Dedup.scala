@@ -178,6 +178,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    * components by iterative min-label propagation. The missing last
+    * stage of the dedup pipeline — `minhashPairs`/`simhashPairs`/
+    * `ngramJaccardPairs` emit edges; keeping one document per
+    * component is what actually deduplicates a corpus
+    * (handle_duplicates 'drop' semantics, quality.py:4677, lifted to
+    * the transitive-closure case).
+    *
+    * Each iteration: every node takes the min of its own label and its
+    * neighbors' labels — two shuffles (join + groupBy), both keyed, no
+    * cartesian. Converges in O(component diameter) rounds; dedup
+    * graphs are near-cliques (diameter ≤ ~3), so the loop is short
+    * regardless of corpus size. `localCheckpoint` cuts lineage so plan
+    * depth stays constant across iterations; the convergence probe is
+    * a count aggregate (O(1) to the driver). At 1000-executor scale
+    * the same loop holds — state is one (id, comp) row per node,
+    * edges are reused from cache, and per-round cost is bounded by
+    * |edges|. (The alternating large-star/small-star variant halves
+    * rounds on pathological chains; not needed for near-dup graphs.)
+    *
+    * Input: pairs with two id columns. Output: (id, component) for
+    * every id appearing in any pair, component = min id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // min label over in-neighbors, then fold into the node's own label
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("_nid")).agg(min("comp").as("_ncomp"))
+      val next = labels.join(prop, labels("id") === prop("_nid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("_ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.comp") =!= col("p.comp"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs produced by a
     * cheap blocker (here: shared rare shingle). explode+groupBy —
     * shuffle is proportional to shingle postings, not n². */

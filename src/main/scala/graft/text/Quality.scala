@@ -53,6 +53,49 @@ object Quality {
       .agg(round(-sum(col("_p") * log(col("_p"))), 6).as("token_entropy"))
   }
 
+  /** Gopher-style repetition signals per document: the fraction of
+    * token occurrences belonging to tokens that repeat within the doc,
+    * and the most frequent word-bigram with the fraction of the doc's
+    * characters it accounts for (count × bigram length / doc chars).
+    * High values flag boilerplate/spam for a training-data filter.
+    *
+    * Plan: one token explode feeds a (doc, token) count and, via a
+    * per-doc positional window, a (doc, bigram) count; per-doc
+    * argmax by (count desc, bigram asc) is a two-phase top-1 — all
+    * shuffles keyed by doc, linear in corpus size. Ties and docs with
+    * <2 tokens are deterministic (lexicographic min / empty bigram).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc"),
+      length(col(textCol)).as("_nc"), col(textCol).as("_txt"))
+    val toks = base.select(col("doc"),
+      posexplode(TextFns.tokens(col("_txt"))).as(Seq("_p", "_t")))
+    val tf = toks.groupBy("doc", "_t").agg(count(lit(1)).as("_tf"))
+    val dup = tf.groupBy("doc").agg(
+      sum("_tf").as("_n"),
+      sum(when(col("_tf") > 1, col("_tf")).otherwise(0L)).as("_dup"))
+    val w = Window.partitionBy("doc").orderBy("_p")
+    val big = toks.withColumn("_t2", lead("_t", 1).over(w))
+      .filter(col("_t2").isNotNull)
+      .select(col("doc"), concat_ws(" ", col("_t"), col("_t2")).as("_g"))
+      .groupBy("doc", "_g").agg(count(lit(1)).as("_gc"))
+    val top = big.withColumn("_rn", row_number().over(
+        Window.partitionBy("doc").orderBy(col("_gc").desc, col("_g").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("doc"), col("_g").as("top_bigram"), col("_gc").as("top_bigram_n"))
+    base.select("doc", "_nc")
+      .join(dup, "doc")
+      .join(top, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        round(col("_dup").cast("double") / col("_n"), 9).as("dup_token_ratio"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        round(coalesce(
+          col("top_bigram_n") * length(col("top_bigram")).cast("double") / col("_nc"),
+          lit(0.0)), 9).as("top_bigram_char_frac"))
+  }
+
   /** Tokens that are stopwords, duplicates preserved (ratio needs
     * multiplicity — `array_intersect` would dedup). */
   private def array_intersect_keep(toks: Column, stop: Seq[String]): Column =
