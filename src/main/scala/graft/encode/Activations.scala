@@ -117,6 +117,31 @@ object Activations {
     "mish" -> mish _,
     "elish" -> elish _)
 
+  /** Register every activation as a 1-arg SQL function on the session
+    * (`SELECT gelu(x) FROM t`). The registered expression is the same
+    * composed native tree the Column API builds — fully whole-stage
+    * codegen'd, no UDF. Names already bound to Spark built-ins (e.g.
+    * `tanh`) are left untouched so registration never changes the
+    * semantics of standard SQL. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    val registry = spark.sessionState.functionRegistry
+    byName.foreach { case (name, f) =>
+      if (!FunctionRegistry.builtin.functionExists(FunctionIdentifier(name)))
+        registry.registerFunction(
+          FunctionIdentifier(name),
+          new ExpressionInfo(Activations.getClass.getName, name),
+          (children: Seq[Expression]) => {
+            require(children.length == 1, s"$name expects one argument")
+            GraftColumnBridge.toExpr(spark,
+              f(GraftColumnBridge.toColumn(children.head)))
+          })
+    }
+  }
+
   /** Apply a named activation to each of `cols`, appending
     * `<col>_<name>` output columns; `f(preScale·x + preShift)` mirrors
     * the reference transformers' scale/shift knobs. One streaming

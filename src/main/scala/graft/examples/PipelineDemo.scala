@@ -59,6 +59,22 @@ object PipelineDemo {
         .withColumn("text", regexp_replace(col("text"), "^\\S+\\s+", ""))),
       "doc_id", "text", threshold = 0.5)
     println("near-duplicate candidate pairs: " + nearDups.count())
+    // pairs -> duplicate clusters -> keep one canonical doc per cluster
+    val clusters = Dedup.connectedComponents(nearDups)
+    println("duplicate clusters: " +
+      clusters.select("comp").distinct().count() +
+      " (keep = min doc_id per cluster)")
+    // repetition quality gate (Gopher-style) on the same corpus
+    val rep = Quality.repetitionStats(docs, "doc_id", "text")
+    println("docs with >40% duplicated token mass: " +
+      rep.filter(col("dup_token_ratio") > 0.4).count())
+
+    // 5b. activations registered straight into SQL (codegen'd, no UDF)
+    graft.encode.Activations.register(spark)
+    docs.limit(3).createOrReplaceTempView("d3")
+    spark.sql(
+      "SELECT doc_id, gelu(n_chars / 300.0) AS g, swish(n_chars / 300.0) AS s FROM d3")
+      .show()
 
     // 6. embeddings: ANN search
     val emb = T.embeddings(spark, sfDir)

@@ -74,6 +74,18 @@ class ActivationsSpec extends SparkSpec {
       out.select("v_relu").as[Double].head == 0.0)
   }
 
+  test("register exposes activations to SQL without clobbering built-ins") {
+    Activations.register(spark)
+    val g = spark.sql("SELECT gelu(2.0) AS g, mish(1.3) AS m, relu(-4.0) AS r")
+      .as[(Double, Double, Double)].head
+    assert(math.abs(g._1 - 2.0 * 0.9772498680518208) < 1e-6)
+    assert(math.abs(g._2 - 1.3 * math.tanh(math.log1p(math.exp(1.3)))) < 1e-9)
+    assert(g._3 == 0.0)
+    // tanh stays the Spark built-in (registration must skip it)
+    val t = spark.sql("SELECT tanh(0.5) AS t").as[Double].head
+    assert(t == math.tanh(0.5))
+  }
+
   test("softmaxRows sums to 1 and is stable under large magnitudes") {
     val df = Seq((1000.0, 1001.0, 999.0)).toDF("a", "b", "c")
     val out = Activations.softmaxRows(df, Seq("a", "b", "c"))
