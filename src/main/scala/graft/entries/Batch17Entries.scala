@@ -71,6 +71,52 @@ object Batch17Entries {
         .orderBy("doc_id")
     }),
 
+    // north-star MinHash+LSH banding with a FULL oracle: the portable
+    // md5-derived hash family lets DuckDB replay signatures, band
+    // membership, and exact verification end-to-end (the xxhash64
+    // variant stays the perf default; this one closes its
+    // verification gap with a hash-matched gate).
+    "minhash_pairs_md5" -> ((s, dir) => {
+      val d = T.documents(s, dir).filter(col("doc_id") < 50)
+      val perturbed = d.withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", regexp_replace(col("text"), "^\\S+\\s+", ""))
+      Dedup.minhashPairsPortable(d.unionByName(perturbed), "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // north-star SimHash with a FULL oracle: portable 60-bit md5
+    // sketch, 15-bit bands, Hamming verification — DuckDB replays
+    // per-bit majorities, band membership, and the xor popcount.
+    "simhash_pairs_md5" -> ((s, dir) => {
+      val d = T.documents(s, dir).filter(col("doc_id") < 50)
+      val perturbed = d.withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", regexp_replace(col("text"), "^\\S+\\s+", ""))
+      Dedup.simhashPairsPortable(d.unionByName(perturbed), "doc_id", "text",
+          maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // north-star OR-amplified LSH cosine join with a FULL oracle:
+    // the hyperplane values are xxhash64-of-int-literal constants, so
+    // the driver bakes the exact doubles into the SQL as literals and
+    // DuckDB replays bucket membership (fold-dot sign bits) and the
+    // three-fold cosine bit-for-bit. Bounded corpus (300+300 vectors)
+    // keeps both engines' candidate sets cheap.
+    "lsh_cosine_exact" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir).filter(col("vec_id") < 300)
+      val pert = emb.select(
+        (col("vec_id") + 100000L).as("vec_id"),
+        concat(slice(col("embedding"), 1, 56),
+          transform(slice(col("embedding"), 57, 8), v => v * lit(1.5f)))
+          .as("embedding"))
+      val all = emb.select("vec_id", "embedding").unionByName(pert)
+      graft.ml.Similarity.lshCosineJoin(all, "vec_id", "embedding",
+          dim = 64, nPlanes = 4, nTables = 8, threshold = 0.9)
+        .withColumn("cos", round(col("cos"), 9))
+        .orderBy("id_a", "id_b")
+    }),
+
     // north-star quality filter: per-doc repetition stats (duplicated
     // token mass; dominant bigram and its character share).
     "rep_stats" -> ((s, dir) => {
@@ -169,6 +215,134 @@ object Batch17Entries {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // Replays the full MinHash pipeline on the md5 hash family:
+    // per-shingle 60-bit hash, 32 seeded re-hash min-aggregates,
+    // band membership as TRUE slice equality (the Spark side keys on
+    // xxhash64 of the slice — equivalent up to a ~2^-64 collision),
+    // exact signature similarity as the verification.
+    "minhash_pairs_md5" -> {
+      val bandEq = (0 until 8).map { b =>
+        s"sa[${b * 4 + 1}:${b * 4 + 4}] = sb[${b * 4 + 1}:${b * 4 + 4}]"
+      }.mkString("(", " OR ", ")")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
+         |  FROM documents WHERE doc_id < 50),
+         |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(t[i.i + 1 : i.i + 3], ' ') AS s
+         |  FROM toks, (SELECT unnest(range(0, 10000)) AS i) i
+         |  WHERE len(t) >= 3 AND i.i <= len(t) - 3),
+         |h AS (SELECT doc_id,
+         |        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+         |      FROM sh),
+         |seeds AS (SELECT unnest(range(0, 32)) AS seed),
+         |sig AS (
+         |  SELECT doc_id, seed,
+         |    MIN(CAST(('0x' || substr(md5(CONCAT(seed, '_', CAST(h AS VARCHAR))), 1, 15)) AS BIGINT)) AS m
+         |  FROM h, seeds GROUP BY 1, 2),
+         |sigs AS (SELECT doc_id, list(m ORDER BY seed) AS sg FROM sig GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_filter(range(1, 33), i -> a.sg[i] = b.sg[i])) AS DOUBLE) / 32 AS sig_sim
+         |  FROM sigs a JOIN sigs b
+         |    ON a.doc_id < b.doc_id
+         |   AND ${bandEq.replace("sa[", "a.sg[").replace("sb[", "b.sg[")})
+         |SELECT id_a, id_b, sig_sim FROM pairs
+         |WHERE sig_sim >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Per-bit token majorities -> 60-bit sketch (sum of disjoint
+    // powers = OR), n² with the 4-band OR as the candidate condition
+    // (equivalent to the Spark band join), Hamming via bit_count(xor).
+    "simhash_pairs_md5" -> {
+      val bandEq = (0 until 4).map { b =>
+        s"((a.sh >> ${b * 15}) & 32767) = ((b.sh >> ${b * 15}) & 32767)"
+      }.mkString("(", " OR ", ")")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
+         |  FROM documents WHERE doc_id < 50),
+         |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |        FROM corpus WHERE len(trim(text)) > 0),
+         |h AS (SELECT doc_id,
+         |        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+         |      FROM tok),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1),
+         |bits AS (
+         |  SELECT doc_id, b.b AS bit, SUM((h >> b.b) & 1) AS c
+         |  FROM h, (SELECT unnest(range(0, 60)) AS b) b GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT bits.doc_id,
+         |    SUM(CASE WHEN 2 * c > n THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sh
+         |  FROM bits JOIN cnt ON cnt.doc_id = bits.doc_id GROUP BY 1)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id AND $bandEq
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Replays ml.Similarity.lshCosineJoin: 32 hyperplanes as literal
+    // double arrays (xxhash64(k*10007+i)/Long.Max, evaluated driver-
+    // side from the identical catalyst expression), bucket hash =
+    // Σ 2^p over positive fold-dots per table, candidates join on
+    // (table, hash), then the exact three-fold cosine — every fold a
+    // list_reduce seeded 0.0, bit-equal to the codegen'd kernel.
+    "lsh_cosine_exact" -> {
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      def planeSql(k: Int): String = (0 until 64).map { i =>
+        XxHash64(Seq(Literal(k * 10007 + i)), 42L).eval(null)
+          .asInstanceOf[Long].toDouble / Long.MaxValue.toDouble
+      }.mkString("[", ", ", "]")
+      val planeRows = (for (t <- 0 until 8; p <- 0 until 4)
+        yield s"($t, $p, ${planeSql(t * 4 + p)}::DOUBLE[])").mkString(",\n|  ")
+      s"""WITH planes(t, p, pl) AS (VALUES
+         |  $planeRows),
+         |base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+         |e AS (
+         |  SELECT vec_id, embedding FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    embedding[1:56] ||
+         |      list_transform(embedding[57:64], v -> v * CAST(1.5 AS FLOAT))
+         |  FROM base),
+         |buck AS (
+         |  SELECT e.vec_id, planes.t,
+         |    SUM(CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(list_zip(e.embedding, planes.pl),
+         |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+         |        (acc, x) -> acc + x) > 0
+         |      THEN CAST(1 AS BIGINT) << planes.p ELSE 0 END) AS h
+         |  FROM e, planes GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM buck a JOIN buck b ON a.t = b.t AND a.h = b.h
+         |    AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(list_zip(ea.embedding, eb.embedding),
+         |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+         |      (acc, x) -> acc + x)
+         |    / (SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(ea.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+         |        (acc, x) -> acc + x))
+         |     * SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |        list_transform(eb.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+         |        (acc, x) -> acc + x))) AS cos
+         |  FROM cand
+         |  JOIN e ea ON ea.vec_id = id_a
+         |  JOIN e eb ON eb.vec_id = id_b)
+         |SELECT id_a, id_b, ROUND(cos, 9) AS cos
+         |FROM scored WHERE cos >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "rep_stats" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS nc

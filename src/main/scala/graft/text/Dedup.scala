@@ -83,6 +83,31 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
   }
 
+  /** Engine-portable 60-bit hash: the first 15 hex digits of md5,
+    * parsed base-16 — reproducible in ANY engine with an md5 built-in
+    * (DuckDB: `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`), unlike
+    * xxhash64 which is Spark-internal. ~an order of magnitude slower
+    * than integer xxhash, so it backs the ORACLE-CHECKED minhash
+    * variant while xxhash64 stays the corpus-scale default. */
+  def md5Hash64(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signatures with the portable md5 hash family: same plan
+    * shape as [[minhashSignatures]] (one explode, numHashes min-aggs
+    * in one groupBy) with every hash replayable in SQL. */
+  def minhashSignaturesPortable(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int, shingleK: Int): DataFrame = {
+    val exploded = shinglesExploded(df, idCol, textCol, shingleK)
+      .withColumn("_h", md5Hash64(col("_sh")))
+    val mins = (0 until numHashes).map(seed =>
+      min(md5Hash64(concat(lit(s"${seed}_"), col("_h").cast("string"))))
+        .as(s"_h$seed"))
+    exploded.groupBy("_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("_id"),
+        array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
+  }
+
   /** Candidate near-duplicate pairs via LSH banding: rows sharing any
     * band (contiguous signature slice) hash are candidates; candidates
     * are verified with exact signature similarity >= `threshold`.
@@ -93,13 +118,31 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.6, shingleK: Int = 3): DataFrame = {
+                   threshold: Double = 0.6, shingleK: Int = 3): DataFrame =
+    minhashPairsFromSigs(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleK),
+      numHashes, bands, threshold)
+
+  /** [[minhashPairs]] over the portable md5 hash family — the
+    * oracle-checked variant (band-hash collisions could in principle
+    * admit an extra candidate the oracle's true-band-equality test
+    * would not, at ~2⁻⁶⁴ per pair; candidates are exact-verified by
+    * sig_sim either way). */
+  def minhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int = 32, bands: Int = 8,
+                           threshold: Double = 0.6, shingleK: Int = 3): DataFrame =
+    minhashPairsFromSigs(
+      minhashSignaturesPortable(df, idCol, textCol, numHashes, shingleK),
+      numHashes, bands, threshold)
+
+  /** Banding + exact-verification stage shared by the hash families. */
+  def minhashPairsFromSigs(sigDf: DataFrame, numHashes: Int, bands: Int,
+                           threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPer = numHashes / bands
     // persist: both sides of the self-join reuse the computed signatures
     // instead of re-hashing the corpus.
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
-      .persist()
+    val sig = sigDf.persist()
     val banded = sig.select(col("_id"), col("_sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -156,6 +199,51 @@ object Dedup {
         val setCount = shiftright(col(s"_p$b"), 16 * lane).bitwiseAND(0xFFFFL)
         when(setCount * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _).as("_sh"))
+  }
+
+  /** 60-bit SimHash on the portable md5 hash family (same lane-packed
+    * plan as [[simhashes]]: 15 packed sums carrying 4 16-bit counters
+    * each, bit i = b + 15·lane). Every step is replayable in SQL, so
+    * the paired query gets a full oracle. */
+  def simhashesPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("_id"),
+        explode(TextFns.tokens(col(textCol))).as("_t"))
+      .withColumn("_h", md5Hash64(col("_t")))
+    val packSums = (0 until 15).map { b =>
+      val packed = (0 until 4).map { lane =>
+        shiftleft(shiftright(col("_h"), b + 15 * lane).bitwiseAND(1L), 16 * lane)
+      }.reduce(_ + _)
+      sum(packed).as(s"_p$b")
+    }
+    val aggsAll = packSums :+ count(lit(1)).as("_n")
+    val withCounts = exploded.groupBy("_id")
+      .agg(aggsAll.head, aggsAll.tail: _*)
+    withCounts.select(col("_id"),
+      (0 until 60).map { i =>
+        val b = i % 15; val lane = i / 15
+        val setCount = shiftright(col(s"_p$b"), 16 * lane).bitwiseAND(0xFFFFL)
+        when(setCount * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _).as("_sh"))
+  }
+
+  /** [[simhashPairs]] over the portable 60-bit md5 sketch: four
+    * 15-bit bands, Hamming-verified candidates — the oracle-checked
+    * variant. */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 8): DataFrame = {
+    val sk = simhashesPortable(df, idCol, textCol).persist()
+    val banded = sk.select(col("_id"), col("_sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("_sh"), b * 15).bitwiseAND(0x7FFFL).as("bh"))
+      }: _*)).as("_band"))
+    val a = banded.select(col("_id").as("id_a"), col("_sh").as("_sha"), col("_band"))
+    val b = banded.select(col("_id").as("id_b"), col("_sh").as("_shb"), col("_band"))
+    val hamming = bit_count(col("_sha").bitwiseXOR(col("_shb")))
+    a.join(b, a("_band") === b("_band") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Near-duplicate candidates by SimHash: rows sharing any of four

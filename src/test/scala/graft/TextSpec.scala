@@ -50,6 +50,26 @@ class TextSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("portable md5 variants match the xxhash family's dedup semantics") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("alpha ", "")),              // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten eleven " +
+           "twelve thirteen fourteen fifteen sixteen")).toDF("doc_id", "text")
+    val mh = Dedup.minhashPairsPortable(df, "doc_id", "text", 32, 8, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 2L)) && !mh.exists(p => p._1 == 3L || p._2 == 3L))
+    val sh = Dedup.simhashPairsPortable(df, "doc_id", "text", maxHamming = 15)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh.contains((1L, 2L)))
+    // sketches are 60-bit: no bit above 59 is ever set
+    val sk = Dedup.simhashesPortable(df, "doc_id", "text")
+      .select("_sh").as[Long].collect()
+    assert(sk.forall(s => (s >>> 60) == 0L))
+  }
+
   test("simhash is stable and near for perturbed text, far for unrelated") {
     val df = Seq(
       (1L, "spark engine shuffle partition broadcast join aggregate window"),
