@@ -82,5 +82,9 @@ object GfFrame {
       new Fluent(graft.text.Quality.repetitionStats(df, idCol, textCol))
     def dedupClusters(aCol: String = "id_a", bCol: String = "id_b"): Fluent =
       new Fluent(graft.text.Dedup.connectedComponents(df, aCol, bCol))
+    def dropNearDuplicates(idCol: String, textCol: String,
+                           threshold: Double = 0.6): Fluent =
+      new Fluent(graft.text.Dedup.dropNearDuplicates(df, idCol, textCol,
+        threshold = threshold))
   }
 }

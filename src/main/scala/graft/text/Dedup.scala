@@ -320,6 +320,26 @@ object Dedup {
     labels
   }
 
+  /** One-call near-duplicate removal: MinHash/LSH pairs → connected
+    * components → keep the min-id document per duplicate cluster
+    * (`handle_duplicates` drop semantics, quality.py:4677, extended
+    * transitively). Non-candidates pass through untouched; only ids
+    * appearing in a near-dup pair join against the cluster table,
+    * which is pair-bounded and therefore far smaller than the corpus
+    * (left as a plain keyed join — AQE broadcasts it when it is small;
+    * on a heavily-duplicated corpus it may not be).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int = 32, bands: Int = 8,
+                         threshold: Double = 0.6, shingleK: Int = 3): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands,
+      threshold, shingleK)
+    val clusters = connectedComponents(pairs)
+    df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .filter(col("comp").isNull || col("comp") === col(idCol))
+      .drop("comp")
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs produced by a
     * cheap blocker (here: shared rare shingle). explode+groupBy —
     * shuffle is proportional to shingle postings, not n². */

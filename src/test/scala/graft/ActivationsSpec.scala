@@ -113,6 +113,20 @@ class ActivationsSpec extends SparkSpec {
     assert(comp.size == 10 && comp.values.forall(_ == 0L))
   }
 
+  test("dropNearDuplicates keeps one canonical doc per near-dup cluster") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("alpha ", "")),          // near-dup of 1
+      (3L, base.replace("beta ", "")),           // near-dup of 1 (and 2)
+      (9L, "one two three four five six seven eight nine ten eleven " +
+           "twelve thirteen fourteen fifteen sixteen")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(df, "doc_id", "text", threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L)) // cluster {1,2,3} -> min id 1; 9 untouched
+  }
+
   test("repetitionStats flags duplicated token mass and the dominant bigram") {
     val df = Seq(
       (1L, "spam spam spam spam ham"),
