@@ -33,6 +33,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    val edgesGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    forSamples(edgesGen, n = 5) { raw =>
+      val edges = raw.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // reference: plain union-find with min-root normalization
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expect = parent.keys.map(k => k -> find(k)).toMap
+        val got = graft.text.Dedup.connectedComponents(
+            edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expect, s"edges=$edges")
+      }
+    }
+  }
+
   test("pivot then unpivot recovers the original aggregate") {
     forSamples(rowsGen) { rows =>
       if (rows.nonEmpty) {
