@@ -117,6 +117,19 @@ object Batch17Entries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the one-call dedup capstone, oracle-checked end-to-end: portable
+    // MinHash pairs -> connected components -> keep min-id per cluster
+    // (non-candidates pass through).
+    "drop_near_dups" -> ((s, dir) => {
+      val d = T.documents(s, dir).filter(col("doc_id") < 50)
+      val perturbed = d.withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", regexp_replace(col("text"), "^\\S+\\s+", ""))
+      Dedup.dropNearDuplicates(d.unionByName(perturbed), "doc_id", "text",
+          numHashes = 32, bands = 8, threshold = 0.5, portableHash = true)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     // north-star quality filter: per-doc repetition stats (duplicated
     // token mass; dominant bigram and its character share).
     "rep_stats" -> ((s, dir) => {
@@ -127,6 +140,42 @@ object Batch17Entries {
   )
 
   private val sqrt2 = math.sqrt(2.0)
+
+  /** Shared oracle CTEs: docs<50 + perturbed corpus → distinct
+    * 3-shingles → md5-60-bit hashes → 32 seeded min signatures →
+    * banded candidate pairs with exact signature similarity. Used by
+    * minhash_pairs_md5 and drop_near_dups. */
+  private val md5PairCtes: String = {
+    val bandEq = (0 until 8).map { b =>
+      s"a.sg[${b * 4 + 1}:${b * 4 + 4}] = b.sg[${b * 4 + 1}:${b * 4 + 4}]"
+    }.mkString("(", " OR ", ")")
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+       |  UNION ALL
+       |  SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
+       |  FROM documents WHERE doc_id < 50),
+       |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(t[i.i + 1 : i.i + 3], ' ') AS s
+       |  FROM toks, (SELECT unnest(range(0, 10000)) AS i) i
+       |  WHERE len(t) >= 3 AND i.i <= len(t) - 3),
+       |h AS (SELECT doc_id,
+       |        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
+       |      FROM sh),
+       |seeds AS (SELECT unnest(range(0, 32)) AS seed),
+       |sig AS (
+       |  SELECT doc_id, seed,
+       |    MIN(CAST(('0x' || substr(md5(CONCAT(seed, '_', CAST(h AS VARCHAR))), 1, 15)) AS BIGINT)) AS m
+       |  FROM h, seeds GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, list(m ORDER BY seed) AS sg FROM sig GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_filter(range(1, 33), i -> a.sg[i] = b.sg[i])) AS DOUBLE) / 32 AS sig_sim
+       |  FROM sigs a JOIN sigs b
+       |    ON a.doc_id < b.doc_id
+       |   AND $bandEq)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     // Mirrors Activations expression-for-expression: identical IEEE
@@ -221,40 +270,30 @@ object Batch17Entries {
     // band membership as TRUE slice equality (the Spark side keys on
     // xxhash64 of the slice — equivalent up to a ~2^-64 collision),
     // exact signature similarity as the verification.
-    "minhash_pairs_md5" -> {
-      val bandEq = (0 until 8).map { b =>
-        s"sa[${b * 4 + 1}:${b * 4 + 4}] = sb[${b * 4 + 1}:${b * 4 + 4}]"
-      }.mkString("(", " OR ", ")")
-      s"""WITH corpus AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id < 50
-         |  UNION ALL
-         |  SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
-         |  FROM documents WHERE doc_id < 50),
-         |toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus),
-         |sh AS (
-         |  SELECT DISTINCT doc_id,
-         |    array_to_string(t[i.i + 1 : i.i + 3], ' ') AS s
-         |  FROM toks, (SELECT unnest(range(0, 10000)) AS i) i
-         |  WHERE len(t) >= 3 AND i.i <= len(t) - 3),
-         |h AS (SELECT doc_id,
-         |        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h
-         |      FROM sh),
-         |seeds AS (SELECT unnest(range(0, 32)) AS seed),
-         |sig AS (
-         |  SELECT doc_id, seed,
-         |    MIN(CAST(('0x' || substr(md5(CONCAT(seed, '_', CAST(h AS VARCHAR))), 1, 15)) AS BIGINT)) AS m
-         |  FROM h, seeds GROUP BY 1, 2),
-         |sigs AS (SELECT doc_id, list(m ORDER BY seed) AS sg FROM sig GROUP BY 1),
-         |pairs AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_filter(range(1, 33), i -> a.sg[i] = b.sg[i])) AS DOUBLE) / 32 AS sig_sim
-         |  FROM sigs a JOIN sigs b
-         |    ON a.doc_id < b.doc_id
-         |   AND ${bandEq.replace("sa[", "a.sg[").replace("sb[", "b.sg[")})
+    "minhash_pairs_md5" ->
+      s"""WITH $md5PairCtes
          |SELECT id_a, id_b, sig_sim FROM pairs
          |WHERE sig_sim >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // dropNearDuplicates end-to-end: md5 MinHash pairs (shared CTEs),
+    // transitive closure by recursive CTE, keep docs that are either
+    // outside every pair or their cluster's min id.
+    "drop_near_dups" ->
+      s"""WITH RECURSIVE $md5PairCtes,
+         |p AS (SELECT id_a, id_b FROM pairs WHERE sig_sim >= 0.5),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+         |         FROM reach GROUP BY a)
+         |SELECT c.doc_id FROM corpus c
+         |LEFT JOIN comp ON comp.doc_id = c.doc_id
+         |WHERE comp.component IS NULL OR comp.component = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
 
     // Per-bit token majorities -> 60-bit sketch (sum of disjoint
     // powers = OR), n² with the 4-band OR as the candidate condition

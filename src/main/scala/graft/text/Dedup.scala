@@ -331,9 +331,13 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 32, bands: Int = 8,
-                         threshold: Double = 0.6, shingleK: Int = 3): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, numHashes, bands,
-      threshold, shingleK)
+                         threshold: Double = 0.6, shingleK: Int = 3,
+                         portableHash: Boolean = false): DataFrame = {
+    val pairs =
+      if (portableHash)
+        minhashPairsPortable(df, idCol, textCol, numHashes, bands, threshold, shingleK)
+      else
+        minhashPairs(df, idCol, textCol, numHashes, bands, threshold, shingleK)
     val clusters = connectedComponents(pairs)
     df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .filter(col("comp").isNull || col("comp") === col(idCol))
