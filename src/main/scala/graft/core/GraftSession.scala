@@ -34,6 +34,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.functions.VectorExpressions.register(s)
+    graft.encode.Activations.register(s)
     s
   }
 }

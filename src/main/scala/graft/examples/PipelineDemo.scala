@@ -69,8 +69,8 @@ object PipelineDemo {
     println("docs with >40% duplicated token mass: " +
       rep.filter(col("dup_token_ratio") > 0.4).count())
 
-    // 5b. activations registered straight into SQL (codegen'd, no UDF)
-    graft.encode.Activations.register(spark)
+    // 5b. activations are SQL functions on any GraftSession (codegen'd,
+    // no UDF; registered by GraftSession.local)
     docs.limit(3).createOrReplaceTempView("d3")
     spark.sql(
       "SELECT doc_id, gelu(n_chars / 300.0) AS g, swish(n_chars / 300.0) AS s FROM d3")
