@@ -25,7 +25,8 @@ object Bench {
     "pivot_wide", "quantiles_exact", "describe", "corr_matrix",
     "rank_window", "moving_avg", "decompose_seasonal", "acf",
     "sessionize", "audit_composite", "dedup_exact", "minhash_pairs",
-    "simhash_pairs", "cosine_topk", "ivf_topk", "lang_id", "text_quality",
+    "simhash_pairs", "drop_near_dups", "cosine_topk", "ivf_topk",
+    "lang_id", "text_quality", "rep_stats", "activations",
     "extractive_summary", "sql_window", "ols_residuals",
     "kruskal_wallis", "zscore")
 
