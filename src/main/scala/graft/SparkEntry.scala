@@ -41,7 +41,8 @@ object SparkEntry {
       entries.Batch14Entries.queries ++
       entries.Batch15Entries.queries ++
       entries.Batch16Entries.queries ++
-      entries.Batch17Entries.queries
+      entries.Batch17Entries.queries ++
+      entries.Batch18Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -61,7 +62,8 @@ object SparkEntry {
       entries.Batch14Entries.oracleSql ++
       entries.Batch15Entries.oracleSql ++
       entries.Batch16Entries.oracleSql ++
-      entries.Batch17Entries.oracleSql
+      entries.Batch17Entries.oracleSql ++
+      entries.Batch18Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

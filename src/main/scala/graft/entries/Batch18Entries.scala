@@ -1,0 +1,62 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.mm.Multimodal
+
+/** Round-9 batch: the real image codec path (javax.imageio decode →
+  * luma → nearest-neighbor thumbnail → exact pixel moments) proven
+  * against an analytic SQL oracle, plus scale-gate hardening entries.
+  */
+object Batch18Entries {
+
+  /** Deterministic synthetic corpus: 24 BMPs whose pixel luma is the
+    * closed-form `(x·7 + y·13 + id·31) mod 256`, sizes varying with id
+    * so the resize path (integer floor sampling) is exercised. The
+    * oracle recomputes the identical integers from `range()` — the
+    * Spark side must really decode the container to match. */
+  private[graft] def syntheticBmps(s: SparkSession): DataFrame = {
+    val rows = (0 until 24).map { id =>
+      val w = 16 + (id % 3) * 4
+      val h = 12 + (id % 2) * 6
+      (id.toLong,
+        Multimodal.encodeBmp(w, h, (x, y) => (x * 7 + y * 13 + id * 31) % 256),
+        "bmp", w, h, 0L)
+    }
+    Multimodal.toMediaFrame(s, rows)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.10 multimodal image codec (gofast/dataops/preprocessing.py:2161
+    // Features.image_extraction): REAL decode of BMP containers via
+    // javax.imageio, grayscale, 8×8 nearest-neighbor thumbnail, exact
+    // integer pixel moments. Hash-match against the analytic oracle
+    // proves the whole codec chain end-to-end.
+    "image_features" -> ((s, dir) =>
+      Multimodal.imageFeatures(syntheticBmps(s), thumbSide = 8)
+        .orderBy("media_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "image_features" ->
+      """WITH ids AS (SELECT unnest(range(0, 24)) AS media_id),
+        |dims AS (SELECT media_id,
+        |    16 + (media_id % 3) * 4 AS w,
+        |    12 + (media_id % 2) * 6 AS h
+        |  FROM ids),
+        |t AS (
+        |  SELECT d.media_id, d.w, d.h,
+        |    ((tx.i * d.w // 8) * 7 + (ty.i * d.h // 8) * 13 + d.media_id * 31) % 256 AS v
+        |  FROM dims d,
+        |    (SELECT unnest(range(0, 8)) AS i) tx,
+        |    (SELECT unnest(range(0, 8)) AS i) ty)
+        |SELECT media_id, TRUE AS ok,
+        |  MIN(w) AS width, MIN(h) AS height,
+        |  CAST(MIN(v) AS BIGINT) AS px_min,
+        |  CAST(MAX(v) AS BIGINT) AS px_max,
+        |  CAST(SUM(v) AS BIGINT) AS px_sum,
+        |  CAST(SUM(v) AS BIGINT) / 64.0 AS px_mean,
+        |  (64 * CAST(SUM(v * v) AS BIGINT) - CAST(SUM(v) AS BIGINT) * CAST(SUM(v) AS BIGINT)) / 4096.0 AS px_var
+        |FROM t GROUP BY media_id ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,5 +1,9 @@
 package graft.mm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,15 +11,21 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column handling — north-star
   * training-data-pipeline operators.
   *
-  * Media is an opaque `binary` column plus a typed metadata struct; all
-  * Spark-side plumbing (schema, partitioning, batch iteration, output
-  * shape) is real. The codec step itself is a clearly marked STUB —
-  * this container has no image/audio libraries — producing a
-  * deterministic hash-derived feature vector with the exact signature a
-  * real decoder would have (Iterator[Row] → Iterator[Row] per
-  * partition, the Scala analog of `mapInPandas` batches).
+  * Media is an opaque `binary` column plus a typed metadata struct.
+  * Images are decoded with the JDK's own `javax.imageio` (BMP/PNG/JPEG
+  * — zero extra dependencies), converted to integer luma, resized by
+  * nearest-neighbor, and reduced to exact pixel moments; everything is
+  * integer/power-of-two arithmetic so a SQL oracle can reproduce the
+  * values bit-for-bit. The partition-iterator shape (one codec init per
+  * partition, stream rows through it) is the Scala analog of
+  * `mapInPandas` batches and is what a GPU/native codec would slot
+  * into. Mirrors `Features.image_extraction`
+  * (gofast/dataops/preprocessing.py:2161).
   */
 object Multimodal {
+
+  /** Decoded integer-luma image: row-major `px`, length w·h. */
+  final case class GrayImage(w: Int, h: Int, px: Array[Int])
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -35,42 +45,165 @@ object Multimodal {
     spark.createDataFrame(rdd, mediaSchema)
   }
 
-  /** STUB decoder ??? — stands in for an image/audio decode + feature
-    * extraction kernel (e.g. pillow/torchvision inside mapInPandas).
-    * Deterministic: features are derived from a 64-bit FNV-1a of the
-    * bytes, so tests and re-runs are stable. The real implementation
-    * replaces ONLY the body of `fakeFeature`; the partition-iterator
-    * plumbing, schema, and batching stay. */
-  private def fakeFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
-    var h = 0xcbf29ce484222325L
-    if (bytes != null) bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-    val out = new Array[Float](dim)
-    var x = h
-    var i = 0
-    while (i < dim) {
-      x ^= x << 13; x ^= x >>> 7; x ^= x << 17 // xorshift64
-      out(i) = (x.toDouble / Long.MaxValue.toDouble).toFloat
-      i += 1
+  /** Encode a synthetic grayscale image as real BMP bytes (24-bit RGB,
+    * lossless, decoded exactly by every codec): pixel (x, y) carries
+    * luma `pixel(x, y) & 0xff` replicated across R=G=B. Used to build
+    * decode fixtures whose pixel values a SQL oracle can recompute. */
+  def encodeBmp(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Same image, PNG container (also lossless in the JDK encoder). */
+  def encodePng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any `javax.imageio`-supported container (BMP/PNG/JPEG/GIF)
+    * to an integer-luma grid: gray = (299·R + 587·G + 114·B) / 1000,
+    * integer division — exact for achromatic pixels (R=G=B=v → v).
+    * Returns null when the bytes are not a decodable image. */
+  def decodeGray(bytes: Array[Byte]): GrayImage = {
+    if (bytes == null || bytes.isEmpty) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        px(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    GrayImage(w, h, px)
+  }
+
+  /** Nearest-neighbor downsample to a `side`×`side` thumbnail: thumb
+    * (tx, ty) samples source (tx·w/side, ty·h/side), integer division —
+    * the arithmetic a SQL oracle reproduces with `//`. */
+  def resizeNearest(img: GrayImage, side: Int): Array[Int] = {
+    val out = new Array[Int](side * side)
+    var ty = 0
+    while (ty < side) {
+      val sy = ty * img.h / side
+      var tx = 0
+      while (tx < side) {
+        val sx = tx * img.w / side
+        out(ty * side + tx) = img.px(sy * img.w + sx)
+        tx += 1
+      }
+      ty += 1
     }
     out
   }
 
-  /** Decode + featurize each media row per partition (mapPartitions —
-    * one decoder init per partition, the batch shape a GPU/codec kernel
-    * needs). Output: (media_id, feature array<float>, n_bytes). */
+  /** Real decode → grayscale → nearest-neighbor thumbnail → exact
+    * pixel moments, one codec pass per partition (mapPartitions: init
+    * once, stream rows). Sums are integer-exact; mean/variance divide
+    * by powers of two only, so doubles are bit-identical to a SQL
+    * oracle computing the same integers. Undecodable or null content
+    * yields `ok = false` with null features (row is kept — a 100 TB
+    * pipeline must not silently drop corrupt media). */
+  def imageFeatures(df: DataFrame, thumbSide: Int = 8): DataFrame = {
+    require((thumbSide & (thumbSide - 1)) == 0 && thumbSide > 0,
+      s"thumbSide must be a power of two for exact moment arithmetic, got $thumbSide")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("px_min", LongType, nullable = true),
+      StructField("px_max", LongType, nullable = true),
+      StructField("px_sum", LongType, nullable = true),
+      StructField("px_mean", DoubleType, nullable = true),
+      StructField("px_var", DoubleType, nullable = true)))
+    val n = thumbSide * thumbSide
+    val rdd = df.select("media_id", "content").rdd.mapPartitions { it =>
+      // codec state (ImageIO reader plumbing) initializes once per
+      // partition on first use; rows stream through without re-init
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img = decodeGray(bytes)
+        if (img == null) Row(id, false, null, null, null, null, null, null, null)
+        else {
+          val t = resizeNearest(img, thumbSide)
+          var sum = 0L; var sumSq = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var i = 0
+          while (i < n) {
+            val v = t(i).toLong
+            sum += v; sumSq += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val mean = sum.toDouble / n
+          val varr = (n.toLong * sumSq - sum * sum).toDouble / (n.toLong * n)
+          Row(id, true, img.w.toLong, img.h.toLong, mn, mx, sum, mean, varr)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Byte-level featurizer for opaque (not necessarily image) binary:
+    * a `dim`-bucket byte-value histogram normalized by length. Real
+    * content statistics — works on any format without a codec, the
+    * cheap first-pass filter before full decode at 100 TB. */
   def decodeFeatures(df: DataFrame, dim: Int = 16): DataFrame = {
+    require(256 % dim == 0, s"dim must divide 256, got $dim")
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("feature", ArrayType(FloatType), nullable = false),
       StructField("n_bytes", IntegerType, nullable = false)))
+    val bucketWidth = 256 / dim
     val rdd = df.select("media_id", "content").rdd.mapPartitions { it =>
-      // real impl: init decoder ONCE here, stream batches through it
       it.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        Row(id, fakeFeature(bytes, dim).toSeq,
-          if (bytes == null) 0 else bytes.length)
+        val counts = new Array[Int](dim)
+        if (bytes != null) bytes.foreach { b => counts((b & 0xff) / bucketWidth) += 1 }
+        val len = if (bytes == null) 0 else bytes.length
+        val feat = counts.map(c => if (len == 0) 0f else c.toFloat / len)
+        Row(id, feat.toSeq, len)
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -67,7 +67,7 @@ class IoPipelineMmSpec extends SparkSpec {
     assert(ids.subsetOf(Set(0, 1, 2, 3)) && ids.size > 1)
   }
 
-  test("media decode stub is deterministic and schema-stable") {
+  test("byte-histogram featurizer is deterministic and schema-stable") {
     val media = Multimodal.toMediaFrame(spark, Seq(
       (1L, Array[Byte](1, 2, 3), "png", 8, 8, 0L),
       (2L, Array[Byte](9, 9), "wav", 0, 0, 5000L),
