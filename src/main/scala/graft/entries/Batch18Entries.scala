@@ -2,7 +2,9 @@ package graft.entries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
 import graft.mm.Multimodal
+import graft.rel.Spatial
 
 /** Round-9 batch: the real image codec path (javax.imageio decode →
   * luma → nearest-neighbor thumbnail → exact pixel moments) proven
@@ -35,6 +37,25 @@ object Batch18Entries {
     "image_features" -> ((s, dir) =>
       Multimodal.imageFeatures(syntheticBmps(s), thumbSide = 8)
         .orderBy("media_id"))
+,
+    // §2.3 geo nearest over the FULL customer×supplier (no pre-filter):
+    // proves the internally-banded search returns the exact global
+    // nearest while every join in the plan stays a keyed equi-join —
+    // the DuckDB oracle brute-forces all pairs.
+    "haversine_nn_full" -> ((s, dir) => {
+      val c = T.customer(s, dir)
+        .select(col("c_custkey"),
+          ((col("c_custkey") % 160).cast("double") - 80.0 + 0.25).as("clat"),
+          (((col("c_custkey") * 7) % 340).cast("double") - 170.0 + 0.25).as("clon"))
+      val su = T.supplier(s, dir)
+        .select(col("s_suppkey"),
+          (((col("s_suppkey") * 13) % 160).cast("double") - 80.0 + 0.25).as("slat"),
+          (((col("s_suppkey") * 11) % 340).cast("double") - 170.0 + 0.25).as("slon"))
+      Spatial.nearestByHaversine(c, su, "c_custkey", "s_suppkey",
+          "clat", "clon", "slat", "slon")
+        .select("c_custkey", "s_suppkey", "dist_km")
+        .orderBy("c_custkey")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -57,6 +78,32 @@ object Batch18Entries {
         |  CAST(SUM(v) AS BIGINT) AS px_sum,
         |  CAST(SUM(v) AS BIGINT) / 64.0 AS px_mean,
         |  (64 * CAST(SUM(v * v) AS BIGINT) - CAST(SUM(v) AS BIGINT) * CAST(SUM(v) AS BIGINT)) / 4096.0 AS px_var
-        |FROM t GROUP BY media_id ORDER BY media_id""".stripMargin
+        |FROM t GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "haversine_nn_full" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 160 AS DOUBLE) - 80.0 + 0.25 AS clat,
+        |    CAST((c_custkey * 7) % 340 AS DOUBLE) - 170.0 + 0.25 AS clon
+        |  FROM customer),
+        |s AS (
+        |  SELECT s_suppkey,
+        |    CAST((s_suppkey * 13) % 160 AS DOUBLE) - 80.0 + 0.25 AS slat,
+        |    CAST((s_suppkey * 11) % 340 AS DOUBLE) - 170.0 + 0.25 AS slon
+        |  FROM supplier),
+        |d AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    ROUND(12742.0 * ASIN(SQRT(
+        |      SIN(RADIANS((slat - clat) / 2)) * SIN(RADIANS((slat - clat) / 2))
+        |      + COS(RADIANS(clat)) * COS(RADIANS(slat))
+        |        * SIN(RADIANS((slon - clon) / 2)) * SIN(RADIANS((slon - clon) / 2)))), 3) AS dist_km
+        |  FROM c, s),
+        |r AS (
+        |  SELECT c_custkey, s_suppkey, dist_km,
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey
+        |      ORDER BY dist_km, s_suppkey) AS rn
+        |  FROM d)
+        |SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin
   )
 }

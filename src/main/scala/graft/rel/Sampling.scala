@@ -133,12 +133,22 @@ object Sampling {
     * Plan: b×n draw rows from `spark.range(b·n)` (draw key k = r·n+i is
     * the range id itself, so the mixer projection is evenly partitioned
     * across the cluster by construction — never inherits a narrow scan's
-    * parallelism) → broadcast-join the value column → one groupBy(b) of
+    * parallelism) → join the value column → one groupBy(b) of
     * exact-decimal sums → exact percentiles over the b means. The only
     * driver values are (n, min-id). Output: one row (ci_lo, ci_med,
-    * ci_hi). */
+    * ci_hi).
+    *
+    * The value-column join is broadcast ONLY while n ≤
+    * `broadcastMaxRows` (default 4M ≈ tens of MB serialized — safely
+    * inside executor memory and `spark.sql.maxBroadcastTableBytes`).
+    * Past the gate it becomes a plain equi-join on `_idx`: both sides
+    * shuffle by the key, the draws side is already evenly partitioned
+    * by construction, so the exchange is balanced at any n — that is
+    * what keeps the advertised b·n < 2^63 envelope honest on a
+    * 10^8+-row input where an unconditional broadcast would OOM. */
   def bootstrapMeanCi(df: DataFrame, idCol: String, valueCol: String,
-                      b: Int, ps: Seq[Double] = Seq(0.025, 0.5, 0.975))
+                      b: Int, ps: Seq[Double] = Seq(0.025, 0.5, 0.975),
+                      broadcastMaxRows: Long = 4000000L)
       : DataFrame = {
     val spark = df.sparkSession
     val bounds = df.agg(count(lit(1)).as("n"),
@@ -156,7 +166,8 @@ object Sampling {
         drawIndex(col("id"), n).as("_idx"))
     val dim = df.select((col(idCol).cast("long") - lo).as("_idx"),
       col(valueCol).cast("decimal(12,2)").as("_v"))
-    val means = draws.join(broadcast(dim), "_idx")
+    val dimSide = if (n <= broadcastMaxRows) broadcast(dim) else dim
+    val means = draws.join(dimSide, "_idx")
       .groupBy("_r")
       .agg((sum("_v").cast("double") / lit(n.toDouble)).as("_mean"))
     val q = means.agg(

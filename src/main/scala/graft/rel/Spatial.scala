@@ -30,21 +30,71 @@ object Spatial {
       sdlat * sdlat + cos(radians(lat1)) * cos(radians(lat2)) * sdlon * sdlon))
   }
 
-  /** For each left row, the nearest right row by haversine distance.
-    * Deterministic: distance rounded to `roundDp`, ties broken by
-    * `rightId` ascending. Cross-join bounded by the caller (filter the
-    * left side, or band on a lat bucket for large rights). */
+  /** For each left row, the EXACT nearest right row by haversine
+    * distance — banded internally, never a cartesian product.
+    *
+    * Search runs in latitude-band levels of geometrically widening
+    * width (`bandDeg`, 4·bandDeg, …, 180°): at each level both sides
+    * key on `floor(lat / width)`, the left explodes to its bucket ±1
+    * (a 3-way ring), and the join is a plain keyed equi-join. A left
+    * row is RESOLVED at a level when its best rounded distance is
+    * below that level's exactness bound — any point outside the ring
+    * differs in latitude by ≥ width, so its distance is at least the
+    * meridian arc `2R·asin(sin(width/2))`; a candidate strictly inside
+    * that bound cannot be beaten from outside (the 1.5·10^-roundDp
+    * margin keeps rounded comparisons safe). Unresolved rows (sparse
+    * neighborhoods) graduate to the next, 4× wider level; the final
+    * 180° level puts every right row in one ring, so the search is
+    * exact with no cross-join fallback. At 100 TB densities virtually
+    * everything resolves at level 0 with ~|left|·k candidate rows; the
+    * wide levels see only stragglers.
+    *
+    * Deterministic: distance rounded to `roundDp` (trig is
+    * libm-dependent in the last ulp), ties broken by `rightId`
+    * ascending; equal-rounded ties are always co-resident in a ring,
+    * so the tie-break is level-independent. */
   def nearestByHaversine(left: DataFrame, right: DataFrame,
                          leftId: String, rightId: String,
                          latL: String, lonL: String,
                          latR: String, lonR: String,
-                         roundDp: Int = 3): DataFrame = {
-    val d = left.crossJoin(right)
-      .withColumn("dist_km",
-        round(haversineKm(col(latL), col(lonL), col(latR), col(lonR)), roundDp))
-    val w = Window.partitionBy(leftId)
-      .orderBy(col("dist_km").asc, col(rightId).asc)
-    d.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn")
+                         roundDp: Int = 3,
+                         bandDeg: Double = 5.0): DataFrame = {
+    require(bandDeg > 0 && bandDeg <= 180, s"bandDeg in (0,180], got $bandDeg")
+    val widths =
+      Iterator.iterate(bandDeg)(_ * 4).takeWhile(_ < 180.0).toSeq :+ 180.0
+
+    def level(l: DataFrame, width: Double, last: Boolean)
+        : (DataFrame, DataFrame) = {
+      val rb = right.withColumn("_hb", floor(col(latR) / width).cast("long"))
+      val cand = l
+        .withColumn("_hb0", floor(col(latL) / width).cast("long"))
+        .withColumn("_hb",
+          explode(array(col("_hb0") - 1, col("_hb0"), col("_hb0") + 1)))
+        .join(rb, "_hb")
+        .withColumn("dist_km",
+          round(haversineKm(col(latL), col(lonL), col(latR), col(lonR)),
+            roundDp))
+      val w = Window.partitionBy(leftId)
+        .orderBy(col("dist_km").asc, col(rightId).asc)
+      val best = cand.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn", "_hb", "_hb0")
+      if (last) (best, null)
+      else {
+        val bound = 12742.0 * math.asin(math.sin(math.toRadians(width / 2))) -
+          1.5 * math.pow(10.0, -roundDp)
+        val resolved = best.filter(col("dist_km") <= bound)
+        val unresolved =
+          l.join(resolved.select(leftId), Seq(leftId), "left_anti")
+        (resolved, unresolved)
+      }
+    }
+
+    var rem = left
+    val parts = widths.zipWithIndex.map { case (width, i) =>
+      val (res, un) = level(rem, width, last = i == widths.size - 1)
+      rem = un
+      res
+    }
+    parts.reduce(_.unionByName(_))
   }
 }

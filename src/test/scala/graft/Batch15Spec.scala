@@ -75,6 +75,27 @@ class Batch15Spec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("bootstrapMeanCi non-broadcast path (n past the gate) is identical") {
+    val df = (0 until 400).map(i => (i.toLong, 10.0 + (i % 21))).toDF("id", "v")
+    val bc = Sampling.bootstrapMeanCi(df, "id", "v", b = 60).head()
+    // force the shuffle-join path: gate below n
+    val sj = Sampling.bootstrapMeanCi(df, "id", "v", b = 60,
+      broadcastMaxRows = 0L).head()
+    assert(bc.getDouble(0) === sj.getDouble(0))
+    assert(bc.getDouble(1) === sj.getDouble(1))
+    assert(bc.getDouble(2) === sj.getDouble(2))
+    // the gate drops the unconditional HINT: Catalyst remains free to
+    // auto-broadcast a genuinely small side from size stats (fine —
+    // that decision is size-based, not unconditional), but the logical
+    // plan must carry no forced-broadcast hint past the gate
+    val hinted = Sampling.bootstrapMeanCi(df, "id", "v", b = 2)
+      .queryExecution.analyzed.toString
+    val gated = Sampling.bootstrapMeanCi(df, "id", "v", b = 2,
+      broadcastMaxRows = 0L).queryExecution.analyzed.toString
+    assert(hinted.toLowerCase.contains("hint"))
+    assert(!gated.toLowerCase.contains("hint"), gated.take(400))
+  }
+
   test("bootstrapMeanCi is shift-invariant in ids and rejects sparse ids") {
     val vals = (0 until 400).map(i => 10.0 + (i % 21))
     val df0 = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
@@ -104,5 +125,37 @@ class Batch15Spec extends SparkSpec {
     val r = Spatial.nearestByHaversine(left, right, "lid", "rid",
       "clat", "clon", "slat", "slon").head()
     assert(r.getAs[Long]("rid") === 10L) // tie with 11 broken by id
+  }
+
+  test("banded nearestByHaversine equals brute force and has no cartesian") {
+    // mixed densities: a dense cluster (resolves at level 0), sparse
+    // mid-latitude points (graduate a level), and polar isolates that
+    // only the final 180° level can resolve
+    val left = ((0 until 60).map(i => (i.toLong, (i * 37 % 160) - 80.0 + 0.1,
+        (i * 53 % 340) - 170.0 + 0.1)) ++
+      Seq((100L, 89.5, 0.0), (101L, -89.5, 12.0)))
+      .toDF("lid", "clat", "clon")
+    val right = ((0 until 25).map(j => (j.toLong, (j * 13 % 160) - 80.0 + 0.25,
+        (j * 11 % 340) - 170.0 + 0.25)) ++
+      Seq((200L, 0.05, 0.05))) // near-dup magnet for the dense cluster
+      .toDF("rid", "slat", "slon")
+    val banded = Spatial.nearestByHaversine(left, right, "lid", "rid",
+      "clat", "clon", "slat", "slon", bandDeg = 2.0)
+      .select("lid", "rid", "dist_km").orderBy("lid").collect()
+    // brute force via the pre-banding formulation
+    val brute = left.crossJoin(right)
+      .withColumn("dist_km",
+        round(Spatial.haversineKm(col("clat"), col("clon"),
+          col("slat"), col("slon")), 3))
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lid")
+          .orderBy(col("dist_km").asc, col("rid").asc)))
+      .filter(col("_rn") === 1)
+      .select("lid", "rid", "dist_km").orderBy("lid").collect()
+    assert(banded.toSeq == brute.toSeq)
+    val plan = Spatial.nearestByHaversine(left, right, "lid", "rid",
+      "clat", "clon", "slat", "slon", bandDeg = 2.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "banded plan must stay keyed")
   }
 }
