@@ -62,10 +62,14 @@ object GfFrame {
       new Fluent(Joins.indexBasedSelector(Seq(df), ref, keyCol,
         onMissing = onMissing).head)
 
-    // §2.5 torres_verdin_filter: adaptive moving average per series
+    // §2.5 torres_verdin_filter: adaptive moving average per series.
+    // tieCol orders rows WITHIN a duplicate timestamp — without it the
+    // fold's visit order (hence the output) would depend on shuffle
+    // iteration order whenever timestamps repeat
     def tvFilter(keyCol: String, tsCol: String, valueCol: String,
-                 weightFactor: Double = 0.1, beta: Double = 1.0): Fluent =
-      new Fluent(graft.ts.PerGroup.torresVerdin(df, keyCol, tsCol, null,
+                 weightFactor: Double = 0.1, beta: Double = 1.0,
+                 tieCol: String = null): Fluent =
+      new Fluent(graft.ts.PerGroup.torresVerdin(df, keyCol, tsCol, tieCol,
         valueCol, weightFactor, beta))
 
     // §2.13 activation transformers (appends <col>_<name>)

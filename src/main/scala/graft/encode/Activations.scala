@@ -164,7 +164,8 @@ object Activations {
   def softmaxRows(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "softmax needs at least one column")
     val xs = cols.map(c => col(c).cast("double"))
-    val m = greatest(xs: _*)
+    // greatest() needs >= 2 args; a singleton softmax is exp(0)/1 = 1.0
+    val m = if (xs.size == 1) xs.head else greatest(xs: _*)
     val es = xs.map(x => exp(x - m))
     val z = es.reduce(_ + _)
     cols.zip(es).foldLeft(df) { case (d, (c, e)) =>

@@ -148,9 +148,14 @@ object Similarity {
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .select(col("_id"), col("_v"), explode(tables).as("_bucket"))
       .persist()
-    val a = bucketed.select(col("_id").as("id_a"), col("_v").as("_va"), col("_bucket"))
-    val b = bucketed.select(col("_id").as("id_b"), col("_v").as("_vb"), col("_bucket"))
-    a.join(b, Seq("_bucket")).filter(col("id_a") < col("id_b"))
+    // distinct per-leg attribute names so the bucket equi-join never
+    // leans on Spark's self-join disambiguation heuristic
+    val a = bucketed.select(col("_id").as("id_a"), col("_v").as("_va"),
+      col("_bucket").as("_bucket_a"))
+    val b = bucketed.select(col("_id").as("id_b"), col("_v").as("_vb"),
+      col("_bucket").as("_bucket_b"))
+    a.join(b, col("_bucket_a") === col("_bucket_b"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosineNative(df, col("_va"), col("_vb")).as("cos"))
       .filter(col("cos") >= threshold)

@@ -148,9 +148,15 @@ object Dedup {
         struct(lit(b).as("band"),
           xxhash64(slice(col("_sig"), b * rowsPer + 1, rowsPer)).as("bh"))
       }: _*)).as("_band"))
-    val a = banded.select(col("_id").as("id_a"), col("_sig").as("_sig_a"), col("_band"))
-    val b = banded.select(col("_id").as("id_b"), col("_sig").as("_sig_b"), col("_band"))
-    a.join(b, a("_band") === b("_band") && col("id_a") < col("id_b"))
+    // distinct attribute names per leg: the join key must never rely on
+    // Spark's self-join disambiguation heuristic — if both sides ever
+    // resolved to the same attribute the band equi-join would silently
+    // degenerate to an n² scan (correct rows, catastrophic plan)
+    val a = banded.select(col("_id").as("id_a"), col("_sig").as("_sig_a"),
+      col("_band").as("_band_a"))
+    val b = banded.select(col("_id").as("id_b"), col("_sig").as("_sig_b"),
+      col("_band").as("_band_b"))
+    a.join(b, col("_band_a") === col("_band_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("_sig_a"), col("_sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
@@ -193,13 +199,23 @@ object Dedup {
     val aggsAll = packSums :+ count(lit(1)).as("_n")
     val withCounts = exploded.groupBy("_id")
       .agg(aggsAll.head, aggsAll.tail: _*)
-    withCounts.select(col("_id"),
-      (0 until 64).map { i =>
-        val b = i % 16; val lane = i / 16
-        val setCount = shiftright(col(s"_p$b"), 16 * lane).bitwiseAND(0xFFFFL)
-        when(setCount * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _).as("_sh"))
+    val sh = (0 until 64).map { i =>
+      val b = i % 16; val lane = i / 16
+      val setCount = shiftright(col(s"_p$b"), 16 * lane).bitwiseAND(0xFFFFL)
+      when(setCount * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    withCounts.select(col("_id"), laneGuard(sh).as("_sh"))
   }
+
+  /** The packed-lane counters hold 16 bits each: a document past 65535
+    * token occurrences would overflow a lane into its neighbor and
+    * silently corrupt the sketch — raise instead (split such outliers
+    * upstream; a >65k-token "document" is itself a quality signal). */
+  private def laneGuard(sh: Column): Column =
+    when(col("_n") > lit(65535L),
+      raise_error(concat(lit("simhash: document "), col("_id").cast("string"),
+        lit(" has more than 65535 tokens; 16-bit lane counters would " +
+          "overflow")))).otherwise(sh)
 
   /** 60-bit SimHash on the portable md5 hash family (same lane-packed
     * plan as [[simhashes]]: 15 packed sums carrying 4 16-bit counters
@@ -218,12 +234,12 @@ object Dedup {
     val aggsAll = packSums :+ count(lit(1)).as("_n")
     val withCounts = exploded.groupBy("_id")
       .agg(aggsAll.head, aggsAll.tail: _*)
-    withCounts.select(col("_id"),
-      (0 until 60).map { i =>
-        val b = i % 15; val lane = i / 15
-        val setCount = shiftright(col(s"_p$b"), 16 * lane).bitwiseAND(0xFFFFL)
-        when(setCount * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _).as("_sh"))
+    val sh = (0 until 60).map { i =>
+      val b = i % 15; val lane = i / 15
+      val setCount = shiftright(col(s"_p$b"), 16 * lane).bitwiseAND(0xFFFFL)
+      when(setCount * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    withCounts.select(col("_id"), laneGuard(sh).as("_sh"))
   }
 
   /** [[simhashPairs]] over the portable 60-bit md5 sketch: four
@@ -237,10 +253,13 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("_sh"), b * 15).bitwiseAND(0x7FFFL).as("bh"))
       }: _*)).as("_band"))
-    val a = banded.select(col("_id").as("id_a"), col("_sh").as("_sha"), col("_band"))
-    val b = banded.select(col("_id").as("id_b"), col("_sh").as("_shb"), col("_band"))
+    // per-leg attribute names — see minhashPairsFromSigs
+    val a = banded.select(col("_id").as("id_a"), col("_sh").as("_sha"),
+      col("_band").as("_band_a"))
+    val b = banded.select(col("_id").as("id_b"), col("_sh").as("_shb"),
+      col("_band").as("_band_b"))
     val hamming = bit_count(col("_sha").bitwiseXOR(col("_shb")))
-    a.join(b, a("_band") === b("_band") && col("id_a") < col("id_b"))
+    a.join(b, col("_band_a") === col("_band_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -257,10 +276,13 @@ object Dedup {
         struct(lit(b).as("band"),
           shiftright(col("_sh"), b * 16).bitwiseAND(0xFFFFL).as("bh"))
       }: _*)).as("_band"))
-    val a = banded.select(col("_id").as("id_a"), col("_sh").as("_sha"), col("_band"))
-    val b = banded.select(col("_id").as("id_b"), col("_sh").as("_shb"), col("_band"))
+    // per-leg attribute names — see minhashPairsFromSigs
+    val a = banded.select(col("_id").as("id_a"), col("_sh").as("_sha"),
+      col("_band").as("_band_a"))
+    val b = banded.select(col("_id").as("id_b"), col("_sh").as("_shb"),
+      col("_band").as("_band_b"))
     val hamming = bit_count(col("_sha").bitwiseXOR(col("_shb")))
-    a.join(b, a("_band") === b("_band") && col("id_a") < col("id_b"))
+    a.join(b, col("_band_a") === col("_band_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -291,8 +313,19 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val e0 = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+    // ids are cast to long for the min-label order; a non-numeric
+    // string id would cast to NULL and silently drop its edges (and
+    // dropNearDuplicates would then dedup NOTHING) — fail loudly
+    // per-row instead
+    def checkedId(c: Column): Column = {
+      val l = c.cast("long")
+      when(c.isNotNull && l.isNull,
+        raise_error(concat(
+          lit("connectedComponents: id not castable to long: "),
+          c.cast("string")))).otherwise(l)
+    }
+    val e0 = pairs.select(checkedId(col(aCol)).as("src"),
+      checkedId(col(bCol)).as("dst"))
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -317,6 +350,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter iterations — " +
+          "component diameter exceeds maxIter (labels would be partially " +
+          "propagated, i.e. silently wrong); raise maxIter for graphs " +
+          "with long chains")
     labels
   }
 

@@ -84,11 +84,15 @@ object Quality {
         Window.partitionBy("doc").orderBy(col("_gc").desc, col("_g").asc)))
       .filter(col("_rn") === 1)
       .select(col("doc"), col("_g").as("top_bigram"), col("_gc").as("top_bigram_n"))
+    // dup is LEFT-joined: an empty/whitespace-only doc has no token
+    // rows, and a quality filter that silently drops such docs from
+    // its report would hide exactly the rows it should be flagging
     base.select("doc", "_nc")
-      .join(dup, "doc")
+      .join(dup, Seq("doc"), "left")
       .join(top, Seq("doc"), "left")
       .select(col("doc").as(idCol),
-        round(col("_dup").cast("double") / col("_n"), 9).as("dup_token_ratio"),
+        coalesce(round(col("_dup").cast("double") / col("_n"), 9), lit(0.0))
+          .as("dup_token_ratio"),
         coalesce(col("top_bigram"), lit("")).as("top_bigram"),
         coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
         round(coalesce(

@@ -21,9 +21,17 @@ object PlanAudit {
         val exchanges = plan.split('\n').count(_.contains("Exchange"))
         val globalSortWindows = plan.split('\n')
           .count(l => l.contains("Window") && l.contains("windowspecdefinition()"))
+        // dedup/LSH pair queries MUST join keyed on their band/bucket
+        // column — a degenerated self-join would still return correct
+        // rows while scanning n², so only a plan check can catch it
+        val bandJoinMissing = name.contains("pairs") &&
+          !plan.split('\n').exists(l =>
+            l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)" +
+              ".*(_band_a|_bucket_a).*"))
         val flags = Seq(
           if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
           if (nlj > 0) s"NLJ=$nlj" else "",
+          if (bandJoinMissing) "NOBANDJOIN" else "",
           if (exchanges > 6) s"EXCHANGES=$exchanges" else "").filter(_.nonEmpty)
         println(f"$name%-22s exch=$exchanges%2d ${flags.mkString(" ")}")
       } catch { case e: Throwable => println(f"$name%-22s ERROR ${e.getMessage.take(60)}") }

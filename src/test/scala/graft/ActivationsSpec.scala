@@ -142,4 +142,29 @@ class ActivationsSpec extends SparkSpec {
     assert(r2._2 == 0.0 && r2._4 == 1L) // every bigram occurs once; lexicographic min wins
     assert(r2._3 == "all words")
   }
+
+  test("repetitionStats keeps empty and whitespace-only docs (ratio 0)") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "real content here"))
+      .toDF("doc_id", "text")
+    val out = Quality.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Double, String, Long, Double)].collect()
+    assert(out.length == 3) // no doc silently vanishes from the report
+    assert(out(0)._2 == 0.0 && out(0)._3 == "" && out(0)._4 == 0L)
+    assert(out(1)._2 == 0.0)
+  }
+
+  test("softmaxRows on a single column is 1.0, not an analysis error") {
+    val df = Seq(3.5, -2.0).toDF("a")
+    val out = Activations.softmaxRows(df, Seq("a"))
+      .select("a_softmax").as[Double].collect()
+    assert(out.forall(_ == 1.0))
+  }
+
+  test("connectedComponents raises on non-numeric ids instead of no-op dedup") {
+    val pairs = Seq(("docA", "docB")).toDF("id_a", "id_b")
+    // either our raise_error fires (non-ANSI: cast -> null) or the
+    // ANSI cast itself throws — both are loud; silence was the bug
+    intercept[Exception] { Dedup.connectedComponents(pairs).collect() }
+  }
 }

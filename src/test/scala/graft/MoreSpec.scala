@@ -91,4 +91,26 @@ class MoreSpec extends SparkSpec {
     assert(smoothed.columns.contains("ama"))
     assert(smoothed.count() === 3L)
   }
+
+  test("fluent tvFilter with tieCol is deterministic on duplicate timestamps") {
+    // two rows share t=1; tieCol fixes their fold order, so the result
+    // must equal the driver-side recursion over (t, tie)-sorted values
+    val rows = Seq((1L, 0L, 1L, 2.0), (1L, 1L, 2L, 8.0), (1L, 1L, 1L, 4.0),
+      (1L, 2L, 1L, 6.0))
+    val df = rows.toDF("k", "t", "seq", "v").repartition(7)
+    val got = df.graft.tvFilter("k", "t", "v", tieCol = "seq").result
+      .orderBy("t", "v").select("ama").as[Double].collect()
+    val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+    var ama = ordered.head; var pv = ordered.head
+    val expected = ordered.head +: ordered.tail.map { v =>
+      val w = math.min(0.1 * (1 + math.abs(v - pv)), 1.0)
+      ama = w * v + (1 - w) * ama; pv = v; ama
+    }
+    // output sorted by (t, v): rows (t=0,v=2), (t=1,v=4), (t=1,v=8), (t=2,v=6)
+    // map to fold positions: v=2 -> e0, v=4 -> e1, v=8 -> e2, v=6 -> e3
+    val byValue = rows.sortBy(r => (r._2, r._4))
+      .map(r => expected(rows.sortBy(x => (x._2, x._3)).indexWhere(_ == r)))
+    assert(got.length == 4)
+    got.zip(byValue).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
 }
