@@ -161,6 +161,18 @@ object Batch14Entries {
         .withColumn("cos", round(col("cos"), 9))
     }),
 
+    // The same search at nprobe=4/16 — REAL approximate behavior (4x
+    // less scanned), so the bench carries an ANN number instead of the
+    // exact-probe oracle twin only. Rows-only by design: the result is
+    // recall-bounded (>= 0.9 asserted in Batch14Spec), not exact.
+    "ivf_topk_approx" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 1)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      ivf(s, dir).search(q, k = 15, nprobe = 4)
+        .withColumn("cos", round(col("cos"), 9))
+    }),
+
     // §2.11 KPSS, distributed closed form: n-scaled demeaned series +
     // partial-sum cumsum window + one groupBy of exact-decimal sums —
     // no per-series materialization (PerGroup.kpss is the

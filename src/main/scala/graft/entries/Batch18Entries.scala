@@ -1,16 +1,22 @@
 package graft.entries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.core.{Tables => T}
 import graft.mm.Multimodal
 import graft.rel.Spatial
+import graft.stream.Streaming
 
 /** Round-9 batch: the real image codec path (javax.imageio decode →
   * luma → nearest-neighbor thumbnail → exact pixel moments) proven
   * against an analytic SQL oracle, plus scale-gate hardening entries.
   */
 object Batch18Entries {
+
+  /** Memory-sink query names must be unique per invocation (warm-up +
+    * timed bench runs share one session). */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Deterministic synthetic corpus: 24 BMPs whose pixel luma is the
     * closed-form `(x·7 + y·13 + id·31) mod 256`, sizes varying with id
@@ -42,6 +48,35 @@ object Batch18Entries {
     // proves the internally-banded search returns the exact global
     // nearest while every join in the plan stays a keyed equi-join —
     // the DuckDB oracle brute-forces all pairs.
+    // §2.12 streaming dedup throughput probe: 120k events (2 identical
+    // arrivals per key) through MemoryStream → watermarked
+    // dropDuplicatesWithinWatermark → memory sink, run to completion.
+    // Duplicate rows are bit-identical, so the surviving row per key is
+    // deterministic regardless of which arrival wins — fully
+    // oracle-checkable, and the one streaming north-star with a bench
+    // number. (State scales by distinct keys inside the watermark
+    // horizon; eviction is what makes this viable on an unbounded
+    // stream.)
+    "stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val n = 120000
+      val in = MemoryStream[(Long, Long, Double)]
+      in.addData((0 until n).map { i =>
+        val k = (i % (n / 2)).toLong
+        (k, (i / 1000).toLong, k.toDouble)
+      })
+      val df = in.toDF().toDF("k", "toff", "v")
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("toff")))
+      val qn = s"stream_dedup_sink_${sinkSeq.incrementAndGet()}"
+      val q = Streaming.dedupWithinWatermark(df, "ts", "60 seconds", Seq("k"))
+        .select("k", "v")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy("k")
+    }),
+
     "haversine_nn_full" -> ((s, dir) => {
       val c = T.customer(s, dir)
         .select(col("c_custkey"),
@@ -79,6 +114,11 @@ object Batch18Entries {
         |  CAST(SUM(v) AS BIGINT) / 64.0 AS px_mean,
         |  (64 * CAST(SUM(v * v) AS BIGINT) - CAST(SUM(v) AS BIGINT) * CAST(SUM(v) AS BIGINT)) / 4096.0 AS px_var
         |FROM t GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "stream_dedup" ->
+      """SELECT i AS k, CAST(i AS DOUBLE) AS v
+        |FROM (SELECT unnest(range(0, 60000)) AS i)
+        |ORDER BY k""".stripMargin,
 
     "haversine_nn_full" ->
       """WITH c AS (
