@@ -77,6 +77,26 @@ object Batch18Entries {
       s.table(qn).orderBy("k")
     }),
 
+    // §2.9 single-linkage merge heights, FULL oracle: the dendrogram
+    // heights of single linkage are exactly the minimum-spanning-tree
+    // edge weights sorted ascending (min-merge preserves original
+    // pairwise distances), and Prim's algorithm IS expressible as a
+    // DuckDB recursive CTE — so the driver-loop linkage gets an
+    // independent engine check, not just the scipy golden test.
+    // (complete/average recombine distances through the sequential
+    // Lance-Williams state and have no such closed form — documented
+    // in COVERAGE.md.)
+    "linkage_single_heights" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("height"))
+      graft.ml.Hierarchy.linkageMatrix(
+          T.supplier(s, dir).filter(col("s_suppkey") <= 25),
+          "s_suppkey", Seq("s_acctbal", "s_nationkey"), method = "single")
+        .select(round(col("dist"), 9).as("height"))
+        .withColumn("merge_step", row_number().over(w).cast("long"))
+        .select("merge_step", "height")
+        .orderBy("merge_step")
+    }),
+
     "haversine_nn_full" -> ((s, dir) => {
       val c = T.customer(s, dir)
         .select(col("c_custkey"),
@@ -119,6 +139,31 @@ object Batch18Entries {
       """SELECT i AS k, CAST(i AS DOUBLE) AS v
         |FROM (SELECT unnest(range(0, 60000)) AS i)
         |ORDER BY k""".stripMargin,
+
+    "linkage_single_heights" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT s_suppkey AS id, CAST(s_acctbal AS DOUBLE) AS x,
+        |    CAST(s_nationkey AS DOUBLE) AS y
+        |  FROM supplier WHERE s_suppkey <= 25),
+        |pairs AS (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |    SQRT((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+        |  FROM pts a JOIN pts b ON a.id <> b.id),
+        |mst(step, visited, d) AS (
+        |  SELECT 0, [1], CAST(NULL AS DOUBLE)
+        |  UNION ALL
+        |  SELECT step + 1, list_append(visited, nxt), nd FROM (
+        |    SELECT m.step, m.visited, p.ib AS nxt, p.d AS nd,
+        |      ROW_NUMBER() OVER (ORDER BY p.d, p.ib) AS rn
+        |    FROM mst m JOIN pairs p
+        |      ON list_contains(m.visited, p.ia)
+        |     AND NOT list_contains(m.visited, p.ib))
+        |  WHERE rn = 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(d, 9)) AS BIGINT)
+        |    AS merge_step,
+        |  ROUND(d, 9) AS height
+        |FROM mst WHERE d IS NOT NULL
+        |ORDER BY merge_step""".stripMargin,
 
     "haversine_nn_full" ->
       """WITH c AS (
