@@ -52,16 +52,39 @@ object Spatial {
     * Deterministic: distance rounded to `roundDp` (trig is
     * libm-dependent in the last ulp), ties broken by `rightId`
     * ascending; equal-rounded ties are always co-resident in a ring,
-    * so the tie-break is level-independent. */
+    * so the tie-break is level-independent.
+    *
+    * `bandDeg <= 0` (the default) sizes the first band adaptively from
+    * one small aggregate over the right side: width ≈ 0.5·√(area/n)
+    * degrees — about the median nearest-neighbor spacing at that
+    * density — so level 0 stays cheap and the geometric escalation
+    * (×4 per level) resolves the tail in one or two more passes.
+    * Measured faster than a wide first band: a band twice as wide
+    * quadruples level-0 candidate volume to save at most one cheap
+    * extra level. Pass an explicit width to skip the aggregate. */
   def nearestByHaversine(left: DataFrame, right: DataFrame,
                          leftId: String, rightId: String,
                          latL: String, lonL: String,
                          latR: String, lonR: String,
                          roundDp: Int = 3,
-                         bandDeg: Double = 5.0): DataFrame = {
-    require(bandDeg > 0 && bandDeg <= 180, s"bandDeg in (0,180], got $bandDeg")
+                         bandDeg: Double = 0.0): DataFrame = {
+    require(bandDeg <= 180, s"bandDeg must be <= 180, got $bandDeg")
+    val width0 = if (bandDeg > 0) bandDeg else {
+      val r = right.agg(count(lit(1)).as("n"),
+        (max(col(latR).cast("double")) - min(col(latR).cast("double")))
+          .as("latSpan"),
+        (max(col(lonR).cast("double")) - min(col(lonR).cast("double")))
+          .as("lonSpan")).head()
+      val n = math.max(1L, r.getLong(0))
+      val area = math.max(1e-6, r.getAs[Any]("latSpan") match {
+        case null => 180.0 * 360.0
+        case d: Double => math.max(1e-3, d) *
+          math.max(1e-3, r.getDouble(2))
+      })
+      math.min(180.0, math.max(0.5, 0.5 * math.sqrt(area / n)))
+    }
     val widths =
-      Iterator.iterate(bandDeg)(_ * 4).takeWhile(_ < 180.0).toSeq :+ 180.0
+      Iterator.iterate(width0)(_ * 4).takeWhile(_ < 180.0).toSeq :+ 180.0
 
     def level(l: DataFrame, width: Double, last: Boolean)
         : (DataFrame, DataFrame) = {
@@ -76,15 +99,20 @@ object Spatial {
             roundDp))
       val w = Window.partitionBy(leftId)
         .orderBy(col("dist_km").asc, col(rightId).asc)
-      val best = cand.withColumn("_rn", row_number().over(w))
+      val best0 = cand.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn", "_hb", "_hb0")
-      if (last) (best, null)
+      if (last) (best0, null)
       else {
+        // persist: each non-final level's result feeds BOTH the output
+        // union and the next level's anti-join — without a cut the
+        // lineage re-evaluates every earlier level once per descendant
+        // (exponential recomputation across levels)
+        val best = best0.persist()
         val bound = 12742.0 * math.asin(math.sin(math.toRadians(width / 2))) -
           1.5 * math.pow(10.0, -roundDp)
         val resolved = best.filter(col("dist_km") <= bound)
         val unresolved =
-          l.join(resolved.select(leftId), Seq(leftId), "left_anti")
+          l.join(resolved.select(leftId), Seq(leftId), "left_anti").persist()
         (resolved, unresolved)
       }
     }

@@ -24,7 +24,9 @@ object PlanAudit {
         // dedup/LSH pair queries MUST join keyed on their band/bucket
         // column — a degenerated self-join would still return correct
         // rows while scanning n², so only a plan check can catch it
-        val bandJoinMissing = name.contains("pairs") &&
+        val bandJoinMissing =
+          (name.contains("minhash_pairs") || name.contains("simhash_pairs") ||
+            name.contains("lsh_cosine_join")) &&
           !plan.split('\n').exists(l =>
             l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)" +
               ".*(_band_a|_bucket_a).*"))
