@@ -1,0 +1,383 @@
+package graft.io
+
+import java.io.{BufferedInputStream, File, FileOutputStream, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Excel (.xlsx) multi-sheet ingest/egress with zero non-JDK deps.
+  *
+  * Reference: `read_excel_sheets` (gofast/utils/data_utils.py:3686) —
+  * all/selected sheets of one workbook, first element the file base
+  * name — and `read_worksheets` (data_utils.py:3864) — every sheet of
+  * every .xlsx under the given files/dirs, sheet names sanitized.
+  *
+  * An .xlsx file is a zip of XML parts; the reader walks
+  * `xl/workbook.xml` (sheet names, in workbook order), the workbook
+  * rels (sheet → part path), `xl/sharedStrings.xml`, and each
+  * worksheet's `sheetData` with StAX — constant memory per row, no
+  * DOM. Cells of type `s` (shared string), `inlineStr`, `str`
+  * (formula cache), `b` (boolean) and plain numeric are handled.
+  *
+  * Scale note (the reason this was previously descoped): xlsx is a
+  * single-file, non-splittable format with a practical ~1M-row sheet
+  * cap — it is a CONFIG/lookup-table format, not a data-lake format.
+  * The parse is driver-side by design; the resulting DataFrame is
+  * distributed, and a reference user lands big data as parquet via
+  * [[IO.exportData]] after this one-time conversion.
+  */
+object Excel {
+
+  private val XIF = {
+    val f = XMLInputFactory.newInstance()
+    // hygiene: no DTDs / external entities from untrusted workbooks
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  /** Sheet names in workbook order, without reading any cell data. */
+  def listSheets(path: String): Seq[String] = {
+    val zf = new ZipFile(path)
+    try workbookSheets(zf).map(_._1)
+    finally zf.close()
+  }
+
+  /** `read_excel_sheets`: selected (or all) sheets of one workbook as
+    * DataFrames, with the workbook's base name. Unknown requested
+    * sheet names raise, mirroring the reference's ValueError. */
+  def readExcelSheets(spark: SparkSession, path: String,
+                      sheetNames: Seq[String] = Nil,
+                      header: Boolean = true)
+      : (String, Seq[(String, DataFrame)]) = {
+    val zf = new ZipFile(path)
+    try {
+      val sheets = workbookSheets(zf)
+      val known = sheets.map(_._1)
+      val missing = sheetNames.filterNot(known.contains)
+      require(missing.isEmpty,
+        s"sheets not in workbook: ${missing.mkString(", ")} " +
+          s"(workbook has: ${known.mkString(", ")})")
+      val want =
+        if (sheetNames.isEmpty) sheets
+        else sheets.filter { case (n, _) => sheetNames.contains(n) }
+      val shared = sharedStrings(zf)
+      val out = want.map { case (name, part) =>
+        name -> sheetToDf(spark, zf, part, shared, header)
+      }
+      val base = new File(path).getName.replaceAll("\\.[Xx][Ll][Ss][Xx]$", "")
+      (base, out)
+    } finally zf.close()
+  }
+
+  /** `read_worksheets`: every sheet of every .xlsx among `paths`
+    * (files or directories), sheet names sanitized (non-alnum → '_'),
+    * deduplicated with numeric suffixes like the reference. */
+  def readWorksheets(spark: SparkSession, paths: String*)
+      : (Seq[DataFrame], Seq[String]) = {
+    val files = paths.flatMap { p =>
+      val f = new File(p)
+      if (f.isDirectory)
+        f.listFiles().toSeq.filter(_.getName.toLowerCase.endsWith(".xlsx"))
+          .sortBy(_.getName)
+      else {
+        require(p.toLowerCase.endsWith(".xlsx"), s"not an .xlsx file: $p")
+        Seq(f)
+      }
+    }
+    require(files.nonEmpty, "no .xlsx files found")
+    val seen = mutable.Map.empty[String, Int]
+    val acc = files.flatMap { f =>
+      readExcelSheets(spark, f.getPath)._2.map { case (name, df) =>
+        val clean = name.trim.replaceAll("[^A-Za-z0-9]+", "_")
+        val n = seen.getOrElse(clean, 0); seen(clean) = n + 1
+        (if (n == 0) clean else s"${clean}_$n", df)
+      }
+    }
+    (acc.map(_._2), acc.map(_._1))
+  }
+
+  /** Minimal xlsx writer (numbers as native cells, everything else as
+    * inline strings). Collects each frame to the driver — intended for
+    * the small lookup/config workbooks xlsx is for, not for exports
+    * that belong in parquet. */
+  def writeXlsx(path: String, sheets: Seq[(String, DataFrame)],
+                maxRows: Int = 1048575): Unit = {
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    try {
+      val n = sheets.size
+      put("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          (1 to n).map(i =>
+            s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+            .mkString + "</Types>")
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          "</Relationships>")
+      put("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+          sheets.zipWithIndex.map { case ((name, _), i) =>
+            s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+          }.mkString + "</sheets></workbook>")
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          (1 to n).map(i =>
+            s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+            .mkString + "</Relationships>")
+      sheets.zipWithIndex.foreach { case ((_, df), i) =>
+        val rows = df.limit(maxRows + 1).collect()
+        require(rows.length <= maxRows,
+          s"sheet ${i + 1} exceeds the xlsx row cap ($maxRows); " +
+            "write parquet instead")
+        val sb = new StringBuilder(
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+        def rowXml(r: Int, cells: Seq[Any]): Unit = {
+          sb ++= s"""<row r="$r">"""
+          cells.zipWithIndex.foreach { case (v, c) =>
+            val ref = colName(c) + r
+            v match {
+              case null => ()
+              case x: Byte => sb ++= s"""<c r="$ref"><v>$x</v></c>"""
+              case x: Short => sb ++= s"""<c r="$ref"><v>$x</v></c>"""
+              case x: Int => sb ++= s"""<c r="$ref"><v>$x</v></c>"""
+              case x: Long => sb ++= s"""<c r="$ref"><v>$x</v></c>"""
+              case x: Float => sb ++= s"""<c r="$ref"><v>$x</v></c>"""
+              case x: Double => sb ++= s"""<c r="$ref"><v>$x</v></c>"""
+              case x: java.math.BigDecimal =>
+                sb ++= s"""<c r="$ref"><v>${x.toPlainString}</v></c>"""
+              case x: Boolean =>
+                sb ++= s"""<c r="$ref" t="b"><v>${if (x) 1 else 0}</v></c>"""
+              case x =>
+                sb ++= s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(x.toString)}</t></is></c>"""
+            }
+          }
+          sb ++= "</row>"
+        }
+        rowXml(1, df.columns.toSeq)
+        rows.zipWithIndex.foreach { case (row, j) =>
+          rowXml(j + 2, row.toSeq)
+        }
+        sb ++= "</sheetData></worksheet>"
+        put(s"xl/worksheets/sheet${i + 1}.xml", sb.result())
+      }
+    } finally zos.close()
+  }
+
+  // ---------------------------------------------------------------- internals
+
+  /** (sheetName, zip part path) in workbook order. */
+  private def workbookSheets(zf: ZipFile): Seq[(String, String)] = {
+    val rels = mutable.Map.empty[String, String]
+    withEntry(zf, "xl/_rels/workbook.xml.rels") { in =>
+      val r = XIF.createXMLStreamReader(in)
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship")
+          rels(attr(r, "Id")) = attr(r, "Target")
+      }
+      r.close()
+    }
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    withEntry(zf, "xl/workbook.xml") { in =>
+      val r = XIF.createXMLStreamReader(in)
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet") {
+          val name = attr(r, "name")
+          val rid = attr(r, "id") // r:id resolves by local name
+          val target = rels.getOrElse(rid,
+            throw new IllegalArgumentException(s"dangling sheet rel $rid"))
+          val part =
+            if (target.startsWith("/")) target.substring(1)
+            else "xl/" + target
+          out += name -> part
+        }
+      }
+      r.close()
+    }
+    out.toSeq
+  }
+
+  /** Shared-string table; rich-text runs are concatenated per `si`. */
+  private def sharedStrings(zf: ZipFile): IndexedSeq[String] = {
+    if (zf.getEntry("xl/sharedStrings.xml") == null)
+      return IndexedSeq.empty
+    val out = mutable.ArrayBuffer.empty[String]
+    withEntry(zf, "xl/sharedStrings.xml") { in =>
+      val r = XIF.createXMLStreamReader(in)
+      var cur: StringBuilder = null
+      var inT = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => cur = new StringBuilder
+              case "t" => inT = true
+              case _ => ()
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inT && cur != null) cur ++= r.getText
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t" => inT = false
+              case "si" => out += cur.result(); cur = null
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      r.close()
+    }
+    out.toIndexedSeq
+  }
+
+  /** One worksheet part → DataFrame: StAX row walk, ragged rows padded,
+    * first row the header (when `header`), then narrowest-type
+    * inference per column (long → double → boolean → string). */
+  private def sheetToDf(spark: SparkSession, zf: ZipFile, part: String,
+                        shared: IndexedSeq[String],
+                        header: Boolean): DataFrame = {
+    val rows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[String]]
+    withEntry(zf, part) { in =>
+      val r = XIF.createXMLStreamReader(in)
+      var row: mutable.ArrayBuffer[String] = null
+      var col = 0          // 0-based position of the current cell
+      var typ = ""         // cell t attribute
+      var inV = false      // inside <v> (or inlineStr <t>)
+      var buf: StringBuilder = null
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" => row = mutable.ArrayBuffer.empty[String]; col = 0
+              case "c" if row != null =>
+                val ref = attr(r, "r")
+                col = if (ref != null) colIndex(ref) else col
+                typ = Option(attr(r, "t")).getOrElse("")
+              case "v" => inV = true; buf = new StringBuilder
+              case "t" if typ == "inlineStr" =>
+                inV = true; if (buf == null) buf = new StringBuilder
+              case _ => ()
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inV) buf ++= r.getText
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" | "t" if inV =>
+                inV = false
+              case "c" if row != null =>
+                if (buf != null) {
+                  val raw = buf.result()
+                  val v = typ match {
+                    case "s" => shared(raw.trim.toInt)
+                    case "b" => if (raw.trim == "1") "true" else "false"
+                    case _ => raw // number, str (formula cache), inlineStr
+                  }
+                  while (row.length < col) row += null
+                  if (row.length == col) row += v else row(col) = v
+                }
+                buf = null; typ = ""; col += 1
+              case "row" =>
+                rows += row; row = null
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      r.close()
+    }
+    val width = if (rows.isEmpty) 0 else rows.map(_.length).max
+    rows.foreach { r => while (r.length < width) r += null }
+    val (names, data) =
+      if (header && rows.nonEmpty) {
+        val h = rows.head.zipWithIndex.map { case (v, i) =>
+          if (v == null || v.isEmpty) s"_c$i" else v
+        }
+        (h.toSeq, rows.tail.toSeq)
+      } else ((0 until width).map(i => s"_c$i"), rows.toSeq)
+    val schema = StructType(names.map(StructField(_, StringType, true)))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        data.map(r => Row.fromSeq(r.toSeq)), math.max(1, data.size / 10000)),
+      schema)
+    // narrowest-type inference, computed on the driver over the already-
+    // collected cells (xlsx is small by construction)
+    names.zipWithIndex.foldLeft(raw) { case (df, (name, i)) =>
+      val cells = data.iterator.map(_(i)).filter(_ != null).toSeq
+      val target =
+        if (cells.isEmpty) StringType
+        else if (cells.forall(s => scala.util.Try(s.trim.toLong).isSuccess))
+          LongType
+        else if (cells.forall(s => scala.util.Try(s.trim.toDouble).isSuccess))
+          DoubleType
+        else if (cells.forall(s =>
+            s.trim.equalsIgnoreCase("true") || s.trim.equalsIgnoreCase("false")))
+          BooleanType
+        else StringType
+      if (target == StringType) df
+      else df.withColumn(name, col(s"`$name`").cast(target))
+    }
+  }
+
+  private def withEntry[A](zf: ZipFile, name: String)(f: InputStream => A): A = {
+    val e = zf.getEntry(name)
+    require(e != null, s"xlsx missing part: $name")
+    val in = new BufferedInputStream(zf.getInputStream(e))
+    try f(in) finally in.close()
+  }
+
+  private def attr(r: javax.xml.stream.XMLStreamReader, local: String): String = {
+    var i = 0
+    while (i < r.getAttributeCount) {
+      if (r.getAttributeLocalName(i) == local) return r.getAttributeValue(i)
+      i += 1
+    }
+    null
+  }
+
+  /** "BC12" → 0-based column 54. */
+  private[graft] def colIndex(ref: String): Int = {
+    var acc = 0; var i = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    acc - 1
+  }
+
+  /** 0-based column 54 → "BC". */
+  private[graft] def colName(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb += ('A' + r).toChar; n = (n - 1) / 26 }
+    sb.result().reverse
+  }
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '&' => "&amp;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+}

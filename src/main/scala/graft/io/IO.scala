@@ -32,6 +32,7 @@ object IO {
       case "parquet" | "parq" => spark.read.parquet(path)
       case "orc" => spark.read.orc(path)
       case "xml" => spark.read.option("rowTag", "row").xml(path)
+      case "xlsx" => Excel.readExcelSheets(spark, path)._2.head._2
       case other =>
         throw new IllegalArgumentException(s"unsupported format: .$other")
     }
@@ -56,6 +57,7 @@ object IO {
       case "json"           => w.json(path)
       case "parquet" | "parq" => w.parquet(path)
       case "orc"            => w.orc(path)
+      case "xlsx"           => Excel.writeXlsx(path, Seq("Sheet1" -> df))
       case other =>
         throw new IllegalArgumentException(s"unsupported format: .$other")
     }

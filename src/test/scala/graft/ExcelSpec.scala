@@ -1,0 +1,128 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.io.Excel
+
+class ExcelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): File = {
+    val d = Files.createTempDirectory("graft_xlsx").toFile
+    d.deleteOnExit(); d
+  }
+
+  test("writeXlsx/readExcelSheets round-trip: types, nulls, escaping") {
+    val dir = tmpDir()
+    val path = new File(dir, "book One.xlsx").getPath
+    val s1 = Seq(
+      (1L, 1.5, "a<b&\"c\">", true),
+      (2L, 0.25, "plain", false),
+      (3L, -3.0, null.asInstanceOf[String], true))
+      .toDF("id", "ratio", "note", "flag")
+    val s2 = Seq(("x", 10L), ("y", 20L)).toDF("k", "v")
+    Excel.writeXlsx(path, Seq("First Sheet" -> s1, "second" -> s2))
+
+    assert(Excel.listSheets(path) == Seq("First Sheet", "second"))
+    val (base, sheets) = Excel.readExcelSheets(spark, path)
+    assert(base == "book One")
+    assert(sheets.map(_._1) == Seq("First Sheet", "second"))
+
+    val r1 = sheets.head._2
+    assert(r1.schema.fields.map(f => f.name -> f.dataType).toSeq == Seq(
+      "id" -> LongType, "ratio" -> DoubleType,
+      "note" -> StringType, "flag" -> BooleanType))
+    val rows = r1.orderBy("id").collect()
+    assert(rows(0) == Row(1L, 1.5, "a<b&\"c\">", true))
+    assert(rows(2) == Row(3L, -3.0, null, true))
+
+    val r2 = sheets(1)._2.orderBy("k").collect()
+    assert(r2.toSeq == Seq(Row("x", 10L), Row("y", 20L)))
+  }
+
+  test("sheet selection and unknown-sheet error") {
+    val dir = tmpDir()
+    val path = new File(dir, "sel.xlsx").getPath
+    Excel.writeXlsx(path, Seq(
+      "a" -> Seq(1).toDF("x"), "b" -> Seq(2).toDF("x"),
+      "c" -> Seq(3).toDF("x")))
+    val (_, some) = Excel.readExcelSheets(spark, path, Seq("c", "a"))
+    // workbook order is preserved regardless of request order
+    assert(some.map(_._1) == Seq("a", "c"))
+    val e = intercept[IllegalArgumentException] {
+      Excel.readExcelSheets(spark, path, Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("readWorksheets: directory sweep, sanitized + deduped names") {
+    val dir = tmpDir()
+    Excel.writeXlsx(new File(dir, "m1.xlsx").getPath, Seq(
+      "My Sheet!" -> Seq(1L).toDF("x"), "other" -> Seq(2L).toDF("x")))
+    Excel.writeXlsx(new File(dir, "m2.xlsx").getPath, Seq(
+      "My-Sheet?" -> Seq(3L).toDF("x")))
+    val (dfs, names) = Excel.readWorksheets(spark, dir.getPath)
+    assert(names == Seq("My_Sheet_", "other", "My_Sheet__1"))
+    assert(dfs.map(_.select("x").as[Long].head()) == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      Excel.readWorksheets(spark, new File(dir, "m1.xlsx").getPath + ".csv")
+    }
+  }
+
+  test("handcrafted xlsx: shared strings, rich text, gap cells, ragged rows") {
+    val dir = tmpDir()
+    val path = new File(dir, "hand.xlsx").getPath
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(body.getBytes(StandardCharsets.UTF_8)); zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="data" sheetId="1" r:id="rId9"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    // rich text: two runs concatenate to "big data"
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">""" +
+        """<si><t>name</t></si><si><r><t>big </t></r><r><t>data</t></r></si><si><t>plain</t></si></sst>""")
+    // row 2: gap at B (only A and C); row 3: ragged (only A); row 4:
+    // boolean + formula-cached string
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><t>n</t></is></c><c r="C1" t="inlineStr"><is><t>ok</t></is></c></row>""" +
+        """<row r="2"><c r="A2" t="s"><v>1</v></c><c r="C2" t="b"><v>1</v></c></row>""" +
+        """<row r="3"><c r="A3" t="s"><v>2</v></c></row>""" +
+        """<row r="4"><c r="A4" t="str"><v>derived</v></c><c r="B4"><v>7</v></c><c r="C4" t="b"><v>0</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zos.close()
+
+    val (_, sheets) = Excel.readExcelSheets(spark, path)
+    val df = sheets.head._2
+    assert(df.columns.toSeq == Seq("name", "n", "ok"))
+    val rows = df.collect()
+    assert(rows(0) == Row("big data", null, true))   // gap at B → null
+    assert(rows(1) == Row("plain", null, null))      // ragged → padded
+    assert(rows(2) == Row("derived", 7L, false))
+    assert(df.schema("n").dataType == LongType)
+    assert(df.schema("ok").dataType == BooleanType)
+  }
+
+  test("colIndex/colName round-trip") {
+    assert(Excel.colIndex("A1") == 0)
+    assert(Excel.colIndex("Z9") == 25)
+    assert(Excel.colIndex("AA3") == 26)
+    assert(Excel.colIndex("BC12") == 54)
+    for (i <- Seq(0, 25, 26, 51, 52, 701, 702, 16383))
+      assert(Excel.colIndex(Excel.colName(i) + "1") == i)
+  }
+}
