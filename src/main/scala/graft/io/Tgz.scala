@@ -1,0 +1,225 @@
+package graft.io
+
+import java.io.{BufferedInputStream, DataInputStream, EOFException, File,
+  FileInputStream, FileOutputStream, InputStream, PushbackInputStream}
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import scala.collection.mutable
+
+/** tar / tar.gz ingest with zero non-JDK deps.
+  *
+  * Reference: `fetch_tgz` (gofast/utils/ml/data_handling.py:954) —
+  * download a .tgz and extract everything — and `fetch_tgz_in`
+  * (data_handling.py:892) — extract one member matched by filename
+  * suffix, optionally renamed.
+  *
+  * The tar walk is a plain 512-byte-block ustar reader (name+prefix
+  * fields, octal sizes, GNU 'L' long-name and PAX 'x' path overrides),
+  * gzip via `java.util.zip`. Driver-side by design: archives are an
+  * ingest/landing format — extract once, then read the contained
+  * csv/json/parquet distributed via [[IO.readData]].
+  *
+  * Every entry path is resolved against the destination and rejected
+  * if it escapes it (zip-slip), so untrusted archives can't write
+  * outside `destDir`.
+  */
+object Tgz {
+
+  /** One archive member's metadata (regular files only). */
+  final case class Entry(name: String, size: Long)
+
+  /** List regular-file members without extracting. */
+  def list(archive: String): Seq[Entry] = {
+    val in = open(archive)
+    try {
+      val out = mutable.ArrayBuffer.empty[Entry]
+      walk(in) { (e, data) => out += e; skipFully(data, e.size); true }
+      out.toSeq
+    } finally in.close()
+  }
+
+  /** `fetch_tgz` extraction half: extract every regular file under
+    * `destDir` (created if absent), returning the extracted paths. */
+  def extractAll(archive: String, destDir: String): Seq[String] = {
+    val dest = new File(destDir); dest.mkdirs()
+    val in = open(archive)
+    try {
+      val out = mutable.ArrayBuffer.empty[String]
+      walk(in) { (e, data) =>
+        out += writeMember(dest, e, data)
+        true
+      }
+      out.toSeq
+    } finally in.close()
+  }
+
+  /** `fetch_tgz_in`: extract the first member whose name ends with
+    * `filename`, into `destDir`, optionally renamed; returns the
+    * final path. Raises if no member matches, like the reference. */
+  def extractOne(archive: String, filename: String,
+                 destDir: String = "tgz",
+                 renameTo: Option[String] = None): String = {
+    val dest = new File(destDir); dest.mkdirs()
+    var found: Option[String] = None
+    val in = open(archive)
+    try {
+      walk(in) { (e, data) =>
+        if (found.isEmpty && e.name.endsWith(filename)) {
+          val extracted = writeMember(dest, e, data)
+          val target = renameTo match {
+            case Some(r) => new File(dest, r).getPath
+            case None => new File(dest, filename).getPath
+            }
+          if (extracted != target) {
+            new File(target).getParentFile.mkdirs()
+            require(new File(extracted).renameTo(new File(target)),
+              s"rename failed: $extracted -> $target")
+          }
+          found = Some(target)
+          false // stop the walk
+        } else { skipFully(data, e.size); true }
+      }
+    } finally in.close()
+    found.getOrElse(throw new java.io.FileNotFoundException(
+      s"no member of $archive ends with '$filename'"))
+  }
+
+  /** `fetch_tgz`: fetch `url` (http/https/file) to `destDir` and
+    * extract it there; returns extracted paths. The download is a
+    * plain stream copy — no auth, no retries — matching the
+    * reference's urllib one-shot. */
+  def fetchTgz(url: String, destDir: String): Seq[String] = {
+    val dest = new File(destDir); dest.mkdirs()
+    val local = new File(dest, url.substring(url.lastIndexOf('/') + 1))
+    val in = new BufferedInputStream(new URI(url).toURL.openStream())
+    try {
+      val out = new FileOutputStream(local)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+    } finally in.close()
+    extractAll(local.getPath, destDir)
+  }
+
+  // ---------------------------------------------------------------- internals
+
+  /** Open plain or gzipped tar, sniffing the gzip magic. */
+  private def open(path: String): InputStream = {
+    val raw = new PushbackInputStream(
+      new BufferedInputStream(new FileInputStream(path)), 2)
+    val m = new Array[Byte](2)
+    val n = raw.read(m)
+    if (n > 0) raw.unread(m, 0, n)
+    if (n == 2 && (m(0) & 0xFF) == 0x1F && (m(1) & 0xFF) == 0x8B)
+      new GZIPInputStream(raw)
+    else raw
+  }
+
+  /** Walk members; `f` gets each regular file's entry and a stream
+    * positioned at its data (f must consume exactly `size` bytes or
+    * use skipFully) and returns whether to continue. */
+  private def walk(in: InputStream)
+                  (f: (Entry, DataInputStream) => Boolean): Unit = {
+    val data = new DataInputStream(in)
+    val block = new Array[Byte](512)
+    var longName: String = null
+    var paxPath: String = null
+    var go = true
+    while (go) {
+      val n = try { data.readFully(block); 512 } catch {
+        case _: EOFException => 0
+      }
+      if (n == 0 || block.forall(_ == 0)) { go = false }
+      else {
+        val size = octal(block, 124, 12)
+        val typeflag = block(156).toChar
+        val padded = ((size + 511) / 512) * 512
+        typeflag match {
+          case 'L' => // GNU long name: data holds the real name
+            val nameBuf = new Array[Byte](size.toInt)
+            data.readFully(nameBuf)
+            skipFully(data, padded - size)
+            longName = cstr(nameBuf, 0, nameBuf.length)
+          case 'x' | 'g' => // PAX header: parse a path= override
+            val buf = new Array[Byte](size.toInt)
+            data.readFully(buf)
+            skipFully(data, padded - size)
+            val s = new String(buf, StandardCharsets.UTF_8)
+            s.split("\n").foreach { line =>
+              val i = line.indexOf(" path=")
+              if (i >= 0) paxPath = line.substring(i + 6)
+            }
+          case c if c == '0' || c == 0.toChar => // regular file
+            val name =
+              if (paxPath != null) paxPath
+              else if (longName != null) longName
+              else {
+                val base = cstr(block, 0, 100)
+                val prefix = cstr(block, 345, 155)
+                if (prefix.isEmpty) base else s"$prefix/$base"
+              }
+            longName = null; paxPath = null
+            go = f(Entry(name, size), data)
+            skipFully(data, padded - size)
+          case _ => // dir/link/other: skip data (dirs have size 0)
+            longName = null; paxPath = null
+            skipFully(data, padded)
+        }
+      }
+    }
+  }
+
+  /** Extract one member's bytes under `dest` with a zip-slip guard. */
+  private def writeMember(dest: File, e: Entry,
+                          data: DataInputStream): String = {
+    val target = new File(dest, e.name)
+    val canonDest = dest.getCanonicalPath
+    require(target.getCanonicalPath.startsWith(canonDest + File.separator) ||
+        target.getCanonicalPath == canonDest,
+      s"archive member escapes destination: ${e.name}")
+    target.getParentFile.mkdirs()
+    val out = new FileOutputStream(target)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var left = e.size
+      while (left > 0) {
+        val n = data.read(buf, 0, math.min(buf.length.toLong, left).toInt)
+        require(n >= 0, s"truncated archive at ${e.name}")
+        out.write(buf, 0, n); left -= n
+      }
+    } finally out.close()
+    target.getPath
+  }
+
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s <= 0) {
+        if (in.read() < 0) throw new EOFException("truncated tar")
+        left -= 1
+      } else left -= s
+    }
+  }
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var i = off; var acc = 0L
+    val end = off + len
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      acc = acc * 8 + (b(i) - '0'); i += 1
+    }
+    acc
+  }
+
+  private def cstr(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    val max = off + len
+    while (end < max && b(end) != 0) end += 1
+    new String(b, off, end - off, StandardCharsets.UTF_8)
+  }
+}
