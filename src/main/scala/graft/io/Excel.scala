@@ -316,28 +316,7 @@ object Excel {
         }
         (h.toSeq, rows.tail.toSeq)
       } else ((0 until width).map(i => s"_c$i"), rows.toSeq)
-    val schema = StructType(names.map(StructField(_, StringType, true)))
-    val raw = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        data.map(r => Row.fromSeq(r.toSeq)), math.max(1, data.size / 10000)),
-      schema)
-    // narrowest-type inference, computed on the driver over the already-
-    // collected cells (xlsx is small by construction)
-    names.zipWithIndex.foldLeft(raw) { case (df, (name, i)) =>
-      val cells = data.iterator.map(_(i)).filter(_ != null).toSeq
-      val target =
-        if (cells.isEmpty) StringType
-        else if (cells.forall(s => scala.util.Try(s.trim.toLong).isSuccess))
-          LongType
-        else if (cells.forall(s => scala.util.Try(s.trim.toDouble).isSuccess))
-          DoubleType
-        else if (cells.forall(s =>
-            s.trim.equalsIgnoreCase("true") || s.trim.equalsIgnoreCase("false")))
-          BooleanType
-        else StringType
-      if (target == StringType) df
-      else df.withColumn(name, col(s"`$name`").cast(target))
-    }
+    TypedRows.toDf(spark, names, data.map(_.toSeq))
   }
 
   private def withEntry[A](zf: ZipFile, name: String)(f: InputStream => A): A = {

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+
+import graft.io.Scrape
+
+class ScrapeSpec extends SparkSpec {
+
+  private val messy =
+    """<!DOCTYPE html>
+      |<html><head>
+      |<script>if (1 < 2) { document.write("<td>not a cell</td>"); }</script>
+      |<style>td > .x { color: red }</style>
+      |</head>
+      |<body>
+      |<!-- <div class="content">commented out</div> -->
+      |<div class="content main" id=hero data-k="v">Hello &amp; <b>wor&#108;d</b></div>
+      |<div class="content">second</div>
+      |<div class="other">not selected</div>
+      |<p>first para
+      |<p>second para (p implies /p)
+      |<ul><li>one<li>two<li>three</ul>
+      |<table id="t1">
+      |  <tr><th>name<th>qty<th>price
+      |  <tr><td>widget<td>2<td>1.50
+      |  <tr><td>gadget &lt;new&gt;<td>10<td>0.25
+      |  <tr><td>ragged
+      |</table>
+      |<img src="x.png">
+      |</body></html>""".stripMargin
+
+  test("findAll by element, class, and attributes") {
+    val root = Scrape.parse(messy)
+    val divs = Scrape.findAll(root, "div")
+    assert(divs.size == 3)
+    val content = Scrape.findAll(root, "div", className = Some("content"))
+    assert(content.size == 2)
+    assert(content.head.text == "Hello & world") // entities + nested b
+    val hero = Scrape.findAll(root, "div",
+      attributes = Map("id" -> "hero", "data-k" -> "v"))
+    assert(hero.size == 1)
+    assert(hero.head.classes == Set("content", "main"))
+    // script/style raw text is NOT parsed as markup; comments dropped
+    assert(Scrape.findAll(root, "td").size == 7)
+    val paras = Scrape.findAll(root, "p")
+    assert(paras.size == 2)
+    assert(paras(1).text.trim.startsWith("second para"))
+    assert(Scrape.findAll(root, "li").map(_.text.trim) ==
+      Seq("one", "two", "three"))
+  }
+
+  test("htmlTables: header from th, implied closes, types, ragged pad") {
+    val tables = Scrape.htmlTables(spark, messy)
+    assert(tables.size == 1)
+    val t = tables.head
+    assert(t.columns.toSeq == Seq("name", "qty", "price"))
+    assert(t.schema("qty").dataType == LongType)
+    assert(t.schema("price").dataType == DoubleType)
+    assert(t.schema("name").dataType == StringType)
+    val rows = t.collect()
+    assert(rows.length == 3)
+    assert(rows(0) == Row("widget", 2L, 1.5))
+    assert(rows(1) == Row("gadget <new>", 10L, 0.25))
+    assert(rows(2) == Row("ragged", null, null))
+  }
+
+  test("scrapeWebData over file:// url + tagsToDf bridge") {
+    val f = Files.createTempFile("graft_scrape", ".html")
+    Files.write(f, messy.getBytes(StandardCharsets.UTF_8))
+    val tags = Scrape.scrapeWebData("file://" + f, "div",
+      className = Some("content"))
+    assert(tags.size == 2)
+    val df = Scrape.tagsToDf(spark, tags)
+    assert(df.columns.toSeq == Seq("element", "text", "attrs"))
+    val r = df.collect()
+    assert(r(0).getString(1) == "Hello & world")
+    assert(r(0).getString(2).contains("id=hero"))
+  }
+
+  test("lenient parsing: stray close, lone <, unclosed at EOF") {
+    val root = Scrape.parse("<div>a</span>b &lt; 3 < 4</div><em>tail")
+    val div = Scrape.findAll(root, "div").head
+    assert(div.text == "a" + "b < 3 < 4")
+    assert(Scrape.findAll(root, "em").head.text == "tail")
+  }
+}
