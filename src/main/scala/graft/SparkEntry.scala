@@ -42,7 +42,8 @@ object SparkEntry {
       entries.Batch15Entries.queries ++
       entries.Batch16Entries.queries ++
       entries.Batch17Entries.queries ++
-      entries.Batch18Entries.queries
+      entries.Batch18Entries.queries ++
+      entries.Batch19Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -63,7 +64,8 @@ object SparkEntry {
       entries.Batch15Entries.oracleSql ++
       entries.Batch16Entries.oracleSql ++
       entries.Batch17Entries.oracleSql ++
-      entries.Batch18Entries.oracleSql
+      entries.Batch18Entries.oracleSql ++
+      entries.Batch19Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

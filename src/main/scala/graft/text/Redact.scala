@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training-corpus preparation.
+  *
+  * A standard pre-training cleanup stage (adjacent to the reference's
+  * text sanitizers, gofast/dataops/quality.py): emails, URLs, IPv4
+  * addresses and phone-like digit runs are replaced with stable
+  * placeholder tokens so downstream dedup/quality stages see identical
+  * text for identical content modulo PII.
+  *
+  * Everything is chained `regexp_replace` / `regexp_extract_all`
+  * column expressions — codegen'd, no UDFs, linear per row. The
+  * patterns deliberately use only syntax with identical semantics in
+  * Java regex and RE2 (character classes, bounded repetition, `\b`),
+  * so the DuckDB oracle can run the very same patterns.
+  *
+  * Order matters and is fixed: URL first (a URL may embed '@' or
+  * digit runs), then email, then IPv4 (dots keep it out of the phone
+  * class), then phone.
+  */
+object Redact {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ \\t\\n]+"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d\\- ]{6,12}\\d\\b"
+
+  val EmailTok = "[EMAIL]"
+  val UrlTok = "[URL]"
+  val Ipv4Tok = "[IP]"
+  val PhoneTok = "[PHONE]"
+
+  /** Redacted text expression: URL → email → IPv4 → phone. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, UrlRe, UrlTok),
+          EmailRe, EmailTok),
+        Ipv4Re, Ipv4Tok),
+      PhoneRe, PhoneTok)
+
+  /** Per-category match counts on the RAW text (order-independent,
+    * counted before any replacement). */
+  def piiCounts(c: Column): Seq[(String, Column)] = Seq(
+    "n_url" -> size(regexp_extract_all(c, lit(UrlRe), lit(0))).cast("long"),
+    "n_email" -> size(regexp_extract_all(c, lit(EmailRe), lit(0))).cast("long"),
+    "n_ip" -> size(regexp_extract_all(c, lit(Ipv4Re), lit(0))).cast("long"),
+    "n_phone" -> size(regexp_extract_all(c, lit(PhoneRe), lit(0))).cast("long"))
+
+  /** One-call corpus pass: adds the redacted column and the four
+    * count columns; drop the counts if only the text is wanted. */
+  def redactDocuments(df: DataFrame, textCol: String,
+                      outCol: String = "text_redacted"): DataFrame = {
+    val withCounts = piiCounts(col(textCol)).foldLeft(df) {
+      case (d, (name, e)) => d.withColumn(name, e)
+    }
+    withCounts.withColumn(outCol, redactPii(col(textCol)))
+  }
+}

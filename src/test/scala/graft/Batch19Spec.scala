@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Decontaminate, Redact}
+
+class Batch19Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces all four categories, in order, repeatedly") {
+    val df = Seq(
+      (1L, "write a@b.io or c.d-e@sub.example.org twice a@b.io"),
+      (2L, "fetch https://x.io/p?q=a@b.c then http://y.z/2"),
+      (3L, "host 192.168.0.1 dials +1 555-0100 and 555 01 0042"),
+      (4L, "clean text, no pii at all; 1+2=3 and v1.2 stay")).toDF("id", "text")
+    val out = Redact.redactDocuments(df, "text").orderBy("id").collect()
+    assert(out(0).getAs[String]("text_redacted") ==
+      "write [EMAIL] or [EMAIL] twice [EMAIL]")
+    assert(out(0).getAs[Long]("n_email") == 3L)
+    // the URL swallows the embedded '@' — email count on raw text sees
+    // it, but the redaction (URL first) must not leave an [EMAIL] crumb
+    assert(out(1).getAs[String]("text_redacted") ==
+      "fetch [URL] then [URL]")
+    assert(out(1).getAs[Long]("n_url") == 2L)
+    assert(out(2).getAs[String]("text_redacted") ==
+      "host [IP] dials [PHONE] and [PHONE]")
+    assert(out(2).getAs[Long]("n_ip") == 1L)
+    assert(out(2).getAs[Long]("n_phone") == 2L)
+    assert(out(3).getAs[String]("text_redacted") ==
+      "clean text, no pii at all; 1+2=3 and v1.2 stay")
+  }
+
+  test("contaminationReport flags planted near-copies and only those") {
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "one two three four five six seven eight nine ten"),
+      (12L, "red orange yellow green blue indigo violet umber ochre teal"),
+      (13L, "tiny doc")).toDF("doc_id", "text")
+    // eval contains a shifted copy of doc 10 and an unrelated doc
+    val eval = Seq(
+      (90L, "beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      (91L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val rep = Decontaminate.contaminationReport(train, eval,
+      "doc_id", "text", k = 5, threshold = 0.5).orderBy("doc_id").collect()
+    assert(rep.length == 4)
+    val byId = rep.map(r => r.getLong(0) -> r).toMap
+    assert(byId(10L).getAs[Boolean]("contaminated"))
+    assert(byId(10L).getAs[Long]("overlap") == 5L) // 5 of 6 5-grams shared
+    assert(!byId(11L).getAs[Boolean]("contaminated"))
+    assert(byId(11L).getAs[Long]("overlap") == 0L)
+    assert(!byId(12L).getAs[Boolean]("contaminated"))
+    // < k tokens: zero ngrams, reported, never contaminated
+    assert(byId(13L).getAs[Long]("ngrams") == 0L)
+    assert(!byId(13L).getAs[Boolean]("contaminated"))
+
+    val kept = Decontaminate.dropContaminated(train, eval,
+      "doc_id", "text", k = 5, threshold = 0.5)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(11L, 12L, 13L))
+  }
+
+  test("pii_redact and decontam entries run at sf0.001 with rows") {
+    for (name <- Seq("pii_redact", "decontam")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(df.count() > 0, name)
+    }
+  }
+}
