@@ -29,7 +29,8 @@ object Bench {
     "lang_id", "text_quality", "rep_stats", "activations",
     "extractive_summary", "sql_window", "ols_residuals",
     "kruskal_wallis", "zscore", "ivf_topk_approx", "stream_dedup",
-    "image_features", "haversine_nn_full", "pii_redact", "decontam")
+    "image_features", "haversine_nn_full", "pii_redact", "decontam",
+    "audio_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -14,7 +14,34 @@ import graft.text.{Decontaminate, Redact}
   */
 object Batch19Entries {
 
+  /** Deterministic synthetic audio corpus: 24 WAV clips whose 16-bit
+    * PCM samples follow the closed form
+    * `((i²·7 + i·13 + id·31) mod 4096) − 2048`, lengths and rates
+    * varying with id, plus one undecodable blob (id 24). The oracle
+    * recomputes the identical integers from `range()` — the Spark
+    * side must really decode the WAV container to match. */
+  private[graft] def syntheticWavs(s: SparkSession): DataFrame = {
+    val rows: Seq[(Long, Array[Byte], String, Int, Int, Long)] =
+      (0 until 24).map { id =>
+        val n = 800 + id * 40
+        val rate = 8000 + (id % 3) * 4000
+        val samples = Array.tabulate(n)(i =>
+          ((i * i * 7 + i * 13 + id * 31) % 4096) - 2048)
+        (id.toLong, graft.mm.Multimodal.encodeWav(samples, rate), "wav",
+          0, 0, n.toLong * 1000L / rate)
+      } :+ ((24L, Array[Byte](1, 2, 3, 4, 5), "bin", 0, 0, 0L))
+    graft.mm.Multimodal.toMediaFrame(s, rows)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multimodal.audioFeatures (mm/Multimodal.scala): real
+    // javax.sound.sampled WAV decode → exact integer signal moments;
+    // the corrupt blob must surface as ok=false with null features.
+    "audio_features" -> ((s, dir) => {
+      graft.mm.Multimodal.audioFeatures(syntheticWavs(s))
+        .orderBy("media_id")
+    }),
 
     // Redact.redactPii / redactDocuments (text/Redact.scala): emails,
     // URLs, IPv4, phone runs → placeholder tokens, counts on raw text.
@@ -56,6 +83,40 @@ object Batch19Entries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "audio_features" ->
+      """WITH ids AS (SELECT unnest(range(0, 24)) AS media_id),
+        |par AS (SELECT media_id,
+        |    800 + media_id * 40 AS n,
+        |    8000 + (media_id % 3) * 4000 AS rate
+        |  FROM ids),
+        |t AS (
+        |  SELECT p.media_id, p.n, p.rate, i.i,
+        |    ((i.i * i.i * 7 + i.i * 13 + p.media_id * 31) % 4096) - 2048 AS s
+        |  FROM par p, (SELECT unnest(range(0, 2000)) AS i) i
+        |  WHERE i.i < p.n),
+        |lagged AS (
+        |  SELECT media_id, n, rate, i, s,
+        |    LAG(s) OVER (PARTITION BY media_id ORDER BY i) AS sp
+        |  FROM t)
+        |SELECT media_id, TRUE AS ok,
+        |  MIN(rate) AS sample_rate,
+        |  MIN(n) AS n_samples,
+        |  MIN(n) * 1000 // MIN(rate) AS duration_ms,
+        |  MIN(s) AS amp_min,
+        |  MAX(s) AS amp_max,
+        |  CAST(SUM(s) AS BIGINT) AS amp_sum,
+        |  CAST(SUM(s * s) AS BIGINT) AS energy,
+        |  CAST(SUM(CASE WHEN sp IS NOT NULL
+        |    AND ((sp >= 0) != (s >= 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings,
+        |  CAST(SUM(s) AS DOUBLE) / MIN(n) AS amp_mean
+        |FROM lagged
+        |GROUP BY media_id
+        |UNION ALL
+        |SELECT 24, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |  NULL, NULL
+        |ORDER BY media_id""".stripMargin,
 
     "pii_redact" ->
       """WITH base AS (

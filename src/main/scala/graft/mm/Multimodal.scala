@@ -223,4 +223,123 @@ object Multimodal {
     * wildly; partition by id hash so decoder tasks get even counts. */
   def repartitionForDecode(df: DataFrame, partitions: Int): DataFrame =
     df.repartition(partitions, col("media_id"))
+
+  // ------------------------------------------------------------------ audio
+
+  /** Encode 16-bit signed PCM mono samples as a real WAV container
+    * via the JDK's `javax.sound.sampled` — the audio sibling of
+    * [[encodeBmp]], used to build fixtures whose sample values a SQL
+    * oracle recomputes in closed form. */
+  def encodeWav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      pcm(2 * i) = (s & 0xff).toByte           // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded PCM clip: integer samples (stereo floor-averaged to
+    * mono), sample rate in Hz. */
+  final case class PcmClip(rate: Int, samples: Array[Int])
+
+  /** Decode any `javax.sound.sampled`-supported container (WAV/AIFF/
+    * AU in the stock JDK) to mono integer samples. 8/16-bit PCM,
+    * either endianness, any channel count (channels floor-averaged).
+    * Returns null when the bytes are not decodable audio. */
+  def decodePcm(bytes: Array[Byte]): PcmClip = {
+    import javax.sound.sampled.AudioSystem
+    if (bytes == null || bytes.isEmpty) return null
+    val ais =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => return null }
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      if (bits != 8 && bits != 16) return null
+      val raw = ais.readAllBytes()
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * ch
+      val n = raw.length / frameBytes
+      val out = new Array[Int](n)
+      var f = 0
+      while (f < n) {
+        var acc = 0
+        var c = 0
+        while (c < ch) {
+          val o = f * frameBytes + c * bytesPerSample
+          val v =
+            if (bits == 8) (raw(o) & 0xff) - 128
+            else if (fmt.isBigEndian)
+              (raw(o) << 8) | (raw(o + 1) & 0xff)
+            else
+              (raw(o + 1) << 8) | (raw(o) & 0xff)
+          acc += v
+          c += 1
+        }
+        out(f) = Math.floorDiv(acc, ch)
+        f += 1
+      }
+      PcmClip(fmt.getSampleRate.toInt, out)
+    } finally ais.close()
+  }
+
+  /** Real audio decode → integer signal moments, one codec pass per
+    * partition. All features are exact int64 sums (energy of a 16-bit
+    * signal needs ~2^31 per second — int64 holds hours) except
+    * amp_mean, a single IEEE divide both engines perform identically.
+    * Undecodable/null content yields `ok = false`, row kept. */
+  def audioFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("sample_rate", LongType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("amp_min", LongType, nullable = true),
+      StructField("amp_max", LongType, nullable = true),
+      StructField("amp_sum", LongType, nullable = true),
+      StructField("energy", LongType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true),
+      StructField("amp_mean", DoubleType, nullable = true)))
+    val rdd = df.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val clip = decodePcm(bytes)
+        if (clip == null || clip.samples.isEmpty)
+          Row(id, false, null, null, null, null, null, null, null, null, null)
+        else {
+          val s = clip.samples
+          var sum = 0L; var energy = 0L; var zc = 0L
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toLong
+            sum += v; energy += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            if (i > 0 && ((s(i - 1) >= 0) != (s(i) >= 0))) zc += 1
+            i += 1
+          }
+          val n = s.length.toLong
+          Row(id, true, clip.rate.toLong, n, n * 1000L / clip.rate,
+            mn, mx, sum, energy, zc, sum.toDouble / n)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }
