@@ -33,6 +33,10 @@ object IO {
       case "orc" => spark.read.orc(path)
       case "xml" => spark.read.option("rowTag", "row").xml(path)
       case "xlsx" => Excel.readExcelSheets(spark, path)._2.head._2
+      case "html" | "htm" =>
+        val tables = Scrape.readHtmlTables(spark, path)
+        require(tables.nonEmpty, s"no <table> found in $path")
+        tables.head
       case other =>
         throw new IllegalArgumentException(s"unsupported format: .$other")
     }

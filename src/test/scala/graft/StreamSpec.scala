@@ -153,4 +153,20 @@ class StreamSpec extends SparkSpec {
     q.stop()
     assert(last.length == 1 && last.head.ema == 15.0) // 0.5*20 + 0.5*10
   }
+
+  test("redactPii composes with a stream: pure projection, append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val df = in.toDF().toDF("doc_id", "text")
+      .withColumn("redacted", graft.text.Redact.redactPii(col("text")))
+    val q = df.writeStream.format("memory").queryName("redact_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, "ping a@b.io now"), (2L, "see https://x.y/z ok"))
+    q.processAllAvailable()
+    val out = spark.table("redact_stream")
+      .select("doc_id", "redacted").as[(Long, String)].collect().toMap
+    q.stop()
+    assert(out(1L) == "ping [EMAIL] now")
+    assert(out(2L) == "see [URL] ok")
+  }
 }
