@@ -252,18 +252,82 @@ object Excel {
     out.toIndexedSeq
   }
 
+  /** Style table: cellXfs index → is-a-date-format. Built-in date
+    * numFmtIds are 14–22 and 45–47; custom formats count as dates
+    * when the format code (minus quoted literals and color tags)
+    * contains day/month/year/hour/second letters. */
+  private def dateStyles(zf: ZipFile): Set[Int] = {
+    if (zf.getEntry("xl/styles.xml") == null) return Set.empty
+    val customDate = mutable.Set.empty[Int]
+    val xfFmts = mutable.ArrayBuffer.empty[Int]
+    withEntry(zf, "xl/styles.xml") { in =>
+      val r = XIF.createXMLStreamReader(in)
+      var inCellXfs = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "numFmt" =>
+                val id = Option(attr(r, "numFmtId")).map(_.toInt)
+                val code = Option(attr(r, "formatCode")).getOrElse("")
+                val bare = code.replaceAll("\"[^\"]*\"", "")
+                  .replaceAll("\\[[^\\]]*\\]", "")
+                if (id.nonEmpty && bare.exists(c => "dmyhsDMYHS".indexOf(c) >= 0))
+                  customDate += id.get
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                xfFmts += Option(attr(r, "numFmtId")).map(_.toInt).getOrElse(0)
+              case _ => ()
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            if (r.getLocalName == "cellXfs") inCellXfs = false
+          case _ => ()
+        }
+      }
+      r.close()
+    }
+    xfFmts.zipWithIndex.collect {
+      case (fmt, i)
+          if (fmt >= 14 && fmt <= 22) || (fmt >= 45 && fmt <= 47) ||
+            customDate.contains(fmt) => i
+    }.toSet
+  }
+
+  /** Excel serial → ISO string. Serials count days since 1899-12-30
+    * (the 1900 system with its intentional lotus leap-year quirk
+    * already folded in for dates past 1900-02-28, which is every date
+    * a modern workbook holds). Whole serials become `yyyy-MM-dd`;
+    * fractional ones carry a time-of-day part. */
+  private[graft] def serialToIso(serial: Double): String = {
+    val epoch = java.time.LocalDate.of(1899, 12, 30)
+    val days = math.floor(serial).toLong
+    val date = epoch.plusDays(days)
+    val frac = serial - days
+    if (frac < 1e-9) date.toString
+    else {
+      val secs = math.round(frac * 86400)
+      val t = java.time.LocalTime.ofSecondOfDay(secs % 86400)
+      s"$date ${t.toString}" +
+        (if (t.getSecond == 0 && t.toString.length == 5) ":00" else "")
+    }
+  }
+
   /** One worksheet part → DataFrame: StAX row walk, ragged rows padded,
     * first row the header (when `header`), then narrowest-type
-    * inference per column (long → double → boolean → string). */
+    * inference per column (long → double → boolean → date → string);
+    * date-styled numeric cells are converted from Excel serials to ISO
+    * strings so inference can surface a real DateType. */
   private def sheetToDf(spark: SparkSession, zf: ZipFile, part: String,
                         shared: IndexedSeq[String],
                         header: Boolean): DataFrame = {
+    val dateXf = dateStyles(zf)
     val rows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[String]]
     withEntry(zf, part) { in =>
       val r = XIF.createXMLStreamReader(in)
       var row: mutable.ArrayBuffer[String] = null
       var col = 0          // 0-based position of the current cell
       var typ = ""         // cell t attribute
+      var dateCell = false // cell s attribute points at a date style
       var inV = false      // inside <v> (or inlineStr <t>)
       var buf: StringBuilder = null
       while (r.hasNext) {
@@ -275,6 +339,8 @@ object Excel {
                 val ref = attr(r, "r")
                 col = if (ref != null) colIndex(ref) else col
                 typ = Option(attr(r, "t")).getOrElse("")
+                dateCell = Option(attr(r, "s"))
+                  .exists(s => dateXf.contains(s.toInt))
               case "v" => inV = true; buf = new StringBuilder
               case "t" if typ == "inlineStr" =>
                 inV = true; if (buf == null) buf = new StringBuilder
@@ -292,12 +358,15 @@ object Excel {
                   val v = typ match {
                     case "s" => shared(raw.trim.toInt)
                     case "b" => if (raw.trim == "1") "true" else "false"
+                    case "" | "n" if dateCell &&
+                        scala.util.Try(raw.trim.toDouble).isSuccess =>
+                      serialToIso(raw.trim.toDouble)
                     case _ => raw // number, str (formula cache), inlineStr
                   }
                   while (row.length < col) row += null
                   if (row.length == col) row += v else row(col) = v
                 }
-                buf = null; typ = ""; col += 1
+                buf = null; typ = ""; dateCell = false; col += 1
               case "row" =>
                 rows += row; row = null
               case _ => ()

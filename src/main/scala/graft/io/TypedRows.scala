@@ -30,6 +30,11 @@ private[graft] object TypedRows {
             s.trim.equalsIgnoreCase("true") ||
               s.trim.equalsIgnoreCase("false")))
           BooleanType
+        else if (cells.forall(_.trim.matches("\\d{4}-\\d{2}-\\d{2}")))
+          DateType
+        else if (cells.forall(_.trim.matches(
+            "\\d{4}-\\d{2}-\\d{2}[ T]\\d{2}:\\d{2}(:\\d{2})?(\\.\\d+)?")))
+          TimestampType
         else StringType
       if (target == StringType) df
       else df.withColumn(name, col(s"`$name`").cast(target))

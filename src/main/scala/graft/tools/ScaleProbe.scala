@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables => T}
+import graft.text.{Decontaminate, Dedup, Redact}
+
+/** Empirical scale probe: replicate the sf0.1 corpus N× (ids offset,
+  * texts word-rotated per replica so replicas are near- but not
+  * exact duplicates) and time the corpus-scale pipelines at 1× and
+  * N×. A pipeline whose plan is linear in corpus size should scale
+  * ≈ N× in wall-clock on fixed cores; anything super-linear marks a
+  * hidden pair-enumeration or driver bottleneck. Results feed
+  * SCALE.md §8's audit trail.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_MULT=10 \
+  *     sbt 'runMain graft.tools.ScaleProbe'
+  */
+object ScaleProbe {
+
+  private def corpus(spark: SparkSession, dir: String, mult: Int): DataFrame = {
+    val base = T.documents(spark, dir)
+    val n = 1000000L
+    val copies = (0 until mult).map { m =>
+      // rotate the first m words to the tail: near-dup of the
+      // original (same shingle mass), unique doc ids
+      base.select((col("doc_id") + m * n).as("doc_id"),
+        (0 until m).foldLeft(col("text")) { (t, _) =>
+          concat_ws(" ",
+            regexp_replace(t, "^\\S+\\s+", ""),
+            regexp_extract(t, "^(\\S+)", 1))
+        }.as("text"))
+    }
+    copies.reduce(_ unionByName _)
+  }
+
+  private def time(label: String)(f: => Long): (String, Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    val s = (System.nanoTime() - t0) / 1e9
+    (label, math.round(s * 1000) / 1000.0, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def pipelines(df: DataFrame): Seq[(String, Double, Long)] = {
+      val cached = df.persist()
+      cached.count() // materialize input outside the timed region
+      val out = Seq(
+        time("minhash_pairs") {
+          Dedup.minhashPairs(cached, "doc_id", "text").count()
+        },
+        time("drop_near_dups") {
+          Dedup.dropNearDuplicates(cached, "doc_id", "text").count()
+        },
+        time("decontam") {
+          val eval = cached.filter(col("doc_id") % 97 === 0)
+            .select(col("doc_id") + 90000000L as "doc_id", col("text"))
+          Decontaminate.contaminationReport(cached, eval, "doc_id", "text",
+            k = 5, threshold = 0.6).count()
+        },
+        time("pii_redact") {
+          Redact.redactDocuments(cached, "text")
+            .agg(sum(length(col("text_redacted")))).head(); cached.count()
+        })
+      cached.unpersist()
+      out
+    }
+
+    // warm the JIT/codegen on the small corpus first
+    pipelines(corpus(spark, dir, 1))
+    val one = pipelines(corpus(spark, dir, 1))
+    val big = pipelines(corpus(spark, dir, mult))
+    val report = one.zip(big).map { case ((n, t1, r1), (_, tN, rN)) =>
+      f"""{"op":"$n","sec_1x":$t1,"sec_${mult}x":$tN,""" +
+        f""""ratio":${math.round(tN / math.max(t1, 0.001) * 10) / 10.0},""" +
+        f""""rows_1x":$r1,"rows_${mult}x":$rN}"""
+    }
+    println("SCALEPROBE [" + report.mkString(",") + "]")
+    spark.stop()
+  }
+}

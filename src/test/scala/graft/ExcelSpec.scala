@@ -125,4 +125,46 @@ class ExcelSpec extends SparkSpec {
     for (i <- Seq(0, 25, 26, 51, 52, 701, 702, 16383))
       assert(Excel.colIndex(Excel.colName(i) + "1") == i)
   }
+
+  test("date-styled serial cells become DateType/TimestampType") {
+    val dir = tmpDir()
+    val path = new File(dir, "dates.xlsx").getPath
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    def put(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(body.getBytes(StandardCharsets.UTF_8)); zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        """<sheets><sheet name="d" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>""")
+    // style 0: general; style 1: builtin date 14; style 2: custom datetime
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        """<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd hh:mm"/></numFmts>""" +
+        """<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/></cellXfs></styleSheet>""")
+    // 45292 = 2024-01-01; 45292.5 = 2024-01-01 12:00:00
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>day</t></is></c><c r="B1" t="inlineStr"><is><t>at</t></is></c><c r="C1" t="inlineStr"><is><t>plain</t></is></c></row>""" +
+        """<row r="2"><c r="A2" s="1"><v>45292</v></c><c r="B2" s="2"><v>45292.5</v></c><c r="C2" s="0"><v>45292</v></c></row>""" +
+        """<row r="3"><c r="A3" s="1"><v>45323</v></c><c r="B3" s="2"><v>45323.25</v></c><c r="C3"><v>7</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zos.close()
+
+    val (_, sheets) = Excel.readExcelSheets(spark, path)
+    val df = sheets.head._2
+    assert(df.schema("day").dataType == DateType)
+    assert(df.schema("at").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.schema("plain").dataType == LongType) // style 0 untouched
+    val rows = df.collect()
+    assert(rows(0).get(0).toString == "2024-01-01")
+    assert(rows(0).get(1).toString == "2024-01-01 12:00:00.0")
+    assert(rows(1).get(0).toString == "2024-02-01")
+    assert(rows(1).get(1).toString == "2024-02-01 06:00:00.0")
+  }
 }
