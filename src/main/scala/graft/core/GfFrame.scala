@@ -90,5 +90,12 @@ object GfFrame {
                            threshold: Double = 0.6): Fluent =
       new Fluent(graft.text.Dedup.dropNearDuplicates(df, idCol, textCol,
         threshold = threshold))
+    def redactPii(textCol: String,
+                  outCol: String = "text_redacted"): Fluent =
+      new Fluent(graft.text.Redact.redactDocuments(df, textCol, outCol))
+    def dropContaminated(eval: DataFrame, idCol: String, textCol: String,
+                         k: Int = 8, threshold: Double = 0.8): Fluent =
+      new Fluent(graft.text.Decontaminate.dropContaminated(df, eval,
+        idCol, textCol, k, threshold))
   }
 }

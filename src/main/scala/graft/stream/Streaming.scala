@@ -88,6 +88,27 @@ object Streaming {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Streaming decontamination: ids of arriving docs that share ANY
+    * k-gram with a static eval corpus. Shingles come from the
+    * array-HOF constructor ([[graft.text.Dedup.shingles]]) — the
+    * batch kernel's lead() windows are unsupported on streams — then
+    * explode → semi-join the static distinct k-gram set (broadcast by
+    * AQE when small) → per-id dedup within the watermark. Append-mode
+    * compatible: no aggregation state beyond the dedup horizon. */
+  def contaminatedIds(docs: DataFrame, eval: DataFrame,
+                      idCol: String, textCol: String, tsCol: String,
+                      watermark: String, k: Int = 8): DataFrame = {
+    val evalShingles = graft.text.Dedup
+      .shinglesExploded(eval, idCol, textCol, k)
+      .select(col("_sh")).distinct()
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(graft.text.Dedup.shingles(col(textCol), k)).as("_sh"))
+      .join(evalShingles, Seq("_sh"), "left_semi")
+      .select(idCol, tsCol)
+      .dropDuplicatesWithinWatermark(idCol)
+  }
+
   /** foreachBatch parquet sink: idempotent per-micro-batch overwrite
     * into a Catalog table partition keyed by batch id — with
     * checkpointing this is the standard exactly-once pattern for

@@ -65,4 +65,19 @@ class Batch19Spec extends SparkSpec {
       assert(df.count() > 0, name)
     }
   }
+
+  test("fluent redactPii / dropContaminated wrappers delegate") {
+    import graft.core.GfFrame._
+    val docs = Seq((1L, "mail a@b.io"), (2L, "clean")).toDF("doc_id", "text")
+    val red = docs.graft.redactPii("text").result
+    assert(red.filter("doc_id = 1").select("text_redacted")
+      .as[String].head() == "mail [EMAIL]")
+    val eval = Seq((9L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon extra"),
+      (2L, "other words entirely different here")).toDF("doc_id", "text")
+    val kept = train.graft.dropContaminated(eval, "doc_id", "text",
+      k = 5, threshold = 0.5).result
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
 }

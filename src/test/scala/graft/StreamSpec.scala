@@ -169,4 +169,25 @@ class StreamSpec extends SparkSpec {
     assert(out(1L) == "ping [EMAIL] now")
     assert(out(2L) == "see [URL] ok")
   }
+
+  test("contaminatedIds flags streaming docs overlapping the eval set") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq(
+      (900L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = Streaming.contaminatedIds(docs, eval, "doc_id", "text", "ts",
+        "30 minutes", k = 4)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      (1L, t(0), "beta gamma delta epsilon tail words here"), // overlaps
+      (2L, t(1), "completely unrelated content flows past now"),
+      (3L, t(2), "alpha beta gamma delta front overlap"))     // overlaps
+    q.processAllAvailable()
+    val flagged = spark.table("contam_stream")
+      .select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(flagged == Set(1L, 3L))
+  }
 }
