@@ -70,14 +70,23 @@ object Bench {
       try exec(w, sfDir) catch { case _: Throwable => }
     spark.catalog.clearCache()
 
+    // SPARK_GRAFT_ITERS > 1 reports the per-query MEDIAN of N timed
+    // runs — the defense against transient host contention polluting a
+    // single pass (observed: a co-scheduled job inflating an
+    // alphabetical run-order band 3-10x). Default stays 1: the warmed
+    // single pass is what the driver times.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "1").toInt.max(1)
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try exec(name, sfDir) catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // entries persist() intermediates; drop them so storage doesn't
-      // accumulate across 120+ queries and skew later timings via GC
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (0 until iters).map { _ =>
+        val t0 = System.nanoTime()
+        try exec(name, sfDir) catch { case _: Throwable => }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // entries persist() intermediates; drop them so storage doesn't
+        // accumulate across 120+ queries and skew later timings via GC
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      name -> times(times.size / 2)
     }.toMap
     // Locale.ROOT: the driver parses this JSON; a comma decimal
     // separator under e.g. de_DE would break it.
@@ -90,7 +99,7 @@ object Bench {
     val qs = headline.filter(results.contains)
       .map(k => s"\"" + k + "\":" + fmt(results(k)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","timed_iters":1,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","timed_iters":$iters,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}"}""")
     spark.stop()
   }
 }
