@@ -35,8 +35,10 @@ object Decontaminate {
     val sizes = tr.groupBy("_id").agg(count(lit(1)).as("_n"))
     val hits = tr.join(ev, "_sh").groupBy("_id")
       .agg(count(lit(1)).as("_hits"))
-    // left join: keep docs with zero overlap; re-attach short docs
-    val base = train.select(col(idCol).cast("long").as("_id")).distinct()
+    // left join: keep docs with zero overlap; re-attach short docs.
+    // The id keeps its NATIVE type (string doc ids must not null out
+    // through a numeric cast — the connectedComponents lesson).
+    val base = train.select(col(idCol).as("_id")).distinct()
     base
       .join(sizes, Seq("_id"), "left")
       .join(hits, Seq("_id"), "left")

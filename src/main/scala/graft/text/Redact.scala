@@ -26,6 +26,11 @@ object Redact {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlRe = "https?://[^ \\t\\n]+"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Known false-positive class: any 8-14 char digit/dash/space run
+    * matches, including ISO dates ("2024-01-01" redacts as [PHONE]).
+    * That is the standard over-redaction trade-off for training
+    * corpora (prefer scrubbing a date to leaking a number); pipelines
+    * that must keep dates should redact dates to tokens FIRST. */
   val PhoneRe = "\\+?\\d[\\d\\- ]{6,12}\\d\\b"
 
   val EmailTok = "[EMAIL]"

@@ -80,4 +80,17 @@ class Batch19Spec extends SparkSpec {
       k = 5, threshold = 0.5).result
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("contaminationReport keeps native string doc ids intact") {
+    val train = Seq(
+      ("doc-a", "alpha beta gamma delta epsilon zeta"),
+      ("doc-b", "one two three four five six")).toDF("doc_id", "text")
+    val eval = Seq(
+      ("e-1", "beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val rep = Decontaminate.contaminationReport(train, eval,
+      "doc_id", "text", k = 5, threshold = 0.5).orderBy("doc_id").collect()
+    assert(rep.map(_.getString(0)).toSeq == Seq("doc-a", "doc-b"))
+    assert(rep(0).getAs[Boolean]("contaminated"))
+    assert(!rep(1).getAs[Boolean]("contaminated"))
+  }
 }
