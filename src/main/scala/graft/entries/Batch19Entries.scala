@@ -66,6 +66,22 @@ object Batch19Entries {
         .orderBy("doc_id")
     }),
 
+    // Quality.selectByTokenBudget (text/Quality.scala): per-source
+    // best-scored docs until the token budget is spent; score =
+    // entropy-free cheap signal (token count mod for variety),
+    // deterministic tiebreaks.
+    "token_budget" -> ((s, dir) => {
+      val d = T.documents(s, dir)
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("score",
+          (col("n_chars") % 97).cast("double") / lit(97.0))
+      graft.text.Quality.selectByTokenBudget(d, "doc_id", "source",
+          "score", "n_tokens", budgetPerSource = 600L)
+        .select("doc_id", "source", "score", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Decontaminate.contaminationReport (text/Decontaminate.scala):
     // eval = first-word-perturbed copies of every 7th train doc, so
     // those train docs are contaminated by construction and the rest
@@ -147,6 +163,23 @@ object Batch19Entries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(text, '\+?\d[\d\- ]{6,12}\d\b')) AS n_phone
         |FROM base
+        |ORDER BY doc_id""".stripMargin,
+
+    "token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(n_chars % 97 AS DOUBLE) / 97.0 AS score,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, score, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT doc_id, source, score, n_tokens
+        |FROM c WHERE cum - n_tokens < 600
         |ORDER BY doc_id""".stripMargin,
 
     "decontam" ->

@@ -136,4 +136,26 @@ object Quality {
     scored.withColumn("lang_pred", pred)
       .drop(profiles.map(p => s"_score_${p._1}"): _*)
   }
+
+  /** Token-budget sampling — the data-mixing step of a training run:
+    * within each source, keep the best-scoring documents until the
+    * per-source token budget is spent (the first doc to cross the
+    * line is kept, so every non-empty source with a positive budget
+    * contributes at least one doc). Deterministic: ordered by
+    * (score desc, id asc). One shuffle keyed by source; the running
+    * cumsum is a window over that partition — at 100 TB each source
+    * must be processed by one task, so shard huge single sources by a
+    * salted sub-source key first if a source alone exceeds a task's
+    * comfortable row count. */
+  def selectByTokenBudget(df: DataFrame, idCol: String, sourceCol: String,
+                          scoreCol: String, tokenCol: String,
+                          budgetPerSource: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetPerSource > 0, "budget must be positive")
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("_cum", sum(col(tokenCol)).over(w))
+      .filter(col("_cum") - col(tokenCol) < budgetPerSource)
+      .drop("_cum")
+  }
 }

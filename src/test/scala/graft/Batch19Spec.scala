@@ -93,4 +93,25 @@ class Batch19Spec extends SparkSpec {
     assert(rep(0).getAs[Boolean]("contaminated"))
     assert(!rep(1).getAs[Boolean]("contaminated"))
   }
+
+  test("selectByTokenBudget keeps best-scored docs, crossing doc included") {
+    val d = Seq(
+      ("a", 1L, 0.9, 400L), ("a", 2L, 0.8, 400L), ("a", 3L, 0.7, 400L),
+      ("b", 4L, 0.5, 1000L), ("b", 5L, 0.4, 1000L),
+      ("c", 6L, 0.1, 5000L)).toDF("source", "doc_id", "score", "n_tokens")
+    val kept = graft.text.Quality.selectByTokenBudget(d, "doc_id",
+        "source", "score", "n_tokens", budgetPerSource = 700L)
+      .select("doc_id").as[Long].collect().toSet
+    // a: 400 then 800>700 but doc 2 crosses the line -> kept; doc 3 out
+    // b: 1000 crosses immediately -> doc 4 kept, doc 5 out
+    // c: single huge doc still kept (every source contributes)
+    assert(kept == Set(1L, 2L, 4L, 6L))
+    // tiebreak on equal scores: lower id wins the remaining budget
+    val tie = Seq(("s", 7L, 0.5, 600L), ("s", 8L, 0.5, 600L))
+      .toDF("source", "doc_id", "score", "n_tokens")
+    val keptTie = graft.text.Quality.selectByTokenBudget(tie, "doc_id",
+        "source", "score", "n_tokens", budgetPerSource = 600L)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(keptTie == Seq(7L))
+  }
 }
