@@ -228,19 +228,22 @@ object Excel {
       val r = XIF.createXMLStreamReader(in)
       var cur: StringBuilder = null
       var inT = false
+      var phonetic = 0 // depth inside <rPh>: furigana, not cell text
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             r.getLocalName match {
               case "si" => cur = new StringBuilder
+              case "rPh" => phonetic += 1
               case "t" => inT = true
               case _ => ()
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
-            if (inT && cur != null) cur ++= r.getText
+            if (inT && phonetic == 0 && cur != null) cur ++= r.getText
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "t" => inT = false
+              case "rPh" => phonetic -= 1
               case "si" => out += cur.result(); cur = null
               case _ => ()
             }
@@ -306,9 +309,16 @@ object Excel {
     if (frac < 1e-9) date.toString
     else {
       val secs = math.round(frac * 86400)
-      val t = java.time.LocalTime.ofSecondOfDay(secs % 86400)
-      s"$date ${t.toString}" +
-        (if (t.getSecond == 0 && t.toString.length == 5) ":00" else "")
+      // 23:59:59.6+ rounds to a full day: roll the DATE forward too,
+      // or end-of-day timestamps shift back 24h
+      val (d2, s2) = if (secs >= 86400) (date.plusDays(1), 0L)
+                     else (date, secs)
+      if (s2 == 0) d2.toString
+      else {
+        val t = java.time.LocalTime.ofSecondOfDay(s2)
+        s"$d2 ${t.toString}" +
+          (if (t.getSecond == 0 && t.toString.length == 5) ":00" else "")
+      }
     }
   }
 

@@ -57,7 +57,7 @@ object Scrape {
               className: Option[String] = None,
               attributes: Map[String, String] = Map.empty): Seq[Tag] =
     (root +: root.descendants).filter { t =>
-      t.name == element.toLowerCase &&
+      t.name == asciiLower(element) &&
         className.forall(t.classes.contains) &&
         attributes.forall { case (k, v) => t.attr(k).contains(v) }
     }
@@ -79,7 +79,7 @@ object Scrape {
     * same narrowest-type inference the xlsx reader uses. */
   def htmlTables(spark: SparkSession, html: String): Seq[DataFrame] =
     findAll(parse(html), "table").map { table =>
-      val rows = table.descendants.filter(_.name == "tr").map { tr =>
+      val rows = ownRows(table).map { tr =>
         tr.childTags.filter(t => t.name == "td" || t.name == "th")
           .map(_.text.trim)
       }.filter(_.nonEmpty)
@@ -96,6 +96,18 @@ object Scrape {
         TypedRows.toDf(spark, names, data)
       }
     }
+
+  /** `tr` descendants belonging to THIS table only: the walk stops at
+    * nested `table` boundaries, whose rows are their own frames (a
+    * layout table must not swallow an inner data table's rows). */
+  private def ownRows(table: Tag): Seq[Tag] = {
+    def walk(t: Tag): Seq[Tag] = t.childTags.flatMap { c =>
+      if (c.name == "table") Nil
+      else if (c.name == "tr") c +: walk(c)
+      else walk(c)
+    }
+    walk(table)
+  }
 
   /** Read a local html file / http url and extract its tables. */
   def readHtmlTables(spark: SparkSession, url: String): Seq[DataFrame] =
@@ -126,7 +138,9 @@ object Scrape {
         case Right(s) => Right(s)
       })
     val root = new Node("#root", Map.empty)
-    val lower = html.toLowerCase
+    // ASCII-only lowering: locale-independent (Turkish-I safe) AND
+    // length-preserving, so indexes into `lower` are valid in `html`
+    val lower = asciiLower(html)
     val stack = mutable.Stack(root)
     def top = stack.top
     var i = 0
@@ -149,8 +163,8 @@ object Scrape {
       } else if (i + 1 < n && html.charAt(i + 1) == '/') {
         flushText()
         val e = html.indexOf('>', i)
-        val name = html.substring(i + 2, if (e < 0) n else e)
-          .trim.toLowerCase
+        val name = asciiLower(html.substring(i + 2, if (e < 0) n else e)
+          .trim)
         i = if (e < 0) n else e + 1
         // lenient close: pop to the matching open if one exists
         // children are attached to their parent at open time, so a
@@ -241,11 +255,27 @@ object Scrape {
             }
           }
           if (kSb.nonEmpty)
-            attrs(kSb.result().toLowerCase) =
+            attrs(asciiLower(kSb.result())) =
               if (v == null) "" else decode(v)
       }
     }
-    (new Node(nameSb.result().toLowerCase, attrs.toMap), selfClosed, i)
+    (new Node(asciiLower(nameSb.result()), attrs.toMap), selfClosed, i)
+  }
+
+  /** Locale-independent, length-preserving ASCII lowercase (the JDK
+    * default-locale toLowerCase turns SCRIPT into scr\u0131pt under
+    * tr_TR and can change string length via U+0130). */
+  private def asciiLower(s: String): String = {
+    var i = 0
+    while (i < s.length && !(s.charAt(i) >= 'A' && s.charAt(i) <= 'Z')) i += 1
+    if (i == s.length) return s
+    val a = s.toCharArray
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
   }
 
   /** Entity decode: named basics + numeric/hex references. */
@@ -267,10 +297,14 @@ object Scrape {
             case "apos" => "'"
             case "nbsp" => " "
             case e if e.startsWith("#x") || e.startsWith("#X") =>
-              try String.valueOf(Integer.parseInt(e.substring(2), 16).toChar)
+              // Character.toChars: code points past U+FFFF need a
+              // surrogate pair, toChar would truncate emoji/CJK-B
+              try new String(Character.toChars(
+                Integer.parseInt(e.substring(2), 16)))
               catch { case _: Exception => null }
             case e if e.startsWith("#") =>
-              try String.valueOf(Integer.parseInt(e.substring(1)).toChar)
+              try new String(Character.toChars(
+                Integer.parseInt(e.substring(1))))
               catch { case _: Exception => null }
             case _ => null
           }

@@ -144,14 +144,19 @@ object Tgz {
             data.readFully(nameBuf)
             skipFully(data, padded - size)
             longName = cstr(nameBuf, 0, nameBuf.length)
-          case 'x' | 'g' => // PAX header: parse a path= override
+          case 'x' | 'g' => // PAX header
             val buf = new Array[Byte](size.toInt)
             data.readFully(buf)
             skipFully(data, padded - size)
-            val s = new String(buf, StandardCharsets.UTF_8)
-            s.split("\n").foreach { line =>
-              val i = line.indexOf(" path=")
-              if (i >= 0) paxPath = line.substring(i + 6)
+            // only per-file 'x' records may override the NEXT member's
+            // name; 'g' records are archive-wide defaults (POSIX) and
+            // must not rename whichever member happens to come next
+            if (typeflag == 'x') {
+              val s = new String(buf, StandardCharsets.UTF_8)
+              s.split("\n").foreach { line =>
+                val i = line.indexOf(" path=")
+                if (i >= 0) paxPath = line.substring(i + 6)
+              }
             }
           case c if c == '0' || c == 0.toChar => // regular file
             val name =

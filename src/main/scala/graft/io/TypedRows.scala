@@ -11,8 +11,15 @@ import org.apache.spark.sql.types._
   * cells — these formats are small by construction. */
 private[graft] object TypedRows {
 
-  def toDf(spark: SparkSession, names: Seq[String],
+  def toDf(spark: SparkSession, rawNames: Seq[String],
            data: Seq[Seq[String]]): DataFrame = {
+    // real spreadsheets repeat header labels; dedupe with numeric
+    // suffixes or the per-column cast below hits AMBIGUOUS_REFERENCE
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val names = rawNames.map { n =>
+      val k = seen.getOrElse(n, 0); seen(n) = k + 1
+      if (k == 0) n else s"${n}_$k"
+    }
     val schema = StructType(names.map(StructField(_, StringType, true)))
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(

@@ -264,9 +264,16 @@ object Multimodal {
       try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       catch { case _: Exception => return null }
     try {
+      import javax.sound.sampled.AudioFormat.Encoding
       val fmt = ais.getFormat
       val bits = fmt.getSampleSizeInBits
       val ch = fmt.getChannels
+      val enc = fmt.getEncoding
+      // only linear PCM is decoded here: u-law/a-law (common in .au)
+      // would need companding tables, and guessing signedness from bit
+      // depth alone corrupts samples silently — reject instead
+      val signed = enc == Encoding.PCM_SIGNED
+      if (!signed && enc != Encoding.PCM_UNSIGNED) return null
       if (bits != 8 && bits != 16) return null
       val raw = ais.readAllBytes()
       val bytesPerSample = bits / 8
@@ -280,11 +287,14 @@ object Multimodal {
         while (c < ch) {
           val o = f * frameBytes + c * bytesPerSample
           val v =
-            if (bits == 8) (raw(o) & 0xff) - 128
-            else if (fmt.isBigEndian)
-              (raw(o) << 8) | (raw(o + 1) & 0xff)
-            else
-              (raw(o + 1) << 8) | (raw(o) & 0xff)
+            if (bits == 8)
+              if (signed) raw(o).toInt else (raw(o) & 0xff) - 128
+            else {
+              val s16 =
+                if (fmt.isBigEndian) (raw(o) << 8) | (raw(o + 1) & 0xff)
+                else (raw(o + 1) << 8) | (raw(o) & 0xff)
+              if (signed) s16 else (s16 & 0xffff) - 32768
+            }
           acc += v
           c += 1
         }

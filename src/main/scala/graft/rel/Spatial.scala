@@ -87,7 +87,7 @@ object Spatial {
       Iterator.iterate(width0)(_ * 4).takeWhile(_ < 180.0).toSeq :+ 180.0
 
     def level(l: DataFrame, width: Double, last: Boolean)
-        : (DataFrame, DataFrame) = {
+        : (DataFrame, DataFrame, Seq[DataFrame]) = {
       val rb = right.withColumn("_hb", floor(col(latR) / width).cast("long"))
       val cand = l
         .withColumn("_hb0", floor(col(latL) / width).cast("long"))
@@ -101,28 +101,40 @@ object Spatial {
         .orderBy(col("dist_km").asc, col(rightId).asc)
       val best0 = cand.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1).drop("_rn", "_hb", "_hb0")
-      if (last) (best0, null)
+      if (last) (best0, null, Nil)
       else {
         // persist: each non-final level's result feeds BOTH the output
         // union and the next level's anti-join — without a cut the
         // lineage re-evaluates every earlier level once per descendant
-        // (exponential recomputation across levels)
+        // (exponential recomputation across levels). The handles are
+        // unpersisted below after the final result is materialized, so
+        // nothing stays pinned in the CacheManager after the call.
         val best = best0.persist()
         val bound = 12742.0 * math.asin(math.sin(math.toRadians(width / 2))) -
           1.5 * math.pow(10.0, -roundDp)
         val resolved = best.filter(col("dist_km") <= bound)
         val unresolved =
           l.join(resolved.select(leftId), Seq(leftId), "left_anti").persist()
-        (resolved, unresolved)
+        // hand back the PERSISTED handles (unpersist on a derived
+        // view would be a no-op on the underlying cache entry)
+        (resolved, unresolved, Seq(best, unresolved))
       }
     }
 
     var rem = left
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val parts = widths.zipWithIndex.map { case (width, i) =>
-      val (res, un) = level(rem, width, last = i == widths.size - 1)
+      val (res, un, handles) = level(rem, width, last = i == widths.size - 1)
+      cached ++= handles
       rem = un
       res
     }
-    parts.reduce(_.unionByName(_))
+    // one eager cut of the final result (its blocks are released by
+    // the ContextCleaner once the caller drops the plan), then drop
+    // every per-level cache — a lazy return would leave the caches
+    // pinned until the caller happens to materialize and unpersist
+    val out = parts.reduce(_.unionByName(_)).localCheckpoint()
+    cached.foreach(_.unpersist(false))
+    out
   }
 }

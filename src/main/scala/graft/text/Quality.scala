@@ -152,8 +152,13 @@ object Quality {
                           budgetPerSource: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetPerSource > 0, "budget must be positive")
+    // ROWS frame, not the default RANGE: rows tied on (score, id) must
+    // each carry their own running sum (RANGE gives peers one shared
+    // cumulative value, so a duplicate id could blow the budget), and
+    // the SQL oracle pins ROWS ... CURRENT ROW.
     val w = Window.partitionBy(sourceCol)
       .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_cum", sum(col(tokenCol)).over(w))
       .filter(col("_cum") - col(tokenCol) < budgetPerSource)
       .drop("_cum")

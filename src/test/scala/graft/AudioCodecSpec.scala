@@ -45,4 +45,15 @@ class AudioCodecSpec extends SparkSpec {
     assert(r0.getAs[Long]("amp_min") == s.min.toLong)
     assert(r0.getAs[Long]("amp_max") == s.max.toLong)
   }
+
+  test("non-PCM encodings are rejected, not silently mis-decoded") {
+    // hand-build a tiny u-law AU file: magic .snd, 24-byte header,
+    // encoding 1 (u-law), rate 8000, 1 channel, 4 data bytes
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeBytes(".snd"); d.writeInt(24); d.writeInt(4)
+    d.writeInt(1); d.writeInt(8000); d.writeInt(1)
+    d.write(Array[Byte](0x7f, 0x00, 0x55, 0x2a.toByte))
+    assert(Multimodal.decodePcm(bos.toByteArray) == null)
+  }
 }

@@ -121,4 +121,20 @@ class ScrapeSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("name", "qty", "price"))
     assert(df.count() == 3)
   }
+
+  test("astral entities, duplicate table headers, nested tables") {
+    val html =
+      """<table><tr><th>n<th>n<th>x</tr>
+        |<tr><td>1<td>2<td><table><tr><td>99</td></tr></table></tr>
+        |<tr><td>3<td>4<td>&#128512; and &#x1F600;</tr></table>""".stripMargin
+    val tables = Scrape.htmlTables(spark, html)
+    assert(tables.size == 2)
+    val outer = tables.head
+    // duplicate headers dedupe instead of crashing the typed cast
+    assert(outer.columns.toSeq == Seq("n", "n_1", "x"))
+    val rows = outer.collect()
+    assert(rows.length == 2)            // inner table's row NOT merged
+    assert(rows(1).getString(2) == "\ud83d\ude00 and \ud83d\ude00")
+    assert(tables(1).columns.length == 1) // inner emitted as own table
+  }
 }
