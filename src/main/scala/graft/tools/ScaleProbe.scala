@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
+import graft.ml.Similarity
 import graft.text.{Decontaminate, Dedup, Redact}
 
 /** Empirical scale probe: replicate the sf0.1 corpus N× (ids offset,
@@ -79,10 +80,40 @@ object ScaleProbe {
       out
     }
 
+    // ANN axis: brute-force is O(n) per query by design (the oracle
+    // baseline); IVF search should scale ~n·nprobe/nlist. The index
+    // build is timed separately — it is amortized over queries.
+    def annPipelines(m: Int): Seq[(String, Double, Long)] = {
+      val base = T.embeddings(spark, dir)
+      val n = 1000000L
+      val emb = (0 until m).map { i =>
+        base.select((col("vec_id") + i * n).as("vec_id"), col("embedding"))
+      }.reduce(_ unionByName _).persist()
+      emb.count()
+      val dim = base.selectExpr("size(embedding) d").head().getInt(0)
+      val query = (0 until dim).map(i => math.sin(i * 0.7))
+      val built = {
+        val t0 = System.nanoTime()
+        val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nlist = 16 * m) // nlist grows with n: buckets stay even-sized
+        (idx, (System.nanoTime() - t0) / 1e9)
+      }
+      val out = Seq(
+        time("ann_brute") {
+          Similarity.cosineTopK(emb, "embedding", "vec_id", query, 15).count()
+        },
+        time("ann_ivf_search") {
+          built._1.search(query, 15, nprobe = 4).count()
+        },
+        ("ann_ivf_build", math.round(built._2 * 1000) / 1000.0, 0L))
+      built._1.unpersist(); emb.unpersist()
+      out
+    }
+
     // warm the JIT/codegen on the small corpus first
-    pipelines(corpus(spark, dir, 1))
-    val one = pipelines(corpus(spark, dir, 1))
-    val big = pipelines(corpus(spark, dir, mult))
+    pipelines(corpus(spark, dir, 1)); annPipelines(1)
+    val one = pipelines(corpus(spark, dir, 1)) ++ annPipelines(1)
+    val big = pipelines(corpus(spark, dir, mult)) ++ annPipelines(mult)
     val report = one.zip(big).map { case ((n, t1, r1), (_, tN, rN)) =>
       f"""{"op":"$n","sec_1x":$t1,"sec_${mult}x":$tN,""" +
         f""""ratio":${math.round(tN / math.max(t1, 0.001) * 10) / 10.0},""" +
