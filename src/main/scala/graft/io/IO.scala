@@ -125,6 +125,28 @@ class Catalog(spark: SparkSession, warehouse: String) {
 
   def managed(name: String): DataFrame = spark.table(name)
 
+  /** Collect table + column statistics for the cost-based optimizer:
+    * with row counts and column NDV/min/max in the metastore, Catalyst
+    * reorders multi-way joins and picks broadcast sides from DATA, not
+    * the 10 MB static threshold — the difference between a good and a
+    * catastrophic join order on a 100 TB star join. Run after large
+    * writes to a managed (saveBucketed) table. */
+  def analyze(name: String, columns: Seq[String] = Nil): Unit = {
+    if (columns.isEmpty)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    else
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS " +
+        columns.mkString(", "))
+  }
+
+  /** Catalog row-count statistic for `name`, if analyzed — read from
+    * the table metadata (plan-level `stats.rowCount` only surfaces
+    * with `spark.sql.cbo.enabled`). */
+  def rowCountStat(name: String): Option[BigInt] = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    spark.sessionState.catalog.getTableMetadata(id).stats.flatMap(_.rowCount)
+  }
+
   def drop(name: String): Boolean = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)

@@ -118,4 +118,24 @@ class Batch12Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_cust")
   }
+
+  test("analyze feeds row/column stats to the cost-based optimizer") {
+    val cat = new Catalog(spark, Files.createTempDirectory("graft_an").toString)
+    // clear any stale managed-table location from an aborted prior run
+    spark.sql("DROP TABLE IF EXISTS an_orders")
+    val stale = new java.io.File("spark-warehouse/an_orders")
+    if (stale.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm); f.delete()
+      }
+      rm(stale)
+    }
+    val ord = T.orders(spark, sf).select("o_orderkey", "o_custkey")
+    cat.saveBucketed("an_orders", ord, 4, Seq("o_custkey"))
+    assert(cat.rowCountStat("an_orders").isEmpty) // nothing analyzed yet
+    cat.analyze("an_orders", Seq("o_custkey"))
+    val n = cat.rowCountStat("an_orders")
+    assert(n.contains(BigInt(ord.count())))
+    spark.sql("DROP TABLE IF EXISTS an_orders")
+  }
 }
