@@ -25,13 +25,15 @@ object ScaleProbe {
     val n = 1000000L
     val copies = (0 until mult).map { m =>
       // rotate the first m words to the tail: near-dup of the
-      // original (same shingle mass), unique doc ids
+      // original (same shingle mass), unique doc ids. Constant
+      // expression depth for any m — a per-replica fold of
+      // regexp_replace built m-deep trees that broke codegen at m≳16
+      val toks = split(trim(col("text")), "\\s+")
       base.select((col("doc_id") + m * n).as("doc_id"),
-        (0 until m).foldLeft(col("text")) { (t, _) =>
-          concat_ws(" ",
-            regexp_replace(t, "^\\S+\\s+", ""),
-            regexp_extract(t, "^(\\S+)", 1))
-        }.as("text"))
+        array_join(
+          concat(slice(toks, lit(m + 1), size(toks)),
+            slice(toks, lit(1), lit(m))),
+          " ").as("text"))
     }
     copies.reduce(_ unionByName _)
   }
