@@ -34,8 +34,13 @@ object Quality {
       .withColumn("stopword_ratio",
         when(nTok === 0, 0.0).otherwise(nStop / nTok))
       .withColumn("mean_token_len",
+        // Σ token-length == whitespace-stripped length: the SAME
+        // integer the interpreted aggregate() HOF summed, but as a
+        // codegen'd regexp_replace — the HOF broke whole-stage codegen
+        // on the hottest per-row quality pass
         when(nTok === 0, 0.0)
-          .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok))
+          .otherwise(length(regexp_replace(trim(c), "\\s+", ""))
+            .cast("double") / nTok))
   }
 
   /** Shannon entropy of a document's token distribution (nats):
