@@ -228,7 +228,7 @@ object TextEntries {
       s"""SELECT doc_id,
          |  CAST($ntok AS INT) AS n_tokens,
          |  CASE WHEN $ntok = 0 THEN 0.0 ELSE
-         |    CAST(len(list_filter($tokArr, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+         |    CAST(len(list_filter($tokArr, t -> lower(t) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
          |      / CAST($ntok AS DOUBLE) END AS stopword_ratio,
          |  CASE WHEN $ntok = 0 THEN 0.0 ELSE
          |    CAST(list_sum(list_transform($tokArr, t -> len(t))) AS DOUBLE)

@@ -147,7 +147,7 @@ object Similarity {
     }: _*)
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .select(col("_id"), col("_v"), explode(tables).as("_bucket"))
-      .persist()
+      .localCheckpoint()
     // distinct per-leg attribute names so the bucket equi-join never
     // leans on Spark's self-join disambiguation heuristic
     val a = bucketed.select(col("_id").as("id_a"), col("_v").as("_va"),

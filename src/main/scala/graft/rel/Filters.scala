@@ -115,7 +115,12 @@ object Filters {
     */
   def filterOutliersZ(df: DataFrame, column: String, z: Double = 3.0): DataFrame = {
     val r = df.agg(avg(col(column)).as("mu"), stddev_samp(col(column)).as("sd")).head()
-    val (mu, sd) = (r.getDouble(0), r.getDouble(1))
-    df.filter(col(column).between(mu - z * sd, mu + z * sd))
+    // empty / single-row input: stddev_samp is null — nothing can be
+    // an outlier, return the input instead of an NPE on getDouble
+    if (r.isNullAt(0) || r.isNullAt(1)) df
+    else {
+      val (mu, sd) = (r.getDouble(0), r.getDouble(1))
+      df.filter(col(column).between(mu - z * sd, mu + z * sd))
+    }
   }
 }

@@ -108,10 +108,19 @@ object Joins {
     val w = Window.partitionBy(partitionKey)
       .orderBy(col(tsCol).asc, col("_tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(taggedL.unionByName(taggedR)) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    // carry the latest right ROW as one struct, not each value column
+    // independently: per-column last(ignoreNulls) would resurrect an
+    // OLDER right row's value wherever the truly-latest right row
+    // holds null — merge_asof semantics take all values from the one
+    // latest row, nulls included
+    val union = taggedL.unionByName(taggedR)
+      .withColumn("_rrow",
+        when(col("_tag") === 0, struct(valueCols.map(col): _*)))
+      .withColumn("_rlast", last(col("_rrow"), ignoreNulls = true).over(w))
+    val carried = valueCols.foldLeft(union) { (d, c) =>
+      d.withColumn(c, col(s"_rlast.$c"))
     }
-    carried.filter(col("_tag") === 1).drop("_tag")
+    carried.filter(col("_tag") === 1).drop("_tag", "_rrow", "_rlast")
   }
 
   /** Nearest join within tolerance: match each left row to the right row

@@ -69,7 +69,12 @@ object Reshape {
     * (gofast/utils/q_utils.py:229, :32). */
   def meltQ(df: DataFrame, idCols: Seq[String], prefix: String): DataFrame = {
     val tag = prefix + "_q"
-    val qCols = df.columns.filter(_.startsWith(tag)).sortBy(_.stripPrefix(tag).toDouble)
+    // numeric-suffix match, not bare startsWith: a column like
+    // `pred_quality` must not slip in and explode the toDouble sort
+    val qCols = df.columns
+      .filter(c => c.startsWith(tag) &&
+        scala.util.Try(c.stripPrefix(tag).toDouble).isSuccess)
+      .sortBy(_.stripPrefix(tag).toDouble)
     require(qCols.nonEmpty, s"no columns named $tag<level>")
     val structs = qCols.map { c =>
       struct(lit(c.stripPrefix(tag).toDouble).as("q"),

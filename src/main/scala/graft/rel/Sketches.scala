@@ -41,10 +41,16 @@ object Sketches {
   def bloomSemiJoin(probe: DataFrame, build: DataFrame, probeKey: String,
                     buildKey: String, expectedKeys: Long,
                     fpp: Double = 0.01): DataFrame = {
-    val bloom = build.stat.bloomFilter(col(buildKey), expectedKeys, fpp)
+    // build and probe must hash the SAME representation: the filter is
+    // built over xxhash64(key) longs and probed with the same hash, so
+    // the no-false-negative contract holds for ANY key type (building
+    // over native strings but probing a long cast silently dropped
+    // every string match)
+    val bloom = build.select(xxhash64(col(buildKey)).as("_h"))
+      .stat.bloomFilter(col("_h"), expectedKeys, fpp)
     val bc = probe.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
-    val prefiltered = probe.filter(mightContain(col(probeKey).cast("long")))
+    val prefiltered = probe.filter(mightContain(xxhash64(col(probeKey))))
     Joins.semiJoin(prefiltered, build, probeKey, buildKey)
   }
 }

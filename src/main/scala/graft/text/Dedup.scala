@@ -140,9 +140,11 @@ object Dedup {
                            threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPer = numHashes / bands
-    // persist: both sides of the self-join reuse the computed signatures
-    // instead of re-hashing the corpus.
-    val sig = sigDf.persist()
+    // localCheckpoint: both sides of the self-join reuse the computed
+    // signatures instead of re-hashing the corpus; unlike persist()
+    // nothing stays pinned in the CacheManager after the caller drops
+    // the returned plan (ContextCleaner frees checkpoint blocks)
+    val sig = sigDf.localCheckpoint()
     val banded = sig.select(col("_id"), col("_sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -180,19 +182,23 @@ object Dedup {
 
   /** Corpus-scale SimHash: explode tokens, hash once per token in a
     * codegen'd projection, then count set bits per position with
-    * LANE-PACKED aggregates — four 16-bit counters per long, so 16
-    * sums instead of 64 (valid for series up to 65k tokens; the
-    * token explode bounds a document's contribution). The sign rule
-    * bitSum_i > 0 becomes 2·setCount_i > n. Output: (_id, _sh long). */
+    * LANE-PACKED aggregates — three 21-bit counters per long, so 22
+    * sums instead of 64 (valid for docs up to 65k tokens; 21-bit
+    * fields keep the packed SUM inside int64 under ANSI). The sign
+    * rule bitSum_i > 0 becomes 2·setCount_i > n. Output: (_id, _sh). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("_id"),
         explode(TextFns.tokens(col(textCol))).as("_t"))
       .withColumn("_h", xxhash64(col("_t")))
-    // word w packs bits {4w, 4w+16... no: lanes hold bits b, b+16, b+32,
-    // b+48 for b in [0,16): packed_b = Σ_lane bit(b+16·lane) << (16·lane)
-    val packSums = (0 until 16).map { b =>
-      val packed = (0 until 4).map { lane =>
-        shiftleft(shiftright(col("_h"), b + 16 * lane).bitwiseAND(1L), 16 * lane)
+    // THREE 21-bit counter lanes per long (bits b+22·lane, field shift
+    // 21·lane): a 16-bit 4-lane pack overflowed int64 in the SUM under
+    // ANSI once a doc repeated a lane-3 bit >32767 times — 21-bit
+    // fields keep the worst-case sum (65535·(2^42+2^21+1) ≈ 2.9e17)
+    // far inside int64 for every guard-valid document
+    val packSums = (0 until 22).map { b =>
+      val lanes = (0 until 3).filter(l => b + 22 * l < 64)
+      val packed = lanes.map { lane =>
+        shiftleft(shiftright(col("_h"), b + 22 * lane).bitwiseAND(1L), 21 * lane)
       }.reduce(_ + _)
       sum(packed).as(s"_p$b")
     }
@@ -200,17 +206,17 @@ object Dedup {
     val withCounts = exploded.groupBy("_id")
       .agg(aggsAll.head, aggsAll.tail: _*)
     val sh = (0 until 64).map { i =>
-      val b = i % 16; val lane = i / 16
-      val setCount = shiftright(col(s"_p$b"), 16 * lane).bitwiseAND(0xFFFFL)
+      val b = i % 22; val lane = i / 22
+      val setCount = shiftright(col(s"_p$b"), 21 * lane).bitwiseAND(0x1FFFFFL)
       when(setCount * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     withCounts.select(col("_id"), laneGuard(sh).as("_sh"))
   }
 
-  /** The packed-lane counters hold 16 bits each: a document past 65535
-    * token occurrences would overflow a lane into its neighbor and
-    * silently corrupt the sketch — raise instead (split such outliers
-    * upstream; a >65k-token "document" is itself a quality signal). */
+  /** The packed-lane counters hold 21 bits each but the sign rule is
+    * only meaningful for n ≤ 65535 (and a >65k-token "document" is
+    * itself a quality signal) — raise instead of sketching it (split
+    * such outliers upstream). */
   private def laneGuard(sh: Column): Column =
     when(col("_n") > lit(65535L),
       raise_error(concat(lit("simhash: document "), col("_id").cast("string"),
@@ -218,16 +224,16 @@ object Dedup {
           "overflow")))).otherwise(sh)
 
   /** 60-bit SimHash on the portable md5 hash family (same lane-packed
-    * plan as [[simhashes]]: 15 packed sums carrying 4 16-bit counters
-    * each, bit i = b + 15·lane). Every step is replayable in SQL, so
+    * plan as [[simhashes]]: 20 packed sums carrying 3 21-bit counters
+    * each, bit i = b + 20·lane). Every step is replayable in SQL, so
     * the paired query gets a full oracle. */
   def simhashesPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df.select(col(idCol).as("_id"),
         explode(TextFns.tokens(col(textCol))).as("_t"))
       .withColumn("_h", md5Hash64(col("_t")))
-    val packSums = (0 until 15).map { b =>
-      val packed = (0 until 4).map { lane =>
-        shiftleft(shiftright(col("_h"), b + 15 * lane).bitwiseAND(1L), 16 * lane)
+    val packSums = (0 until 20).map { b =>
+      val packed = (0 until 3).map { lane =>
+        shiftleft(shiftright(col("_h"), b + 20 * lane).bitwiseAND(1L), 21 * lane)
       }.reduce(_ + _)
       sum(packed).as(s"_p$b")
     }
@@ -235,8 +241,8 @@ object Dedup {
     val withCounts = exploded.groupBy("_id")
       .agg(aggsAll.head, aggsAll.tail: _*)
     val sh = (0 until 60).map { i =>
-      val b = i % 15; val lane = i / 15
-      val setCount = shiftright(col(s"_p$b"), 16 * lane).bitwiseAND(0xFFFFL)
+      val b = i % 20; val lane = i / 20
+      val setCount = shiftright(col(s"_p$b"), 21 * lane).bitwiseAND(0x1FFFFFL)
       when(setCount * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     withCounts.select(col("_id"), laneGuard(sh).as("_sh"))
@@ -244,10 +250,13 @@ object Dedup {
 
   /** [[simhashPairs]] over the portable 60-bit md5 sketch: four
     * 15-bit bands, Hamming-verified candidates — the oracle-checked
-    * variant. */
+    * variant. Recall guarantee as in [[simhashPairs]]: complete for
+    * Hamming < 4 (pigeonhole over the 4 bands); candidates at larger
+    * distances are best-effort, so a `maxHamming` above 3 widens the
+    * VERIFIED band but not the guaranteed candidate recall. */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 8): DataFrame = {
-    val sk = simhashesPortable(df, idCol, textCol).persist()
+    val sk = simhashesPortable(df, idCol, textCol).localCheckpoint()
     val banded = sk.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -270,7 +279,7 @@ object Dedup {
     * <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8): DataFrame = {
-    val sk = simhashes(df, idCol, textCol).persist()
+    val sk = simhashes(df, idCol, textCol).localCheckpoint()
     val banded = sk.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -327,7 +336,7 @@ object Dedup {
     val e0 = pairs.select(checkedId(col(aCol)).as("src"),
       checkedId(col(bCol)).as("dst"))
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -388,7 +397,7 @@ object Dedup {
     * shuffle is proportional to shingle postings, not n². */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shinglesExploded(df, idCol, textCol, k).persist()
+    val sh = shinglesExploded(df, idCol, textCol, k).localCheckpoint()
     val a = sh.select(col("_id").as("id_a"), col("_sh"))
     val b = sh.select(col("_id").as("id_b"), col("_sh"))
     val inter = a.join(b, Seq("_sh")).filter(col("id_a") < col("id_b"))
@@ -396,11 +405,15 @@ object Dedup {
     // per-doc shingle counts: one row per document — broadcast both
     // lookup joins instead of shuffling the candidate pairs twice.
     val sizes = sh.groupBy("_id").agg(count(lit(1)).as("_n"))
+    // NO broadcast hint on sizes: it is one row per DOCUMENT, i.e.
+    // O(corpus) — at 1e8 docs a forced broadcast is the OOM the
+    // bootstrapMeanCi size-gate exists for; AQE still broadcasts it
+    // automatically whenever it is actually small
     inter
-      .join(broadcast(sizes.withColumnRenamed("_id", "id_a")
-        .withColumnRenamed("_n", "_na")), "id_a")
-      .join(broadcast(sizes.withColumnRenamed("_id", "id_b")
-        .withColumnRenamed("_n", "_nb")), "id_b")
+      .join(sizes.withColumnRenamed("_id", "id_a")
+        .withColumnRenamed("_n", "_na"), "id_a")
+      .join(sizes.withColumnRenamed("_id", "id_b")
+        .withColumnRenamed("_n", "_nb"), "id_b")
       .withColumn("jaccard",
         col("_inter").cast("double") / (col("_na") + col("_nb") - col("_inter")))
       .filter(col("jaccard") >= threshold)

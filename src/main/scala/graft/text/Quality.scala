@@ -22,7 +22,11 @@ object Quality {
     val len = length(c).cast("double")
     val toks = TextFns.tokens(c)
     val nTok = size(toks).cast("double")
-    val nStop = size(array_intersect_keep(toks, stopwords)).cast("double")
+    // stopword match is on LOWERCASED tokens: sentence-initial "The"
+    // must count — a case-sensitive match systematically undercounted
+    // the ratio on ordinary prose
+    val nStop = size(array_intersect_keep(
+      transform(toks, t => lower(t)), stopwords)).cast("double")
     df.withColumn("n_chars_q", length(c))
       .withColumn("n_tokens", size(toks))
       .withColumn("punct_ratio",
