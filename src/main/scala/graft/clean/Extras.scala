@@ -41,9 +41,14 @@ object Extras {
     * (gofast/utils/mathext.py:156). */
   def otsuThreshold(df: DataFrame, column: String, bins: Int = 256): Double = {
     val r = df.agg(min(col(column)), max(col(column))).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"otsuThreshold: no non-null values in $column")
     val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    // degenerate histogram (constant column): the Df variant guards
+    // hi <= lo the same way
+    if (hi <= lo) return lo
     val width = (hi - lo) / bins
-    val hist = df.groupBy(
+    val hist = df.filter(col(column).isNotNull).groupBy(
         least(floor((col(column) - lo) / width).cast("int"), lit(bins - 1)).as("b"))
       .agg(count(lit(1)).as("n"))
       .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
@@ -133,8 +138,10 @@ object Extras {
   def augmentRows(df: DataFrame, noiseCols: Seq[String], sigma: Double,
                   n: Int = 1, seed: Long = 42L): DataFrame = {
     val copies = (1 to n).map { i =>
-      noiseCols.foldLeft(df) { (d, c) =>
-        d.withColumn(c, col(c) + randn(seed + i) * sigma)
+      // distinct seed PER COLUMN: one shared seed gives every column
+      // the same per-row draw — rank-1, perfectly correlated "noise"
+      noiseCols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+        d.withColumn(c, col(c) + randn(seed + i * 1000003L + j) * sigma)
       }
     }
     copies.foldLeft(df)(_ unionByName _)

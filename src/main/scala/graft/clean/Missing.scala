@@ -40,7 +40,11 @@ object Missing {
     val aggs = cols.map(c =>
       (sum(col(c).cast("decimal(18,2)")).cast("double") / count(col(c))).as(c))
     val means = df.agg(aggs.head, aggs.tail: _*).head()
-    df.na.fill(cols.zipWithIndex.map { case (c, i) => c -> means.getDouble(i) }.toMap)
+    // a column that is entirely null has a null mean: leave it as-is
+    // (nothing to impute FROM) instead of an NPE on getDouble
+    df.na.fill(cols.zipWithIndex.collect {
+      case (c, i) if !means.isNullAt(i) => c -> means.getDouble(i)
+    }.toMap)
   }
 
   /** Forward-fill: replace null with the last non-null value within

@@ -46,7 +46,10 @@ object Encoders {
     * side. */
   def frequencyEncode(df: DataFrame, column: String, outName: String): DataFrame = {
     val counts = df.groupBy(col(column)).agg(count(lit(1)).as(outName))
-    df.join(broadcast(counts), Seq(column))
+    // LEFT join: an equi-join never matches null keys, so an inner
+    // join silently deleted every null-category row from the encoded
+    // frame; nulls pass through with a null count instead
+    df.join(broadcast(counts), Seq(column), "left")
   }
 
   /** Deterministic label encoding: alphabetical index of the category.
@@ -57,7 +60,8 @@ object Encoders {
     val dict = df.select(col(column)).distinct()
       .withColumn(outName,
         (dense_rank().over(Window.orderBy(col(column))) - 1).cast("int"))
-    df.join(broadcast(dict), Seq(column))
+    // LEFT join: see frequencyEncode — null categories must survive
+    df.join(broadcast(dict), Seq(column), "left")
   }
 
   /** Inverse min-max scaling: x·(hi−lo)+lo.

@@ -30,7 +30,7 @@ object Quantiles {
     val g = partitionCols.map(col)
     val pv = df.filter(col(valueCol).isNotNull)
       .groupBy(g :+ col(valueCol).cast("double").as("_v"): _*)
-      .agg(count(lit(1)).as("_cv")).persist()
+      .agg(count(lit(1)).as("_cv")).localCheckpoint()
     val ranked = graft.ts.Windows.rank2OfCounts(pv, partitionCols, buckets)
     val totals = pv.groupBy(g: _*).agg(sum("_cv").as("_n"))
     val targets = totals

@@ -126,9 +126,16 @@ object Streaming {
   /** Custom keyed state: running count + exponential moving average per
     * user (the `preprocess_fn → model` per-batch state the reference
     * keeps in process memory, here fault-tolerant in the state store). */
-  case class UserEvent(user_id: Long, value: Double)
+  case class UserEvent(user_id: Long, value: Double,
+                       seq: Long = 0L)
   case class UserStat(user_id: Long, n: Long, ema: Double)
 
+  /** EMA is order-sensitive; mapGroupsWithState delivers a batch's
+    * rows in shuffle order, so events carry a caller-assigned `seq`
+    * (event time / offset) and each batch folds in `seq` order —
+    * without it the same input could yield different state across
+    * runs. Events within one batch sharing a seq fold by value for a
+    * total, deterministic order. */
   def runningEma(events: Dataset[UserEvent], alpha: Double = 0.1)
       : Dataset[UserStat] = {
     import events.sparkSession.implicits._
@@ -136,7 +143,8 @@ object Streaming {
       .mapGroupsWithState[UserStat, UserStat](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserStat]) =>
           val prev = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
-          val next = rows.foldLeft(prev) { (st, e) =>
+          val ordered = rows.toSeq.sortBy(e => (e.seq, e.value))
+          val next = ordered.foldLeft(prev) { (st, e) =>
             val ema = if (st.n == 0) e.value
                       else alpha * e.value + (1 - alpha) * st.ema
             UserStat(uid, st.n + 1, ema)

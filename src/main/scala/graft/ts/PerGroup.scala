@@ -136,7 +136,9 @@ object PerGroup {
     * the STL building block. O(n·q) per series; series-local. */
   private[ts] def loess(ys: Array[Double], frac: Double): Array[Double] = {
     val n = ys.length
-    val q = math.max(3, math.ceil(frac * n).toInt)
+    // clamp q to the series length: a 2-point cycle-subseries with
+    // q=3 made hi = lo+q-1 read past the array
+    val q = math.min(n, math.max(3, math.ceil(frac * n).toInt))
     Array.tabulate(n) { i =>
       val lo = math.max(0, math.min(i - q / 2, n - q))
       val hi = lo + q - 1

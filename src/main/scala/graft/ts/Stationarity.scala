@@ -187,11 +187,15 @@ object Stationarity {
       .filter(col("_n") >= minObs)
     val n = col("_n").cast("double")
     val bigL = floor(lit(4.0) * sqrt(sqrt(n / 100.0)))
-    val wsum = (1 to effLag).map { l =>
-      when(bigL >= l,
-        (lit(1.0) - lit(l.toDouble) / (bigL + 1.0)) * col(s"g$l"))
-        .otherwise(lit(0.0))
-    }.reduce(_ + _)
+    // maxLag = 0 is a legal Newey-West truncation (lrv = g0/n^3):
+    // an empty weight list must contribute zero, not empty.reduce
+    val wsum =
+      if (effLag == 0) lit(0.0)
+      else (1 to effLag).map { l =>
+        when(bigL >= l,
+          (lit(1.0) - lit(l.toDouble) / (bigL + 1.0)) * col(s"g$l"))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
     val lrv = (col("g0") + lit(2.0) * wsum) / (n * n * n)
     val ssq = col("sp2") / (n * n)
     val eta = when(bigL > lit(effLag.toDouble),

@@ -61,8 +61,12 @@ object Temporal {
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
     val indexed = df.withColumn("_i", row_number().over(w).cast("long"))
     val n = count(lit(1)).cast("double")
-    val si = sum(col("_i")).cast("double")
-    val sii = sum(col("_i") * col("_i")).cast("double")
+    // decimal carriers for the index sums too: sum(i^2) ~ n^3/3 blows
+    // past int64 at ~3M rows per group (ANSI throw / silent wrap);
+    // for sums that fit, the decimal total is the same exact integer,
+    // so the double cast — and the oracle hash — are unchanged
+    val si = sum(col("_i").cast("decimal(28,0)")).cast("double")
+    val sii = sum((col("_i") * col("_i")).cast("decimal(38,0)")).cast("double")
     val sy = sum(col(valueCol).cast("decimal(18,6)")).cast("double")
     val siy = sum((col("_i").cast("decimal(10,0)") * col(valueCol).cast("decimal(18,6)"))
       .cast("decimal(32,6)")).cast("double")
@@ -112,8 +116,9 @@ object Temporal {
     val wAll = Window.partitionBy(partitionCols.map(col): _*)
     val indexed = df.withColumn("_i", row_number().over(wOrd).cast("long"))
     val n = count(lit(1)).over(wAll).cast("double")
-    val si = sum(col("_i")).over(wAll).cast("double")
-    val sii = sum(col("_i") * col("_i")).over(wAll).cast("double")
+    val si = sum(col("_i").cast("decimal(28,0)")).over(wAll).cast("double")
+    val sii = sum((col("_i") * col("_i")).cast("decimal(38,0)"))
+      .over(wAll).cast("double")
     val sy = sum(col(valueCol).cast("decimal(18,6)")).over(wAll).cast("double")
     val siy = sum((col("_i").cast("decimal(10,0)") * col(valueCol).cast("decimal(18,6)"))
       .cast("decimal(32,6)")).over(wAll).cast("double")
@@ -152,7 +157,12 @@ object Temporal {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = acfDf.collect().map { r =>
-      val key = r.get(0).toString
+      val key = (0 until partitionCols.size).map(r.get(_).toString)
+      // a constant series yields null ACF — fail loud per group rather
+      // than letting unboxToDouble fabricate 0.0 correlations
+      require((1 to maxLag).forall(k => !r.isNullAt(r.fieldIndex(s"acf$k"))),
+        s"pacf: null ACF for group ${key.mkString(",")} (constant or " +
+          "too-short series)")
       val rho = (1 to maxLag).map(k => r.getAs[Double](s"acf$k")).toArray
       // Durbin–Levinson: phi(k,k) is the PACF at lag k.
       val phi = Array.ofDim[Double](maxLag + 1, maxLag + 1)
@@ -168,9 +178,26 @@ object Temporal {
       }
       (key, (1 to maxLag).map(k => phi(k)(k)))
     }
-    rows.toSeq.flatMap { case (key, ps) =>
-      ps.zipWithIndex.map { case (p, i) => (key, i + 1, p) }
-    }.toDF(partitionCols.head, "lag", "pacf")
+    // one output column PER partition key — collapsing composite keys
+    // to the first column merged distinct groups into one ambiguous row
+    val spark2 = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      partitionCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType, true)) ++ Seq(
+        org.apache.spark.sql.types.StructField("lag",
+          org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("pacf",
+          org.apache.spark.sql.types.DoubleType, false)))
+    val outRows = rows.toSeq.flatMap { case (key, ps) =>
+      ps.zipWithIndex.map { case (p, i) =>
+        // Seq(i + 1, p) would widen the Int to Double (numeric
+        // unification) and break the row encoder — keep Any
+        org.apache.spark.sql.Row.fromSeq(key ++ Seq[Any](i + 1, p))
+      }
+    }
+    spark2.createDataFrame(
+      spark2.sparkContext.parallelize(outRows, 1), schema)
   }
 
   /** Classical additive decomposition on a regular series:
