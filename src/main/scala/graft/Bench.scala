@@ -70,12 +70,13 @@ object Bench {
       try exec(w, sfDir) catch { case _: Throwable => }
     spark.catalog.clearCache()
 
-    // SPARK_GRAFT_ITERS > 1 reports the per-query MEDIAN of N timed
-    // runs — the defense against transient host contention polluting a
-    // single pass (observed: a co-scheduled job inflating an
-    // alphabetical run-order band 3-10x). Default stays 1: the warmed
-    // single pass is what the driver times.
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "1").toInt.max(1)
+    // SPARK_GRAFT_ITERS controls per-query MEDIAN-of-N timing — the
+    // defense against transient host contention polluting a single
+    // pass (observed: a co-scheduled job inflating an alphabetical
+    // run-order band 3-10x; round 9's single-iter artifact showed four
+    // phantom 5-8x "regressions" that vanished under median-of-3).
+    // Default is 3 so the driver's artifact reports medians.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val results = names.map { name =>
       val times = (0 until iters).map { _ =>
         val t0 = System.nanoTime()

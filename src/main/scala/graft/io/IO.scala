@@ -61,7 +61,19 @@ object IO {
       case "json"           => w.json(path)
       case "parquet" | "parq" => w.parquet(path)
       case "orc"            => w.orc(path)
-      case "xlsx"           => Excel.writeXlsx(path, Seq("Sheet1" -> df))
+      case "xlsx"           =>
+        // Excel.writeXlsx overwrites unconditionally, so honor the
+        // DataFrameWriter save-mode contract here like every other branch
+        val exists = new java.io.File(path).exists()
+        mode match {
+          case SaveMode.ErrorIfExists if exists =>
+            throw new IllegalStateException(s"path already exists: $path")
+          case SaveMode.Ignore if exists => ()
+          case SaveMode.Append if exists =>
+            throw new UnsupportedOperationException(
+              "append to an existing .xlsx is not supported")
+          case _ => Excel.writeXlsx(path, Seq("Sheet1" -> df))
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported format: .$other")
     }

@@ -72,6 +72,13 @@ object Tgz {
             case Some(r) => new File(dest, r).getPath
             case None => new File(dest, filename).getPath
             }
+          // same zip-slip containment as writeMember: a caller-supplied
+          // renameTo of "../x" must not write outside destDir either
+          val canonDest = dest.getCanonicalPath
+          val canonTarget = new File(target).getCanonicalPath
+          require(canonTarget.startsWith(canonDest + File.separator) ||
+              canonTarget == canonDest,
+            s"rename target escapes destination: $target")
           if (extracted != target) {
             new File(target).getParentFile.mkdirs()
             require(new File(extracted).renameTo(new File(target)),
@@ -128,6 +135,7 @@ object Tgz {
     val block = new Array[Byte](512)
     var longName: String = null
     var paxPath: String = null
+    var paxSize: Long = -1L
     var go = true
     while (go) {
       val n = try { data.readFully(block); 512 } catch {
@@ -135,30 +143,37 @@ object Tgz {
       }
       if (n == 0 || block.forall(_ == 0)) { go = false }
       else {
-        val size = octal(block, 124, 12)
+        val headerSize = numeric(block, 124, 12)
         val typeflag = block(156).toChar
-        val padded = ((size + 511) / 512) * 512
         typeflag match {
           case 'L' => // GNU long name: data holds the real name
-            val nameBuf = new Array[Byte](size.toInt)
+            val padded = ((headerSize + 511) / 512) * 512
+            val nameBuf = new Array[Byte](headerSize.toInt)
             data.readFully(nameBuf)
-            skipFully(data, padded - size)
+            skipFully(data, padded - headerSize)
             longName = cstr(nameBuf, 0, nameBuf.length)
           case 'x' | 'g' => // PAX header
-            val buf = new Array[Byte](size.toInt)
+            val padded = ((headerSize + 511) / 512) * 512
+            val buf = new Array[Byte](headerSize.toInt)
             data.readFully(buf)
-            skipFully(data, padded - size)
+            skipFully(data, padded - headerSize)
             // only per-file 'x' records may override the NEXT member's
-            // name; 'g' records are archive-wide defaults (POSIX) and
-            // must not rename whichever member happens to come next
+            // name/size; 'g' records are archive-wide defaults (POSIX)
+            // and must not rename whichever member happens to come next
             if (typeflag == 'x') {
               val s = new String(buf, StandardCharsets.UTF_8)
               s.split("\n").foreach { line =>
                 val i = line.indexOf(" path=")
                 if (i >= 0) paxPath = line.substring(i + 6)
+                // 'size=' overrides the header field for >= 8 GiB
+                // members whose octal size field can't represent them
+                val j = line.indexOf(" size=")
+                if (j >= 0) paxSize = line.substring(j + 6).trim.toLong
               }
             }
           case c if c == '0' || c == 0.toChar => // regular file
+            val size = if (paxSize >= 0) paxSize else headerSize
+            val padded = ((size + 511) / 512) * 512
             val name =
               if (paxPath != null) paxPath
               else if (longName != null) longName
@@ -167,11 +182,12 @@ object Tgz {
                 val prefix = cstr(block, 345, 155)
                 if (prefix.isEmpty) base else s"$prefix/$base"
               }
-            longName = null; paxPath = null
+            longName = null; paxPath = null; paxSize = -1L
             go = f(Entry(name, size), data)
             skipFully(data, padded - size)
           case _ => // dir/link/other: skip data (dirs have size 0)
-            longName = null; paxPath = null
+            val padded = ((headerSize + 511) / 512) * 512
+            longName = null; paxPath = null; paxSize = -1L
             skipFully(data, padded)
         }
       }
@@ -211,13 +227,30 @@ object Tgz {
     }
   }
 
-  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+  /** Parse a tar numeric header field. Octal (POSIX) plus GNU
+    * base-256 (first byte has the 0x80 flag — used for members
+    * >= 8 GiB). A field that is neither is rejected rather than
+    * silently read as 0: a zero size would desynchronize the 512-byte
+    * block walk and extract garbage from every subsequent member. */
+  private def numeric(b: Array[Byte], off: Int, len: Int): Long = {
+    if ((b(off) & 0x80) != 0) { // GNU base-256, big-endian
+      var acc = (b(off) & 0x3FL)
+      var i = off + 1
+      while (i < off + len) { acc = (acc << 8) | (b(i) & 0xFFL); i += 1 }
+      return acc
+    }
     var i = off; var acc = 0L
     val end = off + len
     while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
     while (i < end && b(i) >= '0' && b(i) <= '7') {
       acc = acc * 8 + (b(i) - '0'); i += 1
     }
+    // after the digits only space/NUL terminators are legal; an
+    // all-blank field reads as 0 (sloppy but unambiguous dir/link tars)
+    while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
+    require(i == end,
+      s"malformed tar numeric field at offset $off: " +
+        new String(b, off, len, StandardCharsets.ISO_8859_1).trim)
     acc
   }
 

@@ -1,7 +1,6 @@
 package graft.rel
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Spatial helpers: haversine distance + nearest-point join.
@@ -12,9 +11,9 @@ import org.apache.spark.sql.functions._
   * lookup (gofast/geo/system.py:499).
   *
   * Scale design: distance is a pure codegen'd column expression; the
-  * nearest join is a (optionally banded) join + per-left-row top-1
-  * window — the same exact two-phase pattern as [[Joins.nearestJoin]],
-  * never a driver-side loop.
+  * nearest join is either a broadcast brute-force scan (tiny right
+  * side) or a banded keyed join, both reduced per-left-row by a
+  * map-side-combining min-struct aggregate — never a driver-side loop.
   */
 object Spatial {
 
@@ -30,13 +29,29 @@ object Spatial {
       sdlat * sdlat + cos(radians(lat1)) * cos(radians(lat2)) * sdlon * sdlon))
   }
 
+  /** Right-side row cap for the broadcast brute-force fast path: the
+    * per-LEFT-row cost is a linear scan of the broadcast table, so the
+    * cap bounds total work at |left|·cap distance evaluations — cheap
+    * codegen arithmetic, but still linear in the cap at 100 TB left
+    * sizes, hence kept well under what the byte threshold alone would
+    * admit. */
+  private val BruteForceMaxRightRows = 8192L
+
   /** For each left row, the EXACT nearest right row by haversine
     * distance — banded internally, never a cartesian product.
     *
-    * Search runs in latitude-band levels of geometrically widening
-    * width (`bandDeg`, 4·bandDeg, …, 180°): at each level both sides
-    * key on `floor(lat / width)`, the left explodes to its bucket ±1
-    * (a 3-way ring), and the join is a plain keyed equi-join. A left
+    * Fast path (adaptive mode only): when the right side is tiny —
+    * under `spark.sql.autoBroadcastJoinThreshold` bytes (estimated
+    * from the schema's default sizes) AND under
+    * [[BruteForceMaxRightRows]] rows — the nearest is a broadcast
+    * nested-loop scan + min-struct aggregate: one pass over left, no
+    * banding levels, no persists. The row cap keeps the per-left-row
+    * scan bounded, so the path stays linear in |left| at scale.
+    *
+    * Banded path: search runs in latitude-band levels of geometrically
+    * widening width (`bandDeg`, 4·bandDeg, …, 180°): at each level both
+    * sides key on `floor(lat / width)`, the left explodes to its bucket
+    * ±1 (a 3-way ring), and the join is a plain keyed equi-join. A left
     * row is RESOLVED at a level when its best rounded distance is
     * below that level's exactness bound — any point outside the ring
     * differs in latitude by ≥ width, so its distance is at least the
@@ -45,9 +60,16 @@ object Spatial {
     * margin keeps rounded comparisons safe). Unresolved rows (sparse
     * neighborhoods) graduate to the next, 4× wider level; the final
     * 180° level puts every right row in one ring, so the search is
-    * exact with no cross-join fallback. At 100 TB densities virtually
-    * everything resolves at level 0 with ~|left|·k candidate rows; the
-    * wide levels see only stragglers.
+    * exact with no cross-join fallback. Levels run EAGERLY with an
+    * unresolved-count check, so when level 0 resolves every left row
+    * (the dense common case — at 100 TB densities virtually everything
+    * resolves at level 0 with ~|left|·k candidate rows) no wider level
+    * is ever constructed or executed.
+    *
+    * Per-left top-1 is a `min(struct(dist, rightId, …))` aggregate, not
+    * a row_number window: partial aggregation combines map-side, so
+    * each level shuffles ~|left| best-so-far rows instead of every
+    * candidate row.
     *
     * Deterministic: distance rounded to `roundDp` (trig is
     * libm-dependent in the last ulp), ties broken by `rightId`
@@ -61,7 +83,9 @@ object Spatial {
     * (×4 per level) resolves the tail in one or two more passes.
     * Measured faster than a wide first band: a band twice as wide
     * quadruples level-0 candidate volume to save at most one cheap
-    * extra level. Pass an explicit width to skip the aggregate. */
+    * extra level. Pass an explicit width to skip the aggregate (which
+    * also skips the brute-force fast path — explicit width is an
+    * explicit request for the banded plan). */
   def nearestByHaversine(left: DataFrame, right: DataFrame,
                          leftId: String, rightId: String,
                          latL: String, lonL: String,
@@ -69,6 +93,26 @@ object Spatial {
                          roundDp: Int = 3,
                          bandDeg: Double = 0.0): DataFrame = {
     require(bandDeg <= 180, s"bandDeg must be <= 180, got $bandDeg")
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+
+    def withDist(cand: DataFrame): DataFrame = cand.withColumn("dist_km",
+      round(haversineKm(col(latL), col(lonL), col(latR), col(lonR)), roundDp))
+
+    // per-left-row top-1 as a combinable aggregate: struct comparison
+    // is field-order lexicographic, so min(struct(dist, rightId, rest))
+    // ≡ ORDER BY dist ASC, rightId ASC LIMIT 1 — with map-side partial
+    // combine, unlike a row_number window over all candidates
+    def top1(cand: DataFrame): DataFrame = {
+      val rest = rightCols.filterNot(_ == rightId)
+      val best = struct(col("dist_km") +: col(rightId) +: rest.map(col): _*)
+      cand.groupBy(leftCols.map(col): _*)
+        .agg(min(best).as("_best"))
+        .select(leftCols.map(col) ++
+          rightCols.map(c => col(s"_best.`$c`")) :+
+          col("_best.dist_km"): _*)
+    }
+
     val width0 = if (bandDeg > 0) bandDeg else {
       val r = right.agg(count(lit(1)).as("n"),
         (max(col(latR).cast("double")) - min(col(latR).cast("double")))
@@ -76,65 +120,134 @@ object Spatial {
         (max(col(lonR).cast("double")) - min(col(lonR).cast("double")))
           .as("lonSpan")).head()
       val n = math.max(1L, r.getLong(0))
-      val area = math.max(1e-6, r.getAs[Any]("latSpan") match {
-        case null => 180.0 * 360.0
-        case d: Double => math.max(1e-3, d) *
-          math.max(1e-3, r.getDouble(2))
-      })
+
+      // broadcast brute-force fast path for a tiny right side
+      val bytesPerRow = math.max(1, right.schema.map(_.dataType.defaultSize).sum)
+      val bcBytes = broadcastThresholdBytes(left)
+      if (bcBytes > 0 && n <= BruteForceMaxRightRows &&
+          n * bytesPerRow <= bcBytes && roundDp <= 9)
+        return bruteForceBroadcast(left, right, leftId, rightId,
+          latL, lonL, latR, lonR, roundDp)
+
+      // either span can be null (all-null coordinate column): fall
+      // back to the whole-globe area rather than unboxing a null
+      val latSpan = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val lonSpan = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      val area = (latSpan, lonSpan) match {
+        case (Some(la), Some(lo)) =>
+          math.max(1e-6, math.max(1e-3, la) * math.max(1e-3, lo))
+        case _ => 180.0 * 360.0
+      }
       math.min(180.0, math.max(0.5, 0.5 * math.sqrt(area / n)))
     }
     val widths =
       Iterator.iterate(width0)(_ * 4).takeWhile(_ < 180.0).toSeq :+ 180.0
 
-    def level(l: DataFrame, width: Double, last: Boolean)
-        : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    def level(l: DataFrame, width: Double): DataFrame = {
       val rb = right.withColumn("_hb", floor(col(latR) / width).cast("long"))
       val cand = l
         .withColumn("_hb0", floor(col(latL) / width).cast("long"))
         .withColumn("_hb",
           explode(array(col("_hb0") - 1, col("_hb0"), col("_hb0") + 1)))
         .join(rb, "_hb")
-        .withColumn("dist_km",
-          round(haversineKm(col(latL), col(lonL), col(latR), col(lonR)),
-            roundDp))
-      val w = Window.partitionBy(leftId)
-        .orderBy(col("dist_km").asc, col(rightId).asc)
-      val best0 = cand.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn", "_hb", "_hb0")
-      if (last) (best0, null, Nil)
-      else {
-        // persist: each non-final level's result feeds BOTH the output
-        // union and the next level's anti-join — without a cut the
-        // lineage re-evaluates every earlier level once per descendant
-        // (exponential recomputation across levels). The handles are
-        // unpersisted below after the final result is materialized, so
-        // nothing stays pinned in the CacheManager after the call.
-        val best = best0.persist()
-        val bound = 12742.0 * math.asin(math.sin(math.toRadians(width / 2))) -
-          1.5 * math.pow(10.0, -roundDp)
-        val resolved = best.filter(col("dist_km") <= bound)
-        val unresolved =
-          l.join(resolved.select(leftId), Seq(leftId), "left_anti").persist()
-        // hand back the PERSISTED handles (unpersist on a derived
-        // view would be a no-op on the underlying cache entry)
-        (resolved, unresolved, Seq(best, unresolved))
-      }
+      top1(withDist(cand))
     }
 
-    var rem = left
+    // Eager level loop: each non-final level persists its best-per-row
+    // result (it feeds BOTH the output union and the next level's
+    // anti-join — without a cut the lineage re-evaluates every earlier
+    // level once per descendant) and COUNTS the unresolved remainder,
+    // so the loop stops at the first level that resolves everything
+    // instead of constructing every wider level against an empty
+    // remainder. try/finally guarantees the persisted handles are
+    // dropped even when a level throws mid-loop.
     val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val parts = widths.zipWithIndex.map { case (width, i) =>
-      val (res, un, handles) = level(rem, width, last = i == widths.size - 1)
-      cached ++= handles
-      rem = un
-      res
-    }
-    // one eager cut of the final result (its blocks are released by
-    // the ContextCleaner once the caller drops the plan), then drop
-    // every per-level cache — a lazy return would leave the caches
-    // pinned until the caller happens to materialize and unpersist
-    val out = parts.reduce(_.unionByName(_)).localCheckpoint()
-    cached.foreach(_.unpersist(false))
-    out
+    try {
+      var rem = left
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      var i = 0
+      var done = false
+      while (!done) {
+        val width = widths(i)
+        if (i == widths.size - 1) { parts += level(rem, width); done = true }
+        else {
+          val best = level(rem, width).persist()
+          cached += best
+          val bound = 12742.0 * math.asin(math.sin(math.toRadians(width / 2))) -
+            1.5 * math.pow(10.0, -roundDp)
+          val resolved = best.filter(col("dist_km") <= bound)
+          // unpersist on a derived view is a no-op, so keep the
+          // persisted handle itself for the finally-cleanup
+          val unresolved =
+            rem.join(resolved.select(leftId), Seq(leftId), "left_anti").persist()
+          cached += unresolved
+          parts += resolved
+          if (unresolved.count() == 0L) done = true
+          else { rem = unresolved; i += 1 }
+        }
+      }
+      // one eager cut of the final result (its blocks are released by
+      // the ContextCleaner once the caller drops the plan), then the
+      // finally drops every per-level cache — a lazy return would
+      // leave the caches pinned until the caller materialized
+      parts.reduce(_.unionByName(_)).localCheckpoint()
+    } finally cached.foreach(_.unpersist(false))
+  }
+
+  /** Brute-force nearest against a tiny broadcast right side.
+    *
+    * The per-left argmin must stay a PRIMITIVE aggregate — `min` over a
+    * struct buffer falls out of HashAggregate into SortAggregate, which
+    * sorts every candidate row (measured 5× slower at |left|·|right| =
+    * 15M candidates). Instead each right row gets a dense index in
+    * `rightId` order (≤ [[BruteForceMaxRightRows]] = 2^13 rows, single
+    * cheap window over the tiny side), the scaled rounded distance and
+    * index pack into one long, and `min(packed)` — codegen HashAgg with
+    * map-side combine, shuffling one long per left row — is exactly
+    * argmin by (rounded dist, rightId). One broadcast join on the index
+    * recovers the right payload, and `dist_km` is recomputed with the
+    * SAME rounded expression the banded path and the SQL oracles use
+    * (the packed integer is only the selection key, so the output is
+    * bit-identical to the banded formulation). */
+  private def bruteForceBroadcast(left: DataFrame, right: DataFrame,
+                                  leftId: String, rightId: String,
+                                  latL: String, lonL: String,
+                                  latR: String, lonR: String,
+                                  roundDp: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rIdx = right.withColumn("_ridx",
+      (row_number().over(Window.orderBy(col(rightId))) - 1).cast("long"))
+    val scale = math.pow(10.0, roundDp) // powers of 10 are double-exact here
+    // HALF_UP for a non-negative double is floor(x + 0.5) — native math,
+    // NOT round(x, 0), whose per-row BigDecimal allocation dominates the
+    // 15M-candidate hot loop (measured ~10x on this path)
+    val packed = (floor(haversineKm(col(latL), col(lonL),
+        col(latR), col(lonR)) * lit(scale) + lit(0.5)).cast("long") *
+      lit(8192L) + col("_ridx")).as("_packed")
+    // a small left side may plan as one input split; the cross+agg then
+    // runs single-task. Repartition ONLY in that case — a left side big
+    // enough to have >= defaultParallelism splits never pays a shuffle.
+    val par = left.sparkSession.sparkContext.defaultParallelism
+    val lsrc = if (left.rdd.getNumPartitions < par) left.repartition(par)
+      else left
+    val best = lsrc.crossJoin(broadcast(rIdx.select(col("_ridx"),
+        col(latR), col(lonR))))
+      .groupBy(left.columns.map(col): _*)
+      .agg(min(packed).as("_packed"))
+      .withColumn("_ridx", col("_packed") % lit(8192L))
+    best.join(broadcast(rIdx), "_ridx")
+      .withColumn("dist_km",
+        round(haversineKm(col(latL), col(lonL), col(latR), col(lonR)), roundDp))
+      .select(left.columns.map(col) ++ right.columns.map(col) :+
+        col("dist_km"): _*)
+  }
+
+  /** `spark.sql.autoBroadcastJoinThreshold` in bytes (-1 disables). */
+  private def broadcastThresholdBytes(df: DataFrame): Long = {
+    val raw = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+    if (raw.startsWith("-")) -1L
+    else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    catch { case _: Throwable => 10L * 1024 * 1024 }
   }
 }

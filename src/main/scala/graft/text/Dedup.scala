@@ -220,8 +220,8 @@ object Dedup {
   private def laneGuard(sh: Column): Column =
     when(col("_n") > lit(65535L),
       raise_error(concat(lit("simhash: document "), col("_id").cast("string"),
-        lit(" has more than 65535 tokens; 16-bit lane counters would " +
-          "overflow")))).otherwise(sh)
+        lit(" has more than 65535 tokens; above this cap the majority " +
+          "sign rule is unreliable — split the document upstream")))).otherwise(sh)
 
   /** 60-bit SimHash on the portable md5 hash family (same lane-packed
     * plan as [[simhashes]]: 20 packed sums carrying 3 21-bit counters
