@@ -43,7 +43,8 @@ object SparkEntry {
       entries.Batch16Entries.queries ++
       entries.Batch17Entries.queries ++
       entries.Batch18Entries.queries ++
-      entries.Batch19Entries.queries
+      entries.Batch19Entries.queries ++
+      entries.Batch20Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -65,7 +66,8 @@ object SparkEntry {
       entries.Batch16Entries.oracleSql ++
       entries.Batch17Entries.oracleSql ++
       entries.Batch18Entries.oracleSql ++
-      entries.Batch19Entries.oracleSql
+      entries.Batch19Entries.oracleSql ++
+      entries.Batch20Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -77,6 +77,50 @@ object Similarity {
         .limit(k)
     }
 
+    /** Batched search: top-k for EVERY query in ONE pass.
+      *
+      * Per-query `search` pays a full Spark job (schedule + scan) per
+      * lookup — fine interactively, wasteful for the batch lookups a
+      * pipeline actually does. Here the driver ranks buckets for all
+      * queries at once (nq × nlist × dim — trivial), inverts that into
+      * a bucket → probing-queries literal map, and one scan over the
+      * probed buckets explodes each row against only the queries that
+      * probe its bucket. Candidate volume is nq · n · nprobe / nlist
+      * rows into the per-query top-k window — the same bounded fraction
+      * as one probe, amortized across the batch.
+      *
+      * Returns (query_id, idCol, cos), top-k per query, ties by id. */
+    def searchMany(queries: Seq[(Long, Seq[Double])], k: Int,
+                   nprobe: Int = 4): DataFrame = {
+      def cos(a: Seq[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < math.min(a.length, b.length)) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // bucket -> queries probing it, as one literal map (bounded:
+      // nq * nprobe entries of dim floats)
+      val byBucket: Map[Int, Seq[(Long, Seq[Float])]] = queries
+        .flatMap { case (qid, q) =>
+          centroids.zipWithIndex.sortBy { case (c, _) => -cos(q, c) }
+            .take(nprobe).map { case (_, b) => b -> (qid, q.map(_.toFloat)) }
+        }
+        .groupBy(_._1).map { case (b, qs) => b -> qs.map(_._2) }
+      val probeLit = typedlit(byBucket)
+      val cand = bucketed
+        .filter(col("_ivf_bucket").isin(byBucket.keys.toSeq: _*))
+        .select(col(idCol), col(vecCol),
+          explode(element_at(probeLit, col("_ivf_bucket"))).as("_q"))
+        .select(col("_q._1").as("query_id"), col(idCol),
+          cosineNative(bucketed, col(vecCol), col("_q._2")).as("cos"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col(idCol).asc)
+      cand.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k).drop("_rn")
+    }
+
     def unpersist(): Unit = bucketed.unpersist()
   }
 
@@ -85,17 +129,37 @@ object Similarity {
     * `maxIter` bounds the KMeans refinement: centroid quality affects
     * only probe *recall* at nprobe < nlist (bucket-count balance), never
     * result correctness — a full probe (nprobe = nlist) is exact under
-    * any clustering, so cheap index builds are safe. */
+    * any clustering, so cheap index builds are safe.
+    *
+    * `fitFraction` < 1 fits the centroids on a seeded sample and then
+    * bucket-assigns the FULL corpus in one pass — the only sane build
+    * at 10⁸+ vectors (KMeans cost is iterations × n × nlist × dim;
+    * assignment is one pass). Sampling again only moves recall, never
+    * correctness.
+    *
+    * The bucketed table is hash-repartitioned on the bucket id and
+    * sorted within partitions before caching: cached batches become
+    * bucket-homogeneous, so the in-memory scan's per-batch min/max
+    * stats prune non-probed buckets instead of filtering row by row —
+    * the cache-layout analogue of partition pruning. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
-               nlist: Int = 16, seed: Long = 42L, maxIter: Int = 8): IvfIndex = {
+               nlist: Int = 16, seed: Long = 42L, maxIter: Int = 8,
+               fitFraction: Double = 1.0): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in (0, 1], got $fitFraction")
     val withVec = df.withColumn("_v", array_to_vector(col(vecCol)))
+    val fitOn = if (fitFraction < 1.0) withVec.sample(fitFraction, seed)
+      else withVec
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_v")
       .setMaxIter(maxIter)
       .setPredictionCol("_ivf_bucket")
-    val model = km.fit(withVec)
-    val bucketed = model.transform(withVec).drop("_v").persist()
+    val model = km.fit(fitOn)
+    val bucketed = model.transform(withVec).drop("_v")
+      .repartition(col("_ivf_bucket"))
+      .sortWithinPartitions("_ivf_bucket")
+      .persist()
     new IvfIndex(bucketed, model.clusterCenters.map(_.toArray), vecCol, idCol)
   }
 

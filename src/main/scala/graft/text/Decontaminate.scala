@@ -52,6 +52,51 @@ object Decontaminate {
         col("overlap_frac") >= threshold && col("ngrams") > 0)
   }
 
+  /** Short-eval containment — the blind spot of the k-gram report: an
+    * eval string with fewer than k tokens carries zero k-grams, so
+    * [[contaminationReport]] can never flag it (a 4-token eval answer
+    * would leak straight through an 8-gram decontamination pass).
+    *
+    * This variant covers the gap with EXACT token-level containment:
+    * eval rows are normalized to their whitespace-token join; for each
+    * distinct short length ℓ (0 < ℓ < k) present in the eval set, the
+    * train side explodes into ℓ-grams (the same keyed
+    * [[Dedup.shinglesExploded]] plan) and equi-joins the eval strings
+    * of that length. The ℓ set is bounded by k−1 and collected from
+    * the tiny eval side only, so the whole pass is at most k−1 keyed
+    * explode+broadcast-join pipelines — never a pair scan, and the big
+    * train side is never collected.
+    *
+    * Returns per-train-doc `short_hits` (distinct short eval strings
+    * contained) and `contaminated_short`. Compose with
+    * [[contaminationReport]] for full coverage. */
+  def shortEvalContainment(train: DataFrame, eval: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val evNorm = eval.select(
+        concat_ws(" ", TextFns.tokens(col(textCol))).as("_sh"),
+        size(TextFns.tokens(col(textCol))).as("_len"))
+      .filter(col("_len") > 0 && col("_len") < k)
+      .distinct()
+    // distinct short lengths: bounded by k-1 values, eval side is tiny
+    val lens = evNorm.select("_len").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val hits = lens.map { l =>
+        Dedup.shinglesExploded(train, idCol, textCol, l)
+          .join(evNorm.filter(col("_len") === l).select("_sh"), "_sh")
+      }.reduceOption(_.unionByName(_))
+      .map(_.groupBy("_id").agg(count(lit(1)).as("short_hits")))
+    val base = train.select(col(idCol).as("_id")).distinct()
+    hits.fold(base.select(col("_id").as(idCol),
+        lit(0L).as("short_hits"), lit(false).as("contaminated_short"))) { h =>
+      base.join(h, Seq("_id"), "left")
+        .select(col("_id").as(idCol),
+          coalesce(col("short_hits"), lit(0L)).as("short_hits"))
+        .withColumn("contaminated_short", col("short_hits") > 0L)
+    }
+  }
+
   /** Drop contaminated training docs (anti-join on the report). */
   def dropContaminated(train: DataFrame, eval: DataFrame,
                        idCol: String, textCol: String,

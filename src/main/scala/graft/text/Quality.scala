@@ -172,4 +172,48 @@ object Quality {
       .filter(col("_cum") - col(tokenCol) < budgetPerSource)
       .drop("_cum")
   }
+
+  /** Global token-budget mixing — the stratified data-mixing step of a
+    * training run (the reference's `batch_sampling` stratified
+    * semantics, gofast/utils/ml/data_handling.py:5677 region, lifted
+    * from rows to tokens): one GLOBAL token budget is split across
+    * sources by `weights` (normalized to their sum; a source absent
+    * from `weights` contributes nothing), optionally clamped by hard
+    * per-source `caps`, and each source then keeps its best-scoring
+    * docs until its share is spent — same first-doc-over-the-line rule
+    * and (score desc, id asc) determinism as [[selectByTokenBudget]].
+    *
+    * The per-source shares are computed once driver-side (bounded: one
+    * entry per source) and join the plan as a literal CASE chain, so
+    * the distributed work is identical to the per-source variant: one
+    * shuffle keyed by source plus the per-partition running cumsum. */
+  def selectByTokenBudgetGlobal(df: DataFrame, idCol: String,
+                                sourceCol: String, scoreCol: String,
+                                tokenCol: String, totalBudget: Long,
+                                weights: Map[String, Double],
+                                caps: Map[String, Long] = Map.empty)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalBudget > 0, "total budget must be positive")
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0.0), "weights must be >= 0")
+    val sumW = weights.values.sum
+    require(sumW > 0.0, "at least one weight must be positive")
+    val budgets = weights.map { case (src, wgt) =>
+      val share = math.floor(totalBudget.toDouble * (wgt / sumW)).toLong
+      src -> math.min(share, caps.getOrElse(src, Long.MaxValue))
+    }
+    val budgetExpr = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (src, b)) =>
+        when(col(sourceCol) === lit(src), lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_bud", budgetExpr)
+      .filter(col("_bud") > 0L)
+      .withColumn("_cum", sum(col(tokenCol)).over(w))
+      .filter(col("_cum") - col(tokenCol) < col("_bud"))
+      .drop("_bud", "_cum")
+  }
 }

@@ -30,13 +30,20 @@ object Redact {
     * matches, including ISO dates ("2024-01-01" redacts as [PHONE]).
     * That is the standard over-redaction trade-off for training
     * corpora (prefer scrubbing a date to leaking a number); pipelines
-    * that must keep dates should redact dates to tokens FIRST. */
+    * that must keep dates distinguishable should run [[redactDates]]
+    * FIRST so they become [DATE] tokens before the phone pass. */
   val PhoneRe = "\\+?\\d[\\d\\- ]{6,12}\\d\\b"
+  /** ISO-style calendar dates (YYYY-MM-DD / YYYY/MM/DD). Alternation
+    * instead of a separator backreference: RE2 (the DuckDB oracle's
+    * engine) has no backreferences, and mixed separators should not
+    * match anyway. */
+  val DateRe = "\\b\\d{4}(-\\d{2}-\\d{2}|/\\d{2}/\\d{2})\\b"
 
   val EmailTok = "[EMAIL]"
   val UrlTok = "[URL]"
   val Ipv4Tok = "[IP]"
   val PhoneTok = "[PHONE]"
+  val DateTok = "[DATE]"
 
   /** Redacted text expression: URL → email → IPv4 → phone. */
   def redactPii(c: Column): Column =
@@ -47,6 +54,12 @@ object Redact {
           EmailRe, EmailTok),
         Ipv4Re, Ipv4Tok),
       PhoneRe, PhoneTok)
+
+  /** Date pass — run BEFORE [[redactPii]] when dates must survive as
+    * [DATE] instead of being swallowed by the phone rule (the ISO-date
+    * false positive documented on [[PhoneRe]]). */
+  def redactDates(c: Column): Column =
+    regexp_replace(c, DateRe, DateTok)
 
   /** Per-category match counts on the RAW text (order-independent,
     * counted before any replacement). */

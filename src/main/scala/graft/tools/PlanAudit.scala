@@ -3,40 +3,84 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Scans every SparkEntry query's physical plan for scale red flags:
-  * cartesian products, unpartitioned window sorts, excessive exchanges.
-  * Run: sbt 'runMain graft.tools.PlanAudit <sfDir>'
+  * cartesian products, degenerated band joins, unpartitioned window
+  * sorts, excessive exchanges. The oracle gate can NOT catch these — a
+  * degenerated self-join still returns correct rows while scanning n² —
+  * so [[audit]] is also asserted by PlanAuditSpec inside `sbt test`.
+  *
+  * Run standalone: sbt 'runMain graft.tools.PlanAudit <sfDir>'
   */
 object PlanAudit {
+
+  /** One query's plan-shape findings. `flags` non-empty = red flag. */
+  final case class Audit(name: String, exchanges: Int, flags: Seq[String],
+                         error: Option[String])
+
+  /** Queries where a BroadcastNestedLoopJoin is the INTENDED bounded
+    * plan, each adjudicated (round 9 verdict): either a 1-row scalar
+    * broadcast — fitted constants (quantile cuts, rank sums, Otsu
+    * threshold, regression coefficients) joined onto every row — or a
+    * capped pair kernel (haversine brute-force gates its broadcast
+    * side at 8192 rows; levenshtein/pairwise/embed pair kernels bound
+    * their inputs by construction; nearest_join documents the
+    * small-side non-equi range join). Anywhere else a BNLJ is an
+    * accident and flags — an unnoticed one is O(n·m) at scale. */
+  private val nljAllowed: Set[String] = Set(
+    // capped pair kernels / documented range joins
+    "haversine_nn", "haversine_nn_full", "nearest_join",
+    "levenshtein_pairs", "pairwise_dist", "embed_dedup",
+    // 1-row fitted-scalar broadcasts
+    "decision_curve", "friedman", "histogram", "kruskal_wallis",
+    "laplace_smooth", "otsu", "reg_metrics", "wilcoxon")
+
+  /** Audit one query's executed plan string. */
+  def auditPlan(name: String, plan: String): Audit = {
+    val lines = plan.split('\n')
+    val cartesian = lines.count(_.contains("CartesianProduct"))
+    val nlj = lines.count(_.contains("BroadcastNestedLoopJoin"))
+    val exchanges = lines.count(_.contains("Exchange"))
+    val nljUnexpected = nlj > 0 && !nljAllowed.contains(name)
+    // dedup/LSH pair queries MUST join keyed on their band/bucket
+    // column — a degenerated self-join would still return correct
+    // rows while scanning n², so only a plan check can catch it
+    val bandJoinMissing =
+      (name.contains("minhash_pairs") || name.contains("simhash_pairs") ||
+        name.contains("lsh_cosine_join")) &&
+      !lines.exists(l =>
+        l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)" +
+          ".*(_band_a|_bucket_a).*"))
+    val flags = Seq(
+      if (cartesian > 0) Some(s"CARTESIAN=$cartesian") else None,
+      if (nljUnexpected) Some(s"NLJ=$nlj") else None,
+      if (bandJoinMissing) Some("NOBANDJOIN") else None).flatten
+    Audit(name, exchanges, flags, None)
+  }
+
+  /** Audit every (or a subset of) SparkEntry queries at `sfDir`. */
+  def audit(spark: SparkSession, sfDir: String,
+            only: Option[Set[String]] = None): Seq[Audit] =
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        try auditPlan(name,
+          fn(spark, sfDir).queryExecution.executedPlan.toString)
+        catch { case e: Throwable =>
+          Audit(name, 0, Nil, Some(e.getMessage))
+        }
+      }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val cartesian = plan.split('\n').count(_.contains("CartesianProduct"))
-        val nlj = plan.split('\n').count(_.contains("BroadcastNestedLoopJoin"))
-        val exchanges = plan.split('\n').count(_.contains("Exchange"))
-        val globalSortWindows = plan.split('\n')
-          .count(l => l.contains("Window") && l.contains("windowspecdefinition()"))
-        // dedup/LSH pair queries MUST join keyed on their band/bucket
-        // column — a degenerated self-join would still return correct
-        // rows while scanning n², so only a plan check can catch it
-        val bandJoinMissing =
-          (name.contains("minhash_pairs") || name.contains("simhash_pairs") ||
-            name.contains("lsh_cosine_join")) &&
-          !plan.split('\n').exists(l =>
-            l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)" +
-              ".*(_band_a|_bucket_a).*"))
-        val flags = Seq(
-          if (cartesian > 0) s"CARTESIAN=$cartesian" else "",
-          if (nlj > 0) s"NLJ=$nlj" else "",
-          if (bandJoinMissing) "NOBANDJOIN" else "",
-          if (exchanges > 6) s"EXCHANGES=$exchanges" else "").filter(_.nonEmpty)
-        println(f"$name%-22s exch=$exchanges%2d ${flags.mkString(" ")}")
-      } catch { case e: Throwable => println(f"$name%-22s ERROR ${e.getMessage.take(60)}") }
+    audit(spark, sfDir).foreach { a =>
+      a.error match {
+        case Some(e) => println(f"${a.name}%-22s ERROR ${e.take(60)}")
+        case None =>
+          println(f"${a.name}%-22s exch=${a.exchanges}%2d ${a.flags.mkString(" ")}")
+      }
     }
     spark.stop()
   }

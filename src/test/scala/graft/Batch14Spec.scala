@@ -115,6 +115,24 @@ class Batch14Spec extends SparkSpec {
     assert(exact.forall(_ < 100L)) // sanity: true neighbors are cluster 0
   }
 
+  test("searchMany batch equals per-query search at the same nprobe") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val qs = Seq(0L, 1L, 2L).map(qi =>
+      qi -> vecs((qi * 37 + 5).toInt)._2.map(_.toDouble).toSeq)
+    val idx = Similarity.ivfIndex(df, "vec_id", "embedding", nlist = 8)
+    val batch = idx.searchMany(qs, k = 10, nprobe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(-_.getDouble(2)).map(_.getLong(1)).toSeq }
+    qs.foreach { case (qid, q) =>
+      val single = idx.search(q, k = 10, nprobe = 4)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch(qid) === single, s"query $qid diverged")
+    }
+    idx.unpersist()
+  }
+
   test("planted embedding near-dups pass the 0.9 cosine gate; originals don't") {
     val rnd = new scala.util.Random(9)
     val vecs = (0L until 30L).map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat)))

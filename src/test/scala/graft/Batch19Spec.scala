@@ -114,4 +114,70 @@ class Batch19Spec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(keptTie == Seq(7L))
   }
+
+  test("selectByTokenBudgetGlobal splits the budget by weight, honors caps, drops unweighted sources") {
+    val d = Seq(
+      ("a", 1L, 0.9, 400L), ("a", 2L, 0.8, 400L), ("a", 3L, 0.7, 400L),
+      ("b", 4L, 0.9, 300L), ("b", 5L, 0.8, 300L),
+      ("c", 6L, 0.9, 100L), ("c", 7L, 0.8, 100L),
+      ("zzz", 8L, 1.0, 10L)).toDF("source", "doc_id", "score", "n_tokens")
+    // total 2000, weights a=.5 b=.25 c=.25 -> 1000/500/500; cap c at 150
+    val kept = graft.text.Quality.selectByTokenBudgetGlobal(d, "doc_id",
+        "source", "score", "n_tokens", totalBudget = 2000L,
+        weights = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25),
+        caps = Map("c" -> 150L))
+      .select("doc_id").as[Long].collect().toSet
+    // a: 400+400 = 800 < 1000, doc 3 crosses (1200) -> all 3 kept
+    // b: 300 then 600 > 500 but doc 5 crosses -> both kept
+    // c: cap 150: doc 6 (100) kept, doc 7 crosses (200) -> kept too
+    //    (first-over-the-line rule), nothing after
+    // zzz: no weight -> dropped despite top score
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    // a zero-share source is dropped entirely (weight rounds to 0)
+    val tiny = graft.text.Quality.selectByTokenBudgetGlobal(d, "doc_id",
+        "source", "score", "n_tokens", totalBudget = 3L,
+        weights = Map("a" -> 0.9, "b" -> 0.1))
+      .select("doc_id", "source").collect()
+    assert(tiny.forall(_.getString(1) == "a")) // b's floor(0.3)=0 share
+  }
+
+  test("shortEvalContainment catches a 3-token eval string the k-gram report misses") {
+    val train = Seq(
+      ("doc-a", "alpha beta gamma delta epsilon zeta"),
+      ("doc-b", "one two three four five six"),
+      ("doc-c", "beta gamma here too but split beta gamma delta")
+    ).toDF("doc_id", "text")
+    val eval = Seq(("e-1", "  beta gamma  delta "), // ragged whitespace normalizes
+      ("e-2", "five six")).toDF("doc_id", "text")
+    // k=5: both eval rows are under 5 tokens -> k-gram report blind
+    val rep = Decontaminate.contaminationReport(train, eval,
+      "doc_id", "text", k = 5, threshold = 0.1).orderBy("doc_id").collect()
+    assert(rep.forall(!_.getAs[Boolean]("contaminated")))
+    val short = Decontaminate.shortEvalContainment(train, eval,
+      "doc_id", "text", k = 5).orderBy("doc_id").collect()
+    assert(short.map(r => (r.getString(0), r.getAs[Long]("short_hits"),
+      r.getAs[Boolean]("contaminated_short"))).toSeq == Seq(
+      ("doc-a", 1L, true),   // contains "beta gamma delta"
+      ("doc-b", 1L, true),   // contains "five six"
+      ("doc-c", 1L, true)))  // contains "beta gamma delta" (the split
+                             // "beta gamma" alone must NOT count)
+    // no short eval rows -> all clean, plan still returns every doc
+    val none = Decontaminate.shortEvalContainment(train,
+      eval.filter(col("doc_id") === "none"), "doc_id", "text", k = 5)
+    assert(none.collect().forall(r => !r.getAs[Boolean]("contaminated_short")))
+    assert(none.count() == 3)
+  }
+
+  test("redactDates turns ISO dates into [DATE] before the phone pass swallows them") {
+    val df = Seq((1L, "on 2024-01-31 and 1999/12/31 call +1 555-0100 x"))
+      .toDF("id", "text")
+    val both = df.select(
+      graft.text.Redact.redactPii(
+        graft.text.Redact.redactDates(col("text"))).as("dated"),
+      graft.text.Redact.redactPii(col("text")).as("naive")).head()
+    assert(both.getString(0) == "on [DATE] and [DATE] call [PHONE] x")
+    // documented false positive: the dash date redacts as phone,
+    // the slash date survives raw
+    assert(both.getString(1) == "on [PHONE] and 1999/12/31 call [PHONE] x")
+  }
 }

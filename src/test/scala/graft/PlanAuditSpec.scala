@@ -1,0 +1,30 @@
+package graft
+
+import graft.tools.PlanAudit
+
+/** The oracle gate can NEVER catch a plan degeneration — a band join
+  * that loses its equi-key still returns correct rows while scanning
+  * n² — so the plan-shape audit runs as a failing test, not an
+  * optional tool: zero CartesianProducts, zero NOBANDJOIN dedup/LSH
+  * degenerations, and no BroadcastNestedLoopJoin outside the
+  * adjudicated allowlist (1-row scalar broadcasts + capped pair
+  * kernels) across EVERY declared query at sf0.001.
+  *
+  * stream_dedup is excluded: its entry runs a MemoryStream to
+  * completion as a throughput probe (~10 s) and contains no batch
+  * join to audit — StreamSpec covers its semantics.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  test("no query plan degenerates: cartesian/band-join/NLJ audit over all entries") {
+    val skip = Set("stream_dedup")
+    val names = SparkEntry.queries.keySet.diff(skip)
+    val audits = PlanAudit.audit(spark, sf, Some(names))
+    val errors = audits.filter(_.error.isDefined)
+    assert(errors.isEmpty,
+      s"plan construction failed: ${errors.map(a => s"${a.name}: ${a.error.get.take(80)}").mkString("; ")}")
+    val flagged = audits.filter(_.flags.nonEmpty)
+    assert(flagged.isEmpty,
+      s"plan red flags: ${flagged.map(a => s"${a.name} ${a.flags.mkString(",")}").mkString("; ")}")
+  }
+}
