@@ -30,7 +30,8 @@ object Bench {
     "extractive_summary", "sql_window", "ols_residuals",
     "kruskal_wallis", "zscore", "ivf_topk_approx", "stream_dedup",
     "image_features", "haversine_nn_full", "pii_redact", "decontam",
-    "audio_features")
+    "audio_features", "token_budget_global", "decontam_short",
+    "pii_redact_dates")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
