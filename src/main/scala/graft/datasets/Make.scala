@@ -1,0 +1,193 @@
+package graft.datasets
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic dataset generators — the reference's `gofast.datasets`
+  * surface (make.py: `make_classification`:718, `make_regression`:1052,
+  * `make_data`:539; simulate.py's seasonal families) re-expressed as
+  * distributed expression plans.
+  *
+  * The reference materializes numpy arrays on one node; here every
+  * generator is `spark.range(n)` + deterministic column expressions —
+  * no RNG state, no driver data, no shuffle: generation parallelizes
+  * to however many range splits the cluster gives it, so "make 10¹⁰
+  * test rows" is a plan, not an allocation. Determinism is by
+  * construction: value = f(seed, id, column index) through a hash, so
+  * any row can be regenerated anywhere, independent of partitioning.
+  *
+  * Two hash families, same plan shape (the dedup-twin convention):
+  * xxhash64 (codegen, the default) and an md5-derived 60-bit hash any
+  * SQL engine reproduces — `make_regression`'s portable mode is
+  * FULL-oracle-checked against DuckDB replaying the identical
+  * arithmetic.
+  */
+object Make {
+
+  private val TwoPi = 2.0 * math.Pi
+
+  /** Uniform in [0,1): fast path — xxhash64 of (seed, id, tag) mapped
+    * from [Long.Min, Long.Max] onto the unit interval. */
+  private def u01(seed: Long, id: Column, tag: Int): Column =
+    xxhash64(lit(seed), id, lit(tag)).cast("double") /
+      lit(2.0 * Long.MaxValue.toDouble) + lit(0.5)
+
+  /** Portable uniform in [0,1): 60-bit md5 prefix over a canonical
+    * string key — bit-equal in any engine with md5 (DuckDB:
+    * CAST('0x'||substr(md5(s),1,15) AS BIGINT) / 2^60). */
+  private def u01Md5(seed: Long, id: Column, tag: Int): Column =
+    conv(substring(md5(concat_ws("-", lit(seed), id, lit(tag))), 1, 15),
+      16, 10).cast("long").cast("double") / lit(math.pow(2.0, 60))
+
+  /** Standard normal via Box–Muller from two independent uniforms.
+    * `round(_, 9)` before use when the value must be engine-portable
+    * (ln/cos/sqrt cross libm). The +5e-324 floor keeps ln away from
+    * an exact-zero uniform. */
+  private def gaussian(u1: Column, u2: Column): Column =
+    sqrt(lit(-2.0) * log(u1 + lit(java.lang.Double.MIN_VALUE))) *
+      cos(lit(TwoPi) * u2)
+
+  private def uniform(portable: Boolean, seed: Long, id: Column, tag: Int)
+      : Column = if (portable) u01Md5(seed, id, tag) else u01(seed, id, tag)
+
+  /** `make_regression` (make.py:1052): `nInformative` gaussian features
+    * carry fixed integer weights w_j = ((j·37 + 11) mod 21) − 10, the
+    * rest are pure noise features with weight 0;
+    * y = Σ w_j·x_j + bias + noise·g. Columns: id, x0..x{p−1}, y
+    * (doubles rounded 9 — the engine-portability guard).
+    * `portableHash = true` switches to the md5 hash family (the
+    * oracle-checked mode); same plan either way. */
+  def makeRegression(spark: SparkSession, nSamples: Long,
+                     nFeatures: Int = 10, nInformative: Int = 5,
+                     noise: Double = 0.0, bias: Double = 0.0,
+                     seed: Long = 42L,
+                     portableHash: Boolean = false): DataFrame = {
+    require(nFeatures > 0 && nInformative > 0 && nInformative <= nFeatures,
+      s"need 0 < nInformative <= nFeatures, got $nInformative/$nFeatures")
+    val id = col("id")
+    def weight(j: Int): Double =
+      if (j < nInformative) ((j * 37 + 11) % 21 - 10).toDouble else 0.0
+    val xs = (0 until nFeatures).map { j =>
+      round(gaussian(uniform(portableHash, seed, id, 2 * j),
+        uniform(portableHash, seed, id, 2 * j + 1)), 9).as(s"x$j")
+    }
+    val base = spark.range(nSamples).select(id +: xs: _*)
+    val g = round(gaussian(
+      uniform(portableHash, seed, id, 2 * nFeatures),
+      uniform(portableHash, seed, id, 2 * nFeatures + 1)), 9)
+    val y = if (portableHash) {
+      // engine-exact target: the rounded features re-enter as exact
+      // scale-9 decimals (the nearest scale-9 decimal of a rounded
+      // double is unique, so both engines recover the same value) and
+      // the whole linear form stays in decimal — a double-sum rounded
+      // at digit 9 flips the last digit between engines on half-ulp
+      // boundaries, a decimal sum cannot. noise/bias are rounded to
+      // 9 dp by the cast; weights are integers by construction.
+      val dec = "decimal(11,9)"
+      val lin = (0 until nFeatures)
+        .map(j => col(s"x$j").cast(dec) *
+          lit(weight(j).toLong).cast("decimal(2,0)"))
+        .reduce(_ + _)
+      val eps = if (noise == 0.0) lit(BigDecimal(0)).cast(dec)
+        else lit(noise).cast(dec) * g.cast(dec)
+      round(lin + lit(bias).cast(dec) + eps, 9).cast("double")
+    } else {
+      val lin = (0 until nFeatures)
+        .map(j => col(s"x$j") * lit(weight(j)))
+        .reduce(_ + _)
+      val eps = if (noise == 0.0) lit(0.0) else lit(noise) * g
+      round(lin + lit(bias) + eps, 9)
+    }
+    base.withColumn("y", y)
+  }
+
+  /** `make_classification` (make.py:718): classes are hypercube
+    * vertices in the informative subspace (center_j = ±classSep by bit
+    * j of the class id — the reference's cluster-at-vertices design),
+    * informative features = center + unit gaussian, redundant features
+    * are fixed linear combinations of two informative ones, the rest
+    * pure noise; `flipY` of rows get their label rotated (label
+    * noise). Columns: id, x0..x{p−1}, label. */
+  def makeClassification(spark: SparkSession, nSamples: Long,
+                         nFeatures: Int = 10, nClasses: Int = 2,
+                         nInformative: Int = 4, nRedundant: Int = 2,
+                         classSep: Double = 1.0, flipY: Double = 0.01,
+                         seed: Long = 42L): DataFrame = {
+    require(nClasses >= 2, s"nClasses must be >= 2, got $nClasses")
+    require(nInformative + nRedundant <= nFeatures,
+      "nInformative + nRedundant must be <= nFeatures")
+    require(nClasses <= (1L << math.min(nInformative, 30)),
+      s"$nInformative informative dims hold at most 2^$nInformative classes")
+    val id = col("id")
+    val label0 = pmod(xxhash64(lit(seed), id, lit("label")), lit(nClasses))
+    val informative = (0 until nInformative).map { j =>
+      val centerSign = (shiftright(label0, j).bitwiseAND(1) * 2 - 1)
+        .cast("double")
+      (centerSign * lit(classSep) +
+        gaussian(u01(seed, id, 2 * j), u01(seed, id, 2 * j + 1))).as(s"x$j")
+    }
+    val withInf = spark.range(nSamples)
+      .select(id +: label0.as("_l0") +: informative: _*)
+    val redundant = (0 until nRedundant).map { r =>
+      val a = r % nInformative
+      val b = (r * 31 + 7) % nInformative
+      (col(s"x$a") * lit(0.5 + 0.25 * r) + col(s"x$b") * lit(1.0 - 0.125 * r))
+        .as(s"x${nInformative + r}")
+    }
+    val noiseFeats = (nInformative + nRedundant until nFeatures).map { j =>
+      gaussian(u01(seed, id, 2 * j), u01(seed, id, 2 * j + 1)).as(s"x$j")
+    }
+    val flipped = when(u01(seed, id, 999983) < lit(flipY),
+      pmod(col("_l0") + 1, lit(nClasses))).otherwise(col("_l0"))
+    withInf.select(
+      (id +: col("_l0") +: (0 until nInformative).map(j => col(s"x$j"))) ++
+        redundant ++ noiseFeats: _*)
+      .withColumn("label", flipped.cast("int"))
+      .drop("_l0")
+  }
+
+  /** `make_data` (make.py:539): a mixed-schema frame for exercising
+    * cleaners/encoders — numeric, categorical, date and nullable
+    * columns, all deterministic in (seed, id). `nanPct` nulls that
+    * fraction of the nullable numeric column (the reference's
+    * `nan_percentage`). */
+  def makeData(spark: SparkSession, nSamples: Long,
+               categories: Seq[String] = Seq("alpha", "beta", "gamma", "delta"),
+               nanPct: Double = 0.0, seed: Long = 42L): DataFrame = {
+    val id = col("id")
+    val catArr = array(categories.map(lit): _*)
+    val num = round(gaussian(u01(seed, id, 0), u01(seed, id, 1)) * 10 + 50, 6)
+    val nullable = when(u01(seed, id, 4) < lit(nanPct), lit(null))
+      .otherwise(round(u01(seed, id, 5) * 100, 6))
+    spark.range(nSamples).select(id,
+      num.as("value"),
+      nullable.as("maybe_value"),
+      element_at(catArr, (pmod(xxhash64(lit(seed), id, lit(2)),
+        lit(categories.size)) + 1).cast("int")).as("category"),
+      date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        pmod(xxhash64(lit(seed), id, lit(3)), lit(365)).cast("int"))
+        .as("event_date"))
+  }
+
+  /** Seasonal series generator (the structural kernel under
+    * simulate.py's electricity/traffic/weather/stock families):
+    * y = level + slope·t + amp·sin(2π·t/period) + noise·g per series,
+    * per-series parameters hash-derived from the series id. Columns:
+    * series_id, t, y. One range, no shuffle; nSeries·length rows. */
+  def makeSeries(spark: SparkSession, nSeries: Int, length: Int,
+                 period: Int = 24, noise: Double = 0.1,
+                 seed: Long = 42L): DataFrame = {
+    require(nSeries > 0 && length > 0 && period > 0, "positive sizes required")
+    val sid = (col("id") / length).cast("long")
+    val t = (col("id") % length).cast("long")
+    val level = u01(seed, sid, 10) * 100
+    val slope = (u01(seed, sid, 11) - 0.5) * 2
+    val amp = u01(seed, sid, 12) * 20
+    val g = gaussian(u01(seed, col("id"), 13), u01(seed, col("id"), 14))
+    spark.range(nSeries.toLong * length).select(
+      sid.as("series_id"), t.as("t"),
+      round(level + slope * t.cast("double") +
+        amp * sin(lit(TwoPi) * t.cast("double") / lit(period.toDouble)) +
+        lit(noise) * g, 9).as("y"))
+  }
+}

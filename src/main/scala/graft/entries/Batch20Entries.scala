@@ -59,6 +59,19 @@ object Batch20Entries {
         .orderBy("doc_id")
     }),
 
+    // datasets.Make.makeRegression (datasets/Make.scala) in portable-
+    // hash mode: the generator IS the query — spark.range + md5-derived
+    // uniforms -> Box-Muller gaussians -> linear target, every double
+    // rounded 9. DuckDB replays the identical arithmetic from its own
+    // range(), so the oracle checks the full generation pipeline
+    // bit-for-bit (no input table at all).
+    "make_regression" -> ((s, dir) => {
+      graft.datasets.Make.makeRegression(s, nSamples = 4000,
+          nFeatures = 3, nInformative = 2, noise = 0.5, bias = 3.0,
+          seed = 42L, portableHash = true)
+        .orderBy("id")
+    }),
+
     // Redact.redactDates ∘ redactPii (text/Redact.scala): the composed
     // order the PhoneRe doc promises — dates become [DATE] before the
     // phone pass can swallow them; `redacted_naive` (PII pass alone)
@@ -138,6 +151,37 @@ object Batch20Entries {
         |FROM (SELECT DISTINCT doc_id FROM train) tr
         |LEFT JOIN hits h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "make_regression" ->
+      """WITH ids AS (SELECT unnest(range(0, 4000)) AS id),
+        |u AS (
+        |  SELECT id,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-0'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u0,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-1'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u1,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-2'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u2,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-3'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u3,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-4'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u4,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-5'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u5,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-6'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u6,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-7'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u7
+        |  FROM ids),
+        |x AS (
+        |  SELECT id,
+        |    ROUND(sqrt(-2.0 * ln(u0 + 4.9e-324)) * cos(6.283185307179586 * u1), 9) AS x0,
+        |    ROUND(sqrt(-2.0 * ln(u2 + 4.9e-324)) * cos(6.283185307179586 * u3), 9) AS x1,
+        |    ROUND(sqrt(-2.0 * ln(u4 + 4.9e-324)) * cos(6.283185307179586 * u5), 9) AS x2,
+        |    ROUND(sqrt(-2.0 * ln(u6 + 4.9e-324)) * cos(6.283185307179586 * u7), 9) AS gy
+        |  FROM u)
+        |SELECT id, x0, x1, x2,
+        |  CAST(ROUND(
+        |    ((CAST(x0 AS DECIMAL(11,9)) * CAST(1 AS DECIMAL(2,0))
+        |      + CAST(x1 AS DECIMAL(11,9)) * CAST(-4 AS DECIMAL(2,0)))
+        |      + CAST(x2 AS DECIMAL(11,9)) * CAST(0 AS DECIMAL(2,0)))
+        |    + CAST(3.0 AS DECIMAL(11,9))
+        |    + CAST(0.5 AS DECIMAL(11,9)) * CAST(gy AS DECIMAL(11,9)), 9)
+        |    AS DOUBLE) AS y
+        |FROM x
+        |ORDER BY id""".stripMargin,
 
     "pii_redact_dates" ->
       """WITH base AS (

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.datasets.Make
+
+class MakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("makeRegression: deterministic, informative features carry the signal") {
+    val df = Make.makeRegression(spark, 2000, nFeatures = 4,
+      nInformative = 2, noise = 0.1, bias = 3.0, seed = 7L)
+    assert(df.columns.toSeq == Seq("id", "x0", "x1", "x2", "x3", "y"))
+    assert(df.count() == 2000)
+    // same seed regenerates bit-identically regardless of partitioning
+    val again = Make.makeRegression(spark, 2000, nFeatures = 4,
+      nInformative = 2, noise = 0.1, bias = 3.0, seed = 7L).repartition(7)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+    // informative |corr| high, noise feature ~0
+    def corr2(c: String): Double =
+      df.agg(corr(col(c), col("y"))).head().getDouble(0)
+    assert(math.abs(corr2("x0")) > 0.1)
+    assert(math.abs(corr2("x1")) > 0.5) // weight -4 dominates
+    assert(math.abs(corr2("x3")) < 0.1)
+    // OLS on the dominant feature recovers sign and magnitude order
+    val b = df.agg((covar_samp($"x1", $"y") / var_samp($"x1")).as("b"))
+      .head().getDouble(0)
+    assert(b < -3.0 && b > -5.0, s"slope $b")
+  }
+
+  test("makeClassification: hypercube classes are separable, flipY injects label noise") {
+    val df = Make.makeClassification(spark, 4000, nFeatures = 6,
+      nClasses = 4, nInformative = 3, nRedundant = 2,
+      classSep = 3.0, flipY = 0.0, seed = 11L).persist()
+    assert(df.columns.toSeq ==
+      Seq("id", "x0", "x1", "x2", "x3", "x4", "x5", "label"))
+    assert(df.select("label").distinct().count() == 4)
+    // with sep=3 and no flips, the nearest-vertex rule classifies
+    // almost perfectly: sign of each informative feature = vertex bit
+    val vertexRule = (0 until 3).map(j =>
+      when(col(s"x$j") > 0, 1 << j).otherwise(0)).reduce(_ + _)
+    val acc = df.withColumn("_pred", vertexRule % 4)
+      .agg(avg(when(col("_pred") === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    df.unpersist()
+    assert(acc > 0.95, s"vertex-rule accuracy $acc")
+    // flipY=0.3 must visibly corrupt labels vs flipY=0
+    val noisy = Make.makeClassification(spark, 4000, nFeatures = 6,
+      nClasses = 4, nInformative = 3, nRedundant = 2,
+      classSep = 3.0, flipY = 0.3, seed = 11L)
+    val accNoisy = noisy.withColumn("_pred", vertexRule % 4)
+      .agg(avg(when(col("_pred") === col("label"), 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(accNoisy < acc - 0.15, s"flip did nothing: $accNoisy vs $acc")
+  }
+
+  test("makeData: mixed schema, nan fraction, bounded categories") {
+    val df = Make.makeData(spark, 3000, nanPct = 0.2, seed = 3L).persist()
+    assert(df.columns.toSeq ==
+      Seq("id", "value", "maybe_value", "category", "event_date"))
+    val nullFrac = df.filter(col("maybe_value").isNull).count() / 3000.0
+    assert(nullFrac > 0.15 && nullFrac < 0.25, s"null fraction $nullFrac")
+    assert(df.select("category").distinct().count() == 4)
+    val dateRange = df.agg(min("event_date"), max("event_date")).head()
+    assert(dateRange.getDate(0).toString >= "2024-01-01")
+    assert(dateRange.getDate(1).toString <= "2024-12-31")
+    df.unpersist()
+  }
+
+  test("makeSeries: per-series seasonality is recoverable") {
+    val df = Make.makeSeries(spark, nSeries = 5, length = 240,
+      period = 24, noise = 0.01, seed = 5L)
+    assert(df.count() == 5 * 240)
+    // seasonal self-similarity: y(t) correlates with y(t+period) far
+    // more than with y(t+period/2) once the trend is removed per series
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("series_id").orderBy("t")
+    val lagged = df
+      .withColumn("_d", col("y") - avg("y").over(
+        w.rowsBetween(-12, 12))) // crude detrend
+      .withColumn("_dp", lag("_d", 24).over(w))
+      .withColumn("_dh", lag("_d", 12).over(w))
+      .filter(col("_dp").isNotNull && col("_dh").isNotNull)
+    val r = lagged.agg(corr($"_d", $"_dp").as("same"),
+      corr($"_d", $"_dh").as("anti")).head()
+    assert(r.getDouble(0) > 0.8, s"period corr ${r.getDouble(0)}")
+    assert(r.getDouble(1) < 0.0, s"half-period corr ${r.getDouble(1)}")
+  }
+}
