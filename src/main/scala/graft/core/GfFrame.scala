@@ -94,8 +94,9 @@ object GfFrame {
                   outCol: String = "text_redacted"): Fluent =
       new Fluent(graft.text.Redact.redactDocuments(df, textCol, outCol))
     def dropContaminated(eval: DataFrame, idCol: String, textCol: String,
-                         k: Int = 8, threshold: Double = 0.8): Fluent =
+                         k: Int = 8, threshold: Double = 0.8,
+                         includeShort: Boolean = true): Fluent =
       new Fluent(graft.text.Decontaminate.dropContaminated(df, eval,
-        idCol, textCol, k, threshold))
+        idCol, textCol, k, threshold, includeShort))
   }
 }

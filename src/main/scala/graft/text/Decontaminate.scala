@@ -97,13 +97,24 @@ object Decontaminate {
     }
   }
 
-  /** Drop contaminated training docs (anti-join on the report). */
+  /** Drop contaminated training docs (anti-join on the report).
+    *
+    * `includeShort` (default true) also drops docs containing any
+    * sub-k-token eval string via [[shortEvalContainment]] — without it
+    * the one-call API inherits the k-gram blind spot (a 3-token eval
+    * answer would survive the drop). Pass false to reproduce the pure
+    * k-gram semantics. */
   def dropContaminated(train: DataFrame, eval: DataFrame,
                        idCol: String, textCol: String,
                        k: Int = 8,
-                       threshold: Double = 0.8): DataFrame = {
+                       threshold: Double = 0.8,
+                       includeShort: Boolean = true): DataFrame = {
     val bad = contaminationReport(train, eval, idCol, textCol, k, threshold)
       .filter(col("contaminated")).select(idCol)
-    train.join(bad, Seq(idCol), "left_anti")
+    val badAll = if (includeShort)
+      bad.unionByName(shortEvalContainment(train, eval, idCol, textCol, k)
+        .filter(col("contaminated_short")).select(idCol))
+    else bad
+    train.join(badAll, Seq(idCol), "left_anti")
   }
 }

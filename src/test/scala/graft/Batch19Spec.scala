@@ -168,6 +168,24 @@ class Batch19Spec extends SparkSpec {
     assert(none.count() == 3)
   }
 
+  test("dropContaminated also drops short-eval leaks by default") {
+    val train = Seq(
+      (1L, "the secret answer is forty two exactly here"),
+      (2L, "completely unrelated content about other things"),
+      (3L, "more unrelated filler words beyond any overlap")
+    ).toDF("doc_id", "text")
+    val eval = Seq((9L, "forty two")).toDF("doc_id", "text") // 2 < k tokens
+    // pure k-gram mode leaks doc 1 (eval carries zero 5-grams)...
+    val leaky = Decontaminate.dropContaminated(train, eval,
+      "doc_id", "text", k = 5, threshold = 0.5, includeShort = false)
+    assert(leaky.count() == 3)
+    // ...the default catches it
+    val tight = Decontaminate.dropContaminated(train, eval,
+      "doc_id", "text", k = 5, threshold = 0.5)
+    assert(tight.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L))
+  }
+
   test("redactDates turns ISO dates into [DATE] before the phone pass swallows them") {
     val df = Seq((1L, "on 2024-01-31 and 1999/12/31 call +1 555-0100 x"))
       .toDF("id", "text")
