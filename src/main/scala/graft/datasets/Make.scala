@@ -112,19 +112,29 @@ object Make {
                          nFeatures: Int = 10, nClasses: Int = 2,
                          nInformative: Int = 4, nRedundant: Int = 2,
                          classSep: Double = 1.0, flipY: Double = 0.01,
-                         seed: Long = 42L): DataFrame = {
+                         seed: Long = 42L,
+                         portableHash: Boolean = false): DataFrame = {
     require(nClasses >= 2, s"nClasses must be >= 2, got $nClasses")
     require(nInformative + nRedundant <= nFeatures,
       "nInformative + nRedundant must be <= nFeatures")
     require(nClasses <= (1L << math.min(nInformative, 30)),
       s"$nInformative informative dims hold at most 2^$nInformative classes")
     val id = col("id")
-    val label0 = pmod(xxhash64(lit(seed), id, lit("label")), lit(nClasses))
+    val label0 = if (portableHash)
+      pmod(conv(substring(md5(concat_ws("-", lit(seed), id, lit(1000003))),
+        1, 15), 16, 10).cast("long"), lit(nClasses))
+    else pmod(xxhash64(lit(seed), id, lit("label")), lit(nClasses))
+    // portable mode rounds ONLY the libm-crossing gaussian sums (the
+    // make_regression lesson: a single round after libm is
+    // engine-stable; re-rounding composed arithmetic is not, and pure
+    // IEEE arithmetic on identical doubles needs no round at all)
+    def maybeRound(c: Column): Column = if (portableHash) round(c, 9) else c
     val informative = (0 until nInformative).map { j =>
       val centerSign = (shiftright(label0, j).bitwiseAND(1) * 2 - 1)
         .cast("double")
-      (centerSign * lit(classSep) +
-        gaussian(u01(seed, id, 2 * j), u01(seed, id, 2 * j + 1))).as(s"x$j")
+      maybeRound(centerSign * lit(classSep) +
+        gaussian(uniform(portableHash, seed, id, 2 * j),
+          uniform(portableHash, seed, id, 2 * j + 1))).as(s"x$j")
     }
     val withInf = spark.range(nSamples)
       .select(id +: label0.as("_l0") +: informative: _*)
@@ -135,9 +145,10 @@ object Make {
         .as(s"x${nInformative + r}")
     }
     val noiseFeats = (nInformative + nRedundant until nFeatures).map { j =>
-      gaussian(u01(seed, id, 2 * j), u01(seed, id, 2 * j + 1)).as(s"x$j")
+      maybeRound(gaussian(uniform(portableHash, seed, id, 2 * j),
+        uniform(portableHash, seed, id, 2 * j + 1))).as(s"x$j")
     }
-    val flipped = when(u01(seed, id, 999983) < lit(flipY),
+    val flipped = when(uniform(portableHash, seed, id, 999983) < lit(flipY),
       pmod(col("_l0") + 1, lit(nClasses))).otherwise(col("_l0"))
     withInf.select(
       (id +: col("_l0") +: (0 until nInformative).map(j => col(s"x$j"))) ++

@@ -72,6 +72,18 @@ object Batch20Entries {
         .orderBy("id")
     }),
 
+    // datasets.Make.makeClassification portable mode: hypercube-vertex
+    // clusters (label bits -> ±classSep centers), redundant linear
+    // combos left UNROUNDED (pure IEEE arithmetic on identical doubles
+    // is engine-exact; only the libm-crossing gaussians are rounded),
+    // flipY label noise — all replayed by DuckDB from range().
+    "make_classification" -> ((s, dir) => {
+      graft.datasets.Make.makeClassification(s, nSamples = 4000,
+          nFeatures = 5, nClasses = 4, nInformative = 2, nRedundant = 2,
+          classSep = 2.0, flipY = 0.05, seed = 42L, portableHash = true)
+        .orderBy("id")
+    }),
+
     // Redact.redactDates ∘ redactPii (text/Redact.scala): the composed
     // order the PhoneRe doc promises — dates become [DATE] before the
     // phone pass can swallow them; `redacted_naive` (PII pass alone)
@@ -180,6 +192,35 @@ object Batch20Entries {
         |    + CAST(3.0 AS DECIMAL(11,9))
         |    + CAST(0.5 AS DECIMAL(11,9)) * CAST(gy AS DECIMAL(11,9)), 9)
         |    AS DOUBLE) AS y
+        |FROM x
+        |ORDER BY id""".stripMargin,
+
+    "make_classification" ->
+      """WITH ids AS (SELECT unnest(range(0, 4000)) AS id),
+        |u AS (
+        |  SELECT id,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-1000003'), 1, 15) AS BIGINT) % 4 AS l0,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-0'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u0,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-1'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u1,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-2'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u2,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-3'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u3,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-8'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u8,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-9'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u9,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-999983'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS uf
+        |  FROM ids),
+        |x AS (
+        |  SELECT id, l0, uf,
+        |    ROUND(CAST(((l0 >> 0) & 1) * 2 - 1 AS DOUBLE) * 2.0
+        |      + sqrt(-2.0 * ln(u0 + 4.9e-324)) * cos(6.283185307179586 * u1), 9) AS x0,
+        |    ROUND(CAST(((l0 >> 1) & 1) * 2 - 1 AS DOUBLE) * 2.0
+        |      + sqrt(-2.0 * ln(u2 + 4.9e-324)) * cos(6.283185307179586 * u3), 9) AS x1,
+        |    ROUND(sqrt(-2.0 * ln(u8 + 4.9e-324)) * cos(6.283185307179586 * u9), 9) AS x4
+        |  FROM u)
+        |SELECT id, x0, x1,
+        |  x0 * 0.5 + x1 * 1.0 AS x2,
+        |  x1 * 0.75 + x0 * 0.875 AS x3,
+        |  x4,
+        |  CAST(CASE WHEN uf < 0.05 THEN (l0 + 1) % 4 ELSE l0 END AS INTEGER) AS label
         |FROM x
         |ORDER BY id""".stripMargin,
 
