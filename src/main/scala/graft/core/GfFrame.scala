@@ -98,5 +98,17 @@ object GfFrame {
                          includeShort: Boolean = true): Fluent =
       new Fluent(graft.text.Decontaminate.dropContaminated(df, eval,
         idCol, textCol, k, threshold, includeShort))
+    def selectByTokenBudget(idCol: String, sourceCol: String,
+                            scoreCol: String, tokenCol: String,
+                            budgetPerSource: Long): Fluent =
+      new Fluent(graft.text.Quality.selectByTokenBudget(df, idCol,
+        sourceCol, scoreCol, tokenCol, budgetPerSource))
+    def selectByTokenBudgetGlobal(idCol: String, sourceCol: String,
+                                  scoreCol: String, tokenCol: String,
+                                  totalBudget: Long,
+                                  weights: Map[String, Double],
+                                  caps: Map[String, Long] = Map.empty): Fluent =
+      new Fluent(graft.text.Quality.selectByTokenBudgetGlobal(df, idCol,
+        sourceCol, scoreCol, tokenCol, totalBudget, weights, caps))
   }
 }

@@ -69,6 +69,34 @@ object PipelineDemo {
     println("docs with >40% duplicated token mass: " +
       rep.filter(col("dup_token_ratio") > 0.4).count())
 
+    // 5c. corpus prep end-to-end: redact -> decontaminate (k-gram AND
+    // short-eval containment) -> global token-budget mix
+    // eval carries the same column name the train side is checked on
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id") + 90000 as "doc_id",
+        array_join(slice(split(trim(col("text")), "\\s+"), 3, 3), " ")
+          as "text_redacted")
+    val mixed = docs.graft
+      .redactPii("text")
+      .dropContaminated(evalSet, "doc_id", "text_redacted", k = 5,
+        threshold = 0.6)
+      .result
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("score", (col("n_chars") % 97).cast("double") / 97.0)
+      .graft
+      .selectByTokenBudgetGlobal("doc_id", "source", "score", "n_tokens",
+        totalBudget = 2000L,
+        weights = Map("src0" -> 0.5, "src1" -> 0.5))
+      .result
+    println("docs surviving redact -> decontam -> global mix: " + mixed.count())
+
+    // 5d. synthetic data on demand (datasets.Make): a regression frame
+    // is a plan, not an allocation — generated distributed, no RNG state
+    val synth = graft.datasets.Make.makeRegression(spark, 1000,
+      nFeatures = 4, nInformative = 2, noise = 0.2, seed = 7L)
+    println("synthetic regression corr(x1, y): " +
+      synth.agg(corr(col("x1"), col("y"))).head.getDouble(0))
+
     // 5b. activations are SQL functions on any GraftSession (codegen'd,
     // no UDF; registered by GraftSession.local)
     docs.limit(3).createOrReplaceTempView("d3")
