@@ -18,6 +18,27 @@ class ExcelSpec extends SparkSpec {
     d.deleteOnExit(); d
   }
 
+  test("exportData .xlsx honors SaveMode: ErrorIfExists raises, Ignore keeps the old file") {
+    import org.apache.spark.sql.SaveMode
+    val dir = tmpDir()
+    val path = new File(dir, "modes.xlsx").getPath
+    val v1 = Seq((1L, "first")).toDF("id", "tag")
+    val v2 = Seq((2L, "second")).toDF("id", "tag")
+    graft.io.IO.exportData(v1, path) // default Overwrite creates
+    intercept[IllegalStateException] {
+      graft.io.IO.exportData(v2, path, SaveMode.ErrorIfExists)
+    }
+    graft.io.IO.exportData(v2, path, SaveMode.Ignore) // silently keeps v1
+    def tagOf: String = Excel.readExcelSheets(spark, path)._2
+      .toMap.apply("Sheet1").select("tag").collect().map(_.getString(0)).head
+    assert(tagOf == "first")
+    intercept[UnsupportedOperationException] {
+      graft.io.IO.exportData(v2, path, SaveMode.Append)
+    }
+    graft.io.IO.exportData(v2, path, SaveMode.Overwrite)
+    assert(tagOf == "second")
+  }
+
   test("writeXlsx/readExcelSheets round-trip: types, nulls, escaping") {
     val dir = tmpDir()
     val path = new File(dir, "book One.xlsx").getPath

@@ -109,4 +109,108 @@ class TgzSpec extends SparkSpec {
     assert(e.getMessage.contains("escapes"))
     assert(!new File(dest, "evil.txt").exists())
   }
+
+  /** ustar header with caller-controlled name/size bytes + checksum. */
+  private def rawHeader(name: String, sizeField: Array[Byte],
+                        typeflag: Char = '0'): Array[Byte] = {
+    val header = new Array[Byte](512)
+    val nb = name.getBytes(StandardCharsets.UTF_8)
+    System.arraycopy(nb, 0, header, 0, nb.length)
+    System.arraycopy(sizeField, 0, header, 124, math.min(sizeField.length, 12))
+    header(156) = typeflag.toByte
+    val chkInit = "        ".getBytes(StandardCharsets.UTF_8)
+    System.arraycopy(chkInit, 0, header, 148, 8)
+    val chk = header.map(_ & 0xFF).sum
+    val cb = f"$chk%06o".getBytes(StandardCharsets.UTF_8)
+    System.arraycopy(cb, 0, header, 148, cb.length)
+    header(154) = 0; header(155) = ' '
+    header
+  }
+
+  private def writeTar(arch: String, parts: Array[Byte]*): Unit = {
+    val out = new FileOutputStream(arch)
+    parts.foreach(out.write)
+    out.write(new Array[Byte](1024))
+    out.close()
+  }
+
+  private def pad512(body: Array[Byte]): Array[Byte] =
+    new Array[Byte](((body.length + 511) / 512) * 512 - body.length)
+
+  test("GNU base-256 size field parses (>=8GiB encoding on a small member)") {
+    val dest = tmpDir()
+    val arch = new File(dest, "b256.tar").getPath
+    val body = "base256-body".getBytes(StandardCharsets.UTF_8)
+    // 12-byte field: 0x80 flag then big-endian size
+    val sf = new Array[Byte](12)
+    sf(0) = 0x80.toByte
+    sf(11) = body.length.toByte
+    // a second OCTAL member proves the block walk stayed in sync
+    val body2 = "after".getBytes(StandardCharsets.UTF_8)
+    val oct = f"${body2.length}%011o".getBytes(StandardCharsets.UTF_8)
+    writeTar(arch,
+      rawHeader("big.bin", sf), body, pad512(body),
+      rawHeader("after.txt", oct), body2, pad512(body2))
+    val entries = Tgz.list(arch)
+    assert(entries.map(e => e.name -> e.size) ==
+      Seq("big.bin" -> body.length.toLong, "after.txt" -> body2.length.toLong))
+    val out = new File(dest, "out")
+    Tgz.extractAll(arch, out.getPath)
+    assert(new String(Files.readAllBytes(Paths.get(out.getPath, "big.bin")),
+      StandardCharsets.UTF_8) == "base256-body")
+    assert(new String(Files.readAllBytes(Paths.get(out.getPath, "after.txt")),
+      StandardCharsets.UTF_8) == "after")
+  }
+
+  test("PAX size= override wins over the octal header field") {
+    val dest = tmpDir()
+    val arch = new File(dest, "pax.tar").getPath
+    val body = "pax-sized-member-content".getBytes(StandardCharsets.UTF_8)
+    val paxLine = {
+      // PAX record: "LEN size=N\n" where LEN counts the whole record
+      var rec = s" size=${body.length}\n"
+      var len = rec.length + 2
+      while (s"$len$rec".length != len) len = s"$len$rec".length
+      s"$len$rec".getBytes(StandardCharsets.UTF_8)
+    }
+    val paxOct = f"${paxLine.length}%011o".getBytes(StandardCharsets.UTF_8)
+    // the member's own size field LIES (says 0): the PAX override must win
+    val zeroOct = f"${0}%011o".getBytes(StandardCharsets.UTF_8)
+    val body2 = "sync".getBytes(StandardCharsets.UTF_8)
+    val oct2 = f"${body2.length}%011o".getBytes(StandardCharsets.UTF_8)
+    writeTar(arch,
+      rawHeader("pax-head", paxOct, 'x'), paxLine, pad512(paxLine),
+      rawHeader("data.bin", zeroOct), body, pad512(body),
+      rawHeader("sync.txt", oct2), body2, pad512(body2))
+    assert(Tgz.list(arch).map(e => e.name -> e.size) ==
+      Seq("data.bin" -> body.length.toLong, "sync.txt" -> body2.length.toLong))
+    val out = new File(dest, "out")
+    Tgz.extractAll(arch, out.getPath)
+    assert(new String(Files.readAllBytes(Paths.get(out.getPath, "data.bin")),
+      StandardCharsets.UTF_8) == "pax-sized-member-content")
+    assert(new String(Files.readAllBytes(Paths.get(out.getPath, "sync.txt")),
+      StandardCharsets.UTF_8) == "sync")
+  }
+
+  test("malformed size field raises instead of silently reading 0") {
+    val dest = tmpDir()
+    val arch = new File(dest, "bad.tar").getPath
+    val body = "x".getBytes(StandardCharsets.UTF_8)
+    writeTar(arch,
+      rawHeader("bad.bin", "garbage-size".getBytes(StandardCharsets.UTF_8)),
+      body, pad512(body))
+    val e = intercept[IllegalArgumentException] { Tgz.list(arch) }
+    assert(e.getMessage.contains("malformed tar numeric field"))
+  }
+
+  test("renameTo with ../ escape is rejected like archive member names") {
+    val (_, arch) = buildFixture(gzip = true)
+    val dest = tmpDir()
+    val e = intercept[IllegalArgumentException] {
+      Tgz.extractOne(arch, "note.txt", dest.getPath,
+        renameTo = Some("../escaped.txt"))
+    }
+    assert(e.getMessage.contains("escapes"))
+    assert(!new File(dest.getParentFile, "escaped.txt").exists())
+  }
 }
