@@ -44,7 +44,9 @@ object SparkEntry {
       entries.Batch17Entries.queries ++
       entries.Batch18Entries.queries ++
       entries.Batch19Entries.queries ++
-      entries.Batch20Entries.queries
+      entries.Batch20Entries.queries ++
+      entries.Batch21Entries.queries ++
+      entries.Batch22Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -67,7 +69,9 @@ object SparkEntry {
       entries.Batch17Entries.oracleSql ++
       entries.Batch18Entries.oracleSql ++
       entries.Batch19Entries.oracleSql ++
-      entries.Batch20Entries.oracleSql
+      entries.Batch20Entries.oracleSql ++
+      entries.Batch21Entries.oracleSql ++
+      entries.Batch22Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

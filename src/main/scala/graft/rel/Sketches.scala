@@ -28,6 +28,32 @@ object Sketches {
       .toDF(column, "est_count")
   }
 
+  /** EXACT heavy hitters with a count-min prefilter: one sketch pass
+    * over the column, then only rows whose key the sketch estimates at
+    * `minCount` or more enter the groupBy shuffle, then the exact
+    * count re-checks the survivors. Count-min only OVER-estimates, so
+    * the prune has no false negatives and the result equals the plain
+    * `GROUP BY ... HAVING count(*) >= minCount` bit-for-bit — but at
+    * 100 TB with a long-tailed key domain the shuffle carries only the
+    * rows of candidate-heavy keys instead of the whole table.
+    * Reference adjacency: `category_count` thresholded reporting
+    * (gofast/dataops/inspection.py value-counts family). */
+  def heavyHittersExact(df: DataFrame, column: String, minCount: Long,
+                        eps: Double = 1e-4, confidence: Double = 0.99,
+                        seed: Int = 42): DataFrame = {
+    // sketch and probe must hash the SAME representation (see
+    // bloomSemiJoin below) — both sides go through a string cast
+    val keyed = df.select(col(column).cast("string").as("_k"))
+    val sketch = keyed.stat.countMinSketch(col("_k"), eps, confidence, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(sketch)
+    val maybeHeavy = udf((k: String) =>
+      k != null && bc.value.estimateCount(k) >= minCount)
+    df.filter(maybeHeavy(col(column).cast("string")))
+      .groupBy(col(column))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+  }
+
   /** Bloom-accelerated semi-join: build a bloom filter over the
     * (deduplicated) build-side keys, pre-filter the probe side with
     * `might_contain` (no false negatives), then run the exact

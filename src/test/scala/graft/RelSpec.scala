@@ -112,6 +112,22 @@ class RelSpec extends SparkSpec {
     assert(viaBloom == exact)
   }
 
+  test("heavyHittersExact equals plain GROUP BY/HAVING (sketch only prunes)") {
+    import graft.rel.Sketches
+    val li = T.lineitem(spark, sf)
+    val exact = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 610)
+      .as[(Long, Long)].collect().toMap
+    // tiny eps forces a coarse sketch with collisions: over-estimates
+    // may admit extra candidates, but the exact re-count must discard
+    // them — the output still equals the plain plan
+    val viaSketch = Sketches.heavyHittersExact(li, "l_suppkey", 610,
+        eps = 0.1)
+      .as[(Long, Long)].collect().toMap
+    assert(viaSketch == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("filterDfFn applies a custom callable predicate via UDF") {
     val df = Seq(1.0, 4.0, 9.0, 16.0).toDF("x")
     val out = Filters.filterDfFn(df, "x", v => math.sqrt(v) % 2 == 0)
