@@ -46,7 +46,8 @@ object SparkEntry {
       entries.Batch19Entries.queries ++
       entries.Batch20Entries.queries ++
       entries.Batch21Entries.queries ++
-      entries.Batch22Entries.queries
+      entries.Batch22Entries.queries ++
+      entries.Batch23Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -71,7 +72,8 @@ object SparkEntry {
       entries.Batch19Entries.oracleSql ++
       entries.Batch20Entries.oracleSql ++
       entries.Batch21Entries.oracleSql ++
-      entries.Batch22Entries.oracleSql
+      entries.Batch22Entries.oracleSql ++
+      entries.Batch23Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -216,4 +216,54 @@ object Quality {
       .filter(col("_cum") - col(tokenCol) < col("_bud"))
       .drop("_bud", "_cum")
   }
+
+  /** Temperature-weighted token-budget mixing — the Pile/T5-style
+    * α-sampling rule: source s gets weight tokens(s)^α, so α = 1
+    * reproduces the natural distribution, α = 0 splits the budget
+    * evenly, and 0 < α < 1 up-weights small sources (the standard
+    * way to keep a rare high-quality source from drowning).
+    *
+    * The per-source token totals are exact BIGINT aggregates; the
+    * weight math (pow, the normalizing sum, the budget floor) runs as
+    * SPARK SQL EXPRESSIONS over the bounded one-row-per-source total
+    * table, each libm-crossing step pinned by round(·, 9) — so an
+    * external SQL engine replaying the same formula lands on
+    * bit-identical budgets. Selection then reuses the same
+    * (score desc, id asc) window rule as [[selectByTokenBudgetGlobal]].
+    */
+  def selectByTokenBudgetTemperature(df: DataFrame, idCol: String,
+                                     sourceCol: String, scoreCol: String,
+                                     tokenCol: String, totalBudget: Long,
+                                     alpha: Double,
+                                     caps: Map[String, Long] = Map.empty)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalBudget > 0, "total budget must be positive")
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val wdf = df.groupBy(col(sourceCol).as("_src"))
+      .agg(sum(col(tokenCol)).as("_t"))
+      .select(col("_src"),
+        round(pow(col("_t").cast("double"), lit(alpha)), 9).as("_w"))
+    // bounded driver materialization: one row per source
+    val sumW = wdf.agg(round(sum(col("_w")), 9)).head().getDouble(0)
+    require(sumW > 0.0, "no tokens to mix")
+    val budgets = wdf.select(col("_src"),
+        floor(lit(totalBudget.toDouble) * (col("_w") / lit(sumW)))
+          .cast("long").as("_b"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .map { case (src, b) => src -> math.min(b, caps.getOrElse(src, Long.MaxValue)) }
+    val budgetExpr = budgets.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (src, b)) =>
+        when(col(sourceCol) === lit(src), lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_bud", budgetExpr)
+      .filter(col("_bud") > 0L)
+      .withColumn("_cum", sum(col(tokenCol)).over(w))
+      .filter(col("_cum") - col(tokenCol) < col("_bud"))
+      .drop("_bud", "_cum")
+  }
 }

@@ -199,6 +199,73 @@ object ScaleProbe {
       return
     }
 
+    // Heavy-hitters axis (SPARK_GRAFT_HH_N=<rows>): a long-tailed
+    // keyspace — TAIL_FRACTION of rows carry a unique key each (never
+    // heavy, but map-side combine cannot collapse them, so the plain
+    // GROUP BY shuffles every one), the rest concentrate on 50 hot
+    // keys. heavyHittersExact's count-min prefilter drops the tail
+    // BEFORE the exchange; the listener counts actual shuffle records
+    // written so the reduction is measured, not inferred from wall
+    // time. Both plans must return identical results (asserted).
+    sys.env.get("SPARK_GRAFT_HH_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      val shuffled = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+          shuffled.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      })
+      // 70% unique-key tail (key = 50 + id, all distinct), 30% on 50
+      // hot keys — deterministic, no rand()
+      val df = spark.range(n).select(
+        when(col("id") % 10 < 3, expr("(id div 10) % 50"))
+          .otherwise(col("id") + 50).as("k")).persist()
+      df.count()
+      // each hot key carries 0.3·n/50 = 0.006·n rows; threshold at
+      // half that keeps all 50 hot keys and excludes every tail key
+      val thr = math.max(2L, n * 3L / 1000)
+      def runPlain(): Map[Long, Long] =
+        df.groupBy("k").agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= thr)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def runSketch(): Map[Long, Long] =
+        graft.rel.Sketches.heavyHittersExact(df, "k", thr)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // warm both plans once (codegen/JIT), then measure
+      runPlain(); runSketch()
+      // the listener bus is async and private[spark]: settle by waiting
+      // for the counter to stop moving (outside the timed region)
+      def settle(): Unit = {
+        var prev = -1L
+        var cur = shuffled.get()
+        var spins = 0
+        while (cur != prev && spins < 20) {
+          Thread.sleep(100); prev = cur; cur = shuffled.get(); spins += 1
+        }
+      }
+      def measure(f: () => Map[Long, Long]): (Double, Long, Map[Long, Long]) = {
+        settle()
+        shuffled.set(0)
+        val t0 = System.nanoTime()
+        val out = f()
+        val sec = (System.nanoTime() - t0) / 1e9
+        settle()
+        (math.round(sec * 1000) / 1000.0, shuffled.get(), out)
+      }
+      val (plainSec, plainShuf, plainOut) = measure(runPlain)
+      val (skSec, skShuf, skOut) = measure(runSketch)
+      require(plainOut == skOut,
+        s"sketch-prefiltered result diverged: ${skOut.size} vs ${plainOut.size} keys")
+      require(plainOut.size == 50, s"expected 50 heavy keys, got ${plainOut.size}")
+      println(f"""HHPROBE {"n":$n,"threshold":$thr,"heavy_keys":${plainOut.size},""" +
+        f""""plain_sec":$plainSec,"plain_shuffle_records":$plainShuf,""" +
+        f""""sketch_sec":$skSec,"sketch_shuffle_records":$skShuf,""" +
+        f""""shuffle_reduction":${plainShuf.toDouble / math.max(skShuf, 1L)}%.0f}""")
+      df.unpersist()
+      spark.stop()
+      return
+    }
+
     // warm the JIT/codegen on the small corpus first
     pipelines(corpus(spark, dir, 1)); annPipelines(1)
     val one = pipelines(corpus(spark, dir, 1)) ++ annPipelines(1)

@@ -141,6 +141,26 @@ class Batch19Spec extends SparkSpec {
     assert(tiny.forall(_.getString(1) == "a")) // b's floor(0.3)=0 share
   }
 
+  test("selectByTokenBudgetTemperature: alpha=0 splits evenly, alpha=1 splits naturally") {
+    // source sizes 4000 / 1000 tokens in 100-token docs, equal scores
+    // broken by id so selection order is deterministic
+    val d = ((1 to 40).map(i => ("big", i.toLong, 1.0 - i * 0.001, 100L)) ++
+      (101 to 110).map(i => ("small", i.toLong, 1.0 - i * 0.001, 100L)))
+      .toDF("source", "doc_id", "score", "n_tokens")
+    def keptTokens(alpha: Double): Map[String, Long] =
+      graft.text.Quality.selectByTokenBudgetTemperature(d, "doc_id",
+          "source", "score", "n_tokens", totalBudget = 1000L, alpha = alpha)
+        .groupBy("source").agg(sum("n_tokens").as("t"))
+        .as[(String, Long)].collect().toMap
+    // alpha=0: weights 1:1 -> 500 each; 100-token docs fill exactly
+    assert(keptTokens(0.0) == Map("big" -> 500L, "small" -> 500L))
+    // alpha=1: weights 4000:1000 -> 800/200
+    assert(keptTokens(1.0) == Map("big" -> 800L, "small" -> 200L))
+    // alpha=0.5: weights sqrt(4000):sqrt(1000) = 2:1 -> 666/333;
+    // first-over-the-line keeps the crossing 100-token doc
+    assert(keptTokens(0.5) == Map("big" -> 700L, "small" -> 400L))
+  }
+
   test("shortEvalContainment catches a 3-token eval string the k-gram report misses") {
     val train = Seq(
       ("doc-a", "alpha beta gamma delta epsilon zeta"),
