@@ -29,6 +29,20 @@ object Batch23Entries {
           caps = Map("src1" -> 400L))
         .select("doc_id", "source", "score", "n_tokens")
         .orderBy("doc_id")
+    }),
+
+    // mm.Multimodal.sampleFrames: one row per sampled frame offset via
+    // explode(sequence(...)) — a Generator, no shuffle. Synthetic
+    // media metadata (the fixture pattern of image_features): duration
+    // (id%10)·1000 ms, null for id%7==0 (coalesced to a single frame 0).
+    "frame_sample" -> ((s, dir) => {
+      val media = s.range(20).select(col("id").as("media_id"),
+        struct(
+          when(col("id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("id") % 10 * 1000L).as("duration_ms"),
+          lit("mp4").as("format")).as("meta"))
+      graft.mm.Multimodal.sampleFrames(media, everyMs = 2500L)
+        .orderBy("media_id", "frame_ms")
     })
   )
 
@@ -59,6 +73,18 @@ object Batch23Entries {
         |  FROM d JOIN b USING (source))
         |SELECT doc_id, source, score, n_tokens
         |FROM c WHERE budget > 0 AND cum - n_tokens < budget
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "frame_sample" ->
+      """WITH m AS (SELECT unnest(range(0, 20)) AS media_id),
+        |d AS (SELECT media_id,
+        |        CASE WHEN media_id % 7 = 0 THEN NULL
+        |             ELSE (media_id % 10) * 1000 END AS dur
+        |      FROM m)
+        |SELECT media_id,
+        |  unnest(generate_series(0, COALESCE(dur, 0), 2500)) AS frame_ms,
+        |  'mp4' AS format
+        |FROM d
+        |ORDER BY media_id, frame_ms""".stripMargin
   )
 }
