@@ -31,7 +31,8 @@ object Bench {
     "kruskal_wallis", "zscore", "ivf_topk_approx", "stream_dedup",
     "image_features", "haversine_nn_full", "pii_redact", "decontam",
     "audio_features", "token_budget_global", "decontam_short",
-    "pii_redact_dates")
+    "pii_redact_dates", "token_budget_temp", "heavy_hitters_exact",
+    "salted_sum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -110,5 +110,12 @@ object GfFrame {
                                   caps: Map[String, Long] = Map.empty): Fluent =
       new Fluent(graft.text.Quality.selectByTokenBudgetGlobal(df, idCol,
         sourceCol, scoreCol, tokenCol, totalBudget, weights, caps))
+    def selectByTokenBudgetTemperature(idCol: String, sourceCol: String,
+                                       scoreCol: String, tokenCol: String,
+                                       totalBudget: Long, alpha: Double,
+                                       caps: Map[String, Long] = Map.empty)
+        : Fluent =
+      new Fluent(graft.text.Quality.selectByTokenBudgetTemperature(df,
+        idCol, sourceCol, scoreCol, tokenCol, totalBudget, alpha, caps))
   }
 }
