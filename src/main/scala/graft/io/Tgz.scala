@@ -145,16 +145,25 @@ object Tgz {
       else {
         val headerSize = numeric(block, 124, 12)
         val typeflag = block(156).toChar
+        // metadata records ('L' long name, 'x'/'g' PAX) are buffered in
+        // memory: cap them so a hostile base-256/octal size can neither
+        // truncate through toInt (desynchronizing the block walk) nor
+        // allocate unbounded
+        def metaBuf(): Array[Byte] = {
+          require(headerSize >= 0 && headerSize <= (1L << 20),
+            s"malformed tar: $typeflag metadata record of $headerSize bytes")
+          new Array[Byte](headerSize.toInt)
+        }
         typeflag match {
           case 'L' => // GNU long name: data holds the real name
             val padded = ((headerSize + 511) / 512) * 512
-            val nameBuf = new Array[Byte](headerSize.toInt)
+            val nameBuf = metaBuf()
             data.readFully(nameBuf)
             skipFully(data, padded - headerSize)
             longName = cstr(nameBuf, 0, nameBuf.length)
           case 'x' | 'g' => // PAX header
             val padded = ((headerSize + 511) / 512) * 512
-            val buf = new Array[Byte](headerSize.toInt)
+            val buf = metaBuf()
             data.readFully(buf)
             skipFully(data, padded - headerSize)
             // only per-file 'x' records may override the NEXT member's
@@ -163,12 +172,24 @@ object Tgz {
             if (typeflag == 'x') {
               val s = new String(buf, StandardCharsets.UTF_8)
               s.split("\n").foreach { line =>
-                val i = line.indexOf(" path=")
-                if (i >= 0) paxPath = line.substring(i + 6)
-                // 'size=' overrides the header field for >= 8 GiB
-                // members whose octal size field can't represent them
-                val j = line.indexOf(" size=")
-                if (j >= 0) paxSize = line.substring(j + 6).trim.toLong
+                // POSIX record: "LEN key=value". Parse the key strictly
+                // — a VALUE whose text contains ' size=' must not
+                // masquerade as the size record.
+                val sp = line.indexOf(' ')
+                val eq = line.indexOf('=', sp + 1)
+                if (sp >= 0 && eq > sp) {
+                  val key = line.substring(sp + 1, eq)
+                  val v = line.substring(eq + 1)
+                  if (key == "path") paxPath = v
+                  else if (key == "size") {
+                    // overrides the header field for >= 8 GiB members
+                    // whose octal size field can't represent them
+                    require(v.nonEmpty && v.length <= 18 &&
+                        v.forall(_.isDigit),
+                      s"malformed tar: PAX size '$v'")
+                    paxSize = v.toLong
+                  }
+                }
               }
             }
           case c if c == '0' || c == 0.toChar => // regular file

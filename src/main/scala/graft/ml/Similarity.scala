@@ -149,8 +149,13 @@ object Similarity {
     require(fitFraction > 0.0 && fitFraction <= 1.0,
       s"fitFraction must be in (0, 1], got $fitFraction")
     val withVec = df.withColumn("_v", array_to_vector(col(vecCol)))
-    val fitOn = if (fitFraction < 1.0) withVec.sample(fitFraction, seed)
-      else withVec
+    val fitOn = if (fitFraction < 1.0) {
+      val s = withVec.sample(fitFraction, seed)
+      // a sample smaller than nlist cannot seed nlist centroids: fall
+      // back to the full set instead of an obscure MLlib failure
+      // (limit(nlist).count() touches at most nlist+ rows)
+      if (s.limit(nlist).count() < nlist) withVec else s
+    } else withVec
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setSeed(seed).setFeaturesCol("_v")
       .setMaxIter(maxIter)

@@ -42,12 +42,17 @@ object Sketches {
                         eps: Double = 1e-4, confidence: Double = 0.99,
                         seed: Int = 42): DataFrame = {
     // sketch and probe must hash the SAME representation (see
-    // bloomSemiJoin below) — both sides go through a string cast
+    // bloomSemiJoin below) — both sides go through a string cast.
+    // NULL keys cannot enter the sketch, so they BYPASS the prefilter
+    // (always admitted) and the exact count decides — a null-key group
+    // is a legal GROUP BY group and dropping it would break the
+    // equals-the-plain-plan contract.
     val keyed = df.select(col(column).cast("string").as("_k"))
+      .filter(col("_k").isNotNull)
     val sketch = keyed.stat.countMinSketch(col("_k"), eps, confidence, seed)
     val bc = df.sparkSession.sparkContext.broadcast(sketch)
     val maybeHeavy = udf((k: String) =>
-      k != null && bc.value.estimateCount(k) >= minCount)
+      k == null || bc.value.estimateCount(k) >= minCount)
     df.filter(maybeHeavy(col(column).cast("string")))
       .groupBy(col(column))
       .agg(count(lit(1)).as("cnt"))

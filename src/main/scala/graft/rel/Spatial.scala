@@ -177,9 +177,15 @@ object Spatial {
             1.5 * math.pow(10.0, -roundDp)
           val resolved = best.filter(col("dist_km") <= bound)
           // unpersist on a derived view is a no-op, so keep the
-          // persisted handle itself for the finally-cleanup
+          // persisted handle itself for the finally-cleanup.
+          // Anti-join on ALL left columns, not just leftId: top1 groups
+          // by every left column, so two distinct left rows sharing an
+          // id resolve independently — keying the remainder on id alone
+          // would drop the unresolved sibling when the other resolved
+          // at an earlier level.
           val unresolved =
-            rem.join(resolved.select(leftId), Seq(leftId), "left_anti").persist()
+            rem.join(resolved.select(leftCols.map(col): _*),
+              leftCols, "left_anti").persist()
           cached += unresolved
           parts += resolved
           if (unresolved.count() == 0L) done = true
@@ -206,9 +212,14 @@ object Spatial {
     * map-side combine, shuffling one long per left row — is exactly
     * argmin by (rounded dist, rightId). One broadcast join on the index
     * recovers the right payload, and `dist_km` is recomputed with the
-    * SAME rounded expression the banded path and the SQL oracles use
-    * (the packed integer is only the selection key, so the output is
-    * bit-identical to the banded formulation). */
+    * SAME rounded expression the banded path and the SQL oracles use.
+    * The packed integer is only the selection key; its floor(x+0.5)
+    * quantization can disagree with round()'s decimal-string HALF_UP by
+    * one quantum on adversarial .5-boundary distances, so path-equality
+    * is exact except for such manufactured ties (Batch15Spec asserts
+    * banded == brute on real data). NaN distances pack above every real
+    * one (see the key expression) instead of 0-casting to a false
+    * minimum. */
   private def bruteForceBroadcast(left: DataFrame, right: DataFrame,
                                   leftId: String, rightId: String,
                                   latL: String, lonL: String,
@@ -220,10 +231,20 @@ object Spatial {
     val scale = math.pow(10.0, roundDp) // powers of 10 are double-exact here
     // HALF_UP for a non-negative double is floor(x + 0.5) — native math,
     // NOT round(x, 0), whose per-row BigDecimal allocation dominates the
-    // 15M-candidate hot loop (measured ~10x on this path)
-    val packed = (floor(haversineKm(col(latL), col(lonL),
-        col(latR), col(lonR)) * lit(scale) + lit(0.5)).cast("long") *
-      lit(8192L) + col("_ridx")).as("_packed")
+    // 15M-candidate hot loop (measured ~10x on this path). The quantized
+    // double can disagree with round()'s decimal-string HALF_UP by one
+    // quantum on adversarial .5-boundary values — below the roundDp the
+    // output is reported at, and the emitted dist_km is recomputed with
+    // round() either way.
+    // NaN distances (asin arg pushed past 1.0 by a degenerate/corrupt
+    // coordinate) must NOT win the argmin via a 0-cast: they pack above
+    // every real distance (max real packed ≈ 1.7e17 < 2^62), keyed by
+    // _ridx so an all-NaN group still returns the lowest rightId — the
+    // same order the banded path's min(struct) gives NaN candidates.
+    val distC = haversineKm(col(latL), col(lonL), col(latR), col(lonR))
+    val packed = when(isnan(distC), lit(4611686018427387904L) + col("_ridx"))
+      .otherwise(floor(distC * lit(scale) + lit(0.5)).cast("long") *
+        lit(8192L) + col("_ridx")).as("_packed")
     // a small left side may plan as one input split; the cross+agg then
     // runs single-task. Repartition ONLY in that case — a left side big
     // enough to have >= defaultParallelism splits never pays a shuffle.

@@ -73,6 +73,26 @@ object Decontaminate {
   def shortEvalContainment(train: DataFrame, eval: DataFrame,
                            idCol: String, textCol: String,
                            k: Int = 8): DataFrame = {
+    val hits = shortEvalHits(train, eval, idCol, textCol, k)
+    val base = train.select(col(idCol).as("_id")).distinct()
+    hits.fold(base.select(col("_id").as(idCol),
+        lit(0L).as("short_hits"), lit(false).as("contaminated_short"))) { h =>
+      base.join(h, Seq("_id"), "left")
+        .select(col("_id").as(idCol),
+          coalesce(col("short_hits"), lit(0L)).as("short_hits"))
+        .withColumn("contaminated_short", col("short_hits") > 0L)
+    }
+  }
+
+  /** The hit kernel of [[shortEvalContainment]]: per-train-doc distinct
+    * short-eval containment counts (`_id`, `short_hits`), HIT ROWS ONLY
+    * — no zero-hit scaffold, so a consumer that only needs the
+    * contaminated ids ([[dropContaminated]]) skips the full-train
+    * distinct+left-join the report shape requires. None when the eval
+    * set has no sub-k rows. */
+  private def shortEvalHits(train: DataFrame, eval: DataFrame,
+                            idCol: String, textCol: String,
+                            k: Int): Option[DataFrame] = {
     require(k >= 2, s"k must be >= 2, got $k")
     val evNorm = eval.select(
         concat_ws(" ", TextFns.tokens(col(textCol))).as("_sh"),
@@ -82,19 +102,11 @@ object Decontaminate {
     // distinct short lengths: bounded by k-1 values, eval side is tiny
     val lens = evNorm.select("_len").distinct().collect()
       .map(_.getInt(0)).sorted
-    val hits = lens.map { l =>
+    lens.map { l =>
         Dedup.shinglesExploded(train, idCol, textCol, l)
           .join(evNorm.filter(col("_len") === l).select("_sh"), "_sh")
       }.reduceOption(_.unionByName(_))
       .map(_.groupBy("_id").agg(count(lit(1)).as("short_hits")))
-    val base = train.select(col(idCol).as("_id")).distinct()
-    hits.fold(base.select(col("_id").as(idCol),
-        lit(0L).as("short_hits"), lit(false).as("contaminated_short"))) { h =>
-      base.join(h, Seq("_id"), "left")
-        .select(col("_id").as(idCol),
-          coalesce(col("short_hits"), lit(0L)).as("short_hits"))
-        .withColumn("contaminated_short", col("short_hits") > 0L)
-    }
   }
 
   /** Drop contaminated training docs (anti-join on the report).
@@ -111,9 +123,12 @@ object Decontaminate {
                        includeShort: Boolean = true): DataFrame = {
     val bad = contaminationReport(train, eval, idCol, textCol, k, threshold)
       .filter(col("contaminated")).select(idCol)
+    // hit ids directly — the report's zero-hit scaffold (full-train
+    // distinct + left join) would be built only to be filtered back out
     val badAll = if (includeShort)
-      bad.unionByName(shortEvalContainment(train, eval, idCol, textCol, k)
-        .filter(col("contaminated_short")).select(idCol))
+      shortEvalHits(train, eval, idCol, textCol, k)
+        .map(h => bad.unionByName(h.select(col("_id").as(idCol))))
+        .getOrElse(bad)
     else bad
     train.join(badAll, Seq(idCol), "left_anti")
   }

@@ -3,10 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Scans every SparkEntry query's physical plan for scale red flags:
-  * cartesian products, degenerated band joins, unpartitioned window
-  * sorts, excessive exchanges. The oracle gate can NOT catch these — a
-  * degenerated self-join still returns correct rows while scanning n² —
-  * so [[audit]] is also asserted by PlanAuditSpec inside `sbt test`.
+  * cartesian products, BroadcastNestedLoopJoins outside the adjudicated
+  * allowlist, and degenerated dedup/LSH band joins; the exchange count
+  * is surfaced per query (PlanAuditSpec asserts a ceiling on it). The
+  * oracle gate can NOT catch these — a degenerated self-join still
+  * returns correct rows while scanning n² — so [[audit]] is asserted by
+  * PlanAuditSpec inside `sbt test`.
   *
   * Run standalone: sbt 'runMain graft.tools.PlanAudit <sfDir>'
   */
@@ -65,7 +67,10 @@ object PlanAudit {
         try auditPlan(name,
           fn(spark, sfDir).queryExecution.executedPlan.toString)
         catch { case e: Throwable =>
-          Audit(name, 0, Nil, Some(e.getMessage))
+          // Option(getMessage): a null-message exception must not turn
+          // into Some(null) and NPE the spec's failure formatting
+          Audit(name, 0, Nil,
+            Some(Option(e.getMessage).getOrElse(e.toString)))
         }
       }
 

@@ -90,6 +90,23 @@ class Batch14Spec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("ivfIndex falls back to the full set when the fit sample is smaller than nlist") {
+    val rnd = new scala.util.Random(9)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // 0.001 of 200 rows samples ~0 vectors — far fewer than nlist=8;
+    // without the fallback KMeans.fit dies with an obscure MLlib error
+    val idx = Similarity.ivfIndex(df, "vec_id", "embedding", nlist = 8,
+      fitFraction = 0.001)
+    val q = vecs(3)._2.map(_.toDouble).toSeq
+    val full = idx.search(q, k = 5, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    idx.unpersist()
+    val brute = Similarity.cosineTopK(df, "embedding", "vec_id", q, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full === brute)
+  }
+
   test("ivf partial probe (nprobe=4 of 16) keeps recall@15 >= 0.9") {
     // 8 well-separated clusters in 32-dim: each point = one-hot-ish
     // center + small deterministic jitter. The query's true top-15 all

@@ -158,4 +158,36 @@ class Batch15Spec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "banded plan must stay keyed")
   }
+
+  test("fast path: a NaN-distance right row never wins the argmin") {
+    // a corrupt NaN coordinate propagates through radians/sin to a NaN
+    // distance (the trig form can also go NaN on adversarial boundary
+    // values via sqrt of an fp-negative). Before the NaN guard that
+    // row's packed key 0-cast into a false minimum for EVERY left row.
+    val left = Seq((1L, 0.0, 0.0)).toDF("lid", "clat", "clon")
+    val right = Seq((10L, 0.0, 1.0), (11L, Double.NaN, 179.0))
+      .toDF("rid", "slat", "slon")
+    val nanCheck = left.crossJoin(right.filter(col("rid") === 11L))
+      .select(Spatial.haversineKm(col("clat"), col("clon"),
+        col("slat"), col("slon")).as("d")).head().getDouble(0)
+    assert(nanCheck.isNaN, "fixture must actually produce a NaN distance")
+    val r = Spatial.nearestByHaversine(left, right, "lid", "rid",
+      "clat", "clon", "slat", "slon").head()
+    assert(r.getAs[Long]("rid") === 10L)
+    assert(!r.getAs[Double]("dist_km").isNaN)
+  }
+
+  test("duplicate left ids with distinct rows each get their own nearest") {
+    // both rows share lid=1: the near-origin row resolves at level 0,
+    // the far row only levels later — the remainder anti-join must key
+    // on ALL left columns or the sibling silently disappears
+    val left = Seq((1L, 0.0, 0.0), (1L, 60.0, 100.0))
+      .toDF("lid", "clat", "clon")
+    val right = Seq((10L, 0.1, 0.1), (11L, 60.5, 100.5))
+      .toDF("rid", "slat", "slon")
+    val out = Spatial.nearestByHaversine(left, right, "lid", "rid",
+      "clat", "clon", "slat", "slon", bandDeg = 1.0)
+      .select("clat", "rid").collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(out == Map(0.0 -> 10L, 60.0 -> 11L))
+  }
 }

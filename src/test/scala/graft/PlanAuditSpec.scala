@@ -26,5 +26,13 @@ class PlanAuditSpec extends SparkSpec {
     val flagged = audits.filter(_.flags.nonEmpty)
     assert(flagged.isEmpty,
       s"plan red flags: ${flagged.map(a => s"${a.name} ${a.flags.mkString(",")}").mkString("; ")}")
+    // exchange-count ceiling: the heaviest adjudicated plans (wilcoxon
+    // 19, spearman/quantiles_exact 18 — aggregate-sized rank-kernel
+    // exchanges, round-9 verdict) sit just under this; a refactor that
+    // suddenly shuffles more than 24 times per query is a regression
+    // even when every shuffle is keyed
+    val heavy = audits.filter(_.exchanges > 24)
+    assert(heavy.isEmpty,
+      s"exchange explosion: ${heavy.map(a => s"${a.name}=${a.exchanges}").mkString("; ")}")
   }
 }

@@ -128,6 +128,16 @@ class RelSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("heavyHittersExact keeps a heavy NULL-key group (nulls bypass the sketch)") {
+    import graft.rel.Sketches
+    val df = (Seq.fill(20)(Option.empty[String]) ++
+      Seq.fill(15)(Option("hot")) ++ (1 to 10).map(i => Option(s"t$i")))
+      .toDF("k")
+    val out = Sketches.heavyHittersExact(df, "k", 15)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(out == Map(None -> 20L, Some("hot") -> 15L))
+  }
+
   test("filterDfFn applies a custom callable predicate via UDF") {
     val df = Seq(1.0, 4.0, 9.0, 16.0).toDF("x")
     val out = Filters.filterDfFn(df, "x", v => math.sqrt(v) % 2 == 0)

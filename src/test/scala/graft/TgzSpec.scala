@@ -203,6 +203,46 @@ class TgzSpec extends SparkSpec {
     assert(e.getMessage.contains("malformed tar numeric field"))
   }
 
+  test("PAX value containing ' size=' text does not masquerade as the size record") {
+    val dest = tmpDir()
+    val arch = new File(dest, "paxtrap.tar").getPath
+    // a comment VALUE embedding ' size=1': substring matching would set
+    // paxSize=1 and desynchronize the walk; strict key parsing must not
+    val rec = {
+      var r = s" comment=x size=1\n"
+      var len = r.length + 2
+      while (s"$len$r".length != len) len = s"$len$r".length
+      s"$len$r".getBytes(StandardCharsets.UTF_8)
+    }
+    val paxOct = f"${rec.length}%011o".getBytes(StandardCharsets.UTF_8)
+    val body = "real-member-body".getBytes(StandardCharsets.UTF_8)
+    val oct = f"${body.length}%011o".getBytes(StandardCharsets.UTF_8)
+    writeTar(arch,
+      rawHeader("pax-head", paxOct, 'x'), rec, pad512(rec),
+      rawHeader("data.bin", oct), body, pad512(body))
+    assert(Tgz.list(arch).map(e => e.name -> e.size) ==
+      Seq("data.bin" -> body.length.toLong))
+    val out = new File(dest, "out")
+    Tgz.extractAll(arch, out.getPath)
+    assert(new String(Files.readAllBytes(Paths.get(out.getPath, "data.bin")),
+      StandardCharsets.UTF_8) == "real-member-body")
+  }
+
+  test("metadata record with an absurd size raises instead of toInt-truncating") {
+    val dest = tmpDir()
+    val arch = new File(dest, "bigmeta.tar").getPath
+    // 'L' long-name record claiming 2^32+16 bytes: toInt truncation
+    // would allocate 16 bytes and desync; the cap must raise cleanly
+    val sf = new Array[Byte](12)
+    sf(0) = 0x80.toByte
+    sf(7) = 1 // big-endian 2^32
+    sf(11) = 16
+    writeTar(arch, rawHeader("ignored", sf, 'L'),
+      new Array[Byte](512))
+    val e = intercept[IllegalArgumentException] { Tgz.list(arch) }
+    assert(e.getMessage.contains("metadata record"))
+  }
+
   test("renameTo with ../ escape is rejected like archive member names") {
     val (_, arch) = buildFixture(gzip = true)
     val dest = tmpDir()
