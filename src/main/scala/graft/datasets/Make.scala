@@ -189,8 +189,11 @@ object Make {
                  period: Int = 24, noise: Double = 0.1,
                  seed: Long = 42L): DataFrame = {
     require(nSeries > 0 && length > 0 && period > 0, "positive sizes required")
-    val sid = (col("id") / length).cast("long")
+    // integral `div`, not `/`: `/` on longs is DOUBLE division, whose
+    // rounded quotient can cross a series boundary once id approaches
+    // 2^53 — div stays exact at any scale
     val t = (col("id") % length).cast("long")
+    val sid = expr(s"id div ${length}L")
     val level = u01(seed, sid, 10) * 100
     val slope = (u01(seed, sid, 11) - 0.5) * 2
     val amp = u01(seed, sid, 12) * 20

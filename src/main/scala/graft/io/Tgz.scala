@@ -257,7 +257,15 @@ object Tgz {
     if ((b(off) & 0x80) != 0) { // GNU base-256, big-endian
       var acc = (b(off) & 0x3FL)
       var i = off + 1
-      while (i < off + len) { acc = (acc << 8) | (b(i) & 0xFFL); i += 1 }
+      while (i < off + len) {
+        // 6 + 11*8 = 94 payload bits overflow a Long: a hostile field
+        // (0x80 then eleven 0xFF) would wrap NEGATIVE, make the padded
+        // size 0 and desynchronize the block walk — reject loudly once
+        // the accumulator leaves the representable (non-negative) range
+        require(acc <= (Long.MaxValue >> 8),
+          s"malformed tar: base-256 numeric field at offset $off overflows")
+        acc = (acc << 8) | (b(i) & 0xFFL); i += 1
+      }
       return acc
     }
     var i = off; var acc = 0L

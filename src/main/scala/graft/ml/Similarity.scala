@@ -57,15 +57,19 @@ object Similarity {
       bucketed: DataFrame, centroids: Array[Array[Double]],
       vecCol: String, idCol: String) {
 
-    def search(query: Seq[Double], k: Int, nprobe: Int = 4): DataFrame = {
-      def cos(a: Seq[Double], b: Array[Double]): Double = {
-        var d = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < math.min(a.length, b.length)) {
-          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-        }
-        d / (math.sqrt(na) * math.sqrt(nb))
+    // driver-side cosine for ranking the (tiny) centroid table — ONE
+    // definition shared by search and searchMany so the per-query and
+    // batched paths can never probe different buckets
+    private def cos(a: Seq[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
       }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    def search(query: Seq[Double], k: Int, nprobe: Int = 4): DataFrame = {
       val probeIds = centroids.zipWithIndex
         .sortBy { case (c, _) => -cos(query, c) }
         .take(nprobe).map(_._2)
@@ -92,14 +96,6 @@ object Similarity {
       * Returns (query_id, idCol, cos), top-k per query, ties by id. */
     def searchMany(queries: Seq[(Long, Seq[Double])], k: Int,
                    nprobe: Int = 4): DataFrame = {
-      def cos(a: Seq[Double], b: Array[Double]): Double = {
-        var d = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < math.min(a.length, b.length)) {
-          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-        }
-        d / (math.sqrt(na) * math.sqrt(nb))
-      }
       // bucket -> queries probing it, as one literal map (bounded:
       // nq * nprobe entries of dim floats)
       val byBucket: Map[Int, Seq[(Long, Seq[Float])]] = queries

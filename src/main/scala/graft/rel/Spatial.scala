@@ -99,19 +99,46 @@ object Spatial {
     def withDist(cand: DataFrame): DataFrame = cand.withColumn("dist_km",
       round(haversineKm(col(latL), col(lonL), col(latR), col(lonR)), roundDp))
 
+    // grouping by every left column and min-ing a struct of every
+    // right column requires orderable types; a map-typed payload on
+    // either side falls back to leftId-keyed semantics (the
+    // pre-round-10 contract: leftId uniquely identifies left rows)
+    def typeOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => typeOrderable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          typeOrderable(a.elementType)
+        case _ => true
+      }
+    val rowKeyable = (left.schema.fields ++ right.schema.fields)
+      .forall(f => typeOrderable(f.dataType))
+
     // per-left-row top-1 as a combinable aggregate: struct comparison
     // is field-order lexicographic, so min(struct(dist, rightId, rest))
     // ≡ ORDER BY dist ASC, rightId ASC LIMIT 1 — with map-side partial
-    // combine, unlike a row_number window over all candidates
-    def top1(cand: DataFrame): DataFrame = {
-      val rest = rightCols.filterNot(_ == rightId)
-      val best = struct(col("dist_km") +: col(rightId) +: rest.map(col): _*)
-      cand.groupBy(leftCols.map(col): _*)
-        .agg(min(best).as("_best"))
-        .select(leftCols.map(col) ++
-          rightCols.map(c => col(s"_best.`$c`")) :+
-          col("_best.dist_km"): _*)
-    }
+    // combine, unlike a row_number window over all candidates. The
+    // unorderable-payload fallback IS that window (correct for any
+    // type, but single-task per leftId group of candidates).
+    def top1(cand: DataFrame): DataFrame =
+      if (rowKeyable) {
+        val rest = rightCols.filterNot(_ == rightId)
+        val best = struct(col("dist_km") +: col(rightId) +: rest.map(col): _*)
+        cand.groupBy(leftCols.map(col): _*)
+          .agg(min(best).as("_best"))
+          .select(leftCols.map(col) ++
+            rightCols.map(c => col(s"_best.`$c`")) :+
+            col("_best.dist_km"): _*)
+      } else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(leftId)
+          .orderBy(col("dist_km").asc, col(rightId).asc)
+        cand.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(leftCols.map(col) ++ rightCols.map(col) :+
+            col("dist_km"): _*)
+      }
 
     val width0 = if (bandDeg > 0) bandDeg else {
       val r = right.agg(count(lit(1)).as("n"),
@@ -124,7 +151,8 @@ object Spatial {
       // broadcast brute-force fast path for a tiny right side
       val bytesPerRow = math.max(1, right.schema.map(_.dataType.defaultSize).sum)
       val bcBytes = broadcastThresholdBytes(left)
-      if (bcBytes > 0 && n <= BruteForceMaxRightRows &&
+      // rowKeyable: the fast path groups by every left column too
+      if (bcBytes > 0 && rowKeyable && n <= BruteForceMaxRightRows &&
           n * bytesPerRow <= bcBytes && roundDp <= 9)
         return bruteForceBroadcast(left, right, leftId, rightId,
           latL, lonL, latR, lonR, roundDp)
@@ -182,10 +210,20 @@ object Spatial {
           // by every left column, so two distinct left rows sharing an
           // id resolve independently — keying the remainder on id alone
           // would drop the unresolved sibling when the other resolved
-          // at an earlier level.
-          val unresolved =
-            rem.join(resolved.select(leftCols.map(col): _*),
-              leftCols, "left_anti").persist()
+          // at an earlier level. NULL-SAFE equality: a plain USING join
+          // never matches a NULL payload value, so such a row would
+          // stay in the remainder after resolving and be emitted again
+          // at every later level. (Unorderable-payload fallback keys on
+          // leftId, matching its leftId-unique contract.)
+          val unresolved = (if (rowKeyable) {
+            val l = rem.as("_ba_l")
+            val res = resolved.select(leftCols.map(col): _*).as("_ba_r")
+            val cond = leftCols.map(c =>
+              col(s"_ba_l.`$c`") <=> col(s"_ba_r.`$c`")).reduce(_ && _)
+            l.join(res, cond, "left_anti")
+          } else {
+            rem.join(resolved.select(leftId), Seq(leftId), "left_anti")
+          }).persist()
           cached += unresolved
           parts += resolved
           if (unresolved.count() == 0L) done = true
@@ -241,9 +279,11 @@ object Spatial {
     // every real distance (max real packed ≈ 1.7e17 < 2^62), keyed by
     // _ridx so an all-NaN group still returns the lowest rightId — the
     // same order the banded path's min(struct) gives NaN candidates.
-    val distC = haversineKm(col(latL), col(lonL), col(latR), col(lonR))
-    val packed = when(isnan(distC), lit(4611686018427387904L) + col("_ridx"))
-      .otherwise(floor(distC * lit(scale) + lit(0.5)).cast("long") *
+    // the distance is PROJECTED once as `_d` before the aggregate: the
+    // when/otherwise key references it twice, and an inline expression
+    // would evaluate the full trig chain twice per candidate
+    val packed = when(isnan(col("_d")), lit(4611686018427387904L) + col("_ridx"))
+      .otherwise(floor(col("_d") * lit(scale) + lit(0.5)).cast("long") *
         lit(8192L) + col("_ridx")).as("_packed")
     // a small left side may plan as one input split; the cross+agg then
     // runs single-task. Repartition ONLY in that case — a left side big
@@ -253,6 +293,8 @@ object Spatial {
       else left
     val best = lsrc.crossJoin(broadcast(rIdx.select(col("_ridx"),
         col(latR), col(lonR))))
+      .withColumn("_d",
+        haversineKm(col(latL), col(lonL), col(latR), col(lonR)))
       .groupBy(left.columns.map(col): _*)
       .agg(min(packed).as("_packed"))
       .withColumn("_ridx", col("_packed") % lit(8192L))
@@ -263,12 +305,8 @@ object Spatial {
         col("dist_km"): _*)
   }
 
-  /** `spark.sql.autoBroadcastJoinThreshold` in bytes (-1 disables). */
-  private def broadcastThresholdBytes(df: DataFrame): Long = {
-    val raw = df.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
-    if (raw.startsWith("-")) -1L
-    else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
-    catch { case _: Throwable => 10L * 1024 * 1024 }
-  }
+  /** `spark.sql.autoBroadcastJoinThreshold` in bytes (<= 0 disables) —
+    * Spark's own typed accessor, not a re-parse of the byte-string. */
+  private def broadcastThresholdBytes(df: DataFrame): Long =
+    df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
 }

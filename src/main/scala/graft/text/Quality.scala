@@ -193,7 +193,6 @@ object Quality {
                                 weights: Map[String, Double],
                                 caps: Map[String, Long] = Map.empty)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(totalBudget > 0, "total budget must be positive")
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.values.forall(_ >= 0.0), "weights must be >= 0")
@@ -203,7 +202,19 @@ object Quality {
       val share = math.floor(totalBudget.toDouble * (wgt / sumW)).toLong
       src -> math.min(share, caps.getOrElse(src, Long.MaxValue))
     }
-    val budgetExpr = budgets.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+    applyBudgets(df, idCol, sourceCol, scoreCol, tokenCol, budgets.toSeq)
+  }
+
+  /** Shared selection rule of the global/temperature mixers: the
+    * per-source budget table joins as a literal CASE chain, zero-budget
+    * sources drop, and each source keeps its (score desc, id asc)-best
+    * docs until the first one over the line. ONE place owns the
+    * boundary semantics so the mixing APIs cannot drift apart. */
+  private def applyBudgets(df: DataFrame, idCol: String, sourceCol: String,
+                           scoreCol: String, tokenCol: String,
+                           budgets: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgetExpr = budgets.sortBy(_._1).foldLeft(lit(0L)) {
       case (acc, (src, b)) =>
         when(col(sourceCol) === lit(src), lit(b)).otherwise(acc)
     }
@@ -237,33 +248,25 @@ object Quality {
                                      alpha: Double,
                                      caps: Map[String, Long] = Map.empty)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(totalBudget > 0, "total budget must be positive")
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
     val wdf = df.groupBy(col(sourceCol).as("_src"))
       .agg(sum(col(tokenCol)).as("_t"))
       .select(col("_src"),
         round(pow(col("_t").cast("double"), lit(alpha)), 9).as("_w"))
-    // bounded driver materialization: one row per source
-    val sumW = wdf.agg(round(sum(col("_w")), 9)).head().getDouble(0)
-    require(sumW > 0.0, "no tokens to mix")
+    // bounded driver materialization: one row per source. sum over an
+    // EMPTY weight table aggregates to NULL — surface that as the
+    // designed error, not a getDouble NPE
+    val sumWRow = wdf.agg(round(sum(col("_w")), 9)).head()
+    require(!sumWRow.isNullAt(0) && sumWRow.getDouble(0) > 0.0,
+      "no tokens to mix")
+    val sumW = sumWRow.getDouble(0)
     val budgets = wdf.select(col("_src"),
         floor(lit(totalBudget.toDouble) * (col("_w") / lit(sumW)))
           .cast("long").as("_b"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .map { case (src, b) => src -> math.min(b, caps.getOrElse(src, Long.MaxValue)) }
-    val budgetExpr = budgets.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (src, b)) =>
-        when(col(sourceCol) === lit(src), lit(b)).otherwise(acc)
-    }
-    val w = Window.partitionBy(sourceCol)
-      .orderBy(col(scoreCol).desc, col(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_bud", budgetExpr)
-      .filter(col("_bud") > 0L)
-      .withColumn("_cum", sum(col(tokenCol)).over(w))
-      .filter(col("_cum") - col(tokenCol) < col("_bud"))
-      .drop("_bud", "_cum")
+    applyBudgets(df, idCol, sourceCol, scoreCol, tokenCol, budgets.toSeq)
   }
 }

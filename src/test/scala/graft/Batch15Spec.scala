@@ -177,6 +177,34 @@ class Batch15Spec extends SparkSpec {
     assert(!r.getAs[Double]("dist_km").isNaN)
   }
 
+  test("banded path: a NULL payload column does not duplicate the row across levels") {
+    // the remainder anti-join must be NULL-SAFE: with plain equality a
+    // resolved row carrying a NULL never matches itself, stays in the
+    // remainder, and is re-emitted at every wider level
+    val left = Seq((1L, 0.0, 0.0, Option.empty[String]),
+        (2L, 10.0, 10.0, Option("ok")))
+      .toDF("lid", "clat", "clon", "tag")
+    val right = Seq((10L, 0.1, 0.1), (11L, 10.1, 10.1))
+      .toDF("rid", "slat", "slon")
+    val out = Spatial.nearestByHaversine(left, right, "lid", "rid",
+        "clat", "clon", "slat", "slon", bandDeg = 1.0)
+      .select("lid", "rid").collect()
+    assert(out.length == 2, s"expected 2 rows, got ${out.toSeq}")
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toSet ==
+      Set(1L -> 10L, 2L -> 11L))
+  }
+
+  test("unorderable (map) payload falls back to leftId-keyed semantics") {
+    val left = Seq((1L, 0.0, 0.0)).toDF("lid", "clat", "clon")
+    val right = Seq((10L, 0.0, 1.0, Map("a" -> "b")),
+        (11L, 0.0, 5.0, Map("c" -> "d")))
+      .toDF("rid", "slat", "slon", "tags")
+    val r = Spatial.nearestByHaversine(left, right, "lid", "rid",
+      "clat", "clon", "slat", "slon").head()
+    assert(r.getAs[Long]("rid") === 10L)
+    assert(r.getAs[Map[String, String]]("tags") == Map("a" -> "b"))
+  }
+
   test("duplicate left ids with distinct rows each get their own nearest") {
     // both rows share lid=1: the near-origin row resolves at level 0,
     // the far row only levels later — the remainder anti-join must key
