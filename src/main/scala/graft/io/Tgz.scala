@@ -170,16 +170,32 @@ object Tgz {
             // name/size; 'g' records are archive-wide defaults (POSIX)
             // and must not rename whichever member happens to come next
             if (typeflag == 'x') {
-              val s = new String(buf, StandardCharsets.UTF_8)
-              s.split("\n").foreach { line =>
-                // POSIX record: "LEN key=value". Parse the key strictly
-                // — a VALUE whose text contains ' size=' must not
-                // masquerade as the size record.
-                val sp = line.indexOf(' ')
-                val eq = line.indexOf('=', sp + 1)
-                if (sp >= 0 && eq > sp) {
-                  val key = line.substring(sp + 1, eq)
-                  val v = line.substring(eq + 1)
+              // POSIX record: "LEN key=value\n" where LEN counts the
+              // WHOLE record (digits, space, trailing newline). Records
+              // must be consumed by LEN, not split on '\n' — values may
+              // legally contain newlines, and a line-split would let
+              // "…=x\n10 size=99\n" inside one VALUE masquerade as a
+              // size record and desynchronize the block walk.
+              var off = 0
+              while (off < buf.length) {
+                var sp = off
+                while (sp < buf.length && buf(sp) != ' '.toByte) sp += 1
+                val digits = sp - off
+                require(digits > 0 && digits <= 7 && sp < buf.length &&
+                    (off until sp).forall(i => buf(i) >= '0'.toByte &&
+                      buf(i) <= '9'.toByte),
+                  "malformed tar: PAX record length")
+                val len =
+                  new String(buf, off, digits, StandardCharsets.US_ASCII).toInt
+                require(len > digits + 1 && off + len <= buf.length &&
+                    buf(off + len - 1) == '\n'.toByte,
+                  s"malformed tar: PAX record length $len")
+                val rec = new String(buf, sp + 1, off + len - 1 - (sp + 1),
+                  StandardCharsets.UTF_8)
+                val eq = rec.indexOf('=')
+                if (eq > 0) {
+                  val key = rec.substring(0, eq)
+                  val v = rec.substring(eq + 1)
                   if (key == "path") paxPath = v
                   else if (key == "size") {
                     // overrides the header field for >= 8 GiB members
@@ -190,6 +206,7 @@ object Tgz {
                     paxSize = v.toLong
                   }
                 }
+                off += len
               }
             }
           case c if c == '0' || c == 0.toChar => // regular file

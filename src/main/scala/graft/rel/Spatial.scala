@@ -37,6 +37,13 @@ object Spatial {
     * admit. */
   private val BruteForceMaxRightRows = 8192L
 
+  /** An internal working-column name guaranteed absent from the user's
+    * schemas: `withColumn` silently REPLACES an existing column, so a
+    * left table that happens to carry e.g. `_d` would otherwise have
+    * its data overwritten by the scratch distance column. */
+  private def fresh(base: String, taken: Set[String]): String =
+    Iterator.iterate(base)(_ + "_").dropWhile(taken).next()
+
   /** For each left row, the EXACT nearest right row by haversine
     * distance — banded internally, never a cartesian product.
     *
@@ -95,6 +102,11 @@ object Spatial {
     require(bandDeg <= 180, s"bandDeg must be <= 180, got $bandDeg")
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
+    val taken = (leftCols ++ rightCols).toSet
+    val bestC = fresh("_best", taken)
+    val rnC = fresh("_rn", taken)
+    val hbC = fresh("_hb", taken)
+    val hb0C = fresh("_hb0", taken + hbC)
 
     def withDist(cand: DataFrame): DataFrame = cand.withColumn("dist_km",
       round(haversineKm(col(latL), col(lonL), col(latR), col(lonR)), roundDp))
@@ -102,18 +114,12 @@ object Spatial {
     // grouping by every left column and min-ing a struct of every
     // right column requires orderable types; a map-typed payload on
     // either side falls back to leftId-keyed semantics (the
-    // pre-round-10 contract: leftId uniquely identifies left rows)
-    def typeOrderable(dt: org.apache.spark.sql.types.DataType): Boolean =
-      dt match {
-        case _: org.apache.spark.sql.types.MapType => false
-        case s: org.apache.spark.sql.types.StructType =>
-          s.fields.forall(f => typeOrderable(f.dataType))
-        case a: org.apache.spark.sql.types.ArrayType =>
-          typeOrderable(a.elementType)
-        case _ => true
-      }
+    // pre-round-10 contract: leftId uniquely identifies left rows).
+    // Catalyst's own orderability rule, not a hand-rolled re-derivation
+    // that could drift from the engine (UDTs, future types).
     val rowKeyable = (left.schema.fields ++ right.schema.fields)
-      .forall(f => typeOrderable(f.dataType))
+      .forall(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
 
     // per-left-row top-1 as a combinable aggregate: struct comparison
     // is field-order lexicographic, so min(struct(dist, rightId, rest))
@@ -126,16 +132,16 @@ object Spatial {
         val rest = rightCols.filterNot(_ == rightId)
         val best = struct(col("dist_km") +: col(rightId) +: rest.map(col): _*)
         cand.groupBy(leftCols.map(col): _*)
-          .agg(min(best).as("_best"))
+          .agg(min(best).as(bestC))
           .select(leftCols.map(col) ++
-            rightCols.map(c => col(s"_best.`$c`")) :+
-            col("_best.dist_km"): _*)
+            rightCols.map(c => col(s"`$bestC`.`$c`")) :+
+            col(s"`$bestC`.dist_km"): _*)
       } else {
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(leftId)
           .orderBy(col("dist_km").asc, col(rightId).asc)
-        cand.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1)
+        cand.withColumn(rnC, row_number().over(w))
+          .filter(col(rnC) === 1)
           .select(leftCols.map(col) ++ rightCols.map(col) :+
             col("dist_km"): _*)
       }
@@ -172,12 +178,12 @@ object Spatial {
       Iterator.iterate(width0)(_ * 4).takeWhile(_ < 180.0).toSeq :+ 180.0
 
     def level(l: DataFrame, width: Double): DataFrame = {
-      val rb = right.withColumn("_hb", floor(col(latR) / width).cast("long"))
+      val rb = right.withColumn(hbC, floor(col(latR) / width).cast("long"))
       val cand = l
-        .withColumn("_hb0", floor(col(latL) / width).cast("long"))
-        .withColumn("_hb",
-          explode(array(col("_hb0") - 1, col("_hb0"), col("_hb0") + 1)))
-        .join(rb, "_hb")
+        .withColumn(hb0C, floor(col(latL) / width).cast("long"))
+        .withColumn(hbC,
+          explode(array(col(hb0C) - 1, col(hb0C), col(hb0C) + 1)))
+        .join(rb, hbC)
       top1(withDist(cand))
     }
 
@@ -264,7 +270,11 @@ object Spatial {
                                   latR: String, lonR: String,
                                   roundDp: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rIdx = right.withColumn("_ridx",
+    val taken = (left.columns ++ right.columns).toSet
+    val ridxC = fresh("_ridx", taken)
+    val dC = fresh("_d", taken + ridxC)
+    val packedC = fresh("_packed", taken + ridxC + dC)
+    val rIdx = right.withColumn(ridxC,
       (row_number().over(Window.orderBy(col(rightId))) - 1).cast("long"))
     val scale = math.pow(10.0, roundDp) // powers of 10 are double-exact here
     // HALF_UP for a non-negative double is floor(x + 0.5) — native math,
@@ -282,23 +292,23 @@ object Spatial {
     // the distance is PROJECTED once as `_d` before the aggregate: the
     // when/otherwise key references it twice, and an inline expression
     // would evaluate the full trig chain twice per candidate
-    val packed = when(isnan(col("_d")), lit(4611686018427387904L) + col("_ridx"))
-      .otherwise(floor(col("_d") * lit(scale) + lit(0.5)).cast("long") *
-        lit(8192L) + col("_ridx")).as("_packed")
+    val packed = when(isnan(col(dC)), lit(4611686018427387904L) + col(ridxC))
+      .otherwise(floor(col(dC) * lit(scale) + lit(0.5)).cast("long") *
+        lit(8192L) + col(ridxC)).as(packedC)
     // a small left side may plan as one input split; the cross+agg then
     // runs single-task. Repartition ONLY in that case — a left side big
     // enough to have >= defaultParallelism splits never pays a shuffle.
     val par = left.sparkSession.sparkContext.defaultParallelism
     val lsrc = if (left.rdd.getNumPartitions < par) left.repartition(par)
       else left
-    val best = lsrc.crossJoin(broadcast(rIdx.select(col("_ridx"),
+    val best = lsrc.crossJoin(broadcast(rIdx.select(col(ridxC),
         col(latR), col(lonR))))
-      .withColumn("_d",
+      .withColumn(dC,
         haversineKm(col(latL), col(lonL), col(latR), col(lonR)))
       .groupBy(left.columns.map(col): _*)
-      .agg(min(packed).as("_packed"))
-      .withColumn("_ridx", col("_packed") % lit(8192L))
-    best.join(broadcast(rIdx), "_ridx")
+      .agg(min(packed).as(packedC))
+      .withColumn(ridxC, col(packedC) % lit(8192L))
+    best.join(broadcast(rIdx), ridxC)
       .withColumn("dist_km",
         round(haversineKm(col(latL), col(lonL), col(latR), col(lonR)), roundDp))
       .select(left.columns.map(col) ++ right.columns.map(col) :+

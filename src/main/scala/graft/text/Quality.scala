@@ -214,6 +214,12 @@ object Quality {
                            scoreCol: String, tokenCol: String,
                            budgets: Seq[(String, Long)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // a null source name can never match the equality CASE chain below
+    // (NULL === x is NULL → budget 0 → dropped), and Ordering[String]
+    // NPEs on null keys — reject it as a caller error rather than
+    // letting one null-sourced row crash the sortBy
+    require(budgets.forall(_._1 != null),
+      "budget source names must be non-null (null-source rows are never selected)")
     val budgetExpr = budgets.sortBy(_._1).foldLeft(lit(0L)) {
       case (acc, (src, b)) =>
         when(col(sourceCol) === lit(src), lit(b)).otherwise(acc)
@@ -250,7 +256,12 @@ object Quality {
       : DataFrame = {
     require(totalBudget > 0, "total budget must be positive")
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
-    val wdf = df.groupBy(col(sourceCol).as("_src"))
+    // null-source rows can never win budget (the selection CASE chain
+    // is an equality match), so excluding them here keeps their tokens
+    // out of the weight normalization too — otherwise they would
+    // deflate every real source's share while being unselectable
+    val wdf = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("_src"))
       .agg(sum(col(tokenCol)).as("_t"))
       .select(col("_src"),
         round(pow(col("_t").cast("double"), lit(alpha)), 9).as("_w"))

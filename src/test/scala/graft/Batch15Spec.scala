@@ -206,12 +206,16 @@ class Batch15Spec extends SparkSpec {
   }
 
   test("duplicate left ids with distinct rows each get their own nearest") {
-    // both rows share lid=1: the near-origin row resolves at level 0,
-    // the far row only levels later — the remainder anti-join must key
-    // on ALL left columns or the sibling silently disappears
+    // both rows share lid=1: the near-origin row resolves at level 0
+    // (15.7 km < the 111.19 km width-1° bound), while the far row's
+    // only in-ring candidate sits ~240 km away — OVER the level-0
+    // bound, so it must graduate through the remainder anti-join and
+    // resolve at the 4°-wide level 1 (bound ≈ 445 km). The anti-join
+    // must key on ALL left columns or the graduating sibling silently
+    // disappears when its id-twin resolved a level earlier.
     val left = Seq((1L, 0.0, 0.0), (1L, 60.0, 100.0))
       .toDF("lid", "clat", "clon")
-    val right = Seq((10L, 0.1, 0.1), (11L, 60.5, 100.5))
+    val right = Seq((10L, 0.1, 0.1), (11L, 60.9, 104.0))
       .toDF("rid", "slat", "slon")
     val out = Spatial.nearestByHaversine(left, right, "lid", "rid",
       "clat", "clon", "slat", "slon", bandDeg = 1.0)

@@ -161,6 +161,22 @@ class Batch19Spec extends SparkSpec {
     assert(keptTokens(0.5) == Map("big" -> 700L, "small" -> 400L))
   }
 
+  test("temperature mixer: null-source rows neither crash nor deflate real shares") {
+    // a null source can never match the selection CASE chain, so its
+    // tokens must stay out of the weight normalization too — and the
+    // null group must not NPE the driver-side budget sort
+    val d = Seq((Some("a"), 1L, 0.9, 400L), (Some("a"), 2L, 0.8, 400L),
+        (Some("b"), 3L, 0.9, 400L), (Some("b"), 4L, 0.8, 400L),
+        (Option.empty[String], 5L, 1.0, 9000L))
+      .toDF("source", "doc_id", "score", "n_tokens")
+    val kept = graft.text.Quality.selectByTokenBudgetTemperature(d, "doc_id",
+        "source", "score", "n_tokens", totalBudget = 800L, alpha = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    // weights a:b = 800:800 -> 400 each (the 9000 null tokens ignored);
+    // each source keeps its first doc exactly at the line
+    assert(kept == Set(1L, 3L))
+  }
+
   test("shortEvalContainment catches a 3-token eval string the k-gram report misses") {
     val train = Seq(
       ("doc-a", "alpha beta gamma delta epsilon zeta"),

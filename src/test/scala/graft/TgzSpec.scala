@@ -228,6 +228,34 @@ class TgzSpec extends SparkSpec {
       StandardCharsets.UTF_8) == "real-member-body")
   }
 
+  test("PAX value with an embedded newline cannot fake a size record") {
+    val dest = tmpDir()
+    val arch = new File(dest, "paxnl.tar").getPath
+    // POSIX allows newlines INSIDE a value (LEN covers them). A
+    // line-split parser would see the second line "10 size=99" as its
+    // own record and desynchronize the walk; the LEN-prefix walk must
+    // treat the whole thing as one comment record.
+    val inner = "10 size=99\n"
+    val rec = {
+      var r = s" comment=x\n$inner"
+      var len = r.length + 2
+      while (s"$len$r".length != len) len = s"$len$r".length
+      s"$len$r".getBytes(StandardCharsets.UTF_8)
+    }
+    val paxOct = f"${rec.length}%011o".getBytes(StandardCharsets.UTF_8)
+    val body = "true-body".getBytes(StandardCharsets.UTF_8)
+    val oct = f"${body.length}%011o".getBytes(StandardCharsets.UTF_8)
+    writeTar(arch,
+      rawHeader("pax-head", paxOct, 'x'), rec, pad512(rec),
+      rawHeader("data.bin", oct), body, pad512(body))
+    assert(Tgz.list(arch).map(e => e.name -> e.size) ==
+      Seq("data.bin" -> body.length.toLong))
+    val out = new File(dest, "out")
+    Tgz.extractAll(arch, out.getPath)
+    assert(new String(Files.readAllBytes(Paths.get(out.getPath, "data.bin")),
+      StandardCharsets.UTF_8) == "true-body")
+  }
+
   test("metadata record with an absurd size raises instead of toInt-truncating") {
     val dest = tmpDir()
     val arch = new File(dest, "bigmeta.tar").getPath
