@@ -117,5 +117,16 @@ object GfFrame {
         : Fluent =
       new Fluent(graft.text.Quality.selectByTokenBudgetTemperature(df,
         idCol, sourceCol, scoreCol, tokenCol, totalBudget, alpha, caps))
+    def chunkByTokens(idCol: String, textCol: String,
+                      chunkTokens: Int = 32, overlapTokens: Int = 8): Fluent =
+      new Fluent(graft.text.Chunk.chunkByTokens(df, idCol, textCol,
+        chunkTokens, overlapTokens))
+    def dedupLinesAcrossCorpus(idCol: String, textCol: String, minDf: Long,
+                               splitRe: String = "\n",
+                               joinSep: String = "\n"): Fluent =
+      new Fluent(graft.text.Chunk.dedupLinesAcrossCorpus(df, idCol, textCol,
+        minDf, splitRe, joinSep))
+    def dedupByUrl(idCol: String, urlCol: String): Fluent =
+      new Fluent(graft.text.Urls.dedupByUrl(df, idCol, urlCol))
   }
 }

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus restructuring for LLM training pipelines: token-window
+  * document chunking and C4-style cross-corpus line deduplication.
+  *
+  * Reference anchor: the reference's text featurization utilities stop
+  * at per-document stats (gofast/utils/text.py); these two operators
+  * cover the corpus-preparation steps a training pipeline needs before
+  * tokenization — splitting long documents into model-window-sized
+  * chunks, and stripping boilerplate lines that repeat across many
+  * documents (the C4/RefinedWeb "line appears in >= N documents" rule).
+  *
+  * Scale design: both are single-explode plans. Chunking is a pure
+  * Generator (explode over a per-row `sequence`) with zero shuffles.
+  * Line dedup shuffles twice — once to count distinct-document
+  * frequency per normalized line (two-phase, map-side partial), once to
+  * reassemble documents keyed by id; the removal set it anti-joins
+  * against holds ONLY lines at/above the frequency threshold, which is
+  * tiny by construction (heavy boilerplate), so AQE broadcasts it.
+  */
+object Chunk {
+
+  /** Split each document into whitespace-token windows of
+    * `chunkTokens` tokens advancing by `chunkTokens - overlapTokens`
+    * (so consecutive chunks share `overlapTokens` tokens — the
+    * standard RAG/pre-training windowing rule).
+    *
+    * Chunk count is `max(1, ceil((n - overlap) / stride))`: every
+    * token lands in at least one chunk, a document at or under the
+    * window size yields exactly one chunk, and no chunk starts past
+    * the last token. All window math is double-division + ceil so an
+    * external SQL engine replays it bit-identically (exact well past
+    * any real document length).
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_tokens), one row per
+    * chunk, `chunk_id` 0-based in token order. No shuffle: the plan is
+    * project + generate.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int = 32, overlapTokens: Int = 8)
+      : DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks).cast("long")
+    val nChunks = greatest(lit(1L),
+      ceil((n - lit(overlapTokens.toLong)).cast("double") /
+        lit(stride.toDouble)).cast("long"))
+    val start = col("_ci") * lit(stride.toLong)
+    val slice_ = slice(col("_toks"), (start + 1L).cast("int"),
+      lit(chunkTokens))
+    df.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))
+      .withColumn("_ci", explode(sequence(lit(0L), col("_nc") - 1L)))
+      .select(col(idCol), col("_ci").as("chunk_id"),
+        array_join(slice_, " ").as("chunk_text"),
+        size(slice_).cast("long").as("n_tokens"))
+  }
+
+  /** Remove every line whose normalized text appears in at least
+    * `minDf` distinct documents (C4's boilerplate rule: navigation
+    * menus, cookie banners and licence footers repeat across a large
+    * fraction of a crawl), preserving the order of surviving lines.
+    *
+    * `splitRe` is the line-delimiter REGEX (default newline) and
+    * `joinSep` the literal separator surviving lines are rejoined
+    * with. Lines are normalized by `trim` for counting and matching;
+    * blank lines never count toward document frequency and are always
+    * kept (they carry document structure, not boilerplate).
+    *
+    * Documents whose every line is boilerplate stay in the output with
+    * an empty `text_clean` — dropping is the caller's policy decision
+    * (`n_kept = 0` makes it a one-filter follow-up).
+    *
+    * Output: (idCol, text_clean, n_kept, n_removed).
+    */
+  def dedupLinesAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
+                             minDf: Long, splitRe: String = "\n",
+                             joinSep: String = "\n"): DataFrame = {
+    require(minDf > 0, s"minDf must be > 0, got $minDf")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), splitRe)).as(Seq("_pos", "_line")))
+    // the removal set: ONLY lines at/above the threshold survive this
+    // aggregate, so the anti-join's build side is bounded by the
+    // boilerplate vocabulary, not the corpus
+    val removal = lines.filter(trim(col("_line")) =!= "")
+      .groupBy(trim(col("_line")).as("_norm"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select("_norm")
+    val kept = lines.join(removal,
+      trim(lines("_line")) === removal("_norm"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            x => x("_line")),
+          joinSep).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    // left join back so fully-boilerplate documents surface with an
+    // empty text instead of silently disappearing
+    val nLines = size(split(col(textCol), splitRe)).cast("long")
+    df.select(col(idCol), nLines.as("_ntot"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_ntot") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+}

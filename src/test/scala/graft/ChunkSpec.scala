@@ -1,0 +1,68 @@
+package graft
+
+import graft.text.Chunk
+
+class ChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkByTokens: short, exact-fit, and clipped-tail documents") {
+    val df = Seq(
+      (1L, "a b c"),                                  // 3 < 32 -> 1 chunk
+      (2L, (1 to 32).map(i => s"t$i").mkString(" ")), // exact fit -> 1
+      (3L, (1 to 33).map(i => s"t$i").mkString(" ")), // 33 -> 2 chunks
+      (4L, (1 to 80).map(i => s"t$i").mkString(" "))  // 80 -> 3 chunks
+    ).toDF("doc_id", "text")
+    val out = Chunk.chunkByTokens(df, "doc_id", "text",
+        chunkTokens = 32, overlapTokens = 8)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    assert(out.count(_._1 == 1L) == 1 && out.count(_._2 == 0L) == 4)
+    assert(out.count(_._1 == 2L) == 1)
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.length == 2)
+    // stride 24: chunk 1 spans tokens 25..33 (9 tokens), sharing
+    // tokens 25..32 with chunk 0's tail
+    assert(d3(1)._3 == (25 to 33).map(i => s"t$i").mkString(" "))
+    assert(d3(1)._4 == 9L)
+    val d4 = out.filter(_._1 == 4L)
+    assert(d4.map(_._4).toSeq == Seq(32L, 32L, 32L)) // 48+32 = 80 exact
+    // every token appears in at least one chunk
+    val covered = d4.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 80).map(i => s"t$i").toSet)
+  }
+
+  test("chunkByTokens rejects a degenerate overlap") {
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Chunk.chunkByTokens(df, "doc_id", "text",
+        chunkTokens = 8, overlapTokens = 8)
+    }
+  }
+
+  test("dedupLinesAcrossCorpus removes corpus-frequent lines, keeps order and blanks") {
+    val df = Seq(
+      (1L, "cookie banner\nreal content one\n\nunique tail"),
+      (2L, "cookie banner\nreal content two"),
+      (3L, "  cookie banner \nanother body"), // trim-normalized match
+      (4L, "cookie banner")                   // fully boilerplate
+    ).toDF("doc_id", "text")
+    val out = Chunk.dedupLinesAcrossCorpus(df, "doc_id", "text", minDf = 3L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    // "cookie banner" hits 4 of 4 docs -> removed everywhere; blank
+    // line in doc 1 survives (blanks never count as boilerplate)
+    assert(out(0) == ((1L, "real content one\n\nunique tail", 3L, 1L)))
+    assert(out(1) == ((2L, "real content two", 1L, 1L)))
+    assert(out(2) == ((3L, "another body", 1L, 1L)))
+    // a fully-boilerplate doc stays, empty, rather than vanishing
+    assert(out(3) == ((4L, "", 0L, 1L)))
+  }
+
+  test("dedupLinesAcrossCorpus below-threshold lines all survive") {
+    val df = Seq((1L, "x\ny"), (2L, "x\nz")).toDF("doc_id", "text")
+    val out = Chunk.dedupLinesAcrossCorpus(df, "doc_id", "text", minDf = 3L)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, "x\ny", 2L, 0L), (2L, "x\nz", 2L, 0L)))
+  }
+}
