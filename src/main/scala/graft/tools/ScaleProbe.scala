@@ -60,7 +60,7 @@ object ScaleProbe {
 
     def pipelines(df: DataFrame): Seq[(String, Double, Long)] = {
       val cached = df.persist()
-      cached.count() // materialize input outside the timed region
+      val nDocs = cached.count() // materialize input outside the timed region
       val out = Seq(
         time("minhash_pairs") {
           Dedup.minhashPairs(cached, "doc_id", "text").count()
@@ -77,6 +77,14 @@ object ScaleProbe {
         time("pii_redact") {
           Redact.redactDocuments(cached, "text")
             .agg(sum(length(col("text_redacted")))).head(); cached.count()
+        },
+        time("line_dedup") {
+          // threshold derived from the replicated corpus size so the
+          // removal set stays the same FRACTION of the vocabulary at
+          // every multiplier (parameter derivation, not timed work —
+          // the count is already materialized above)
+          graft.text.Chunk.dedupLinesAcrossCorpus(cached, "doc_id", "text",
+            minDf = nDocs * 4L / 5L, splitRe = " ", joinSep = " ").count()
         })
       cached.unpersist()
       out

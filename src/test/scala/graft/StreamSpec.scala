@@ -170,6 +170,31 @@ class StreamSpec extends SparkSpec {
     assert(out(2L) == "see [URL] ok")
   }
 
+  test("chunkByTokens and normalizeUrl compose with a stream: generator/projection, append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    // chunking is scan -> generate -> project and URL canonicalization a
+    // pure projection, so both run unchanged on an unbounded stream —
+    // no state store, no watermark, append mode
+    val df = graft.text.Chunk.chunkByTokens(
+        in.toDF().toDF("doc_id", "text", "url"),
+        "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+    val q = df.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode(OutputMode.Append).start()
+    val urls = in.toDF().toDF("doc_id", "text", "url")
+      .withColumn("url_norm", graft.text.Urls.normalizeUrl(col("url")))
+    val q2 = urls.writeStream.format("memory").queryName("url_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, "a b c d e f", "HTTPS://www.E.com/x?utm_s=1#f"))
+    q.processAllAvailable(); q2.processAllAvailable()
+    val chunks = spark.table("chunk_stream")
+      .select("chunk_id", "chunk_text").as[(Long, String)].collect().toMap
+    val norm = spark.table("url_stream").select("url_norm").as[String].head()
+    q.stop(); q2.stop()
+    assert(chunks == Map(0L -> "a b c d", 1L -> "d e f")) // stride 3
+    assert(norm == "https://e.com/x")
+  }
+
   test("contaminatedIds flags streaming docs overlapping the eval set") {
     implicit val sqlCtx = spark.sqlContext
     val eval = Seq(
