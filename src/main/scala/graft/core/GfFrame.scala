@@ -128,5 +128,9 @@ object GfFrame {
         minDf, splitRe, joinSep))
     def dedupByUrl(idCol: String, urlCol: String): Fluent =
       new Fluent(graft.text.Urls.dedupByUrl(df, idCol, urlCol))
+    def maskDuplicateSpans(idCol: String, textCol: String,
+                           k: Int = 50, minOccur: Int = 2): Fluent =
+      new Fluent(graft.text.Chunk.maskDuplicateSpans(df, idCol, textCol,
+        k, minOccur))
   }
 }

@@ -63,6 +63,18 @@ object Batch24Entries {
         ).as("url"))
       graft.text.Urls.urlDupGroups(urls, "id", "url")
         .orderBy("url_norm")
+    }),
+
+    // Chunk.maskDuplicateSpans: exact-substring dedup (Lee et al.) at
+    // k=3 over the 31-word-vocabulary documents table — thousands of
+    // corpus-repeated 3-grams at every sf, so island merging, cross-
+    // and within-document occurrences and fully-removed docs all
+    // happen in the data. The oracle replays the md5 span identity,
+    // the running-max island window and the ordered reassembly.
+    "span_dedup" -> ((s, dir) => {
+      graft.text.Chunk.maskDuplicateSpans(T.documents(s, dir),
+          "doc_id", "text", k = 3, minOccur = 2)
+        .orderBy("doc_id")
     })
   )
 
@@ -162,6 +174,59 @@ object Batch24Entries {
         |SELECT url_norm, MIN(id) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM n GROUP BY url_norm
-        |ORDER BY url_norm""".stripMargin
+        |ORDER BY url_norm""".stripMargin,
+
+    "span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, CAST(unnest(range(1, len(toks) - 3 + 2)) AS BIGINT)
+        |    AS s, toks
+        |  FROM d WHERE len(toks) >= 3),
+        |h AS (
+        |  SELECT doc_id, s,
+        |    md5(array_to_string(list_slice(toks, s, s + 2), ' ')) AS hh
+        |  FROM st),
+        |f AS (SELECT hh FROM h GROUP BY hh HAVING count(*) >= 2),
+        |occ AS (
+        |  SELECT doc_id, s, s + 2 AS e FROM h
+        |  WHERE hh IN (SELECT hh FROM f)),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < s
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM occ),
+        |g AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |  FROM isl),
+        |m AS (
+        |  SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+        |  FROM g GROUP BY doc_id, isl_id),
+        |rp AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM m),
+        |tk AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS pos
+        |  FROM d),
+        |kp AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM tk t
+        |  LEFT JOIN rp ON rp.doc_id = t.doc_id AND rp.pos = t.pos
+        |  WHERE rp.doc_id IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_deduped,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(agg.text_deduped, '') AS text_deduped,
+        |  COALESCE(agg.n_kept, 0) AS n_kept,
+        |  d.n - COALESCE(agg.n_kept, 0) AS n_removed
+        |FROM d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -61,6 +61,86 @@ object Chunk {
         size(slice_).cast("long").as("n_tokens"))
   }
 
+  /** Remove every occurrence of a k-token span that appears at least
+    * `minOccur` times across the corpus (the exact-substring dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" — repeated spans are what language models memorize).
+    *
+    * Plan, all keyed shuffles:
+    *  1. one row per span start via `transform(sequence)` + explode —
+    *     span identity is `md5` of the space-joined k-slice (portable
+    *     across engines; a rolling hash is the constant-factor upgrade
+    *     path at very long documents);
+    *  2. corpus-wide span counts, filtered to `>= minOccur` — the
+    *     surviving set is bounded by repeated content, not corpus
+    *     size;
+    *  3. occurrences of surviving spans become [start, start+k)
+    *     intervals, merged per document with the classic
+    *     island-and-gap window (running max of previous ends), so
+    *     overlapping duplicate spans cut once;
+    *  4. token positions inside merged intervals anti-join out, the
+    *     remainder reassembles in order.
+    *
+    * Documents shorter than k tokens pass through untouched. Removal
+    * is every-occurrence (the conservative corpus-hygiene variant;
+    * keep-one-copy is a policy layer above).
+    *
+    * Output: (idCol, text_deduped, n_kept, n_removed). */
+  def maskDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 50, minOccur: Int = 2): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(minOccur >= 2, s"minOccur must be >= 2, got $minOccur")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df.select(col(idCol), toks.as("_toks"),
+      size(toks).cast("long").as("_n"))
+    val starts = base.filter(col("_n") >= k)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), (col("_n") - k + 1).cast("int")),
+        i => struct(i.cast("long").as("_s"),
+          md5(array_join(slice(col("_toks"), i, lit(k)), " ")).as("_h"))))
+        .as("_sp"))
+      .select(col(idCol), col("_sp._s").as("_s"), col("_sp._h").as("_h"))
+    val dupSpans = starts.groupBy("_h")
+      .agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minOccur)
+      .select("_h")
+    val occ = starts.join(dupSpans, "_h")
+      .select(col(idCol), col("_s"), (col("_s") + k - 1).as("_e"))
+    val wPrev = Window.partitionBy(idCol).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = occ
+      .withColumn("_pmax", max(col("_e")).over(wPrev))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("_pmax") < col("_s"), 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(wRun))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("_s")).as("_s"), max(col("_e")).as("_e"))
+    val removePos = merged.select(col(idCol),
+      explode(sequence(col("_s"), col("_e"))).as("_pos"))
+    val tokens = base
+      .select(col(idCol), posexplode(col("_toks")).as(Seq("_p0", "_tok")))
+      .select(col(idCol), (col("_p0") + 1).cast("long").as("_pos"),
+        col("_tok"))
+    val kept = tokens.join(removePos, Seq(idCol, "_pos"), "left_anti")
+    val reassembled = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+            x => x("_tok")),
+          " ").as("text_deduped"),
+        count(lit(1)).as("n_kept"))
+    base.select(col(idCol), col("_n"))
+      .join(reassembled, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("_n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Remove every line whose normalized text appears in at least
     * `minDf` distinct documents (C4's boilerplate rule: navigation
     * menus, cookie banners and licence footers repeat across a large

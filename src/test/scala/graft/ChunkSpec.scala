@@ -58,6 +58,28 @@ class ChunkSpec extends SparkSpec {
     assert(out(3) == ((4L, "", 0L, 1L)))
   }
 
+  test("maskDuplicateSpans cuts every occurrence of corpus-repeated k-grams") {
+    val df = Seq(
+      (1L, "x p q r y"),             // "p q r" repeats in doc 2
+      (2L, "z p q r w"),
+      (3L, "a b c d e f"),           // overlapping dups "b c d"+"c d e"
+      (4L, "m b c d n c d e m2"),    //   -> one merged cut per island
+      (5L, "q r"),                   // shorter than k: untouched
+      (6L, "s t u v s t u")          // within-doc repeat counts too
+    ).toDF("doc_id", "text")
+    val out = graft.text.Chunk.maskDuplicateSpans(df, "doc_id", "text",
+        k = 3, minOccur = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "x y", 2L, 3L)))
+    assert(out(1) == ((2L, "z w", 2L, 3L)))
+    // spans [2,4] and [3,5] merge to one [2,5] island
+    assert(out(2) == ((3L, "a f", 2L, 4L)))
+    assert(out(3) == ((4L, "m n m2", 3L, 6L)))
+    assert(out(4) == ((5L, "q r", 2L, 0L)))
+    assert(out(5) == ((6L, "v", 1L, 6L)))
+  }
+
   test("dedupLinesAcrossCorpus below-threshold lines all survive") {
     val df = Seq((1L, "x\ny"), (2L, "x\nz")).toDF("doc_id", "text")
     val out = Chunk.dedupLinesAcrossCorpus(df, "doc_id", "text", minDf = 3L)
