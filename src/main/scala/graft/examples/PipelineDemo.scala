@@ -90,6 +90,20 @@ object PipelineDemo {
       .result
     println("docs surviving redact -> decontam -> global mix: " + mixed.count())
 
+    // 5c2. corpus restructuring: cut corpus-repeated 3-gram spans
+    // (Lee-et-al exact-substring dedup), then window what survives
+    // into overlapping 32-token chunks ready for tokenization
+    val restructured = docs.graft
+      .maskDuplicateSpans("doc_id", "text", k = 3, minOccur = 2)
+      .result
+      .filter(col("n_kept") > 0)
+      .withColumnRenamed("text_deduped", "text")
+      .graft
+      .chunkByTokens("doc_id", "text", chunkTokens = 32, overlapTokens = 8)
+      .result
+    println("span-dedup survivors -> training chunks: " +
+      restructured.count())
+
     // 5d. synthetic data on demand (datasets.Make): a regression frame
     // is a plan, not an allocation — generated distributed, no RNG state
     val synth = graft.datasets.Make.makeRegression(spark, 1000,

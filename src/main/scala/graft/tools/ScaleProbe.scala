@@ -78,6 +78,13 @@ object ScaleProbe {
           Redact.redactDocuments(cached, "text")
             .agg(sum(length(col("text_redacted")))).head(); cached.count()
         },
+        time("span_dedup") {
+          // k=8 over word-rotated replicas: rotation preserves most
+          // 8-grams, so the duplicated-span set (and the cut volume)
+          // grows with the multiplier — the adversarial direction
+          graft.text.Chunk.maskDuplicateSpans(cached, "doc_id", "text",
+            k = 8, minOccur = 2).count()
+        },
         time("line_dedup") {
           // threshold derived from the replicated corpus size so the
           // removal set stays the same FRACTION of the vocabulary at
