@@ -126,6 +126,11 @@ object GfFrame {
                                joinSep: String = "\n"): Fluent =
       new Fluent(graft.text.Chunk.dedupLinesAcrossCorpus(df, idCol, textCol,
         minDf, splitRe, joinSep))
+    def dedupLinesByDocFrac(idCol: String, textCol: String,
+                            num: Int, den: Int, splitRe: String = "\n",
+                            joinSep: String = "\n"): Fluent =
+      new Fluent(graft.text.Chunk.dedupLinesByDocFrac(df, idCol, textCol,
+        num, den, splitRe, joinSep))
     def dedupByUrl(idCol: String, urlCol: String): Fluent =
       new Fluent(graft.text.Urls.dedupByUrl(df, idCol, urlCol))
     def maskDuplicateSpans(idCol: String, textCol: String,

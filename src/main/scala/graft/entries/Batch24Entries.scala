@@ -33,10 +33,12 @@ object Batch24Entries {
     // threshold. minDf = 4/5 of the document count in INTEGER math, so
     // the oracle re-derives the identical threshold at any sf.
     "line_dedup" -> ((s, dir) => {
-      val docs = T.documents(s, dir)
-      val minDf = docs.count() * 4L / 5L
-      graft.text.Chunk.dedupLinesAcrossCorpus(docs, "doc_id", "text",
-          minDf = minDf, splitRe = " ", joinSep = " ")
+      // fraction variant: the 4/5-of-docs threshold derives inside the
+      // plan (1-row broadcast scalar), so constructing the query runs
+      // no driver count job and the oracle's integer subquery
+      // re-derives the identical threshold
+      graft.text.Chunk.dedupLinesByDocFrac(T.documents(s, dir),
+          "doc_id", "text", num = 4, den = 5, splitRe = " ", joinSep = " ")
         .orderBy("doc_id")
     }),
 
@@ -150,6 +152,11 @@ object Batch24Entries {
         |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '', 'g') AS tail,
         |    trim(url) AS t
         |  FROM u),
+        |pq AS (
+        |  SELECT id, scheme, hostport, t,
+        |    regexp_extract(tail, '^[^?]*') AS pth,
+        |    regexp_replace(tail, '^[^?]*', '', 'g') AS qry
+        |  FROM p),
         |n AS (
         |  SELECT id,
         |    CASE WHEN scheme <> '' THEN concat(scheme, '://',
@@ -160,17 +167,18 @@ object Batch24Entries {
         |        regexp_replace(regexp_replace(hostport, '^www\.', '', 'g'),
         |          ':443$', '', 'g')
         |      ELSE regexp_replace(hostport, '^www\.', '', 'g') END,
+        |      regexp_replace(pth, '/$', '', 'g'),
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            regexp_replace(tail,
+        |            regexp_replace(qry,
         |              '([?&])(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '\1',
         |              'g'),
-        |            '\?&', '?', 'g'),
-        |          '[?&]$', '', 'g'),
-        |        '/$', '', 'g'))
+        |            '&&+', '&', 'g'),
+        |          '\?&', '?', 'g'),
+        |        '[?&]$', '', 'g'))
         |    ELSE t END AS url_norm
-        |  FROM p)
+        |  FROM pq)
         |SELECT url_norm, MIN(id) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM n GROUP BY url_norm

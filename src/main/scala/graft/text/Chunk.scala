@@ -23,6 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Chunk {
 
+  /** The library's canonical whitespace tokenizer ([[TextFns.tokens]]:
+    * blank → empty array) hardened for NULL text as well, so every
+    * operator here sees "no tokens" rather than a NULL array that
+    * poisons size()/slice() arithmetic downstream. */
+  private def toksOf(c: Column): Column =
+    coalesce(TextFns.tokens(c), array().cast("array<string>"))
+
   /** Split each document into whitespace-token windows of
     * `chunkTokens` tokens advancing by `chunkTokens - overlapTokens`
     * (so consecutive chunks share `overlapTokens` tokens — the
@@ -46,7 +53,7 @@ object Chunk {
     require(overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
     val stride = chunkTokens - overlapTokens
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = toksOf(col(textCol))
     val n = size(toks).cast("long")
     val nChunks = greatest(lit(1L),
       ceil((n - lit(overlapTokens.toLong)).cast("double") /
@@ -81,9 +88,17 @@ object Chunk {
     *  4. token positions inside merged intervals anti-join out, the
     *     remainder reassembles in order.
     *
-    * Documents shorter than k tokens pass through untouched. Removal
-    * is every-occurrence (the conservative corpus-hygiene variant;
-    * keep-one-copy is a policy layer above).
+    * Documents shorter than k tokens keep all their tokens (their
+    * text, like every output here, is rejoined with single spaces —
+    * token-based restructuring normalizes whitespace by construction).
+    * Removal is every-occurrence (the conservative corpus-hygiene
+    * variant; keep-one-copy is a policy layer above).
+    *
+    * The tokenized corpus is persisted for the duration of the call
+    * (it feeds the span explode, the token explode AND the final
+    * length join — without a cut, the regex split would run three
+    * times over the full corpus) and the result is cut eagerly with
+    * `localCheckpoint` so the cache can be dropped before returning.
     *
     * Output: (idCol, text_deduped, n_kept, n_removed). */
   def maskDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
@@ -91,9 +106,10 @@ object Chunk {
     require(k > 0, s"k must be > 0, got $k")
     require(minOccur >= 2, s"minOccur must be >= 2, got $minOccur")
     import org.apache.spark.sql.expressions.Window
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = toksOf(col(textCol))
     val base = df.select(col(idCol), toks.as("_toks"),
-      size(toks).cast("long").as("_n"))
+      size(toks).cast("long").as("_n")).persist()
+    try {
     val starts = base.filter(col("_n") >= k)
       .select(col(idCol), explode(transform(
         sequence(lit(1), (col("_n") - k + 1).cast("int")),
@@ -139,6 +155,8 @@ object Chunk {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("_n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .localCheckpoint()
+    } finally base.unpersist(false)
   }
 
   /** Remove every line whose normalized text appears in at least
@@ -162,33 +180,70 @@ object Chunk {
                              minDf: Long, splitRe: String = "\n",
                              joinSep: String = "\n"): DataFrame = {
     require(minDf > 0, s"minDf must be > 0, got $minDf")
+    dedupLinesCore(df, idCol, textCol, splitRe, joinSep,
+      freq => freq.filter(col("_df") >= minDf))
+  }
+
+  /** [[dedupLinesAcrossCorpus]] with the threshold expressed as a
+    * document-count fraction `num/den` (integer floor — at num=3,
+    * den=4, a line is boilerplate when it appears in at least
+    * ⌊3·docs/4⌋ documents). The total derives INSIDE the plan as a
+    * one-row broadcast scalar, so no driver-side count job runs per
+    * invocation and an external engine re-derives the identical
+    * threshold from the same integer math. */
+  def dedupLinesByDocFrac(df: DataFrame, idCol: String, textCol: String,
+                          num: Int, den: Int, splitRe: String = "\n",
+                          joinSep: String = "\n"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"fraction must satisfy 0 < num <= den, got $num/$den")
+    dedupLinesCore(df, idCol, textCol, splitRe, joinSep, freq => {
+      val tot = df.agg(count(lit(1)).cast("long").as("_tot"))
+      freq.crossJoin(broadcast(tot))
+        .filter(col("_df") >= expr(s"_tot * $num div $den"))
+    })
+  }
+
+  /** Shared plan of the line-dedup variants; `removalFilter` turns the
+    * (line, document-frequency) table into the lines to remove. The
+    * exploded lines persist for the call (they feed the frequency
+    * count AND the anti-join) and the result cuts eagerly so the cache
+    * drops before returning. */
+  private def dedupLinesCore(df: DataFrame, idCol: String, textCol: String,
+                             splitRe: String, joinSep: String,
+                             removalFilter: DataFrame => DataFrame)
+      : DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), splitRe)).as(Seq("_pos", "_line")))
-    // the removal set: ONLY lines at/above the threshold survive this
-    // aggregate, so the anti-join's build side is bounded by the
-    // boilerplate vocabulary, not the corpus
-    val removal = lines.filter(trim(col("_line")) =!= "")
-      .groupBy(trim(col("_line")).as("_norm"))
-      .agg(countDistinct(col(idCol)).as("_df"))
-      .filter(col("_df") >= minDf)
-      .select("_norm")
-    val kept = lines.join(removal,
-      trim(lines("_line")) === removal("_norm"), "left_anti")
-    val reassembled = kept.groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
-            x => x("_line")),
-          joinSep).as("text_clean"),
-        count(lit(1)).as("n_kept"))
-    // left join back so fully-boilerplate documents surface with an
-    // empty text instead of silently disappearing
-    val nLines = size(split(col(textCol), splitRe)).cast("long")
-    df.select(col(idCol), nLines.as("_ntot"))
-      .join(reassembled, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("_ntot") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .persist()
+    try {
+      // the removal set: ONLY lines at/above the threshold survive this
+      // aggregate, so the anti-join's build side is bounded by the
+      // boilerplate vocabulary, not the corpus
+      val freq = lines.filter(trim(col("_line")) =!= "")
+        .groupBy(trim(col("_line")).as("_norm"))
+        .agg(countDistinct(col(idCol)).as("_df"))
+      val removal = removalFilter(freq).select("_norm")
+      val kept = lines.join(removal,
+        trim(lines("_line")) === removal("_norm"), "left_anti")
+      val reassembled = kept.groupBy(col(idCol))
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+              x => x("_line")),
+            joinSep).as("text_clean"),
+          count(lit(1)).as("n_kept"))
+      // left join back so fully-boilerplate documents surface with an
+      // empty text instead of silently disappearing; NULL text has no
+      // lines at all (size(NULL) is NULL, coalesced to 0 removals)
+      val nLines = coalesce(size(split(col(textCol), splitRe)), lit(0))
+        .cast("long")
+      df.select(col(idCol), nLines.as("_ntot"))
+        .join(reassembled, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("text_clean"), lit("")).as("text_clean"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("_ntot") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        .localCheckpoint()
+    } finally lines.unpersist(false)
   }
 }

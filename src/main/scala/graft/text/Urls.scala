@@ -31,9 +31,11 @@ object Urls {
     *    path/query case preserved;
     *  - leading `www.` and the scheme's default port (`:80` http,
     *    `:443` https) stripped from the host;
-    *  - tracking parameters removed (`utm_*`, `fbclid`, `gclid`),
-    *    separators re-tidied (`?&`→`?`, dangling `?`/`&` dropped);
-    *  - one trailing path slash stripped.
+    *  - tracking parameters removed (`utm_*`, `fbclid`, `gclid`)
+    *    wherever they sit in the query, separators re-tidied
+    *    (`&&`→`&`, `?&`→`?`, dangling `?`/`&` dropped);
+    *  - one trailing PATH slash stripped (the query is split off
+    *    first, so a query value ending in `/` is never touched).
     *
     * A value that does not parse as `scheme://…` is returned trimmed
     * but otherwise untouched — garbage in a URL column should stay
@@ -48,11 +50,17 @@ object Urls {
     val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
       .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
       .otherwise(noWww)
-    val noTrack = regexp_replace(tail, TrackRe, "$1")
-    val tidyQ = regexp_replace(regexp_replace(noTrack, "\\?&", "?"),
-      "[?&]$", "")
-    val noSlash = regexp_replace(tidyQ, "/$", "")
-    when(scheme =!= "", concat(scheme, lit("://"), host, noSlash))
+    // path and query normalize independently: slash rules must never
+    // rewrite a query value, ampersand rules must never touch a path
+    val path = regexp_extract(tail, "^[^?]*", 0)
+    val query = regexp_replace(tail, "^[^?]*", "")
+    val noTrack = regexp_replace(query, TrackRe, "$1")
+    // adjacent removed params leave doubled separators — collapse
+    // runs first, then the ?-& boundary, then anything left dangling
+    val tidyQ = regexp_replace(regexp_replace(
+      regexp_replace(noTrack, "&&+", "&"), "\\?&", "?"), "[?&]$", "")
+    val noSlash = regexp_replace(path, "/$", "")
+    when(scheme =!= "", concat(scheme, lit("://"), host, noSlash, tidyQ))
       .otherwise(t)
   }
 
@@ -71,9 +79,13 @@ object Urls {
     * joined back on (canonical, id) — an equi-join Catalyst can
     * broadcast or co-shuffle, never a window over raw crawl order. */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val withNorm = df.withColumn("url_norm", normalizeUrl(col(urlCol)))
-    val keep = withNorm.groupBy("url_norm")
+    // withColumn REPLACES an existing column, so the scratch canonical
+    // column gets a name guaranteed absent from the caller's schema
+    val normC = Iterator.iterate("url_norm")(_ + "_")
+      .dropWhile(df.columns.toSet).next()
+    val withNorm = df.withColumn(normC, normalizeUrl(col(urlCol)))
+    val keep = withNorm.groupBy(normC)
       .agg(min(col(idCol)).as(idCol))
-    withNorm.join(keep, Seq("url_norm", idCol)).drop("url_norm")
+    withNorm.join(keep, Seq(normC, idCol)).drop(normC)
   }
 }

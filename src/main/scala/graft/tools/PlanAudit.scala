@@ -33,7 +33,10 @@ object PlanAudit {
     "levenshtein_pairs", "pairwise_dist", "embed_dedup",
     // 1-row fitted-scalar broadcasts
     "decision_curve", "friedman", "histogram", "kruskal_wallis",
-    "laplace_smooth", "otsu", "reg_metrics", "wilcoxon")
+    "laplace_smooth", "otsu", "reg_metrics", "wilcoxon",
+    // line_dedup: the doc-count threshold scalar cross-joins as a
+    // 1-row broadcast into the frequency filter
+    "line_dedup")
 
   /** Audit one query's executed plan string. */
   def auditPlan(name: String, plan: String): Audit = {

@@ -31,6 +31,41 @@ class ChunkSpec extends SparkSpec {
     assert(covered == (1 to 80).map(i => s"t$i").toSet)
   }
 
+  test("blank and NULL text never produce phantom tokens or NULL counts") {
+    val df = Seq((1L, Some("a b")), (2L, Some("   ")), (3L, None))
+      .toDF("doc_id", "text")
+    val chunks = graft.text.Chunk.chunkByTokens(df, "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id").as[(Long, Long, String, Long)].collect()
+    // blank/NULL docs yield one EMPTY chunk (0 tokens), not [""]
+    assert(chunks.toSeq == Seq((1L, 0L, "a b", 2L), (2L, 0L, "", 0L),
+      (3L, 0L, "", 0L)))
+    val spans = graft.text.Chunk.maskDuplicateSpans(df, "doc_id", "text",
+        k = 2, minOccur = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(spans.toSeq == Seq((1L, "a b", 2L, 0L), (2L, "", 0L, 0L),
+      (3L, "", 0L, 0L)))
+    // NULL text in line dedup: zero lines, zero removed — never NULL
+    val ld = graft.text.Chunk.dedupLinesAcrossCorpus(df, "doc_id", "text",
+        minDf = 2L).orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(ld(2) == ((3L, "", 0L, 0L)))
+  }
+
+  test("dedupLinesByDocFrac derives the threshold in-plan") {
+    // 4 docs, frac 3/4 -> threshold 3: "nav bar" (3 docs) removed,
+    // "rare line" (2 docs) kept
+    val df = Seq((1L, "nav bar\nbody one"), (2L, "nav bar\nrare line"),
+        (3L, "nav bar"), (4L, "rare line\nbody four"))
+      .toDF("doc_id", "text")
+    val out = graft.text.Chunk.dedupLinesByDocFrac(df, "doc_id", "text",
+        num = 3, den = 4)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, "body one", 1L, 1L),
+      (2L, "rare line", 1L, 1L), (3L, "", 0L, 1L),
+      (4L, "rare line\nbody four", 2L, 0L)))
+  }
+
   test("chunkByTokens rejects a degenerate overlap") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -23,8 +23,18 @@ class UrlsSpec extends SparkSpec {
     assert(norm("https://e.com/p?utm_source=a&q=1&fbclid=z") ==
       "https://e.com/p?q=1")
     assert(norm("https://e.com/p?utm_a=1&utm_b=2") == "https://e.com/p")
+    // INTERIOR tracking params: the doubled separator must collapse so
+    // the URL dedups against its clean twin
+    assert(norm("https://e.com/p?a=1&utm_x=2&b=4") ==
+      "https://e.com/p?a=1&b=4")
+    assert(norm("https://e.com/p?utm_a=1&utm_b=2&q=1") ==
+      "https://e.com/p?q=1")
     // trailing slash strips; whitespace trims
     assert(norm("  https://e.com/dir/  ") == "https://e.com/dir")
+    // the PATH slash strips even with a query attached, and a query
+    // value ending in '/' is never rewritten
+    assert(norm("https://e.com/dir/?q=1") == "https://e.com/dir?q=1")
+    assert(norm("https://e.com/p?next=/") == "https://e.com/p?next=/")
   }
 
   test("normalizeUrl passes garbage through trimmed, not mutated") {
