@@ -32,7 +32,8 @@ object Bench {
     "image_features", "haversine_nn_full", "pii_redact", "decontam",
     "audio_features", "token_budget_global", "decontam_short",
     "pii_redact_dates", "token_budget_temp", "heavy_hitters_exact",
-    "salted_sum", "chunk_tokens", "line_dedup", "url_dedup", "span_dedup")
+    "salted_sum", "chunk_tokens", "line_dedup", "url_dedup", "span_dedup",
+    "unigram_ppl", "chunk_sentences", "snapshot_dedup", "snapshot_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -48,7 +48,8 @@ object SparkEntry {
       entries.Batch21Entries.queries ++
       entries.Batch22Entries.queries ++
       entries.Batch23Entries.queries ++
-      entries.Batch24Entries.queries
+      entries.Batch24Entries.queries ++
+      entries.Batch25Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -75,7 +76,8 @@ object SparkEntry {
       entries.Batch21Entries.oracleSql ++
       entries.Batch22Entries.oracleSql ++
       entries.Batch23Entries.oracleSql ++
-      entries.Batch24Entries.oracleSql
+      entries.Batch24Entries.oracleSql ++
+      entries.Batch25Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -137,5 +137,23 @@ object GfFrame {
                            k: Int = 50, minOccur: Int = 2): Fluent =
       new Fluent(graft.text.Chunk.maskDuplicateSpans(df, idCol, textCol,
         k, minOccur))
+    def chunkBySentences(idCol: String, textCol: String,
+                         budgetTokens: Int): Fluent =
+      new Fluent(graft.text.Chunk.chunkBySentences(df, idCol, textCol,
+        budgetTokens))
+    def c4Clean(idCol: String, textCol: String,
+                minWordsPerLine: Int = 3, minSentences: Int = 2): Fluent =
+      new Fluent(graft.text.C4.c4Clean(df, idCol, textCol,
+        minWordsPerLine, minSentences))
+    def scoreByUnigram(refCorpus: DataFrame, idCol: String, textCol: String,
+                       alpha: Double = 0.5): Fluent =
+      new Fluent(graft.text.LangModel.scoreByUnigram(df, refCorpus,
+        idCol, textCol, alpha))
+    def dropSeenDocs(refCorpus: DataFrame, textCol: String): Fluent =
+      new Fluent(graft.text.Snapshot.dropSeenDocs(df, refCorpus, textCol))
+    def dropSeenNearDups(refCorpus: DataFrame, idCol: String,
+                         textCol: String, threshold: Double = 0.6): Fluent =
+      new Fluent(graft.text.Snapshot.dropSeenNearDups(df, refCorpus,
+        idCol, textCol, threshold = threshold))
   }
 }

@@ -203,6 +203,45 @@ object Chunk {
     })
   }
 
+  /** Split each document into sentence-aligned chunks of about
+    * `budgetTokens` whitespace tokens — the RAG chunking variant that
+    * never cuts a sentence in half. A sentence belongs to the chunk
+    * its FIRST token falls in (`chunk_id = ⌊tokens-before / budget⌋`),
+    * so chunks may overrun the budget by at most one sentence tail;
+    * the budget is a boundary, not a cap — the deterministic,
+    * window-expressible contract an external engine can replay
+    * exactly (one cumulative-sum window per document, one groupBy
+    * reassembly, no iterative greedy state).
+    *
+    * Sentences split on terminal punctuation ([[TextFns.sentences]]);
+    * chunk text rejoins with single spaces. Zero-token documents
+    * yield one empty chunk (their single empty "sentence" — the same
+    * `['']` a SQL string-split produces, so parity holds). Output:
+    * (idCol, chunk_id, text_chunk, n_sentences, n_tokens). */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+                       budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val sents = df.select(col(idCol),
+      posexplode(TextFns.sentences(coalesce(col(textCol), lit(""))))
+        .as(Seq("_pos", "_sent")))
+    val sized = sents.withColumn("_ntok",
+      size(TextFns.tokens(col("_sent"))).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marked = sized.withColumn("_before",
+        coalesce(sum(col("_ntok")).over(w), lit(0L)))
+      .withColumn("chunk_id", (col("_before") / lit(budgetTokens.toLong))
+        .cast("long"))
+    marked.groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_sent")))),
+            x => trim(x("_sent"))), " ").as("text_chunk"),
+        count(lit(1)).as("n_sentences"),
+        sum("_ntok").as("n_tokens"))
+  }
+
   /** Shared plan of the line-dedup variants; `removalFilter` turns the
     * (line, document-frequency) table into the lines to remove. The
     * exploded lines persist for the call (they feed the frequency

@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model scoring for corpus quality filtering — the
+  * CCNet/KenLM-style "perplexity filter" of LLM data pipelines
+  * (north-star addition; quality-signal family of
+  * gofast/utils/text.py:838), re-expressed as pure Spark aggregates.
+  *
+  * A reference corpus trains an add-α smoothed unigram model; each
+  * document then scores as its mean token log-probability and the
+  * corresponding perplexity. Low-perplexity ≈ looks like the reference
+  * corpus; the classic pipeline keeps the low/middle band.
+  *
+  * Scale shape (the whole point of the design):
+  *  - the model "trains" inside the plan — one explode over the
+  *    reference, ONE map-side-combined groupBy(token); no driver-side
+  *    vocabulary, no collect;
+  *  - corpus totals (token count N, vocab size V) ride along as a
+  *    1-row broadcast scalar, never a second pass;
+  *  - scoring pre-aggregates each document to (doc, token, tf) BEFORE
+  *    the vocab join, so the join carries one row per distinct
+  *    doc-token, not one per token occurrence;
+  *  - the vocab join is a plain token-keyed equi-join — AQE broadcasts
+  *    it when the vocabulary is small and shuffles both sides when it
+  *    is not (a 100 TB web corpus's vocabulary is NOT broadcastable).
+  *
+  * Determinism: log-probs are pure IEEE expressions evaluated
+  * identically by external engines; only the per-document SUM order
+  * differs, so the mean rounds to 6 decimals and the perplexity is
+  * EXP of that already-rounded mean (then rounded again) — the same
+  * parity contract as [[Quality.tokenEntropy]].
+  */
+object LangModel {
+
+  /** Add-α smoothed unigram vocabulary of `corpus`:
+    * (token, tf, logp) with
+    * `logp = ln((tf + α) / (N + α·(V + 1)))` — the `V + 1` reserves
+    * one smoothing slot for the OOV bucket, whose log-prob
+    * `ln(α / (N + α·(V+1)))` scoring re-derives from the same totals.
+    * Tokens are the library's canonical lowercased whitespace tokens
+    * ([[TextFns.tokens]]). */
+  def unigramVocab(corpus: DataFrame, textCol: String,
+                   alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    // cut once: the counts feed both the totals and the projection
+    val counts = corpus
+      .select(explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val totals = counts.agg(sum("tf").as("_N"),
+      count(lit(1)).as("_V"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("tf"),
+        log((col("tf").cast("double") + lit(alpha)) /
+          smoothedDenom(alpha)).as("logp"))
+  }
+
+  /** `N + α·(V+1)` from broadcast `_N`/`_V` columns — shared by the
+    * seen-token and OOV branches so both engines evaluate the exact
+    * same IEEE expression tree. */
+  private def smoothedDenom(alpha: Double) =
+    col("_N").cast("double") +
+      lit(alpha) * (col("_V").cast("double") + lit(1.0))
+
+  /** Score each document of `docs` under the add-α unigram model of
+    * `refCorpus`: output (idCol, n_tokens, n_oov, mean_logprob, ppl)
+    * where `mean_logprob` is the tf-weighted mean token
+    * log-probability (OOV tokens take the reserved smoothing slot)
+    * and `ppl = exp(−mean_logprob)`. Zero-token documents score
+    * mean_logprob = 0, ppl = 1 (the empty product), n_oov = 0.
+    *
+    * The classic CCNet filter is then a plain `.filter($"ppl" <= t)`
+    * — kept separate so callers can band (head/middle/tail) instead
+    * of threshold. */
+  def scoreByUnigram(docs: DataFrame, refCorpus: DataFrame,
+                     idCol: String, textCol: String,
+                     alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    // the vocab feeds BOTH the totals and the scoring join: cut it
+    // once (localCheckpoint — executor-local blocks, freed by the
+    // ContextCleaner) so the reference corpus explodes exactly once
+    // instead of once per consumer
+    val counts = refCorpus
+      .select(explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("_ctf"))
+      .localCheckpoint()
+    val totals = counts.agg(sum("_ctf").as("_N"), count(lit(1)).as("_V"))
+    // one row per DISTINCT (doc, token): the map-side combine that
+    // keeps the vocab join linear in distinct tokens, not occurrences
+    val docTf = docs.select(col(idCol).as("doc"),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val oovLogp = log(lit(alpha) / smoothedDenom(alpha))
+    val seenLogp = log((col("_ctf").cast("double") + lit(alpha)) /
+      smoothedDenom(alpha))
+    val scored = docTf
+      .join(counts, Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc"), col("tf"),
+        when(col("_ctf").isNull, lit(1L)).otherwise(lit(0L)).as("_oov"),
+        when(col("_ctf").isNull, oovLogp).otherwise(seenLogp).as("_logp"))
+      .groupBy("doc")
+      .agg(sum("tf").as("n_tokens"),
+        sum(col("_oov") * col("tf")).as("n_oov"),
+        round(sum(col("_logp") * col("tf").cast("double")) /
+          sum(col("tf")).cast("double"), 6).as("mean_logprob"))
+      .withColumn("ppl", round(exp(-col("mean_logprob")), 6))
+    // left join back: zero-token documents surface with the empty
+    // product's neutral score instead of silently disappearing
+    docs.select(col(idCol).as("doc")).distinct()
+      .join(scored, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("mean_logprob"), lit(0.0)).as("mean_logprob"),
+        coalesce(col("ppl"), lit(1.0)).as("ppl"))
+  }
+}

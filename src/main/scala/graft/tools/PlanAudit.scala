@@ -34,9 +34,9 @@ object PlanAudit {
     // 1-row fitted-scalar broadcasts
     "decision_curve", "friedman", "histogram", "kruskal_wallis",
     "laplace_smooth", "otsu", "reg_metrics", "wilcoxon",
-    // line_dedup: the doc-count threshold scalar cross-joins as a
-    // 1-row broadcast into the frequency filter
-    "line_dedup")
+    // line_dedup / unigram_ppl: corpus-total scalars (doc count;
+    // token count N + vocab size V) cross-join as 1-row broadcasts
+    "line_dedup", "unigram_ppl")
 
   /** Audit one query's executed plan string. */
   def auditPlan(name: String, plan: String): Audit = {

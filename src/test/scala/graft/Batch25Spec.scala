@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{C4, Chunk, LangModel, Snapshot}
+
+/** Round-10 batch 6 edge cases: unigram-LM scoring (OOV slot, empty
+  * docs, hand-computed smoothing), the C4 page cleaner (each line and
+  * page rule in isolation), sentence-aligned chunking (boundary
+  * semantics), and cross-snapshot dedup (exact + near-dup).
+  */
+class Batch25Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("scoreByUnigram matches hand-computed add-0.5 smoothing with OOV") {
+    val ref = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b z"), (11L, "")).toDF("doc_id", "text")
+    val out = LangModel.scoreByUnigram(docs, ref, "doc_id", "text", alpha = 0.5)
+      .orderBy("doc").as[(Long, Long, Long, Double, Double)].collect()
+    // counts: a=3 b=1 c=1; N=5, V=3, denom = 5 + 0.5*(3+1) = 7
+    val m = (math.log(3.5 / 7) + math.log(1.5 / 7) + math.log(0.5 / 7)) / 3
+    assert(out(0)._1 == 10L && out(0)._2 == 3L && out(0)._3 == 1L)
+    assert(math.abs(out(0)._4 - m) < 1e-6)
+    assert(math.abs(out(0)._5 - math.exp(-out(0)._4)) < 1e-5)
+    // empty doc: the neutral empty product, not a dropped row
+    assert(out(1) == ((11L, 0L, 0L, 0.0, 1.0)))
+  }
+
+  test("unigram OOV tokens score strictly below every seen token") {
+    val ref = Seq((1L, "aa aa aa bb")).toDF("doc_id", "text")
+    val docs = Seq((1L, "bb"), (2L, "zz")).toDF("doc_id", "text")
+    val out = LangModel.scoreByUnigram(docs, ref, "doc_id", "text")
+      .orderBy("doc").as[(Long, Long, Long, Double, Double)].collect()
+    assert(out(0)._3 == 0L && out(1)._3 == 1L)
+    assert(out(1)._4 < out(0)._4) // OOV mean log-prob below rare-seen
+    assert(out(1)._5 > out(0)._5) // so its perplexity is higher
+  }
+
+  test("c4Clean applies each line and page rule independently") {
+    val docs = Seq(
+      (1L, "Good line one here.\nshort.\nno terminal punct line\nAnother good line!"),
+      (2L, "One fine line kept here.\nAnd lorem ipsum appears.\nThird good line stays."),
+      (3L, "Brace poisons the page {x}.\nOther fine line here."),
+      (4L, "Only one good sentence here.\nbad"),
+      (5L, "Embedded javascript call here.\nFirst good line stays.\nSecond good line stays.")
+    ).toDF("doc_id", "text")
+    val out = C4.c4Clean(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    // doc 1: short + unpunctuated lines drop; 2 sentences remain -> kept
+    assert(out(0) == ((1L,
+      "Good line one here.\nAnother good line!", 2L, 2L, 2L, true)))
+    // doc 2: every line passes the LINE rules, but the page has
+    // "lorem ipsum" -> kept=false with the cleaned text still audited
+    assert(out(1)._3 == 3L && !out(1)._6)
+    // doc 3: "{" page rule
+    assert(!out(2)._6)
+    // doc 4: only 1 sentence survives -> below minSentences
+    assert(out(3) == ((4L, "Only one good sentence here.", 1L, 1L, 1L, false)))
+    // doc 5: the javascript LINE drops, the doc survives on the rest
+    assert(out(4) == ((5L,
+      "First good line stays.\nSecond good line stays.", 2L, 1L, 2L, true)))
+  }
+
+  test("c4Clean: NULL text surfaces as an empty rejected page") {
+    val docs = Seq((1L, Some("Fine line number one.\nFine line number two.")),
+      (2L, None)).toDF("doc_id", "text")
+    val out = C4.c4Clean(docs, "doc_id", "text").orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    assert(out(0)._6)
+    assert(out(1) == ((2L, "", 0L, 0L, 0L, false)))
+  }
+
+  test("chunkBySentences: a sentence belongs to the chunk of its first token") {
+    val docs = Seq(
+      (1L, "s1 has five tokens here. s2 three tokens. s3 has four tokens.")
+    ).toDF("doc_id", "text")
+    val out = Chunk.chunkBySentences(docs, "doc_id", "text", budgetTokens = 6)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long, Long)].collect()
+    // sentence starts at cumulative 0, 5, 8 -> chunks 0, 0, 1: the
+    // second sentence CROSSES the budget but started inside chunk 0
+    assert(out.toSeq == Seq(
+      (1L, 0L, "s1 has five tokens here. s2 three tokens.", 2L, 8L),
+      (1L, 1L, "s3 has four tokens.", 1L, 4L)))
+  }
+
+  test("chunkBySentences: oversized sentences and empty docs stay whole") {
+    val docs = Seq((1L, "one two three four five six seven eight"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = Chunk.chunkBySentences(docs, "doc_id", "text", budgetTokens = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long, Long)].collect()
+    // 8 tokens, no sentence boundary: ONE chunk (integrity beats budget)
+    assert(out(0) == ((1L, 0L,
+      "one two three four five six seven eight", 1L, 8L)))
+    assert(out(1) == ((2L, 0L, "", 1L, 0L)))
+  }
+
+  test("dropSeenDocs removes exact content matches only") {
+    val ref = Seq((1L, "seen text"), (2L, "other seen")).toDF("id", "text")
+    val fresh = Seq((10L, "seen text"), (11L, "brand new text"))
+      .toDF("id", "text")
+    val out = Snapshot.dropSeenDocs(fresh, ref, "text")
+      .orderBy("id").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((11L, "brand new text")))
+  }
+
+  test("cross-corpus near-dup pairs find perturbed twins in both hash families") {
+    val mk = (i: Long, t: String) => (i, t)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val ref = Seq(mk(1L, base), mk(2L, "totally different words " +
+      "about completely unrelated subject matter entirely elsewhere"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(mk(10L, base.stripPrefix("alpha ")),
+      mk(11L, "nothing here resembles any reference document at all " +
+        "in any shingle window whatsoever")).toDF("doc_id", "text")
+    for (portable <- Seq(false, true)) {
+      val pairs = Snapshot.crossCorpusNearDupPairs(fresh, ref,
+          "doc_id", "text", threshold = 0.5, portable = portable)
+        .select("id_new", "id_ref").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((10L, 1L)), s"portable=$portable")
+    }
+    val kept = Snapshot.dropSeenNearDups(fresh, ref, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L))
+  }
+}
