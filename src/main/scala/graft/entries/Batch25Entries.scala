@@ -89,7 +89,10 @@ object Batch25Entries {
 
     // Chunk.chunkBySentences over documents with a '.' inserted every
     // 7 tokens (pure regex, replayable without lookbehind): 25-token
-    // budget boundaries, sentences never split.
+    // budget boundaries, sentences never split. PARITY PRECONDITION:
+    // documents.text contains no [.!?] of its own and single-space
+    // separators only (verified at every sf), so Spark's
+    // (?<=[.!?])\s+ split and the oracle's literal '. ' split agree.
     "chunk_sentences" -> ((s, dir) => {
       val sentencized = T.documents(s, dir).select(col("doc_id"),
         regexp_replace(col("text"), "((?:\\S+ ){6}\\S+) ", "$1. ")

@@ -135,6 +135,26 @@ object Dedup {
       minhashSignaturesPortable(df, idCol, textCol, numHashes, shingleK),
       numHashes, bands, threshold)
 
+  /** The LSH band membership of a signature array: one
+    * (band-index, band-hash) struct per contiguous slice. The single
+    * definition both the self-join ([[minhashPairsFromSigs]]) and the
+    * cross-corpus join ([[Snapshot.crossCorpusNearDupPairs]]) key on —
+    * a banding fix must reach every consumer at once. */
+  private[text] def bandStructs(sig: Column, bands: Int,
+                                rowsPer: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPer + 1, rowsPer)).as("bh"))
+    }: _*)
+
+  /** Exact signature similarity of two equal-length signature arrays
+    * — the verification stage shared by every banding consumer. */
+  private[text] def sigSimilarity(a: Column, b: Column,
+                                  numHashes: Int): Column =
+    size(filter(zip_with(a, b,
+      (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+      .cast("double") / lit(numHashes)
+
   /** Banding + exact-verification stage shared by the hash families. */
   def minhashPairsFromSigs(sigDf: DataFrame, numHashes: Int, bands: Int,
                            threshold: Double): DataFrame = {
@@ -146,10 +166,7 @@ object Dedup {
     // the returned plan (ContextCleaner frees checkpoint blocks)
     val sig = sigDf.localCheckpoint()
     val banded = sig.select(col("_id"), col("_sig"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("_sig"), b * rowsPer + 1, rowsPer)).as("bh"))
-      }: _*)).as("_band"))
+      explode(bandStructs(col("_sig"), bands, rowsPer)).as("_band"))
     // distinct attribute names per leg: the join key must never rely on
     // Spark's self-join disambiguation heuristic — if both sides ever
     // resolved to the same attribute the band equi-join would silently
@@ -160,9 +177,8 @@ object Dedup {
       col("_band").as("_band_b"))
     a.join(b, col("_band_a") === col("_band_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("_sig_a"), col("_sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
-          .cast("double") / lit(numHashes)).as("sig_sim"))
+        sigSimilarity(col("_sig_a"), col("_sig_b"), numHashes)
+          .as("sig_sim"))
       .distinct()
       .filter(col("sig_sim") >= threshold)
   }

@@ -49,6 +49,13 @@ object LangModel {
       .select(explode(TextFns.tokens(lower(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    // an empty model must fail HERE, loudly: with zero rows the
+    // totals are NULL, every log-prob is NULL, and downstream
+    // coalescing would silently score every document as the neutral
+    // ppl = 1 — a quality filter that filters nothing
+    require(!counts.isEmpty,
+      "reference corpus has no tokens: refusing to train an empty " +
+        "unigram model (every document would score ppl = 1)")
     val totals = counts.agg(sum("tf").as("_N"),
       count(lit(1)).as("_V"))
     counts.crossJoin(broadcast(totals))
@@ -77,30 +84,25 @@ object LangModel {
   def scoreByUnigram(docs: DataFrame, refCorpus: DataFrame,
                      idCol: String, textCol: String,
                      alpha: Double = 0.5): DataFrame = {
-    require(alpha > 0, s"alpha must be > 0, got $alpha")
-    // the vocab feeds BOTH the totals and the scoring join: cut it
-    // once (localCheckpoint — executor-local blocks, freed by the
-    // ContextCleaner) so the reference corpus explodes exactly once
-    // instead of once per consumer
-    val counts = refCorpus
-      .select(explode(TextFns.tokens(lower(col(textCol)))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("_ctf"))
-      .localCheckpoint()
-    val totals = counts.agg(sum("_ctf").as("_N"), count(lit(1)).as("_V"))
+    // the single training pipeline (one corpus explode, one groupBy,
+    // vocab cut once, non-empty guard) lives in unigramVocab; the
+    // totals re-derive from the checkpointed vocab — a vocab-sized
+    // aggregate, not a second corpus pass
+    val vocab = unigramVocab(refCorpus, textCol, alpha)
+      .select(col("token"), col("tf").as("_ctf"), col("logp").as("_lp"))
+    val totals = vocab.agg(sum("_ctf").as("_N"), count(lit(1)).as("_V"))
     // one row per DISTINCT (doc, token): the map-side combine that
     // keeps the vocab join linear in distinct tokens, not occurrences
     val docTf = docs.select(col(idCol).as("doc"),
         explode(TextFns.tokens(lower(col(textCol)))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
     val oovLogp = log(lit(alpha) / smoothedDenom(alpha))
-    val seenLogp = log((col("_ctf").cast("double") + lit(alpha)) /
-      smoothedDenom(alpha))
     val scored = docTf
-      .join(counts, Seq("token"), "left")
+      .join(vocab, Seq("token"), "left")
       .crossJoin(broadcast(totals))
       .select(col("doc"), col("tf"),
         when(col("_ctf").isNull, lit(1L)).otherwise(lit(0L)).as("_oov"),
-        when(col("_ctf").isNull, oovLogp).otherwise(seenLogp).as("_logp"))
+        when(col("_ctf").isNull, oovLogp).otherwise(col("_lp")).as("_logp"))
       .groupBy("doc")
       .agg(sum("tf").as("n_tokens"),
         sum(col("_oov") * col("tf")).as("n_oov"),

@@ -27,14 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
-  /** Rows of `newDf` whose exact `textCol` content (md5 of the raw
-    * bytes) already appears anywhere in `refCorpus`, removed. */
+  /** Rows of `newDf` whose exact `textCol` content (the library's
+    * canonical [[TextFns.fingerprint]]) already appears anywhere in
+    * `refCorpus`, removed. */
   def dropSeenDocs(newDf: DataFrame, refCorpus: DataFrame,
                    textCol: String): DataFrame = {
     val fpRef = refCorpus
-      .select(md5(col(textCol).cast("binary")).as("_fp_ref")).distinct()
+      .select(TextFns.fingerprint(col(textCol)).as("_fp_ref")).distinct()
     newDf.join(fpRef,
-      md5(col(textCol).cast("binary")) === col("_fp_ref"), "left_anti")
+      TextFns.fingerprint(col(textCol)) === col("_fp_ref"), "left_anti")
   }
 
   /** Near-duplicate (new, ref) pairs: MinHash signatures per side,
@@ -54,20 +55,21 @@ object Snapshot {
       if (portable)
         Dedup.minhashSignaturesPortable(df, idCol, textCol, numHashes, shingleK)
       else Dedup.minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    // the banding and verification kernels are Dedup's single
+    // definitions; renaming per side keeps the cross-join keys on
+    // provably distinct attributes (the self-join degeneration hazard
+    // Dedup.minhashPairsFromSigs documents)
     def banded(df: DataFrame, side: String): DataFrame =
       sigs(df).select(col("_id").as(s"id_$side"),
         col("_sig").as(s"_sig_$side"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("_sig"), b * rowsPer + 1, rowsPer)).as("bh"))
-        }: _*)).as(s"_band_$side"))
+        explode(Dedup.bandStructs(col("_sig"), bands, rowsPer))
+          .as(s"_band_$side"))
     banded(newDf, "new")
       .join(banded(refCorpus, "ref"),
         col("_band_new") === col("_band_ref"))
       .select(col("id_new"), col("id_ref"),
-        (size(filter(zip_with(col("_sig_new"), col("_sig_ref"),
-            (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
-          .cast("double") / lit(numHashes)).as("sig_sim"))
+        Dedup.sigSimilarity(col("_sig_new"), col("_sig_ref"), numHashes)
+          .as("sig_sim"))
       .distinct()
       .filter(col("sig_sim") >= threshold)
   }

@@ -50,10 +50,11 @@ object PlanAudit {
     // rows while scanning n², so only a plan check can catch it
     val bandJoinMissing =
       (name.contains("minhash_pairs") || name.contains("simhash_pairs") ||
-        name.contains("lsh_cosine_join")) &&
+        name.contains("lsh_cosine_join") ||
+        name.contains("snapshot_neardup")) &&
       !lines.exists(l =>
         l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)" +
-          ".*(_band_a|_bucket_a).*"))
+          ".*(_band_a|_bucket_a|_band_new).*"))
     val flags = Seq(
       if (cartesian > 0) Some(s"CARTESIAN=$cartesian") else None,
       if (nljUnexpected) Some(s"NLJ=$nlj") else None,

@@ -35,6 +35,18 @@ class Batch25Spec extends SparkSpec {
     assert(out(1)._5 > out(0)._5) // so its perplexity is higher
   }
 
+  test("an empty reference corpus refuses to train, loudly") {
+    val docs = Seq((1L, "some text")).toDF("doc_id", "text")
+    val emptyRef = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val blankRef = Seq((1L, "   ")).toDF("doc_id", "text")
+    for (ref <- Seq(emptyRef, blankRef)) {
+      val e = intercept[IllegalArgumentException] {
+        LangModel.scoreByUnigram(docs, ref, "doc_id", "text")
+      }
+      assert(e.getMessage.contains("no tokens"))
+    }
+  }
+
   test("c4Clean applies each line and page rule independently") {
     val docs = Seq(
       (1L, "Good line one here.\nshort.\nno terminal punct line\nAnother good line!"),
