@@ -33,7 +33,8 @@ object Bench {
     "audio_features", "token_budget_global", "decontam_short",
     "pii_redact_dates", "token_budget_temp", "heavy_hitters_exact",
     "salted_sum", "chunk_tokens", "line_dedup", "url_dedup", "span_dedup",
-    "unigram_ppl", "chunk_sentences", "snapshot_dedup", "snapshot_neardup")
+    "unigram_ppl", "chunk_sentences", "snapshot_dedup", "snapshot_neardup",
+    "bigram_ppl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

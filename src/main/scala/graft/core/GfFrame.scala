@@ -149,6 +149,10 @@ object GfFrame {
                        alpha: Double = 0.5): Fluent =
       new Fluent(graft.text.LangModel.scoreByUnigram(df, refCorpus,
         idCol, textCol, alpha))
+    def scoreByBigram(refCorpus: DataFrame, idCol: String, textCol: String,
+                      alpha: Double = 0.5): Fluent =
+      new Fluent(graft.text.LangModel.scoreByBigram(df, refCorpus,
+        idCol, textCol, alpha))
     def dropSeenDocs(refCorpus: DataFrame, textCol: String): Fluent =
       new Fluent(graft.text.Snapshot.dropSeenDocs(df, refCorpus, textCol))
     def dropSeenNearDups(refCorpus: DataFrame, idCol: String,

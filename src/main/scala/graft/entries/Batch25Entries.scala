@@ -78,6 +78,17 @@ object Batch25Entries {
         .orderBy("doc")
     }),
 
+    // LangModel.scoreByBigram: same held-out-fifth split; the bigram
+    // conditional model exercises all three smoothing branches (pair
+    // seen / context-only / context unseen).
+    "bigram_ppl" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      graft.text.LangModel.scoreByBigram(
+          docs, docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          alpha = 0.5)
+        .orderBy("doc")
+    }),
+
     // C4.c4Clean over the synthesized 240-page fixture: terminal
     // punctuation, min-3-words and "javascript" line rules; "lorem
     // ipsum"/brace page rules; 2-sentence minimum on the CLEANED text.
@@ -163,6 +174,50 @@ object Batch25Entries {
         |  FROM j GROUP BY doc)
         |SELECT d.doc_id AS doc,
         |  COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(n_oov, 0) AS n_oov,
+        |  COALESCE(mean_logprob, 0.0) AS mean_logprob,
+        |  COALESCE(ROUND(EXP(-mean_logprob), 6), 1.0) AS ppl
+        |FROM documents d LEFT JOIN sc ON sc.doc = d.doc_id
+        |ORDER BY doc""".stripMargin,
+
+    // One smoothed expression covers pair-seen / context-only /
+    // context-unseen by coalescing absent counts to 0 — the identical
+    // IEEE tree on both engines, round-6 mean, EXP of rounded mean.
+    "bigram_ppl" ->
+      """WITH rt AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 <> 0 AND len(trim(text)) > 0),
+        |rb AS (
+        |  SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+        |  FROM rt, (SELECT unnest(range(1, 2000)) AS i) i
+        |  WHERE i.i <= len(t) - 1),
+        |c AS (SELECT w1, w2, COUNT(*) AS c12 FROM rb GROUP BY 1, 2),
+        |ctx AS (SELECT w1, SUM(c12) AS c1 FROM c GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w2) AS DOUBLE) AS vb FROM c),
+        |dt AS (
+        |  SELECT doc_id AS doc,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |db AS (
+        |  SELECT doc, t[i.i] AS w1, t[i.i + 1] AS w2
+        |  FROM dt, (SELECT unnest(range(1, 2000)) AS i) i
+        |  WHERE i.i <= len(t) - 1),
+        |dbf AS (SELECT doc, w1, w2, COUNT(*) AS tf FROM db GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT doc, tf,
+        |    CASE WHEN c.c12 IS NULL THEN 1 ELSE 0 END AS oov,
+        |    LN((CAST(COALESCE(c.c12, 0) AS DOUBLE) + 0.5) /
+        |       (CAST(COALESCE(ctx.c1, 0) AS DOUBLE) + 0.5 * (v.vb + 1.0)))
+        |      AS logp
+        |  FROM dbf LEFT JOIN c USING (w1, w2) LEFT JOIN ctx USING (w1), v),
+        |sc AS (
+        |  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(oov * tf) AS BIGINT) AS n_oov,
+        |    ROUND(SUM(logp * CAST(tf AS DOUBLE)) / CAST(SUM(tf) AS DOUBLE), 6)
+        |      AS mean_logprob
+        |  FROM j GROUP BY doc)
+        |SELECT d.doc_id AS doc,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
         |  COALESCE(n_oov, 0) AS n_oov,
         |  COALESCE(mean_logprob, 0.0) AS mean_logprob,
         |  COALESCE(ROUND(EXP(-mean_logprob), 6), 1.0) AS ppl

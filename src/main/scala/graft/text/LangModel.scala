@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Unigram language-model scoring for corpus quality filtering — the
@@ -103,18 +103,86 @@ object LangModel {
       .select(col("doc"), col("tf"),
         when(col("_ctf").isNull, lit(1L)).otherwise(lit(0L)).as("_oov"),
         when(col("_ctf").isNull, oovLogp).otherwise(col("_lp")).as("_logp"))
-      .groupBy("doc")
-      .agg(sum("tf").as("n_tokens"),
+    finishScores(docs, idCol, scored, "n_tokens")
+  }
+
+  /** Score each document under an add-α smoothed BIGRAM conditional
+    * model of `refCorpus` — the next step toward CCNet's n-gram LM:
+    * `logp(w₂|w₁) = ln((c(w₁w₂) + α) / (c(w₁·) + α·(V+1)))` with
+    * context counts `c(w₁·)` derived from the bigram table itself and
+    * `V` the distinct-successor vocabulary. One smoothed expression
+    * covers all three cases (pair seen; context seen, pair unseen;
+    * context unseen → uniform 1/(V+1)) by coalescing absent counts to
+    * zero — a single IEEE tree both engines evaluate identically.
+    *
+    * Plan shape: bigrams are a pure array expression (no window — a
+    * `transform(sequence)` over adjacent token pairs), counted in ONE
+    * groupBy; context counts re-aggregate the checkpointed bigram
+    * table, never the corpus; scoring pre-aggregates to
+    * (doc, w₁, w₂, tf) then takes two keyed equi-joins.
+    *
+    * Documents with fewer than 2 tokens score the neutral empty
+    * product (mean 0, ppl 1). Output:
+    * (idCol→doc, n_bigrams, n_oov, mean_logprob, ppl). */
+  def scoreByBigram(docs: DataFrame, refCorpus: DataFrame,
+                    idCol: String, textCol: String,
+                    alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val refBg = refCorpus
+      .select(explode(bigramsOf(col(textCol))).as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+      .localCheckpoint()
+    require(!refBg.isEmpty,
+      "reference corpus has no bigrams: refusing to train an empty " +
+        "bigram model (every document would score ppl = 1)")
+    val ctx = refBg.groupBy("w1").agg(sum("_c12").as("_c1"))
+    val vTot = refBg.agg(
+      countDistinct("w2").cast("double").as("_Vb"))
+    val docBg = docs.select(col(idCol).as("doc"),
+        explode(bigramsOf(col(textCol))).as("_bg"))
+      .select(col("doc"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .groupBy("doc", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val scored = docBg
+      .join(refBg, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vTot))
+      .select(col("doc"), col("tf"),
+        when(col("_c12").isNull, lit(1L)).otherwise(lit(0L)).as("_oov"),
+        log((coalesce(col("_c12"), lit(0L)).cast("double") + lit(alpha)) /
+          (coalesce(col("_c1"), lit(0L)).cast("double") +
+            lit(alpha) * (col("_Vb") + lit(1.0)))).as("_logp"))
+    finishScores(docs, idCol, scored, "n_bigrams")
+  }
+
+  /** Adjacent lowercased-token pairs of a text column as a pure array
+    * expression: `[(t₁,t₂), …, (tₙ₋₁,tₙ)]`, empty below 2 tokens
+    * (guarded — `sequence(1, 0)` would count DOWN, not empty). */
+  private def bigramsOf(text: Column): Column = {
+    val toks = TextFns.tokens(lower(text))
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** Shared scoring tail: tf-weighted mean of `_logp` (round-6 parity
+    * contract), perplexity from the ROUNDED mean, and the left join
+    * back to the document spine so unscorable documents surface with
+    * the neutral empty product instead of disappearing. */
+  private def finishScores(docs: DataFrame, idCol: String,
+                           scored: DataFrame, nName: String): DataFrame = {
+    val agg = scored.groupBy("doc")
+      .agg(sum("tf").as(nName),
         sum(col("_oov") * col("tf")).as("n_oov"),
         round(sum(col("_logp") * col("tf").cast("double")) /
           sum(col("tf")).cast("double"), 6).as("mean_logprob"))
       .withColumn("ppl", round(exp(-col("mean_logprob")), 6))
-    // left join back: zero-token documents surface with the empty
-    // product's neutral score instead of silently disappearing
     docs.select(col(idCol).as("doc")).distinct()
-      .join(scored, Seq("doc"), "left")
+      .join(agg, Seq("doc"), "left")
       .select(col("doc"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col(nName), lit(0L)).as(nName),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         coalesce(col("mean_logprob"), lit(0.0)).as("mean_logprob"),
         coalesce(col("ppl"), lit(1.0)).as("ppl"))

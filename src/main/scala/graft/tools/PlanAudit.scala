@@ -34,9 +34,9 @@ object PlanAudit {
     // 1-row fitted-scalar broadcasts
     "decision_curve", "friedman", "histogram", "kruskal_wallis",
     "laplace_smooth", "otsu", "reg_metrics", "wilcoxon",
-    // line_dedup / unigram_ppl: corpus-total scalars (doc count;
-    // token count N + vocab size V) cross-join as 1-row broadcasts
-    "line_dedup", "unigram_ppl")
+    // line_dedup / unigram_ppl / bigram_ppl: corpus-total scalars
+    // (doc count; token count N + vocab size V) as 1-row broadcasts
+    "line_dedup", "unigram_ppl", "bigram_ppl")
 
   /** Audit one query's executed plan string. */
   def auditPlan(name: String, plan: String): Audit = {

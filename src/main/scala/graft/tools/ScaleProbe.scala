@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Tables => T}
 import graft.ml.Similarity
-import graft.text.{Decontaminate, Dedup, Redact}
+import graft.text.{Decontaminate, Dedup, LangModel, Redact, Snapshot}
 
 /** Empirical scale probe: replicate the sf0.1 corpus N× (ids offset,
   * texts word-rotated per replica so replicas are near- but not
@@ -92,6 +92,30 @@ object ScaleProbe {
           // the count is already materialized above)
           graft.text.Chunk.dedupLinesAcrossCorpus(cached, "doc_id", "text",
             minDf = nDocs * 4L / 5L, splitRe = " ", joinSep = " ").count()
+        },
+        time("unigram_ppl") {
+          // self-scored: trains the vocab on the replicated corpus AND
+          // scores it — both the model explode and the scoring join
+          // grow with the corpus, the linear-pipeline worst case
+          LangModel.scoreByUnigram(cached, cached, "doc_id", "text").count()
+        },
+        time("snapshot_dedup") {
+          // full-size re-crawl where every third page changed: the
+          // reference fingerprint set AND the probe side both scale
+          val fresh = cached.select((col("doc_id") + 200000000L).as("doc_id"),
+            when(col("doc_id") % 3 === 0, concat(col("text"), lit(" xq7z")))
+              .otherwise(col("text")).as("text"))
+          Snapshot.dropSeenDocs(fresh, cached, "text").count()
+        },
+        time("snapshot_neardup") {
+          // 10% re-crawl, first token dropped: each new doc
+          // near-matches ALL rotated twins of its original, so the
+          // true pair count grows with the multiplier on top of the
+          // input growth — adversarial for the cross band join
+          val fresh = cached.filter(col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 200000000L).as("doc_id"),
+              regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+          Snapshot.dropSeenNearDups(fresh, cached, "doc_id", "text").count()
         })
       cached.unpersist()
       out

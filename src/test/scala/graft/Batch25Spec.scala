@@ -35,6 +35,28 @@ class Batch25Spec extends SparkSpec {
     assert(out(1)._5 > out(0)._5) // so its perplexity is higher
   }
 
+  test("scoreByBigram covers all three smoothing branches by hand") {
+    // ref bigrams: (a,b)x2, (b,a), (b,c) -> contexts a:2, b:2; V=|{b,a,c}|=3
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b"),   // pair seen: ln((2+.5)/(2+.5*4))
+      (11L, "a c"),   // context seen, pair unseen: ln(.5/(2+2))
+      (12L, "z q"),   // context unseen: ln(.5/(0+2)) = uniform 1/(V+1)
+      (13L, "solo")   // <2 tokens: neutral
+    ).toDF("doc_id", "text")
+    val out = graft.text.LangModel.scoreByBigram(docs, ref, "doc_id", "text")
+      .orderBy("doc").as[(Long, Long, Long, Double, Double)].collect()
+    assert(math.abs(out(0)._4 - math.log(2.5 / 4.0)) < 1e-6)
+    assert(out(0)._3 == 0L)
+    assert(math.abs(out(1)._4 - math.log(0.5 / 4.0)) < 1e-6)
+    assert(out(1)._3 == 1L)
+    assert(math.abs(out(2)._4 - math.log(0.5 / 2.0)) < 1e-6)
+    assert(out(2)._3 == 1L)
+    assert(out(3) == ((13L, 0L, 0L, 0.0, 1.0)))
+    // bigram surprise orders the docs: seen pair < unseen pair
+    assert(out(0)._5 < out(1)._5)
+  }
+
   test("an empty reference corpus refuses to train, loudly") {
     val docs = Seq((1L, "some text")).toDF("doc_id", "text")
     val emptyRef = Seq.empty[(Long, String)].toDF("doc_id", "text")
