@@ -109,6 +109,48 @@ object Streaming {
       .dropDuplicatesWithinWatermark(idCol)
   }
 
+  /** Streaming quality scoring: arriving documents scored under a
+    * STATIC pre-trained unigram model
+    * ([[graft.text.LangModel.unigramVocab]]) — the deploy shape of a
+    * perplexity filter: train once on the curated corpus, score the
+    * crawl as it arrives. The corpus totals collapse to two fitted
+    * scalars at stream SETUP (one tiny action on the static vocab —
+    * the accepted fitted-model pattern), the per-token log-prob
+    * lookup is a stream-static equi-join (broadcast by AQE for small
+    * vocabs), and the per-document mean aggregates under an
+    * event-time window + watermark, so append mode emits each
+    * document's score exactly once when its window closes. Documents
+    * with zero tokens produce no score row (a stream cannot left-join
+    * its own absent aggregate).
+    *
+    * Output: (idCol, n_tokens, n_oov, mean_logprob, ppl) per
+    * (window, document) — the same round-6 contract as the batch
+    * scorer, which `StreamSpec` asserts it matches. */
+  def scoredDocs(docs: DataFrame, vocab: DataFrame,
+                 idCol: String, textCol: String, tsCol: String,
+                 watermark: String, windowDur: String,
+                 alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val r = vocab.agg(sum("tf").cast("double"),
+      count(lit(1)).cast("double")).head()
+    val denom = r.getDouble(0) + alpha * (r.getDouble(1) + 1.0)
+    val oovLogp = math.log(alpha / denom)
+    val lp = vocab.select(col("token"), col("logp").as("_lp"))
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(graft.text.TextFns.tokens(lower(col(textCol))))
+          .as("token"))
+      .join(lp, Seq("token"), "left")
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_lp").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(coalesce(col("_lp"), lit(oovLogp))) /
+          count(lit(1)).cast("double"), 6).as("mean_logprob"))
+      .withColumn("ppl", round(exp(-col("mean_logprob")), 6))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        col("mean_logprob"), col("ppl"))
+  }
+
   /** foreachBatch parquet sink: idempotent per-micro-batch overwrite
     * into a Catalog table partition keyed by batch id — with
     * checkpointing this is the standard exactly-once pattern for

@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.stream.Streaming
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class DocEv(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamSpec extends SparkSpec {
   import spark.implicits._
@@ -214,5 +215,38 @@ class StreamSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     q.stop()
     assert(flagged == Set(1L, 3L))
+  }
+
+  test("streaming quality scoring matches the batch unigram scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "alpha beta beta gamma"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val vocab = graft.text.LangModel.unigramVocab(ref, "text")
+    val in = MemoryStream[DocEv]
+    val q = Streaming.scoredDocs(in.toDF(), vocab, "doc_id", "text", "ts",
+        "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("squal")
+      .outputMode(OutputMode.Append).start()
+    in.addData(DocEv(t(0), 10L, "alpha beta"),
+      DocEv(t(1), 11L, "alpha zzz unseen"))
+    q.processAllAvailable()
+    in.addData(DocEv(t(59), 99L, "alpha")) // advance watermark, close window
+    q.processAllAvailable()
+    val streamed = spark.table("squal")
+      .select("doc_id", "n_tokens", "n_oov", "mean_logprob", "ppl")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .filter(r => r._1 == 10L || r._1 == 11L).sortBy(_._1)
+    q.stop()
+    val batch = graft.text.LangModel.scoreByUnigram(
+        Seq((10L, "alpha beta"), (11L, "alpha zzz unseen"))
+          .toDF("doc_id", "text"),
+        ref, "doc_id", "text")
+      .orderBy("doc").as[(Long, Long, Long, Double, Double)].collect()
+    assert(streamed.length == 2)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s._1 == b._1 && s._2 == b._2 && s._3 == b._3)
+      assert(math.abs(s._4 - b._4) < 1e-6, s"mean_logprob $s vs $b")
+      assert(math.abs(s._5 - b._5) < 1e-5, s"ppl $s vs $b")
+    }
   }
 }
