@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 lexical retrieval over a document corpus — the data-selection
+  * primitive of LLM pipelines ("keep pages similar to a high-quality
+  * seed set", the retrieval dual of the perplexity filter in
+  * [[LangModel]]; quality-signal family of gofast/utils/text.py:838).
+  *
+  * Standard Robertson BM25 with the Lucene idf variant
+  * `ln(1 + (N − df + 0.5)/(df + 0.5))` — always positive, so a term
+  * in more than half the corpus never SUBTRACTS from the score:
+  *
+  *   score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) /
+  *                                (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * Query terms are DISTINCT per query (set semantics — the common
+  * convention for short queries; a repeated query term does not
+  * double-count).
+  *
+  * Scale shape:
+  *  - one corpus explode → per-(doc, token) tf groupBy (map-side
+  *    combined); df and dl re-aggregate THAT table, never the corpus;
+  *  - (N, avgdl) ride as a 1-row broadcast scalar;
+  *  - the candidate join is postings-bounded: each query term meets
+  *    only the documents containing it (Σ_t df(t) candidate rows per
+  *    query), keyed on token — AQE broadcasts the query side when it
+  *    is small, which is the common retrieval shape;
+  *  - top-k is the two-phase exact kernel of
+  *    [[graft.rel.Sampling.topKPerGroup]]: per-(query, partition)
+  *    local top-k first, so a hot query never serializes onto one
+  *    task.
+  *
+  * Determinism: scores round to 6 dp BEFORE ranking (per-document sum
+  * order is the only engine difference; the round-6 parity contract of
+  * [[Quality.tokenEntropy]]), ties broken by ascending doc id.
+  */
+object Retrieval {
+
+  /** Top-k documents per query by BM25. Output:
+    * (query, doc, score, rank) with rank 1..k per query.
+    * Documents or queries with no tokens simply match nothing. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame,
+               docId: String, textCol: String,
+               queryId: String, queryText: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"need k1 >= 0 and 0 <= b <= 1, got k1=$k1 b=$b")
+    // one corpus pass: per-(doc, token) term frequencies
+    val docTf = docs.select(col(docId).as("doc"),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      // cut once: feeds df, dl AND the candidate join — without it the
+      // corpus explode+groupBy re-runs three times
+      .localCheckpoint()
+    // document lengths and corpus scalars. N counts EVERY corpus row
+    // (zero-token documents can never match, but they are still part
+    // of the collection the idf is defined over); avgdl averages over
+    // that same N so the two constants stay mutually consistent.
+    val dl = docTf.groupBy("doc").agg(sum("tf").as("dl"))
+    val nDocs = docs.select(col(docId).as("doc")).distinct().count()
+    require(nDocs > 0, "empty corpus: BM25 idf is undefined at N = 0")
+    val scalars = dl.agg(
+      (sum("dl").cast("double") / lit(nDocs.toDouble)).as("_avgdl"))
+    val df_ = docTf.groupBy("token").agg(count(lit(1)).as("df"))
+    // distinct query terms (set semantics)
+    val qTerms = queries.select(col(queryId).as("query"),
+        explode(array_distinct(TextFns.tokens(lower(col(queryText)))))
+          .as("token"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+          col("_avgdl")))
+    val scored = qTerms
+      .join(docTf, Seq("token"))
+      .join(df_, Seq("token"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(scalars))
+      .groupBy("query", "doc")
+      .agg(round(sum(contrib), 6).as("score"))
+    graft.rel.Sampling.topKPerGroup(scored, Seq("query"),
+        Seq(col("score").desc, col("doc").asc), k, rankName = "rank")
+      .select("query", "doc", "score", "rank")
+  }
+}
