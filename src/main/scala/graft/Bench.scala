@@ -81,30 +81,56 @@ object Bench {
     // phantom 5-8x "regressions" that vanished under median-of-3).
     // Default is 3 so the driver's artifact reports medians.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
-    val results = names.map { name =>
-      val times = (0 until iters).map { _ =>
-        val t0 = System.nanoTime()
-        try exec(name, sfDir) catch { case _: Throwable => }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // entries persist() intermediates; drop them so storage doesn't
-        // accumulate across 120+ queries and skew later timings via GC
+    // A failed query must NEVER get a timing row — r10's artifact recorded
+    // 35 queries' time-to-THROW as if it were a run time. Failures go to
+    // the `errors` map and into the final JSON instead.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = names.flatMap { name =>
+      try {
+        val times = (0 until iters).map { _ =>
+          val t0 = System.nanoTime()
+          exec(name, sfDir)
+          val dt = (System.nanoTime() - t0) / 1e9
+          // entries persist() intermediates; drop them so storage doesn't
+          // accumulate across 120+ queries and skew later timings via GC
+          spark.catalog.clearCache()
+          dt
+        }.sorted
+        Some(name -> times(times.size / 2))
+      } catch { case e: Throwable =>
         spark.catalog.clearCache()
-        dt
-      }.sorted
-      name -> times(times.size / 2)
+        errors(name) =
+          Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("\\s+", " ").take(200)
+        None
+      }
     }.toMap
     // Locale.ROOT: the driver parses this JSON; a comma decimal
     // separator under e.g. de_DE would break it.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val allQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"BENCHALL $allQs")
+    // Full error detail on its own diagnostic line; the final JSON line
+    // carries every failed name (short messages) within the driver's
+    // ~2000-char tail window — truncated messages beat a truncated line.
+    if (errors.nonEmpty)
+      println("BENCHERR " + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}"))
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(40))}" }
+      .mkString("{", ",", "}")
     val qs = headline.filter(results.contains)
       .map(k => s"\"" + k + "\":" + fmt(results(k)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","timed_iters":$iters,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","timed_iters":$iters,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}","error_count":${errors.size},"errors":$errJson}""")
     spark.stop()
   }
 }

@@ -18,13 +18,21 @@ object Verify {
     // dev-only subset filter (comma-separated names); driver leaves unset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Failures must be LOUD: r10's events-schema break silently shrank the
+    // correctness artifact's denominator (165→157 rows went unnoticed
+    // because errors only hit stderr). Collect them and write
+    // failures.json next to oracle_sql.json so a broken build is visible
+    // in the artifacts themselves.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg.replaceAll("\\s+", " ").take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +50,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when green) so its absence/staleness is
+    // itself a signal; a count >0 means this round's verify was incomplete.
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    if (failures.nonEmpty)
+      println(s"[verify] ${failures.size} queries FAILED — see $outDir/failures.json")
     spark.stop()
   }
 }

@@ -19,16 +19,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events table is written with parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for. We read nanos as long (legacy conf) and convert
-    * to a microsecond TimestampType — lossless here (driver data is
-    * µs-precision; see TESTDATA.md) and exactly what DuckDB renders.
+  /** The events table's `ts` column has shipped in two parquet encodings
+    * across driver testdata generations: TIMESTAMP(NANOS) (no native Spark
+    * type — read nanos as long via the legacy conf, divide to micros) and
+    * native timestamp[us] with isAdjustedToUTC=false (read as TIMESTAMP_NTZ).
+    * Dispatch on the loaded dtype so either generation works; normalize to
+    * TimestampType under the UTC session (wall-clock preserving, and exactly
+    * what DuckDB renders) so downstream queries see one type.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported dtype $other — expected long (nanos), timestamp_ntz, or timestamp")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -129,7 +129,8 @@ object LangModel {
                     alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     val refBg = refCorpus
-      .select(explode(bigramsOf(col(textCol))).as("_bg"))
+      .select(TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .select(explode(bigramsOf(col("_toks"))).as("_bg"))
       .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
       .localCheckpoint()
@@ -140,7 +141,8 @@ object LangModel {
     val vTot = refBg.agg(
       countDistinct("w2").cast("double").as("_Vb"))
     val docBg = docs.select(col(idCol).as("doc"),
-        explode(bigramsOf(col(textCol))).as("_bg"))
+        TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc"), explode(bigramsOf(col("_toks"))).as("_bg"))
       .select(col("doc"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
       .groupBy("doc", "w1", "w2").agg(count(lit(1)).as("tf"))
     val scored = docBg
@@ -155,16 +157,22 @@ object LangModel {
     finishScores(docs, idCol, scored, "n_bigrams")
   }
 
-  /** Adjacent lowercased-token pairs of a text column as a pure array
-    * expression: `[(t₁,t₂), …, (tₙ₋₁,tₙ)]`, empty below 2 tokens
-    * (guarded — `sequence(1, 0)` would count DOWN, not empty). */
-  private def bigramsOf(text: Column): Column = {
-    val toks = TextFns.tokens(lower(text))
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  /** Adjacent token pairs from a token-ARRAY column as a pure O(n)
+    * array expression: `[(t₁,t₂), …, (tₙ₋₁,tₙ)]` via a zip of the two
+    * shifted slices (empty below 2 tokens — slice length is clamped
+    * to 0, never negative).
+    *
+    * Takes the ALREADY-PROJECTED token array, not the text: the r10
+    * version inlined `TextFns.tokens(lower(text))` inside a
+    * `transform(sequence…element_at)` lambda, so the regex
+    * tokenization re-ran per array ELEMENT — O(n²·regex) per document
+    * and 17 s on 5k docs (the exact hazard Chunk.scala documents).
+    * The zip form touches the array a constant number of times per
+    * row even if Catalyst collapses the projection. */
+  private def bigramsOf(toks: Column): Column = {
+    val len = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
   }
 
   /** Shared scoring tail: tf-weighted mean of `_logp` (round-6 parity

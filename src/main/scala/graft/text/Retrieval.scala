@@ -55,20 +55,27 @@ object Retrieval {
       // cut once: feeds df, dl AND the candidate join — without it the
       // corpus explode+groupBy re-runs three times
       .localCheckpoint()
-    // document lengths and corpus scalars. N counts EVERY corpus row
-    // (zero-token documents can never match, but they are still part
-    // of the collection the idf is defined over); avgdl averages over
-    // that same N so the two constants stay mutually consistent.
+    // document lengths and corpus scalars. N counts DISTINCT doc ids —
+    // rows sharing a doc id merge their term frequencies into one
+    // logical document and count once toward N (zero-token documents
+    // can never match, but they are still part of the collection the
+    // idf is defined over); avgdl averages over that same N so the two
+    // constants stay mutually consistent.
     val dl = docTf.groupBy("doc").agg(sum("tf").as("dl"))
     val nDocs = docs.select(col(docId).as("doc")).distinct().count()
     require(nDocs > 0, "empty corpus: BM25 idf is undefined at N = 0")
     val scalars = dl.agg(
       (sum("dl").cast("double") / lit(nDocs.toDouble)).as("_avgdl"))
     val df_ = docTf.groupBy("token").agg(count(lit(1)).as("df"))
-    // distinct query terms (set semantics)
+    // distinct query terms (set semantics) — PER QUERY ID, not per
+    // input row: two rows sharing a queryId union their term sets
+    // rather than double-counting shared terms, matching the
+    // documented "DISTINCT per query" contract. (array_distinct alone
+    // would only dedup within a row.)
     val qTerms = queries.select(col(queryId).as("query"),
         explode(array_distinct(TextFns.tokens(lower(col(queryText)))))
           .as("token"))
+      .dropDuplicates("query", "token")
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
@@ -84,6 +91,41 @@ object Retrieval {
       .groupBy("query", "doc")
       .agg(round(sum(contrib), 6).as("score"))
     graft.rel.Sampling.topKPerGroup(scored, Seq("query"),
+        Seq(col("score").desc, col("doc").asc), k, rankName = "rank")
+      .select("query", "doc", "score", "rank")
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    * of K retriever rankings — the standard hybrid-retrieval combiner
+    * (lexical + dense, or an ensemble of parameterizations):
+    *
+    *   score(q, d) = Σ_k 1 / (c + rank_k(q, d))
+    *
+    * summed over the rankings that retrieved (q, d) at all; documents
+    * a retriever missed simply contribute nothing for it. Output
+    * (query, doc, score, rank), top-k per query.
+    *
+    * Scale shape: one unionByName of the (already top-k-bounded)
+    * rankings, ONE map-side-combined groupBy(query, doc), then the
+    * two-phase exact top-k kernel — input is K·depth rows per query,
+    * never corpus-sized.
+    *
+    * Determinism: fused scores round to 6 dp BEFORE ranking, ties
+    * break by ascending doc id. With two rankings the sum is a single
+    * commutative IEEE add (bit-exact for any aggregation order); at
+    * K ≥ 3 the round-6 contract absorbs ordering ulps. */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, docCol: String,
+              rankCol: String, c: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(c >= 0, s"c must be >= 0, got $c")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val uni = rankings.map(df => df.select(col(queryCol).as("query"),
+        col(docCol).as("doc"), col(rankCol).cast("double").as("_rk")))
+      .reduce(_ unionByName _)
+    val fused = uni.groupBy("query", "doc")
+      .agg(round(sum(lit(1.0) / (lit(c.toDouble) + col("_rk"))), 6)
+        .as("score"))
+    graft.rel.Sampling.topKPerGroup(fused, Seq("query"),
         Seq(col("score").desc, col("doc").asc), k, rankName = "rank")
       .select("query", "doc", "score", "rank")
   }

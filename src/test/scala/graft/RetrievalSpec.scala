@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Retrieval
+
+/** BM25 retrieval kernel (r10 ADVICE: shipped with no spec). The fixture
+  * is small enough to verify every constant by hand:
+  *
+  *   d1 "apple banana apple"         tf(apple)=2 tf(banana)=1  dl=3
+  *   d2 "banana cherry"              tf(banana)=1 tf(cherry)=1 dl=2
+  *   d3 "cherry cherry cherry apple" tf(cherry)=3 tf(apple)=1  dl=4
+  *
+  *   N=3, avgdl=3, df(apple)=2 df(banana)=2 df(cherry)=2
+  *   idf(t) = ln(1 + (3 − 2 + 0.5)/(2 + 0.5)) = ln(1.6)  for all three
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry apple")).toDF("doc_id", "text")
+
+  private val idf = math.log(1.6)
+  private def w(tf: Int, dl: Int, k1: Double = 1.2, b: Double = 0.75) =
+    tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / 3.0))
+  private def r6(x: Double) = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25TopK matches hand-computed scores and rank order") {
+    val qs = Seq((10L, "apple cherry apple")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext")
+      .orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    // query terms = {apple, cherry} (repeated "apple" counts once)
+    val s1 = r6(idf * w(2, 3))            // d1: apple only
+    val s2 = r6(idf * w(1, 2))            // d2: cherry only
+    val s3 = r6(idf * w(3, 4) + idf * w(1, 4)) // d3: cherry + apple
+    assert(got.map(_._3) == Seq(s3, s1, s2).sorted.reverse)
+    // hand order: d3 (two terms) > d1 > d2
+    assert(got == Seq((10L, 3L, s3, 1), (10L, 1L, s1, 2), (10L, 2L, s2, 3)))
+  }
+
+  test("query terms dedup PER QUERY ID across rows, not per input row") {
+    // same id split over two rows, sharing "apple": term set must be
+    // {apple, cherry} — identical scores to the single-row query above
+    val split = Seq((10L, "apple cherry"), (10L, "apple"))
+      .toDF("qid", "qtext")
+    val whole = Seq((10L, "apple cherry apple")).toDF("qid", "qtext")
+    val a = Retrieval.bm25TopK(docs, split, "doc_id", "text", "qid", "qtext")
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq
+    val b = Retrieval.bm25TopK(docs, whole, "doc_id", "text", "qid", "qtext")
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("k caps per query; ties break by ascending doc id") {
+    val qs = Seq((1L, "banana")).toDF("qid", "qtext")
+    // banana: d1 (tf=1, dl=3) and d2 (tf=1, dl=2) — d2's shorter doc
+    // scores higher; with k=1 only d2 survives
+    val got = Retrieval.bm25TopK(docs, qs, "doc_id", "text", "qid", "qtext",
+        k = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, r6(idf * w(1, 2)), 1)))
+    // two docs with IDENTICAL tf and dl tie exactly → lower doc id first
+    val tied = Seq((7L, "pear plum"), (8L, "pear quince"))
+      .toDF("doc_id", "text")
+    val q2 = Seq((1L, "pear")).toDF("qid", "qtext")
+    val r = Retrieval.bm25TopK(tied, q2, "doc_id", "text", "qid", "qtext")
+      .select("doc", "rank").as[(Long, Int)].collect().toSeq
+    assert(r == Seq((7L, 1), (8L, 2)))
+  }
+
+  test("rrfFuse sums reciprocal ranks; absent retrievers contribute nothing") {
+    // ranking A: q1 → d1@1, d2@2 ; ranking B: q1 → d2@1, d3@2
+    val a = Seq((1L, 1L, 1), (1L, 2L, 2)).toDF("query", "doc", "rank")
+    val b = Seq((1L, 2L, 1), (1L, 3L, 2)).toDF("query", "doc", "rank")
+    val got = graft.text.Retrieval
+      .rrfFuse(Seq(a, b), "query", "doc", "rank", c = 60, k = 10)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq
+    val d2 = r6(1.0 / 62 + 1.0 / 61) // both rankings
+    val d1 = r6(1.0 / 61)            // A only
+    val d3 = r6(1.0 / 62)            // B only
+    assert(got == Seq((1L, 2L, d2, 1), (1L, 1L, d1, 2), (1L, 3L, d3, 3)))
+  }
+
+  test("rrfFuse ties break by doc id; k caps output; c shifts scores") {
+    // both docs appear at the same ranks → identical scores, id order
+    val a = Seq((1L, 5L, 1), (1L, 9L, 2)).toDF("query", "doc", "rank")
+    val b = Seq((1L, 9L, 1), (1L, 5L, 2)).toDF("query", "doc", "rank")
+    val tied = graft.text.Retrieval
+      .rrfFuse(Seq(a, b), "query", "doc", "rank", c = 0, k = 1)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(tied == Seq((1L, 5L, r6(1.0 / 1 + 1.0 / 2), 1)))
+  }
+
+  test("empty corpus is rejected; tokenless queries match nothing") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val qs = Seq((1L, "apple")).toDF("qid", "qtext")
+    val err = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(empty, qs, "doc_id", "text", "qid", "qtext")
+        .collect()
+    }
+    assert(err.getMessage.contains("empty corpus"))
+    val blankQ = Seq((1L, "   ")).toDF("qid", "qtext")
+    assert(Retrieval.bm25TopK(docs, blankQ, "doc_id", "text", "qid", "qtext")
+      .count() == 0)
+  }
+}
