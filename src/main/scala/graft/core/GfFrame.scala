@@ -159,5 +159,17 @@ object GfFrame {
                          textCol: String, threshold: Double = 0.6): Fluent =
       new Fluent(graft.text.Snapshot.dropSeenNearDups(df, refCorpus,
         idCol, textCol, threshold = threshold))
+    /** BM25 retrieval over this frame as the document corpus. */
+    def bm25TopK(queries: DataFrame, docId: String, textCol: String,
+                 queryId: String, queryText: String, k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): Fluent =
+      new Fluent(graft.text.Retrieval.bm25TopK(df, queries, docId,
+        textCol, queryId, queryText, k, k1, b))
+    /** RRF-fuse this ranking with others (all shaped query/doc/rank). */
+    def rrfFuseWith(others: Seq[DataFrame], queryCol: String = "query",
+                    docCol: String = "doc", rankCol: String = "rank",
+                    c: Int = 60, k: Int = 10): Fluent =
+      new Fluent(graft.text.Retrieval.rrfFuse(df +: others, queryCol,
+        docCol, rankCol, c, k))
   }
 }

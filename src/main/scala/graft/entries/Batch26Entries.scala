@@ -26,22 +26,21 @@ object Batch26Entries {
         .orderBy("query", "rank")
     }),
 
-    // Retrieval.rrfFuse: reciprocal-rank fusion of two BM25
-    // parameterizations (k1=1.2/b=0.75 and k1=2.0/b=0.5 — different
-    // length normalization) retrieved 20 deep, fused top-10 at c=60.
-    // Two rankings → the fused sum is one commutative IEEE add, so
-    // the round-6 scores are aggregation-order-exact.
+    // Retrieval.bm25Rankings + rrfFuse: reciprocal-rank fusion of two
+    // BM25 parameterizations (k1=1.2/b=0.75 and k1=2.0/b=0.5 —
+    // different length normalization) retrieved 20 deep from ONE
+    // shared candidate table, fused top-10 at c=60. Two rankings →
+    // the fused sum is one commutative IEEE add, so the round-6
+    // scores are aggregation-order-exact.
     "rrf_fuse" -> ((s, dir) => {
       val docs = T.documents(s, dir)
       val qs = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
           array_join(slice(graft.text.TextFns.tokens(lower(col("text"))),
             1, 5), " ").as("qtext"))
-      val r1 = graft.text.Retrieval.bm25TopK(docs, qs, "doc_id", "text",
-        "qid", "qtext", k = 20)
-      val r2 = graft.text.Retrieval.bm25TopK(docs, qs, "doc_id", "text",
-        "qid", "qtext", k = 20, k1 = 2.0, b = 0.5)
-      graft.text.Retrieval.rrfFuse(Seq(r1, r2), "query", "doc", "rank")
+      val rs = graft.text.Retrieval.bm25Rankings(docs, qs, "doc_id",
+        "text", "qid", "qtext", Seq((1.2, 0.75), (2.0, 0.5)), k = 20)
+      graft.text.Retrieval.rrfFuse(rs, "query", "doc", "rank")
         .orderBy("query", "rank")
     }))
 

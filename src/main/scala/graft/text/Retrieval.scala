@@ -44,10 +44,28 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, queries: DataFrame,
                docId: String, textCol: String,
                queryId: String, queryText: String,
-               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Rankings(docs, queries, docId, textCol, queryId, queryText,
+      Seq((k1, b)), k).head
+
+  /** One ranking per (k1, b) parameterization, ALL scored from a
+    * single shared candidate table — one corpus pass, one candidate
+    * join, then each parameterization is a pure arithmetic projection
+    * + groupBy + top-k over the (checkpointed, postings-bounded)
+    * candidates. The ensemble input of [[rrfFuse]]: K
+    * parameterizations cost one retrieval plus K cheap scoring tails,
+    * not K full retrievals. */
+  def bm25Rankings(docs: DataFrame, queries: DataFrame,
+                   docId: String, textCol: String,
+                   queryId: String, queryText: String,
+                   params: Seq[(Double, Double)],
+                   k: Int = 10): Seq[DataFrame] = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(k1 >= 0 && b >= 0 && b <= 1,
-      s"need k1 >= 0 and 0 <= b <= 1, got k1=$k1 b=$b")
+    require(params.nonEmpty, "need at least one (k1, b) parameterization")
+    params.foreach { case (k1, b) =>
+      require(k1 >= 0 && b >= 0 && b <= 1,
+        s"need k1 >= 0 and 0 <= b <= 1, got k1=$k1 b=$b")
+    }
     // one corpus pass: per-(doc, token) term frequencies
     val docTf = docs.select(col(docId).as("doc"),
         explode(TextFns.tokens(lower(col(textCol)))).as("token"))
@@ -76,23 +94,30 @@ object Retrieval {
         explode(array_distinct(TextFns.tokens(lower(col(queryText)))))
           .as("token"))
       .dropDuplicates("query", "token")
-    val idf = log(lit(1.0) +
-      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
-    val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
-          col("_avgdl")))
-    val scored = qTerms
+    // the postings-bounded candidate table: one row per (query term,
+    // containing doc), with every per-pair statistic scoring needs.
+    // Cut eagerly when it feeds >1 parameterization so the joins run
+    // once, not once per ranking.
+    val candLazy = qTerms
       .join(docTf, Seq("token"))
       .join(df_, Seq("token"))
       .join(dl, Seq("doc"))
       .crossJoin(broadcast(scalars))
-      .groupBy("query", "doc")
-      .agg(round(sum(contrib), 6).as("score"))
-    graft.rel.Sampling.topKPerGroup(scored, Seq("query"),
-        Seq(col("score").desc, col("doc").asc), k, rankName = "rank")
-      .select("query", "doc", "score", "rank")
+    val cand = if (params.size > 1) candLazy.localCheckpoint() else candLazy
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    params.map { case (k1, b) =>
+      val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+            col("_avgdl")))
+      val scored = cand.groupBy("query", "doc")
+        .agg(round(sum(contrib), 6).as("score"))
+      graft.rel.Sampling.topKPerGroup(scored, Seq("query"),
+          Seq(col("score").desc, col("doc").asc), k, rankName = "rank")
+        .select("query", "doc", "score", "rank")
+    }
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)

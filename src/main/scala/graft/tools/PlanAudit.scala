@@ -36,7 +36,11 @@ object PlanAudit {
     "laplace_smooth", "otsu", "reg_metrics", "wilcoxon",
     // line_dedup / unigram_ppl / bigram_ppl: corpus-total scalars
     // (doc count; token count N + vocab size V) as 1-row broadcasts
-    "line_dedup", "unigram_ppl", "bigram_ppl")
+    "line_dedup", "unigram_ppl", "bigram_ppl",
+    // bm25_topk / rrf_fuse: the (N, avgdl) corpus scalars ride onto
+    // candidates as a 1-row broadcast (rrf fuses two BM25 plans, so
+    // it carries two such joins)
+    "bm25_topk", "rrf_fuse")
 
   /** Audit one query's executed plan string. */
   def auditPlan(name: String, plan: String): Audit = {

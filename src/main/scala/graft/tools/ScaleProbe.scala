@@ -116,6 +116,22 @@ object ScaleProbe {
             .select((col("doc_id") + 200000000L).as("doc_id"),
               regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
           Snapshot.dropSeenNearDups(fresh, cached, "doc_id", "text").count()
+        },
+        time("bm25_rrf") {
+          // fixed query load (one query per ~97th ORIGINAL doc)
+          // against the replicated corpus: the postings explode and
+          // candidate join scale with the corpus, the query side does
+          // not — the retrieval-at-scale shape. Ensemble of two
+          // parameterizations from ONE shared candidate table, fused.
+          val qs = cached.filter(col("doc_id") % 97 === 0 &&
+              col("doc_id") < 1000000L)
+            .select(col("doc_id").as("qid"),
+              array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+                .as("qtext"))
+          val rs = graft.text.Retrieval.bm25Rankings(cached, qs,
+            "doc_id", "text", "qid", "qtext",
+            Seq((1.2, 0.75), (2.0, 0.5)), k = 20)
+          graft.text.Retrieval.rrfFuse(rs, "query", "doc", "rank").count()
         })
       cached.unpersist()
       out

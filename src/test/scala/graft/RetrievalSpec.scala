@@ -94,6 +94,37 @@ class RetrievalSpec extends SparkSpec {
     assert(tied == Seq((1L, 5L, r6(1.0 / 1 + 1.0 / 2), 1)))
   }
 
+  test("fluent surface mirrors bm25TopK and rrfFuse") {
+    import graft.core.GfFrame._
+    val qs = Seq((10L, "apple cherry apple")).toDF("qid", "qtext")
+    val direct = Retrieval.bm25TopK(docs, qs, "doc_id", "text",
+      "qid", "qtext").orderBy("rank").collect().toSeq
+    val fluent = docs.graft.bm25TopK(qs, "doc_id", "text", "qid", "qtext")
+      .result.orderBy("rank").collect().toSeq
+    assert(fluent == direct)
+    val a = Seq((1L, 1L, 1)).toDF("query", "doc", "rank")
+    val b = Seq((1L, 2L, 1)).toDF("query", "doc", "rank")
+    val fused = a.graft.rrfFuseWith(Seq(b)).result
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(fused == Seq((1L, 1L, r6(1.0 / 61), 1), (1L, 2L, r6(1.0 / 61), 2)))
+  }
+
+  test("bm25Rankings shares one candidate table across parameterizations") {
+    val qs = Seq((10L, "apple cherry")).toDF("qid", "qtext")
+    val Seq(r1, r2) = Retrieval.bm25Rankings(docs, qs, "doc_id", "text",
+      "qid", "qtext", Seq((1.2, 0.75), (2.0, 0.5)))
+    // ranking 1 must equal the single-param call bit-for-bit
+    val single = Retrieval.bm25TopK(docs, qs, "doc_id", "text",
+      "qid", "qtext").orderBy("rank").collect().toSeq
+    assert(r1.orderBy("rank").collect().toSeq == single)
+    // ranking 2 reflects its own constants: hand-check d3's score
+    val s3 = r6(idf * (3 * 3.0 / (3 + 2.0 * (0.5 + 0.5 * 4 / 3.0))) +
+      idf * (1 * 3.0 / (1 + 2.0 * (0.5 + 0.5 * 4 / 3.0))))
+    val got3 = r2.filter(col("doc") === 3).select("score")
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble).head()
+    assert(got3 == s3)
+  }
+
   test("empty corpus is rejected; tokenless queries match nothing") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val qs = Seq((1L, "apple")).toDF("qid", "qtext")
