@@ -42,6 +42,21 @@ object Batch26Entries {
         "text", "qid", "qtext", Seq((1.2, 0.75), (2.0, 0.5)), k = 20)
       graft.text.Retrieval.rrfFuse(rs, "query", "doc", "rank")
         .orderBy("query", "rank")
+    }),
+
+    // Similarity.quantizeI8 + cosineI8TopK: the 4×-memory int8 scan.
+    // Quantization (floor(x·127/max|x| + 0.5)) and the integer
+    // dot/norm cosine are replayed exactly in the oracle — the codes
+    // are integers, so dot and norms are EXACT and the only float op
+    // is one final division. Query = vec 0's own codes (self-match
+    // must rank first at cosine exactly 1).
+    "cosine_i8_topk" -> ((s, dir) => {
+      val emb = T.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val coded = graft.ml.Similarity.quantizeI8(emb, "embedding")
+      graft.ml.Similarity.cosineI8TopK(coded, "vec_i8", "vec_id", q, k = 10)
+        .withColumn("cos", round(col("cos"), 9))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -147,5 +162,40 @@ object Batch26Entries {
         |      ORDER BY score DESC, doc ASC) AS INT) AS rank
         |  FROM fused)
         |SELECT query, doc, score, rank FROM ranked WHERE rank <= 10
-        |ORDER BY query, rank""".stripMargin)
+        |ORDER BY query, rank""".stripMargin,
+
+    // Quantization replayed per element: mx = max|x| (double), code =
+    // floor(x*127/mx + 0.5) as BIGINT; dot/norms are exact integer
+    // sums; the single double division + round-9 matches the
+    // expression's IEEE tree.
+    "cosine_i8_topk" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      v -> ABS(CAST(v AS DOUBLE)))) AS mx
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN mx IS NULL OR mx = 0
+        |      THEN list_transform(embedding, v -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding,
+        |        v -> CAST(FLOOR(CAST(v AS DOUBLE) * 127.0 / mx + 0.5)
+        |          AS BIGINT))
+        |    END AS cv
+        |  FROM m),
+        |q AS (SELECT cv AS qv FROM c WHERE vec_id = 0),
+        |s AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(list_zip(cv, qv),
+        |      x -> x[1] * x[2])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(cv, v -> v * v)) AS BIGINT) AS na,
+        |    CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nb
+        |  FROM c, q)
+        |SELECT vec_id,
+        |  ROUND(CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |    ELSE CAST(dot AS DOUBLE)
+        |      / (SQRT(CAST(na AS DOUBLE)) * SQRT(CAST(nb AS DOUBLE))) END,
+        |    9) AS cos
+        |FROM s
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
 }

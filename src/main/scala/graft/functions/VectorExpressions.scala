@@ -129,6 +129,138 @@ case class CosineF32(left: Expression, right: Expression)
       newRight: Expression): CosineF32 = copy(left = newLeft, right = newRight)
 }
 
+/** quantize_i8(array<float>) → binary: symmetric per-vector int8
+  * quantization, the 4×-memory scale path for ANN scans (a 100 TB
+  * embedding store is usually memory-bound, not FLOP-bound).
+  * scale = max|xᵢ|; code bᵢ = ⌊xᵢ·127/scale + 0.5⌋ (round half toward
+  * +∞ — floor(x+0.5) on BOTH engines, so the oracle replays the exact
+  * bytes). The all-zero vector quantizes to all-zero codes. Cosine is
+  * scale-invariant, so the codes alone support similarity — no
+  * per-vector scale column needed for ranking. */
+case class QuantizeI8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_i8 expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > m) m = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (m > 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(x.getFloat(i).toDouble * 127.0 / m + 0.5).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+         |  if ($v > $m) $m = $v;
+         |}
+         |byte[] $out = new byte[$n];
+         |if ($m > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (byte) java.lang.Math.floor(
+         |      (double) $a.getFloat($i) * 127.0 / $m + 0.5);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}
+
+/** cosine_i8(binary, binary) → double over int8 codes: integer dot and
+  * norms (exact in long), one double division at the end — the
+  * quantized scan is pure integer multiply-adds inside whole-stage
+  * codegen. Zero-norm guard returns 0 like cosine_f32. */
+case class CosineI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right)
+      .forall(_.dataType == org.apache.spark.sql.types.BinaryType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_i8 expects binary args, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val xv = x(i).toLong
+      val yv = y(i).toLong
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xv = (long) $a[$i];
+         |  long $yv = (long) $b[$i];
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = ($na == 0L || $nb == 0L) ? 0.0 :
+         |  (double) $dot / (java.lang.Math.sqrt((double) $na)
+         |    * java.lang.Math.sqrt((double) $nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineI8 = copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.SparkSession
@@ -149,6 +281,14 @@ object VectorExpressions {
       FunctionIdentifier("cosine_f32"),
       info("cosine_f32", "cosine_f32(a, b) - float-array cosine similarity"),
       (children: Seq[Expression]) => CosineF32(children(0), children(1)))
+    registry.registerFunction(
+      FunctionIdentifier("quantize_i8"),
+      info("quantize_i8", "quantize_i8(a) - symmetric int8 codes of a float array"),
+      (children: Seq[Expression]) => QuantizeI8(children(0)))
+    registry.registerFunction(
+      FunctionIdentifier("cosine_i8"),
+      info("cosine_i8", "cosine_i8(a, b) - cosine over int8 codes"),
+      (children: Seq[Expression]) => CosineI8(children(0), children(1)))
   }
 }
 
@@ -165,5 +305,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineF32].getName, "cosine_f32"),
       (children: Seq[Expression]) => CosineF32(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "quantize_i8"),
+      (children: Seq[Expression]) => QuantizeI8(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_i8"),
+      new ExpressionInfo(classOf[CosineI8].getName, "cosine_i8"),
+      (children: Seq[Expression]) => CosineI8(children(0), children(1))))
   }
 }

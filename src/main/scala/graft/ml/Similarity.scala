@@ -44,6 +44,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric per-vector int8 codes of an array<float> column
+    * (`quantize_i8` native expression) — the 4×-memory scan format: a
+    * 100 TB embedding store is usually memory/IO-bound, and cosine is
+    * scale-invariant so the codes alone rank candidates. Quantize
+    * once, persist the codes, scan with [[cosineI8TopK]]. */
+  def quantizeI8(df: DataFrame, vecCol: String,
+                 outCol: String = "vec_i8"): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.withColumn(outCol, call_function("quantize_i8", col(vecCol)))
+  }
+
+  /** Exact replica of the driver-side quantization formula (floor of
+    * x·127/max|x| + 0.5) — used to encode QUERY vectors so the scan
+    * compares codes to codes. */
+  def quantizeQuery(query: Seq[Double]): Array[Byte] = {
+    val m = query.foldLeft(0.0)((acc, v) => math.max(acc, math.abs(v)))
+    if (m == 0.0) Array.fill(query.size)(0: Byte)
+    else query.map(v => math.floor(v * 127.0 / m + 0.5).toByte).toArray
+  }
+
+  /** Brute-force top-k over PRE-QUANTIZED int8 codes (`cosine_i8`
+    * native expression: integer multiply-adds, one double division).
+    * Same plan shape as [[cosineTopK]] — projection + TakeOrdered —
+    * over a 4×-smaller column; recall vs the f32 scan is asserted in
+    * VectorExprSpec and measured at the million-vector probe. */
+  def cosineI8TopK(df: DataFrame, codeCol: String, idCol: String,
+                   query: Seq[Double], k: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val q = lit(quantizeQuery(query))
+    df.select(col(idCol),
+        call_function("cosine_i8", col(codeCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN index: coarse KMeans centroids learned
     * once; vectors live in their nearest-centroid bucket; a query
     * searches only the `nprobe` closest buckets. The north-star scale

@@ -151,6 +151,43 @@ object Streaming {
         col("mean_logprob"), col("ppl"))
   }
 
+  /** Streaming BM25 scoring: a QUERY stream scored against the FITTED
+    * index of a static corpus ([[graft.text.Retrieval.bm25Index]]) —
+    * the retrieval dual of [[scoredDocs]]: fit the postings once on
+    * the curated corpus, score queries as they arrive (the alerting /
+    * "which seed documents does this incoming query hit" shape).
+    *
+    * The stream side explodes each query row's DISTINCT terms (per
+    * ROW — a stream cannot dedup terms across rows without state, so
+    * the streaming contract is one row per query), stream-static
+    * equi-joins the postings on token (AQE broadcasts small indexes),
+    * and sums per-(window, query, doc) contributions under an
+    * event-time watermark, so append mode emits each query's scores
+    * exactly once when its window closes. Ranking stays a
+    * batch/consumer concern: the stream emits SCORES; a top-k over a
+    * closed window is one ordinary window function downstream.
+    *
+    * Output: (queryId, doc, score) per closed window, score round-6 —
+    * the same contribution expression as the batch scorer
+    * ([[graft.text.Retrieval.bm25Contrib]]), which StreamSpec asserts
+    * it matches bit-for-bit. */
+  def bm25StreamScores(queries: DataFrame, index: DataFrame,
+                       queryId: String, queryText: String, tsCol: String,
+                       watermark: String, windowDur: String,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1,
+      s"need k1 >= 0 and 0 <= b <= 1, got k1=$k1 b=$b")
+    queries.withWatermark(tsCol, watermark)
+      .select(col(queryId).as("query"), col(tsCol),
+        explode(array_distinct(
+          graft.text.TextFns.tokens(lower(col(queryText))))).as("token"))
+      .join(index, Seq("token"))
+      .groupBy(window(col(tsCol), windowDur), col("query"), col("doc"))
+      .agg(round(sum(graft.text.Retrieval.bm25Contrib(k1, b)), 6)
+        .as("score"))
+      .select(col("query"), col("doc"), col("score"))
+  }
+
   /** foreachBatch parquet sink: idempotent per-micro-batch overwrite
     * into a Catalog table partition keyed by batch id — with
     * checkpointing this is the standard exactly-once pattern for

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** BM25 lexical retrieval over a document corpus — the data-selection
@@ -119,6 +119,42 @@ object Retrieval {
         .select("query", "doc", "score", "rank")
     }
   }
+
+  /** The FITTED BM25 index of a corpus: one flat postings table
+    * (token, doc, tf, df, dl, _n, _avgdl) — everything scoring needs,
+    * keyed on token so a query side (batch OR stream-static) joins it
+    * in one keyed equi-join. This is the "fit once, deploy anywhere"
+    * artifact: persist it with [[graft.io.Catalog]] and both the batch
+    * scorer and [[graft.stream.Streaming.bm25StreamScores]] run from
+    * it without touching the corpus again. Statistics are identical to
+    * [[bm25Rankings]] (distinct-id N, avgdl over that N). */
+  def bm25Index(docs: DataFrame, docId: String, textCol: String): DataFrame = {
+    val docTf = docs.select(col(docId).as("doc"),
+        explode(TextFns.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val nDocs = docs.select(col(docId).as("doc")).distinct().count()
+    require(nDocs > 0, "empty corpus: BM25 idf is undefined at N = 0")
+    val dl = docTf.groupBy("doc").agg(sum("tf").as("dl"))
+    val scalars = dl.agg(
+      (sum("dl").cast("double") / lit(nDocs.toDouble)).as("_avgdl"))
+    val df_ = docTf.groupBy("token").agg(count(lit(1)).as("df"))
+    docTf.join(df_, Seq("token")).join(dl, Seq("doc"))
+      .crossJoin(broadcast(scalars))
+      .select(col("token"), col("doc"), col("tf"), col("df"), col("dl"),
+        lit(nDocs.toDouble).as("_n"), col("_avgdl"))
+  }
+
+  /** The BM25 per-(query-term, doc) contribution as a pure column
+    * expression over [[bm25Index]] columns — shared by the batch and
+    * streaming scorers so both evaluate the same IEEE tree. */
+  private[graft] def bm25Contrib(k1: Double, b: Double): Column =
+    log(lit(1.0) + (col("_n") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) *
+      (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
+          col("_avgdl")))
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
     * of K retriever rankings — the standard hybrid-retrieval combiner

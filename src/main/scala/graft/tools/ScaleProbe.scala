@@ -213,6 +213,17 @@ object ScaleProbe {
           .collect().map(_.getLong(0)).toSet; ivfIds.size.toLong
       }
       val recall = bruteIds.intersect(ivfIds).size.toDouble / bruteIds.size
+      // int8-quantized brute scan: same TakeOrdered plan over 4×
+      // smaller codes; recall measured against the exact f32 top-15
+      val coded = Similarity.quantizeI8(emb, "embedding")
+        .select(col("vec_id"), col("vec_i8")).persist()
+      coded.count()
+      var i8Ids: Set[Long] = Set.empty
+      val i8Sec = median3 {
+        i8Ids = Similarity.cosineI8TopK(coded, "vec_i8", "vec_id", query, 15)
+          .collect().map(_.getLong(0)).toSet; i8Ids.size.toLong
+      }
+      val i8Recall = bruteIds.intersect(i8Ids).size.toDouble / bruteIds.size
       // batch workload (the shape pipelines actually run): nq query
       // vectors, brute = nq exact TakeOrdered scans, IVF = ONE
       // searchMany pass over the probed buckets. Recall measured per
@@ -244,12 +255,14 @@ object ScaleProbe {
       println(f"""ANNPROBE {"n":$n,"nlist":$nlist,"build_sec":$buildSec%.1f,""" +
         f""""brute_sec":$bruteSec%.3f,"ivf_sec":$ivfSec%.3f,""" +
         f""""speedup":${bruteSec / math.max(ivfSec, 1e-9)}%.1f,"recall_at_15":$recall%.3f,""" +
+        f""""i8_sec":$i8Sec%.3f,"i8_recall_at_15":$i8Recall%.3f,""" +
         f""""nq":$nq,"brute_batch_sec":$bruteBatchSec%.3f,"ivf_batch_sec":$ivfBatchSec%.3f,""" +
         f""""batch_speedup":${bruteBatchSec / math.max(ivfBatchSec, 1e-9)}%.1f,""" +
         f""""batch_recall_at_15":$batchRecall%.3f}""")
       require(recall >= 0.9, f"IVF recall@15 $recall%.3f below 0.9")
       require(batchRecall >= 0.9, f"IVF batch recall@15 $batchRecall%.3f below 0.9")
-      idx.unpersist(); emb.unpersist()
+      require(i8Recall >= 0.9, f"int8 recall@15 $i8Recall%.3f below 0.9")
+      coded.unpersist(); idx.unpersist(); emb.unpersist()
       spark.stop()
       return
     }

@@ -249,4 +249,37 @@ class StreamSpec extends SparkSpec {
       assert(math.abs(s._5 - b._5) < 1e-5, s"ppl $s vs $b")
     }
   }
+
+  test("streaming BM25 scores match the batch scorer bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry apple")).toDF("doc_id", "text")
+    val index = graft.text.Retrieval.bm25Index(corpus, "doc_id", "text")
+    val in = MemoryStream[DocEv] // reuse the (ts, id, text) event shape
+    val q = Streaming.bm25StreamScores(in.toDF(), index, "doc_id", "text",
+        "ts", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sbm25")
+      .outputMode(OutputMode.Append).start()
+    in.addData(DocEv(t(0), 10L, "apple cherry apple"),
+      DocEv(t(1), 11L, "zzz unseen"))
+    q.processAllAvailable()
+    in.addData(DocEv(t(59), 99L, "apple")) // advance watermark, close window
+    q.processAllAvailable()
+    val streamed = spark.table("sbm25")
+      .filter(col("query") === 10L)
+      .select("query", "doc", "score")
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    q.stop()
+    // batch twin: scores BEFORE ranking equal the stream's emitted rows
+    val batch = graft.text.Retrieval.bm25TopK(corpus,
+        Seq((10L, "apple cherry apple")).toDF("qid", "qtext"),
+        "doc_id", "text", "qid", "qtext", k = 10)
+      .select("query", "doc", "score")
+      .as[(Long, Long, Double)].collect().sortBy(_._2)
+    assert(streamed.toSeq == batch.toSeq)
+    // a query with no indexed terms emits nothing
+    assert(spark.table("sbm25").filter(col("query") === 11L).count() == 0)
+  }
 }

@@ -24,6 +24,51 @@ class VectorExprSpec extends SparkSpec {
     assert(out(0).getDouble(0) == 32.0)
   }
 
+  test("quantize_i8 codes: exact bytes, scale invariance, zero vector") {
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(4.0f, -2.0f, 1.0f, 0.0f)), // same direction, 4x scale
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val codes = Similarity.quantizeI8(df, "v").orderBy("id")
+      .select("vec_i8").as[Array[Byte]].collect()
+    // hand math: max=1.0 → floor(x*127+0.5): 127, floor(-63.5+0.5)=-63, 32, 0
+    assert(codes(0).toSeq == Seq[Byte](127, -63, 32, 0))
+    // cosine is scale-invariant and the codes literally coincide here
+    assert(codes(1).toSeq == codes(0).toSeq)
+    assert(codes(2).toSeq == Seq[Byte](0, 0, 0, 0))
+    // driver-side query quantizer agrees with the expression
+    assert(Similarity.quantizeQuery(Seq(1.0, -0.5, 0.25, 0.0)).toSeq ==
+      codes(0).toSeq)
+  }
+
+  test("cosine_i8 approximates cosine_f32 and ranks real embeddings") {
+    VectorExpressions.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      .map(_.toDouble)
+    val coded = Similarity.quantizeI8(emb, "embedding").persist()
+    try {
+      // per-vector quantized-vs-float cosine error stays small
+      val errs = coded.select(
+          call_function("cosine_i8", col("vec_i8"),
+            lit(Similarity.quantizeQuery(q))).as("ci"),
+          call_function("cosine_f32", col("embedding"),
+            array(q.map(v => lit(v.toFloat)): _*)).as("cf"))
+        .select(abs(col("ci") - col("cf")).as("err"))
+        .agg(max("err")).head.getDouble(0)
+      assert(errs < 0.02, s"max |cos_i8 - cos_f32| = $errs")
+      // the self-match still ranks first and recall@10 vs f32 is high
+      val i8Top = Similarity.cosineI8TopK(coded, "vec_i8", "vec_id", q, 10)
+        .collect().map(_.getLong(0))
+      val f32Top = Similarity.cosineTopK(emb, "embedding", "vec_id", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(i8Top.head == 0L)
+      assert(i8Top.count(f32Top) >= 8,
+        s"recall@10 ${i8Top.count(f32Top)}/10 vs f32")
+    } finally coded.unpersist()
+  }
+
   test("null input yields null, not a crash") {
     VectorExpressions.register(spark)
     val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]])).toDF("a", "b")
