@@ -44,6 +44,37 @@ object Batch26Entries {
         .orderBy("query", "rank")
     }),
 
+    // Filters.filterDf op-code dispatch (was ScalaTest-only): two
+    // chained op-codes over lineitem, full predicate-pushdown shape.
+    "filter_df_ops" -> ((s, dir) => {
+      val li = T.lineitem(s, dir)
+      graft.rel.Filters.filterDf(
+          graft.rel.Filters.filterDf(li, "l_quantity", ">=", 49.0),
+          "l_returnflag", "==", "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Filters.popLabels (was fluent-test-only): drop two market
+    // segments, NULL-safe NOT IN semantics matter — Spark's
+    // !isin drops NULLs like SQL NOT IN; customer.c_mktsegment is
+    // non-null in the testdata so both engines agree.
+    "pop_labels" -> ((s, dir) => {
+      graft.rel.Filters.popLabels(T.customer(s, dir), "c_mktsegment",
+          Seq("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Filters.selectFeatures names+regex union (was plan-level-only):
+    // explicit name + regex-matched columns, de-duplicated, projection
+    // order = names then regex hits.
+    "select_features" -> ((s, dir) => {
+      graft.rel.Filters.selectFeatures(T.part(s, dir),
+          names = Seq("p_partkey"), regex = Some("p_(brand|size)"))
+        .orderBy("p_partkey")
+    }),
+
     // Similarity.quantizeI8 + cosineI8TopK: the 4×-memory int8 scan.
     // Quantization (floor(x·127/max|x| + 0.5)) and the integer
     // dot/norm cosine are replayed exactly in the oracle — the codes
@@ -163,6 +194,21 @@ object Batch26Entries {
         |  FROM fused)
         |SELECT query, doc, score, rank FROM ranked WHERE rank <= 10
         |ORDER BY query, rank""".stripMargin,
+
+    "filter_df_ops" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity >= 49.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "pop_labels" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "select_features" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |ORDER BY p_partkey""".stripMargin,
 
     // Quantization replayed per element: mx = max|x| (double), code =
     // floor(x*127/mx + 0.5) as BIGINT; dot/norms are exact integer

@@ -118,11 +118,27 @@ object PipelineDemo {
       "SELECT doc_id, gelu(n_chars / 300.0) AS g, swish(n_chars / 300.0) AS s FROM d3")
       .show()
 
-    // 6. embeddings: ANN search
+    // 5e. retrieval: BM25 seed-set selection + hybrid RRF fusion —
+    // "find corpus documents like my curated seeds" (round 11)
+    val seeds = docs.filter(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+          .as("qtext"))
+    val rankings = graft.text.Retrieval.bm25Rankings(docs, seeds,
+      "doc_id", "text", "qid", "qtext", Seq((1.2, 0.75), (2.0, 0.5)), k = 10)
+    println("RRF-fused seed-set matches:")
+    graft.text.Retrieval.rrfFuse(rankings, "query", "doc", "rank", k = 3)
+      .show(6)
+
+    // 6. embeddings: ANN search — f32 exact scan and the 4×-memory
+    // int8-quantized scan side by side
     val emb = T.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1).map(_.toDouble)
-    println("\ntop-5 cosine neighbors of vec 0:")
+    println("\ntop-5 cosine neighbors of vec 0 (f32):")
     Similarity.cosineTopK(emb, "embedding", "vec_id", q, 5).show()
+    println("top-5 neighbors over int8 codes (4× smaller scan):")
+    Similarity.cosineI8TopK(Similarity.quantizeI8(emb, "embedding"),
+      "vec_i8", "vec_id", q, 5).show()
 
     // 7. orchestrate the whole flow as a named step DAG with a
     // conditional branch and retries (mlops PipelineManager semantics)

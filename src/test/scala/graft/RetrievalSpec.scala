@@ -125,6 +125,32 @@ class RetrievalSpec extends SparkSpec {
     assert(got3 == s3)
   }
 
+  test("bm25Index round-trips through the Catalog with identical scores") {
+    // the deploy contract: fit once, persist the flat postings
+    // artifact, reload in another job, score identically
+    val wh = java.nio.file.Files.createTempDirectory("bm25wh").toString
+    val cat = new graft.io.Catalog(spark, wh)
+    cat.save("bm25_index", Retrieval.bm25Index(docs, "doc_id", "text"))
+    val reloaded = cat.table("bm25_index")
+    val qs = Seq((10L, "apple cherry apple")).toDF("qid", "qtext")
+    val live = Retrieval.bm25TopK(docs, qs, "doc_id", "text",
+      "qid", "qtext").orderBy("rank").collect().toSeq
+    // score from the RELOADED index via the shared contribution
+    // expression — the exact path bm25StreamScores uses
+    val fromIndex = qs.select(col("qid").as("query"),
+        explode(array_distinct(graft.text.TextFns.tokens(
+          lower(col("qtext"))))).as("token"))
+      .dropDuplicates("query", "token")
+      .join(reloaded, Seq("token"))
+      .groupBy("query", "doc")
+      .agg(round(sum(graft.text.Retrieval.bm25Contrib(1.2, 0.75)), 6)
+        .as("score"))
+      .orderBy(desc("score"), asc("doc"))
+      .select("query", "doc", "score").collect().toSeq
+    assert(fromIndex.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      == live.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
   test("empty corpus is rejected; tokenless queries match nothing") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val qs = Seq((1L, "apple")).toDF("qid", "qtext")
