@@ -116,6 +116,27 @@ object Similarity {
         .limit(k)
     }
 
+    /** Quantized probe: the same bucket pruning (full-precision
+      * centroid ranking on the driver — asymmetric search), but the
+      * candidate scan runs over the int8 codes column, so the two
+      * scale levers MULTIPLY: IVF touches n·nprobe/nlist vectors and
+      * i8 reads 4× fewer bytes per vector. Requires the index built
+      * with `withI8 = true`. */
+    def searchI8(query: Seq[Double], k: Int, nprobe: Int = 4): DataFrame = {
+      require(bucketed.columns.contains("_vec_i8"),
+        "index built without int8 codes: pass withI8 = true to ivfIndex")
+      graft.functions.VectorExpressions.register(bucketed.sparkSession)
+      val probeIds = centroids.zipWithIndex
+        .sortBy { case (c, _) => -cos(query, c) }
+        .take(nprobe).map(_._2)
+      val q = lit(quantizeQuery(query))
+      bucketed.filter(col("_ivf_bucket").isin(probeIds: _*))
+        .select(col(idCol),
+          call_function("cosine_i8", col("_vec_i8"), q).as("cos"))
+        .orderBy(col("cos").desc, col(idCol).asc)
+        .limit(k)
+    }
+
     /** Batched search: top-k for EVERY query in ONE pass.
       *
       * Per-query `search` pays a full Spark job (schedule + scan) per
@@ -175,11 +196,16 @@ object Similarity {
     * the cache-layout analogue of partition pruning. */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
                nlist: Int = 16, seed: Long = 42L, maxIter: Int = 8,
-               fitFraction: Double = 1.0): IvfIndex = {
+               fitFraction: Double = 1.0,
+               withI8: Boolean = false): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     require(fitFraction > 0.0 && fitFraction <= 1.0,
       s"fitFraction must be in (0, 1], got $fitFraction")
-    val withVec = df.withColumn("_v", array_to_vector(col(vecCol)))
+    if (withI8) graft.functions.VectorExpressions.register(df.sparkSession)
+    val base = if (withI8)
+      df.withColumn("_vec_i8", call_function("quantize_i8", col(vecCol)))
+    else df
+    val withVec = base.withColumn("_v", array_to_vector(col(vecCol)))
     val fitOn = if (fitFraction < 1.0) {
       val s = withVec.sample(fitFraction, seed)
       // a sample smaller than nlist cannot seed nlist centroids: fall

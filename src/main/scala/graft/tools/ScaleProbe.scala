@@ -193,7 +193,8 @@ object ScaleProbe {
       val nlist = math.min(1024, math.max(16, math.sqrt(n.toDouble).toInt))
       val t0 = System.nanoTime()
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
-        nlist = nlist, maxIter = 4, fitFraction = math.min(1.0, 2e5 / n))
+        nlist = nlist, maxIter = 4, fitFraction = math.min(1.0, 2e5 / n),
+        withI8 = true)
       idx.search(query, 1, nprobe = 1).count() // materialize cache untimed
       val buildSec = (System.nanoTime() - t0) / 1e9
       def median3(f: => Long): Double = {
@@ -224,6 +225,14 @@ object ScaleProbe {
           .collect().map(_.getLong(0)).toSet; i8Ids.size.toLong
       }
       val i8Recall = bruteIds.intersect(i8Ids).size.toDouble / bruteIds.size
+      // composed: IVF bucket pruning × i8 candidate scan
+      var ivfI8Ids: Set[Long] = Set.empty
+      val ivfI8Sec = median3 {
+        ivfI8Ids = idx.searchI8(query, 15, nprobe = 4)
+          .collect().map(_.getLong(0)).toSet; ivfI8Ids.size.toLong
+      }
+      val ivfI8Recall =
+        bruteIds.intersect(ivfI8Ids).size.toDouble / bruteIds.size
       // batch workload (the shape pipelines actually run): nq query
       // vectors, brute = nq exact TakeOrdered scans, IVF = ONE
       // searchMany pass over the probed buckets. Recall measured per
@@ -256,6 +265,7 @@ object ScaleProbe {
         f""""brute_sec":$bruteSec%.3f,"ivf_sec":$ivfSec%.3f,""" +
         f""""speedup":${bruteSec / math.max(ivfSec, 1e-9)}%.1f,"recall_at_15":$recall%.3f,""" +
         f""""i8_sec":$i8Sec%.3f,"i8_recall_at_15":$i8Recall%.3f,""" +
+        f""""ivf_i8_sec":$ivfI8Sec%.3f,"ivf_i8_recall_at_15":$ivfI8Recall%.3f,""" +
         f""""nq":$nq,"brute_batch_sec":$bruteBatchSec%.3f,"ivf_batch_sec":$ivfBatchSec%.3f,""" +
         f""""batch_speedup":${bruteBatchSec / math.max(ivfBatchSec, 1e-9)}%.1f,""" +
         f""""batch_recall_at_15":$batchRecall%.3f}""")

@@ -69,6 +69,31 @@ class VectorExprSpec extends SparkSpec {
     } finally coded.unpersist()
   }
 
+  test("quantized IVF probe: i8 candidate scan, recall vs full probe") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1)
+      .map(_.toDouble)
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 8, withI8 = true)
+    try {
+      // full probe (nprobe = nlist) is exact under any clustering, so
+      // it is the ground truth; the i8 scan of the same buckets must
+      // keep the self-match first and high overlap
+      val exact = idx.search(q, 10, nprobe = 8)
+        .collect().map(_.getLong(0)).toSet
+      val i8 = idx.searchI8(q, 10, nprobe = 8)
+        .collect().map(_.getLong(0))
+      assert(i8.head == 0L)
+      assert(i8.count(exact) >= 8, s"i8 full-probe recall ${i8.count(exact)}/10")
+    } finally idx.unpersist()
+    // an index built without codes refuses the quantized probe loudly
+    val plain = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
+    try {
+      val err = intercept[IllegalArgumentException] { plain.searchI8(q, 5) }
+      assert(err.getMessage.contains("withI8"))
+    } finally plain.unpersist()
+  }
+
   test("null input yields null, not a crash") {
     VectorExpressions.register(spark)
     val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]])).toDF("a", "b")
