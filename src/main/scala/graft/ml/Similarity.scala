@@ -173,6 +173,36 @@ object Similarity {
         .filter(col("_rn") <= k).drop("_rn")
     }
 
+    /** Batched quantized search — [[searchMany]]'s one-pass
+      * bucket→probing-queries plan with the candidate scan over the
+      * int8 codes (queries ship as quantized byte literals). The
+      * batch shape is where IVF pruning pays (searchMany finding),
+      * and the i8 scan stacks its 4×-fewer-bytes on top. Requires
+      * `withI8 = true` at build. */
+    def searchManyI8(queries: Seq[(Long, Seq[Double])], k: Int,
+                     nprobe: Int = 4): DataFrame = {
+      require(bucketed.columns.contains("_vec_i8"),
+        "index built without int8 codes: pass withI8 = true to ivfIndex")
+      graft.functions.VectorExpressions.register(bucketed.sparkSession)
+      val byBucket: Map[Int, Seq[(Long, Array[Byte])]] = queries
+        .flatMap { case (qid, q) =>
+          centroids.zipWithIndex.sortBy { case (c, _) => -cos(q, c) }
+            .take(nprobe).map { case (_, b) => b -> (qid, quantizeQuery(q)) }
+        }
+        .groupBy(_._1).map { case (b, qs) => b -> qs.map(_._2) }
+      val probeLit = typedlit(byBucket)
+      val cand = bucketed
+        .filter(col("_ivf_bucket").isin(byBucket.keys.toSeq: _*))
+        .select(col(idCol), col("_vec_i8"),
+          explode(element_at(probeLit, col("_ivf_bucket"))).as("_q"))
+        .select(col("_q._1").as("query_id"), col(idCol),
+          call_function("cosine_i8", col("_vec_i8"), col("_q._2")).as("cos"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col(idCol).asc)
+      cand.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k).drop("_rn")
+    }
+
     def unpersist(): Unit = bucketed.unpersist()
   }
 

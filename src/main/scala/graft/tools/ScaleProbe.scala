@@ -257,6 +257,16 @@ object ScaleProbe {
           .collect().groupBy(_.getLong(0))
           .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }; nq.toLong
       }
+      var i8Batch: Map[Long, Set[Long]] = Map.empty
+      val i8BatchSec = median3 {
+        i8Batch = idx.searchManyI8(qs, 15, nprobe = 4)
+          .collect().groupBy(_.getLong(0))
+          .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }; nq.toLong
+      }
+      val i8BatchRecall = qs.map { case (qid, _) =>
+        bruteBatch(qid).intersect(i8Batch.getOrElse(qid, Set.empty)).size
+          .toDouble / bruteBatch(qid).size
+      }.sum / nq
       val batchRecall = qs.map { case (qid, _) =>
         bruteBatch(qid).intersect(ivfBatch.getOrElse(qid, Set.empty)).size
           .toDouble / bruteBatch(qid).size
@@ -268,10 +278,15 @@ object ScaleProbe {
         f""""ivf_i8_sec":$ivfI8Sec%.3f,"ivf_i8_recall_at_15":$ivfI8Recall%.3f,""" +
         f""""nq":$nq,"brute_batch_sec":$bruteBatchSec%.3f,"ivf_batch_sec":$ivfBatchSec%.3f,""" +
         f""""batch_speedup":${bruteBatchSec / math.max(ivfBatchSec, 1e-9)}%.1f,""" +
-        f""""batch_recall_at_15":$batchRecall%.3f}""")
+        f""""batch_recall_at_15":$batchRecall%.3f,""" +
+        f""""ivf_i8_batch_sec":$i8BatchSec%.3f,""" +
+        f""""ivf_i8_batch_speedup":${bruteBatchSec / math.max(i8BatchSec, 1e-9)}%.1f,""" +
+        f""""ivf_i8_batch_recall_at_15":$i8BatchRecall%.3f}""")
       require(recall >= 0.9, f"IVF recall@15 $recall%.3f below 0.9")
       require(batchRecall >= 0.9, f"IVF batch recall@15 $batchRecall%.3f below 0.9")
       require(i8Recall >= 0.9, f"int8 recall@15 $i8Recall%.3f below 0.9")
+      require(i8BatchRecall >= 0.9,
+        f"int8 batch recall@15 $i8BatchRecall%.3f below 0.9")
       coded.unpersist(); idx.unpersist(); emb.unpersist()
       spark.stop()
       return

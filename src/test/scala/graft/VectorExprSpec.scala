@@ -85,6 +85,12 @@ class VectorExprSpec extends SparkSpec {
         .collect().map(_.getLong(0))
       assert(i8.head == 0L)
       assert(i8.count(exact) >= 8, s"i8 full-probe recall ${i8.count(exact)}/10")
+      // batched quantized probe agrees with the per-query one
+      val batch = idx.searchManyI8(Seq(7L -> q), 10, nprobe = 8)
+        .orderBy(desc("cos"), asc("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(batch.map(_._1).forall(_ == 7L))
+      assert(batch.map(_._2).toSeq == i8.toSeq)
     } finally idx.unpersist()
     // an index built without codes refuses the quantized probe loudly
     val plain = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
