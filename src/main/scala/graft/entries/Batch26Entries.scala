@@ -75,6 +75,17 @@ object Batch26Entries {
         .orderBy("p_partkey")
     }),
 
+    // Extras.numericToCategorical (was ScalaTest-only): low-cardinality
+    // numeric columns become strings. On nation, n_regionkey (5
+    // distinct) casts, n_nationkey (25 distinct) stays numeric — both
+    // cardinalities sit far from the maxDistinct=10 line, so the HLL
+    // estimate (deterministic for fixed data) cannot flip the decision.
+    "num_to_cat" -> ((s, dir) => {
+      graft.clean.Extras.numericToCategorical(T.nation(s, dir),
+          maxDistinct = 10)
+        .orderBy("n_nationkey")
+    }),
+
     // Similarity.quantizeI8 + cosineI8TopK: the 4×-memory int8 scan.
     // Quantization (floor(x·127/max|x| + 0.5)) and the integer
     // dot/norm cosine are replayed exactly in the oracle — the codes
@@ -209,6 +220,10 @@ object Batch26Entries {
     "select_features" ->
       """SELECT p_partkey, p_brand, p_size FROM part
         |ORDER BY p_partkey""".stripMargin,
+
+    "num_to_cat" ->
+      """SELECT n_nationkey, n_name, CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     // Quantization replayed per element: mx = max|x| (double), code =
     // floor(x*127/mx + 0.5) as BIGINT; dot/norms are exact integer

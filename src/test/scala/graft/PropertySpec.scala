@@ -33,6 +33,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantized cosine stays within the rounding error bound") {
+    // per-element rounding error ≤ scale/254; the direction error of a
+    // whole vector is ≤ 0.5·√n/127 of its norm (norm ≥ scale), so the
+    // cosine of two quantized vectors can drift at most ~2·0.5·√n/127
+    // ≈ 0.06 at n = 64 — assert a 0.08 bound over random vectors,
+    // including adversarial shapes (one dominant element, tiny tails)
+    graft.functions.VectorExpressions.register(spark)
+    val vecGen = for {
+      n <- Gen.choose(4, 64)
+      a <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+      b <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+      spikeA <- Gen.choose(0, n - 1)
+      spike <- Gen.oneOf(1.0, 1000.0) // sometimes one element dominates
+    } yield (a.updated(spikeA, a(spikeA) * spike), b)
+    forSamples(vecGen, n = 8) { case (a, b) =>
+      if (a.exists(_ != 0.0) && b.exists(_ != 0.0)) {
+        val df = Seq((a.map(_.toFloat).toArray, b.map(_.toFloat).toArray))
+          .toDF("a", "b")
+        val r = df.select(
+          call_function("cosine_i8",
+            call_function("quantize_i8", col("a")),
+            call_function("quantize_i8", col("b"))).as("ci"),
+          call_function("cosine_f32", col("a"), col("b")).as("cf")).head
+        val err = math.abs(r.getDouble(0) - r.getDouble(1))
+        assert(err < 0.08, s"|cos_i8 - cos_f32| = $err for n=${a.size}")
+      }
+    }
+  }
+
   test("connectedComponents matches a driver-side union-find on random graphs") {
     val edgesGen = Gen.listOfN(25,
       Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
