@@ -146,8 +146,12 @@ object Retrieval {
   }
 
   /** The BM25 per-(query-term, doc) contribution as a pure column
-    * expression over [[bm25Index]] columns — shared by the batch and
-    * streaming scorers so both evaluate the same IEEE tree. */
+    * expression over [[bm25Index]] columns — the scoring tree for
+    * every index-fed path (streaming, reloaded-catalog). It evaluates
+    * the same IEEE tree as [[bm25Rankings]]'s inline form (which reads
+    * N from a driver literal instead of the `_n` column): StreamSpec
+    * and the RetrievalSpec catalog round-trip assert bit-parity with
+    * the batch scorer. */
   private[graft] def bm25Contrib(k1: Double, b: Double): Column =
     log(lit(1.0) + (col("_n") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5))) *
