@@ -75,35 +75,55 @@ object Bench {
     spark.catalog.clearCache()
 
     // SPARK_GRAFT_ITERS controls per-query MEDIAN-of-N timing — the
-    // defense against transient host contention polluting a single
-    // pass (observed: a co-scheduled job inflating an alphabetical
-    // run-order band 3-10x; round 9's single-iter artifact showed four
-    // phantom 5-8x "regressions" that vanished under median-of-3).
-    // Default is 3 so the driver's artifact reports medians.
+    // defense against transient host contention polluting timings.
+    // The N iterations are INTERLEAVED (r11 verdict): pass 1 runs the
+    // whole sorted query list, then pass 2, then pass 3, and each
+    // query's reported time is the median ACROSS passes. Consecutive
+    // per-query iterations don't defend against a sustained
+    // co-scheduled job, because all three iterations sit inside the
+    // contention window (r11's artifact had 15 phantom regressions —
+    // one 32x — concentrated in one alphabetical band). With
+    // interleaving a contention window inflates ONE pass of many
+    // queries, and the cross-pass median discards it.
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     // A failed query must NEVER get a timing row — r10's artifact recorded
     // 35 queries' time-to-THROW as if it were a run time. Failures go to
     // the `errors` map and into the final JSON instead.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.flatMap { name =>
-      try {
-        val times = (0 until iters).map { _ =>
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+      catch { case _: Throwable => "" }
+    val timesByName =
+      scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    // 1-min loadavg snapshot at the start of each pass: evidence in the
+    // artifact of WHEN host contention overlapped the run, so a future
+    // adjudicator can see it without re-timing.
+    val passLoads = scala.collection.mutable.ArrayBuffer[String]()
+    for (pass <- 0 until iters) {
+      passLoads += loadavg()
+      for (name <- names if !errors.contains(name)) {
+        try {
           val t0 = System.nanoTime()
           exec(name, sfDir)
           val dt = (System.nanoTime() - t0) / 1e9
           // entries persist() intermediates; drop them so storage doesn't
           // accumulate across 120+ queries and skew later timings via GC
           spark.catalog.clearCache()
-          dt
-        }.sorted
-        Some(name -> times(times.size / 2))
-      } catch { case e: Throwable =>
-        spark.catalog.clearCache()
-        errors(name) =
-          Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("\\s+", " ").take(200)
-        None
+          timesByName(name) = dt :: timesByName.getOrElse(name, Nil)
+        } catch { case e: Throwable =>
+          spark.catalog.clearCache()
+          timesByName.remove(name)
+          errors(name) =
+            Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("\\s+", " ").take(200)
+        }
       }
+    }
+    passLoads += loadavg()
+    val results = timesByName.map { case (name, ts) =>
+      val sorted = ts.sorted
+      name -> sorted(sorted.size / 2)
     }.toMap
     // Locale.ROOT: the driver parses this JSON; a comma decimal
     // separator under e.g. de_DE would break it.
@@ -130,7 +150,8 @@ object Bench {
     val qs = headline.filter(results.contains)
       .map(k => s"\"" + k + "\":" + fmt(results(k)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","timed_iters":$iters,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}","error_count":${errors.size},"errors":$errJson}""")
+    val loadsJson = passLoads.map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","timed_iters":$iters,"interleaved":true,"loadavg_per_pass":$loadsJson,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}","error_count":${errors.size},"errors":$errJson}""")
     spark.stop()
   }
 }

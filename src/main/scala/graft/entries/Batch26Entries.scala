@@ -17,10 +17,13 @@ object Batch26Entries {
     // scores round-6 BEFORE ranking, ties broken by doc id.
     "bm25_topk" -> ((s, dir) => {
       val docs = T.documents(s, dir)
+      // query terms ship as the sliced token ARRAY (not a re-joined
+      // string): bm25Rankings uses an array column as-is, so the query
+      // term sets on both engines come from the same list_slice
       val qs = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
-          array_join(slice(graft.text.TextFns.tokens(lower(col("text"))),
-            1, 5), " ").as("qtext"))
+          slice(graft.text.TextFns.tokens(lower(col("text"))),
+            1, 5).as("qtext"))
       graft.text.Retrieval.bm25TopK(docs, qs, "doc_id", "text",
           "qid", "qtext", k = 10)
         .orderBy("query", "rank")
@@ -36,8 +39,8 @@ object Batch26Entries {
       val docs = T.documents(s, dir)
       val qs = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
-          array_join(slice(graft.text.TextFns.tokens(lower(col("text"))),
-            1, 5), " ").as("qtext"))
+          slice(graft.text.TextFns.tokens(lower(col("text"))),
+            1, 5).as("qtext"))
       val rs = graft.text.Retrieval.bm25Rankings(docs, qs, "doc_id",
         "text", "qid", "qtext", Seq((1.2, 0.75), (2.0, 0.5)), k = 20)
       graft.text.Retrieval.rrfFuse(rs, "query", "doc", "rank")

@@ -18,11 +18,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * being compute-bound and codegen-bound.
   */
 
+/** Shared null-element policy for the float-array expressions: a NULL
+  * element anywhere in either input makes the whole result NULL — the
+  * standard SQL scalar-function convention, and what a DuckDB
+  * list-based oracle replays. Reading a null slot through
+  * `ArrayData.getFloat` would silently treat it as 0.0 and diverge
+  * from the oracle without failing any check. The per-element
+  * `isNullAt` test is emitted ONLY when the child schema admits null
+  * elements (`containsNull`), so a non-nullable scan keeps the tight
+  * branch-free codegen loop. */
+private[functions] trait NullElementAware {
+  self: Expression =>
+  protected def arrayChildren: Seq[Expression]
+  protected final def mayHaveNullElements: Boolean =
+    arrayChildren.exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+  // must be nullable when a null element can surface as a NULL result,
+  // or codegen gets a `false = true` assignment to a FalseLiteral isNull
+  override def nullable: Boolean =
+    arrayChildren.exists(_.nullable) || mayHaveNullElements
+}
+
 /** dot_f32(array<float>, array<float>) → double, summed sequentially
   * left-to-right (deterministic, oracle-portable). */
 case class DotF32(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NullElementAware {
 
+  override protected def arrayChildren: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -39,9 +63,11 @@ case class DotF32(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = mayHaveNullElements
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -53,10 +79,14 @@ case class DotF32(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (mayHaveNullElements)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $acc;
@@ -70,8 +100,9 @@ case class DotF32(left: Expression, right: Expression)
 /** cosine_f32(array<float>, array<float>) → double in one pass over the
   * two arrays (dot and both norms accumulated together). */
 case class CosineF32(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with NullElementAware {
 
+  override protected def arrayChildren: Seq[Expression] = Seq(left, right)
   override def dataType: DataType = DoubleType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -88,9 +119,11 @@ case class CosineF32(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = mayHaveNullElements
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -112,10 +145,14 @@ case class CosineF32(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val nullCheck = if (mayHaveNullElements)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $xv = (double) $a.getFloat($i);
          |  double $yv = (double) $b.getFloat($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
@@ -138,8 +175,10 @@ case class CosineF32(left: Expression, right: Expression)
   * scale-invariant, so the codes alone support similarity — no
   * per-vector scale column needed for ranking. */
 case class QuantizeI8(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with NullElementAware {
 
+  override protected def arrayChildren: Seq[Expression] = Seq(child)
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -154,9 +193,11 @@ case class QuantizeI8(child: Expression)
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    val checkNulls = mayHaveNullElements
     var m = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && x.isNullAt(i)) return null
       val v = math.abs(x.getFloat(i).toDouble)
       if (v > m) m = v
       i += 1
@@ -179,15 +220,19 @@ case class QuantizeI8(child: Expression)
       val m = ctx.freshName("m")
       val v = ctx.freshName("v")
       val out = ctx.freshName("out")
+      val nullCheck = if (mayHaveNullElements)
+        s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |double $m = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
          |  if ($v > $m) $m = $v;
          |}
          |byte[] $out = new byte[$n];
-         |if ($m > 0.0) {
+         |if (!${ev.isNull} && $m > 0.0) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    $out[$i] = (byte) java.lang.Math.floor(
          |      (double) $a.getFloat($i) * 127.0 / $m + 0.5);
@@ -270,9 +315,12 @@ object VectorExpressions {
       "array_funcs", "4.0.0", "", "built-in")
 
   /** Register dot_f32 / cosine_f32 on an existing session (callable via
-    * `call_function` / SQL). */
+    * `call_function` / SQL). Idempotent: entries call this defensively
+    * per query, and re-registering spams "replaced a previously
+    * registered function" warnings through every test log. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    if (registry.functionExists(FunctionIdentifier("cosine_i8"))) return
     registry.registerFunction(
       FunctionIdentifier("dot_f32"),
       info("dot_f32", "dot_f32(a, b) - float-array dot product"),

@@ -137,70 +137,69 @@ object Similarity {
         .limit(k)
     }
 
-    /** Batched search: top-k for EVERY query in ONE pass.
-      *
-      * Per-query `search` pays a full Spark job (schedule + scan) per
-      * lookup — fine interactively, wasteful for the batch lookups a
-      * pipeline actually does. Here the driver ranks buckets for all
-      * queries at once (nq × nlist × dim — trivial), inverts that into
-      * a bucket → probing-queries literal map, and one scan over the
-      * probed buckets explodes each row against only the queries that
-      * probe its bucket. Candidate volume is nq · n · nprobe / nlist
-      * rows into the per-query top-k window — the same bounded fraction
-      * as one probe, amortized across the batch.
-      *
-      * Returns (query_id, idCol, cos), top-k per query, ties by id. */
-    def searchMany(queries: Seq[(Long, Seq[Double])], k: Int,
-                   nprobe: Int = 4): DataFrame = {
-      // bucket -> queries probing it, as one literal map (bounded:
-      // nq * nprobe entries of dim floats)
-      val byBucket: Map[Int, Seq[(Long, Seq[Float])]] = queries
+    /** One-pass batched probe plan shared by [[searchMany]] and
+      * [[searchManyI8]] — the two paths differ ONLY in how a query is
+      * encoded and how a candidate row is scored, so the bucket
+      * inversion / candidate explode / top-k window live here once and
+      * cannot drift apart. The driver ranks buckets for all queries at
+      * once (nq × nlist × dim — trivial), inverts that into a
+      * bucket → probing-queries literal map (bounded: nq · nprobe
+      * entries), and one scan over the probed buckets explodes each
+      * row against only the queries that probe its bucket. Candidate
+      * volume is nq · n · nprobe / nlist rows into the per-query top-k
+      * window — the same bounded fraction as one probe, amortized
+      * across the batch. */
+    private def batchedProbe[Q](
+        queries: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
+        encode: Seq[Double] => Q, scanCol: String,
+        score: (Column, Column) => Column)(
+        implicit tt: scala.reflect.runtime.universe.TypeTag[Map[Int, Seq[(Long, Q)]]])
+        : DataFrame = {
+      val byBucket: Map[Int, Seq[(Long, Q)]] = queries
         .flatMap { case (qid, q) =>
           centroids.zipWithIndex.sortBy { case (c, _) => -cos(q, c) }
-            .take(nprobe).map { case (_, b) => b -> (qid, q.map(_.toFloat)) }
+            .take(nprobe).map { case (_, b) => b -> (qid, encode(q)) }
         }
         .groupBy(_._1).map { case (b, qs) => b -> qs.map(_._2) }
       val probeLit = typedlit(byBucket)
       val cand = bucketed
         .filter(col("_ivf_bucket").isin(byBucket.keys.toSeq: _*))
-        .select(col(idCol), col(vecCol),
+        .select(col(idCol), col(scanCol),
           explode(element_at(probeLit, col("_ivf_bucket"))).as("_q"))
         .select(col("_q._1").as("query_id"), col(idCol),
-          cosineNative(bucketed, col(vecCol), col("_q._2")).as("cos"))
+          score(col(scanCol), col("_q._2")).as("cos"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("cos").desc, col(idCol).asc)
       cand.withColumn("_rn", row_number().over(w))
         .filter(col("_rn") <= k).drop("_rn")
     }
 
-    /** Batched quantized search — [[searchMany]]'s one-pass
-      * bucket→probing-queries plan with the candidate scan over the
-      * int8 codes (queries ship as quantized byte literals). The
-      * batch shape is where IVF pruning pays (searchMany finding),
-      * and the i8 scan stacks its 4×-fewer-bytes on top. Requires
+    /** Batched search: top-k for EVERY query in ONE pass.
+      *
+      * Per-query `search` pays a full Spark job (schedule + scan) per
+      * lookup — fine interactively, wasteful for the batch lookups a
+      * pipeline actually does; see [[batchedProbe]] for the plan.
+      *
+      * Returns (query_id, idCol, cos), top-k per query, ties by id. */
+    def searchMany(queries: Seq[(Long, Seq[Double])], k: Int,
+                   nprobe: Int = 4): DataFrame =
+      batchedProbe[Seq[Float]](queries, k, nprobe,
+        q => q.map(_.toFloat), vecCol,
+        (v, q) => cosineNative(bucketed, v, q))
+
+    /** Batched quantized search — [[batchedProbe]]'s plan with the
+      * candidate scan over the int8 codes (queries ship as quantized
+      * byte literals). The batch shape is where IVF pruning pays, and
+      * the i8 scan stacks its 4×-fewer-bytes on top. Requires
       * `withI8 = true` at build. */
     def searchManyI8(queries: Seq[(Long, Seq[Double])], k: Int,
                      nprobe: Int = 4): DataFrame = {
       require(bucketed.columns.contains("_vec_i8"),
         "index built without int8 codes: pass withI8 = true to ivfIndex")
       graft.functions.VectorExpressions.register(bucketed.sparkSession)
-      val byBucket: Map[Int, Seq[(Long, Array[Byte])]] = queries
-        .flatMap { case (qid, q) =>
-          centroids.zipWithIndex.sortBy { case (c, _) => -cos(q, c) }
-            .take(nprobe).map { case (_, b) => b -> (qid, quantizeQuery(q)) }
-        }
-        .groupBy(_._1).map { case (b, qs) => b -> qs.map(_._2) }
-      val probeLit = typedlit(byBucket)
-      val cand = bucketed
-        .filter(col("_ivf_bucket").isin(byBucket.keys.toSeq: _*))
-        .select(col(idCol), col("_vec_i8"),
-          explode(element_at(probeLit, col("_ivf_bucket"))).as("_q"))
-        .select(col("_q._1").as("query_id"), col(idCol),
-          call_function("cosine_i8", col("_vec_i8"), col("_q._2")).as("cos"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col(idCol).asc)
-      cand.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= k).drop("_rn")
+      batchedProbe[Array[Byte]](queries, k, nprobe,
+        quantizeQuery, "_vec_i8",
+        (v, q) => call_function("cosine_i8", v, q))
     }
 
     def unpersist(): Unit = bucketed.unpersist()

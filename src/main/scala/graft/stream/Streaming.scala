@@ -167,10 +167,13 @@ object Streaming {
     * batch/consumer concern: the stream emits SCORES; a top-k over a
     * closed window is one ordinary window function downstream.
     *
-    * Output: (queryId, doc, score) per closed window, score round-6 —
-    * the same contribution expression as the batch scorer
-    * ([[graft.text.Retrieval.bm25Contrib]]), which StreamSpec asserts
-    * it matches bit-for-bit. */
+    * Output: (query, doc, score, window_start) per closed window,
+    * score round-6 — the same contribution expression as the batch
+    * scorer ([[graft.text.Retrieval.bm25Contrib]]), which StreamSpec
+    * asserts it matches bit-for-bit. `window_start` identifies WHICH
+    * window a score belongs to: a query id that recurs in a later
+    * window emits a second row that would otherwise be
+    * indistinguishable from the first. */
   def bm25StreamScores(queries: DataFrame, index: DataFrame,
                        queryId: String, queryText: String, tsCol: String,
                        watermark: String, windowDur: String,
@@ -185,7 +188,8 @@ object Streaming {
       .groupBy(window(col(tsCol), windowDur), col("query"), col("doc"))
       .agg(round(sum(graft.text.Retrieval.bm25Contrib(k1, b)), 6)
         .as("score"))
-      .select(col("query"), col("doc"), col("score"))
+      .select(col("query"), col("doc"), col("score"),
+        col("window").getField("start").as("window_start"))
   }
 
   /** foreachBatch parquet sink: idempotent per-micro-batch overwrite

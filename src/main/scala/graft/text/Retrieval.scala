@@ -90,9 +90,18 @@ object Retrieval {
     // rather than double-counting shared terms, matching the
     // documented "DISTINCT per query" contract. (array_distinct alone
     // would only dedup within a row.)
+    //
+    // An ArrayType query column is taken AS the term list (caller has
+    // already tokenized/normalized) — callers that construct queries
+    // by slicing a token list must NOT round-trip through a joined
+    // string, whose re-tokenization can drop tokens the slice kept
+    // (e.g. an empty token from leading non-space whitespace).
+    val qTok = queries.schema(queryText).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => col(queryText)
+      case _ => TextFns.tokens(lower(col(queryText)))
+    }
     val qTerms = queries.select(col(queryId).as("query"),
-        explode(array_distinct(TextFns.tokens(lower(col(queryText)))))
-          .as("token"))
+        explode(array_distinct(qTok)).as("token"))
       .dropDuplicates("query", "token")
     // the postings-bounded candidate table: one row per (query term,
     // containing doc), with every per-pair statistic scoring needs.
