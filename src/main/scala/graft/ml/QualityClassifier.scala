@@ -1,0 +1,168 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style trained page-quality classifier: hashed word n-gram
+  * features (unigrams + adjacent bigrams) → logistic regression —
+  * the standard learned quality filter of LLM data pipelines (score
+  * pages against a curated seed corpus, keep the high-scoring tail).
+  * Reference semantics: the TF-IDF featurization + quality-signal
+  * family of gofast/dataops/preprocessing.py:3195 and
+  * gofast/utils/text.py:838, re-expressed as a fit/deploy split.
+  *
+  * Architecture mirrors [[graft.text.Retrieval.bm25Index]]'s
+  * fit-once / deploy-anywhere contract:
+  *  - [[fit]] trains MLlib LogisticRegression on hashed term-count
+  *    vectors and returns a FLAT weights artifact
+  *    `(feature: long, weight: double)` with the intercept at
+  *    feature = −1 — persist it with [[graft.io.Catalog]]; nothing
+  *    about the model lives in process memory.
+  *  - [[score]] replays the model as a pure relational plan: explode
+  *    terms → hash → broadcast-join the weights → one map-side-combined
+  *    groupBy per document. Works on any engine that can join — the
+  *    quality_clf entry replays FIXED weights in DuckDB.
+  *  - [[marginExpr]] folds the weights into a literal map for a
+  *    STATELESS column expression — the streaming deploy shape
+  *    ([[graft.stream.Streaming.qualityStreamScores]]): no state
+  *    store, no watermark, append mode trivially exact.
+  *
+  * Feature hashing uses the engine-portable 60-bit md5 hash
+  * ([[graft.text.Dedup.md5Hash64]]) mod `numFeatures`, so the SAME
+  * document hashes to the SAME features in Spark, DuckDB, or any
+  * engine with an md5 built-in — the model artifact is portable, not
+  * just the scores.
+  *
+  * Determinism contract: margins round to 6 dp BEFORE the sigmoid
+  * (per-document sum order is the only engine difference — the
+  * round-6 parity convention of [[graft.text.Quality.tokenEntropy]]),
+  * and the sigmoid output rounds to 6 dp too (JVM `Math.exp` vs libm
+  * `exp` may differ in the last ulp).
+  *
+  * 100 TB story: scoring is one explode (bounded by token count), one
+  * BROADCAST join (the weights table is ≤ numFeatures + 1 rows — tiny
+  * by construction), and one map-side-combined groupBy keyed on the
+  * document id. No shuffle grows faster than the corpus itself, and
+  * the expression path removes even the groupBy. Training cost is
+  * bounded by the LABELED set, which is always a small curated sample
+  * (fit on the sample, deploy on the corpus).
+  */
+object QualityClassifier {
+
+  /** Unigrams + adjacent bigrams (joined with '_') of a token-ARRAY
+    * column, as a pure O(n) array expression (bigrams via the
+    * shifted-slice zip of [[graft.text.LangModel]] — never a per-element
+    * re-tokenization). */
+  def termsOf(toks: Column): Column = {
+    val len = greatest(size(toks) - 1, lit(0))
+    concat(toks, zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (a, b) => concat(a, lit("_"), b)))
+  }
+
+  /** Hashed feature index of one term: portable 60-bit md5 hash mod
+    * `numFeatures` (non-negative, so `%` and `pmod` agree). */
+  def featureOf(term: Column, numFeatures: Int): Column =
+    graft.text.Dedup.md5Hash64(term) % numFeatures
+
+  /** (doc, feature) rows WITH repetition — one row per term
+    * occurrence, so `sum(weight)` over them equals the weighted
+    * term-count dot product without a per-(doc, feature) pre-count. */
+  def featureRows(df: DataFrame, idCol: String, textCol: String,
+                  numFeatures: Int): DataFrame = {
+    require(numFeatures > 0, s"numFeatures must be > 0, got $numFeatures")
+    df.select(col(idCol).as("doc"),
+        explode(termsOf(graft.text.TextFns.tokens(lower(col(textCol)))))
+          .as("_term"))
+      .select(col("doc"), featureOf(col("_term"), numFeatures).as("feature"))
+  }
+
+  /** Train on a labeled document set (labelCol ∈ {0.0, 1.0}) and
+    * return the flat weights artifact: `(feature, weight)` rows for
+    * every non-zero coefficient plus the intercept at feature = −1.
+    *
+    * The hashed count vector is assembled with built-ins only
+    * (map_from_entries → dense array → array_to_vector); `numFeatures`
+    * defaults small because the TRAINING set is a curated sample —
+    * raise it with corpus vocabulary, not corpus size. L-BFGS is
+    * deterministic for fixed data/partitioning; QualityClfSpec asserts
+    * two fits produce identical artifacts. */
+  def fit(df: DataFrame, idCol: String, textCol: String, labelCol: String,
+          numFeatures: Int = 1024, maxIter: Int = 50,
+          regParam: Double = 0.0): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val counted = featureRows(df, idCol, textCol, numFeatures)
+      .groupBy("doc", "feature").agg(count(lit(1)).cast("double").as("cnt"))
+    val vecs = counted.groupBy("doc")
+      .agg(map_from_entries(collect_list(struct(col("feature"), col("cnt"))))
+        .as("_m"))
+      .select(col("doc"), array_to_vector(
+        transform(sequence(lit(0L), lit((numFeatures - 1).toLong)),
+          i => coalesce(element_at(col("_m"), i), lit(0.0)))).as("features"))
+    val labeled = df.select(col(idCol).as("doc"),
+        col(labelCol).cast("double").as("label"))
+      .join(vecs, Seq("doc"))
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+    val model = lr.fit(labeled)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = model.coefficients.toArray.zipWithIndex
+      .filter(_._1 != 0.0)
+      .map { case (w, i) => (i.toLong, w) }
+      .toSeq :+ (-1L, model.intercept)
+    rows.toDF("feature", "weight")
+  }
+
+  /** Score documents against a weights artifact (from [[fit]] or any
+    * `(feature, weight)` table with the intercept at feature = −1).
+    * Output: (doc, margin, score, label) — margin round-6 BEFORE the
+    * sigmoid, score = round-6 sigmoid(margin), label = margin > 0 as
+    * int. Documents with no terms score at the bare intercept (they
+    * stay in the output — a filter stage must SEE every page). */
+  def score(df: DataFrame, idCol: String, textCol: String,
+            weights: DataFrame, numFeatures: Int): DataFrame = {
+    val w = broadcast(weights.filter(col("feature") >= 0)
+      .select(col("feature"), col("weight")))
+    // 1-row scalar broadcast, the (N, avgdl) pattern of bm25Rankings
+    val b0 = broadcast(weights.filter(col("feature") === -1)
+      .agg(coalesce(sum("weight"), lit(0.0)).as("_b0")))
+    val margins = featureRows(df, idCol, textCol, numFeatures)
+      .join(w, Seq("feature"))
+      .groupBy("doc").agg(sum("weight").as("_wsum"))
+    val margin = round(col("_b0") + coalesce(col("_wsum"), lit(0.0)), 6)
+    df.select(col(idCol).as("doc"))
+      .join(margins, Seq("doc"), "left")
+      .crossJoin(b0)
+      .select(col("doc"), margin.as("margin"))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6))
+      .withColumn("label", (col("margin") > 0).cast("int"))
+  }
+
+  /** Collect a weights artifact to a (map, intercept) pair for the
+    * literal-expression deploy path. Driver-bounded by construction:
+    * at most numFeatures + 1 rows. */
+  def weightsMap(weights: DataFrame): (Map[Long, Double], Double) = {
+    val rows = weights.select("feature", "weight").collect()
+    val m = rows.filter(_.getLong(0) >= 0)
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b0 = rows.find(_.getLong(0) == -1).map(_.getDouble(1)).getOrElse(0.0)
+    (m, b0)
+  }
+
+  /** The round-6 margin as a PURE column expression over a token-array
+    * column — weights ride as a broadcast map literal, the sum is a
+    * sequential fold over the term array. Stateless: this is the
+    * streaming deploy shape (no groupBy, no watermark, no state
+    * store), and the small-model batch shape (skips the explode +
+    * groupBy entirely). Round-6 agrees with [[score]]'s margin —
+    * sum order is the only difference (QualityClfSpec asserts it). */
+  def marginExpr(toks: Column, wmap: Map[Long, Double], intercept: Double,
+                 numFeatures: Int): Column = {
+    val m = typedlit(wmap)
+    round(lit(intercept) + aggregate(termsOf(toks), lit(0.0),
+      (acc, t) => acc +
+        coalesce(element_at(m, featureOf(t, numFeatures)), lit(0.0))), 6)
+  }
+}

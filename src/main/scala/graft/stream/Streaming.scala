@@ -192,6 +192,28 @@ object Streaming {
         col("window").getField("start").as("window_start"))
   }
 
+  /** Streaming quality-classifier deploy: score a document stream
+    * against a FITTED [[graft.ml.QualityClassifier]] weights artifact
+    * (reloaded from the Catalog like [[bm25StreamScores]]'s index).
+    *
+    * The model folds into a literal broadcast map
+    * ([[graft.ml.QualityClassifier.marginExpr]]), so scoring is a
+    * STATELESS projection — no state store, no watermark, append mode
+    * exactly-once for free, and each micro-batch costs one codegen'd
+    * pass. QualityClfSpec asserts the streamed scores match the batch
+    * scorer on the round-6 contract. */
+  def qualityStreamScores(docs: DataFrame, weights: DataFrame,
+                          idCol: String, textCol: String,
+                          numFeatures: Int): DataFrame = {
+    val (wmap, b0) = graft.ml.QualityClassifier.weightsMap(weights)
+    val margin = graft.ml.QualityClassifier.marginExpr(
+      graft.text.TextFns.tokens(lower(col(textCol))), wmap, b0, numFeatures)
+    docs.select(col(idCol).as("doc"), margin.as("margin"))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6))
+      .withColumn("label", (col("margin") > 0).cast("int"))
+  }
+
   /** foreachBatch parquet sink: idempotent per-micro-batch overwrite
     * into a Catalog table partition keyed by batch id — with
     * checkpointing this is the standard exactly-once pattern for
