@@ -36,7 +36,7 @@ object Batch14Entries {
     * engine-portable). Planted pairs land at cosine ≈ 0.98; every
     * cross pair stays ≤ 0.61 at all scale factors, so the 0.9
     * threshold has a ~0.3 safety margin. */
-  private def withPlantedDups(emb: DataFrame): DataFrame = {
+  private[graft] def withPlantedDups(emb: DataFrame): DataFrame = {
     val pert = emb.select(
       (col("vec_id") + 100000L).as("vec_id"),
       concat(slice(col("embedding"), 1, 56),

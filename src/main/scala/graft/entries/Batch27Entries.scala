@@ -23,6 +23,17 @@ object Batch27Entries {
       .unionByName(s.range(1).select(lit(-1L).as("feature"),
         lit(0.007).as("weight")))
 
+  /** IVF index over the PLANTED embedding corpus, one per sf dir (the
+    * Batch14 ivfCache pattern — an index amortizes its build across
+    * queries; Bench warm-up triggers the KMeans fit). */
+  private val plantedIvfCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ml.Similarity.IvfIndex]()
+  private def plantedIvf(s: SparkSession, dir: String): graft.ml.Similarity.IvfIndex =
+    plantedIvfCache.computeIfAbsent(dir, d =>
+      graft.ml.Similarity.ivfIndex(
+        Batch14Entries.withPlantedDups(T.embeddings(s, d)),
+        "vec_id", "embedding", nlist = 16))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // QualityClassifier.score: hashed unigram+bigram features (md5
     // 60-bit portable hash mod 1024), broadcast weights join, one
@@ -31,6 +42,30 @@ object Batch27Entries {
       graft.ml.QualityClassifier.score(T.documents(s, dir), "doc_id",
           "text", fixedWeights(s), numFeatures = 1024)
         .orderBy("doc")
+    }),
+
+    // SemDeDup exact screen over the planted near-dup corpus
+    // (embed_dedup's planting: every vector duplicated at cosine
+    // ≈ 0.98, cross pairs ≤ 0.61, threshold 0.9 splits them with ~0.3
+    // margin): greedy keep-lowest-id — survivors are exactly the base
+    // corpus. The oracle replays the full pairwise screen.
+    "semantic_dedup" -> ((s, dir) => {
+      graft.ml.Similarity.semanticDedupExact(
+          Batch14Entries.withPlantedDups(T.embeddings(s, dir)),
+          "vec_id", "embedding", threshold = 0.9)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
+    // The corpus-scale variant: the same screen scoped to IVF buckets
+    // (cost Σ_b n_b², never n²). Rows-only by design — bucket
+    // assignment is KMeans, not SQL-replayable; drop recall ≥ 0.9 vs
+    // the exact screen is asserted in SemanticDedupSpec, and the exact
+    // twin above is the full oracle.
+    "semantic_dedup_ivf" -> ((s, dir) => {
+      plantedIvf(s, dir).semanticDedup(threshold = 0.9)
+        .select("vec_id")
+        .orderBy("vec_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -67,5 +102,27 @@ object Batch27Entries {
         |SELECT doc, margin,
         |  ROUND(1.0 / (1.0 + EXP(-margin)), 6) AS score,
         |  CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS INT) AS label
-        |FROM s ORDER BY doc""".stripMargin)
+        |FROM s ORDER BY doc""".stripMargin,
+
+    // Replays embed_dedup's planting + pairwise cosine, then the
+    // greedy upper-triangle drop: b is dropped iff SOME a < b has
+    // cos(a, b) >= 0.9. Survivors = anti-join against the drop set.
+    "semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |pert AS (SELECT vec_id + 100000 AS vec_id,
+        |    list_concat(embedding[1:56],
+        |      list_transform(embedding[57:64], v -> CAST(v * CAST(1.5 AS FLOAT) AS FLOAT))) AS embedding
+        |  FROM base),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |d AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        |    / (SQRT(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |     * SQRT(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))
+        |    >= 0.9)
+        |SELECT e.vec_id FROM e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM d)
+        |ORDER BY e.vec_id""".stripMargin)
 }

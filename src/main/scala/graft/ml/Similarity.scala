@@ -202,7 +202,54 @@ object Similarity {
         (v, q) => call_function("cosine_i8", v, q))
     }
 
+    /** SemDeDup over the index's buckets: the pairwise screen of
+      * [[Similarity.semanticDedupExact]] scoped to IVF buckets, so the
+      * self-join is an equi-join on the bucket id and cost is
+      * Σ_b n_b² — never n² across the corpus. Near-duplicate pairs
+      * that straddle a centroid boundary are missed by design (the
+      * SemDeDup recall dial is nlist; SemanticDedupSpec asserts drop
+      * recall ≥ 0.9 against the exact screen on the planted corpus).
+      * Returns surviving rows with the index bookkeeping columns
+      * removed. */
+    def semanticDedup(threshold: Double): DataFrame = {
+      val a = bucketed.select(col("_ivf_bucket").as("_bk"),
+        col(idCol).as("_id_a"), col(vecCol).as("_ea"))
+      val b = bucketed.select(col("_ivf_bucket").as("_bk"),
+        col(idCol).as("_id_b"), col(vecCol).as("_eb"))
+      val pairs = a.join(b, Seq("_bk")).filter(col("_id_a") < col("_id_b"))
+      val dropped = pairs
+        .filter(cosineNative(pairs, col("_ea"), col("_eb")) >= threshold)
+        .select(col("_id_b").as(idCol)).distinct()
+      bucketed.drop("_ivf_bucket", "_vec_i8")
+        .join(dropped, Seq(idCol), "left_anti")
+    }
+
     def unpersist(): Unit = bucketed.unpersist()
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop semantic
+    * near-duplicate embeddings, keeping one representative per
+    * duplicate neighborhood. Greedy upper-triangle policy with id
+    * order as the deterministic priority: a vector is DROPPED iff
+    * some LOWER-id vector in the candidate scope has cosine ≥
+    * threshold with it (the paper screens the upper triangle of each
+    * cluster's similarity matrix the same way — note this is greedy,
+    * not transitive: a vector can be dropped for resembling an
+    * already-dropped one).
+    *
+    * This exact variant scopes candidates to ALL pairs — the
+    * oracle-checkable baseline (semantic_dedup entry). The corpus
+    * path is [[IvfIndex.semanticDedup]], which scopes the screen to
+    * KMeans buckets. Returns surviving input rows unchanged. */
+  def semanticDedupExact(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("_id_a"), col(vecCol).as("_ea"))
+    val b = df.select(col(idCol).as("_id_b"), col(vecCol).as("_eb"))
+    val pairs = a.join(b, col("_id_a") < col("_id_b"))
+    val dropped = pairs
+      .filter(cosineNative(pairs, col("_ea"), col("_eb")) >= threshold)
+      .select(col("_id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Build an IVF index over an array<float> embedding column.

@@ -292,6 +292,74 @@ object ScaleProbe {
       return
     }
 
+    // SemDeDup axis (SPARK_GRAFT_SEMDEDUP_N=<vectors>): synthesize
+    // 64-dim vectors of genuine hash noise — component j of vector id
+    // is xxhash64(id·1000003 + j) scaled to [−1, 1], iid across both
+    // axes, so random pairs sit at cos ≈ N(0, 1/64) and essentially
+    // never cross 0.9 (sin-manifold constructions were tried first
+    // and FAILED this property: any phase linear in id or j leaves
+    // whole Δid families near-collinear and the screen dropped >90%
+    // of the corpus) — then plant a 10% near-dup layer (last-8-dims
+    // 1.5× perturbation, cosine ≈ 0.98) and time
+    // IvfIndex.semanticDedup at n/4 and n.
+    // nlist grows ∝ n so the expected bucket size stays constant,
+    // making the per-bucket pairwise screen LINEAR in n (Σ_b n_b²
+    // with n_b ≈ const); the probe prints the observed 4×-growth
+    // ratio — quadratic would be 16×, the design target is ≲ 6×
+    // (linear + fixed overheads).
+    sys.env.get("SPARK_GRAFT_SEMDEDUP_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      val dim = 64
+      def mk(sz: Long): DataFrame = {
+        val base = spark.range(sz).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (xxhash64(col("id") * lit(1000003L) + j).cast("double") /
+              lit(Long.MaxValue.toDouble)).cast("float")).as("embedding"))
+        val pert = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000000L).as("vec_id"),
+            concat(slice(col("embedding"), 1, dim - 8),
+              transform(slice(col("embedding"), dim - 7, 8),
+                v => v * lit(1.5f))).as("embedding"))
+        base.unionByName(pert)
+      }
+      def run(sz: Long): (Double, Double, Long) = {
+        val emb = mk(sz).persist(); emb.count()
+        val nlist = math.min(2048, math.max(16, (sz / 400).toInt))
+        val t0 = System.nanoTime()
+        val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nlist = nlist, maxIter = 4, fitFraction = math.min(1.0, 2e5 / sz))
+        val buildSec = (System.nanoTime() - t0) / 1e9
+        // median-of-3: a single-shot screen timing flipped the ratio
+        // 10x across runs under host contention
+        var survivors = 0L
+        val secs = (0 until 3).map { _ =>
+          val t1 = System.nanoTime()
+          survivors = idx.semanticDedup(0.9).count()
+          (System.nanoTime() - t1) / 1e9
+        }.sorted
+        idx.unpersist(); emb.unpersist()
+        (math.round(buildSec * 1000) / 1000.0,
+          math.round(secs(1) * 1000) / 1000.0, survivors)
+      }
+      run(n / 4) // warm codegen/JIT untimed
+      val (b1, s1, r1) = run(n / 4)
+      val (b4, s4, r4) = run(n)
+      // hash noise never crosses 0.9, so every drop is a planted dup:
+      // drop recall = (total − survivors) / planted, the fraction of
+      // planted pairs that co-bucketed (the SemDeDup nlist dial)
+      def recall(sz: Long, survivors: Long): Double = {
+        val planted = (sz + 9) / 10
+        math.round((sz + planted - survivors).toDouble / planted * 1000) / 1000.0
+      }
+      println(f"""SEMDEDUPPROBE {"n_small":${n / 4},"n_big":$n,""" +
+        f""""build_small_sec":$b1,"screen_small_sec":$s1,"survivors_small":$r1,""" +
+        f""""drop_recall_small":${recall(n / 4, r1)},""" +
+        f""""build_big_sec":$b4,"screen_big_sec":$s4,"survivors_big":$r4,""" +
+        f""""drop_recall_big":${recall(n, r4)},""" +
+        f""""screen_ratio_for_4x":${math.round(s4 / math.max(s1, 0.001) * 10) / 10.0}}""")
+      spark.stop()
+      return
+    }
+
     // Heavy-hitters axis (SPARK_GRAFT_HH_N=<rows>): a long-tailed
     // keyspace — TAIL_FRACTION of rows carry a unique key each (never
     // heavy, but map-side combine cannot collapse them, so the plain
