@@ -184,24 +184,68 @@ object Make {
     * simulate.py's electricity/traffic/weather/stock families):
     * y = level + slope·t + amp·sin(2π·t/period) + noise·g per series,
     * per-series parameters hash-derived from the series id. Columns:
-    * series_id, t, y. One range, no shuffle; nSeries·length rows. */
+    * series_id, t, y. One range, no shuffle; nSeries·length rows.
+    *
+    * `portableHash = true` is the oracle-checked mode: md5 uniforms,
+    * and the two libm-crossing terms (sin, the Box–Muller gaussian)
+    * each round to 9 dp BEFORE entering the pure-IEEE linear form
+    * (the make_regression lesson — round once after libm, then
+    * identical doubles compose identically on any engine). */
   def makeSeries(spark: SparkSession, nSeries: Int, length: Int,
                  period: Int = 24, noise: Double = 0.1,
-                 seed: Long = 42L): DataFrame = {
+                 seed: Long = 42L,
+                 portableHash: Boolean = false): DataFrame = {
     require(nSeries > 0 && length > 0 && period > 0, "positive sizes required")
     // integral `div`, not `/`: `/` on longs is DOUBLE division, whose
     // rounded quotient can cross a series boundary once id approaches
     // 2^53 — div stays exact at any scale
     val t = (col("id") % length).cast("long")
     val sid = expr(s"id div ${length}L")
-    val level = u01(seed, sid, 10) * 100
-    val slope = (u01(seed, sid, 11) - 0.5) * 2
-    val amp = u01(seed, sid, 12) * 20
-    val g = gaussian(u01(seed, col("id"), 13), u01(seed, col("id"), 14))
+    val level = uniform(portableHash, seed, sid, 10) * 100
+    val slope = (uniform(portableHash, seed, sid, 11) - 0.5) * 2
+    val amp = uniform(portableHash, seed, sid, 12) * 20
+    def maybeRound(c: Column): Column = if (portableHash) round(c, 9) else c
+    val g = maybeRound(gaussian(uniform(portableHash, seed, col("id"), 13),
+      uniform(portableHash, seed, col("id"), 14)))
+    val season = maybeRound(
+      sin(lit(TwoPi) * t.cast("double") / lit(period.toDouble)))
     spark.range(nSeries.toLong * length).select(
       sid.as("series_id"), t.as("t"),
-      round(level + slope * t.cast("double") +
-        amp * sin(lit(TwoPi) * t.cast("double") / lit(period.toDouble)) +
+      round(level + slope * t.cast("double") + amp * season +
         lit(noise) * g, 9).as("y"))
+  }
+
+  /** `make_blobs` (the reference's spatial/cluster generator family,
+    * gofast/datasets/make.py): isotropic gaussian blobs around
+    * `nCenters` hash-placed centers in [boxMin, boxMax]^dim. Each row's
+    * cluster is hash-assigned, its coordinates are
+    * center(cluster)_j + std · gaussian — the KMeans/spatial-join test
+    * corpus shape. Columns: id, cluster, x0..x{dim−1}.
+    * `portableHash = true` replays bit-for-bit in SQL (centers derive
+    * from md5 of the CLUSTER id, so both engines place them
+    * identically; the libm-crossing gaussian rounds once at 9 dp). */
+  def makeBlobs(spark: SparkSession, nSamples: Long, nCenters: Int = 3,
+                dim: Int = 2, std: Double = 1.0,
+                boxMin: Double = -10.0, boxMax: Double = 10.0,
+                seed: Long = 42L,
+                portableHash: Boolean = false): DataFrame = {
+    require(nCenters > 0 && dim > 0 && boxMax > boxMin,
+      s"need positive nCenters/dim and boxMax > boxMin")
+    val id = col("id")
+    val cluster = if (portableHash)
+      pmod(conv(substring(md5(concat_ws("-", lit(seed), id, lit(500009))),
+        1, 15), 16, 10).cast("long"), lit(nCenters))
+    else pmod(xxhash64(lit(seed), id, lit("blob")), lit(nCenters))
+    def maybeRound(c: Column): Column = if (portableHash) round(c, 9) else c
+    val span = boxMax - boxMin
+    val xs = (0 until dim).map { j =>
+      val center = lit(boxMin) +
+        uniform(portableHash, seed, col("_c"), 7000 + j) * lit(span)
+      maybeRound(center + lit(std) *
+        gaussian(uniform(portableHash, seed, id, 2 * j),
+          uniform(portableHash, seed, id, 2 * j + 1))).as(s"x$j")
+    }
+    spark.range(nSamples).select(id, cluster.as("_c"))
+      .select(id +: col("_c").cast("int").as("cluster") +: xs: _*)
   }
 }

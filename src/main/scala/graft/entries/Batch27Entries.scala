@@ -66,6 +66,27 @@ object Batch27Entries {
       plantedIvf(s, dir).semanticDedup(threshold = 0.9)
         .select("vec_id")
         .orderBy("vec_id")
+    }),
+
+    // datasets.Make.makeBlobs portable mode: hash-assigned clusters,
+    // md5-placed centers in [-10,10]^2 (the center key hashes the
+    // CLUSTER id, so both engines place the same 3 centers), isotropic
+    // unit gaussians rounded once at 9 dp after the libm crossing.
+    "make_blobs" -> ((s, dir) => {
+      graft.datasets.Make.makeBlobs(s, nSamples = 4000, nCenters = 3,
+          dim = 2, std = 1.0, seed = 42L, portableHash = true)
+        .orderBy("id")
+    }),
+
+    // datasets.Make.makeSeries portable mode (simulate.py's seasonal
+    // families): per-series level/slope/amplitude from md5 of the
+    // series id, y = level + slope·t + amp·sin(2πt/24) + noise·g with
+    // sin and the gaussian each rounded 9 before the pure-IEEE linear
+    // form. Feeds the ts family (MakeSpec runs decompose/acf over it).
+    "make_series" -> ((s, dir) => {
+      graft.datasets.Make.makeSeries(s, nSeries = 50, length = 200,
+          period = 24, noise = 0.5, seed = 42L, portableHash = true)
+        .orderBy("series_id", "t")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -124,5 +145,54 @@ object Batch27Entries {
         |    >= 0.9)
         |SELECT e.vec_id FROM e
         |WHERE e.vec_id NOT IN (SELECT vec_id FROM d)
-        |ORDER BY e.vec_id""".stripMargin)
+        |ORDER BY e.vec_id""".stripMargin,
+
+    // Replays makeBlobs' full generation: cluster from md5 of the row
+    // id, center coordinates from md5 of the CLUSTER id, coordinate =
+    // round(center + 1.0·gaussian, 9) — association mirrors the Spark
+    // expression tree exactly ((boxMin + u·span) + (std·g)).
+    "make_blobs" ->
+      """WITH ids AS (SELECT unnest(range(0, 4000)) AS id),
+        |c AS (
+        |  SELECT id,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-500009'), 1, 15) AS BIGINT) % 3 AS cluster
+        |  FROM ids),
+        |u AS (
+        |  SELECT id, cluster,
+        |    CAST('0x' || substr(md5('42-' || CAST(cluster AS VARCHAR) || '-7000'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS c0,
+        |    CAST('0x' || substr(md5('42-' || CAST(cluster AS VARCHAR) || '-7001'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS c1,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-0'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u0,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-1'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u1,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-2'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u2,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-3'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u3
+        |  FROM c)
+        |SELECT id, CAST(cluster AS INT) AS cluster,
+        |  ROUND((-10.0 + c0 * 20.0)
+        |    + 1.0 * (sqrt(-2.0 * ln(u0 + 4.9e-324)) * cos(6.283185307179586 * u1)), 9) AS x0,
+        |  ROUND((-10.0 + c1 * 20.0)
+        |    + 1.0 * (sqrt(-2.0 * ln(u2 + 4.9e-324)) * cos(6.283185307179586 * u3)), 9) AS x1
+        |FROM u
+        |ORDER BY id""".stripMargin,
+
+    // Replays makeSeries: sid = id // 200, t = id % 200; level/slope/
+    // amp keyed on sid, noise gaussian on the row id; sin and gaussian
+    // round 9 first, then the left-associated linear form rounds 9.
+    "make_series" ->
+      """WITH ids AS (SELECT unnest(range(0, 10000)) AS id),
+        |b AS (SELECT id, id // 200 AS sid, id % 200 AS t FROM ids),
+        |u AS (
+        |  SELECT id, sid, t,
+        |    CAST('0x' || substr(md5('42-' || CAST(sid AS VARCHAR) || '-10'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u10,
+        |    CAST('0x' || substr(md5('42-' || CAST(sid AS VARCHAR) || '-11'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u11,
+        |    CAST('0x' || substr(md5('42-' || CAST(sid AS VARCHAR) || '-12'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u12,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-13'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u13,
+        |    CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-14'), 1, 15) AS BIGINT) / 1152921504606846976.0 AS u14
+        |  FROM b)
+        |SELECT sid AS series_id, t,
+        |  ROUND(u10 * 100.0
+        |    + (u11 - 0.5) * 2.0 * CAST(t AS DOUBLE)
+        |    + u12 * 20.0 * ROUND(sin(6.283185307179586 * CAST(t AS DOUBLE) / 24.0), 9)
+        |    + 0.5 * ROUND(sqrt(-2.0 * ln(u13 + 4.9e-324)) * cos(6.283185307179586 * u14), 9), 9) AS y
+        |FROM u
+        |ORDER BY series_id, t""".stripMargin)
 }

@@ -85,4 +85,66 @@ class MakeSpec extends SparkSpec {
     assert(r.getDouble(0) > 0.8, s"period corr ${r.getDouble(0)}")
     assert(r.getDouble(1) < 0.0, s"half-period corr ${r.getDouble(1)}")
   }
+
+  test("makeBlobs: deterministic, clusters are recoverable from geometry") {
+    val df = Make.makeBlobs(spark, 3000, nCenters = 3, dim = 2,
+      std = 1.0, seed = 42L).persist()
+    assert(df.columns.toSeq == Seq("id", "cluster", "x0", "x1"))
+    assert(df.count() == 3000)
+    val again = Make.makeBlobs(spark, 3000, nCenters = 3, dim = 2,
+      std = 1.0, seed = 42L).repartition(5)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+    // empirical centers = per-cluster means; >= 95% of rows must sit
+    // nearer their OWN center than any other (unit gaussians around
+    // centers in a 20-wide box are near-separated for almost any seed)
+    val centers = df.groupBy("cluster")
+      .agg(avg("x0").as("c0"), avg("x1").as("c1"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(centers.size == 3, "a center hashed to an empty cluster")
+    val rows = df.select("cluster", "x0", "x1")
+      .as[(Int, Double, Double)].collect()
+    val pure = rows.count { case (c, x0, x1) =>
+      val nearest = centers.minBy { case (_, (c0, c1)) =>
+        (x0 - c0) * (x0 - c0) + (x1 - c1) * (x1 - c1) }._1
+      nearest == c
+    }
+    df.unpersist()
+    assert(pure.toDouble / rows.length >= 0.95,
+      s"cluster purity ${pure.toDouble / rows.length}")
+  }
+
+  test("makeSeries feeds the ts family: ACF peaks at the period and " +
+      "classical decomposition recovers the seasonal amplitude") {
+    val df = Make.makeSeries(spark, nSeries = 4, length = 240,
+      period = 24, noise = 0.1, seed = 9L)
+    val order = Seq(col("t"))
+    val a = graft.ts.Temporal.acf(df, "y", Seq(12, 24), Seq("series_id"), order)
+    // detrended by the ACF's internal moments? no — the raw series has
+    // a trend, so compare lag-24 vs lag-12 per series instead of an
+    // absolute bar: seasonality must make the full-period lag beat the
+    // half-period lag for every series
+    val rows = a.select("series_id", "acf12", "acf24")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sid, h, f) =>
+      assert(f > h, s"series $sid: acf24 $f should beat acf12 $h")
+    }
+    val dec = graft.ts.Temporal.decomposeClassical(df, "y", 24,
+      Seq("series_id"), order)
+    // the generator's seasonal term is amp·sin(2πt/24) with amp up to
+    // 20; the recovered per-series seasonal range must be ≈ 2·amp.
+    // The residual carries noise PLUS the 25-point-MA phase leakage of
+    // a period-24 sinusoid (∝ amp, ~8% of it empirically), so the
+    // bound is leakage-aware, not the bare noise level.
+    val stats = dec.groupBy("series_id").agg(
+        (max("seasonal") - min("seasonal")).as("srange"),
+        stddev(col("y") - col("trend") - col("seasonal")).as("rsd"))
+      .as[(Long, Double, Double)].collect()
+    stats.foreach { case (sid, srange, rsd) =>
+      assert(srange > 1.0, s"series $sid seasonal range $srange")
+      assert(rsd < 0.5 + srange / 8.0,
+        s"series $sid residual sd $rsd vs seasonal range $srange")
+    }
+  }
 }
