@@ -1,6 +1,7 @@
 package graft.entries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.core.{Tables => T}
 
@@ -9,6 +10,9 @@ import graft.core.{Tables => T}
   * scoring replays fixed weights in SQL).
   */
 object Batch27Entries {
+
+  /** Memory-sink names must be unique per run (the Batch18 pattern). */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Formula-derived fixed weights (portable-oracle mode, the
     * make_classification pattern): weight(f) = ((37f + 11) mod 21 − 10)
@@ -66,6 +70,44 @@ object Batch27Entries {
       plantedIvf(s, dir).semanticDedup(threshold = 0.9)
         .select("vec_id")
         .orderBy("vec_id")
+    }),
+
+    // Streaming.bm25StreamScores replayed END-TO-END: the bm25_topk
+    // query set (every 97th doc's first 5 tokens, fed as token ARRAYS)
+    // arrives on a MemoryStream, scores against the FITTED bm25Index
+    // under a watermark, and the closed window's append-mode output is
+    // the result — the streaming deploy path inside the driver's
+    // correctness loop. FULL oracle: the stream emits per-(query, doc)
+    // round-6 scores, which is bm25_topk's scored CTE without the
+    // rank filter. StreamSpec asserts the batch scorer parity;
+    // RetrievalSpec asserts this entry contains bm25_topk's top-k.
+    "bm25_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = T.documents(s, dir)
+      val index = graft.text.Retrieval.bm25Index(docs, "doc_id", "text")
+      // driver-bounded: |corpus| / 97 query rows
+      val qRows = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"),
+          slice(graft.text.TextFns.tokens(lower(col("text"))), 1, 5)
+            .as("toks"))
+        .as[(Long, Seq[String])].collect()
+      val in = MemoryStream[(java.sql.Timestamp, Long, Seq[String])]
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      in.addData(qRows.toSeq.map { case (qid, tk) => (t0, qid, tk) }: _*)
+      // watermark-advancing tail row: tokenless, matches nothing, but
+      // pushes event time far enough that the 10:00 window closes
+      in.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
+        -1L, Seq.empty[String]))
+      val qn = s"bm25_stream_sink_${sinkSeq.incrementAndGet()}"
+      val q = graft.stream.Streaming.bm25StreamScores(
+          in.toDF().toDF("ts", "qid", "qtoks"), index,
+          "qid", "qtoks", "ts", "5 minutes", "10 minutes")
+        .select(col("query"), col("doc"), col("score"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(qn).orderBy("query", "doc")
     }),
 
     // datasets.Make.makeBlobs portable mode: hash-assigned clusters,
@@ -146,6 +188,41 @@ object Batch27Entries {
         |SELECT e.vec_id FROM e
         |WHERE e.vec_id NOT IN (SELECT vec_id FROM d)
         |ORDER BY e.vec_id""".stripMargin,
+
+    // The streamed scores are exactly bm25_topk's scored CTE with no
+    // rank filter: per-(query, doc) contribution sums, round-6.
+    "bm25_stream" ->
+      """WITH dt AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |dtf AS (SELECT doc, token, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+        |dl AS (SELECT doc, SUM(tf) AS dl FROM dtf GROUP BY 1),
+        |nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n
+        |       FROM documents),
+        |avg_dl AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT n FROM nn)
+        |             AS avgdl FROM dl),
+        |dfx AS (SELECT token, COUNT(*) AS df FROM dtf GROUP BY 1),
+        |q AS (
+        |  SELECT DISTINCT query, token FROM (
+        |    SELECT doc_id AS query, unnest(list_slice(
+        |        string_split_regex(trim(lower(text)), '\s+'), 1, 5)) AS token
+        |    FROM documents WHERE doc_id % 97 = 0 AND len(trim(text)) > 0)),
+        |scored AS (
+        |  SELECT q.query, dtf.doc,
+        |    ROUND(SUM(
+        |      LN(1.0 + ((SELECT n FROM nn) - dfx.df + 0.5) / (dfx.df + 0.5))
+        |      * (CAST(dtf.tf AS DOUBLE) * 2.2)
+        |      / (CAST(dtf.tf AS DOUBLE) + 1.2 * (0.25 +
+        |          0.75 * CAST(dl.dl AS DOUBLE) / (SELECT avgdl FROM avg_dl)))
+        |    ), 6) AS score
+        |  FROM q
+        |  JOIN dtf ON q.token = dtf.token
+        |  JOIN dfx ON q.token = dfx.token
+        |  JOIN dl ON dtf.doc = dl.doc
+        |  GROUP BY 1, 2)
+        |SELECT query, doc, score FROM scored
+        |ORDER BY query, doc""".stripMargin,
 
     // Replays makeBlobs' full generation: cluster from md5 of the row
     // id, center coordinates from md5 of the CLUSTER id, coordinate =

@@ -180,10 +180,16 @@ object Streaming {
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k1 >= 0 && b >= 0 && b <= 1,
       s"need k1 >= 0 and 0 <= b <= 1, got k1=$k1 b=$b")
+    // ArrayType query column = caller-tokenized term list, used as-is
+    // (the bm25Rankings contract — a joined-string round-trip can drop
+    // tokens the caller's slice kept)
+    val qTok = queries.schema(queryText).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType => col(queryText)
+      case _ => graft.text.TextFns.tokens(lower(col(queryText)))
+    }
     queries.withWatermark(tsCol, watermark)
       .select(col(queryId).as("query"), col(tsCol),
-        explode(array_distinct(
-          graft.text.TextFns.tokens(lower(col(queryText))))).as("token"))
+        explode(array_distinct(qTok)).as("token"))
       .join(index, Seq("token"))
       .groupBy(window(col(tsCol), windowDur), col("query"), col("doc"))
       .agg(round(sum(graft.text.Retrieval.bm25Contrib(k1, b)), 6)

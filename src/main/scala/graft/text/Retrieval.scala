@@ -105,26 +105,40 @@ object Retrieval {
       .dropDuplicates("query", "token")
     // the postings-bounded candidate table: one row per (query term,
     // containing doc), with every per-pair statistic scoring needs.
-    // Cut eagerly when it feeds >1 parameterization so the joins run
-    // once, not once per ranking.
-    val candLazy = qTerms
+    val cand = qTerms
       .join(docTf, Seq("token"))
       .join(df_, Seq("token"))
       .join(dl, Seq("doc"))
       .crossJoin(broadcast(scalars))
-    val cand = if (params.size > 1) candLazy.localCheckpoint() else candLazy
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
-    params.map { case (k1, b) =>
+    // ALL parameterizations score in ONE aggregation pass over the
+    // candidates — one `_score_i` column per (k1, b). The candidate
+    // table is traversed exactly once and NEVER materialized: it is
+    // LARGER than its inputs (Σ_t df(t) wide rows), so the previous
+    // design — localCheckpoint cand, re-read per ranking — inverted at
+    // scale: at 40× corpus the checkpoint write + K re-reads cost more
+    // than recomputing the whole retrieval per parameterization
+    // (ScaleProbe bisect: bm25_single stayed linear, bm25_rrf went
+    // super-linear). What IS cut for reuse is the grouped scored
+    // table — per-(query, doc), k-independent, df-fold smaller.
+    val aggs = params.zipWithIndex.map { case ((k1, b), i) =>
       val contrib = idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
         (col("tf").cast("double") +
           lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") /
             col("_avgdl")))
-      val scored = cand.groupBy("query", "doc")
-        .agg(round(sum(contrib), 6).as("score"))
-      graft.rel.Sampling.topKPerGroup(scored, Seq("query"),
-          Seq(col("score").desc, col("doc").asc), k, rankName = "rank")
+      round(sum(contrib), 6).as(s"_score$i")
+    }
+    val grouped = cand.groupBy("query", "doc").agg(aggs.head, aggs.tail: _*)
+    val scoredAll =
+      if (params.size > 1) grouped.localCheckpoint() else grouped
+    params.indices.map { i =>
+      graft.rel.Sampling.topKPerGroup(
+          scoredAll.select(col("query"), col("doc"),
+            col(s"_score$i").as("score")),
+          Seq("query"), Seq(col("score").desc, col("doc").asc), k,
+          rankName = "rank")
         .select("query", "doc", "score", "rank")
     }
   }

@@ -45,6 +45,12 @@ object ScaleProbe {
     (label, math.round(s * 1000) / 1000.0, rows)
   }
 
+  /** time(), gated by the SPARK_GRAFT_OPS dev filter: a filtered-out
+    * op neither runs nor reports. */
+  private var opsFilter: Option[Set[String]] = None
+  private def timed(label: String)(f: => Long): Option[(String, Double, Long)] =
+    if (opsFilter.forall(_.contains(label))) Some(time(label)(f)) else None
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
@@ -58,34 +64,38 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // dev filter: SPARK_GRAFT_OPS=bm25_rrf,span_dedup runs only those
+    // pipelines — one axis at a high multiplier without paying for all
+    opsFilter = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     def pipelines(df: DataFrame): Seq[(String, Double, Long)] = {
       val cached = df.persist()
       val nDocs = cached.count() // materialize input outside the timed region
       val out = Seq(
-        time("minhash_pairs") {
+        timed("minhash_pairs") {
           Dedup.minhashPairs(cached, "doc_id", "text").count()
         },
-        time("drop_near_dups") {
+        timed("drop_near_dups") {
           Dedup.dropNearDuplicates(cached, "doc_id", "text").count()
         },
-        time("decontam") {
+        timed("decontam") {
           val eval = cached.filter(col("doc_id") % 97 === 0)
             .select(col("doc_id") + 90000000L as "doc_id", col("text"))
           Decontaminate.contaminationReport(cached, eval, "doc_id", "text",
             k = 5, threshold = 0.6).count()
         },
-        time("pii_redact") {
+        timed("pii_redact") {
           Redact.redactDocuments(cached, "text")
             .agg(sum(length(col("text_redacted")))).head(); cached.count()
         },
-        time("span_dedup") {
+        timed("span_dedup") {
           // k=8 over word-rotated replicas: rotation preserves most
           // 8-grams, so the duplicated-span set (and the cut volume)
           // grows with the multiplier — the adversarial direction
           graft.text.Chunk.maskDuplicateSpans(cached, "doc_id", "text",
             k = 8, minOccur = 2).count()
         },
-        time("line_dedup") {
+        timed("line_dedup") {
           // threshold derived from the replicated corpus size so the
           // removal set stays the same FRACTION of the vocabulary at
           // every multiplier (parameter derivation, not timed work —
@@ -93,13 +103,13 @@ object ScaleProbe {
           graft.text.Chunk.dedupLinesAcrossCorpus(cached, "doc_id", "text",
             minDf = nDocs * 4L / 5L, splitRe = " ", joinSep = " ").count()
         },
-        time("unigram_ppl") {
+        timed("unigram_ppl") {
           // self-scored: trains the vocab on the replicated corpus AND
           // scores it — both the model explode and the scoring join
           // grow with the corpus, the linear-pipeline worst case
           LangModel.scoreByUnigram(cached, cached, "doc_id", "text").count()
         },
-        time("snapshot_dedup") {
+        timed("snapshot_dedup") {
           // full-size re-crawl where every third page changed: the
           // reference fingerprint set AND the probe side both scale
           val fresh = cached.select((col("doc_id") + 200000000L).as("doc_id"),
@@ -107,7 +117,7 @@ object ScaleProbe {
               .otherwise(col("text")).as("text"))
           Snapshot.dropSeenDocs(fresh, cached, "text").count()
         },
-        time("snapshot_neardup") {
+        timed("snapshot_neardup") {
           // 10% re-crawl, first token dropped: each new doc
           // near-matches ALL rotated twins of its original, so the
           // true pair count grows with the multiplier on top of the
@@ -117,7 +127,19 @@ object ScaleProbe {
               regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
           Snapshot.dropSeenNearDups(fresh, cached, "doc_id", "text").count()
         },
-        time("bm25_rrf") {
+        timed("bm25_single") {
+          // single parameterization — no candidate localCheckpoint:
+          // isolates the shared-candidate ensemble machinery from the
+          // core retrieval plan when bisecting scale knees
+          val qs = cached.filter(col("doc_id") % 97 === 0 &&
+              col("doc_id") < 1000000L)
+            .select(col("doc_id").as("qid"),
+              array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+                .as("qtext"))
+          graft.text.Retrieval.bm25TopK(cached, qs, "doc_id", "text",
+            "qid", "qtext", k = 20).count()
+        },
+        timed("bm25_rrf") {
           // fixed query load (one query per ~97th ORIGINAL doc)
           // against the replicated corpus: the postings explode and
           // candidate join scale with the corpus, the query side does
@@ -132,7 +154,7 @@ object ScaleProbe {
             "doc_id", "text", "qid", "qtext",
             Seq((1.2, 0.75), (2.0, 0.5)), k = 20)
           graft.text.Retrieval.rrfFuse(rs, "query", "doc", "rank").count()
-        })
+        }).flatten
       cached.unpersist()
       out
     }
@@ -156,13 +178,15 @@ object ScaleProbe {
         (idx, (System.nanoTime() - t0) / 1e9)
       }
       val out = Seq(
-        time("ann_brute") {
+        timed("ann_brute") {
           Similarity.cosineTopK(emb, "embedding", "vec_id", query, 15).count()
         },
-        time("ann_ivf_search") {
+        timed("ann_ivf_search") {
           built._1.search(query, 15, nprobe = 4).count()
         },
-        ("ann_ivf_build", math.round(built._2 * 1000) / 1000.0, 0L))
+        if (opsFilter.forall(_.contains("ann_ivf_build")))
+          Some(("ann_ivf_build", math.round(built._2 * 1000) / 1000.0, 0L))
+        else None).flatten
       built._1.unpersist(); emb.unpersist()
       out
     }

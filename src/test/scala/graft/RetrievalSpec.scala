@@ -151,6 +151,22 @@ class RetrievalSpec extends SparkSpec {
       == live.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
   }
 
+  test("bm25_stream entry contains bm25_topk's top-k with equal scores") {
+    // the streamed window emits EVERY (query, doc) score; the batch
+    // top-k must be a subset with bit-equal round-6 scores
+    val stream = SparkEntry.queries("bm25_stream")(spark, sf)
+      .select("query", "doc", "score")
+      .as[(Long, Long, Double)](org.apache.spark.sql.Encoders.product)
+      .collect().toSet
+    val topk = SparkEntry.queries("bm25_topk")(spark, sf)
+      .select("query", "doc", "score")
+      .as[(Long, Long, Double)](org.apache.spark.sql.Encoders.product)
+      .collect().toSet
+    assert(topk.nonEmpty)
+    assert(topk.subsetOf(stream),
+      s"top-k rows missing from the stream: ${topk.diff(stream).take(3)}")
+  }
+
   test("empty corpus is rejected; tokenless queries match nothing") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val qs = Seq((1L, "apple")).toDF("qid", "qtext")
