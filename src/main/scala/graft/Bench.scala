@@ -34,7 +34,9 @@ object Bench {
     "pii_redact_dates", "token_budget_temp", "heavy_hitters_exact",
     "salted_sum", "chunk_tokens", "line_dedup", "url_dedup", "span_dedup",
     "unigram_ppl", "chunk_sentences", "snapshot_dedup", "snapshot_neardup",
-    "bigram_ppl", "bm25_topk", "rrf_fuse", "cosine_i8_topk")
+    "bigram_ppl", "bm25_topk", "rrf_fuse", "cosine_i8_topk",
+    "quality_clf", "semantic_dedup", "semantic_dedup_ivf", "bm25_stream",
+    "make_blobs", "make_series")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -41,5 +41,24 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Embeddings with the element-nullability contract NARROWED at the
+    * scan. Parquet list elements load as `containsNull = true`, which
+    * forces the vector expressions' per-element `isNullAt` branch into
+    * every cosine codegen loop (they propagate a null element to a
+    * NULL result when the schema admits one) — measured 1.8× on the
+    * embed_dedup n² scan. A null element is INVALID in this table, so
+    * fail fast instead: `transform(_, assert_not_null)` throws on bad
+    * data and its output type is `containsNull = false`, restoring the
+    * branch-free loops. One linear array copy per row at the scan —
+    * negligible against any pairwise/ANN consumer. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, transform}
+    import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+    import org.apache.spark.sql.GraftColumnBridge
+    table(s, d, "embeddings").withColumn("embedding",
+      transform(col("embedding"), x =>
+        GraftColumnBridge.toColumn(
+          AssertNotNull(GraftColumnBridge.toExpr(s, x)))))
+  }
 }
