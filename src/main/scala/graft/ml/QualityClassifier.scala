@@ -59,21 +59,30 @@ object QualityClassifier {
       (a, b) => concat(a, lit("_"), b)))
   }
 
-  /** Hashed feature index of one term: portable 60-bit md5 hash mod
-    * `numFeatures` (non-negative, so `%` and `pmod` agree). */
-  def featureOf(term: Column, numFeatures: Int): Column =
-    graft.text.Dedup.md5Hash64(term) % numFeatures
+  /** Hashed feature index of one term. Two hash families, same plan
+    * shape (the dedup-twin convention): the portable 60-bit md5 hash
+    * (non-negative, so `%` and `pmod` agree — any engine replays it,
+    * the oracle-checked default) or codegen xxhash64 (≈10× cheaper
+    * per term, the corpus-scale choice). The hash family is part of
+    * the MODEL: weights fitted with one family only score with that
+    * family. */
+  def featureOf(term: Column, numFeatures: Int,
+                portableHash: Boolean = true): Column =
+    if (portableHash) graft.text.Dedup.md5Hash64(term) % numFeatures
+    else pmod(xxhash64(term), lit(numFeatures))
 
   /** (doc, feature) rows WITH repetition — one row per term
     * occurrence, so `sum(weight)` over them equals the weighted
     * term-count dot product without a per-(doc, feature) pre-count. */
   def featureRows(df: DataFrame, idCol: String, textCol: String,
-                  numFeatures: Int): DataFrame = {
+                  numFeatures: Int,
+                  portableHash: Boolean = true): DataFrame = {
     require(numFeatures > 0, s"numFeatures must be > 0, got $numFeatures")
     df.select(col(idCol).as("doc"),
         explode(termsOf(graft.text.TextFns.tokens(lower(col(textCol)))))
           .as("_term"))
-      .select(col("doc"), featureOf(col("_term"), numFeatures).as("feature"))
+      .select(col("doc"),
+        featureOf(col("_term"), numFeatures, portableHash).as("feature"))
   }
 
   /** Train on a labeled document set (labelCol ∈ {0.0, 1.0}) and
@@ -88,9 +97,9 @@ object QualityClassifier {
     * two fits produce identical artifacts. */
   def fit(df: DataFrame, idCol: String, textCol: String, labelCol: String,
           numFeatures: Int = 1024, maxIter: Int = 50,
-          regParam: Double = 0.0): DataFrame = {
+          regParam: Double = 0.0, portableHash: Boolean = true): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
-    val counted = featureRows(df, idCol, textCol, numFeatures)
+    val counted = featureRows(df, idCol, textCol, numFeatures, portableHash)
       .groupBy("doc", "feature").agg(count(lit(1)).cast("double").as("cnt"))
     val vecs = counted.groupBy("doc")
       .agg(map_from_entries(collect_list(struct(col("feature"), col("cnt"))))
@@ -121,13 +130,14 @@ object QualityClassifier {
     * int. Documents with no terms score at the bare intercept (they
     * stay in the output — a filter stage must SEE every page). */
   def score(df: DataFrame, idCol: String, textCol: String,
-            weights: DataFrame, numFeatures: Int): DataFrame = {
+            weights: DataFrame, numFeatures: Int,
+            portableHash: Boolean = true): DataFrame = {
     val w = broadcast(weights.filter(col("feature") >= 0)
       .select(col("feature"), col("weight")))
     // 1-row scalar broadcast, the (N, avgdl) pattern of bm25Rankings
     val b0 = broadcast(weights.filter(col("feature") === -1)
       .agg(coalesce(sum("weight"), lit(0.0)).as("_b0")))
-    val margins = featureRows(df, idCol, textCol, numFeatures)
+    val margins = featureRows(df, idCol, textCol, numFeatures, portableHash)
       .join(w, Seq("feature"))
       .groupBy("doc").agg(sum("weight").as("_wsum"))
     val margin = round(col("_b0") + coalesce(col("_wsum"), lit(0.0)), 6)
@@ -159,10 +169,10 @@ object QualityClassifier {
     * groupBy entirely). Round-6 agrees with [[score]]'s margin —
     * sum order is the only difference (QualityClfSpec asserts it). */
   def marginExpr(toks: Column, wmap: Map[Long, Double], intercept: Double,
-                 numFeatures: Int): Column = {
+                 numFeatures: Int, portableHash: Boolean = true): Column = {
     val m = typedlit(wmap)
     round(lit(intercept) + aggregate(termsOf(toks), lit(0.0),
-      (acc, t) => acc +
-        coalesce(element_at(m, featureOf(t, numFeatures)), lit(0.0))), 6)
+      (acc, t) => acc + coalesce(
+        element_at(m, featureOf(t, numFeatures, portableHash)), lit(0.0))), 6)
   }
 }

@@ -210,10 +210,12 @@ object Streaming {
     * scorer on the round-6 contract. */
   def qualityStreamScores(docs: DataFrame, weights: DataFrame,
                           idCol: String, textCol: String,
-                          numFeatures: Int): DataFrame = {
+                          numFeatures: Int,
+                          portableHash: Boolean = true): DataFrame = {
     val (wmap, b0) = graft.ml.QualityClassifier.weightsMap(weights)
     val margin = graft.ml.QualityClassifier.marginExpr(
-      graft.text.TextFns.tokens(lower(col(textCol))), wmap, b0, numFeatures)
+      graft.text.TextFns.tokens(lower(col(textCol))), wmap, b0, numFeatures,
+      portableHash)
     docs.select(col(idCol).as("doc"), margin.as("margin"))
       .withColumn("score",
         round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6))

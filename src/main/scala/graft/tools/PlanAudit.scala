@@ -41,9 +41,9 @@ object PlanAudit {
     // candidates as a 1-row broadcast (rrf fuses two BM25 plans, so
     // it carries two such joins)
     "bm25_topk", "rrf_fuse",
-    // quality_clf: the model intercept is a 1-row scalar broadcast
-    // (the bm25 (N, avgdl) pattern)
-    "quality_clf",
+    // quality_clf (+xxhash twin): the model intercept is a 1-row
+    // scalar broadcast (the bm25 (N, avgdl) pattern)
+    "quality_clf", "quality_clf_xx",
     // semantic_dedup: the EXACT pairwise screen — the oracle-baseline
     // twin of semantic_dedup_ivf, bounded like embed_dedup; the ivf
     // variant joins keyed on the bucket and is NOT allowlisted

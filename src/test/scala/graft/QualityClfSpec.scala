@@ -105,6 +105,18 @@ class QualityClfSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("xxhash64 hash family fits and scores like the md5 family") {
+    val w = QualityClassifier.fit(labeled, "doc_id", "text", "label",
+      numFeatures = 1024, portableHash = false)
+    val scored = QualityClassifier.score(labeled, "doc_id", "text", w, 1024,
+        portableHash = false)
+      .join(labeled.select(col("doc_id").as("doc"), col("label").as("y")),
+        Seq("doc"))
+    val acc = scored.filter(col("label") === col("y").cast("int")).count() /
+      scored.count().toDouble
+    assert(acc == 1.0, s"xxhash family separation accuracy $acc")
+  }
+
   test("docs with no tokens stay in the output at the bare intercept") {
     val w = Seq((0L, 0.25), (-1L, 0.125)).toDF("feature", "weight")
     val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
