@@ -224,6 +224,42 @@ object Similarity {
         .join(dropped, Seq(idCol), "left_anti")
     }
 
+    /** Streaming dedup-on-ingest: arriving vectors that are NOT
+      * near-duplicates (cosine ≥ threshold) of the INDEXED corpus —
+      * the embedding analogue of
+      * [[graft.text.Snapshot.dropSeenDocs]]'s re-crawl filter, and the
+      * stream-deploy face of [[semanticDedup]].
+      *
+      * Stateless plan a stream can run in append mode with no
+      * watermark: the arriving vector's bucket is its nearest centroid
+      * computed as a PURE expression (per-centroid cosine structs,
+      * `array_max` argmax — the centroid table is a literal, nlist·dim
+      * floats), then one stream-static LEFT ANTI equi-join on the
+      * bucket id with the cosine threshold as the join residual.
+      * Candidate volume per arriving vector is its bucket's size —
+      * n/nlist, never n. Like [[semanticDedup]], a near-dup straddling
+      * a centroid boundary is missed by design (nlist is the recall
+      * dial). Within-stream duplicates are NOT deduped — compose with
+      * `dropDuplicatesWithinWatermark` for that. */
+    def dropSeenVectors(stream: DataFrame, streamIdCol: String,
+                        streamVecCol: String,
+                        threshold: Double): DataFrame = {
+      val cents = centroids.zipWithIndex.map { case (c, i) =>
+        struct(cosineNative(stream, col(streamVecCol),
+          array(c.map(v => lit(v.toFloat)): _*)).as("c"),
+          lit(i).as("i"))
+      }
+      val bucket = array_max(array(cents: _*)).getField("i")
+      val probed = stream.withColumn("_bk", bucket)
+      val staticSide = bucketed.select(col("_ivf_bucket").as("_bk_s"),
+        col(vecCol).as("_v_s"))
+      probed.join(staticSide,
+          col("_bk") === col("_bk_s") &&
+            cosineNative(probed, col(streamVecCol), col("_v_s")) >= threshold,
+          "left_anti")
+        .drop("_bk")
+    }
+
     def unpersist(): Unit = bucketed.unpersist()
   }
 

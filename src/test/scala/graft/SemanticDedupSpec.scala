@@ -38,6 +38,40 @@ class SemanticDedupSpec extends SparkSpec {
       s"planted duplicates (+100000 ids) must all drop; kept ${kept.size}")
   }
 
+  test("dropSeenVectors filters a stream against the indexed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    // corpus on 30°-spaced unit vectors; threshold 0.99 keeps only
+    // near-exact re-arrivals as dups (cos(15°) ≈ 0.966 stays novel).
+    // nlist = 2 (KMeans floor) splits the circle into two arcs whose
+    // boundary falls midway between corpus points, so a 0.2°
+    // re-arrival always co-buckets with its original (bucket recall
+    // at tighter nlist is the previous test's subject).
+    val corpus = (0 until 12).map(i => (i.toLong, vec(i * 30.0)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding", nlist = 2)
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val q = idx.dropSeenVectors(
+          in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", 0.99)
+        .writeStream.format("memory").queryName("dsv")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+      // 100 ≈ re-arrival of corpus 60° (dup); 101 sits 15° off every
+      // corpus vector (novel); 102 is an exact re-arrival (dup)
+      in.addData((100L, vec(60.2)), (101L, vec(75.0)), (102L, vec(330.0)))
+      q.processAllAvailable()
+      val kept = spark.table("dsv").select("vec_id").as[Long].collect().toSet
+      q.stop()
+      assert(kept == Set(101L), s"stream survivors $kept")
+      // the plan is stateless, so the same call runs in batch mode
+      val batchKept = idx.dropSeenVectors(
+          Seq((100L, vec(60.2)), (101L, vec(75.0)), (102L, vec(330.0)))
+            .toDF("vec_id", "embedding"), "vec_id", "embedding", 0.99)
+        .select("vec_id").as[Long].collect().toSet
+      assert(batchKept == kept)
+    } finally idx.unpersist()
+  }
+
   test("bucketed screen reaches >= 0.9 drop recall vs the exact screen") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val planted = graft.entries.Batch14Entries.withPlantedDups(emb)
