@@ -89,24 +89,28 @@ object QualityClassifier {
     * return the flat weights artifact: `(feature, weight)` rows for
     * every non-zero coefficient plus the intercept at feature = −1.
     *
-    * The hashed count vector is assembled with built-ins only
-    * (map_from_entries → dense array → array_to_vector); `numFeatures`
-    * defaults small because the TRAINING set is a curated sample —
-    * raise it with corpus vocabulary, not corpus size. L-BFGS is
-    * deterministic for fixed data/partitioning; QualityClfSpec asserts
-    * two fits produce identical artifacts. */
+    * The hashed count vector is assembled SPARSE (sorted
+    * (feature, cnt) pairs → `Vectors.sparse` — a dense
+    * numFeatures-length array per doc caps the hash space at a few
+    * thousand buckets, while fastText-style spaces are 2^17+). The
+    * assembly UDF is the MLlib-interop necessity carve-out and lives
+    * only on the fit path, which is bounded by the curated labeled
+    * sample. L-BFGS is deterministic for fixed data/partitioning;
+    * QualityClfSpec asserts two fits produce identical artifacts. */
   def fit(df: DataFrame, idCol: String, textCol: String, labelCol: String,
           numFeatures: Int = 1024, maxIter: Int = 50,
           regParam: Double = 0.0, portableHash: Boolean = true): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     val counted = featureRows(df, idCol, textCol, numFeatures, portableHash)
       .groupBy("doc", "feature").agg(count(lit(1)).cast("double").as("cnt"))
+    val toSparse = udf((idx: Seq[Long], vals: Seq[Double]) =>
+      org.apache.spark.ml.linalg.Vectors.sparse(
+        numFeatures, idx.map(_.toInt).toArray, vals.toArray))
     val vecs = counted.groupBy("doc")
-      .agg(map_from_entries(collect_list(struct(col("feature"), col("cnt"))))
-        .as("_m"))
-      .select(col("doc"), array_to_vector(
-        transform(sequence(lit(0L), lit((numFeatures - 1).toLong)),
-          i => coalesce(element_at(col("_m"), i), lit(0.0)))).as("features"))
+      .agg(sort_array(collect_list(struct(col("feature"), col("cnt"))))
+        .as("_fs"))
+      .select(col("doc"), toSparse(
+        col("_fs").getField("feature"), col("_fs").getField("cnt"))
+        .as("features"))
     val labeled = df.select(col(idCol).as("doc"),
         col(labelCol).cast("double").as("label"))
       .join(vecs, Seq("doc"))

@@ -105,6 +105,19 @@ class QualityClfSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("fit works at a fastText-scale hash space (2^17 buckets)") {
+    // sparse assembly: a dense array per doc would be 1 MB/doc here
+    val w = QualityClassifier.fit(labeled, "doc_id", "text", "label",
+      numFeatures = 1 << 17, maxIter = 30)
+    val scored = QualityClassifier
+      .score(labeled, "doc_id", "text", w, 1 << 17)
+      .join(labeled.select(col("doc_id").as("doc"), col("label").as("y")),
+        Seq("doc"))
+    val acc = scored.filter(col("label") === col("y").cast("int")).count() /
+      scored.count().toDouble
+    assert(acc == 1.0, s"2^17-bucket separation accuracy $acc")
+  }
+
   test("xxhash64 hash family fits and scores like the md5 family") {
     val w = QualityClassifier.fit(labeled, "doc_id", "text", "label",
       numFeatures = 1024, portableHash = false)
