@@ -51,7 +51,8 @@ object SparkEntry {
       entries.Batch24Entries.queries ++
       entries.Batch25Entries.queries ++
       entries.Batch26Entries.queries ++
-      entries.Batch27Entries.queries
+      entries.Batch27Entries.queries ++
+      entries.Batch28Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -81,7 +82,8 @@ object SparkEntry {
       entries.Batch24Entries.oracleSql ++
       entries.Batch25Entries.oracleSql ++
       entries.Batch26Entries.oracleSql ++
-      entries.Batch27Entries.oracleSql
+      entries.Batch27Entries.oracleSql ++
+      entries.Batch28Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

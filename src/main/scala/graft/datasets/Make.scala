@@ -215,6 +215,147 @@ object Make {
         lit(noise) * g, 9).as("y"))
   }
 
+  /** Multiplicative random-walk price series — the structural kernel
+    * under `simulate_stock_prices` (simulate.py:1391: `np.cumprod(1 +
+    * normal shocks)` per company) and `make_financial_market_trends`
+    * (make.py:70: sinusoidal market trend over a base price).
+    *
+    * Mechanically distinct from the row-independent generators above:
+    * each price depends on ALL prior shocks of its series, so the plan
+    * is range → per-row shock → ONE hash-partitioned window cumsum of
+    * round-9 log-returns — still a single shuffle, linear at any
+    * scale, and deterministic under any partitioning because the
+    * window order is (series, t).
+    *
+    * price_t = round(base · exp(Σ_{i≤t} ret_i) + trendStrength · base
+    * · sin(2π·trendFreq·t), 6) with ret_i = round(ln(1 + vol·g_i), 9).
+    * Portable mode rounds each libm crossing once (gaussian, ln, sin;
+    * final round-6 absorbs the exp) — the ordered window sum of
+    * identical round-9 doubles is sequential IEEE addition in both
+    * engines, so the cumsum itself needs no round. Columns:
+    * series_id, t, ret, price. */
+  def makeWalk(spark: SparkSession, nSeries: Int, length: Int,
+               vol: Double = 0.01, basePrice: Double = 100.0,
+               trendStrength: Double = 0.0, trendFreq: Double = 1.0 / 252,
+               seed: Long = 42L,
+               portableHash: Boolean = false): DataFrame = {
+    require(nSeries > 0 && length > 0 && vol >= 0, "positive sizes required")
+    import org.apache.spark.sql.expressions.Window
+    val t = (col("id") % length).cast("long")
+    val sid = expr(s"id div ${length}L")
+    def maybeRound(c: Column): Column = if (portableHash) round(c, 9) else c
+    val g = maybeRound(gaussian(uniform(portableHash, seed, col("id"), 20),
+      uniform(portableHash, seed, col("id"), 21)))
+    // |g| < 9.2 under Box–Muller from a 60-bit uniform, so 1 + vol·g
+    // stays positive for any vol < 0.1 — ln is total on this domain
+    val ret = maybeRound(log(lit(1.0) + lit(vol) * g))
+    val w = Window.partitionBy("series_id").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val trend = lit(trendStrength * basePrice) *
+      maybeRound(sin(lit(TwoPi * trendFreq) * t.cast("double")))
+    spark.range(nSeries.toLong * length)
+      .select(sid.as("series_id"), t.as("t"), ret.as("ret"), trend.as("_tr"))
+      .withColumn("price",
+        round(lit(basePrice) * exp(sum(col("ret")).over(w)) + col("_tr"), 6))
+      .drop("_tr")
+  }
+
+  /** Fixed 32-word vocabulary for `makeText` — also interpolated into
+    * the DuckDB oracle, so the entry and its replay share one source
+    * of truth. */
+  val TextVocab: Seq[String] = Seq(
+    "the", "data", "model", "market", "system", "users", "price", "team",
+    "great", "never", "always", "today", "report", "growth", "signal",
+    "noise", "value", "trade", "risk", "cloud", "graph", "query", "index",
+    "stream", "batch", "shard", "tokens", "vector", "sample", "filter",
+    "joins", "window")
+
+  val TextPlatforms: Seq[String] = Seq("x", "reddit", "forum", "blog")
+
+  /** Synthetic text-corpus generator — `make_social_media_comments`
+    * (make.py:1205: comments sampled word-by-word from a vocabulary,
+    * tagged with a platform). Mechanically distinct again: the value
+    * is a VARIABLE-LENGTH generated array — n_words ∈ [minWords,
+    * maxWords] hash-derived, each word an independent hash pick from
+    * the vocab, joined with spaces. Pure `transform(sequence(...))`
+    * column expressions: no RNG state, no shuffle, any row
+    * regenerable anywhere — "make a 100 TB test corpus" is a plan.
+    * Feeds the text pipeline (dedup/quality/BM25) with corpora of any
+    * size. Columns: id, platform, n_words, text. */
+  def makeText(spark: SparkSession, nSamples: Long,
+               minWords: Int = 3, maxWords: Int = 20,
+               seed: Long = 42L,
+               portableHash: Boolean = false): DataFrame = {
+    require(nSamples > 0 && minWords > 0 && maxWords >= minWords,
+      "need nSamples > 0 and 0 < minWords <= maxWords")
+    val id = col("id")
+    def hmod(tag: Column, m: Int): Column =
+      if (portableHash)
+        pmod(conv(substring(md5(concat_ws("-", lit(seed), id, tag)), 1, 15),
+          16, 10).cast("long"), lit(m.toLong))
+      else pmod(xxhash64(lit(seed), id, tag), lit(m.toLong))
+    val vocabArr = array(TextVocab.map(lit): _*)
+    val platArr = array(TextPlatforms.map(lit): _*)
+    val nWords = (lit(minWords) +
+      hmod(lit(300001), maxWords - minWords + 1)).cast("int")
+    val words = transform(sequence(lit(1), col("n_words")), i =>
+      element_at(vocabArr,
+        (hmod(lit(310000) + i, TextVocab.size) + 1).cast("int")))
+    spark.range(nSamples)
+      .select(id,
+        element_at(platArr,
+          (hmod(lit(300002), TextPlatforms.size) + 1).cast("int"))
+          .as("platform"),
+        nWords.as("n_words"))
+      .withColumn("text", array_join(words, " "))
+  }
+
+  /** Control-system response generator — `make_system_dynamics`
+    * (make.py:315): input = amplitude·sin(2π·f·t) + inputNoise·g₁,
+    * linear = gain·input + controlNoise·g₂, response =
+    * tanh(sensitivity·linear) — computed as (e^{2sx}−1)/(e^{2sx}+1)
+    * because that exp form is the portable spelling both engines
+    * replay (DuckDB 1.0 ships no tanh) —, effort = |gain·input|,
+    * power =
+    * effort², stability = 1 − |response − linear|. Row-independent
+    * closed forms over `t = id·endTime/(n−1)`; portable mode rounds
+    * each libm crossing once (sin, the gaussians, tanh) and the rest
+    * is pure IEEE composition — no final rounding needed. Columns:
+    * id, t, input_signal, linear_output, response_output,
+    * control_effort, power_consumption, stability_metric. */
+  def makeDynamics(spark: SparkSession, nSamples: Long,
+                   endTime: Double = 10.0, amplitude: Double = 1.0,
+                   frequency: Double = 0.5, gain: Double = 0.9,
+                   sensitivity: Double = 0.7, inputNoise: Double = 0.05,
+                   controlNoise: Double = 0.02, seed: Long = 42L,
+                   portableHash: Boolean = false): DataFrame = {
+    require(nSamples > 1, "need at least two samples")
+    val id = col("id")
+    def maybeRound(c: Column): Column = if (portableHash) round(c, 9) else c
+    val t = (id.cast("double") * lit(endTime)) / lit((nSamples - 1).toDouble)
+    val g1 = maybeRound(gaussian(uniform(portableHash, seed, id, 30),
+      uniform(portableHash, seed, id, 31)))
+    val g2 = maybeRound(gaussian(uniform(portableHash, seed, id, 32),
+      uniform(portableHash, seed, id, 33)))
+    val input = lit(amplitude) *
+      maybeRound(sin(lit(TwoPi * frequency) * col("t"))) +
+      lit(inputNoise) * g1
+    spark.range(nSamples).select(id, t.as("t"))
+      .withColumn("input_signal", input)
+      .withColumn("linear_output",
+        lit(gain) * col("input_signal") + lit(controlNoise) * g2)
+      .withColumn("_e2",
+        exp(lit(2.0 * sensitivity) * col("linear_output")))
+      .withColumn("response_output",
+        maybeRound((col("_e2") - lit(1.0)) / (col("_e2") + lit(1.0))))
+      .withColumn("control_effort", abs(lit(gain) * col("input_signal")))
+      .withColumn("power_consumption",
+        col("control_effort") * col("control_effort"))
+      .withColumn("stability_metric",
+        lit(1.0) - abs(col("response_output") - col("linear_output")))
+      .drop("_e2")
+  }
+
   /** `make_blobs` (the reference's spatial/cluster generator family,
     * gofast/datasets/make.py): isotropic gaussian blobs around
     * `nCenters` hash-placed centers in [boxMin, boxMax]^dim. Each row's

@@ -288,6 +288,57 @@ object Similarity {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Nearest-centroid assignment against a small centroid table — the
+    * deploy half of a KMeans fit (or any fixed centroid artifact: the
+    * `ivfIndex` centroids, a seed subset, an externally trained
+    * codebook). Plan shape for 100 TB: the K centroids BROADCAST, the
+    * corpus streams through one n×K nested-loop expansion, and the
+    * argmax collapses in a partial-aggregable `max(struct)` — map-side
+    * combine, no window, the only shuffle is the K-bounded final
+    * aggregation merge. Ties (exactly equal cosines) break to the
+    * lowest centroid id via the negated-id struct field.
+    *
+    * Returns (idCol, cluster, cos) — cos is the similarity to the OWN
+    * centroid, so downstream selection can rank "most prototypical
+    * first". */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, cidCol: String,
+                        cvecCol: String): DataFrame = {
+    val cts = centroids.select(col(cidCol).cast("long").as("_cid"),
+      col(cvecCol).as("_cvec"))
+    val expanded = df.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cts))
+    expanded
+      .withColumn("_cos", cosineNative(expanded, col(vecCol), col("_cvec")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("_cos").as("c"), (-col("_cid")).as("n"))).as("_b"))
+      .select(col(idCol), (-col("_b.n")).cast("int").as("cluster"),
+        col("_b.c").as("cos"))
+  }
+
+  /** Cluster-balanced selection — the cluster-diversity data-curation
+    * step (DoReMi/DSIR-adjacent: balance the training mix across
+    * semantic clusters instead of raw sources): assign every vector to
+    * its nearest centroid, then spend a GLOBAL row budget across
+    * clusters by α-temperature weights (n_c^α — α = 1 natural, α = 0
+    * uniform, between up-weights rare clusters), keeping each
+    * cluster's most-prototypical (cos desc, id asc) rows first.
+    * Composes [[assignToCentroids]] with the token-budget mixer's
+    * selection rule — one broadcast pass + one keyed window, nothing
+    * corpus-squared. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, cidCol: String,
+                            cvecCol: String, totalRows: Long,
+                            alpha: Double): DataFrame = {
+    val assigned = assignToCentroids(df, idCol, vecCol,
+        centroids, cidCol, cvecCol)
+      .withColumn("_one", lit(1L))
+      .withColumn("_src", concat(lit("c"), col("cluster")))
+    graft.text.Quality.selectByTokenBudgetTemperature(assigned, idCol,
+        "_src", "cos", "_one", totalRows, alpha)
+      .select(col(idCol), col("cluster"), col("cos"))
+  }
+
   /** Build an IVF index over an array<float> embedding column.
     *
     * `maxIter` bounds the KMeans refinement: centroid quality affects

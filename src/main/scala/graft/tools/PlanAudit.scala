@@ -47,7 +47,11 @@ object PlanAudit {
     // semantic_dedup: the EXACT pairwise screen — the oracle-baseline
     // twin of semantic_dedup_ivf, bounded like embed_dedup; the ivf
     // variant joins keyed on the bucket and is NOT allowlisted
-    "semantic_dedup")
+    "semantic_dedup",
+    // cluster_assign / cluster_balance: the K-centroid codebook (K=8)
+    // broadcasts onto the corpus — the intended n×K expansion that
+    // collapses in a partial-aggregable argmax
+    "cluster_assign", "cluster_balance")
 
   /** Audit one query's executed plan string. */
   def auditPlan(name: String, plan: String): Audit = {

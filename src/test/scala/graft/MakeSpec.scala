@@ -114,6 +114,77 @@ class MakeSpec extends SparkSpec {
       s"cluster purity ${pure.toDouble / rows.length}")
   }
 
+  test("makeWalk: multiplicative walk is deterministic, step-bounded, cumsum-consistent") {
+    val df = Make.makeWalk(spark, nSeries = 8, length = 300,
+      vol = 0.01, basePrice = 100.0, seed = 13L).persist()
+    assert(df.columns.toSeq == Seq("series_id", "t", "ret", "price"))
+    assert(df.count() == 8 * 300)
+    val again = Make.makeWalk(spark, nSeries = 8, length = 300,
+      vol = 0.01, basePrice = 100.0, seed = 13L).repartition(7)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+    // each step multiplies by 1 + 0.01·g with |g| < 9.2: consecutive
+    // prices stay within a ±10% band and the path stays positive
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("series_id").orderBy("t")
+    val steps = df.withColumn("_prev", lag("price", 1).over(w))
+      .filter(col("_prev").isNotNull)
+      .select((col("price") / col("_prev")).as("r"))
+      .agg(min("r"), max("r")).head()
+    assert(steps.getDouble(0) > 0.9 && steps.getDouble(1) < 1.1,
+      s"step ratio range ${steps.getDouble(0)}..${steps.getDouble(1)}")
+    assert(df.agg(min("price")).head().getDouble(0) > 0.0)
+    // the walk actually wanders: end-of-path dispersion across series
+    // exceeds the single-step band
+    val ends = df.filter(col("t") === 299).agg(
+      (max("price") - min("price")).as("spread")).head().getDouble(0)
+    df.unpersist()
+    assert(ends > 2.0, s"terminal spread $ends")
+  }
+
+  test("makeText: variable-length vocab-sampled corpus feeds the text pipeline") {
+    val df = Make.makeText(spark, 2000, minWords = 3, maxWords = 20,
+      seed = 17L).persist()
+    assert(df.columns.toSeq == Seq("id", "platform", "n_words", "text"))
+    val again = Make.makeText(spark, 2000, minWords = 3, maxWords = 20,
+      seed = 17L).repartition(5)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+    val nw = df.agg(min("n_words"), max("n_words")).head()
+    assert(nw.getInt(0) >= 3 && nw.getInt(1) <= 20)
+    // text splits back to exactly n_words tokens, all from the vocab
+    val toks = df.withColumn("_tk", split(col("text"), " "))
+    assert(toks.filter(size(col("_tk")) =!= col("n_words")).count() == 0)
+    val vocab = Make.TextVocab.toSet
+    val alien = toks.select(explode(col("_tk")).as("w"))
+      .filter(!col("w").isin(vocab.toSeq: _*)).count()
+    assert(alien == 0, s"$alien words outside the vocabulary")
+    assert(df.select("platform").distinct().count() == 4)
+    // the generated corpus runs through the quality scorer end-to-end
+    val q = graft.text.Quality.qualityScores(df, "text")
+    assert(q.count() == 2000)
+    df.unpersist()
+  }
+
+  test("makeDynamics: closed-form invariants hold row by row") {
+    val df = Make.makeDynamics(spark, 1000, seed = 19L).persist()
+    assert(df.count() == 1000)
+    // tanh response bounded, stability = 1 - |response - linear|,
+    // power = effort^2 exactly
+    assert(df.filter(abs(col("response_output")) > 1.0).count() == 0)
+    val bad = df.filter(
+      abs(col("power_consumption") -
+        col("control_effort") * col("control_effort")) > 1e-12 ||
+      abs(col("stability_metric") -
+        (lit(1.0) - abs(col("response_output") - col("linear_output"))))
+        > 1e-12).count()
+    assert(bad == 0)
+    // the sinusoidal input dominates the noise: amplitude recovered
+    val amp = df.agg(max("input_signal"), min("input_signal")).head()
+    assert(amp.getDouble(0) > 0.8 && amp.getDouble(1) < -0.8)
+    val again = Make.makeDynamics(spark, 1000, seed = 19L).repartition(3)
+    assert(df.exceptAll(again).count() == 0 && again.exceptAll(df).count() == 0)
+    df.unpersist()
+  }
+
   test("makeSeries feeds the ts family: ACF peaks at the period and " +
       "classical decomposition recovers the seasonal amplitude") {
     val df = Make.makeSeries(spark, nSeries = 4, length = 240,
