@@ -36,7 +36,8 @@ object Bench {
     "unigram_ppl", "chunk_sentences", "snapshot_dedup", "snapshot_neardup",
     "bigram_ppl", "bm25_topk", "rrf_fuse", "cosine_i8_topk",
     "quality_clf", "semantic_dedup", "semantic_dedup_ivf", "bm25_stream",
-    "make_blobs", "make_series")
+    "make_blobs", "make_series", "make_walk", "make_text", "make_dynamics",
+    "cluster_assign", "cluster_balance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
