@@ -260,24 +260,30 @@ object Quality {
     // is an equality match), so excluding them here keeps their tokens
     // out of the weight normalization too — otherwise they would
     // deflate every real source's share while being unselectable
+    // persisted across its TWO bounded aggregations (normalizer, then
+    // budgets): without it each one re-runs the full-input groupBy —
+    // one wasted corpus pass per call at scale
     val wdf = df.filter(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol).as("_src"))
       .agg(sum(col(tokenCol)).as("_t"))
       .select(col("_src"),
         round(pow(col("_t").cast("double"), lit(alpha)), 9).as("_w"))
-    // bounded driver materialization: one row per source. sum over an
-    // EMPTY weight table aggregates to NULL — surface that as the
-    // designed error, not a getDouble NPE
-    val sumWRow = wdf.agg(round(sum(col("_w")), 9)).head()
-    require(!sumWRow.isNullAt(0) && sumWRow.getDouble(0) > 0.0,
-      "no tokens to mix")
-    val sumW = sumWRow.getDouble(0)
-    val budgets = wdf.select(col("_src"),
-        floor(lit(totalBudget.toDouble) * (col("_w") / lit(sumW)))
-          .cast("long").as("_b"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .map { case (src, b) => src -> math.min(b, caps.getOrElse(src, Long.MaxValue)) }
-    applyBudgets(df, idCol, sourceCol, scoreCol, tokenCol, budgets.toSeq)
+      .persist()
+    try {
+      // bounded driver materialization: one row per source. sum over an
+      // EMPTY weight table aggregates to NULL — surface that as the
+      // designed error, not a getDouble NPE
+      val sumWRow = wdf.agg(round(sum(col("_w")), 9)).head()
+      require(!sumWRow.isNullAt(0) && sumWRow.getDouble(0) > 0.0,
+        "no tokens to mix")
+      val sumW = sumWRow.getDouble(0)
+      val budgets = wdf.select(col("_src"),
+          floor(lit(totalBudget.toDouble) * (col("_w") / lit(sumW)))
+            .cast("long").as("_b"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .map { case (src, b) => src -> math.min(b, caps.getOrElse(src, Long.MaxValue)) }
+      applyBudgets(df, idCol, sourceCol, scoreCol, tokenCol, budgets.toSeq)
+    } finally wdf.unpersist()
   }
 }

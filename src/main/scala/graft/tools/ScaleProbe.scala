@@ -384,6 +384,82 @@ object ScaleProbe {
       return
     }
 
+    // Cluster-assignment axis (SPARK_GRAFT_CLUSTER_N=<rows>): the
+    // broadcast-codebook argmax must be LINEAR in n at fixed K — the
+    // n×K expansion never materializes (it collapses in the partial
+    // aggregate), so 4× rows should cost ≈ 4× wall, not 16×. Vectors
+    // are the SemDeDup axis's hash noise; the codebook is K=64 of
+    // them. Also times clusterBalancedSample (adds one keyed window).
+    sys.env.get("SPARK_GRAFT_CLUSTER_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      val dim = 64
+      def mk(sz: Long): DataFrame =
+        spark.range(sz).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (xxhash64(col("id") * lit(1000003L) + j).cast("double") /
+              lit(Long.MaxValue.toDouble)).cast("float")).as("embedding"))
+      def run(sz: Long): (Double, Double, Long) = {
+        val emb = mk(sz).persist(); emb.count()
+        val cents = mk(64).withColumnRenamed("vec_id", "cid")
+          .withColumnRenamed("embedding", "cvec")
+        def assignCount(): Long = Similarity.assignToCentroids(
+          emb, "vec_id", "embedding", cents, "cid", "cvec").count()
+        val aSecs = (0 until 3).map { _ =>
+          val t0 = System.nanoTime(); assignCount()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val t1 = System.nanoTime()
+        val kept = Similarity.clusterBalancedSample(emb, "vec_id",
+          "embedding", cents, "cid", "cvec", sz / 2, 0.5).count()
+        val balSec = (System.nanoTime() - t1) / 1e9
+        emb.unpersist()
+        (math.round(aSecs(1) * 1000) / 1000.0,
+          math.round(balSec * 1000) / 1000.0, kept)
+      }
+      run(n / 4) // warm codegen/JIT untimed
+      val (a1, b1, k1) = run(n / 4)
+      val (a4, b4, k4) = run(n)
+      println(f"""CLUSTERPROBE {"n_small":${n / 4},"n_big":$n,"k":64,""" +
+        f""""assign_small_sec":$a1,"balance_small_sec":$b1,"kept_small":$k1,""" +
+        f""""assign_big_sec":$a4,"balance_big_sec":$b4,"kept_big":$k4,""" +
+        f""""assign_ratio_for_4x":${math.round(a4 / math.max(a1, 0.001) * 10) / 10.0}}""")
+      spark.stop()
+      return
+    }
+
+    // Generator axis (SPARK_GRAFT_GEN_N=<rows>): generation is a plan,
+    // not an allocation — makeText (pure row-independent codegen) and
+    // makeWalk (ONE hash-partitioned window cumsum) at n/4 and n must
+    // both scale ≈ linearly; the walk's only scale risk is the
+    // per-series sort inside the window, bounded by series length.
+    sys.env.get("SPARK_GRAFT_GEN_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      import graft.datasets.Make
+      def run(sz: Long): (Double, Double) = {
+        def med(f: => Long): Double = {
+          val secs = (0 until 3).map { _ =>
+            val t0 = System.nanoTime(); f
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          math.round(secs(1) * 1000) / 1000.0
+        }
+        val text = med(Make.makeText(spark, sz)
+          .agg(sum(length(col("text")))).head().getLong(0))
+        val walk = med(Make.makeWalk(spark,
+            nSeries = (sz / 1000).toInt.max(1), length = 1000)
+          .agg(sum(col("price")).cast("long")).head().getLong(0))
+        (text, walk)
+      }
+      run(n / 4) // warm untimed
+      val (t1, w1) = run(n / 4)
+      val (t4, w4) = run(n)
+      println(f"""GENPROBE {"n_small":${n / 4},"n_big":$n,""" +
+        f""""text_small_sec":$t1,"walk_small_sec":$w1,""" +
+        f""""text_big_sec":$t4,"walk_big_sec":$w4,""" +
+        f""""text_ratio_for_4x":${math.round(t4 / math.max(t1, 0.001) * 10) / 10.0},""" +
+        f""""walk_ratio_for_4x":${math.round(w4 / math.max(w1, 0.001) * 10) / 10.0}}""")
+      spark.stop()
+      return
+    }
+
     // Heavy-hitters axis (SPARK_GRAFT_HH_N=<rows>): a long-tailed
     // keyspace — TAIL_FRACTION of rows carry a unique key each (never
     // heavy, but map-side combine cannot collapse them, so the plain

@@ -69,6 +69,33 @@ class ClusterSelectSpec extends SparkSpec {
     assert(byCluster(1) == Set(200L, 201L, 202L))
   }
 
+  test("assignToCentroidsExpr: bit-equal to the relational argmax, " +
+      "and the same code runs statelessly on a stream") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 8)
+    val cseq = cents.as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (i, v) => i -> v.map(_.toDouble).toSeq }.toSeq
+    val rel = Similarity.assignToCentroids(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding")
+    val ex = Similarity.assignToCentroidsExpr(emb, "embedding", cseq)
+      .select("vec_id", "cluster", "cos")
+    assert(rel.exceptAll(ex).count() == 0 && ex.exceptAll(rel).count() == 0)
+    // streaming deploy: the SAME call on a MemoryStream, append mode,
+    // no state — output bit-equal to the batch assignment
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    in.addData(emb.as[(Long, Seq[Float])].collect().toSeq: _*)
+    val q = Similarity.assignToCentroidsExpr(
+        in.toDF().toDF("vec_id", "embedding"), "embedding", cseq)
+      .writeStream.format("memory").queryName("ca_sink")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val st = spark.table("ca_sink").select("vec_id", "cluster", "cos")
+    assert(st.exceptAll(rel).count() == 0 && rel.exceptAll(st).count() == 0)
+  }
+
   test("assignToCentroids plan: broadcast expansion collapses in a " +
       "partial aggregate, no window") {
     val emb = graft.core.Tables.embeddings(spark, sf)
