@@ -52,7 +52,8 @@ object SparkEntry {
       entries.Batch25Entries.queries ++
       entries.Batch26Entries.queries ++
       entries.Batch27Entries.queries ++
-      entries.Batch28Entries.queries
+      entries.Batch28Entries.queries ++
+      entries.Batch29Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -83,7 +84,8 @@ object SparkEntry {
       entries.Batch25Entries.oracleSql ++
       entries.Batch26Entries.oracleSql ++
       entries.Batch27Entries.oracleSql ++
-      entries.Batch28Entries.oracleSql
+      entries.Batch28Entries.oracleSql ++
+      entries.Batch29Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

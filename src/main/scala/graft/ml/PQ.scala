@@ -1,0 +1,186 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the memory-bound scale path
+  * past int8: a dim-D float vector becomes M sub-space code indices.
+  * With M=8 sub-spaces and K=16 centroids each, the whole code packs
+  * into the low 32 bits of ONE BIGINT (4 bits per sub-space) — a 32×
+  * smaller scan than the 256-byte f32 vector, and scoring is M table
+  * lookups instead of D multiplies.
+  *
+  * Reference adjacency: the ANN/similarity family this engine already
+  * carries (`gofast` quantile/distance utilities; see
+  * ml/Similarity.scala) — PQ is the standard third rung of the
+  * brute → int8 → coded ladder for a 100 TB embedding store.
+  *
+  * Replayability: instead of a k-means codebook (not SQL-replayable),
+  * [[fit]] uses deterministic ANCHOR SAMPLING — the K rows with the
+  * smallest `md5(cast(id as string))` donate their sub-vectors as
+  * centroids. Random-sample codebooks are the standard PQ
+  * initialization (Jégou §V.A trains k-means FROM such a sample; we
+  * stop at the sample), and hash-order selection means an external
+  * SQL engine derives the identical codebook, codes, and ADC scores
+  * from the same parquet — the `pq_topk` entry is a full hash-checked
+  * oracle, not a recall bound.
+  *
+  * Scale design: the codebook is K·M·dsub doubles (bounded driver
+  * collect of K rows, broadcast as literals); encode and score are
+  * pure row-independent codegen expressions — no shuffle anywhere
+  * except the final top-k, which uses orderBy().limit() (Spark's
+  * TakeOrderedAndProject: per-partition heaps, never a global sort).
+  */
+object PQ {
+
+  /** cents(m)(k)(d): centroid d-th component of code k in sub-space m. */
+  final case class PQCodebook(m: Int, k: Int, dsub: Int,
+                              cents: Array[Array[Array[Double]]]) {
+    require(cents.length == m && cents.forall(_.length == k) &&
+      cents.forall(_.forall(_.length == dsub)), "codebook shape mismatch")
+  }
+
+  /** Sub-space squared-L2 distance to a centroid, as a left-fold in
+    * element order — the same fold DuckDB's `list_sum(list_transform)`
+    * performs, so intermediate doubles agree bit-for-bit. */
+  private def subDist2(vecCol: Column, start: Int, cent: Array[Double]): Column = {
+    val sub = transform(slice(vecCol, start + 1, cent.length),
+      x => x.cast("double"))
+    val centLit = array(cent.map(lit): _*)
+    aggregate(zip_with(sub, centLit, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Driver-side mirror of [[subDist2]] (same element-order fold). */
+  private def subDist2Local(q: Seq[Double], start: Int, cent: Array[Double]): Double = {
+    var s = 0.0
+    var d = 0
+    while (d < cent.length) { val t = q(start + d) - cent(d); s += t * t; d += 1 }
+    s
+  }
+
+  /** Anchor-sampled codebook: the `k` rows with the smallest
+    * `md5(cast(idCol as string))` (id tiebreak), in hash order, donate
+    * their sub-vectors. Bounded collect: k rows. */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+          m: Int, k: Int): PQCodebook = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val dsub = dim / m
+    val anchors = df
+      .select(md5(col(idCol).cast("string").cast("binary")).as("_h"),
+        col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .orderBy(col("_h"), col("_id"))
+      .limit(k)
+      .collect()
+      .sortBy(r => (r.getString(0), r.getString(1)))
+      .map(_.getSeq[Float](2).map(_.toDouble).toArray)
+    require(anchors.length == k, s"need >= $k rows to fit, got ${anchors.length}")
+    val cents = Array.tabulate(m, k) { (mm, kk) =>
+      java.util.Arrays.copyOfRange(anchors(kk), mm * dsub, (mm + 1) * dsub)
+    }
+    PQCodebook(m, k, dsub, cents)
+  }
+
+  /** Per-row codes: code(m) = argmin over k of sub-space distance,
+    * first-minimum tiebreak (= smallest k). Adds `codes`
+    * (array<int>, length M). Pure codegen, row-independent. */
+  def encode(df: DataFrame, vecCol: String, cb: PQCodebook,
+             outCol: String = "codes"): DataFrame = {
+    val codeCols = (0 until cb.m).map { mm =>
+      val dists = array((0 until cb.k).map(kk =>
+        subDist2(col(vecCol), mm * cb.dsub, cb.cents(mm)(kk))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    df.withColumn(outCol, array(codeCols: _*))
+  }
+
+  /** Codes packed little-nibble-first into one BIGINT:
+    * Σ code(m)·2^(4m). Requires k ≤ 16 and m ≤ 16 (4 bits per
+    * sub-space; m=8 uses the low 32 bits). This is the scan column a
+    * 100 TB store persists — 8 bytes per vector vs 256 for the f32
+    * array, a 32× smaller scan, and fixed-width so parquet encodes it
+    * tightly. (A signed 32-bit pack would overflow ANSI arithmetic on
+    * the top nibble, so the long is the honest container.) */
+  def pack(df: DataFrame, codesCol: String, cb: PQCodebook,
+           outCol: String = "pq64"): DataFrame = {
+    require(cb.k <= 16 && cb.m <= 16, s"pack needs k<=16, m<=16 (got k=${cb.k}, m=${cb.m})")
+    // nibbles are disjoint, so the pack is a plain sum of shifted codes
+    df.withColumn(outCol,
+      (0 until cb.m).map(mm =>
+        element_at(col(codesCol), mm + 1).cast("long") * lit(1L << (4 * mm)))
+        .reduce(_ + _))
+  }
+
+  /** The ADC distance column over a packed code column: the query's
+    * per-(m,k) sub-distances become an M·K literal lookup table; each
+    * row's approximate squared-L2 distance is M nibble-extract +
+    * lookups, summed in sub-space order (left-to-right — the fold an
+    * external engine's ordered list_sum replays). */
+  private def adcDist(packedCol: Column, cb: PQCodebook,
+                      query: Seq[Double]): Column = {
+    require(query.length == cb.m * cb.dsub, "query dim mismatch")
+    val lut = Array.tabulate(cb.m, cb.k)((mm, kk) =>
+      subDist2Local(query, mm * cb.dsub, cb.cents(mm)(kk)))
+    val lutLit = array(lut.flatten.map(lit): _*)
+    (0 until cb.m).map { mm =>
+      element_at(lutLit, (shiftright(packedCol, mm * 4)
+        .bitwiseAND(lit(15L)) + lit(mm.toLong * cb.k + 1)).cast("int"))
+    }.reduce(_ + _)
+  }
+
+  /** ADC top-k over the packed code column. Ascending distance, id
+    * tiebreak, `ad2` rounded to 9 so an external engine's replay
+    * hash-matches. */
+  def adcTopK(df: DataFrame, idCol: String, packedCol: String,
+              cb: PQCodebook, query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol), round(adcDist(col(packedCol), cb, query), 9).as("ad2"))
+      .orderBy(col("ad2").asc, col(idCol).asc)
+      .limit(k)
+
+  /** Two-stage search — the production PQ pattern (Jégou §VII): the
+    * 8-byte code scan shortlists `c` candidates by ADC distance, then
+    * only those `c` full vectors are re-ranked by EXACT squared-L2.
+    * Recall is the shortlist-containment probability and `c` is the
+    * dial; the refine step reads c ≪ n full vectors via a broadcast
+    * semi-join (at 100 TB: the code scan touches 8 bytes/vector, the
+    * f32 fetch only the shortlist). Shortlist ordering uses the
+    * UNROUNDED ADC distance — both engines compute it bit-identically,
+    * so the candidate set replays exactly. */
+  def refineTopK(packedDf: DataFrame, embDf: DataFrame, idCol: String,
+                 vecCol: String, packedCol: String, cb: PQCodebook,
+                 query: Seq[Double], c: Int, k: Int): DataFrame = {
+    require(c >= k, "shortlist must be at least k")
+    val shortlist = packedDf
+      .select(col(idCol), adcDist(col(packedCol), cb, query).as("_ad2"))
+      .orderBy(col("_ad2").asc, col(idCol).asc)
+      .limit(c)
+      .select(col(idCol))
+    val qLit = array(query.map(lit): _*)
+    val d2 = aggregate(
+      zip_with(transform(col(vecCol), x => x.cast("double")), qLit,
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    embDf.join(broadcast(shortlist), Seq(idCol), "left_semi")
+      .select(col(idCol), round(d2, 9).as("d2"))
+      .orderBy(col("d2").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Unpacked-scoring twin of [[adcTopK]] (reads the codes array) —
+    * used by the spec to assert pack/score bit-parity. */
+  def adcTopKCodes(df: DataFrame, idCol: String, codesCol: String,
+                   cb: PQCodebook, query: Seq[Double], k: Int): DataFrame = {
+    val lut = Array.tabulate(cb.m, cb.k)((mm, kk) =>
+      subDist2Local(query, mm * cb.dsub, cb.cents(mm)(kk)))
+    val lutLit = array(lut.flatten.map(lit): _*)
+    val ad2 = aggregate(
+      zip_with(col(codesCol), sequence(lit(0), lit(cb.m - 1)),
+        (c, mm) => element_at(lutLit, mm * cb.k + c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    df.select(col(idCol), round(ad2, 9).as("ad2"))
+      .orderBy(col("ad2").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

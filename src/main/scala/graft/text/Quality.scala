@@ -248,6 +248,60 @@ object Quality {
     * bit-identical budgets. Selection then reuses the same
     * (score desc, id asc) window rule as [[selectByTokenBudgetGlobal]].
     */
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): spread one global token budget as
+    * UNIFORMLY as possible across sources, except that no source may
+    * repeat more than `maxEpochs` times — i.e. source s is capped at
+    * `floor(tokens(s) · maxEpochs)`. Small sources saturate their cap;
+    * the leftover budget waterfills evenly over the rest. This is the
+    * standard alternative to temperature sampling when a corpus has a
+    * few giant sources and a long tail of small ones.
+    *
+    * The waterfill is solved in closed form over the bounded
+    * one-row-per-source cap table (caps ascending, source tiebreak):
+    * source i saturates iff `cap_i ≤ (B − pre_{i−1}) ÷ (n − i + 1)`
+    * (INTEGER division — the real-valued condition is monotone along
+    * the ascending order, so the saturated set is a prefix), and every
+    * unsaturated source gets `level = (B − preJ) ÷ (n − j)`. All
+    * arithmetic is exact BIGINT, so an external SQL engine replays the
+    * identical budgets with window functions alone — no float anywhere
+    * except the `maxEpochs` cap product, which both engines compute as
+    * `floor(double(tokens) · maxEpochs)`. Selection then reuses the
+    * same (score desc, id asc) first-doc-over-the-line window rule as
+    * the other mixers. */
+  def selectByTokenBudgetUniMax(df: DataFrame, idCol: String,
+                                sourceCol: String, scoreCol: String,
+                                tokenCol: String, totalBudget: Long,
+                                maxEpochs: Double): DataFrame = {
+    require(totalBudget > 0, "total budget must be positive")
+    require(maxEpochs > 0.0, "maxEpochs must be positive")
+    val caps = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("_src"))
+      .agg(sum(col(tokenCol)).as("_t"))
+      .select(col("_src"),
+        floor(col("_t").cast("double") * lit(maxEpochs)).cast("long").as("_cap"))
+      .collect()
+      .map(r => (r.getString(0), math.max(0L, r.getLong(1))))
+      .sortBy { case (s, c) => (c, s) } // caps ascending, source tiebreak
+    require(caps.nonEmpty, "no tokens to mix")
+    val n = caps.length
+    // saturated prefix: integer-division form of cap_i·(n−i+1) ≤ B−pre_{i−1}
+    // (overflow-free, and exactly the condition a SQL replay evaluates)
+    var pre = 0L
+    var j = 0
+    while (j < n && totalBudget - pre >= 0 &&
+      caps(j)._2 <= (totalBudget - pre) / (n - j)) {
+      pre += caps(j)._2
+      j += 1
+    }
+    val level = if (j >= n) Long.MaxValue else (totalBudget - pre) / (n - j)
+    val budgets = caps.zipWithIndex.map { case ((src, cap), i) =>
+      src -> (if (i < j) cap else math.min(cap, level))
+    }
+    applyBudgets(df, idCol, sourceCol, scoreCol, tokenCol, budgets.toSeq)
+  }
+
   def selectByTokenBudgetTemperature(df: DataFrame, idCol: String,
                                      sourceCol: String, scoreCol: String,
                                      tokenCol: String, totalBudget: Long,

@@ -316,6 +316,76 @@ object ScaleProbe {
       return
     }
 
+    // PQ axis (SPARK_GRAFT_PQ_N=<vectors>): the memory-bound regime's
+    // third rung — brute f32 scan vs the 8-byte nibble-packed ADC scan
+    // vs the two-stage refine (ADC shortlist + exact re-rank of c full
+    // vectors). Same manifold as the ANN axis. The refine recall is
+    // measured against the exact squared-L2 top-15 and printed, not
+    // assumed; c = 64·k is the dial a caller would turn.
+    sys.env.get("SPARK_GRAFT_PQ_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      val dim = 64
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => (sin(col("id") * lit(0.00091) + j.cast("double") * lit(0.7)) +
+            sin(col("id") * lit(0.000131) * (j.cast("double") + lit(1.0))))
+            .cast("float")).as("embedding")).persist()
+      emb.count()
+      val qid = n / 2
+      val query = (0 until dim).map(j =>
+        math.sin((qid + 0.37) * 0.00091 + j * 0.7) +
+          math.sin((qid + 0.37) * 0.000131 * (j + 1)))
+      val t0 = System.nanoTime()
+      val cb = graft.ml.PQ.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+      val packed = graft.ml.PQ.pack(
+          graft.ml.PQ.encode(emb, "embedding", cb), "codes", cb)
+        .select("vec_id", "pq64").persist()
+      packed.count()
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      def median3(f: => Long): Double = {
+        val ts = (0 until 3).map { _ =>
+          val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
+        }.sorted
+        ts(1)
+      }
+      // exact squared-L2 top-15 — PQ's ground truth metric
+      val qLit = array(query.map(lit): _*)
+      val d2 = aggregate(
+        zip_with(transform(col("embedding"), x => x.cast("double")), qLit,
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+      var exactIds: Set[Long] = Set.empty
+      val bruteSec = median3 {
+        exactIds = emb.select(col("vec_id"), d2.as("d2"))
+          .orderBy(col("d2"), col("vec_id")).limit(15)
+          .collect().map(_.getLong(0)).toSet; exactIds.size.toLong
+      }
+      var adcIds: Set[Long] = Set.empty
+      val adcSec = median3 {
+        adcIds = graft.ml.PQ.adcTopK(packed, "vec_id", "pq64", cb, query, 15)
+          .collect().map(_.getLong(0)).toSet; adcIds.size.toLong
+      }
+      val c = 64 * 15
+      var refinedIds: Set[Long] = Set.empty
+      val refineSec = median3 {
+        refinedIds = graft.ml.PQ.refineTopK(packed, emb, "vec_id",
+            "embedding", "pq64", cb, query, c = c, k = 15)
+          .collect().map(_.getLong(0)).toSet; refinedIds.size.toLong
+      }
+      val adcRecall = exactIds.intersect(adcIds).size.toDouble / exactIds.size
+      val refineRecall =
+        exactIds.intersect(refinedIds).size.toDouble / exactIds.size
+      println(f"""PQPROBE {"n":$n,"build_sec":$buildSec%.1f,""" +
+        f""""brute_sec":$bruteSec%.3f,"adc_sec":$adcSec%.3f,""" +
+        f""""adc_speedup":${bruteSec / math.max(adcSec, 1e-9)}%.1f,""" +
+        f""""adc_recall_at_15":$adcRecall%.3f,"refine_c":$c,""" +
+        f""""refine_sec":$refineSec%.3f,""" +
+        f""""refine_speedup":${bruteSec / math.max(refineSec, 1e-9)}%.1f,""" +
+        f""""refine_recall_at_15":$refineRecall%.3f}""")
+      packed.unpersist(); emb.unpersist()
+      spark.stop()
+      return
+    }
+
     // SemDeDup axis (SPARK_GRAFT_SEMDEDUP_N=<vectors>): synthesize
     // 64-dim vectors of genuine hash noise — component j of vector id
     // is xxhash64(id·1000003 + j) scaled to [−1, 1], iid across both

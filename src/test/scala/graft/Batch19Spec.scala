@@ -177,6 +177,46 @@ class Batch19Spec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("unimax mixer: small source saturates its cap, the rest waterfill evenly") {
+    // tokens: A=10, B=100, C=100 (5-token docs). B=60, maxEpochs=1 ->
+    // caps ascending 10,100,100: A saturates (60/3=20 >= 10), leftover
+    // level = (60-10)/2 = 25 for B and C. Selection keeps A whole (2
+    // docs) and 5 docs each of B/C (5th doc: cum-tok = 20 < 25 keeps;
+    // 6th: 25 !< 25 drops).
+    val docs =
+      (1 to 2).map(i => ("A", i.toLong, 1.0 - i * 0.01, 5L)) ++
+      (11 to 30).map(i => ("B", i.toLong, 1.0 - i * 0.01, 5L)) ++
+      (31 to 50).map(i => ("C", i.toLong, 1.0 - i * 0.01, 5L))
+    val d = docs.toDF("source", "doc_id", "score", "n_tokens")
+    val kept = graft.text.Quality.selectByTokenBudgetUniMax(d, "doc_id",
+        "source", "score", "n_tokens", totalBudget = 60L, maxEpochs = 1.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("A" -> 2L, "B" -> 5L, "C" -> 5L))
+  }
+
+  test("unimax mixer: budget above every cap degrades to pure epoch caps") {
+    // B=10000 >> sum of caps; maxEpochs=0.5 halves each source:
+    // floor(0.5*100)=50 tokens = 10 five-token docs per source
+    val docs = (1 to 40).map(i =>
+      (if (i <= 20) "A" else "B", i.toLong, 1.0 - i * 0.01, 5L))
+    val d = docs.toDF("source", "doc_id", "score", "n_tokens")
+    val kept = graft.text.Quality.selectByTokenBudgetUniMax(d, "doc_id",
+        "source", "score", "n_tokens", totalBudget = 10000L, maxEpochs = 0.5)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("A" -> 10L, "B" -> 10L))
+  }
+
+  test("unimax mixer: selection within a source is (score desc, id asc)") {
+    val d = Seq(("s", 1L, 0.1, 5L), ("s", 2L, 0.9, 5L), ("s", 3L, 0.9, 5L))
+      .toDF("source", "doc_id", "score", "n_tokens")
+    // cap = 15, level = min(cap, 8/1=8): docs 2 then 3 selected; doc 3
+    // crosses the 8-token line and is the last kept; doc 1 never starts
+    val kept = graft.text.Quality.selectByTokenBudgetUniMax(d, "doc_id",
+        "source", "score", "n_tokens", totalBudget = 8L, maxEpochs = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("shortEvalContainment catches a 3-token eval string the k-gram report misses") {
     val train = Seq(
       ("doc-a", "alpha beta gamma delta epsilon zeta"),

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.PQ
+
+/** Product quantization: codebook shape, code range, pack/score
+  * bit-parity, two-stage refine recall, and determinism. */
+class PQSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+  private lazy val query = emb.filter(col("vec_id") === 1)
+    .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+  private lazy val cb = PQ.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+
+  test("fit: anchor codebook has m x k sub-centroids of dsub dims") {
+    assert(cb.m == 8 && cb.k == 16 && cb.dsub == 8)
+    assert(cb.cents.length == 8 && cb.cents.forall(_.length == 16))
+  }
+
+  test("fit rejects a dim not divisible by m") {
+    val e = intercept[IllegalArgumentException] {
+      PQ.fit(emb, "vec_id", "embedding", m = 7, k = 16)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
+  test("encode: every code is in [0, k) and encoding is deterministic") {
+    val codes = PQ.encode(emb, "embedding", cb)
+      .select(col("vec_id"), col("codes"))
+    val bad = codes.filter(
+      exists(col("codes"), c => c < 0 || c >= cb.k)).count()
+    assert(bad == 0)
+    val a = codes.orderBy("vec_id").collect().toSeq
+    val b = PQ.encode(emb, "embedding", cb)
+      .select(col("vec_id"), col("codes")).orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("pack: nibbles round-trip the codes array") {
+    val packed = PQ.pack(PQ.encode(emb, "embedding", cb), "codes", cb)
+    val unpacked = packed.select(col("vec_id"), col("codes"),
+      array((0 until cb.m).map(mm =>
+        shiftright(col("pq64"), mm * 4).bitwiseAND(lit(15L)).cast("int")): _*)
+        .as("roundtrip"))
+    assert(unpacked.filter(col("codes") =!= col("roundtrip")).count() == 0)
+  }
+
+  test("packed ADC scoring is bit-identical to codes-array scoring") {
+    val enc = PQ.encode(emb, "embedding", cb)
+    val packed = PQ.pack(enc, "codes", cb)
+    val viaPacked = PQ.adcTopK(packed, "vec_id", "pq64", cb, query, 50)
+      .collect().toSeq
+    val viaCodes = PQ.adcTopKCodes(enc, "vec_id", "codes", cb, query, 50)
+      .collect().toSeq
+    assert(viaPacked == viaCodes)
+  }
+
+  test("refine: shortlist+exact re-rank recalls most of the true top-15") {
+    val packed = PQ.pack(PQ.encode(emb, "embedding", cb), "codes", cb)
+    val refined = PQ.refineTopK(packed, emb, "vec_id", "embedding",
+        "pq64", cb, query, c = 150, k = 15)
+      .select("vec_id").as[Long].collect().toSet
+    // exact squared-L2 top-15 (same fold)
+    val qLit = array(query.map(lit): _*)
+    val d2 = aggregate(
+      zip_with(transform(col("embedding"), x => x.cast("double")), qLit,
+        (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    val exact = emb.select(col("vec_id"), d2.as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(15)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = refined.intersect(exact).size.toDouble / exact.size
+    // 0.87 measured on this table; synthetic near-uniform embeddings
+    // are PQ's worst case and c is the dial — the floor is a tripwire
+    assert(recall >= 0.6, s"refine recall@15 = $recall")
+    // the self-match must survive refinement
+    assert(refined.contains(1L))
+  }
+
+  test("refine requires c >= k") {
+    val packed = PQ.pack(PQ.encode(emb, "embedding", cb), "codes", cb)
+    intercept[IllegalArgumentException] {
+      PQ.refineTopK(packed, emb, "vec_id", "embedding", "pq64",
+        cb, query, c = 5, k = 15)
+    }
+  }
+}
