@@ -117,6 +117,12 @@ object GfFrame {
         : Fluent =
       new Fluent(graft.text.Quality.selectByTokenBudgetTemperature(df,
         idCol, sourceCol, scoreCol, tokenCol, totalBudget, alpha, caps))
+    def selectByTokenBudgetUniMax(idCol: String, sourceCol: String,
+                                  scoreCol: String, tokenCol: String,
+                                  totalBudget: Long,
+                                  maxEpochs: Double): Fluent =
+      new Fluent(graft.text.Quality.selectByTokenBudgetUniMax(df,
+        idCol, sourceCol, scoreCol, tokenCol, totalBudget, maxEpochs))
     def chunkByTokens(idCol: String, textCol: String,
                       chunkTokens: Int = 32, overlapTokens: Int = 8): Fluent =
       new Fluent(graft.text.Chunk.chunkByTokens(df, idCol, textCol,

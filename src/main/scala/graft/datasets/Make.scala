@@ -365,6 +365,44 @@ object Make {
     * `portableHash = true` replays bit-for-bit in SQL (centers derive
     * from md5 of the CLUSTER id, so both engines place them
     * identically; the libm-crossing gaussian rounds once at 9 dp). */
+  /** `make_sounding` (make.py:1951) / the ERT-TEM grid family
+    * (make.py:2525+): one row per (survey point, subsurface layer) —
+    * the point × layer GRID mechanism none of the other generators
+    * exercise (they are all row-indexed). Layer depth is the running
+    * sum of hash-uniform layer thicknesses in [1, 10) m, computed as a
+    * bounded IN-ROW fold over the layer index (`aggregate(sequence)`)
+    * — no window, no shuffle; the whole plan is row-independent
+    * codegen over `range(nPoints) × explode(layers)`, so "make a
+    * 100 TB survey" is bounded by the write path. Resistivity is
+    * log-uniform 10^(1+2u) Ωm; seismic velocity rises with layer and
+    * depth. Columns: point_id, layer, depth_m, resistivity_ohm_m,
+    * velocity_m_s. `portableHash = true` replays bit-for-bit in SQL
+    * (md5 hash family; pow/depth round 9 — the libm guard). */
+  def makeSounding(spark: SparkSession, nPoints: Long, nLayers: Int = 5,
+                   seed: Long = 42L,
+                   portableHash: Boolean = false): DataFrame = {
+    require(nPoints > 0 && nLayers > 0, "need positive nPoints/nLayers")
+    def maybeRound(c: Column): Column = if (portableHash) round(c, 9) else c
+    val pid = col("point_id")
+    // per-(point, layer) draws key on the flat index point·nLayers+layer
+    def u(l: Column, tag: Int): Column =
+      uniform(portableHash, seed, pid * nLayers + l, tag)
+    val thicknessOf: Column => Column =
+      l => lit(1.0) + lit(9.0) * u(l, 8101)
+    val depth = aggregate(sequence(lit(0), col("layer")), lit(0.0),
+      (acc, l) => acc + thicknessOf(l))
+    spark.range(nPoints)
+      .select(col("id").as("point_id"),
+        explode(sequence(lit(0), lit(nLayers - 1))).as("layer"))
+      .select(pid, col("layer").cast("int").as("layer"),
+        maybeRound(depth).as("depth_m"),
+        maybeRound(pow(lit(10.0),
+          lit(1.0) + lit(2.0) * u(col("layer"), 8102)))
+          .as("resistivity_ohm_m"),
+        maybeRound(lit(500.0) + lit(350.0) * col("layer") +
+          lit(150.0) * u(col("layer"), 8103)).as("velocity_m_s"))
+  }
+
   def makeBlobs(spark: SparkSession, nSamples: Long, nCenters: Int = 3,
                 dim: Int = 2, std: Double = 1.0,
                 boxMin: Double = -10.0, boxMax: Double = 10.0,

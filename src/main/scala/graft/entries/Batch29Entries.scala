@@ -22,8 +22,7 @@ object Batch29Entries {
     pqCache.computeIfAbsent(dir, { d =>
       val emb = T.embeddings(s, d)
       val cb = graft.ml.PQ.fit(emb, "vec_id", "embedding", m = 8, k = 16)
-      val packed = graft.ml.PQ.pack(
-          graft.ml.PQ.encode(emb, "embedding", cb), "codes", cb)
+      val packed = graft.ml.PQ.encodePacked(emb, "embedding", cb)
         .select("vec_id", "pq64").localCheckpoint()
       (cb, packed)
     })
@@ -57,6 +56,15 @@ object Batch29Entries {
       val (cb, packed) = pq(s, dir)
       graft.ml.PQ.refineTopK(packed, emb, "vec_id", "embedding", "pq64",
         cb, q, c = 150, k = 15)
+    }),
+
+    // datasets.Make.makeSounding portable mode (make.py:1951 sounding /
+    // ERT grid family): the point × layer grid generator — depth is a
+    // bounded in-row fold of hash-uniform thicknesses, no shuffle.
+    "make_sounding" -> ((s, dir) => {
+      graft.datasets.Make.makeSounding(s, nPoints = 300, nLayers = 5,
+          seed = 42L, portableHash = true)
+        .orderBy("point_id", "layer")
     }),
 
     // text.Quality.selectByTokenBudgetUniMax: 9000-token budget over
@@ -169,6 +177,29 @@ object Batch29Entries {
         |  WHERE e.vec_id IN (SELECT vec_id FROM shortlist))
         |SELECT vec_id, ROUND(d2, 9) AS d2 FROM rerank
         |ORDER BY d2, vec_id LIMIT 15""".stripMargin,
+
+    // Replays makeSounding: per-(point,layer) draws key on the flat
+    // index point*5+layer; depth is list_sum over range(0, layer+1) —
+    // the same left fold as Spark's aggregate(sequence); pow and the
+    // depth sum round 9 (libm guard).
+    "make_sounding" ->
+      """WITH pts AS (SELECT unnest(range(0, 300)) AS point_id),
+        |lays AS (SELECT unnest(range(0, 5)) AS layer),
+        |g AS (SELECT point_id, layer FROM pts, lays)
+        |SELECT point_id, CAST(layer AS INT) AS layer,
+        |  ROUND(list_sum(list_transform(range(0, layer + 1),
+        |    l -> 1.0 + 9.0 * (CAST('0x' || substr(md5('42-' ||
+        |      CAST(point_id*5 + l AS VARCHAR) || '-8101'), 1, 15)
+        |      AS BIGINT) / 1152921504606846976.0))), 9) AS depth_m,
+        |  ROUND(POW(10.0, 1.0 + 2.0 * (CAST('0x' || substr(md5('42-' ||
+        |      CAST(point_id*5 + layer AS VARCHAR) || '-8102'), 1, 15)
+        |      AS BIGINT) / 1152921504606846976.0)), 9)
+        |    AS resistivity_ohm_m,
+        |  ROUND(500.0 + 350.0 * layer + 150.0 * (CAST('0x' ||
+        |      substr(md5('42-' || CAST(point_id*5 + layer AS VARCHAR)
+        |      || '-8103'), 1, 15)
+        |      AS BIGINT) / 1152921504606846976.0), 9) AS velocity_m_s
+        |FROM g ORDER BY point_id, layer""".stripMargin,
 
     "token_budget_unimax" ->
       """WITH d AS (

@@ -306,6 +306,131 @@ case class CosineI8(left: Expression, right: Expression)
       newRight: Expression): CosineI8 = copy(left = newLeft, right = newRight)
 }
 
+/** pq_encode(array<float>) → bigint: product-quantization encode+pack
+  * in ONE codegen pass (graft.ml.PQ's ingest-time kernel). For each of
+  * `m` sub-spaces the generated loop finds the argmin-distance
+  * centroid among `k` (strict `<`, so ties keep the SMALLEST index —
+  * the same first-minimum rule as the composable
+  * `array_position(array_min)` twin in [[graft.ml.PQ.encode]]) and
+  * packs the code into nibble `mm` of one long. The codebook rides
+  * into generated code as a reference object (flat double[],
+  * `((mm·k + kk)·dsub + d)` layout), not as a 128-way literal
+  * expression tree — the HOF formulation of the same math runs on the
+  * interpreted higher-order-function path and is ~40× slower at 1M
+  * rows. Distance accumulation is the identical left fold, so the two
+  * paths are bit-equal (asserted in PQSpec).
+  *
+  * Null policy: NULL array → NULL; a NULL element → NULL (checked only
+  * when the child schema admits null elements); an array shorter than
+  * m·dsub → NULL (the composable twin's slices would go null there
+  * too, never silently zero-pad). */
+case class PQEncodeI64(child: Expression, m: Int, k: Int,
+                       flatCents: IndexedSeq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with NullElementAware {
+  require(m >= 1 && m <= 16 && k >= 1 && k <= 16,
+    s"pq_encode needs 1<=m<=16 and 1<=k<=16, got m=$m, k=$k")
+  require(flatCents.length % (m * k) == 0 && flatCents.nonEmpty,
+    "flat codebook length must be m*k*dsub")
+  private val dsub = flatCents.length / (m * k)
+  @transient private lazy val cents: Array[Double] = flatCents.toArray
+
+  override protected def arrayChildren: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true // short input also surfaces NULL
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n < m * dsub) return null
+    if (mayHaveNullElements) {
+      var i = 0
+      while (i < m * dsub) {
+        if (x.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    var packed = 0L
+    var mm = 0
+    while (mm < m) {
+      var best = 0
+      var bestd = Double.MaxValue
+      var kk = 0
+      while (kk < k) {
+        val base = (mm * k + kk) * dsub
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          val t = x.getFloat(mm * dsub + d).toDouble - cents(base + d)
+          acc += t * t
+          d += 1
+        }
+        if (acc < bestd) { bestd = acc; best = kk }
+        kk += 1
+      }
+      packed += best.toLong << (4 * mm)
+      mm += 1
+    }
+    packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cref = ctx.addReferenceObj("pqCents", cents, "double[]")
+      val i = ctx.freshName("i")
+      val mm = ctx.freshName("mm")
+      val kk = ctx.freshName("kk")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val bestd = ctx.freshName("bestd")
+      val packed = ctx.freshName("packed")
+      val nullCheck = if (mayHaveNullElements)
+        s"""
+           |for (int $i = 0; $i < ${m * dsub}; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |}
+         """.stripMargin
+      else ""
+      s"""
+         |if ($a.numElements() < ${m * dsub}) { ${ev.isNull} = true; }
+         |$nullCheck
+         |if (!${ev.isNull}) {
+         |  long $packed = 0L;
+         |  for (int $mm = 0; $mm < $m; $mm++) {
+         |    int $best = 0; double $bestd = Double.MAX_VALUE;
+         |    for (int $kk = 0; $kk < $k; $kk++) {
+         |      int $base = ($mm * $k + $kk) * $dsub;
+         |      double $acc = 0.0;
+         |      for (int $d = 0; $d < $dsub; $d++) {
+         |        double $t = (double) $a.getFloat($mm * $dsub + $d)
+         |          - $cref[$base + $d];
+         |        $acc += $t * $t;
+         |      }
+         |      if ($acc < $bestd) { $bestd = $acc; $best = $kk; }
+         |    }
+         |    $packed += ((long) $best) << (4 * $mm);
+         |  }
+         |  ${ev.value} = $packed;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PQEncodeI64 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.SparkSession

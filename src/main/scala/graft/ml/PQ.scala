@@ -113,6 +113,22 @@ object PQ {
         .reduce(_ + _))
   }
 
+  /** Encode + pack in ONE native codegen pass
+    * ([[graft.functions.PQEncodeI64]]): the ingest-time kernel a 100 TB
+    * store runs once per vector. Bit-equal to
+    * `pack(encode(df, ...), ...)` — same left-fold distances, same
+    * first-minimum argmin — but the codebook rides as a reference
+    * double[] inside whole-stage codegen instead of a 128-way
+    * interpreted HOF tree (~40× faster at 1M vectors). */
+  def encodePacked(df: DataFrame, vecCol: String, cb: PQCodebook,
+                   outCol: String = "pq64"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val expr = graft.functions.PQEncodeI64(
+      GraftColumnBridge.toExpr(df.sparkSession, col(vecCol)),
+      cb.m, cb.k, cb.cents.flatten.flatten.toIndexedSeq)
+    df.withColumn(outCol, GraftColumnBridge.toColumn(expr))
+  }
+
   /** The ADC distance column over a packed code column: the query's
     * per-(m,k) sub-distances become an M·K literal lookup table; each
     * row's approximate squared-L2 distance is M nibble-extract +

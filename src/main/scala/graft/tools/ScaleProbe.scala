@@ -319,25 +319,38 @@ object ScaleProbe {
     // PQ axis (SPARK_GRAFT_PQ_N=<vectors>): the memory-bound regime's
     // third rung — brute f32 scan vs the 8-byte nibble-packed ADC scan
     // vs the two-stage refine (ADC shortlist + exact re-rank of c full
-    // vectors). Same manifold as the ANN axis. The refine recall is
-    // measured against the exact squared-L2 top-15 and printed, not
-    // assumed; c = 64·k is the dial a caller would turn.
+    // vectors). Corpus is CLUSTERED (256 hash-placed gaussian blobs —
+    // real embedding corpora are clustered; the ANN axis's smooth
+    // manifold is PQ's pathological case: adjacent ids quantize to
+    // EQUAL codes and raw ADC rank degenerates to the id tiebreak).
+    // The encode uses the native pq_encode codegen kernel; recalls are
+    // measured against the exact squared-L2 top-15, not assumed.
     sys.env.get("SPARK_GRAFT_PQ_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val dim = 64
+      val nCenters = 256
+      def u01(seed: Long, idc: org.apache.spark.sql.Column,
+              jc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        xxhash64(lit(seed), idc, jc).cast("double") /
+          lit(2.0 * Long.MaxValue.toDouble) + lit(0.5)
+      val cl = pmod(xxhash64(lit(7L), col("id"), lit("pqblob")), lit(nCenters))
       val emb = spark.range(n).select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          j => (sin(col("id") * lit(0.00091) + j.cast("double") * lit(0.7)) +
-            sin(col("id") * lit(0.000131) * (j.cast("double") + lit(1.0))))
-            .cast("float")).as("embedding")).persist()
+        transform(sequence(lit(0), lit(dim - 1)), j => {
+          val center = (u01(11L, cl, j) * lit(20.0) - lit(10.0))
+          val g = sqrt(lit(-2.0) *
+              log(u01(13L, col("id"), j) + lit(java.lang.Double.MIN_VALUE))) *
+            cos(lit(2.0 * math.Pi) * u01(17L, col("id"), j))
+          (center + g).cast("float")
+        }).as("embedding")).persist()
       emb.count()
       val qid = n / 2
-      val query = (0 until dim).map(j =>
-        math.sin((qid + 0.37) * 0.00091 + j * 0.7) +
-          math.sin((qid + 0.37) * 0.000131 * (j + 1)))
+      // query = a corpus vector nudged off-lattice so the self-match
+      // isn't the whole story
+      val query = emb.filter(col("vec_id") === qid)
+        .head().getSeq[Float](1).toIndexedSeq
+        .zipWithIndex.map { case (v, j) => v + 0.05 * math.sin(j + 1.0) }
       val t0 = System.nanoTime()
       val cb = graft.ml.PQ.fit(emb, "vec_id", "embedding", m = 8, k = 16)
-      val packed = graft.ml.PQ.pack(
-          graft.ml.PQ.encode(emb, "embedding", cb), "codes", cb)
+      val packed = graft.ml.PQ.encodePacked(emb, "embedding", cb)
         .select("vec_id", "pq64").persist()
       packed.count()
       val buildSec = (System.nanoTime() - t0) / 1e9

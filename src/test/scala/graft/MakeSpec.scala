@@ -218,4 +218,30 @@ class MakeSpec extends SparkSpec {
         s"series $sid residual sd $rsd vs seasonal range $srange")
     }
   }
+
+  test("makeSounding: point-layer grid with monotone depth and bounded fields") {
+    val df = graft.datasets.Make.makeSounding(spark, nPoints = 40,
+      nLayers = 6, seed = 7L)
+    assert(df.count() == 240)
+    // depth strictly increases with layer within each point (each
+    // thickness is >= 1 m), and every thickness is < 10 m
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("point_id").orderBy("layer")
+    val steps = df.withColumn("_prev", lag(col("depth_m"), 1, 0.0).over(w))
+      .select((col("depth_m") - col("_prev")).as("thick"))
+      .as[Double].collect()
+    assert(steps.forall(t => t >= 1.0 && t < 10.0),
+      s"thickness out of [1,10): ${steps.filterNot(t => t >= 1.0 && t < 10.0).take(3).mkString(",")}")
+    // log-uniform resistivity in [10, 1000); velocity positive, rising
+    // family with layer
+    val bad = df.filter(col("resistivity_ohm_m") < 10.0 ||
+      col("resistivity_ohm_m") >= 1000.0 ||
+      col("velocity_m_s") < 500.0).count()
+    assert(bad == 0)
+    // deterministic for the same seed
+    val again = graft.datasets.Make.makeSounding(spark, nPoints = 40,
+      nLayers = 6, seed = 7L)
+    assert(df.orderBy("point_id", "layer").collect().toSeq ==
+      again.orderBy("point_id", "layer").collect().toSeq)
+  }
 }

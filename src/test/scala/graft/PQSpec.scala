@@ -47,6 +47,27 @@ class PQSpec extends SparkSpec {
     assert(unpacked.filter(col("codes") =!= col("roundtrip")).count() == 0)
   }
 
+  test("native pq_encode is bit-identical to the composable encode+pack") {
+    val viaHof = PQ.pack(PQ.encode(emb, "embedding", cb), "codes", cb)
+      .select("vec_id", "pq64").orderBy("vec_id").collect().toSeq
+    val viaNative = PQ.encodePacked(emb, "embedding", cb)
+      .select("vec_id", "pq64").orderBy("vec_id").collect().toSeq
+    assert(viaHof == viaNative)
+  }
+
+  test("pq_encode null policy: short array and null element yield NULL") {
+    val df = Seq(
+      (1L, Some(Seq.fill(64)(Some(0.5f)))),
+      (2L, Some(Seq.fill(10)(Some(0.5f)))),            // too short
+      (3L, Some(Some(0.5f) :: List.fill(63)(Option.empty[Float]))),
+      (4L, Option.empty[Seq[Option[Float]]])           // null array
+    ).toDF("id", "embedding")
+    val out = PQ.encodePacked(df, "embedding", cb)
+      .orderBy("id").select("pq64").collect()
+    assert(!out(0).isNullAt(0))
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
+  }
+
   test("packed ADC scoring is bit-identical to codes-array scoring") {
     val enc = PQ.encode(emb, "embedding", cb)
     val packed = PQ.pack(enc, "codes", cb)
