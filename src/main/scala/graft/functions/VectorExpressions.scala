@@ -328,8 +328,9 @@ case class PQEncodeI64(child: Expression, m: Int, k: Int,
                        flatCents: IndexedSeq[Double])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with NullElementAware {
-  require(m >= 1 && m <= 16 && k >= 1 && k <= 16,
-    s"pq_encode needs 1<=m<=16 and 1<=k<=16, got m=$m, k=$k")
+  private val bits = if (k <= 16) 4 else 8
+  require(m >= 1 && k >= 1 && k <= 256 && m * bits <= 64,
+    s"pq_encode codes must fit one long: m=$m, k=$k (bits=$bits)")
   require(flatCents.length % (m * k) == 0 && flatCents.nonEmpty,
     "flat codebook length must be m*k*dsub")
   private val dsub = flatCents.length / (m * k)
@@ -377,7 +378,7 @@ case class PQEncodeI64(child: Expression, m: Int, k: Int,
         if (acc < bestd) { bestd = acc; best = kk }
         kk += 1
       }
-      packed += best.toLong << (4 * mm)
+      packed += best.toLong << (bits * mm)
       mm += 1
     }
     packed
@@ -420,7 +421,7 @@ case class PQEncodeI64(child: Expression, m: Int, k: Int,
          |      }
          |      if ($acc < $bestd) { $bestd = $acc; $best = $kk; }
          |    }
-         |    $packed += ((long) $best) << (4 * $mm);
+         |    $packed += ((long) $best) << ($bits * $mm);
          |  }
          |  ${ev.value} = $packed;
          |}

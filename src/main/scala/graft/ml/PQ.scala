@@ -34,11 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object PQ {
 
-  /** cents(m)(k)(d): centroid d-th component of code k in sub-space m. */
+  /** cents(m)(k)(d): centroid d-th component of code k in sub-space m.
+    * Codes pack at 4 bits per sub-space when k ≤ 16, else 8 bits
+    * (k ≤ 256 — the classic PQ "m×8-bit" config of Jégou §V). */
   final case class PQCodebook(m: Int, k: Int, dsub: Int,
                               cents: Array[Array[Array[Double]]]) {
     require(cents.length == m && cents.forall(_.length == k) &&
       cents.forall(_.forall(_.length == dsub)), "codebook shape mismatch")
+    /** Bits per packed code: nibbles for k ≤ 16, bytes for k ≤ 256. */
+    val bits: Int = if (k <= 16) 4 else 8
+    require(k <= 256 && m * bits <= 64,
+      s"codes must fit one long: k=$k (bits=$bits), m=$m")
   }
 
   /** Sub-space squared-L2 distance to a centroid, as a left-fold in
@@ -96,21 +102,74 @@ object PQ {
     df.withColumn(outCol, array(codeCols: _*))
   }
 
-  /** Codes packed little-nibble-first into one BIGINT:
-    * Σ code(m)·2^(4m). Requires k ≤ 16 and m ≤ 16 (4 bits per
-    * sub-space; m=8 uses the low 32 bits). This is the scan column a
-    * 100 TB store persists — 8 bytes per vector vs 256 for the f32
-    * array, a 32× smaller scan, and fixed-width so parquet encodes it
-    * tightly. (A signed 32-bit pack would overflow ANSI arithmetic on
-    * the top nibble, so the long is the honest container.) */
+  /** Codes packed little-field-first into one BIGINT:
+    * Σ code(m)·2^(bits·m), `bits` = 4 (k ≤ 16) or 8 (k ≤ 256). This is
+    * the scan column a 100 TB store persists — 8 bytes per vector vs
+    * 256 for the f32 array, a 32× smaller scan, fixed-width so parquet
+    * encodes it tightly. (A signed 32-bit pack would overflow ANSI
+    * arithmetic on the top field, so the long is the honest
+    * container.) */
   def pack(df: DataFrame, codesCol: String, cb: PQCodebook,
            outCol: String = "pq64"): DataFrame = {
-    require(cb.k <= 16 && cb.m <= 16, s"pack needs k<=16, m<=16 (got k=${cb.k}, m=${cb.m})")
-    // nibbles are disjoint, so the pack is a plain sum of shifted codes
+    // code fields are disjoint, so the pack is a plain sum of shifts
     df.withColumn(outCol,
       (0 until cb.m).map(mm =>
-        element_at(col(codesCol), mm + 1).cast("long") * lit(1L << (4 * mm)))
+        element_at(col(codesCol), mm + 1).cast("long") *
+          lit(1L << (cb.bits * mm)))
         .reduce(_ + _))
+  }
+
+  /** Lloyd-trained codebook — the published PQ fit (Jégou §V.A: k-means
+    * per sub-space from a sampled init). Starts from the [[fit]]
+    * anchors, then iterates: assign every (sampled) vector's sub-codes
+    * with the NATIVE encode kernel (one codegen pass), recompute each
+    * (sub-space, code) centroid as the mean of its assigned
+    * sub-vectors (ONE groupBy over m·n exploded rows → ≤ m·k groups,
+    * bounded collect), empty cells keep their old centroid. NOT
+    * SQL-replayable (float mean over an unordered group — the same
+    * reason `ivfIndex`'s KMeans fit is rows-only); the oracle entries
+    * keep the anchor codebook, this is the QUALITY path a real
+    * deployment trains. Centroids round to 6 dp per iteration so
+    * repeated fits land on the same grid. */
+  def fitLloyd(df: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int, iters: Int = 3,
+               sampleFraction: Double = 1.0): PQCodebook = {
+    require(iters >= 0 && sampleFraction > 0.0 && sampleFraction <= 1.0,
+      "need iters >= 0 and sampleFraction in (0, 1]")
+    var cb = fit(df, idCol, vecCol, m, k)
+    val sample = (if (sampleFraction < 1.0)
+      df.sample(withReplacement = false, sampleFraction, seed = 42L)
+    else df).select(col(vecCol).as("_v")).persist()
+    try {
+      for (_ <- 1 to iters) {
+        val mask = (1L << cb.bits) - 1L
+        val codeArr = array((0 until m).map(mm =>
+          struct(lit(mm).as("_mm"),
+            shiftright(col("_pq"), mm * cb.bits).bitwiseAND(lit(mask))
+              .cast("int").as("_code"))): _*)
+        val coded = encodePacked(sample, "_v", cb, "_pq")
+          .select(col("_v"), explode(codeArr).as("_mc"))
+          .select(col("_v"), col("_mc._mm").as("_mm"),
+            col("_mc._code").as("_code"))
+        val dims = (0 until cb.dsub).map(d =>
+          avg(element_at(col("_v"), col("_mm") * cb.dsub + d + 1)
+            .cast("double")).as(s"_c$d"))
+        val updated = coded.groupBy("_mm", "_code").agg(dims.head, dims.tail: _*)
+          .collect()
+        val cents = cb.cents.map(_.map(_.clone()))
+        updated.foreach { r =>
+          val mm = r.getInt(0); val kk = r.getInt(1)
+          (0 until cb.dsub).foreach { d =>
+            val v = r.getDouble(2 + d)
+            cents(mm)(kk)(d) =
+              BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+          }
+        }
+        cb = PQCodebook(m, k, cb.dsub, cents)
+      }
+      cb
+    } finally sample.unpersist()
   }
 
   /** Encode + pack in ONE native codegen pass
@@ -140,9 +199,10 @@ object PQ {
     val lut = Array.tabulate(cb.m, cb.k)((mm, kk) =>
       subDist2Local(query, mm * cb.dsub, cb.cents(mm)(kk)))
     val lutLit = array(lut.flatten.map(lit): _*)
+    val mask = (1L << cb.bits) - 1L
     (0 until cb.m).map { mm =>
-      element_at(lutLit, (shiftright(packedCol, mm * 4)
-        .bitwiseAND(lit(15L)) + lit(mm.toLong * cb.k + 1)).cast("int"))
+      element_at(lutLit, (shiftright(packedCol, mm * cb.bits)
+        .bitwiseAND(lit(mask)) + lit(mm.toLong * cb.k + 1)).cast("int"))
     }.reduce(_ + _)
   }
 

@@ -327,19 +327,30 @@ object ScaleProbe {
     // measured against the exact squared-L2 top-15, not assumed.
     sys.env.get("SPARK_GRAFT_PQ_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val dim = 64
-      val nCenters = 256
+      // modes grow with the corpus (the SemDeDup axis's nlist ∝ n
+      // argument): constant cell occupancy ~1000 members. A FIXED
+      // center count makes within-cluster top-15 the whole task, and
+      // that is information-theoretically unrankable from any 8-byte
+      // code — neighbors differ only in iid noise.
+      val nCenters = math.max(64L, n / 1000L)
       def u01(seed: Long, idc: org.apache.spark.sql.Column,
               jc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         xxhash64(lit(seed), idc, jc).cast("double") /
           lit(2.0 * Long.MaxValue.toDouble) + lit(0.5)
       val cl = pmod(xxhash64(lit(7L), col("id"), lit("pqblob")), lit(nCenters))
+      // per-dim noise sd decays 2.0·0.93^j — the eigenspectrum shape of
+      // real embedding corpora (energy concentrated in leading dims).
+      // Iid equal-variance noise is the information-theoretic worst
+      // case for ANY quantizer: same-cluster neighbors then differ
+      // only in incompressible noise and no 8-byte code can rank them.
       val emb = spark.range(n).select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)), j => {
           val center = (u01(11L, cl, j) * lit(20.0) - lit(10.0))
           val g = sqrt(lit(-2.0) *
               log(u01(13L, col("id"), j) + lit(java.lang.Double.MIN_VALUE))) *
             cos(lit(2.0 * math.Pi) * u01(17L, col("id"), j))
-          (center + g).cast("float")
+          val sd = lit(2.0) * pow(lit(0.93), j.cast("double"))
+          (center + sd * g).cast("float")
         }).as("embedding")).persist()
       emb.count()
       val qid = n / 2
@@ -349,7 +360,9 @@ object ScaleProbe {
         .head().getSeq[Float](1).toIndexedSeq
         .zipWithIndex.map { case (v, j) => v + 0.05 * math.sin(j + 1.0) }
       val t0 = System.nanoTime()
-      val cb = graft.ml.PQ.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+      // classic PQ m×8-bit config: 256 centroids per sub-space, codes
+      // still pack into the same 8-byte long
+      val cb = graft.ml.PQ.fit(emb, "vec_id", "embedding", m = 8, k = 256)
       val packed = graft.ml.PQ.encodePacked(emb, "embedding", cb)
         .select("vec_id", "pq64").persist()
       packed.count()
@@ -387,14 +400,42 @@ object ScaleProbe {
       val adcRecall = exactIds.intersect(adcIds).size.toDouble / exactIds.size
       val refineRecall =
         exactIds.intersect(refinedIds).size.toDouble / exactIds.size
+      // Lloyd-trained codebook (the published fit; sampled like the
+      // IVF KMeans) — same 8-byte codes, adapted cells
+      val tT0 = System.nanoTime()
+      val cbT = graft.ml.PQ.fitLloyd(emb, "vec_id", "embedding",
+        m = 8, k = 256, iters = 3,
+        sampleFraction = math.min(1.0, 2e5 / n))
+      val packedT = graft.ml.PQ.encodePacked(emb, "embedding", cbT)
+        .select("vec_id", "pq64").persist()
+      packedT.count()
+      val trainSec = (System.nanoTime() - tT0) / 1e9
+      var adcTIds: Set[Long] = Set.empty
+      val adcTSec = median3 {
+        adcTIds = graft.ml.PQ.adcTopK(packedT, "vec_id", "pq64", cbT,
+          query, 15).collect().map(_.getLong(0)).toSet; adcTIds.size.toLong
+      }
+      var refinedTIds: Set[Long] = Set.empty
+      val refineTSec = median3 {
+        refinedTIds = graft.ml.PQ.refineTopK(packedT, emb, "vec_id",
+            "embedding", "pq64", cbT, query, c = c, k = 15)
+          .collect().map(_.getLong(0)).toSet; refinedTIds.size.toLong
+      }
+      val adcTRecall = exactIds.intersect(adcTIds).size.toDouble / exactIds.size
+      val refineTRecall =
+        exactIds.intersect(refinedTIds).size.toDouble / exactIds.size
       println(f"""PQPROBE {"n":$n,"build_sec":$buildSec%.1f,""" +
         f""""brute_sec":$bruteSec%.3f,"adc_sec":$adcSec%.3f,""" +
         f""""adc_speedup":${bruteSec / math.max(adcSec, 1e-9)}%.1f,""" +
         f""""adc_recall_at_15":$adcRecall%.3f,"refine_c":$c,""" +
         f""""refine_sec":$refineSec%.3f,""" +
         f""""refine_speedup":${bruteSec / math.max(refineSec, 1e-9)}%.1f,""" +
-        f""""refine_recall_at_15":$refineRecall%.3f}""")
-      packed.unpersist(); emb.unpersist()
+        f""""refine_recall_at_15":$refineRecall%.3f,""" +
+        f""""train_sec":$trainSec%.1f,"adc_trained_sec":$adcTSec%.3f,""" +
+        f""""adc_trained_recall_at_15":$adcTRecall%.3f,""" +
+        f""""refine_trained_sec":$refineTSec%.3f,""" +
+        f""""refine_trained_recall_at_15":$refineTRecall%.3f}""")
+      packedT.unpersist(); packed.unpersist(); emb.unpersist()
       spark.stop()
       return
     }

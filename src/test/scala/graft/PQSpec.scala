@@ -100,6 +100,51 @@ class PQSpec extends SparkSpec {
     assert(refined.contains(1L))
   }
 
+  test("fitLloyd reduces total quantization distortion vs the anchor init") {
+    val vecs = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def distortion(c: PQ.PQCodebook): Double = vecs.map { v =>
+      (0 until c.m).map { mm =>
+        (0 until c.k).map { kk =>
+          var s = 0.0
+          (0 until c.dsub).foreach { d =>
+            val t = v(mm * c.dsub + d) - c.cents(mm)(kk)(d); s += t * t
+          }
+          s
+        }.min
+      }.sum
+    }.sum
+    val anchors = PQ.fit(emb, "vec_id", "embedding", m = 8, k = 16)
+    val trained = PQ.fitLloyd(emb, "vec_id", "embedding", m = 8, k = 16,
+      iters = 3)
+    val (da, dt) = (distortion(anchors), distortion(trained))
+    // k-means iterations never increase distortion (6-dp centroid
+    // rounding can wiggle the last decimals — allow 0.1%)
+    assert(dt <= da * 1.001, s"trained distortion $dt vs anchors $da")
+    assert(dt < da * 0.9, s"training should actually help: $dt vs $da")
+  }
+
+  test("byte-code config (k=256) packs and scores through the same long") {
+    // 256 distinct 4-dim float vectors; m=2, k=256 -> 8-bit fields
+    val df = (0 until 300).map { i =>
+      (i.toLong, Seq(i.toFloat, (i % 7).toFloat, -i.toFloat, 0.5f * i))
+    }.toDF("vec_id", "embedding")
+    val cb = PQ.fit(df, "vec_id", "embedding", m = 2, k = 256)
+    assert(cb.bits == 8)
+    val enc = PQ.encode(df, "embedding", cb)
+    val viaHof = PQ.pack(enc, "codes", cb).select("vec_id", "pq64")
+      .orderBy("vec_id").collect().toSeq
+    val viaNative = PQ.encodePacked(df, "embedding", cb)
+      .select("vec_id", "pq64").orderBy("vec_id").collect().toSeq
+    assert(viaHof == viaNative)
+    val q = Seq(10.0, 3.0, -10.0, 5.0)
+    val a = PQ.adcTopK(PQ.encodePacked(df, "embedding", cb), "vec_id",
+      "pq64", cb, q, 20).collect().toSeq
+    val b = PQ.adcTopKCodes(enc, "vec_id", "codes", cb, q, 20)
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("refine requires c >= k") {
     val packed = PQ.pack(PQ.encode(emb, "embedding", cb), "codes", cb)
     intercept[IllegalArgumentException] {
