@@ -244,6 +244,33 @@ object PQ {
       .limit(k)
   }
 
+  /** Dedup-on-ingest by quantized identity — the PQ companion of
+    * `IvfIndex.dropSeenVectors`: an arriving vector is dropped when
+    * some corpus vector has the SAME 8-byte code AND exact cosine ≥
+    * `threshold`. The blocking key is the packed code, so the plan is
+    * a stream-static EQUI-join (stream-legal, append mode, no state);
+    * at 100 TB the corpus side is its 8-byte code column + vector,
+    * hash-partitioned on the code, and each arrival meets only its
+    * quantized-identical candidates. Coarser recall than the
+    * IVF-bucket screen (a near-dup that crosses a cell boundary
+    * escapes) — this is the cheap first rung; compose with
+    * `dropSeenVectors` when recall matters more than cost. The plan is
+    * stateless, so the same call also runs in batch. */
+  def dropSeenByCode(stream: DataFrame, streamIdCol: String,
+                     streamVecCol: String, corpus: DataFrame,
+                     corpusVecCol: String, cb: PQCodebook,
+                     threshold: Double): DataFrame = {
+    val sPacked = encodePacked(stream, streamVecCol, cb, "_pq_in")
+    val staticSide = encodePacked(corpus, corpusVecCol, cb, "_pq_s")
+      .select(col("_pq_s"), col(corpusVecCol).as("_v_s"))
+    sPacked.join(staticSide,
+        col("_pq_in") === col("_pq_s") &&
+          Similarity.cosineNative(sPacked, col(streamVecCol),
+            col("_v_s")) >= threshold,
+        "left_anti")
+      .drop("_pq_in")
+  }
+
   /** Unpacked-scoring twin of [[adcTopK]] (reads the codes array) —
     * used by the spec to assert pack/score bit-parity. */
   def adcTopKCodes(df: DataFrame, idCol: String, codesCol: String,

@@ -145,6 +145,43 @@ class PQSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("dropSeenByCode filters a stream by quantized identity + cosine") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 0f, 0f, 1f, 1f, 0f, 0f)),
+      (4L, Seq(5f, 5f, 5f, 5f, -5f, -5f, -5f, -5f))
+    ).toDF("vec_id", "embedding")
+    val cb = PQ.fit(corpus, "vec_id", "embedding", m = 2, k = 4)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = PQ.dropSeenByCode(in.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", corpus, "embedding", cb, threshold = 0.999)
+      .writeStream.format("memory").queryName("pqdsv")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    // 100 = exact re-arrival of corpus 1 (same code, cos 1 -> drop);
+    // 101 = tiny perturbation of corpus 4 (same cell, cos ~1 -> drop);
+    // 102 = far from everything (novel -> keep)
+    in.addData(
+      (100L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (101L, Seq(5.001f, 5f, 5f, 5f, -5f, -5f, -5f, -5f)),
+      (102L, Seq(-9f, 3f, 7f, -2f, 8f, -6f, 1f, 4f)))
+    q.processAllAvailable()
+    val kept = spark.table("pqdsv").select("vec_id").as[Long].collect().toSet
+    q.stop()
+    assert(kept == Set(102L), s"stream survivors $kept")
+    // stateless plan: identical result in batch mode
+    val batchKept = PQ.dropSeenByCode(
+        Seq((100L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+            (101L, Seq(5.001f, 5f, 5f, 5f, -5f, -5f, -5f, -5f)),
+            (102L, Seq(-9f, 3f, 7f, -2f, 8f, -6f, 1f, 4f)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", corpus, "embedding", cb, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batchKept == kept)
+  }
+
   test("refine requires c >= k") {
     val packed = PQ.pack(PQ.encode(emb, "embedding", cb), "codes", cb)
     intercept[IllegalArgumentException] {
