@@ -432,6 +432,128 @@ case class PQEncodeI64(child: Expression, m: Int, k: Int,
     copy(child = newChild)
 }
 
+/** pq_encode_residual(array<float>, array<double>) → bigint: the
+  * IVFADC ingest kernel (Jégou §VII — "IVFADC: coarse quantizer +
+  * product quantizer on the residual"). Identical loop to
+  * [[PQEncodeI64]] except the distance operand is the RESIDUAL
+  * `x[d] − c[d]` (vector minus its coarse-bucket centroid, subtracted
+  * in double inside the loop — no residual array ever materializes).
+  * Null policy matches PQEncodeI64; a short CENTROID array also
+  * surfaces NULL. */
+case class PQEncodeResidualI64(left: Expression, right: Expression,
+                               m: Int, k: Int, flatCents: IndexedSeq[Double])
+    extends BinaryExpression with NullElementAware {
+  private val bits = if (k <= 16) 4 else 8
+  require(m >= 1 && k >= 1 && k <= 256 && m * bits <= 64,
+    s"pq_encode_residual codes must fit one long: m=$m, k=$k (bits=$bits)")
+  require(flatCents.length % (m * k) == 0 && flatCents.nonEmpty,
+    "flat codebook length must be m*k*dsub")
+  private val dsub = flatCents.length / (m * k)
+  @transient private lazy val cents: Array[Double] = flatCents.toArray
+
+  override protected def arrayChildren: Seq[Expression] = Seq(left, right)
+  override def nullable: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode_residual expects (array<float>, array<double>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val c = b.asInstanceOf[ArrayData]
+    val need = m * dsub
+    if (x.numElements() < need || c.numElements() < need) return null
+    if (mayHaveNullElements) {
+      var i = 0
+      while (i < need) {
+        if (x.isNullAt(i) || c.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    var packed = 0L
+    var mm = 0
+    while (mm < m) {
+      var best = 0
+      var bestd = Double.MaxValue
+      var kk = 0
+      while (kk < k) {
+        val base = (mm * k + kk) * dsub
+        var acc = 0.0
+        var d = 0
+        while (d < dsub) {
+          val idx = mm * dsub + d
+          val t = (x.getFloat(idx).toDouble - c.getDouble(idx)) - cents(base + d)
+          acc += t * t
+          d += 1
+        }
+        if (acc < bestd) { bestd = acc; best = kk }
+        kk += 1
+      }
+      packed += best.toLong << (bits * mm)
+      mm += 1
+    }
+    packed
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, c) => {
+      val cref = ctx.addReferenceObj("pqResCents", cents, "double[]")
+      val i = ctx.freshName("i")
+      val mm = ctx.freshName("mm")
+      val kk = ctx.freshName("kk")
+      val d = ctx.freshName("d")
+      val idx = ctx.freshName("idx")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val t = ctx.freshName("t")
+      val best = ctx.freshName("best")
+      val bestd = ctx.freshName("bestd")
+      val packed = ctx.freshName("packed")
+      val nullCheck = if (mayHaveNullElements)
+        s"""
+           |for (int $i = 0; $i < ${m * dsub}; $i++) {
+           |  if ($a.isNullAt($i) || $c.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |}
+         """.stripMargin
+      else ""
+      s"""
+         |if ($a.numElements() < ${m * dsub} || $c.numElements() < ${m * dsub}) {
+         |  ${ev.isNull} = true;
+         |}
+         |$nullCheck
+         |if (!${ev.isNull}) {
+         |  long $packed = 0L;
+         |  for (int $mm = 0; $mm < $m; $mm++) {
+         |    int $best = 0; double $bestd = Double.MAX_VALUE;
+         |    for (int $kk = 0; $kk < $k; $kk++) {
+         |      int $base = ($mm * $k + $kk) * $dsub;
+         |      double $acc = 0.0;
+         |      for (int $d = 0; $d < $dsub; $d++) {
+         |        int $idx = $mm * $dsub + $d;
+         |        double $t = ((double) $a.getFloat($idx) - $c.getDouble($idx))
+         |          - $cref[$base + $d];
+         |        $acc += $t * $t;
+         |      }
+         |      if ($acc < $bestd) { $bestd = $acc; $best = $kk; }
+         |    }
+         |    $packed += ((long) $best) << ($bits * $mm);
+         |  }
+         |  ${ev.value} = $packed;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PQEncodeResidualI64 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.SparkSession

@@ -193,17 +193,48 @@ object PQ {
     * row's approximate squared-L2 distance is M nibble-extract +
     * lookups, summed in sub-space order (left-to-right — the fold an
     * external engine's ordered list_sum replays). */
-  private def adcDist(packedCol: Column, cb: PQCodebook,
-                      query: Seq[Double]): Column = {
+  /** Flat per-(m,k) LUT of sub-space distances query↔centroid —
+    * `lut((mm·k + kk))` — shared by the single-codebook and the
+    * per-bucket IVFADC paths. */
+  private[graft] def lutFor(cb: PQCodebook, query: Seq[Double]): Array[Double] = {
     require(query.length == cb.m * cb.dsub, "query dim mismatch")
-    val lut = Array.tabulate(cb.m, cb.k)((mm, kk) =>
-      subDist2Local(query, mm * cb.dsub, cb.cents(mm)(kk)))
-    val lutLit = array(lut.flatten.map(lit): _*)
+    Array.tabulate(cb.m, cb.k)((mm, kk) =>
+      subDist2Local(query, mm * cb.dsub, cb.cents(mm)(kk))).flatten
+  }
+
+  /** ADC distance from a caller-supplied LUT (IVFADC computes one per
+    * probed bucket from the residual query). */
+  private[graft] def adcDistFromLut(packedCol: Column, cb: PQCodebook,
+                                    flatLut: Seq[Double]): Column = {
+    // ONE Literal node, not an m·k-child array(lit…) tree: the
+    // constructed form makes every optimizer pass walk thousands of
+    // nodes per call, and with per-bucket LUTs (IVFADC) the plan-time
+    // cost exceeded the scan itself
+    val lutLit = typedlit(flatLut.toIndexedSeq)
     val mask = (1L << cb.bits) - 1L
     (0 until cb.m).map { mm =>
       element_at(lutLit, (shiftright(packedCol, mm * cb.bits)
         .bitwiseAND(lit(mask)) + lit(mm.toLong * cb.k + 1)).cast("int"))
     }.reduce(_ + _)
+  }
+
+  private def adcDist(packedCol: Column, cb: PQCodebook,
+                      query: Seq[Double]): Column =
+    adcDistFromLut(packedCol, cb, lutFor(cb, query).toIndexedSeq)
+
+  /** Residual encode + pack ([[graft.functions.PQEncodeResidualI64]]):
+    * codes quantize `vec − cent` without ever materializing the
+    * residual array — the IVFADC ingest path. `centCol` must be
+    * array<double> (e.g. the coarse centroid looked up per row). */
+  def encodeResidualPacked(df: DataFrame, vecCol: String, centCol: Column,
+                           cb: PQCodebook, outCol: String = "pq64")
+      : DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val expr = graft.functions.PQEncodeResidualI64(
+      GraftColumnBridge.toExpr(df.sparkSession, col(vecCol)),
+      GraftColumnBridge.toExpr(df.sparkSession, centCol),
+      cb.m, cb.k, cb.cents.flatten.flatten.toIndexedSeq)
+    df.withColumn(outCol, GraftColumnBridge.toColumn(expr))
   }
 
   /** ADC top-k over the packed code column. Ascending distance, id

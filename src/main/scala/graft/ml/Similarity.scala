@@ -90,7 +90,8 @@ object Similarity {
     */
   class IvfIndex private[Similarity] (
       bucketed: DataFrame, centroids: Array[Array[Double]],
-      vecCol: String, idCol: String) {
+      vecCol: String, idCol: String,
+      pqCb: Option[PQ.PQCodebook] = None) {
 
     // driver-side cosine for ranking the (tiny) centroid table — ONE
     // definition shared by search and searchMany so the per-query and
@@ -241,6 +242,72 @@ object Similarity {
       * a centroid boundary is missed by design (nlist is the recall
       * dial). Within-stream duplicates are NOT deduped — compose with
       * `dropDuplicatesWithinWatermark` for that. */
+    /** IVFADC (Jégou §VII): attach residual PQ codes — each vector's
+      * `vec − centroid(bucket)` quantized to one 8-byte long by the
+      * native residual kernel — and return a new index sharing the
+      * coarse centroids. The residual codebook is Lloyd-trained on
+      * (sampled) float residuals; the per-row centroid rides as ONE
+      * typed literal (no join). Composes the two biggest ANN levers:
+      * bucket pruning touches n·nprobe/nlist rows, and each touched
+      * row is 8 bytes instead of 4·dim. */
+    def withPQ(m: Int = 8, k: Int = 256, iters: Int = 2,
+               sampleFraction: Double = 1.0): IvfIndex = {
+      val centsSeq: Seq[Seq[Double]] = centroids.map(_.toSeq).toSeq
+      val centCol = element_at(typedlit(centsSeq), col("_ivf_bucket") + 1)
+      val resDf = bucketed.select(col(idCol).as("_rid"),
+        zip_with(col(vecCol), centCol,
+          (a, b) => (a.cast("double") - b).cast("float")).as("_res"))
+      val rcb = PQ.fitLloyd(resDf, "_rid", "_res", m, k, iters,
+        sampleFraction)
+      val coded = PQ.encodeResidualPacked(bucketed, vecCol, centCol, rcb,
+        "_pq64").persist()
+      new IvfIndex(coded, centroids, vecCol, idCol, Some(rcb))
+    }
+
+    /** IVFADC search: rank buckets on the driver (asymmetric, full
+      * precision), scan ONLY the probed buckets' 8-byte residual codes
+      * with a per-bucket LUT built from `query − centroid(bucket)`,
+      * shortlist `refineC` by ADC distance, then re-rank just those
+      * full vectors by exact cosine (broadcast semi-join — the scan
+      * itself never reads the f32 column). Output schema matches
+      * [[search]]/[[searchI8]]: (id, cos). */
+    def searchPQ(query: Seq[Double], k: Int, nprobe: Int = 4,
+                 refineC: Int = 200): DataFrame = {
+      require(pqCb.isDefined && bucketed.columns.contains("_pq64"),
+        "index has no residual PQ codes: call withPQ first")
+      require(refineC >= k, "refineC must be at least k")
+      val rcb = pqCb.get
+      val probeIds = centroids.zipWithIndex
+        .sortBy { case (c, _) => -cos(query, c) }
+        .take(nprobe).map(_._2)
+      val ad2 = probeIds.foldLeft(lit(Double.MaxValue)) { (acc, b) =>
+        val resQ = query.indices.map(i => query(i) - centroids(b)(i))
+        when(col("_ivf_bucket") === b,
+          PQ.adcDistFromLut(col("_pq64"), rcb,
+            PQ.lutFor(rcb, resQ).toIndexedSeq))
+          .otherwise(acc)
+      }
+      // codes-only shortlist scan (column pruning keeps the f32 column
+      // out of this pass), then a BOUNDED driver round-trip of refineC
+      // ids feeds an InSet filter for the re-rank — one job fewer than
+      // a broadcast semi-join, and the fetch stays probed-bucket-bounded
+      val shortIds = bucketed
+        .filter(col("_ivf_bucket").isin(probeIds: _*))
+        .select(col(idCol), ad2.as("_ad2"))
+        .orderBy(col("_ad2").asc, col(idCol).asc)
+        .limit(refineC)
+        .select(col(idCol))
+        .collect().map(_.get(0))
+      val cands = bucketed
+        .filter(col("_ivf_bucket").isin(probeIds: _*))
+        .filter(col(idCol).isInCollection(shortIds))
+      val q = array(query.map(v => lit(v.toFloat)): _*)
+      cands.select(col(idCol),
+          cosineNative(cands, col(vecCol), q).as("cos"))
+        .orderBy(col("cos").desc, col(idCol).asc)
+        .limit(k)
+    }
+
     def dropSeenVectors(stream: DataFrame, streamIdCol: String,
                         streamVecCol: String,
                         threshold: Double): DataFrame = {

@@ -424,6 +424,29 @@ object ScaleProbe {
       val adcTRecall = exactIds.intersect(adcTIds).size.toDouble / exactIds.size
       val refineTRecall =
         exactIds.intersect(refinedTIds).size.toDouble / exactIds.size
+      // IVFADC: coarse KMeans buckets × residual byte codes — the two
+      // levers multiply (scan nprobe/nlist of the rows, 8 bytes each).
+      // Ground truth here is the exact COSINE top-15 (searchPQ's
+      // output metric, matching search/searchI8).
+      val cosExact = Similarity
+        .cosineTopK(emb, "embedding", "vec_id", query, 15)
+        .collect().map(_.getLong(0)).toSet
+      val nlist = math.min(1024, math.max(16, math.sqrt(n.toDouble).toInt))
+      val ivfT0 = System.nanoTime()
+      val ivfpq = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nlist = nlist, maxIter = 4,
+          fitFraction = math.min(1.0, 2e5 / n))
+        .withPQ(m = 8, k = 256, iters = 2,
+          sampleFraction = math.min(1.0, 2e5 / n))
+      ivfpq.searchPQ(query, 1, nprobe = 1).count() // materialize untimed
+      val ivfpqBuildSec = (System.nanoTime() - ivfT0) / 1e9
+      var ivfpqIds: Set[Long] = Set.empty
+      val ivfpqSec = median3 {
+        ivfpqIds = ivfpq.searchPQ(query, 15, nprobe = 4, refineC = c)
+          .collect().map(_.getLong(0)).toSet; ivfpqIds.size.toLong
+      }
+      val ivfpqRecall =
+        cosExact.intersect(ivfpqIds).size.toDouble / cosExact.size
       println(f"""PQPROBE {"n":$n,"build_sec":$buildSec%.1f,""" +
         f""""brute_sec":$bruteSec%.3f,"adc_sec":$adcSec%.3f,""" +
         f""""adc_speedup":${bruteSec / math.max(adcSec, 1e-9)}%.1f,""" +
@@ -434,7 +457,12 @@ object ScaleProbe {
         f""""train_sec":$trainSec%.1f,"adc_trained_sec":$adcTSec%.3f,""" +
         f""""adc_trained_recall_at_15":$adcTRecall%.3f,""" +
         f""""refine_trained_sec":$refineTSec%.3f,""" +
-        f""""refine_trained_recall_at_15":$refineTRecall%.3f}""")
+        f""""refine_trained_recall_at_15":$refineTRecall%.3f,""" +
+        f""""ivfpq_build_sec":$ivfpqBuildSec%.1f,"ivfpq_nlist":$nlist,""" +
+        f""""ivfpq_sec":$ivfpqSec%.3f,""" +
+        f""""ivfpq_speedup":${bruteSec / math.max(ivfpqSec, 1e-9)}%.1f,""" +
+        f""""ivfpq_recall_vs_cos_at_15":$ivfpqRecall%.3f}""")
+      ivfpq.unpersist()
       packedT.unpersist(); packed.unpersist(); emb.unpersist()
       spark.stop()
       return

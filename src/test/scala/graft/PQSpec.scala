@@ -182,6 +182,29 @@ class PQSpec extends SparkSpec {
     assert(batchKept == kept)
   }
 
+  test("IVFADC: residual codes + per-bucket LUT recover the cosine top-15") {
+    val idx = graft.ml.Similarity.ivfIndex(emb, "vec_id", "embedding",
+      nlist = 4)
+    val pqIdx = idx.withPQ(m = 8, k = 16, iters = 2)
+    try {
+      val exact = graft.ml.Similarity
+        .cosineTopK(emb, "embedding", "vec_id", query, 15)
+        .select("vec_id").as[Long].collect().toSet
+      // all buckets probed + a generous shortlist: the only loss left
+      // is the L2-residual ADC shortlist ordering
+      val got = pqIdx.searchPQ(query, k = 15, nprobe = 4, refineC = 200)
+        .select("vec_id").as[Long].collect().toSet
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      assert(recall >= 0.8, s"IVFADC recall@15 = $recall")
+      assert(got.contains(1L), "self-match must survive")
+      // searchPQ without withPQ must refuse loudly
+      val e = intercept[IllegalArgumentException] {
+        idx.searchPQ(query, k = 5)
+      }
+      assert(e.getMessage.contains("withPQ"))
+    } finally { pqIdx.unpersist(); idx.unpersist() }
+  }
+
   test("refine requires c >= k") {
     val packed = PQ.pack(PQ.encode(emb, "embedding", cb), "codes", cb)
     intercept[IllegalArgumentException] {
