@@ -67,6 +67,19 @@ object Batch29Entries {
         .orderBy("point_id", "layer")
     }),
 
+    // rel.Sampling.stratifiedSampleByHash: per-stratum fractions via
+    // the portable md5 RNG — the draw is a pure function of row
+    // identity, so the sample is stable under repartitioning AND
+    // fully oracle-replayable (sampleBy's RNG stream is neither).
+    "stratified_hash" -> ((s, dir) => {
+      graft.rel.Sampling.stratifiedSampleByHash(T.customer(s, dir),
+          "c_custkey", "c_mktsegment",
+          Map("BUILDING" -> 0.5, "MACHINERY" -> 0.2, "FURNITURE" -> 0.05),
+          seed = 7L)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .orderBy("c_custkey")
+    }),
+
     // text.Quality.selectByTokenBudgetUniMax: 9000-token budget over
     // the five languages, each capped at 0.5 epochs of its corpus.
     // At sf0.01 'de' saturates its cap and the other four waterfill
@@ -200,6 +213,17 @@ object Batch29Entries {
         |      || '-8103'), 1, 15)
         |      AS BIGINT) / 1152921504606846976.0), 9) AS velocity_m_s
         |FROM g ORDER BY point_id, layer""".stripMargin,
+
+    "stratified_hash" ->
+      """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+        |WHERE CAST(CAST('0x' || substr(md5('7-' ||
+        |    CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+        |    / 1152921504606846976.0
+        |  < CASE c_mktsegment WHEN 'BUILDING' THEN 0.5
+        |                      WHEN 'MACHINERY' THEN 0.2
+        |                      WHEN 'FURNITURE' THEN 0.05
+        |                      ELSE 0.0 END
+        |ORDER BY c_custkey""".stripMargin,
 
     "token_budget_unimax" ->
       """WITH d AS (

@@ -72,6 +72,31 @@ object Sampling {
                        fractions: Map[Any, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Stratified sample with a PORTABLE hash RNG: a row survives in
+    * stratum s iff `md5(seed, id)`'s 60-bit uniform < fraction(s).
+    * Same per-stratum expected fractions as [[stratifiedSample]], with
+    * two properties `sampleBy`'s RNG stream cannot give: the draw is a
+    * pure function of ROW IDENTITY, so the selected set is stable
+    * under repartitioning / re-runs / incremental re-processing (at
+    * 100 TB the sample must not change because the scan split
+    * differently), and an external SQL engine replays it bit-for-bit
+    * (full oracle). Strata absent from `fractions` drop (fraction 0),
+    * matching `sampleBy`. */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String,
+                             stratumCol: String,
+                             fractions: Map[String, Double],
+                             seed: Long = 42L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val u = conv(substring(md5(concat_ws("-", lit(seed),
+        col(idCol).cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(2.0, 60))
+    val fracExpr = fractions.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, f)) => when(col(stratumCol) === lit(s), lit(f)).otherwise(acc)
+    }
+    df.filter(u < fracExpr)
+  }
+
   /** Split into `n` disjoint batches (random, seed-deterministic) —
     * `batch_sampling` (data_utils.py:5677) without replacement. */
   def batches(df: DataFrame, n: Int, seed: Long = 42L): Array[DataFrame] =

@@ -51,6 +51,30 @@ class RelSpec extends SparkSpec {
     assert(a == b && a > 0)
   }
 
+  test("stratifiedSampleByHash: fractions honored, selection stable under repartitioning") {
+    val cust = T.customer(spark, sf)
+    val fr = Map("BUILDING" -> 0.5, "MACHINERY" -> 0.2)
+    val picked = Sampling.stratifiedSampleByHash(cust, "c_custkey",
+      "c_mktsegment", fr, seed = 7L)
+    val bySeg = picked.groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only listed strata survive; counts near fraction·stratum size
+    assert(bySeg.keySet == Set("BUILDING", "MACHINERY"))
+    val totals = cust.groupBy("c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fr.foreach { case (s, f) =>
+      val expected = totals(s) * f
+      assert(math.abs(bySeg(s) - expected) < totals(s) * 0.2,
+        s"$s: got ${bySeg(s)}, expected ~$expected")
+    }
+    // the draw is a function of row identity — repartitioning (which
+    // changes sampleBy's RNG stream) must not change the set
+    val again = Sampling.stratifiedSampleByHash(cust.repartition(13),
+        "c_custkey", "c_mktsegment", fr, seed = 7L)
+      .select("c_custkey").as[Long].collect().toSet
+    assert(again == picked.select("c_custkey").as[Long].collect().toSet)
+  }
+
   test("symmetricDiffCount is 0 iff frames are multiset-equal") {
     val ord = T.orders(spark, sf)
     assert(SetOps.symmetricDiffCount(ord, ord) == 0)
