@@ -152,14 +152,14 @@ object Similarity {
       * across the batch. */
     private def batchedProbe[Q](
         queries: Seq[(Long, Seq[Double])], k: Int, nprobe: Int,
-        encode: Seq[Double] => Q, scanCol: String,
+        encode: (Seq[Double], Int) => Q, scanCol: String,
         score: (Column, Column) => Column)(
         implicit tt: scala.reflect.runtime.universe.TypeTag[Map[Int, Seq[(Long, Q)]]])
         : DataFrame = {
       val byBucket: Map[Int, Seq[(Long, Q)]] = queries
         .flatMap { case (qid, q) =>
           centroids.zipWithIndex.sortBy { case (c, _) => -cos(q, c) }
-            .take(nprobe).map { case (_, b) => b -> (qid, encode(q)) }
+            .take(nprobe).map { case (_, b) => b -> (qid, encode(q, b)) }
         }
         .groupBy(_._1).map { case (b, qs) => b -> qs.map(_._2) }
       val probeLit = typedlit(byBucket)
@@ -185,7 +185,7 @@ object Similarity {
     def searchMany(queries: Seq[(Long, Seq[Double])], k: Int,
                    nprobe: Int = 4): DataFrame =
       batchedProbe[Seq[Float]](queries, k, nprobe,
-        q => q.map(_.toFloat), vecCol,
+        (q, _) => q.map(_.toFloat), vecCol,
         (v, q) => cosineNative(bucketed, v, q))
 
     /** Batched quantized search — [[batchedProbe]]'s plan with the
@@ -199,8 +199,44 @@ object Similarity {
         "index built without int8 codes: pass withI8 = true to ivfIndex")
       graft.functions.VectorExpressions.register(bucketed.sparkSession)
       batchedProbe[Array[Byte]](queries, k, nprobe,
-        quantizeQuery, "_vec_i8",
+        (q, _) => quantizeQuery(q), "_vec_i8",
         (v, q) => call_function("cosine_i8", v, q))
+    }
+
+    /** Batched IVFADC: [[batchedProbe]]'s one-pass plan with the
+      * candidate scan over the 8-byte residual codes — each probing
+      * (query, bucket) pair ships its LUT (m·k doubles) inside the
+      * bucket→queries literal, so the ADC shortlist is ONE scan of the
+      * probed buckets scored by column lookups (distance negated to
+      * reuse the shared descending top-k). Stage 2 re-ranks the
+      * bounded nq·refineC shortlist by exact cosine: one broadcast
+      * join for the vectors, one for the query vectors, one slim
+      * window. Returns (query_id, idCol, cos), top-k per query. */
+    def searchManyPQ(queries: Seq[(Long, Seq[Double])], k: Int,
+                     nprobe: Int = 4, refineC: Int = 200): DataFrame = {
+      require(pqCb.isDefined && bucketed.columns.contains("_pq64"),
+        "index has no residual PQ codes: call withPQ first")
+      require(refineC >= k, "refineC must be at least k")
+      val rcb = pqCb.get
+      val short = batchedProbe[Seq[Double]](queries, refineC, nprobe,
+        (q, b) => PQ.lutFor(rcb,
+          q.indices.map(i => q(i) - centroids(b)(i))).toSeq,
+        "_pq64",
+        (codeCol, lutCol) => -PQ.adcDistFromLutCol(codeCol, rcb, lutCol))
+      val spark = bucketed.sparkSession
+      import spark.implicits._
+      val qv = queries.map { case (qid, q) => (qid, q.map(_.toFloat)) }
+        .toDF("query_id", "_qv")
+      val cand = bucketed
+        .join(broadcast(short.select(col("query_id"), col(idCol))),
+          Seq(idCol))
+        .join(broadcast(qv), Seq("query_id"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col(idCol).asc)
+      cand.select(col("query_id"), col(idCol),
+          cosineNative(cand, col(vecCol), col("_qv")).as("cos"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k).drop("_rn")
     }
 
     /** SemDeDup over the index's buckets: the pairwise screen of

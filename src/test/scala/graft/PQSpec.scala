@@ -202,6 +202,18 @@ class PQSpec extends SparkSpec {
         idx.searchPQ(query, k = 5)
       }
       assert(e.getMessage.contains("withPQ"))
+      // batched path returns the same per-query sets as the single path
+      val q2 = emb.filter(col("vec_id") === 5)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val batch = pqIdx.searchManyPQ(
+          Seq(1L -> query, 5L -> q2), k = 15, nprobe = 4, refineC = 200)
+        .collect().groupBy(_.getLong(0))
+        .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+      val single1 = pqIdx.searchPQ(query, 15, nprobe = 4, refineC = 200)
+        .select("vec_id").as[Long].collect().toSet
+      val single5 = pqIdx.searchPQ(q2, 15, nprobe = 4, refineC = 200)
+        .select("vec_id").as[Long].collect().toSet
+      assert(batch(1L) == single1 && batch(5L) == single5)
     } finally { pqIdx.unpersist(); idx.unpersist() }
   }
 
