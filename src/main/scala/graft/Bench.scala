@@ -19,7 +19,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** Representative queries across the operator families for the
-    * compact headline map (full map goes on the BENCHALL line). */
+    * compact headline map (full map goes on the BENCHALL line).
+    * The driver retains only the LAST ~2000 chars of output and the
+    * headline JSON must survive intact — keep this list pruned of
+    * near-twin entries (the r12 line hit 1757 chars; a truncated head
+    * breaks the driver's json parse). */
   private val headline = Seq(
     "smart_group", "merge_datasets", "asof_join", "topk_per_group",
     "pivot_wide", "quantiles_exact", "describe", "corr_matrix",
@@ -30,13 +34,12 @@ object Bench {
     "extractive_summary", "sql_window", "ols_residuals",
     "kruskal_wallis", "zscore", "ivf_topk_approx", "stream_dedup",
     "image_features", "haversine_nn_full", "pii_redact", "decontam",
-    "audio_features", "token_budget_global", "decontam_short",
-    "pii_redact_dates", "token_budget_temp", "heavy_hitters_exact",
+    "audio_features", "token_budget_temp", "heavy_hitters_exact",
     "salted_sum", "chunk_tokens", "line_dedup", "url_dedup", "span_dedup",
     "unigram_ppl", "chunk_sentences", "snapshot_dedup", "snapshot_neardup",
     "bigram_ppl", "bm25_topk", "rrf_fuse", "cosine_i8_topk",
     "quality_clf", "semantic_dedup", "semantic_dedup_ivf", "bm25_stream",
-    "make_blobs", "make_series", "make_walk", "make_text", "make_dynamics",
+    "make_blobs", "make_walk", "make_text",
     "cluster_assign", "cluster_balance", "pq_topk", "pq_refine",
     "token_budget_unimax", "make_sounding", "stratified_hash")
 

@@ -218,18 +218,6 @@ object PQ {
     }.reduce(_ + _)
   }
 
-  /** ADC distance where the LUT is a per-row COLUMN (array<double>,
-    * flat m·k) — the batched IVFADC path ships one LUT per
-    * (query, bucket) pair inside its probe literal. */
-  private[graft] def adcDistFromLutCol(packedCol: Column, cb: PQCodebook,
-                                       lutCol: Column): Column = {
-    val mask = (1L << cb.bits) - 1L
-    (0 until cb.m).map { mm =>
-      element_at(lutCol, (shiftright(packedCol, mm * cb.bits)
-        .bitwiseAND(lit(mask)) + lit(mm.toLong * cb.k + 1)).cast("int"))
-    }.reduce(_ + _)
-  }
-
   private def adcDist(packedCol: Column, cb: PQCodebook,
                       query: Seq[Double]): Column =
     adcDistFromLut(packedCol, cb, lutFor(cb, query).toIndexedSeq)

@@ -204,30 +204,55 @@ object Similarity {
     }
 
     /** Batched IVFADC: [[batchedProbe]]'s one-pass plan with the
-      * candidate scan over the 8-byte residual codes — each probing
-      * (query, bucket) pair ships its LUT (m·k doubles) inside the
-      * bucket→queries literal, so the ADC shortlist is ONE scan of the
-      * probed buckets scored by column lookups (distance negated to
-      * reuse the shared descending top-k). Stage 2 re-ranks the
-      * bounded nq·refineC shortlist by exact cosine: one broadcast
-      * join for the vectors, one for the query vectors, one slim
-      * window. Returns (query_id, idCol, cos), top-k per query. */
+      * candidate scan over the 8-byte residual codes. Every probing
+      * (query, bucket) pair's LUT lives in ONE reference double[]
+      * inside the scoring expression ([[graft.functions.PQAdcLut]]);
+      * the explode carries only a small pair INDEX per candidate —
+      * shipping the 16 KB LUT through the rows was measured SLOWER
+      * than the i8 batch it should beat. Distance is negated to reuse
+      * the shared descending top-k. Stage 2 re-ranks the bounded
+      * nq·refineC shortlist by exact cosine: one broadcast join for
+      * the vectors, one for the query vectors, one slim window.
+      * Returns (query_id, idCol, cos), top-k per query. */
     def searchManyPQ(queries: Seq[(Long, Seq[Double])], k: Int,
                      nprobe: Int = 4, refineC: Int = 200): DataFrame = {
       require(pqCb.isDefined && bucketed.columns.contains("_pq64"),
         "index has no residual PQ codes: call withPQ first")
       require(refineC >= k, "refineC must be at least k")
       val rcb = pqCb.get
-      val short = batchedProbe[Seq[Double]](queries, refineC, nprobe,
-        (q, b) => PQ.lutFor(rcb,
-          q.indices.map(i => q(i) - centroids(b)(i))).toSeq,
+      // pair registry filled while batchedProbe enumerates the probes
+      // (eager Seq.flatMap, so it is complete before `score` builds
+      // the expression)
+      val luts = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      val short = batchedProbe[Int](queries, refineC, nprobe,
+        (q, b) => {
+          luts += PQ.lutFor(rcb,
+            q.indices.map(i => q(i) - centroids(b)(i)))
+          luts.size - 1
+        },
         "_pq64",
-        (codeCol, lutCol) => -PQ.adcDistFromLutCol(codeCol, rcb, lutCol))
+        (codeCol, pairCol) => {
+          import org.apache.spark.sql.GraftColumnBridge
+          val spark0 = bucketed.sparkSession
+          -GraftColumnBridge.toColumn(graft.functions.PQAdcLut(
+            GraftColumnBridge.toExpr(spark0, codeCol),
+            GraftColumnBridge.toExpr(spark0, pairCol),
+            rcb.m, rcb.k, luts.toArray.flatten.toIndexedSeq))
+        })
       val spark = bucketed.sparkSession
       import spark.implicits._
       val qv = queries.map { case (qid, q) => (qid, q.map(_.toFloat)) }
         .toDF("query_id", "_qv")
+      // restrict the re-rank fetch to the probed buckets before the
+      // join — the shortlist can only contain probed rows, and the
+      // bucket filter prunes cached batches instead of scanning the
+      // whole corpus to hash-probe 15k matches
+      val allProbed = queries.flatMap { case (_, q) =>
+        centroids.zipWithIndex.sortBy { case (c, _) => -cos(q, c) }
+          .take(nprobe).map(_._2)
+      }.distinct
       val cand = bucketed
+        .filter(col("_ivf_bucket").isin(allProbed: _*))
         .join(broadcast(short.select(col("query_id"), col(idCol))),
           Seq(idCol))
         .join(broadcast(qv), Seq("query_id"))

@@ -295,6 +295,24 @@ object ScaleProbe {
         bruteBatch(qid).intersect(ivfBatch.getOrElse(qid, Set.empty)).size
           .toDouble / bruteBatch(qid).size
       }.sum / nq
+      // batched IVFADC on the same workload: residual byte codes
+      // shortlist + exact-cosine re-rank per query
+      val pqT0 = System.nanoTime()
+      val pqIdx = idx.withPQ(m = 8, k = 256, iters = 2,
+        sampleFraction = math.min(1.0, 2e5 / n))
+      pqIdx.searchPQ(qs.head._2, 1, nprobe = 1).count() // materialize
+      val pqAttachSec = (System.nanoTime() - pqT0) / 1e9
+      var pqBatch: Map[Long, Set[Long]] = Map.empty
+      val pqBatchSec = median3 {
+        pqBatch = pqIdx.searchManyPQ(qs, 15, nprobe = 4, refineC = 960)
+          .collect().groupBy(_.getLong(0))
+          .map { case (qid, rs) => qid -> rs.map(_.getLong(1)).toSet }
+        nq.toLong
+      }
+      val pqBatchRecall = qs.map { case (qid, _) =>
+        bruteBatch(qid).intersect(pqBatch.getOrElse(qid, Set.empty)).size
+          .toDouble / bruteBatch(qid).size
+      }.sum / nq
       println(f"""ANNPROBE {"n":$n,"nlist":$nlist,"build_sec":$buildSec%.1f,""" +
         f""""brute_sec":$bruteSec%.3f,"ivf_sec":$ivfSec%.3f,""" +
         f""""speedup":${bruteSec / math.max(ivfSec, 1e-9)}%.1f,"recall_at_15":$recall%.3f,""" +
@@ -305,7 +323,12 @@ object ScaleProbe {
         f""""batch_recall_at_15":$batchRecall%.3f,""" +
         f""""ivf_i8_batch_sec":$i8BatchSec%.3f,""" +
         f""""ivf_i8_batch_speedup":${bruteBatchSec / math.max(i8BatchSec, 1e-9)}%.1f,""" +
-        f""""ivf_i8_batch_recall_at_15":$i8BatchRecall%.3f}""")
+        f""""ivf_i8_batch_recall_at_15":$i8BatchRecall%.3f,""" +
+        f""""ivfpq_attach_sec":$pqAttachSec%.1f,""" +
+        f""""ivfpq_batch_sec":$pqBatchSec%.3f,""" +
+        f""""ivfpq_batch_speedup":${bruteBatchSec / math.max(pqBatchSec, 1e-9)}%.1f,""" +
+        f""""ivfpq_batch_recall_at_15":$pqBatchRecall%.3f}""")
+      pqIdx.unpersist()
       require(recall >= 0.9, f"IVF recall@15 $recall%.3f below 0.9")
       require(batchRecall >= 0.9, f"IVF batch recall@15 $batchRecall%.3f below 0.9")
       require(i8Recall >= 0.9, f"int8 recall@15 $i8Recall%.3f below 0.9")
