@@ -41,7 +41,8 @@ object Bench {
     "quality_clf", "semantic_dedup", "semantic_dedup_ivf", "bm25_stream",
     "make_blobs", "make_walk", "make_text",
     "cluster_assign", "cluster_balance", "pq_topk", "pq_refine",
-    "token_budget_unimax", "make_sounding", "stratified_hash")
+    "token_budget_unimax", "make_sounding", "stratified_hash",
+    "weighted_sample", "dsir_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

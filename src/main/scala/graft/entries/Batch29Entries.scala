@@ -80,6 +80,35 @@ object Batch29Entries {
         .orderBy("c_custkey")
     }),
 
+    // rel.Sampling.weightedSampleWithoutReplacement: one-pass A-ES
+    // weighted sampling (Efraimidis-Spirakis 2006, key = u^(1/w),
+    // top-n by key) — the distributed weighted-draw shape; md5
+    // uniforms + round(pow, 9) make it fully oracle-replayable.
+    // Weights rise with order size so big orders over-sample.
+    "weighted_sample" -> ((s, dir) => {
+      val ord = T.orders(s, dir)
+        .withColumn("w", (col("o_totalprice") / lit(1000.0)))
+      graft.rel.Sampling.weightedSampleWithoutReplacement(ord,
+          "o_orderkey", "w", n = 200, seed = 11L)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // text.LangModel.selectByImportance: DSIR importance resampling
+    // (Xie 2023) — target LM = the English fifth of the corpus, raw LM
+    // = everything; weight = exp(clamped loglik ratio), A-ES draw of
+    // 100 docs. English-like docs over-sample; the whole chain
+    // (two round-6 LM scores, clamp, exp, round-9 pow key) replays.
+    "dsir_select" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      graft.text.LangModel.selectByImportance(docs,
+          docs.filter(col("lang") === "en"), docs,
+          "doc_id", "text", n = 100, alpha = 0.5, seed = 13L)
+        .select("doc_id", "lang", "imp_logratio")
+        .withColumn("imp_logratio", round(col("imp_logratio"), 6))
+        .orderBy("doc_id")
+    }),
+
     // text.Quality.selectByTokenBudgetUniMax: 9000-token budget over
     // the five languages, each capped at 0.5 epochs of its corpus.
     // At sf0.01 'de' saturates its cap and the other four waterfill
@@ -224,6 +253,90 @@ object Batch29Entries {
         |                      WHEN 'FURNITURE' THEN 0.05
         |                      ELSE 0.0 END
         |ORDER BY c_custkey""".stripMargin,
+
+    "weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    ROUND(POW(
+        |      CAST(CAST('0x' || substr(md5('11-' ||
+        |          CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)
+        |          AS DOUBLE) / 1152921504606846976.0,
+        |      1.0 / (CAST(o_totalprice AS DOUBLE) / 1000.0)), 9) AS k
+        |  FROM orders
+        |  WHERE CAST(o_totalprice AS DOUBLE) / 1000.0 > 0.0),
+        |sel AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM keyed
+        |  ORDER BY k DESC, o_orderkey ASC LIMIT 200)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM sel
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Two copies of the unigram-LM scoring CTE (target = lang 'en',
+    // raw = all), round-6 doc log-likelihoods, clamped ratio, A-ES
+    // key = round(pow(u, 1/w), 9), top-100 by key.
+    "dsir_select" ->
+      """WITH tokT AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE lang = 'en' AND len(trim(text)) > 0),
+        |cT AS (SELECT token, COUNT(*) AS ctf FROM tokT GROUP BY 1),
+        |totT AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS n,
+        |                CAST(COUNT(*) AS DOUBLE) AS v FROM cT),
+        |tokR AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |cR AS (SELECT token, COUNT(*) AS ctf FROM tokR GROUP BY 1),
+        |totR AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS n,
+        |                CAST(COUNT(*) AS DOUBLE) AS v FROM cR),
+        |dt AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |dtf AS (SELECT doc, token, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+        |jT AS (
+        |  SELECT doc, tf,
+        |    CASE WHEN c.ctf IS NULL
+        |      THEN LN(0.5 / (t.n + 0.5 * (t.v + 1.0)))
+        |      ELSE LN((CAST(c.ctf AS DOUBLE) + 0.5) / (t.n + 0.5 * (t.v + 1.0)))
+        |    END AS logp
+        |  FROM dtf LEFT JOIN cT c USING (token), totT t),
+        |scT AS (
+        |  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    ROUND(SUM(logp * CAST(tf AS DOUBLE)) / CAST(SUM(tf) AS DOUBLE), 6)
+        |      AS mlp
+        |  FROM jT GROUP BY doc),
+        |jR AS (
+        |  SELECT doc, tf,
+        |    CASE WHEN c.ctf IS NULL
+        |      THEN LN(0.5 / (t.n + 0.5 * (t.v + 1.0)))
+        |      ELSE LN((CAST(c.ctf AS DOUBLE) + 0.5) / (t.n + 0.5 * (t.v + 1.0)))
+        |    END AS logp
+        |  FROM dtf LEFT JOIN cR c USING (token), totR t),
+        |scR AS (
+        |  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    ROUND(SUM(logp * CAST(tf AS DOUBLE)) / CAST(SUM(tf) AS DOUBLE), 6)
+        |      AS mlp
+        |  FROM jR GROUP BY doc),
+        |lr AS (
+        |  SELECT d.doc_id, d.lang,
+        |    LEAST(GREATEST(
+        |      scT.mlp * CAST(scT.n_tokens AS DOUBLE)
+        |        - scR.mlp * CAST(scR.n_tokens AS DOUBLE), -30.0), 30.0)
+        |      AS logratio
+        |  FROM documents d
+        |  JOIN scT ON scT.doc = d.doc_id
+        |  JOIN scR ON scR.doc = d.doc_id),
+        |keyed AS (
+        |  SELECT doc_id, lang, logratio,
+        |    ROUND(POW(
+        |      CAST(CAST('0x' || substr(md5('13-' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+        |        / 1152921504606846976.0,
+        |      1.0 / EXP(logratio)), 9) AS k
+        |  FROM lr WHERE EXP(logratio) > 0.0),
+        |sel AS (
+        |  SELECT doc_id, lang, logratio FROM keyed
+        |  ORDER BY k DESC, doc_id ASC LIMIT 100)
+        |SELECT doc_id, lang, ROUND(logratio, 6) AS imp_logratio FROM sel
+        |ORDER BY doc_id""".stripMargin,
 
     "token_budget_unimax" ->
       """WITH d AS (

@@ -97,6 +97,32 @@ object Sampling {
     df.filter(u < fracExpr)
   }
 
+  /** Weighted sampling WITHOUT replacement in one pass — the
+    * Efraimidis–Spirakis A-ES scheme (IPL 2006): each row draws
+    * `key = u^(1/w)` and the n largest keys are the sample, which is
+    * provably distributed as sequential weighted draws without
+    * replacement. This is THE distributed shape: no sequential state,
+    * one scan + a top-n (per-partition heaps), and with the md5 hash
+    * uniform the draw is a pure function of row identity —
+    * repartition-stable and SQL-replayable (`pow` crosses libm, so the
+    * key rounds to 9 before ranking; a tie at 9 dp breaks by id).
+    * Rows with weight ≤ 0 or NULL never sample (their key is NULL). */
+  def weightedSampleWithoutReplacement(df: DataFrame, idCol: String,
+                                       weightCol: String, n: Int,
+                                       seed: Long = 42L): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val u = conv(substring(md5(concat_ws("-", lit(seed),
+        col(idCol).cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long").cast("double") / lit(math.pow(2.0, 60))
+    val w = col(weightCol).cast("double")
+    val key = when(w > 0.0, round(pow(u, lit(1.0) / w), 9))
+    df.withColumn("_es_key", key)
+      .filter(col("_es_key").isNotNull)
+      .orderBy(col("_es_key").desc, col(idCol).asc)
+      .limit(n)
+      .drop("_es_key")
+  }
+
   /** Split into `n` disjoint batches (random, seed-deterministic) —
     * `batch_sampling` (data_utils.py:5677) without replacement. */
   def batches(df: DataFrame, n: Int, seed: Long = 42L): Array[DataFrame] =

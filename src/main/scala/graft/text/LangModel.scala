@@ -179,6 +179,43 @@ object LangModel {
     * contract), perplexity from the ROUNDED mean, and the left join
     * back to the document spine so unscorable documents surface with
     * the neutral empty product instead of disappearing. */
+  /** DSIR-style importance selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every candidate under a TARGET-domain unigram LM and a RAW-corpus
+    * unigram LM, weight by the likelihood ratio
+    * `w = exp(loglik_target − loglik_raw)` (log-ratio clamped to ±30
+    * so exp stays finite), then draw `n` docs WITHOUT replacement by
+    * [[graft.rel.Sampling.weightedSampleWithoutReplacement]]'s A-ES
+    * rule. Plan: one corpus pass per model, vocab-bounded joins, one
+    * top-n — nothing sequential, nothing corpus-sized on the driver.
+    * Deterministic given `seed` (md5-uniform keys), and every step is
+    * SQL-replayable: the doc log-likelihood is the round-6
+    * `mean_logprob · n_tokens` both engines already agree on, the
+    * clamp is exact, and the exp/pow libm crossings sit behind the
+    * sampler's round-9 key. Returns the selected docs with
+    * `imp_logratio` attached. */
+  def selectByImportance(docs: DataFrame, targetCorpus: DataFrame,
+                         rawCorpus: DataFrame, idCol: String,
+                         textCol: String, n: Int, alpha: Double = 0.5,
+                         seed: Long = 42L): DataFrame = {
+    val t = scoreByUnigram(docs, targetCorpus, idCol, textCol, alpha)
+      .select(col("doc").as("_dt"),
+        (col("mean_logprob") * col("n_tokens").cast("double")).as("_llt"))
+    val r = scoreByUnigram(docs, rawCorpus, idCol, textCol, alpha)
+      .select(col("doc").as("_dr"),
+        (col("mean_logprob") * col("n_tokens").cast("double")).as("_llr"))
+    val weighted = docs
+      .join(t, col(idCol) === col("_dt"))
+      .join(r, col(idCol) === col("_dr"))
+      .withColumn("imp_logratio",
+        least(greatest(col("_llt") - col("_llr"), lit(-30.0)), lit(30.0)))
+      .withColumn("_imp_w", exp(col("imp_logratio")))
+      .drop("_dt", "_dr", "_llt", "_llr")
+    graft.rel.Sampling.weightedSampleWithoutReplacement(
+        weighted, idCol, "_imp_w", n, seed)
+      .drop("_imp_w")
+  }
+
   private def finishScores(docs: DataFrame, idCol: String,
                            scored: DataFrame, nName: String): DataFrame = {
     val agg = scored.groupBy("doc")

@@ -159,4 +159,40 @@ class Batch25Spec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(11L))
   }
+
+  test("weightedSampleWithoutReplacement: heavy weights dominate, zero/null never sample") {
+    val df = ((1L to 10L).map(i => (i, 100.0)) ++
+      (11L to 60L).map(i => (i, 0.5)) ++
+      Seq((61L, 0.0), (62L, -3.0))).toDF("id", "w")
+      .union(Seq((63L, Option.empty[Double])).toDF("id", "w"))
+    val got = graft.rel.Sampling.weightedSampleWithoutReplacement(
+        df, "id", "w", n = 12, seed = 5L)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 12)
+    // all ten heavy rows make a 12-row sample with 200:1 odds each
+    assert((1L to 10L).toSet.subsetOf(got), s"heavy rows missing: $got")
+    assert(!got.contains(61L) && !got.contains(62L) && !got.contains(63L))
+    val again = graft.rel.Sampling.weightedSampleWithoutReplacement(
+        df, "id", "w", n = 12, seed = 5L)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
+  test("selectByImportance up-samples target-like documents") {
+    // target corpus speaks alpha; raw corpus is balanced. Candidates:
+    // 30 alpha docs, 30 beta docs -> the likelihood ratio should pull
+    // the selection overwhelmingly to alpha.
+    val target = (1 to 20).map(i => (i.toLong, "alpha alpha alpha common"))
+      .toDF("doc_id", "text")
+    val cands = ((100 to 129).map(i => (i.toLong, "alpha alpha common word")) ++
+      (200 to 229).map(i => (i.toLong, "beta beta common word")))
+      .toDF("doc_id", "text")
+    val raw = cands
+    val sel = graft.text.LangModel.selectByImportance(cands, target, raw,
+        "doc_id", "text", n = 20, alpha = 0.5, seed = 3L)
+      .select("doc_id").as[Long].collect()
+    val alphaShare = sel.count(_ < 200).toDouble / sel.length
+    assert(sel.length == 20)
+    assert(alphaShare >= 0.9, s"alpha share $alphaShare of ${sel.length}")
+  }
 }
