@@ -29,20 +29,21 @@ object Bench {
     "pivot_wide", "quantiles_exact", "describe", "corr_matrix",
     "rank_window", "moving_avg", "decompose_seasonal", "acf",
     "sessionize", "audit_composite", "dedup_exact", "minhash_pairs",
-    "simhash_pairs", "drop_near_dups", "cosine_topk", "ivf_topk",
+    "drop_near_dups", "cosine_topk", "ivf_topk",
     "lang_id", "text_quality", "rep_stats", "activations",
     "extractive_summary", "sql_window", "ols_residuals",
     "kruskal_wallis", "zscore", "ivf_topk_approx", "stream_dedup",
     "image_features", "haversine_nn_full", "pii_redact", "decontam",
     "audio_features", "token_budget_temp", "heavy_hitters_exact",
     "salted_sum", "chunk_tokens", "line_dedup", "url_dedup", "span_dedup",
-    "unigram_ppl", "chunk_sentences", "snapshot_dedup", "snapshot_neardup",
+    "unigram_ppl", "snapshot_dedup", "snapshot_neardup",
     "bigram_ppl", "bm25_topk", "rrf_fuse", "cosine_i8_topk",
     "quality_clf", "semantic_dedup", "semantic_dedup_ivf", "bm25_stream",
     "make_blobs", "make_walk", "make_text",
     "cluster_assign", "cluster_balance", "pq_topk", "pq_refine",
-    "token_budget_unimax", "make_sounding", "stratified_hash",
-    "weighted_sample", "dsir_select")
+    "token_budget_unimax", "stratified_hash",
+    "weighted_sample", "dsir_select",
+    "gopher_rules", "ngram_rep", "semantic_decontam")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -53,7 +53,8 @@ object SparkEntry {
       entries.Batch26Entries.queries ++
       entries.Batch27Entries.queries ++
       entries.Batch28Entries.queries ++
-      entries.Batch29Entries.queries
+      entries.Batch29Entries.queries ++
+      entries.Batch30Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -85,7 +86,8 @@ object SparkEntry {
       entries.Batch26Entries.oracleSql ++
       entries.Batch27Entries.oracleSql ++
       entries.Batch28Entries.oracleSql ++
-      entries.Batch29Entries.oracleSql
+      entries.Batch29Entries.oracleSql ++
+      entries.Batch30Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -151,6 +151,20 @@ object GfFrame {
                 minWordsPerLine: Int = 3, minSentences: Int = 2): Fluent =
       new Fluent(graft.text.C4.c4Clean(df, idCol, textCol,
         minWordsPerLine, minSentences))
+    def gopherRules(idCol: String, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000): Fluent =
+      new Fluent(graft.text.Quality.gopherRules(df, idCol, textCol,
+        minWords, maxWords))
+    def dupNgramCharFrac(idCol: String, textCol: String, n: Int,
+                         minOccur: Int = 2): Fluent =
+      new Fluent(graft.text.Quality.dupNgramCharFrac(df, idCol, textCol,
+        n, minOccur))
+    /** Semantic decontamination of this frame against an eval set. */
+    def dropContaminatedVectors(evalDf: DataFrame, idCol: String,
+                                vecCol: String, evalVecCol: String,
+                                threshold: Double): Fluent =
+      new Fluent(graft.ml.Similarity.dropContaminatedVectors(df, evalDf,
+        idCol, vecCol, evalVecCol, threshold))
     def scoreByUnigram(refCorpus: DataFrame, idCol: String, textCol: String,
                        alpha: Double = 0.5): Fluent =
       new Fluent(graft.text.LangModel.scoreByUnigram(df, refCorpus,

@@ -1,0 +1,153 @@
+package graft.entries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+
+/** Round-12 continuation: the Gopher rule-based quality filter family
+  * (full rule table + the duplicated-n-gram repetition signal) and
+  * embedding-space decontamination — the semantic complement of the
+  * k-gram screen. */
+object Batch30Entries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // text.Quality.gopherRules: the Gopher appendix-A1.1 rule table as
+    // ONE whole-stage-codegen projection — word-count bounds, mean
+    // word length, #/ellipsis symbol ratio, bullet/ellipsis line
+    // fractions, alphabetic-word fraction, distinct-stop-word floor.
+    // Failing pages are flagged, not dropped. Bounds 30..90 words and
+    // minStopHits=1 split the synthetic corpus both ways; zh docs
+    // exercise the alpha-fraction rule for real.
+    "gopher_rules" -> ((s, dir) => {
+      graft.text.Quality.gopherRules(T.documents(s, dir), "doc_id", "text",
+          minWords = 30, maxWords = 90, minStopHits = 1)
+        .orderBy("doc_id")
+    }),
+
+    // text.Quality.dupNgramCharFrac: Gopher's duplicate-n-gram
+    // character fraction (n=2 — 349 of the 500 sf0.01 docs carry a
+    // duplicated bigram, so both regimes are exercised) — positional
+    // coverage, a token counts once however many duplicated bigrams
+    // overlap it. Explode-once plan: transform(sequence)+slice builds
+    // grams in-row, shuffles keyed by doc / (doc, gram) only.
+    "ngram_rep" -> ((s, dir) => {
+      graft.text.Quality.dupNgramCharFrac(T.documents(s, dir),
+          "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+
+    // ml.Similarity.semanticDecontam: every 20th vector plays the
+    // benchmark/eval set; the rest is the training corpus. Eval side
+    // broadcasts, the n×m expansion collapses in a partial max — the
+    // assignToCentroids plan shape. Flag compares the UNROUNDED max
+    // (both engines fold identical doubles), round-6 for display.
+    "semantic_decontam" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      graft.ml.Similarity.semanticDecontam(
+          e.filter(col("vec_id") % 20 =!= 0),
+          e.filter(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", "embedding", threshold = 0.30)
+        .select(col("vec_id"), col("label"),
+          round(col("max_eval_cos"), 6).as("max_eval_cos"),
+          col("contaminated"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE ROUND(CAST(len(regexp_replace(trim(text), '\s+', '', 'g'))
+        |                    AS DOUBLE) / len(toks), 9) END AS mean_word_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE ROUND(CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+        |                    AS DOUBLE) / len(toks), 9) END AS symbol_ratio,
+        |    CASE WHEN len(lines) = 0 THEN 0.0
+        |         ELSE ROUND(CAST(len(list_filter(lines,
+        |              l -> regexp_matches(ltrim(l), '^[-*•]')))
+        |                    AS DOUBLE) / len(lines), 9) END AS bullet_frac,
+        |    CASE WHEN len(lines) = 0 THEN 0.0
+        |         ELSE ROUND(CAST(len(list_filter(lines,
+        |              l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+        |                    AS DOUBLE) / len(lines), 9) END AS ellipsis_frac,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE ROUND(CAST(len(list_filter(toks,
+        |              t -> regexp_matches(t, '[A-Za-z]')))
+        |                    AS DOUBLE) / len(toks), 9) END AS alpha_frac,
+        |    CAST(len(list_intersect(list_transform(toks, t -> lower(t)),
+        |      ['the','be','to','of','and','that','have','with'])) AS INT)
+        |      AS n_stop
+        |  FROM d)
+        |SELECT *,
+        |  (n_words >= 30 AND n_words <= 90
+        |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |   AND n_stop >= 1) AS kept
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "ngram_rep" ->
+      """WITH base AS (
+        |  SELECT doc_id AS doc,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |tl AS (
+        |  SELECT doc, pos, len(toks[pos]) AS l
+        |  FROM (SELECT doc, toks, unnest(range(1, len(toks) + 1)) AS pos
+        |        FROM base)),
+        |g AS (
+        |  SELECT doc, i, array_to_string(list_slice(toks, i, i + 1), ' ') AS gr
+        |  FROM (SELECT doc, toks, unnest(range(1, len(toks))) AS i
+        |        FROM base WHERE len(toks) >= 2)),
+        |dup AS (SELECT doc, gr FROM g GROUP BY doc, gr HAVING COUNT(*) >= 2),
+        |occ AS (SELECT g.doc, g.i FROM g
+        |        JOIN dup ON g.doc = dup.doc AND g.gr = dup.gr),
+        |cov AS (SELECT DISTINCT doc, pos FROM
+        |  (SELECT doc, unnest(range(i, i + 2)) AS pos FROM occ)),
+        |covc AS (SELECT cov.doc, CAST(SUM(tl.l) AS BIGINT) AS covch
+        |         FROM cov JOIN tl ON cov.doc = tl.doc AND cov.pos = tl.pos
+        |         GROUP BY cov.doc),
+        |tot AS (SELECT doc, CAST(SUM(l) AS BIGINT) AS totch
+        |        FROM tl GROUP BY doc)
+        |SELECT b.doc AS doc_id,
+        |  COALESCE(tot.totch, 0) AS total_chars,
+        |  COALESCE(covc.covch, 0) AS dup_chars,
+        |  ROUND(COALESCE(CAST(covc.covch AS DOUBLE) / tot.totch, 0.0), 9)
+        |    AS dup_ngram_char_frac
+        |FROM base b
+        |LEFT JOIN tot ON b.doc = tot.doc
+        |LEFT JOIN covc ON b.doc = covc.doc
+        |ORDER BY doc_id""".stripMargin,
+
+    "semantic_decontam" ->
+      """WITH ev AS (SELECT embedding AS ev FROM embeddings
+        |            WHERE vec_id % 20 = 0),
+        |tr AS (SELECT * FROM embeddings WHERE vec_id % 20 <> 0),
+        |x AS (
+        |  SELECT t.vec_id, MAX(
+        |    list_sum(list_transform(list_zip(t.embedding, ev.ev),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (SQRT(list_sum(list_transform(t.embedding,
+        |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+        |       * SQRT(list_sum(list_transform(ev.ev,
+        |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))))) AS mc
+        |  FROM tr t CROSS JOIN ev GROUP BY t.vec_id)
+        |SELECT t.vec_id, t.label, ROUND(x.mc, 6) AS max_eval_cos,
+        |  (x.mc >= 0.30) AS contaminated
+        |FROM tr t JOIN x ON t.vec_id = x.vec_id
+        |ORDER BY t.vec_id""".stripMargin
+  )
+}

@@ -416,6 +416,47 @@ object Similarity {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Embedding-space decontamination — the semantic complement of
+    * [[graft.text.Decontaminate]]'s k-gram screen: a training vector is
+    * contaminated iff its cosine against ANY benchmark/eval vector
+    * reaches `threshold` (paraphrased eval leakage that exact n-gram
+    * overlap misses). Returns every training row with `max_eval_cos`
+    * (the evidence column — tune the threshold from its distribution)
+    * and the `contaminated` flag; [[dropContaminatedVectors]] is the
+    * filtering face.
+    *
+    * Plan shape for 100 TB: eval sets are small by nature (thousands of
+    * rows), so the eval side BROADCASTS and the corpus streams through
+    * one n×m nested-loop expansion that collapses in a
+    * partial-aggregable `max` — map-side combine, the only shuffle is
+    * the per-id aggregation merge, identical to [[assignToCentroids]].
+    * The flag compares the UNROUNDED max (round only for display): both
+    * engines fold the same doubles in the same index order, so the
+    * comparison is IEEE-exact. An empty eval set contaminates nothing
+    * (max_eval_cos NULL, flag false). */
+  def semanticDecontam(train: DataFrame, evalDf: DataFrame,
+                       idCol: String, vecCol: String, evalVecCol: String,
+                       threshold: Double): DataFrame = {
+    val ev = broadcast(evalDf.select(col(evalVecCol).as("_ev")))
+    val x = train.select(col(idCol), col(vecCol)).crossJoin(ev)
+    val scored = x
+      .withColumn("_cos", cosineNative(x, col(vecCol), col("_ev")))
+      .groupBy(col(idCol)).agg(max(col("_cos")).as("max_eval_cos"))
+    train.join(scored, Seq(idCol), "left")
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cos") >= threshold, lit(false)))
+  }
+
+  /** Training rows surviving the [[semanticDecontam]] screen, evidence
+    * columns removed — the drop-in cleaning step. */
+  def dropContaminatedVectors(train: DataFrame, evalDf: DataFrame,
+                              idCol: String, vecCol: String,
+                              evalVecCol: String,
+                              threshold: Double): DataFrame =
+    semanticDecontam(train, evalDf, idCol, vecCol, evalVecCol, threshold)
+      .filter(!col("contaminated"))
+      .drop("max_eval_cos", "contaminated")
+
   /** Nearest-centroid assignment against a small centroid table — the
     * deploy half of a KMeans fit (or any fixed centroid artifact: the
     * `ivfIndex` centroids, a seed subset, an externally trained

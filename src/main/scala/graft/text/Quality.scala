@@ -114,6 +114,121 @@ object Quality {
   private def array_intersect_keep(toks: Column, stop: Seq[String]): Column =
     filter(toks, t => t.isin(stop: _*))
 
+  /** The Gopher quality rule table (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * appendix A1.1) — the standard rule-based page filter a pre-training
+    * pipeline runs before any model-based scoring:
+    *
+    *  - word count within [minWords, maxWords]
+    *  - mean word length within [minMeanWordLen, maxMeanWordLen]
+    *  - symbol-to-word ratio (`#` or `...` hits per word) ≤ maxSymbolRatio
+    *  - fraction of lines starting with a bullet ≤ maxBulletFrac
+    *  - fraction of lines ending with an ellipsis ≤ maxEllipsisFrac
+    *  - fraction of words containing ≥ 1 alphabetic char ≥ minAlphaFrac
+    *  - ≥ minStopHits DISTINCT stop words present
+    *
+    * Like [[graft.text.C4.c4Clean]], failing pages are FLAGGED
+    * (`kept = false`) with every signal exposed, not dropped — the
+    * audit stream a 100 TB pipeline needs to tune thresholds. Pure
+    * column expressions over one row: no shuffle, no explode — the
+    * whole table runs inside one whole-stage-codegen projection.
+    * Ratios are exact integer-count divisions rounded 9 BEFORE the
+    * threshold comparisons, so an external SQL engine replaying the
+    * same rounded values lands on identical flags. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 2,
+                  stopwords: Seq[String] = Seq(
+                    "the", "be", "to", "of", "and", "that", "have", "with"))
+      : DataFrame = {
+    val c = col(textCol)
+    val toks = TextFns.tokens(c)
+    val nW = size(toks).cast("double")
+    val lines = split(c, "\n")
+    val nL = size(lines).cast("double")
+    val meanLen = when(nW === 0, 0.0).otherwise(round(
+      length(regexp_replace(trim(c), "\\s+", "")).cast("double") / nW, 9))
+    val symRatio = when(nW === 0, 0.0).otherwise(round(
+      size(regexp_extract_all(c, lit("#|\\.\\.\\."), lit(0))).cast("double") / nW, 9))
+    val bulletFrac = when(nL === 0, 0.0).otherwise(round(
+      size(filter(lines, l => ltrim(l).rlike("^[-*•]"))).cast("double") / nL, 9))
+    val ellipsisFrac = when(nL === 0, 0.0).otherwise(round(
+      size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nL, 9))
+    val alphaFrac = when(nW === 0, 0.0).otherwise(round(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nW, 9))
+    val nStop = size(array_intersect(transform(toks, t => lower(t)),
+      typedlit(stopwords)))
+    df.select(col(idCol),
+        size(toks).as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+        nStop.as("n_stop"))
+      .withColumn("kept",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("bullet_frac") <= maxBulletFrac &&
+        col("ellipsis_frac") <= maxEllipsisFrac &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("n_stop") >= minStopHits)
+  }
+
+  /** Gopher's duplicated n-gram signal: the fraction of a document's
+    * characters covered by word n-grams that occur ≥ minOccur times
+    * WITHIN the document (Rae et al. 2021 table A1's "duplicate n-gram
+    * character fraction" — their strongest repetition filter for
+    * n ≥ 5; [[repetitionStats]] covers the top-bigram variant).
+    * Coverage is positional: a token counts once however many
+    * duplicated n-grams overlap it, and "characters" are token
+    * characters (whitespace-free — the same Σ token-length integer
+    * [[qualityScores]] uses).
+    *
+    * Plan: n-grams materialize per row via `transform(sequence)` +
+    * `slice` (window-free, codegen), ONE posexplode feeds the
+    * per-(doc, gram) count, occurrences of duplicated grams re-join on
+    * (doc, gram), covered positions union via `explode(sequence)` +
+    * distinct, and token lengths join back by (doc, position). Every
+    * shuffle is keyed by doc or (doc, gram) — linear in corpus size,
+    * the same explode-once shape as
+    * [[graft.text.Chunk.maskDuplicateSpans]]. */
+  def dupNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, minOccur: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minOccur >= 2, "minOccur must be >= 2")
+    val base = df.select(col(idCol).as("doc"), TextFns.tokens(col(textCol)).as("_toks"))
+    val tokLens = base
+      .select(col("doc"), posexplode(col("_toks")).as(Seq("_p0", "_t")))
+      .select(col("doc"), (col("_p0") + 1).as("_pos"), length(col("_t")).as("_len"))
+    val grams = base.filter(size(col("_toks")) >= n)
+      .select(col("doc"), posexplode(
+        transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as(Seq("_i0", "_g")))
+    val dups = grams.groupBy("doc", "_g")
+      .agg(count(lit(1)).as("_c")).filter(col("_c") >= minOccur)
+      .select("doc", "_g")
+    val covered = grams.join(dups, Seq("doc", "_g"))
+      .select(col("doc"), explode(sequence(col("_i0") + 1, col("_i0") + n)).as("_pos"))
+      .distinct()
+    val covChars = covered.join(tokLens, Seq("doc", "_pos"))
+      .groupBy("doc").agg(sum("_len").as("_cov"))
+    val totChars = tokLens.groupBy("doc").agg(sum("_len").as("_tot"))
+    // LEFT joins: a doc with no tokens (or no duplicated n-gram) must
+    // surface with frac 0, not vanish — same survival rule as
+    // [[repetitionStats]]
+    base.select(col("doc"))
+      .join(totChars, Seq("doc"), "left")
+      .join(covChars, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("_tot"), lit(0L)).as("total_chars"),
+        coalesce(col("_cov"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("_cov").cast("double") / col("_tot"), lit(0.0)), 9)
+          .as("dup_ngram_char_frac"))
+  }
+
   /** Marker-word language scores + argmax prediction.
     *
     * Language-ID heuristic (north-star): count hits of per-language

@@ -51,7 +51,16 @@ object PlanAudit {
     // cluster_assign / cluster_balance: the K-centroid codebook (K=8)
     // broadcasts onto the corpus — the intended n×K expansion that
     // collapses in a partial-aggregable argmax
-    "cluster_assign", "cluster_balance")
+    "cluster_assign", "cluster_balance",
+    // dsir_select: scores the corpus under TWO unigram LMs (target +
+    // raw), so it carries two sets of the unigram_ppl (N, V)
+    // corpus-total 1-row scalar broadcasts
+    "dsir_select",
+    // semantic_decontam: the benchmark/eval vector set broadcasts onto
+    // the training corpus — the intended n×m expansion (m = eval size,
+    // small by nature) collapsing in a partial-aggregable max, the
+    // cluster_assign plan shape
+    "semantic_decontam")
 
   /** Audit one query's executed plan string. */
   def auditPlan(name: String, plan: String): Audit = {

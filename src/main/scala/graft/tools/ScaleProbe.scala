@@ -127,6 +127,21 @@ object ScaleProbe {
               regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
           Snapshot.dropSeenNearDups(fresh, cached, "doc_id", "text").count()
         },
+        timed("gopher_rules") {
+          // one codegen projection — the trivially-linear baseline the
+          // other text axes are judged against
+          graft.text.Quality.gopherRules(cached, "doc_id", "text",
+            minWords = 30, maxWords = 90, minStopHits = 1)
+            .filter(col("kept")).count()
+        },
+        timed("ngram_rep") {
+          // the (doc, gram) count and positional-coverage joins are all
+          // keyed by doc — word rotation preserves bigram mass, so the
+          // duplicated-gram set grows with the corpus
+          graft.text.Quality.dupNgramCharFrac(cached, "doc_id", "text",
+              n = 2)
+            .agg(sum(col("dup_chars"))).head().getLong(0)
+        },
         timed("bm25_single") {
           // single parameterization — no candidate localCheckpoint:
           // isolates the shared-candidate ensemble machinery from the
@@ -597,6 +612,46 @@ object ScaleProbe {
         f""""assign_small_sec":$a1,"balance_small_sec":$b1,"kept_small":$k1,""" +
         f""""assign_big_sec":$a4,"balance_big_sec":$b4,"kept_big":$k4,""" +
         f""""assign_ratio_for_4x":${math.round(a4 / math.max(a1, 0.001) * 10) / 10.0}}""")
+      spark.stop()
+      return
+    }
+
+    // Semantic-decontamination axis (SPARK_GRAFT_DECONTAM_N=<rows>):
+    // the broadcast-eval max screen must be LINEAR in corpus size n at
+    // fixed eval size m — the n×m expansion never materializes (it
+    // collapses in the partial max), so 4× corpus ≈ 4× wall. Vectors
+    // are the SemDeDup axis's hash noise; eval = the first 512 corpus
+    // vectors (every realistic eval set is driver-small), so exactly
+    // 512 rows are contaminated at cos = 1 — a planted invariant that
+    // holds at every multiplier.
+    sys.env.get("SPARK_GRAFT_DECONTAM_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      val dim = 64
+      def mk(sz: Long): DataFrame =
+        spark.range(sz).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (xxhash64(col("id") * lit(1000003L) + j).cast("double") /
+              lit(Long.MaxValue.toDouble)).cast("float")).as("embedding"))
+      def run(sz: Long): (Double, Long) = {
+        val emb = mk(sz).persist(); emb.count()
+        val eval = mk(512).select(col("embedding").as("ev"))
+        val secs = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          Similarity.semanticDecontam(emb, eval, "vec_id", "embedding",
+            "ev", 0.9).filter(col("contaminated")).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val flagged = Similarity.semanticDecontam(emb, eval, "vec_id",
+          "embedding", "ev", 0.9).filter(col("contaminated")).count()
+        emb.unpersist()
+        (math.round(secs(1) * 1000) / 1000.0, flagged)
+      }
+      run(n / 4) // warm codegen/JIT untimed
+      val (s1, f1) = run(n / 4)
+      val (s4, f4) = run(n)
+      println(f"""DECONTAMPROBE {"n_small":${n / 4},"n_big":$n,"m_eval":512,""" +
+        f""""screen_small_sec":$s1,"flagged_small":$f1,""" +
+        f""""screen_big_sec":$s4,"flagged_big":$f4,""" +
+        f""""screen_ratio_for_4x":${math.round(s4 / math.max(s1, 0.001) * 10) / 10.0}}""")
       spark.stop()
       return
     }

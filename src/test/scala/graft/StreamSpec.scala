@@ -171,6 +171,25 @@ class StreamSpec extends SparkSpec {
     assert(out(2L) == "see [URL] ok")
   }
 
+  test("gopherRules composes with a stream: pure projection, append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // the whole Gopher rule table is one codegen projection — no
+    // shuffle, no explode — so it runs unchanged on an unbounded
+    // stream: the rule-based quality gate a live ingest pipeline runs
+    val df = graft.text.Quality.gopherRules(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      minWords = 3, minStopHits = 1)
+    val q = df.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, "the quick brown fox jumps"), (2L, "# # #"))
+    q.processAllAvailable()
+    val out = spark.table("gopher_stream")
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    q.stop()
+    assert(out == Map(1L -> true, 2L -> false))
+  }
+
   test("chunkByTokens and normalizeUrl compose with a stream: generator/projection, append mode") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, String)]
