@@ -38,14 +38,17 @@ object Batch30Entries {
         .orderBy("doc_id")
     }),
 
-    // ml.Similarity.semanticDecontam: every 20th vector plays the
-    // benchmark/eval set; the rest is the training corpus. Eval side
-    // broadcasts, the n×m expansion collapses in a partial max — the
-    // assignToCentroids plan shape. Flag compares the UNROUNDED max
-    // (both engines fold identical doubles), round-6 for display.
+    // ml.Similarity.semanticDecontamKernel: every 20th vector plays
+    // the benchmark/eval set; the rest is the training corpus. The
+    // eval matrix rides as ONE reference double[] inside the native
+    // max_cosine_f32 codegen expression — the whole screen is a single
+    // projection pass, no join, no shuffle (the crossJoin+max twin is
+    // bit-parity-asserted in GopherSpec; the DECONTAM probe measured
+    // it super-linear under memory pressure, the kernel linear). Flag
+    // compares the UNROUNDED max, round-6 for display.
     "semantic_decontam" -> ((s, dir) => {
       val e = T.embeddings(s, dir)
-      graft.ml.Similarity.semanticDecontam(
+      graft.ml.Similarity.semanticDecontamKernel(
           e.filter(col("vec_id") % 20 =!= 0),
           e.filter(col("vec_id") % 20 === 0),
           "vec_id", "embedding", "embedding", threshold = 0.30)

@@ -166,6 +166,115 @@ case class CosineF32(left: Expression, right: Expression)
       newRight: Expression): CosineF32 = copy(left = newLeft, right = newRight)
 }
 
+/** max_cosine_f32(array<float>) against a FIXED eval matrix → double:
+  * the decontamination-screen kernel. The m×dim eval vectors ride as
+  * ONE reference double[] inside the generated code (the
+  * [[PQAdcLut]] pattern), so screening a corpus against an eval set
+  * is a single projection pass — no n×m row expansion, no join, no
+  * aggregation. Per-eval cosine is the EXACT [[CosineF32]] math
+  * (min-length fold, per-pair double accumulation, zero-norm → 0.0)
+  * and the running max mirrors Spark's `max` aggregate NaN ordering
+  * (NaN counts as greatest), so the result is bit-identical to
+  * `crossJoin(evals) → cosine_f32 → groupBy.max`. */
+case class MaxCosineF32(child: Expression, flatEvals: IndexedSeq[Double],
+                        dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with NullElementAware {
+  require(dim >= 1 && flatEvals.nonEmpty && flatEvals.length % dim == 0,
+    s"eval matrix must be m×dim flat, got ${flatEvals.length} with dim=$dim")
+  private val m = flatEvals.length / dim
+  @transient private lazy val evals: Array[Double] = flatEvals.toArray
+
+  override protected def arrayChildren: Seq[Expression] = Seq(child)
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"max_cosine_f32 expects array<float>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val len = x.numElements()
+    if (mayHaveNullElements) {
+      var i = 0
+      while (i < len) {
+        if (x.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    val n = math.min(len, dim)
+    var best = Double.NegativeInfinity
+    var e = 0
+    while (e < m) {
+      val base = e * dim
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getFloat(i).toDouble
+        val yv = evals(base + i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      val c = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      if (java.lang.Double.isNaN(c) || c > best) best = c
+      e += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val eref = ctx.addReferenceObj("decontamEvals", evals, "double[]")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val e = ctx.freshName("e")
+      val base = ctx.freshName("base")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val c = ctx.freshName("c")
+      val best = ctx.freshName("best")
+      val nullCheck = if (mayHaveNullElements)
+        s"""
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |}
+         """.stripMargin
+      else ""
+      s"""
+         |$nullCheck
+         |if (!${ev.isNull}) {
+         |  int $n = java.lang.Math.min($a.numElements(), $dim);
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  for (int $e = 0; $e < $m; $e++) {
+         |    int $base = $e * $dim;
+         |    double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $xv = (double) $a.getFloat($i);
+         |      double $yv = $eref[$base + $i];
+         |      $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |    }
+         |    double $c = ($na == 0.0 || $nb == 0.0) ? 0.0 :
+         |      $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if (Double.isNaN($c) || $c > $best) $best = $c;
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MaxCosineF32 =
+    copy(child = newChild)
+}
+
 /** quantize_i8(array<float>) → binary: symmetric per-vector int8
   * quantization, the 4×-memory scale path for ANN scans (a 100 TB
   * embedding store is usually memory-bound, not FLOP-bound).

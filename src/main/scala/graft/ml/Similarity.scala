@@ -447,6 +447,39 @@ object Similarity {
         coalesce(col("max_eval_cos") >= threshold, lit(false)))
   }
 
+  /** Kernelized [[semanticDecontam]] — same inputs, same output schema,
+    * bit-identical doubles, different physical plan: the eval matrix is
+    * COLLECTED (bounded — eval sets are driver-small by nature) and
+    * rides as one reference double[] inside the native
+    * `max_cosine_f32` codegen expression, so the screen is a single
+    * whole-stage-codegen projection over the corpus. No n×m row
+    * expansion, no join, no shuffle at all — the DECONTAM scale probe
+    * measured the join path super-linear under memory pressure (8.5×
+    * wall at 4× corpus) while this kernel is embarrassingly linear.
+    * Use the join form only when the eval set is itself too large to
+    * collect (then it isn't an eval set). */
+  def semanticDecontamKernel(train: DataFrame, evalDf: DataFrame,
+                             idCol: String, vecCol: String,
+                             evalVecCol: String,
+                             threshold: Double): DataFrame = {
+    val evs = evalDf.select(col(evalVecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    if (evs.isEmpty)
+      return train.withColumn("max_eval_cos", lit(null).cast("double"))
+        .withColumn("contaminated", lit(false))
+    val dim = evs.head.length
+    require(evs.forall(_.length == dim),
+      "eval vectors must share one dimensionality")
+    val expr = graft.functions.MaxCosineF32(
+      org.apache.spark.sql.GraftColumnBridge.toExpr(train.sparkSession,
+        col(vecCol)),
+      evs.flatten.toIndexedSeq, dim)
+    train.withColumn("max_eval_cos",
+        org.apache.spark.sql.GraftColumnBridge.toColumn(expr))
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cos") >= threshold, lit(false)))
+  }
+
   /** Training rows surviving the [[semanticDecontam]] screen, evidence
     * columns removed — the drop-in cleaning step. */
   def dropContaminatedVectors(train: DataFrame, evalDf: DataFrame,

@@ -55,12 +55,11 @@ object PlanAudit {
     // dsir_select: scores the corpus under TWO unigram LMs (target +
     // raw), so it carries two sets of the unigram_ppl (N, V)
     // corpus-total 1-row scalar broadcasts
-    "dsir_select",
-    // semantic_decontam: the benchmark/eval vector set broadcasts onto
-    // the training corpus — the intended n×m expansion (m = eval size,
-    // small by nature) collapsing in a partial-aggregable max, the
-    // cluster_assign plan shape
-    "semantic_decontam")
+    "dsir_select")
+    // semantic_decontam is NOT allowlisted: its entry runs the
+    // max_cosine_f32 kernel (pure projection, no join at all) — if a
+    // BNLJ ever reappears there it is a regression to the join path
+    // and must flag
 
   /** Audit one query's executed plan string. */
   def auditPlan(name: String, plan: String): Audit = {

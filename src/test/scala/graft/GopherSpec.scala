@@ -113,4 +113,35 @@ class GopherSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "the expansion must never be a shuffled cartesian")
   }
+
+  test("semanticDecontamKernel: bit-parity with the join path, plan is " +
+      "join-free") {
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val train = e.filter(col("vec_id") % 20 =!= 0)
+    val eval = e.filter(col("vec_id") % 20 === 0)
+    val viaJoin = Similarity.semanticDecontam(train, eval,
+        "vec_id", "embedding", "embedding", 0.3)
+      .select("vec_id", "max_eval_cos", "contaminated")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    val kern = Similarity.semanticDecontamKernel(train, eval,
+      "vec_id", "embedding", "embedding", 0.3)
+    val viaKernel = kern.select("vec_id", "max_eval_cos", "contaminated")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(viaKernel == viaJoin, "kernel must replay the join math exactly")
+    val plan = kern.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"the kernel screen must be one projection pass:\n$plan")
+  }
+
+  test("semanticDecontamKernel: empty eval set contaminates nothing") {
+    import spark.implicits._
+    val train = Seq((1L, vec(0))).toDF("vec_id", "embedding")
+    val eval = Seq.empty[(Long, Seq[Float])].toDF("eval_id", "embedding")
+    val r = Similarity.semanticDecontamKernel(train, eval,
+      "vec_id", "embedding", "embedding", threshold = 0.5).head()
+    assert(r.isNullAt(r.fieldIndex("max_eval_cos")))
+    assert(!r.getBoolean(r.fieldIndex("contaminated")))
+  }
 }
