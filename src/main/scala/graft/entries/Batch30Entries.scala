@@ -11,7 +11,53 @@ import graft.core.{Tables => T}
   * k-gram screen. */
 object Batch30Entries {
 
+  /** Fixed BPE merge table for the bpe_encode entry: hand-built chains
+    * over the synthetic vocabulary (row/table/hash/scan/join + the
+    * bare-"a" end-of-word merge), each rule's components created by
+    * strictly earlier rules — the invariant a real fit guarantees and
+    * the one that makes rank-ordered GLOBAL application (what the SQL
+    * replace chain does) equivalent to `segmentWord`'s one-merge-at-a-
+    * time priority application: a merge's output symbol can only feed
+    * HIGHER-ranked rules, so finishing each rule corpus-wide before
+    * the next loses nothing. */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "r" -> "o", "ro" -> "w", "row" -> "</w>",
+    "t" -> "a", "ta" -> "b", "tab" -> "l", "tabl" -> "e",
+    "h" -> "a", "ha" -> "s", "has" -> "h",
+    "s" -> "c", "sc" -> "a", "sca" -> "n", "scan" -> "</w>",
+    "j" -> "o", "jo" -> "i", "joi" -> "n",
+    "a" -> "</w>")
+
+  /** One word through the merge chain, as DuckDB SQL over lambda var
+    * `w`: every symbol is wrapped `·sym·` (so replacing `·a··b·` with
+    * `·ab·` is exactly one left-to-right non-overlapping BPE merge
+    * pass — a bare space separator would let adjacent matches steal
+    * each other's boundary), the `</w>` marker is appended AFTER the
+    * per-char wrap, and the final form unwraps to space-separated
+    * subwords. */
+  private val bpeWordSql: String = {
+    val chain = bpeMerges.foldLeft(
+      "regexp_replace(w, '(.)', '·\\1·', 'g') || '·</w>·'") {
+      case (acc, (a, b)) => s"replace($acc, '·${a}··${b}·', '·${a + b}·')"
+    }
+    s"replace(trim($chain, '·'), '··', ' ')"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // text.Bpe.tokenize with a FIXED literal merge table (the deploy
+    // half of the tokenizer; the corpus-dependent fit stays
+    // ScalaTest-anchored in BpeSpec). Every word runs the documented
+    // unseen-word fallback — the genuinely iterative path — and the
+    // oracle replays it as an ordered replace chain over
+    // delimiter-wrapped symbols.
+    "bpe_encode" -> ((s, dir) => {
+      graft.text.Bpe.tokenize(T.documents(s, dir), "doc_id", "text",
+          graft.text.Bpe.BpeModel(bpeMerges, Map.empty))
+        .select(col("doc_id"), col("n_subwords"),
+          array_join(col("subwords"), " ").as("subtext"))
+        .orderBy("doc_id")
+    }),
 
     // text.Quality.gopherRules: the Gopher appendix-A1.1 rule table as
     // ONE whole-stage-codegen projection — word-count bounds, mean
@@ -60,6 +106,23 @@ object Batch30Entries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "bpe_encode" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_transform(toks, w -> $bpeWordSql), ' ')
+         |      AS subtext
+         |  FROM d)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN subtext = '' THEN 0
+         |       ELSE len(string_split(subtext, ' ')) END AS INT) AS n_subwords,
+         |  subtext
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "gopher_rules" ->
       """WITH d AS (

@@ -76,7 +76,12 @@ object PipelineDemo {
       .select(col("doc_id") + 90000 as "doc_id",
         array_join(slice(split(trim(col("text")), "\\s+"), 3, 3), " ")
           as "text_redacted")
-    val mixed = docs.graft
+    // rule-based quality gate first (Gopher table; synthetic corpus
+    // carries one stopword, so the floor is 1)
+    val gated = graft.text.Quality.gopherRules(docs, "doc_id", "text",
+        minWords = 10, minStopHits = 1)
+      .filter(col("kept")).select("doc_id").join(docs, "doc_id")
+    val mixed = gated.graft
       .redactPii("text")
       .dropContaminated(evalSet, "doc_id", "text_redacted", k = 5,
         threshold = 0.6)

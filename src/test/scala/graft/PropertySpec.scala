@@ -127,4 +127,46 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private val docGen = Gen.listOfN(12,
+    Gen.zip(Gen.choose(0L, 1L << 40),
+      Gen.listOf(Gen.oneOf("a", "bb", "ccc", "the", "of", "x9", "#"))
+        .map(_.mkString(" "))))
+
+  test("gopherRules signals are bounded and kept implies every rule") {
+    forSamples(docGen) { rows =>
+      val df = rows.toDF("doc_id", "text").dropDuplicates("doc_id")
+      graft.text.Quality.gopherRules(df, "doc_id", "text",
+          minWords = 2, maxWords = 50, minStopHits = 1)
+        .collect().foreach { r =>
+          // bullet/ellipsis/alpha fractions are true fractions; the
+          // symbol ratio is per-WORD and can exceed 1 ("###" alone)
+          val ratios = Seq(4, 5, 6).map(r.getDouble)
+          assert(ratios.forall(v => v >= 0.0 && v <= 1.0),
+            s"ratio out of [0,1]: $r")
+          assert(r.getDouble(3) >= 0.0)
+          if (r.getBoolean(8)) {
+            assert(r.getInt(1) >= 2 && r.getInt(1) <= 50)
+            assert(r.getDouble(2) >= 3.0 && r.getDouble(2) <= 10.0)
+            assert(r.getDouble(3) <= 0.1 && r.getDouble(6) >= 0.8)
+            assert(r.getInt(7) >= 1)
+          }
+        }
+    }
+  }
+
+  test("dupNgramCharFrac is a [0,1] fraction with dup_chars <= total_chars") {
+    forSamples(docGen) { rows =>
+      val df = rows.toDF("doc_id", "text").dropDuplicates("doc_id")
+      graft.text.Quality.dupNgramCharFrac(df, "doc_id", "text", n = 2)
+        .collect().foreach { r =>
+          val (tot, dup, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+          assert(dup >= 0L && dup <= tot, s"coverage exceeds doc: $r")
+          assert(frac >= 0.0 && frac <= 1.0)
+          // a doc's covered mass is consistent with its fraction
+          if (tot > 0L) assert(math.abs(frac - dup.toDouble / tot) < 1e-6)
+          else assert(dup == 0L && frac == 0.0)
+        }
+    }
+  }
 }
