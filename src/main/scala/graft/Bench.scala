@@ -43,7 +43,8 @@ object Bench {
     "cluster_assign", "cluster_balance", "pq_topk", "pq_refine",
     "token_budget_unimax", "stratified_hash",
     "weighted_sample", "dsir_select",
-    "gopher_rules", "ngram_rep", "semantic_decontam", "bpe_encode")
+    "gopher_rules", "ngram_rep", "semantic_decontam", "bpe_encode",
+    "pack_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

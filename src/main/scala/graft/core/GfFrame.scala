@@ -159,6 +159,12 @@ object GfFrame {
                          minOccur: Int = 2): Fluent =
       new Fluent(graft.text.Quality.dupNgramCharFrac(df, idCol, textCol,
         n, minOccur))
+    def packShards(idCol: String, tokenCol: String, shardTokens: Long,
+                   bucketExpr: org.apache.spark.sql.Column): Fluent =
+      new Fluent(graft.text.Shards.packShards(df, idCol, tokenCol,
+        shardTokens, bucketExpr))
+    def shuffleOrder(idCol: String, seed: Long): Fluent =
+      new Fluent(graft.text.Shards.shuffleOrder(df, idCol, seed))
     /** Semantic decontamination of this frame against an eval set. */
     def dropContaminatedVectors(evalDf: DataFrame, idCol: String,
                                 vecCol: String, evalVecCol: String,

@@ -84,6 +84,33 @@ object Batch30Entries {
         .orderBy("doc_id")
     }),
 
+    // text.Shards.packShards: token-budgeted output sharding via the
+    // distributed two-level prefix sum (bucket = ⌊doc_id/100⌋, monotone
+    // in the order column) — identical shard ids to the one-global-
+    // window form the oracle replays, but every corpus-sized shuffle
+    // stays keyed by bucket.
+    "pack_shards" -> ((s, dir) => {
+      val d = T.documents(s, dir)
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.text.Shards.packShards(d, "doc_id", "n_tokens",
+          shardTokens = 2000L, bucketExpr = floor(col("doc_id") / 100))
+        .select("doc_id", "lang", "n_tokens", "shard")
+        .orderBy("doc_id")
+    }),
+
+    // text.Shards.shuffleOrder: the deterministic seeded global
+    // shuffle closing a training-data pipeline — order key is a pure
+    // function of row identity, so the "random" order is stable under
+    // repartitioning and replayable by any engine with md5.
+    "shuffle_rows" -> ((s, dir) => {
+      graft.text.Shards.shuffleOrder(T.documents(s, dir), "doc_id",
+          seed = 42L)
+        .select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    }),
+
     // ml.Similarity.semanticDecontamKernel: every 20th vector plays
     // the benchmark/eval set; the rest is the training corpus. The
     // eval matrix rides as ONE reference double[] inside the native
@@ -197,6 +224,27 @@ object Batch30Entries {
         |LEFT JOIN tot ON b.doc = tot.doc
         |LEFT JOIN covc ON b.doc = covc.doc
         |ORDER BY doc_id""".stripMargin,
+
+    // One global window replays the two-level prefix sum exactly:
+    // exclusive_prefix(row) = bucket_offset + within-bucket prefix.
+    "pack_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "shuffle_rows" ->
+      """SELECT doc_id, md5('42-' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id LIMIT 100""".stripMargin,
 
     "semantic_decontam" ->
       """WITH ev AS (SELECT embedding AS ev FROM embeddings

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Shards
+
+/** Token-budgeted shard packing (two-level distributed prefix sum) and
+  * the deterministic seeded shuffle. */
+class ShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packShards: documents never split; boundary doc takes its " +
+      "first token's shard") {
+    val df = Seq((1L, 7L), (2L, 6L), (3L, 4L), (4L, 10L))
+      .toDF("doc_id", "n_tokens")
+    // exclusive prefixes 0, 7, 13, 17 over budget 10 → shards 0,0,1,1
+    val r = Shards.packShards(df, "doc_id", "n_tokens", 10L,
+        floor(col("doc_id") / 2))
+      .select("doc_id", "shard")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("packShards: shard ids are invariant to the bucket granularity") {
+    val df = spark.range(1, 200).select(col("id").as("doc_id"),
+      (pmod(col("id") * 37, lit(23)) + 1).as("n_tokens"))
+    def shards(bucket: org.apache.spark.sql.Column): Map[Long, Long] =
+      Shards.packShards(df, "doc_id", "n_tokens", 100L, bucket)
+        .select("doc_id", "shard")
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val oneBucket = shards(lit(0))            // degenerate: global window
+    assert(shards(floor(col("doc_id") / 3)) == oneBucket)
+    assert(shards(floor(col("doc_id") / 7)) == oneBucket)
+    assert(shards(col("doc_id")) == oneBucket) // one bucket per row
+    // sanity: multiple shards actually produced and sizes ≈ budget
+    val counts = oneBucket.groupBy(_._2).view
+      .mapValues(_.size).toMap
+    assert(counts.size > 5)
+  }
+
+  test("shuffleOrder: deterministic, repartition-stable, seed-sensitive") {
+    val df = spark.range(0, 50).select(col("id").as("doc_id"))
+    val a = Shards.shuffleOrder(df, "doc_id", 42L)
+      .orderBy("shuffle_key").select("doc_id").as[Long].collect().toSeq
+    val b = Shards.shuffleOrder(df.repartition(7), "doc_id", 42L)
+      .orderBy("shuffle_key").select("doc_id").as[Long].collect().toSeq
+    val c = Shards.shuffleOrder(df, "doc_id", 43L)
+      .orderBy("shuffle_key").select("doc_id").as[Long].collect().toSeq
+    assert(a == b, "order must not depend on physical partitioning")
+    assert(a != c, "a different seed must give a different order")
+    assert(a.sorted == (0L until 50L), "a shuffle is a permutation")
+  }
+}
