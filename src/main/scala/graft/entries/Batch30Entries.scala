@@ -84,6 +84,23 @@ object Batch30Entries {
         .orderBy("doc_id")
     }),
 
+    // rel.Joins.intervalJoin: point-in-interval enrichment as a BANDED
+    // equi-join (intervals explode into the 90-min bands they touch,
+    // points join on their single band, interval predicate as
+    // residual) — never the O(n·m) nested loop the naive non-equi
+    // formulation degenerates to. 80 six-hourly 90-min "maintenance
+    // windows" generated identically in both engines.
+    "interval_join" -> ((s, dir) => {
+      val w = s.range(0, 80).select(col("id").as("window_id"),
+          expr("timestampadd(HOUR, CAST(id * 6 AS INT), " +
+            "TIMESTAMP'2024-01-01 00:00:00')").as("w_start"))
+        .withColumn("w_end", expr("timestampadd(MINUTE, 90, w_start)"))
+      graft.rel.Joins.intervalJoin(T.events(s, dir), "ts", w,
+          "w_start", "w_end", bandSeconds = 5400L)
+        .select("event_id", "window_id", "event_type")
+        .orderBy("event_id", "window_id")
+    }),
+
     // text.Shards.packShards: token-budgeted output sharding via the
     // distributed two-level prefix sum (bucket = ⌊doc_id/100⌋, monotone
     // in the order column) — identical shard ids to the one-global-
@@ -224,6 +241,18 @@ object Batch30Entries {
         |LEFT JOIN tot ON b.doc = tot.doc
         |LEFT JOIN covc ON b.doc = covc.doc
         |ORDER BY doc_id""".stripMargin,
+
+    "interval_join" ->
+      """WITH w AS (
+        |  SELECT w AS window_id,
+        |    TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL 6 HOUR
+        |      AS w_start,
+        |    TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL 6 HOUR
+        |      + INTERVAL 90 MINUTE AS w_end
+        |  FROM (SELECT unnest(range(0, 80)) AS w))
+        |SELECT e.event_id, w.window_id, e.event_type
+        |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts <= w.w_end
+        |ORDER BY e.event_id, w.window_id""".stripMargin,
 
     // One global window replays the two-level prefix sum exactly:
     // exclusive_prefix(row) = bucket_offset + within-bucket prefix.

@@ -140,4 +140,36 @@ object Joins {
     joined.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  /** Point-in-interval join: every (point, interval) pair with
+    * `start ≤ ts ≤ end` (both ends inclusive) — the enrichment join of
+    * event analytics ("which maintenance window / session / campaign
+    * was active when this event fired"). Spark has no interval join;
+    * the naive non-equi formulation is a BroadcastNestedLoopJoin —
+    * O(n·m) the moment the interval side outgrows a broadcast.
+    *
+    * This is the BANDED formulation instead: time splits into
+    * `bandSeconds`-wide bands, each interval EXPLODES into every band
+    * it touches, each point carries its single band, and the join is a
+    * plain EQUI-join on the band id with the interval predicate as a
+    * residual filter. Each qualifying pair meets exactly once (the
+    * point's band is unique), so no dedup. Cost: |intervals| ×
+    * (avg interval length / bandSeconds) exploded rows — pick
+    * bandSeconds near the median interval length so the blow-up is
+    * ~2×; skewed bands (rush-hour) are AQE's skew-join case. Band ids
+    * floor-divide epoch seconds, so pre-1970 timestamps band
+    * consistently too. */
+  def intervalJoin(points: DataFrame, tsCol: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   bandSeconds: Long): DataFrame = {
+    require(bandSeconds > 0, "bandSeconds must be positive")
+    def band(c: Column): Column =
+      floor(c.cast("long").cast("double") / bandSeconds).cast("long")
+    val p = points.withColumn("_band", band(col(tsCol)))
+    val i = intervals.withColumn("_band",
+      explode(sequence(band(col(startCol)), band(col(endCol)))))
+    p.join(i, Seq("_band"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("_band")
+  }
 }

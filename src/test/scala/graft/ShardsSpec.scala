@@ -37,6 +37,48 @@ class ShardsSpec extends SparkSpec {
     assert(counts.size > 5)
   }
 
+  test("intervalJoin: banded equi-join matches the naive non-equi join, " +
+      "boundaries inclusive, pairs unique") {
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // exactly a start
+      (2L, ts("2024-01-01 01:30:00")), // exactly an end
+      (3L, ts("2024-01-01 02:00:00")), // in no interval
+      (4L, ts("2024-01-01 05:00:00"))  // inside a 3-band-long interval
+    ).toDF("pid", "ts")
+    val ivals = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:30:00")),
+      (11L, ts("2024-01-01 04:00:00"), ts("2024-01-01 07:00:00")),
+      (12L, ts("2024-01-01 04:30:00"), ts("2024-01-01 05:00:00"))
+    ).toDF("iid", "start", "end")
+    val banded = graft.rel.Joins.intervalJoin(points, "ts", ivals,
+        "start", "end", bandSeconds = 3600L)
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val naive = points.join(ivals,
+        col("ts") >= col("start") && col("ts") <= col("end"))
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(banded == naive)
+    assert(banded == Seq((1L, 10L), (2L, 10L), (4L, 11L), (4L, 12L)))
+    assert(banded.distinct == banded, "each qualifying pair meets once")
+  }
+
+  test("intervalJoin plan: equi-join on the band, no nested loop") {
+    val w = spark.range(0, 20).select(col("id").as("window_id"),
+        expr("timestampadd(HOUR, CAST(id * 6 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00')").as("w_start"))
+      .withColumn("w_end", expr("timestampadd(MINUTE, 90, w_start)"))
+    val plan = graft.rel.Joins.intervalJoin(
+        graft.core.Tables.events(spark, sf), "ts", w,
+        "w_start", "w_end", 5400L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval join must stay a banded equi-join:\n$plan")
+  }
+
   test("shuffleOrder: deterministic, repartition-stable, seed-sensitive") {
     val df = spark.range(0, 50).select(col("id").as("doc_id"))
     val a = Shards.shuffleOrder(df, "doc_id", 42L)

@@ -171,6 +171,32 @@ class StreamSpec extends SparkSpec {
     assert(out(2L) == "see [URL] ok")
   }
 
+  test("intervalJoin composes with a stream: banded stream-static " +
+      "equi-join, append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, Timestamp)]
+    val ivals = Seq(
+      (10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:30:00")),
+      (11L, ts("2024-01-01 04:00:00"), ts("2024-01-01 07:00:00")))
+      .toDF("iid", "start", "end")
+    // the band column is a pure projection and the static side is
+    // bounded, so the live enrichment is a stateless stream-static
+    // equi-join — no watermark, exact append
+    val df = graft.rel.Joins.intervalJoin(
+      in.toDF().toDF("pid", "ts"), "ts", ivals, "start", "end", 3600L)
+    val q = df.writeStream.format("memory").queryName("ij_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData((1L, ts("2024-01-01 00:30:00")), (2L, ts("2024-01-01 02:00:00")),
+      (3L, ts("2024-01-01 05:00:00")))
+    q.processAllAvailable()
+    val out = spark.table("ij_stream").select("pid", "iid")
+      .as[(Long, Long)].collect().sorted.toSeq
+    q.stop()
+    assert(out == Seq((1L, 10L), (3L, 11L)))
+  }
+
   test("gopherRules composes with a stream: pure projection, append mode") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
