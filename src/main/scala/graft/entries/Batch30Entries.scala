@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.core.{Tables => T}
 
 /** Round-12 continuation: the Gopher rule-based quality filter family
-  * (full rule table + the duplicated-n-gram repetition signal) and
-  * embedding-space decontamination — the semantic complement of the
-  * k-gram screen. */
+  * (full rule table + the duplicated-n-gram repetition signal),
+  * embedding-space decontamination (the semantic complement of the
+  * k-gram screen, native max-cosine kernel), the BPE deploy chain,
+  * token-budgeted shard packing + the seeded global shuffle (the
+  * pipeline's output stage), and the banded point-in-interval join. */
 object Batch30Entries {
 
   /** Fixed BPE merge table for the bpe_encode entry: hand-built chains
