@@ -142,6 +142,17 @@ object ScaleProbe {
               n = 2)
             .agg(sum(col("dup_chars"))).head().getLong(0)
         },
+        timed("pack_shards") {
+          // bucket granularity fixed at 1e6 ids per bucket: the bucket
+          // TABLE grows with the corpus but stays bounded (mult rows),
+          // and all corpus-sized work is keyed by bucket
+          graft.text.Shards.packShards(
+              cached.withColumn("_nt",
+                size(split(trim(col("text")), "\\s+")).cast("long")),
+              "doc_id", "_nt", shardTokens = 100000L,
+              bucketExpr = floor(col("doc_id") / 1000000L))
+            .agg(max(col("shard"))).head().getLong(0)
+        },
         timed("bm25_single") {
           // single parameterization — no candidate localCheckpoint:
           // isolates the shared-candidate ensemble machinery from the

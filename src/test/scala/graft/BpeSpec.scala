@@ -65,4 +65,31 @@ class BpeSpec extends SparkSpec {
     assert(out(2).getSeq[String](1).isEmpty &&
       out(2).getInt(2) == 0)
   }
+
+  test("rank-ordered GLOBAL replace application equals segmentWord's " +
+      "priority application when rule components are created earlier") {
+    // The bpe_encode oracle replays segmentation as per-rule global
+    // string replaces in rank order. That is only equivalent to
+    // segmentWord's lowest-rank-next application when every rule's
+    // components come from strictly earlier rules (a real fit's
+    // invariant) — this pins the equivalence on adversarial inputs:
+    // repeated pairs, chain prefixes, eow merges, multi-occurrence.
+    val merges = Seq(
+      "a" -> "a", "t" -> "a", "ta" -> "b", "tab" -> "l",
+      "b" -> "b", "aa" -> "b", "l" -> "</w>")
+    val model = Bpe.BpeModel(merges, Map.empty)
+    def viaReplaces(word: String): Seq[String] = {
+      var s = word.map(c => s"·${c}·").mkString + "·</w>·"
+      merges.foreach { case (a, b) =>
+        s = s.replace(s"·${a}··${b}·", s"·${a + b}·")
+      }
+      s.stripPrefix("·").stripSuffix("·").split("··").toSeq
+    }
+    val words = Seq("aaaa", "aaaaa", "tabl", "tatab", "bb", "bbb",
+      "taal", "l", "a", "ataba", "aataab")
+    words.foreach { w =>
+      assert(Bpe.segmentWord(w, model) == viaReplaces(w),
+        s"divergence on '$w'")
+    }
+  }
 }
