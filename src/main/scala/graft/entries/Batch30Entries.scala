@@ -86,6 +86,16 @@ object Batch30Entries {
         .orderBy("doc_id")
     }),
 
+    // text.Quality.topNgramCharFrac: Gopher's TOP-n-gram signal (n=3)
+    // — most frequent trigram per doc and the token-char fraction its
+    // (possibly overlapping) occurrences account for; shared in-row
+    // gram builder with ngram_rep, two-phase per-doc top-1.
+    "top_ngram" -> ((s, dir) => {
+      graft.text.Quality.topNgramCharFrac(T.documents(s, dir),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // rel.Joins.intervalJoin: point-in-interval enrichment as a BANDED
     // equi-join (intervals explode into the 90-min bands they touch,
     // points join on their single band, interval predicate as
@@ -242,6 +252,29 @@ object Batch30Entries {
         |FROM base b
         |LEFT JOIN tot ON b.doc = tot.doc
         |LEFT JOIN covc ON b.doc = covc.doc
+        |ORDER BY doc_id""".stripMargin,
+
+    "top_ngram" ->
+      """WITH base AS (
+        |  SELECT doc_id AS doc,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |tot AS (SELECT doc, len(array_to_string(toks, '')) AS tot FROM base),
+        |g AS (
+        |  SELECT doc, array_to_string(list_slice(toks, i, i + 2), ' ') AS gr
+        |  FROM (SELECT doc, toks, unnest(range(1, len(toks) - 1)) AS i
+        |        FROM base WHERE len(toks) >= 3)),
+        |c AS (SELECT doc, gr, COUNT(*) AS c FROM g GROUP BY doc, gr),
+        |top AS (SELECT doc, gr, c FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc
+        |    ORDER BY c DESC, gr ASC) AS rn FROM c) WHERE rn = 1)
+        |SELECT t.doc AS doc_id,
+        |  COALESCE(top.gr, '') AS top_ngram,
+        |  CAST(COALESCE(top.c, 0) AS BIGINT) AS top_ngram_n,
+        |  ROUND(COALESCE(CAST(top.c AS DOUBLE) * (len(top.gr) - 2) / t.tot,
+        |    0.0), 9) AS top_ngram_char_frac
+        |FROM tot t LEFT JOIN top ON t.doc = top.doc
         |ORDER BY doc_id""".stripMargin,
 
     "interval_join" ->

@@ -195,6 +195,16 @@ object Quality {
     * shuffle is keyed by doc or (doc, gram) — linear in corpus size,
     * the same explode-once shape as
     * [[graft.text.Chunk.maskDuplicateSpans]]. */
+  /** (doc, 0-based gram start `_i0`, gram text `_g`) for every word
+    * n-gram — built in-row via transform(sequence)+slice (window-free,
+    * codegen) and exploded once; shared by the duplicate-mass and
+    * top-gram repetition signals. */
+  private def ngramOccurrences(base: DataFrame, n: Int): DataFrame =
+    base.filter(size(col("_toks")) >= n)
+      .select(col("doc"), posexplode(
+        transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as(Seq("_i0", "_g")))
+
   def dupNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
                        n: Int, minOccur: Int = 2): DataFrame = {
     require(n >= 1, "n must be >= 1")
@@ -203,10 +213,7 @@ object Quality {
     val tokLens = base
       .select(col("doc"), posexplode(col("_toks")).as(Seq("_p0", "_t")))
       .select(col("doc"), (col("_p0") + 1).as("_pos"), length(col("_t")).as("_len"))
-    val grams = base.filter(size(col("_toks")) >= n)
-      .select(col("doc"), posexplode(
-        transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
-          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as(Seq("_i0", "_g")))
+    val grams = ngramOccurrences(base, n)
     val dups = grams.groupBy("doc", "_g")
       .agg(count(lit(1)).as("_c")).filter(col("_c") >= minOccur)
       .select("doc", "_g")
@@ -271,6 +278,43 @@ object Quality {
     * must be processed by one task, so shard huge single sources by a
     * salted sub-source key first if a source alone exceeds a task's
     * comfortable row count. */
+  /** Gopher's TOP n-gram signal: the most frequent word n-gram per
+    * document and the fraction of the document's token characters its
+    * occurrences account for (count × gram token chars ÷ total token
+    * chars — Rae et al. 2021 table A1 applies this for n = 2..4;
+    * [[dupNgramCharFrac]] is the companion duplicate-mass signal for
+    * larger n). Occurrences may overlap, so the fraction can exceed 1
+    * on pathological repetition ("a a a a"'s top bigram) — that IS the
+    * boilerplate signal, don't clamp it. Ties break lexicographically;
+    * docs shorter than n tokens surface with an empty gram and 0.
+    *
+    * Plan: the shared in-row gram builder + one map-side-combined
+    * (doc, gram) count + the two-phase per-doc top-1 — all shuffles
+    * keyed by doc or (doc, gram). */
+  def topNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc"),
+      TextFns.tokens(col(textCol)).as("_toks"))
+    val totals = base.select(col("doc"),
+      length(array_join(col("_toks"), "")).as("_tot"))
+    val top = ngramOccurrences(base, n)
+      .groupBy("doc", "_g").agg(count(lit(1)).as("_c"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("doc").orderBy(col("_c").desc, col("_g").asc)))
+      .filter(col("_rn") === 1)
+      .select(col("doc"), col("_g").as("top_ngram"), col("_c").as("top_ngram_n"))
+    totals.join(top, Seq("doc"), "left")
+      .select(col("doc").as(idCol),
+        coalesce(col("top_ngram"), lit("")).as("top_ngram"),
+        coalesce(col("top_ngram_n"), lit(0L)).as("top_ngram_n"),
+        round(coalesce(
+          col("top_ngram_n").cast("double") *
+            (length(col("top_ngram")) - lit(n - 1)) / col("_tot"),
+          lit(0.0)), 9).as("top_ngram_char_frac"))
+  }
+
   def selectByTokenBudget(df: DataFrame, idCol: String, sourceCol: String,
                           scoreCol: String, tokenCol: String,
                           budgetPerSource: Long): DataFrame = {

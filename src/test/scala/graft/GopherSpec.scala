@@ -63,6 +63,24 @@ class GopherSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 0.0)))
   }
 
+  test("topNgramCharFrac: overlapping occurrences count in full, ties " +
+      "break lexicographically, short docs survive") {
+    val docs = Seq(
+      (1L, "a a a a"),      // top bigram "a a" occurs 3× overlapping:
+                            // 3 × 2 chars / 4 chars = 1.5 — NOT clamped
+      (2L, "x y x y z"),    // "x y" ×2 beats the singletons
+      (3L, "p q"),          // exactly n tokens: one gram, full coverage
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = graft.text.Quality.topNgramCharFrac(docs, "doc_id", "text", n = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getString(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == (("a a", 3L, 1.5)))
+    assert(r(2L) == (("x y", 2L, 4.0 / 5.0)))
+    assert(r(3L) == (("p q", 1L, 1.0)))
+    assert(r(4L) == (("", 0L, 0.0)))
+  }
+
   test("dupNgramCharFrac: n larger than the doc leaves it untouched") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val row = Quality.dupNgramCharFrac(docs, "doc_id", "text", n = 5).head()
