@@ -675,6 +675,50 @@ object ScaleProbe {
       return
     }
 
+    // Interval-join axis (SPARK_GRAFT_INTERVAL_N=<points>): the banded
+    // point-in-interval join must be LINEAR in the point count at a
+    // fixed interval density — the explode is bounded by
+    // intervals × (len/band) and the join is a plain band equi-join.
+    // Points are hash-jittered seconds over a span that grows with n
+    // (constant density); intervals cover ~25% of time, so matched
+    // pairs grow ∝ n — the work product scales with the input.
+    sys.env.get("SPARK_GRAFT_INTERVAL_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      def run(sz: Long): (Double, Long) = {
+        val span = sz // one point per second on average
+        val pts = spark.range(sz).select(col("id").as("pid"),
+          timestamp_seconds(lit(1700000000L) + col("id") +
+            pmod(xxhash64(col("id"), lit("jit")), lit(997L)))
+            .as("ts")).persist()
+        pts.count()
+        val nIv = math.max(1L, sz / 100L)
+        val ivals = spark.range(nIv).select(col("id").as("iid"),
+            timestamp_seconds(lit(1700000000L) + col("id") * (span / nIv))
+              .as("start"))
+          .withColumn("end", timestamp_seconds(
+            col("start").cast("long") + lit(span / nIv / 4)))
+          .persist()
+        ivals.count()
+        var pairs = 0L
+        val secs = (0 until 3).map { _ =>
+          val t0 = System.nanoTime()
+          pairs = graft.rel.Joins.intervalJoin(pts, "ts", ivals,
+            "start", "end", bandSeconds = math.max(1L, span / nIv)).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        pts.unpersist(); ivals.unpersist()
+        (math.round(secs(1) * 1000) / 1000.0, pairs)
+      }
+      run(n / 4) // warm untimed
+      val (s1, p1) = run(n / 4)
+      val (s4, p4) = run(n)
+      println(f"""INTERVALPROBE {"n_small":${n / 4},"n_big":$n,""" +
+        f""""join_small_sec":$s1,"pairs_small":$p1,""" +
+        f""""join_big_sec":$s4,"pairs_big":$p4,""" +
+        f""""join_ratio_for_4x":${math.round(s4 / math.max(s1, 0.001) * 10) / 10.0}}""")
+      spark.stop()
+      return
+    }
+
     // Generator axis (SPARK_GRAFT_GEN_N=<rows>): generation is a plan,
     // not an allocation — makeText (pure row-independent codegen) and
     // makeWalk (ONE hash-partitioned window cumsum) at n/4 and n must
