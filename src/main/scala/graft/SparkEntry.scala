@@ -54,7 +54,8 @@ object SparkEntry {
       entries.Batch27Entries.queries ++
       entries.Batch28Entries.queries ++
       entries.Batch29Entries.queries ++
-      entries.Batch30Entries.queries
+      entries.Batch30Entries.queries ++
+      entries.Batch31Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -87,7 +88,8 @@ object SparkEntry {
       entries.Batch27Entries.oracleSql ++
       entries.Batch28Entries.oracleSql ++
       entries.Batch29Entries.oracleSql ++
-      entries.Batch30Entries.oracleSql
+      entries.Batch30Entries.oracleSql ++
+      entries.Batch31Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

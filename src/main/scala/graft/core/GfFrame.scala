@@ -179,6 +179,11 @@ object GfFrame {
                       alpha: Double = 0.5): Fluent =
       new Fluent(graft.text.LangModel.scoreByBigram(df, refCorpus,
         idCol, textCol, alpha))
+    def scoreByKneserNey(refCorpus: DataFrame, idCol: String,
+                         textCol: String, discount: Double = 0.75,
+                         alpha: Double = 0.5): Fluent =
+      new Fluent(graft.text.LangModel.scoreByKneserNey(df, refCorpus,
+        idCol, textCol, discount, alpha))
     def dropSeenDocs(refCorpus: DataFrame, textCol: String): Fluent =
       new Fluent(graft.text.Snapshot.dropSeenDocs(df, refCorpus, textCol))
     def dropSeenNearDups(refCorpus: DataFrame, idCol: String,

@@ -128,23 +128,11 @@ object LangModel {
                     idCol: String, textCol: String,
                     alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
-    val refBg = refCorpus
-      .select(TextFns.tokens(lower(col(textCol))).as("_toks"))
-      .select(explode(bigramsOf(col("_toks"))).as("_bg"))
-      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
-      .localCheckpoint()
-    require(!refBg.isEmpty,
-      "reference corpus has no bigrams: refusing to train an empty " +
-        "bigram model (every document would score ppl = 1)")
+    val refBg = refBigramCounts(refCorpus, textCol)
     val ctx = refBg.groupBy("w1").agg(sum("_c12").as("_c1"))
     val vTot = refBg.agg(
       countDistinct("w2").cast("double").as("_Vb"))
-    val docBg = docs.select(col(idCol).as("doc"),
-        TextFns.tokens(lower(col(textCol))).as("_toks"))
-      .select(col("doc"), explode(bigramsOf(col("_toks"))).as("_bg"))
-      .select(col("doc"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
-      .groupBy("doc", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val docBg = docBigramCounts(docs, idCol, textCol)
     val scored = docBg
       .join(refBg, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
@@ -154,6 +142,104 @@ object LangModel {
         log((coalesce(col("_c12"), lit(0L)).cast("double") + lit(alpha)) /
           (coalesce(col("_c1"), lit(0L)).cast("double") +
             lit(alpha) * (col("_Vb") + lit(1.0)))).as("_logp"))
+    finishScores(docs, idCol, scored, "n_bigrams")
+  }
+
+  /** Distinct-bigram counts of the reference corpus, cut once
+    * (`localCheckpoint`) because every derived table — context totals,
+    * continuation counts, type totals — re-aggregates it rather than
+    * re-reading the corpus. Loud non-empty guard: see unigramVocab. */
+  private def refBigramCounts(refCorpus: DataFrame,
+                              textCol: String): DataFrame = {
+    val refBg = refCorpus
+      .select(TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .select(explode(bigramsOf(col("_toks"))).as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+      .localCheckpoint()
+    require(!refBg.isEmpty,
+      "reference corpus has no bigrams: refusing to train an empty " +
+        "bigram model (every document would score ppl = 1)")
+    refBg
+  }
+
+  /** One row per DISTINCT (doc, w₁, w₂) with its in-document count —
+    * the map-side combine that keeps the model joins linear in
+    * distinct doc-bigrams, not occurrences. */
+  private def docBigramCounts(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc"), explode(bigramsOf(col("_toks"))).as("_bg"))
+      .select(col("doc"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .groupBy("doc", "w1", "w2").agg(count(lit(1)).as("tf"))
+
+  /** Score each document under an interpolated KNESER–NEY bigram model
+    * of `refCorpus` (Kneser & Ney 1995; the smoothing of KenLM, whose
+    * 5-gram variant is the CCNet perplexity filter's actual model —
+    * this is its bigram instance on the same scaffolding as
+    * [[scoreByBigram]]):
+    *
+    * `P(w₂|w₁) = max(c(w₁w₂) − d, 0)/c(w₁·) + λ(w₁)·P_cont(w₂)` with
+    * `λ(w₁) = d·N₁₊(w₁·)/c(w₁·)` — the absolute-discount mass d,
+    * collected once per distinct successor type, redistributed over
+    * the CONTINUATION distribution `P_cont(w₂) ∝ N₁₊(·w₂)` ("in how
+    * many contexts does w₂ complete a bigram", not "how often") —
+    * the insight that keeps "francisco" improbable outside "san".
+    * An unseen context (c(w₁·) = 0) backs off to P_cont alone (λ = 1),
+    * and P_cont itself carries an add-α OOV slot
+    * `(N₁₊(·w₂) + α)/(N₁₊(··) + α·(V₂+1))` so every log stays finite —
+    * pure KN gives an unseen w₂ zero mass, which no scoring filter can
+    * ship; same convention as the add-α models above.
+    *
+    * Every input is an integer count, every step a correctly-rounded
+    * IEEE double op written identically in the SQL oracle — so the
+    * model is exactly replayable despite being "real" KN.
+    *
+    * Plan shape is scoreByBigram's: one corpus explode into ONE
+    * bigram groupBy; context totals `(c(w₁·), N₁₊(w₁·))` and
+    * continuation counts `N₁₊(·w₂)` re-aggregate the checkpointed
+    * bigram table; type totals ride as a 1-row broadcast; scoring
+    * pre-aggregates to (doc, w₁, w₂, tf) then takes three keyed
+    * equi-joins — AQE broadcasts the model tables when small, shuffles
+    * when a web-scale vocabulary is not broadcastable.
+    *
+    * Output: (doc, n_bigrams, n_oov, mean_logprob, ppl); n_oov counts
+    * unseen PAIRS (either branch below the first). Documents with
+    * fewer than 2 tokens score the neutral empty product. */
+  def scoreByKneserNey(docs: DataFrame, refCorpus: DataFrame,
+                       idCol: String, textCol: String,
+                       discount: Double = 0.75,
+                       alpha: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val refBg = refBigramCounts(refCorpus, textCol)
+    // each refBg row is one distinct (w1, w2) type, so count(*) per
+    // context IS N₁₊(w₁·) and count(*) per successor IS N₁₊(·w₂)
+    val ctx = refBg.groupBy("w1")
+      .agg(sum("_c12").as("_c1"), count(lit(1)).as("_n1f"))
+    val pred = refBg.groupBy("w2").agg(count(lit(1)).as("_n1b"))
+    val tot = refBg.agg(count(lit(1)).cast("double").as("_nbg"),
+      countDistinct("w2").cast("double").as("_V2"))
+    val docBg = docBigramCounts(docs, idCol, textCol)
+    val pCont = (coalesce(col("_n1b"), lit(0L)).cast("double") +
+        lit(alpha)) /
+      (col("_nbg") + lit(alpha) * (col("_V2") + lit(1.0)))
+    val c1 = col("_c1").cast("double")
+    val p = when(col("_c1").isNotNull,
+        greatest(coalesce(col("_c12"), lit(0L)).cast("double") -
+          lit(discount), lit(0.0)) / c1 +
+          lit(discount) * col("_n1f").cast("double") / c1 * pCont)
+      .otherwise(pCont)
+    val scored = docBg
+      .join(refBg, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(pred, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc"), col("tf"),
+        when(col("_c12").isNull, lit(1L)).otherwise(lit(0L)).as("_oov"),
+        log(p).as("_logp"))
     finishScores(docs, idCol, scored, "n_bigrams")
   }
 

@@ -34,9 +34,10 @@ object PlanAudit {
     // 1-row fitted-scalar broadcasts
     "decision_curve", "friedman", "histogram", "kruskal_wallis",
     "laplace_smooth", "otsu", "reg_metrics", "wilcoxon",
-    // line_dedup / unigram_ppl / bigram_ppl: corpus-total scalars
-    // (doc count; token count N + vocab size V) as 1-row broadcasts
-    "line_dedup", "unigram_ppl", "bigram_ppl",
+    // line_dedup / unigram_ppl / bigram_ppl / kn_ppl: corpus-total
+    // scalars (doc count; token count N + vocab size V; bigram type
+    // total N₁₊(··) + successor vocab V₂) as 1-row broadcasts
+    "line_dedup", "unigram_ppl", "bigram_ppl", "kn_ppl",
     // bm25_topk / rrf_fuse: the (N, avgdl) corpus scalars ride onto
     // candidates as a 1-row broadcast (rrf fuses two BM25 plans, so
     // it carries two such joins)
