@@ -109,6 +109,14 @@ object ScaleProbe {
           // grow with the corpus, the linear-pipeline worst case
           LangModel.scoreByUnigram(cached, cached, "doc_id", "text").count()
         },
+        timed("kn_ppl") {
+          // self-scored like unigram_ppl: the bigram explode, the ONE
+          // bigram groupBy, the three model re-aggregations and the
+          // three scoring joins all grow with the corpus — nothing
+          // pairwise, nothing driver-sized
+          LangModel.scoreByKneserNey(cached, cached, "doc_id", "text")
+            .count()
+        },
         timed("snapshot_dedup") {
           // full-size re-crawl where every third page changed: the
           // reference fingerprint set AND the probe side both scale
