@@ -239,15 +239,20 @@ object Make {
                trendStrength: Double = 0.0, trendFreq: Double = 1.0 / 252,
                seed: Long = 42L,
                portableHash: Boolean = false): DataFrame = {
-    require(nSeries > 0 && length > 0 && vol >= 0, "positive sizes required")
+    require(nSeries > 0 && length > 0, "positive sizes required")
+    // |g| < 9.2 under Box–Muller from a 60-bit uniform, so ln(1+vol·g)
+    // is total only for vol < ~0.108; beyond it a negative argument
+    // would make ln return NULL, the window sum would silently SKIP
+    // the null, and every later price would be quietly wrong
+    require(vol >= 0 && vol <= 0.1,
+      s"vol must be in [0, 0.1] so ln(1 + vol*g) stays defined for " +
+        s"every Box-Muller draw; got $vol")
     import org.apache.spark.sql.expressions.Window
     val t = (col("id") % length).cast("long")
     val sid = expr(s"id div ${length}L")
     def maybeRound(c: Column): Column = if (portableHash) round(c, 9) else c
     val g = maybeRound(gaussian(uniform(portableHash, seed, col("id"), 20),
       uniform(portableHash, seed, col("id"), 21)))
-    // |g| < 9.2 under Box–Muller from a 60-bit uniform, so 1 + vol·g
-    // stays positive for any vol < 0.1 — ln is total on this domain
     val ret = maybeRound(log(lit(1.0) + lit(vol) * g))
     val w = Window.partitionBy("series_id").orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -104,7 +104,7 @@ object Batch28Entries {
         |SELECT sid AS series_id, t, ret,
         |  ROUND(100.0 * EXP(SUM(ret) OVER (PARTITION BY sid ORDER BY t
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |    + (0.03 * 100.0) * ROUND(sin((6.283185307179586 / 252.0) * CAST(t AS DOUBLE)), 9), 6) AS price
+        |    + (0.03 * 100.0) * ROUND(sin((6.283185307179586 * (1.0 / 252.0)) * CAST(t AS DOUBLE)), 9), 6) AS price
         |FROM r
         |ORDER BY series_id, t""".stripMargin,
 

@@ -506,10 +506,15 @@ case class PQEncodeI64(child: Expression, m: Int, k: Int,
       val best = ctx.freshName("best")
       val bestd = ctx.freshName("bestd")
       val packed = ctx.freshName("packed")
+      // gated on the length check: a short array must NOT run the
+      // element scan — isNullAt past numElements() throws on
+      // GenericArrayData, where the interpreted path returns NULL
       val nullCheck = if (mayHaveNullElements)
         s"""
-           |for (int $i = 0; $i < ${m * dsub}; $i++) {
-           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |if (!${ev.isNull}) {
+           |  for (int $i = 0; $i < ${m * dsub}; $i++) {
+           |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  }
            |}
          """.stripMargin
       else ""
@@ -624,10 +629,13 @@ case class PQEncodeResidualI64(left: Expression, right: Expression,
       val best = ctx.freshName("best")
       val bestd = ctx.freshName("bestd")
       val packed = ctx.freshName("packed")
+      // gated on the length check — see PQEncodeI64
       val nullCheck = if (mayHaveNullElements)
         s"""
-           |for (int $i = 0; $i < ${m * dsub}; $i++) {
-           |  if ($a.isNullAt($i) || $c.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |if (!${ev.isNull}) {
+           |  for (int $i = 0; $i < ${m * dsub}; $i++) {
+           |    if ($a.isNullAt($i) || $c.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  }
            |}
          """.stripMargin
       else ""

@@ -282,7 +282,7 @@ object Similarity {
       val dropped = pairs
         .filter(cosineNative(pairs, col("_ea"), col("_eb")) >= threshold)
         .select(col("_id_b").as(idCol)).distinct()
-      bucketed.drop("_ivf_bucket", "_vec_i8")
+      bucketed.drop("_ivf_bucket", "_vec_i8", "_pq64")
         .join(dropped, Seq(idCol), "left_anti")
     }
 

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The library's ONE portable row-identity uniform in [0, 1): the
+    * top 60 bits of md5(seed ‖ id) over 2⁶⁰ — built on
+    * [[graft.text.Dedup.md5Hash64]] so the hash family has a single
+    * spelling to keep in sync with the SQL oracles. Stable under
+    * repartitioning and replayable bit-for-bit by any engine with md5. */
+  private def u01Md5(seed: Long, id: Column): Column =
+    graft.text.Dedup.md5Hash64(concat_ws("-", lit(seed),
+        id.cast("string")))
+      .cast("double") / lit(math.pow(2.0, 60))
+
   /** Fraction sample, optionally with replacement.
     * Reference: `random_sampling`/`resample_data` (data_utils.py:3524,
     * :3187). Per-partition Bernoulli/Poisson — no shuffle. */
@@ -88,9 +98,7 @@ object Sampling {
                              seed: Long = 42L): DataFrame = {
     require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
-    val u = conv(substring(md5(concat_ws("-", lit(seed),
-        col(idCol).cast("string")).cast("binary")), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(math.pow(2.0, 60))
+    val u = u01Md5(seed, col(idCol))
     val fracExpr = fractions.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
       case (acc, (s, f)) => when(col(stratumCol) === lit(s), lit(f)).otherwise(acc)
     }
@@ -111,9 +119,7 @@ object Sampling {
                                        weightCol: String, n: Int,
                                        seed: Long = 42L): DataFrame = {
     require(n > 0, "sample size must be positive")
-    val u = conv(substring(md5(concat_ws("-", lit(seed),
-        col(idCol).cast("string")).cast("binary")), 1, 15), 16, 10)
-      .cast("long").cast("double") / lit(math.pow(2.0, 60))
+    val u = u01Md5(seed, col(idCol))
     val w = col(weightCol).cast("double")
     val key = when(w > 0.0, round(pow(u, lit(1.0) / w), 9))
     df.withColumn("_es_key", key)

@@ -284,7 +284,13 @@ object LangModel {
                          rawCorpus: DataFrame, idCol: String,
                          textCol: String, n: Int, alpha: Double = 0.5,
                          seed: Long = 42L): DataFrame = {
+    // zero-token documents are EXCLUDED from the draw: finishScores
+    // gives them the neutral mean 0, which here would become the
+    // corpus-average importance weight exp(0) = 1 — an unscorable page
+    // sampling at mean importance is wrong for a selection operator,
+    // and the oracle's inner joins on the scored CTEs never see it
     val t = scoreByUnigram(docs, targetCorpus, idCol, textCol, alpha)
+      .filter(col("n_tokens") > 0)
       .select(col("doc").as("_dt"),
         (col("mean_logprob") * col("n_tokens").cast("double")).as("_llt"))
     val r = scoreByUnigram(docs, rawCorpus, idCol, textCol, alpha)

@@ -35,7 +35,17 @@ object Shards {
   def packShards(df: DataFrame, idCol: String, tokenCol: String,
                  shardTokens: Long, bucketExpr: Column): DataFrame = {
     require(shardTokens > 0, "shardTokens must be positive")
-    val withB = df.withColumn("_bk", bucketExpr.cast("long"))
+    // a NULL bucket key must fail LOUDLY: the offsets equi-join below
+    // never matches null == null, so a null-bucketed document would
+    // silently VANISH from the output — and even a null-safe join
+    // couldn't save it, since Spark and external engines order nulls
+    // differently and the bucket-offset window would diverge
+    val spark = df.sparkSession
+    import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+    import org.apache.spark.sql.GraftColumnBridge
+    val withB = df.withColumn("_bk",
+      GraftColumnBridge.toColumn(AssertNotNull(
+        GraftColumnBridge.toExpr(spark, bucketExpr.cast("long")))))
     val offsets = withB.groupBy("_bk")
       .agg(sum(col(tokenCol).cast("long")).as("_bt"))
       .withColumn("_off",

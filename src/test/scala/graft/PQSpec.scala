@@ -68,6 +68,19 @@ class PQSpec extends SparkSpec {
     assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
   }
 
+  test("pq_encode short GenericArrayData input yields NULL, not a crash") {
+    // HOF outputs are GenericArrayData, where isNullAt past the end
+    // THROWS (UnsafeArrayData just reads garbage bits) — so the
+    // codegen null-element scan must be gated on the length check
+    // having passed, like the interpreted path. The no-otherwise
+    // when() keeps containsNull=true so the scan is actually emitted.
+    val df = spark.range(3).select(col("id"),
+      transform(sequence(lit(0), lit(9)),
+        i => when(i >= 0, lit(0.5f))).as("embedding"))
+    val out = PQ.encodePacked(df, "embedding", cb).select("pq64").collect()
+    assert(out.length == 3 && out.forall(_.isNullAt(0)))
+  }
+
   test("packed ADC scoring is bit-identical to codes-array scoring") {
     val enc = PQ.encode(emb, "embedding", cb)
     val packed = PQ.pack(enc, "codes", cb)

@@ -92,4 +92,15 @@ class SemanticDedupSpec extends SparkSpec {
         s"(${ivfDropped.size}/${exactDropped.size})")
     } finally idx.unpersist()
   }
+
+  test("semanticDedup output schema is the input schema, even withPQ") {
+    // the survivors contract is "input rows unchanged" — no index
+    // bookkeeping column (_ivf_bucket/_vec_i8/_pq64) may leak
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
+      .withPQ(m = 8, k = 16)
+    try assert(idx.semanticDedup(0.9).columns.toSeq ==
+      emb.columns.toSeq)
+    finally idx.unpersist()
+  }
 }

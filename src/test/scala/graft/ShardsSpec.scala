@@ -37,6 +37,18 @@ class ShardsSpec extends SparkSpec {
     assert(counts.size > 5)
   }
 
+  test("packShards: a NULL bucket key fails loudly instead of dropping rows") {
+    // the offsets equi-join never matches null == null, so without the
+    // assert a null-bucketed document would silently vanish
+    val df = Seq((1L, Some(10L)), (2L, Option.empty[Long]))
+      .toDF("doc_id", "bk")
+      .withColumn("n_tokens", lit(5L))
+    val ex = intercept[Exception] {
+      Shards.packShards(df, "doc_id", "n_tokens", 10L, col("bk")).collect()
+    }
+    assert(ex.toString.toLowerCase.contains("null"))
+  }
+
   test("intervalJoin: banded equi-join matches the naive non-equi join, " +
       "boundaries inclusive, pairs unique") {
     import java.sql.Timestamp
