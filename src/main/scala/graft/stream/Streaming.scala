@@ -151,6 +151,53 @@ object Streaming {
         col("mean_logprob"), col("ppl"))
   }
 
+  /** Streaming Kneser–Ney perplexity scoring: arriving documents
+    * scored under a KN bigram model FITTED ONCE on a static reference
+    * corpus ([[graft.text.LangModel.fitKneserNey]]) — the deploy face
+    * of `scoreByKneserNey`, completing the streamed LM ladder next to
+    * [[scoredDocs]] (unigram). Three stateless stream-static
+    * equi-joins (bigram / context / continuation tables; AQE
+    * broadcasts small models), the two type totals ride as fit-time
+    * literals, and per-(window, doc) means aggregate under the
+    * event-time watermark so append mode emits each document's score
+    * exactly once when its window closes. Occurrence-level sum instead
+    * of the batch scorer's (doc, w₁, w₂, tf) pre-aggregation — the
+    * same mean by construction; round-6 absorbs the order difference
+    * (the batch-parity contract StreamSpec asserts). */
+  def knScoredDocs(docs: DataFrame, model: graft.text.LangModel.KnModel,
+                   idCol: String, textCol: String, tsCol: String,
+                   watermark: String, windowDur: String): DataFrame = {
+    val d = model.discount
+    val alpha = model.alpha
+    val pc = (coalesce(col("_n1b"), lit(0L)).cast("double") +
+        lit(alpha)) /
+      (lit(model.nBigramTypes) + lit(alpha) * (lit(model.vSucc) + lit(1.0)))
+    val c1 = col("_c1").cast("double")
+    val p = when(col("_c1").isNotNull,
+        greatest(coalesce(col("_c12"), lit(0L)).cast("double") -
+          lit(d), lit(0.0)) / c1 +
+          lit(d) * col("_n1f").cast("double") / c1 * pc)
+      .otherwise(pc)
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        graft.text.TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol), col(tsCol),
+        explode(graft.text.LangModel.bigramsOf(col("_toks"))).as("_bg"))
+      .select(col(idCol), col(tsCol),
+        col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.ctx, Seq("w1"), "left")
+      .join(model.pred, Seq("w2"), "left")
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_c12").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(log(p)) / count(lit(1)).cast("double"), 6)
+          .as("mean_logprob"))
+      .withColumn("ppl", round(exp(-col("mean_logprob")), 6))
+      .select(col(idCol), col("n_bigrams"), col("n_oov"),
+        col("mean_logprob"), col("ppl"))
+  }
+
   /** Streaming BM25 scoring: a QUERY stream scored against the FITTED
     * index of a static corpus ([[graft.text.Retrieval.bm25Index]]) —
     * the retrieval dual of [[scoredDocs]]: fit the postings once on

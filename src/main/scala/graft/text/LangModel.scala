@@ -243,6 +243,35 @@ object LangModel {
     finishScores(docs, idCol, scored, "n_bigrams")
   }
 
+  /** Fit-time Kneser–Ney artifact for the stream deploy: the three
+    * model tables (each a re-aggregation of the one checkpointed
+    * bigram-count pass) plus the two type totals collected once at fit
+    * time — the [[graft.stream.Streaming]] deploy joins the tables
+    * stream-static and carries the totals as literals, the
+    * `scoredDocs` fitted-scalar convention. */
+  final case class KnModel(bigrams: DataFrame, ctx: DataFrame,
+                           pred: DataFrame, nBigramTypes: Double,
+                           vSucc: Double, discount: Double, alpha: Double)
+
+  /** Train the interpolated KN bigram model of [[scoreByKneserNey]]
+    * once, as a deployable artifact (one corpus pass + one 2-scalar
+    * collect). */
+  def fitKneserNey(refCorpus: DataFrame, textCol: String,
+                   discount: Double = 0.75,
+                   alpha: Double = 0.5): KnModel = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val refBg = refBigramCounts(refCorpus, textCol)
+    val ctx = refBg.groupBy("w1")
+      .agg(sum("_c12").as("_c1"), count(lit(1)).as("_n1f"))
+    val pred = refBg.groupBy("w2").agg(count(lit(1)).as("_n1b"))
+    val r = refBg.agg(count(lit(1)).cast("double"),
+      countDistinct("w2").cast("double")).head()
+    KnModel(refBg, ctx, pred, r.getDouble(0), r.getDouble(1),
+      discount, alpha)
+  }
+
   /** Adjacent token pairs from a token-ARRAY column as a pure O(n)
     * array expression: `[(t₁,t₂), …, (tₙ₋₁,tₙ)]` via a zip of the two
     * shifted slices (empty below 2 tokens — slice length is clamped
@@ -255,7 +284,7 @@ object LangModel {
     * and 17 s on 5k docs (the exact hazard Chunk.scala documents).
     * The zip form touches the array a constant number of times per
     * row even if Catalyst collapses the projection. */
-  private def bigramsOf(toks: Column): Column = {
+  private[graft] def bigramsOf(toks: Column): Column = {
     val len = greatest(size(toks) - 1, lit(0))
     zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
       (a, b) => struct(a.as("w1"), b.as("w2")))

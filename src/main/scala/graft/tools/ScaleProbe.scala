@@ -683,6 +683,56 @@ object ScaleProbe {
       return
     }
 
+    // Quantile axis (SPARK_GRAFT_QUANT_N=<rows>): exact `percentile`
+    // materializes every value per agg buffer (sort-based, memory ∝
+    // n); `percentile_approx`'s GK summary is one mergeable bounded
+    // pass. Both compute the same q-grid over hash-noise doubles; the
+    // probe reports wall for each at n/4 and n plus the approx error
+    // vs the exact values — the at-scale claim measured, not asserted.
+    sys.env.get("SPARK_GRAFT_QUANT_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      val qs = Seq(0.25, 0.5, 0.75, 0.99)
+      def mk(sz: Long): DataFrame =
+        spark.range(sz).select((xxhash64(col("id"), lit("qx"))
+          .cast("double") / lit(Long.MaxValue.toDouble)).as("x"))
+      def run(sz: Long): (Double, Double, Double) = {
+        val df = mk(sz).persist(); df.count()
+        def med(f: => Array[Double]): (Double, Array[Double]) = {
+          var vals: Array[Double] = null
+          val ts = (0 until 3).map { _ =>
+            val t0 = System.nanoTime(); vals = f
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          (math.round(ts(1) * 1000) / 1000.0, vals)
+        }
+        val (tEx, ex) = med {
+          df.agg(percentile(col("x"), lit(qs.head)).as("q0"),
+            qs.tail.zipWithIndex.map { case (q, i) =>
+              percentile(col("x"), lit(q)).as(s"q${i + 1}") }: _*)
+            .head().toSeq.map(_.asInstanceOf[Double]).toArray
+        }
+        val (tAp, ap) = med {
+          df.agg(percentile_approx(col("x"), lit(qs.head), lit(10000)).as("q0"),
+            qs.tail.zipWithIndex.map { case (q, i) =>
+              percentile_approx(col("x"), lit(q), lit(10000)).as(s"q${i + 1}")
+            }: _*)
+            .head().toSeq.map(_.asInstanceOf[Double]).toArray
+        }
+        df.unpersist()
+        val maxErr = ex.zip(ap).map { case (a, b) => math.abs(a - b) }.max
+        (tEx, tAp, math.round(maxErr * 1e9) / 1e9.toDouble)
+      }
+      run(n / 4) // warm untimed
+      val (e1, a1, _) = run(n / 4)
+      val (e4, a4, err) = run(n)
+      println(f"""QUANTPROBE {"n_small":${n / 4},"n_big":$n,""" +
+        f""""exact_small_sec":$e1,"approx_small_sec":$a1,""" +
+        f""""exact_big_sec":$e4,"approx_big_sec":$a4,""" +
+        f""""approx_speedup_big":${math.round(e4 / math.max(a4, 0.001) * 10) / 10.0},""" +
+        f""""max_abs_err_big":$err}""")
+      spark.stop()
+      return
+    }
+
     // Interval-join axis (SPARK_GRAFT_INTERVAL_N=<points>): the banded
     // point-in-interval join must be LINEAR in the point count at a
     // fixed interval density — the explode is bounded by

@@ -295,6 +295,37 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming KN scoring matches the batch Kneser-Ney scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "a b a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val model = graft.text.LangModel.fitKneserNey(ref, "text")
+    val in = MemoryStream[DocEv]
+    val q = Streaming.knScoredDocs(in.toDF(), model, "doc_id", "text",
+        "ts", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("skn")
+      .outputMode(OutputMode.Append).start()
+    in.addData(DocEv(t(0), 10L, "a b c"),    // seen pairs + ctx-only
+      DocEv(t(1), 11L, "z q a"))             // unseen ctx + backoff
+    q.processAllAvailable()
+    in.addData(DocEv(t(59), 99L, "a b"))     // advance watermark
+    q.processAllAvailable()
+    val streamed = spark.table("skn")
+      .select("doc_id", "n_bigrams", "n_oov", "mean_logprob", "ppl")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .filter(r => r._1 == 10L || r._1 == 11L).sortBy(_._1)
+    q.stop()
+    val batch = graft.text.LangModel.scoreByKneserNey(
+        Seq((10L, "a b c"), (11L, "z q a")).toDF("doc_id", "text"),
+        ref, "doc_id", "text")
+      .orderBy("doc").as[(Long, Long, Long, Double, Double)].collect()
+    assert(streamed.length == 2)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s._1 == b._1 && s._2 == b._2 && s._3 == b._3, s"$s vs $b")
+      assert(math.abs(s._4 - b._4) < 1e-6, s"mean_logprob $s vs $b")
+      assert(math.abs(s._5 - b._5) < 1e-5, s"ppl $s vs $b")
+    }
+  }
+
   test("streaming BM25 scores match the batch scorer bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
