@@ -55,7 +55,8 @@ object SparkEntry {
       entries.Batch28Entries.queries ++
       entries.Batch29Entries.queries ++
       entries.Batch30Entries.queries ++
-      entries.Batch31Entries.queries
+      entries.Batch31Entries.queries ++
+      entries.Batch32Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -89,7 +90,8 @@ object SparkEntry {
       entries.Batch28Entries.oracleSql ++
       entries.Batch29Entries.oracleSql ++
       entries.Batch30Entries.oracleSql ++
-      entries.Batch31Entries.oracleSql
+      entries.Batch31Entries.oracleSql ++
+      entries.Batch32Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

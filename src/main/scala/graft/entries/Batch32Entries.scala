@@ -1,0 +1,144 @@
+package graft.entries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+
+/** Round-12 continuation: the trigram Stupid Backoff model (Brants
+  * et al. 2007 — the n-gram smoothing designed FOR distributed
+  * trillion-token corpora), topping out the LM-scoring ladder
+  * add-α unigram → add-α bigram → interpolated KN → trigram SB. */
+object Batch32Entries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LangModel.scoreByStupidBackoff: same held-out-fifth split as
+    // unigram_ppl/bigram_ppl/kn_ppl so the whole ladder ranks the
+    // same documents. The held-out fifth exercises every branch:
+    // trigram seen (relative frequency), trigram unseen → bigram
+    // backoff (λ·c23/c2), both unseen → unigram floor (λ²·add-α),
+    // and unseen w3 through the α slot.
+    "sb_ppl" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      graft.text.LangModel.scoreByStupidBackoff(
+          docs, docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          lambda = 0.4, alpha = 0.5)
+        .orderBy("doc")
+    }),
+
+    // Dedup.connectedComponentsStar: the SAME near-dup graph as
+    // dedup_clusters, clustered by the alternating large-star/
+    // small-star algorithm (Kiveris et al. 2014) instead of min-label
+    // propagation — O(log²) rounds regardless of component diameter,
+    // the variant that survives chain-shaped duplicate graphs at
+    // scale. Identical output contract, identical recursive-CTE
+    // oracle: the transitive closure does not care which algorithm
+    // computed it, so any divergence between the two hash-mismatches.
+    "cc_star" -> ((s, dir) => {
+      val d = T.documents(s, dir).filter(col("doc_id") < 50)
+      val perturbed = d.withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", regexp_replace(col("text"), "^\\S+\\s+", ""))
+      val pairs = graft.text.Dedup.ngramJaccardPairs(
+        d.unionByName(perturbed), "doc_id", "text", k = 3, threshold = 0.5)
+      graft.text.Dedup.connectedComponentsStar(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // The identical IEEE tree: integer counts → correctly-rounded
+    // double ops in the same association order as the Column
+    // expressions; round-6 mean, EXP of the already-rounded mean.
+    "sb_ppl" ->
+      """WITH rt AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 <> 0 AND len(trim(text)) > 0),
+        |uni AS (
+        |  SELECT u.w, COUNT(*) AS cu
+        |  FROM (SELECT unnest(t) AS w FROM rt) u GROUP BY 1),
+        |bi AS (
+        |  SELECT t[i.i] AS w1, t[i.i + 1] AS w2, COUNT(*) AS cb
+        |  FROM rt, (SELECT unnest(range(1, 2000)) AS i) i
+        |  WHERE i.i <= len(t) - 1 GROUP BY 1, 2),
+        |tri AS (
+        |  SELECT t[i.i] AS w1, t[i.i + 1] AS w2, t[i.i + 2] AS w3,
+        |    COUNT(*) AS c123
+        |  FROM rt, (SELECT unnest(range(1, 2000)) AS i) i
+        |  WHERE i.i <= len(t) - 2 GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n,
+        |               CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+        |dt AS (
+        |  SELECT doc_id AS doc,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |dtg AS (
+        |  SELECT doc, t[i.i] AS w1, t[i.i + 1] AS w2, t[i.i + 2] AS w3,
+        |    COUNT(*) AS tf
+        |  FROM dt, (SELECT unnest(range(1, 2000)) AS i) i
+        |  WHERE i.i <= len(t) - 2 GROUP BY 1, 2, 3, 4),
+        |j AS (
+        |  SELECT doc, tf,
+        |    CASE WHEN tri.c123 IS NULL THEN 1 ELSE 0 END AS oov,
+        |    LN(CASE WHEN tri.c123 IS NOT NULL
+        |      THEN CAST(tri.c123 AS DOUBLE) / CAST(b12.cb AS DOUBLE)
+        |      ELSE 0.4 * (CASE WHEN b23.cb IS NOT NULL
+        |        THEN CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE)
+        |        ELSE 0.4 * ((CAST(COALESCE(u3.cu, 0) AS DOUBLE) + 0.5)
+        |               / (tt.n + 0.5 * (tt.v + 1.0))) END) END) AS logp
+        |  FROM dtg
+        |  LEFT JOIN tri USING (w1, w2, w3)
+        |  LEFT JOIN bi b12 ON b12.w1 = dtg.w1 AND b12.w2 = dtg.w2
+        |  LEFT JOIN bi b23 ON b23.w1 = dtg.w2 AND b23.w2 = dtg.w3
+        |  LEFT JOIN uni u2 ON u2.w = dtg.w2
+        |  LEFT JOIN uni u3 ON u3.w = dtg.w3, tot tt),
+        |sc AS (
+        |  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(oov * tf) AS BIGINT) AS n_oov,
+        |    ROUND(SUM(logp * CAST(tf AS DOUBLE)) / CAST(SUM(tf) AS DOUBLE), 6)
+        |      AS mean_logprob
+        |  FROM j GROUP BY doc)
+        |SELECT d.doc_id AS doc,
+        |  COALESCE(n_trigrams, 0) AS n_trigrams,
+        |  COALESCE(n_oov, 0) AS n_oov,
+        |  COALESCE(mean_logprob, 0.0) AS mean_logprob,
+        |  COALESCE(ROUND(EXP(-mean_logprob), 6), 1.0) AS ppl
+        |FROM documents d LEFT JOIN sc ON sc.doc = d.doc_id
+        |ORDER BY doc""".stripMargin,
+
+    // Verbatim the dedup_clusters oracle (Batch17Entries): the
+    // recursive-CTE transitive closure is algorithm-independent.
+    "cc_star" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 10000, regexp_replace(text, '^\S+\s+', '')
+        |  FROM documents WHERE doc_id < 50),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM corpus),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(t[i.i + 1 : i.i + 3], ' ') AS s
+        |  FROM toks, (SELECT unnest(range(0, 10000)) AS i) i
+        |  WHERE len(t) >= 3 AND i.i <= len(t) - 3),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS ninter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |p AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE CAST(ninter AS DOUBLE) / (na.n + nb.n - ninter) >= 0.5),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+  )
+}

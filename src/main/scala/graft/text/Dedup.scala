@@ -384,6 +384,102 @@ object Dedup {
     labels
   }
 
+  /** Connected components by the ALTERNATING large-star/small-star
+    * algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii:
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * scale path of [[connectedComponents]]. Min-label propagation's
+    * round count is the component DIAMETER: fine for near-clique dedup
+    * graphs, quadratic-wall on chain-shaped ones (snapshot lineages
+    * A≈B≈C≈…, URL redirect chains), where a 10⁵-long chain means 10⁵
+    * shuffles. The star rounds contract every component to a star in
+    * O(log²) rounds regardless of diameter; each round is two keyed
+    * groupBy+join passes over the edge set — same per-round cost
+    * shape, exponentially fewer rounds on the pathological inputs.
+    *
+    * large-star: every node connects its LARGER neighbors to the
+    * minimum of its neighborhood (incl. itself) — breaks long paths.
+    * small-star: every node connects its smaller-or-equal neighbors
+    * and itself to that minimum — flattens into stars. Both preserve
+    * connectivity and never create new components (paper §3, Lemma 1);
+    * the fixed point is a star forest rooted at component minima.
+    *
+    * Edges are kept canonical (u > v) and distinct between rounds;
+    * `localCheckpoint` cuts lineage per round, and convergence is an
+    * O(1)-to-driver check (edge count equal AND symmetric difference
+    * empty). Output matches [[connectedComponents]] exactly:
+    * (id, comp) for every id in any pair, comp = min reachable id —
+    * the two algorithms are interchangeable, verified by test.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
+                              bCol: String = "id_b",
+                              maxIter: Int = 50): DataFrame = {
+    def checkedId(c: Column): Column = {
+      val l = c.cast("long")
+      when(c.isNotNull && l.isNull,
+        raise_error(concat(
+          lit("connectedComponentsStar: id not castable to long: "),
+          c.cast("string")))).otherwise(l)
+    }
+    val ids = pairs
+      .select(explode(array(checkedId(col(aCol)), checkedId(col(bCol))))
+        .as("id"))
+      .distinct().localCheckpoint()
+    // canonical edge invariant maintained by both stars: u > v
+    var edges = pairs
+      .select(checkedId(col(aCol)).as("_a"), checkedId(col(bCol)).as("_b"))
+      .filter(col("_a") =!= col("_b"))
+      .select(greatest(col("_a"), col("_b")).as("u"),
+        least(col("_a"), col("_b")).as("v"))
+      .distinct().localCheckpoint()
+
+    // large-star over the undirected view: m(u) = min(Γ(u) ∪ {u});
+    // emit (v, m(u)) for every STRICTLY LARGER neighbor v. m ≤ u < v
+    // keeps the canonical invariant.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = bidir.groupBy("u").agg(min("v").as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("_m"))
+      bidir.join(m, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("_m"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .distinct()
+    }
+    // small-star over the canonical (u > v) view: m(u) = min of the
+    // smaller neighbors; re-point them and u itself at m. v > m keeps
+    // the invariant; (m, m) self-loops are dropped.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("_m"))
+      val rePointed = e.join(m, "u")
+        .filter(col("v") =!= col("_m"))
+        .select(col("v").as("u"), col("_m").as("v"))
+      val self = m.select(col("u"), col("_m").as("v"))
+      rePointed.union(self).distinct()
+    }
+
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCount = next.count()
+      converged = nextCount == edges.count() &&
+        next.except(edges).limit(1).isEmpty
+      edges.unpersist()
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: not converged after $maxIter rounds — " +
+          "this should not happen (the alternating algorithm converges " +
+          "in O(log^2 n) rounds); raise maxIter only after checking the " +
+          "input for pathological id distributions")
+    // fixed point is a star forest: every edge points a node at its
+    // component root. Roots and isolated input ids label themselves.
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** One-call near-duplicate removal: MinHash/LSH pairs → connected
     * components → keep the min-id document per duplicate cluster
     * (`handle_duplicates` drop semantics, quality.py:4677, extended

@@ -272,6 +272,118 @@ object LangModel {
       discount, alpha)
   }
 
+  /** Score each document under a trigram STUPID BACKOFF model of
+    * `refCorpus` (Brants et al., "Large Language Models in Machine
+    * Translation", EMNLP 2007 §4 — the smoothing invented FOR
+    * distributed trillion-token corpora: no discounting pass, no
+    * normalization, every model table a plain count, which is exactly
+    * why it is the right n-gram model at 100 TB where KN's
+    * count-of-count statistics become another full shuffle each):
+    *
+    * `S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)` if the trigram was seen, else
+    * `λ·S(w₃|w₂)`; `S(w₃|w₂) = c(w₂w₃)/c(w₂)` if the bigram was seen,
+    * else `λ·S(w₃)`; the unigram floor carries the library's add-α
+    * OOV slot `S(w₃) = (c(w₃)+α)/(N+α(V+1))` so every log stays
+    * finite (Brants' S(wᵢ) = c(wᵢ)/N gives an unseen token zero
+    * mass, which no scoring filter can ship — same convention as the
+    * models above). λ = 0.4 is the paper's backoff factor. S is a
+    * SCORE, not a normalized probability (the paper's point: skipping
+    * normalization is what makes the model embarrassingly parallel);
+    * `mean_logprob`/`ppl` keep their ladder names so banding code is
+    * model-agnostic, but read them as mean log-score and its exp.
+    *
+    * Plan shape: the reference tokenizes ONCE into a checkpointed
+    * token-array table (at cluster scale this is the "write the
+    * tokenized corpus to a temp table" step every n-gram pipeline
+    * has); the three count tables are then three explode→groupBy
+    * aggregates over the materialized arrays — each map-side combined,
+    * none re-reading raw text. Scoring pre-aggregates to
+    * (doc, w₁, w₂, w₃, tf) and takes five keyed equi-joins (trigram,
+    * both backoff bigram slots, both unigram slots) — AQE broadcasts
+    * the model tables when small, shuffles when a web-scale
+    * vocabulary is not. Token totals ride as a 1-row broadcast.
+    *
+    * Every count is an integer and every arithmetic step a
+    * correctly-rounded IEEE double op written identically in the SQL
+    * oracle, so the model replays exactly. Output:
+    * (doc, n_trigrams, n_oov, mean_logprob, ppl); n_oov counts unseen
+    * TRIGRAMS (either backoff branch). Documents with fewer than 3
+    * tokens score the neutral empty product (mean 0, ppl 1). */
+  def scoreByStupidBackoff(docs: DataFrame, refCorpus: DataFrame,
+                           idCol: String, textCol: String,
+                           lambda: Double = 0.4,
+                           alpha: Double = 0.5): DataFrame = {
+    require(lambda > 0 && lambda < 1,
+      s"lambda must be in (0, 1), got $lambda")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    // tokenize once; three n-gram orders re-read the ARRAYS, not the text
+    val refToks = refCorpus
+      .select(TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .localCheckpoint()
+    require(!refToks.isEmpty,
+      "reference corpus has no tokens: refusing to train an empty " +
+        "stupid-backoff model (every document would score ppl = 1)")
+    val uni = refToks.select(explode(col("_toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("_cu"))
+    val bi = refToks.select(explode(bigramsOf(col("_toks"))).as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
+    val tri = refToks.select(explode(trigramsOf(col("_toks"))).as("_tg"))
+      .select(col("_tg.w1").as("w1"), col("_tg.w2").as("w2"),
+        col("_tg.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("_c123"))
+    val tot = uni.agg(sum("_cu").cast("double").as("_N"),
+      count(lit(1)).cast("double").as("_V"))
+    val docTg = docs.select(col(idCol).as("doc"),
+        TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc"), explode(trigramsOf(col("_toks"))).as("_tg"))
+      .select(col("doc"), col("_tg.w1").as("w1"), col("_tg.w2").as("w2"),
+        col("_tg.w3").as("w3"))
+      .groupBy("doc", "w1", "w2", "w3").agg(count(lit(1)).as("tf"))
+    // the five model lookups; a seen trigram implies a seen (w1,w2)
+    // prefix and a seen (w2,w3) bigram implies a seen w2, so the
+    // denominators of the taken branches are never null
+    val scored = docTg
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("_cb").as("_c12")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("_cb").as("_c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("_cu").as("_c2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("_cu").as("_c3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc"), col("tf"),
+        when(col("_c123").isNull, lit(1L)).otherwise(lit(0L)).as("_oov"), {
+          val sUni = (coalesce(col("_c3"), lit(0L)).cast("double") +
+              lit(alpha)) /
+            (col("_N") + lit(alpha) * (col("_V") + lit(1.0)))
+          val sBi = when(col("_c23").isNotNull,
+              col("_c23").cast("double") / col("_c2").cast("double"))
+            .otherwise(lit(lambda) * sUni)
+          val sTri = when(col("_c123").isNotNull,
+              col("_c123").cast("double") / col("_c12").cast("double"))
+            .otherwise(lit(lambda) * sBi)
+          log(sTri).as("_logp")
+        })
+    finishScores(docs, idCol, scored, "n_trigrams")
+  }
+
+  /** Adjacent token TRIPLES from a token-ARRAY column, the order-3
+    * sibling of [[bigramsOf]]: a zip of the three shifted slices
+    * (empty below 3 tokens — slice length clamps to 0). */
+  private[graft] def trigramsOf(toks: Column): Column = {
+    val len = greatest(size(toks) - 2, lit(0))
+    zip_with(
+      zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      slice(toks, lit(3), len),
+      (p, c) => struct(p.getField("w1").as("w1"),
+        p.getField("w2").as("w2"), c.as("w3")))
+  }
+
   /** Adjacent token pairs from a token-ARRAY column as a pure O(n)
     * array expression: `[(t₁,t₂), …, (tₙ₋₁,tₙ)]` via a zip of the two
     * shifted slices (empty below 2 tokens — slice length is clamped

@@ -1,0 +1,102 @@
+package graft
+
+import graft.text.LangModel
+
+/** Round-12 continuation: trigram Stupid Backoff scoring —
+  * hand-computed scores per backoff branch (Brants et al. 2007). */
+class Batch32Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("scoreByStupidBackoff matches hand-computed scores per branch") {
+    // ref "a b c a b d": uni a:2 b:2 c:1 d:1 (N=6, V=4);
+    // bi (a,b):2 (b,c):1 (c,a):1 (b,d):1;
+    // tri (a,b,c) (b,c,a) (c,a,b) (a,b,d) x1 each.
+    // add-α floor denominator: N + 0.5·(V+1) = 8.5.
+    val ref = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b c"), // tri seen: 1 / c(a,b)=2 -> 0.5
+      (11L, "c a b"), // tri seen: 1 / c(c,a)=1 -> 1.0
+      (12L, "x a b"), // tri unseen, bi (a,b) seen: 0.4 * 2/c(a)=2 -> 0.4
+      (13L, "b c d"), // both unseen: 0.16 * (1+0.5)/8.5
+      (14L, "b d x"), // both unseen, w3 OOV: 0.16 * (0+0.5)/8.5
+      (15L, "a b")    // <3 tokens: neutral
+    ).toDF("doc_id", "text")
+    val out = LangModel.scoreByStupidBackoff(docs, ref, "doc_id", "text",
+        lambda = 0.4, alpha = 0.5)
+      .orderBy("doc").as[(Long, Long, Long, Double, Double)].collect()
+    def r6(x: Double) = math.round(math.log(x) * 1e6) / 1e6
+    assert(out(0) === ((10L, 1L, 0L, r6(0.5), math.round(math.exp(-r6(0.5)) * 1e6) / 1e6)))
+    assert(out(1)._4 === r6(1.0) && out(1)._3 == 0L)
+    assert(math.abs(out(2)._4 - r6(0.4)) < 1e-9 && out(2)._3 == 1L)
+    assert(math.abs(out(3)._4 - r6(0.16 * 1.5 / 8.5)) < 1e-9 && out(3)._3 == 1L)
+    assert(math.abs(out(4)._4 - r6(0.16 * 0.5 / 8.5)) < 1e-9 && out(4)._3 == 1L)
+    assert(out(5) === ((15L, 0L, 0L, 0.0, 1.0)))
+    // the backoff ladder preserves the ranking a filter relies on:
+    // seen trigram > bigram backoff > unigram floor > OOV floor
+    assert(out(0)._5 < out(2)._5 && out(2)._5 < out(3)._5 &&
+      out(3)._5 < out(4)._5)
+  }
+
+  test("sb_ppl entry runs on testdata and scores held-in docs lower") {
+    val out = entries.Batch32Entries.queries("sb_ppl")(spark, sf)
+    val rows = out.collect()
+    assert(rows.length > 0)
+    // held-in docs (doc_id % 5 != 0) were in the training corpus, so
+    // their trigrams are all seen -> zero OOV and lower mean ppl than
+    // the held-out fifth
+    val df = out.toDF()
+    val heldIn = df.filter($"doc" % 5 =!= 0 && $"n_trigrams" > 0)
+    val heldOut = df.filter($"doc" % 5 === 0 && $"n_trigrams" > 0)
+    val inPpl = heldIn.agg(org.apache.spark.sql.functions.avg($"ppl"))
+      .head().getDouble(0)
+    val outPpl = heldOut.agg(org.apache.spark.sql.functions.avg($"ppl"))
+      .head().getDouble(0)
+    assert(inPpl < outPpl,
+      s"held-in mean ppl $inPpl should beat held-out $outPpl")
+    assert(heldIn.agg(org.apache.spark.sql.functions.sum($"n_oov"))
+      .head().getLong(0) == 0L, "held-in docs must have zero OOV trigrams")
+  }
+
+  test("connectedComponentsStar matches min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 120
+      val pairs = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      val star = graft.text.Dedup.connectedComponentsStar(pairs)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val prop = graft.text.Dedup.connectedComponents(pairs, maxIter = 120)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(star.sameElements(prop),
+        s"star ${star.take(10).mkString(",")} vs prop ${prop.take(10).mkString(",")}")
+    }
+  }
+
+  test("connectedComponentsStar collapses a long chain in few rounds") {
+    // a 400-node chain has diameter 400: min-label propagation at its
+    // default maxIter=25 must throw (partially propagated labels would
+    // be silently wrong), while the alternating star algorithm
+    // converges in O(log^2 n) rounds well under its default 50.
+    val chain = (0L until 399L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.text.Dedup.connectedComponentsStar(chain)
+    assert(out.count() == 400)
+    assert(out.agg(org.apache.spark.sql.functions.max($"comp"))
+      .head().getLong(0) == 0L, "every chain node must label to the root 0")
+    intercept[IllegalStateException] {
+      graft.text.Dedup.connectedComponents(chain)
+    }
+  }
+
+  test("connectedComponentsStar handles singletons, self-pairs and string ids") {
+    val pairs = Seq(("7", "7"), ("3", "9"), ("9", "4")).toDF("id_a", "id_b")
+    val out = graft.text.Dedup.connectedComponentsStar(pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((3L, 3L), (4L, 3L), (7L, 7L), (9L, 3L)))
+    intercept[Exception] {
+      Seq(("a", "b")).toDF("id_a", "id_b")
+        .transform(graft.text.Dedup.connectedComponentsStar(_))
+        .collect()
+    }
+  }
+}
