@@ -44,6 +44,38 @@ object Batch32Entries {
       graft.text.Dedup.connectedComponentsStar(pairs)
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
+    }),
+
+    // The composed LLM-data pipeline, end to end in ONE plan — the
+    // "a user could run their whole pipeline on this" entry: Gopher
+    // rule gate (Rae et al. 2021) → exact dedup (min-id per md5) →
+    // CCNet-style perplexity ranking under the held-in unigram LM →
+    // token-budget selection (best-ppl-first, first-doc-over-the-line).
+    // Four stages, each individually oracle-checked elsewhere
+    // (gopher_rules, dedup_exact, unigram_ppl, token_budget); this
+    // entry pins that they COMPOSE — the stage boundaries (flag vs
+    // drop, spine joins, rounded ppl feeding the rank) are where
+    // pipelines break, and a single chained oracle catches exactly
+    // that. Every stage is shuffle-keyed (doc / hash / token) except
+    // the final budget window, whose at-scale form is the two-level
+    // prefix sum pack_shards demonstrates.
+    "llm_pipeline" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val gate = graft.text.Quality.gopherRules(docs, "doc_id", "text",
+          minWords = 30, maxWords = 90, minStopHits = 1)
+        .filter(col("kept")).select("doc_id")
+      val d2 = graft.text.Dedup.dropExact(
+        docs.join(gate, Seq("doc_id")), "doc_id", "text")
+      val scored = graft.text.LangModel.scoreByUnigram(
+          d2, docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          alpha = 0.5)
+        .select(col("doc").as("doc_id"), col("n_tokens"), col("ppl"))
+        .withColumn("src", lit("web"))
+        .withColumn("neg_ppl", -col("ppl"))
+      graft.text.Quality.selectByTokenBudget(scored, "doc_id", "src",
+          "neg_ppl", "n_tokens", budgetPerSource = 3000L)
+        .select("doc_id", "n_tokens", "ppl")
+        .orderBy("doc_id")
     })
   )
 
@@ -139,6 +171,93 @@ object Batch32Entries {
         |  UNION
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // The four stage oracles chained: gopher_rules' signal CTE (kept
+    // pages only), dedup_exact's min-id-per-md5 rule, unigram_ppl's
+    // IEEE log-prob tree over the DEDUPED spine (model still trained
+    // on the full held-in 4/5), and token_budget's ROWS-frame cumsum
+    // in (ppl asc, doc_id asc) order — Spark ranks by -ppl DESC,
+    // which is the same total order.
+    "llm_pipeline" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(toks) AS INT) AS n_words,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE ROUND(CAST(len(regexp_replace(trim(text), '\s+', '', 'g'))
+        |                    AS DOUBLE) / len(toks), 9) END AS mean_word_len,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE ROUND(CAST(len(regexp_extract_all(text, '#|\.\.\.'))
+        |                    AS DOUBLE) / len(toks), 9) END AS symbol_ratio,
+        |    CASE WHEN len(lines) = 0 THEN 0.0
+        |         ELSE ROUND(CAST(len(list_filter(lines,
+        |              l -> regexp_matches(ltrim(l), '^[-*•]')))
+        |                    AS DOUBLE) / len(lines), 9) END AS bullet_frac,
+        |    CASE WHEN len(lines) = 0 THEN 0.0
+        |         ELSE ROUND(CAST(len(list_filter(lines,
+        |              l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+        |                    AS DOUBLE) / len(lines), 9) END AS ellipsis_frac,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE ROUND(CAST(len(list_filter(toks,
+        |              t -> regexp_matches(t, '[A-Za-z]')))
+        |                    AS DOUBLE) / len(toks), 9) END AS alpha_frac,
+        |    CAST(len(list_intersect(list_transform(toks, t -> lower(t)),
+        |      ['the','be','to','of','and','that','have','with'])) AS INT)
+        |      AS n_stop
+        |  FROM g),
+        |d1 AS (
+        |  SELECT doc_id, text FROM m
+        |  WHERE n_words >= 30 AND n_words <= 90
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |    AND n_stop >= 1),
+        |d2 AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 5 <> 0 AND len(trim(text)) > 0),
+        |c AS (SELECT token, COUNT(*) AS ctf FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS n,
+        |               CAST(COUNT(*) AS DOUBLE) AS v FROM c),
+        |dt AS (
+        |  SELECT doc_id AS doc,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM d2 WHERE len(trim(text)) > 0),
+        |dtf AS (SELECT doc, token, COUNT(*) AS tf FROM dt GROUP BY 1, 2),
+        |j AS (
+        |  SELECT doc, tf,
+        |    CASE WHEN c.ctf IS NULL
+        |      THEN LN(0.5 / (t.n + 0.5 * (t.v + 1.0)))
+        |      ELSE LN((CAST(c.ctf AS DOUBLE) + 0.5) / (t.n + 0.5 * (t.v + 1.0)))
+        |    END AS logp
+        |  FROM dtf LEFT JOIN c USING (token), tot t),
+        |sc AS (
+        |  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    ROUND(SUM(logp * CAST(tf AS DOUBLE)) / CAST(SUM(tf) AS DOUBLE), 6)
+        |      AS mean_logprob
+        |  FROM j GROUP BY doc),
+        |sp AS (
+        |  SELECT d2.doc_id,
+        |    COALESCE(n_tokens, 0) AS n_tokens,
+        |    COALESCE(ROUND(EXP(-mean_logprob), 6), 1.0) AS ppl
+        |  FROM d2 LEFT JOIN sc ON sc.doc = d2.doc_id),
+        |sel AS (
+        |  SELECT doc_id, n_tokens, ppl,
+        |    SUM(n_tokens) OVER (ORDER BY ppl ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM sp)
+        |SELECT doc_id, n_tokens, ppl FROM sel
+        |WHERE cum - n_tokens < 3000
+        |ORDER BY doc_id""".stripMargin
   )
 }
