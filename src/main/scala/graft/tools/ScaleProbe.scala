@@ -117,6 +117,13 @@ object ScaleProbe {
           LangModel.scoreByKneserNey(cached, cached, "doc_id", "text")
             .count()
         },
+        timed("sb_ppl") {
+          // self-scored like kn_ppl: one tokenize pass checkpointed,
+          // three n-gram aggregates over the arrays, five keyed
+          // scoring joins — the widest-join member of the LM ladder
+          LangModel.scoreByStupidBackoff(cached, cached, "doc_id", "text")
+            .count()
+        },
         timed("snapshot_dedup") {
           // full-size re-crawl where every third page changed: the
           // reference fingerprint set AND the probe side both scale
@@ -233,6 +240,47 @@ object ScaleProbe {
     // with a sampled KMeans fit, and measures brute vs IVF nprobe=4
     // latency AND recall@15 against the exact brute top-k. The probe
     // RAISES below 0.9 recall — the claim is asserted, not assumed.
+    // Connected-components axis (SPARK_GRAFT_CC_N=<nodes>): dedup
+    // graphs are near-cliques (diameter ≤ ~3) where min-label
+    // propagation's diameter-many rounds are fine; chain graphs are
+    // its wall. Two synthetic graphs at N nodes: 'cliquey' = stars of
+    // 10 (i → i − i%10) compares per-round constant factors where
+    // both algorithms take few rounds; 'chain' = path 0–1–…–N−1,
+    // where propagation needs N rounds (its maxIter guard throws by
+    // design) and the alternating star contraction converges in
+    // O(log N) — only the star path runs there.
+    sys.env.get("SPARK_GRAFT_CC_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      def timeIt(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val r = f
+        (math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0, r)
+      }
+      val cliquey = spark.range(n).filter(col("id") % 10 =!= 0)
+        .select(col("id").as("id_a"), (col("id") - col("id") % 10).as("id_b"))
+      val chain = spark.range(n - 1)
+        .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+      val (propCliqueySec, propComps) = timeIt {
+        Dedup.connectedComponents(cliquey)
+          .agg(countDistinct("comp")).head().getLong(0)
+      }
+      val (starCliqueySec, starComps) = timeIt {
+        Dedup.connectedComponentsStar(cliquey)
+          .agg(countDistinct("comp")).head().getLong(0)
+      }
+      require(propComps == starComps,
+        s"component counts diverge: prop=$propComps star=$starComps")
+      val (starChainSec, chainComps) = timeIt {
+        Dedup.connectedComponentsStar(chain)
+          .agg(countDistinct("comp")).head().getLong(0)
+      }
+      require(chainComps == 1L, s"chain must be one component, got $chainComps")
+      println(f"""CCPROBE {"n":$n,"comps":$propComps,""" +
+        f""""prop_cliquey_sec":$propCliqueySec%.3f,""" +
+        f""""star_cliquey_sec":$starCliqueySec%.3f,""" +
+        f""""star_chain_sec":$starChainSec%.3f}""")
+      spark.stop()
+      return
+    }
+
     sys.env.get("SPARK_GRAFT_ANN_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val dim = 64
       val emb = spark.range(n).select(col("id").as("vec_id"),
