@@ -198,6 +198,60 @@ object Streaming {
         col("mean_logprob"), col("ppl"))
   }
 
+  /** Streaming Stupid Backoff perplexity scoring: arriving documents
+    * scored under a trigram SB model FITTED ONCE on a static reference
+    * corpus ([[graft.text.LangModel.fitStupidBackoff]]) — the deploy
+    * face of `scoreByStupidBackoff`, topping out the streamed LM
+    * ladder next to [[scoredDocs]] (unigram) and [[knScoredDocs]]
+    * (KN bigram). Five stateless stream-static equi-joins (trigram,
+    * both backoff bigram slots, both unigram slots; AQE broadcasts
+    * small models), the token totals ride as fit-time literals, and
+    * per-(window, doc) means aggregate under the event-time watermark
+    * so append mode emits each document's score exactly once when its
+    * window closes. Occurrence-level sum instead of the batch
+    * scorer's (doc, w₁, w₂, w₃, tf) pre-aggregation — the same mean
+    * by construction; round-6 absorbs the order difference (the
+    * batch-parity contract StreamSpec asserts). */
+  def sbScoredDocs(docs: DataFrame, model: graft.text.LangModel.SbModel,
+                   idCol: String, textCol: String, tsCol: String,
+                   watermark: String, windowDur: String): DataFrame = {
+    val lambda = model.lambda
+    val alpha = model.alpha
+    val sUni = (coalesce(col("_c3"), lit(0L)).cast("double") +
+        lit(alpha)) /
+      (lit(model.nTokens) + lit(alpha) * (lit(model.vocab) + lit(1.0)))
+    val sBi = when(col("_c23").isNotNull,
+        col("_c23").cast("double") / col("_c2").cast("double"))
+      .otherwise(lit(lambda) * sUni)
+    val sTri = when(col("_c123").isNotNull,
+        col("_c123").cast("double") / col("_c12").cast("double"))
+      .otherwise(lit(lambda) * sBi)
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        graft.text.TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol), col(tsCol),
+        explode(graft.text.LangModel.trigramsOf(col("_toks"))).as("_tg"))
+      .select(col(idCol), col(tsCol), col("_tg.w1").as("w1"),
+        col("_tg.w2").as("w2"), col("_tg.w3").as("w3"))
+      .join(model.tri, Seq("w1", "w2", "w3"), "left")
+      .join(model.bi.select(col("w1"), col("w2"), col("_cb").as("_c12")),
+        Seq("w1", "w2"), "left")
+      .join(model.bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("_cb").as("_c23")), Seq("w2", "w3"), "left")
+      .join(model.uni.select(col("w").as("w2"), col("_cu").as("_c2")),
+        Seq("w2"), "left")
+      .join(model.uni.select(col("w").as("w3"), col("_cu").as("_c3")),
+        Seq("w3"), "left")
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("_c123").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(log(sTri)) / count(lit(1)).cast("double"), 6)
+          .as("mean_logprob"))
+      .withColumn("ppl", round(exp(-col("mean_logprob")), 6))
+      .select(col(idCol), col("n_trigrams"), col("n_oov"),
+        col("mean_logprob"), col("ppl"))
+  }
+
   /** Streaming BM25 scoring: a QUERY stream scored against the FITTED
     * index of a static corpus ([[graft.text.Retrieval.bm25Index]]) —
     * the retrieval dual of [[scoredDocs]]: fit the postings once on

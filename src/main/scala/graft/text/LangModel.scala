@@ -316,23 +316,7 @@ object LangModel {
     require(lambda > 0 && lambda < 1,
       s"lambda must be in (0, 1), got $lambda")
     require(alpha > 0, s"alpha must be > 0, got $alpha")
-    // tokenize once; three n-gram orders re-read the ARRAYS, not the text
-    val refToks = refCorpus
-      .select(TextFns.tokens(lower(col(textCol))).as("_toks"))
-      .filter(size(col("_toks")) > 0)
-      .localCheckpoint()
-    require(!refToks.isEmpty,
-      "reference corpus has no tokens: refusing to train an empty " +
-        "stupid-backoff model (every document would score ppl = 1)")
-    val uni = refToks.select(explode(col("_toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("_cu"))
-    val bi = refToks.select(explode(bigramsOf(col("_toks"))).as("_bg"))
-      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
-    val tri = refToks.select(explode(trigramsOf(col("_toks"))).as("_tg"))
-      .select(col("_tg.w1").as("w1"), col("_tg.w2").as("w2"),
-        col("_tg.w3").as("w3"))
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("_c123"))
+    val (uni, bi, tri) = refNgramCounts(refCorpus, textCol)
     val tot = uni.agg(sum("_cu").cast("double").as("_N"),
       count(lit(1)).cast("double").as("_V"))
     val docTg = docs.select(col(idCol).as("doc"),
@@ -369,6 +353,54 @@ object LangModel {
           log(sTri).as("_logp")
         })
     finishScores(docs, idCol, scored, "n_trigrams")
+  }
+
+  /** The three n-gram count tables of the stupid-backoff model: one
+    * tokenize pass materialized (`localCheckpoint`), then uni/bi/tri
+    * re-aggregate the ARRAYS — never re-reading raw text. Loud
+    * non-empty guard: see unigramVocab. */
+  private def refNgramCounts(refCorpus: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val refToks = refCorpus
+      .select(TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .localCheckpoint()
+    require(!refToks.isEmpty,
+      "reference corpus has no tokens: refusing to train an empty " +
+        "stupid-backoff model (every document would score ppl = 1)")
+    val uni = refToks.select(explode(col("_toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("_cu"))
+    val bi = refToks.select(explode(bigramsOf(col("_toks"))).as("_bg"))
+      .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
+    val tri = refToks.select(explode(trigramsOf(col("_toks"))).as("_tg"))
+      .select(col("_tg.w1").as("w1"), col("_tg.w2").as("w2"),
+        col("_tg.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("_c123"))
+    (uni, bi, tri)
+  }
+
+  /** Fit-time Stupid Backoff artifact for the stream deploy: the three
+    * count tables plus the two token totals collected once — the
+    * [[graft.stream.Streaming]] deploy joins the tables stream-static
+    * and carries the totals as literals (the KnModel convention). */
+  final case class SbModel(uni: DataFrame, bi: DataFrame, tri: DataFrame,
+                           nTokens: Double, vocab: Double,
+                           lambda: Double, alpha: Double)
+
+  /** Train the trigram Stupid Backoff model of [[scoreByStupidBackoff]]
+    * once, as a deployable artifact (one tokenize pass + one 2-scalar
+    * collect). */
+  def fitStupidBackoff(refCorpus: DataFrame, textCol: String,
+                       lambda: Double = 0.4,
+                       alpha: Double = 0.5): SbModel = {
+    require(lambda > 0 && lambda < 1,
+      s"lambda must be in (0, 1), got $lambda")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val (uni, bi, tri) = refNgramCounts(refCorpus, textCol)
+    val r = uni.agg(sum("_cu").cast("double"),
+      count(lit(1)).cast("double")).head()
+    SbModel(uni, bi, tri, r.getDouble(0), r.getDouble(1), lambda, alpha)
   }
 
   /** Adjacent token TRIPLES from a token-ARRAY column, the order-3
