@@ -124,6 +124,25 @@ object ScaleProbe {
           LangModel.scoreByStupidBackoff(cached, cached, "doc_id", "text")
             .count()
         },
+        timed("llm_pipeline") {
+          // the composed four-stage pipeline (gopher gate → exact
+          // dedup → held-in unigram ppl rank → token budget): every
+          // stage's shuffle is keyed except the final budget cumsum,
+          // whose one-window cost this axis makes visible. Budget
+          // fixed at 100k tokens — the selection prefix is constant,
+          // so observed growth is the gate/dedup/scoring stages.
+          val gate = graft.text.Quality.gopherRules(cached, "doc_id",
+              "text", minWords = 30, maxWords = 90, minStopHits = 1)
+            .filter(col("kept")).select("doc_id")
+          val d2 = Dedup.dropExact(cached.join(gate, Seq("doc_id")),
+            "doc_id", "text")
+          val scored = LangModel.scoreByUnigram(d2, cached, "doc_id", "text")
+            .select(col("doc").as("doc_id"), col("n_tokens"), col("ppl"))
+            .withColumn("src", lit("web"))
+            .withColumn("neg_ppl", -col("ppl"))
+          graft.text.Quality.selectByTokenBudget(scored, "doc_id", "src",
+            "neg_ppl", "n_tokens", budgetPerSource = 100000L).count()
+        },
         timed("snapshot_dedup") {
           // full-size re-crawl where every third page changed: the
           // reference fingerprint set AND the probe side both scale
