@@ -37,9 +37,9 @@ object Bench {
     "audio_features", "token_budget_temp", "heavy_hitters_exact",
     "salted_sum", "chunk_tokens", "line_dedup", "url_dedup", "span_dedup",
     "unigram_ppl", "snapshot_dedup", "snapshot_neardup",
-    "bigram_ppl", "kn_ppl", "bm25_topk", "rrf_fuse", "cosine_i8_topk",
-    "quality_clf", "semantic_dedup", "semantic_dedup_ivf", "bm25_stream",
-    "make_blobs", "make_walk", "make_text",
+    "kn_ppl", "sb_ppl", "bm25_topk", "rrf_fuse", "cosine_i8_topk",
+    "quality_clf", "semantic_dedup", "bm25_stream",
+    "make_blobs", "make_text", "cc_star", "llm_pipeline",
     "cluster_assign", "cluster_balance", "pq_topk", "pq_refine",
     "token_budget_unimax", "stratified_hash",
     "weighted_sample", "dsir_select",

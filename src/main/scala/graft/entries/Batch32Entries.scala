@@ -56,9 +56,10 @@ object Batch32Entries {
     // entry pins that they COMPOSE — the stage boundaries (flag vs
     // drop, spine joins, rounded ppl feeding the rank) are where
     // pipelines break, and a single chained oracle catches exactly
-    // that. Every stage is shuffle-keyed (doc / hash / token) except
-    // the final budget window, whose at-scale form is the two-level
-    // prefix sum pack_shards demonstrates.
+    // that. Every stage is shuffle-keyed (doc / hash / token),
+    // INCLUDING the final budget selection, which runs the two-level
+    // prefix-sum form (ppl-band buckets) — bit-identical selections
+    // to the one-window rule the oracle replays.
     "llm_pipeline" -> ((s, dir) => {
       val docs = T.documents(s, dir)
       val gate = graft.text.Quality.gopherRules(docs, "doc_id", "text",
@@ -72,8 +73,9 @@ object Batch32Entries {
         .select(col("doc").as("doc_id"), col("n_tokens"), col("ppl"))
         .withColumn("src", lit("web"))
         .withColumn("neg_ppl", -col("ppl"))
-      graft.text.Quality.selectByTokenBudget(scored, "doc_id", "src",
-          "neg_ppl", "n_tokens", budgetPerSource = 3000L)
+      graft.text.Quality.selectByTokenBudgetBucketed(scored, "doc_id",
+          "src", "neg_ppl", "n_tokens", budgetPerSource = 3000L,
+          bucketExpr = floor(col("ppl") * 10))
         .select("doc_id", "n_tokens", "ppl")
         .orderBy("doc_id")
     })

@@ -332,6 +332,55 @@ object Quality {
       .drop("_cum")
   }
 
+  /** The at-scale form of [[selectByTokenBudget]]: the per-source
+    * running cumsum computed as a distributed TWO-LEVEL prefix sum
+    * (the [[Shards.packShards]] trick applied to the selection rule)
+    * instead of one window per source — a source's whole corpus never
+    * concentrates in a single task.
+    *
+    * `bucketExpr` is the caller-chosen coarse key and must respect the
+    * selection order: a pure function of the SCORE (so tied rows share
+    * a bucket) that is monotone NON-INCREASING in it — better-scoring
+    * rows land in lower-or-equal buckets (e.g. `-floor(score)`, or
+    * `floor(ppl * 10)` when score = −ppl). Per-(source, bucket) token
+    * totals aggregate map-side into a BOUNDED table, exclusive bucket
+    * offsets are one window over THAT table, and each row adds its
+    * within-bucket cumsum (window keyed by (source, bucket)) to its
+    * bucket's offset — identical running sums to the one-window form,
+    * therefore identical selections, which the spec asserts and which
+    * lets an external engine replay the single-window SQL.
+    *
+    * A NULL bucket fails loudly (AssertNotNull): the offsets equi-join
+    * would silently drop the row — the packShards rule. */
+  def selectByTokenBudgetBucketed(df: DataFrame, idCol: String,
+                                  sourceCol: String, scoreCol: String,
+                                  tokenCol: String, budgetPerSource: Long,
+                                  bucketExpr: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetPerSource > 0, "budget must be positive")
+    import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+    import org.apache.spark.sql.GraftColumnBridge
+    val spark = df.sparkSession
+    val withB = df.withColumn("_bk",
+      GraftColumnBridge.toColumn(AssertNotNull(
+        GraftColumnBridge.toExpr(spark, bucketExpr.cast("long")))))
+    val offsets = withB.groupBy(sourceCol, "_bk")
+      .agg(sum(col(tokenCol).cast("long")).as("_bt"))
+      .withColumn("_off",
+        coalesce(sum(col("_bt")).over(
+          Window.partitionBy(sourceCol).orderBy("_bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("_bt")
+    val w = Window.partitionBy(col(sourceCol), col("_bk"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(offsets, Seq(sourceCol, "_bk"))
+      .withColumn("_cum",
+        col("_off") + sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("_cum") - col(tokenCol).cast("long") < budgetPerSource)
+      .drop("_bk", "_off", "_cum")
+  }
+
   /** Global token-budget mixing — the stratified data-mixing step of a
     * training run (the reference's `batch_sampling` stratified
     * semantics, gofast/utils/ml/data_handling.py:5677 region, lifted

@@ -127,8 +127,8 @@ object ScaleProbe {
         timed("llm_pipeline") {
           // the composed four-stage pipeline (gopher gate → exact
           // dedup → held-in unigram ppl rank → token budget): every
-          // stage's shuffle is keyed except the final budget cumsum,
-          // whose one-window cost this axis makes visible. Budget
+          // stage's shuffle is keyed, including the budget cumsum
+          // (two-level prefix sum over ppl-band buckets). Budget
           // fixed at 100k tokens — the selection prefix is constant,
           // so observed growth is the gate/dedup/scoring stages.
           val gate = graft.text.Quality.gopherRules(cached, "doc_id",
@@ -140,8 +140,9 @@ object ScaleProbe {
             .select(col("doc").as("doc_id"), col("n_tokens"), col("ppl"))
             .withColumn("src", lit("web"))
             .withColumn("neg_ppl", -col("ppl"))
-          graft.text.Quality.selectByTokenBudget(scored, "doc_id", "src",
-            "neg_ppl", "n_tokens", budgetPerSource = 100000L).count()
+          graft.text.Quality.selectByTokenBudgetBucketed(scored, "doc_id",
+            "src", "neg_ppl", "n_tokens", budgetPerSource = 100000L,
+            bucketExpr = floor(col("ppl") * 10)).count()
         },
         timed("snapshot_dedup") {
           // full-size re-crawl where every third page changed: the

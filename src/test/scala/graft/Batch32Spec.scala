@@ -88,6 +88,43 @@ class Batch32Spec extends SparkSpec {
     }
   }
 
+  test("bucketed budget selection matches the one-window rule exactly") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    // ties on score across bucket candidates, multi-source, boundary
+    // docs crossing the line — the places the two forms could diverge
+    val rows = (0 until 400).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b",
+        (rnd.nextInt(20) / 2).toDouble, // heavy score ties
+        (rnd.nextInt(50) + 1).toLong)
+    }
+    val df = rows.toDF("id", "src", "score", "tok")
+    val plain = graft.text.Quality.selectByTokenBudget(
+        df, "id", "src", "score", "tok", 1000L)
+      .select("id").as[Long].collect().sorted
+    val bucketed = graft.text.Quality.selectByTokenBudgetBucketed(
+        df, "id", "src", "score", "tok", 1000L,
+        bucketExpr = -col("score"))
+      .select("id").as[Long].collect().sorted
+    assert(plain.sameElements(bucketed),
+      s"plain ${plain.length} vs bucketed ${bucketed.length}")
+    // coarser buckets (several scores per bucket) must also agree
+    val coarse = graft.text.Quality.selectByTokenBudgetBucketed(
+        df, "id", "src", "score", "tok", 1000L,
+        bucketExpr = -floor(col("score") / 3))
+      .select("id").as[Long].collect().sorted
+    assert(plain.sameElements(coarse))
+    // a null bucket must fail loudly, not silently drop the row
+    intercept[Exception] {
+      graft.text.Quality.selectByTokenBudgetBucketed(
+        df.withColumn("score",
+          when(col("id") === 7L, lit(null).cast("double"))
+            .otherwise(col("score"))),
+        "id", "src", "score", "tok", 1000L,
+        bucketExpr = -col("score")).collect()
+    }
+  }
+
   test("connectedComponentsStar handles singletons, self-pairs and string ids") {
     val pairs = Seq(("7", "7"), ("3", "9"), ("9", "4")).toDF("id_a", "id_b")
     val out = graft.text.Dedup.connectedComponentsStar(pairs)
