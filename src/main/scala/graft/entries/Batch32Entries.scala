@@ -78,6 +78,29 @@ object Batch32Entries {
           bucketExpr = floor(col("ppl") * 10))
         .select("doc_id", "n_tokens", "ppl")
         .orderBy("doc_id")
+    }),
+
+    // functions.UnicodeNormalize: UAX #15 normalization as a native
+    // codegen expression (Spark has no built-in) — the
+    // pre-fingerprinting canonicalization step dedup pipelines need:
+    // composed U+00E9 and decomposed e+U+0301 are byte-different, so
+    // every hash-based dedup misses the duplicate until both sides
+    // normalize. Even docs get a decomposed suffix appended (both
+    // branches of the isNormalized fast path exercised); DuckDB
+    // replays with its own UAX #15 implementation (nfc_normalize).
+    "unicode_nfc" -> ((s, dir) => {
+      graft.functions.TextExpressions.register(s)
+      T.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" cafe\u0301 u\u0308ber")))
+            .otherwise(col("text")).as("raw"))
+        .select(col("doc_id"),
+          call_function("unicode_norm", col("raw"), lit("NFC"))
+            .as("norm_text"),
+          (call_function("unicode_norm", col("raw"), lit("NFC"))
+            =!= col("raw")).as("changed"))
+        .orderBy("doc_id")
     })
   )
 
@@ -260,6 +283,19 @@ object Batch32Entries {
         |  FROM sp)
         |SELECT doc_id, n_tokens, ppl FROM sel
         |WHERE cum - n_tokens < 3000
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Two independent UAX #15 implementations (JDK Normalizer vs
+    // DuckDB's) must agree byte-for-byte on the normalized text.
+    "unicode_nfc" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber'
+        |      ELSE text END AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+        |  nfc_normalize(raw) <> raw AS changed
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

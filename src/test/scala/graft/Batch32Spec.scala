@@ -125,6 +125,49 @@ class Batch32Spec extends SparkSpec {
     }
   }
 
+  test("unicode_norm matches java.text.Normalizer across forms") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TextExpressions.register(spark)
+    val samples = Seq(
+      "café",        // decomposed e + combining acute
+      "café",              // composed
+      "ﬁne ﬂow",           // ligatures (NFKC folds, NFC keeps)
+      "Ⅻ ½ ①",             // compatibility chars
+      "plain ascii", "")
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val out = df.select($"id",
+          call_function("unicode_norm", $"s", lit(form)).as("n"))
+        .orderBy("id").as[(Long, String)].collect()
+      out.foreach { case (i, n) =>
+        val expect = java.text.Normalizer.normalize(samples(i.toInt),
+          java.text.Normalizer.Form.valueOf(form))
+        assert(n == expect, s"form=$form sample=$i")
+      }
+    }
+    // nulls propagate; non-literal form is rejected at registration
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+      .select(call_function("unicode_norm", $"s", lit("NFC"))).head()
+    assert(nulls.isNullAt(0))
+    intercept[Exception] {
+      df.select(call_function("unicode_norm", $"s", $"s")).collect()
+    }
+  }
+
+  test("NFC normalization repairs hash-based dedup across encodings") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TextExpressions.register(spark)
+    // the same text, composed vs decomposed: raw md5 sees two
+    // documents, normalized md5 sees one — the reason the expression
+    // exists
+    val df = Seq((1L, "café menu"), (2L, "café menu"))
+      .toDF("doc_id", "text")
+    assert(df.select(md5(col("text").cast("binary"))).distinct().count() == 2)
+    assert(df.select(md5(call_function("unicode_norm", col("text"),
+      lit("NFC")).cast("binary"))).distinct().count() == 1)
+  }
+
   test("connectedComponentsStar handles singletons, self-pairs and string ids") {
     val pairs = Seq(("7", "7"), ("3", "9"), ("9", "4")).toDF("id_a", "id_b")
     val out = graft.text.Dedup.connectedComponentsStar(pairs)
