@@ -101,6 +101,20 @@ object Batch32Entries {
           (call_function("unicode_norm", col("raw"), lit("NFC"))
             =!= col("raw")).as("changed"))
         .orderBy("doc_id")
+    }),
+
+    // ---- rows-only entry (sketch internals are engine-specific) ----
+    // cardinality at scale: uniqueStats' HLL++ path
+    // (approx_count_distinct) on the same columns as the
+    // oracle-checked EXACT twin unique_stats. Exact count_distinct is
+    // a full shuffle of the distinct values; the HLL sketch is one
+    // mergeable pass — the plan that survives 100 TB. Batch32Spec
+    // asserts the default-rsd (5%) error bound against the exact
+    // counts, the quantiles_approx convention.
+    "unique_stats_approx" -> ((s, dir) => {
+      graft.rel.Aggregates.uniqueStats(T.orders(s, dir),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"),
+        approx = true)
     })
   )
 

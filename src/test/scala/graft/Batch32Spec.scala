@@ -168,6 +168,22 @@ class Batch32Spec extends SparkSpec {
       lit("NFC")).cast("binary"))).distinct().count() == 1)
   }
 
+  test("approx_count_distinct honors the HLL++ error bound vs exact counts") {
+    val exact = graft.entries.MoreEntries.queries("unique_stats")(spark, sf)
+      .head()
+    val approx = graft.entries.Batch32Entries.queries("unique_stats_approx")(
+      spark, sf).head()
+    // default rsd 0.05; allow 3 standard errors plus slack for tiny
+    // cardinalities (HLL is exact in the sparse regime anyway)
+    (0 until 3).foreach { i =>
+      val e = exact.getLong(i).toDouble
+      val a = approx.getLong(i).toDouble
+      assert(math.abs(a - e) <= math.max(2.0, 0.15 * e),
+        s"col $i: approx $a vs exact $e")
+    }
+    assert(exact.getLong(3) == approx.getLong(3), "n_rows must be exact")
+  }
+
   test("connectedComponentsStar handles singletons, self-pairs and string ids") {
     val pairs = Seq(("7", "7"), ("3", "9"), ("9", "4")).toDF("id_a", "id_b")
     val out = graft.text.Dedup.connectedComponentsStar(pairs)
