@@ -109,6 +109,28 @@ object PipelineDemo {
     println("span-dedup survivors -> training chunks: " +
       restructured.count())
 
+    // 5c3. the round-12 curation close: NFC-normalize (so composed vs
+    // decomposed text can't evade the hash), score under a trigram
+    // Stupid Backoff LM of the corpus itself, rank best-first and cut
+    // at a token budget with the two-level-prefix-sum selection, then
+    // pack survivors into ~2k-token output shards in a seeded order
+    graft.functions.TextExpressions.register(spark)
+    val normed = docs.withColumn("text",
+      call_function("unicode_norm", col("text"), lit("NFC")))
+    val sbScored = graft.text.LangModel.scoreByStupidBackoff(
+        normed, normed, "doc_id", "text")
+      .select(col("doc").as("doc_id"), col("n_trigrams"), col("ppl"))
+      .withColumn("src", lit("web")).withColumn("neg_ppl", -col("ppl"))
+    val curated = graft.text.Quality.selectByTokenBudgetBucketed(
+      sbScored, "doc_id", "src", "neg_ppl", "n_trigrams",
+      budgetPerSource = 4000L, bucketExpr = floor(col("ppl") * 10))
+    val sharded = graft.text.Shards.packShards(
+      graft.text.Shards.shuffleOrder(curated, "doc_id", seed = 7L),
+      "doc_id", "n_trigrams", shardTokens = 2000L,
+      bucketExpr = floor(col("doc_id") / 1000L))
+    println("curated docs -> output shards: " + sharded.count() + " docs, " +
+      (sharded.agg(max(col("shard"))).head.getLong(0) + 1) + " shards")
+
     // 5d. synthetic data on demand (datasets.Make): a regression frame
     // is a plan, not an allocation — generated distributed, no RNG state
     val synth = graft.datasets.Make.makeRegression(spark, 1000,
