@@ -169,4 +169,41 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("star and propagation components agree on random multigraphs") {
+    // beyond Batch32Spec's fixed seeds: arbitrary edge lists with
+    // self-loops, duplicate edges and both orientations — the two
+    // algorithms must be interchangeable everywhere
+    val edgesGen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)))
+    forSamples(edgesGen, n = 5) { edges =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val star = graft.text.Dedup.connectedComponentsStar(pairs)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val prop = graft.text.Dedup.connectedComponents(pairs, maxIter = 60)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(star.sameElements(prop))
+    }
+  }
+
+  test("unicode_norm is idempotent and NFC∘NFD == NFC") {
+    graft.functions.TextExpressions.register(spark)
+    // strings mixing ascii, precomposed accents, combining marks and
+    // compatibility characters
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'ü', 'ñ', '́', '̈',
+        'ﬁ', '½', 'Ⅻ', ' '))
+    val strGen = Gen.listOfN(24, charGen).map(_.mkString)
+    forSamples(Gen.listOfN(20, strGen), n = 5) { strs =>
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      def norm(c: org.apache.spark.sql.Column, f: String) =
+        call_function("unicode_norm", c, lit(f))
+      val bad = df.filter(
+        norm(norm($"s", "NFC"), "NFC") =!= norm($"s", "NFC") ||
+        norm(norm($"s", "NFD"), "NFC") =!= norm($"s", "NFC") ||
+        norm(norm($"s", "NFKC"), "NFKC") =!= norm($"s", "NFKC"))
+      assert(bad.isEmpty, bad.collect().mkString(","))
+    }
+  }
 }
