@@ -27,6 +27,21 @@ object Batch32Entries {
         .orderBy("doc")
     }),
 
+    // LangModel.scoreByKneserNey3: the order-3 interpolated KN
+    // recursion (the rung KenLM actually runs, one order down from
+    // its 5-gram) on the same held-out-fifth split as the rest of the
+    // ladder. The held-out fifth exercises trigram-seen, context-only
+    // interpolation, unseen-(w1,w2) backoff to the continuation
+    // bigram, unseen-w2 backoff to the continuation unigram, and the
+    // α slot for unseen successors.
+    "kn3_ppl" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      graft.text.LangModel.scoreByKneserNey3(
+          docs, docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          discount = 0.75, alpha = 0.5)
+        .orderBy("doc")
+    }),
+
     // Dedup.connectedComponentsStar: the SAME near-dup graph as
     // dedup_clusters, clustered by the alternating large-star/
     // small-star algorithm (Kiveris et al. 2014) instead of min-label
@@ -165,6 +180,82 @@ object Batch32Entries {
         |  LEFT JOIN bi b23 ON b23.w1 = dtg.w2 AND b23.w2 = dtg.w3
         |  LEFT JOIN uni u2 ON u2.w = dtg.w2
         |  LEFT JOIN uni u3 ON u3.w = dtg.w3, tot tt),
+        |sc AS (
+        |  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+        |    CAST(SUM(oov * tf) AS BIGINT) AS n_oov,
+        |    ROUND(SUM(logp * CAST(tf AS DOUBLE)) / CAST(SUM(tf) AS DOUBLE), 6)
+        |      AS mean_logprob
+        |  FROM j GROUP BY doc)
+        |SELECT d.doc_id AS doc,
+        |  COALESCE(n_trigrams, 0) AS n_trigrams,
+        |  COALESCE(n_oov, 0) AS n_oov,
+        |  COALESCE(mean_logprob, 0.0) AS mean_logprob,
+        |  COALESCE(ROUND(EXP(-mean_logprob), 6), 1.0) AS ppl
+        |FROM documents d LEFT JOIN sc ON sc.doc = d.doc_id
+        |ORDER BY doc""".stripMargin,
+
+    // The identical IEEE tree one order up from kn_ppl: every model
+    // table re-aggregates the trigram type table, continuation counts
+    // at the lower orders, round-6 mean, EXP of the rounded mean. The
+    // P₂/P₁ sub-expressions are spelled out twice (both branches of
+    // the outer CASE) so the association order matches the Column
+    // tree exactly.
+    "kn3_ppl" ->
+      """WITH rt AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 5 <> 0 AND len(trim(text)) > 0),
+        |tri AS (
+        |  SELECT t[i.i] AS w1, t[i.i + 1] AS w2, t[i.i + 2] AS w3,
+        |    COUNT(*) AS c123
+        |  FROM rt, (SELECT unnest(range(1, 2000)) AS i) i
+        |  WHERE i.i <= len(t) - 2 GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, SUM(c123) AS c12d, COUNT(*) AS n1f12
+        |        FROM tri GROUP BY 1, 2),
+        |bgc AS (SELECT w2, w3, COUNT(*) AS n1b23 FROM tri GROUP BY 1, 2),
+        |c2 AS (SELECT w2, SUM(n1b23) AS nmid, COUNT(*) AS n1f2
+        |       FROM bgc GROUP BY 1),
+        |unc AS (SELECT w3, COUNT(*) AS n1b3 FROM bgc GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nbt,
+        |               CAST(COUNT(DISTINCT w3) AS DOUBLE) AS v3 FROM bgc),
+        |dt AS (
+        |  SELECT doc_id AS doc,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |dtg AS (
+        |  SELECT doc, t[i.i] AS w1, t[i.i + 1] AS w2, t[i.i + 2] AS w3,
+        |    COUNT(*) AS tf
+        |  FROM dt, (SELECT unnest(range(1, 2000)) AS i) i
+        |  WHERE i.i <= len(t) - 2 GROUP BY 1, 2, 3, 4),
+        |j AS (
+        |  SELECT doc, tf,
+        |    CASE WHEN tri.c123 IS NULL THEN 1 ELSE 0 END AS oov,
+        |    LN(CASE WHEN c12.c12d IS NOT NULL
+        |      THEN GREATEST(CAST(COALESCE(tri.c123, 0) AS DOUBLE) - 0.75, 0.0)
+        |             / CAST(c12.c12d AS DOUBLE)
+        |         + ((0.75 * CAST(c12.n1f12 AS DOUBLE)) / CAST(c12.c12d AS DOUBLE))
+        |             * (CASE WHEN c2.nmid IS NOT NULL
+        |                THEN GREATEST(CAST(COALESCE(bgc.n1b23, 0) AS DOUBLE) - 0.75, 0.0)
+        |                       / CAST(c2.nmid AS DOUBLE)
+        |                   + ((0.75 * CAST(c2.n1f2 AS DOUBLE)) / CAST(c2.nmid AS DOUBLE))
+        |                       * ((CAST(COALESCE(unc.n1b3, 0) AS DOUBLE) + 0.5)
+        |                          / (t.nbt + 0.5 * (t.v3 + 1.0)))
+        |                ELSE (CAST(COALESCE(unc.n1b3, 0) AS DOUBLE) + 0.5)
+        |                       / (t.nbt + 0.5 * (t.v3 + 1.0)) END)
+        |      ELSE (CASE WHEN c2.nmid IS NOT NULL
+        |            THEN GREATEST(CAST(COALESCE(bgc.n1b23, 0) AS DOUBLE) - 0.75, 0.0)
+        |                   / CAST(c2.nmid AS DOUBLE)
+        |               + ((0.75 * CAST(c2.n1f2 AS DOUBLE)) / CAST(c2.nmid AS DOUBLE))
+        |                   * ((CAST(COALESCE(unc.n1b3, 0) AS DOUBLE) + 0.5)
+        |                      / (t.nbt + 0.5 * (t.v3 + 1.0)))
+        |            ELSE (CAST(COALESCE(unc.n1b3, 0) AS DOUBLE) + 0.5)
+        |                   / (t.nbt + 0.5 * (t.v3 + 1.0)) END)
+        |    END) AS logp
+        |  FROM dtg
+        |  LEFT JOIN tri USING (w1, w2, w3)
+        |  LEFT JOIN c12 USING (w1, w2)
+        |  LEFT JOIN bgc USING (w2, w3)
+        |  LEFT JOIN c2 USING (w2)
+        |  LEFT JOIN unc USING (w3), tot t),
         |sc AS (
         |  SELECT doc, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
         |    CAST(SUM(oov * tf) AS BIGINT) AS n_oov,

@@ -272,6 +272,87 @@ object LangModel {
       discount, alpha)
   }
 
+  /** Score each document under an interpolated TRIGRAM Kneser–Ney
+    * model of `refCorpus` — the order-3 instance of the recursion
+    * KenLM's 5-gram CCNet filter actually runs (Kneser & Ney 1995;
+    * Chen & Goodman 1999 eq. 18 interpolated form):
+    *
+    * `P₃(w₃|w₁w₂) = max(c₁₂₃−d,0)/c₁₂· + λ₃(w₁w₂)·P₂(w₃|w₂)` with
+    * `c₁₂· = Σ_w c₁₂w` and `λ₃ = d·N₁₊(w₁w₂·)/c₁₂·`; the BIGRAM level
+    * uses CONTINUATION counts (the KN insight — "in how many contexts
+    * does w₂w₃ complete a trigram", not "how often"):
+    * `P₂(w₃|w₂) = max(N₁₊(·w₂w₃)−d,0)/N₁₊(·w₂·) + λ₂(w₂)·P₁(w₃)` with
+    * `λ₂ = d·N₁₊(w₂··types)/N₁₊(·w₂·)`, and the unigram floor is the
+    * continuation distribution with the library's add-α OOV slot
+    * `P₁(w₃) = (N₁₊(·w₃)+α)/(N₁₊(··)+α·(V+1))`. An unseen (w₁,w₂)
+    * context backs off to P₂ alone (λ₃ = 1); an unseen w₂ backs off
+    * to P₁ (λ₂ = 1) — every log stays finite.
+    *
+    * Every model table is a RE-AGGREGATION of the one checkpointed
+    * trigram count table (the count-of-count statistics KN needs are
+    * exactly one groupBy each), and scoring is six keyed equi-joins
+    * on the pre-aggregated (doc, w₁, w₂, w₃, tf) table — the
+    * scoreByKneserNey plan shape one order up. Integer counts,
+    * correctly-rounded IEEE ops, identical SQL tree: exactly
+    * replayable. Output: (doc, n_trigrams, n_oov, mean_logprob, ppl);
+    * n_oov counts unseen trigrams. Documents with fewer than 3 tokens
+    * score the neutral empty product. */
+  def scoreByKneserNey3(docs: DataFrame, refCorpus: DataFrame,
+                        idCol: String, textCol: String,
+                        discount: Double = 0.75,
+                        alpha: Double = 0.5): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val (_, _, tri0) = refNgramCounts(refCorpus, textCol)
+    val tri = tri0.localCheckpoint()
+    require(!tri.isEmpty,
+      "reference corpus has no trigrams: refusing to train an empty " +
+        "KN3 model (every document would score ppl = 1)")
+    // each tri row is one distinct (w1,w2,w3) TYPE, so per-key
+    // count(*) aggregates ARE the N₁₊ statistics
+    val ctx12 = tri.groupBy("w1", "w2")
+      .agg(sum("_c123").as("_c12d"), count(lit(1)).as("_n1f12"))
+    val bgCont = tri.groupBy("w2", "w3").agg(count(lit(1)).as("_n1b23"))
+    val ctx2 = bgCont.groupBy("w2")
+      .agg(sum("_n1b23").as("_nmid"), count(lit(1)).as("_n1f2"))
+    val uniCont = bgCont.groupBy("w3").agg(count(lit(1)).as("_n1b3"))
+    val tot = bgCont.agg(count(lit(1)).cast("double").as("_nbt"),
+      countDistinct("w3").cast("double").as("_V3"))
+    val docTg = docs.select(col(idCol).as("doc"),
+        TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .select(col("doc"), explode(trigramsOf(col("_toks"))).as("_tg"))
+      .select(col("doc"), col("_tg.w1").as("w1"), col("_tg.w2").as("w2"),
+        col("_tg.w3").as("w3"))
+      .groupBy("doc", "w1", "w2", "w3").agg(count(lit(1)).as("tf"))
+    val d = discount
+    val p1 = (coalesce(col("_n1b3"), lit(0L)).cast("double") + lit(alpha)) /
+      (col("_nbt") + lit(alpha) * (col("_V3") + lit(1.0)))
+    val nmid = col("_nmid").cast("double")
+    val p2 = when(col("_nmid").isNotNull,
+        greatest(coalesce(col("_n1b23"), lit(0L)).cast("double") -
+          lit(d), lit(0.0)) / nmid +
+          lit(d) * col("_n1f2").cast("double") / nmid * p1)
+      .otherwise(p1)
+    val c12d = col("_c12d").cast("double")
+    val p3 = when(col("_c12d").isNotNull,
+        greatest(coalesce(col("_c123"), lit(0L)).cast("double") -
+          lit(d), lit(0.0)) / c12d +
+          lit(d) * col("_n1f12").cast("double") / c12d * p2)
+      .otherwise(p2)
+    val scored = docTg
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(bgCont, Seq("w2", "w3"), "left")
+      .join(ctx2, Seq("w2"), "left")
+      .join(uniCont, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc"), col("tf"),
+        when(col("_c123").isNull, lit(1L)).otherwise(lit(0L)).as("_oov"),
+        log(p3).as("_logp"))
+    finishScores(docs, idCol, scored, "n_trigrams")
+  }
+
   /** Score each document under a trigram STUPID BACKOFF model of
     * `refCorpus` (Brants et al., "Large Language Models in Machine
     * Translation", EMNLP 2007 §4 — the smoothing invented FOR
@@ -367,7 +448,7 @@ object LangModel {
       .localCheckpoint()
     require(!refToks.isEmpty,
       "reference corpus has no tokens: refusing to train an empty " +
-        "stupid-backoff model (every document would score ppl = 1)")
+        "n-gram model (every document would score ppl = 1)")
     val uni = refToks.select(explode(col("_toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("_cu"))
     val bi = refToks.select(explode(bigramsOf(col("_toks"))).as("_bg"))

@@ -88,6 +88,36 @@ class Batch32Spec extends SparkSpec {
     }
   }
 
+  test("scoreByKneserNey3 matches hand-computed order-3 KN per branch") {
+    // ref "a b c a b d": trigram types (a,b,c) (b,c,a) (c,a,b) (a,b,d).
+    // c12: (a,b) c12d=2 n1f12=2; (b,c) 1,1; (c,a) 1,1.
+    // bgc: (b,c) (c,a) (a,b) (b,d) -> n1b23=1 each.
+    // c2: b nmid=2 n1f2=2; c 1,1; a 1,1. unc: each of a,b,c,d -> 1.
+    // tot: nbt=4, V3=4 -> P1 denom = 4 + 0.5*5 = 6.5.
+    val ref = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val p1Seen = 1.5 / 6.5
+    val p1Unseen = 0.5 / 6.5
+    val docs = Seq(
+      (10L, "a b c"), // tri seen: .125/… full interpolation chain
+      (11L, "x a b"), // ctx12 unseen -> P2(b|a) = .25 + .75*p1Seen
+      (12L, "z z q"), // everything unseen -> P1(q) = 0.5/6.5
+      (13L, "a b")    // <3 tokens: neutral
+    ).toDF("doc_id", "text")
+    val out = graft.text.LangModel.scoreByKneserNey3(docs, ref,
+        "doc_id", "text", discount = 0.75, alpha = 0.5)
+      .orderBy("doc").as[(Long, Long, Long, Double, Double)].collect()
+    def r6(x: Double) = math.round(math.log(x) * 1e6) / 1e6
+    val p2bc = 0.25 / 2 + 0.75 * 2 / 2 * p1Seen
+    val p3abc = 0.25 / 2 + 0.75 * 2 / 2 * p2bc
+    assert(math.abs(out(0)._4 - r6(p3abc)) < 1e-9 && out(0)._3 == 0L)
+    val p2ab = 0.25 / 1 + 0.75 * 1 / 1 * p1Seen
+    assert(math.abs(out(1)._4 - r6(p2ab)) < 1e-9 && out(1)._3 == 1L)
+    assert(math.abs(out(2)._4 - r6(p1Unseen)) < 1e-9 && out(2)._3 == 1L)
+    assert(out(3) == ((13L, 0L, 0L, 0.0, 1.0)))
+    // the interpolation ladder preserves the filter's ranking
+    assert(out(0)._5 < out(2)._5 && out(1)._5 < out(2)._5)
+  }
+
   test("bucketed budget selection matches the one-window rule exactly") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(11)
