@@ -117,6 +117,13 @@ object ScaleProbe {
           LangModel.scoreByKneserNey(cached, cached, "doc_id", "text")
             .count()
         },
+        timed("kn3_ppl") {
+          // self-scored: the order-3 KN carries six scoring joins and
+          // four re-aggregations of the one trigram table — the
+          // heaviest member of the LM ladder
+          LangModel.scoreByKneserNey3(cached, cached, "doc_id", "text")
+            .count()
+        },
         timed("sb_ppl") {
           // self-scored like kn_ppl: one tokenize pass checkpointed,
           // three n-gram aggregates over the arrays, five keyed
