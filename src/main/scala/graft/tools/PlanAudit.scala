@@ -34,10 +34,16 @@ object PlanAudit {
     // 1-row fitted-scalar broadcasts
     "decision_curve", "friedman", "histogram", "kruskal_wallis",
     "laplace_smooth", "otsu", "reg_metrics", "wilcoxon",
-    // line_dedup / unigram_ppl / bigram_ppl / kn_ppl: corpus-total
-    // scalars (doc count; token count N + vocab size V; bigram type
-    // total N₁₊(··) + successor vocab V₂) as 1-row broadcasts
-    "line_dedup", "unigram_ppl", "bigram_ppl", "kn_ppl",
+    // line_dedup / unigram_ppl / bigram_ppl / kn_ppl / sb_ppl /
+    // kn3_ppl: corpus-total scalars (doc count; token count N + vocab
+    // size V; bigram/trigram type totals + successor vocab) as 1-row
+    // broadcasts — the whole LM ladder shares the pattern
+    "line_dedup", "unigram_ppl", "bigram_ppl", "kn_ppl", "sb_ppl",
+    "kn3_ppl",
+    // llm_pipeline: composes the unigram scorer, so it inherits its
+    // (N, V) 1-row scalar broadcasts (the vocab totals re-derivation
+    // appears once per referencing subtree in the executed plan)
+    "llm_pipeline",
     // bm25_topk / rrf_fuse: the (N, avgdl) corpus scalars ride onto
     // candidates as a 1-row broadcast (rrf fuses two BM25 plans, so
     // it carries two such joins)

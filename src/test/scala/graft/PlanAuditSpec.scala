@@ -30,8 +30,12 @@ class PlanAuditSpec extends SparkSpec {
     // 19, spearman/quantiles_exact 18 — aggregate-sized rank-kernel
     // exchanges, round-9 verdict) sit just under this; a refactor that
     // suddenly shuffles more than 24 times per query is a regression
-    // even when every shuffle is keyed
-    val heavy = audits.filter(_.exchanges > 24)
+    // even when every shuffle is keyed. llm_pipeline is the ONE
+    // composed entry (four chained stages, each individually under
+    // the gate) — its ceiling is the sum-of-stages 40, adjudicated at
+    // 33 on entry; every shuffle keyed by doc/hash/token/bucket.
+    val ceiling = Map("llm_pipeline" -> 40).withDefaultValue(24)
+    val heavy = audits.filter(a => a.exchanges > ceiling(a.name))
     assert(heavy.isEmpty,
       s"exchange explosion: ${heavy.map(a => s"${a.name}=${a.exchanges}").mkString("; ")}")
   }
