@@ -86,6 +86,8 @@ object GfFrame {
       new Fluent(graft.text.Quality.repetitionStats(df, idCol, textCol))
     def dedupClusters(aCol: String = "id_a", bCol: String = "id_b"): Fluent =
       new Fluent(graft.text.Dedup.connectedComponents(df, aCol, bCol))
+    def dedupClustersStar(aCol: String = "id_a", bCol: String = "id_b"): Fluent =
+      new Fluent(graft.text.Dedup.connectedComponentsStar(df, aCol, bCol))
     def dropNearDuplicates(idCol: String, textCol: String,
                            threshold: Double = 0.6): Fluent =
       new Fluent(graft.text.Dedup.dropNearDuplicates(df, idCol, textCol,
@@ -103,6 +105,12 @@ object GfFrame {
                             budgetPerSource: Long): Fluent =
       new Fluent(graft.text.Quality.selectByTokenBudget(df, idCol,
         sourceCol, scoreCol, tokenCol, budgetPerSource))
+    def selectByTokenBudgetBucketed(idCol: String, sourceCol: String,
+                                    scoreCol: String, tokenCol: String,
+                                    budgetPerSource: Long,
+                                    bucketExpr: Column): Fluent =
+      new Fluent(graft.text.Quality.selectByTokenBudgetBucketed(df, idCol,
+        sourceCol, scoreCol, tokenCol, budgetPerSource, bucketExpr))
     def selectByTokenBudgetGlobal(idCol: String, sourceCol: String,
                                   scoreCol: String, tokenCol: String,
                                   totalBudget: Long,
@@ -184,6 +192,16 @@ object GfFrame {
                          alpha: Double = 0.5): Fluent =
       new Fluent(graft.text.LangModel.scoreByKneserNey(df, refCorpus,
         idCol, textCol, discount, alpha))
+    def scoreByKneserNey3(refCorpus: DataFrame, idCol: String,
+                          textCol: String, discount: Double = 0.75,
+                          alpha: Double = 0.5): Fluent =
+      new Fluent(graft.text.LangModel.scoreByKneserNey3(df, refCorpus,
+        idCol, textCol, discount, alpha))
+    def scoreByStupidBackoff(refCorpus: DataFrame, idCol: String,
+                             textCol: String, lambda: Double = 0.4,
+                             alpha: Double = 0.5): Fluent =
+      new Fluent(graft.text.LangModel.scoreByStupidBackoff(df, refCorpus,
+        idCol, textCol, lambda, alpha))
     def dropSeenDocs(refCorpus: DataFrame, textCol: String): Fluent =
       new Fluent(graft.text.Snapshot.dropSeenDocs(df, refCorpus, textCol))
     def dropSeenNearDups(refCorpus: DataFrame, idCol: String,

@@ -214,6 +214,24 @@ class Batch32Spec extends SparkSpec {
     assert(exact.getLong(3) == approx.getLong(3), "n_rows must be exact")
   }
 
+  test("round-12 additions ride the fluent surface") {
+    import graft.core.GfFrame._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val sb = docs.graft.scoreByStupidBackoff(docs, "doc_id", "text").result
+    val kn3 = docs.graft.scoreByKneserNey3(docs, "doc_id", "text").result
+    assert(sb.count() == 3 && kn3.count() == 3)
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    assert(pairs.graft.dedupClustersStar().result.count() == 2)
+    val scored = docs.withColumn("src", lit("w"))
+      .withColumn("score", col("doc_id").cast("double"))
+      .withColumn("tok", lit(2L))
+    val sel = scored.graft.selectByTokenBudgetBucketed(
+      "doc_id", "src", "score", "tok", 4L, -col("score")).result
+    assert(sel.count() == 2)
+  }
+
   test("connectedComponentsStar handles singletons, self-pairs and string ids") {
     val pairs = Seq(("7", "7"), ("3", "9"), ("9", "4")).toDF("id_a", "id_b")
     val out = graft.text.Dedup.connectedComponentsStar(pairs)
