@@ -198,6 +198,54 @@ object Streaming {
         col("mean_logprob"), col("ppl"))
   }
 
+  /** Streaming order-3 Kneser–Ney scoring: arriving documents scored
+    * under the trigram KN model FITTED ONCE on a static reference
+    * corpus ([[graft.text.LangModel.fitKneserNey3]]) — the deploy
+    * face of `scoreByKneserNey3`. Five stateless stream-static
+    * equi-joins, totals as fit-time literals, watermark + windowed
+    * append; occurrence-level sum, round-6 batch parity asserted in
+    * StreamSpec (the knScoredDocs conventions one order up). */
+  def kn3ScoredDocs(docs: DataFrame, model: graft.text.LangModel.Kn3Model,
+                    idCol: String, textCol: String, tsCol: String,
+                    watermark: String, windowDur: String): DataFrame = {
+    val d = model.discount
+    val alpha = model.alpha
+    val p1 = (coalesce(col("_n1b3"), lit(0L)).cast("double") + lit(alpha)) /
+      (lit(model.nBigramContTypes) + lit(alpha) * (lit(model.vSucc) + lit(1.0)))
+    val nmid = col("_nmid").cast("double")
+    val p2 = when(col("_nmid").isNotNull,
+        greatest(coalesce(col("_n1b23"), lit(0L)).cast("double") -
+          lit(d), lit(0.0)) / nmid +
+          lit(d) * col("_n1f2").cast("double") / nmid * p1)
+      .otherwise(p1)
+    val c12d = col("_c12d").cast("double")
+    val p3 = when(col("_c12d").isNotNull,
+        greatest(coalesce(col("_c123"), lit(0L)).cast("double") -
+          lit(d), lit(0.0)) / c12d +
+          lit(d) * col("_n1f12").cast("double") / c12d * p2)
+      .otherwise(p2)
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        graft.text.TextFns.tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol), col(tsCol),
+        explode(graft.text.LangModel.trigramsOf(col("_toks"))).as("_tg"))
+      .select(col(idCol), col(tsCol), col("_tg.w1").as("w1"),
+        col("_tg.w2").as("w2"), col("_tg.w3").as("w3"))
+      .join(model.tri, Seq("w1", "w2", "w3"), "left")
+      .join(model.ctx12, Seq("w1", "w2"), "left")
+      .join(model.bgCont, Seq("w2", "w3"), "left")
+      .join(model.ctx2, Seq("w2"), "left")
+      .join(model.uniCont, Seq("w3"), "left")
+      .groupBy(window(col(tsCol), windowDur), col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("_c123").isNull, 1L).otherwise(0L)).as("n_oov"),
+        round(sum(log(p3)) / count(lit(1)).cast("double"), 6)
+          .as("mean_logprob"))
+      .withColumn("ppl", round(exp(-col("mean_logprob")), 6))
+      .select(col(idCol), col("n_trigrams"), col("n_oov"),
+        col("mean_logprob"), col("ppl"))
+  }
+
   /** Streaming Stupid Backoff perplexity scoring: arriving documents
     * scored under a trigram SB model FITTED ONCE on a static reference
     * corpus ([[graft.text.LangModel.fitStupidBackoff]]) — the deploy

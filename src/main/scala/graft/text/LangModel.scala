@@ -353,6 +353,41 @@ object LangModel {
     finishScores(docs, idCol, scored, "n_trigrams")
   }
 
+  /** Fit-time order-3 KN artifact for the stream deploy: the five
+    * model tables (each a re-aggregation of the one checkpointed
+    * trigram type table) plus the two totals collected once — the
+    * KnModel/SbModel convention. */
+  final case class Kn3Model(tri: DataFrame, ctx12: DataFrame,
+                            bgCont: DataFrame, ctx2: DataFrame,
+                            uniCont: DataFrame, nBigramContTypes: Double,
+                            vSucc: Double, discount: Double, alpha: Double)
+
+  /** Train the order-3 interpolated KN model of [[scoreByKneserNey3]]
+    * once, as a deployable artifact (one tokenize pass + one 2-scalar
+    * collect). */
+  def fitKneserNey3(refCorpus: DataFrame, textCol: String,
+                    discount: Double = 0.75,
+                    alpha: Double = 0.5): Kn3Model = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val (_, _, tri0) = refNgramCounts(refCorpus, textCol)
+    val tri = tri0.localCheckpoint()
+    require(!tri.isEmpty,
+      "reference corpus has no trigrams: refusing to train an empty " +
+        "KN3 model (every document would score ppl = 1)")
+    val ctx12 = tri.groupBy("w1", "w2")
+      .agg(sum("_c123").as("_c12d"), count(lit(1)).as("_n1f12"))
+    val bgCont = tri.groupBy("w2", "w3").agg(count(lit(1)).as("_n1b23"))
+    val ctx2 = bgCont.groupBy("w2")
+      .agg(sum("_n1b23").as("_nmid"), count(lit(1)).as("_n1f2"))
+    val uniCont = bgCont.groupBy("w3").agg(count(lit(1)).as("_n1b3"))
+    val r = bgCont.agg(count(lit(1)).cast("double"),
+      countDistinct("w3").cast("double")).head()
+    Kn3Model(tri, ctx12, bgCont, ctx2, uniCont,
+      r.getDouble(0), r.getDouble(1), discount, alpha)
+  }
+
   /** Score each document under a trigram STUPID BACKOFF model of
     * `refCorpus` (Brants et al., "Large Language Models in Machine
     * Translation", EMNLP 2007 §4 — the smoothing invented FOR

@@ -214,6 +214,28 @@ class Batch32Spec extends SparkSpec {
     assert(exact.getLong(3) == approx.getLong(3), "n_rows must be exact")
   }
 
+  test("degenerate reference corpora fail loudly, never score neutral") {
+    val short = Seq((1L, "a b")).toDF("doc_id", "text") // no trigrams
+    val empty = Seq((1L, "  ")).toDF("doc_id", "text")  // no tokens
+    val docs = Seq((9L, "a b c")).toDF("doc_id", "text")
+    // KN3 needs trigram statistics: a bigram-only corpus must refuse
+    intercept[IllegalArgumentException] {
+      graft.text.LangModel.scoreByKneserNey3(docs, short, "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.LangModel.fitKneserNey3(short, "text")
+    }
+    intercept[IllegalArgumentException] {
+      graft.text.LangModel.scoreByStupidBackoff(docs, empty, "doc_id", "text")
+    }
+    // SB degrades gracefully on a trigram-free (but token-bearing)
+    // corpus: every trigram backs off to the bigram/unigram floors
+    val out = graft.text.LangModel.scoreByStupidBackoff(
+        docs, short, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out.head._2 == 1L && out.head._3 == 1L && out.head._5 > 1.0)
+  }
+
   test("round-12 additions ride the fluent surface") {
     import graft.core.GfFrame._
     import org.apache.spark.sql.functions._

@@ -357,6 +357,37 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming KN3 scoring matches the batch order-3 scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "a b c a b d"), (2L, "c a b e")).toDF("doc_id", "text")
+    val model = graft.text.LangModel.fitKneserNey3(ref, "text")
+    val in = MemoryStream[DocEv]
+    val q = Streaming.kn3ScoredDocs(in.toDF(), model, "doc_id", "text",
+        "ts", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("skn3")
+      .outputMode(OutputMode.Append).start()
+    in.addData(DocEv(t(0), 10L, "a b c d"),  // seen tri + ctx12-unseen
+      DocEv(t(1), 11L, "z q a b"))           // full backoff + OOV
+    q.processAllAvailable()
+    in.addData(DocEv(t(59), 99L, "a b c"))   // advance watermark
+    q.processAllAvailable()
+    val streamed = spark.table("skn3")
+      .select("doc_id", "n_trigrams", "n_oov", "mean_logprob", "ppl")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .filter(r => r._1 == 10L || r._1 == 11L).sortBy(_._1)
+    q.stop()
+    val batch = graft.text.LangModel.scoreByKneserNey3(
+        Seq((10L, "a b c d"), (11L, "z q a b")).toDF("doc_id", "text"),
+        ref, "doc_id", "text")
+      .orderBy("doc").as[(Long, Long, Long, Double, Double)].collect()
+    assert(streamed.length == 2)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s._1 == b._1 && s._2 == b._2 && s._3 == b._3, s"$s vs $b")
+      assert(math.abs(s._4 - b._4) < 1e-6, s"mean_logprob $s vs $b")
+      assert(math.abs(s._5 - b._5) < 1e-5, s"ppl $s vs $b")
+    }
+  }
+
   test("streaming BM25 scores match the batch scorer bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
