@@ -118,6 +118,32 @@ object Batch32Entries {
         .orderBy("doc_id")
     }),
 
+    // text.EvalMetrics.rougeN: per-document ROUGE-1/2 recall of each
+    // document against its first-word-dropped twin — the eval-side
+    // operator of a model-output pipeline as pure n-gram count
+    // aggregations (clipped matches over reference totals), every
+    // shuffle keyed by (doc, gram).
+    "rouge_doc" -> ((s, dir) => {
+      val cand = T.documents(s, dir)
+      val ref = cand.select(col("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      graft.text.EvalMetrics.rougeN(cand, ref, "doc_id", "text", "text",
+          maxN = 2)
+        .orderBy("doc")
+    }),
+
+    // text.EvalMetrics.corpusBleu: corpus BLEU-4 of the same
+    // candidate/reference pairing — four clipped-precision count
+    // pairs + one length pair collapse to a single row; integer
+    // sufficient statistics, round-6 at every libm crossing.
+    "bleu_corpus" -> ((s, dir) => {
+      val cand = T.documents(s, dir)
+      val ref = cand.select(col("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      graft.text.EvalMetrics.corpusBleu(cand, ref, "doc_id", "text", "text",
+        maxN = 4)
+    }),
+
     // ---- rows-only entry (sketch internals are engine-specific) ----
     // cardinality at scale: uniqueStats' HLL++ path
     // (approx_count_distinct) on the same columns as the
@@ -389,6 +415,131 @@ object Batch32Entries {
         |SELECT doc_id, n_tokens, ppl FROM sel
         |WHERE cum - n_tokens < 3000
         |ORDER BY doc_id""".stripMargin,
+
+    // The clipped-overlap kernel replayed per order: per-(doc, gram)
+    // counts on both sides, FULL join, Σ min — recall against the
+    // reference total, round-6, absent orders coalesce to 0.
+    "rouge_doc" ->
+      """WITH cd AS (
+        |  SELECT doc_id AS doc,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |rd AS (
+        |  SELECT doc_id AS doc,
+        |    CASE WHEN len(trim(regexp_replace(text, '^\S+\s+', ''))) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           trim(lower(regexp_replace(text, '^\S+\s+', ''))), '\s+')
+        |    END AS t
+        |  FROM documents),
+        |cg1 AS (SELECT doc, t[i.i] AS gram, COUNT(*) AS c
+        |        FROM cd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) GROUP BY 1, 2),
+        |rg1 AS (SELECT doc, t[i.i] AS gram, COUNT(*) AS c
+        |        FROM rd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) GROUP BY 1, 2),
+        |cg2 AS (SELECT doc, array_to_string(list_slice(t, i.i, i.i + 1), ' ') AS gram,
+        |          COUNT(*) AS c
+        |        FROM cd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) - 1 GROUP BY 1, 2),
+        |rg2 AS (SELECT doc, array_to_string(list_slice(t, i.i, i.i + 1), ' ') AS gram,
+        |          COUNT(*) AS c
+        |        FROM rd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) - 1 GROUP BY 1, 2),
+        |o1 AS (SELECT doc,
+        |         SUM(LEAST(COALESCE(c.c, 0), COALESCE(r.c, 0))) AS m,
+        |         SUM(COALESCE(r.c, 0)) AS rt
+        |       FROM cg1 c FULL JOIN rg1 r USING (doc, gram) GROUP BY doc),
+        |o2 AS (SELECT doc,
+        |         SUM(LEAST(COALESCE(c.c, 0), COALESCE(r.c, 0))) AS m,
+        |         SUM(COALESCE(r.c, 0)) AS rt
+        |       FROM cg2 c FULL JOIN rg2 r USING (doc, gram) GROUP BY doc)
+        |SELECT d.doc_id AS doc,
+        |  COALESCE(CASE WHEN o1.rt > 0
+        |    THEN ROUND(CAST(o1.m AS DOUBLE) / CAST(o1.rt AS DOUBLE), 6)
+        |    ELSE 0.0 END, 0.0) AS rouge_1,
+        |  COALESCE(CASE WHEN o2.rt > 0
+        |    THEN ROUND(CAST(o2.m AS DOUBLE) / CAST(o2.rt AS DOUBLE), 6)
+        |    ELSE 0.0 END, 0.0) AS rouge_2
+        |FROM documents d
+        |LEFT JOIN o1 ON o1.doc = d.doc_id
+        |LEFT JOIN o2 ON o2.doc = d.doc_id
+        |ORDER BY doc""".stripMargin,
+
+    // Corpus BLEU-4: four clipped-precision pairs + the length pair;
+    // p_n and bp round-6 BEFORE the final product, zero p_n floors
+    // the score (the standard convention, logs never -inf).
+    "bleu_corpus" ->
+      """WITH cd AS (
+        |  SELECT doc_id AS doc,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+        |  FROM documents),
+        |rd AS (
+        |  SELECT doc_id AS doc,
+        |    CASE WHEN len(trim(regexp_replace(text, '^\S+\s+', ''))) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(
+        |           trim(lower(regexp_replace(text, '^\S+\s+', ''))), '\s+')
+        |    END AS t
+        |  FROM documents),
+        |cl AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS cand_len FROM cd),
+        |rl AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS ref_len FROM rd),
+        |cg1 AS (SELECT doc, t[i.i] AS gram, COUNT(*) AS c
+        |        FROM cd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) GROUP BY 1, 2),
+        |rg1 AS (SELECT doc, t[i.i] AS gram, COUNT(*) AS c
+        |        FROM rd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) GROUP BY 1, 2),
+        |cg2 AS (SELECT doc, array_to_string(list_slice(t, i.i, i.i + 1), ' ') AS gram, COUNT(*) AS c
+        |        FROM cd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) - 1 GROUP BY 1, 2),
+        |rg2 AS (SELECT doc, array_to_string(list_slice(t, i.i, i.i + 1), ' ') AS gram, COUNT(*) AS c
+        |        FROM rd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) - 1 GROUP BY 1, 2),
+        |cg3 AS (SELECT doc, array_to_string(list_slice(t, i.i, i.i + 2), ' ') AS gram, COUNT(*) AS c
+        |        FROM cd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) - 2 GROUP BY 1, 2),
+        |rg3 AS (SELECT doc, array_to_string(list_slice(t, i.i, i.i + 2), ' ') AS gram, COUNT(*) AS c
+        |        FROM rd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) - 2 GROUP BY 1, 2),
+        |cg4 AS (SELECT doc, array_to_string(list_slice(t, i.i, i.i + 3), ' ') AS gram, COUNT(*) AS c
+        |        FROM cd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) - 3 GROUP BY 1, 2),
+        |rg4 AS (SELECT doc, array_to_string(list_slice(t, i.i, i.i + 3), ' ') AS gram, COUNT(*) AS c
+        |        FROM rd, (SELECT unnest(range(1, 2000)) AS i) i
+        |        WHERE i.i <= len(t) - 3 GROUP BY 1, 2),
+        |o1 AS (SELECT COALESCE(SUM(LEAST(COALESCE(c.c, 0), COALESCE(r.c, 0))), 0) AS m,
+        |              COALESCE(SUM(COALESCE(c.c, 0)), 0) AS tt
+        |       FROM cg1 c FULL JOIN rg1 r USING (doc, gram)),
+        |o2 AS (SELECT COALESCE(SUM(LEAST(COALESCE(c.c, 0), COALESCE(r.c, 0))), 0) AS m,
+        |              COALESCE(SUM(COALESCE(c.c, 0)), 0) AS tt
+        |       FROM cg2 c FULL JOIN rg2 r USING (doc, gram)),
+        |o3 AS (SELECT COALESCE(SUM(LEAST(COALESCE(c.c, 0), COALESCE(r.c, 0))), 0) AS m,
+        |              COALESCE(SUM(COALESCE(c.c, 0)), 0) AS tt
+        |       FROM cg3 c FULL JOIN rg3 r USING (doc, gram)),
+        |o4 AS (SELECT COALESCE(SUM(LEAST(COALESCE(c.c, 0), COALESCE(r.c, 0))), 0) AS m,
+        |              COALESCE(SUM(COALESCE(c.c, 0)), 0) AS tt
+        |       FROM cg4 c FULL JOIN rg4 r USING (doc, gram)),
+        |p AS (SELECT
+        |  CASE WHEN o1.tt > 0 THEN ROUND(CAST(o1.m AS DOUBLE) / CAST(o1.tt AS DOUBLE), 6) ELSE 0.0 END AS p_1,
+        |  CASE WHEN o2.tt > 0 THEN ROUND(CAST(o2.m AS DOUBLE) / CAST(o2.tt AS DOUBLE), 6) ELSE 0.0 END AS p_2,
+        |  CASE WHEN o3.tt > 0 THEN ROUND(CAST(o3.m AS DOUBLE) / CAST(o3.tt AS DOUBLE), 6) ELSE 0.0 END AS p_3,
+        |  CASE WHEN o4.tt > 0 THEN ROUND(CAST(o4.m AS DOUBLE) / CAST(o4.tt AS DOUBLE), 6) ELSE 0.0 END AS p_4
+        |  FROM o1, o2, o3, o4),
+        |b AS (SELECT cand_len, ref_len,
+        |  CASE WHEN cand_len >= ref_len AND cand_len > 0 THEN 1.0
+        |       WHEN cand_len > 0 THEN ROUND(EXP(1.0 -
+        |         CAST(ref_len AS DOUBLE) / CAST(cand_len AS DOUBLE)), 6)
+        |       ELSE 0.0 END AS bp
+        |  FROM cl, rl)
+        |SELECT
+        |  CASE WHEN p_1 = 0.0 OR p_2 = 0.0 OR p_3 = 0.0 OR p_4 = 0.0 THEN 0.0
+        |       ELSE ROUND(bp * EXP((((LN(p_1) + LN(p_2)) + LN(p_3)) + LN(p_4)) / 4.0), 6)
+        |  END AS bleu,
+        |  bp, p_1, p_2, p_3, p_4, cand_len, ref_len
+        |FROM p, b""".stripMargin,
 
     // Two independent UAX #15 implementations (JDK Normalizer vs
     // DuckDB's) must agree byte-for-byte on the normalized text.

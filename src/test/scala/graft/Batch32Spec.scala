@@ -214,6 +214,36 @@ class Batch32Spec extends SparkSpec {
     assert(exact.getLong(3) == approx.getLong(3), "n_rows must be exact")
   }
 
+  test("corpusBleu and rougeN match hand-computed clipped overlaps") {
+    import org.apache.spark.sql.functions._
+    val cand = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val ref = Seq((1L, "a b c d f")).toDF("doc_id", "text")
+    val r = graft.text.EvalMetrics.corpusBleu(cand, ref, "doc_id",
+      "text", "text").head()
+    // p1 4/5, p2 3/4, p3 2/3 (round-6), p4 1/2; equal lengths -> bp 1
+    val p = Seq(0.8, 0.75, 0.666667, 0.5)
+    val expect = math.round(math.exp(p.map(math.log).sum / 4.0) * 1e6) / 1e6
+    assert(math.abs(r.getDouble(0) - expect) < 1e-9, s"bleu $r")
+    assert(r.getDouble(1) == 1.0 && r.getLong(6) == 5L && r.getLong(7) == 5L)
+    // clipping: "the the the" vs "the" -> p1 = 1/3; rouge_1 recall = 1/1
+    val c2 = Seq((1L, "the the the")).toDF("doc_id", "text")
+    val r2 = Seq((1L, "the")).toDF("doc_id", "text")
+    val b2 = graft.text.EvalMetrics.corpusBleu(c2, r2, "doc_id",
+      "text", "text", maxN = 1).head()
+    assert(math.abs(b2.getDouble(2) - 0.333333) < 1e-9, s"clipped p1 $b2")
+    val rg = graft.text.EvalMetrics.rougeN(c2, r2, "doc_id", "text", "text",
+      maxN = 2).head()
+    assert(rg.getDouble(1) == 1.0, s"rouge_1 $rg")
+    assert(rg.getDouble(2) == 0.0, "no reference bigrams -> rouge_2 = 0")
+    // a zero higher-order precision floors corpus BLEU to 0
+    val b3 = graft.text.EvalMetrics.corpusBleu(
+      Seq((1L, "x y")).toDF("doc_id", "text"),
+      Seq((1L, "y x")).toDF("doc_id", "text"),
+      "doc_id", "text", "text", maxN = 2).head()
+    assert(b3.getDouble(0) == 0.0 && b3.getDouble(2) == 1.0 &&
+      b3.getDouble(3) == 0.0)
+  }
+
   test("degenerate reference corpora fail loudly, never score neutral") {
     val short = Seq((1L, "a b")).toDF("doc_id", "text") // no trigrams
     val empty = Seq((1L, "  ")).toDF("doc_id", "text")  // no tokens
