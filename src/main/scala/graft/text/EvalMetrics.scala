@@ -34,25 +34,31 @@ object EvalMetrics {
         i => array_join(slice(toks, i, lit(n)), " ")))
   }
 
-  /** Per-(doc, gram) counts of order-n grams; the shared side kernel. */
-  private def gramCounts(df: DataFrame, idCol: String, textCol: String,
-                         n: Int): DataFrame =
+  /** (doc, _t token-array) projection of one side, MATERIALIZED
+    * (`localCheckpoint`) because every order re-reads the arrays — at
+    * maxN = 4 the tokenize regex would otherwise run four times per
+    * side (the scoreByStupidBackoff rule). */
+  private def tokSide(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
     df.select(col(idCol).as("doc"),
         TextFns.tokens(lower(col(textCol))).as("_t"))
-      .select(col("doc"), explode(ngramsOf(col("_t"), n)).as("gram"))
+      .localCheckpoint()
+
+  /** Per-(doc, gram) counts of order-n grams over a [[tokSide]]. */
+  private def gramCounts(toks: DataFrame, n: Int): DataFrame =
+    toks.select(col("doc"), explode(ngramsOf(col("_t"), n)).as("gram"))
       .groupBy("doc", "gram").agg(count(lit(1)).as("_c"))
 
-  /** Clipped n-gram overlap per document: (doc, matched_n, cand_n,
-    * ref_n) where `matched_n = Σ_gram min(c_cand, c_ref)` — the
-    * shared sufficient statistic of BLEU precision and ROUGE-N
-    * recall. Documents with no order-n grams on either side surface
-    * with zeros (FULL join over the per-gram counts). */
-  def ngramOverlap(cands: DataFrame, refs: DataFrame, idCol: String,
-                   candCol: String, refCol: String, n: Int): DataFrame = {
-    val c = gramCounts(cands, idCol, candCol, n)
-      .withColumnRenamed("_c", "_cc")
-    val r = gramCounts(refs, idCol, refCol, n)
-      .withColumnRenamed("_c", "_rc")
+  /** Clipped n-gram overlap per document over two [[tokSide]]s:
+    * (doc, matched_n, cand_n, ref_n) where
+    * `matched_n = Σ_gram min(c_cand, c_ref)` — the shared sufficient
+    * statistic of BLEU precision and ROUGE-N recall. Documents with
+    * no order-n grams on either side surface with zeros (FULL join
+    * over the per-gram counts). */
+  private def overlapFromToks(cToks: DataFrame, rToks: DataFrame,
+                              n: Int): DataFrame = {
+    val c = gramCounts(cToks, n).withColumnRenamed("_c", "_cc")
+    val r = gramCounts(rToks, n).withColumnRenamed("_c", "_rc")
     c.join(r, Seq("doc", "gram"), "full")
       .groupBy("doc")
       .agg(sum(least(coalesce(col("_cc"), lit(0L)),
@@ -60,6 +66,12 @@ object EvalMetrics {
         sum(coalesce(col("_cc"), lit(0L))).as(s"cand_$n"),
         sum(coalesce(col("_rc"), lit(0L))).as(s"ref_$n"))
   }
+
+  /** Public single-order overlap (tokenizes both sides). */
+  def ngramOverlap(cands: DataFrame, refs: DataFrame, idCol: String,
+                   candCol: String, refCol: String, n: Int): DataFrame =
+    overlapFromToks(tokSide(cands, idCol, candCol),
+      tokSide(refs, idCol, refCol), n)
 
   /** Per-document ROUGE-N recall for n = 1..maxN: clipped matches
     * over reference n-gram total, round-6 (0.0 when the reference has
@@ -69,9 +81,11 @@ object EvalMetrics {
   def rougeN(cands: DataFrame, refs: DataFrame, idCol: String,
              candCol: String, refCol: String, maxN: Int = 2): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val spine = cands.select(col(idCol).as("doc")).distinct()
+    val cToks = tokSide(cands, idCol, candCol)
+    val rToks = tokSide(refs, idCol, refCol)
+    val spine = cToks.select(col("doc")).distinct()
     (1 to maxN).foldLeft(spine) { (acc, n) =>
-      val ov = ngramOverlap(cands, refs, idCol, candCol, refCol, n)
+      val ov = overlapFromToks(cToks, rToks, n)
         .select(col("doc"),
           when(col(s"ref_$n") > 0,
             round(col(s"matched_$n").cast("double") /
@@ -93,14 +107,16 @@ object EvalMetrics {
   def corpusBleu(cands: DataFrame, refs: DataFrame, idCol: String,
                  candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val lens = cands
-      .select(size(TextFns.tokens(lower(col(candCol)))).cast("long").as("_cl"))
+    val cToks = tokSide(cands, idCol, candCol)
+    val rToks = tokSide(refs, idCol, refCol)
+    val lens = cToks
+      .select(size(col("_t")).cast("long").as("_cl"))
       .agg(sum("_cl").as("cand_len"))
-      .crossJoin(refs
-        .select(size(TextFns.tokens(lower(col(refCol)))).cast("long").as("_rl"))
+      .crossJoin(rToks
+        .select(size(col("_t")).cast("long").as("_rl"))
         .agg(sum("_rl").as("ref_len")))
     val totals = (1 to maxN).map { n =>
-      ngramOverlap(cands, refs, idCol, candCol, refCol, n)
+      overlapFromToks(cToks, rToks, n)
         .agg(sum(s"matched_$n").as(s"m_$n"), sum(s"cand_$n").as(s"t_$n"))
     }.reduce(_ crossJoin _)
     val joined = lens.crossJoin(totals)

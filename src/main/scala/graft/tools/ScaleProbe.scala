@@ -117,6 +117,17 @@ object ScaleProbe {
           LangModel.scoreByKneserNey(cached, cached, "doc_id", "text")
             .count()
         },
+        timed("rouge_bleu") {
+          // eval metrics: candidates vs first-word-dropped references
+          // on the replicated corpus — per-(doc, gram) keyed overlap
+          // kernels at four orders plus the per-doc ROUGE pass
+          val refs = cached.select(col("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+          graft.text.EvalMetrics.rougeN(cached, refs, "doc_id",
+            "text", "text", maxN = 2).count() +
+            graft.text.EvalMetrics.corpusBleu(cached, refs, "doc_id",
+              "text", "text", maxN = 4).count()
+        },
         timed("kn3_ppl") {
           // self-scored: the order-3 KN carries six scoring joins and
           // four re-aggregations of the one trigram table — the
