@@ -132,6 +132,29 @@ object Batch32Entries {
         .orderBy("doc")
     }),
 
+    // text.EvalMetrics.rougeL via the native lcs_len codegen
+    // expression (an O(n·m) DP no built-in composition can express —
+    // row-local, so it distributes perfectly). The reference replaces
+    // every 3rd token with a position-unique junk token that occurs
+    // nowhere in the corpus, so the LCS has the CLOSED FORM
+    // len − ⌊len/3⌋ — a full end-to-end oracle for the DP on real
+    // data (the expression computes it honestly; DuckDB replays the
+    // closed form).
+    "rouge_l" -> ((s, dir) => {
+      val cand = T.documents(s, dir)
+      val toks = graft.text.TextFns.tokens(lower(col("text")))
+      val ref = cand.select(col("doc_id"),
+        array_join(
+          zip_with(toks,
+            when(size(toks) > 0, sequence(lit(1), size(toks)))
+              .otherwise(array().cast("array<int>")),
+            (t, i) => when(i % 3 === 0,
+              concat(lit("[["), i.cast("string"), lit("]]"))).otherwise(t)),
+          " ").as("text"))
+      graft.text.EvalMetrics.rougeL(cand, ref, "doc_id", "text", "text")
+        .orderBy("doc")
+    }),
+
     // text.EvalMetrics.corpusBleu: corpus BLEU-4 of the same
     // candidate/reference pairing — four clipped-precision count
     // pairs + one length pair collapse to a single row; integer
@@ -466,6 +489,21 @@ object Batch32Entries {
         |LEFT JOIN o1 ON o1.doc = d.doc_id
         |LEFT JOIN o2 ON o2.doc = d.doc_id
         |ORDER BY doc""".stripMargin,
+
+    // The closed form: junk replacements are unmatchable, so
+    // LCS = len − ⌊len/3⌋ and ref_len = len exactly.
+    "rouge_l" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS l
+        |  FROM documents)
+        |SELECT doc_id AS doc,
+        |  CAST(l - l // 3 AS INT) AS lcs,
+        |  CASE WHEN l > 0
+        |    THEN ROUND(CAST(l - l // 3 AS DOUBLE) / CAST(l AS DOUBLE), 6)
+        |    ELSE 0.0 END AS rouge_l
+        |FROM n ORDER BY doc""".stripMargin,
 
     // Corpus BLEU-4: four clipped-precision pairs + the length pair;
     // p_n and bp round-6 BEFORE the final product, zero p_n floors

@@ -61,13 +61,113 @@ case class UnicodeNormalize(child: Expression, form: String)
       : UnicodeNormalize = copy(child = newChild)
 }
 
+/** lcs_len(array<string>, array<string>) → int: length of the longest
+  * common subsequence of two token arrays — the kernel of ROUGE-L
+  * (Lin 2004), which no composition of built-ins can express (the DP
+  * is inherently sequential per row, but ROW-LOCAL: each
+  * candidate/reference pair is independent, so the operator
+  * distributes perfectly while the inner loop runs as generated
+  * Java). Classic two-row DP, O(n·m) time / O(min-side) space; NULL
+  * array → NULL, NULL ELEMENTS are rejected loudly (a silent
+  * null-matches-nothing would understate the metric invisibly). */
+case class LcsLength(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"lcs_len expects array<string> args, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements(); val m = y.numElements()
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        "lcs_len: null token in left array")
+      i += 1
+    }
+    var j = 0
+    while (j < m) {
+      if (y.isNullAt(j)) throw new IllegalArgumentException(
+        "lcs_len: null token in right array")
+      j += 1
+    }
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    i = 0
+    while (i < n) {
+      val xi = x.getUTF8String(i)
+      j = 0
+      while (j < m) {
+        cur(j + 1) =
+          if (xi.equals(y.getUTF8String(j))) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    prev(m)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val prev = ctx.freshName("prev"); val cur = ctx.freshName("cur")
+      val tmp = ctx.freshName("tmp"); val xi = ctx.freshName("xi")
+      s"""
+         |int $n = $a.numElements();
+         |int $m = $b.numElements();
+         |for (int $i = 0; $i < $n; $i++)
+         |  if ($a.isNullAt($i)) throw new IllegalArgumentException(
+         |    "lcs_len: null token in left array");
+         |for (int $j = 0; $j < $m; $j++)
+         |  if ($b.isNullAt($j)) throw new IllegalArgumentException(
+         |    "lcs_len: null token in right array");
+         |int[] $prev = new int[$m + 1];
+         |int[] $cur = new int[$m + 1];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $xi = $a.getUTF8String($i);
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    $cur[$j + 1] = $xi.equals($b.getUTF8String($j))
+         |      ? $prev[$j] + 1
+         |      : java.lang.Math.max($prev[$j + 1], $cur[$j]);
+         |  }
+         |  int[] $tmp = $prev; $prev = $cur; $cur = $tmp;
+         |}
+         |${ev.value} = $prev[$m];
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): LcsLength = copy(left = newLeft, right = newRight)
+}
+
 object TextExpressions {
 
-  /** Register `unicode_norm(str, 'NFC')` on an existing session.
-    * Idempotent (the [[VectorExpressions.register]] convention). */
+  /** Register `unicode_norm(str, 'NFC')` and `lcs_len(a, b)` on an
+    * existing session. Idempotent (the [[VectorExpressions.register]]
+    * convention — the guard checks the LAST-added function so an
+    * upgrade re-registers the full set). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (registry.functionExists(FunctionIdentifier("unicode_norm"))) return
+    if (registry.functionExists(FunctionIdentifier("lcs_len"))) return
+    registry.registerFunction(
+      FunctionIdentifier("lcs_len"),
+      new ExpressionInfo(classOf[LcsLength].getName, null,
+        "lcs_len", "lcs_len(a, b) - longest common subsequence length " +
+          "of two token arrays", "", "", "", "array_funcs", "4.0.0", "",
+        "built-in"),
+      (children: Seq[Expression]) => LcsLength(children(0), children(1)))
     registry.registerFunction(
       FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, null,

@@ -96,6 +96,31 @@ object EvalMetrics {
     }
   }
 
+  /** Per-document ROUGE-L recall: `LCS(cand, ref) / ref_len` via the
+    * native [[graft.functions.LcsLength]] codegen expression — the DP
+    * is sequential PER ROW but row-local, so the operator distributes
+    * perfectly (one keyed join, one projection; no shuffle beyond the
+    * doc join). Candidates without a reference row score 0. Output:
+    * (doc, lcs, rouge_l). */
+  def rougeL(cands: DataFrame, refs: DataFrame, idCol: String,
+             candCol: String, refCol: String): DataFrame = {
+    graft.functions.TextExpressions.register(cands.sparkSession)
+    val c = cands.select(col(idCol).as("doc"),
+      TextFns.tokens(lower(col(candCol))).as("_ct"))
+    val r = refs.select(col(idCol).as("doc"),
+      TextFns.tokens(lower(col(refCol))).as("_rt"))
+    c.join(r, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(call_function("lcs_len", col("_ct"),
+          coalesce(col("_rt"), array().cast("array<string>"))), lit(0))
+          .as("lcs"),
+        coalesce(size(col("_rt")), lit(0)).as("_rl"))
+      .select(col("doc"), col("lcs"),
+        when(col("_rl") > 0,
+          round(col("lcs").cast("double") / col("_rl").cast("double"), 6))
+          .otherwise(lit(0.0)).as("rouge_l"))
+  }
+
   /** Corpus BLEU-maxN: ONE row with the geometric mean of corpus-level
     * clipped precisions p₁..p_maxN under the brevity penalty
     * `BP = exp(min(0, 1 − ref_len/cand_len))`. Any zero pₙ (or an

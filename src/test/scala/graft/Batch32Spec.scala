@@ -244,6 +244,40 @@ class Batch32Spec extends SparkSpec {
       b3.getDouble(3) == 0.0)
   }
 
+  test("lcs_len matches a reference DP on random token arrays") {
+    import org.apache.spark.sql.functions._
+    graft.functions.TextExpressions.register(spark)
+    def goldLcs(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d")
+    val cases = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(4))),
+        Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(4))))
+    } :+ ((99L, Seq.empty[String], Seq("a", "b")))
+    val df = cases.toDF("id", "a", "b")
+    val out = df.select($"id",
+        call_function("lcs_len", $"a", $"b").as("lcs"))
+      .orderBy("id").collect()
+    out.zip(cases.sortBy(_._1)).foreach { case (r, (_, a, b)) =>
+      assert(r.getInt(1) == goldLcs(a, b), s"id ${r.getLong(0)}: $a vs $b")
+    }
+    // null ELEMENTS are rejected loudly, null ARRAYS propagate
+    intercept[Exception] {
+      Seq((1L, Seq("a", null), Seq("a"))).toDF("id", "a", "b")
+        .select(call_function("lcs_len", $"a", $"b")).collect()
+    }
+    val nullRow = df.limit(1)
+      .select(call_function("lcs_len", lit(null).cast("array<string>"), $"a"))
+      .head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("degenerate reference corpora fail loudly, never score neutral") {
     val short = Seq((1L, "a b")).toDF("doc_id", "text") // no trigrams
     val empty = Seq((1L, "  ")).toDF("doc_id", "text")  // no tokens
