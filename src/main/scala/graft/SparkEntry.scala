@@ -56,7 +56,8 @@ object SparkEntry {
       entries.Batch29Entries.queries ++
       entries.Batch30Entries.queries ++
       entries.Batch31Entries.queries ++
-      entries.Batch32Entries.queries
+      entries.Batch32Entries.queries ++
+      entries.Batch33Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -91,7 +92,8 @@ object SparkEntry {
       entries.Batch29Entries.oracleSql ++
       entries.Batch30Entries.oracleSql ++
       entries.Batch31Entries.oracleSql ++
-      entries.Batch32Entries.oracleSql
+      entries.Batch32Entries.oracleSql ++
+      entries.Batch33Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -73,27 +73,60 @@ object EvalMetrics {
     overlapFromToks(tokSide(cands, idCol, candCol),
       tokSide(refs, idCol, refCol), n)
 
+  /** Per-(doc, n, gram) counts for ALL orders 1..maxN in ONE tagged
+    * explode over a [[tokSide]] — the chrF plan rule applied to word
+    * grams: one corpus pass and one keyed groupBy instead of maxN of
+    * each. */
+  private def gramRowsAll(toks: DataFrame, maxN: Int,
+                          cName: String): DataFrame =
+    toks.select(col("doc"), explode(concat(
+        (1 to maxN).map(n => transform(ngramsOf(col("_t"), n),
+          g => struct(lit(n).as("n"), g.as("gram")))): _*)).as("_g"))
+      .select(col("doc"), col("_g.n").as("n"), col("_g.gram").as("gram"))
+      .groupBy("doc", "n", "gram").agg(count(lit(1)).as(cName))
+
+  /** Clipped overlap for ALL orders at once: (doc, n, matched,
+    * cand_t, ref_t) — same sufficient statistics as
+    * [[overlapFromToks]], produced by one FULL join keyed
+    * (doc, n, gram) instead of one join per order. Orders with no
+    * grams on either side are ABSENT rows (callers coalesce). */
+  private def overlapAllOrders(cToks: DataFrame, rToks: DataFrame,
+                               maxN: Int): DataFrame =
+    gramRowsAll(cToks, maxN, "_cc")
+      .join(gramRowsAll(rToks, maxN, "_rc"), Seq("doc", "n", "gram"), "full")
+      .groupBy("doc", "n")
+      .agg(sum(least(coalesce(col("_cc"), lit(0L)),
+          coalesce(col("_rc"), lit(0L)))).as("matched"),
+        sum(coalesce(col("_cc"), lit(0L))).as("cand_t"),
+        sum(coalesce(col("_rc"), lit(0L))).as("ref_t"))
+
   /** Per-document ROUGE-N recall for n = 1..maxN: clipped matches
     * over reference n-gram total, round-6 (0.0 when the reference has
     * no order-n grams — the no-reference convention that keeps the
     * metric total). Output: (doc, rouge_1, …, rouge_maxN) for every
-    * candidate doc, ordered columns. */
+    * candidate doc, ordered columns. All orders ride the ONE-pass
+    * [[overlapAllOrders]] kernel; the per-order values pivot to
+    * columns with max-of-one-row conditionals (each (doc, n) group
+    * has at most one row — no double-sum ordering to drift). */
   def rougeN(cands: DataFrame, refs: DataFrame, idCol: String,
              candCol: String, refCol: String, maxN: Int = 2): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     val cToks = tokSide(cands, idCol, candCol)
     val rToks = tokSide(refs, idCol, refCol)
     val spine = cToks.select(col("doc")).distinct()
-    (1 to maxN).foldLeft(spine) { (acc, n) =>
-      val ov = overlapFromToks(cToks, rToks, n)
-        .select(col("doc"),
-          when(col(s"ref_$n") > 0,
-            round(col(s"matched_$n").cast("double") /
-              col(s"ref_$n").cast("double"), 6))
-            .otherwise(lit(0.0)).as(s"rouge_$n"))
-      acc.join(ov, Seq("doc"), "left")
-        .withColumn(s"rouge_$n", coalesce(col(s"rouge_$n"), lit(0.0)))
-    }
+    val perOrder = overlapAllOrders(cToks, rToks, maxN)
+      .select(col("doc"), col("n"),
+        when(col("ref_t") > 0,
+          round(col("matched").cast("double") /
+            col("ref_t").cast("double"), 6))
+          .otherwise(lit(0.0)).as("_v"))
+    val aggs = (1 to maxN).map(n =>
+      coalesce(max(when(col("n") === n, col("_v"))), lit(0.0))
+        .as(s"rouge_$n"))
+    val pivoted = perOrder.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+    spine.join(pivoted, Seq("doc"), "left")
+      .select(col("doc") +: (1 to maxN).map(n =>
+        coalesce(col(s"rouge_$n"), lit(0.0)).as(s"rouge_$n")): _*)
   }
 
   /** Per-document ROUGE-L recall: `LCS(cand, ref) / ref_len` via the
@@ -121,6 +154,113 @@ object EvalMetrics {
           .otherwise(lit(0.0)).as("rouge_l"))
   }
 
+  /** Integral `div` on longs (the SQL `a div b` operator — exact,
+    * engine-portable integer division; Column has no operator for it). */
+  private def divL(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** Char n-grams of a string column as an in-row array — the chrF
+    * alphabet. Same `sequence`-descent guard as [[ngramsOf]]. */
+  private[text] def charGramsOf(s: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val cnt = length(s) - lit(n - 1)
+    when(cnt.isNull || cnt <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt), i => s.substr(i, lit(n))))
+  }
+
+  /** (doc, _s whitespace-stripped lowered string) projection of one
+    * side, materialized once for all orders (the [[tokSide]] rule —
+    * at maxN = 6 the regex strip would otherwise run six times). */
+  private def charSide(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        regexp_replace(lower(col(textCol)), "\\s+", "").as("_s"))
+      .localCheckpoint()
+
+  /** Per-document chrF (Popović 2015): character n-gram F-β score,
+    * the tokenization-free eval metric (no tokenizer to disagree
+    * about — the property that made it the WMT standard alongside
+    * BLEU). Whitespace is stripped before n-gramming (the sacreBLEU
+    * default), orders run 1..maxN (default 6, the published setting),
+    * β defaults to 2 (recall-weighted, chrF2).
+    *
+    * chrP = mean over n of clipped matched_n / cand_n,
+    * chrR = mean over n of clipped matched_n / ref_n,
+    * chrF = (1+β²)·chrP·chrR / (β²·chrP + chrR)  (0 when the
+    * denominator is 0). Orders where a side has no grams contribute
+    * 0 to that side's mean — a fixed total convention (sacreBLEU's
+    * sentence-level "effective order" would make the score depend on
+    * doc length in a way no relational oracle can replay cheaply;
+    * at corpus scale the two agree for any doc ≥ maxN chars).
+    *
+    * Plan shape — ONE tagged pass for ALL orders, not a per-order
+    * fold: every order's grams explode once with an `n` tag, so the
+    * whole metric is two (doc, n, gram)-keyed groupBys, one FULL
+    * join on the same key, one (doc, n) reduction and one per-doc
+    * integer sum — ~6 keyed exchanges total where the naive fold
+    * pays ~4 per order (24+ at maxN = 6, and six corpus passes
+    * instead of one). Nothing is pairwise across documents.
+    *
+    * Determinism — INTEGER MICRO-UNITS, not round-6 doubles: each
+    * per-order ratio becomes `(2·m·10⁶ + d) div (2·d)` (HALF_UP of
+    * the exact rational at 6 dp — pure integer arithmetic any engine
+    * reproduces bit-for-bit), the per-doc order sum is an integer
+    * (commutative — partition order cannot drift an ulp, unlike a
+    * double sum), and the mean re-applies the same integer HALF_UP.
+    * A round-6 DOUBLE mean of 6-dp values sits exactly on a
+    * 7th-decimal tie whenever the sum's last digit isn't divisible
+    * by maxN, and Spark/DuckDB break such ties differently — caught
+    * live on testdata. Only the final F crossing divides doubles
+    * (a generic ratio, not a structured tie), round-6.
+    * Output: (doc, chrf_p, chrf_r, chrf). */
+  def chrF(cands: DataFrame, refs: DataFrame, idCol: String,
+           candCol: String, refCol: String, maxN: Int = 6,
+           beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    require(beta > 0, s"beta must be > 0, got $beta")
+    val cS = charSide(cands, idCol, candCol)
+    val rS = charSide(refs, idCol, refCol)
+    val spine = cS.select(col("doc")).distinct()
+    // (doc, n, gram) -> count, all orders in one explode
+    def gramRows(side: DataFrame, cName: String): DataFrame =
+      side.select(col("doc"), explode(concat(
+          (1 to maxN).map(n => transform(charGramsOf(col("_s"), n),
+            g => struct(lit(n).as("n"), g.as("gram")))): _*)).as("_g"))
+        .select(col("doc"), col("_g.n").as("n"), col("_g.gram").as("gram"))
+        .groupBy("doc", "n", "gram").agg(count(lit(1)).as(cName))
+    // HALF_UP 6-dp micro-units of m/d in exact long arithmetic
+    def micro(m: Column, d: Column): Column =
+      when(d > 0, divL(lit(2L) * m * lit(1000000L) + d, lit(2L) * d))
+        .otherwise(lit(0L))
+    val perOrder = gramRows(cS, "_cc")
+      .join(gramRows(rS, "_rc"), Seq("doc", "n", "gram"), "full")
+      .groupBy("doc", "n")
+      .agg(sum(least(coalesce(col("_cc"), lit(0L)),
+          coalesce(col("_rc"), lit(0L)))).as("_m"),
+        sum(coalesce(col("_cc"), lit(0L))).as("_ct"),
+        sum(coalesce(col("_rc"), lit(0L))).as("_rt"))
+      .select(col("doc"),
+        micro(col("_m"), col("_ct")).as("_pm"),
+        micro(col("_m"), col("_rt")).as("_rm"))
+    val sums = perOrder.groupBy("doc")
+      .agg(sum("_pm").as("_sp"), sum("_rm").as("_sr"))
+    // orders with no grams on either side are absent rows = 0 in the
+    // sum; the mean still divides by the FULL maxN (fixed-total
+    // convention), with the same integer HALF_UP
+    def meanOf(s: Column): Column =
+      divL(lit(2L) * s + lit(maxN.toLong), lit(2L * maxN))
+        .cast("double") / lit(1000000.0)
+    val b2 = beta * beta
+    spine.join(sums, Seq("doc"), "left")
+      .select(col("doc"),
+        meanOf(coalesce(col("_sp"), lit(0L))).as("chrf_p"),
+        meanOf(coalesce(col("_sr"), lit(0L))).as("chrf_r"))
+      .select(col("doc"), col("chrf_p"), col("chrf_r"),
+        when(lit(b2) * col("chrf_p") + col("chrf_r") > 0.0,
+          round(lit(1.0 + b2) * col("chrf_p") * col("chrf_r") /
+            (lit(b2) * col("chrf_p") + col("chrf_r")), 6))
+          .otherwise(lit(0.0)).as("chrf"))
+  }
+
   /** Corpus BLEU-maxN: ONE row with the geometric mean of corpus-level
     * clipped precisions p₁..p_maxN under the brevity penalty
     * `BP = exp(min(0, 1 − ref_len/cand_len))`. Any zero pₙ (or an
@@ -140,10 +280,14 @@ object EvalMetrics {
       .crossJoin(rToks
         .select(size(col("_t")).cast("long").as("_rl"))
         .agg(sum("_rl").as("ref_len")))
-    val totals = (1 to maxN).map { n =>
-      overlapFromToks(cToks, rToks, n)
-        .agg(sum(s"matched_$n").as(s"m_$n"), sum(s"cand_$n").as(s"t_$n"))
-    }.reduce(_ crossJoin _)
+    // ONE tagged pass for all orders; the per-order corpus totals are
+    // conditional INTEGER sums over the (doc, n) rows — one aggregate
+    // row replaces maxN crossJoined 1-row aggregates
+    val aggCols = (1 to maxN).flatMap(n => Seq(
+      sum(when(col("n") === n, col("matched"))).as(s"m_$n"),
+      sum(when(col("n") === n, col("cand_t"))).as(s"t_$n")))
+    val totals = overlapAllOrders(cToks, rToks, maxN)
+      .agg(aggCols.head, aggCols.tail: _*)
     val joined = lens.crossJoin(totals)
     val ps = (1 to maxN).map { n =>
       when(coalesce(col(s"t_$n"), lit(0L)) > 0,

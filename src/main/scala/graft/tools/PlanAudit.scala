@@ -62,7 +62,12 @@ object PlanAudit {
     // dsir_select: scores the corpus under TWO unigram LMs (target +
     // raw), so it carries two sets of the unigram_ppl (N, V)
     // corpus-total 1-row scalar broadcasts
-    "dsir_select")
+    "dsir_select",
+    // bleu_corpus: the metric's sufficient statistics — four clipped
+    // (matched, total) count pairs plus the length pair — are five
+    // 1-row aggregates crossJoined into the single output row (the
+    // (N, avgdl) pattern, once per order)
+    "bleu_corpus")
     // semantic_decontam is NOT allowlisted: its entry runs the
     // max_cosine_f32 kernel (pure projection, no join at all) — if a
     // BNLJ ever reappears there it is a regression to the join path

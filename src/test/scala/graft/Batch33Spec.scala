@@ -1,0 +1,108 @@
+package graft
+
+import graft.text.EvalMetrics
+
+/** Round-12 continuation: chrF — hand-computed char-n-gram F-scores
+  * (Popović 2015) and the whitespace/empty/short-doc conventions. */
+class Batch33Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def chrf(cand: Seq[(Long, String)], ref: Seq[(Long, String)],
+                   maxN: Int, beta: Double = 2.0) =
+    EvalMetrics.chrF(cand.toDF("id", "text"), ref.toDF("id", "text"),
+        "id", "text", "text", maxN, beta)
+      .orderBy("doc").as[(Long, Double, Double, Double)].collect()
+
+  test("chrF is 1.0 on identical strings and whitespace-insensitive") {
+    val out = chrf(Seq((1L, "a b c"), (2L, "spark")),
+      Seq((1L, "abc"), (2L, "spark")), maxN = 3)
+    assert(out(0) === ((1L, 1.0, 1.0, 1.0))) // "abc" == stripped "a b c"
+    assert(out(1) === ((2L, 1.0, 1.0, 1.0)))
+  }
+
+  test("chrF matches the hand-computed clipped overlap") {
+    // cand "abcd" vs ref "abce", maxN = 2:
+    //  1-grams: {a,b,c,d} vs {a,b,c,e} -> m=3, ct=rt=4 -> p1=r1=0.75
+    //  2-grams: {ab,bc,cd} vs {ab,bc,ce} -> m=2, ct=rt=3
+    //    -> p2=r2=round(2/3)=0.666667
+    //  P = R = round((0.75+0.666667)/2, 6) = 0.708334 (HALF_UP)
+    //  F2 = 5PR/(4P+R) = P when P == R
+    val out = chrf(Seq((1L, "abcd")), Seq((1L, "abce")), maxN = 2)
+    assert(out(0) === ((1L, 0.708334, 0.708334, 0.708334)))
+  }
+
+  test("chrF asymmetry: precision and recall split when lengths differ") {
+    // cand "aa" vs ref "aaaa", maxN = 1: cand 1-grams {a:2}, ref {a:4}
+    //  m = min(2,4) = 2, ct = 2, rt = 4 -> p1 = 1.0, r1 = 0.5
+    //  F2 = 5*1*0.5 / (4*1 + 0.5) = 2.5/4.5 = 0.555556
+    val out = chrf(Seq((1L, "aa")), Seq((1L, "aaaa")), maxN = 1)
+    assert(out(0)._2 === 1.0 && out(0)._3 === 0.5)
+    assert(out(0)._4 === math.rint(2.5 / 4.5 * 1e6) / 1e6 ||
+      out(0)._4 === 0.555556)
+  }
+
+  test("chrF conventions: empty/missing reference, orders beyond length") {
+    val out = chrf(
+      Seq((1L, "abc"), (2L, "abc"), (3L, "ab")),
+      Seq((1L, ""), (3L, "ab")), // doc 2 has NO reference row
+      maxN = 3)
+    // empty and missing references score 0 everywhere
+    assert(out(0) === ((1L, 0.0, 0.0, 0.0)))
+    assert(out(1) === ((2L, 0.0, 0.0, 0.0)))
+    // doc 3: orders 1..2 perfect, order 3 has no grams on either side
+    // and contributes 0 to both means -> P = R = round(2/3) of 1.0
+    assert(out(2)._2 === 0.666667 && out(2)._3 === 0.666667)
+    assert(out(2)._4 === 0.666667) // F == P when P == R
+  }
+
+  test("chrF agrees with a driver-side golden on random strings") {
+    val rng = new scala.util.Random(7)
+    def golden(c: String, r: String, maxN: Int): (Double, Double, Double) = {
+      def grams(s: String, n: Int) =
+        (0 to s.length - n).map(i => s.substring(i, i + n))
+          .groupBy(identity).map { case (k, v) => k -> v.size }
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // the same exact integer micro-unit arithmetic as the operator
+      def micro(m: Long, d: Long): Long =
+        if (d > 0) (2L * m * 1000000L + d) / (2L * d) else 0L
+      val pr = (1 to maxN).map { n =>
+        val cg = grams(c.toLowerCase.replaceAll("\\s+", ""), n)
+        val rg = grams(r.toLowerCase.replaceAll("\\s+", ""), n)
+        val m = cg.map { case (g, cc) => math.min(cc, rg.getOrElse(g, 0)) }
+          .sum.toLong
+        val ct = cg.values.sum.toLong; val rt = rg.values.sum.toLong
+        (micro(m, ct), micro(m, rt))
+      }
+      val p = ((2L * pr.map(_._1).sum + maxN) / (2L * maxN)).toDouble / 1e6
+      val rr = ((2L * pr.map(_._2).sum + maxN) / (2L * maxN)).toDouble / 1e6
+      val f = if (4.0 * p + rr > 0) r6(5.0 * p * rr / (4.0 * p + rr)) else 0.0
+      (p, rr, f)
+    }
+    val docs = (0L until 40L).map { i =>
+      val alpha = "abcab "
+      (i, (0 until 3 + rng.nextInt(20)).map(_ =>
+        alpha(rng.nextInt(alpha.length))).mkString)
+    }
+    val refs = docs.map { case (i, s) => (i, s.drop(rng.nextInt(3))) }
+    val out = chrf(docs, refs, maxN = 6)
+    val gold = docs.sortBy(_._1).zip(refs.sortBy(_._1)).map {
+      case ((_, c), (_, r)) => golden(c, r, 6)
+    }
+    out.zip(gold).foreach { case ((id, p, r, f), (gp, gr, gf)) =>
+      assert(math.abs(p - gp) < 2e-6 && math.abs(r - gr) < 2e-6 &&
+        math.abs(f - gf) < 2e-6, s"doc $id: ($p,$r,$f) vs ($gp,$gr,$gf)")
+    }
+  }
+
+  test("chrf_doc entry runs and scores the dropped-word twin below 1") {
+    val out = SparkEntry.queries("chrf_doc")(spark, sf)
+    val rows = out.as[(Long, Double, Double, Double)].collect()
+    assert(rows.length === 500)
+    // recall vs a strict-substring reference is 1-bounded but the
+    // offset shift keeps precision < 1 on real multi-word docs
+    assert(rows.forall(r => r._2 >= 0 && r._2 <= 1 && r._4 >= 0 && r._4 <= 1))
+    assert(rows.count(_._4 > 0.5) > 400) // twin is mostly-identical text
+    assert(rows.exists(_._4 < 1.0))
+  }
+}
