@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local clipped n-gram overlap — the sufficient statistic of the
+  * whole n-gram eval family (BLEU precision, ROUGE-N recall, chrF)
+  * computed INSIDE the row instead of through a (doc, n, gram)-keyed
+  * shuffle.
+  *
+  * The relational kernel (explode → count → FULL join → reduce) moves
+  * every gram occurrence through an exchange: at maxN = 4 that is ~4
+  * corpus volumes of shuffle per side. But clipping is DOC-LOCAL —
+  * `matched_n(doc) = Σ_gram min(c_cand, c_ref)` needs only the two
+  * token arrays of ONE document — so the scalable plan is a doc-keyed
+  * join of the two sides followed by this expression: the only
+  * exchange left is the join on the document id, and the gram
+  * counting runs as a per-row hash map in generated code (the
+  * [[LcsLength]] row-local rule). The shuffle kernel remains in
+  * [[graft.text.EvalMetrics]] (`kernel = "shuffle"`) as the escape
+  * hatch for pathological single-document skew (a 1 GB document
+  * straggles a row-local kernel but spreads across gram groups).
+  *
+  * Output for maxN orders: array<long> of length 3·maxN laid out as
+  * [m_1, ct_1, rt_1, …, m_maxN, ct_maxN, rt_maxN] where m = clipped
+  * matches, ct/rt = candidate/reference gram totals of that order.
+  * All integers — every downstream metric derives from them with the
+  * engine-portable arithmetic the oracles replay. NULL input → NULL;
+  * NULL ELEMENTS are rejected loudly (the lcs_len convention). */
+object NgramOverlapKernel {
+
+  /** Word-gram overlap over two token arrays (grams joined by one
+    * space, exactly as `EvalMetrics.ngramsOf` spells them). */
+  def words(x: ArrayData, y: ArrayData, maxN: Int): ArrayData = {
+    val nc = x.numElements(); val nr = y.numElements()
+    val cs = new Array[String](nc)
+    var i = 0
+    while (i < nc) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        "ngram_overlap_all: null token in candidate array")
+      cs(i) = x.getUTF8String(i).toString; i += 1
+    }
+    val rs = new Array[String](nr)
+    var j = 0
+    while (j < nr) {
+      if (y.isNullAt(j)) throw new IllegalArgumentException(
+        "ngram_overlap_all: null token in reference array")
+      rs(j) = y.getUTF8String(j).toString; j += 1
+    }
+    overlap(cs, rs, maxN)
+  }
+
+  /** Char-gram overlap over two strings, counted in CODE POINTS (the
+    * `substr`/`length` column semantics the relational chrF kernel
+    * uses — UTF-16 unit indexing would disagree beyond the BMP). */
+  def chars(x: UTF8String, y: UTF8String, maxN: Int): ArrayData = {
+    val cs = toCodePointStrings(x.toString)
+    val rs = toCodePointStrings(y.toString)
+    overlap(cs, rs, maxN)
+  }
+
+  private def toCodePointStrings(s: String): Array[String] = {
+    val n = s.codePointCount(0, s.length)
+    val out = new Array[String](n)
+    var i = 0; var off = 0
+    while (i < n) {
+      val cp = s.codePointAt(off)
+      val len = Character.charCount(cp)
+      out(i) = s.substring(off, off + len)
+      off += len; i += 1
+    }
+    out
+  }
+
+  private def overlap(cs: Array[String], rs: Array[String],
+                      maxN: Int): ArrayData = {
+    val out = new Array[Long](3 * maxN)
+    var n = 1
+    while (n <= maxN) {
+      val ct = math.max(0, cs.length - n + 1)
+      val rt = math.max(0, rs.length - n + 1)
+      var matched = 0L
+      if (ct > 0 && rt > 0) {
+        val counts = new java.util.HashMap[String, Integer](rt * 2)
+        var j = 0
+        while (j < rt) {
+          val g = gramAt(rs, j, n)
+          val c = counts.get(g)
+          counts.put(g, if (c == null) 1 else c + 1)
+          j += 1
+        }
+        var k = 0
+        while (k < ct) {
+          val g = gramAt(cs, k, n)
+          val c = counts.get(g)
+          if (c != null && c > 0) { matched += 1; counts.put(g, c - 1) }
+          k += 1
+        }
+      }
+      out(3 * (n - 1)) = matched
+      out(3 * (n - 1) + 1) = ct
+      out(3 * (n - 1) + 2) = rt
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def gramAt(a: Array[String], start: Int, n: Int): String =
+    if (n == 1) a(start)
+    else {
+      val sb = new java.lang.StringBuilder(a(start))
+      var i = 1
+      while (i < n) { sb.append(' ').append(a(start + i)); i += 1 }
+      sb.toString
+    }
+}
+
+/** ngram_overlap_all(cand_toks, ref_toks, maxN) → array<long>.
+  * Codegen = one static kernel call per row (stays inside whole-stage
+  * codegen; the kernel itself is branchy hash-map code that gains
+  * nothing from inlining into generated Java). */
+case class NgramOverlapAll(left: Expression, right: Expression, maxN: Int)
+    extends BinaryExpression {
+
+  require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_overlap_all expects array<string> args, got " +
+        s"${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramOverlapKernel.words(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NgramOverlapKernel.words($a, $b, $maxN);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NgramOverlapAll =
+    copy(left = newLeft, right = newRight)
+}
+
+/** chargram_overlap_all(cand_str, ref_str, maxN) → array<long>. */
+case class CharGramOverlapAll(left: Expression, right: Expression, maxN: Int)
+    extends BinaryExpression {
+
+  require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == StringType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"chargram_overlap_all expects string args, got " +
+        s"${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramOverlapKernel.chars(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NgramOverlapKernel.chars($a, $b, $maxN);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CharGramOverlapAll =
+    copy(left = newLeft, right = newRight)
+}

@@ -181,5 +181,26 @@ object TextExpressions {
         }
         UnicodeNormalize(children(0), form)
       })
+    def intLit(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn maxN must be an integer literal, got $other")
+    }
+    registry.registerFunction(
+      FunctionIdentifier("ngram_overlap_all"),
+      new ExpressionInfo(classOf[NgramOverlapAll].getName, null,
+        "ngram_overlap_all", "ngram_overlap_all(cand, ref, maxN) - " +
+          "clipped word-n-gram overlap triples for orders 1..maxN",
+        "", "", "", "array_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => NgramOverlapAll(children(0),
+        children(1), intLit(children(2), "ngram_overlap_all")))
+    registry.registerFunction(
+      FunctionIdentifier("chargram_overlap_all"),
+      new ExpressionInfo(classOf[CharGramOverlapAll].getName, null,
+        "chargram_overlap_all", "chargram_overlap_all(cand, ref, maxN) - " +
+          "clipped char-n-gram overlap triples for orders 1..maxN",
+        "", "", "", "string_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => CharGramOverlapAll(children(0),
+        children(1), intLit(children(2), "chargram_overlap_all")))
   }
 }

@@ -76,14 +76,28 @@ object EvalMetrics {
   /** Per-(doc, n, gram) counts for ALL orders 1..maxN in ONE tagged
     * explode over a [[tokSide]] — the chrF plan rule applied to word
     * grams: one corpus pass and one keyed groupBy instead of maxN of
-    * each. */
-  private def gramRowsAll(toks: DataFrame, maxN: Int,
-                          cName: String): DataFrame =
-    toks.select(col("doc"), explode(concat(
+    * each.
+    *
+    * `hashGrams` (the measured-default): the count/join key is
+    * `xxhash64(gram)` instead of the gram STRING — an order-4 gram
+    * averages ~25-45 bytes where the hash is 8, and the metric never
+    * OUTPUTS a gram, only counts of them, so the whole shuffle
+    * shrinks ~4× while the RESULT is bit-identical unless two
+    * distinct grams of the SAME (doc, n) collide in 64 bits
+    * (~(85 choose 2)·2⁻⁶⁴ ≈ 2·10⁻¹⁶ per doc — at 10⁹ docs the
+    * expected number of affected DOCUMENTS is ~10⁻⁷). Unlike the
+    * minhash xxhash64/md5 twins, the hash does not parameterize the
+    * output values, so full-oracle entries stay full-oracle. */
+  private def gramRowsAll(toks: DataFrame, maxN: Int, cName: String,
+                          hashGrams: Boolean): DataFrame = {
+    val keyed = toks.select(col("doc"), explode(concat(
         (1 to maxN).map(n => transform(ngramsOf(col("_t"), n),
           g => struct(lit(n).as("n"), g.as("gram")))): _*)).as("_g"))
-      .select(col("doc"), col("_g.n").as("n"), col("_g.gram").as("gram"))
-      .groupBy("doc", "n", "gram").agg(count(lit(1)).as(cName))
+      .select(col("doc"), col("_g.n").as("n"),
+        (if (hashGrams) xxhash64(col("_g.gram")) else col("_g.gram"))
+          .as("gram"))
+    keyed.groupBy("doc", "n", "gram").agg(count(lit(1)).as(cName))
+  }
 
   /** Clipped overlap for ALL orders at once: (doc, n, matched,
     * cand_t, ref_t) — same sufficient statistics as
@@ -91,42 +105,93 @@ object EvalMetrics {
     * (doc, n, gram) instead of one join per order. Orders with no
     * grams on either side are ABSENT rows (callers coalesce). */
   private def overlapAllOrders(cToks: DataFrame, rToks: DataFrame,
-                               maxN: Int): DataFrame =
-    gramRowsAll(cToks, maxN, "_cc")
-      .join(gramRowsAll(rToks, maxN, "_rc"), Seq("doc", "n", "gram"), "full")
+                               maxN: Int,
+                               hashGrams: Boolean = true): DataFrame =
+    gramRowsAll(cToks, maxN, "_cc", hashGrams)
+      .join(gramRowsAll(rToks, maxN, "_rc", hashGrams),
+        Seq("doc", "n", "gram"), "full")
       .groupBy("doc", "n")
       .agg(sum(least(coalesce(col("_cc"), lit(0L)),
           coalesce(col("_rc"), lit(0L)))).as("matched"),
         sum(coalesce(col("_cc"), lit(0L))).as("cand_t"),
         sum(coalesce(col("_rc"), lit(0L))).as("ref_t"))
 
+  /** Full-joined per-doc overlap frame via the NATIVE row-local
+    * expression ([[graft.functions.NgramOverlapAll]]): one doc-keyed
+    * join is the ONLY exchange; the clipped counting runs inside the
+    * row. Columns: (doc, _ov = [m_1, ct_1, rt_1, …], _cl/_rl = token
+    * length, NULL when that side has no row for the doc). Contract:
+    * one row per id per side — duplicate ids score per-row here where
+    * the shuffle kernel would merge their gram bags. */
+  private def localOverlap(cands: DataFrame, refs: DataFrame,
+                           idCol: String, candCol: String, refCol: String,
+                           maxN: Int): DataFrame = {
+    graft.functions.TextExpressions.register(cands.sparkSession)
+    val empty = array().cast("array<string>")
+    val c = cands.select(col(idCol).as("doc"),
+      coalesce(TextFns.tokens(lower(col(candCol))), empty).as("_t"))
+    val r = refs.select(col(idCol).as("doc"),
+      coalesce(TextFns.tokens(lower(col(refCol))), empty).as("_rt"))
+    c.join(r, Seq("doc"), "full")
+      .select(col("doc"),
+        call_function("ngram_overlap_all",
+          coalesce(col("_t"), empty), coalesce(col("_rt"), empty),
+          lit(maxN)).as("_ov"),
+        size(col("_t")).as("_cl"),
+        size(col("_rt")).as("_rl"))
+  }
+
+  private def requireKernel(kernel: String): Unit =
+    require(kernel == "local" || kernel == "shuffle",
+      s"kernel must be 'local' or 'shuffle', got $kernel")
+
   /** Per-document ROUGE-N recall for n = 1..maxN: clipped matches
     * over reference n-gram total, round-6 (0.0 when the reference has
     * no order-n grams — the no-reference convention that keeps the
     * metric total). Output: (doc, rouge_1, …, rouge_maxN) for every
-    * candidate doc, ordered columns. All orders ride the ONE-pass
-    * [[overlapAllOrders]] kernel; the per-order values pivot to
-    * columns with max-of-one-row conditionals (each (doc, n) group
-    * has at most one row — no double-sum ordering to drift). */
+    * candidate doc, ordered columns.
+    *
+    * `kernel = "local"` (default): doc-keyed join + the native
+    * overlap expression — the only shuffle is the join, measured ~5×
+    * the shuffle kernel at 40× corpus. `kernel = "shuffle"`: the
+    * tagged one-pass (doc, n, gram)-keyed relational kernel — the
+    * escape hatch when single documents are large enough to straggle
+    * a row-local loop (per-order values pivot with max-of-one-row
+    * conditionals; no double-sum ordering to drift). Both produce
+    * identical values (asserted in Batch33Spec). */
   def rougeN(cands: DataFrame, refs: DataFrame, idCol: String,
-             candCol: String, refCol: String, maxN: Int = 2): DataFrame = {
+             candCol: String, refCol: String, maxN: Int = 2,
+             kernel: String = "local",
+             hashGrams: Boolean = true): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val cToks = tokSide(cands, idCol, candCol)
-    val rToks = tokSide(refs, idCol, refCol)
-    val spine = cToks.select(col("doc")).distinct()
-    val perOrder = overlapAllOrders(cToks, rToks, maxN)
-      .select(col("doc"), col("n"),
-        when(col("ref_t") > 0,
-          round(col("matched").cast("double") /
-            col("ref_t").cast("double"), 6))
-          .otherwise(lit(0.0)).as("_v"))
-    val aggs = (1 to maxN).map(n =>
-      coalesce(max(when(col("n") === n, col("_v"))), lit(0.0))
-        .as(s"rouge_$n"))
-    val pivoted = perOrder.groupBy("doc").agg(aggs.head, aggs.tail: _*)
-    spine.join(pivoted, Seq("doc"), "left")
-      .select(col("doc") +: (1 to maxN).map(n =>
-        coalesce(col(s"rouge_$n"), lit(0.0)).as(s"rouge_$n")): _*)
+    requireKernel(kernel)
+    if (kernel == "local") {
+      localOverlap(cands, refs, idCol, candCol, refCol, maxN)
+        .filter(col("_cl").isNotNull)
+        .select(col("doc") +: (1 to maxN).map { n =>
+          val m = element_at(col("_ov"), 3 * n - 2)
+          val rt = element_at(col("_ov"), 3 * n)
+          when(rt > 0, round(m.cast("double") / rt.cast("double"), 6))
+            .otherwise(lit(0.0)).as(s"rouge_$n")
+        }: _*)
+    } else {
+      val cToks = tokSide(cands, idCol, candCol)
+      val rToks = tokSide(refs, idCol, refCol)
+      val spine = cToks.select(col("doc")).distinct()
+      val perOrder = overlapAllOrders(cToks, rToks, maxN, hashGrams)
+        .select(col("doc"), col("n"),
+          when(col("ref_t") > 0,
+            round(col("matched").cast("double") /
+              col("ref_t").cast("double"), 6))
+            .otherwise(lit(0.0)).as("_v"))
+      val aggs = (1 to maxN).map(n =>
+        coalesce(max(when(col("n") === n, col("_v"))), lit(0.0))
+          .as(s"rouge_$n"))
+      val pivoted = perOrder.groupBy("doc").agg(aggs.head, aggs.tail: _*)
+      spine.join(pivoted, Seq("doc"), "left")
+        .select(col("doc") +: (1 to maxN).map(n =>
+          coalesce(col(s"rouge_$n"), lit(0.0)).as(s"rouge_$n")): _*)
+    }
   }
 
   /** Per-document ROUGE-L recall: `LCS(cand, ref) / ref_len` via the
@@ -152,6 +217,80 @@ object EvalMetrics {
         when(col("_rl") > 0,
           round(col("lcs").cast("double") / col("_rl").cast("double"), 6))
           .otherwise(lit(0.0)).as("rouge_l"))
+  }
+
+  /** BLEU + ROUGE-N from ONE shared overlap pass — the bm25Rankings
+    * shared-candidate rule applied to evaluation: outputs are
+    * bit-identical to [[rougeN]] / [[corpusBleu]] run separately
+    * (asserted in Batch33Spec), but the corpus is gram-counted once.
+    *
+    * `kernel = "local"` (default): ONE doc-keyed full join + the
+    * native overlap expression, then the tiny per-doc triple table
+    * (3·bleuMaxN longs per doc) is checkpointed and serves both
+    * faces. `kernel = "shuffle"`: the tagged relational kernel with
+    * the (doc, n) sufficient-statistics table shared instead.
+    * Requires rougeMaxN <= bleuMaxN. */
+  def evalSuite(cands: DataFrame, refs: DataFrame, idCol: String,
+                candCol: String, refCol: String, bleuMaxN: Int = 4,
+                rougeMaxN: Int = 2, kernel: String = "local",
+                hashGrams: Boolean = true): (DataFrame, DataFrame) = {
+    require(rougeMaxN >= 1 && rougeMaxN <= bleuMaxN,
+      s"need 1 <= rougeMaxN <= bleuMaxN, got $rougeMaxN > $bleuMaxN")
+    requireKernel(kernel)
+    if (kernel == "local") {
+      val ov = localOverlap(cands, refs, idCol, candCol, refCol, bleuMaxN)
+        .localCheckpoint()
+      val rouge = ov.filter(col("_cl").isNotNull)
+        .select(col("doc") +: (1 to rougeMaxN).map { n =>
+          val m = element_at(col("_ov"), 3 * n - 2)
+          val rt = element_at(col("_ov"), 3 * n)
+          when(rt > 0, round(m.cast("double") / rt.cast("double"), 6))
+            .otherwise(lit(0.0)).as(s"rouge_$n")
+        }: _*)
+      val aggCols = Seq(
+        sum(col("_cl")).cast("long").as("cand_len"),
+        sum(col("_rl")).cast("long").as("ref_len")) ++
+        (1 to bleuMaxN).flatMap(n => Seq(
+          sum(element_at(col("_ov"), 3 * n - 2)).as(s"m_$n"),
+          sum(element_at(col("_ov"), 3 * n - 1)).as(s"t_$n")))
+      val bleu = finishBleu(ov.agg(aggCols.head, aggCols.tail: _*),
+        bleuMaxN)
+      (rouge, bleu)
+    } else {
+      val cToks = tokSide(cands, idCol, candCol)
+      val rToks = tokSide(refs, idCol, refCol)
+      val ov = overlapAllOrders(cToks, rToks, bleuMaxN, hashGrams)
+        .localCheckpoint()
+      // ROUGE face: the n <= rougeMaxN slice of the shared table
+      val spine = cToks.select(col("doc")).distinct()
+      val perOrder = ov.filter(col("n") <= rougeMaxN)
+        .select(col("doc"), col("n"),
+          when(col("ref_t") > 0,
+            round(col("matched").cast("double") /
+              col("ref_t").cast("double"), 6))
+            .otherwise(lit(0.0)).as("_v"))
+      val aggs = (1 to rougeMaxN).map(n =>
+        coalesce(max(when(col("n") === n, col("_v"))), lit(0.0))
+          .as(s"rouge_$n"))
+      val rouge = spine
+        .join(perOrder.groupBy("doc").agg(aggs.head, aggs.tail: _*),
+          Seq("doc"), "left")
+        .select(col("doc") +: (1 to rougeMaxN).map(n =>
+          coalesce(col(s"rouge_$n"), lit(0.0)).as(s"rouge_$n")): _*)
+      // BLEU face: corpus totals over the same table + the length pair
+      val lens = cToks
+        .select(size(col("_t")).cast("long").as("_cl"))
+        .agg(sum("_cl").as("cand_len"))
+        .crossJoin(rToks
+          .select(size(col("_t")).cast("long").as("_rl"))
+          .agg(sum("_rl").as("ref_len")))
+      val aggCols = (1 to bleuMaxN).flatMap(n => Seq(
+        sum(when(col("n") === n, col("matched"))).as(s"m_$n"),
+        sum(when(col("n") === n, col("cand_t"))).as(s"t_$n")))
+      val bleu = finishBleu(lens.crossJoin(
+        ov.agg(aggCols.head, aggCols.tail: _*)), bleuMaxN)
+      (rouge, bleu)
+    }
   }
 
   /** Integral `div` on longs (the SQL `a div b` operator — exact,
@@ -192,13 +331,14 @@ object EvalMetrics {
     * doc length in a way no relational oracle can replay cheaply;
     * at corpus scale the two agree for any doc ≥ maxN chars).
     *
-    * Plan shape — ONE tagged pass for ALL orders, not a per-order
-    * fold: every order's grams explode once with an `n` tag, so the
-    * whole metric is two (doc, n, gram)-keyed groupBys, one FULL
-    * join on the same key, one (doc, n) reduction and one per-doc
-    * integer sum — ~6 keyed exchanges total where the naive fold
-    * pays ~4 per order (24+ at maxN = 6, and six corpus passes
-    * instead of one). Nothing is pairwise across documents.
+    * Plan shape — `kernel = "local"` (default): doc-keyed join + the
+    * native [[graft.functions.CharGramOverlapAll]] expression; the
+    * join is the only exchange, the whole metric is then a per-row
+    * projection (no groupBy at all). `kernel = "shuffle"`: ONE
+    * tagged explode for all orders feeding (doc, n, gram)-keyed
+    * groupBys + a FULL join — the escape hatch for pathological
+    * single-document skew. Nothing pairwise across documents either
+    * way; both produce identical values (asserted in Batch33Spec).
     *
     * Determinism — INTEGER MICRO-UNITS, not round-6 doubles: each
     * per-order ratio becomes `(2·m·10⁶ + d) div (2·d)` (HALF_UP of
@@ -214,51 +354,71 @@ object EvalMetrics {
     * Output: (doc, chrf_p, chrf_r, chrf). */
   def chrF(cands: DataFrame, refs: DataFrame, idCol: String,
            candCol: String, refCol: String, maxN: Int = 6,
-           beta: Double = 2.0): DataFrame = {
+           beta: Double = 2.0, kernel: String = "local"): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     require(beta > 0, s"beta must be > 0, got $beta")
-    val cS = charSide(cands, idCol, candCol)
-    val rS = charSide(refs, idCol, refCol)
-    val spine = cS.select(col("doc")).distinct()
-    // (doc, n, gram) -> count, all orders in one explode
-    def gramRows(side: DataFrame, cName: String): DataFrame =
-      side.select(col("doc"), explode(concat(
-          (1 to maxN).map(n => transform(charGramsOf(col("_s"), n),
-            g => struct(lit(n).as("n"), g.as("gram")))): _*)).as("_g"))
-        .select(col("doc"), col("_g.n").as("n"), col("_g.gram").as("gram"))
-        .groupBy("doc", "n", "gram").agg(count(lit(1)).as(cName))
+    requireKernel(kernel)
     // HALF_UP 6-dp micro-units of m/d in exact long arithmetic
     def micro(m: Column, d: Column): Column =
       when(d > 0, divL(lit(2L) * m * lit(1000000L) + d, lit(2L) * d))
         .otherwise(lit(0L))
-    val perOrder = gramRows(cS, "_cc")
-      .join(gramRows(rS, "_rc"), Seq("doc", "n", "gram"), "full")
-      .groupBy("doc", "n")
-      .agg(sum(least(coalesce(col("_cc"), lit(0L)),
-          coalesce(col("_rc"), lit(0L)))).as("_m"),
-        sum(coalesce(col("_cc"), lit(0L))).as("_ct"),
-        sum(coalesce(col("_rc"), lit(0L))).as("_rt"))
-      .select(col("doc"),
-        micro(col("_m"), col("_ct")).as("_pm"),
-        micro(col("_m"), col("_rt")).as("_rm"))
-    val sums = perOrder.groupBy("doc")
-      .agg(sum("_pm").as("_sp"), sum("_rm").as("_sr"))
-    // orders with no grams on either side are absent rows = 0 in the
-    // sum; the mean still divides by the FULL maxN (fixed-total
+    // the mean over orders divides by the FULL maxN (fixed-total
     // convention), with the same integer HALF_UP
     def meanOf(s: Column): Column =
       divL(lit(2L) * s + lit(maxN.toLong), lit(2L * maxN))
         .cast("double") / lit(1000000.0)
     val b2 = beta * beta
-    spine.join(sums, Seq("doc"), "left")
-      .select(col("doc"),
-        meanOf(coalesce(col("_sp"), lit(0L))).as("chrf_p"),
-        meanOf(coalesce(col("_sr"), lit(0L))).as("chrf_r"))
-      .select(col("doc"), col("chrf_p"), col("chrf_r"),
+    def finish(withPR: DataFrame): DataFrame =
+      withPR.select(col("doc"), col("chrf_p"), col("chrf_r"),
         when(lit(b2) * col("chrf_p") + col("chrf_r") > 0.0,
           round(lit(1.0 + b2) * col("chrf_p") * col("chrf_r") /
             (lit(b2) * col("chrf_p") + col("chrf_r")), 6))
           .otherwise(lit(0.0)).as("chrf"))
+    if (kernel == "local") {
+      graft.functions.TextExpressions.register(cands.sparkSession)
+      val c = cands.select(col(idCol).as("doc"),
+        coalesce(regexp_replace(lower(col(candCol)), "\\s+", ""), lit(""))
+          .as("_s"))
+      val r = refs.select(col(idCol).as("doc"),
+        coalesce(regexp_replace(lower(col(refCol)), "\\s+", ""), lit(""))
+          .as("_rs"))
+      val ov = c.join(r, Seq("doc"), "left")
+        .select(col("doc"), call_function("chargram_overlap_all",
+          col("_s"), coalesce(col("_rs"), lit("")), lit(maxN)).as("_ov"))
+      val sp = (1 to maxN).map(n => micro(element_at(col("_ov"), 3 * n - 2),
+        element_at(col("_ov"), 3 * n - 1))).reduce(_ + _)
+      val sr = (1 to maxN).map(n => micro(element_at(col("_ov"), 3 * n - 2),
+        element_at(col("_ov"), 3 * n))).reduce(_ + _)
+      finish(ov.select(col("doc"),
+        meanOf(sp).as("chrf_p"), meanOf(sr).as("chrf_r")))
+    } else {
+      val cS = charSide(cands, idCol, candCol)
+      val rS = charSide(refs, idCol, refCol)
+      val spine = cS.select(col("doc")).distinct()
+      // (doc, n, gram) -> count, all orders in one explode
+      def gramRows(side: DataFrame, cName: String): DataFrame =
+        side.select(col("doc"), explode(concat(
+            (1 to maxN).map(n => transform(charGramsOf(col("_s"), n),
+              g => struct(lit(n).as("n"), g.as("gram")))): _*)).as("_g"))
+          .select(col("doc"), col("_g.n").as("n"), col("_g.gram").as("gram"))
+          .groupBy("doc", "n", "gram").agg(count(lit(1)).as(cName))
+      val perOrder = gramRows(cS, "_cc")
+        .join(gramRows(rS, "_rc"), Seq("doc", "n", "gram"), "full")
+        .groupBy("doc", "n")
+        .agg(sum(least(coalesce(col("_cc"), lit(0L)),
+            coalesce(col("_rc"), lit(0L)))).as("_m"),
+          sum(coalesce(col("_cc"), lit(0L))).as("_ct"),
+          sum(coalesce(col("_rc"), lit(0L))).as("_rt"))
+        .select(col("doc"),
+          micro(col("_m"), col("_ct")).as("_pm"),
+          micro(col("_m"), col("_rt")).as("_rm"))
+      val sums = perOrder.groupBy("doc")
+        .agg(sum("_pm").as("_sp"), sum("_rm").as("_sr"))
+      finish(spine.join(sums, Seq("doc"), "left")
+        .select(col("doc"),
+          meanOf(coalesce(col("_sp"), lit(0L))).as("chrf_p"),
+          meanOf(coalesce(col("_sr"), lit(0L))).as("chrf_r")))
+    }
   }
 
   /** Corpus BLEU-maxN: ONE row with the geometric mean of corpus-level
@@ -270,25 +430,48 @@ object EvalMetrics {
     * product so both engines land on the identical bleu.
     * Output: (bleu, bp, p_1…p_maxN, cand_len, ref_len). */
   def corpusBleu(cands: DataFrame, refs: DataFrame, idCol: String,
-                 candCol: String, refCol: String, maxN: Int = 4): DataFrame = {
+                 candCol: String, refCol: String, maxN: Int = 4,
+                 kernel: String = "local",
+                 hashGrams: Boolean = true): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
-    val cToks = tokSide(cands, idCol, candCol)
-    val rToks = tokSide(refs, idCol, refCol)
-    val lens = cToks
-      .select(size(col("_t")).cast("long").as("_cl"))
-      .agg(sum("_cl").as("cand_len"))
-      .crossJoin(rToks
-        .select(size(col("_t")).cast("long").as("_rl"))
-        .agg(sum("_rl").as("ref_len")))
-    // ONE tagged pass for all orders; the per-order corpus totals are
-    // conditional INTEGER sums over the (doc, n) rows — one aggregate
-    // row replaces maxN crossJoined 1-row aggregates
-    val aggCols = (1 to maxN).flatMap(n => Seq(
-      sum(when(col("n") === n, col("matched"))).as(s"m_$n"),
-      sum(when(col("n") === n, col("cand_t"))).as(s"t_$n")))
-    val totals = overlapAllOrders(cToks, rToks, maxN)
-      .agg(aggCols.head, aggCols.tail: _*)
-    val joined = lens.crossJoin(totals)
+    requireKernel(kernel)
+    if (kernel == "local") {
+      // doc-keyed join + native per-row overlap, then ONE aggregation
+      // carrying lengths AND all per-order count pairs — no crossJoins
+      // of 1-row frames at all
+      val ov = localOverlap(cands, refs, idCol, candCol, refCol, maxN)
+      val aggCols = Seq(
+        sum(col("_cl")).cast("long").as("cand_len"),
+        sum(col("_rl")).cast("long").as("ref_len")) ++
+        (1 to maxN).flatMap(n => Seq(
+          sum(element_at(col("_ov"), 3 * n - 2)).as(s"m_$n"),
+          sum(element_at(col("_ov"), 3 * n - 1)).as(s"t_$n")))
+      finishBleu(ov.agg(aggCols.head, aggCols.tail: _*), maxN)
+    } else {
+      val cToks = tokSide(cands, idCol, candCol)
+      val rToks = tokSide(refs, idCol, refCol)
+      val lens = cToks
+        .select(size(col("_t")).cast("long").as("_cl"))
+        .agg(sum("_cl").as("cand_len"))
+        .crossJoin(rToks
+          .select(size(col("_t")).cast("long").as("_rl"))
+          .agg(sum("_rl").as("ref_len")))
+      // ONE tagged pass for all orders; the per-order corpus totals are
+      // conditional INTEGER sums over the (doc, n) rows — one aggregate
+      // row replaces maxN crossJoined 1-row aggregates
+      val aggCols = (1 to maxN).flatMap(n => Seq(
+        sum(when(col("n") === n, col("matched"))).as(s"m_$n"),
+        sum(when(col("n") === n, col("cand_t"))).as(s"t_$n")))
+      val totals = overlapAllOrders(cToks, rToks, maxN, hashGrams)
+        .agg(aggCols.head, aggCols.tail: _*)
+      finishBleu(lens.crossJoin(totals), maxN)
+    }
+  }
+
+  /** BLEU tail shared by [[corpusBleu]] and [[evalSuite]]: from the
+    * 1-row (cand_len, ref_len, m_1..t_maxN) frame to the final
+    * (bleu, bp, p_1…p_maxN, cand_len, ref_len) row. */
+  private def finishBleu(joined: DataFrame, maxN: Int): DataFrame = {
     val ps = (1 to maxN).map { n =>
       when(coalesce(col(s"t_$n"), lit(0L)) > 0,
         round(coalesce(col(s"m_$n"), lit(0L)).cast("double") /

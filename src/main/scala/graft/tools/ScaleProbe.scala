@@ -118,15 +118,26 @@ object ScaleProbe {
             .count()
         },
         timed("rouge_bleu") {
-          // eval metrics: candidates vs first-word-dropped references
-          // on the replicated corpus — per-(doc, gram) keyed overlap
-          // kernels at four orders plus the per-doc ROUGE pass
+          // the full eval suite (ROUGE-1/2 + corpus BLEU-4):
+          // candidates vs first-word-dropped references on the
+          // replicated corpus — ONE shared tagged overlap table
+          // serves both metrics (evalSuite), so the corpus explodes
+          // once instead of once per metric
           val refs = cached.select(col("doc_id"),
             regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
-          graft.text.EvalMetrics.rougeN(cached, refs, "doc_id",
-            "text", "text", maxN = 2).count() +
-            graft.text.EvalMetrics.corpusBleu(cached, refs, "doc_id",
-              "text", "text", maxN = 4).count()
+          val (rouge, bleu) = graft.text.EvalMetrics.evalSuite(cached,
+            refs, "doc_id", "text", "text", bleuMaxN = 4, rougeMaxN = 2)
+          rouge.count() + bleu.count()
+        },
+        timed("chrf") {
+          // chrF2 at the published maxN = 6: all six char-gram orders
+          // ride ONE tagged explode + one (doc, n, gram)-keyed FULL
+          // join — the per-order-fold shape would pay six corpus
+          // passes and 24+ exchanges here
+          val refs = cached.select(col("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+          graft.text.EvalMetrics.chrF(cached, refs, "doc_id",
+            "text", "text", maxN = 6).count()
         },
         timed("kn3_ppl") {
           // self-scored: the order-3 KN carries six scoring joins and

@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.EvalMetrics
+import org.apache.spark.sql.functions.col
 
 /** Round-12 continuation: chrF — hand-computed char-n-gram F-scores
   * (Popović 2015) and the whitespace/empty/short-doc conventions. */
@@ -93,6 +94,51 @@ class Batch33Spec extends SparkSpec {
       assert(math.abs(p - gp) < 2e-6 && math.abs(r - gr) < 2e-6 &&
         math.abs(f - gf) < 2e-6, s"doc $id: ($p,$r,$f) vs ($gp,$gr,$gf)")
     }
+  }
+
+  test("evalSuite equals rougeN + corpusBleu run separately") {
+    val cand = Seq((1L, "the cat sat on the mat"), (2L, "a b c d e"),
+      (3L, "x y"), (4L, "")).toDF("doc_id", "text")
+    val ref = Seq((1L, "the cat sat on a mat"), (2L, "a b c d e f"),
+      (3L, "y x"), (4L, "z")).toDF("doc_id", "text")
+    val (rouge, bleu) = graft.text.EvalMetrics.evalSuite(cand, ref,
+      "doc_id", "text", "text", bleuMaxN = 4, rougeMaxN = 2)
+    val rougeSep = graft.text.EvalMetrics.rougeN(cand, ref, "doc_id",
+      "text", "text", maxN = 2)
+    val bleuSep = graft.text.EvalMetrics.corpusBleu(cand, ref, "doc_id",
+      "text", "text", maxN = 4)
+    assert(rouge.orderBy("doc").collect().toSeq ===
+      rougeSep.orderBy("doc").collect().toSeq)
+    assert(bleu.collect().toSeq === bleuSep.collect().toSeq)
+    // non-degenerate: the shared table really served both faces
+    assert(bleu.head().getDouble(0) > 0.0)
+    assert(rouge.filter(col("rouge_1") > 0).count() >= 3)
+  }
+
+  test("local, shuffle and hashed-gram kernels agree on real data") {
+    val cand = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ref = cand.select(col("doc_id"),
+      org.apache.spark.sql.functions.regexp_replace(
+        col("text"), "^\\S+\\s+", "").as("text"))
+    def rouge(kernel: String, hashed: Boolean) =
+      graft.text.EvalMetrics.rougeN(cand, ref, "doc_id", "text", "text",
+        maxN = 2, kernel = kernel, hashGrams = hashed)
+        .orderBy("doc").collect().toSeq
+    val rLocal = rouge("local", hashed = true)
+    assert(rLocal === rouge("shuffle", hashed = true))
+    assert(rLocal === rouge("shuffle", hashed = false))
+    def bleu(kernel: String, hashed: Boolean) =
+      graft.text.EvalMetrics.corpusBleu(cand, ref, "doc_id", "text",
+        "text", maxN = 4, kernel = kernel, hashGrams = hashed)
+        .collect().toSeq
+    val bLocal = bleu("local", hashed = true)
+    assert(bLocal === bleu("shuffle", hashed = true))
+    assert(bLocal === bleu("shuffle", hashed = false))
+    def chrfK(kernel: String) =
+      graft.text.EvalMetrics.chrF(cand, ref, "doc_id", "text", "text",
+        maxN = 4, kernel = kernel).orderBy("doc").collect().toSeq
+    assert(chrfK("local") === chrfK("shuffle"))
   }
 
   test("chrf_doc entry runs and scores the dropped-word twin below 1") {
