@@ -119,6 +119,163 @@ object NgramOverlapKernel {
     }
 }
 
+/** Row-local kernels for the Gopher repetition signals — the same
+  * doc-locality argument as [[NgramOverlapKernel]]: duplicate-gram
+  * char coverage and the modal n-gram of a document depend on that
+  * document alone, so the (doc, gram) shuffle of the relational
+  * kernels can be removed, not shrunk. Char counts are CODE POINTS
+  * (the `length()` column semantics); the top-gram tie-break is the
+  * UTF8 BINARY order (the `orderBy(_g.asc)` semantics — Java String
+  * comparison would disagree beyond the BMP). */
+object NgramRepKernel {
+
+  private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  private def toksOf(x: ArrayData, fn: String): Array[String] = {
+    val m = x.numElements()
+    val toks = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        s"$fn: null token in array")
+      toks(i) = x.getUTF8String(i).toString; i += 1
+    }
+    toks
+  }
+
+  private def gramAt(a: Array[String], start: Int, n: Int): String =
+    if (n == 1) a(start)
+    else {
+      val sb = new java.lang.StringBuilder(a(start))
+      var i = 1
+      while (i < n) { sb.append(' ').append(a(start + i)); i += 1 }
+      sb.toString
+    }
+
+  /** [total_chars, dup_chars]: char mass of all tokens, and of tokens
+    * covered by any occurrence of an n-gram appearing >= minOccur
+    * times in this document. */
+  def dup(x: ArrayData, n: Int, minOccur: Int): ArrayData = {
+    val toks = toksOf(x, "dup_ngram_chars")
+    val m = toks.length
+    var total = 0L
+    var i = 0
+    while (i < m) { total += cpLen(toks(i)); i += 1 }
+    val ct = m - n + 1
+    var dup = 0L
+    if (ct > 0) {
+      val counts = new java.util.HashMap[String, Integer](ct * 2)
+      var k = 0
+      while (k < ct) {
+        val g = gramAt(toks, k, n)
+        val c = counts.get(g)
+        counts.put(g, if (c == null) 1 else c + 1)
+        k += 1
+      }
+      val covered = new Array[Boolean](m)
+      k = 0
+      while (k < ct) {
+        if (counts.get(gramAt(toks, k, n)) >= minOccur) {
+          var j = k
+          while (j < k + n) { covered(j) = true; j += 1 }
+        }
+        k += 1
+      }
+      i = 0
+      while (i < m) { if (covered(i)) dup += cpLen(toks(i)); i += 1 }
+    }
+    new GenericArrayData(Array(total, dup))
+  }
+
+  /** (top_ngram, count): the most frequent n-gram of this document,
+    * ties broken by UTF8 binary order ascending; ("", 0) when the
+    * document has no order-n grams. */
+  def top(x: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = toksOf(x, "top_ngram_stats")
+    val ct = toks.length - n + 1
+    if (ct <= 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(""), 0L))
+    val counts = new java.util.HashMap[String, Integer](ct * 2)
+    var k = 0
+    while (k < ct) {
+      val g = gramAt(toks, k, n)
+      val c = counts.get(g)
+      counts.put(g, if (c == null) 1 else c + 1)
+      k += 1
+    }
+    var bestGram: UTF8String = null
+    var bestCnt = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = UTF8String.fromString(e.getKey)
+      val c = e.getValue.intValue()
+      if (c > bestCnt || (c == bestCnt &&
+          (bestGram == null || g.compareTo(bestGram) < 0))) {
+        bestGram = g; bestCnt = c
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestGram, bestCnt.toLong))
+  }
+}
+
+/** dup_ngram_chars(toks, n, minOccur) → array<long> [total, dup]. */
+case class DupNgramChars(child: Expression, n: Int, minOccur: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+  require(minOccur >= 2, s"minOccur must be >= 2, got $minOccur")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"dup_ngram_chars expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    NgramRepKernel.dup(a.asInstanceOf[ArrayData], n, minOccur)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NgramRepKernel.dup($a, $n, $minOccur);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DupNgramChars = copy(child = newChild)
+}
+
+/** top_ngram_stats(toks, n) → struct(gram string, cnt long). */
+case class TopNgramStats(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("gram", StringType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField("cnt", LongType,
+      nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_ngram_stats expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    NgramRepKernel.top(a.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NgramRepKernel.top($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TopNgramStats = copy(child = newChild)
+}
+
 /** ngram_overlap_all(cand_toks, ref_toks, maxN) → array<long>.
   * Codegen = one static kernel call per row (stays inside whole-stage
   * codegen; the kernel itself is branchy hash-map code that gains

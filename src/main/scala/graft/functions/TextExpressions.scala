@@ -202,5 +202,22 @@ object TextExpressions {
         "", "", "", "string_funcs", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => CharGramOverlapAll(children(0),
         children(1), intLit(children(2), "chargram_overlap_all")))
+    registry.registerFunction(
+      FunctionIdentifier("dup_ngram_chars"),
+      new ExpressionInfo(classOf[DupNgramChars].getName, null,
+        "dup_ngram_chars", "dup_ngram_chars(toks, n, minOccur) - " +
+          "[total_chars, dup_chars] of n-grams repeated >= minOccur times",
+        "", "", "", "array_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => DupNgramChars(children(0),
+        intLit(children(1), "dup_ngram_chars"),
+        intLit(children(2), "dup_ngram_chars")))
+    registry.registerFunction(
+      FunctionIdentifier("top_ngram_stats"),
+      new ExpressionInfo(classOf[TopNgramStats].getName, null,
+        "top_ngram_stats", "top_ngram_stats(toks, n) - most frequent " +
+          "n-gram of the document and its count",
+        "", "", "", "array_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => TopNgramStats(children(0),
+        intLit(children(1), "top_ngram_stats")))
   }
 }

@@ -206,9 +206,30 @@ object Quality {
           i => array_join(slice(col("_toks"), i, lit(n)), " "))).as(Seq("_i0", "_g")))
 
   def dupNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
-                       n: Int, minOccur: Int = 2): DataFrame = {
+                       n: Int, minOccur: Int = 2,
+                       kernel: String = "local"): DataFrame = {
     require(n >= 1, "n must be >= 1")
     require(minOccur >= 2, "minOccur must be >= 2")
+    require(kernel == "local" || kernel == "shuffle",
+      s"kernel must be 'local' or 'shuffle', got $kernel")
+    if (kernel == "local") {
+      // duplicate coverage is doc-local: one native expression per
+      // row, NO shuffle at all (the EvalMetrics row-local rule) —
+      // the relational kernel below stays as the single-giant-doc
+      // escape hatch
+      graft.functions.TextExpressions.register(df.sparkSession)
+      return df.select(col(idCol),
+          call_function("dup_ngram_chars",
+            coalesce(TextFns.tokens(col(textCol)),
+              array().cast("array<string>")),
+            lit(n), lit(minOccur)).as("_d"))
+        .select(col(idCol),
+          element_at(col("_d"), 1).as("total_chars"),
+          element_at(col("_d"), 2).as("dup_chars"))
+        .withColumn("dup_ngram_char_frac",
+          round(coalesce(col("dup_chars").cast("double") /
+            when(col("total_chars") > 0, col("total_chars")), lit(0.0)), 9))
+    }
     val base = df.select(col(idCol).as("doc"), TextFns.tokens(col(textCol)).as("_toks"))
     val tokLens = base
       .select(col("doc"), posexplode(col("_toks")).as(Seq("_p0", "_t")))
@@ -292,8 +313,32 @@ object Quality {
     * (doc, gram) count + the two-phase per-doc top-1 — all shuffles
     * keyed by doc or (doc, gram). */
   def topNgramCharFrac(df: DataFrame, idCol: String, textCol: String,
-                       n: Int): DataFrame = {
+                       n: Int, kernel: String = "local"): DataFrame = {
     require(n >= 1, "n must be >= 1")
+    require(kernel == "local" || kernel == "shuffle",
+      s"kernel must be 'local' or 'shuffle', got $kernel")
+    if (kernel == "local") {
+      // the modal gram of a document is doc-local: one native
+      // expression per row replaces the (doc, gram) count + window —
+      // NO shuffle at all (same tie-break: count desc, gram binary asc)
+      graft.functions.TextExpressions.register(df.sparkSession)
+      val toks = coalesce(TextFns.tokens(col(textCol)),
+        array().cast("array<string>"))
+      return df.select(col(idCol),
+          call_function("top_ngram_stats", toks, lit(n)).as("_t"),
+          length(array_join(toks, "")).as("_tot"))
+        .select(col(idCol),
+          col("_t.gram").as("top_ngram"),
+          col("_t.cnt").as("top_ngram_n"),
+          // cnt = 0 guard: 0 · (len("") − (n−1)) is IEEE −0.0, which
+          // the relational kernel's join-miss coalesce spells +0.0
+          round(coalesce(
+            when(col("_t.cnt") > 0,
+              col("_t.cnt").cast("double") *
+                (length(col("_t.gram")) - lit(n - 1)) /
+                when(col("_tot") > 0, col("_tot"))),
+            lit(0.0)), 9).as("top_ngram_char_frac"))
+    }
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("doc"),
       TextFns.tokens(col(textCol)).as("_toks"))

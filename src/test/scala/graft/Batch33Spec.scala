@@ -141,6 +141,39 @@ class Batch33Spec extends SparkSpec {
     assert(chrfK("local") === chrfK("shuffle"))
   }
 
+  test("Gopher repetition kernels: local equals shuffle, edges included") {
+    val docs = (Seq(
+      (1L, "a b c a b c a b"),  // dup 2-grams cover most positions
+      (2L, "x y z w"),          // no repeated 2-gram
+      (3L, "t t t t"),          // one gram repeated everywhere
+      (4L, "solo"),             // fewer tokens than n
+      (5L, "")                  // empty
+    ) ++ (6L to 60L).map(i => (i, s"w$i q${i % 7} e${i % 3} q${i % 7} " +
+      s"e${i % 3} q${i % 7} r${i % 11}"))).toDF("doc_id", "text")
+    val dl = graft.text.Quality.dupNgramCharFrac(docs, "doc_id", "text",
+      n = 2, minOccur = 2, kernel = "local").orderBy("doc_id").collect().toSeq
+    val ds = graft.text.Quality.dupNgramCharFrac(docs, "doc_id", "text",
+      n = 2, minOccur = 2, kernel = "shuffle").orderBy("doc_id").collect().toSeq
+    assert(dl === ds)
+    val tl = graft.text.Quality.topNgramCharFrac(docs, "doc_id", "text",
+      n = 2, kernel = "local").orderBy("doc_id").collect().toSeq
+    val ts = graft.text.Quality.topNgramCharFrac(docs, "doc_id", "text",
+      n = 2, kernel = "shuffle").orderBy("doc_id").collect().toSeq
+    assert(tl === ts)
+    // and on the real corpus with the entry parameterization
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val rl = graft.text.Quality.dupNgramCharFrac(real, "doc_id", "text",
+      n = 2, minOccur = 2, kernel = "local").orderBy("doc_id").collect().toSeq
+    val rs = graft.text.Quality.dupNgramCharFrac(real, "doc_id", "text",
+      n = 2, minOccur = 2, kernel = "shuffle").orderBy("doc_id").collect().toSeq
+    assert(rl === rs)
+    val ql = graft.text.Quality.topNgramCharFrac(real, "doc_id", "text",
+      n = 3, kernel = "local").orderBy("doc_id").collect().toSeq
+    val qs = graft.text.Quality.topNgramCharFrac(real, "doc_id", "text",
+      n = 3, kernel = "shuffle").orderBy("doc_id").collect().toSeq
+    assert(ql === qs)
+  }
+
   test("chrf_doc entry runs and scores the dropped-word twin below 1") {
     val out = SparkEntry.queries("chrf_doc")(spark, sf)
     val rows = out.as[(Long, Double, Double, Double)].collect()
