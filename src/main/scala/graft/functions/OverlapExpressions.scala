@@ -187,6 +187,29 @@ object NgramRepKernel {
     new GenericArrayData(Array(total, dup))
   }
 
+  /** [n_tokens, dup_tokens]: total token occurrences, and occurrences
+    * belonging to a token TYPE that appears more than once in this
+    * document (Σ tf over types with tf > 1 — the dup_token_ratio
+    * numerator of `Quality.repetitionStats`). */
+  def dupTokens(x: ArrayData): ArrayData = {
+    val toks = toksOf(x, "dup_token_counts")
+    val m = toks.length
+    val counts = new java.util.HashMap[String, Integer](m * 2)
+    var i = 0
+    while (i < m) {
+      val c = counts.get(toks(i))
+      counts.put(toks(i), if (c == null) 1 else c + 1)
+      i += 1
+    }
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue()
+      if (c > 1) dup += c
+    }
+    new GenericArrayData(Array(m.toLong, dup))
+  }
+
   /** (top_ngram, count): the most frequent n-gram of this document,
     * ties broken by UTF8 binary order ascending; ("", 0) when the
     * document has no order-n grams. */
@@ -245,6 +268,30 @@ case class DupNgramChars(child: Expression, n: Int, minOccur: Int)
 
   override protected def withNewChildInternal(newChild: Expression)
       : DupNgramChars = copy(child = newChild)
+}
+
+/** dup_token_counts(toks) → array<long> [n_tokens, dup_tokens]. */
+case class DupTokenCounts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"dup_token_counts expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    NgramRepKernel.dupTokens(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NgramRepKernel.dupTokens($a);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : DupTokenCounts = copy(child = newChild)
 }
 
 /** top_ngram_stats(toks, n) → struct(gram string, cnt long). */

@@ -219,5 +219,12 @@ object TextExpressions {
         "", "", "", "array_funcs", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => TopNgramStats(children(0),
         intLit(children(1), "top_ngram_stats")))
+    registry.registerFunction(
+      FunctionIdentifier("dup_token_counts"),
+      new ExpressionInfo(classOf[DupTokenCounts].getName, null,
+        "dup_token_counts", "dup_token_counts(toks) - [n_tokens, " +
+          "occurrences of token types appearing more than once]",
+        "", "", "", "array_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => DupTokenCounts(children(0)))
   }
 }

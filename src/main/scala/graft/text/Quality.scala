@@ -74,7 +74,31 @@ object Quality {
     * shuffles keyed by doc, linear in corpus size. Ties and docs with
     * <2 tokens are deterministic (lexicographic min / empty bigram).
     */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      kernel: String = "local"): DataFrame = {
+    require(kernel == "local" || kernel == "shuffle",
+      s"kernel must be 'local' or 'shuffle', got $kernel")
+    if (kernel == "local") {
+      // both signals are doc-local — one native expression each, no
+      // shuffle (the dup_ngram_chars rule); the relational kernel
+      // below stays as the single-giant-doc escape hatch
+      graft.functions.TextExpressions.register(df.sparkSession)
+      val toks = coalesce(TextFns.tokens(col(textCol)),
+        array().cast("array<string>"))
+      return df.select(col(idCol), length(col(textCol)).as("_nc"),
+          call_function("dup_token_counts", toks).as("_d"),
+          call_function("top_ngram_stats", toks, lit(2)).as("_t"))
+        .select(col(idCol),
+          coalesce(round(element_at(col("_d"), 2).cast("double") /
+            when(element_at(col("_d"), 1) > 0, element_at(col("_d"), 1)),
+            9), lit(0.0)).as("dup_token_ratio"),
+          col("_t.gram").as("top_bigram"),
+          col("_t.cnt").as("top_bigram_n"),
+          round(coalesce(
+            when(col("_t.cnt") > 0, col("_t.cnt") *
+              length(col("_t.gram")).cast("double") / col("_nc")),
+            lit(0.0)), 9).as("top_bigram_char_frac"))
+    }
     import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).as("doc"),
       length(col(textCol)).as("_nc"), col(textCol).as("_txt"))

@@ -172,6 +172,16 @@ class Batch33Spec extends SparkSpec {
     val qs = graft.text.Quality.topNgramCharFrac(real, "doc_id", "text",
       n = 3, kernel = "shuffle").orderBy("doc_id").collect().toSeq
     assert(ql === qs)
+    val pl = graft.text.Quality.repetitionStats(docs, "doc_id", "text",
+      kernel = "local").orderBy("doc_id").collect().toSeq
+    val ps = graft.text.Quality.repetitionStats(docs, "doc_id", "text",
+      kernel = "shuffle").orderBy("doc_id").collect().toSeq
+    assert(pl === ps)
+    val el = graft.text.Quality.repetitionStats(real, "doc_id", "text",
+      kernel = "local").orderBy("doc_id").collect().toSeq
+    val es = graft.text.Quality.repetitionStats(real, "doc_id", "text",
+      kernel = "shuffle").orderBy("doc_id").collect().toSeq
+    assert(el === es)
   }
 
   test("chrf_doc entry runs and scores the dropped-word twin below 1") {
