@@ -226,5 +226,13 @@ object TextExpressions {
           "occurrences of token types appearing more than once]",
         "", "", "", "array_funcs", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => DupTokenCounts(children(0)))
+    registry.registerFunction(
+      FunctionIdentifier("summarize_doc"),
+      new ExpressionInfo(classOf[SummarizeDoc].getName, null,
+        "summarize_doc", "summarize_doc(text, minTokenLen) - top " +
+          "TF-IDF sentence of the document (sidx, summary, score)",
+        "", "", "", "string_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => SummarizeDoc(children(0),
+        intLit(children(1), "summarize_doc")))
   }
 }

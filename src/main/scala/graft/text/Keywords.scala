@@ -58,7 +58,23 @@ object Keywords {
     * every shuffle is on (doc[, sidx|token]); no cross-document state,
     * so the operator scales linearly with corpus size. */
   def extractiveSummary(df: DataFrame, idCol: String, textCol: String,
-                        minTokenLen: Int = 2): DataFrame = {
+                        minTokenLen: Int = 2,
+                        kernel: String = "local"): DataFrame = {
+    require(kernel == "local" || kernel == "shuffle",
+      s"kernel must be 'local' or 'shuffle', got $kernel")
+    if (kernel == "local") {
+      // the scoring is doc-local (its "df" counts the document's OWN
+      // sentences) — one native summarize_doc expression per row, no
+      // checkpoint/aggregate/window machinery; the relational kernel
+      // below stays as the single-giant-doc escape hatch
+      graft.functions.TextExpressions.register(df.sparkSession)
+      return df.select(col(idCol).as("doc"),
+          call_function("summarize_doc", col(textCol), lit(minTokenLen))
+            .as("_s"))
+        .filter(col("_s").isNotNull)
+        .select(col("doc"), col("_s.sidx").as("sidx"),
+          col("_s.summary").as("summary"), col("_s.score").as("score"))
+    }
     // sent feeds four consumers (tf, ns, and the final join) — persist
     // so the regex sentence split of the corpus runs once, not four
     // times (the split dominates per-row cost on long documents).

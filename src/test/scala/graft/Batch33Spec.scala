@@ -184,6 +184,29 @@ class Batch33Spec extends SparkSpec {
     assert(el === es)
   }
 
+  test("extractiveSummary: local kernel equals the relational kernel") {
+    val docs = (Seq(
+      (1L, "spark is fast. spark is very fast! the cat sat? done"),
+      (2L, "a b. a b. a b."),        // identical sentences, tie on score
+      (3L, "x"),                      // one sentence, one short token
+      (4L, ""),                       // empty -> dropped by both
+      (5L, "  .  !  ")                // only empty sentences -> dropped
+    ) ++ (6L to 40L).map(i =>
+      (i, s"w$i row${i % 5} scan. merge w$i table! row${i % 5} scan " +
+        s"row${i % 5}? the end of doc $i."))).toDF("doc_id", "text")
+    val l = graft.text.Keywords.extractiveSummary(docs, "doc_id", "text",
+      kernel = "local").orderBy("doc").collect().toSeq
+    val s = graft.text.Keywords.extractiveSummary(docs, "doc_id", "text",
+      kernel = "shuffle").orderBy("doc").collect().toSeq
+    assert(l === s)
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val rl = graft.text.Keywords.extractiveSummary(real, "doc_id", "text",
+      kernel = "local").orderBy("doc").collect().toSeq
+    val rs = graft.text.Keywords.extractiveSummary(real, "doc_id", "text",
+      kernel = "shuffle").orderBy("doc").collect().toSeq
+    assert(rl.nonEmpty && rl === rs)
+  }
+
   test("chrf_doc entry runs and scores the dropped-word twin below 1") {
     val out = SparkEntry.queries("chrf_doc")(spark, sf)
     val rows = out.as[(Long, Double, Double, Double)].collect()
