@@ -56,24 +56,118 @@ object NgramOverlapKernel {
 
   /** Char-gram overlap over two strings, counted in CODE POINTS (the
     * `substr`/`length` column semantics the relational chrF kernel
-    * uses — UTF-16 unit indexing would disagree beyond the BMP). */
+    * uses — UTF-16 unit indexing would disagree beyond the BMP).
+    * Allocation-free inner loop: a gram is a (start, end) char span
+    * over a code-point offset table (identity offsets on
+    * surrogate-free strings), counted in a reused open-address table
+    * with span hashing and in-place char compare — no substring, no
+    * boxing, no HashMap nodes. */
   def chars(x: UTF8String, y: UTF8String, maxN: Int): ArrayData = {
-    val cs = toCodePointStrings(x.toString)
-    val rs = toCodePointStrings(y.toString)
-    overlap(cs, rs, maxN)
+    val cs = x.toString; val rs = y.toString
+    val co = cpOffsets(cs); val ro = cpOffsets(rs)
+    val out = new Array[Long](3 * maxN)
+    // zero-allocation counting: a gram is a (start, end) char span of
+    // the backing string, counted in an open-address table (linear
+    // probing) with span hashing and in-place char compare — no
+    // substring, no boxing, no HashMap nodes. One table sized for the
+    // largest order (power of two >= 2x gram count), reused per order.
+    val maxRt = math.max(1, ro.length)
+    var cap = 4
+    while (cap < maxRt * 2) cap <<= 1
+    val mask = cap - 1
+    val slotFrom = new Array[Int](cap)
+    val slotEnd = new Array[Int](cap)
+    val slotCnt = new Array[Int](cap)
+    var n = 1
+    while (n <= maxN) {
+      val ct = math.max(0, (co.length - 1) - n + 1)
+      val rt = math.max(0, (ro.length - 1) - n + 1)
+      var matched = 0L
+      if (ct > 0 && rt > 0) {
+        java.util.Arrays.fill(slotFrom, -1)
+        var j = 0
+        while (j < rt) {
+          val from = ro(j); val until = ro(j + n)
+          var h = 1; var i = from
+          while (i < until) { h = h * 31 + rs.charAt(i); i += 1 }
+          var idx = (h ^ (h >>> 16)) & mask
+          var placed = false
+          while (!placed) {
+            val sf = slotFrom(idx)
+            if (sf < 0) {
+              slotFrom(idx) = from; slotEnd(idx) = until; slotCnt(idx) = 1
+              placed = true
+            } else if (spanEq(rs, sf, slotEnd(idx), rs, from, until)) {
+              slotCnt(idx) += 1; placed = true
+            } else idx = (idx + 1) & mask
+          }
+          j += 1
+        }
+        var k = 0
+        while (k < ct) {
+          val from = co(k); val until = co(k + n)
+          var h = 1; var i = from
+          while (i < until) { h = h * 31 + cs.charAt(i); i += 1 }
+          var idx = (h ^ (h >>> 16)) & mask
+          var done = false
+          while (!done) {
+            val sf = slotFrom(idx)
+            if (sf < 0) done = true
+            else if (spanEq(rs, sf, slotEnd(idx), cs, from, until)) {
+              if (slotCnt(idx) > 0) { matched += 1; slotCnt(idx) -= 1 }
+              done = true
+            } else idx = (idx + 1) & mask
+          }
+          k += 1
+        }
+      }
+      out(3 * (n - 1)) = matched
+      out(3 * (n - 1) + 1) = ct
+      out(3 * (n - 1) + 2) = rt
+      n += 1
+    }
+    new GenericArrayData(out)
   }
 
-  private def toCodePointStrings(s: String): Array[String] = {
-    val n = s.codePointCount(0, s.length)
-    val out = new Array[String](n)
-    var i = 0; var off = 0
-    while (i < n) {
-      val cp = s.codePointAt(off)
-      val len = Character.charCount(cp)
-      out(i) = s.substring(off, off + len)
-      off += len; i += 1
+  private def spanEq(a: String, aFrom: Int, aUntil: Int,
+                     b: String, bFrom: Int, bUntil: Int): Boolean = {
+    if (aUntil - aFrom != bUntil - bFrom) return false
+    var i = aFrom; var j = bFrom
+    while (i < aUntil) {
+      if (a.charAt(i) != b.charAt(j)) return false
+      i += 1; j += 1
     }
-    out
+    true
+  }
+
+  /** UTF-16 offsets of the code-point boundaries of `s` (length =
+    * codePointCount + 1; the identity 0..length on surrogate-free
+    * strings, detected with one cheap scan). */
+  private def cpOffsets(s: String): Array[Int] = {
+    val len = s.length
+    var hasSurrogate = false
+    var i = 0
+    while (i < len && !hasSurrogate) {
+      if (Character.isHighSurrogate(s.charAt(i))) hasSurrogate = true
+      i += 1
+    }
+    if (!hasSurrogate) {
+      val out = new Array[Int](len + 1)
+      var j = 0
+      while (j <= len) { out(j) = j; j += 1 }
+      out
+    } else {
+      val n = s.codePointCount(0, len)
+      val out = new Array[Int](n + 1)
+      var j = 0; var off = 0
+      while (j < n) {
+        out(j) = off
+        off += Character.charCount(s.codePointAt(off))
+        j += 1
+      }
+      out(n) = len
+      out
+    }
   }
 
   private def overlap(cs: Array[String], rs: Array[String],
@@ -85,19 +179,19 @@ object NgramOverlapKernel {
       val rt = math.max(0, rs.length - n + 1)
       var matched = 0L
       if (ct > 0 && rt > 0) {
-        val counts = new java.util.HashMap[String, Integer](rt * 2)
+        val counts = new java.util.HashMap[String, Array[Int]](rt * 2)
         var j = 0
         while (j < rt) {
           val g = gramAt(rs, j, n)
           val c = counts.get(g)
-          counts.put(g, if (c == null) 1 else c + 1)
+          if (c == null) counts.put(g, Array(1)) else c(0) += 1
           j += 1
         }
         var k = 0
         while (k < ct) {
           val g = gramAt(cs, k, n)
           val c = counts.get(g)
-          if (c != null && c > 0) { matched += 1; counts.put(g, c - 1) }
+          if (c != null && c(0) > 0) { matched += 1; c(0) -= 1 }
           k += 1
         }
       }

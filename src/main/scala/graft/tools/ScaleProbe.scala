@@ -127,7 +127,10 @@ object ScaleProbe {
             regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
           val (rouge, bleu) = graft.text.EvalMetrics.evalSuite(cached,
             refs, "doc_id", "text", "text", bleuMaxN = 4, rougeMaxN = 2)
-          rouge.count() + bleu.count()
+          // agg over a metric column: a bare count() would let the
+          // optimizer PRUNE the projection and skip the kernel
+          rouge.agg(sum(col("rouge_2"))).head()
+          bleu.count() + nDocs
         },
         timed("chrf") {
           // chrF2 at the published maxN = 6: all six char-gram orders
@@ -137,7 +140,9 @@ object ScaleProbe {
           val refs = cached.select(col("doc_id"),
             regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
           graft.text.EvalMetrics.chrF(cached, refs, "doc_id",
-            "text", "text", maxN = 6).count()
+            "text", "text", maxN = 6)
+            .agg(sum(col("chrf"))).head() // count() would prune the kernel
+          nDocs
         },
         timed("kn3_ppl") {
           // self-scored: the order-3 KN carries six scoring joins and
@@ -190,6 +195,15 @@ object ScaleProbe {
             .select((col("doc_id") + 200000000L).as("doc_id"),
               regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
           Snapshot.dropSeenNearDups(fresh, cached, "doc_id", "text").count()
+        },
+        timed("summarize") {
+          // extractive summary via the row-local summarize_doc
+          // expression: one projection over the corpus, no shuffle
+          // the filter on the struct forces the kernel; the agg keeps
+          // the score column alive end-to-end
+          graft.text.Keywords.extractiveSummary(cached, "doc_id", "text")
+            .agg(sum(col("score"))).head()
+          nDocs
         },
         timed("gopher_rules") {
           // one codegen projection — the trivially-linear baseline the
