@@ -1,6 +1,6 @@
 package graft.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -369,6 +369,64 @@ object Streaming {
       .withColumn("score",
         round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6))
       .withColumn("label", (col("margin") > 0).cast("int"))
+  }
+
+  /** Streaming generation-eval deploy: score a stream of candidate
+    * texts against a STATIC reference table with per-document ROUGE-N
+    * and chrF — one stream-static join on the doc id plus the
+    * row-local native overlap expressions
+    * ([[graft.functions.NgramOverlapAll]] /
+    * [[graft.functions.CharGramOverlapAll]]), so the whole metric is
+    * STATELESS: no state store, no watermark, append mode trivially
+    * exact. Bit-parity with the batch [[graft.text.EvalMetrics]]
+    * kernels is asserted in StreamSpec (same expressions, same
+    * integer sufficient statistics). Candidates without a reference
+    * row score 0 everywhere (the batch convention). */
+  def evalStreamScores(cands: DataFrame, refs: DataFrame,
+                       idCol: String, candCol: String, refCol: String,
+                       rougeMaxN: Int = 2, chrfMaxN: Int = 6): DataFrame = {
+    graft.functions.TextExpressions.register(refs.sparkSession)
+    val empty = array().cast("array<string>")
+    val c = cands.select(col(idCol).as("doc"),
+      coalesce(graft.text.TextFns.tokens(lower(col(candCol))), empty)
+        .as("_t"),
+      coalesce(regexp_replace(lower(col(candCol)), "\\s+", ""), lit(""))
+        .as("_s"))
+    val r = broadcast(refs.select(col(idCol).as("doc"),
+      coalesce(graft.text.TextFns.tokens(lower(col(refCol))), empty)
+        .as("_rt"),
+      coalesce(regexp_replace(lower(col(refCol)), "\\s+", ""), lit(""))
+        .as("_rs")))
+    val joined = c.join(r, Seq("doc"), "left")
+      .select(col("doc"),
+        call_function("ngram_overlap_all", col("_t"),
+          coalesce(col("_rt"), empty), lit(rougeMaxN)).as("_ov"),
+        call_function("chargram_overlap_all", col("_s"),
+          coalesce(col("_rs"), lit("")), lit(chrfMaxN)).as("_cv"))
+    def divL(a: Column, b: Column): Column = call_function("div", a, b)
+    def micro(m: Column, d: Column): Column =
+      when(d > 0, divL(lit(2L) * m * lit(1000000L) + d, lit(2L) * d))
+        .otherwise(lit(0L))
+    def meanOf(s: Column): Column =
+      divL(lit(2L) * s + lit(chrfMaxN.toLong), lit(2L * chrfMaxN))
+        .cast("double") / lit(1000000.0)
+    val rougeCols = (1 to rougeMaxN).map { n =>
+      val m = element_at(col("_ov"), 3 * n - 2)
+      val rt = element_at(col("_ov"), 3 * n)
+      when(rt > 0, round(m.cast("double") / rt.cast("double"), 6))
+        .otherwise(lit(0.0)).as(s"rouge_$n")
+    }
+    val sp = (1 to chrfMaxN).map(n => micro(element_at(col("_cv"), 3 * n - 2),
+      element_at(col("_cv"), 3 * n - 1))).reduce(_ + _)
+    val sr = (1 to chrfMaxN).map(n => micro(element_at(col("_cv"), 3 * n - 2),
+      element_at(col("_cv"), 3 * n))).reduce(_ + _)
+    joined.select((col("doc") +: rougeCols) :+
+        meanOf(sp).as("chrf_p") :+ meanOf(sr).as("chrf_r"): _*)
+      .withColumn("chrf",
+        when(lit(4.0) * col("chrf_p") + col("chrf_r") > 0.0,
+          round(lit(5.0) * col("chrf_p") * col("chrf_r") /
+            (lit(4.0) * col("chrf_p") + col("chrf_r")), 6))
+          .otherwise(lit(0.0)))
   }
 
   /** foreachBatch parquet sink: idempotent per-micro-batch overwrite

@@ -357,6 +357,38 @@ class StreamSpec extends SparkSpec {
     }
   }
 
+  test("streaming eval scoring matches the batch ROUGE/chrF kernels") {
+    implicit val sqlCtx = spark.sqlContext
+    val refs = Seq((10L, "the cat sat on the mat"), (11L, "a b c d"),
+      (13L, "zz")).toDF("doc_id", "text")
+    val in = MemoryStream[DocEv]
+    val q = Streaming.evalStreamScores(in.toDF(), refs, "doc_id", "text",
+        "text", rougeMaxN = 2, chrfMaxN = 6)
+      .writeStream.format("memory").queryName("sev")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      DocEv(t(0), 10L, "the cat sat on a mat"),
+      DocEv(t(1), 11L, "a b x d"),
+      DocEv(t(2), 12L, "no reference here")) // missing ref -> zeros
+    q.processAllAvailable()
+    val streamed = spark.table("sev")
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+      .sortBy(_._1)
+    q.stop()
+    val cands = Seq((10L, "the cat sat on a mat"), (11L, "a b x d"),
+      (12L, "no reference here")).toDF("doc_id", "text")
+    val rouge = graft.text.EvalMetrics.rougeN(cands, refs, "doc_id",
+      "text", "text", maxN = 2)
+    val chrf = graft.text.EvalMetrics.chrF(cands, refs, "doc_id",
+      "text", "text", maxN = 6)
+    val batch = rouge.join(chrf, Seq("doc")).orderBy("doc")
+      .select("doc", "rouge_1", "rouge_2", "chrf_p", "chrf_r", "chrf")
+      .as[(Long, Double, Double, Double, Double, Double)].collect()
+    assert(streamed.length === 3)
+    assert(streamed.toSeq === batch.toSeq) // bit parity, same kernels
+    assert(streamed(2)._2 === 0.0 && streamed(2)._6 === 0.0) // no ref
+  }
+
   test("streaming KN3 scoring matches the batch order-3 scorer") {
     implicit val sqlCtx = spark.sqlContext
     val ref = Seq((1L, "a b c a b d"), (2L, "c a b e")).toDF("doc_id", "text")
