@@ -202,6 +202,27 @@ object GfFrame {
                              alpha: Double = 0.5): Fluent =
       new Fluent(graft.text.LangModel.scoreByStupidBackoff(df, refCorpus,
         idCol, textCol, lambda, alpha))
+    /** Generation-eval metrics of this frame as the CANDIDATE side. */
+    def rougeN(refs: DataFrame, idCol: String, candCol: String,
+               refCol: String, maxN: Int = 2): Fluent =
+      new Fluent(graft.text.EvalMetrics.rougeN(df, refs, idCol,
+        candCol, refCol, maxN))
+    def rougeL(refs: DataFrame, idCol: String, candCol: String,
+               refCol: String): Fluent =
+      new Fluent(graft.text.EvalMetrics.rougeL(df, refs, idCol,
+        candCol, refCol))
+    def corpusBleu(refs: DataFrame, idCol: String, candCol: String,
+                   refCol: String, maxN: Int = 4): Fluent =
+      new Fluent(graft.text.EvalMetrics.corpusBleu(df, refs, idCol,
+        candCol, refCol, maxN))
+    def chrF(refs: DataFrame, idCol: String, candCol: String,
+             refCol: String, maxN: Int = 6, beta: Double = 2.0): Fluent =
+      new Fluent(graft.text.EvalMetrics.chrF(df, refs, idCol,
+        candCol, refCol, maxN, beta))
+    def extractiveSummary(idCol: String, textCol: String,
+                          minTokenLen: Int = 2): Fluent =
+      new Fluent(graft.text.Keywords.extractiveSummary(df, idCol,
+        textCol, minTokenLen))
     def dropSeenDocs(refCorpus: DataFrame, textCol: String): Fluent =
       new Fluent(graft.text.Snapshot.dropSeenDocs(df, refCorpus, textCol))
     def dropSeenNearDups(refCorpus: DataFrame, idCol: String,

@@ -207,6 +207,25 @@ class Batch33Spec extends SparkSpec {
     assert(rl.nonEmpty && rl === rs)
   }
 
+  test("eval metrics ride the fluent surface") {
+    import graft.core.GfFrame._
+    val cand = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+    val ref = Seq((1L, "a b c e"), (2L, "x y")).toDF("doc_id", "text")
+    assert(cand.graft.rougeN(ref, "doc_id", "text", "text")
+      .result.count() === 2)
+    assert(cand.graft.rougeL(ref, "doc_id", "text", "text")
+      .result.count() === 2)
+    assert(cand.graft.corpusBleu(ref, "doc_id", "text", "text")
+      .result.count() === 1)
+    // maxN = 2: "xy" has no order-3+ grams, and the fixed-total
+    // convention would dilute the identical doc below 1 at maxN = 6
+    val f = cand.graft.chrF(ref, "doc_id", "text", "text", maxN = 2)
+      .result.orderBy("doc").collect()
+    assert(f(1).getDouble(3) === 1.0) // identical doc scores chrF 1
+    assert(cand.graft.extractiveSummary("doc_id", "text")
+      .result.count() === 2)
+  }
+
   test("chrf_doc entry runs and scores the dropped-word twin below 1") {
     val out = SparkEntry.queries("chrf_doc")(spark, sf)
     val rows = out.as[(Long, Double, Double, Double)].collect()
