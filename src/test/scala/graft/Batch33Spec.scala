@@ -222,7 +222,10 @@ class Batch33Spec extends SparkSpec {
     val f = cand.graft.chrF(ref, "doc_id", "text", "text", maxN = 2)
       .result.orderBy("doc").collect()
     assert(f(1).getDouble(3) === 1.0) // identical doc scores chrF 1
-    assert(cand.graft.extractiveSummary("doc_id", "text")
+    // single-char tokens fall under minTokenLen — summarize real words
+    val prose = Seq((1L, "spark is fast. joins shuffle data."),
+      (2L, "one sentence only here")).toDF("doc_id", "text")
+    assert(prose.graft.extractiveSummary("doc_id", "text")
       .result.count() === 2)
   }
 
