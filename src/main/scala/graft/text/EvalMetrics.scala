@@ -293,6 +293,52 @@ object EvalMetrics {
     }
   }
 
+  /** SQuAD-style QA evaluation (Rajpurkar et al. 2016): per-document
+    * exact match and token F1 under the standard answer
+    * normalization — here [[TextFns.cleanText]] (lower, strip
+    * non-alphanumerics, squeeze whitespace; the reference pipeline's
+    * own normalizer stands in for SQuAD's article-stripping variant).
+    *
+    *   em = normalized candidate == normalized reference (0/1),
+    *   f1 = 2PR/(P+R) over clipped unigram overlap of the normalized
+    *        token bags (0 when both sides are empty or either P+R=0).
+    *
+    * One doc-keyed join + the native [[graft.functions.NgramOverlapAll]]
+    * expression at maxN = 1 — row-local like the rest of the eval
+    * family; stateless, so it streams as-is. Candidates without a
+    * reference row score (0, 0.0). Output: (doc, em, f1). */
+  def qaEval(cands: DataFrame, refs: DataFrame, idCol: String,
+             candCol: String, refCol: String): DataFrame = {
+    graft.functions.TextExpressions.register(cands.sparkSession)
+    val empty = array().cast("array<string>")
+    val c = cands.select(col(idCol).as("doc"),
+      TextFns.cleanText(col(candCol)).as("_cn"))
+    val r = refs.select(col(idCol).as("doc"),
+      TextFns.cleanText(col(refCol)).as("_rn"))
+    c.join(r, Seq("doc"), "left")
+      .select(col("doc"),
+        when(col("_rn").isNotNull && col("_cn") === col("_rn"), lit(1))
+          .otherwise(lit(0)).as("em"),
+        call_function("ngram_overlap_all",
+          coalesce(TextFns.tokens(col("_cn")), empty),
+          coalesce(TextFns.tokens(coalesce(col("_rn"), lit(""))), empty),
+          lit(1)).as("_ov"))
+      .select(col("doc"), col("em"),
+        when(element_at(col("_ov"), 2) > 0,
+          round(element_at(col("_ov"), 1).cast("double") /
+            element_at(col("_ov"), 2).cast("double"), 6))
+          .otherwise(lit(0.0)).as("_p"),
+        when(element_at(col("_ov"), 3) > 0,
+          round(element_at(col("_ov"), 1).cast("double") /
+            element_at(col("_ov"), 3).cast("double"), 6))
+          .otherwise(lit(0.0)).as("_r"))
+      .select(col("doc"), col("em"),
+        when(col("_p") + col("_r") > 0.0,
+          round(lit(2.0) * col("_p") * col("_r") /
+            (col("_p") + col("_r")), 6))
+          .otherwise(lit(0.0)).as("f1"))
+  }
+
   /** Integral `div` on longs (the SQL `a div b` operator — exact,
     * engine-portable integer division; Column has no operator for it). */
   private def divL(a: Column, b: Column): Column = call_function("div", a, b)

@@ -207,6 +207,27 @@ class Batch33Spec extends SparkSpec {
     assert(rl.nonEmpty && rl === rs)
   }
 
+  test("qaEval matches hand-computed EM and token F1") {
+    val cand = Seq(
+      (1L, "The CAT, sat!"),      // == ref after normalization -> em 1
+      (2L, "a b c d"),            // half overlap with "c d e f"
+      (3L, "x y"),                // no reference row
+      (4L, ""),                   // both empty -> em 1, f1 0
+      (5L, "q w")                 // empty ref, nonempty cand
+    ).toDF("doc_id", "text")
+    val ref = Seq((1L, "the cat sat"), (2L, "c d e f"), (4L, ""),
+      (5L, "")).toDF("doc_id", "text")
+    val out = graft.text.EvalMetrics.qaEval(cand, ref, "doc_id",
+        "text", "text")
+      .orderBy("doc").as[(Long, Int, Double)].collect()
+    assert(out(0) === ((1L, 1, 1.0)))
+    // doc 2: m=2, P=R=0.5 -> f1 = 2*.25/1 = 0.5
+    assert(out(1) === ((2L, 0, 0.5)))
+    assert(out(2) === ((3L, 0, 0.0))) // missing ref
+    assert(out(3) === ((4L, 1, 0.0))) // both empty: EM by convention
+    assert(out(4) === ((5L, 0, 0.0)))
+  }
+
   test("eval metrics ride the fluent surface") {
     import graft.core.GfFrame._
     val cand = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
