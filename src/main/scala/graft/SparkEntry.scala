@@ -57,7 +57,8 @@ object SparkEntry {
       entries.Batch30Entries.queries ++
       entries.Batch31Entries.queries ++
       entries.Batch32Entries.queries ++
-      entries.Batch33Entries.queries
+      entries.Batch33Entries.queries ++
+      entries.Batch34Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -93,7 +94,8 @@ object SparkEntry {
       entries.Batch30Entries.oracleSql ++
       entries.Batch31Entries.oracleSql ++
       entries.Batch32Entries.oracleSql ++
-      entries.Batch33Entries.oracleSql
+      entries.Batch33Entries.oracleSql ++
+      entries.Batch34Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -152,6 +153,83 @@ case class LcsLength(left: Expression, right: Expression)
       newRight: Expression): LcsLength = copy(left = newLeft, right = newRight)
 }
 
+/** Row-local winnowing kernel (Schleimer et al. SIGMOD 2003): gram
+  * hashes + sliding-window minimum via a monotonic deque — O(n) per
+  * row instead of the O(n·w) HOF slice chain, zero shuffle (the
+  * fingerprint selection is per-document). Hash family is Spark's
+  * xxhash64 (seed 42) over the gram's BYTES, so output is
+  * bit-identical to `xxhash64(substr(s, i, k))` for ASCII input (the
+  * cleanText contract guarantees ASCII); the md5 portable family
+  * stays on the HOF path, which the DuckDB oracle replays.
+  */
+object WinnowKernel {
+
+  /** Distinct window-min hashes in first-occurrence order; empty when
+    * the stream holds fewer than w complete windows (below the
+    * guarantee threshold k + w − 1). */
+  def fps(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val b = s.getBytes
+    val n = b.length - k + 1 // # grams
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      h(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, k, 42L)
+      i += 1
+    }
+    val dq = new Array[Int](n) // monotonic deque of gram indices
+    var head = 0
+    var tail = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    i = 0
+    while (i < n) {
+      while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val m = h(dq(head))
+        if (seen.add(m)) out.add(m)
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size())
+    i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** winnow_fps(str, k, w) → array<long>: winnowing fingerprints of an
+  * (already-normalized) char stream. k, w fixed at plan time. */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 2, s"winnow_fps k must be >= 2, got $k")
+  require(w >= 2, s"winnow_fps w must be >= 2, got $w")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps expects a string argument, got $t")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    WinnowKernel.fps(s.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WinnowKernel.fps($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : WinnowFps = copy(child = newChild)
+}
+
 object TextExpressions {
 
   /** Register `unicode_norm(str, 'NFC')` and `lcs_len(a, b)` on an
@@ -160,7 +238,9 @@ object TextExpressions {
     * upgrade re-registers the full set). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (registry.functionExists(FunctionIdentifier("lcs_len"))) return
+    // guard on the LAST-added function so an upgraded register() call
+    // on a session registered by an older build re-registers the set
+    if (registry.functionExists(FunctionIdentifier("winnow_fps"))) return
     registry.registerFunction(
       FunctionIdentifier("lcs_len"),
       new ExpressionInfo(classOf[LcsLength].getName, null,
@@ -234,5 +314,13 @@ object TextExpressions {
         "", "", "", "string_funcs", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => SummarizeDoc(children(0),
         intLit(children(1), "summarize_doc")))
+    registry.registerFunction(
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, null,
+        "winnow_fps", "winnow_fps(str, k, w) - winnowing fingerprint " +
+          "hashes (SIGMOD 2003) of a normalized char stream", "", "", "",
+        "string_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => WinnowFps(children(0),
+        intLit(children(1), "winnow_fps"), intLit(children(2), "winnow_fps")))
   }
 }

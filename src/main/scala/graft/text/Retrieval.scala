@@ -217,4 +217,54 @@ object Retrieval {
         Seq(col("score").desc, col("doc").asc), k, rankName = "rank")
       .select("query", "doc", "score", "rank")
   }
+
+  /** Exact phrase search by positional-postings intersection — the
+    * inverted-index plan every search engine runs for quoted queries,
+    * and the lookup BM25 (bag-of-words) cannot express. Used in
+    * pipeline work for benchmark decontamination by EXACT phrase
+    * (e.g. "which question strings appear verbatim in the corpus?")
+    * where n-gram-overlap decontam (Decontaminate.scala) is the fuzzy
+    * sibling.
+    *
+    * Plan: ONE corpus pass builds positional postings
+    * (doc, pos, token) under the [[TextFns.cleanText]] normalization;
+    * the phrase list tokenizes driver-side into (phrase, offset,
+    * term) rows that BROADCAST-join the postings on term. A posting
+    * matching term `t` at phrase offset `o` votes for a match
+    * starting at `pos − o`; a start position collecting exactly
+    * `len(phrase)` votes is a full occurrence (each offset can vote
+    * at most once per (doc, start) because postings are unique by
+    * (doc, pos)). Join volume is Σ_term df_positional(term) — bounded
+    * by the postings of the phrase's own terms, never corpus ×
+    * phrases.
+    *
+    * Output: (phrase, doc, n_occurrences), one row per document that
+    * contains the phrase at least once, phrase echoed in its
+    * normalized form. Single-token phrases are allowed (they
+    * degenerate to a postings count). Blank phrases are rejected.
+    */
+  def phraseSearch(docs: DataFrame, docId: String, textCol: String,
+                   phrases: Seq[String]): DataFrame = {
+    val normed = phrases.map(p => p.toLowerCase
+        .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim)
+      .filter(_.nonEmpty).distinct
+    require(normed.nonEmpty, "phraseSearch needs at least one non-blank phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = normed.flatMap { p =>
+      p.split(" ").zipWithIndex.map { case (t, o) => (p, o, t, p.split(" ").length) }
+    }.toDF("phrase", "_off", "token", "_plen")
+    val postings = docs.select(col(docId).as("doc"),
+        posexplode(TextFns.tokens(TextFns.cleanText(col(textCol))))
+          .as(Seq("pos", "token")))
+    postings.join(broadcast(terms), Seq("token"))
+      .select(col("phrase"), col("doc"), (col("pos") - col("_off")).as("_start"),
+        col("_plen"))
+      .filter(col("_start") >= 0)
+      .groupBy("phrase", "doc", "_start", "_plen")
+      .agg(count(lit(1)).as("_votes"))
+      .filter(col("_votes") === col("_plen"))
+      .groupBy("phrase", "doc")
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }
