@@ -241,5 +241,37 @@ object GfFrame {
                     c: Int = 60, k: Int = 10): Fluent =
       new Fluent(graft.text.Retrieval.rrfFuse(df +: others, queryCol,
         docCol, rankCol, c, k))
+    /** Exact phrase search over this frame as the corpus. */
+    def phraseSearch(docId: String, textCol: String,
+                     phrases: Seq[String]): Fluent =
+      new Fluent(graft.text.Retrieval.phraseSearch(df, docId, textCol,
+        phrases))
+    /** Drop pages with any blocklist hit (the C4 bad-words stage). */
+    def dropBlocklisted(textCol: String, terms: Seq[String],
+                        phrases: Seq[String] = Nil): Fluent =
+      new Fluent(graft.text.Blocklist.filterClean(df, textCol, terms,
+        phrases))
+    /** Per-document blocklist hit report. */
+    def blocklistHits(idCol: String, textCol: String, terms: Seq[String],
+                      phrases: Seq[String] = Nil): Fluent =
+      new Fluent(graft.text.Blocklist.hits(df, idCol, textCol, terms,
+        phrases))
+    /** Winnowing near-dup pairs within this frame (MOSS fingerprints). */
+    def winnowPairs(idCol: String, textCol: String, k: Int = 5,
+                    w: Int = 4, minShared: Int = 2): Fluent =
+      new Fluent(graft.text.Winnow.pairs(df, idCol, textCol, k, w,
+        minShared))
+    /** Winnowing overlap of this frame against a fixed reference set. */
+    def winnowCrossPairs(ref: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4,
+                         minShared: Int = 2): Fluent =
+      new Fluent(graft.text.Winnow.crossPairs(df, ref, idCol, textCol,
+        k, w, minShared))
+    /** KL/JS unigram divergence of this frame vs another corpus. */
+    def corpusDivergence(other: DataFrame, textCol: String,
+                         otherTextCol: String,
+                         alpha: Double = 0.5): Fluent =
+      new Fluent(graft.text.CorpusStats.corpusDivergence(df, other,
+        textCol, otherTextCol, alpha))
   }
 }

@@ -429,6 +429,46 @@ object Streaming {
           .otherwise(lit(0.0)))
   }
 
+  /** Streaming blocklist deploy: the C4 bad-words page filter over an
+    * arriving document stream. Stateless per-row codegen projection —
+    * no watermark, no state store, no shuffle; the blocklist rides as
+    * a plan literal exactly as in batch, so batch/stream parity is
+    * structural (asserted in StreamSpec anyway). */
+  def blocklistCleanStream(docs: DataFrame, textCol: String,
+                           terms: Seq[String],
+                           phrases: Seq[String] = Nil): DataFrame =
+    graft.text.Blocklist.filterClean(docs, textCol, terms, phrases)
+
+  /** Streaming winnowing screen: arriving documents checked for
+    * content overlap against a FIXED reference fingerprint table
+    * (built once with [[graft.text.Winnow.fingerprints]] and
+    * broadcast-joined as the static side — the contamination /
+    * licence-text gate at ingest time). Emits (idCol, id_b, n_shared)
+    * for stream docs sharing >= minShared fingerprints with a
+    * reference doc; the stream side's fingerprints run the native
+    * row-local winnow_fps kernel, so the only stream-side shuffle is
+    * the (doc, ref) count aggregation. */
+  def winnowScreenStream(docs: DataFrame, refFps: DataFrame,
+                         idCol: String, textCol: String, tsCol: String,
+                         watermark: String, windowLen: String,
+                         k: Int = 5, w: Int = 4,
+                         minShared: Int = 2): DataFrame = {
+    val fps = call_function("winnow_fps",
+      regexp_replace(graft.text.TextFns.cleanText(col(textCol)), " ", ""),
+      lit(k), lit(w))
+    graft.functions.TextExpressions.register(docs.sparkSession)
+    docs.withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), explode(fps).as("fp"))
+      .join(org.apache.spark.sql.functions.broadcast(
+          refFps.select(col(idCol).as("id_b"), col("fp"))),
+        Seq("fp"))
+      .groupBy(window(col(tsCol), windowLen), col(idCol), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("window.start").as("window_start"), col(idCol),
+        col("id_b"), col("n_shared"))
+  }
+
   /** foreachBatch parquet sink: idempotent per-micro-batch overwrite
     * into a Catalog table partition keyed by batch id — with
     * checkpointing this is the standard exactly-once pattern for

@@ -47,19 +47,33 @@ object Blocklist {
     val ts = terms.map(norm).filter(t => t.nonEmpty && !t.contains(" ")).distinct
     val ps = phrases.map(norm).filter(_.contains(" ")).distinct
     require(ts.nonEmpty || ps.nonEmpty, "empty blocklist: nothing to match")
-    val clean = TextFns.cleanText(col(textCol))
-    val toks = TextFns.tokens(clean)
-    val termHits =
-      if (ts.isEmpty) array().cast("array<string>")
-      else filter(lit(ts.toArray), t => array_contains(toks, t))
-    val padded = concat(lit(" "), clean, lit(" "))
-    val phraseHits =
-      if (ps.isEmpty) array().cast("array<string>")
-      else filter(lit(ps.toArray),
-        p => contains(padded, concat(lit(" "), p, lit(" "))))
-    df.select(col(idCol), termHits.as("term_hits"),
-        phraseHits.as("phrase_hits"),
-        (size(termHits) + size(phraseHits) > 0).as("blocked"))
+    val empty = array().cast("array<string>")
+    // HOF lambdas re-evaluate any outer expression they reference on
+    // EVERY element — a token array fed to `filter` straight off the
+    // regex chain costs |blocklist| regex passes per row. Let-bind the
+    // normalized text, then the (tokens, padded) pair, via the
+    // one-element-array trick (the Winnow.fingerprints convention) so
+    // each is computed exactly once per row.
+    val hitStruct = transform(array(TextFns.cleanText(col(textCol))), c0 => {
+      transform(array(struct(TextFns.tokens(c0).as("t"),
+          concat(lit(" "), c0, lit(" ")).as("p"))), s0 => {
+        val th =
+          if (ts.isEmpty) empty
+          else filter(lit(ts.toArray), t => array_contains(s0.getField("t"), t))
+        val ph =
+          if (ps.isEmpty) empty
+          else filter(lit(ps.toArray),
+            p => contains(s0.getField("p"), concat(lit(" "), p, lit(" "))))
+        struct(th.as("th"), ph.as("ph"))
+      }).getItem(0)
+    }).getItem(0)
+    // two projections, `_h` referenced four times in the outer one —
+    // CollapseProject keeps them separate, so the struct is computed
+    // once per row
+    df.select(col(idCol), hitStruct.as("_h"))
+      .select(col(idCol), col("_h.th").as("term_hits"),
+        col("_h.ph").as("phrase_hits"),
+        (size(col("_h.th")) + size(col("_h.ph")) > 0).as("blocked"))
   }
 
   /** Drop every document with at least one blocklist hit (the C4
@@ -71,15 +85,21 @@ object Blocklist {
     val ts = terms.map(norm).filter(t => t.nonEmpty && !t.contains(" ")).distinct
     val ps = phrases.map(norm).filter(_.contains(" ")).distinct
     require(ts.nonEmpty || ps.nonEmpty, "empty blocklist: nothing to match")
-    val toks = TextFns.tokens(TextFns.cleanText(col(textCol)))
-    val padded = concat(lit(" "), TextFns.cleanText(col(textCol)), lit(" "))
-    val termHit =
-      if (ts.isEmpty) lit(false)
-      else arrays_overlap(toks, lit(ts.toArray))
-    val phraseHit = ps.foldLeft(lit(false)) { (acc, p) =>
-      acc || contains(padded, lit(" " + p + " "))
-    }
-    df.filter(!(termHit || phraseHit))
+    // same let-binding discipline as [[hits]]: normalize once, pad
+    // once, then run the cheap membership checks over the bound values
+    val pred = transform(array(TextFns.cleanText(col(textCol))), c0 => {
+      val termHit =
+        if (ts.isEmpty) lit(false)
+        else arrays_overlap(TextFns.tokens(c0), lit(ts.toArray))
+      val phraseHit =
+        if (ps.isEmpty) lit(false)
+        else transform(array(concat(lit(" "), c0, lit(" "))), p0 =>
+          ps.foldLeft(lit(false)) { (acc, p) =>
+            acc || contains(p0, lit(" " + p + " "))
+          }).getItem(0)
+      termHit || phraseHit
+    }).getItem(0)
+    df.filter(!pred)
   }
 
   /** Corpus-level audit: (pattern, kind, n_docs) — how many documents

@@ -123,4 +123,32 @@ object Winnow {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Cross-corpus overlap: pairs (id_a from `df`, id_b from `ref`)
+    * sharing at least `minShared` fingerprints — the
+    * licence-text / plagiarism / contamination shape where a GROWING
+    * corpus is screened against a FIXED reference set, so output is
+    * linear in the corpus (≤ corpus × |ref-matches|), never the
+    * corpus self-join's quadratic pair listing. The dup-set bound
+    * applies to the reference side only (a reference fingerprint in
+    * more than `maxDf` reference docs is boilerplate). */
+  def crossPairs(df: DataFrame, ref: DataFrame,
+                 idCol: String, textCol: String,
+                 k: Int = 5, w: Int = 4, minShared: Int = 2,
+                 maxDf: Int = 1000,
+                 portableHash: Boolean = false,
+                 kernel: String = "local"): DataFrame = {
+    val refFps = fingerprints(ref, idCol, textCol, k, w, portableHash, kernel)
+      .withColumn("_df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("_df") <= maxDf)
+      .select(col(idCol).as("id_b"), col("fp"))
+    val corpusFps = fingerprints(df, idCol, textCol, k, w, portableHash,
+        kernel)
+      .select(col(idCol).as("id_a"), col("fp"))
+    corpusFps.join(refFps, Seq("fp"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

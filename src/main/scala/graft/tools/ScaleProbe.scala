@@ -231,6 +231,47 @@ object ScaleProbe {
               bucketExpr = floor(col("doc_id") / 1000000L))
             .agg(max(col("shard"))).head().getLong(0)
         },
+        timed("winnow_cross") {
+          // the at-scale winnowing shape: screen the growing corpus
+          // against a FIXED reference set (every 97th ORIGINAL doc) —
+          // contamination / licence-text detection. The fingerprint
+          // scan is the native row-local winnow_fps kernel; the join
+          // is keyed by fp and bounded by the reference side, so
+          // output stays linear in the corpus
+          val ref = cached.filter(col("doc_id") % 97 === 0 &&
+              col("doc_id") < 1000000L)
+            .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+          graft.text.Winnow.crossPairs(cached, ref, "doc_id", "text",
+            k = 8, w = 4, minShared = 10).count()
+        },
+        timed("blocklist") {
+          // pure codegen projection over literal pattern arrays — the
+          // trivially-linear shape; the agg keeps the hit columns
+          // alive so the kernel cannot be pruned
+          graft.text.Blocklist.hits(cached, "doc_id", "text",
+              Seq("hash", "dup", "spark", "merge", "scan"),
+              Seq("batch batch", "window window"))
+            .agg(sum(when(col("blocked"), 1L).otherwise(0L))).head()
+          nDocs
+        },
+        timed("phrase_search") {
+          // positional postings grow with the corpus; the phrase side
+          // is fixed — join volume is the phrase terms' own postings,
+          // never corpus x phrases
+          graft.text.Retrieval.phraseSearch(cached, "doc_id", "text",
+            Seq("batch batch batch", "order sort table",
+              "window window")).count()
+        },
+        timed("corpus_js") {
+          // even vs odd ids: two corpus-wide token counts, one
+          // full-outer vocab join (vocab saturates — replicas add
+          // mass, not types), four sufficient-statistic sums
+          graft.text.CorpusStats.corpusDivergence(
+            cached.filter(col("doc_id") % 2 === 0),
+            cached.filter(col("doc_id") % 2 === 1),
+            "text", "text").head()
+          nDocs
+        },
         timed("bm25_single") {
           // single parameterization — no candidate localCheckpoint:
           // isolates the shared-candidate ensemble machinery from the

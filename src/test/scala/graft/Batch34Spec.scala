@@ -73,6 +73,21 @@ class Batch34Spec extends SparkSpec {
     assert(pairsOf(false) === Set((1L, 2L)))
   }
 
+  test("winnowing crossPairs screens a corpus against a fixed reference set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "totally different words with no overlap at all whatsoever"))
+      .toDF("id", "text")
+    val ref = Seq( // near-dup of doc 1 only, first word dropped
+      (100L, "beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("id", "text")
+    val out = Winnow.crossPairs(corpus, ref, "id", "text",
+        k = 8, w = 4, minShared = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 100L)))
+  }
+
   test("winnowing native kernel is bit-identical to the HOF path") {
     val rnd = new scala.util.Random(11)
     val docs = (0 until 40).map { i =>

@@ -452,4 +452,54 @@ class StreamSpec extends SparkSpec {
     // a query with no indexed terms emits nothing
     assert(spark.table("sbm25").filter(col("query") === 11L).count() == 0)
   }
+
+  test("streaming blocklist filter matches the batch page removal") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[DocEv]
+    val q = Streaming.blocklistCleanStream(in.toDF(), "text",
+        terms = Seq("spam"), phrases = Seq("buy now"))
+      .writeStream.format("memory").queryName("sblock")
+      .outputMode(OutputMode.Append).start()
+    in.addData(DocEv(t(0), 1L, "clean prose here"),
+      DocEv(t(1), 2L, "pure Spam! content"),
+      DocEv(t(2), 3L, "please buy now today"),
+      DocEv(t(3), 4L, "buy nowhere else")) // phrase needs word bounds
+    q.processAllAvailable()
+    val kept = spark.table("sblock").select("doc_id").as[Long]
+      .collect().toSet
+    q.stop()
+    assert(kept === Set(1L, 4L))
+  }
+
+  test("streaming winnow screen flags content overlap against a static reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((900L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val refFps = graft.text.Winnow.fingerprints(ref, "doc_id", "text",
+      k = 8, w = 4)
+    val in = MemoryStream[DocEv]
+    val q = Streaming.winnowScreenStream(in.toDF(), refFps, "doc_id",
+        "text", "ts", "5 minutes", "10 minutes", k = 8, w = 4,
+        minShared = 3)
+      .writeStream.format("memory").queryName("swinnow")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      DocEv(t(0), 1L, "beta gamma delta epsilon zeta padding words"),
+      DocEv(t(1), 2L, "completely unrelated crawl content today"))
+    q.processAllAvailable()
+    in.addData(DocEv(t(59), 99L, "advance the watermark")) // close window
+    q.processAllAvailable()
+    val flagged = spark.table("swinnow")
+      .select("doc_id", "id_b").as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(flagged === Set((1L, 900L)))
+    // batch twin agrees
+    val batch = graft.text.Winnow.crossPairs(
+        Seq((1L, "beta gamma delta epsilon zeta padding words"),
+          (2L, "completely unrelated crawl content today"))
+          .toDF("doc_id", "text"),
+        ref, "doc_id", "text", k = 8, w = 4, minShared = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(batch === Set((1L, 900L)))
+  }
 }
