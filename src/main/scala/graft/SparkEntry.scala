@@ -58,7 +58,8 @@ object SparkEntry {
       entries.Batch31Entries.queries ++
       entries.Batch32Entries.queries ++
       entries.Batch33Entries.queries ++
-      entries.Batch34Entries.queries
+      entries.Batch34Entries.queries ++
+      entries.Batch35Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -95,7 +96,8 @@ object SparkEntry {
       entries.Batch31Entries.oracleSql ++
       entries.Batch32Entries.oracleSql ++
       entries.Batch33Entries.oracleSql ++
-      entries.Batch34Entries.oracleSql
+      entries.Batch34Entries.oracleSql ++
+      entries.Batch35Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -67,7 +67,16 @@ object PlanAudit {
     // (matched, total) count pairs plus the length pair — are five
     // 1-row aggregates crossJoined into the single output row (the
     // (N, avgdl) pattern, once per order)
-    "bleu_corpus")
+    "bleu_corpus",
+    // corpus_js: the (N_a, N_b, |V|) corpus totals ride onto the
+    // vocab join as a 1-row broadcast (the bm25 (N, avgdl) pattern)
+    "corpus_js",
+    // pr_curve: the positive-class total rides onto the (distinct-
+    // score-sized) threshold table as a 1-row broadcast
+    "pr_curve",
+    // rank_eval: evaluates the bm25_topk plan, so it inherits its
+    // (N, avgdl) 1-row scalar broadcast
+    "rank_eval")
     // semantic_decontam is NOT allowlisted: its entry runs the
     // max_cosine_f32 kernel (pure projection, no join at all) — if a
     // BNLJ ever reappears there it is a regression to the join path
