@@ -46,7 +46,8 @@ object Bench {
     "gopher_rules", "ngram_rep", "semantic_decontam", "bpe_encode",
     "pack_shards", "interval_join", "top_ngram",
     "rouge_doc", "bleu_corpus", "chrf_doc", "qa_eval",
-    "winnow_pairs_xx", "blocklist_hits", "phrase_search", "corpus_js")
+    "winnow_pairs_xx", "blocklist_hits", "phrase_search", "corpus_js",
+    "roc_auc", "rank_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

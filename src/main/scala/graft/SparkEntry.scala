@@ -59,7 +59,8 @@ object SparkEntry {
       entries.Batch32Entries.queries ++
       entries.Batch33Entries.queries ++
       entries.Batch34Entries.queries ++
-      entries.Batch35Entries.queries
+      entries.Batch35Entries.queries ++
+      entries.Batch36Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -97,7 +98,8 @@ object SparkEntry {
       entries.Batch32Entries.oracleSql ++
       entries.Batch33Entries.oracleSql ++
       entries.Batch34Entries.oracleSql ++
-      entries.Batch35Entries.oracleSql
+      entries.Batch35Entries.oracleSql ++
+      entries.Batch36Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -273,5 +273,31 @@ object GfFrame {
                          alpha: Double = 0.5): Fluent =
       new Fluent(graft.text.CorpusStats.corpusDivergence(df, other,
         textCol, otherTextCol, alpha))
+    /** Rank-statistic ROC-AUC of a score column against a label. */
+    def rocAuc(scoreCol: String, labelCol: String,
+               bins: Option[Int] = None): Fluent =
+      new Fluent(graft.ml.ClassifierEval.rocAuc(df, scoreCol, labelCol,
+        bins))
+    /** Precision-recall curve at every distinct score threshold. */
+    def prCurve(scoreCol: String, labelCol: String,
+                bins: Option[Int] = None): Fluent =
+      new Fluent(graft.ml.ClassifierEval.prCurve(df, scoreCol, labelCol,
+        bins))
+    /** Zipf's-law fit over this frame's token frequencies. */
+    def zipfFit(textCol: String, minFreq: Long = 1L): Fluent =
+      new Fluent(graft.text.CorpusStats.zipfFit(df, textCol, minFreq))
+    /** Heaps'-law vocabulary-growth fit over this frame. */
+    def heapsFit(idCol: String, textCol: String): Fluent =
+      new Fluent(graft.text.CorpusStats.heapsFit(df, idCol, textCol))
+    /** Type-token ratio per group slice. */
+    def typeTokenRatio(groupCol: String, textCol: String): Fluent =
+      new Fluent(graft.text.CorpusStats.typeTokenRatio(df, groupCol,
+        textCol))
+    /** Per-query ranking metrics of this frame (query/doc/rank) vs qrels. */
+    def rankingMetrics(qrels: DataFrame, queryCol: String = "query",
+                       docCol: String = "doc", rankCol: String = "rank",
+                       relCol: String = "rel", k: Int = 10): Fluent =
+      new Fluent(graft.ml.RankEval.rankingMetrics(df, qrels, queryCol,
+        docCol, rankCol, relCol, k))
   }
 }

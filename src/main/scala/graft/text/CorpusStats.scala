@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-corpus distribution diagnostics — the measurement half of
@@ -69,5 +70,112 @@ object CorpusStats {
         round(sum(q * log(q / p)), 6).as("kl_ba"),
         round(sum(p * log(p / m) / lit(2.0) + q * log(q / m) / lit(2.0)), 6)
           .as("js"))
+  }
+
+  /** Zipf's-law fit: OLS of `ln(freq)` on `ln(rank)` over the unigram
+    * frequency table — the corpus-health diagnostic (natural text
+    * slopes ≈ −1; heavily templated/boilerplate corpora flatten, OCR
+    * noise steepens the tail). One row:
+    * (n_types, n_tokens, slope, intercept).
+    *
+    * Rank is `row_number` over (freq desc, token asc) — fully
+    * deterministic. The ordered pass is a window over |vocab| rows
+    * (vocabularies saturate in the millions — driver-safe but
+    * single-task; at extreme vocab sizes pre-filter `minFreq > 1`,
+    * which also removes the hapax plateau the fit shouldn't see).
+    * OLS sums round to 6 dp.
+    */
+  def zipfFit(df: DataFrame, textCol: String, minFreq: Long = 1L): DataFrame = {
+    require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
+    val counts = df.select(explode(TextFns.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token").asc)))
+    val xy = ranked.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("freq").cast("double")).as("y"),
+      col("freq"))
+    xy.agg(count(lit(1)).as("_n"), sum("freq").as("_tok"),
+        sum("x").as("_sx"), sum("y").as("_sy"),
+        sum(col("x") * col("y")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"))
+      .select(col("_n").as("n_types"), col("_tok").as("n_tokens"),
+        round((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
+          (col("_sxx") - col("_sx") * col("_sx") / col("_n")), 6)
+          .as("slope"),
+        round(col("_sy") / col("_n") -
+          ((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
+            (col("_sxx") - col("_sx") * col("_sx") / col("_n"))) *
+          col("_sx") / col("_n"), 6).as("intercept"))
+  }
+
+  /** Vocabulary-growth curve (Heaps' law input): after each document
+    * in `idCol` order, the cumulative token count N and cumulative
+    * distinct-type count V. A token's first occurrence is
+    * `min(idCol)` over its postings — one corpus pass — so V's
+    * increments are exact without any prefix-distinct scan; both
+    * cumsums are one window over the (bounded) per-doc increment
+    * table. `sampleEvery` keeps the emitted curve bounded (every
+    * k-th doc id); the fit-side consumer is [[heapsFit]].
+    * Output: (idCol, cum_tokens, cum_types). */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  sampleEvery: Long = 1L): DataFrame = {
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    val toks = df.select(col(idCol).as("_id"),
+      explode(TextFns.tokens(col(textCol))).as("token"))
+    val perDocTokens = toks.groupBy("_id").agg(count(lit(1)).as("_nt"))
+    val firstOcc = toks.groupBy("token").agg(min("_id").as("_id"))
+      .groupBy("_id").agg(count(lit(1)).as("_new"))
+    val w = Window.orderBy("_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDocTokens.join(firstOcc, Seq("_id"), "left")
+      .withColumn("_new", coalesce(col("_new"), lit(0L)))
+      .select(col("_id"), sum("_nt").over(w).as("cum_tokens"),
+        sum("_new").over(w).as("cum_types"))
+      .filter(col("_id") % sampleEvery === 0)
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Heaps'-law fit `V ≈ K·N^β`: OLS of `ln V` on `ln N` over the
+    * [[vocabGrowth]] curve. One row: (n_points, beta, ln_k).
+    * Sub-linear vocabulary growth (β ≈ 0.4–0.6 for natural text) is
+    * the expected shape; β near 1 signals unbounded-type noise
+    * (serial numbers, hashes) worth a cleaning pass. */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val g = vocabGrowth(df, idCol, textCol)
+    val xy = g.select(log(col("cum_tokens").cast("double")).as("x"),
+      log(col("cum_types").cast("double")).as("y"))
+    xy.agg(count(lit(1)).as("_n"), sum("x").as("_sx"), sum("y").as("_sy"),
+        sum(col("x") * col("y")).as("_sxy"),
+        sum(col("x") * col("x")).as("_sxx"))
+      .select(col("_n").as("n_points"),
+        round((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
+          (col("_sxx") - col("_sx") * col("_sx") / col("_n")), 6)
+          .as("beta"),
+        round(col("_sy") / col("_n") -
+          ((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
+            (col("_sxx") - col("_sx") * col("_sx") / col("_n"))) *
+          col("_sx") / col("_n"), 6).as("ln_k"))
+  }
+
+  /** Type-token ratio and basic lexical stats per group (source,
+    * language, shard, ...): (groupCol, n_docs, n_tokens, n_types,
+    * ttr) — the per-slice lexical-diversity dashboard. One explode,
+    * two keyed aggregations. */
+  def typeTokenRatio(df: DataFrame, groupCol: String,
+                     textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("grp"), col(textCol).as("_t"))
+      .select(col("grp"), explode(TextFns.tokens(col("_t"))).as("token"))
+    val docs = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    val stats = toks.groupBy("grp").agg(count(lit(1)).as("n_tokens"),
+      count_distinct(col("token")).as("n_types"))
+    docs.join(stats, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"))
   }
 }
