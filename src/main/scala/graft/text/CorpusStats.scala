@@ -120,19 +120,38 @@ object CorpusStats {
     * k-th doc id); the fit-side consumer is [[heapsFit]].
     * Output: (idCol, cum_tokens, cum_types). */
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
-                  sampleEvery: Long = 1L): DataFrame = {
+                  sampleEvery: Long = 1L,
+                  bucketSize: Long = 1000000L): DataFrame = {
     require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    require(bucketSize >= 1, s"bucketSize must be >= 1, got $bucketSize")
     val toks = df.select(col(idCol).as("_id"),
       explode(TextFns.tokens(col(textCol))).as("token"))
     val perDocTokens = toks.groupBy("_id").agg(count(lit(1)).as("_nt"))
     val firstOcc = toks.groupBy("token").agg(min("_id").as("_id"))
       .groupBy("_id").agg(count(lit(1)).as("_new"))
-    val w = Window.orderBy("_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    perDocTokens.join(firstOcc, Seq("_id"), "left")
+    val incr = perDocTokens.join(firstOcc, Seq("_id"), "left")
       .withColumn("_new", coalesce(col("_new"), lit(0L)))
-      .select(col("_id"), sum("_nt").over(w).as("cum_tokens"),
-        sum("_new").over(w).as("cum_types"))
+      .withColumn("_b", floor(col("_id") / bucketSize))
+    // two-level prefix sum (the packShards / token-budget kernel): a
+    // single global-ordered window would funnel every document
+    // through ONE task. Level 1 sums each id-bucket (keyed groupBy);
+    // level 2 runs the unpartitioned window over #buckets rows only
+    // (bounded — 1e6 ids per bucket ⇒ thousands of buckets at any
+    // corpus size); level 3 is a PER-BUCKET window joined back to the
+    // bucket offsets. Bit-identical to the one-window form (integer
+    // sums in exact arithmetic), asserted in Batch36Spec.
+    val bTot = incr.groupBy("_b")
+      .agg(sum("_nt").as("_bt"), sum("_new").as("_bn"))
+    val wB = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    val bOff = bTot.select(col("_b"),
+      coalesce(sum("_bt").over(wB), lit(0L)).as("_ot"),
+      coalesce(sum("_bn").over(wB), lit(0L)).as("_on"))
+    val wIn = Window.partitionBy("_b").orderBy("_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    incr.join(bOff, Seq("_b"))
+      .select(col("_id"),
+        (sum("_nt").over(wIn) + col("_ot")).as("cum_tokens"),
+        (sum("_new").over(wIn) + col("_on")).as("cum_types"))
       .filter(col("_id") % sampleEvery === 0)
       .withColumnRenamed("_id", idCol)
   }

@@ -42,6 +42,26 @@ class Batch36Spec extends SparkSpec {
     assert(g.toSeq === Seq((0L, 2L, 2L), (1L, 4L, 3L), (2L, 7L, 4L)))
   }
 
+  test("vocabGrowth bucketed prefix sum is identical to the one-window form") {
+    val rnd = new scala.util.Random(9)
+    val vocab = (0 until 40).map(i => s"v$i")
+    val docs = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    // bucketSize 7 forces many buckets with uneven boundaries
+    val bucketed = CorpusStats.vocabGrowth(docs, "doc_id", "text",
+        bucketSize = 7L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val oneBucket = CorpusStats.vocabGrowth(docs, "doc_id", "text",
+        bucketSize = 1000000L)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(bucketed === oneBucket)
+    // both cumulative series are monotone
+    assert(bucketed.sliding(2).forall(p => p(0)._2 <= p(1)._2 &&
+      p(0)._3 <= p(1)._3))
+  }
+
   test("heapsFit: beta is exactly 1 when every token is new") {
     val docs = (0 until 20).map(i => (i.toLong, s"w${i}a w${i}b w${i}c"))
       .toDF("doc_id", "text")
