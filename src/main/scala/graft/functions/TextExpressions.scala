@@ -240,7 +240,7 @@ object TextExpressions {
     val registry = spark.sessionState.functionRegistry
     // guard on the LAST-added function so an upgraded register() call
     // on a session registered by an older build re-registers the set
-    if (registry.functionExists(FunctionIdentifier("winnow_fps"))) return
+    if (registry.functionExists(FunctionIdentifier("multi_contains"))) return
     registry.registerFunction(
       FunctionIdentifier("lcs_len"),
       new ExpressionInfo(classOf[LcsLength].getName, null,
@@ -322,5 +322,27 @@ object TextExpressions {
         "string_funcs", "4.0.0", "", "built-in"),
       (children: Seq[Expression]) => WinnowFps(children(0),
         intLit(children(1), "winnow_fps"), intLit(children(2), "winnow_fps")))
+    registry.registerFunction(
+      FunctionIdentifier("multi_contains"),
+      new ExpressionInfo(classOf[MultiContains].getName, null,
+        "multi_contains", "multi_contains(text, patterns) - ascending " +
+          "ids of the literal patterns occurring in text (Aho-Corasick, " +
+          "one pass)", "", "", "", "string_funcs", "4.0.0", "", "built-in"),
+      (children: Seq[Expression]) => {
+        val pats = children(1) match {
+          case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(StringType, _)) =>
+            a.toArray[UTF8String](StringType).map(_.toString).toSeq
+          case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+            ca.children.map {
+              case Literal(s: UTF8String, StringType) => s.toString
+              case other => throw new IllegalArgumentException(
+                s"multi_contains patterns must be string literals, got $other")
+            }
+          case other => throw new IllegalArgumentException(
+            s"multi_contains patterns must be an array literal, got $other")
+        }
+        MultiContains(children(0), pats)
+      })
   }
 }

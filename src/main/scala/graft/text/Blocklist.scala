@@ -43,10 +43,20 @@ object Blocklist {
     * raw. Duplicate / empty patterns are dropped driver-side.
     */
   def hits(df: DataFrame, idCol: String, textCol: String,
-           terms: Seq[String], phrases: Seq[String] = Nil): DataFrame = {
+           terms: Seq[String], phrases: Seq[String] = Nil,
+           engine: String = "auto"): DataFrame = {
+    require(Set("auto", "literal", "ac").contains(engine),
+      s"engine must be auto|literal|ac, got $engine")
     val ts = terms.map(norm).filter(t => t.nonEmpty && !t.contains(" ")).distinct
     val ps = phrases.map(norm).filter(_.contains(" ")).distinct
     require(ts.nonEmpty || ps.nonEmpty, "empty blocklist: nothing to match")
+    // the literal-filter spelling is O(|blocklist| · len) per row; the
+    // Aho-Corasick expression is one text pass regardless of list
+    // size. Auto switches at 64 patterns — the crossover is far lower,
+    // but below that both are instant and the literal plan is simpler
+    // to read. Outputs are identical (asserted in Batch34Spec).
+    if (engine == "ac" || (engine == "auto" && ts.size + ps.size > 64))
+      return hitsAc(df, idCol, textCol, ts, ps)
     val empty = array().cast("array<string>")
     // HOF lambdas re-evaluate any outer expression they reference on
     // EVERY element — a token array fed to `filter` straight off the
@@ -74,6 +84,28 @@ object Blocklist {
       .select(col(idCol), col("_h.th").as("term_hits"),
         col("_h.ph").as("phrase_hits"),
         (size(col("_h.th")) + size(col("_h.ph")) > 0).as("blocked"))
+  }
+
+  /** [[hits]] on the Aho–Corasick path: terms and phrases unify into
+    * ONE automaton over the space-padded cleaned text (" t " matching
+    * is exactly token membership once the text is single-space
+    * normalized), so the scan is one pass per row regardless of
+    * blocklist size. Matched ids come back ascending = blocklist
+    * order, preserving the literal path's output exactly. */
+  private def hitsAc(df: DataFrame, idCol: String, textCol: String,
+                     ts: Seq[String], ps: Seq[String]): DataFrame = {
+    graft.functions.TextExpressions.register(df.sparkSession)
+    val all = (ts ++ ps).map(p => " " + p + " ")
+    val padded = concat(lit(" "), TextFns.cleanText(col(textCol)), lit(" "))
+    val matched = call_function("multi_contains", padded, lit(all.toArray))
+    val nTerms = ts.size
+    df.select(col(idCol), matched.as("_m"))
+      .select(col(idCol),
+        transform(filter(col("_m"), i => i < nTerms),
+          i => element_at(lit(ts.toArray), i + 1)).as("term_hits"),
+        transform(filter(col("_m"), i => i >= nTerms),
+          i => element_at(lit(ps.toArray), i - nTerms + 1)).as("phrase_hits"),
+        (size(col("_m")) > 0).as("blocked"))
   }
 
   /** Drop every document with at least one blocklist hit (the C4

@@ -48,6 +48,18 @@ object ScaleProbe {
   /** time(), gated by the SPARK_GRAFT_OPS dev filter: a filtered-out
     * op neither runs nor reports. */
   private var opsFilter: Option[Set[String]] = None
+
+  // big blocklist for the AC-vs-literal engine comparison: mostly
+  // misses (tokN / batch wN don't occur) plus a few real hits; size
+  // tunable via SPARK_GRAFT_BIGLIST (default 512)
+  private lazy val bigListN =
+    sys.env.getOrElse("SPARK_GRAFT_BIGLIST", "512").toInt
+  private lazy val bigTerms: Seq[String] =
+    (0 until bigListN - 32).map(i => s"tok$i") ++
+      Seq("hash", "dup", "spark", "merge", "scan")
+  private lazy val bigPhrases: Seq[String] =
+    (0 until 25).map(i => s"batch w$i") ++
+      Seq("batch batch", "window window")
   private def timed(label: String)(f: => Long): Option[(String, Double, Long)] =
     if (opsFilter.forall(_.contains(label))) Some(time(label)(f)) else None
 
@@ -251,6 +263,22 @@ object ScaleProbe {
           graft.text.Blocklist.hits(cached, "doc_id", "text",
               Seq("hash", "dup", "spark", "merge", "scan"),
               Seq("batch batch", "window window"))
+            .agg(sum(when(col("blocked"), 1L).otherwise(0L))).head()
+          nDocs
+        },
+        timed("blocklist_big_ac") {
+          // 512-pattern list on the Aho-Corasick engine: one text
+          // pass per row regardless of list size
+          graft.text.Blocklist.hits(cached, "doc_id", "text",
+              bigTerms, bigPhrases, engine = "ac")
+            .agg(sum(when(col("blocked"), 1L).otherwise(0L))).head()
+          nDocs
+        },
+        timed("blocklist_big_lit") {
+          // the same 512 patterns on the literal-filter spelling:
+          // O(|list| . len) per row — the shape AC replaces
+          graft.text.Blocklist.hits(cached, "doc_id", "text",
+              bigTerms, bigPhrases, engine = "literal")
             .agg(sum(when(col("blocked"), 1L).otherwise(0L))).head()
           nDocs
         },

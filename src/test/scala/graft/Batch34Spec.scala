@@ -159,6 +159,39 @@ class Batch34Spec extends SparkSpec {
     }
   }
 
+  test("multi_contains finds overlapping and suffix patterns via fail links") {
+    graft.functions.TextExpressions.register(spark)
+    val out = spark.sql(
+      "SELECT multi_contains('xabcy', array('ab', 'abc', 'bc', 'zz')) AS m")
+      .as[Seq[Int]].head()
+    assert(out === Seq(0, 1, 2)) // all but 'zz', ascending ids
+    val none = spark.sql(
+      "SELECT multi_contains('qqq', array('ab', 'bc')) AS m")
+      .as[Seq[Int]].head()
+    assert(none === Seq())
+  }
+
+  test("blocklist AC engine is identical to the literal engine") {
+    val rnd = new scala.util.Random(21)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    // 80 terms + 20 phrases: above the auto threshold
+    val terms = (0 until 80).map(i => s"w$i")
+    val phrases = (0 until 20).map(i => s"w$i w${i + 1}")
+    def run(engine: String) =
+      Blocklist.hits(docs, "doc_id", "text", terms, phrases, engine)
+        .orderBy("doc_id")
+        .as[(Long, Seq[String], Seq[String], Boolean)].collect().toSeq
+    val literal = run("literal")
+    val ac = run("ac")
+    assert(ac === literal)
+    assert(literal.exists(_._4) && literal.exists(r => r._3.nonEmpty))
+    assert(run("auto") === literal) // auto picks ac above 64 patterns
+  }
+
   // ---------------------------------------------------------- phrase search
 
   test("phrase search counts overlapping and repeated-token occurrences") {
