@@ -23,6 +23,12 @@ object Batch35Entries {
     T.lineitem(s, dir).select(col("l_discount").as("score"),
       (col("l_returnflag") === "R").as("label"))
 
+  private def predicted(s: SparkSession, dir: String): DataFrame =
+    T.lineitem(s, dir).select(col("l_returnflag").as("label"),
+      when(col("l_quantity") > 25, "R")
+        .when(col("l_discount") > 0.05, "A")
+        .otherwise("N").as("pred"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Mann-Whitney rank-statistic AUC with average ranks over ties —
@@ -60,6 +66,18 @@ object Batch35Entries {
         (col("l_returnflag") === "R").as("label"))
       ClassifierEval.calibrationBins(d, "score", "label", nBins = 10)
         .orderBy("bin")
+    }),
+
+    // Multi-class report: l_returnflag predicted by a deterministic
+    // quantity/discount rule — a genuinely confusable 3x3 matrix.
+    "class_report" -> ((s, dir) => {
+      ClassifierEval.classReport(predicted(s, dir), "label", "pred")
+        .orderBy("class")
+    }),
+
+    // Accuracy, macro-F1 and Cohen's kappa from the same table.
+    "class_kappa" -> ((s, dir) => {
+      ClassifierEval.kappaSummary(predicted(s, dir), "label", "pred")
     }),
 
     // Ranking eval of the bm25_topk retriever against graded qrels:
@@ -179,6 +197,67 @@ object Batch35Entries {
         |  round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
         |    AS pos_rate
         |FROM d GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "class_report" ->
+      """WITH d AS (SELECT l_returnflag AS label,
+        |    CASE WHEN l_quantity > 25 THEN 'R'
+        |         WHEN l_discount > 0.05 THEN 'A'
+        |         ELSE 'N' END AS pred
+        |  FROM lineitem),
+        |cm AS (SELECT label, pred, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |bt AS (SELECT label AS class, SUM(c) AS n_true FROM cm GROUP BY 1),
+        |bp AS (SELECT pred AS class, SUM(c) AS n_pred FROM cm GROUP BY 1),
+        |tp AS (SELECT label AS class, c AS tp FROM cm WHERE label = pred)
+        |SELECT cls.class,
+        |  CAST(COALESCE(bt.n_true, 0) AS BIGINT) AS n_true,
+        |  CAST(COALESCE(bp.n_pred, 0) AS BIGINT) AS n_pred,
+        |  CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+        |  round(CAST(COALESCE(tp.tp, 0) AS DOUBLE)
+        |    / CAST(bp.n_pred AS DOUBLE), 6) AS precision,
+        |  round(CAST(COALESCE(tp.tp, 0) AS DOUBLE)
+        |    / CAST(bt.n_true AS DOUBLE), 6) AS recall,
+        |  round(2.0 * CAST(COALESCE(tp.tp, 0) AS DOUBLE)
+        |    / CAST(COALESCE(bt.n_true, 0) + COALESCE(bp.n_pred, 0)
+        |        AS DOUBLE), 6) AS f1
+        |FROM (SELECT class FROM bt UNION SELECT class FROM bp) cls
+        |LEFT JOIN bt USING (class) LEFT JOIN bp USING (class)
+        |LEFT JOIN tp USING (class)
+        |ORDER BY class""".stripMargin,
+
+    "class_kappa" ->
+      """WITH d AS (SELECT l_returnflag AS label,
+        |    CASE WHEN l_quantity > 25 THEN 'R'
+        |         WHEN l_discount > 0.05 THEN 'A'
+        |         ELSE 'N' END AS pred
+        |  FROM lineitem),
+        |cm AS (SELECT label, pred, COUNT(*) AS c FROM d GROUP BY 1, 2),
+        |bt AS (SELECT label AS class, SUM(c) AS n_true FROM cm GROUP BY 1),
+        |bp AS (SELECT pred AS class, SUM(c) AS n_pred FROM cm GROUP BY 1),
+        |tp AS (SELECT label AS class, c AS tp FROM cm WHERE label = pred),
+        |rep AS (SELECT cls.class,
+        |    COALESCE(bt.n_true, 0) AS n_true,
+        |    COALESCE(bp.n_pred, 0) AS n_pred,
+        |    COALESCE(tp.tp, 0) AS tp,
+        |    round(2.0 * CAST(COALESCE(tp.tp, 0) AS DOUBLE)
+        |      / CAST(COALESCE(bt.n_true, 0) + COALESCE(bp.n_pred, 0)
+        |          AS DOUBLE), 6) AS f1
+        |  FROM (SELECT class FROM bt UNION SELECT class FROM bp) cls
+        |  LEFT JOIN bt USING (class) LEFT JOIN bp USING (class)
+        |  LEFT JOIN tp USING (class)),
+        |a AS (SELECT CAST(SUM(n_true) AS BIGINT) AS n,
+        |    CAST(SUM(tp) AS BIGINT) AS tpsum,
+        |    CAST(SUM(CAST(n_true AS DECIMAL(19,0))
+        |      * CAST(n_pred AS DECIMAL(19,0))) AS DOUBLE) AS pe_num,
+        |    AVG(CASE WHEN n_true > 0 THEN f1 END) AS mf1
+        |  FROM rep)
+        |SELECT n,
+        |  round(CAST(tpsum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+        |  round(mf1, 6) AS macro_f1,
+        |  round((CAST(tpsum AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    / (1.0 - pe_num / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+        |    6) AS kappa
+        |FROM a""".stripMargin,
 
     "rank_eval" -> {
       // the bm25_topk oracle verbatim as the ranking source (nested

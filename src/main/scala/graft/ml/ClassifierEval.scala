@@ -61,11 +61,14 @@ object ClassifierEval {
           (col("_before").cast("double") +
             (col("c").cast("double") + lit(1.0)) / lit(2.0))).as("_rs"))
       .select(col("_np").as("n_pos"), (col("_n") - col("_np")).as("n_neg"),
-        round(
-          (col("_rs") - col("_np").cast("double") *
-            (col("_np").cast("double") + lit(1.0)) / lit(2.0)) /
-          (col("_np").cast("double") *
-            (col("_n") - col("_np")).cast("double")), 6).as("auc"))
+        // single-class input: AUC undefined -> NULL (ANSI division
+        // would throw)
+        when(col("_np") > 0 && col("_n") > col("_np"),
+          round(
+            (col("_rs") - col("_np").cast("double") *
+              (col("_np").cast("double") + lit(1.0)) / lit(2.0)) /
+            (col("_np").cast("double") *
+              (col("_n") - col("_np")).cast("double")), 6)).as("auc"))
   }
 
   /** Precision-recall curve at every distinct score threshold,
@@ -84,8 +87,8 @@ object ClassifierEval {
       .select(col("s").as("threshold"), col("tp"), col("fp"),
         round(col("tp").cast("double") /
           (col("tp") + col("fp")).cast("double"), 6).as("precision"),
-        round(col("tp").cast("double") /
-          col("_npos").cast("double"), 6).as("recall"))
+        when(col("_npos") > 0, round(col("tp").cast("double") /
+          col("_npos").cast("double"), 6)).as("recall"))
   }
 
   /** Average precision (area under the PR step curve, sklearn's AP):
@@ -105,7 +108,8 @@ object ClassifierEval {
             (col("tp") + col("fp")).cast("double"))).as("_apnum"),
         sum(col("c") - col("p")).as("_nneg"))
       .select(col("_npos").as("n_pos"), col("_nneg").as("n_neg"),
-        round(col("_apnum") / col("_npos").cast("double"), 6).as("ap"))
+        when(col("_npos") > 0,
+          round(col("_apnum") / col("_npos").cast("double"), 6)).as("ap"))
   }
 
   /** Confusion matrix and derived rates at a fixed threshold
@@ -131,6 +135,70 @@ object ClassifierEval {
         round(lit(2.0) * col("tp").cast("double") /
           (lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
           .as("f1"))
+  }
+
+  /** Per-class precision/recall/F1 of a multi-class prediction:
+    * (class, n_true, n_pred, tp, precision, recall, f1) — one
+    * groupBy(label, pred) count table (|classes|² rows) feeds
+    * everything; no second pass over the data. Classes appearing
+    * only in predictions get n_true 0 and NULL recall (undefined,
+    * not zero). */
+  def classReport(df: DataFrame, labelCol: String,
+                  predCol: String): DataFrame = {
+    val cm = df.groupBy(col(labelCol).cast("string").as("_l"),
+        col(predCol).cast("string").as("_p"))
+      .agg(count(lit(1)).as("_c"))
+    val byTrue = cm.groupBy(col("_l").as("class"))
+      .agg(sum("_c").as("n_true"))
+    val byPred = cm.groupBy(col("_p").as("class"))
+      .agg(sum("_c").as("n_pred"))
+    val tp = cm.filter(col("_l") === col("_p"))
+      .select(col("_l").as("class"), col("_c").as("tp"))
+    byTrue.join(byPred, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred").cast("double"), 6))
+          .as("precision"),
+        when(col("n_true") > 0,
+          round(col("tp").cast("double") / col("n_true").cast("double"), 6))
+          .as("recall"),
+        round(lit(2.0) * col("tp").cast("double") /
+          (col("n_true") + col("n_pred")).cast("double"), 6).as("f1"))
+  }
+
+  /** Multi-class summary: one row (n, accuracy, macro_f1, kappa).
+    * Cohen's κ = (p_o − p_e)/(1 − p_e) with chance agreement
+    * p_e = Σ_c n_true(c)·n_pred(c)/n² — exact integer products, two
+    * round-6 divisions. Macro-F1 averages per-class F1 over classes
+    * with n_true > 0. */
+  def kappaSummary(df: DataFrame, labelCol: String,
+                   predCol: String): DataFrame = {
+    val rep = classReport(df, labelCol, predCol)
+    rep.agg(
+        sum(col("n_true")).as("_n"),
+        sum(col("tp")).as("_tp"),
+        // product in DECIMAL(38,0): class counts at web scale overflow
+        // a long product silently
+        sum(col("n_true").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+          col("n_pred").cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+          .as("_pe_num"),
+        avg(when(col("n_true") > 0, col("f1"))).as("_mf1"))
+      .select(col("_n").as("n"),
+        round(col("_tp").cast("double") / col("_n").cast("double"), 6)
+          .as("accuracy"),
+        round(col("_mf1"), 6).as("macro_f1"),
+        round(
+          (col("_tp").cast("double") / col("_n").cast("double") -
+            col("_pe_num").cast("double") /
+              (col("_n").cast("double") * col("_n").cast("double"))) /
+          (lit(1.0) - col("_pe_num").cast("double") /
+            (col("_n").cast("double") * col("_n").cast("double"))), 6)
+          .as("kappa"))
   }
 
   /** Reliability diagram input: per equal-width score bin, count,

@@ -113,10 +113,20 @@ object Blocklist {
     * schema. The predicate uses `arrays_overlap` / `contains` only —
     * the cheapest boolean form, no hit-list materialization. */
   def filterClean(df: DataFrame, textCol: String,
-                  terms: Seq[String], phrases: Seq[String] = Nil): DataFrame = {
+                  terms: Seq[String], phrases: Seq[String] = Nil,
+                  engine: String = "auto"): DataFrame = {
+    require(Set("auto", "literal", "ac").contains(engine),
+      s"engine must be auto|literal|ac, got $engine")
     val ts = terms.map(norm).filter(t => t.nonEmpty && !t.contains(" ")).distinct
     val ps = phrases.map(norm).filter(_.contains(" ")).distinct
     require(ts.nonEmpty || ps.nonEmpty, "empty blocklist: nothing to match")
+    if (engine == "ac" || (engine == "auto" && ts.size + ps.size > 64)) {
+      graft.functions.TextExpressions.register(df.sparkSession)
+      val all = (ts ++ ps).map(p => " " + p + " ")
+      val padded = concat(lit(" "), TextFns.cleanText(col(textCol)), lit(" "))
+      return df.filter(size(call_function("multi_contains", padded,
+        lit(all.toArray))) === 0)
+    }
     // same let-binding discipline as [[hits]]: normalize once, pad
     // once, then run the cheap membership checks over the bound values
     val pred = transform(array(TextFns.cleanText(col(textCol))), c0 => {

@@ -192,6 +192,18 @@ class Batch34Spec extends SparkSpec {
     assert(run("auto") === literal) // auto picks ac above 64 patterns
   }
 
+  test("blocklist filterClean AC engine matches the literal engine") {
+    val terms = (0 until 70).map(i => s"w$i") // above the auto threshold
+    val docs = Seq((1L, "w3 content"), (2L, "clean text"), (3L, "w69 here"))
+      .toDF("doc_id", "text")
+    def kept(engine: String) =
+      Blocklist.filterClean(docs, "text", terms, Nil, engine)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept("literal") === Set(2L))
+    assert(kept("ac") === Set(2L))
+    assert(kept("auto") === Set(2L))
+  }
+
   // ---------------------------------------------------------- phrase search
 
   test("phrase search counts overlapping and repeated-token occurrences") {

@@ -70,6 +70,31 @@ class Batch35Spec extends SparkSpec {
     assert(edge._1 === 9)
   }
 
+  test("classReport and kappaSummary: hand-computed 2-class case") {
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))
+      .toDF("label", "pred")
+    val rep = graft.ml.ClassifierEval.classReport(df, "label", "pred")
+      .orderBy("class")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rep(0) === (("a", 2L, 1L, 1L, 1.0, 0.5, 0.666667)))
+    assert(rep(1) === (("b", 2L, 3L, 2L, 0.666667, 1.0, 0.8)))
+    val s = graft.ml.ClassifierEval.kappaSummary(df, "label", "pred")
+      .as[(Long, Double, Double, Double)].head()
+    // po = 3/4, pe = (2*1 + 2*3)/16 = 1/2 -> kappa = 1/2
+    assert(s === ((4L, 0.75, 0.733334, 0.5)))
+  }
+
+  test("classReport: prediction-only class keeps NULL recall, not zero") {
+    val df = Seq(("a", "b"), ("a", "b")).toDF("label", "pred")
+    val rep = graft.ml.ClassifierEval.classReport(df, "label", "pred")
+      .orderBy("class")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect()
+    assert(rep(0)._1 === "a" && rep(0)._2 === 2L && rep(0)._3 === 0L)
+    assert(rep(0)._5.isEmpty) // precision undefined: no predictions
+    assert(rep(1)._1 === "b" && rep(1)._2 === 0L && rep(1)._6.isEmpty)
+  }
+
   test("rankingMetrics: hand-computed graded nDCG, MRR, precision/recall") {
     val ranking = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
       .toDF("query", "doc", "rank")
