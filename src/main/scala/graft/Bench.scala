@@ -47,7 +47,7 @@ object Bench {
     "pack_shards", "interval_join", "top_ngram",
     "rouge_doc", "bleu_corpus", "chrf_doc", "qa_eval",
     "winnow_pairs_xx", "blocklist_hits", "phrase_search", "corpus_js",
-    "roc_auc", "rank_eval")
+    "roc_auc", "rank_eval", "page_rank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

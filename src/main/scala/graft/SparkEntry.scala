@@ -60,7 +60,8 @@ object SparkEntry {
       entries.Batch33Entries.queries ++
       entries.Batch34Entries.queries ++
       entries.Batch35Entries.queries ++
-      entries.Batch36Entries.queries
+      entries.Batch36Entries.queries ++
+      entries.Batch37Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -99,7 +100,8 @@ object SparkEntry {
       entries.Batch33Entries.oracleSql ++
       entries.Batch34Entries.oracleSql ++
       entries.Batch35Entries.oracleSql ++
-      entries.Batch36Entries.oracleSql
+      entries.Batch36Entries.oracleSql ++
+      entries.Batch37Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -76,7 +76,10 @@ object PlanAudit {
     "pr_curve",
     // rank_eval: evaluates the bm25_topk plan, so it inherits its
     // (N, avgdl) 1-row scalar broadcast
-    "rank_eval")
+    "rank_eval",
+    // page_rank: the per-iteration dangling-mass scalar rides onto
+    // the rank vector as a 1-row broadcast (one NLJ per iteration)
+    "page_rank")
     // semantic_decontam is NOT allowlisted: its entry runs the
     // max_cosine_f32 kernel (pure projection, no join at all) — if a
     // BNLJ ever reappears there it is a regression to the join path
