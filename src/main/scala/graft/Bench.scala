@@ -32,16 +32,14 @@ object Bench {
     "drop_near_dups", "cosine_topk", "ivf_topk",
     "lang_id", "text_quality", "rep_stats", "activations",
     "extractive_summary", "sql_window", "ols_residuals",
-    "kruskal_wallis", "zscore", "ivf_topk_approx", "stream_dedup",
+    "kruskal_wallis", "zscore", "stream_dedup",
     "image_features", "haversine_nn_full", "pii_redact", "decontam",
-    "audio_features", "token_budget_temp", "heavy_hitters_exact",
+    "token_budget_temp", "heavy_hitters_exact",
     "salted_sum", "chunk_tokens", "line_dedup", "url_dedup", "span_dedup",
-    "unigram_ppl", "snapshot_dedup", "snapshot_neardup",
-    "kn_ppl", "sb_ppl", "bm25_topk", "rrf_fuse", "cosine_i8_topk",
+    "unigram_ppl", "snapshot_dedup", "kn_ppl", "sb_ppl", "bm25_topk", "rrf_fuse", "cosine_i8_topk",
     "quality_clf", "semantic_dedup", "bm25_stream",
-    "make_blobs", "make_text", "cc_star", "llm_pipeline",
-    "cluster_assign", "cluster_balance", "pq_topk", "pq_refine",
-    "token_budget_unimax", "stratified_hash",
+    "make_text", "cc_star", "llm_pipeline",
+    "cluster_assign", "cluster_balance", "pq_topk", "stratified_hash",
     "weighted_sample", "dsir_select",
     "gopher_rules", "ngram_rep", "semantic_decontam", "bpe_encode",
     "pack_shards", "interval_join", "top_ngram",
