@@ -251,6 +251,10 @@ object GfFrame {
                         phrases: Seq[String] = Nil): Fluent =
       new Fluent(graft.text.Blocklist.filterClean(df, textCol, terms,
         phrases))
+    /** Mask every token on a term dictionary (name-list redaction). */
+    def redactTerms(textCol: String, terms: Seq[String],
+                    mask: String = "[REDACTED]"): Fluent =
+      new Fluent(graft.text.Redact.redactTerms(df, textCol, terms, mask))
     /** Per-document blocklist hit report. */
     def blocklistHits(idCol: String, textCol: String, terms: Seq[String],
                       phrases: Seq[String] = Nil): Fluent =

@@ -131,6 +131,30 @@ object PipelineDemo {
     println("curated docs -> output shards: " + sharded.count() + " docs, " +
       (sharded.agg(max(col("shard"))).head.getLong(0) + 1) + " shards")
 
+    // 5c4. the round-12 gate-and-audit close: C4 blocklist removal
+    // (auto-switches to the Aho-Corasick automaton on big lists),
+    // winnowing screen against a licence-text reference set (local
+    // guarantee: any shared >= 11-char normalized run is caught),
+    // and the corpus dashboard (Zipf slope + Heaps beta + JS drift
+    // between the kept and dropped halves)
+    val blocked = docs.graft
+      .dropBlocklisted("text", terms = Seq("dup", "stream"),
+        phrases = Seq("batch batch"))
+      .result
+    val licenceRef = docs.filter(col("doc_id") % 101 === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    val flaggedOverlap = graft.text.Winnow.crossPairs(
+      blocked, licenceRef, "doc_id", "text", k = 8, w = 4, minShared = 10)
+    println("blocklist survivors: " + blocked.count() +
+      "; licence-overlap flags: " + flaggedOverlap.count())
+    val zipf = blocked.graft.zipfFit("text").result.head()
+    val heaps = blocked.graft.heapsFit("doc_id", "text").result.head()
+    val drift = graft.text.CorpusStats.corpusDivergence(
+      blocked, docs, "text", "text").head()
+    println(f"corpus dashboard: zipf slope ${zipf.getDouble(2)}%.3f, " +
+      f"heaps beta ${heaps.getDouble(1)}%.3f, " +
+      f"JS(kept, all) ${drift.getDouble(5)}%.6f")
+
     // 5d. synthetic data on demand (datasets.Make): a regression frame
     // is a plan, not an allocation — generated distributed, no RNG state
     val synth = graft.datasets.Make.makeRegression(spark, 1000,

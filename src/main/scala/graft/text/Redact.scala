@@ -78,4 +78,37 @@ object Redact {
     }
     withCounts.withColumn(outCol, redactPii(col(textCol)))
   }
+
+  /** Dictionary redaction: mask every token on a term list (name
+    * lists, project codenames, user handles) — the masking sibling of
+    * [[Blocklist.filterClean]]'s page REMOVAL. Operates on the
+    * [[TextFns.cleanText]] normalization (exact token match, no
+    * substring bleed: "hashtag" survives a "hash" entry); the token
+    * array is let-bound once per row; the per-token membership check
+    * scans the literal term array (fine into the hundreds of terms —
+    * for dictionaries in the tens of thousands swap in a broadcast
+    * semi-join on exploded tokens, or an automaton pass).
+    *
+    * Output columns: `<textCol>_redacted` (masked, single-space
+    * normalized) and `n_redacted` (tokens masked). */
+  def redactTerms(df: DataFrame, textCol: String, terms: Seq[String],
+                  mask: String = "[REDACTED]"): DataFrame = {
+    val ts = terms.map(_.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .replaceAll(" +", " ").trim)
+      .filter(t => t.nonEmpty && !t.contains(" ")).distinct
+    require(ts.nonEmpty, "empty term dictionary: nothing to redact")
+    val res = transform(
+      array(TextFns.tokens(TextFns.cleanText(col(textCol)))), toks =>
+        struct(
+          concat_ws(" ", transform(toks,
+            t => when(array_contains(lit(ts.toArray), t), lit(mask))
+              .otherwise(t))).as("r"),
+          size(filter(toks,
+            t => array_contains(lit(ts.toArray), t))).as("n"))
+    ).getItem(0)
+    df.withColumn("_rr", res)
+      .withColumn(s"${textCol}_redacted", col("_rr.r"))
+      .withColumn("n_redacted", col("_rr.n").cast("long"))
+      .drop("_rr")
+  }
 }

@@ -413,6 +413,25 @@ object ScaleProbe {
       return
     }
 
+    // PageRank axis (SPARK_GRAFT_PR_N=<edges>): hash-random graph
+    // with avg degree 10 built from range() (no input data — the
+    // makeText convention applied to edges), 3 damped iterations.
+    // Per-iteration work is one keyed join + one groupBy, so wall
+    // should track edge volume linearly.
+    sys.env.get("SPARK_GRAFT_PR_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      val nNodes = math.max(n / 10, 1L)
+      val edges = spark.range(n).select(
+        (col("id") % nNodes).as("src"),
+        pmod(xxhash64(col("id")), lit(nNodes)).as("dst"))
+      val t0 = System.nanoTime()
+      val rows = graft.rel.Graph.pageRank(edges, "src", "dst",
+        iterations = 3).count()
+      val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+      println(f"""PRPROBE {"edges":$n,"nodes":$rows,"sec":$sec%.3f}""")
+      spark.stop()
+      return
+    }
+
     sys.env.get("SPARK_GRAFT_ANN_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val dim = 64
       val emb = spark.range(n).select(col("id").as("vec_id"),
