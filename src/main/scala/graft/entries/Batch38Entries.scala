@@ -21,6 +21,24 @@ object Batch38Entries {
         .orderBy("doc_id")
     }),
 
+    // Flesch-Kincaid readability: pure codegen projection; the
+    // synthetic corpus has no punctuation, so every doc is one
+    // "sentence" — the W/S term degenerates to W, which still
+    // exercises both formulas end-to-end.
+    "readability" -> ((s, dir) => {
+      graft.text.Quality.readability(T.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Max drawdown per user over the event-time-ordered value series
+    // (the makeWalk price-path consumer): cumulative-max window +
+    // one keyed aggregation.
+    "max_drawdown" -> ((s, dir) => {
+      graft.ts.Windows.maxDrawdown(T.events(s, dir), Seq("user_id"),
+          "value", "ts", tieCols = Seq("event_id"))
+        .orderBy("user_id")
+    }),
+
     // Corpus-wide top bigrams (the WIMBD "most common n-grams"
     // analysis): one explode-once bigram construction off the
     // let-bound token array, one map-side-combined groupBy, exact
@@ -60,6 +78,51 @@ object Batch38Entries {
          |    x -> list_contains($lst, x))) AS BIGINT) AS n_redacted
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "readability" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |  FROM documents),
+        |t AS (SELECT doc_id,
+        |    CASE WHEN clean = '' THEN []::VARCHAR[]
+        |         ELSE string_split_regex(clean, '\s+') END AS toks,
+        |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns
+        |  FROM d),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(ns AS BIGINT) AS n_sentences,
+        |    CAST(list_sum(list_transform(toks, x ->
+        |      GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences,
+        |  COALESCE(n_syllables, 0) AS n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(COALESCE(n_syllables, 0) AS DOUBLE)
+        |          / CAST(n_words AS DOUBLE)), 6)
+        |  END AS fk_ease,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      + 11.8 * (CAST(COALESCE(n_syllables, 0) AS DOUBLE)
+        |          / CAST(n_words AS DOUBLE)) - 15.59, 6)
+        |  END AS fk_grade
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "max_drawdown" ->
+      """WITH w AS (SELECT user_id, value,
+        |    MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM events),
+        |d AS (SELECT user_id, peak,
+        |    CASE WHEN peak > 0 THEN (peak - value) / peak END AS dd
+        |  FROM w)
+        |SELECT user_id, COUNT(*) AS n_obs,
+        |  round(MAX(peak), 6) AS peak,
+        |  round(MAX(dd), 6) AS max_drawdown
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "corpus_top_ngrams" ->
       """WITH d AS (SELECT

@@ -10,6 +10,40 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** Flesch–Kincaid readability (Kincaid et al. 1975) — the classic
+    * surface-statistic quality feature web-corpus filters carry
+    * alongside the Gopher rules: per document, word / sentence /
+    * syllable counts and the two FK scores. Sentence count = terminal-
+    * punctuation runs on the RAW text with a floor of 1 (a lookbehind
+    * split would not replay in RE2 engines); syllables are
+    * vowel-group counts with the standard ≥ 1-per-word floor. Pure
+    * codegen projection — no shuffle, no UDF. Zero-word documents
+    * keep NULL scores (undefined, not zero). */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val out = transform(array(struct(
+      TextFns.tokens(TextFns.cleanText(col(textCol))).as("t"),
+      greatest(size(regexp_extract_all(col(textCol), lit("[.!?]+"),
+        lit(0))), lit(1)).as("ns"))), s0 => {
+      val toks = s0.getField("t")
+      val w = size(toks).cast("double")
+      val sn = s0.getField("ns").cast("double")
+      val syl = aggregate(transform(toks, t =>
+          greatest(size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))),
+            lit(1))),
+        lit(0), (acc, x) => acc + x).cast("double")
+      struct(w.cast("long").as("w"), sn.cast("long").as("s"),
+        syl.cast("long").as("syl"),
+        when(w > 0, round(lit(206.835) - lit(1.015) * (w / sn) -
+          lit(84.6) * (syl / w), 6)).as("ease"),
+        when(w > 0, round(lit(0.39) * (w / sn) +
+          lit(11.8) * (syl / w) - lit(15.59), 6)).as("grade"))
+    }).getItem(0)
+    df.select(col(idCol), out.as("_r"))
+      .select(col(idCol), col("_r.w").as("n_words"),
+        col("_r.s").as("n_sentences"), col("_r.syl").as("n_syllables"),
+        col("_r.ease").as("fk_ease"), col("_r.grade").as("fk_grade"))
+  }
+
   private val defaultStopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 

@@ -257,4 +257,30 @@ object Windows {
     rank2Rows(df, partitionCols, valueCol, "_r2x", buckets)
       .withColumn(outName, col("_r2x").cast("double") / 2.0)
       .drop("_r2x")
+
+  /** Maximum drawdown per series — the peak-to-trough loss fraction
+    * of an ordered value series (the makeWalk price-path consumer,
+    * and the standard risk statistic the reference's financial
+    * simulators feed): per partition, running peak via a cumulative
+    * max window, drawdown `(peak − v)/peak`, then one keyed
+    * aggregation. Output: (partitionCols..., n_obs, peak,
+    * max_drawdown). Peaks at or below zero contribute NULL drawdown
+    * (the ratio is undefined for non-positive prices), and a series
+    * whose every peak is non-positive reports NULL. Ordering ties
+    * break on the extra `tieCols` for determinism. */
+  def maxDrawdown(df: DataFrame, partitionCols: Seq[String],
+                  valueCol: String, orderCol: String,
+                  tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy((orderCol +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val v = col(valueCol).cast("double")
+    df.withColumn("_peak", max(v).over(w))
+      .withColumn("_dd",
+        when(col("_peak") > 0, (col("_peak") - v) / col("_peak")))
+      .groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        round(max(col("_peak")), 6).as("peak"),
+        round(max(col("_dd")), 6).as("max_drawdown"))
+  }
 }

@@ -26,6 +26,32 @@ class Batch38Spec extends SparkSpec {
     assert(out(4) === ((5L, "clean words only", 0L)))
   }
 
+  test("readability: hand-computed Flesch-Kincaid on a two-sentence doc") {
+    // "Go now. Stop it!": 2 sentence runs, 4 words, 4 syllables
+    // ease = 206.835 - 1.015*2 - 84.6*1 = 120.205
+    // grade = 0.39*2 + 11.8*1 - 15.59 = -3.01
+    val out = graft.text.Quality.readability(
+        Seq((1L, "Go now. Stop it!"), (2L, "")).toDF("id", "text"),
+        "id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect()
+    assert(out(0) === ((1L, 4L, 2L, 4L, Some(120.205), Some(-3.01))))
+    assert(out(1)._2 === 0L && out(1)._5.isEmpty) // zero words -> NULL
+  }
+
+  test("maxDrawdown: hand-computed peak-to-trough; non-positive peaks stay NULL") {
+    val ev = Seq(
+      (1L, 1L, 10.0), (1L, 2L, 5.0), (1L, 3L, 8.0), (1L, 4L, 2.0),
+      (2L, 1L, 0.0), (2L, 2L, 0.0)) // peak never positive
+      .toDF("user", "t", "value")
+    val out = graft.ts.Windows.maxDrawdown(ev, Seq("user"), "value", "t")
+      .orderBy("user")
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(out(0) === ((1L, 4L, Some(10.0), Some(0.8))))
+    assert(out(1)._1 === 2L && out(1)._4.isEmpty)
+  }
+
   test("redactTerms custom mask and dictionary normalization") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val out = Redact.redactTerms(docs, "text", Seq("  BETA!  "), mask = "*")
