@@ -39,6 +39,22 @@ object Batch38Entries {
         .orderBy("user_id")
     }),
 
+    // Ordered conversion funnel view -> click -> purchase: per-user
+    // min-timestamp chains through user-keyed joins; counts are
+    // monotone by construction.
+    "funnel" -> ((s, dir) => {
+      graft.ts.EventAnalytics.funnel(T.events(s, dir), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
+    // Weekly cohort retention off first-seen week.
+    "cohort_retention" -> ((s, dir) => {
+      graft.ts.EventAnalytics.cohortRetention(T.events(s, dir),
+          "user_id", "ts", period = "week")
+        .orderBy("cohort", "period_offset")
+    }),
+
     // Corpus-wide top bigrams (the WIMBD "most common n-grams"
     // analysis): one explode-once bigram construction off the
     // let-bound token array, one map-side-combined groupBy, exact
@@ -123,6 +139,36 @@ object Batch38Entries {
         |  round(MAX(peak), 6) AS peak,
         |  round(MAX(dd), 6) AS max_drawdown
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, MIN(ts) AS t
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2, 'click', COUNT(*) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', COUNT(*) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH c AS (SELECT user_id AS u,
+        |    MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS p
+        |  FROM events)
+        |SELECT c.cohort,
+        |  CAST(date_diff('day', c.cohort, a.p) / 7 AS BIGINT)
+        |    AS period_offset,
+        |  COUNT(*) AS n_users
+        |FROM a JOIN c ON a.u = c.u
+        |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin,
 
     "corpus_top_ngrams" ->
       """WITH d AS (SELECT

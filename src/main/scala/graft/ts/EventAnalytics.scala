@@ -1,0 +1,80 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics queries over event streams — the funnel and
+  * cohort-retention analyses every events table ultimately feeds
+  * (reference adjacency: the ts/sessionize family; these are the two
+  * standard aggregations downstream of it).
+  *
+  * Both are keyed plans end-to-end: per-user aggregations, user-keyed
+  * joins, then a tiny groupBy — nothing global-sorted, nothing
+  * driver-sized.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: for steps s₁..s_k, a user reaches
+    * step i if an event of type s_i occurs AT OR AFTER their earliest
+    * qualifying time for step i−1 (the classic "unbounded window"
+    * funnel). Output: (step, step_name, n_users), step 1-based —
+    * counts are monotone non-increasing by construction.
+    *
+    * Plan: one per-user min-timestamp aggregation per step, chained
+    * through user-keyed joins; the final counts are k one-row
+    * aggregates unioned. */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val frames = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val ofType = events.filter(col(typeCol) === step)
+          .select(col(userCol).as("_u"), col(tsCol).as("_ts"))
+        val qualified = prev match {
+          case None => ofType
+          case Some(p) => ofType.join(p, Seq("_u"))
+            .filter(col("_ts") >= col("_prev"))
+            .select(col("_u"), col("_ts"))
+        }
+        Some(qualified.groupBy("_u").agg(min("_ts").as("_prev")))
+    }.flatten
+    frames.zip(steps).zipWithIndex.map { case ((f, name), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: users grouped by their first-seen period
+    * (week/day truncation), counted as retained in every later period
+    * they were active. Output: (cohort, period_offset, n_users) with
+    * offset in whole periods since the cohort period.
+    *
+    * Plan: one per-user min aggregation (cohort assignment), one
+    * distinct over (user, period) — activity, not event volume — one
+    * user-keyed join, one small groupBy. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      period: String = "week"): DataFrame = {
+    require(Set("week", "day", "month").contains(period),
+      s"period must be week|day|month, got $period")
+    val perLen = period match {
+      case "week" => 7L
+      case "day" => 1L
+      case "month" => 0L // month offsets use months_between
+    }
+    val trunc = date_trunc(period, col(tsCol)).cast("date")
+    val cohorts = events.groupBy(col(userCol).as("_u"))
+      .agg(min(trunc).as("cohort"))
+    val active = events.select(col(userCol).as("_u"), trunc.as("_p"))
+      .distinct()
+    val joined = active.join(cohorts, Seq("_u"))
+    val offset =
+      if (period == "month")
+        months_between(col("_p"), col("cohort")).cast("long")
+      else (datediff(col("_p"), col("cohort")) / perLen).cast("long")
+    joined.select(col("cohort"), offset.as("period_offset"))
+      .groupBy("cohort", "period_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

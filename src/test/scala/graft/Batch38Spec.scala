@@ -52,6 +52,49 @@ class Batch38Spec extends SparkSpec {
     assert(out(1)._1 === 2L && out(1)._4.isEmpty)
   }
 
+  test("funnel: order matters, counts are monotone") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      (2L, "click", t(1)), (2L, "view", t(2)), // click BEFORE view
+      (3L, "view", t(1)), (3L, "purchase", t(2)), // skipped click
+      (4L, "purchase", t(1)))
+      .toDF("user", "type", "ts")
+    val out = graft.ts.EventAnalytics.funnel(ev, "user", "type", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").as[(Int, String, Long)].collect()
+    assert(out.toSeq === Seq((1, "view", 3L), (2, "click", 1L),
+      (3, "purchase", 1L)))
+  }
+
+  test("funnel: same-timestamp step qualifies (at-or-after semantics)") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq((1L, "view", ts), (1L, "click", ts))
+      .toDF("user", "type", "ts")
+    val out = graft.ts.EventAnalytics.funnel(ev, "user", "type", "ts",
+        Seq("view", "click"))
+      .orderBy("step").as[(Int, String, Long)].collect()
+    assert(out.toSeq === Seq((1, "view", 1L), (2, "click", 1L)))
+  }
+
+  test("cohortRetention: weekly cohorts and offsets") {
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday: W0 = Jan 1, W1 = Jan 8
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-01-02 10:00:00")), // A in W0
+      (1L, Timestamp.valueOf("2024-01-09 10:00:00")), // A active W1
+      (2L, Timestamp.valueOf("2024-01-10 10:00:00"))) // B first W1
+      .toDF("user", "ts")
+    val out = graft.ts.EventAnalytics.cohortRetention(ev, "user", "ts")
+      .orderBy("cohort", "period_offset")
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(out.map(r => (r._1.toString, r._2, r._3)).toSeq === Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
   test("redactTerms custom mask and dictionary normalization") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val out = Redact.redactTerms(docs, "text", Seq("  BETA!  "), mask = "*")
