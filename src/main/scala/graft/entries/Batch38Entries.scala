@@ -55,6 +55,26 @@ object Batch38Entries {
         .orderBy("cohort", "period_offset")
     }),
 
+    // First-order event-type transition matrix per user (the Markov
+    // view of behavior).
+    "event_transitions" -> ((s, dir) => {
+      graft.ts.EventAnalytics.eventTransitions(T.events(s, dir),
+          "user_id", "event_type", "ts", tieCols = Seq("event_id"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Two-proportion z (A/B conversion): per-user treatment =
+    // user_id parity, success = at least two high-value purchases —
+    // a mid-range rate at every sf (success = "ever purchased" is
+    // ~100% on this data, which degenerates the pooled SE to zero).
+    "ab_test" -> ((s, dir) => {
+      val perUser = T.events(s, dir).groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase" &&
+            col("value") > 100, 1L).otherwise(0L)) >= 2).as("converted"))
+        .select((col("user_id") % 2 === 0).as("grp"), col("converted"))
+      graft.stats.Inferential.twoProportionZ(perUser, "grp", "converted")
+    }),
+
     // Corpus-wide top bigrams (the WIMBD "most common n-grams"
     // analysis): one explode-once bigram construction off the
     // let-bound token array, one map-side-combined groupBy, exact
@@ -169,6 +189,65 @@ object Batch38Entries {
         |  COUNT(*) AS n_users
         |FROM a JOIN c ON a.u = c.u
         |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin,
+
+    "event_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "ab_test" ->
+      """WITH u AS (SELECT user_id % 2 = 0 AS grp,
+        |    SUM(CASE WHEN event_type = 'purchase' AND value > 100
+        |      THEN 1 ELSE 0 END) >= 2 AS converted
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN grp AND converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS succ_a,
+        |    CAST(SUM(CASE WHEN NOT grp THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN NOT grp AND converted THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS succ_b
+        |  FROM u)
+        |SELECT n_a, succ_a, n_b, succ_b,
+        |  round(CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+        |  round(CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+        |  round(CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS diff,
+        |  round((CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt((CAST(succ_a + succ_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(succ_a + succ_b AS DOUBLE)
+        |          / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))),
+        |    9) AS z_stat,
+        |  round(CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    - 1.959964 * sqrt(
+        |      (CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        * (1.0 - CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        / CAST(n_a AS DOUBLE)
+        |      + (CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        * (1.0 - CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / CAST(n_b AS DOUBLE)), 6) AS ci_low,
+        |  round(CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |    + 1.959964 * sqrt(
+        |      (CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        * (1.0 - CAST(succ_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        / CAST(n_a AS DOUBLE)
+        |      + (CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        * (1.0 - CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        / CAST(n_b AS DOUBLE)), 6) AS ci_high
+        |FROM a""".stripMargin,
 
     "corpus_top_ngrams" ->
       """WITH d AS (SELECT

@@ -302,6 +302,48 @@ object Inferential {
       round(lit(k / (k - 1)) * (lit(1.0) - sumItemVar / varTotal), 9).as("alpha")
     }
   }
+
+  /** Two-proportion z-test (the A/B conversion test): units carry a
+    * boolean group (`treatment`) and a boolean outcome (`success`).
+    * One aggregation pass → counts, per-group rates, rate difference,
+    * pooled-SE z statistic (round-9, the wilcoxon convention — CDFs
+    * live driver-side in [[PValues]]/[[Distributions]]), and the 95%
+    * Wald CI of the difference from the UNPOOLED SE. A group with no
+    * units yields NULL derived stats (ANSI-safe). */
+  def twoProportionZ(df: DataFrame, groupCol: String,
+                     successCol: String): DataFrame = {
+    val g = col(groupCol).cast("boolean")
+    val y = col(successCol).cast("boolean")
+    df.agg(
+        sum(when(g, 1L).otherwise(0L)).as("n_a"),
+        sum(when(g && y, 1L).otherwise(0L)).as("succ_a"),
+        sum(when(!g, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!g && y, 1L).otherwise(0L)).as("succ_b"))
+      .select({
+        val na = col("n_a").cast("double")
+        val nb = col("n_b").cast("double")
+        val pa = col("succ_a").cast("double") / na
+        val pb = col("succ_b").cast("double") / nb
+        val pPool = (col("succ_a") + col("succ_b")).cast("double") /
+          (na + nb)
+        val sePool = sqrt(pPool * (lit(1.0) - pPool) *
+          (lit(1.0) / na + lit(1.0) / nb))
+        val seUnpooled = sqrt(pa * (lit(1.0) - pa) / na +
+          pb * (lit(1.0) - pb) / nb)
+        val ok = col("n_a") > 0 && col("n_b") > 0
+        Seq(col("n_a"), col("succ_a"), col("n_b"), col("succ_b"),
+          when(ok, round(pa, 6)).as("rate_a"),
+          when(ok, round(pb, 6)).as("rate_b"),
+          when(ok, round(pa - pb, 6)).as("diff"),
+          // all-convert / none-convert pools have zero SE: z undefined
+          when(ok && pPool > 0 && pPool < 1,
+            round((pa - pb) / sePool, 9)).as("z_stat"),
+          when(ok, round(pa - pb - lit(1.959964) * seUnpooled, 6))
+            .as("ci_low"),
+          when(ok, round(pa - pb + lit(1.959964) * seUnpooled, 6))
+            .as("ci_high"))
+      }: _*)
+  }
 }
 
 /** Driver-side p-value helpers (scipy's role in the reference).

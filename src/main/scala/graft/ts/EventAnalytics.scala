@@ -77,4 +77,27 @@ object EventAnalytics {
       .groupBy("cohort", "period_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** First-order transition matrix of event types per user: counts
+    * and row-normalized probabilities of (from → to) over each user's
+    * time-ordered event sequence (ties broken on `tieCols`). The
+    * Markov-chain view of user behavior — feeds next-action models
+    * and funnel design. Output: (from_type, to_type, n, p). */
+  def eventTransitions(events: DataFrame, userCol: String,
+                       typeCol: String, tsCol: String,
+                       tieCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    val pairs = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = pairs.groupBy("from_type").agg(sum("n").as("_tot"))
+    pairs.join(fromTotals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("_tot").cast("double"), 6)
+          .as("p"))
+  }
 }

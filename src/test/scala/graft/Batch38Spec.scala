@@ -95,6 +95,42 @@ class Batch38Spec extends SparkSpec {
       ("2024-01-08", 0L, 1L)))
   }
 
+  test("eventTransitions: counts and row-normalized probabilities") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "view", t(3)),
+      (2L, "view", t(1)), (2L, "view", t(2)))
+      .toDF("user", "type", "ts")
+    val out = graft.ts.EventAnalytics.eventTransitions(ev, "user",
+        "type", "ts")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 1L, 0.5),
+      ("view", "view", 1L, 0.5)))
+  }
+
+  test("twoProportionZ: hand-computed z and Wald CI; degenerate pool is NULL") {
+    val df = Seq((true, true), (true, false), (false, false), (false, false))
+      .toDF("grp", "y")
+    val out = graft.stats.Inferential.twoProportionZ(df, "grp", "y")
+      .as[(Long, Long, Long, Long, Double, Double, Double,
+        Option[Double], Double, Double)].head()
+    assert((out._1, out._2, out._3, out._4) === ((2L, 1L, 2L, 0L)))
+    assert(out._5 === 0.5 && out._6 === 0.0 && out._7 === 0.5)
+    val z = 0.5 / math.sqrt(0.25 * 0.75 * (0.5 + 0.5))
+    assert(out._8 === Some(math.rint(z * 1e9) / 1e9))
+    val se = math.sqrt(0.5 * 0.5 / 2.0)
+    assert(out._9 === math.rint((0.5 - 1.959964 * se) * 1e6) / 1e6)
+    // everyone converts: zero pooled SE -> NULL z
+    val deg = graft.stats.Inferential.twoProportionZ(
+        Seq((true, true), (false, true)).toDF("grp", "y"), "grp", "y")
+      .select("z_stat").as[Option[Double]].head()
+    assert(deg.isEmpty)
+  }
+
   test("redactTerms custom mask and dictionary normalization") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val out = Redact.redactTerms(docs, "text", Seq("  BETA!  "), mask = "*")
