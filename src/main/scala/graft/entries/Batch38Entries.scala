@@ -75,6 +75,21 @@ object Batch38Entries {
       graft.stats.Inferential.twoProportionZ(perUser, "grp", "converted")
     }),
 
+    // Supplier co-occurrence within orders: pair support and lift
+    // (basket self-join keyed by order, baskets bounded by nature).
+    "basket_lift" -> ((s, dir) => {
+      graft.rel.Market.pairAssociations(T.lineitem(s, dir),
+          "l_orderkey", "l_suppkey", minPairs = 3L)
+        .orderBy("item_a", "item_b")
+    }),
+
+    // RFM segmentation of customers from their order history.
+    "rfm_segments" -> ((s, dir) => {
+      graft.rel.Market.rfm(T.orders(s, dir), "o_custkey",
+          "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
     // Corpus-wide top bigrams (the WIMBD "most common n-grams"
     // analysis): one explode-once bigram construction off the
     // let-bound token array, one map-side-combined groupBy, exact
@@ -248,6 +263,41 @@ object Batch38Entries {
         |        * (1.0 - CAST(succ_b AS DOUBLE) / CAST(n_b AS DOUBLE))
         |        / CAST(n_b AS DOUBLE)), 6) AS ci_high
         |FROM a""".stripMargin,
+
+    "basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS b, l_suppkey AS i
+        |  FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT b) AS n FROM items),
+        |ic AS (SELECT i, COUNT(*) AS c FROM items GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, b2.i AS item_b, COUNT(*) AS n_pair
+        |  FROM items a JOIN items b2 USING (b)
+        |  WHERE a.i < b2.i GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT p.item_a, p.item_b, p.n_pair,
+        |  round(CAST(n_pair AS DOUBLE)
+        |    / CAST((SELECT n FROM nb) AS DOUBLE), 6) AS support,
+        |  round(CAST(n_pair AS DOUBLE) * CAST((SELECT n FROM nb) AS DOUBLE)
+        |    / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)), 6) AS lift
+        |FROM p JOIN ic ca ON p.item_a = ca.i
+        |JOIN ic cb ON p.item_b = cb.i
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "rfm_segments" ->
+      """WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS m FROM orders),
+        |per AS (SELECT o_custkey AS cust,
+        |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+        |      (SELECT m FROM mx)) AS INT) AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS monetary
+        |  FROM orders GROUP BY 1)
+        |SELECT cust AS o_custkey, recency_days, frequency, monetary,
+        |  CAST(NTILE(5) OVER (ORDER BY recency_days DESC, cust ASC)
+        |    AS INT) AS r,
+        |  CAST(NTILE(5) OVER (ORDER BY frequency ASC, cust ASC)
+        |    AS INT) AS f,
+        |  CAST(NTILE(5) OVER (ORDER BY monetary ASC, cust ASC)
+        |    AS INT) AS m
+        |FROM per ORDER BY o_custkey""".stripMargin,
 
     "corpus_top_ngrams" ->
       """WITH d AS (SELECT

@@ -131,6 +131,42 @@ class Batch38Spec extends SparkSpec {
     assert(deg.isEmpty)
   }
 
+  test("pairAssociations: hand-computed support and lift; oversized basket refused") {
+    val items = Seq(
+      (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "z"),
+      (4L, "z"))
+      .toDF("basket", "item")
+    val out = graft.rel.Market.pairAssociations(items, "basket", "item")
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Double, Double)].collect()
+    // n=4 baskets; c(x)=3 c(y)=2 c(z)=2; xy=2, xz=1
+    assert(out.toSeq === Seq(
+      ("x", "y", 2L, 0.5, math.rint(2.0 * 4 / 6 * 1e6) / 1e6),
+      ("x", "z", 1L, 0.25, math.rint(1.0 * 4 / 6 * 1e6) / 1e6)))
+    intercept[IllegalArgumentException] {
+      graft.rel.Market.pairAssociations(
+        (1 to 20).map(i => (1L, s"i$i")).toDF("basket", "item"),
+        "basket", "item", maxBasketSize = 10)
+    }
+  }
+
+  test("rfm: recency/frequency/monetary and quintile orientation") {
+    import java.sql.Timestamp
+    val orders = Seq(
+      (1L, Timestamp.valueOf("2024-01-10 00:00:00"), 100.0),
+      (1L, Timestamp.valueOf("2024-01-20 00:00:00"), 100.0),
+      (2L, Timestamp.valueOf("2024-01-05 00:00:00"), 10.0))
+      .toDF("cust", "dt", "amt")
+    val out = graft.rel.Market.rfm(orders, "cust", "dt", "amt")
+      .orderBy("cust")
+      .as[(Long, Int, Long, Double, Int, Int, Int)].collect()
+    assert(out(0) === ((1L, 0, 2L, 200.0, 2, 2, 2)))  // most recent/active
+    assert(out(1) === ((2L, 15, 1L, 10.0, 1, 1, 1)))  // stale/light
+    // quintile orientation: higher codes = better on every axis
+    assert(out(0)._5 > out(1)._5 && out(0)._6 > out(1)._6 &&
+      out(0)._7 > out(1)._7)
+  }
+
   test("redactTerms custom mask and dictionary normalization") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val out = Redact.redactTerms(docs, "text", Seq("  BETA!  "), mask = "*")
