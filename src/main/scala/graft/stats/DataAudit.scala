@@ -1,0 +1,72 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit statistics — the checks an engineer runs on a
+  * table BEFORE trusting it in a pipeline (reference adjacency: the
+  * audit_data composite, §3.2).
+  */
+object DataAudit {
+
+  /** Benford's-law first-digit audit (Benford 1938; the classic
+    * fabricated-data screen for positive, scale-spanning quantities):
+    * observed first-digit shares vs the law `log10(1 + 1/d)`, plus
+    * each digit's chi-square contribution. One groupBy over nine
+    * groups; values ≤ 0 are excluded (the law is defined on positive
+    * magnitudes). The first digit comes from the DECIMAL(18,
+    * `decimals`) string rendering — deterministic in any engine,
+    * where a log10/pow extraction can flip at ulp boundaries.
+    * Output: (digit, n, observed, expected, chi2_term), shares
+    * round-6. */
+  def benford(df: DataFrame, valueCol: String,
+              decimals: Int = 2): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digits = df.filter(v > 0)
+      .select(substring(regexp_replace(
+        v.cast(org.apache.spark.sql.types.DecimalType(18, decimals))
+          .cast("string"), "[^1-9]", ""), 1, 1).as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("_t"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit").cast("int").as("digit"), col("n"),
+        round(col("n").cast("double") / col("_t").cast("double"), 6)
+          .as("observed"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)), 6).as("expected"))
+      .withColumn("chi2_term",
+        // explicit square: pow(x, 2) is not correctly rounded in
+        // every libm, x*x is one IEEE multiply in all of them
+        round((col("observed") - col("expected")) *
+          (col("observed") - col("expected")) / col("expected"), 6))
+  }
+
+  /** Join-key skew report — the number you need BEFORE deciding
+    * between a plain shuffle join, a broadcast, or salting: distinct
+    * key count, rows, the heaviest key's share, and the share of the
+    * top `k` keys. One groupBy over keys + one exact top-k over the
+    * (bounded) count table. Output: one row (n_rows, n_keys,
+    * max_key_share, top_k_share, avg_rows_per_key). */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol).as("_k"))
+      .agg(count(lit(1)).as("_c"))
+    val topk = counts
+      .withColumn("_r", row_number().over(
+        Window.orderBy(col("_c").desc, col("_k").asc)))
+      .filter(col("_r") <= k)
+      .agg(sum("_c").as("_topk"))
+    counts.agg(sum("_c").as("_n"), count(lit(1)).as("_d"),
+        max("_c").as("_mx"))
+      .crossJoin(broadcast(topk))
+      .select(col("_n").as("n_rows"), col("_d").as("n_keys"),
+        round(col("_mx").cast("double") / col("_n").cast("double"), 6)
+          .as("max_key_share"),
+        round(col("_topk").cast("double") / col("_n").cast("double"), 6)
+          .as("top_k_share"),
+        round(col("_n").cast("double") / col("_d").cast("double"), 6)
+          .as("avg_rows_per_key"))
+  }
+}

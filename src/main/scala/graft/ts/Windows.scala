@@ -258,6 +258,62 @@ object Windows {
       .withColumn(outName, col("_r2x").cast("double") / 2.0)
       .drop("_r2x")
 
+  /** CUSUM drift detection per series (Page 1954): the running sum of
+    * deviations from the series mean, flagged where |CUSUM| exceeds
+    * `threshold · σ` — the classic changepoint/drift monitor. All
+    * sufficient statistics are DECIMAL-exact for 2-dp inputs (sum,
+    * sum of squares, ordered prefix sum), so mean, σ and every CUSUM
+    * value derive deterministically — no aggregation-order rounding
+    * anywhere before the final round-6. Output adds (cusum, drift) to
+    * the ordered input rows; single-row series have σ = 0 and never
+    * flag. */
+  def cusumFlags(df: DataFrame, partitionCols: Seq[String],
+                 valueCol: String, orderCol: String,
+                 tieCols: Seq[String] = Nil,
+                 threshold: Double = 5.0): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val money2 = org.apache.spark.sql.types.DecimalType(28, 4)
+    val v = col(valueCol)
+    val stats = df.groupBy(partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"),
+        sum(v.cast(money)).as("_s"),
+        sum(v.cast(money) * v.cast(money)).cast(money2).as("_q"))
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy((orderCol +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val prefixed = df
+      .withColumn("_ps", sum(v.cast(money)).over(w))
+      .withColumn("_k", count(lit(1)).over(w))
+      .join(stats, partitionCols)
+    val mean = col("_s").cast("double") / col("_n").cast("double")
+    val sigma = sqrt(
+      (col("_q").cast("double") -
+        col("_s").cast("double") * col("_s").cast("double") /
+          col("_n").cast("double")) /
+      (col("_n").cast("double") - lit(1.0)))
+    val cusum = col("_ps").cast("double") - col("_k").cast("double") * mean
+    // cusum is the exact rational (P·n − k·S)/(100·n) with P, S the
+    // prefix/total sums in CENTS — so its round-6 is computed in
+    // INTEGER micro-units (the chrF convention): a double round
+    // differs across engines when the ×10⁶ multiply lands on a .5.
+    // Long headroom: |P·n|·2e6 needs < 2^63 — fine to ~10^12 cents
+    // per series; beyond that lift these four columns to DECIMAL.
+    prefixed
+      .withColumn("_a",
+        (col("_ps") * lit(100)).cast("long") * col("_n") -
+          col("_k") * (col("_s") * lit(100)).cast("long"))
+      .withColumn("_bd", lit(100L) * col("_n"))
+      .withColumn("_micro", expr(
+        """CASE WHEN _a >= 0 THEN (_a * 2000000 + _bd) DIV (2 * _bd)
+          |ELSE -((-_a * 2000000 + _bd) DIV (2 * _bd)) END""".stripMargin))
+      .withColumn("cusum", col("_micro").cast("double") / lit(1000000.0))
+      .withColumn("drift",
+        when(col("_n") > 1, abs(cusum) > lit(threshold) * sigma)
+          .otherwise(lit(false)))
+      .drop("_ps", "_k", "_n", "_s", "_q", "_a", "_bd", "_micro")
+  }
+
   /** Maximum drawdown per series — the peak-to-trough loss fraction
     * of an ordered value series (the makeWalk price-path consumer,
     * and the standard risk statistic the reference's financial

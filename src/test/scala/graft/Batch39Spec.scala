@@ -1,0 +1,46 @@
+package graft
+
+import graft.stats.DataAudit
+import org.apache.spark.sql.functions._
+
+/** Round-12: data-quality audits + CUSUM drift. */
+class Batch39Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("benford: first-digit shares against the law") {
+    val df = Seq(1.23, 19.0, 100.5, 2.0, -5.0, 0.0).toDF("v")
+    val out = DataAudit.benford(df, "v").orderBy("digit")
+      .as[(Int, Long, Double, Double, Double)].collect()
+    // negatives/zeros excluded; digits 1,1,1,2
+    assert(out.map(r => (r._1, r._2)).toSeq === Seq((1, 3L), (2, 1L)))
+    assert(out(0)._3 === 0.75 && out(1)._3 === 0.25)
+    assert(out(0)._4 === math.rint(math.log10(2.0) * 1e6) / 1e6)
+    assert(out(1)._4 === math.rint(math.log10(1.5) * 1e6) / 1e6)
+    // leading zeros skipped: 0.042 -> digit 4
+    val frac = DataAudit.benford(Seq(0.04).toDF("v"), "v")
+      .as[(Int, Long, Double, Double, Double)].head()
+    assert(frac._1 === 4)
+  }
+
+  test("keySkew: shares of the heaviest and top-k keys") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = DataAudit.keySkew(df, "k", k = 2)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(out === ((10L, 3L, 0.6, 0.9, math.rint(10.0 / 3 * 1e6) / 1e6)))
+  }
+
+  test("cusumFlags: exact running deviations and threshold flags") {
+    val ev = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),
+      (2L, 1L, 5.0)) // singleton series: sigma undefined, never flags
+      .toDF("user", "t", "value")
+    val out = graft.ts.Windows.cusumFlags(ev, Seq("user"), "value", "t",
+        threshold = 0.5)
+      .select("user", "t", "cusum", "drift")
+      .orderBy("user", "t")
+      .as[(Long, Long, Double, Boolean)].collect()
+    // mean 2 -> cusum -1, -1, 0; sigma 1 -> |cusum| > 0.5 flags rows 1,2
+    assert(out.toSeq === Seq(
+      (1L, 1L, -1.0, true), (1L, 2L, -1.0, true), (1L, 3L, 0.0, false),
+      (2L, 1L, 0.0, false)))
+  }
+}
