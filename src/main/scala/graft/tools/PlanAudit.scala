@@ -79,7 +79,10 @@ object PlanAudit {
     "rank_eval",
     // page_rank: the per-iteration dangling-mass scalar rides onto
     // the rank vector as a 1-row broadcast (one NLJ per iteration)
-    "page_rank")
+    "page_rank",
+    // benford / key_skew: the corpus total (9-digit table / top-k key
+    // mass) rides onto a bounded group table as a 1-row broadcast
+    "benford", "key_skew")
     // semantic_decontam is NOT allowlisted: its entry runs the
     // max_cosine_f32 kernel (pure projection, no join at all) — if a
     // BNLJ ever reappears there it is a regression to the join path
