@@ -297,6 +297,58 @@ object GfFrame {
     def typeTokenRatio(groupCol: String, textCol: String): Fluent =
       new Fluent(graft.text.CorpusStats.typeTokenRatio(df, groupCol,
         textCol))
+    /** Ordered conversion funnel over this frame's events. */
+    def funnel(userCol: String, typeCol: String, tsCol: String,
+               steps: Seq[String]): Fluent =
+      new Fluent(graft.ts.EventAnalytics.funnel(df, userCol, typeCol,
+        tsCol, steps))
+    /** Cohort retention matrix off first-seen period. */
+    def cohortRetention(userCol: String, tsCol: String,
+                        period: String = "week"): Fluent =
+      new Fluent(graft.ts.EventAnalytics.cohortRetention(df, userCol,
+        tsCol, period))
+    /** First-order event-type transition matrix per user. */
+    def eventTransitions(userCol: String, typeCol: String, tsCol: String,
+                         tieCols: Seq[String] = Nil): Fluent =
+      new Fluent(graft.ts.EventAnalytics.eventTransitions(df, userCol,
+        typeCol, tsCol, tieCols))
+    /** Flesch-Kincaid readability per document. */
+    def readability(idCol: String, textCol: String): Fluent =
+      new Fluent(graft.text.Quality.readability(df, idCol, textCol))
+    /** Max drawdown per ordered series. */
+    def maxDrawdown(partitionCols: Seq[String], valueCol: String,
+                    orderCol: String, tieCols: Seq[String] = Nil): Fluent =
+      new Fluent(graft.ts.Windows.maxDrawdown(df, partitionCols,
+        valueCol, orderCol, tieCols))
+    /** CUSUM drift flags per ordered series. */
+    def cusumFlags(partitionCols: Seq[String], valueCol: String,
+                   orderCol: String, tieCols: Seq[String] = Nil,
+                   threshold: Double = 5.0): Fluent =
+      new Fluent(graft.ts.Windows.cusumFlags(df, partitionCols, valueCol,
+        orderCol, tieCols, threshold))
+    /** Benford first-digit audit of a positive value column. */
+    def benford(valueCol: String, decimals: Int = 2): Fluent =
+      new Fluent(graft.stats.DataAudit.benford(df, valueCol, decimals))
+    /** Join-key skew report for shuffle/broadcast/salting decisions. */
+    def keySkew(keyCol: String, k: Int = 10): Fluent =
+      new Fluent(graft.stats.DataAudit.keySkew(df, keyCol, k))
+    /** Basket co-occurrence associations (support / lift). */
+    def pairAssociations(basketCol: String, itemCol: String,
+                         minPairs: Long = 1L): Fluent =
+      new Fluent(graft.rel.Market.pairAssociations(df, basketCol,
+        itemCol, minPairs))
+    /** RFM quintile segmentation of customers. */
+    def rfm(custCol: String, dateCol: String, amountCol: String): Fluent =
+      new Fluent(graft.rel.Market.rfm(df, custCol, dateCol, amountCol))
+    /** PageRank over this frame as (src, dst) edges. */
+    def pageRank(srcCol: String, dstCol: String, iterations: Int = 3,
+                 damping: Double = 0.85): Fluent =
+      new Fluent(graft.rel.Graph.pageRank(df, srcCol, dstCol, iterations,
+        damping))
+    /** A/B two-proportion z-test of a boolean group vs outcome. */
+    def abTest(groupCol: String, successCol: String): Fluent =
+      new Fluent(graft.stats.Inferential.twoProportionZ(df, groupCol,
+        successCol))
     /** Per-query ranking metrics of this frame (query/doc/rank) vs qrels. */
     def rankingMetrics(qrels: DataFrame, queryCol: String = "query",
                        docCol: String = "doc", rankCol: String = "rank",

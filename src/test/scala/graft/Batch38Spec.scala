@@ -167,6 +167,28 @@ class Batch38Spec extends SparkSpec {
       out(0)._7 > out(1)._7)
   }
 
+  test("round-12 analytics ride the fluent surface") {
+    import graft.core.GfFrame._
+    import java.sql.Timestamp
+    val ev = Seq((1L, "view", Timestamp.valueOf("2024-01-01 00:01:00"), 5.0),
+      (1L, "click", Timestamp.valueOf("2024-01-01 00:02:00"), 3.0))
+      .toDF("user", "type", "ts", "value")
+    assert(ev.graft.funnel("user", "type", "ts", Seq("view", "click"))
+      .result.count() === 2)
+    assert(ev.graft.cohortRetention("user", "ts").result.count() === 1)
+    assert(ev.graft.eventTransitions("user", "type", "ts")
+      .result.count() === 1)
+    assert(ev.graft.maxDrawdown(Seq("user"), "value", "ts")
+      .result.count() === 1)
+    assert(ev.graft.cusumFlags(Seq("user"), "value", "ts")
+      .result.count() === 2)
+    assert(ev.graft.benford("value").result.count() === 2)
+    assert(ev.graft.keySkew("type").result.count() === 1)
+    val docs = Seq((1L, "alpha beta. gamma!")).toDF("id", "text")
+    assert(docs.graft.readability("id", "text").result.count() === 1)
+    assert(docs.graft.zipfFit("text").result.count() === 1)
+  }
+
   test("redactTerms custom mask and dictionary normalization") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val out = Redact.redactTerms(docs, "text", Seq("  BETA!  "), mask = "*")
