@@ -490,6 +490,41 @@ object Streaming {
                        seq: Long = 0L)
   case class UserStat(user_id: Long, n: Long, ema: Double)
 
+  case class CusumState(user_id: Long, n: Long, cusum: Double,
+                        drift: Boolean)
+
+  /** Streaming CUSUM drift monitor: arriving per-series values scored
+    * against FITTED per-series (mean, sigma) — the fit/deploy split
+    * of the batch [[graft.ts.Windows.cusumFlags]], with the fitted
+    * scalars broadcast as a driver map (train on curated history,
+    * monitor the stream). Keyed running state via mapGroupsWithState
+    * (the runningEma pattern): each micro-batch folds its rows in
+    * `seq` order into the running deviation sum; emits the series'
+    * latest (n, cusum, drift). Series absent from the fitted map are
+    * ignored (no baseline — nothing to monitor against). */
+  def cusumStream(events: Dataset[UserEvent],
+                  fitted: Map[Long, (Double, Double)],
+                  threshold: Double = 5.0): Dataset[CusumState] = {
+    import events.sparkSession.implicits._
+    events.filter(e => fitted.contains(e.user_id))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CusumState, CusumState](
+          GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[CusumState]) =>
+          val (mean, sigma) = fitted(uid)
+          val prev = state.getOption.getOrElse(
+            CusumState(uid, 0L, 0.0, drift = false))
+          val ordered = rows.toSeq.sortBy(e => (e.seq, e.value))
+          val next = ordered.foldLeft(prev) { (st, e) =>
+            val c = st.cusum + (e.value - mean)
+            CusumState(uid, st.n + 1, c,
+              sigma > 0 && math.abs(c) > threshold * sigma)
+          }
+          state.update(next)
+          next
+      }
+  }
+
   /** EMA is order-sensitive; mapGroupsWithState delivers a batch's
     * rows in shuffle order, so events carry a caller-assigned `seq`
     * (event time / offset) and each batch folds in `seq` order —

@@ -413,6 +413,54 @@ object ScaleProbe {
       return
     }
 
+    // Event-analytics axis (SPARK_GRAFT_EV_N=<events>): synthetic
+    // event stream from range() (hash users/types, minute-spaced
+    // timestamps — the makeText convention), timing the funnel /
+    // cohort / transition / CUSUM family. All four are keyed
+    // windows/groupBys, so wall should track event volume.
+    sys.env.get("SPARK_GRAFT_EV_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      val nUsers = math.max(n / 100, 1L)
+      val types = array(lit("view"), lit("click"), lit("purchase"),
+        lit("signup"), lit("error"))
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        pmod(xxhash64(col("id")), lit(nUsers)).as("user_id"),
+        element_at(types,
+          (pmod(xxhash64(col("id") + 7), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+          .cast("long") + col("id") * 60L).cast("timestamp").as("ts"),
+        (pmod(xxhash64(col("id") + 13), lit(20000)).cast("double") /
+          lit(100.0)).as("value"))
+        .persist()
+      ev.count()
+      def timeIt(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val r = f
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        println(f"""EVPROBE {"op":"$name","events":$n,"rows":$r,"sec":$sec%.3f}""")
+      }
+      timeIt("funnel") {
+        graft.ts.EventAnalytics.funnel(ev, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase")).count()
+      }
+      timeIt("cohort") {
+        graft.ts.EventAnalytics.cohortRetention(ev, "user_id", "ts")
+          .count()
+      }
+      timeIt("transitions") {
+        graft.ts.EventAnalytics.eventTransitions(ev, "user_id",
+          "event_type", "ts", Seq("event_id")).count()
+      }
+      timeIt("cusum") {
+        graft.ts.Windows.cusumFlags(ev, Seq("user_id"), "value", "ts",
+          Seq("event_id"), threshold = 3.0)
+          .agg(sum(when(col("drift"), 1L).otherwise(0L))).head()
+        n
+      }
+      spark.stop()
+      return
+    }
+
     // PageRank axis (SPARK_GRAFT_PR_N=<edges>): hash-random graph
     // with avg degree 10 built from range() (no input data — the
     // makeText convention applied to edges), 3 damped iterations.

@@ -471,6 +471,31 @@ class StreamSpec extends SparkSpec {
     assert(kept === Set(1L, 4L))
   }
 
+  test("streaming CUSUM monitor tracks the batch running deviation sum") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streaming.UserEvent]
+    // fitted baseline: mean 2, sigma 1 for series 1; series 9 unfitted
+    val fitted = Map(1L -> (2.0, 1.0))
+    val q = Streaming.cusumStream(in.toDS(), fitted, threshold = 0.5)
+      .writeStream.format("memory").queryName("scusum")
+      .outputMode(OutputMode.Update).start()
+    in.addData(Streaming.UserEvent(1L, 1.0, seq = 1),
+      Streaming.UserEvent(9L, 100.0, seq = 1)) // unfitted: ignored
+    q.processAllAvailable()
+    in.addData(Streaming.UserEvent(1L, 2.0, seq = 2),
+      Streaming.UserEvent(1L, 3.0, seq = 3))
+    q.processAllAvailable()
+    val rows = spark.table("scusum")
+      .select("user_id", "n", "cusum", "drift")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._2)
+    q.stop()
+    // after batch 1: cusum -1 (drift, |−1| > .5); after batch 2:
+    // -1 + 0 + 1 = 0 -> no drift. Unfitted series emits nothing.
+    assert(rows.map(_._1).toSet === Set(1L))
+    assert(rows.head === ((1L, 1L, -1.0, true)))
+    assert(rows.last === ((1L, 3L, 0.0, false)))
+  }
+
   test("streaming winnow screen flags content overlap against a static reference") {
     implicit val sqlCtx = spark.sqlContext
     val ref = Seq((900L, "alpha beta gamma delta epsilon zeta eta"))
