@@ -24,6 +24,28 @@ object Batch39Entries {
         k = 10)
     }),
 
+    // Pareto concentration of customer revenue (the 80/20 curve).
+    "pareto_curve" -> ((s, dir) => {
+      graft.stats.DataAudit.paretoCurve(T.orders(s, dir), "o_custkey",
+          "o_totalprice", points = 10)
+        .orderBy("pct_entities")
+    }),
+
+    // Week-over-week revenue growth: weekly decimal-exact totals +
+    // one lag over the (bounded) week table.
+    "wow_growth" -> ((s, dir) => {
+      val weekly = T.orders(s, dir)
+        .groupBy(date_trunc("week", col("o_orderdate")).cast("date")
+          .as("week"))
+        .agg(graft.core.Exact.dsum(col("o_totalprice")).as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("week")
+      weekly.withColumn("_prev", lag("revenue", 1).over(w))
+        .select(col("week"), col("revenue"),
+          round((col("revenue") - col("_prev")) / col("_prev"), 6)
+            .as("wow_pct"))
+        .orderBy("week")
+    }),
+
     // CUSUM drift flags per user over the event value series:
     // decimal-exact sufficient statistics end-to-end, so every cusum
     // value is deterministic before its final round.
@@ -71,6 +93,36 @@ object Batch39Entries {
         |  round(CAST(n AS DOUBLE) / CAST(d AS DOUBLE), 6)
         |    AS avg_rows_per_key
         |FROM a""".stripMargin,
+
+    "pareto_curve" ->
+      """WITH per AS (SELECT o_custkey AS k,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(v) AS t, COUNT(*) AS n FROM per),
+        |r AS (SELECT v,
+        |    COUNT(*) OVER (ORDER BY v DESC, k ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r,
+        |    SUM(v) OVER (ORDER BY v DESC, k ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per)
+        |SELECT
+        |  round(CAST(r AS DOUBLE) / CAST((SELECT n FROM t) AS DOUBLE), 6)
+        |    AS pct_entities,
+        |  round(CAST(cum AS DOUBLE) / CAST((SELECT t FROM t) AS DOUBLE), 6)
+        |    AS pct_mass
+        |FROM r WHERE (r * 10) % (SELECT n FROM t) < 10
+        |ORDER BY pct_entities""".stripMargin,
+
+    "wow_growth" ->
+      """WITH weekly AS (SELECT
+        |    CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT week, revenue,
+        |  round((revenue - LAG(revenue) OVER (ORDER BY week))
+        |    / LAG(revenue) OVER (ORDER BY week), 6) AS wow_pct
+        |FROM weekly ORDER BY week""".stripMargin,
 
     "cusum_flags" ->
       """WITH s AS (SELECT user_id, COUNT(*) AS n,

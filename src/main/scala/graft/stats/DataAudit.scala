@@ -43,6 +43,34 @@ object DataAudit {
           (col("observed") - col("expected")) / col("expected"), 6))
   }
 
+  /** Pareto concentration curve ("do the top 20% of keys carry 80% of
+    * the mass?"): entities ranked by descending decimal-exact mass,
+    * sampled at `points` evenly spaced rank positions, emitting the
+    * cumulative share of entities vs mass. The window runs over
+    * #entities rows (the keySkew domain — bounded); the emitted curve
+    * is `points` rows. Output: (pct_entities, pct_mass), both
+    * round-6. */
+  def paretoCurve(df: DataFrame, keyCol: String, valueCol: String,
+                  points: Int = 10): DataFrame = {
+    require(points >= 1, s"points must be >= 1, got $points")
+    val money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val per = df.groupBy(col(keyCol).as("_k"))
+      .agg(sum(col(valueCol).cast(money)).as("_v"))
+    val w = Window.orderBy(col("_v").desc, col("_k").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = per.agg(sum("_v").as("_t"), count(lit(1)).as("_n"))
+    per.withColumn("_r", count(lit(1)).over(w))
+      .withColumn("_cum", sum("_v").over(w))
+      .crossJoin(broadcast(tot))
+      // sample at ceil(i·n/points): the i-th decile boundary rank
+      .filter((col("_r") * points) % col("_n") < lit(points))
+      .select(
+        round(col("_r").cast("double") / col("_n").cast("double"), 6)
+          .as("pct_entities"),
+        round(col("_cum").cast("double") / col("_t").cast("double"), 6)
+          .as("pct_mass"))
+  }
+
   /** Join-key skew report — the number you need BEFORE deciding
     * between a plain shuffle join, a broadcast, or salting: distinct
     * key count, rows, the heaviest key's share, and the share of the

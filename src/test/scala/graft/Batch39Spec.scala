@@ -29,6 +29,20 @@ class Batch39Spec extends SparkSpec {
     assert(out === ((10L, 3L, 0.6, 0.9, math.rint(10.0 / 3 * 1e6) / 1e6)))
   }
 
+  test("paretoCurve: decile boundaries of cumulative mass share") {
+    // 4 keys with masses 40, 30, 20, 10 -> cumulative 0.4/0.7/0.9/1.0
+    val df = Seq(("a", 40.0), ("b", 30.0), ("c", 20.0), ("d", 10.0))
+      .toDF("k", "v")
+    val out = DataAudit.paretoCurve(df, "k", "v", points = 4)
+      .orderBy("pct_entities").as[(Double, Double)].collect()
+    assert(out.toSeq === Seq((0.25, 0.4), (0.5, 0.7), (0.75, 0.9),
+      (1.0, 1.0)))
+    // fewer keys than points: every entity is a boundary
+    val small = DataAudit.paretoCurve(df, "k", "v", points = 10)
+      .as[(Double, Double)].collect()
+    assert(small.length === 4)
+  }
+
   test("cusumFlags: exact running deviations and threshold flags") {
     val ev = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),
       (2L, 1L, 5.0)) // singleton series: sigma undefined, never flags
