@@ -80,9 +80,9 @@ object PlanAudit {
     // page_rank: the per-iteration dangling-mass scalar rides onto
     // the rank vector as a 1-row broadcast (one NLJ per iteration)
     "page_rank",
-    // benford / key_skew: the corpus total (9-digit table / top-k key
-    // mass) rides onto a bounded group table as a 1-row broadcast
-    "benford", "key_skew")
+    // benford / key_skew / pareto_curve: the corpus total rides onto
+    // a bounded group/entity table as a 1-row broadcast
+    "benford", "key_skew", "pareto_curve")
     // semantic_decontam is NOT allowlisted: its entry runs the
     // max_cosine_f32 kernel (pure projection, no join at all) — if a
     // BNLJ ever reappears there it is a regression to the join path
