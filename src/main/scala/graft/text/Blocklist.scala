@@ -99,12 +99,20 @@ object Blocklist {
     val padded = concat(lit(" "), TextFns.cleanText(col(textCol)), lit(" "))
     val matched = call_function("multi_contains", padded, lit(all.toArray))
     val nTerms = ts.size
+    val emptyS = array().cast("array<string>")
+    // empty-side guards: lit(Array.empty) is not a constructible
+    // literal, and an empty class can never match anyway
+    val termHits =
+      if (ts.isEmpty) emptyS
+      else transform(filter(col("_m"), i => i < nTerms),
+        i => element_at(lit(ts.toArray), i + 1))
+    val phraseHits =
+      if (ps.isEmpty) emptyS
+      else transform(filter(col("_m"), i => i >= nTerms),
+        i => element_at(lit(ps.toArray), i - nTerms + 1))
     df.select(col(idCol), matched.as("_m"))
-      .select(col(idCol),
-        transform(filter(col("_m"), i => i < nTerms),
-          i => element_at(lit(ts.toArray), i + 1)).as("term_hits"),
-        transform(filter(col("_m"), i => i >= nTerms),
-          i => element_at(lit(ps.toArray), i - nTerms + 1)).as("phrase_hits"),
+      .select(col(idCol), termHits.as("term_hits"),
+        phraseHits.as("phrase_hits"),
         (size(col("_m")) > 0).as("blocked"))
   }
 

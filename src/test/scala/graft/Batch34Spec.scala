@@ -192,6 +192,22 @@ class Batch34Spec extends SparkSpec {
     assert(run("auto") === literal) // auto picks ac above 64 patterns
   }
 
+  test("blocklist AC engine handles a phrase-only and a term-only list") {
+    val docs = Seq((1L, "please buy now today"), (2L, "clean text"))
+      .toDF("doc_id", "text")
+    val phraseOnly = Blocklist.hits(docs, "doc_id", "text", Nil,
+        phrases = Seq("buy now"), engine = "ac")
+      .orderBy("doc_id")
+      .as[(Long, Seq[String], Seq[String], Boolean)].collect()
+    assert(phraseOnly(0) === ((1L, Seq(), Seq("buy now"), true)))
+    assert(phraseOnly(1)._4 === false)
+    val termOnly = Blocklist.hits(docs, "doc_id", "text", Seq("clean"),
+        Nil, engine = "ac")
+      .orderBy("doc_id")
+      .as[(Long, Seq[String], Seq[String], Boolean)].collect()
+    assert(termOnly(1) === ((2L, Seq("clean"), Seq(), true)))
+  }
+
   test("blocklist filterClean AC engine matches the literal engine") {
     val terms = (0 until 70).map(i => s"w$i") // above the auto threshold
     val docs = Seq((1L, "w3 content"), (2L, "clean text"), (3L, "w69 here"))
