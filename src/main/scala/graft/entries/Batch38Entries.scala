@@ -55,6 +55,13 @@ object Batch38Entries {
         .orderBy("cohort", "period_offset")
     }),
 
+    // Time-to-convert distribution view -> purchase (exact quartiles
+    // over integer seconds, bounded per-user domain).
+    "conversion_time" -> ((s, dir) => {
+      graft.ts.EventAnalytics.conversionTime(T.events(s, dir),
+        "user_id", "event_type", "ts", "view", "purchase")
+    }),
+
     // First-order event-type transition matrix per user (the Markov
     // view of behavior).
     "event_transitions" -> ((s, dir) => {
@@ -204,6 +211,25 @@ object Batch38Entries {
         |  COUNT(*) AS n_users
         |FROM a JOIN c ON a.u = c.u
         |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin,
+
+    "conversion_time" ->
+      """WITH f AS (SELECT user_id AS u, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id AS u,
+        |    MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT))
+        |      - MIN(CAST(FLOOR(epoch(f.t0)) AS BIGINT)) AS dt
+        |  FROM events e JOIN f ON e.user_id = f.u
+        |  WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+        |  GROUP BY 1)
+        |SELECT COUNT(*) AS n_converted,
+        |  MIN(dt) AS min_s,
+        |  round(quantile_cont(dt, 0.25), 6) AS p25_s,
+        |  round(quantile_cont(dt, 0.5), 6) AS median_s,
+        |  round(quantile_cont(dt, 0.75), 6) AS p75_s,
+        |  MAX(dt) AS max_s,
+        |  round(CAST(SUM(dt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_s
+        |FROM c""".stripMargin,
 
     "event_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,

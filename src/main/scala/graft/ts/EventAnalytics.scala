@@ -78,6 +78,37 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Time-to-convert distribution between two funnel steps: per user,
+    * the seconds from the earliest `fromStep` to the earliest
+    * at-or-after `toStep` (the funnel's own qualification rule), then
+    * exact quartiles + mean over converting users. The quantiles run
+    * over #converting-users rows (bounded); the mean is an exact
+    * integer-seconds average. Output: one row (n_converted,
+    * min_s, p25_s, median_s, p75_s, max_s, mean_s). */
+  def conversionTime(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, fromStep: String,
+                     toStep: String): DataFrame = {
+    val first = events.filter(col(typeCol) === fromStep)
+      .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_t0"))
+    val conv = events.filter(col(typeCol) === toStep)
+      .select(col(userCol).as("_u"), col(tsCol).as("_t1"))
+      .join(first, Seq("_u"))
+      .filter(col("_t1") >= col("_t0"))
+      .groupBy("_u")
+      .agg((min(col("_t1")).cast("long") - min(col("_t0")).cast("long"))
+        .as("_dt"))
+    // exact quantiles over integer seconds: percentile() is exact and
+    // deterministic on a bounded per-user domain
+    conv.agg(count(lit(1)).as("n_converted"),
+      min("_dt").as("min_s"),
+      round(expr("percentile(_dt, 0.25)"), 6).as("p25_s"),
+      round(expr("percentile(_dt, 0.5)"), 6).as("median_s"),
+      round(expr("percentile(_dt, 0.75)"), 6).as("p75_s"),
+      max("_dt").as("max_s"),
+      round(sum("_dt").cast("double") / count(lit(1)).cast("double"), 6)
+        .as("mean_s"))
+  }
+
   /** First-order transition matrix of event types per user: counts
     * and row-normalized probabilities of (from → to) over each user's
     * time-ordered event sequence (ties broken on `tieCols`). The

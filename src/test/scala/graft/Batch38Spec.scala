@@ -189,6 +189,24 @@ class Batch38Spec extends SparkSpec {
     assert(docs.graft.zipfFit("text").result.count() === 1)
   }
 
+  test("conversionTime: quartiles of first-to-first deltas, converters only") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, "view", t(0)), (1L, "purchase", t(1)),  // 60 s
+      (2L, "view", t(0)), (2L, "purchase", t(3)),  // 180 s
+      (3L, "purchase", t(0)), (3L, "view", t(1)),  // purchase BEFORE view
+      (4L, "view", t(0)))                          // never converts
+      .toDF("user", "type", "ts")
+    val out = graft.ts.EventAnalytics.conversionTime(ev, "user", "type",
+        "ts", "view", "purchase")
+      .as[(Long, Long, Double, Double, Double, Long, Double)].head()
+    assert(out._1 === 2L)        // users 1 and 2 only
+    assert(out._2 === 60L && out._6 === 180L)
+    assert(out._4 === 120.0)     // median of {60, 180}
+    assert(out._7 === 120.0)     // mean
+  }
+
   test("redactTerms custom mask and dictionary normalization") {
     val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
     val out = Redact.redactTerms(docs, "text", Seq("  BETA!  "), mask = "*")
