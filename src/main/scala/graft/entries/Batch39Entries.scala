@@ -61,7 +61,7 @@ object Batch39Entries {
 
     "benford" ->
       """WITH d AS (SELECT substr(regexp_replace(
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR),
         |    '[^1-9]', '', 'g'), 1, 1) AS digit
         |  FROM orders WHERE o_totalprice > 0),
         |g AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit <> ''

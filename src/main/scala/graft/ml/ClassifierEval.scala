@@ -191,14 +191,16 @@ object ClassifierEval {
       .select(col("_n").as("n"),
         round(col("_tp").cast("double") / col("_n").cast("double"), 6)
           .as("accuracy"),
-        round(col("_mf1"), 6).as("macro_f1"),
-        round(
-          (col("_tp").cast("double") / col("_n").cast("double") -
-            col("_pe_num").cast("double") /
-              (col("_n").cast("double") * col("_n").cast("double"))) /
-          (lit(1.0) - col("_pe_num").cast("double") /
-            (col("_n").cast("double") * col("_n").cast("double"))), 6)
-          .as("kappa"))
+        round(col("_mf1"), 6).as("macro_f1"), {
+          val pe = col("_pe_num").cast("double") /
+            (col("_n").cast("double") * col("_n").cast("double"))
+          // p_e = 1 (degenerate single-class data) makes kappa 0/0:
+          // NULL-on-undefined, the rocAuc/classReport convention —
+          // not the NaN a bare division would emit
+          when(pe < 1.0, round(
+            (col("_tp").cast("double") / col("_n").cast("double") - pe) /
+              (lit(1.0) - pe), 6)).as("kappa")
+        })
   }
 
   /** Reliability diagram input: per equal-width score bin, count,

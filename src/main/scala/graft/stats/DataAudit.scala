@@ -18,6 +18,12 @@ object DataAudit {
     * magnitudes). The first digit comes from the DECIMAL(18,
     * `decimals`) string rendering — deterministic in any engine,
     * where a log10/pow extraction can flip at ulp boundaries.
+    * DECIMAL(38, d) so magnitudes up to 10^(38−d) render instead of
+    * throwing CAST_OVERFLOW under ANSI mode — the audit targets
+    * exactly the scale-spanning inputs that breach (18, d). Values
+    * below 0.5·10^−d round to 0 at the chosen precision and are
+    * excluded from the digit counts (same as ≤ 0); pass a larger
+    * `decimals` to audit sub-cent magnitudes.
     * Output: (digit, n, observed, expected, chi2_term), shares
     * round-6. */
   def benford(df: DataFrame, valueCol: String,
@@ -25,7 +31,7 @@ object DataAudit {
     val v = col(valueCol).cast("double")
     val digits = df.filter(v > 0)
       .select(substring(regexp_replace(
-        v.cast(org.apache.spark.sql.types.DecimalType(18, decimals))
+        v.cast(org.apache.spark.sql.types.DecimalType(38, decimals))
           .cast("string"), "[^1-9]", ""), 1, 1).as("digit"))
       .filter(col("digit") =!= "")
       .groupBy("digit").agg(count(lit(1)).as("n"))

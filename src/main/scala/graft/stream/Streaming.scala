@@ -384,7 +384,8 @@ object Streaming {
     * row score 0 everywhere (the batch convention). */
   def evalStreamScores(cands: DataFrame, refs: DataFrame,
                        idCol: String, candCol: String, refCol: String,
-                       rougeMaxN: Int = 2, chrfMaxN: Int = 6): DataFrame = {
+                       rougeMaxN: Int = 2, chrfMaxN: Int = 6,
+                       chrfBeta: Double = 2.0): DataFrame = {
     graft.functions.TextExpressions.register(refs.sparkSession)
     val empty = array().cast("array<string>")
     val c = cands.select(col(idCol).as("doc"),
@@ -422,11 +423,16 @@ object Streaming {
       element_at(col("_cv"), 3 * n))).reduce(_ + _)
     joined.select((col("doc") +: rougeCols) :+
         meanOf(sp).as("chrf_p") :+ meanOf(sr).as("chrf_r"): _*)
-      .withColumn("chrf",
-        when(lit(4.0) * col("chrf_p") + col("chrf_r") > 0.0,
-          round(lit(5.0) * col("chrf_p") * col("chrf_r") /
-            (lit(4.0) * col("chrf_p") + col("chrf_r")), 6))
-          .otherwise(lit(0.0)))
+      .withColumn("chrf", {
+        // β parameterized exactly as the batch kernel (EvalMetrics
+        // .chrF): coefficients β² and 1+β², default β=2 — a deploy
+        // needing batch/stream parity at β≠2 sets one argument
+        val b2 = chrfBeta * chrfBeta
+        when(lit(b2) * col("chrf_p") + col("chrf_r") > 0.0,
+          round(lit(1.0 + b2) * col("chrf_p") * col("chrf_r") /
+            (lit(b2) * col("chrf_p") + col("chrf_r")), 6))
+          .otherwise(lit(0.0))
+      })
   }
 
   /** Streaming blocklist deploy: the C4 bad-words page filter over an
@@ -522,6 +528,125 @@ object Streaming {
           }
           state.update(next)
           next
+      }
+  }
+
+  /** A typed product event for the stateful per-user deploys below —
+    * the `events` table's (user, event, type, time) spine. */
+  case class TypedEvent(user_id: Long, event_id: Long,
+                        event_type: String, ts: java.sql.Timestamp)
+
+  /** Epoch MICROseconds — `getTime` alone is millis and would collapse
+    * events 1µs apart, flipping the funnel's `>=` qualification
+    * relative to the batch operator's full-precision comparison. */
+  def epochMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
+  /** Per-user funnel state: the earliest qualifying epoch-millis per
+    * step (Long.MinValue = step not reached — chained, so set-ness is
+    * prefix-monotone). */
+  case class FunnelTimes(user_id: Long, times: Seq[Long])
+
+  case class FunnelUserState(user_id: Long, max_step: Int)
+
+  /** Streaming deploy of the ordered conversion funnel
+    * ([[graft.ts.EventAnalytics.funnel]]): per-user step-state via
+    * mapGroupsWithState, emitting the user's deepest step reached
+    * after each micro-batch (update mode; max_step is monotone
+    * non-decreasing, so the latest row per user == max over rows).
+    *
+    * Exactness contract (the cusumStream convention): each user's
+    * events must arrive in non-decreasing `ts` order ACROSS
+    * micro-batches; within a batch the fold sorts by (ts, step index,
+    * event_id), so equal-ts events resolve with the earlier funnel
+    * step first — exactly the batch funnel's min-over-qualifying
+    * semantics (an s_i and s_{i+1} event at the same instant qualify
+    * in step order there too, since the comparison is `>=`). Late
+    * cross-batch data would need the full per-user event history to
+    * re-qualify — that's the batch operator's job, not a stream's.
+    *
+    * State is k longs per user — bounded by |steps|, never by event
+    * volume; the shuffle is the groupByKey on user only. */
+  def funnelStream(events: Dataset[TypedEvent],
+                   steps: Seq[String]): Dataset[FunnelUserState] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    import events.sparkSession.implicits._
+    val idx = steps.zipWithIndex.toMap
+    val k = steps.size
+    events.filter(e => idx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelTimes, FunnelUserState](
+          GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelTimes]) =>
+          val t = state.getOption
+            .map(_.times.toArray)
+            .getOrElse(Array.fill(k)(Long.MinValue))
+          val ordered = rows.toSeq
+            .sortBy(e => (epochMicros(e.ts), idx(e.event_type), e.event_id))
+          ordered.foreach { e =>
+            val i = idx(e.event_type)
+            val qualifies =
+              (i == 0 || (t(i - 1) != Long.MinValue && epochMicros(e.ts) >= t(i - 1)))
+            // sorted ascending: the first qualifying event IS the min
+            if (qualifies && t(i) == Long.MinValue) t(i) = epochMicros(e.ts)
+          }
+          state.update(FunnelTimes(uid, t.toSeq))
+          FunnelUserState(uid, t.lastIndexWhere(_ != Long.MinValue) + 1)
+      }
+  }
+
+  /** Collapse a [[funnelStream]] sink table (update-mode rows, possibly
+    * several per user) to the batch funnel's (step, step_name,
+    * n_users) — max over the monotone max_step per user, then k
+    * one-row counts. Batch-side: runs over the sink, not the stream. */
+  def funnelStreamCounts(perUser: DataFrame, steps: Seq[String]): DataFrame = {
+    val latest = perUser.groupBy("user_id")
+      .agg(max(col("max_step")).as("_ms"))
+    steps.zipWithIndex.map { case (name, i) =>
+      latest.filter(col("_ms") >= i + 1)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Per-user last-event state for [[transitionsStream]]. */
+  case class LastEvent(user_id: Long, ts_ms: Long, event_id: Long,
+                       event_type: String)
+
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming deploy of the first-order event-type transition matrix
+    * ([[graft.ts.EventAnalytics.eventTransitions]]): per-user
+    * last-event state via flatMapGroupsWithState (append mode),
+    * emitting one (from, to) pair per consecutive event — the stored
+    * last event chains across micro-batches, so batch boundaries
+    * never drop a transition. Same ordering contract as
+    * [[funnelStream]]: per-user in-order arrival across batches;
+    * within a batch the fold sorts by (ts, event_id), the batch
+    * operator's exact tie rule. State is ONE event per user; counting
+    * and row-normalizing the emitted pairs is a downstream aggregation
+    * (the sink side owns it — pairs append exactly once). */
+  def transitionsStream(events: Dataset[TypedEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
+          val ordered = rows.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            val types = state.getOption.map(_.event_type).toSeq ++
+              ordered.map(_.event_type)
+            val out = types.sliding(2).collect {
+              case Seq(a, b) => Transition(uid, a, b)
+            }.toVector
+            val last = ordered.last
+            state.update(
+              LastEvent(uid, epochMicros(last.ts), last.event_id, last.event_type))
+            out.iterator
+          }
       }
   }
 

@@ -37,6 +37,13 @@ object Blocklist {
   private def norm(p: String): String =
     p.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
 
+  // NULL text must behave like "" on EVERY engine path: the literal
+  // path's lambda happens to yield ([], [], false) on null while the
+  // AC path's concat propagates NULL — without this bind the auto
+  // switch at 64 patterns would change output shape on null rows.
+  private def textOrEmpty(textCol: String): Column =
+    coalesce(col(textCol), lit(""))
+
   /** Per-document hit report: (idCol, term_hits: array<string>,
     * phrase_hits: array<string>, blocked: boolean). Patterns are
     * normalized with the same rule as the text, so callers pass them
@@ -64,7 +71,7 @@ object Blocklist {
     // normalized text, then the (tokens, padded) pair, via the
     // one-element-array trick (the Winnow.fingerprints convention) so
     // each is computed exactly once per row.
-    val hitStruct = transform(array(TextFns.cleanText(col(textCol))), c0 => {
+    val hitStruct = transform(array(TextFns.cleanText(textOrEmpty(textCol))), c0 => {
       transform(array(struct(TextFns.tokens(c0).as("t"),
           concat(lit(" "), c0, lit(" ")).as("p"))), s0 => {
         val th =
@@ -96,7 +103,7 @@ object Blocklist {
                      ts: Seq[String], ps: Seq[String]): DataFrame = {
     graft.functions.TextExpressions.register(df.sparkSession)
     val all = (ts ++ ps).map(p => " " + p + " ")
-    val padded = concat(lit(" "), TextFns.cleanText(col(textCol)), lit(" "))
+    val padded = concat(lit(" "), TextFns.cleanText(textOrEmpty(textCol)), lit(" "))
     val matched = call_function("multi_contains", padded, lit(all.toArray))
     val nTerms = ts.size
     val emptyS = array().cast("array<string>")
@@ -131,13 +138,13 @@ object Blocklist {
     if (engine == "ac" || (engine == "auto" && ts.size + ps.size > 64)) {
       graft.functions.TextExpressions.register(df.sparkSession)
       val all = (ts ++ ps).map(p => " " + p + " ")
-      val padded = concat(lit(" "), TextFns.cleanText(col(textCol)), lit(" "))
+      val padded = concat(lit(" "), TextFns.cleanText(textOrEmpty(textCol)), lit(" "))
       return df.filter(size(call_function("multi_contains", padded,
         lit(all.toArray))) === 0)
     }
     // same let-binding discipline as [[hits]]: normalize once, pad
     // once, then run the cheap membership checks over the bound values
-    val pred = transform(array(TextFns.cleanText(col(textCol))), c0 => {
+    val pred = transform(array(TextFns.cleanText(textOrEmpty(textCol))), c0 => {
       val termHit =
         if (ts.isEmpty) lit(false)
         else arrays_overlap(TextFns.tokens(c0), lit(ts.toArray))

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,19 @@ object CorpusStats {
     * which also removes the hapax plateau the fit shouldn't see).
     * OLS sums round to 6 dp.
     */
+  // Shared OLS guard: with one point (or all-equal x) the denominator
+  // Sxx − Sx²/n is 0 and a bare division emits NaN silently; the
+  // family convention is NULL-on-undefined (kappaSummary, rocAuc).
+  private def olsSlope(sx: Column, sy: Column, sxy: Column, sxx: Column,
+                       n: Column): Column = {
+    val denom = sxx - sx * sx / n
+    when(n > 1 && denom =!= 0.0, (sxy - sx * sy / n) / denom)
+  }
+
+  private def olsIntercept(sx: Column, sy: Column, sxy: Column, sxx: Column,
+                           n: Column): Column =
+    sy / n - olsSlope(sx, sy, sxy, sxx, n) * sx / n
+
   def zipfFit(df: DataFrame, textCol: String, minFreq: Long = 1L): DataFrame = {
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     val counts = df.select(explode(TextFns.tokens(col(textCol))).as("token"))
@@ -101,13 +114,10 @@ object CorpusStats {
         sum(col("x") * col("y")).as("_sxy"),
         sum(col("x") * col("x")).as("_sxx"))
       .select(col("_n").as("n_types"), col("_tok").as("n_tokens"),
-        round((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
-          (col("_sxx") - col("_sx") * col("_sx") / col("_n")), 6)
-          .as("slope"),
-        round(col("_sy") / col("_n") -
-          ((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
-            (col("_sxx") - col("_sx") * col("_sx") / col("_n"))) *
-          col("_sx") / col("_n"), 6).as("intercept"))
+        round(olsSlope(col("_sx"), col("_sy"), col("_sxy"), col("_sxx"),
+          col("_n").cast("double")), 6).as("slope"),
+        round(olsIntercept(col("_sx"), col("_sy"), col("_sxy"), col("_sxx"),
+          col("_n").cast("double")), 6).as("intercept"))
   }
 
   /** Vocabulary-growth curve (Heaps' law input): after each document
@@ -169,13 +179,10 @@ object CorpusStats {
         sum(col("x") * col("y")).as("_sxy"),
         sum(col("x") * col("x")).as("_sxx"))
       .select(col("_n").as("n_points"),
-        round((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
-          (col("_sxx") - col("_sx") * col("_sx") / col("_n")), 6)
-          .as("beta"),
-        round(col("_sy") / col("_n") -
-          ((col("_sxy") - col("_sx") * col("_sy") / col("_n")) /
-            (col("_sxx") - col("_sx") * col("_sx") / col("_n"))) *
-          col("_sx") / col("_n"), 6).as("ln_k"))
+        round(olsSlope(col("_sx"), col("_sy"), col("_sxy"), col("_sxx"),
+          col("_n").cast("double")), 6).as("beta"),
+        round(olsIntercept(col("_sx"), col("_sy"), col("_sxy"), col("_sxx"),
+          col("_n").cast("double")), 6).as("ln_k"))
   }
 
   /** Type-token ratio and basic lexical stats per group (source,

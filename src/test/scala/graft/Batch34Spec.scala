@@ -208,6 +208,26 @@ class Batch34Spec extends SparkSpec {
     assert(termOnly(1) === ((2L, Seq("clean"), Seq(), true)))
   }
 
+  test("blocklist engines agree on NULL text: ([], [], false) on both paths") {
+    // AC's concat would propagate NULL without the coalesce bind,
+    // making engine choice (auto switches at 64 patterns) change the
+    // output shape on null rows
+    val docs = Seq((1L, null: String), (2L, "w3 here"))
+      .toDF("doc_id", "text")
+    def run(engine: String) =
+      Blocklist.hits(docs, "doc_id", "text", Seq("w3"), Seq("w3 here"), engine)
+        .orderBy("doc_id")
+        .as[(Long, Seq[String], Seq[String], Boolean)].collect().toSeq
+    val literal = run("literal")
+    assert(literal.head === ((1L, Seq(), Seq(), false)))
+    assert(run("ac") === literal)
+    val kept = Blocklist.filterClean(docs, "text", Seq("w3"), Nil, "ac")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L)) // null text has no hits -> kept, both engines
+    assert(Blocklist.filterClean(docs, "text", Seq("w3"), Nil, "literal")
+      .select("doc_id").as[Long].collect().toSet === Set(1L))
+  }
+
   test("blocklist filterClean AC engine matches the literal engine") {
     val terms = (0 until 70).map(i => s"w$i") // above the auto threshold
     val docs = Seq((1L, "w3 content"), (2L, "clean text"), (3L, "w69 here"))

@@ -84,6 +84,16 @@ class Batch35Spec extends SparkSpec {
     assert(s === ((4L, 0.75, 0.733334, 0.5)))
   }
 
+  test("kappaSummary: degenerate single-class data yields NULL kappa, not NaN") {
+    // p_e = 1 (one class, perfect prediction) makes kappa 0/0 —
+    // NULL-on-undefined like rocAuc/classReport
+    val df = Seq(("a", "a"), ("a", "a")).toDF("label", "pred")
+    val s = graft.ml.ClassifierEval.kappaSummary(df, "label", "pred")
+      .as[(Long, Double, Double, Option[Double])].head()
+    assert(s._1 === 2L && s._2 === 1.0)
+    assert(s._4.isEmpty)
+  }
+
   test("classReport: prediction-only class keeps NULL recall, not zero") {
     val df = Seq(("a", "b"), ("a", "b")).toDF("label", "pred")
     val rep = graft.ml.ClassifierEval.classReport(df, "label", "pred")

@@ -26,6 +26,18 @@ class Batch36Spec extends SparkSpec {
     assert(out._3 < 0) // frequency falls with rank
   }
 
+  test("zipfFit/heapsFit: single point yields NULL fit, not NaN") {
+    // one type -> one curve point -> OLS denominator 0; the family
+    // convention is NULL-on-undefined
+    val z = CorpusStats.zipfFit(Seq((1L, "a a a")).toDF("id", "text"), "text")
+      .as[(Long, Long, Option[Double], Option[Double])].head()
+    assert(z._1 === 1L && z._3.isEmpty && z._4.isEmpty)
+    val h = CorpusStats.heapsFit(
+        Seq((1L, "a a a")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Option[Double], Option[Double])].head()
+    assert(h._1 === 1L && h._2.isEmpty && h._3.isEmpty)
+  }
+
   test("zipfFit minFreq drops the hapax tail") {
     val text = "a a a b b c"
     val out = CorpusStats.zipfFit(Seq((1L, text)).toDF("id", "text"),

@@ -22,6 +22,19 @@ class Batch39Spec extends SparkSpec {
     assert(frac._1 === 4)
   }
 
+  test("benford: scale-spanning magnitudes survive ANSI cast (>= 1e16)") {
+    // DECIMAL(18,2) would CAST_OVERFLOW here under ANSI mode; the
+    // widened DECIMAL(38,2) renders and extracts digit 7
+    val out = DataAudit.benford(Seq(7.2e16, 12.0).toDF("v"), "v")
+      .orderBy("digit").as[(Int, Long, Double, Double, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSeq === Seq((1, 1L), (7, 1L)))
+    // documented tiny-value exclusion: below 0.5*10^-decimals rounds
+    // to 0.00 and drops out of the digit counts
+    assert(DataAudit.benford(Seq(0.004).toDF("v"), "v").count() === 0L)
+    assert(DataAudit.benford(Seq(0.004).toDF("v"), "v", decimals = 3)
+      .as[(Int, Long, Double, Double, Double)].head()._1 === 4)
+  }
+
   test("keySkew: shares of the heaviest and top-k keys") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
     val out = DataAudit.keySkew(df, "k", k = 2)

@@ -389,6 +389,96 @@ class StreamSpec extends SparkSpec {
     assert(streamed(2)._2 === 0.0 && streamed(2)._6 === 0.0) // no ref
   }
 
+  test("streaming eval scoring at chrF beta != 2 matches the batch kernel") {
+    implicit val sqlCtx = spark.sqlContext
+    val refs = Seq((10L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val in = MemoryStream[DocEv]
+    val q = Streaming.evalStreamScores(in.toDF(), refs, "doc_id", "text",
+        "text", rougeMaxN = 2, chrfMaxN = 6, chrfBeta = 0.5)
+      .writeStream.format("memory").queryName("sevb")
+      .outputMode(OutputMode.Append).start()
+    in.addData(DocEv(t(0), 10L, "the cat sat on a mat"))
+    q.processAllAvailable()
+    val streamed = spark.table("sevb")
+      .as[(Long, Double, Double, Double, Double, Double)].head()
+    q.stop()
+    val batch = graft.text.EvalMetrics.chrF(
+        Seq((10L, "the cat sat on a mat")).toDF("doc_id", "text"), refs,
+        "doc_id", "text", "text", maxN = 6, beta = 0.5)
+      .as[(Long, Double, Double, Double)].head()
+    assert(streamed._6 === batch._4)
+    assert(batch._4 !== 0.0)
+  }
+
+  test("funnelStream matches the batch funnel across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.TypedEvent
+    // u1 full funnel; u2 click-before-view (click must NOT count);
+    // u3 view only; u4 equal-ts view+click (click qualifies via >=);
+    // u5 purchase before click (purchase must not count at step 3)
+    val evs = Seq(
+      TypedEvent(1L, 1L, "view", t(0)), TypedEvent(1L, 2L, "click", t(2)),
+      TypedEvent(1L, 3L, "purchase", t(5)),
+      TypedEvent(2L, 4L, "click", t(0)), TypedEvent(2L, 5L, "view", t(3)),
+      TypedEvent(3L, 6L, "view", t(1)),
+      TypedEvent(4L, 7L, "view", t(4)), TypedEvent(4L, 8L, "click", t(4)),
+      TypedEvent(5L, 9L, "view", t(0)), TypedEvent(5L, 10L, "purchase", t(1)),
+      TypedEvent(5L, 11L, "click", t(3)))
+    val steps = Seq("view", "click", "purchase")
+    val stepIdx = steps.zipWithIndex.toMap
+    val ordered = evs.sortBy(e =>
+      (Streaming.epochMicros(e.ts), stepIdx(e.event_type), e.event_id))
+    val in = MemoryStream[TypedEvent]
+    val q = Streaming.funnelStream(in.toDS(), steps).toDF()
+      .writeStream.format("memory").queryName("fst")
+      .outputMode(OutputMode.Update).start()
+    // two micro-batches: state must chain across the boundary
+    ordered.grouped(6).foreach { chunk =>
+      in.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = Streaming.funnelStreamCounts(spark.table("fst"), steps)
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    val batch = graft.ts.EventAnalytics.funnel(
+        evs.toDF(), "user_id", "event_type", "ts", steps)
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+    assert(streamed === batch)
+    assert(batch === Seq((1, "view", 5L), (2, "click", 3L),
+      (3, "purchase", 1L)))
+  }
+
+  test("transitionsStream matches batch eventTransitions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.TypedEvent
+    val evs = Seq(
+      TypedEvent(1L, 1L, "view", t(0)), TypedEvent(1L, 2L, "click", t(1)),
+      TypedEvent(1L, 3L, "view", t(2)), TypedEvent(1L, 4L, "purchase", t(3)),
+      TypedEvent(2L, 5L, "view", t(0)), TypedEvent(2L, 6L, "view", t(5)),
+      TypedEvent(3L, 7L, "click", t(2)))
+    val ordered = evs.sortBy(e => (Streaming.epochMicros(e.ts), e.event_id))
+    val in = MemoryStream[TypedEvent]
+    val q = Streaming.transitionsStream(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("tst")
+      .outputMode(OutputMode.Append).start()
+    // three micro-batches: the stored last event must chain the
+    // cross-boundary transitions (u1's view->purchase spans batches)
+    ordered.grouped(3).foreach { chunk =>
+      in.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("tst")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long)].collect().toSeq
+    val batch = graft.ts.EventAnalytics.eventTransitions(
+        evs.toDF(), "user_id", "event_type", "ts", tieCols = Seq("event_id"))
+      .orderBy("from_type", "to_type")
+      .select("from_type", "to_type", "n")
+      .as[(String, String, Long)].collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._3).sum === 4L) // 3 (u1) + 1 (u2)
+  }
+
   test("streaming KN3 scoring matches the batch order-3 scorer") {
     implicit val sqlCtx = spark.sqlContext
     val ref = Seq((1L, "a b c a b d"), (2L, "c a b e")).toDF("doc_id", "text")
