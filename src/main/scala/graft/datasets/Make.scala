@@ -408,6 +408,146 @@ object Make {
           lit(150.0) * u(col("layer"), 8103)).as("velocity_m_s"))
   }
 
+  // ------------------------------------------------------------------
+  // Domain-flavored generators (make.py's ~15 re-skins: make_african_demo
+  // :1346, make_gadget_sales:3197, make_medical_diagnosis:2122,
+  // make_retail_store:3360, make_erp:2858, ... — all the same mechanism:
+  // an entity × period grid, per-cell uniform / integer-range /
+  // categorical draws with domain-flavored names). ONE parameterized
+  // kernel covers the whole tail; the presets below are schema
+  // templates, not new machinery.
+  // ------------------------------------------------------------------
+
+  /** Field spec for [[makeFields]] / [[makeDomain]]. */
+  sealed trait Field { def name: String }
+  /** Uniform double in [lo, hi), round-6. */
+  final case class NumField(name: String, lo: Double, hi: Double) extends Field
+  /** Uniform integer in [lo, hi) — the reference's `randint`. */
+  final case class IntRangeField(name: String, lo: Long, hi: Long) extends Field
+  /** Hash-pick from a fixed category list. */
+  final case class CatField(name: String, values: Seq[String]) extends Field
+
+  /** Non-negative hash mod m — portable mode is the md5 60-bit prefix
+    * (DuckDB: CAST('0x'||substr(md5(k),1,15) AS BIGINT) % m). */
+  private def hashMod(portable: Boolean, seed: Long, id: Column, tag: Int,
+                      m: Long): Column =
+    if (portable)
+      pmod(conv(substring(md5(concat_ws("-", lit(seed), id, lit(tag))), 1, 15),
+        16, 10).cast("long"), lit(m))
+    else pmod(xxhash64(lit(seed), id, lit(tag)), lit(m))
+
+  /** One field's deterministic column. `lo + u·(hi−lo)` is pure IEEE
+    * composition of engine-exact doubles (the md5 uniform is an exact
+    * rational), so round-6 lands identically everywhere; integer and
+    * categorical draws are exact by construction. Field j draws on tag
+    * 910000+j — its own block of the tag space. */
+  private def fieldCol(f: Field, portable: Boolean, seed: Long, id: Column,
+                       tag: Int): Column = f match {
+    case NumField(name, lo, hi) =>
+      round(lit(lo) + uniform(portable, seed, id, tag) * lit(hi - lo), 6)
+        .as(name)
+    case IntRangeField(name, lo, hi) =>
+      require(hi > lo, s"IntRangeField $name needs hi > lo")
+      (lit(lo) + hashMod(portable, seed, id, tag, hi - lo)).as(name)
+    case CatField(name, values) =>
+      require(values.nonEmpty, s"CatField $name needs values")
+      element_at(array(values.map(lit): _*),
+        (hashMod(portable, seed, id, tag, values.size.toLong) + 1)
+          .cast("int")).as(name)
+  }
+
+  /** Flat row-indexed generator: id + one column per field spec — the
+    * per-patient / per-record flavor (make_medical_diagnosis shape).
+    * `range(n)` + codegen expressions: no RNG state, no shuffle. */
+  def makeFields(spark: SparkSession, nSamples: Long, fields: Seq[Field],
+                 seed: Long = 42L, portableHash: Boolean = false): DataFrame = {
+    require(nSamples > 0 && fields.nonEmpty, "need nSamples > 0 and fields")
+    val id = col("id")
+    val cols = fields.zipWithIndex.map { case (f, j) =>
+      fieldCol(f, portableHash, seed, id, 910000 + j)
+    }
+    spark.range(nSamples).select(id +: cols: _*)
+  }
+
+  /** Entity × period grid generator — the make_african_demo /
+    * make_gadget_sales / make_retail_store mechanism: one row per
+    * (entity, period), each field an independent deterministic draw
+    * keyed on the flat grid id. `periodStart + p` makes the period a
+    * meaningful year/day index. Columns: entityCol, periodCol,
+    * fields... — |entities|·nPeriods rows from one `range`, no
+    * shuffle, any row regenerable anywhere. */
+  def makeDomain(spark: SparkSession, entities: Seq[String],
+                 entityCol: String, nPeriods: Int, periodCol: String,
+                 periodStart: Long, fields: Seq[Field], seed: Long = 42L,
+                 portableHash: Boolean = false): DataFrame = {
+    require(entities.nonEmpty && nPeriods > 0, "need entities and periods")
+    require(fields.nonEmpty, "need at least one field")
+    val id = col("id")
+    val entArr = array(entities.map(lit): _*)
+    // integral div (the makeSeries lesson): exact at any scale
+    val e = expr(s"id div ${nPeriods}L")
+    val p = (id % nPeriods).cast("long")
+    val cols = fields.zipWithIndex.map { case (f, j) =>
+      fieldCol(f, portableHash, seed, id, 910000 + j)
+    }
+    spark.range(entities.size.toLong * nPeriods)
+      .select(element_at(entArr, (e + 1).cast("int")).as(entityCol) +:
+        (p + periodStart).as(periodCol) +: cols: _*)
+  }
+
+  /** `make_african_demo` (make.py:1346): country × year panel with
+    * population / vital rates / urbanization / GDP draws. Country
+    * names are public geography; the reference's default takes 7. */
+  def makeAfricanDemo(spark: SparkSession,
+                      countries: Seq[String] = DemoCountries,
+                      startYear: Int = 1960, endYear: Int = 2020,
+                      seed: Long = 42L,
+                      portableHash: Boolean = false): DataFrame = {
+    require(endYear >= startYear, "endYear must be >= startYear")
+    makeDomain(spark, countries, "country", endYear - startYear + 1, "year",
+      startYear.toLong, Seq(
+        IntRangeField("population", 1000000L, 200000000L),
+        NumField("birth_rate", 20.0, 50.0),
+        NumField("death_rate", 5.0, 20.0),
+        NumField("urbanization_rate", 10.0, 85.0),
+        NumField("gdp_per_capita", 500.0, 20000.0)),
+      seed, portableHash)
+  }
+
+  val DemoCountries: Seq[String] = Seq("nigeria", "egypt", "south_africa",
+    "ethiopia", "kenya", "ghana", "morocco")
+
+  /** `make_gadget_sales` (make.py:3197) / `make_retail_store` (:3360):
+    * device × day sales panel. */
+  def makeGadgetSales(spark: SparkSession,
+                      devices: Seq[String] = SalesDevices,
+                      nDays: Int = 120, seed: Long = 42L,
+                      portableHash: Boolean = false): DataFrame =
+    makeDomain(spark, devices, "device", nDays, "day", 0L, Seq(
+      IntRangeField("units_sold", 10L, 500L),
+      NumField("unit_price", 50.0, 1500.0),
+      NumField("discount_pct", 0.0, 0.3),
+      CatField("region", Seq("north", "south", "east", "west"))),
+      seed, portableHash)
+
+  val SalesDevices: Seq[String] = Seq("smartphone", "laptop", "tablet",
+    "smartwatch", "camera")
+
+  /** `make_medical_diagnosis` (make.py:2122): one row per patient with
+    * vitals + a categorical diagnosis — the flat [[makeFields]] flavor. */
+  def makeMedicalDiagnosis(spark: SparkSession, nPatients: Long = 1000L,
+                           seed: Long = 42L,
+                           portableHash: Boolean = false): DataFrame =
+    makeFields(spark, nPatients, Seq(
+      IntRangeField("age", 18L, 90L),
+      NumField("temperature_c", 36.0, 41.5),
+      IntRangeField("systolic_bp", 90L, 180L),
+      IntRangeField("cholesterol", 120L, 300L),
+      CatField("diagnosis",
+        Seq("healthy", "hypertension", "diabetes", "flu"))),
+      seed, portableHash)
+      .withColumnRenamed("id", "patient_id")
+
   def makeBlobs(spark: SparkSession, nSamples: Long, nCenters: Int = 3,
                 dim: Int = 2, std: Double = 1.0,
                 boxMin: Double = -10.0, boxMax: Double = 10.0,

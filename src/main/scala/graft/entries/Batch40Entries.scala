@@ -73,6 +73,43 @@ object Batch40Entries {
         .orderBy("step")
     }),
 
+    // datasets.Make.makeDomain presets — the reference's domain-
+    // flavored generator tail (make_african_demo / make_gadget_sales /
+    // make_medical_diagnosis and the other re-skins) closed by ONE
+    // parameterized entity×period grid kernel. All FULL oracle:
+    // deterministic md5 draws replayed from range() — no input table,
+    // no RNG state.
+    "make_demo" -> ((s, dir) => {
+      graft.datasets.Make.makeAfricanDemo(s, portableHash = true)
+        .orderBy("country", "year")
+    }),
+
+    "make_sales" -> ((s, dir) => {
+      graft.datasets.Make.makeGadgetSales(s, portableHash = true)
+        .orderBy("device", "day")
+    }),
+
+    "make_medical" -> ((s, dir) => {
+      graft.datasets.Make.makeMedicalDiagnosis(s, nPatients = 1000L,
+          portableHash = true)
+        .orderBy("patient_id")
+    }),
+
+    // Count-min approximate heavy hitters — the third sketch of the
+    // trio (HLL++ unique_stats_approx, GK quantiles_approx): per-
+    // partition Misra-Gries candidates, one count-min estimate pass,
+    // no exact-count shuffle at all. Rows-only by design (sketch
+    // internals are engine-specific); heavy_hitters_exact is the
+    // green full-oracle twin and RelSpec asserts the superset +
+    // eps*N error bounds. capacity 1024 >= N/minCount at every sf
+    // here (600k/620 at sf0.1), so the no-false-negative guarantee
+    // holds on this data.
+    "heavy_hitters_approx" -> ((s, dir) => {
+      graft.rel.Sketches.heavyHittersApprox(T.lineitem(s, dir),
+          "l_suppkey", minCount = 620L, capacity = 1024)
+        .orderBy("l_suppkey")
+    }),
+
     // Streaming.transitionsStream replayed END-TO-END: one
     // (from, to) pair appended per consecutive per-user event, the
     // stored last event chaining across the three micro-batches; the
@@ -102,7 +139,57 @@ object Batch40Entries {
     })
   )
 
+  /** The md5 60-bit integer draw — the Make portable hash family. */
+  private def h(tag: Int): String =
+    s"CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-$tag'), 1, 15) AS BIGINT)"
+
+  /** The md5 uniform in [0,1) (the make_walk oracle's spelling). */
+  private def u(tag: Int): String = s"${h(tag)} / 1152921504606846976.0"
+
   val oracleSql: Map[String, String] = Map(
+
+    // Replays makeAfricanDemo: 7 countries x 61 years off range(427),
+    // country = id // 61, year = 1960 + id % 61, fields on tags
+    // 910000..910004 with the same affine maps.
+    "make_demo" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 427)) AS id)
+        |SELECT
+        |  (['nigeria', 'egypt', 'south_africa', 'ethiopia', 'kenya',
+        |    'ghana', 'morocco'])[CAST(id // 61 + 1 AS INT)] AS country,
+        |  1960 + id % 61 AS year,
+        |  1000000 + ${h(910000)} % 199000000 AS population,
+        |  ROUND(20.0 + ${u(910001)} * 30.0, 6) AS birth_rate,
+        |  ROUND(5.0 + ${u(910002)} * 15.0, 6) AS death_rate,
+        |  ROUND(10.0 + ${u(910003)} * 75.0, 6) AS urbanization_rate,
+        |  ROUND(500.0 + ${u(910004)} * 19500.0, 6) AS gdp_per_capita
+        |FROM ids ORDER BY country, year""".stripMargin,
+
+    // Replays makeGadgetSales: 5 devices x 120 days off range(600).
+    "make_sales" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 600)) AS id)
+        |SELECT
+        |  (['smartphone', 'laptop', 'tablet', 'smartwatch',
+        |    'camera'])[CAST(id // 120 + 1 AS INT)] AS device,
+        |  id % 120 AS day,
+        |  10 + ${h(910000)} % 490 AS units_sold,
+        |  ROUND(50.0 + ${u(910001)} * 1450.0, 6) AS unit_price,
+        |  ROUND(0.0 + ${u(910002)} * 0.3, 6) AS discount_pct,
+        |  (['north', 'south', 'east',
+        |    'west'])[CAST(1 + ${h(910003)} % 4 AS INT)] AS region
+        |FROM ids ORDER BY device, day""".stripMargin,
+
+    // Replays makeMedicalDiagnosis: flat per-patient draws off
+    // range(1000).
+    "make_medical" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 1000)) AS id)
+        |SELECT id AS patient_id,
+        |  18 + ${h(910000)} % 72 AS age,
+        |  ROUND(36.0 + ${u(910001)} * 5.5, 6) AS temperature_c,
+        |  90 + ${h(910002)} % 90 AS systolic_bp,
+        |  120 + ${h(910003)} % 180 AS cholesterol,
+        |  (['healthy', 'hypertension', 'diabetes',
+        |    'flu'])[CAST(1 + ${h(910004)} % 4 AS INT)] AS diagnosis
+        |FROM ids ORDER BY patient_id""".stripMargin,
 
     // The batch funnel's oracle, verbatim — the streaming deploy must
     // reach the identical counts.

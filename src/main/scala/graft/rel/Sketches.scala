@@ -59,6 +59,80 @@ object Sketches {
       .filter(col("cnt") >= minCount)
   }
 
+  /** Misra–Gries candidate generation, per partition (Misra & Gries,
+    * "Finding repeated elements", Sci. Comput. Program. 1982): each
+    * partition keeps at most `capacity` counters; a key whose
+    * partition-local count exceeds n_p/(capacity+1) is guaranteed to
+    * survive. By the averaging argument, any key with GLOBAL count
+    * ≥ N/(capacity+1) is locally that frequent in at least one
+    * partition — so the union of per-partition survivors contains
+    * every global heavy hitter at that threshold, in at most
+    * #partitions × capacity rows (never key-domain-sized). The
+    * decrement-all step amortizes to O(n) per partition: each round
+    * retires capacity+1 units of total count. */
+  def candidateKeys(df: DataFrame, column: String,
+                    capacity: Int = 256): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(column).cast("string").as("_k"))
+      .filter(col("_k").isNotNull)
+      .as[String]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { k =>
+          m.get(k) match {
+            case Some(c) => m(k) = c + 1
+            case None if m.size < capacity => m(k) = 1L
+            case None =>
+              val dead = List.newBuilder[String]
+              m.keysIterator.foreach { kk =>
+                val c = m(kk) - 1
+                if (c == 0) dead += kk else m(kk) = c
+              }
+              dead.result().foreach(m.remove)
+          }
+        }
+        m.keysIterator
+      }
+      .toDF("_k").distinct()
+  }
+
+  /** Fully-approximate heavy hitters — the count-min member of the
+    * sketch trio (HLL++ `uniqueStatsApprox`, GK `quantilesApprox`):
+    * Misra–Gries candidates per partition (bounded, no key-domain
+    * shuffle), then ONE count-min pass estimates each candidate's
+    * count; keys estimated at `minCount` or more are reported with
+    * their estimate. Count-min only OVER-estimates, so provided
+    * `capacity ≥ N/minCount` (the [[candidateKeys]] guarantee) the
+    * output keys are a SUPERSET of the exact
+    * `GROUP BY ... HAVING count ≥ minCount` keys, and each estimate
+    * obeys exact ≤ est ≤ exact + ε·N with probability ≥ confidence —
+    * both bounds asserted in RelSpec against [[heavyHittersExact]].
+    * Unlike the exact twin, no second pass over the data: at 100 TB
+    * the whole answer is two scans and zero wide shuffles.
+    * Output: (column, est_count). */
+  def heavyHittersApprox(df: DataFrame, column: String, minCount: Long,
+                         capacity: Int = 256, eps: Double = 1e-4,
+                         confidence: Double = 0.99,
+                         seed: Int = 42): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val keyed = df.select(col(column).cast("string").as("_k"))
+      .filter(col("_k").isNotNull)
+    val sketch = keyed.stat.countMinSketch(col("_k"), eps, confidence, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(sketch)
+    // sketch/probe hash the same string representation (the
+    // heavyHittersExact discipline)
+    val est = udf((k: String) => bc.value.estimateCount(k))
+    // the candidate pass stringified the key; restore the input type
+    // so the output schema matches the exact twin's
+    val keyType = df.schema(column).dataType
+    candidateKeys(df, column, capacity)
+      .select(col("_k").cast(keyType).as(column),
+        est(col("_k")).as("est_count"))
+      .filter(col("est_count") >= minCount)
+  }
+
   /** Bloom-accelerated semi-join: build a bloom filter over the
     * (deduplicated) build-side keys, pre-filter the probe side with
     * `might_contain` (no false negatives), then run the exact

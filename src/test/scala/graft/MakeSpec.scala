@@ -219,6 +219,48 @@ class MakeSpec extends SparkSpec {
     }
   }
 
+  test("makeDomain: entity-period grid shape, field ranges, determinism") {
+    import graft.datasets.Make
+    val df = Make.makeDomain(spark, Seq("a", "b", "c"), "shop", 10, "day",
+      5L, Seq(Make.NumField("sales", 100.0, 200.0),
+        Make.IntRangeField("visits", 10L, 50L),
+        Make.CatField("tier", Seq("gold", "silver"))), seed = 9L)
+    assert(df.count() == 30)
+    // every (entity, period) cell present exactly once
+    assert(df.select("shop", "day").distinct().count() == 30)
+    assert(df.agg(min("day"), max("day")).as[(Long, Long)].head() == ((5L, 14L)))
+    val bad = df.filter(col("sales") < 100.0 || col("sales") >= 200.0 ||
+      col("visits") < 10 || col("visits") >= 50 ||
+      !col("tier").isin("gold", "silver")).count()
+    assert(bad == 0)
+    val again = Make.makeDomain(spark, Seq("a", "b", "c"), "shop", 10, "day",
+      5L, Seq(Make.NumField("sales", 100.0, 200.0),
+        Make.IntRangeField("visits", 10L, 50L),
+        Make.CatField("tier", Seq("gold", "silver"))), seed = 9L)
+    assert(df.orderBy("shop", "day").collect().toSeq ==
+      again.orderBy("shop", "day").collect().toSeq)
+    // portable and fast hash families share the schema
+    val portable = Make.makeDomain(spark, Seq("a"), "shop", 2, "day", 0L,
+      Seq(Make.NumField("sales", 0.0, 1.0)), portableHash = true)
+    assert(portable.schema == df.select("shop", "day", "sales").schema)
+  }
+
+  test("domain presets: demo/sales/medical shapes and plausible ranges") {
+    import graft.datasets.Make
+    val demo = Make.makeAfricanDemo(spark)
+    assert(demo.count() == 7L * 61)
+    assert(demo.filter(col("birth_rate") < 20.0 ||
+      col("birth_rate") >= 50.0 || col("population") < 1000000L).count() == 0)
+    val sales = Make.makeGadgetSales(spark)
+    assert(sales.count() == 5L * 120)
+    assert(sales.select("region").distinct().count() == 4)
+    val med = Make.makeMedicalDiagnosis(spark, nPatients = 200)
+    assert(med.count() == 200)
+    assert(med.filter(col("age") < 18 || col("age") >= 90 ||
+      col("temperature_c") < 36.0 || col("temperature_c") >= 41.5).count() == 0)
+    assert(med.select("diagnosis").distinct().count() == 4)
+  }
+
   test("makeSounding: point-layer grid with monotone depth and bounded fields") {
     val df = graft.datasets.Make.makeSounding(spark, nPoints = 40,
       nLayers = 6, seed = 7L)

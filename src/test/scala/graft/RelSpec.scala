@@ -152,6 +152,47 @@ class RelSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("heavyHittersApprox: superset of the exact twin, eps*N error bound") {
+    import graft.rel.Sketches
+    val li = T.lineitem(spark, sf)
+    val n = li.count()
+    val exact = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 610)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty)
+    // capacity >= N/minCount -> candidate set provably contains every
+    // exact heavy hitter; CM only over-estimates -> none drop below
+    // the threshold
+    val approx = Sketches.heavyHittersApprox(li, "l_suppkey", 610,
+        capacity = math.max(16, (n / 610 + 1).toInt))
+      .as[(Long, Long)].collect().toMap
+    assert(exact.keySet.subsetOf(approx.keySet),
+      s"missing: ${exact.keySet -- approx.keySet}")
+    // per-key bound: exact <= est <= exact + eps*N (eps=1e-4 default)
+    val allCounts = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    approx.foreach { case (k, est) =>
+      val ex = allCounts(k)
+      assert(est >= ex, s"undercount at $k: $est < $ex")
+      assert(est <= ex + (1e-4 * n).ceil.toLong + 1,
+        s"over bound at $k: $est vs $ex (n=$n)")
+    }
+  }
+
+  test("candidateKeys: Misra-Gries keeps every key above the capacity threshold") {
+    import graft.rel.Sketches
+    // one partition, capacity 3: keys with count > n/(c+1) = 25 must
+    // survive the decrement rounds regardless of arrival order
+    val rows = scala.util.Random.shuffle(
+      Seq.fill(40)("hot") ++ Seq.fill(30)("warm") ++
+        (1 to 30).map(i => s"t$i"))
+    val cands = Sketches.candidateKeys(
+        rows.toDF("k").repartition(1), "k", capacity = 3)
+      .as[String].collect().toSet
+    assert(cands.contains("hot") && cands.contains("warm"))
+    assert(cands.size <= 3)
+  }
+
   test("heavyHittersExact keeps a heavy NULL-key group (nulls bypass the sketch)") {
     import graft.rel.Sketches
     val df = (Seq.fill(20)(Option.empty[String]) ++
