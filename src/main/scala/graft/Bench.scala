@@ -45,7 +45,9 @@ object Bench {
     "pack_shards", "interval_join", "top_ngram",
     "rouge_doc", "bleu_corpus", "chrf_doc", "qa_eval",
     "winnow_pairs_xx", "blocklist_hits", "phrase_search", "corpus_js",
-    "roc_auc", "rank_eval", "page_rank")
+    "roc_auc", "rank_eval", "page_rank",
+    "funnel", "basket_lift", "funnel_stream", "transitions_stream",
+    "heavy_hitters_approx", "make_demo")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,11 +160,37 @@ object Bench {
         .mkString("{", ",", "}"))
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(40))}" }
       .mkString("{", ",", "}")
-    val qs = headline.filter(results.contains)
-      .map(k => s"\"" + k + "\":" + fmt(results(k)))
-      .mkString("{", ",", "}")
+    // Headline selection (r12 verdict: the static list under-sampled
+    // the heavy tail — basket_lift at 4.7 s was absent while
+    // sub-second near-twins were in): every query with median >=
+    // HEAVY_SEC is MANDATORY (costliest first), then the
+    // family-representative list fills whatever remains of the
+    // driver's ~2000-char tail window. The rule ships in the artifact
+    // as "headline_rule" so future rounds compare like with like.
+    val HEAVY_SEC = 1.5
+    val heavy = results.filter(_._2 >= HEAVY_SEC).toSeq
+      .sortBy { case (n, t) => (-t, n) }.map(_._1)
+    val reps = headline.filter(n =>
+      results.contains(n) && !heavy.contains(n))
     val loadsJson = passLoads.map(jstr).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","timed_iters":$iters,"interleaved":true,"loadavg_per_pass":$loadsJson,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}","error_count":${errors.size},"errors":$errJson}""")
+    val headlineRule = s"all>=${HEAVY_SEC}s then representatives, pruned to fit"
+    def line(qsJson: String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"headline_rule":"$headlineRule","sf":"$sfDir","timed_iters":$iters,"interleaved":true,"loadavg_per_pass":$loadsJson,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}","error_count":${errors.size},"errors":$errJson}"""
+    // grow the headline map until the WHOLE line would cross the
+    // driver's retention window (heavy entries are never dropped —
+    // they were selected first)
+    val budget = 1950
+    val picked = scala.collection.mutable.ArrayBuffer[String]()
+    for (n <- heavy ++ reps) {
+      val candidate = (picked :+ n)
+        .map(k => s"\"" + k + "\":" + fmt(results(k)))
+        .mkString("{", ",", "}")
+      if (line(candidate).length <= budget || heavy.contains(n))
+        picked += n
+    }
+    val qs = picked.map(k => s"\"" + k + "\":" + fmt(results(k)))
+      .mkString("{", ",", "}")
+    println(line(qs))
     spark.stop()
   }
 }

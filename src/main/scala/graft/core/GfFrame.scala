@@ -312,6 +312,17 @@ object GfFrame {
                          tieCols: Seq[String] = Nil): Fluent =
       new Fluent(graft.ts.EventAnalytics.eventTransitions(df, userCol,
         typeCol, tsCol, tieCols))
+    /** Time-to-convert distribution between two funnel steps. */
+    def conversionTime(userCol: String, typeCol: String, tsCol: String,
+                       fromStep: String, toStep: String): Fluent =
+      new Fluent(graft.ts.EventAnalytics.conversionTime(df, userCol,
+        typeCol, tsCol, fromStep, toStep))
+    /** Approximate heavy hitters: Misra-Gries candidates + one
+      * count-min estimate pass — no exact-count shuffle. */
+    def heavyHittersApprox(column: String, minCount: Long,
+                           capacity: Int = 256): Fluent =
+      new Fluent(graft.rel.Sketches.heavyHittersApprox(df, column,
+        minCount, capacity))
     /** Flesch-Kincaid readability per document. */
     def readability(idCol: String, textCol: String): Fluent =
       new Fluent(graft.text.Quality.readability(df, idCol, textCol))

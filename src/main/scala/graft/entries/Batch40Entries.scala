@@ -73,6 +73,46 @@ object Batch40Entries {
         .orderBy("step")
     }),
 
+    // Streaming.conversionTimeStream replayed END-TO-END: per-user
+    // (t0, emitted) state appends one conversion-delay row per user;
+    // the sink side owns the quantile summary. FULL oracle — the
+    // batch conversion_time's SQL verbatim.
+    "conversion_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = orderedEvents(s, dir, Map("view" -> 0, "purchase" -> 1))
+        .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      val in = MemoryStream[TypedEvent]
+      val qn = s"conversion_stream_sink_${sinkSeq.incrementAndGet()}"
+      val q = Streaming.conversionTimeStream(in.toDS(), "view", "purchase")
+        .toDF()
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .start()
+      replay(in, evs, q)
+      Streaming.conversionTimeSummary(s.table(qn))
+    }),
+
+    // Streaming.cohortRetentionStream replayed END-TO-END: per-user
+    // (cohort, seen-offsets) state appends one row per (user, period)
+    // activity; the sink side's one groupBy is the batch operator's
+    // count. FULL oracle — the batch cohort_retention's SQL verbatim.
+    // With this the WHOLE event-analytics family (funnel, transitions,
+    // conversion time, cohort retention) has a streaming deploy in the
+    // correctness loop.
+    "cohort_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evs = orderedEvents(s, dir, Map.empty)
+      val in = MemoryStream[TypedEvent]
+      val qn = s"cohort_stream_sink_${sinkSeq.incrementAndGet()}"
+      val q = Streaming.cohortRetentionStream(in.toDS(), "week").toDF()
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .start()
+      replay(in, evs, q)
+      Streaming.cohortRetentionCounts(s.table(qn))
+        .orderBy("cohort", "period_offset")
+    }),
+
     // datasets.Make.makeDomain presets — the reference's domain-
     // flavored generator tail (make_african_demo / make_gadget_sales /
     // make_medical_diagnosis and the other re-skins) closed by ONE
@@ -190,6 +230,41 @@ object Batch40Entries {
         |  (['healthy', 'hypertension', 'diabetes',
         |    'flu'])[CAST(1 + ${h(910004)} % 4 AS INT)] AS diagnosis
         |FROM ids ORDER BY patient_id""".stripMargin,
+
+    // cohort_retention's oracle, verbatim.
+    "cohort_stream" ->
+      """WITH c AS (SELECT user_id AS u,
+        |    MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id AS u,
+        |    CAST(date_trunc('week', ts) AS DATE) AS p
+        |  FROM events)
+        |SELECT c.cohort,
+        |  CAST(date_diff('day', c.cohort, a.p) / 7 AS BIGINT)
+        |    AS period_offset,
+        |  COUNT(*) AS n_users
+        |FROM a JOIN c ON a.u = c.u
+        |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin,
+
+    // conversion_time's oracle, verbatim.
+    "conversion_stream" ->
+      """WITH f AS (SELECT user_id AS u, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id AS u,
+        |    MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT))
+        |      - MIN(CAST(FLOOR(epoch(f.t0)) AS BIGINT)) AS dt
+        |  FROM events e JOIN f ON e.user_id = f.u
+        |  WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+        |  GROUP BY 1)
+        |SELECT COUNT(*) AS n_converted,
+        |  MIN(dt) AS min_s,
+        |  round(quantile_cont(dt, 0.25), 6) AS p25_s,
+        |  round(quantile_cont(dt, 0.5), 6) AS median_s,
+        |  round(quantile_cont(dt, 0.75), 6) AS p75_s,
+        |  MAX(dt) AS max_s,
+        |  round(CAST(SUM(dt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS mean_s
+        |FROM c""".stripMargin,
 
     // The batch funnel's oracle, verbatim — the streaming deploy must
     // reach the identical counts.

@@ -611,6 +611,133 @@ object Streaming {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-user conversion state: earliest fromStep micros (MinValue =
+    * unseen) and whether the conversion delay was already emitted. */
+  case class ConvState(user_id: Long, t0: Long, emitted: Boolean)
+
+  case class Conversion(user_id: Long, dt_s: Long)
+
+  /** Streaming deploy of the funnel's time-to-convert
+    * ([[graft.ts.EventAnalytics.conversionTime]]): per-user state is
+    * TWO fields — the earliest `fromStep` time and an emitted flag —
+    * and each user emits exactly one (user, seconds) row the first
+    * time a `toStep` event lands at-or-after it (append mode; the
+    * distribution summary is the sink side's one aggregation over
+    * #converted rows). Ordering contract as [[funnelStream]]; seconds
+    * floor from epoch micros exactly like the batch operator's
+    * `cast(long)` on timestamps. */
+  def conversionTimeStream(events: Dataset[TypedEvent], fromStep: String,
+                           toStep: String): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == fromStep || e.event_type == toStep)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvState, Conversion](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[ConvState]) =>
+          var st = state.getOption.getOrElse(
+            ConvState(uid, Long.MinValue, emitted = false))
+          val out = List.newBuilder[Conversion]
+          // equal-ts ties: fromStep processes first (the >= rule
+          // qualifies a same-instant toStep, exactly like the batch
+          // join's e.ts >= f.t0)
+          val ordered = rows.toSeq.sortBy(e => (epochMicros(e.ts),
+            if (e.event_type == fromStep) 0 else 1, e.event_id))
+          ordered.foreach { e =>
+            val m = epochMicros(e.ts)
+            if (e.event_type == fromStep && st.t0 == Long.MinValue)
+              st = st.copy(t0 = m)
+            else if (e.event_type == toStep && !st.emitted &&
+                st.t0 != Long.MinValue && m >= st.t0) {
+              // batch parity: floor(epoch seconds) difference, i.e.
+              // floorDiv of each micros to seconds, then subtract
+              out += Conversion(uid, Math.floorDiv(m, 1000000L) -
+                Math.floorDiv(st.t0, 1000000L))
+              st = st.copy(emitted = true)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Collapse a [[conversionTimeStream]] sink (one row per converted
+    * user) to the batch operator's one-row quantile summary. */
+  def conversionTimeSummary(conversions: DataFrame): DataFrame =
+    conversions.agg(count(lit(1)).as("n_converted"),
+      min("dt_s").as("min_s"),
+      round(expr("percentile(dt_s, 0.25)"), 6).as("p25_s"),
+      round(expr("percentile(dt_s, 0.5)"), 6).as("median_s"),
+      round(expr("percentile(dt_s, 0.75)"), 6).as("p75_s"),
+      max("dt_s").as("max_s"),
+      round(sum("dt_s").cast("double") / count(lit(1)).cast("double"), 6)
+        .as("mean_s"))
+
+  /** Per-user cohort state: the first-seen period (epoch day of its
+    * Monday/day start) and the offsets already emitted. The offsets
+    * list is bounded by the DISTINCT periods the user was active in —
+    * timeline-bounded, never event-volume-bounded. */
+  case class CohortState(user_id: Long, cohort_day: Long,
+                         seen_offsets: Seq[Long])
+
+  case class CohortHit(user_id: Long, cohort_day: Long, period_offset: Long)
+
+  /** Streaming deploy of cohort retention
+    * ([[graft.ts.EventAnalytics.cohortRetention]]), day|week periods:
+    * each user emits exactly one (cohort, offset) row the first time
+    * they are active in a period (append mode); the sink side's one
+    * groupBy count is the batch operator's (cohort, period_offset,
+    * n_users). Period truncation replays Spark's UTC
+    * `date_trunc(period, ts)` (weeks start Monday, the ISO rule both
+    * engines share); offsets are exact integer day counts / period
+    * length. Ordering contract as [[funnelStream]] — in-order arrival
+    * makes the first-seen period the min period, matching the batch
+    * cohort assignment. (`month` needs months_between and stays a
+    * batch-only period.) */
+  def cohortRetentionStream(events: Dataset[TypedEvent],
+                            period: String = "week"): Dataset[CohortHit] = {
+    require(Set("week", "day").contains(period),
+      s"stream period must be week|day, got $period")
+    import events.sparkSession.implicits._
+    val perLen = if (period == "week") 7L else 1L
+    def periodDay(micros: Long): Long = {
+      val day = Math.floorDiv(micros, 86400000000L) // UTC epoch day
+      if (period == "day") day
+      else day - Math.floorMod(day + 3L, 7L) // Monday: epoch day 0 is a Thursday
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortHit](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[CohortState]) =>
+          val ordered = rows.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              CohortState(uid, periodDay(epochMicros(ordered.head.ts)), Nil))
+            val seen = scala.collection.mutable.LinkedHashSet[Long](
+              st.seen_offsets: _*)
+            val out = List.newBuilder[CohortHit]
+            ordered.foreach { e =>
+              val off = (periodDay(epochMicros(e.ts)) - st.cohort_day) / perLen
+              if (!seen.contains(off)) {
+                seen += off
+                out += CohortHit(uid, st.cohort_day, off)
+              }
+            }
+            state.update(st.copy(seen_offsets = seen.toSeq))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Collapse a [[cohortRetentionStream]] sink (one row per (user,
+    * period) activity) to the batch operator's (cohort,
+    * period_offset, n_users). */
+  def cohortRetentionCounts(hits: DataFrame): DataFrame =
+    hits.select(expr("date_from_unix_date(cast(cohort_day as int))")
+        .as("cohort"), col("period_offset"))
+      .groupBy("cohort", "period_offset")
+      .agg(count(lit(1)).as("n_users"))
+
   /** Per-user last-event state for [[transitionsStream]]. */
   case class LastEvent(user_id: Long, ts_ms: Long, event_id: Long,
                        event_type: String)

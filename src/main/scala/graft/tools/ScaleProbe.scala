@@ -312,6 +312,24 @@ object ScaleProbe {
           graft.text.Retrieval.bm25TopK(cached, qs, "doc_id", "text",
             "qid", "qtext", k = 20).count()
         },
+        timed("rank_eval") {
+          // the SAME fixed query load and corpus as bm25_single, plus
+          // the queries×k-bounded metric algebra — the claim under
+          // test: rank_eval tracks bm25's own curve with no extra knee
+          val qs = cached.filter(col("doc_id") % 97 === 0 &&
+              col("doc_id") < 1000000L)
+            .select(col("doc_id").as("qid"),
+              array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " ")
+                .as("qtext"))
+          val ranking = graft.text.Retrieval.bm25TopK(cached, qs,
+            "doc_id", "text", "qid", "qtext", k = 20)
+          val qrels = cached.filter(col("doc_id") % 97 === 0 &&
+              col("doc_id") < 1000000L)
+            .select(col("doc_id").as("query"), col("doc_id").as("doc"),
+              lit(2).as("rel"))
+          graft.ml.RankEval.rankingMetrics(ranking, qrels, "query",
+            "doc", "rank", "rel", k = 20).count()
+        },
         timed("bm25_rrf") {
           // fixed query load (one query per ~97th ORIGINAL doc)
           // against the replicated corpus: the postings explode and
@@ -457,6 +475,26 @@ object ScaleProbe {
           .agg(sum(when(col("drift"), 1L).otherwise(0L))).head()
         n
       }
+      spark.stop()
+      return
+    }
+
+    // Basket-lift axis (SPARK_GRAFT_BK_N=<order-lines>): synthetic
+    // (basket, item) lines from range() — ~8 lines per basket off a
+    // 2000-item catalog, so per-basket pair expansion is bounded
+    // (≤ 8·7/2) and total wall should track order volume linearly;
+    // the quadratic direction is capped by maxBasketSize by design.
+    sys.env.get("SPARK_GRAFT_BK_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      val nBaskets = math.max(n / 8, 1L)
+      val lines = spark.range(n).select(
+        pmod(xxhash64(col("id")), lit(nBaskets)).as("basket"),
+        pmod(xxhash64(col("id") + 3), lit(2000L)).as("item")).persist()
+      lines.count()
+      val t0 = System.nanoTime()
+      val r = graft.rel.Market.pairAssociations(lines, "basket", "item",
+        minPairs = 2L).count()
+      val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+      println(f"""BKPROBE {"lines":$n,"baskets":$nBaskets,"rows":$r,"sec":$sec%.3f}""")
       spark.stop()
       return
     }

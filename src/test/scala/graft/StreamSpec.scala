@@ -479,6 +479,81 @@ class StreamSpec extends SparkSpec {
     assert(streamed.map(_._3).sum === 4L) // 3 (u1) + 1 (u2)
   }
 
+  test("conversionTimeStream matches batch conversionTime across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.TypedEvent
+    // u1 converts (view t0 -> purchase t5, dt=300s); u2 purchase
+    // before view (never converts); u3 equal-ts view+purchase
+    // (dt=0 via the >= rule); u4 view only; u1's second purchase
+    // must NOT emit twice
+    val evs = Seq(
+      TypedEvent(1L, 1L, "view", t(0)), TypedEvent(1L, 2L, "purchase", t(5)),
+      TypedEvent(1L, 3L, "purchase", t(9)),
+      TypedEvent(2L, 4L, "purchase", t(1)),
+      TypedEvent(3L, 5L, "view", t(2)), TypedEvent(3L, 6L, "purchase", t(2)),
+      TypedEvent(4L, 7L, "view", t(3)))
+    val ordered = evs.sortBy(e => (Streaming.epochMicros(e.ts),
+      if (e.event_type == "view") 0 else 1, e.event_id))
+    val in = MemoryStream[TypedEvent]
+    val q = Streaming.conversionTimeStream(in.toDS(), "view", "purchase")
+      .toDF()
+      .writeStream.format("memory").queryName("cvt")
+      .outputMode(OutputMode.Append).start()
+    ordered.grouped(3).foreach { chunk =>
+      in.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val perUser = spark.table("cvt").as[(Long, Long)].collect().toMap
+    assert(perUser === Map(1L -> 300L, 3L -> 0L))
+    val streamed = Streaming.conversionTimeSummary(spark.table("cvt"))
+      .as[(Long, Long, Double, Double, Double, Long, Double)].head()
+    val batch = graft.ts.EventAnalytics.conversionTime(
+        evs.toDF(), "user_id", "event_type", "ts", "view", "purchase")
+      .as[(Long, Long, Double, Double, Double, Long, Double)].head()
+    assert(streamed === batch)
+  }
+
+  test("cohortRetentionStream matches batch cohortRetention across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.TypedEvent
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 first seen week of Jan 1 (Mon 2024-01-01), active weeks 0,1,3
+    // (duplicate activity in week 1 must NOT double-count); u2 first
+    // seen week 1, active weeks 0,1 relative to its own cohort
+    val evs = Seq(
+      TypedEvent(1L, 1L, "view", ts("2024-01-02 10:00:00")),
+      TypedEvent(1L, 2L, "click", ts("2024-01-09 10:00:00")),
+      TypedEvent(1L, 3L, "view", ts("2024-01-10 10:00:00")),
+      TypedEvent(1L, 4L, "view", ts("2024-01-23 10:00:00")),
+      TypedEvent(2L, 5L, "view", ts("2024-01-08 10:00:00")),
+      TypedEvent(2L, 6L, "view", ts("2024-01-16 10:00:00")))
+    val ordered = evs.sortBy(e => (Streaming.epochMicros(e.ts), e.event_id))
+    val in = MemoryStream[TypedEvent]
+    val q = Streaming.cohortRetentionStream(in.toDS(), "week").toDF()
+      .writeStream.format("memory").queryName("cht")
+      .outputMode(OutputMode.Append).start()
+    ordered.grouped(2).foreach { chunk =>
+      in.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = Streaming.cohortRetentionCounts(spark.table("cht"))
+      .orderBy("cohort", "period_offset")
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    val batch = graft.ts.EventAnalytics.cohortRetention(
+        evs.toDF(), "user_id", "ts", period = "week")
+      .orderBy("cohort", "period_offset")
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+    // u1 cohort = Mon 2024-01-01 with offsets 0,1,3; u2 = Mon
+    // 2024-01-08 with offsets 0,1
+    assert(batch === Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0L, 1L),
+      (java.sql.Date.valueOf("2024-01-01"), 1L, 1L),
+      (java.sql.Date.valueOf("2024-01-01"), 3L, 1L),
+      (java.sql.Date.valueOf("2024-01-08"), 0L, 1L),
+      (java.sql.Date.valueOf("2024-01-08"), 1L, 1L)))
+  }
+
   test("streaming KN3 scoring matches the batch order-3 scorer") {
     implicit val sqlCtx = spark.sqlContext
     val ref = Seq((1L, "a b c a b d"), (2L, "c a b e")).toDF("doc_id", "text")
