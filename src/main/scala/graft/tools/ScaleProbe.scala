@@ -479,6 +479,53 @@ object ScaleProbe {
       return
     }
 
+    // Streaming event-analytics axis (SPARK_GRAFT_EVS_N=<events>):
+    // the round-13 stateful deploys fed a synthetic in-order event
+    // stream through a MemoryStream in 5 micro-batches. State per
+    // user is k longs (funnel) / one event (transitions), so wall
+    // should track event volume through the groupByKey shuffle, not
+    // state size. (MemoryStream is driver-resident — the axis caps at
+    // what the driver holds; the deploy itself is source-agnostic.)
+    sys.env.get("SPARK_GRAFT_EVS_N").map(_.toInt).filter(_ > 0).foreach { n =>
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val nUsers = math.max(n / 100, 1)
+      val types = Array("view", "click", "purchase", "signup")
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val evs = Array.tabulate(n) { i =>
+        graft.stream.Streaming.TypedEvent(
+          (i * 2654435761L % nUsers).abs, i.toLong,
+          types(((i * 40503L) % 4).toInt.abs),
+          new java.sql.Timestamp(base + i * 1000L))
+      } // already ts-ordered by construction
+      def timeIt(name: String)(mk: MemoryStream[graft.stream.Streaming.TypedEvent] =>
+          org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+        val in = MemoryStream[graft.stream.Streaming.TypedEvent]
+        val t0 = System.nanoTime()
+        val q = mk(in)
+        evs.grouped(n / 5 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*); q.processAllAvailable()
+        }
+        q.stop()
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        println(f"""EVSPROBE {"op":"$name","events":$n,"sec":$sec%.3f}""")
+      }
+      timeIt("funnel_stream") { in =>
+        graft.stream.Streaming.funnelStream(in.toDS(),
+            Seq("view", "click", "purchase")).toDF()
+          .writeStream.format("memory")
+          .queryName(s"evs_fu_$n").outputMode("update").start()
+      }
+      timeIt("transitions_stream") { in =>
+        graft.stream.Streaming.transitionsStream(in.toDS()).toDF()
+          .writeStream.format("memory")
+          .queryName(s"evs_tr_$n").outputMode("append").start()
+      }
+      spark.stop()
+      return
+    }
+
     // Basket-lift axis (SPARK_GRAFT_BK_N=<order-lines>): synthetic
     // (basket, item) lines from range() — ~8 lines per basket off a
     // 2000-item catalog, so per-basket pair expansion is bounded

@@ -554,6 +554,87 @@ class StreamSpec extends SparkSpec {
       (java.sql.Date.valueOf("2024-01-08"), 1L, 1L)))
   }
 
+  test("streaming event-analytics family: randomized batch parity") {
+    // 300 random events over 25 users / 28 days with deliberate
+    // timestamp collisions — every deploy must land on the batch
+    // answer when replayed in its documented order across 5
+    // micro-batches. Catches tie-rule and cross-batch-chaining bugs
+    // no hand-built case thought of.
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.TypedEvent
+    val rnd = new scala.util.Random(123)
+    val steps = Seq("view", "click", "purchase")
+    val types = steps :+ "signup"
+    def dayTs(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${1 + d}%02d $h%02d:00:00")
+    val evs = (1 to 300).map { i =>
+      TypedEvent(rnd.nextInt(25).toLong, i.toLong,
+        types(rnd.nextInt(types.size)), dayTs(rnd.nextInt(28), rnd.nextInt(4)))
+    }
+    val stepIdx = steps.zipWithIndex.toMap
+    def replayChunks[A](ordered: Seq[TypedEvent],
+                        mk: MemoryStream[TypedEvent] => (org.apache.spark.sql.streaming.StreamingQuery)): Unit = {
+      val in = MemoryStream[TypedEvent]
+      val q = mk(in)
+      ordered.grouped(ordered.size / 5 + 1).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      q.stop()
+    }
+    // funnel
+    replayChunks(
+      evs.filter(e => stepIdx.contains(e.event_type)).sortBy(e =>
+        (Streaming.epochMicros(e.ts), stepIdx(e.event_type), e.event_id)),
+      in => Streaming.funnelStream(in.toDS(), steps).toDF()
+        .writeStream.format("memory").queryName("rfu")
+        .outputMode(OutputMode.Update).start())
+    assert(Streaming.funnelStreamCounts(spark.table("rfu"), steps)
+        .orderBy("step").as[(Int, String, Long)].collect().toSeq ===
+      graft.ts.EventAnalytics.funnel(evs.toDF(), "user_id", "event_type",
+          "ts", steps)
+        .orderBy("step").as[(Int, String, Long)].collect().toSeq)
+    // transitions
+    replayChunks(
+      evs.sortBy(e => (Streaming.epochMicros(e.ts), e.event_id)),
+      in => Streaming.transitionsStream(in.toDS()).toDF()
+        .writeStream.format("memory").queryName("rtr")
+        .outputMode(OutputMode.Append).start())
+    assert(spark.table("rtr")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+        .as[(String, String, Long)].collect().toSeq ===
+      graft.ts.EventAnalytics.eventTransitions(evs.toDF(), "user_id",
+          "event_type", "ts", Seq("event_id"))
+        .orderBy("from_type", "to_type").select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect().toSeq)
+    // conversion time
+    replayChunks(
+      evs.filter(e => e.event_type == "view" || e.event_type == "purchase")
+        .sortBy(e => (Streaming.epochMicros(e.ts),
+          if (e.event_type == "view") 0 else 1, e.event_id)),
+      in => Streaming.conversionTimeStream(in.toDS(), "view", "purchase")
+        .toDF().writeStream.format("memory").queryName("rcv")
+        .outputMode(OutputMode.Append).start())
+    assert(Streaming.conversionTimeSummary(spark.table("rcv"))
+        .as[(Long, Long, Double, Double, Double, Long, Double)].head() ===
+      graft.ts.EventAnalytics.conversionTime(evs.toDF(), "user_id",
+          "event_type", "ts", "view", "purchase")
+        .as[(Long, Long, Double, Double, Double, Long, Double)].head())
+    // cohort retention
+    replayChunks(
+      evs.sortBy(e => (Streaming.epochMicros(e.ts), e.event_id)),
+      in => Streaming.cohortRetentionStream(in.toDS(), "week").toDF()
+        .writeStream.format("memory").queryName("rco")
+        .outputMode(OutputMode.Append).start())
+    assert(Streaming.cohortRetentionCounts(spark.table("rco"))
+        .orderBy("cohort", "period_offset")
+        .as[(java.sql.Date, Long, Long)].collect().toSeq ===
+      graft.ts.EventAnalytics.cohortRetention(evs.toDF(), "user_id", "ts",
+          period = "week")
+        .orderBy("cohort", "period_offset")
+        .as[(java.sql.Date, Long, Long)].collect().toSeq)
+  }
+
   test("streaming KN3 scoring matches the batch order-3 scorer") {
     implicit val sqlCtx = spark.sqlContext
     val ref = Seq((1L, "a b c a b d"), (2L, "c a b e")).toDF("doc_id", "text")
