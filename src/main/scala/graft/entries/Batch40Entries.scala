@@ -46,7 +46,44 @@ object Batch40Entries {
     } finally q.stop()
   }
 
+  /** dHash fixture: 32 real 16×16 BMPs in 4 pixel-pattern groups
+    * (g = id % 4; luma = (x·(37+26g) + 11y) mod 256 — the multiplier
+    * wraps several times across x, so the gradient-sign pattern
+    * differs per group). Images 16..31 are NEAR-duplicates of their
+    * id−16 sibling: one perturbed pixel at (5,4) — a site the 9×8
+    * thumbnail samples — flipping at most 2 dHash bits. The oracle
+    * recomputes every bit from this closed form; the Spark side must
+    * really decode the BMP container to match. */
+  private[graft] def dhashBmps(s: SparkSession): DataFrame = {
+    val rows = (0 until 32).map { id =>
+      val m = 37 + (id % 4) * 26
+      (id.toLong,
+        graft.mm.Multimodal.encodeBmp(16, 16, (x, y) =>
+          (x * m + y * 11 +
+            (if (id >= 16 && x == 5 && y == 4) 96 else 0)) % 256),
+        "bmp", 16, 16, 0L)
+    }
+    graft.mm.Multimodal.toMediaFrame(s, rows)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Perceptual dHash over real decoded BMPs: gradient bits from the
+    // 9×8 thumbnail, emitted as four 16-bit bands. FULL oracle — the
+    // analytic pixel replay, the image_features convention.
+    "image_hash" -> ((s, dir) => {
+      graft.mm.Multimodal.imageDHash(dhashBmps(s)).orderBy("media_id")
+    }),
+
+    // Image near-duplicates: banded equi-join on the dHash bands
+    // (pigeonhole: hamming <= 3 shares a band), exact bit_count
+    // verify — multimodal dedup joining the text dedup family. FULL
+    // oracle — DuckDB brute-forces all 496 pairs from the same bits.
+    "image_near_dups" -> ((s, dir) => {
+      graft.mm.Multimodal.imageNearDups(
+          graft.mm.Multimodal.imageDHash(dhashBmps(s)), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
 
     // Streaming.funnelStream replayed END-TO-END: the events table
     // arrives in event-time order on a MemoryStream in three
@@ -186,7 +223,53 @@ object Batch40Entries {
   /** The md5 uniform in [0,1) (the make_walk oracle's spelling). */
   private def u(tag: Int): String = s"${h(tag)} / 1152921504606846976.0"
 
+  /** The dHash fixture's analytic thumbnail-pixel CTE (shared by both
+    * image oracles): v(media_id, tx, ty) for the 9×8 grid. */
+  private val dhashPixCte =
+    """ids AS (SELECT unnest(range(0, 32)) AS media_id),
+      |t AS (SELECT g.media_id, tx.i AS tx, ty.i AS ty,
+      |    ((tx.i * 16 // 9) * (37 + (g.media_id % 4) * 26)
+      |      + (ty.i * 2) * 11
+      |      + CASE WHEN g.media_id >= 16 AND tx.i * 16 // 9 = 5
+      |          AND ty.i * 2 = 4 THEN 96 ELSE 0 END) % 256 AS v
+      |  FROM ids g,
+      |    (SELECT unnest(range(0, 9)) AS i) tx,
+      |    (SELECT unnest(range(0, 8)) AS i) ty),
+      |bits AS (SELECT a.media_id, a.ty * 8 + a.tx AS idx,
+      |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+      |  FROM t a JOIN t b ON a.media_id = b.media_id AND a.ty = b.ty
+      |    AND b.tx = a.tx + 1
+      |  WHERE a.tx < 8)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    // Replays imageDHash from the closed-form pixels: same thumbnail
+    // floor-sampling, same gradient bits, same 16-bit band packing.
+    "image_hash" ->
+      s"""WITH $dhashPixCte
+        |SELECT media_id, TRUE AS ok,
+        |  CAST(SUM(CASE WHEN idx // 16 = 0
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b0,
+        |  CAST(SUM(CASE WHEN idx // 16 = 1
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b1,
+        |  CAST(SUM(CASE WHEN idx // 16 = 2
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b2,
+        |  CAST(SUM(CASE WHEN idx // 16 = 3
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b3
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // Brute-forces all 496 pairs from the same bits — the banded join
+    // must reproduce exactly the pairs at hamming <= 3.
+    "image_near_dups" ->
+      s"""WITH $dhashPixCte
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT)
+        |    AS hamming
+        |FROM bits a JOIN bits b ON a.idx = b.idx
+        |  AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING SUM(CASE WHEN a.bit <> b.bit
+        |  THEN 1 ELSE 0 END) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Replays makeAfricanDemo: 7 countries x 61 years off range(427),
     // country = id // 61, year = 1960 + id % 61, fields on tags

@@ -183,6 +183,113 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Nearest-neighbor downsample to an arbitrary `tw`×`th` grid — the
+    * non-square variant [[imageDHash]] needs (9×8). Same integer floor
+    * sampling as [[resizeNearest]]. */
+  def resizeNearestWH(img: GrayImage, tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val sy = ty * img.h / th
+      var tx = 0
+      while (tx < tw) {
+        out(ty * tw + tx) = img.px(sy * img.w + tx * img.w / tw)
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Perceptual difference hash — dHash (the standard gradient hash of
+    * the image-hashing literature, e.g. Krawetz's "Kind of Like That",
+    * 2013; more robust than aHash because a global brightness shift
+    * cancels out of every neighbor comparison): decode → luma → 9×8
+    * nearest-neighbor thumbnail → bit(ty·8+tx) = thumb(tx,ty) <
+    * thumb(tx+1,ty), 64 bits. Emitted as FOUR 16-bit band integers
+    * (b0..b3 = bits [0,16) [16,32) [32,48) [48,64)) — the band keys
+    * [[imageNearDups]] joins on, and a representation whose oracle
+    * needs no signed-64-bit gymnastics. Integer-only arithmetic: a SQL
+    * engine recomputes every bit from the pixel closed form.
+    * Undecodable content keeps its row with ok = false (the
+    * imageFeatures convention). Output: (media_id, ok, b0, b1, b2,
+    * b3). */
+  def imageDHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("b0", IntegerType, nullable = true),
+      StructField("b1", IntegerType, nullable = true),
+      StructField("b2", IntegerType, nullable = true),
+      StructField("b3", IntegerType, nullable = true)))
+    val rdd = df.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img = decodeGray(bytes)
+        if (img == null) Row(id, false, null, null, null, null)
+        else {
+          val t = resizeNearestWH(img, 9, 8)
+          val bands = new Array[Int](4)
+          var ty = 0
+          while (ty < 8) {
+            var tx = 0
+            while (tx < 8) {
+              if (t(ty * 9 + tx) < t(ty * 9 + tx + 1)) {
+                val i = ty * 8 + tx
+                bands(i / 16) |= 1 << (i % 16)
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          Row(id, true, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Image near-duplicates over [[imageDHash]] output: the SimHash
+    * banding convention applied to the perceptual hash. A pair within
+    * Hamming distance ≤ 3 differs in at most 3 of the 4 bands, so BY
+    * PIGEONHOLE it shares at least one identical 16-bit band — the
+    * banded equi-join generates candidates without any all-pairs
+    * step, and one exact bit_count verify keeps pairs at
+    * `maxHamming` or less (maxHamming > 3 weakens the guarantee to
+    * best-effort; the method requires it ≤ 3 unless
+    * `allowWeak = true`). Cost: 4 band tables, keyed self-join,
+    * candidate-bounded verify. Output: (id_a, id_b, hamming). */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3,
+                    allowWeak: Boolean = false): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(maxHamming <= 3 || allowWeak,
+      s"maxHamming=$maxHamming > 3 breaks the 4-band pigeonhole " +
+        "guarantee (pairs may be missed); pass allowWeak = true to " +
+        "accept best-effort recall")
+    val ok = hashes.filter(col("ok"))
+      .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+    val bands = (0 until 4).map { k =>
+      ok.select(col("media_id"), lit(k).as("_band"),
+        col(s"b$k").as("_key"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x._band") === col("y._band") && col("x._key") === col("y._key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .distinct()
+    val ha = ok.select(col("media_id").as("id_a"), col("b0").as("_a0"),
+      col("b1").as("_a1"), col("b2").as("_a2"), col("b3").as("_a3"))
+    val hb = ok.select(col("media_id").as("id_b"), col("b0").as("_b0"),
+      col("b1").as("_b1"), col("b2").as("_b2"), col("b3").as("_b3"))
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"_a$k").bitwiseXOR(col(s"_b$k")))).reduce(_ + _)
+    cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Byte-level featurizer for opaque (not necessarily image) binary:
     * a `dim`-bucket byte-value histogram normalized by length. Real
     * content statistics — works on any format without a codec, the

@@ -66,6 +66,66 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out(2).getBoolean(1) && out(2).getLong(2) == 8)
   }
 
+  test("imageDHash: brightness-shift invariance and single-pixel locality") {
+    // a global +c luma shift (no wrap) cancels from every neighbor
+    // comparison -> identical hash; one perturbed pixel at a sampled
+    // thumbnail site flips at most its 2 adjacent gradient bits
+    def base(x: Int, y: Int): Int = (x * 9 + y * 5) % 120 // max 215+c safe
+    val media = Multimodal.toMediaFrame(spark, Seq(
+      (0L, Multimodal.encodeBmp(16, 16, base), "bmp", 16, 16, 0L),
+      (1L, Multimodal.encodeBmp(16, 16, (x, y) => base(x, y) + 40),
+        "bmp", 16, 16, 0L),
+      (2L, Multimodal.encodeBmp(16, 16, (x, y) =>
+        base(x, y) + (if (x == 5 && y == 4) 90 else 0)), "bmp", 16, 16, 0L),
+      (3L, null, "bmp", 0, 0, 0L)))
+    val h = Multimodal.imageDHash(media).orderBy("media_id").collect()
+    assert(h(0).getBoolean(1) && !h(3).getBoolean(1) && h(3).isNullAt(2))
+    def bands(i: Int) = (2 to 5).map(h(i).getInt)
+    assert(bands(0) == bands(1)) // brightness invariance
+    val flips = bands(0).zip(bands(2))
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(flips >= 1 && flips <= 2, s"perturbation flipped $flips bits")
+  }
+
+  test("imageNearDups: banded join equals brute-force hamming pairs") {
+    val rnd = new scala.util.Random(31)
+    // 12 random images + 4 near-dup copies with one perturbed sampled
+    // pixel: banding must find exactly the brute-force <= 3 pairs
+    val pix = Array.fill(12)(Array.fill(16, 16)(rnd.nextInt(256)))
+    val rows = (0 until 12).map { id =>
+      (id.toLong, Multimodal.encodeBmp(16, 16, (x, y) => pix(id)(x)(y)),
+        "bmp", 16, 16, 0L)
+    } ++ (0 until 4).map { i =>
+      (12L + i,
+        Multimodal.encodeBmp(16, 16, (x, y) =>
+          (pix(i)(x)(y) + (if (x == 7 && y == 6) 128 else 0)) % 256),
+        "bmp", 16, 16, 0L)
+    }
+    val hashes = Multimodal.imageDHash(
+      Multimodal.toMediaFrame(spark, rows))
+    val banded = Multimodal.imageNearDups(hashes, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force from the collected hashes
+    val hm = hashes.collect().map(r =>
+      r.getLong(0) -> (2 to 5).map(r.getInt)).toMap
+    val brute = (for {
+      a <- hm.keys; b <- hm.keys if a < b
+      d = hm(a).zip(hm(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded == brute)
+    // the planted copies must be found (perturbation <= 2 bits)
+    (0 until 4).foreach { i =>
+      assert(banded.exists(p => p._1 == i.toLong && p._2 == 12L + i),
+        s"planted pair ($i, ${12 + i}) missed")
+    }
+    // maxHamming > 3 without allowWeak is refused loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDups(hashes, maxHamming = 5)
+    }
+  }
+
   test("byte-histogram features are a real normalized histogram") {
     val media = Multimodal.toMediaFrame(spark, Seq(
       (1L, Array[Byte](0, 0, 0, -1), "bin", 0, 0, 0L))) // 3× bucket 0, 1× bucket 7 (0xff)
