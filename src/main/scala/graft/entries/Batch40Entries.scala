@@ -66,7 +66,47 @@ object Batch40Entries {
     graft.mm.Multimodal.toMediaFrame(s, rows)
   }
 
+  /** Audio-fingerprint fixture: 16 real 16-bit WAVs of 1300 samples
+    * (65 frames × exactly 20 samples), 4 sawtooth groups (g = id % 4;
+    * s(i) = ((i·(7+6g)) mod 2001) − 1000). Clips 8..15 are
+    * NEAR-duplicates of their id−8 sibling: samples [200, 210) — 10
+    * samples inside frame 10 — shifted by +500, flipping at most the
+    * two gradient bits that touch frame 10. The oracle recomputes
+    * every frame energy from this closed form; the Spark side must
+    * really decode the WAV container to match. */
+  private[graft] def fingerprintWavs(s: SparkSession): DataFrame = {
+    val rows = (0 until 16).map { id =>
+      val m = 7 + (id % 4) * 6
+      val samples = Array.tabulate(1300) { i =>
+        (i * m) % 2001 - 1000 +
+          (if (id >= 8 && i >= 200 && i < 210) 500 else 0)
+      }
+      (id.toLong, graft.mm.Multimodal.encodeWav(samples, 8000),
+        "wav", 0, 0, 1300L * 1000 / 8000)
+    }
+    graft.mm.Multimodal.toMediaFrame(s, rows)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Energy-envelope audio fingerprint over real decoded WAVs: 64
+    // frame-energy gradient bits as four 16-bit bands. FULL oracle —
+    // the analytic sample replay, the image_features convention.
+    "audio_fingerprint" -> ((s, dir) => {
+      graft.mm.Multimodal.audioFingerprint(fingerprintWavs(s))
+        .orderBy("media_id")
+    }),
+
+    // Audio near-duplicates: the SAME bandedNearDups kernel as the
+    // image path over the audio fingerprint — multimodal dedup covers
+    // text, embeddings, images AND audio. FULL oracle — DuckDB
+    // brute-forces all 120 pairs from the same bits.
+    "audio_near_dups" -> ((s, dir) => {
+      graft.mm.Multimodal.bandedNearDups(
+          graft.mm.Multimodal.audioFingerprint(fingerprintWavs(s)),
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
 
     // Perceptual dHash over real decoded BMPs: gradient bits from the
     // 9×8 thumbnail, emitted as four 16-bit bands. FULL oracle — the
@@ -241,7 +281,51 @@ object Batch40Entries {
       |    AND b.tx = a.tx + 1
       |  WHERE a.tx < 8)""".stripMargin
 
+  /** The audio fixture's analytic frame-energy bits CTE (shared by
+    * both audio oracles). */
+  private val audioBitsCte =
+    """ids AS (SELECT unnest(range(0, 16)) AS media_id),
+      |sm AS (SELECT g.media_id, i.i AS i,
+      |    (i.i * (7 + (g.media_id % 4) * 6)) % 2001 - 1000
+      |      + CASE WHEN g.media_id >= 8 AND i.i >= 200 AND i.i < 210
+      |          THEN 500 ELSE 0 END AS s
+      |  FROM ids g, (SELECT unnest(range(0, 1300)) AS i) i),
+      |en AS (SELECT media_id, i // 20 AS k,
+      |    SUM(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS e
+      |  FROM sm GROUP BY 1, 2),
+      |bits AS (SELECT a.media_id, a.k AS idx,
+      |    CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+      |  FROM en a JOIN en b ON a.media_id = b.media_id AND b.k = a.k + 1
+      |  WHERE a.k < 64)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    // Replays audioFingerprint from the closed-form samples: same
+    // 20-sample frames, same energy gradients, same band packing.
+    "audio_fingerprint" ->
+      s"""WITH $audioBitsCte
+        |SELECT media_id, TRUE AS ok,
+        |  CAST(SUM(CASE WHEN idx // 16 = 0
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b0,
+        |  CAST(SUM(CASE WHEN idx // 16 = 1
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b1,
+        |  CAST(SUM(CASE WHEN idx // 16 = 2
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b2,
+        |  CAST(SUM(CASE WHEN idx // 16 = 3
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b3
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // Brute-forces all 120 pairs from the same bits.
+    "audio_near_dups" ->
+      s"""WITH $audioBitsCte
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT)
+        |    AS hamming
+        |FROM bits a JOIN bits b ON a.idx = b.idx
+        |  AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING SUM(CASE WHEN a.bit <> b.bit
+        |  THEN 1 ELSE 0 END) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Replays imageDHash from the closed-form pixels: same thumbnail
     // floor-sampling, same gradient bits, same 16-bit band packing.

@@ -262,7 +262,15 @@ object Multimodal {
     * `allowWeak = true`). Cost: 4 band tables, keyed self-join,
     * candidate-bounded verify. Output: (id_a, id_b, hamming). */
   def imageNearDups(hashes: DataFrame, maxHamming: Int = 3,
-                    allowWeak: Boolean = false): DataFrame = {
+                    allowWeak: Boolean = false): DataFrame =
+    bandedNearDups(hashes, maxHamming, allowWeak)
+
+  /** The banded near-dup kernel behind [[imageNearDups]] — generic
+    * over ANY (media_id, ok, b0..b3) 64-bit fingerprint table
+    * ([[imageDHash]], [[audioFingerprint]]): same pigeonhole
+    * guarantee, same keyed join + bit_count verify. */
+  def bandedNearDups(hashes: DataFrame, maxHamming: Int = 3,
+                     allowWeak: Boolean = false): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(maxHamming <= 3 || allowWeak,
       s"maxHamming=$maxHamming > 3 breaks the 4-band pigeonhole " +
@@ -410,6 +418,60 @@ object Multimodal {
       }
       PcmClip(fmt.getSampleRate.toInt, out)
     } finally ais.close()
+  }
+
+  /** Perceptual audio fingerprint — the energy-envelope analog of
+    * [[imageDHash]] (the Haitsma–Kalker 2002 "robust audio
+    * fingerprinting" idea reduced to its time-domain core): decode →
+    * 65 equal frames (floor boundaries k·n/65) → exact int64 frame
+    * energies → bit k = e(k) < e(k+1), 64 gradient bits as four
+    * 16-bit bands. A global gain change of the SIGN pattern (e.g.
+    * polarity flip) cancels; uniform amplitude scaling preserves
+    * every energy comparison exactly when integer (energies scale by
+    * c²). Integer-only — a SQL engine replays every bit from a
+    * closed-form sample formula. Same output contract as imageDHash:
+    * (media_id, ok, b0..b3), feeding [[bandedNearDups]]. */
+  def audioFingerprint(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("b0", IntegerType, nullable = true),
+      StructField("b1", IntegerType, nullable = true),
+      StructField("b2", IntegerType, nullable = true),
+      StructField("b3", IntegerType, nullable = true)))
+    val rdd = df.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val clip = decodePcm(bytes)
+        if (clip == null || clip.samples.length < 65)
+          Row(id, false, null, null, null, null)
+        else {
+          val s = clip.samples
+          val n = s.length
+          val e = new Array[Long](65)
+          var k = 0
+          while (k < 65) {
+            val lo = k * n / 65
+            val hi = (k + 1) * n / 65
+            var acc = 0L
+            var i = lo
+            while (i < hi) { val v = s(i).toLong; acc += v * v; i += 1 }
+            e(k) = acc
+            k += 1
+          }
+          val bands = new Array[Int](4)
+          var b = 0
+          while (b < 64) {
+            if (e(b) < e(b + 1)) bands(b / 16) |= 1 << (b % 16)
+            b += 1
+          }
+          Row(id, true, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Real audio decode → integer signal moments, one codec pass per

@@ -46,6 +46,35 @@ class AudioCodecSpec extends SparkSpec {
     assert(r0.getAs[Long]("amp_max") == s.max.toLong)
   }
 
+  test("audioFingerprint: gain invariance and frame-local perturbation") {
+    // doubling every sample scales each frame energy by exactly 4 ->
+    // every gradient comparison is preserved; a 10-sample bump inside
+    // one frame flips at most that frame's 2 adjacent bits
+    val base = Array.tabulate(650)(i => ((i * 11) % 401) - 200)
+    val media = Multimodal.toMediaFrame(spark, Seq(
+      (0L, Multimodal.encodeWav(base, 8000), "wav", 0, 0, 0L),
+      (1L, Multimodal.encodeWav(base.map(_ * 2), 8000), "wav", 0, 0, 0L),
+      // boost frame 1 (samples [10, 20)): its base gradient pattern is
+      // (e0 < e1 = false, e1 < e2 = true), so a large energy boost
+      // provably flips both adjacent bits to (true, false)
+      (2L, Multimodal.encodeWav(base.zipWithIndex.map { case (v, i) =>
+        if (i >= 10 && i < 20) v + 2000 else v }, 8000), "wav", 0, 0, 0L),
+      (3L, Array[Byte](9, 9, 9), "wav", 0, 0, 0L)))
+    val h = Multimodal.audioFingerprint(media).orderBy("media_id").collect()
+    assert(h(0).getBoolean(1) && !h(3).getBoolean(1) && h(3).isNullAt(2))
+    def bands(i: Int) = (2 to 5).map(h(i).getInt)
+    assert(bands(0) == bands(1)) // gain invariance
+    val flips = bands(0).zip(bands(2))
+      .map { case (a, b) => Integer.bitCount(a ^ b) }.sum
+    assert(flips >= 1 && flips <= 2, s"perturbation flipped $flips bits")
+    // planted pair found by the shared banded kernel
+    val nd = Multimodal.bandedNearDups(
+        Multimodal.audioFingerprint(media), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(nd.exists(p => p._1 == 0L && p._2 == 2L))
+    assert(nd.contains((0L, 1L, 0)))
+  }
+
   test("non-PCM encodings are rejected, not silently mis-decoded") {
     // hand-build a tiny u-law AU file: magic .snd, 24-byte header,
     // encoding 1 (u-law), rate 8000, 1 channel, 4 data bytes
