@@ -474,6 +474,63 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** The dHash bit kernel on one decoded image — shared by the batch
+    * [[imageDHash]] and the stream-compatible [[imageDHashColumn]]. */
+  private[mm] def dhashBands(img: GrayImage): Array[Int] = {
+    val t = resizeNearestWH(img, 9, 8)
+    val bands = new Array[Int](4)
+    var ty = 0
+    while (ty < 8) {
+      var tx = 0
+      while (tx < 8) {
+        if (t(ty * 9 + tx) < t(ty * 9 + tx + 1)) {
+          val i = ty * 8 + tx
+          bands(i / 16) |= 1 << (i % 16)
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    bands
+  }
+
+  /** [[imageDHash]] as a COLUMN (UDF over the binary content) —
+    * identical bits, but usable where the RDD path is not: streaming
+    * DataFrames. Returns a (b0, b1, b2, b3) struct, NULL for
+    * undecodable content. The codec call is per row (no
+    * partition-level reader reuse), which is exactly the
+    * per-micro-batch shape a streaming ingest gate runs anyway. */
+  def imageDHashColumn: org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val f = udf((bytes: Array[Byte]) => {
+      val img = decodeGray(bytes)
+      if (img == null) null
+      else { val b = dhashBands(img); (b(0), b(1), b(2), b(3)) }
+    })
+    c => f(c)
+  }
+
+  /** Streaming media dedup-on-ingest: arriving media rows are
+    * fingerprinted ([[imageDHashColumn]] — same bits as batch,
+    * StreamSpec-asserted) and deduped on the EXACT 64-bit perceptual
+    * hash within the watermark horizon — re-encoded/resized copies of
+    * one image collapse even when their bytes differ (byte-level
+    * dedup can never catch that). Near-dup (hamming > 0) remains the
+    * batch [[bandedNearDups]]'s job: banding needs a self-join, which
+    * streams don't do. Undecodable rows pass through un-deduped (a
+    * corrupt blob must not eat a legitimate one's slot). State: one
+    * entry per distinct hash inside the watermark — eviction keeps it
+    * bounded on an unbounded stream. */
+  def mediaDedupStream(media: DataFrame, tsCol: String,
+                       watermark: String): DataFrame = {
+    val withFp = media
+      .withColumn("_fp", imageDHashColumn(col("content")))
+    val decodable = withFp.filter(col("_fp").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+    decodable.unionByName(withFp.filter(col("_fp").isNull))
+      .drop("_fp")
+  }
+
   /** Real audio decode → integer signal moments, one codec pass per
     * partition. All features are exact int64 sums (energy of a 16-bit
     * signal needs ~2^31 per second — int64 holds hours) except

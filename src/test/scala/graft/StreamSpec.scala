@@ -635,6 +635,44 @@ class StreamSpec extends SparkSpec {
         .as[(java.sql.Date, Long, Long)].collect().toSeq)
   }
 
+  test("streaming media dedup collapses perceptual duplicates across containers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.mm.Multimodal
+    def pix(x: Int, y: Int): Int = (x * 19 + y * 7) % 256
+    def pix2(x: Int, y: Int): Int = (x * 23 + y * 5 + 11) % 256
+    val bmp = Multimodal.encodeBmp(16, 16, pix)
+    val png = Multimodal.encodePng(16, 16, pix) // same pixels, other codec
+    val other = Multimodal.encodeBmp(16, 16, pix2)
+    val corrupt = Array[Byte](1, 2, 3)
+    // batch/stream bit parity first: the UDF column equals the RDD path
+    val media = Multimodal.toMediaFrame(spark, Seq(
+      (1L, bmp, "bmp", 16, 16, 0L), (2L, png, "png", 16, 16, 0L),
+      (3L, other, "bmp", 16, 16, 0L)))
+    val viaUdf = media.select(col("media_id"),
+        Multimodal.imageDHashColumn(col("content")).as("fp"))
+      .selectExpr("media_id", "fp._1 b0", "fp._2 b1", "fp._3 b2", "fp._4 b3")
+      .orderBy("media_id").collect().map(r => (1 to 4).map(r.getInt))
+    val viaRdd = Multimodal.imageDHash(media).orderBy("media_id")
+      .collect().map(r => (2 to 5).map(r.getInt))
+    assert(viaUdf.toSeq == viaRdd.toSeq)
+    assert(viaUdf(0) == viaUdf(1)) // container-independent fingerprint
+    // stream: bmp + its png twin + a distinct image + a corrupt blob
+    val in = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val q = Multimodal.mediaDedupStream(
+        in.toDF().toDF("ts", "media_id", "content"), "ts", "10 minutes")
+      .select("media_id")
+      .writeStream.format("memory").queryName("mdd")
+      .outputMode(OutputMode.Append).start()
+    in.addData((t(0), 1L, bmp), (t(1), 2L, png), (t(2), 3L, other),
+      (t(3), 4L, corrupt))
+    q.processAllAvailable()
+    val kept = spark.table("mdd").as[Long].collect().toSet
+    q.stop()
+    // one of {1, 2} survives, 3 survives, corrupt 4 passes through
+    assert(kept.size == 3 && kept.contains(3L) && kept.contains(4L))
+    assert(kept.contains(1L) ^ kept.contains(2L))
+  }
+
   test("streaming KN3 scoring matches the batch order-3 scorer") {
     implicit val sqlCtx = spark.sqlContext
     val ref = Seq((1L, "a b c a b d"), (2L, "c a b e")).toDF("doc_id", "text")
