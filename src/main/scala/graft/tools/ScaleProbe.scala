@@ -526,6 +526,54 @@ object ScaleProbe {
       return
     }
 
+    // Multimodal-dedup axis (SPARK_GRAFT_MM_N=<images>): N real 16×16
+    // BMPs encoded on the fly (range → per-partition codec), ~100
+    // images per pixel-pattern group + a per-id perturbation for half
+    // the rows, then imageDHash (codec-bound, linear) and bandedNearDups
+    // (keyed band join — candidates bounded by band-bucket products,
+    // here dominated by the planted dup groups, never n²).
+    sys.env.get("SPARK_GRAFT_MM_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true)))
+      // group count scales WITH n (≈100 members each) so the dup-pair
+      // output stays linear in n — a fixed group count would make the
+      // output itself quadratic, measuring the data shape, not the plan
+      val nGroups = math.max(n / 100, 1L)
+      val rdd = spark.range(n).rdd.mapPartitions(_.map { id =>
+        val g = (id % nGroups).toInt
+        // per-group AVALANCHE-mixed base pattern (murmur finalizer —
+        // an affine combination of (g, x, y) leaves the gradient-sign
+        // pattern nearly identical across groups, collapsing the hash
+        // space into mega-buckets and the pair count into n²; learned
+        // the hard way: 517M "near-dups" at 100k images): cross-group
+        // hamming sits near 32, pairs stay within-group, output linear
+        val bytes = graft.mm.Multimodal.encodeBmp(16, 16, { (x, y) =>
+          var h = g.toLong * 2654435761L ^
+            (x * 0x9E3779B97F4A7C15L) ^ (y * 0xC2B2AE3D27D4EB4FL)
+          h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+          (((h & 0xffL).toInt +
+            (if (id % 2 == 1 && x == 5 && y == 4) 96 else 0)) % 256)
+        })
+        org.apache.spark.sql.Row(id.longValue(), bytes)
+      })
+      val media = spark.createDataFrame(rdd, schema).persist()
+      media.count()
+      def timeIt(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val rows = f
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        println(f"""MMPROBE {"op":"$name","images":$n,"rows":$rows,"sec":$sec%.3f}""")
+      }
+      val hashes = graft.mm.Multimodal.imageDHash(media).persist()
+      timeIt("image_dhash") { hashes.count() }
+      timeIt("image_near_dups") {
+        graft.mm.Multimodal.bandedNearDups(hashes, maxHamming = 3).count()
+      }
+      spark.stop()
+      return
+    }
+
     // Basket-lift axis (SPARK_GRAFT_BK_N=<order-lines>): synthetic
     // (basket, item) lines from range() — ~8 lines per basket off a
     // 2000-item catalog, so per-basket pair expansion is bounded
