@@ -191,6 +191,30 @@ object PipelineDemo {
     Similarity.cosineI8TopK(Similarity.quantizeI8(emb, "embedding"),
       "vec_i8", "vec_id", q, 5).show()
 
+    // 6b. multimodal dedup (round 13): perceptual dHash over REAL
+    // decoded images, banded near-dup join — re-encoded/slightly-
+    // edited copies collapse where byte-level dedup can't see them
+    val mediaRows = (0 until 6).map { i =>
+      val base = i % 3 // 3 distinct images, each with a near-copy
+      (i.toLong, graft.mm.Multimodal.encodeBmp(16, 16, (x, y) =>
+        (((x * 31 + y * 17 + base * 97) * 2654435761L >>> 13) & 0xff).toInt +
+          (if (i >= 3 && x == 5 && y == 4) 90 else 0) & 0xff),
+        "bmp", 16, 16, 0L)
+    }
+    val media = graft.mm.Multimodal.toMediaFrame(spark, mediaRows)
+    println("\nimage near-duplicates (dHash bands, hamming <= 3):")
+    graft.mm.Multimodal.imageNearDups(
+      graft.mm.Multimodal.imageDHash(media)).show()
+
+    // 6c. event analytics, batch AND streaming (round 13): the same
+    // funnel semantics as an incremental per-user state deploy
+    val funnelBatch = graft.ts.EventAnalytics.funnel(
+      T.events(spark, sfDir), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+    println("conversion funnel (batch — the streaming deploy " +
+      "funnelStream lands on the same counts):")
+    funnelBatch.show()
+
     // 7. orchestrate the whole flow as a named step DAG with a
     // conditional branch and retries (mlops PipelineManager semantics)
     val dag = new graft.pipeline.StepDag(Seq(
