@@ -448,25 +448,7 @@ object Multimodal {
         if (clip == null || clip.samples.length < 65)
           Row(id, false, null, null, null, null)
         else {
-          val s = clip.samples
-          val n = s.length
-          val e = new Array[Long](65)
-          var k = 0
-          while (k < 65) {
-            val lo = k * n / 65
-            val hi = (k + 1) * n / 65
-            var acc = 0L
-            var i = lo
-            while (i < hi) { val v = s(i).toLong; acc += v * v; i += 1 }
-            e(k) = acc
-            k += 1
-          }
-          val bands = new Array[Int](4)
-          var b = 0
-          while (b < 64) {
-            if (e(b) < e(b + 1)) bands(b / 16) |= 1 << (b % 16)
-            b += 1
-          }
+          val bands = energyBands(clip.samples)
           Row(id, true, bands(0), bands(1), bands(2), bands(3))
         }
       }
@@ -492,6 +474,43 @@ object Multimodal {
       ty += 1
     }
     bands
+  }
+
+  /** The energy-gradient bit kernel on one decoded clip — shared by
+    * the batch [[audioFingerprint]] and the stream-compatible
+    * [[audioFingerprintColumn]]. */
+  private[mm] def energyBands(s: Array[Int]): Array[Int] = {
+    val n = s.length
+    val e = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      val lo = k * n / 65
+      val hi = (k + 1) * n / 65
+      var acc = 0L
+      var i = lo
+      while (i < hi) { val v = s(i).toLong; acc += v * v; i += 1 }
+      e(k) = acc
+      k += 1
+    }
+    val bands = new Array[Int](4)
+    var b = 0
+    while (b < 64) {
+      if (e(b) < e(b + 1)) bands(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    bands
+  }
+
+  /** [[audioFingerprint]] as a COLUMN — the audio twin of
+    * [[imageDHashColumn]], for streaming deploys. NULL for
+    * undecodable or too-short clips. */
+  def audioFingerprintColumn: org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    val f = udf((bytes: Array[Byte]) => {
+      val clip = decodePcm(bytes)
+      if (clip == null || clip.samples.length < 65) null
+      else { val b = energyBands(clip.samples); (b(0), b(1), b(2), b(3)) }
+    })
+    c => f(c)
   }
 
   /** [[imageDHash]] as a COLUMN (UDF over the binary content) —
@@ -521,9 +540,14 @@ object Multimodal {
     * entry per distinct hash inside the watermark — eviction keeps it
     * bounded on an unbounded stream. */
   def mediaDedupStream(media: DataFrame, tsCol: String,
-                       watermark: String): DataFrame = {
+                       watermark: String,
+                       fingerprint: org.apache.spark.sql.Column =>
+                         org.apache.spark.sql.Column = null): DataFrame = {
+    // default = image dHash; pass audioFingerprintColumn (or any
+    // binary -> 4-band struct column) for other modalities
+    val fp = Option(fingerprint).getOrElse(imageDHashColumn)
     val withFp = media
-      .withColumn("_fp", imageDHashColumn(col("content")))
+      .withColumn("_fp", fp(col("content")))
     val decodable = withFp.filter(col("_fp").isNotNull)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_fp")

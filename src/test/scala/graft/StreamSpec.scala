@@ -671,6 +671,23 @@ class StreamSpec extends SparkSpec {
     // one of {1, 2} survives, 3 survives, corrupt 4 passes through
     assert(kept.size == 3 && kept.contains(3L) && kept.contains(4L))
     assert(kept.contains(1L) ^ kept.contains(2L))
+    // audio modality through the SAME gate: a clip and its 2x-gain
+    // twin share the energy-gradient fingerprint and collapse
+    val samples = Array.tabulate(650)(i => ((i * 13) % 301) - 150)
+    val wav = Multimodal.encodeWav(samples, 8000)
+    val wavGain = Multimodal.encodeWav(samples.map(_ * 2), 8000)
+    val in2 = MemoryStream[(Timestamp, Long, Array[Byte])]
+    val q2 = Multimodal.mediaDedupStream(
+        in2.toDF().toDF("ts", "media_id", "content"), "ts", "10 minutes",
+        Multimodal.audioFingerprintColumn)
+      .select("media_id")
+      .writeStream.format("memory").queryName("mdda")
+      .outputMode(OutputMode.Append).start()
+    in2.addData((t(0), 1L, wav), (t(1), 2L, wavGain))
+    q2.processAllAvailable()
+    val kept2 = spark.table("mdda").as[Long].collect().toSet
+    q2.stop()
+    assert(kept2.size == 1)
   }
 
   test("streaming KN3 scoring matches the batch order-3 scorer") {
