@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Compare two bench artifacts (BENCH_rN.json or a raw Bench stdout
+line) and flag per-query regressions with base-time-aware thresholds.
+
+Usage: python3 tools/bench_compare.py BENCH_r12.json BENCH_r13.json
+
+A "regression" needs BOTH a ratio above the threshold AND an absolute
+delta that matters (sub-second bases jitter 1.5x routinely — the r11
+phantom-regression lesson). Thresholds: ratio >= 1.5 and delta >=
+0.5 s, or ratio >= 2.0 at any base. Prints loadavg evidence from both
+artifacts so contention is visible next to the numbers.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    txt = open(path).read()
+    try:
+        d = json.loads(txt)
+        if "queries" in d:
+            return d
+        # driver artifact wrapper: the line lives in "tail"
+        tail = d.get("tail", "")
+        m = re.search(r'\{"metric".*\}', tail)
+        if m:
+            return json.loads(m.group(0))
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'\{"metric".*\}', txt)
+    if not m:
+        sys.exit(f"no bench JSON found in {path}")
+    return json.loads(m.group(0))
+
+
+def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    a, b = load(sys.argv[1]), load(sys.argv[2])
+    qa, qb = a["queries"], b["queries"]
+    shared = sorted(set(qa) & set(qb))
+    print(f"shared queries: {len(shared)}  "
+          f"(only-old: {len(set(qa) - set(qb))}, "
+          f"only-new: {len(set(qb) - set(qa))})")
+    print(f"old loadavg/pass: {a.get('loadavg_per_pass', 'n/a')}")
+    print(f"new loadavg/pass: {b.get('loadavg_per_pass', 'n/a')}")
+    regressions, improvements = [], []
+    for q in shared:
+        old, new = qa[q], qb[q]
+        ratio = new / max(old, 0.01)
+        if (ratio >= 1.5 and new - old >= 0.5) or ratio >= 2.0:
+            regressions.append((ratio, q, old, new))
+        elif ratio <= 1 / 1.5 and old - new >= 0.5:
+            improvements.append((ratio, q, old, new))
+    for tag, rows in (("REGRESSION", sorted(regressions, reverse=True)),
+                      ("improved", sorted(improvements))):
+        for ratio, q, old, new in rows:
+            print(f"{tag:>10}  {q}: {old:.2f} -> {new:.2f} s ({ratio:.2f}x)")
+    tot_a = sum(qa[q] for q in shared)
+    tot_b = sum(qb[q] for q in shared)
+    print(f"shared-query totals: {tot_a:.1f} -> {tot_b:.1f} s "
+          f"({tot_b / max(tot_a, 0.01):.2f}x)")
+    if not regressions:
+        print("no regressions above threshold")
+
+
+if __name__ == "__main__":
+    main()
