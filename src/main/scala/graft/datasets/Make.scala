@@ -444,6 +444,7 @@ object Make {
   private def fieldCol(f: Field, portable: Boolean, seed: Long, id: Column,
                        tag: Int): Column = f match {
     case NumField(name, lo, hi) =>
+      require(hi > lo, s"NumField $name needs hi > lo, got [$lo, $hi)")
       round(lit(lo) + uniform(portable, seed, id, tag) * lit(hi - lo), 6)
         .as(name)
     case IntRangeField(name, lo, hi) =>

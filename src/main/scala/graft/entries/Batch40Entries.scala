@@ -7,12 +7,15 @@ import graft.core.{Tables => T}
 import graft.stream.Streaming
 import graft.stream.Streaming.TypedEvent
 
-/** Round-13 batch: streaming deploys for the event-analytics family —
-  * the batch funnel / transition matrix re-expressed as incremental
-  * per-user state via mapGroupsWithState / flatMapGroupsWithState,
-  * replayed end-to-end through a MemoryStream inside the correctness
-  * loop (the bm25_stream pattern). Both share the BATCH operators'
-  * oracles verbatim: the stream must land on the same answer.
+/** Round-13 batch: (1) streaming deploys for the WHOLE event-analytics
+  * family — funnel / transitions / conversion time / cohort retention
+  * as incremental per-user state via mapGroupsWithState /
+  * flatMapGroupsWithState, replayed end-to-end through a MemoryStream
+  * inside the correctness loop (the bm25_stream pattern), each sharing
+  * its BATCH operator's oracle verbatim; (2) the count-min
+  * heavy-hitters sketch twin; (3) the makeDomain generator presets;
+  * (4) perceptual image dHash + audio energy fingerprints with the
+  * banded near-dup kernel, over closed-form decoded fixtures.
   */
 object Batch40Entries {
 
