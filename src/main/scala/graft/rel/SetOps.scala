@@ -50,9 +50,24 @@ object SetOps {
   }
 
   /** Frame equality as a count of asymmetric rows (0 == equal, multiset
-    * semantics). Reference: `Frames.compare` (gofast/dataops/core.py:588). */
-  def symmetricDiffCount(a: DataFrame, b: DataFrame): Long =
-    a.exceptAll(b).count() + b.exceptAll(a).count()
+    * semantics): Σ_values |count_a − count_b| ==
+    * exceptAll(a,b).count + exceptAll(b,a).count, computed as ONE
+    * tagged-union groupBy — one shuffle of a+b and one job, where the
+    * two exceptAll jobs each shuffled BOTH inputs (4 input shuffles,
+    * 2 actions). Reference: `Frames.compare`
+    * (gofast/dataops/core.py:588). */
+  def symmetricDiffCount(a: DataFrame, b: DataFrame): Long = {
+    require(a.columns.toSeq == b.columns.toSeq,
+      s"frames must share a schema: ${a.columns.toSeq} vs ${b.columns.toSeq}")
+    val cols = a.columns.toSeq.map(col)
+    val tagged = a.select(cols :+ lit(1L).as("_ca") :+ lit(0L).as("_cb"): _*)
+      .unionByName(
+        b.select(cols :+ lit(0L).as("_ca") :+ lit(1L).as("_cb"): _*))
+    tagged.groupBy(a.columns.map(col).toSeq: _*)
+      .agg(sum("_ca").as("_sa"), sum("_cb").as("_sb"))
+      .agg(coalesce(sum(abs(col("_sa") - col("_sb"))), lit(0L)))
+      .head().getLong(0)
+  }
 
   /** Row-level dataset diff: one full-outer join on `keys`, each value
     * column surfaced as `<c>_a` / `<c>_b`, and a status column —

@@ -75,6 +75,20 @@ class RelSpec extends SparkSpec {
     assert(again == picked.select("c_custkey").as[Long].collect().toSet)
   }
 
+  test("symmetricDiffCount equals the exceptAll formulation on random multisets") {
+    // the one-shuffle tagged-union rewrite must keep exact multiset
+    // semantics: sum over values of |count_a - count_b|
+    val rnd = new scala.util.Random(17)
+    val a = Seq.fill(300)((rnd.nextInt(20), if (rnd.nextBoolean()) "x" else null))
+      .toDF("k", "s")
+    val b = Seq.fill(280)((rnd.nextInt(20), if (rnd.nextBoolean()) "x" else null))
+      .toDF("k", "s")
+    val viaExcept = a.exceptAll(b).count() + b.exceptAll(a).count()
+    assert(SetOps.symmetricDiffCount(a, b) == viaExcept)
+    assert(SetOps.symmetricDiffCount(a.limit(0), b.limit(0)) == 0L)
+    assert(SetOps.symmetricDiffCount(a.limit(0), b) == 280L)
+  }
+
   test("symmetricDiffCount is 0 iff frames are multiset-equal") {
     val ord = T.orders(spark, sf)
     assert(SetOps.symmetricDiffCount(ord, ord) == 0)
