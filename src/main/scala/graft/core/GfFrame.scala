@@ -323,6 +323,10 @@ object GfFrame {
                            capacity: Int = 256): Fluent =
       new Fluent(graft.rel.Sketches.heavyHittersApprox(df, column,
         minCount, capacity))
+    /** Population Stability Index of `other`'s values against THIS
+      * frame as the reference (bin edges = this frame's quantiles). */
+    def psiVs(other: DataFrame, valueCol: String, bins: Int = 10): Fluent =
+      new Fluent(graft.stats.DataAudit.psi(df, other, valueCol, bins))
     /** Flesch-Kincaid readability per document. */
     def readability(idCol: String, textCol: String): Fluent =
       new Fluent(graft.text.Quality.readability(df, idCol, textCol))

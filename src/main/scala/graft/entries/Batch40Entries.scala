@@ -215,6 +215,21 @@ object Batch40Entries {
         .orderBy("patient_id")
     }),
 
+    // Population Stability Index — the numeric-feature drift monitor
+    // next to corpus_js's token axis: reference = even-order prices,
+    // current = odd-order prices (a stable split, so PSI lands near 0
+    // — the monitoring fixture a healthy pipeline reports). Edges are
+    // exact reference deciles (the iqr_range-proven quantile parity),
+    // shares floored at 1e-6, terms round-6 after the one ln crossing.
+    "drift_psi" -> ((s, dir) => {
+      val li = T.lineitem(s, dir)
+      graft.stats.DataAudit.psi(
+          li.filter(col("l_orderkey") % 2 === 0).select("l_extendedprice"),
+          li.filter(col("l_orderkey") % 2 === 1).select("l_extendedprice"),
+          "l_extendedprice", bins = 10)
+        .orderBy("bin")
+    }),
+
     // Count-min approximate heavy hitters — the third sketch of the
     // trio (HLL++ unique_stats_approx, GK quantiles_approx): per-
     // partition Misra-Gries candidates, one count-min estimate pass,
@@ -357,6 +372,36 @@ object Batch40Entries {
         |GROUP BY 1, 2 HAVING SUM(CASE WHEN a.bit <> b.bit
         |  THEN 1 ELSE 0 END) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays psi: quantile_cont deciles over the reference, bin =
+    // 1 + #edges strictly below, floored shares, round-6 terms.
+    "drift_psi" ->
+      """WITH r AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_orderkey % 2 = 0),
+        |c AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_orderkey % 2 = 1),
+        |e AS (SELECT quantile_cont(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |    0.6, 0.7, 0.8, 0.9]) AS edges FROM r),
+        |rc AS (SELECT 1 + len(list_filter((SELECT edges FROM e),
+        |    x -> v > x)) AS bin, COUNT(*) AS cr FROM r GROUP BY 1),
+        |cc AS (SELECT 1 + len(list_filter((SELECT edges FROM e),
+        |    x -> v > x)) AS bin, COUNT(*) AS cn FROM c GROUP BY 1),
+        |d AS (SELECT unnest(range(1, 11)) AS bin),
+        |j AS (SELECT d.bin,
+        |    CAST(COALESCE(rc.cr, 0) AS DOUBLE) AS cr,
+        |    CAST(COALESCE(cc.cn, 0) AS DOUBLE) AS cn
+        |  FROM d LEFT JOIN rc ON d.bin = rc.bin
+        |  LEFT JOIN cc ON d.bin = cc.bin),
+        |t AS (SELECT CAST(SUM(cr) AS DOUBLE) AS tr,
+        |    CAST(SUM(cn) AS DOUBLE) AS tc FROM j),
+        |s AS (SELECT bin,
+        |    GREATEST(cr / (SELECT tr FROM t), 1e-6) AS p,
+        |    GREATEST(cn / (SELECT tc FROM t), 1e-6) AS q
+        |  FROM j)
+        |SELECT CAST(bin AS INT) AS bin,
+        |  round(p, 6) AS ref_share, round(q, 6) AS cur_share,
+        |  round((q - p) * ln(q / p), 6) AS psi_term
+        |FROM s ORDER BY bin""".stripMargin,
 
     // Replays makeAfricanDemo: 7 countries x 61 years off range(427),
     // country = id // 61, year = 1960 + id % 61, fields on tags

@@ -49,6 +49,58 @@ object DataAudit {
           (col("observed") - col("expected")) / col("expected"), 6))
   }
 
+  /** Population Stability Index between a REFERENCE and a CURRENT
+    * table's numeric column — the standard production drift monitor
+    * for features/scores (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25
+    * shifted; the credit-scoring convention). Bin edges are the exact
+    * reference quantiles ([[graft.stats.Quantiles.exactPercentiles]] —
+    * distributed two-phase, driver state = bins−1 scalars, the
+    * fitted-scalar pattern), bin i = 1 + #edges strictly below the
+    * value, shares floored at `floor` so empty bins contribute a
+    * finite term instead of ±∞. Per-bin terms are
+    * `(q − p)·ln(q/p)` round-6 from the UNROUNDED shares (the
+    * corpus_js convention: one libm crossing, rounded once); the PSI
+    * total is their sum. Output: (bin, ref_share, cur_share,
+    * psi_term), shares round-6, one row per bin including empty ones.
+    * The token-distribution sibling is
+    * [[graft.text.CorpusStats]]'s JS divergence; PSI is the numeric
+    * axis a model-input monitor wants. */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
+          bins: Int = 10, floor: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    require(floor > 0, s"floor must be > 0, got $floor")
+    val edges = graft.stats.Quantiles.exactPercentiles(ref, valueCol,
+      (1 until bins).map(_.toDouble / bins))
+    def binOf(v: org.apache.spark.sql.Column) =
+      edges.foldLeft(lit(1))((acc, e) =>
+        acc + when(v > lit(e), 1).otherwise(0))
+    def counts(df: DataFrame, out: String): DataFrame = {
+      val v = col(valueCol).cast("double")
+      df.filter(v.isNotNull).select(binOf(v).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(out))
+    }
+    val spark = ref.sparkSession
+    val domain = spark.range(1, bins + 1L)
+      .select(col("id").cast("int").as("bin"))
+    val joined = domain
+      .join(counts(ref, "_cr"), Seq("bin"), "left")
+      .join(counts(cur, "_cc"), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("_cr"), lit(0L)).as("_cr"),
+        coalesce(col("_cc"), lit(0L)).as("_cc"))
+    val tot = joined.agg(sum("_cr").as("_tr"), sum("_cc").as("_tc"))
+    // 1-row fitted-scalar broadcast (the benford/pareto convention —
+    // PlanAudit-adjudicated)
+    val p = greatest(col("_cr").cast("double") / col("_tr").cast("double"),
+      lit(floor))
+    val q = greatest(col("_cc").cast("double") / col("_tc").cast("double"),
+      lit(floor))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"),
+        round(p, 6).as("ref_share"),
+        round(q, 6).as("cur_share"),
+        round((q - p) * log(q / p), 6).as("psi_term"))
+  }
+
   /** Pareto concentration curve ("do the top 20% of keys carry 80% of
     * the mass?"): entities ranked by descending decimal-exact mass,
     * sampled at `points` evenly spaced rank positions, emitting the

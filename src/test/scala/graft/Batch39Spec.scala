@@ -35,6 +35,27 @@ class Batch39Spec extends SparkSpec {
       .as[(Int, Long, Double, Double, Double)].head()._1 === 4)
   }
 
+  test("psi: identical distributions score 0, shifted ones hand-compute") {
+    // ref deciles of 1..100 with bins=2: one edge at the median; a
+    // current sample fully in the upper half puts all mass in bin 2
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val same = DataAudit.psi(ref, ref, "v", bins = 4)
+      .as[(Int, Double, Double, Double)].collect()
+    assert(same.length == 4)
+    assert(same.forall(r => r._4 == 0.0), s"psi != 0 on identical: ${same.toSeq}")
+    val shifted = (61 to 100).map(_.toDouble).toDF("v")
+    val out = DataAudit.psi(ref, shifted, "v", bins = 2)
+      .orderBy("bin").as[(Int, Double, Double, Double)].collect()
+    // edge = median of ref = 50.5; shifted is fully above -> q = (1e-6, 1.0)
+    assert(out(0)._2 == 0.5 && out(0)._3 == 1e-6)
+    assert(out(1)._2 == 0.5 && out(1)._3 == 1.0)
+    val expected0 = math.rint((1e-6 - 0.5) * math.log(1e-6 / 0.5) * 1e6) / 1e6
+    val expected1 = math.rint((1.0 - 0.5) * math.log(1.0 / 0.5) * 1e6) / 1e6
+    assert(out(0)._4 == expected0 && out(1)._4 == expected1)
+    // the PSI total crosses the textbook "shifted" threshold
+    assert(out.map(_._4).sum > 0.25)
+  }
+
   test("keySkew: shares of the heaviest and top-k keys") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
     val out = DataAudit.keySkew(df, "k", k = 2)
