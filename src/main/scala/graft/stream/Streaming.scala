@@ -1,8 +1,10 @@
 package graft.stream
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.util.LongAccumulator
+import scala.reflect.runtime.universe.TypeTag
 
 /** Structured Streaming pipeline (SURVEY §2.12).
   *
@@ -542,7 +544,99 @@ object Streaming {
   def epochMicros(ts: java.sql.Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
-  /** Per-user funnel state: the earliest qualifying epoch-millis per
+  // -----------------------------------------------------------------
+  // Out-of-order tolerance (round 14): a watermarked per-user reorder
+  // buffer shared by the whole event-analytics family. The in-order
+  // deploys below document a per-user in-order-arrival contract that
+  // real event buses violate constantly; the `*Ooo` variants drop that
+  // contract — events buffer per user until the event-time watermark
+  // passes them, then fold in exact global (ts, tie) order, so a
+  // SHUFFLED replay still matches the batch operator bit-for-bit on
+  // all in-watermark data. Arrivals behind the watermark are dropped
+  // by the ENGINE (FlatMapGroupsWithStateExec filters late rows
+  // before the user function runs under EventTimeTimeout) and show up
+  // in the numRowsDroppedByWatermark progress metric — read it via
+  // [[droppedByWatermark]]; reconciliation is the batch operator's
+  // job. The caller-supplied accumulator is defense-in-depth for any
+  // row that slips past the engine filter (normally zero — both cuts
+  // use the batch-start watermark).
+  // -----------------------------------------------------------------
+
+  /** Total input rows the ENGINE's stateful operators dropped as
+    * late-beyond-watermark across a query's recent progress. Under
+    * EventTimeTimeout, FlatMapGroupsWithStateExec filters late rows
+    * BEFORE the user function runs, so this metric — not the
+    * in-function slip counter — is the real late-drop count for the
+    * `*Ooo` deploys. Readable after `q.stop()`. */
+  def droppedByWatermark(q: StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator)
+      .map(_.numRowsDroppedByWatermark).sum
+
+  /** Reorder-buffer state: the held not-yet-ripe events plus the
+    * wrapped operator's own state. The buffer is bounded by the
+    * watermark horizon — only events within `delay` of the stream's
+    * max event time can be held — never by stream length. */
+  case class OooBuf[S](user_id: Long, buffer: Seq[TypedEvent], inner: Option[S])
+
+  /** Watermarked out-of-order fold kernel. `keep` filters the typed
+    * stream AFTER the watermark is attached (so flush/heartbeat rows
+    * still advance it); `fold` is the operator's pure per-user kernel
+    * over ripe events in exact (sortKey) order, chaining `S` across
+    * invocations. Ripe = event time strictly behind the watermark —
+    * equal-micros events always land on the same side of the cut, so
+    * the tie rule inside one fold is the batch operator's tie rule.
+    * State cleanup piggybacks on the event-time timeout: a user whose
+    * buffer drains keeps only the inner state (same retention as the
+    * in-order family); a user holding events re-arms a timeout at the
+    * earliest held event so the buffer drains even if the user goes
+    * quiet. The shuffle is the groupByKey on user only.
+    */
+  def reorderedStream[S <: Product : TypeTag, O <: Product : TypeTag](
+      events: Dataset[TypedEvent],
+      delay: String,
+      keep: TypedEvent => Boolean,
+      sortKey: TypedEvent => (Long, Long, Long),
+      fold: (Long, Option[S], Seq[TypedEvent]) => (S, Seq[O]),
+      lateCounter: Option[LongAccumulator] = None): Dataset[O] = {
+    implicit val bufEnc: Encoder[OooBuf[S]] = Encoders.product[OooBuf[S]]
+    implicit val outEnc: Encoder[O] = Encoders.product[O]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.withWatermark("ts", delay)
+      .filter(keep)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OooBuf[S], O](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[OooBuf[S]]) =>
+          val st = state.getOption.getOrElse(OooBuf[S](uid, Nil, None))
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmMicros = wmMs * 1000L
+          // an arrival already behind the watermark can't be folded in
+          // order. The engine normally filters these before we run
+          // (see droppedByWatermark); this partition is the slip net.
+          val (late, fresh) = rows.toSeq
+            .partition(e => epochMicros(e.ts) < wmMicros)
+          if (late.nonEmpty) lateCounter.foreach(_.add(late.size.toLong))
+          val all = st.buffer ++ fresh
+          val (ripe, hold) = all.partition(e => epochMicros(e.ts) < wmMicros)
+          val (inner2, out) =
+            if (ripe.isEmpty) (st.inner, Seq.empty[O])
+            else {
+              val (s2, o) = fold(uid, st.inner, ripe.sortBy(sortKey))
+              (Some(s2), o)
+            }
+          state.update(OooBuf(uid, hold, inner2))
+          if (hold.nonEmpty) {
+            // wake when the watermark passes the earliest held event
+            // (floor-ms: wm > floor(m/1000) implies wm*1000 > m)
+            val tMs = Math.floorDiv(hold.map(e => epochMicros(e.ts)).min, 1000L)
+            state.setTimeoutTimestamp(math.max(tMs, wmMs + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** Per-user funnel state: the earliest qualifying epoch-micros per
     * step (Long.MinValue = step not reached — chained, so set-ness is
     * prefix-monotone). */
   case class FunnelTimes(user_id: Long, times: Seq[Long])
@@ -579,21 +673,59 @@ object Streaming {
       .mapGroupsWithState[FunnelTimes, FunnelUserState](
           GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelTimes]) =>
-          val t = state.getOption
-            .map(_.times.toArray)
-            .getOrElse(Array.fill(k)(Long.MinValue))
-          val ordered = rows.toSeq
-            .sortBy(e => (epochMicros(e.ts), idx(e.event_type), e.event_id))
-          ordered.foreach { e =>
-            val i = idx(e.event_type)
-            val qualifies =
-              (i == 0 || (t(i - 1) != Long.MinValue && epochMicros(e.ts) >= t(i - 1)))
-            // sorted ascending: the first qualifying event IS the min
-            if (qualifies && t(i) == Long.MinValue) t(i) = epochMicros(e.ts)
-          }
-          state.update(FunnelTimes(uid, t.toSeq))
-          FunnelUserState(uid, t.lastIndexWhere(_ != Long.MinValue) + 1)
+          val ordered = rows.toSeq.sortBy(funnelKey(idx))
+          val (st2, out) = funnelFold(idx, k, uid, state.getOption, ordered)
+          state.update(st2)
+          out
       }
+  }
+
+  /** The funnel's per-user tie rule: (ts, step index, event_id) — an
+    * s_i and s_{i+1} event at the same instant qualify in step order,
+    * the batch funnel's `>=` semantics. */
+  private def funnelKey(idx: Map[String, Int])(e: TypedEvent): (Long, Long, Long) =
+    (epochMicros(e.ts), idx(e.event_type).toLong, e.event_id)
+
+  /** Pure per-user funnel fold over already-ordered events — shared by
+    * the in-order deploy (per-batch sort) and the out-of-order deploy
+    * (watermark-released ripe events). */
+  private def funnelFold(idx: Map[String, Int], k: Int, uid: Long,
+                         prior: Option[FunnelTimes], ordered: Seq[TypedEvent])
+      : (FunnelTimes, FunnelUserState) = {
+    val t = prior.map(_.times.toArray).getOrElse(Array.fill(k)(Long.MinValue))
+    ordered.foreach { e =>
+      val i = idx(e.event_type)
+      val qualifies =
+        (i == 0 || (t(i - 1) != Long.MinValue && epochMicros(e.ts) >= t(i - 1)))
+      // sorted ascending: the first qualifying event IS the min
+      if (qualifies && t(i) == Long.MinValue) t(i) = epochMicros(e.ts)
+    }
+    (FunnelTimes(uid, t.toSeq),
+      FunnelUserState(uid, t.lastIndexWhere(_ != Long.MinValue) + 1))
+  }
+
+  /** Out-of-order funnel deploy: [[funnelStream]] without the in-order
+    * arrival contract — [[reorderedStream]] holds each user's events
+    * until the `delay` watermark passes them, then folds with the SAME
+    * kernel. Emits the (monotone) deepest-step row per fold, so the
+    * [[funnelStreamCounts]] collapse is unchanged. */
+  def funnelStreamOoo(events: Dataset[TypedEvent], steps: Seq[String],
+                      delay: String,
+                      lateCounter: Option[LongAccumulator] = None)
+      : Dataset[FunnelUserState] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val idx = steps.zipWithIndex.toMap
+    val k = steps.size
+    reorderedStream[FunnelTimes, FunnelUserState](
+      events, delay,
+      keep = e => idx.contains(e.event_type),
+      sortKey = funnelKey(idx),
+      fold = (uid, prior, ordered) => {
+        val (st2, out) = funnelFold(idx, k, uid, prior, ordered)
+        (st2, Seq(out))
+      },
+      lateCounter = lateCounter)
   }
 
   /** Collapse a [[funnelStream]] sink table (update-mode rows, possibly
@@ -634,31 +766,54 @@ object Streaming {
       .flatMapGroupsWithState[ConvState, Conversion](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[TypedEvent], state: GroupState[ConvState]) =>
-          var st = state.getOption.getOrElse(
-            ConvState(uid, Long.MinValue, emitted = false))
-          val out = List.newBuilder[Conversion]
-          // equal-ts ties: fromStep processes first (the >= rule
-          // qualifies a same-instant toStep, exactly like the batch
-          // join's e.ts >= f.t0)
-          val ordered = rows.toSeq.sortBy(e => (epochMicros(e.ts),
-            if (e.event_type == fromStep) 0 else 1, e.event_id))
-          ordered.foreach { e =>
-            val m = epochMicros(e.ts)
-            if (e.event_type == fromStep && st.t0 == Long.MinValue)
-              st = st.copy(t0 = m)
-            else if (e.event_type == toStep && !st.emitted &&
-                st.t0 != Long.MinValue && m >= st.t0) {
-              // batch parity: floor(epoch seconds) difference, i.e.
-              // floorDiv of each micros to seconds, then subtract
-              out += Conversion(uid, Math.floorDiv(m, 1000000L) -
-                Math.floorDiv(st.t0, 1000000L))
-              st = st.copy(emitted = true)
-            }
-          }
-          state.update(st)
-          out.result().iterator
+          val ordered = rows.toSeq.sortBy(convKey(fromStep))
+          val (st2, out) = convFold(fromStep, toStep, uid, state.getOption, ordered)
+          state.update(st2)
+          out.iterator
       }
   }
+
+  /** Equal-ts ties: fromStep processes first (the >= rule qualifies a
+    * same-instant toStep, exactly like the batch join's e.ts >= f.t0). */
+  private def convKey(fromStep: String)(e: TypedEvent): (Long, Long, Long) =
+    (epochMicros(e.ts), if (e.event_type == fromStep) 0L else 1L, e.event_id)
+
+  /** Pure per-user conversion fold over already-ordered events —
+    * shared by the in-order and out-of-order deploys. */
+  private def convFold(fromStep: String, toStep: String, uid: Long,
+                       prior: Option[ConvState], ordered: Seq[TypedEvent])
+      : (ConvState, Seq[Conversion]) = {
+    var st = prior.getOrElse(ConvState(uid, Long.MinValue, emitted = false))
+    val out = List.newBuilder[Conversion]
+    ordered.foreach { e =>
+      val m = epochMicros(e.ts)
+      if (e.event_type == fromStep && st.t0 == Long.MinValue)
+        st = st.copy(t0 = m)
+      else if (e.event_type == toStep && !st.emitted &&
+          st.t0 != Long.MinValue && m >= st.t0) {
+        // batch parity: floor(epoch seconds) difference, i.e.
+        // floorDiv of each micros to seconds, then subtract
+        out += Conversion(uid, Math.floorDiv(m, 1000000L) -
+          Math.floorDiv(st.t0, 1000000L))
+        st = st.copy(emitted = true)
+      }
+    }
+    (st, out.result())
+  }
+
+  /** Out-of-order conversion-time deploy: [[conversionTimeStream]]
+    * without the in-order arrival contract (same kernel, watermarked
+    * reorder buffer). */
+  def conversionTimeStreamOoo(events: Dataset[TypedEvent], fromStep: String,
+                              toStep: String, delay: String,
+                              lateCounter: Option[LongAccumulator] = None)
+      : Dataset[Conversion] =
+    reorderedStream[ConvState, Conversion](
+      events, delay,
+      keep = e => e.event_type == fromStep || e.event_type == toStep,
+      sortKey = convKey(fromStep),
+      fold = (uid, prior, ordered) => convFold(fromStep, toStep, uid, prior, ordered),
+      lateCounter = lateCounter)
 
   /** Collapse a [[conversionTimeStream]] sink (one row per converted
     * user) to the batch operator's one-row quantile summary. */
@@ -698,35 +853,71 @@ object Streaming {
     require(Set("week", "day").contains(period),
       s"stream period must be week|day, got $period")
     import events.sparkSession.implicits._
-    val perLen = if (period == "week") 7L else 1L
-    def periodDay(micros: Long): Long = {
-      val day = Math.floorDiv(micros, 86400000000L) // UTC epoch day
-      if (period == "day") day
-      else day - Math.floorMod(day + 3L, 7L) // Monday: epoch day 0 is a Thursday
-    }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[CohortState, CohortHit](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[TypedEvent], state: GroupState[CohortState]) =>
-          val ordered = rows.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+          val ordered = rows.toSeq.sortBy(tsIdKey)
           if (ordered.isEmpty) Iterator.empty
           else {
-            var st = state.getOption.getOrElse(
-              CohortState(uid, periodDay(epochMicros(ordered.head.ts)), Nil))
-            val seen = scala.collection.mutable.LinkedHashSet[Long](
-              st.seen_offsets: _*)
-            val out = List.newBuilder[CohortHit]
-            ordered.foreach { e =>
-              val off = (periodDay(epochMicros(e.ts)) - st.cohort_day) / perLen
-              if (!seen.contains(off)) {
-                seen += off
-                out += CohortHit(uid, st.cohort_day, off)
-              }
-            }
-            state.update(st.copy(seen_offsets = seen.toSeq))
-            out.result().iterator
+            val (st2, out) = cohortFold(period, uid, state.getOption, ordered)
+            state.update(st2)
+            out.iterator
           }
       }
+  }
+
+  /** Ties by (ts, event_id) — the family's default total order. */
+  private def tsIdKey(e: TypedEvent): (Long, Long, Long) =
+    (epochMicros(e.ts), e.event_id, 0L)
+
+  /** Replays Spark's UTC `date_trunc(period, ts)` in epoch days
+    * (weeks start Monday, the ISO rule both engines share). */
+  private def cohortPeriodDay(period: String, micros: Long): Long = {
+    val day = Math.floorDiv(micros, 86400000000L) // UTC epoch day
+    if (period == "day") day
+    else day - Math.floorMod(day + 3L, 7L) // Monday: epoch day 0 is a Thursday
+  }
+
+  /** Pure per-user cohort fold over already-ordered NONEMPTY events —
+    * shared by the in-order and out-of-order deploys. The first folded
+    * event fixes the cohort, so order-correct delivery (in-order
+    * contract or watermark release) makes it the min-ts event. */
+  private def cohortFold(period: String, uid: Long,
+                         prior: Option[CohortState], ordered: Seq[TypedEvent])
+      : (CohortState, Seq[CohortHit]) = {
+    val perLen = if (period == "week") 7L else 1L
+    val st = prior.getOrElse(
+      CohortState(uid, cohortPeriodDay(period, epochMicros(ordered.head.ts)), Nil))
+    val seen = scala.collection.mutable.LinkedHashSet[Long](st.seen_offsets: _*)
+    val out = List.newBuilder[CohortHit]
+    ordered.foreach { e =>
+      val off = (cohortPeriodDay(period, epochMicros(e.ts)) - st.cohort_day) / perLen
+      if (!seen.contains(off)) {
+        seen += off
+        out += CohortHit(uid, st.cohort_day, off)
+      }
+    }
+    (st.copy(seen_offsets = seen.toSeq), out.result())
+  }
+
+  /** Out-of-order cohort-retention deploy: [[cohortRetentionStream]]
+    * without the in-order arrival contract (same kernel, watermarked
+    * reorder buffer — the watermark release guarantees the first
+    * folded event IS the user's min-ts event, fixing the cohort
+    * exactly as the batch operator's MIN(period)). */
+  def cohortRetentionStreamOoo(events: Dataset[TypedEvent],
+                               period: String, delay: String,
+                               lateCounter: Option[LongAccumulator] = None)
+      : Dataset[CohortHit] = {
+    require(Set("week", "day").contains(period),
+      s"stream period must be week|day, got $period")
+    reorderedStream[CohortState, CohortHit](
+      events, delay,
+      keep = _ => true,
+      sortKey = tsIdKey,
+      fold = (uid, prior, ordered) => cohortFold(period, uid, prior, ordered),
+      lateCounter = lateCounter)
   }
 
   /** Collapse a [[cohortRetentionStream]] sink (one row per (user,
@@ -761,21 +952,42 @@ object Streaming {
       .flatMapGroupsWithState[LastEvent, Transition](
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
-          val ordered = rows.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+          val ordered = rows.toSeq.sortBy(tsIdKey)
           if (ordered.isEmpty) Iterator.empty
           else {
-            val types = state.getOption.map(_.event_type).toSeq ++
-              ordered.map(_.event_type)
-            val out = types.sliding(2).collect {
-              case Seq(a, b) => Transition(uid, a, b)
-            }.toVector
-            val last = ordered.last
-            state.update(
-              LastEvent(uid, epochMicros(last.ts), last.event_id, last.event_type))
+            val (st2, out) = transFold(uid, state.getOption, ordered)
+            state.update(st2)
             out.iterator
           }
       }
   }
+
+  /** Pure per-user transition fold over already-ordered NONEMPTY
+    * events — shared by the in-order and out-of-order deploys. */
+  private def transFold(uid: Long, prior: Option[LastEvent],
+                        ordered: Seq[TypedEvent]): (LastEvent, Seq[Transition]) = {
+    val types = prior.map(_.event_type).toSeq ++ ordered.map(_.event_type)
+    val out = types.sliding(2).collect {
+      case Seq(a, b) => Transition(uid, a, b)
+    }.toVector
+    val last = ordered.last
+    (LastEvent(uid, epochMicros(last.ts), last.event_id, last.event_type), out)
+  }
+
+  /** Out-of-order transition-matrix deploy: [[transitionsStream]]
+    * without the in-order arrival contract (same kernel, watermarked
+    * reorder buffer — consecutive-pair emission is order-critical, so
+    * this is the family member that breaks WORST under shuffled
+    * arrival without the buffer). */
+  def transitionsStreamOoo(events: Dataset[TypedEvent], delay: String,
+                           lateCounter: Option[LongAccumulator] = None)
+      : Dataset[Transition] =
+    reorderedStream[LastEvent, Transition](
+      events, delay,
+      keep = _ => true,
+      sortKey = tsIdKey,
+      fold = (uid, prior, ordered) => transFold(uid, prior, ordered),
+      lateCounter = lateCounter)
 
   /** EMA is order-sensitive; mapGroupsWithState delivers a batch's
     * rows in shuffle order, so events carry a caller-assigned `seq`

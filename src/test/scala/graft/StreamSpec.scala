@@ -635,6 +635,170 @@ class StreamSpec extends SparkSpec {
         .as[(java.sql.Date, Long, Long)].collect().toSeq)
   }
 
+  // ---------------------------------------------------------------
+  // Out-of-order deploys (round 14): shuffled replay + reorder buffer
+  // ---------------------------------------------------------------
+
+  /** Replay `shuffled` in 4 micro-batches, then two flush sentinels
+    * (user -1): the first advances the watermark past every real
+    * event, the second fires the event-time timeouts that drain the
+    * reorder buffers. The delay (ms) that keeps every event
+    * in-watermark is computed from the replay's own observed disorder;
+    * zero engine late-drops are asserted. */
+  private def replayOoo(shuffled: Seq[Streaming.TypedEvent],
+                        mk: (MemoryStream[Streaming.TypedEvent], String) =>
+                          org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    var runMax = Long.MinValue; var lateMax = 0L
+    shuffled.foreach { e =>
+      val m = Streaming.epochMicros(e.ts)
+      if (runMax > m) lateMax = math.max(lateMax, runMax - m)
+      runMax = math.max(runMax, m)
+    }
+    val delayMs = lateMax / 1000L + 2000L
+    val maxTsMs = shuffled.map(_.ts.getTime).max
+    val in = MemoryStream[Streaming.TypedEvent]
+    val q = mk(in, s"$delayMs milliseconds")
+    try {
+      shuffled.grouped(shuffled.size / 4 + 1).foreach { chunk =>
+        in.addData(chunk: _*); q.processAllAvailable()
+      }
+      val t1 = maxTsMs + delayMs + 10000L
+      in.addData(Streaming.TypedEvent(-1L, -1L, "__flush__",
+        new Timestamp(t1)))
+      q.processAllAvailable()
+      in.addData(Streaming.TypedEvent(-1L, -2L, "__flush__",
+        new Timestamp(t1 + 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Streaming.droppedByWatermark(q) === 0L)
+  }
+
+  test("out-of-order event-analytics family: shuffled replay matches batch") {
+    // The r13 family's randomized-parity corpus, but the replay is
+    // SHUFFLED (seeded full permutation within a bounded window) —
+    // the in-order arrival contract is violated everywhere, and every
+    // OOO deploy must still land on the batch answer with ZERO late
+    // drops. Timestamp collisions are deliberate: the tie rules must
+    // survive reordering too.
+    import Streaming.TypedEvent
+    val rnd = new scala.util.Random(456)
+    val steps = Seq("view", "click", "purchase")
+    val types = steps :+ "signup"
+    def dayTs(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${1 + d}%02d $h%02d:00:00")
+    val evs = (1 to 300).map { i =>
+      TypedEvent(rnd.nextInt(25).toLong, i.toLong,
+        types(rnd.nextInt(types.size)), dayTs(rnd.nextInt(28), rnd.nextInt(4)))
+    }
+    val base = evs.sortBy(e => (Streaming.epochMicros(e.ts), e.event_id))
+    val shuffled = base.zipWithIndex
+      .sortBy { case (e, i) => (i + rnd.nextInt(60), e.event_id) }
+      .map(_._1)
+    assert(shuffled !== base, "shuffle must actually reorder")
+    // funnel
+    val fLate = spark.sparkContext.longAccumulator("ooo_f")
+    replayOoo(shuffled, (in, d) =>
+      Streaming.funnelStreamOoo(in.toDS(), steps, d, Some(fLate)).toDF()
+        .writeStream.format("memory").queryName("ofu")
+        .outputMode(OutputMode.Append).start())
+    assert(fLate.value === 0L)
+    assert(Streaming.funnelStreamCounts(spark.table("ofu"), steps)
+        .orderBy("step").as[(Int, String, Long)].collect().toSeq ===
+      graft.ts.EventAnalytics.funnel(evs.toDF(), "user_id", "event_type",
+          "ts", steps)
+        .orderBy("step").as[(Int, String, Long)].collect().toSeq)
+    // transitions — order-critical: a shuffled replay WITHOUT the
+    // buffer would emit wrong consecutive pairs
+    val tLate = spark.sparkContext.longAccumulator("ooo_t")
+    replayOoo(shuffled, (in, d) =>
+      Streaming.transitionsStreamOoo(in.toDS(), d, Some(tLate)).toDF()
+        .writeStream.format("memory").queryName("otr")
+        .outputMode(OutputMode.Append).start())
+    assert(tLate.value === 0L)
+    assert(spark.table("otr").filter($"user_id" >= 0)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+        .as[(String, String, Long)].collect().toSeq ===
+      graft.ts.EventAnalytics.eventTransitions(evs.toDF(), "user_id",
+          "event_type", "ts", Seq("event_id"))
+        .orderBy("from_type", "to_type").select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect().toSeq)
+    // conversion time
+    val cLate = spark.sparkContext.longAccumulator("ooo_c")
+    replayOoo(shuffled, (in, d) =>
+      Streaming.conversionTimeStreamOoo(in.toDS(), "view", "purchase", d,
+          Some(cLate)).toDF()
+        .writeStream.format("memory").queryName("ocv")
+        .outputMode(OutputMode.Append).start())
+    assert(cLate.value === 0L)
+    assert(Streaming.conversionTimeSummary(spark.table("ocv"))
+        .as[(Long, Long, Double, Double, Double, Long, Double)].head() ===
+      graft.ts.EventAnalytics.conversionTime(evs.toDF(), "user_id",
+          "event_type", "ts", "view", "purchase")
+        .as[(Long, Long, Double, Double, Double, Long, Double)].head())
+    // cohort retention — the first ARRIVAL per user is often not the
+    // min-ts event; the watermark release must still fix the cohort
+    // at the true min
+    val hLate = spark.sparkContext.longAccumulator("ooo_h")
+    replayOoo(shuffled, (in, d) =>
+      Streaming.cohortRetentionStreamOoo(in.toDS(), "week", d, Some(hLate))
+        .toDF()
+        .writeStream.format("memory").queryName("oco")
+        .outputMode(OutputMode.Append).start())
+    assert(hLate.value === 0L)
+    assert(Streaming.cohortRetentionCounts(
+          spark.table("oco").filter($"user_id" >= 0))
+        .orderBy("cohort", "period_offset")
+        .as[(java.sql.Date, Long, Long)].collect().toSeq ===
+      graft.ts.EventAnalytics.cohortRetention(evs.toDF(), "user_id", "ts",
+          period = "week")
+        .orderBy("cohort", "period_offset")
+        .as[(java.sql.Date, Long, Long)].collect().toSeq)
+  }
+
+  test("out-of-order deploy counts and drops arrivals behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.TypedEvent
+    val late = spark.sparkContext.longAccumulator("ooo_late_drop")
+    val in = MemoryStream[TypedEvent]
+    val q = Streaming.transitionsStreamOoo(in.toDS(), "1 second", Some(late))
+      .toDF()
+      .writeStream.format("memory").queryName("old")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 view@10:00 and click@11:00 — watermark after this
+      // batch is 10:59:59, so both stay buffered? no: view is ripe
+      // only once wm passes it; nothing folds yet this batch (wm=0)
+      in.addData(TypedEvent(1L, 1L, "view", t(0)),
+        TypedEvent(1L, 2L, "click",
+          Timestamp.valueOf("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      // batch 2: a purchase@10:30 arrives BEHIND the watermark
+      // (10:59:59) — the ENGINE drops it before the fold function ever
+      // runs (FlatMapGroupsWithStateExec's late-row filter under
+      // EventTimeTimeout), counted in numRowsDroppedByWatermark; it
+      // must NOT be spliced into the transition order
+      in.addData(TypedEvent(1L, 3L, "purchase",
+        Timestamp.valueOf("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // flush: advance watermark past 11:00, then fire timeouts
+      in.addData(TypedEvent(-1L, -4L, "__flush__",
+        Timestamp.valueOf("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      in.addData(TypedEvent(-1L, -5L, "__flush__",
+        Timestamp.valueOf("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Streaming.droppedByWatermark(q) === 1L)
+    // the engine filter ran first, so the in-function slip net saw 0
+    assert(late.value === 0L)
+    val pairs = spark.table("old").filter($"user_id" >= 0)
+      .select("from_type", "to_type").as[(String, String)].collect().toSeq
+    // the late purchase is GONE: the only pair is view -> click
+    assert(pairs === Seq(("view", "click")))
+  }
+
   test("streaming media dedup collapses perceptual duplicates across containers") {
     implicit val sqlCtx = spark.sqlContext
     import graft.mm.Multimodal

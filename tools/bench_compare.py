@@ -7,8 +7,8 @@ Usage: python3 tools/bench_compare.py BENCH_r12.json BENCH_r13.json
 A "regression" needs BOTH a ratio above the threshold AND an absolute
 delta that matters (sub-second bases jitter 1.5x routinely — the r11
 phantom-regression lesson). Thresholds: ratio >= 1.5 and delta >=
-0.5 s, or ratio >= 2.0 at any base. Prints loadavg evidence from both
-artifacts so contention is visible next to the numbers.
+0.5 s, or ratio >= 2.0 with delta >= 0.2 s. Prints loadavg evidence
+from both artifacts so contention is visible next to the numbers.
 """
 import json
 import re
@@ -21,17 +21,31 @@ def load(path):
         d = json.loads(txt)
         if "queries" in d:
             return d
-        # driver artifact wrapper: the line lives in "tail"
-        tail = d.get("tail", "")
-        m = re.search(r'\{"metric".*\}', tail)
-        if m:
-            return json.loads(m.group(0))
+        # driver artifact wrapper: the line lives in "tail" — which may
+        # be TRUNCATED at the front (BENCH_r13.json starts mid-line), so
+        # never require the '{"metric"' prefix: scrape the "queries"
+        # object directly and whatever scalar fields survived.
+        txt = d.get("tail", "")
     except json.JSONDecodeError:
         pass
     m = re.search(r'\{"metric".*\}', txt)
-    if not m:
+    if m:
+        try:
+            return json.loads(m.group(0))
+        except json.JSONDecodeError:
+            pass
+    mq = re.search(r'"queries"\s*:\s*(\{[^{}]*\})', txt)
+    if not mq:
         sys.exit(f"no bench JSON found in {path}")
-    return json.loads(m.group(0))
+    out = {"queries": json.loads(mq.group(1))}
+    for scalar in ("value", "sf", "loadavg_per_pass", "contended"):
+        ms = re.search(rf'"{scalar}"\s*:\s*("[^"]*"|\[[^\]]*\]|[^,}}]+)', txt)
+        if ms:
+            try:
+                out[scalar] = json.loads(ms.group(1))
+            except json.JSONDecodeError:
+                out[scalar] = ms.group(1)
+    return out
 
 
 def main():
@@ -49,7 +63,8 @@ def main():
     for q in shared:
         old, new = qa[q], qb[q]
         ratio = new / max(old, 0.01)
-        if (ratio >= 1.5 and new - old >= 0.5) or ratio >= 2.0:
+        if (ratio >= 1.5 and new - old >= 0.5) or \
+                (ratio >= 2.0 and new - old >= 0.2):
             regressions.append((ratio, q, old, new))
         elif ratio <= 1 / 1.5 and old - new >= 0.5:
             improvements.append((ratio, q, old, new))

@@ -44,12 +44,21 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
-    n_ok = n_bad = 0
+    # Verify always dumps the FULL oracle map, but SPARK_GRAFT_ONLY
+    # subset runs write only the requested outputs. A missing output is
+    # a FAIL only when Verify recorded the query as failed
+    # (failures.json); otherwise it simply wasn't run this pass.
+    fail_path = OUT / "failures.json"
+    verify_fails = json.loads(fail_path.read_text()) if fail_path.exists() else {}
+    n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
         pdir = OUT / name
         if not pdir.exists():
-            print(f"FAIL {name}: no spark output")
-            n_bad += 1
+            if name in verify_fails:
+                print(f"FAIL {name}: verify error: {verify_fails[name][:120]}")
+                n_bad += 1
+            else:
+                n_skip += 1
             continue
         try:
             got = con.sql(
@@ -84,7 +93,8 @@ def main():
         else:
             print(f"ok   {name} ({len(g)} rows)")
             n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} failed")
+    skipped = f", {n_skip} not run (subset)" if n_skip else ""
+    print(f"\n{n_ok} ok, {n_bad} failed{skipped}")
     sys.exit(1 if n_bad else 0)
 
 
