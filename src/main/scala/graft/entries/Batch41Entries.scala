@@ -1,0 +1,256 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.stream.Streaming
+import graft.stream.Streaming.TypedEvent
+
+/** Round-14 batch: the streaming event-analytics family WITHOUT the
+  * in-order arrival contract. The round-13 deploys (Batch40Entries)
+  * replay the events table in per-user event-time order — a contract
+  * real event buses violate constantly. These four entries feed the
+  * SAME deploys' kernels through [[Streaming.reorderedStream]] — a
+  * watermarked per-user reorder buffer drained by event-time timeouts
+  * — with a replay that is deliberately SHUFFLED (bounded deterministic
+  * displacement), and still must hash-match the batch operators'
+  * oracles verbatim. Each entry also asserts ZERO late drops (the
+  * watermark delay is computed from the replay's own observed
+  * disorder), so the match is exact, not survivorship.
+  */
+object Batch41Entries {
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private val funnelSteps = Seq("view", "click", "purchase")
+
+  /** Deterministic bounded shuffle of the events table: each event is
+    * displaced from its (ts, event_id) position by an md5 draw of up
+    * to `window` slots — the per-user in-order contract is violated
+    * all over the replay, but the disorder stays watermark-bounded.
+    * Returns (shuffled events, watermark delay in ms that keeps every
+    * event in-watermark — the observed max lateness + 2 s margin,
+    * computed from the replay itself so the zero-drop assertion is
+    * exact — and the max event-time ms for the flush sentinels). */
+  private def shuffledEvents(s: SparkSession, dir: String, window: Int = 200)
+      : (Array[TypedEvent], Long, Long) = {
+    import s.implicits._
+    val base = T.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[TypedEvent].collect()
+      .sortBy(e => (Streaming.epochMicros(e.ts), e.event_id))
+    def disp(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ooo-$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (((md(0) & 0xff) << 8) | (md(1) & 0xff)) % window
+    }
+    val shuffled = base.zipWithIndex
+      .sortBy { case (e, i) => (i + disp(e.event_id), e.event_id) }
+      .map(_._1)
+    var runMax = Long.MinValue
+    var lateMax = 0L
+    shuffled.foreach { e =>
+      val m = Streaming.epochMicros(e.ts)
+      if (runMax > m) lateMax = math.max(lateMax, runMax - m)
+      runMax = math.max(runMax, m)
+    }
+    (shuffled, lateMax / 1000L + 2000L, shuffled.map(_.ts.getTime).max)
+  }
+
+  /** Replays the shuffled events in 5 micro-batches, then two flush
+    * batches: the first advances the watermark past every real event
+    * (the watermark updates at batch END), the second fires the
+    * event-time timeouts that drain every reorder buffer. Flush rows
+    * ride user_id -1 / event_type "__flush__" — dropped by the
+    * operator's own `keep` filter or by the sink-side user_id >= 0
+    * guard, but they DO flow through the watermark node first. */
+  private def replayShuffled(in: MemoryStream[TypedEvent],
+                             evs: Array[TypedEvent], delayMs: Long,
+                             maxTsMs: Long,
+                             q: org.apache.spark.sql.streaming.StreamingQuery)
+      : Unit = {
+    try {
+      evs.grouped(math.max(1, evs.length / 5 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+      val t1 = maxTsMs + delayMs + 10000L
+      in.addData(TypedEvent(-1L, -1L, "__flush__", new java.sql.Timestamp(t1)))
+      q.processAllAvailable()
+      in.addData(TypedEvent(-1L, -2L, "__flush__",
+        new java.sql.Timestamp(t1 + 1000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
+  /** Start an OOO deploy on a fresh MemoryStream, run the shuffled
+    * replay to completion, assert the engine dropped ZERO rows as
+    * late-beyond-watermark (the delay was computed from the replay's
+    * own disorder, so the oracle match is exact, not survivorship),
+    * and return the memory-sink table name. */
+  private def runOoo(s: SparkSession, name: String, evs: Array[TypedEvent],
+                     delayMs: Long, maxTsMs: Long,
+                     mk: (MemoryStream[TypedEvent], String) => DataFrame)
+      : String = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[TypedEvent]
+    val qn = s"${name}_sink_${sinkSeq.incrementAndGet()}"
+    val q = mk(in, s"$delayMs milliseconds").writeStream
+      .format("memory").queryName(qn).outputMode("append").start()
+    replayShuffled(in, evs, delayMs, maxTsMs, q)
+    val dropped = Streaming.droppedByWatermark(q)
+    require(dropped == 0L,
+      s"$name: engine dropped $dropped events behind the watermark")
+    qn
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Streaming.funnelStreamOoo replayed END-TO-END on SHUFFLED
+    // events: the reorder buffer holds each user's events until the
+    // watermark passes them, then folds with the batch funnel's exact
+    // kernel; the update-trail collapse is unchanged. FULL oracle —
+    // the batch funnel's SQL verbatim — plus a zero-late-drop
+    // assertion inside the entry.
+    "funnel_stream_ooo" -> ((s, dir) => {
+      val (evs, delayMs, maxTsMs) = shuffledEvents(s, dir)
+      val late = s.sparkContext.longAccumulator("funnel_ooo_late")
+      val qn = runOoo(s, "funnel_ooo", evs, delayMs, maxTsMs,
+        (in, delay) => Streaming.funnelStreamOoo(in.toDS(), funnelSteps,
+          delay, Some(late)).toDF())
+      require(late.value == 0L,
+        s"funnel_stream_ooo dropped ${late.value} late events")
+      Streaming.funnelStreamCounts(s.table(qn), funnelSteps).orderBy("step")
+    }),
+
+    // Streaming.conversionTimeStreamOoo on the same shuffled replay:
+    // per-user (t0, emitted) state behind the reorder buffer — the
+    // first qualifying toStep event folds at its true event-time
+    // position, so out-of-order arrival can't emit a wrong delay.
+    // FULL oracle — the batch conversion_time's SQL verbatim.
+    "conversion_stream_ooo" -> ((s, dir) => {
+      val (evs, delayMs, maxTsMs) = shuffledEvents(s, dir)
+      val late = s.sparkContext.longAccumulator("conversion_ooo_late")
+      val qn = runOoo(s, "conversion_ooo", evs, delayMs, maxTsMs,
+        (in, delay) => Streaming.conversionTimeStreamOoo(in.toDS(), "view",
+          "purchase", delay, Some(late)).toDF())
+      require(late.value == 0L,
+        s"conversion_stream_ooo dropped ${late.value} late events")
+      Streaming.conversionTimeSummary(s.table(qn))
+    }),
+
+    // Streaming.cohortRetentionStreamOoo on the same shuffled replay:
+    // the watermark release guarantees the first folded event IS the
+    // user's min-ts event, so the cohort assignment matches the batch
+    // MIN(period) even though the first ARRIVAL may be a later event.
+    // FULL oracle — the batch cohort_retention's SQL verbatim.
+    "cohort_stream_ooo" -> ((s, dir) => {
+      val (evs, delayMs, maxTsMs) = shuffledEvents(s, dir)
+      val late = s.sparkContext.longAccumulator("cohort_ooo_late")
+      val qn = runOoo(s, "cohort_ooo", evs, delayMs, maxTsMs,
+        (in, delay) => Streaming.cohortRetentionStreamOoo(in.toDS(), "week",
+          delay, Some(late)).toDF())
+      require(late.value == 0L,
+        s"cohort_stream_ooo dropped ${late.value} late events")
+      Streaming.cohortRetentionCounts(s.table(qn).filter(col("user_id") >= 0))
+        .orderBy("cohort", "period_offset")
+    }),
+
+    // Streaming.transitionsStreamOoo on the same shuffled replay —
+    // the family member that breaks WORST without the buffer, since
+    // consecutive-pair emission is order-critical. FULL oracle —
+    // event_transitions' SQL verbatim.
+    "transitions_stream_ooo" -> ((s, dir) => {
+      val (evs, delayMs, maxTsMs) = shuffledEvents(s, dir)
+      val late = s.sparkContext.longAccumulator("transitions_ooo_late")
+      val qn = runOoo(s, "transitions_ooo", evs, delayMs, maxTsMs,
+        (in, delay) => Streaming.transitionsStreamOoo(in.toDS(), delay,
+          Some(late)).toDF())
+      require(late.value == 0L,
+        s"transitions_stream_ooo dropped ${late.value} late events")
+      // snapshot the memory sink: a MemoryPlan View can't dedup its
+      // references across the counts-vs-totals self-join
+      val pairs = s.table(qn).filter(col("user_id") >= 0).localCheckpoint()
+      val counts = pairs
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum("n").as("_tot"))
+      counts.join(totals, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("_tot").cast("double"), 6)
+            .as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // The wide (2×32-bit multi-index, radius-1 ball) near-dup kernel
+    // over the SAME decoded-BMP dHash fixture as image_near_dups —
+    // the scale path past the 16-bit bands' birthday knee at ~2^16
+    // items (SCALE.md), pigeonhole-exact for hamming <= 3. FULL
+    // oracle — image_near_dups' brute-force SQL verbatim: the wide
+    // join must land on the identical pair set.
+    "image_near_dups_wide" -> ((s, dir) => {
+      graft.mm.Multimodal.bandedNearDupsWide(
+          graft.mm.Multimodal.imageDHash(Batch40Entries.dhashBmps(s)),
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // simhash_pairs_md5's scale path: the SAME portable 60-bit md5
+    // sketch through the 2×30-bit multi-index kernel (radius-1 ball
+    // enumeration) instead of 15-bit bands — past ~2^16 documents the
+    // 15-bit band buckets birthday-collide into ~n²/2^15 candidates;
+    // the 2^30 key space defers that knee ~2^15×. FULL oracle — the
+    // md5 sketch CTE verbatim with the wide candidate rule ("either
+    // 30-bit half within Hamming 1") replayed as a closed form.
+    "simhash_pairs_md5_wide" -> ((s, dir) => {
+      import graft.text.Dedup
+      val d = T.documents(s, dir).filter(col("doc_id") < 50)
+      val perturbed = d.withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", regexp_replace(col("text"), "^\\S+\\s+", ""))
+      Dedup.simhashPairsPortableWide(d.unionByName(perturbed), "doc_id",
+          "text", maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  /** The batch operators' oracles, verbatim (shared with the in-order
+    * deploys): out-of-order delivery must land on the identical
+    * answers. */
+  val oracleSql: Map[String, String] = Map(
+    "funnel_stream_ooo" -> Batch40Entries.oracleSql("funnel_stream"),
+    "conversion_stream_ooo" -> Batch40Entries.oracleSql("conversion_stream"),
+    "cohort_stream_ooo" -> Batch40Entries.oracleSql("cohort_stream"),
+    "transitions_stream_ooo" -> Batch40Entries.oracleSql("transitions_stream"),
+    "image_near_dups_wide" -> Batch40Entries.oracleSql("image_near_dups"),
+
+    // The md5 sketch CTE of simhash_pairs_md5, with the wide kernel's
+    // candidate rule — "either 30-bit half within Hamming <= 1" — in
+    // place of the 15-bit band OR. 1073741823 = (1 << 30) - 1.
+    "simhash_pairs_md5_wide" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+         |  UNION ALL
+         |  SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
+         |  FROM documents WHERE doc_id < 50),
+         |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |        FROM corpus WHERE len(trim(text)) > 0),
+         |h AS (SELECT doc_id,
+         |        CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+         |      FROM tok),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY 1),
+         |bits AS (
+         |  SELECT doc_id, b.b AS bit, SUM((h >> b.b) & 1) AS c
+         |  FROM h, (SELECT unnest(range(0, 60)) AS b) b GROUP BY 1, 2),
+         |sk AS (
+         |  SELECT bits.doc_id,
+         |    SUM(CASE WHEN 2 * c > n THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sh
+         |  FROM bits JOIN cnt ON cnt.doc_id = bits.doc_id GROUP BY 1)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id AND
+         |  (bit_count(xor(a.sh & 1073741823, b.sh & 1073741823)) <= 1
+         |   OR bit_count(xor(a.sh >> 30, b.sh >> 30)) <= 1)
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -287,6 +287,15 @@ object Multimodal {
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
       .distinct()
+    verifyCandidates(ok, cand, maxHamming)
+  }
+
+  /** Exact verify shared by the banded kernels: join the candidate
+    * (id_a, id_b) pairs back to their bands and keep pairs at
+    * bit-exact Hamming ≤ `maxHamming`. Candidate-bounded — never
+    * touches non-candidate pairs. */
+  private def verifyCandidates(ok: DataFrame, cand: DataFrame,
+                               maxHamming: Int): DataFrame = {
     val ha = ok.select(col("media_id").as("id_a"), col("b0").as("_a0"),
       col("b1").as("_a1"), col("b2").as("_a2"), col("b3").as("_a3"))
     val hb = ok.select(col("media_id").as("id_b"), col("b0").as("_b0"),
@@ -296,6 +305,56 @@ object Multimodal {
     cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Wide-band variant of [[bandedNearDups]] for corpora past the
+    * 16-bit birthday knee: at n ≫ 2^16 items the 16-bit band keys
+    * collide by birthday alone (candidates ~4n²/2^16 even on random
+    * hashes — the knee SCALE.md records at ~65k items). This kernel is
+    * multi-index hashing over TWO 32-bit substrings (Norouzi, Punjani
+    * & Fleet, "Fast Search in Hamming Space with Multi-Index Hashing",
+    * CVPR 2012): a pair within Hamming ≤ 3 has ≤ 1 differing bit in
+    * at least one 32-bit half (pigeonhole over 2 substrings), so
+    * enumerating the radius-1 Hamming ball of the lower-id side's key
+    * (33 static variants, pure codegen) and equi-joining against the
+    * other side's exact keys finds EVERY such pair — the same
+    * guarantee as the 16-bit kernel, while the 2^32 key space pushes
+    * the random-collision knee out to ~2^25 items (candidates
+    * ~66n·n/2^32). Cost: a 33× linear probe-side explode and the same
+    * candidate-bounded bit_count verify; no all-pairs step anywhere.
+    * For maxHamming ≤ 1 the ball shrinks to the key itself. Output:
+    * (id_a, id_b, hamming) — identical rows to [[bandedNearDups]]. */
+  def bandedNearDupsWide(hashes: DataFrame, maxHamming: Int = 3,
+                         allowWeak: Boolean = false): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(maxHamming <= 3 || allowWeak,
+      s"maxHamming=$maxHamming > 3 breaks the 2-substring radius-1 " +
+        "multi-index guarantee (pairs may be missed); pass " +
+        "allowWeak = true to accept best-effort recall")
+    val ok = hashes.filter(col("ok"))
+      .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+    def u16(c: String): Column = col(c).cast("long")
+    val keyed = ok.select(col("media_id"),
+      u16("b0").bitwiseOR(shiftleft(u16("b1"), 16)).as("_k0"),
+      u16("b2").bitwiseOR(shiftleft(u16("b3"), 16)).as("_k1"))
+    val build = (0 until 2).map { k =>
+      keyed.select(col("media_id"), lit(k).as("_band"),
+        col(s"_k$k").as("_key"))
+    }.reduce(_ unionByName _)
+    // Hamming ≤ 1 over 2 substrings already pigeonholes to an EXACT
+    // substring match — skip the ball enumeration entirely.
+    val probe =
+      if (maxHamming <= 1) build
+      else build.select(col("media_id"), col("_band"),
+        explode(array((col("_key") +:
+          (0 until 32).map(i => col("_key").bitwiseXOR(lit(1L << i)))): _*))
+          .as("_key"))
+    val cand = probe.as("x").join(build.as("y"),
+        col("x._band") === col("y._band") && col("x._key") === col("y._key") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .distinct()
+    verifyCandidates(ok, cand, maxHamming)
   }
 
   /** Byte-level featurizer for opaque (not necessarily image) binary:

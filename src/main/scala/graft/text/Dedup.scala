@@ -290,6 +290,68 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Wide-band SimHash pair kernel shared by [[simhashPairsWide]] and
+    * [[simhashPairsPortableWide]]: multi-index hashing over TWO
+    * (bits/2)-wide sketch halves, enumerating the radius-1 Hamming
+    * ball of the lower-id side's half-key (Norouzi, Punjani & Fleet,
+    * "Fast Search in Hamming Space with Multi-Index Hashing", CVPR
+    * 2012). A pair within Hamming ≤ 3 has ≤ 1 differing bit in at
+    * least one half (pigeonhole over 2 substrings), so the exact
+    * equi-join on (band, variant) finds every such pair — the same
+    * ≤ 3 completeness the 16-bit bands give, while the 2^(bits/2) key
+    * space pushes the band-bucket birthday knee from ~2^16 items out
+    * to ~2^(bits/2) (SCALE.md records the 16-bit knee at ~65k items).
+    * Candidates at larger distances remain best-effort, exactly the
+    * [[simhashPairs]] contract. Cost: a (1 + bits/2)× linear
+    * probe-side explode; no all-pairs step. */
+  private def wideBandPairs(sk: DataFrame, bits: Int,
+                            maxHamming: Int): DataFrame = {
+    require(bits % 2 == 0 && bits <= 64, s"bits must be even <= 64, got $bits")
+    val half = bits / 2
+    val mask = (1L << half) - 1L
+    val keyed = sk.select(col("_id"), col("_sh"),
+      col("_sh").bitwiseAND(mask).as("_k0"),
+      shiftright(col("_sh"), half).bitwiseAND(mask).as("_k1"))
+    val build = (0 until 2).map { k =>
+      keyed.select(col("_id"), col("_sh"), lit(k).as("_band"),
+        col(s"_k$k").as("_key"))
+    }.reduce(_ unionByName _)
+    val probe = build.select(col("_id"), col("_sh"), col("_band"),
+      explode(array((col("_key") +:
+        (0 until half).map(i => col("_key").bitwiseXOR(lit(1L << i)))): _*))
+        .as("_key"))
+    // per-leg attribute names — see minhashPairsFromSigs
+    val a = probe.select(col("_id").as("id_a"), col("_sh").as("_sha"),
+      col("_band").as("_band_a"), col("_key").as("_key_a"))
+    val b = build.select(col("_id").as("id_b"), col("_sh").as("_shb"),
+      col("_band").as("_band_b"), col("_key").as("_key_b"))
+    val hamming = bit_count(col("_sha").bitwiseXOR(col("_shb")))
+    a.join(b, col("_band_a") === col("_band_b") &&
+        col("_key_a") === col("_key_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[simhashPairsPortable]]'s scale path past the 15-bit band
+    * birthday knee: the same portable 60-bit md5 sketch through
+    * [[wideBandPairs]] (2×30-bit halves, radius-1 balls). Complete
+    * for Hamming ≤ 3; fully oracle-replayable — the candidate rule is
+    * "either 30-bit half within Hamming 1", a closed form any SQL
+    * engine can brute-force. */
+  def simhashPairsPortableWide(df: DataFrame, idCol: String, textCol: String,
+                               maxHamming: Int = 8): DataFrame =
+    wideBandPairs(simhashesPortable(df, idCol, textCol).localCheckpoint(),
+      60, maxHamming)
+
+  /** [[simhashPairs]]'s scale path past the 16-bit band birthday
+    * knee: the xxhash64 64-bit sketch through [[wideBandPairs]]
+    * (2×32-bit halves, radius-1 balls). Complete for Hamming ≤ 3. */
+  def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 8): DataFrame =
+    wideBandPairs(simhashes(df, idCol, textCol).localCheckpoint(),
+      64, maxHamming)
+
   /** Near-duplicate candidates by SimHash: rows sharing any of four
     * 16-bit bands of the 64-bit sketch, verified by Hamming distance
     * <= maxHamming. */

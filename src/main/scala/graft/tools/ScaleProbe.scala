@@ -567,8 +567,24 @@ object ScaleProbe {
       }
       val hashes = graft.mm.Multimodal.imageDHash(media).persist()
       timeIt("image_dhash") { hashes.count() }
-      timeIt("image_near_dups") {
-        graft.mm.Multimodal.bandedNearDups(hashes, maxHamming = 3).count()
+      // SPARK_GRAFT_MM_WIDE_ONLY=1 skips the 16-bit kernel: past the
+      // ~2^16 birthday knee its candidate volume (~4n²/2^16) makes it
+      // the thing being ESCAPED, not measured
+      val wideOnly = sys.env.get("SPARK_GRAFT_MM_WIDE_ONLY").contains("1")
+      var n16 = -1L
+      if (!wideOnly) timeIt("image_near_dups") {
+        n16 = graft.mm.Multimodal.bandedNearDups(hashes, maxHamming = 3).count()
+        n16
+      }
+      timeIt("image_near_dups_wide") {
+        val nw = graft.mm.Multimodal
+          .bandedNearDupsWide(hashes, maxHamming = 3).count()
+        // exactness, not recall: both kernels are pigeonhole-complete
+        // at hamming <= 3, so the planted-pair sets must agree count
+        // for count whenever both ran
+        require(n16 < 0 || nw == n16,
+          s"wide kernel pair count $nw != 16-bit kernel $n16")
+        nw
       }
       spark.stop()
       return

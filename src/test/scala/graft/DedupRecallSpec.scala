@@ -64,6 +64,27 @@ class DedupRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("wide simhash kernels: identical pairs to the 16-bit bands in the " +
+      "guaranteed-complete regime (Hamming <= 3)") {
+    // both kernels are pigeonhole-complete at Hamming <= 3, so on the
+    // same sketches they must return EXACTLY the same pair set — the
+    // wide kernel only changes the candidate key space (2^32 vs 2^16),
+    // i.e. the scale knee, never the answer
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("hamming").cast("int")).as[(Long, Long, Int)].collect().toSet
+    val narrow = full(Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3))
+    val wide = full(Dedup.simhashPairsWide(corpus, "doc_id", "text", maxHamming = 3))
+    assert(narrow.nonEmpty)
+    assert(wide == narrow)
+    val narrowP = full(
+      Dedup.simhashPairsPortable(corpus, "doc_id", "text", maxHamming = 3))
+    val wideP = full(
+      Dedup.simhashPairsPortableWide(corpus, "doc_id", "text", maxHamming = 3))
+    assert(narrowP.nonEmpty)
+    assert(wideP == narrowP)
+  }
+
   test("LSH cosine join (4 planes x 8 tables): recall >= 0.9 vs the " +
       "exact n^2 join at cosine >= 0.9; candidates exactly verified") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)

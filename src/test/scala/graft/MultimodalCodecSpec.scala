@@ -124,6 +124,23 @@ class MultimodalCodecSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.imageNearDups(hashes, maxHamming = 5)
     }
+    // the wide (2×32-bit multi-index) kernel must produce the
+    // IDENTICAL pair set — same guarantee, bigger key space
+    val wide = Multimodal.bandedNearDupsWide(hashes, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(wide == brute)
+    // radius-0 fast path (maxHamming <= 1) and tighter thresholds
+    // agree with brute force too
+    (0 to 2).foreach { h =>
+      val w = Multimodal.bandedNearDupsWide(hashes, maxHamming = h)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(w == brute.filter(_._3 <= h), s"maxHamming=$h mismatch")
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.bandedNearDupsWide(hashes, maxHamming = 4)
+    }
   }
 
   test("byte-histogram features are a real normalized histogram") {
