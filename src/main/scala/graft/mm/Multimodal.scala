@@ -596,8 +596,8 @@ object Multimodal {
     * batch [[bandedNearDups]]'s job: banding needs a self-join, which
     * streams don't do. Undecodable rows pass through un-deduped (a
     * corrupt blob must not eat a legitimate one's slot). State: one
-    * entry per distinct hash inside the watermark — eviction keeps it
-    * bounded on an unbounded stream. */
+    * entry per distinct hash plus one per undecodable row inside the
+    * watermark — eviction keeps both bounded on an unbounded stream. */
   def mediaDedupStream(media: DataFrame, tsCol: String,
                        watermark: String,
                        fingerprint: org.apache.spark.sql.Column =>
@@ -605,13 +605,18 @@ object Multimodal {
     // default = image dHash; pass audioFingerprintColumn (or any
     // binary -> 4-band struct column) for other modalities
     val fp = Option(fingerprint).getOrElse(imageDHashColumn)
-    val withFp = media
-      .withColumn("_fp", fp(col("content")))
-    val decodable = withFp.filter(col("_fp").isNotNull)
+    // ONE dedup operator over the whole stream — the earlier
+    // decodable/undecodable union evaluated the decode UDF once per
+    // branch, doubling codec cost per ingested row. Decodable rows
+    // key on the fingerprint alone (constant salt); undecodable rows
+    // salt with a per-row uuid so they can never collide with
+    // anything and always pass through.
+    media.withColumn("_fp", fp(col("content")))
+      .withColumn("_salt",
+        when(col("_fp").isNotNull, lit("")).otherwise(expr("uuid()")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("_fp")
-    decodable.unionByName(withFp.filter(col("_fp").isNull))
-      .drop("_fp")
+      .dropDuplicatesWithinWatermark("_fp", "_salt")
+      .drop("_fp", "_salt")
   }
 
   /** Real audio decode → integer signal moments, one codec pass per

@@ -23,12 +23,16 @@ object Market {
   def pairAssociations(df: DataFrame, basketCol: String, itemCol: String,
                        minPairs: Long = 1L,
                        maxBasketSize: Int = 1000): DataFrame = {
-    // persist: the distinct feeds the guard aggregate, the item
-    // counts AND both self-join sides — without it the dedup shuffle
-    // re-runs in every job (measured 5x on the bench entry; Bench's
-    // clearCache reclaims)
+    // localCheckpoint (eager): the distinct feeds the guard aggregate,
+    // the item counts AND both self-join sides — without
+    // materialization the dedup shuffle re-runs in every job (measured
+    // 5x on the bench entry). Checkpoint blocks, unlike persist'd
+    // ones, are reclaimed by the ContextCleaner as soon as the plan is
+    // garbage-collected, so library callers don't accumulate cache
+    // across calls (the guard head() right below needs the rows
+    // anyway, so eager costs no extra job).
     val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     // ONE action yields both guards: basket count and the largest
     // basket (two separate counts were two extra jobs over the data)
     val guard = items.groupBy("_b").agg(count(lit(1)).as("_sz"))

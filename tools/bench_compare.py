@@ -57,8 +57,10 @@ def main():
     print(f"shared queries: {len(shared)}  "
           f"(only-old: {len(set(qa) - set(qb))}, "
           f"only-new: {len(set(qb) - set(qa))})")
-    print(f"old loadavg/pass: {a.get('loadavg_per_pass', 'n/a')}")
-    print(f"new loadavg/pass: {b.get('loadavg_per_pass', 'n/a')}")
+    print(f"old loadavg/pass: {a.get('loadavg_per_pass', 'n/a')}"
+          f"  contended: {a.get('contended', 'n/a')}")
+    print(f"new loadavg/pass: {b.get('loadavg_per_pass', 'n/a')}"
+          f"  contended: {b.get('contended', 'n/a')}")
     regressions, improvements = [], []
     for q in shared:
         old, new = qa[q], qb[q]
