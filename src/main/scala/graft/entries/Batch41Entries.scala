@@ -210,6 +210,89 @@ object Batch41Entries {
       Dedup.simhashPairsPortableWide(d.unionByName(perturbed), "doc_id",
           "text", maxHamming = 8)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Fit/merge/deploy count-min artifact (the daily-append story the
+    // one-shot sketches lack): two half-corpus fits merged, the merge
+    // law asserted BIT-IDENTICAL to the whole-corpus fit (counter
+    // arrays add), then heavy hitters deployed from the merged
+    // artifact over Misra-Gries candidates. Rows-only by the
+    // shadowed-approximation convention (estimates are
+    // engine-specific); heavy_hitters_exact is the green full-oracle
+    // twin and SketchArtifactsSpec asserts the superset + eps*N
+    // bounds on the artifact path too.
+    "heavy_hitters_merge" -> ((s, dir) => {
+      import graft.rel.{SketchArtifacts => SA, Sketches}
+      val li = T.lineitem(s, dir)
+      val halves = Seq(0, 1).map(p =>
+        SA.cmsFit(li.filter(col("l_orderkey") % 2 === p), "l_suppkey"))
+      val merged = SA.cmsMerge(halves.reduce(_ unionByName _))
+      val whole = SA.cmsFit(li, "l_suppkey")
+      val Seq(mr, wr) = Seq(merged, whole)
+        .map(_.select("n_rows", "sketch").head())
+      require(mr.getLong(0) == wr.getLong(0) &&
+          java.util.Arrays.equals(mr.getAs[Array[Byte]](1),
+            wr.getAs[Array[Byte]](1)),
+        "merged half-corpus CMS != whole-corpus CMS (merge law broken)")
+      val cands = Sketches.candidateKeys(li, "l_suppkey", 1024)
+        .select(col("_k").cast("long").as("l_suppkey"))
+      SA.cmsHeavyHitters(merged, cands, "l_suppkey", minCount = 620L)
+        .orderBy("l_suppkey")
+    }),
+
+    // Fit/merge/deploy HLL artifact: two half-corpus DataSketches HLL
+    // fits union-merged, estimate deployed from the artifact with
+    // zero corpus touches. The asserted merge law is the standard HLL
+    // error bound (3 * 1.04/sqrt(2^12) ~ 4.9%) between the merged and
+    // whole-corpus estimates — NOT equality: the union gadget leaves
+    // sparse mode earlier than a single-pass fit (measured 1507 vs
+    // 1491 at ~1500 true distinct at sf0.01). Rows-only; unique_stats
+    // is the green exact twin (Batch32Spec asserts the rsd bound on
+    // the same HLL family).
+    "unique_stats_merge" -> ((s, dir) => {
+      import graft.rel.{SketchArtifacts => SA}
+      val o = T.orders(s, dir)
+      val halves = Seq(0, 1).map(p =>
+        SA.hllFit(o.filter(col("o_orderkey") % 2 === p), "o_custkey"))
+      val merged = SA.hllMerge(halves.reduce(_ unionByName _))
+      val whole = SA.hllFit(o, "o_custkey")
+      val Seq(me, we) = Seq(merged, whole).map(
+        SA.hllEstimate(_).select("n_unique_est").head().getLong(0))
+      val rse = 3.0 * 1.04 / math.sqrt(1 << 12)
+      require(math.abs(me - we) <= rse * math.max(me, we).toDouble,
+        s"merged half-corpus HLL estimate $me vs whole-corpus $we " +
+          s"breaches the ${rse} relative-error bound")
+      SA.hllEstimate(merged)
+    }),
+
+    // Fit/merge/deploy GK quantile artifact: per-half Greenwald-
+    // Khanna summaries merged, deciles deployed from the artifact.
+    // GK merge is NOT bit-identical to a single-pass fit (sample sets
+    // are order-dependent) — the asserted law is the eps rank
+    // guarantee: every deployed quantile's exact rank lands within
+    // 2*eps*N of its target (fit eps + merge eps). Rows-only;
+    // quantiles_exact is the green full-oracle twin.
+    "quantiles_merge" -> ((s, dir) => {
+      import graft.rel.{SketchArtifacts => SA}
+      val li = T.lineitem(s, dir)
+      val halves = Seq(0, 1).map(p =>
+        SA.gkFit(li.filter(col("l_orderkey") % 2 === p), "l_extendedprice",
+          relativeError = 1e-4))
+      val merged = SA.gkMerge(halves.reduce(_ unionByName _))
+      val qs = Seq(0.25, 0.5, 0.75, 0.99)
+      val out = SA.gkQuantiles(merged, qs)
+      val est = out.head()
+      val n = li.count()
+      val v = col("l_extendedprice").cast("double")
+      val rankAggs = qs.indices.map(i =>
+        sum(when(v <= lit(est.getDouble(i)), 1L).otherwise(0L)).as(s"r$i"))
+      val ranks = li.agg(rankAggs.head, rankAggs.tail: _*).head()
+      qs.indices.foreach { i =>
+        val err = math.abs(ranks.getLong(i) - qs(i) * n)
+        require(err <= 2 * 1e-4 * n + 1,
+          s"q=${qs(i)}: rank error $err > 2*eps*N on the merged artifact")
+      }
+      out
     })
   )
 

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rel.{SketchArtifacts => SA, Sketches}
+
+/** Fit/merge/deploy sketch artifacts: merge laws, deploy parity with
+  * the one-shot sketches, error bounds against exact answers, and the
+  * loud refusal of incompatible merges. */
+class SketchArtifactsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed key stream: key k appears k times, k = 1..60 (1830 rows),
+  // split into thirds by row id — every artifact law is checkable
+  // against closed-form exact counts
+  private lazy val rows = (1 to 60).flatMap(k => Seq.fill(k)(k))
+    .zipWithIndex.map { case (k, i) => (i.toLong, k.toLong) }
+    .toDF("row_id", "key").persist()
+  private def third(p: Int) = rows.filter($"row_id" % 3 === p)
+
+  test("cms artifacts: shard merge is bit-identical to the whole-corpus fit") {
+    val merged = SA.cmsMerge(
+      (0 until 3).map(p => SA.cmsFit(third(p), "key")).reduce(_ unionByName _))
+    val whole = SA.cmsFit(rows, "key")
+    val m = merged.select("n_rows", "sketch").head()
+    val w = whole.select("n_rows", "sketch").head()
+    assert(m.getLong(0) === 1830L)
+    assert(m.getLong(0) === w.getLong(0))
+    assert(java.util.Arrays.equals(m.getAs[Array[Byte]](1),
+      w.getAs[Array[Byte]](1)))
+  }
+
+  test("cms deploy from merged artifact: superset of exact heavy keys, " +
+      "estimates within exact <= est <= exact + eps*N") {
+    val minCount = 40L
+    val merged = SA.cmsMerge(
+      (0 until 3).map(p => SA.cmsFit(third(p), "key", eps = 1e-3))
+        .reduce(_ unionByName _))
+    val cands = Sketches.candidateKeys(rows, "key", capacity = 64)
+      .select($"_k".cast("long").as("key"))
+    val got = SA.cmsHeavyHitters(merged, cands, "key", minCount)
+      .as[(Long, Long)].collect().toMap
+    val exact = rows.groupBy("key").agg(count(lit(1)).as("c"))
+      .filter($"c" >= minCount).as[(Long, Long)].collect().toMap
+    // superset: every exact heavy key reported (CMS only over-counts,
+    // MG capacity 64 >= N/minCount = 46)
+    exact.keySet.foreach(k => assert(got.contains(k), s"missed heavy key $k"))
+    val n = 1830L
+    got.foreach { case (k, est) =>
+      val ex = (1 to 60).find(_.toLong == k).map(_.toLong).getOrElse(0L)
+      assert(est >= ex && est <= ex + (1e-3 * n).ceil.toLong,
+        s"key $k: est $est outside [$ex, $ex + eps*N]")
+    }
+  }
+
+  test("hll artifacts: union merge tracks the whole-corpus fit within " +
+      "the HLL error bound (and is exact in sparse mode)") {
+    val merged = SA.hllMerge(
+      (0 until 3).map(p => SA.hllFit(third(p), "key")).reduce(_ unionByName _))
+    val whole = SA.hllFit(rows, "key")
+    val me = SA.hllEstimate(merged).select("n_unique_est").head().getLong(0)
+    val we = SA.hllEstimate(whole).select("n_unique_est").head().getLong(0)
+    // the general law (entry-asserted at sf too): merged within the
+    // standard HLL relative error of the whole-corpus fit — union may
+    // leave sparse mode earlier than a single-pass fit, so equality is
+    // NOT guaranteed at large cardinality
+    val rse = 3.0 * 1.04 / math.sqrt(1 << 12)
+    assert(math.abs(me - we) <= rse * math.max(me, we).toDouble)
+    // at 60 distinct keys both sides stay sparse -> exact
+    assert(me === 60L && we === 60L)
+    assert(SA.hllEstimate(merged).select("n_rows").head().getLong(0) === 1830L)
+  }
+
+  test("gk artifacts: merged quantiles hold the rank guarantee and the " +
+      "deploy runs with zero corpus touches") {
+    val eps = 0.01
+    val merged = SA.gkMerge(
+      (0 until 3).map(p => SA.gkFit(third(p), "key", eps))
+        .reduce(_ unionByName _))
+    val qs = Seq(0.25, 0.5, 0.9)
+    val est = SA.gkQuantiles(merged, qs).head()
+    val sorted = rows.select($"key").as[Long].collect().sorted
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val v = est.getDouble(i)
+      val rank = sorted.count(_ <= v)
+      assert(math.abs(rank - q * sorted.length) <= 2 * eps * sorted.length + 1,
+        s"q=$q: value $v rank $rank vs target ${q * sorted.length}")
+    }
+    // empty input still yields a (null-quantile) artifact, not a crash
+    val empty = SA.gkFit(rows.filter(lit(false)), "key", eps)
+    assert(SA.gkQuantiles(empty, Seq(0.5)).head().isNullAt(0))
+  }
+
+  test("incompatible artifact merges are refused loudly") {
+    val a = SA.cmsFit(third(0), "key", eps = 1e-3)
+    val b = SA.cmsFit(third(1), "key", eps = 1e-4)
+    intercept[IllegalArgumentException] {
+      SA.cmsMerge(a.unionByName(b))
+    }
+    val h = SA.hllFit(third(0), "key")
+    intercept[IllegalArgumentException] {
+      SA.hllMerge(a.unionByName(h)) // cms bytes are not an hll artifact
+    }
+    intercept[IllegalArgumentException] {
+      SA.cmsHeavyHitters(h, rows, "key", 1L) // wrong kind at deploy
+    }
+  }
+}
