@@ -426,6 +426,21 @@ object Make {
   final case class IntRangeField(name: String, lo: Long, hi: Long) extends Field
   /** Hash-pick from a fixed category list. */
   final case class CatField(name: String, values: Seq[String]) extends Field
+  /** Normal(mean, std) via Box–Muller (z rounded 9 — the libm guard),
+    * then `clip(mean + std·z)` with NO second rounding: the affine of
+    * a round-9 value is pure IEEE composition, bit-identical in any
+    * engine, while a round-6 of a round-9 value sits ON decimal tie
+    * boundaries (the round-ties gotcha). The reference's
+    * `np.random.normal(...).clip(...)` draws. */
+  final case class NormField(name: String, mean: Double, std: Double,
+                             clipLo: Double = -1e18,
+                             clipHi: Double = 1e18) extends Field
+  /** Exponential(mean) via inverse CDF −mean·ln(1−u) (rounded 9),
+    * clipped, same no-second-rounding rule — the reference's
+    * `np.random.exponential(...).clip(...)`. */
+  final case class ExpField(name: String, mean: Double,
+                            clipLo: Double = 0.0,
+                            clipHi: Double = 1e18) extends Field
 
   /** Non-negative hash mod m — portable mode is the md5 60-bit prefix
     * (DuckDB: CAST('0x'||substr(md5(k),1,15) AS BIGINT) % m). */
@@ -455,6 +470,18 @@ object Make {
       element_at(array(values.map(lit): _*),
         (hashMod(portable, seed, id, tag, values.size.toLong) + 1)
           .cast("int")).as(name)
+    case NormField(name, mean, std, lo, hi) =>
+      require(hi > lo && std > 0, s"NormField $name needs hi > lo, std > 0")
+      // the second uniform rides tag+10000 — its own block, disjoint
+      // from every field's primary tag for any sane field count
+      val z = round(gaussian(uniform(portable, seed, id, tag),
+        uniform(portable, seed, id, tag + 10000)), 9)
+      greatest(lit(lo), least(lit(hi), lit(mean) + lit(std) * z)).as(name)
+    case ExpField(name, mean, lo, hi) =>
+      require(hi > lo && mean > 0, s"ExpField $name needs hi > lo, mean > 0")
+      val e = round(lit(-mean) *
+        log(lit(1.0) - uniform(portable, seed, id, tag)), 9)
+      greatest(lit(lo), least(lit(hi), e)).as(name)
   }
 
   /** Flat row-indexed generator: id + one column per field spec — the
@@ -548,6 +575,66 @@ object Make {
         Seq("healthy", "hypertension", "diabetes", "flu"))),
       seed, portableHash)
       .withColumnRenamed("id", "patient_id")
+
+  /** `make_erp` (make.py:2858): flat geospatial survey rows —
+    * lat/lon uniforms, easting/northing derived AFFINELY from the
+    * (rounded) lon/lat exactly like the reference's simplified
+    * conversion, sequential position, randint step, uniform
+    * resistivity. Columns: easting, northing, longitude, latitude,
+    * position, step, resistivity. */
+  def makeErp(spark: SparkSession, nSamples: Long = 1000L,
+              latRange: (Double, Double) = (34.0, 36.0),
+              lonRange: (Double, Double) = (-118.5, -117.0),
+              resistivityRange: (Double, Double) = (10.0, 1000.0),
+              seed: Long = 42L, portableHash: Boolean = false): DataFrame = {
+    require(latRange._2 > latRange._1 && lonRange._2 > lonRange._1 &&
+      resistivityRange._2 > resistivityRange._1, "ranges need hi > lo")
+    makeFields(spark, nSamples, Seq(
+      NumField("latitude", latRange._1, latRange._2),
+      NumField("longitude", lonRange._1, lonRange._2),
+      IntRangeField("step", 1L, 10L),
+      NumField("resistivity", resistivityRange._1, resistivityRange._2)),
+      seed, portableHash)
+      .select(
+        round((col("longitude") - lit(lonRange._1)) * lit(100000.0), 6)
+          .as("easting"),
+        round((col("latitude") - lit(latRange._1)) * lit(100000.0), 6)
+          .as("northing"),
+        col("longitude"), col("latitude"),
+        (col("id") + 1).as("position"), col("step"), col("resistivity"))
+  }
+
+  /** `make_retail_store` (make.py:3360): flat per-customer rows with
+    * the reference's mixed dtypes — randint age/frequency, clipped
+    * NORMAL income, clipped EXPONENTIAL last-purchase amount, a
+    * categorical preference, and the binary campaign-response target
+    * from the reference's linear score (0.3·z + 0.1·age/70 +
+    * 0.2·income/1e5 + 0.3·freq/10 − 0.1·last/500 compared against a
+    * Normal(0.5, 0.1) threshold — same association order both
+    * engines, so the comparison is IEEE-deterministic). */
+  def makeRetailStore(spark: SparkSession, nSamples: Long = 1000L,
+                      seed: Long = 42L,
+                      portableHash: Boolean = false): DataFrame =
+    makeFields(spark, nSamples, Seq(
+      IntRangeField("age", 18L, 70L),
+      NormField("income", 50000.0, 15000.0, 20000.0, 100000.0),
+      IntRangeField("shopping_frequency", 1L, 10L),
+      ExpField("last_purchase_amount", 100.0, 10.0, 500.0),
+      CatField("preferred_category", RetailCategories),
+      NormField("_zr", 0.0, 1.0),
+      NormField("_thr", 0.5, 0.1)),
+      seed, portableHash)
+      .withColumn("likely_to_respond",
+        (lit(0.3) * col("_zr") + lit(0.1) * (col("age") / lit(70.0)) +
+          lit(0.2) * (col("income") / lit(100000.0)) +
+          lit(0.3) * (col("shopping_frequency") / lit(10.0)) -
+          lit(0.1) * (col("last_purchase_amount") / lit(500.0)) >
+          col("_thr")).cast("int"))
+      .drop("_zr", "_thr")
+      .withColumnRenamed("id", "customer_id")
+
+  val RetailCategories: Seq[String] = Seq("electronics", "fashion",
+    "home_garden", "sports", "health_beauty")
 
   def makeBlobs(spark: SparkSession, nSamples: Long, nCenters: Int = 3,
                 dim: Int = 2, std: Double = 1.0,

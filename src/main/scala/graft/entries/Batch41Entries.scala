@@ -293,6 +293,43 @@ object Batch41Entries {
           s"q=${qs(i)}: rank error $err > 2*eps*N on the merged artifact")
       }
       out
+    }),
+
+    // datasets.Make.makeErp (make.py:2858) — the geospatial-survey
+    // re-skin of the makeFields kernel, closing the generator preset
+    // tail with make_retail_store below. FULL oracle: md5 draws +
+    // affine easting/northing replayed from range(), no RNG state.
+    "make_erp" -> ((s, dir) => {
+      graft.datasets.Make.makeErp(s, portableHash = true)
+        .orderBy("position")
+    }),
+
+    // datasets.Make.makeRetailStore (make.py:3360): mixed dtypes —
+    // randint, CLIPPED Box-Muller normal (round-9 z, no second
+    // rounding: the affine of a round-9 value is pure IEEE and the
+    // 6-then-9 double rounding sits on decimal tie boundaries),
+    // clipped exponential, categorical, and the reference's linear
+    // campaign-response score against a normal threshold (same
+    // association order both engines -> deterministic comparison).
+    // FULL oracle.
+    "make_retail_store" -> ((s, dir) => {
+      graft.datasets.Make.makeRetailStore(s, portableHash = true)
+        .orderBy("customer_id")
+    }),
+
+    // Categorical PSI — drift_psi's twin where bins are VALUE GROUPS
+    // (full-outer category domain, one-sided categories floored: the
+    // drift signal itself), NULL its own category. Same stable
+    // even/odd split as drift_psi so PSI lands near 0 and the oracle
+    // exercises the share/term arithmetic, not a lucky drift. FULL
+    // oracle.
+    "drift_psi_cat" -> ((s, dir) => {
+      val o = T.orders(s, dir)
+      graft.stats.DataAudit.psiCategorical(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1),
+          "o_orderpriority")
+        .orderBy("category")
     })
   )
 
@@ -334,6 +371,85 @@ object Batch41Entries {
          |  (bit_count(xor(a.sh & 1073741823, b.sh & 1073741823)) <= 1
          |   OR bit_count(xor(a.sh >> 30, b.sh >> 30)) <= 1)
          |WHERE bit_count(xor(a.sh, b.sh)) <= 8
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays makeErp: flat draws on tags 910000..910003, then the
+    // reference's simplified affine conversion off the ROUNDED lon/lat.
+    "make_erp" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 1000)) AS id),
+        |base AS (SELECT id,
+        |  ROUND(34.0 + ${u(910000)} * 2.0, 6) AS latitude,
+        |  ROUND(-118.5 + ${u(910001)} * 1.5, 6) AS longitude,
+        |  1 + ${h(910002)} % 9 AS step,
+        |  ROUND(10.0 + ${u(910003)} * 990.0, 6) AS resistivity
+        |FROM ids)
+        |SELECT ROUND((longitude - (-118.5)) * 100000.0, 6) AS easting,
+        |  ROUND((latitude - 34.0) * 100000.0, 6) AS northing,
+        |  longitude, latitude, id + 1 AS position, step, resistivity
+        |FROM base ORDER BY position""".stripMargin,
+
+    // Replays makeRetailStore: round-9 Box-Muller z (the Batch20
+    // gaussian spelling), IEEE affine + clip with NO second rounding,
+    // inverse-CDF exponential, and the linear response score in the
+    // Spark side's exact association order.
+    "make_retail_store" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 1000)) AS id),
+        |base AS (SELECT id AS customer_id,
+        |  18 + ${h(910000)} % 52 AS age,
+        |  GREATEST(20000.0, LEAST(100000.0, 50000.0 + 15000.0 *
+        |    ROUND(sqrt(-2.0 * ln(${u(910001)} + 4.9e-324)) *
+        |      cos(6.283185307179586 * ${u(920001)}), 9))) AS income,
+        |  1 + ${h(910002)} % 9 AS shopping_frequency,
+        |  GREATEST(10.0, LEAST(500.0,
+        |    ROUND(-100.0 * ln(1.0 - ${u(910003)}), 9)))
+        |    AS last_purchase_amount,
+        |  (['electronics', 'fashion', 'home_garden', 'sports',
+        |    'health_beauty'])[CAST(1 + ${h(910004)} % 5 AS INT)]
+        |    AS preferred_category,
+        |  GREATEST(-1e18, LEAST(1e18, 0.0 + 1.0 *
+        |    ROUND(sqrt(-2.0 * ln(${u(910005)} + 4.9e-324)) *
+        |      cos(6.283185307179586 * ${u(920005)}), 9))) AS zr,
+        |  GREATEST(-1e18, LEAST(1e18, 0.5 + 0.1 *
+        |    ROUND(sqrt(-2.0 * ln(${u(910006)} + 4.9e-324)) *
+        |      cos(6.283185307179586 * ${u(920006)}), 9))) AS thr
+        |FROM ids)
+        |SELECT customer_id, age, income, shopping_frequency,
+        |  last_purchase_amount, preferred_category,
+        |  CAST(0.3 * zr + 0.1 * (age / 70.0) + 0.2 * (income / 100000.0)
+        |    + 0.3 * (shopping_frequency / 10.0)
+        |    - 0.1 * (last_purchase_amount / 500.0) > thr AS INT)
+        |    AS likely_to_respond
+        |FROM base ORDER BY customer_id""".stripMargin,
+
+    // Replays psiCategorical: category counts, full-outer domain,
+    // floored shares, one ln crossing — the drift_psi arithmetic on
+    // value groups.
+    "drift_psi_cat" ->
+      """WITH r AS (SELECT COALESCE(CAST(o_orderpriority AS VARCHAR),
+        |    '(null)') AS category FROM orders WHERE o_orderkey % 2 = 0),
+        |c AS (SELECT COALESCE(CAST(o_orderpriority AS VARCHAR),
+        |    '(null)') AS category FROM orders WHERE o_orderkey % 2 = 1),
+        |rc AS (SELECT category, COUNT(*) AS cr FROM r GROUP BY 1),
+        |cc AS (SELECT category, COUNT(*) AS cn FROM c GROUP BY 1),
+        |j AS (SELECT COALESCE(rc.category, cc.category) AS category,
+        |    CAST(COALESCE(rc.cr, 0) AS DOUBLE) AS cr,
+        |    CAST(COALESCE(cc.cn, 0) AS DOUBLE) AS cn
+        |  FROM rc FULL OUTER JOIN cc ON rc.category = cc.category),
+        |t AS (SELECT SUM(cr) AS tr, SUM(cn) AS tc FROM j),
+        |s AS (SELECT category,
+        |    GREATEST(cr / (SELECT tr FROM t), 1e-6) AS p,
+        |    GREATEST(cn / (SELECT tc FROM t), 1e-6) AS q FROM j)
+        |SELECT category, ROUND(p, 6) AS ref_share,
+        |  ROUND(q, 6) AS cur_share,
+        |  ROUND((q - p) * ln(q / p), 6) AS psi_term
+        |FROM s ORDER BY category""".stripMargin
   )
+
+  /** The md5 60-bit integer draw — the Make portable hash family
+    * (the Batch40 oracle spelling). */
+  private def h(tag: Int): String =
+    s"CAST('0x' || substr(md5('42-' || CAST(id AS VARCHAR) || '-$tag'), 1, 15) AS BIGINT)"
+
+  /** The md5 uniform in [0,1). */
+  private def u(tag: Int): String = s"${h(tag)} / 1152921504606846976.0"
 }

@@ -101,6 +101,42 @@ object DataAudit {
         round((q - p) * log(q / p), 6).as("psi_term"))
   }
 
+  /** Categorical PSI — [[psi]]'s twin for categorical columns
+    * (reference adjacency: the same monitoring family,
+    * gofast/dataops/quality.py:1863 correlation/drift reporting).
+    * Bins are VALUE GROUPS instead of quantile intervals: the domain
+    * is every category observed in EITHER table (full-outer join of
+    * the two count tables — a category present on one side only IS
+    * the drift signal, floored to a finite term). NULL is its own
+    * category ("(null)") so a drifting missing-share is reported, not
+    * dropped. Shares floored at `floor`; terms `(q − p)·ln(q/p)`
+    * round-6 from the UNROUNDED shares — one ln crossing, the [[psi]]
+    * convention. Output: (category, ref_share, cur_share, psi_term),
+    * one row per observed category. The shuffle is the two
+    * category-count groupBys; totals ride as a 1-row broadcast. */
+  def psiCategorical(ref: DataFrame, cur: DataFrame, valueCol: String,
+                     floor: Double = 1e-6): DataFrame = {
+    require(floor > 0, s"floor must be > 0, got $floor")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.select(coalesce(col(valueCol).cast("string"), lit("(null)"))
+          .as("category"))
+        .groupBy("category").agg(count(lit(1)).as(out))
+    val joined = counts(ref, "_cr")
+      .join(counts(cur, "_cc"), Seq("category"), "full_outer")
+      .select(col("category"), coalesce(col("_cr"), lit(0L)).as("_cr"),
+        coalesce(col("_cc"), lit(0L)).as("_cc"))
+    val tot = joined.agg(sum("_cr").as("_tr"), sum("_cc").as("_tc"))
+    val p = greatest(col("_cr").cast("double") / col("_tr").cast("double"),
+      lit(floor))
+    val q = greatest(col("_cc").cast("double") / col("_tc").cast("double"),
+      lit(floor))
+    joined.crossJoin(broadcast(tot))
+      .select(col("category"),
+        round(p, 6).as("ref_share"),
+        round(q, 6).as("cur_share"),
+        round((q - p) * log(q / p), 6).as("psi_term"))
+  }
+
   /** Pareto concentration curve ("do the top 20% of keys carry 80% of
     * the mass?"): entities ranked by descending decimal-exact mass,
     * sampled at `points` evenly spaced rank positions, emitting the

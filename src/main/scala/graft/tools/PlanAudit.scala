@@ -34,10 +34,10 @@ object PlanAudit {
     // 1-row fitted-scalar broadcasts
     "decision_curve", "friedman", "histogram", "kruskal_wallis",
     "laplace_smooth", "otsu", "reg_metrics", "wilcoxon",
-    // drift_psi: the (total_ref, total_cur) 1-row broadcast that
-    // normalizes the 10-bin count table into shares (the benford /
-    // pareto_curve convention)
-    "drift_psi",
+    // drift_psi / drift_psi_cat: the (total_ref, total_cur) 1-row
+    // broadcast that normalizes the bin/category count table into
+    // shares (the benford / pareto_curve convention)
+    "drift_psi", "drift_psi_cat",
     // line_dedup / unigram_ppl / bigram_ppl / kn_ppl / sb_ppl /
     // kn3_ppl: corpus-total scalars (doc count; token count N + vocab
     // size V; bigram/trigram type totals + successor vocab) as 1-row

@@ -56,6 +56,32 @@ class Batch39Spec extends SparkSpec {
     assert(out.map(_._4).sum > 0.25)
   }
 
+  test("psiCategorical: value-group bins, one-sided categories floored, " +
+      "null its own category") {
+    val ref = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq(null))
+      .toDF("cat")
+    // identical -> every term 0 (including the (null) category)
+    val same = DataAudit.psiCategorical(ref, ref, "cat")
+      .as[(String, Double, Double, Double)].collect()
+    assert(same.length == 3 && same.forall(_._4 == 0.0))
+    assert(same.exists(_._1 == "(null)"))
+    // cur drops 'b' entirely and introduces 'c': both one-sided
+    // categories appear in the domain with the floored share
+    val cur = (Seq.fill(5)("a") ++ Seq.fill(5)("c")).toDF("cat")
+    val out = DataAudit.psiCategorical(ref, cur, "cat")
+      .orderBy("category").as[(String, Double, Double, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq("(null)", "a", "b", "c"))
+    val byCat = out.map(r => r._1 -> r).toMap
+    assert(byCat("b")._2 == 0.3 && byCat("b")._3 == 1e-6)
+    assert(byCat("c")._2 == 1e-6 && byCat("c")._3 == 0.5)
+    def term(p: Double, q: Double) =
+      math.rint((q - p) * math.log(q / p) * 1e6) / 1e6
+    assert(byCat("b")._4 == term(0.3, 1e-6))
+    assert(byCat("c")._4 == term(1e-6, 0.5))
+    // a vanished 30% category + a new 50% one is a hard shift
+    assert(out.map(_._4).sum > 0.25)
+  }
+
   test("keySkew: shares of the heaviest and top-k keys") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
     val out = DataAudit.keySkew(df, "k", k = 2)

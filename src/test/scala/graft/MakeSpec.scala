@@ -286,4 +286,35 @@ class MakeSpec extends SparkSpec {
     assert(df.orderBy("point_id", "layer").collect().toSeq ==
       again.orderBy("point_id", "layer").collect().toSeq)
   }
+
+  test("makeErp / makeRetailStore: derived affine coords, clipped " +
+      "norm/exp draws, binary response") {
+    import graft.datasets.Make
+    val erp = Make.makeErp(spark, nSamples = 300L).persist()
+    // easting/northing are the reference's simplified affine of the
+    // rounded lon/lat; position is 1-based sequential
+    val e = erp.orderBy("position").collect()
+    e.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(4) == i + 1L)
+      assert(r.getDouble(0) ==
+        math.rint((r.getDouble(2) - (-118.5)) * 100000.0 * 1e6) / 1e6)
+      assert(r.getDouble(3) >= 34.0 && r.getDouble(3) < 36.0)
+      val st = r.getLong(5); assert(st >= 1 && st < 10)
+    }
+    val rs = Make.makeRetailStore(spark, nSamples = 500L).persist()
+    val stats = rs.agg(
+      min("income"), max("income"), min("last_purchase_amount"),
+      max("last_purchase_amount"), countDistinct("preferred_category"),
+      sum("likely_to_respond"), count(lit(1))).head()
+    assert(stats.getDouble(0) >= 20000.0 && stats.getDouble(1) <= 100000.0)
+    assert(stats.getDouble(2) >= 10.0 && stats.getDouble(3) <= 500.0)
+    assert(stats.getLong(4) === 5L)
+    // the binary target is non-degenerate: some respond, some don't
+    val yes = stats.getLong(5)
+    assert(yes > 0 && yes < stats.getLong(6))
+    // portable and fast hash families share shape and determinism
+    val p1 = Make.makeRetailStore(spark, 100L, portableHash = true)
+    val p2 = Make.makeRetailStore(spark, 100L, portableHash = true)
+    assert(p1.collect().toSeq == p2.collect().toSeq)
+  }
 }
