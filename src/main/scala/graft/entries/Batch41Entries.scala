@@ -7,17 +7,23 @@ import graft.core.{Tables => T}
 import graft.stream.Streaming
 import graft.stream.Streaming.TypedEvent
 
-/** Round-14 batch: the streaming event-analytics family WITHOUT the
-  * in-order arrival contract. The round-13 deploys (Batch40Entries)
-  * replay the events table in per-user event-time order — a contract
-  * real event buses violate constantly. These four entries feed the
-  * SAME deploys' kernels through [[Streaming.reorderedStream]] — a
-  * watermarked per-user reorder buffer drained by event-time timeouts
-  * — with a replay that is deliberately SHUFFLED (bounded deterministic
-  * displacement), and still must hash-match the batch operators'
-  * oracles verbatim. Each entry also asserts ZERO late drops (the
-  * watermark delay is computed from the replay's own observed
-  * disorder), so the match is exact, not survivorship.
+/** Round-14 batch, four fronts:
+  *  - the streaming event-analytics family WITHOUT the in-order
+  *    arrival contract: the round-13 deploys (Batch40Entries) replay
+  *    the events table in per-user event-time order — a contract real
+  *    event buses violate constantly. The `*_ooo` entries feed the
+  *    SAME kernels through [[Streaming.reorderedStream]] (a
+  *    watermarked per-user reorder buffer drained by event-time
+  *    timeouts) with a deliberately SHUFFLED replay, hash-match the
+  *    batch oracles verbatim, and assert ZERO late drops (the
+  *    watermark delay is computed from the replay's own observed
+  *    disorder), so the match is exact, not survivorship;
+  *  - the wide-band near-dup kernels past the 16-bit birthday knee
+  *    (`image_near_dups_wide`, `simhash_pairs_md5_wide`);
+  *  - fit/merge/deploy sketch artifacts with in-entry merge laws
+  *    (`heavy_hitters_merge`, `unique_stats_merge`, `quantiles_merge`);
+  *  - the generator preset tail (`make_erp`, `make_retail_store`) and
+  *    the categorical PSI drift twin (`drift_psi_cat`).
   */
 object Batch41Entries {
 

@@ -522,6 +522,60 @@ object ScaleProbe {
           .writeStream.format("memory")
           .queryName(s"evs_tr_$n").outputMode("append").start()
       }
+      // OOO variants (round 14): the same corpus SHUFFLED within a
+      // bounded window, fed to the watermarked reorder-buffer deploys.
+      // Per-user buffered state is capped by the watermark horizon
+      // (~window seconds of events), NOT stream length, so wall should
+      // stay a small constant over the in-order deploys at every n.
+      val disp = new scala.util.Random(7)
+      // precompute displaced keys: sortBy re-evaluates its key function
+      // during comparisons, so a stateful RNG inside it violates the
+      // sort contract (TimSort throws at this n)
+      val shuffled = evs.zipWithIndex
+        .map { case (e, i) => (e, i + disp.nextInt(500)) }
+        .sortBy { case (e, k) => (k, e.event_id) }
+        .map(_._1)
+      var runMax = Long.MinValue; var lateMax = 0L
+      shuffled.foreach { e =>
+        val m = graft.stream.Streaming.epochMicros(e.ts)
+        if (runMax > m) lateMax = math.max(lateMax, runMax - m)
+        runMax = math.max(runMax, m)
+      }
+      val delayMs = lateMax / 1000L + 2000L
+      val maxTsMs = shuffled.map(_.ts.getTime).max
+      def timeItOoo(name: String)(
+          mk: (MemoryStream[graft.stream.Streaming.TypedEvent], String) =>
+            org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+        val in = MemoryStream[graft.stream.Streaming.TypedEvent]
+        val t0 = System.nanoTime()
+        val q = mk(in, s"$delayMs milliseconds")
+        shuffled.grouped(n / 5 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*); q.processAllAvailable()
+        }
+        val t1 = maxTsMs + delayMs + 10000L
+        in.addData(graft.stream.Streaming.TypedEvent(-1L, -1L, "__flush__",
+          new java.sql.Timestamp(t1)))
+        q.processAllAvailable()
+        in.addData(graft.stream.Streaming.TypedEvent(-1L, -2L, "__flush__",
+          new java.sql.Timestamp(t1 + 1000L)))
+        q.processAllAvailable()
+        q.stop()
+        val dropped = graft.stream.Streaming.droppedByWatermark(q)
+        require(dropped == 0L, s"$name dropped $dropped in-horizon events")
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        println(f"""EVSPROBE {"op":"$name","events":$n,"dropped":$dropped,"sec":$sec%.3f}""")
+      }
+      timeItOoo("funnel_stream_ooo") { (in, d) =>
+        graft.stream.Streaming.funnelStreamOoo(in.toDS(),
+            Seq("view", "click", "purchase"), d).toDF()
+          .writeStream.format("memory")
+          .queryName(s"evs_fuo_$n").outputMode("append").start()
+      }
+      timeItOoo("transitions_stream_ooo") { (in, d) =>
+        graft.stream.Streaming.transitionsStreamOoo(in.toDS(), d).toDF()
+          .writeStream.format("memory")
+          .queryName(s"evs_tro_$n").outputMode("append").start()
+      }
       spark.stop()
       return
     }

@@ -692,8 +692,12 @@ class StreamSpec extends SparkSpec {
         types(rnd.nextInt(types.size)), dayTs(rnd.nextInt(28), rnd.nextInt(4)))
     }
     val base = evs.sortBy(e => (Streaming.epochMicros(e.ts), e.event_id))
+    // precompute displaced keys — sortBy re-evaluates its key function
+    // during comparisons, so a stateful RNG inside it violates the
+    // sort contract
     val shuffled = base.zipWithIndex
-      .sortBy { case (e, i) => (i + rnd.nextInt(60), e.event_id) }
+      .map { case (e, i) => (e, i + rnd.nextInt(60)) }
+      .sortBy { case (e, k) => (k, e.event_id) }
       .map(_._1)
     assert(shuffled !== base, "shuffle must actually reorder")
     // funnel
