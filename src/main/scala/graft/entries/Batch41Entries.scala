@@ -46,13 +46,17 @@ object Batch41Entries {
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .as[TypedEvent].collect()
       .sortBy(e => (Streaming.epochMicros(e.ts), e.event_id))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
     def disp(id: Long): Int = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"ooo-$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val md = md5.digest(
+        s"ooo-$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       (((md(0) & 0xff) << 8) | (md(1) & 0xff)) % window
     }
+    // keys precomputed: sortBy re-evaluates its key per comparison —
+    // O(n log n) md5 calls for a deterministic key is pure waste
     val shuffled = base.zipWithIndex
-      .sortBy { case (e, i) => (i + disp(e.event_id), e.event_id) }
+      .map { case (e, i) => (e, i + disp(e.event_id)) }
+      .sortBy { case (e, k) => (k, e.event_id) }
       .map(_._1)
     var runMax = Long.MinValue
     var lateMax = 0L
@@ -64,20 +68,23 @@ object Batch41Entries {
     (shuffled, lateMax / 1000L + 2000L, shuffled.map(_.ts.getTime).max)
   }
 
-  /** Replays the shuffled events in 5 micro-batches, then two flush
-    * batches: the first advances the watermark past every real event
-    * (the watermark updates at batch END), the second fires the
-    * event-time timeouts that drain every reorder buffer. Flush rows
-    * ride user_id -1 / event_type "__flush__" — dropped by the
-    * operator's own `keep` filter or by the sink-side user_id >= 0
-    * guard, but they DO flow through the watermark node first. */
+  /** Replays the shuffled events in 3 micro-batches (the in-order
+    * family's convention — the 200-slot disorder window straddles
+    * every batch boundary densely, so cross-batch buffering is
+    * exercised throughout), then two flush batches: the first
+    * advances the watermark past every real event (the watermark
+    * updates at batch END), the second fires the event-time timeouts
+    * that drain every reorder buffer. Flush rows ride user_id -1 /
+    * event_type "__flush__" — dropped by the operator's own `keep`
+    * filter or by the sink-side user_id >= 0 guard, but they DO flow
+    * through the watermark node first. */
   private def replayShuffled(in: MemoryStream[TypedEvent],
                              evs: Array[TypedEvent], delayMs: Long,
                              maxTsMs: Long,
                              q: org.apache.spark.sql.streaming.StreamingQuery)
       : Unit = {
     try {
-      evs.grouped(math.max(1, evs.length / 5 + 1)).foreach { chunk =>
+      evs.grouped(math.max(1, evs.length / 3 + 1)).foreach { chunk =>
         in.addData(chunk.toSeq: _*); q.processAllAvailable()
       }
       val t1 = maxTsMs + delayMs + 10000L
