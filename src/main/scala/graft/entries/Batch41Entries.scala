@@ -39,7 +39,19 @@ object Batch41Entries {
     * event in-watermark — the observed max lateness + 2 s margin,
     * computed from the replay itself so the zero-drop assertion is
     * exact — and the max event-time ms for the flush sentinels). */
+  // fixture cache: the shuffled replay is a pure function of the
+  // immutable testdata dir — all four OOO entries (and every bench
+  // pass) share one collect+shuffle instead of rebuilding it per run;
+  // the deployed operators' cost is untouched
+  private val shuffledCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Array[TypedEvent], Long, Long)]()
+
   private def shuffledEvents(s: SparkSession, dir: String, window: Int = 200)
+      : (Array[TypedEvent], Long, Long) =
+    shuffledCache.computeIfAbsent(dir, d => buildShuffled(s, d, window))
+
+  private def buildShuffled(s: SparkSession, dir: String, window: Int)
       : (Array[TypedEvent], Long, Long) = {
     import s.implicits._
     val base = T.events(s, dir)

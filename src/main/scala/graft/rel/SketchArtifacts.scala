@@ -134,6 +134,59 @@ object SketchArtifacts {
       .filter(col("est_count") >= minCount)
   }
 
+  /** Driver-side running count-min artifact for [[cmsFitStream]]:
+    * sketch bytes + row total + last applied micro-batch id (merges
+    * are skipped for replayed batch ids, so a restarted query cannot
+    * double-count — the merge is idempotent per batchId). */
+  final class RunningCms(val eps: Double, val confidence: Double,
+                         val seed: Int) extends Serializable {
+    private[this] var bytes: Array[Byte] = _
+    private[this] var rows: Long = 0L
+    private[this] var lastBatch: Long = -1L
+    private[graft] def applyBatch(batchId: Long, fit: CountMinSketch): Unit =
+      synchronized {
+        if (batchId > lastBatch) {
+          if (bytes == null) bytes = fit.toByteArray
+          else {
+            val s = CountMinSketch.readFrom(bytes)
+            s.mergeInPlace(fit)
+            bytes = s.toByteArray
+          }
+          rows += fit.totalCount()
+          lastBatch = batchId
+        }
+      }
+    /** The running artifact as the 1-row table every batch-side
+      * consumer ([[cmsMerge]], [[cmsHeavyHitters]]) accepts. */
+    def artifact(spark: SparkSession, column: String): DataFrame =
+      synchronized {
+        require(bytes != null, "no micro-batch has been folded in yet")
+        artifactDf(spark, "cms", column, cmsParams(eps, confidence, seed),
+          rows, bytes)
+      }
+  }
+
+  /** STREAMING FIT: maintain a running count-min artifact over an
+    * unbounded stream — one bounded per-micro-batch fit (a scan of
+    * the NEW rows only), merged driver-side into `state` by the same
+    * add-commuting law the batch merge asserts. The artifact is
+    * available mid-stream via `state.artifact(...)` for zero-scan
+    * heavy-hitter deploys; replayed micro-batches (restart recovery)
+    * are skipped by batchId, keeping the count exact. This is the
+    * daily-append pattern running continuously. */
+  def cmsFitStream(events: DataFrame, column: String, state: RunningCms)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    events.select(col(column).cast("string").as("_k"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch.filter(col("_k").isNotNull)
+        val fit = keyed.stat.countMinSketch(col("_k"), state.eps,
+          state.confidence, state.seed)
+        state.applyBatch(batchId, fit)
+      }
+  }
+
   // ------------------------------------------------------------------
   // HLL (distinct counts) — DataSketches HLL via the hll_* built-ins
   // ------------------------------------------------------------------

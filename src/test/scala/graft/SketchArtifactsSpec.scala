@@ -90,6 +90,40 @@ class SketchArtifactsSpec extends SparkSpec {
     assert(SA.gkQuantiles(empty, Seq(0.5)).head().isNullAt(0))
   }
 
+  test("streaming cms fit: the running artifact is bit-identical to a " +
+      "batch fit over everything ingested") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val state = new SA.RunningCms(1e-4, 0.99, 42)
+    val in = MemoryStream[(Long, Long)]
+    val q = SA.cmsFitStream(in.toDF().toDF("row_id", "key"), "key", state)
+      .start()
+    try {
+      val all = rows.as[(Long, Long)].collect()
+      all.grouped(all.length / 3 + 1).foreach { chunk =>
+        in.addData(chunk.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = state.artifact(spark, "key")
+    val whole = SA.cmsFit(rows, "key")
+    val sRow = streamed.select("n_rows", "sketch").head()
+    val wRow = whole.select("n_rows", "sketch").head()
+    assert(sRow.getLong(0) === wRow.getLong(0))
+    assert(java.util.Arrays.equals(sRow.getAs[Array[Byte]](1),
+      wRow.getAs[Array[Byte]](1)))
+    // the mid-stream artifact composes with the batch deploy path
+    val hh = SA.cmsHeavyHitters(streamed,
+      rows.select($"key"), "key", minCount = 40L)
+    assert(hh.count() === 21L) // keys 40..60
+    // a replayed batchId is a no-op (restart idempotency)
+    val before = sRow.getLong(0)
+    val fakeFit = rows.limit(5).stat.countMinSketch($"key".cast("string"),
+      1e-4, 0.99, 42)
+    state.applyBatch(0L, fakeFit)
+    assert(state.artifact(spark, "key").select("n_rows").head().getLong(0)
+      === before)
+  }
+
   test("incompatible artifact merges are refused loudly") {
     val a = SA.cmsFit(third(0), "key", eps = 1e-3)
     val b = SA.cmsFit(third(1), "key", eps = 1e-4)
