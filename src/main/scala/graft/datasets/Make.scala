@@ -636,6 +636,95 @@ object Make {
   val RetailCategories: Seq[String] = Seq("electronics", "fashion",
     "home_garden", "sports", "health_beauty")
 
+  /** `make_well_logging` (make.py:2371): one row per depth station —
+    * depth = start + i·interval (np.arange semantics: end exclusive),
+    * four uniform logs in the reference's published physical ranges.
+    * Non-integer range spans (200 − 0.2, 2.95 − 1.95) are IEEE
+    * subtractions on both sides, never decimal literals — a literal
+    * "199.8" parses to a different double than the engine's
+    * subtraction by up to 1 ulp. */
+  def makeWellLogging(spark: SparkSession, depthStart: Double = 0.0,
+                      depthEnd: Double = 200.0,
+                      depthInterval: Double = 0.5, seed: Long = 42L,
+                      portableHash: Boolean = false): DataFrame = {
+    require(depthEnd > depthStart && depthInterval > 0,
+      "need depthEnd > depthStart and a positive interval")
+    val n = math.ceil((depthEnd - depthStart) / depthInterval - 1e-9).toLong
+    makeFields(spark, n, Seq(
+      NumField("gamma_ray", 20.0, 150.0),
+      NumField("resistivity", 0.2, 200.0),
+      NumField("neutron_porosity", 15.0, 45.0),
+      NumField("density", 1.95, 2.95)),
+      seed, portableHash)
+      .select(
+        round(lit(depthStart) + col("id") * lit(depthInterval), 6)
+          .as("depth"),
+        col("gamma_ray"), col("resistivity"), col("neutron_porosity"),
+        col("density"))
+  }
+
+  /** `make_mining_ops` (make.py:1720): flat per-operation rows —
+    * geospatial uniforms, ore/explosive/equipment categoricals
+    * (representative subsets of the reference's public-geology
+    * lists), drilling/blasting/production draws. */
+  def makeMiningOps(spark: SparkSession, nSamples: Long = 1000L,
+                    seed: Long = 42L,
+                    portableHash: Boolean = false): DataFrame =
+    makeFields(spark, nSamples, Seq(
+      NumField("easting", 0.0, 1000.0),
+      NumField("northing", 0.0, 1000.0),
+      NumField("depth", 0.0, 500.0),
+      CatField("ore_type", MiningOres),
+      NumField("ore_concentration", 0.1, 20.0),
+      NumField("drill_diameter", 50.0, 200.0),
+      NumField("blast_hole_depth", 3.0, 15.0),
+      CatField("explosive_type", MiningExplosives),
+      NumField("explosive_amount", 10.0, 500.0),
+      CatField("equipment_type", MiningEquipment),
+      IntRangeField("equipment_age", 0L, 15L),
+      NumField("daily_production", 1000.0, 10000.0)),
+      seed, portableHash)
+      .withColumnRenamed("id", "op_id")
+
+  val MiningOres: Seq[String] = Seq("gold_ore", "iron_ore", "copper_ore",
+    "silver_ore", "lead_ore", "zinc_ore", "nickel_ore", "bauxite")
+  val MiningExplosives: Seq[String] = Seq("anfo", "emulsion", "dynamite",
+    "slurry")
+  val MiningEquipment: Seq[String] = Seq("excavator", "drill", "loader",
+    "truck")
+
+  /** `make_agronomy_feedback` (make.py:1529): a farm × year × crop
+    * grid (the reference's triple loop) with per-cell soil/weather/
+    * pesticide/yield draws — the 3-level generalization of the
+    * [[makeDomain]] entity×period grid, flattened onto one `range`:
+    * id = (farm·nYears + year)·|crops| + crop. */
+  def makeAgronomy(spark: SparkSession, nFarms: Int = 10, nYears: Int = 5,
+                   crops: Seq[String] = AgronomyCrops, seed: Long = 42L,
+                   portableHash: Boolean = false): DataFrame = {
+    require(nFarms > 0 && nYears > 0 && crops.nonEmpty,
+      "need positive farms/years and crops")
+    val k = crops.size
+    makeFields(spark, nFarms.toLong * nYears * k, Seq(
+      NumField("soil_ph", 4.0, 9.0),
+      NumField("temperature", 10.0, 35.0),
+      NumField("rainfall", 200.0, 2000.0),
+      CatField("pesticide_type", AgronomyPesticides),
+      NumField("pesticide_amount", 0.1, 10.0),
+      NumField("crop_yield", 100.0, 10000.0)),
+      seed, portableHash)
+      .select(
+        expr(s"id div ${nYears.toLong * k}L").as("farm_id"),
+        (expr(s"id div ${k}L") % nYears).as("year"),
+        element_at(array(crops.map(lit): _*),
+          (col("id") % k + 1).cast("int")).as("crop"),
+        col("soil_ph"), col("temperature"), col("rainfall"),
+        col("pesticide_type"), col("pesticide_amount"), col("crop_yield"))
+  }
+
+  val AgronomyCrops: Seq[String] = Seq("maize", "wheat", "rice", "soybean")
+  val AgronomyPesticides: Seq[String] = Seq("glyphosate", "atrazine",
+    "malathion", "carbaryl", "none")
+
   def makeBlobs(spark: SparkSession, nSamples: Long, nCenters: Int = 3,
                 dim: Int = 2, std: Double = 1.0,
                 boxMin: Double = -10.0, boxMax: Double = 10.0,

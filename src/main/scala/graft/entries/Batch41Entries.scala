@@ -342,6 +342,31 @@ object Batch41Entries {
         .orderBy("customer_id")
     }),
 
+    // datasets.Make.makeWellLogging (make.py:2371): depth-station
+    // grid with four uniform physical logs. FULL oracle — note the
+    // non-integer range spans are IEEE subtractions in BOTH engines
+    // (a decimal literal like 199.8 parses to a different double).
+    "make_well_logging" -> ((s, dir) => {
+      graft.datasets.Make.makeWellLogging(s, portableHash = true)
+        .orderBy("depth")
+    }),
+
+    // datasets.Make.makeMiningOps (make.py:1720): flat per-operation
+    // geology rows — 12 fields across uniform / randint / categorical
+    // draws. FULL oracle.
+    "make_mining_ops" -> ((s, dir) => {
+      graft.datasets.Make.makeMiningOps(s, portableHash = true)
+        .orderBy("op_id")
+    }),
+
+    // datasets.Make.makeAgronomy (make.py:1529): the farm × year ×
+    // crop TRIPLE grid flattened onto one range() — the 3-level
+    // generalization of makeDomain. FULL oracle.
+    "make_agronomy" -> ((s, dir) => {
+      graft.datasets.Make.makeAgronomy(s, portableHash = true)
+        .orderBy("farm_id", "year", "crop")
+    }),
+
     // Categorical PSI — drift_psi's twin where bins are VALUE GROUPS
     // (full-outer category domain, one-sided categories floored: the
     // drift signal itself), NULL its own category. Same stable
@@ -445,6 +470,57 @@ object Batch41Entries {
         |    - 0.1 * (last_purchase_amount / 500.0) > thr AS INT)
         |    AS likely_to_respond
         |FROM base ORDER BY customer_id""".stripMargin,
+
+    // Replays makeWellLogging: 400 depth stations (np.arange end-
+    // exclusive), ranges as IEEE subtractions.
+    "make_well_logging" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 400)) AS id)
+        |SELECT ROUND(0.0 + CAST(id AS DOUBLE) * 0.5, 6) AS depth,
+        |  ROUND(20.0 + ${u(910000)} * (150.0 - 20.0), 6) AS gamma_ray,
+        |  ROUND(0.2 + ${u(910001)} * (200.0 - 0.2), 6) AS resistivity,
+        |  ROUND(15.0 + ${u(910002)} * (45.0 - 15.0), 6) AS neutron_porosity,
+        |  ROUND(1.95 + ${u(910003)} * (2.95 - 1.95), 6) AS density
+        |FROM ids ORDER BY depth""".stripMargin,
+
+    // Replays makeMiningOps: 12 fields on tags 910000..910011.
+    "make_mining_ops" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 1000)) AS id)
+        |SELECT id AS op_id,
+        |  ROUND(0.0 + ${u(910000)} * (1000.0 - 0.0), 6) AS easting,
+        |  ROUND(0.0 + ${u(910001)} * (1000.0 - 0.0), 6) AS northing,
+        |  ROUND(0.0 + ${u(910002)} * (500.0 - 0.0), 6) AS depth,
+        |  (['gold_ore', 'iron_ore', 'copper_ore', 'silver_ore',
+        |    'lead_ore', 'zinc_ore', 'nickel_ore', 'bauxite'])
+        |    [CAST(1 + ${h(910003)} % 8 AS INT)] AS ore_type,
+        |  ROUND(0.1 + ${u(910004)} * (20.0 - 0.1), 6) AS ore_concentration,
+        |  ROUND(50.0 + ${u(910005)} * (200.0 - 50.0), 6) AS drill_diameter,
+        |  ROUND(3.0 + ${u(910006)} * (15.0 - 3.0), 6) AS blast_hole_depth,
+        |  (['anfo', 'emulsion', 'dynamite', 'slurry'])
+        |    [CAST(1 + ${h(910007)} % 4 AS INT)] AS explosive_type,
+        |  ROUND(10.0 + ${u(910008)} * (500.0 - 10.0), 6) AS explosive_amount,
+        |  (['excavator', 'drill', 'loader', 'truck'])
+        |    [CAST(1 + ${h(910009)} % 4 AS INT)] AS equipment_type,
+        |  0 + ${h(910010)} % 15 AS equipment_age,
+        |  ROUND(1000.0 + ${u(910011)} * (10000.0 - 1000.0), 6)
+        |    AS daily_production
+        |FROM ids ORDER BY op_id""".stripMargin,
+
+    // Replays makeAgronomy: 10 farms x 5 years x 4 crops off
+    // range(200), fields on tags 910000..910005.
+    "make_agronomy" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 200)) AS id)
+        |SELECT id // 20 AS farm_id,
+        |  (id // 4) % 5 AS year,
+        |  (['maize', 'wheat', 'rice', 'soybean'])
+        |    [CAST(id % 4 + 1 AS INT)] AS crop,
+        |  ROUND(4.0 + ${u(910000)} * (9.0 - 4.0), 6) AS soil_ph,
+        |  ROUND(10.0 + ${u(910001)} * (35.0 - 10.0), 6) AS temperature,
+        |  ROUND(200.0 + ${u(910002)} * (2000.0 - 200.0), 6) AS rainfall,
+        |  (['glyphosate', 'atrazine', 'malathion', 'carbaryl', 'none'])
+        |    [CAST(1 + ${h(910003)} % 5 AS INT)] AS pesticide_type,
+        |  ROUND(0.1 + ${u(910004)} * (10.0 - 0.1), 6) AS pesticide_amount,
+        |  ROUND(100.0 + ${u(910005)} * (10000.0 - 100.0), 6) AS crop_yield
+        |FROM ids ORDER BY farm_id, year, crop""".stripMargin,
 
     // Replays psiCategorical: category counts, full-outer domain,
     // floored shares, one ln crossing — the drift_psi arithmetic on

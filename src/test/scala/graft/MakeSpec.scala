@@ -317,4 +317,25 @@ class MakeSpec extends SparkSpec {
     val p2 = Make.makeRetailStore(spark, 100L, portableHash = true)
     assert(p1.collect().toSeq == p2.collect().toSeq)
   }
+
+  test("makeWellLogging / makeMiningOps / makeAgronomy: grid shapes and " +
+      "physical ranges") {
+    import graft.datasets.Make
+    // np.arange semantics: [0, 200) step 0.5 -> 400 stations
+    val wl = Make.makeWellLogging(spark)
+    assert(wl.count() === 400L)
+    assert(wl.filter($"density" < 1.95 || $"density" >= 2.95).count() === 0L)
+    assert(wl.agg(min("depth"), max("depth")).as[(Double, Double)].head()
+      === ((0.0, 199.5)))
+    val mo = Make.makeMiningOps(spark, nSamples = 200L)
+    assert(mo.select(countDistinct("ore_type")).head().getLong(0) === 8L)
+    assert(mo.filter($"equipment_age" < 0 || $"equipment_age" >= 15)
+      .count() === 0L)
+    // agronomy: every (farm, year) cell carries each crop exactly once
+    val ag = Make.makeAgronomy(spark, nFarms = 6, nYears = 3)
+    assert(ag.count() === 6L * 3 * 4)
+    assert(ag.groupBy("farm_id", "year").agg(
+        countDistinct("crop").as("k"), count(lit(1)).as("n"))
+      .filter($"k" =!= 4 || $"n" =!= 4).count() === 0L)
+  }
 }
