@@ -725,6 +725,153 @@ object Make {
   val AgronomyPesticides: Seq[String] = Seq("glyphosate", "atrazine",
     "malathion", "carbaryl", "none")
 
+  /** `make_elogging` (make.py:3038): random event-log lines — a
+    * uniform timestamp inside [start, end] (randint seconds, both
+    * ends inclusive like the reference), a severity pick, and the
+    * derived message text; emitted in timestamp order. */
+  def makeElogging(spark: SparkSession, nSamples: Long = 1000L,
+                   startDate: String = "2021-01-01 00:00:00",
+                   endDate: String = "2021-01-31 00:00:00",
+                   levels: Seq[String] = ElogLevels, seed: Long = 42L,
+                   portableHash: Boolean = false): DataFrame = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val t0 = java.time.LocalDateTime.parse(startDate, fmt)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    val t1 = java.time.LocalDateTime.parse(endDate, fmt)
+      .toEpochSecond(java.time.ZoneOffset.UTC)
+    require(t1 > t0, "endDate must be after startDate")
+    makeFields(spark, nSamples, Seq(
+      IntRangeField("_sec", 0L, t1 - t0 + 1),
+      CatField("log_level", levels)),
+      seed, portableHash)
+      .select(col("id").as("event_id"),
+        timestamp_seconds(lit(t0) + col("_sec")).as("timestamp"),
+        col("log_level"),
+        concat(lit("This is a "), col("log_level"), lit(" message."))
+          .as("message"))
+      .orderBy("timestamp", "event_id")
+  }
+
+  val ElogLevels: Seq[String] =
+    Seq("INFO", "DEBUG", "WARNING", "ERROR", "CRITICAL")
+
+  /** `make_drill_ops` (make.py:3886/_make_drill_ops:4050): one row per
+    * drilling operation over the reference's published hydrogeological
+    * parameter ranges (HYDRO_PARAM_RANGES), two categorical axes, and
+    * the documented (0, 1) default for the unranged temperature
+    * gradient. */
+  def makeDrillOps(spark: SparkSession, nSamples: Long = 1000L,
+                   seed: Long = 42L,
+                   portableHash: Boolean = false): DataFrame =
+    makeFields(spark, nSamples, Seq(
+      NumField("porosity", 0.01, 0.35),
+      NumField("permeability", 1e-5, 1e3),
+      NumField("hydraulic_conductivity", 1e-6, 1e-1),
+      NumField("transmissivity", 1e-4, 1e3),
+      NumField("storativity", 1e-5, 0.2),
+      NumField("specific_yield", 0.01, 0.3),
+      CatField("fracture_density_and_orientation", DrillFractureDensity),
+      NumField("water_table_depth", 1.0, 500.0),
+      NumField("aquifer_pressure", 1e5, 1e7),
+      CatField("water_quality_parameters", DrillWaterQuality),
+      NumField("temperature_gradients", 0.0, 1.0)),
+      seed, portableHash)
+      .withColumnRenamed("id", "op_id")
+
+  val DrillFractureDensity: Seq[String] =
+    Seq("Low Density", "Medium Density", "High Density")
+  val DrillWaterQuality: Seq[String] =
+    Seq("Potable", "Non-potable", "Industrial", "Agricultural")
+
+  /** `make_cc_factors` (make.py:3525): 21 climate-change factor
+    * features, each Normal(100, scale) with the reference's published
+    * per-factor scales, plus the binary `feedbacks` target — row mean
+    * above the global stacked MEDIAN × the reference's opinions
+    * coefficient (1.001 for n ≤ 1000, 1.0002 above). The median is
+    * the exact interpolated percentile over all n×21 cells (a
+    * fitted-scalar driver literal — one sort-based aggregate). */
+  def makeCcFactors(spark: SparkSession, nSamples: Long = 1000L,
+                    seed: Long = 42L,
+                    portableHash: Boolean = false): DataFrame = {
+    val fields = CcFactorScales.map { case (n, sc) =>
+      NormField(n, 100.0, sc.toDouble) }
+    val base = makeFields(spark, nSamples, fields, seed, portableHash)
+    val featCols = CcFactorScales.map(p => col(p._1))
+    val med = base.select(explode(array(featCols: _*)).as("_v"))
+      .agg(expr("percentile(_v, 0.5)")).head().getDouble(0)
+    val coeff = if (nSamples <= 1000L) 1.001 else 1.0002
+    val rowMean = featCols.reduceLeft(_ + _) / lit(CcFactorScales.size.toDouble)
+    base.withColumnRenamed("id", "sample_id")
+      .withColumn("feedbacks", (rowMean > lit(med * coeff)).cast("int"))
+  }
+
+  val CcFactorScales: Seq[(String, Int)] = Seq(
+    "ghg" -> 10, "def_land" -> 5, "fossil_fuels" -> 8, "indust_proc" -> 7,
+    "agri_livestock" -> 6, "transport" -> 9, "energy_prod" -> 10,
+    "urban_infra" -> 4, "waste_mgmt" -> 3, "melt_polar" -> 2,
+    "chg_land_albedo" -> 1, "solar_irr" -> 5, "aerosols" -> 4,
+    "ozone_depl" -> 3, "chg_ocean_circ" -> 2, "ocean_acid" -> 2,
+    "permafrost" -> 3, "chg_atm_water" -> 4, "land_deg_soil_erosion" -> 5,
+    "human_act_biodiv" -> 6, "nat_disasters" -> 7)
+
+  /** `make_water_demand` (make.py:3709): 34 snake-cased quantitative
+    * water-need uniforms, water-quality / ethnicity / SDG6
+    * categoricals, an economic-status uniform, and the DEPENDENT
+    * region draw — a hash pick from the row's ethnicity's own region
+    * list, the reference's language → region mapping. (The
+    * reference's 20 language-NAMED artifact columns — it materializes
+    * the lookup table itself into the frame — are a documented
+    * descope.) */
+  def makeWaterDemand(spark: SparkSession, nSamples: Long = 1000L,
+                      seed: Long = 42L,
+                      portableHash: Boolean = false): DataFrame = {
+    val fields = WaterQuantNeeds.map(n => NumField(n, 0.0, 100.0)) ++ Seq(
+      CatField("water_quality", WaterQualityLevels),
+      CatField("ethnicity", WaterEthnicities.map(_._1)),
+      NumField("economic_status", 1000.0, 50000.0),
+      CatField("sdg6_challenge", Sdg6Challenges))
+    val base = makeFields(spark, nSamples, fields, seed, portableHash)
+    // region given ethnicity: each language picks uniformly from its
+    // OWN region list on a dedicated tag (910100)
+    val region = WaterEthnicities.foldLeft(lit(null).cast("string")) {
+      case (acc, (lang, regs)) =>
+        when(col("ethnicity") === lang,
+          element_at(array(regs.map(lit): _*),
+            (hashMod(portableHash, seed, col("id"), 910100,
+              regs.size.toLong) + 1).cast("int"))).otherwise(acc)
+    }
+    base.select((col("id").as("sample_id") +:
+      WaterQuantNeeds.map(col)) ++ Seq(
+        col("water_quality"), col("ethnicity"), col("economic_status"),
+        region.as("region"), col("sdg6_challenge")): _*)
+  }
+
+  val WaterQuantNeeds: Seq[String] = Seq("agri_demand", "indus_demand",
+    "domestic_demand", "municipal_demand", "livestock_needs",
+    "irrigation_req", "hydropower_gen", "aquaculture_usage",
+    "mining_consumption", "thermal_plant_consumption", "ecosystems",
+    "forestry", "recreation", "urban_dev", "drinking", "sanitation",
+    "food_processing", "textile_industry", "paper_industry",
+    "chemical_industry", "pharma_industry", "construction",
+    "energy_production", "oil_refining", "metals_production",
+    "auto_manufacturing", "electronics_manufacturing",
+    "plastics_manufacturing", "leather_industry", "beverage_industry",
+    "pulp_paper_industry", "sugar_industry", "cement_industry",
+    "fertilizer_industry")
+  val WaterQualityLevels: Seq[String] = Seq("Excellent", "Good", "Fair",
+    "Poor", "Very Poor", "Toxic")
+  val WaterEthnicities: Seq[(String, Seq[String])] = Seq(
+    "English" -> Seq("United States", "United Kingdom", "Canada",
+      "Australia", "South Africa"),
+    "Spanish" -> Seq("Mexico", "Spain", "Argentina", "Colombia"),
+    "French" -> Seq("France", "Canada", "Senegal", "Ivory Coast"),
+    "Arabic" -> Seq("Egypt", "Morocco", "Saudi Arabia", "Algeria"),
+    "Swahili" -> Seq("Tanzania", "Kenya", "Uganda"),
+    "Hausa" -> Seq("Nigeria", "Niger"))
+  val Sdg6Challenges: Seq[String] = Seq("Lack of Access", "Water Scarcity",
+    "Water Pollution", "Ecosystem Degradation", "Governance Issues")
+
   def makeBlobs(spark: SparkSession, nSamples: Long, nCenters: Int = 3,
                 dim: Int = 2, std: Double = 1.0,
                 boxMin: Double = -10.0, boxMax: Double = 10.0,

@@ -367,6 +367,41 @@ object Batch41Entries {
         .orderBy("farm_id", "year", "crop")
     }),
 
+    // datasets.Make.makeElogging (make.py:3038): uniform timestamps
+    // inside [start, end], severity picks, derived messages, emitted
+    // in time order. FULL oracle (timestamp arithmetic in UTC on both
+    // sides — the session timezone convention).
+    "make_elogging" -> ((s, dir) => {
+      graft.datasets.Make.makeElogging(s, portableHash = true)
+    }),
+
+    // datasets.Make.makeDrillOps (make.py:3886): hydrogeological
+    // parameter rows over the reference's published ranges. FULL
+    // oracle — every non-integer span an IEEE subtraction.
+    "make_drill_ops" -> ((s, dir) => {
+      graft.datasets.Make.makeDrillOps(s, portableHash = true)
+        .orderBy("op_id")
+    }),
+
+    // datasets.Make.makeCcFactors (make.py:3525): 21 Normal(100,
+    // scale) climate factors + the feedbacks target (row mean vs the
+    // exact stacked median x the reference's opinions coefficient —
+    // the fitted-scalar pattern: one sort-based percentile, one
+    // driver literal). FULL oracle.
+    "make_cc_factors" -> ((s, dir) => {
+      graft.datasets.Make.makeCcFactors(s, portableHash = true)
+        .orderBy("sample_id")
+    }),
+
+    // datasets.Make.makeWaterDemand (make.py:3709): 34 quantitative
+    // uniforms + categorical axes + the DEPENDENT region draw (a hash
+    // pick from the row's ethnicity's own region list). FULL oracle —
+    // the dependency replays as a CASE chain.
+    "make_water_demand" -> ((s, dir) => {
+      graft.datasets.Make.makeWaterDemand(s, portableHash = true)
+        .orderBy("sample_id")
+    }),
+
     // Categorical PSI — drift_psi's twin where bins are VALUE GROUPS
     // (full-outer category domain, one-sided categories floored: the
     // drift signal itself), NULL its own category. Same stable
@@ -522,6 +557,53 @@ object Batch41Entries {
         |  ROUND(100.0 + ${u(910005)} * (10000.0 - 100.0), 6) AS crop_yield
         |FROM ids ORDER BY farm_id, year, crop""".stripMargin,
 
+    // Replays makeElogging: randint seconds (inclusive span 2592001)
+    // onto the UTC start timestamp, level pick, derived message.
+    "make_elogging" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 1000)) AS id),
+        |base AS (SELECT id AS event_id,
+        |  TIMESTAMP '2021-01-01 00:00:00'
+        |    + to_seconds(0 + ${h(910000)} % 2592001) AS timestamp,
+        |  (['INFO', 'DEBUG', 'WARNING', 'ERROR', 'CRITICAL'])
+        |    [CAST(1 + ${h(910001)} % 5 AS INT)] AS log_level
+        |FROM ids)
+        |SELECT event_id, timestamp, log_level,
+        |  'This is a ' || log_level || ' message.' AS message
+        |FROM base ORDER BY timestamp, event_id""".stripMargin,
+
+    // Replays makeDrillOps: 11 fields on tags 910000..910010, spans
+    // as IEEE subtractions.
+    "make_drill_ops" ->
+      s"""WITH ids AS (SELECT unnest(range(0, 1000)) AS id)
+        |SELECT id AS op_id,
+        |  ROUND(0.01 + ${u(910000)} * (0.35 - 0.01), 6) AS porosity,
+        |  ROUND(1e-05 + ${u(910001)} * (1000.0 - 1e-05), 6) AS permeability,
+        |  ROUND(1e-06 + ${u(910002)} * (0.1 - 1e-06), 6)
+        |    AS hydraulic_conductivity,
+        |  ROUND(1e-04 + ${u(910003)} * (1000.0 - 1e-04), 6) AS transmissivity,
+        |  ROUND(1e-05 + ${u(910004)} * (0.2 - 1e-05), 6) AS storativity,
+        |  ROUND(0.01 + ${u(910005)} * (0.3 - 0.01), 6) AS specific_yield,
+        |  (['Low Density', 'Medium Density', 'High Density'])
+        |    [CAST(1 + ${h(910006)} % 3 AS INT)]
+        |    AS fracture_density_and_orientation,
+        |  ROUND(1.0 + ${u(910007)} * (500.0 - 1.0), 6) AS water_table_depth,
+        |  ROUND(100000.0 + ${u(910008)} * (10000000.0 - 100000.0), 6)
+        |    AS aquifer_pressure,
+        |  (['Potable', 'Non-potable', 'Industrial', 'Agricultural'])
+        |    [CAST(1 + ${h(910009)} % 4 AS INT)] AS water_quality_parameters,
+        |  ROUND(0.0 + ${u(910010)} * (1.0 - 0.0), 6) AS temperature_gradients
+        |FROM ids ORDER BY op_id""".stripMargin,
+
+    // Replays makeCcFactors: 21 round-9 Box-Muller factors (tags
+    // 910000+j / 920000+j), exact stacked median, the 1.001 opinions
+    // coefficient, row mean in the Spark side's association order.
+    "make_cc_factors" -> ccFactorsOracle,
+
+    // Replays makeWaterDemand: 34 quant uniforms, categorical axes,
+    // round-6 economic status, and the region-given-ethnicity CASE
+    // chain on the dedicated 910100 tag.
+    "make_water_demand" -> waterDemandOracle,
+
     // Replays psiCategorical: category counts, full-outer domain,
     // floored shares, one ln crossing — the drift_psi arithmetic on
     // value groups.
@@ -553,4 +635,60 @@ object Batch41Entries {
 
   /** The md5 uniform in [0,1). */
   private def u(tag: Int): String = s"${h(tag)} / 1152921504606846976.0"
+
+  /** Round-9 Box–Muller z on the (tag, tag+10000) uniform pair — the
+    * Batch20 gaussian spelling, the NormField kernel. */
+  private def z(tag: Int): String =
+    s"ROUND(sqrt(-2.0 * ln(${u(tag)} + 4.9e-324)) * " +
+      s"cos(6.283185307179586 * ${u(tag + 10000)}), 9)"
+
+  /** SQL list literal for a category Seq. */
+  private def catList(values: Seq[String]): String =
+    values.map(v => s"'$v'").mkString("[", ", ", "]")
+
+  private def ccFactorsOracle: String = {
+    import graft.datasets.Make.CcFactorScales
+    val cols = CcFactorScales.zipWithIndex.map { case ((n, sc), j) =>
+      s"  (100.0 + $sc.0 * ${z(910000 + j)}) AS $n"
+    }.mkString(",\n")
+    val names = CcFactorScales.map(_._1)
+    s"""WITH ids AS (SELECT unnest(range(0, 1000)) AS id),
+      |base AS (SELECT id AS sample_id,
+      |$cols
+      |FROM ids),
+      |med AS (SELECT median(v) AS m FROM
+      |  (SELECT unnest([${names.mkString(", ")}]) AS v FROM base))
+      |SELECT base.*,
+      |  CAST(((${names.mkString(" + ")}) / 21.0) >
+      |    (SELECT m FROM med) * 1.001 AS INT) AS feedbacks
+      |FROM base ORDER BY sample_id""".stripMargin
+  }
+
+  private def waterDemandOracle: String = {
+    import graft.datasets.Make.{WaterQuantNeeds, WaterQualityLevels,
+      WaterEthnicities, Sdg6Challenges}
+    val quant = WaterQuantNeeds.zipWithIndex.map { case (n, j) =>
+      s"  ROUND(0.0 + ${u(910000 + j)} * (100.0 - 0.0), 6) AS $n"
+    }.mkString(",\n")
+    def pick(values: Seq[String], tag: Int): String =
+      s"(${catList(values)})[CAST(1 + ${h(tag)} % ${values.size} AS INT)]"
+    val region = WaterEthnicities.map { case (lang, regs) =>
+      s"    WHEN ethnicity = '$lang' THEN ${pick(regs, 910100)}"
+    }.mkString("  CASE\n", "\n", "\n  END AS region")
+    s"""WITH ids AS (SELECT unnest(range(0, 1000)) AS id),
+      |base AS (SELECT id AS sample_id,
+      |$quant,
+      |  ${pick(WaterQualityLevels, 910034)} AS water_quality,
+      |  ${pick(WaterEthnicities.map(_._1), 910035)} AS ethnicity,
+      |  ROUND(1000.0 + ${u(910036)} * (50000.0 - 1000.0), 6)
+      |    AS economic_status,
+      |  ${pick(Sdg6Challenges, 910037)} AS sdg6_challenge,
+      |  id
+      |FROM ids)
+      |SELECT sample_id, ${WaterQuantNeeds.mkString(", ")},
+      |  water_quality, ethnicity, economic_status,
+      |$region,
+      |  sdg6_challenge
+      |FROM base ORDER BY sample_id""".stripMargin
+  }
 }
