@@ -402,6 +402,22 @@ object Batch41Entries {
         .orderBy("sample_id")
     }),
 
+    // io.Npy.readNpy (closes the read_data numpy descope,
+    // gofast/api/property.py:2781): a REAL np.save-written fixture
+    // (src/test/resources/npy/f4_2d.npy = arange(12, '<f4')
+    // .reshape(3,4) * 0.5) parsed by the pure-JVM npy reader over a
+    // binaryFile scan. FULL oracle — the fixture's closed form
+    // (i*4+j)*0.5, exact in f4 and f8 alike.
+    "read_npy" -> ((s, dir) => {
+      graft.io.Npy.readNpy(s,
+          "/root/repo/src/test/resources/npy/f4_2d.npy")
+        .select(col("dtype"),
+          element_at(col("coords"), 1).as("i"),
+          element_at(col("coords"), 2).as("j"),
+          col("value"))
+        .orderBy("i", "j")
+    }),
+
     // Categorical PSI — drift_psi's twin where bins are VALUE GROUPS
     // (full-outer category domain, one-sided categories floored: the
     // drift signal itself), NULL its own category. Same stable
@@ -603,6 +619,15 @@ object Batch41Entries {
     // round-6 economic status, and the region-given-ethnicity CASE
     // chain on the dedicated 910100 tag.
     "make_water_demand" -> waterDemandOracle,
+
+    // The npy fixture's closed form: value(i,j) = (i*4+j)*0.5, exact
+    // in both f4 and f8.
+    "read_npy" ->
+      """SELECT '<f4' AS dtype, r.i, c.j,
+        |  CAST(r.i * 4 + c.j AS DOUBLE) * 0.5 AS value
+        |FROM (SELECT unnest(range(0, 3)) AS i) r,
+        |     (SELECT unnest(range(0, 4)) AS j) c
+        |ORDER BY i, j""".stripMargin,
 
     // Replays psiCategorical: category counts, full-outer domain,
     // floored shares, one ln crossing — the drift_psi arithmetic on

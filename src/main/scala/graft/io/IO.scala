@@ -13,10 +13,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object IO {
 
-  /** Extension-dispatched read, mirroring `read_data`'s map. Formats
-    * without a distributed reader (.pkl/.npy/.h5) are intentionally
-    * unsupported. `sanitizeNames` lower-snake-cases columns, the
-    * `sanitize=True` read option (io.py:826). */
+  /** Extension-dispatched read, mirroring `read_data`'s map. .npy and
+    * .npz dispatch to the pure-JVM [[Npy]] parser (COO rows); formats
+    * without a distributed reader (.pkl/.sas/.sav/.h5) remain
+    * intentionally unsupported. `sanitizeNames` lower-snake-cases
+    * columns, the `sanitize=True` read option (io.py:826). */
   def readData(spark: SparkSession, path: String,
                inferSchema: Boolean = true,
                sanitizeNames: Boolean = false): DataFrame = {
@@ -33,6 +34,8 @@ object IO {
       case "orc" => spark.read.orc(path)
       case "xml" => spark.read.option("rowTag", "row").xml(path)
       case "xlsx" => Excel.readExcelSheets(spark, path)._2.head._2
+      case "npy" => Npy.readNpy(spark, path)
+      case "npz" => Npy.readNpz(spark, path)
       case "html" | "htm" =>
         val tables = Scrape.readHtmlTables(spark, path)
         require(tables.nonEmpty, s"no <table> found in $path")
