@@ -51,7 +51,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the host's real core count, not a fixed "4": off-driver
+    // isolated re-times (run without env vars) used to silently bench
+    // local[4] AND stamp contended:true on a quiet box because the
+    // contention threshold (cpus/4) was computed from the fake 4.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     // dev-only subset filter (comma-separated names); driver leaves unset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -151,7 +156,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val allQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"BENCHALL $allQs")
+    println(s"BENCHALL cpus=$cpus $allQs")
     // Full error detail on its own diagnostic line; the final JSON line
     // carries every failed name (short messages) within the driver's
     // ~2000-char tail window — truncated messages beat a truncated line.
@@ -184,7 +189,7 @@ object Bench {
     }
     val headlineRule = s"all>=${HEAVY_SEC}s then representatives, pruned to fit"
     def line(qsJson: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"headline_rule":"$headlineRule","sf":"$sfDir","timed_iters":$iters,"interleaved":true,"contended":$contended,"loadavg_per_pass":$loadsJson,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}","error_count":${errors.size},"errors":$errJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"headline_rule":"$headlineRule","sf":"$sfDir","cpus":$cpus,"timed_iters":$iters,"interleaved":true,"contended":$contended,"loadavg_per_pass":$loadsJson,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}","error_count":${errors.size},"errors":$errJson}"""
     // grow the headline map until the WHOLE line would cross the
     // driver's retention window (heavy entries are never dropped —
     // they were selected first)

@@ -55,6 +55,16 @@ object Verify {
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    // Manifest of the names this run actually attempted, written LAST:
+    // a Verify killed mid-run (OOM/JVM abort) leaves no manifest — or a
+    // stale one older than oracle_sql.json — and check.py treats either
+    // as fatal instead of silently counting missing outputs as a
+    // "subset". full_run distinguishes SPARK_GRAFT_ONLY dev passes.
+    val ranNames = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n))).sorted
+    val manifest = s"""{"full_run": ${only.isEmpty}, "ran": ${
+      ranNames.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     if (failures.nonEmpty)
       println(s"[verify] ${failures.size} queries FAILED — see $outDir/failures.json")
     spark.stop()

@@ -209,8 +209,12 @@ object Npy {
     val rank = size(col("coords"))
     val rowIdx = when(rank >= 2, element_at(col("coords"), 1))
       .otherwise(lit(0L))
+    // rank-0 (shape ()) files have EMPTY coords: under ANSI mode an
+    // unconditional element_at(coords, 1) throws INVALID_ARRAY_INDEX
+    // before any fallback — each access must sit behind a rank guard.
     val colIdx = when(rank >= 2, element_at(col("coords"), 2))
-      .otherwise(coalesce(element_at(col("coords"), 1), lit(0L)))
+      .when(rank === 1, element_at(col("coords"), 1))
+      .otherwise(lit(0L))
     coo.select(col("src_file"), col("array_name"), rank.as("_rank"),
         rowIdx.as("row"), colIdx.as("_col"), col("value"))
       // guards ride a FILTER (a pruned-away aggregate column would

@@ -1,7 +1,5 @@
 package graft.rel
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
-
 import org.apache.spark.sql.catalyst.util.QuantileSummaries
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -135,17 +133,21 @@ object SketchArtifacts {
   }
 
   /** Driver-side running count-min artifact for [[cmsFitStream]]:
-    * sketch bytes + row total + last applied micro-batch id (merges
-    * are skipped for replayed batch ids, so a restarted query cannot
-    * double-count — the merge is idempotent per batchId). */
+    * sketch bytes + row total + last applied micro-batch id. Merges
+    * are skipped for replayed batch ids (idempotent per batchId), so a
+    * restarted QUERY cannot double-count; surviving a restarted DRIVER
+    * is [[cmsFitStream]]'s `persistPath` + [[RunningCms.recover]] —
+    * in-memory state alone is gone with the JVM. */
   final class RunningCms(val eps: Double, val confidence: Double,
                          val seed: Int) extends Serializable {
     private[this] var bytes: Array[Byte] = _
     private[this] var rows: Long = 0L
     private[this] var lastBatch: Long = -1L
-    private[graft] def applyBatch(batchId: Long, fit: CountMinSketch): Unit =
+    /** Fold one micro-batch fit in; false = replayed batch, skipped. */
+    private[graft] def applyBatch(batchId: Long, fit: CountMinSketch): Boolean =
       synchronized {
-        if (batchId > lastBatch) {
+        if (batchId <= lastBatch) false
+        else {
           if (bytes == null) bytes = fit.toByteArray
           else {
             val s = CountMinSketch.readFrom(bytes)
@@ -154,8 +156,15 @@ object SketchArtifacts {
           }
           rows += fit.totalCount()
           lastBatch = batchId
+          true
         }
       }
+    private[graft] def seed(b: Array[Byte], n: Long, batchId: Long): Unit =
+      synchronized {
+        require(lastBatch == -1L, "cannot seed a RunningCms that has state")
+        bytes = b; rows = n; lastBatch = batchId
+      }
+    private[graft] def lastBatchId: Long = synchronized(lastBatch)
     /** The running artifact as the 1-row table every batch-side
       * consumer ([[cmsMerge]], [[cmsHeavyHitters]]) accepts. */
     def artifact(spark: SparkSession, column: String): DataFrame =
@@ -166,15 +175,65 @@ object SketchArtifacts {
       }
   }
 
+  object RunningCms {
+    /** Recover the running artifact from the per-batch snapshot table
+      * [[cmsFitStream]] appends at `persistPath`: the row with the
+      * highest batch_id seeds a fresh state, so a restarted DRIVER —
+      * not just a replayed micro-batch — resumes with full history
+      * instead of silently re-fitting from the checkpoint offset
+      * forward. Micro-batches the checkpoint then replays at or below
+      * the recovered batch_id are skipped by the idempotency guard;
+      * a batch whose snapshot write never landed (crash between merge
+      * and persist) is re-fitted by the replay — either way the
+      * recovered artifact stays bit-identical to an uninterrupted
+      * run, by the CMS add law. Returns an empty state when nothing
+      * is persisted yet. */
+    def recover(spark: SparkSession, persistPath: String, eps: Double = 1e-4,
+                confidence: Double = 0.99, seed: Int = 42): RunningCms = {
+      val st = new RunningCms(eps, confidence, seed)
+      // PATH_NOT_FOUND = nothing persisted yet (first-ever start) —
+      // any filesystem scheme, no java.io.File assumptions
+      val latest = try {
+        spark.read.parquet(persistPath)
+          .orderBy(col("batch_id").desc).limit(1).collect()
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => Array.empty[Row]
+      }
+      if (latest.nonEmpty) {
+        val r = latest.head
+        require(r.getAs[String]("kind") == "cms" &&
+            r.getAs[String]("params") == cmsParams(eps, confidence, seed),
+          s"persisted artifact ${r.getAs[String]("kind")}(" +
+            s"${r.getAs[String]("params")}) does not match requested " +
+            s"cms(${cmsParams(eps, confidence, seed)})")
+        st.seed(r.getAs[Array[Byte]]("sketch"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("batch_id"))
+      }
+      st
+    }
+  }
+
   /** STREAMING FIT: maintain a running count-min artifact over an
     * unbounded stream — one bounded per-micro-batch fit (a scan of
     * the NEW rows only), merged driver-side into `state` by the same
     * add-commuting law the batch merge asserts. The artifact is
     * available mid-stream via `state.artifact(...)` for zero-scan
-    * heavy-hitter deploys; replayed micro-batches (restart recovery)
-    * are skipped by batchId, keeping the count exact. This is the
-    * daily-append pattern running continuously. */
-  def cmsFitStream(events: DataFrame, column: String, state: RunningCms)
+    * heavy-hitter deploys; replayed micro-batches are skipped by
+    * batchId, keeping the count exact.
+    *
+    * DURABILITY: with `persistPath` set, every applied batch appends
+    * the running artifact as one bounded row keyed by batch_id — KBs
+    * per micro-batch, zero corpus cost — and a restarted driver seeds
+    * a fresh state from the latest row via [[RunningCms.recover]]
+    * before re-starting the query on the same checkpoint. The persist
+    * happens AFTER the in-memory merge and BEFORE the checkpoint
+    * commits the batch, so every crash window replays to the same
+    * bytes (see recover's scaladoc). Without `persistPath` the
+    * artifact is an in-session demo: a driver death loses it. This is
+    * the daily-append pattern running continuously. */
+  def cmsFitStream(events: DataFrame, column: String, state: RunningCms,
+                   persistPath: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     events.select(col(column).cast("string").as("_k"))
       .writeStream
@@ -183,7 +242,12 @@ object SketchArtifacts {
         val keyed = batch.filter(col("_k").isNotNull)
         val fit = keyed.stat.countMinSketch(col("_k"), state.eps,
           state.confidence, state.seed)
-        state.applyBatch(batchId, fit)
+        val applied = state.applyBatch(batchId, fit)
+        if (applied) persistPath.foreach { path =>
+          state.artifact(batch.sparkSession, column)
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1).write.mode("append").parquet(path)
+        }
       }
   }
 
@@ -226,16 +290,45 @@ object SketchArtifacts {
   // percentile_approx core, exposed as a mergeable artifact
   // ------------------------------------------------------------------
 
-  private def serialize(qs: QuantileSummaries): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val oos = new ObjectOutputStream(bos)
-    oos.writeObject(qs); oos.close()
-    bos.toByteArray
+  /** Portable GK artifact codec — an explicit little-endian frame of
+    * the summary's public state (version, relativeError, count,
+    * compressed flag, then the sampled (value, g, delta) triples), NOT
+    * java serialization of the engine's internal class: a durable
+    * artifact written today must survive a Spark upgrade that reshapes
+    * `catalyst.util.QuantileSummaries`, and the triples ARE the GK
+    * summary (Greenwald & Khanna 2001) — any implementation can
+    * rebuild from them. compressThreshold is deliberately not encoded:
+    * it only shapes FUTURE inserts, never queries or merges, so reads
+    * rebuild with the engine default. */
+  private val GkMagic = 0x474b4152 // "GKAR"
+
+  private[graft] def serialize(qs: QuantileSummaries): Array[Byte] = {
+    val s = qs.sampled
+    val buf = java.nio.ByteBuffer.allocate(4 + 4 + 8 + 8 + 1 + 4 + s.length * 24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(GkMagic).putInt(1)
+    buf.putDouble(qs.relativeError).putLong(qs.count)
+    buf.put(if (qs.compressed) 1.toByte else 0.toByte)
+    buf.putInt(s.length)
+    s.foreach(st => buf.putDouble(st.value).putLong(st.g).putLong(st.delta))
+    buf.array()
   }
 
-  private def deserialize(bytes: Array[Byte]): QuantileSummaries =
-    new ObjectInputStream(new ByteArrayInputStream(bytes))
-      .readObject().asInstanceOf[QuantileSummaries]
+  private[graft] def deserialize(bytes: Array[Byte]): QuantileSummaries = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt() == GkMagic, "not a GK artifact (bad magic)")
+    val ver = buf.getInt()
+    require(ver == 1, s"unsupported GK artifact version $ver")
+    val relErr = buf.getDouble()
+    val count = buf.getLong()
+    val compressed = buf.get() == 1.toByte
+    val n = buf.getInt()
+    val sampled = Array.fill(n)(QuantileSummaries.Stats(
+      buf.getDouble(), buf.getLong(), buf.getLong()))
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold,
+      relErr, sampled, count, compressed)
+  }
 
   /** FIT: one pass → a 1-row GK artifact (rank error ≤ ε·N). The
     * per-partition summaries reduce pairwise — the same shape

@@ -124,6 +124,75 @@ class SketchArtifactsSpec extends SparkSpec {
       === before)
   }
 
+  test("gk artifact codec: portable (value,g,delta) frames rebuild the " +
+      "identical summary; the old java-serialized path is refused loudly") {
+    val eps = 0.01
+    val art = SA.gkFit(rows, "key", eps)
+    val bytes = art.select("sketch").head().getAs[Array[Byte]](0)
+    val qs = SA.deserialize(bytes)
+    val re = SA.deserialize(SA.serialize(qs))
+    (1 to 9).map(_ / 10.0).foreach { p =>
+      assert(qs.query(p) === re.query(p), s"decile $p differs after round-trip")
+    }
+    assert(re.count === qs.count)
+    assert(java.util.Arrays.equals(SA.serialize(qs), bytes)) // byte-stable
+    // a java-serialized summary (the pre-r15 artifact encoding) must be
+    // refused at the magic check, never misread as frames
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(qs); oos.close()
+    intercept[IllegalArgumentException] { SA.deserialize(bos.toByteArray) }
+  }
+
+  test("streaming cms fit survives a DRIVER restart: a fresh RunningCms " +
+      "recovered from the persisted per-batch artifact resumes on the same " +
+      "checkpoint and lands bit-identical to an uninterrupted run") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_cms_restart").toString
+    val ckpt = s"$base/ckpt"
+    val persist = s"$base/artifact"
+    val in = MemoryStream[(Long, Long)]
+    val all = rows.as[(Long, Long)].collect()
+    val chunks = all.grouped(all.length / 3 + 1).toSeq
+    def startQuery(state: SA.RunningCms) =
+      SA.cmsFitStream(in.toDF().toDF("row_id", "key"), "key", state,
+          persistPath = Some(persist))
+        .option("checkpointLocation", ckpt).start()
+
+    // run 1: two micro-batches, then the "driver dies"
+    val state1 = new SA.RunningCms(1e-4, 0.99, 42)
+    val q1 = startQuery(state1)
+    try chunks.take(2).foreach { c =>
+      in.addData(c.toSeq: _*); q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart: a FRESH state seeded only from the persisted artifact
+    val state2 = SA.RunningCms.recover(spark, persist, 1e-4, 0.99, 42)
+    assert(state2.lastBatchId === state1.lastBatchId)
+    val recovered = state2.artifact(spark, "key").select("n_rows", "sketch").head()
+    val inMem = state1.artifact(spark, "key").select("n_rows", "sketch").head()
+    assert(recovered.getLong(0) === inMem.getLong(0))
+    assert(java.util.Arrays.equals(recovered.getAs[Array[Byte]](1),
+      inMem.getAs[Array[Byte]](1)))
+    val q2 = startQuery(state2)
+    try {
+      in.addData(chunks(2).toSeq: _*); q2.processAllAvailable()
+    } finally q2.stop()
+
+    // the recovered-and-resumed artifact == one batch fit over everything
+    val got = state2.artifact(spark, "key").select("n_rows", "sketch").head()
+    val whole = SA.cmsFit(rows, "key").select("n_rows", "sketch").head()
+    assert(got.getLong(0) === whole.getLong(0))
+    assert(java.util.Arrays.equals(got.getAs[Array[Byte]](1),
+      whole.getAs[Array[Byte]](1)))
+    // recovery refuses a mismatched fit configuration loudly
+    intercept[IllegalArgumentException] {
+      SA.RunningCms.recover(spark, persist, eps = 1e-3)
+    }
+  }
+
   test("incompatible artifact merges are refused loudly") {
     val a = SA.cmsFit(third(0), "key", eps = 1e-3)
     val b = SA.cmsFit(third(1), "key", eps = 1e-4)

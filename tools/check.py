@@ -43,19 +43,37 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    oracle_path = OUT / "oracle_sql.json"
+    oracle = json.loads(oracle_path.read_text())
     # Verify always dumps the FULL oracle map, but SPARK_GRAFT_ONLY
-    # subset runs write only the requested outputs. A missing output is
-    # a FAIL only when Verify recorded the query as failed
-    # (failures.json); otherwise it simply wasn't run this pass.
+    # subset runs write only the requested outputs. Verify writes
+    # manifest.json LAST, listing the names it attempted: a missing or
+    # stale manifest (Verify killed mid-run — OOM/JVM abort) is fatal
+    # whenever any output dir is absent, instead of silently counting
+    # the gap as "not run (subset)".
     fail_path = OUT / "failures.json"
     verify_fails = json.loads(fail_path.read_text()) if fail_path.exists() else {}
+    man_path = OUT / "manifest.json"
+    manifest = None
+    if man_path.exists() and man_path.stat().st_mtime >= oracle_path.stat().st_mtime:
+        manifest = json.loads(man_path.read_text())
+    ran = set(manifest["ran"]) if manifest else None
     n_ok = n_bad = n_skip = 0
     for name, sql in sorted(oracle.items()):
         pdir = OUT / name
         if not pdir.exists():
             if name in verify_fails:
                 print(f"FAIL {name}: verify error: {verify_fails[name][:120]}")
+                n_bad += 1
+            elif ran is None:
+                print(f"FAIL {name}: output missing and manifest.json absent/stale "
+                      "— Verify killed mid-run?")
+                n_bad += 1
+            elif name in ran:
+                print(f"FAIL {name}: in manifest but no output written")
+                n_bad += 1
+            elif manifest.get("full_run"):
+                print(f"FAIL {name}: full run but not in manifest")
                 n_bad += 1
             else:
                 n_skip += 1
