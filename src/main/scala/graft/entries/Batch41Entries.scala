@@ -119,6 +119,9 @@ object Batch41Entries {
       : String = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the zero-drop assertion below sums recentProgress — keep every
+    // micro-batch's metrics, not just the default last 100
+    Streaming.withFullProgressRetention(s)
     val in = MemoryStream[TypedEvent]
     val qn = s"${name}_sink_${sinkSeq.incrementAndGet()}"
     val q = mk(in, s"$delayMs milliseconds").writeStream

@@ -567,17 +567,51 @@ object Streaming {
     * EventTimeTimeout, FlatMapGroupsWithStateExec filters late rows
     * BEFORE the user function runs, so this metric — not the
     * in-function slip counter — is the real late-drop count for the
-    * `*Ooo` deploys. Readable after `q.stop()`. */
+    * `*Ooo` deploys. Readable after `q.stop()`.
+    *
+    * RETENTION CAVEAT: recentProgress keeps only the last
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * micro-batches — a replay longer than that silently undercounts.
+    * Callers asserting zero drops must either stay under the window
+    * (the entry replays are 5 batches) or raise the conf BEFORE
+    * starting the query ([[withFullProgressRetention]]). */
   def droppedByWatermark(q: StreamingQuery): Long =
     q.recentProgress.iterator
       .flatMap(_.stateOperators.iterator)
       .map(_.numRowsDroppedByWatermark).sum
+
+  /** Raise the progress-retention window so [[droppedByWatermark]]
+    * sums over EVERY micro-batch of a bounded replay, not just the
+    * last 100 — call before `start()` on any query whose late-drop
+    * count backs an assertion. */
+  def withFullProgressRetention(spark: SparkSession,
+                                maxBatches: Int = 100000): Unit =
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+      maxBatches.toString)
 
   /** Reorder-buffer state: the held not-yet-ripe events plus the
     * wrapped operator's own state. The buffer is bounded by the
     * watermark horizon — only events within `delay` of the stream's
     * max event time can be held — never by stream length. */
   case class OooBuf[S](user_id: Long, buffer: Seq[TypedEvent], inner: Option[S])
+
+  /** Max-merging accumulator — a gauge for the PEAK per-user reorder
+    * buffer size, the honest skew metric (a sum would conflate many
+    * small buffers with one hot one). Register before use. */
+  final class MaxAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var _v = 0L
+    override def isZero: Boolean = _v == 0L
+    override def copy(): MaxAccumulator = {
+      val c = new MaxAccumulator; c._v = _v; c
+    }
+    override def reset(): Unit = _v = 0L
+    override def add(v: Long): Unit = _v = math.max(_v, v)
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      _v = math.max(_v, o.value)
+    override def value: Long = _v
+  }
 
   /** Watermarked out-of-order fold kernel. `keep` filters the typed
     * stream AFTER the watermark is attached (so flush/heartbeat rows
@@ -591,14 +625,24 @@ object Streaming {
     * in-order family); a user holding events re-arms a timeout at the
     * earliest held event so the buffer drains even if the user goes
     * quiet. The shuffle is the groupByKey on user only.
-    */
+    *
+    * SKEW GUARD: the buffer is bounded by the watermark horizon but
+    * PER USER — a power-law hot user can hold millions of in-horizon
+    * events in one group's state. `maxBufferPerUser` caps that held
+    * set and refuses LOUDLY on overflow (the maxHamming convention: a
+    * wrong-tool refusal beats a silent executor OOM) — the message
+    * says which user and what to do (shorten the delay so events
+    * ripen sooner, or route the hot key to the batch operator).
+    * EVSPROBE's skew axis measures the knee honestly in SCALE.md. */
   def reorderedStream[S <: Product : TypeTag, O <: Product : TypeTag](
       events: Dataset[TypedEvent],
       delay: String,
       keep: TypedEvent => Boolean,
       sortKey: TypedEvent => (Long, Long, Long),
       fold: (Long, Option[S], Seq[TypedEvent]) => (S, Seq[O]),
-      lateCounter: Option[LongAccumulator] = None): Dataset[O] = {
+      lateCounter: Option[LongAccumulator] = None,
+      maxBufferPerUser: Int = 1 << 20,
+      heldGauge: Option[MaxAccumulator] = None): Dataset[O] = {
     implicit val bufEnc: Encoder[OooBuf[S]] = Encoders.product[OooBuf[S]]
     implicit val outEnc: Encoder[O] = Encoders.product[O]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
@@ -625,6 +669,15 @@ object Streaming {
               val (s2, o) = fold(uid, st.inner, ripe.sortBy(sortKey))
               (Some(s2), o)
             }
+          heldGauge.foreach(_.add(hold.size.toLong))
+          if (hold.size > maxBufferPerUser)
+            throw new IllegalStateException(
+              s"reorderedStream: user $uid holds ${hold.size} not-yet-ripe " +
+                s"events > maxBufferPerUser=$maxBufferPerUser. A single key " +
+                "is carrying more in-horizon volume than one group's state " +
+                "should buffer — shorten the watermark delay so events " +
+                "ripen sooner, raise the cap explicitly, or run the batch " +
+                "operator for this key.")
           state.update(OooBuf(uid, hold, inner2))
           if (hold.nonEmpty) {
             // wake when the watermark passes the earliest held event
@@ -980,14 +1033,18 @@ object Streaming {
     * this is the family member that breaks WORST under shuffled
     * arrival without the buffer). */
   def transitionsStreamOoo(events: Dataset[TypedEvent], delay: String,
-                           lateCounter: Option[LongAccumulator] = None)
+                           lateCounter: Option[LongAccumulator] = None,
+                           maxBufferPerUser: Int = 1 << 20,
+                           heldGauge: Option[MaxAccumulator] = None)
       : Dataset[Transition] =
     reorderedStream[LastEvent, Transition](
       events, delay,
       keep = _ => true,
       sortKey = tsIdKey,
       fold = (uid, prior, ordered) => transFold(uid, prior, ordered),
-      lateCounter = lateCounter)
+      lateCounter = lateCounter,
+      maxBufferPerUser = maxBufferPerUser,
+      heldGauge = heldGauge)
 
   /** EMA is order-sensitive; mapGroupsWithState delivers a batch's
     * rows in shuffle order, so events carry a caller-assigned `seq`

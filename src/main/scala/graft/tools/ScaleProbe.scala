@@ -576,6 +576,58 @@ object ScaleProbe {
           .writeStream.format("memory")
           .queryName(s"evs_tro_$n").outputMode("append").start()
       }
+      // SKEW variant (round 15): one hot user carries ~50% of ALL
+      // events, displaced within a window of n/4 slots — the horizon
+      // bound is PER USER, so the hot user's reorder buffer has to
+      // hold ~n/8 events at peak (measured by the MaxAccumulator
+      // gauge, not asserted). This is the honest knee of the OOO
+      // deploys under power-law users; the per-user cap refuses past
+      // maxBufferPerUser instead of OOMing an executor.
+      val skewEvs = Array.tabulate(n) { i =>
+        graft.stream.Streaming.TypedEvent(
+          if (i % 2 == 0) 0L else (i * 2654435761L % nUsers).abs + 1L,
+          i.toLong, types(((i * 40503L) % 4).toInt.abs),
+          new java.sql.Timestamp(base + i * 1000L))
+      }
+      val dispS = new scala.util.Random(11)
+      val skewShuffled = skewEvs.zipWithIndex
+        .map { case (e, i) => (e, i + dispS.nextInt(math.max(n / 4, 1))) }
+        .sortBy { case (e, k) => (k, e.event_id) }
+        .map(_._1)
+      var runMaxS = Long.MinValue; var lateMaxS = 0L
+      skewShuffled.foreach { e =>
+        val m = graft.stream.Streaming.epochMicros(e.ts)
+        if (runMaxS > m) lateMaxS = math.max(lateMaxS, runMaxS - m)
+        runMaxS = math.max(runMaxS, m)
+      }
+      val delayMsS = lateMaxS / 1000L + 2000L
+      val maxTsMsS = skewShuffled.map(_.ts.getTime).max
+      locally {
+        val gauge = new graft.stream.Streaming.MaxAccumulator
+        spark.sparkContext.register(gauge, "ooo_held_peak")
+        val in = MemoryStream[graft.stream.Streaming.TypedEvent]
+        val t0 = System.nanoTime()
+        val q = graft.stream.Streaming.transitionsStreamOoo(in.toDS(),
+            s"$delayMsS milliseconds", heldGauge = Some(gauge)).toDF()
+          .writeStream.format("memory")
+          .queryName(s"evs_trs_$n").outputMode("append").start()
+        skewShuffled.grouped(n / 5 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*); q.processAllAvailable()
+        }
+        val t1 = maxTsMsS + delayMsS + 10000L
+        in.addData(graft.stream.Streaming.TypedEvent(-1L, -1L, "__flush__",
+          new java.sql.Timestamp(t1)))
+        q.processAllAvailable()
+        in.addData(graft.stream.Streaming.TypedEvent(-1L, -2L, "__flush__",
+          new java.sql.Timestamp(t1 + 1000L)))
+        q.processAllAvailable()
+        q.stop()
+        val dropped = graft.stream.Streaming.droppedByWatermark(q)
+        require(dropped == 0L,
+          s"transitions_stream_ooo_skew dropped $dropped in-horizon events")
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        println(f"""EVSPROBE {"op":"transitions_stream_ooo_skew","events":$n,"hot_user_share":0.5,"disorder_slots":${math.max(n / 4, 1)},"peak_user_buffer":${gauge.value},"dropped":$dropped,"sec":$sec%.3f}""")
+      }
       spark.stop()
       return
     }

@@ -803,6 +803,38 @@ class StreamSpec extends SparkSpec {
     assert(pairs === Seq(("view", "click")))
   }
 
+  test("reorder buffer refuses a hot user past maxBufferPerUser loudly; " +
+      "the gauge reports the peak held size") {
+    implicit val sqlCtx = spark.sqlContext
+    import Streaming.TypedEvent
+    // 10 events for ONE user, all ahead of the (still-unset) watermark
+    // under a 1-hour delay: the whole set is held after batch 1
+    val evs = (0 until 10).map(i => TypedEvent(7L, i.toLong, "view",
+      Timestamp.valueOf(f"2024-01-01 00:00:$i%02d")))
+    def run(cap: Int, name: String,
+            gauge: Option[Streaming.MaxAccumulator]): Unit = {
+      val in = MemoryStream[TypedEvent]
+      val q = Streaming.transitionsStreamOoo(in.toDS(), "1 hour",
+          maxBufferPerUser = cap, heldGauge = gauge).toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try { in.addData(evs: _*); q.processAllAvailable() } finally q.stop()
+    }
+    // AT the boundary: held == cap — no refusal, peak measured
+    val g = new Streaming.MaxAccumulator
+    spark.sparkContext.register(g, "held_peak")
+    run(10, "cap_ok", Some(g))
+    assert(g.value === 10L)
+    // ONE past the boundary: loud refusal naming the user and the knob
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(9, "cap_over", None)
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxBufferPerUser=9") && msgs.contains("user 7"),
+      s"refusal message missing: $msgs")
+  }
+
   test("streaming media dedup collapses perceptual duplicates across containers") {
     implicit val sqlCtx = spark.sqlContext
     import graft.mm.Multimodal
