@@ -65,7 +65,8 @@ object SparkEntry {
       entries.Batch38Entries.queries ++
       entries.Batch39Entries.queries ++
       entries.Batch40Entries.queries ++
-      entries.Batch41Entries.queries
+      entries.Batch41Entries.queries ++
+      entries.Batch42Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -109,7 +110,8 @@ object SparkEntry {
       entries.Batch38Entries.oracleSql ++
       entries.Batch39Entries.oracleSql ++
       entries.Batch40Entries.oracleSql ++
-      entries.Batch41Entries.oracleSql
+      entries.Batch41Entries.oracleSql ++
+      entries.Batch42Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

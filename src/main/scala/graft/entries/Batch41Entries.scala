@@ -405,15 +405,17 @@ object Batch41Entries {
         .orderBy("sample_id")
     }),
 
-    // io.Npy.readNpy (closes the read_data numpy descope,
-    // gofast/api/property.py:2781): a REAL np.save-written fixture
-    // (src/test/resources/npy/f4_2d.npy = arange(12, '<f4')
-    // .reshape(3,4) * 0.5) parsed by the pure-JVM npy reader over a
-    // binaryFile scan. FULL oracle — the fixture's closed form
-    // (i*4+j)*0.5, exact in f4 and f8 alike.
+    // io.Npy parser (closes the read_data numpy descope,
+    // gofast/api/property.py:2781): the arange(12,'<f4').reshape(3,4)
+    // * 0.5 fixture synthesized IN-MEMORY by the npy writer and parsed
+    // back by the same `elements` kernel the binaryFile scan uses —
+    // no absolute fixture path to break under relocation (real
+    // np.save-written files stay golden-tested in NpySpec). FULL
+    // oracle — the closed form (i*4+j)*0.5, exact in f4 and f8 alike.
     "read_npy" -> ((s, dir) => {
-      graft.io.Npy.readNpy(s,
-          "/root/repo/src/test/resources/npy/f4_2d.npy")
+      val blob = graft.io.Npy.npyBytes("<f4", Seq(3L, 4L),
+        Array.tabulate(12)(_ * 0.5))
+      graft.io.Npy.readNpyBlobs(s, Seq(("f4_2d.npy", blob)))
         .select(col("dtype"),
           element_at(col("coords"), 1).as("i"),
           element_at(col("coords"), 2).as("j"),

@@ -1,0 +1,109 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.core.{Tables => T}
+import graft.io.Npy
+import graft.ml.Similarity
+
+/** Round-15 batch: the ingest→index glue and the streaming drift
+  * deploy — both composition entries proving that round-14's new
+  * machinery feeds the existing stacks end-to-end.
+  *
+  *  - `npy_ann_topk`: the embeddings table exported as SHARDED
+  *    self-describing f8 .npy files (id in column 0 — the layout numpy
+  *    corpora use), re-ingested through the binaryFile npy parser, and
+  *    queried by the brute-force cosine path. read_data(npy) →
+  *    similarity is exactly the reference's io → preprocessing →
+  *    similarity pipeline shape (gofast/core/io.py:826 →
+  *    gofast/dataops/preprocessing.py:3285).
+  *  - `drift_psi_stream`: the PSI monitor as a continuous deploy —
+  *    reference quantile edges fitted once, per-bin counts maintained
+  *    by the engine (Complete mode, state = bins rows), PSI read off
+  *    the sink with the batch arithmetic verbatim (the monitoring
+  *    family's streaming twin, gofast/dataops/quality.py:1863).
+  */
+object Batch42Entries {
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One shard export per (dir, JVM): the testdata is immutable, so
+    * bench passes re-read the same files instead of re-writing them —
+    * the entry times the INGEST+SEARCH path, which is the deploy
+    * shape (corpora are written once, queried forever). */
+  private val npyDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def npyShardDir(s: SparkSession, dir: String): String =
+    npyDirCache.computeIfAbsent(dir, d => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_npy_ann_").toFile
+      tmp.deleteOnExit()
+      Npy.writeNpyShards(T.embeddings(s, d), "vec_id", "embedding",
+        tmp.getPath, rowsPerShard = 256)
+      tmp.getPath
+    })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // npy ingest feeding the ANN stack with zero driver detours: the
+    // binaryFile scan parses shards per-partition, readNpyMatrix
+    // regroups COO to per-row vectors, column 0 carries the id (the
+    // self-describing shard layout — no sidecar index), and the f8
+    // round-trip is exact for f4 embeddings (float widens losslessly),
+    // so the top-10 matches cosine_topk's oracle verbatim. FULL oracle.
+    "npy_ann_topk" -> ((s, dir) => {
+      val mat = Npy.readNpyMatrix(s, npyShardDir(s, dir))
+      val rebuilt = mat.select(
+        element_at(col("values"), 1).cast("long").as("vec_id"),
+        // length = size(values): slice clamps to the tail; an
+        // Int.MaxValue length overflows Slice's start+length guard
+        // and silently returns the EMPTY array.
+        transform(slice(col("values"), lit(2), size(col("values"))),
+          v => v.cast("float")).as("embedding"))
+      val q = rebuilt.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.cosineTopK(rebuilt, "embedding", "vec_id", q, k = 10)
+        .withColumn("cos", round(col("cos"), 9))
+    }),
+
+    // Streaming PSI drift monitor: edges fitted once from the even
+    // half (the fitted-scalar pattern), the odd half replayed through
+    // a MemoryStream in 3 micro-batches, bin counts maintained by the
+    // ENGINE in Complete mode (state = 10 rows, shuffle keyed on 10
+    // bins), PSI computed from the accumulated sink with the batch
+    // kernel — drift_psi's oracle verbatim. FULL oracle.
+    "drift_psi_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val li = T.lineitem(s, dir)
+      val ref = li.filter(col("l_orderkey") % 2 === 0)
+        .select("l_extendedprice")
+      val edges = graft.stats.DataAudit.psiFitEdges(ref, "l_extendedprice")
+      val cur = li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_extendedprice").cast("double")).as[Double].collect()
+      val in = MemoryStream[Double]
+      val qn = s"psi_sink_${sinkSeq.incrementAndGet()}"
+      val q = graft.stats.DataAudit.psiStreamCounts(
+          in.toDF().toDF("l_extendedprice"), "l_extendedprice", edges)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try cur.grouped(cur.length / 3 + 1).foreach { chunk =>
+        in.addData(chunk.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      graft.stats.DataAudit.psiOfCounts(
+          graft.stats.DataAudit.binCounts(ref, "l_extendedprice", edges, "_cr"),
+          s.table(qn), bins = 10)
+        .orderBy("bin")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // the npy round-trip must land on the embedding table's own
+    // brute-force answer — cosine_topk's oracle verbatim
+    "npy_ann_topk" -> TextEntries.oracleSql("cosine_topk"),
+    // accumulated-stream PSI == batch PSI on the same split
+    "drift_psi_stream" -> Batch40Entries.oracleSql("drift_psi")
+  )
+}

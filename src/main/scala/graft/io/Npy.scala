@@ -156,6 +156,99 @@ object Npy {
     StructField("value_long", LongType, nullable = true),
     StructField("dtype", StringType, nullable = false)))
 
+  /** Parse in-memory npy blobs (name, bytes) as COO rows — the same
+    * `elements` kernel as [[readNpy]] without the filesystem: entries
+    * and tests synthesize their fixtures with [[npyBytes]] instead of
+    * depending on an absolute path that breaks under relocation. */
+  def readNpyBlobs(spark: SparkSession, blobs: Seq[(String, Array[Byte])],
+                   maxElements: Long = 1L << 28): DataFrame = {
+    require(blobs.nonEmpty, "readNpyBlobs needs at least one blob")
+    val rdd = spark.sparkContext
+      .parallelize(blobs, math.min(blobs.size, 32))
+      .flatMap { case (name, bytes) =>
+        val (h, it) = elements(bytes, maxElements)
+        it.map { case (c, d, l) => Row(name, "", c, d, l, h.descr) }
+      }
+    spark.createDataFrame(rdd, cooSchema)
+  }
+
+  /** Synthesize a spec-conformant npy v1 blob — the writer side of the
+    * format (magic, 64-byte-aligned Python-literal header, raw
+    * little-endian C-order buffer). '<f8' and '<f4' cover the
+    * embedding-corpus layouts; ints ride exactly in f8 to 2^53. */
+  def npyBytes(descr: String, shape: Seq[Long],
+               values: Array[Double]): Array[Byte] = {
+    val n = if (shape.isEmpty) 1L else shape.product
+    require(values.length.toLong == n,
+      s"values ${values.length} != shape product $n")
+    val shapeStr =
+      if (shape.isEmpty) "()"
+      else if (shape.size == 1) s"(${shape.head},)"
+      else shape.mkString("(", ", ", ")")
+    val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': $shapeStr, }"
+    val pad = (64 - (10 + dict.length + 1) % 64) % 64
+    val header = dict + (" " * pad) + "\n"
+    val sz = descr match {
+      case "<f8" => 8
+      case "<f4" => 4
+      case o => throw new IllegalArgumentException(
+        s"npyBytes writes <f8 or <f4, got $o")
+    }
+    val buf = ByteBuffer.allocate(10 + header.length + (n * sz).toInt)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(Magic).put(1.toByte).put(0.toByte)
+    buf.putShort(header.length.toShort)
+    buf.put(header.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    if (sz == 8) values.foreach(buf.putDouble)
+    else values.foreach(v => buf.putFloat(v.toFloat))
+    buf.array()
+  }
+
+  /** Export an (id, vector) DataFrame as SHARDED rank-2 '<f8' .npy
+    * files under `dir` — the layout numpy embedding corpora actually
+    * use (one bounded matrix per shard; [[readNpy]]'s binaryFile scan
+    * parallelizes over the files). Column 0 of every matrix row is the
+    * id, columns 1..d the vector, so shards are SELF-DESCRIBING — no
+    * sidecar index to drift out of sync. Shard s holds ids in
+    * [s·rowsPerShard, (s+1)·rowsPerShard) sorted ascending:
+    * deterministic bytes for deterministic input. Each shard is
+    * grouped with collect_list (bounded by rowsPerShard·(d+1) doubles)
+    * and written by the TASK holding it — zero driver involvement;
+    * `dir` must be a shared filesystem on a real cluster. */
+  def writeNpyShards(df: DataFrame, idCol: String, vecCol: String,
+                     dir: String, rowsPerShard: Int = 4096): Unit = {
+    require(rowsPerShard > 0, "rowsPerShard must be positive")
+    new java.io.File(dir).mkdirs()
+    df.select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_id").isNotNull && col("_v").isNotNull)
+      .withColumn("_shard", floor(col("_id") / rowsPerShard).cast("long"))
+      .groupBy("_shard")
+      .agg(array_sort(collect_list(struct(col("_id"), col("_v"))))
+        .as("_rows"))
+      .foreach { r =>
+        val s = r.getLong(0)
+        val rows = r.getSeq[Row](1)
+        val d = rows.head.getSeq[Double](1).length
+        require(rows.forall(_.getSeq[Double](1).length == d),
+          s"shard $s mixes vector widths — writeNpyShards needs a " +
+            "rectangular corpus")
+        val flat = new Array[Double](rows.length * (d + 1))
+        var i = 0
+        rows.foreach { row =>
+          flat(i * (d + 1)) = row.getLong(0).toDouble
+          val v = row.getSeq[Double](1)
+          var j = 0
+          while (j < d) { flat(i * (d + 1) + 1 + j) = v(j); j += 1 }
+          i += 1
+        }
+        val bytes = npyBytes("<f8", Seq(rows.length.toLong, (d + 1).toLong), flat)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"shard-$s%05d.npy"), bytes)
+        ()
+      }
+  }
+
   /** Read .npy file(s) (a path, directory or glob) as COO rows. */
   def readNpy(spark: SparkSession, path: String,
               maxElements: Long = 1L << 28): DataFrame = {

@@ -71,20 +71,48 @@ object DataAudit {
     require(floor > 0, s"floor must be > 0, got $floor")
     val edges = graft.stats.Quantiles.exactPercentiles(ref, valueCol,
       (1 until bins).map(_.toDouble / bins))
-    def binOf(v: org.apache.spark.sql.Column) =
-      edges.foldLeft(lit(1))((acc, e) =>
-        acc + when(v > lit(e), 1).otherwise(0))
-    def counts(df: DataFrame, out: String): DataFrame = {
-      val v = col(valueCol).cast("double")
-      df.filter(v.isNotNull).select(binOf(v).as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(out))
-    }
-    val spark = ref.sparkSession
+    psiOfCounts(binCounts(ref, valueCol, edges, "_cr"),
+      binCounts(cur, valueCol, edges, "_cc"), bins, floor)
+  }
+
+  /** Fit the reference bin edges once — the fitted-scalar artifact a
+    * STREAMING psi deploy broadcasts as literals ([[psiStreamCounts]]);
+    * exact reference quantiles, bins−1 driver scalars. */
+  def psiFitEdges(ref: DataFrame, valueCol: String,
+                  bins: Int = 10): Seq[Double] = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    graft.stats.Quantiles.exactPercentiles(ref, valueCol,
+      (1 until bins).map(_.toDouble / bins))
+  }
+
+  private def binOf(v: org.apache.spark.sql.Column,
+                    edges: Seq[Double]): org.apache.spark.sql.Column =
+    edges.foldLeft(lit(1))((acc, e) => acc + when(v > lit(e), 1).otherwise(0))
+
+  /** Per-bin counts of `df` under fitted `edges` — works unchanged on
+    * a STREAMING DataFrame (pure projection + groupBy: the engine
+    * maintains exactly `bins` state rows in complete mode). */
+  def binCounts(df: DataFrame, valueCol: String, edges: Seq[Double],
+                out: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull).select(binOf(v, edges).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(out))
+  }
+
+  /** The PSI arithmetic over two per-bin count tables — shared by the
+    * batch [[psi]] and the streaming deploy so both land on IDENTICAL
+    * doubles (same expressions, same single libm crossing).
+    * `refCounts` carries `_cr`, `curCounts` `_cc`. */
+  def psiOfCounts(refCounts: DataFrame, curCounts: DataFrame,
+                  bins: Int, floor: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    require(floor > 0, s"floor must be > 0, got $floor")
+    val spark = refCounts.sparkSession
     val domain = spark.range(1, bins + 1L)
       .select(col("id").cast("int").as("bin"))
     val joined = domain
-      .join(counts(ref, "_cr"), Seq("bin"), "left")
-      .join(counts(cur, "_cc"), Seq("bin"), "left")
+      .join(refCounts, Seq("bin"), "left")
+      .join(curCounts, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("_cr"), lit(0L)).as("_cr"),
         coalesce(col("_cc"), lit(0L)).as("_cc"))
     val tot = joined.agg(sum("_cr").as("_tr"), sum("_cc").as("_tc"))
@@ -100,6 +128,19 @@ object DataAudit {
         round(q, 6).as("cur_share"),
         round((q - p) * log(q / p), 6).as("psi_term"))
   }
+
+  /** STREAMING drift monitor, fit/deploy split: reference edges fitted
+    * once ([[psiFitEdges]] — the fitted-scalar pattern), then the
+    * stream's per-bin counts maintained by the ENGINE as `bins` state
+    * rows. Start the returned frame in Complete mode (e.g. a memory
+    * sink): after every micro-batch the sink holds the accumulated
+    * counts, and `psiOfCounts(refCounts, sink, bins)` is the live PSI
+    * — identical to the batch [[psi]] over the data ingested so far.
+    * State is O(bins), shuffle is the `bins`-key aggregate; the
+    * corpus is never rescanned. */
+  def psiStreamCounts(stream: DataFrame, valueCol: String,
+                      edges: Seq[Double]): DataFrame =
+    binCounts(stream, valueCol, edges, "_cc")
 
   /** Categorical PSI — [[psi]]'s twin for categorical columns
     * (reference adjacency: the same monitoring family,

@@ -37,7 +37,9 @@ object PlanAudit {
     // drift_psi / drift_psi_cat: the (total_ref, total_cur) 1-row
     // broadcast that normalizes the bin/category count table into
     // shares (the benford / pareto_curve convention)
-    "drift_psi", "drift_psi_cat",
+    // (drift_psi_stream deploys the same psiOfCounts arithmetic over
+    // the engine-maintained sink counts)
+    "drift_psi", "drift_psi_cat", "drift_psi_stream",
     // line_dedup / unigram_ppl / bigram_ppl / kn_ppl / sb_ppl /
     // kn3_ppl: corpus-total scalars (doc count; token count N + vocab
     // size V; bigram/trigram type totals + successor vocab) as 1-row

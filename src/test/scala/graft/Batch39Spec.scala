@@ -56,6 +56,28 @@ class Batch39Spec extends SparkSpec {
     assert(out.map(_._4).sum > 0.25)
   }
 
+  test("psi fit/deploy split lands on the batch kernel's exact doubles") {
+    // the streaming deploy is psiFitEdges (once) + engine-maintained
+    // binCounts + psiOfCounts; composed over static frames it must be
+    // IDENTICAL to psi() — same expressions, same single libm crossing
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = (31 to 90).map(_.toDouble).toDF("v")
+    val direct = DataAudit.psi(ref, cur, "v", bins = 5)
+      .orderBy("bin").as[(Int, Double, Double, Double)].collect()
+    val edges = DataAudit.psiFitEdges(ref, "v", bins = 5)
+    // the stream side only ever sees per-batch increments; two
+    // arbitrary splits of cur must accumulate to the same counts
+    val curCounts = DataAudit.binCounts(
+      (31 to 50).map(_.toDouble).toDF("v"), "v", edges, "_cc")
+      .unionAll(DataAudit.binCounts(
+        (51 to 90).map(_.toDouble).toDF("v"), "v", edges, "_cc"))
+      .groupBy("bin").agg(sum("_cc").as("_cc"))
+    val split = DataAudit.psiOfCounts(
+        DataAudit.binCounts(ref, "v", edges, "_cr"), curCounts, bins = 5)
+      .orderBy("bin").as[(Int, Double, Double, Double)].collect()
+    assert(split.toSeq === direct.toSeq)
+  }
+
   test("psiCategorical: value-group bins, one-sided categories floored, " +
       "null its own category") {
     val ref = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq(null))

@@ -94,6 +94,67 @@ class NpySpec extends SparkSpec {
       .select($"array_name").distinct().count() === 2L)
   }
 
+  test("npyBytes is BYTE-identical to np.save for the golden fixture") {
+    // the writer is checked against the real producer: same dict
+    // spelling, same 64-byte alignment, same raw little-endian buffer
+    val mine = Npy.npyBytes("<f4", Seq(3L, 4L),
+      Array.tabulate(12)(_ * 0.5))
+    val golden = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "f4_2d.npy"))
+    assert(mine.toSeq === golden.toSeq)
+  }
+
+  test("readNpyBlobs parses a blob exactly like readNpy parses the file") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "f8_1d.npy"))
+    val blob = Npy.readNpyBlobs(spark, Seq(("f8_1d.npy", bytes)))
+      .orderBy(element_at($"coords", 1))
+      .select($"coords", $"value", $"dtype")
+      .as[(Seq[Long], Double, String)].collect()
+    val file = coo("f8_1d.npy").orderBy(element_at($"coords", 1))
+      .select($"coords", $"value", $"dtype")
+      .as[(Seq[Long], Double, String)].collect()
+    assert(blob.toSeq === file.toSeq)
+  }
+
+  test("writeNpyShards -> readNpyMatrix round-trips ids and vectors") {
+    val df = (0L until 10L).map(i =>
+      (i, Seq(i * 0.25f, -i * 1.5f, i.toFloat))).toDF("id", "vec")
+    val tmp = java.nio.file.Files.createTempDirectory("npy_shards_").toFile
+    try {
+      Npy.writeNpyShards(df, "id", "vec", tmp.getPath, rowsPerShard = 4)
+      // ceil(10/4) = 3 self-describing shard files
+      assert(tmp.listFiles().count(_.getName.endsWith(".npy")) === 3)
+      val back = Npy.readNpyMatrix(spark, tmp.getPath)
+        .select(element_at($"values", 1).cast("long").as("id"),
+          slice($"values", lit(2), size($"values")).as("vec"))
+        .orderBy("id").as[(Long, Seq[Double])].collect()
+      assert(back.map(_._1).toSeq === (0L until 10L))
+      // f4 embeddings widen losslessly through the f8 shard format
+      back.foreach { case (i, v) =>
+        assert(v === Seq(i * 0.25f, -i * 1.5f, i.toFloat).map(_.toDouble))
+      }
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
+
+  test("rank-0 scalar npy: readNpy yields one row, readNpyMatrix row 0") {
+    // shape () means empty coords: every element_at must sit behind a
+    // rank guard or ANSI mode throws INVALID_ARRAY_INDEX
+    val blob = Npy.npyBytes("<f8", Seq.empty, Array(42.5))
+    val tmp = java.nio.file.Files.createTempFile("npy_scalar_", ".npy")
+    try {
+      java.nio.file.Files.write(tmp, blob)
+      val coo0 = Npy.readNpy(spark, tmp.toString)
+        .select($"coords", $"value").as[(Seq[Long], Double)].collect()
+      assert(coo0.toSeq === Seq((Seq.empty[Long], 42.5)))
+      val m = Npy.readNpyMatrix(spark, tmp.toString)
+        .select($"row", $"values").as[(Long, Seq[Double])].head()
+      assert(m === ((0L, Seq(42.5))))
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("empty arrays, bad magic and unsupported dtypes refuse loudly") {
     assert(coo("f4_1d_empty.npy").count() === 0L)
     intercept[IllegalArgumentException] {
