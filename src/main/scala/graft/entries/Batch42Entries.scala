@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.core.{Tables => T}
-import graft.io.Npy
+import graft.io.{Npy, Pickle}
 import graft.ml.Similarity
 
 /** Round-15 batch: the ingest→index glue and the streaming drift
@@ -68,6 +68,30 @@ object Batch42Entries {
         .withColumn("cos", round(col("cos"), 9))
     }),
 
+    // io.Pickle (closes the read_data pickle descope,
+    // gofast/api/property.py:2781): a protocol-2 list-of-dicts frame
+    // synthesized in-memory (the parser itself is golden-tested
+    // against CPython-written fixtures in PickleSpec), parsed by the
+    // pure-JVM subset reader — constructor opcodes refuse by design —
+    // and pivoted to the wide record frame under the driver-inferred
+    // schema. FULL oracle — the records' closed form. Remaining
+    // read_data descopes: SAS/SPSS (documented conversions).
+    "read_pickle" -> ((s, dir) => {
+      val recs = (0 until 12).map { i =>
+        scala.collection.immutable.ListMap[String, Any](
+          "id" -> i.toLong, "name" -> s"r${i % 3}",
+          "score" -> i * 0.25, "flag" -> (i % 2 == 0),
+          "note" -> (if (i % 4 == 0) null else s"n$i"))
+      }
+      val blob = Pickle.dumps(recs)
+      Pickle.records(
+          Pickle.readPickleBlobs(s, Seq(("records.pkl", blob))),
+          Pickle.inferKeys(Pickle.parse(blob)))
+        .select(col("id"), col("name"), col("score"), col("flag"),
+          col("note"))
+        .orderBy("id")
+    }),
+
     // Streaming PSI drift monitor: edges fitted once from the even
     // half (the fitted-scalar pattern), the odd half replayed through
     // a MemoryStream in 3 micro-batches, bin counts maintained by the
@@ -104,6 +128,15 @@ object Batch42Entries {
     // brute-force answer — cosine_topk's oracle verbatim
     "npy_ann_topk" -> TextEntries.oracleSql("cosine_topk"),
     // accumulated-stream PSI == batch PSI on the same split
-    "drift_psi_stream" -> Batch40Entries.oracleSql("drift_psi")
+    "drift_psi_stream" -> Batch40Entries.oracleSql("drift_psi"),
+    // the pickled records' closed form
+    "read_pickle" -> """
+      SELECT CAST(id AS BIGINT) AS id,
+             'r' || CAST(id % 3 AS VARCHAR) AS name,
+             CAST(id AS DOUBLE) * 0.25 AS score,
+             (id % 2 = 0) AS flag,
+             CASE WHEN id % 4 = 0 THEN NULL
+                  ELSE 'n' || CAST(id AS VARCHAR) END AS note
+      FROM range(12) t(id) ORDER BY id"""
   )
 }

@@ -14,10 +14,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object IO {
 
   /** Extension-dispatched read, mirroring `read_data`'s map. .npy and
-    * .npz dispatch to the pure-JVM [[Npy]] parser (COO rows); formats
-    * without a distributed reader (.pkl/.sas/.sav/.h5) remain
-    * intentionally unsupported. `sanitizeNames` lower-snake-cases
-    * columns, the `sanitize=True` read option (io.py:826). */
+    * .npz dispatch to the pure-JVM [[Npy]] parser (COO rows); .pkl /
+    * .pickle to the pure-JVM [[Pickle]] record reader (flat
+    * list/dict/scalar frames only — constructor opcodes refuse, by
+    * design); formats without a distributed reader (.sas/.sav/.h5)
+    * remain intentionally unsupported. `sanitizeNames`
+    * lower-snake-cases columns, the `sanitize=True` read option
+    * (io.py:826). */
   def readData(spark: SparkSession, path: String,
                inferSchema: Boolean = true,
                sanitizeNames: Boolean = false): DataFrame = {
@@ -36,6 +39,7 @@ object IO {
       case "xlsx" => Excel.readExcelSheets(spark, path)._2.head._2
       case "npy" => Npy.readNpy(spark, path)
       case "npz" => Npy.readNpz(spark, path)
+      case "pkl" | "pickle" => Pickle.readPickleRecords(spark, path)
       case "html" | "htm" =>
         val tables = Scrape.readHtmlTables(spark, path)
         require(tables.nonEmpty, s"no <table> found in $path")

@@ -30,7 +30,12 @@ object Market {
     // ones, are reclaimed by the ContextCleaner as soon as the plan is
     // garbage-collected, so library callers don't accumulate cache
     // across calls (the guard head() right below needs the rows
-    // anyway, so eager costs no extra job).
+    // anyway, so eager costs no extra job). TRADE-OFF: localCheckpoint
+    // TRUNCATES lineage — on a cluster that loses an executor holding
+    // checkpoint blocks (decommission, dynamic allocation) the job
+    // fails instead of recomputing. This helper assumes static
+    // executors for its (short) lifetime; under dynamic allocation
+    // prefer reliable checkpointing or persist + explicit unpersist.
     val items = df.select(col(basketCol).as("_b"), col(itemCol).as("_i"))
       .distinct().localCheckpoint(true)
     // ONE action yields both guards: basket count and the largest
