@@ -45,7 +45,60 @@ object Batch42Entries {
       tmp.getPath
     })
 
+  /** 17×16 BMP fixture for the 256-bit dHash family — the
+    * [[Batch40Entries.dhashBmps]] construction at the wider grid, so
+    * `resizeNearestWH(17,16)` is the identity and the oracle replays
+    * pixels with no resize mapping: pixel(x,y) = (x·m + y·11 + bump)
+    * mod 256, m = 37 + (id mod 4)·26, bump = 96 at (5,4) for
+    * id ≥ 16 (flips at most gradient bits 68/69 — a planted
+    * near-dup). */
+  private[graft] def dhash256Bmps(s: SparkSession): DataFrame = {
+    val rows = (0 until 32).map { id =>
+      val m = 37 + (id % 4) * 26
+      (id.toLong,
+        graft.mm.Multimodal.encodeBmp(17, 16, (x, y) =>
+          (x * m + y * 11 +
+            (if (id >= 16 && x == 5 && y == 4) 96 else 0)) % 256),
+        "bmp", 17, 16, 0L)
+    }
+    graft.mm.Multimodal.toMediaFrame(s, rows)
+  }
+
+  /** Reinterpret a [0, 2^32) long as its signed 32-bit value without
+    * an ANSI overflow throw. */
+  private def signed32(c: org.apache.spark.sql.Column) =
+    when(c >= lit(1L << 31), c - lit(1L << 32)).otherwise(c).cast("int")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 256-bit perceptual dHash over real decoded BMPs (the corpus-
+    // scale hash that retires the wide kernel's ~2^25 knee): gradient
+    // bits of the 17×16 thumbnail as four 64-bit bands, projected to
+    // signed 32-bit halves so the oracle needs no 64-bit unsigned
+    // gymnastics. FULL oracle — the analytic pixel replay.
+    "image_hash256" -> ((s, dir) => {
+      val h = graft.mm.Multimodal.imageDHash256(dhash256Bmps(s))
+      val halves = (0 until 4).flatMap { k =>
+        Seq(signed32(col(s"b$k").bitwiseAND(lit(0xFFFFFFFFL)))
+            .as(s"h${2 * k}"),
+          signed32(shiftrightunsigned(col(s"b$k"), 32)).as(s"h${2 * k + 1}"))
+      }
+      h.select((col("media_id") +: col("ok") +: halves): _*)
+        .orderBy("media_id")
+    }),
+
+    // The SAME bandedNearDups kernel over the 256-bit hash: four
+    // 64-bit band keys keep the exact hamming<=3 pigeonhole while
+    // random band collisions fall to ~4n²/2^64 — no birthday knee at
+    // any feasible corpus size, no ball explode (the scale path past
+    // bandedNearDupsWide's ~33M items). FULL oracle — DuckDB
+    // brute-forces every pair from the same 256 bits.
+    "image_near_dups_256" -> ((s, dir) => {
+      graft.mm.Multimodal.bandedNearDups(
+          graft.mm.Multimodal.imageDHash256(dhash256Bmps(s)),
+          maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
 
     // npy ingest feeding the ANN stack with zero driver detours: the
     // binaryFile scan parses shards per-partition, readNpyMatrix
@@ -123,7 +176,54 @@ object Batch42Entries {
     })
   )
 
+  /** The 256 gradient bits of [[dhash256Bmps]] in closed form — the
+    * thumbnail IS the 17×16 source, so no resize mapping. */
+  private val dhash256BitsCte =
+    """ids AS (SELECT unnest(range(0, 32)) AS media_id),
+      |dims AS (SELECT media_id, 37 + (media_id % 4) * 26 AS m FROM ids),
+      |grid AS (SELECT media_id, m, ty, tx FROM dims,
+      |  (SELECT unnest(range(0, 16)) AS ty) AS tys,
+      |  (SELECT unnest(range(0, 16)) AS tx) AS txs),
+      |px AS (SELECT media_id, ty, tx,
+      |  (tx * m + ty * 11 + CASE WHEN media_id >= 16 AND tx = 5
+      |     AND ty = 4 THEN 96 ELSE 0 END) % 256 AS p0,
+      |  ((tx + 1) * m + ty * 11 + CASE WHEN media_id >= 16
+      |     AND tx + 1 = 5 AND ty = 4 THEN 96 ELSE 0 END) % 256 AS p1
+      |  FROM grid),
+      |bits AS (SELECT media_id, ty * 16 + tx AS idx,
+      |  CASE WHEN p0 < p1 THEN 1 ELSE 0 END AS bit FROM px)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+
+    // the 256 bits packed into eight signed 32-bit halves — BIGINT
+    // arithmetic throughout (no unsigned-64 gymnastics)
+    "image_hash256" -> {
+      val hs = (0 until 8).map(j =>
+        s"CAST(MAX(CASE WHEN j = $j THEN sig END) AS INT) AS h$j")
+        .mkString(",\n        |  ".stripMargin)
+      s"""WITH $dhash256BitsCte,
+        |halves AS (SELECT media_id, idx // 32 AS j,
+        |  SUM(bit * (1::BIGINT << (idx % 32))) AS s
+        |  FROM bits GROUP BY 1, 2),
+        |sg AS (SELECT media_id, j, CASE WHEN s >= 2147483648
+        |  THEN s - 4294967296 ELSE s END AS sig FROM halves)
+        |SELECT media_id, TRUE AS ok,
+        |  $hs
+        |FROM sg GROUP BY media_id ORDER BY media_id""".stripMargin
+    },
+
+    // brute-forces every pair from the same 256 bits — the 64-bit-band
+    // join must reproduce exactly the pairs at hamming <= 3
+    "image_near_dups_256" ->
+      s"""WITH $dhash256BitsCte
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT)
+        |    AS hamming
+        |FROM bits a JOIN bits b ON a.idx = b.idx
+        |  AND a.media_id < b.media_id
+        |GROUP BY 1, 2 HAVING SUM(CASE WHEN a.bit <> b.bit
+        |  THEN 1 ELSE 0 END) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // the npy round-trip must land on the embedding table's own
     // brute-force answer — cosine_topk's oracle verbatim
     "npy_ann_topk" -> TextEntries.oracleSql("cosine_topk"),

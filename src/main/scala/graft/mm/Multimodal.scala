@@ -251,6 +251,61 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** 256-bit perceptual dHash — the corpus-scale variant of
+    * [[imageDHash]] for single-corpus media dedup PAST the wide
+    * kernel's ~2^25-item knee. Same gradient construction over a
+    * 17×16 thumbnail (bit(ty·16+tx) = thumb(tx,ty) < thumb(tx+1,ty),
+    * 256 bits) emitted as FOUR 64-bit bands b0..b3. Fed to the SAME
+    * [[bandedNearDups]] kernel (which is band-width-agnostic), the
+    * pigeonhole guarantee is unchanged — Hamming ≤ 3 differs in ≤ 3
+    * of 4 bands, so at least one 64-bit band matches EXACTLY — while
+    * the random-collision knee moves from 2^25 items (wide kernel's
+    * 32-bit keys + 33× ball explode) to candidates ~4n²/2^64 ≈ n at
+    * n ≈ 2^62: no birthday term at any feasible corpus size, no ball
+    * enumeration, no probe-side explode. The trade is codec cost
+    * (17×16 vs 9×8 sampling — negligible next to decode) and a
+    * TIGHTER match criterion: 3/256 differing gradient bits instead
+    * of 3/64, i.e. this catches near-identical images; recall for
+    * heavier edits needs maxHamming raised (the pigeonhole still
+    * holds to 3; past that, allowWeak applies as usual). Output:
+    * (media_id, ok, b0, b1, b2, b3) with LONG bands. */
+  def imageDHash256(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("b0", LongType, nullable = true),
+      StructField("b1", LongType, nullable = true),
+      StructField("b2", LongType, nullable = true),
+      StructField("b3", LongType, nullable = true)))
+    val rdd = df.select("media_id", "content").rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img = decodeGray(bytes)
+        if (img == null) Row(id, false, null, null, null, null)
+        else {
+          val t = resizeNearestWH(img, 17, 16)
+          val bands = new Array[Long](4)
+          var ty = 0
+          while (ty < 16) {
+            var tx = 0
+            while (tx < 16) {
+              if (t(ty * 17 + tx) < t(ty * 17 + tx + 1)) {
+                val i = ty * 16 + tx
+                bands(i / 64) |= 1L << (i % 64)
+              }
+              tx += 1
+            }
+            ty += 1
+          }
+          Row(id, true, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Image near-duplicates over [[imageDHash]] output: the SimHash
     * banding convention applied to the perceptual hash. A pair within
     * Hamming distance ≤ 3 differs in at most 3 of the 4 bands, so BY

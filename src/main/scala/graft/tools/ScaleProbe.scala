@@ -682,6 +682,7 @@ object ScaleProbe {
         n16 = graft.mm.Multimodal.bandedNearDups(hashes, maxHamming = 3).count()
         n16
       }
+      var nWide = -1L
       timeIt("image_near_dups_wide") {
         val nw = graft.mm.Multimodal
           .bandedNearDupsWide(hashes, maxHamming = 3).count()
@@ -690,7 +691,23 @@ object ScaleProbe {
         // for count whenever both ran
         require(n16 < 0 || nw == n16,
           s"wide kernel pair count $nw != 16-bit kernel $n16")
+        nWide = nw
         nw
+      }
+      // the 256-bit path: its OWN codec pass (17×16 grid), then the
+      // plain 4-band kernel over 64-bit keys — no ball explode, no
+      // birthday term at any feasible n. On THIS fixture the planted
+      // perturbation flips ≤ 2 bits of either hash and cross-group
+      // hashes are avalanche-random, so all three kernels must land
+      // on the identical within-group pair count.
+      val hashes256 = graft.mm.Multimodal.imageDHash256(media).persist()
+      timeIt("image_dhash256") { hashes256.count() }
+      timeIt("image_near_dups_256") {
+        val n256 = graft.mm.Multimodal
+          .bandedNearDups(hashes256, maxHamming = 3).count()
+        require(nWide < 0 || n256 == nWide,
+          s"256-bit kernel pair count $n256 != wide kernel $nWide")
+        n256
       }
       spark.stop()
       return

@@ -143,6 +143,46 @@ class MultimodalCodecSpec extends SparkSpec {
     }
   }
 
+  test("imageDHash256: 64-bit bands through the SAME banded kernel " +
+      "equal brute force; undecodable keeps its row") {
+    val rnd = new scala.util.Random(47)
+    // random 17x16 images (the 256-bit grid is the identity resize)
+    // + near-dup copies with one perturbed pixel + one corrupt blob
+    val pix = Array.fill(10)(Array.fill(17, 16)(rnd.nextInt(256)))
+    val rows = (0 until 10).map { id =>
+      (id.toLong, Multimodal.encodeBmp(17, 16, (x, y) => pix(id)(x)(y)),
+        "bmp", 17, 16, 0L)
+    } ++ (0 until 3).map { i =>
+      (10L + i,
+        Multimodal.encodeBmp(17, 16, (x, y) =>
+          (pix(i)(x)(y) + (if (x == 7 && y == 6) 128 else 0)) % 256),
+        "bmp", 17, 16, 0L)
+    } :+ ((13L, Array[Byte](1, 2, 3), "bmp", 0, 0, 0L))
+    val hashes = Multimodal.imageDHash256(
+      Multimodal.toMediaFrame(spark, rows))
+    assert(hashes.filter(!$"ok").select($"media_id").as[Long].collect()
+      .toSeq === Seq(13L))
+    val banded = Multimodal.bandedNearDups(hashes, maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    // brute force over the four 64-bit bands
+    val hm = hashes.filter($"ok").collect().map(r =>
+      r.getLong(0) -> (2 to 5).map(r.getLong)).toMap
+    val brute = (for {
+      a <- hm.keys; b <- hm.keys if a < b
+      d = hm(a).zip(hm(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded == brute)
+    // a single perturbed pixel flips at most the two gradient bits
+    // that touch it — every planted pair must be found
+    (0 until 3).foreach { i =>
+      assert(banded.exists(p => p._1 == i.toLong && p._2 == 10L + i),
+        s"planted pair ($i, ${10 + i}) missed")
+    }
+  }
+
   test("byte-histogram features are a real normalized histogram") {
     val media = Multimodal.toMediaFrame(spark, Seq(
       (1L, Array[Byte](0, 0, 0, -1), "bin", 0, 0, 0L))) // 3× bucket 0, 1× bucket 7 (0xff)
