@@ -151,6 +151,33 @@ object Batch42Entries {
     // ENGINE in Complete mode (state = 10 rows, shuffle keyed on 10
     // bins), PSI computed from the accumulated sink with the batch
     // kernel — drift_psi's oracle verbatim. FULL oracle.
+    // The categorical monitor as the same fit/deploy split: reference
+    // category counts fitted once, the current stream's per-category
+    // counts maintained by the ENGINE (Complete mode, one state row
+    // per live category), PSI off the accumulated sink with the batch
+    // arithmetic verbatim — drift_psi_cat's oracle verbatim. FULL
+    // oracle.
+    "drift_psi_cat_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = T.orders(s, dir)
+      val refCounts = graft.stats.DataAudit.categoryCounts(
+        o.filter(col("o_orderkey") % 2 === 0), "o_orderpriority", "_cr")
+      val cur = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderpriority").cast("string")).as[String].collect()
+      val in = MemoryStream[String]
+      val qn = s"psi_cat_sink_${sinkSeq.incrementAndGet()}"
+      val q = graft.stats.DataAudit.psiCatStreamCounts(
+          in.toDF().toDF("o_orderpriority"), "o_orderpriority")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try cur.grouped(cur.length / 3 + 1).foreach { chunk =>
+        in.addData(chunk.toSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      graft.stats.DataAudit.psiCatOfCounts(refCounts, s.table(qn))
+        .orderBy("category")
+    }),
+
     "drift_psi_stream" -> ((s, dir) => {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -229,6 +256,7 @@ object Batch42Entries {
     "npy_ann_topk" -> TextEntries.oracleSql("cosine_topk"),
     // accumulated-stream PSI == batch PSI on the same split
     "drift_psi_stream" -> Batch40Entries.oracleSql("drift_psi"),
+    "drift_psi_cat_stream" -> Batch41Entries.oracleSql("drift_psi_cat"),
     // the pickled records' closed form
     "read_pickle" -> """
       SELECT CAST(id AS BIGINT) AS id,

@@ -156,14 +156,38 @@ object DataAudit {
     * one row per observed category. The shuffle is the two
     * category-count groupBys; totals ride as a 1-row broadcast. */
   def psiCategorical(ref: DataFrame, cur: DataFrame, valueCol: String,
+                     floor: Double = 1e-6): DataFrame =
+    psiCatOfCounts(categoryCounts(ref, valueCol, "_cr"),
+      categoryCounts(cur, valueCol, "_cc"), floor)
+
+  /** Per-category counts with the '(null)' category — works unchanged
+    * on a STREAMING DataFrame (projection + groupBy: the engine
+    * maintains one state row per live category in complete mode), the
+    * categorical sibling of [[binCounts]]. */
+  def categoryCounts(df: DataFrame, valueCol: String,
+                     out: String): DataFrame =
+    df.select(coalesce(col(valueCol).cast("string"), lit("(null)"))
+        .as("category"))
+      .groupBy("category").agg(count(lit(1)).as(out))
+
+  /** STREAMING categorical drift monitor — [[psiStreamCounts]]'s
+    * sibling: run in Complete mode, read the accumulated sink through
+    * [[psiCatOfCounts]] against the fitted reference counts for the
+    * live PSI. State is O(live categories); the corpus is never
+    * rescanned. */
+  def psiCatStreamCounts(stream: DataFrame, valueCol: String): DataFrame =
+    categoryCounts(stream, valueCol, "_cc")
+
+  /** The categorical-PSI arithmetic over two per-category count
+    * tables — shared by the batch [[psiCategorical]] and the streaming
+    * deploy so both land on IDENTICAL doubles. The domain is the
+    * full-outer union of both tables' categories (one-sided
+    * categories get the floored share). */
+  def psiCatOfCounts(refCounts: DataFrame, curCounts: DataFrame,
                      floor: Double = 1e-6): DataFrame = {
     require(floor > 0, s"floor must be > 0, got $floor")
-    def counts(df: DataFrame, out: String): DataFrame =
-      df.select(coalesce(col(valueCol).cast("string"), lit("(null)"))
-          .as("category"))
-        .groupBy("category").agg(count(lit(1)).as(out))
-    val joined = counts(ref, "_cr")
-      .join(counts(cur, "_cc"), Seq("category"), "full_outer")
+    val joined = refCounts
+      .join(curCounts, Seq("category"), "full_outer")
       .select(col("category"), coalesce(col("_cr"), lit(0L)).as("_cr"),
         coalesce(col("_cc"), lit(0L)).as("_cc"))
     val tot = joined.agg(sum("_cr").as("_tr"), sum("_cc").as("_tc"))

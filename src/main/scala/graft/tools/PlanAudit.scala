@@ -40,6 +40,7 @@ object PlanAudit {
     // (drift_psi_stream deploys the same psiOfCounts arithmetic over
     // the engine-maintained sink counts)
     "drift_psi", "drift_psi_cat", "drift_psi_stream",
+    "drift_psi_cat_stream",
     // line_dedup / unigram_ppl / bigram_ppl / kn_ppl / sb_ppl /
     // kn3_ppl: corpus-total scalars (doc count; token count N + vocab
     // size V; bigram/trigram type totals + successor vocab) as 1-row
