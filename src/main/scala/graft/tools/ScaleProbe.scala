@@ -676,14 +676,19 @@ object ScaleProbe {
       // SPARK_GRAFT_MM_WIDE_ONLY=1 skips the 16-bit kernel: past the
       // ~2^16 birthday knee its candidate volume (~4n²/2^16) makes it
       // the thing being ESCAPED, not measured
-      val wideOnly = sys.env.get("SPARK_GRAFT_MM_WIDE_ONLY").contains("1")
+      // SPARK_GRAFT_MM_256_ONLY=1 additionally skips the wide kernel:
+      // past ITS ~2^25 knee the 33× ball explode + birthday
+      // candidates are the thing being escaped
+      val only256 = sys.env.get("SPARK_GRAFT_MM_256_ONLY").contains("1")
+      val wideOnly = only256 ||
+        sys.env.get("SPARK_GRAFT_MM_WIDE_ONLY").contains("1")
       var n16 = -1L
       if (!wideOnly) timeIt("image_near_dups") {
         n16 = graft.mm.Multimodal.bandedNearDups(hashes, maxHamming = 3).count()
         n16
       }
       var nWide = -1L
-      timeIt("image_near_dups_wide") {
+      if (!only256) timeIt("image_near_dups_wide") {
         val nw = graft.mm.Multimodal
           .bandedNearDupsWide(hashes, maxHamming = 3).count()
         // exactness, not recall: both kernels are pigeonhole-complete
