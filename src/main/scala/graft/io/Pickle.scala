@@ -339,9 +339,13 @@ object Pickle {
     * (bounded driver read — the fitted-scalar pattern), every file
     * then parsed distributed and pivoted. */
   def readPickleRecords(spark: SparkSession, path: String): DataFrame = {
-    val firstBytes = spark.read.format("binaryFile").load(path)
-      .orderBy("path").select("content").limit(1)
-      .head().getAs[Array[Byte]](0)
+    // pick the first file by PATH ONLY (binaryFile prunes `content`
+    // when unselected — ordering with content selected would read
+    // every file's bytes just to choose one), then load just it
+    val firstPath = spark.read.format("binaryFile").load(path)
+      .select("path").orderBy("path").limit(1).head().getString(0)
+    val firstBytes = spark.read.format("binaryFile").load(firstPath)
+      .select("content").head().getAs[Array[Byte]](0)
     records(readPickle(spark, path), inferKeys(parse(firstBytes)))
   }
 
