@@ -145,6 +145,27 @@ object Batch42Entries {
         .orderBy("id")
     }),
 
+    // 240-bit portable SimHash near-dups through the SAME 4×64-bit-
+    // band kernel as the media path — the text twin of
+    // image_near_dups_256, retiring the text wide kernel's ~2^25 knee
+    // (random word collisions ~4n²/2^60). Corpus: originals + EXACT
+    // twins (guaranteed hamming-0 pairs at any text) + first-word-
+    // dropped twins (most exceed 3/240 — the tighter criterion is the
+    // point). FULL oracle — DuckDB replays all four salted md5 words,
+    // every bit majority, the some-word-matches candidate rule, and
+    // the summed xor popcount.
+    "simhash_pairs_md5_256" -> ((s, dir) => {
+      val d = T.documents(s, dir).filter(col("doc_id") < 50)
+        .select("doc_id", "text")
+      val exactTwin = d.withColumn("doc_id", col("doc_id") + 20000)
+      val perturbed = d.withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text", regexp_replace(col("text"), "^\\S+\\s+", ""))
+      graft.text.Dedup.simhashPairs256Portable(
+          d.unionByName(exactTwin).unionByName(perturbed),
+          "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Streaming PSI drift monitor: edges fitted once from the even
     // half (the fitted-scalar pattern), the odd half replayed through
     // a MemoryStream in 3 micro-batches, bin counts maintained by the
@@ -257,6 +278,48 @@ object Batch42Entries {
     // accumulated-stream PSI == batch PSI on the same split
     "drift_psi_stream" -> Batch40Entries.oracleSql("drift_psi"),
     "drift_psi_cat_stream" -> Batch41Entries.oracleSql("drift_psi_cat"),
+
+    // all four salted 60-bit md5 words, per-bit majorities, the
+    // some-word-matches candidate rule, summed xor popcounts
+    "simhash_pairs_md5_256" -> {
+      val hs = (0 until 4).map(w =>
+        s"CAST(('0x' || substr(md5('sh256_${w}_' || tk), 1, 15)) " +
+          s"AS BIGINT) AS h$w").mkString(",\n        |    ".stripMargin)
+      val cs = (0 until 4).map(w =>
+        s"SUM((h$w >> b.b) & 1) AS c$w").mkString(",\n        |    ".stripMargin)
+      val ss = (0 until 4).map(w =>
+        s"SUM(CASE WHEN 2 * c$w > n THEN (CAST(1 AS BIGINT) << bit) " +
+          s"ELSE 0 END) AS s$w").mkString(",\n        |    ".stripMargin)
+      val ham = (0 until 4).map(w => s"bit_count(xor(a.s$w, b.s$w))")
+        .mkString(" + ")
+      val bandEq = (0 until 4).map(w => s"a.s$w = b.s$w")
+        .mkString("(", " OR ", ")")
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 10000, regexp_replace(text, '^\\S+\\s+', '')
+        |  FROM documents WHERE doc_id < 50),
+        |tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\\s+')) AS tk
+        |  FROM corpus WHERE len(trim(text)) > 0),
+        |h AS (SELECT doc_id,
+        |    $hs
+        |  FROM tok),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+        |bits AS (SELECT doc_id, b.b AS bit,
+        |    $cs
+        |  FROM h, (SELECT unnest(range(0, 60)) AS b) b GROUP BY 1, 2),
+        |sk AS (SELECT bits.doc_id,
+        |    $ss
+        |  FROM bits JOIN cnt ON cnt.doc_id = bits.doc_id GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST($ham AS INTEGER) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id AND $bandEq
+        |WHERE $ham <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+    },
     // the pickled records' closed form
     "read_pickle" -> """
       SELECT CAST(id AS BIGINT) AS id,

@@ -352,6 +352,88 @@ object Dedup {
     wideBandPairs(simhashes(df, idCol, textCol).localCheckpoint(),
       64, maxHamming)
 
+  /** 256-bit SimHash — the text sibling of
+    * [[graft.mm.Multimodal.imageDHash256]], retiring even the WIDE
+    * kernels' ~2^25 knee: FOUR independent 64-bit xxhash words per
+    * token (word w hashes (w, token)), each majority-folded with the
+    * lane-packed plan of [[simhashes]], emitted as four 64-bit
+    * signature words. Near-dup joins key on whole words, so random
+    * band collisions fall to ~4n²/2^64 — no birthday term at any
+    * feasible corpus size and no ball enumeration. The match
+    * criterion tightens with the bits (hamming 3/256 vs 3/64): right
+    * for dedup-before-training; raise maxHamming consciously for
+    * heavier edits. Output: (_id, _s0.._s3). */
+  def simhashes256(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashes256Impl(df, idCol, textCol,
+      (w, t) => xxhash64(lit(w), t), bitsPerWord = 64)
+
+  /** [[simhashes256]] on the portable md5 family — four salted 60-bit
+    * words (word w hashes "sh256_w_" ++ token), every step replayable
+    * in SQL so the paired query gets a full oracle. 240 signature
+    * bits; same no-knee join geometry (collisions ~4n²/2^60). */
+  def simhashes256Portable(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    simhashes256Impl(df, idCol, textCol,
+      (w, t) => md5Hash64(concat(lit(s"sh256_${w}_"), t)), bitsPerWord = 60)
+
+  private def simhashes256Impl(df: DataFrame, idCol: String, textCol: String,
+                               hashW: (Int, Column) => Column,
+                               bitsPerWord: Int): DataFrame = {
+    val lanes = 3
+    val fieldBits = 21 // packed-SUM overflow headroom, see simhashes
+    val perSum = (bitsPerWord + lanes - 1) / lanes // bit positions per packed sum
+    val exploded = df.select(col(idCol).as("_id"),
+      explode(TextFns.tokens(col(textCol))).as("_t"))
+    val withH = (0 until 4).foldLeft(exploded)((d, w) =>
+      d.withColumn(s"_h$w", hashW(w, col("_t"))))
+    val packSums = for (w <- 0 until 4; b <- 0 until perSum) yield {
+      val live = (0 until lanes).filter(l => b + perSum * l < bitsPerWord)
+      val packed = live.map { lane =>
+        shiftleft(shiftright(col(s"_h$w"), b + perSum * lane)
+          .bitwiseAND(1L), fieldBits * lane)
+      }.reduce(_ + _)
+      sum(packed).as(s"_p${w}_$b")
+    }
+    val aggsAll = packSums :+ count(lit(1)).as("_n")
+    val withCounts = withH.groupBy("_id").agg(aggsAll.head, aggsAll.tail: _*)
+    val words = (0 until 4).map { w =>
+      (0 until bitsPerWord).map { i =>
+        val b = i % perSum; val lane = i / perSum
+        val setCount = shiftright(col(s"_p${w}_$b"), fieldBits * lane)
+          .bitwiseAND((1L << fieldBits) - 1)
+        when(setCount * 2 > col("_n"), lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+    // the token-count guard raises once per row (word 0 carries it)
+    withCounts.select(col("_id"), laneGuard(words.head).as("_s0"),
+      words(1).as("_s1"), words(2).as("_s2"), words(3).as("_s3"))
+  }
+
+  /** Near-dup pairs over the 240-bit portable signature through the
+    * SAME width-agnostic 4-band kernel as the media path
+    * ([[graft.mm.Multimodal.bandedNearDups]]): complete for
+    * hamming < 4 by pigeonhole; past 3 the candidate rule stays
+    * "some whole word matches" (the [[simhashPairsPortable]]
+    * best-effort convention — the paired oracle replays exactly that
+    * rule, so correctness is exact even where recall is best-effort).
+    * Output: (id_a, id_b, hamming). */
+  def simhashPairs256Portable(df: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame =
+    pairs256(simhashes256Portable(df, idCol, textCol), maxHamming)
+
+  /** [[simhashPairs256Portable]]'s corpus-scale xxhash twin (256
+    * bits). */
+  def simhashPairs256(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    pairs256(simhashes256(df, idCol, textCol), maxHamming)
+
+  private def pairs256(sigs: DataFrame, maxHamming: Int): DataFrame =
+    graft.mm.Multimodal.bandedNearDups(
+      sigs.localCheckpoint().select(col("_id").as("media_id"),
+        lit(true).as("ok"), col("_s0").as("b0"), col("_s1").as("b1"),
+        col("_s2").as("b2"), col("_s3").as("b3")),
+      maxHamming, allowWeak = maxHamming > 3)
+
   /** Near-duplicate candidates by SimHash: rows sharing any of four
     * 16-bit bands of the 64-bit sketch, verified by Hamming distance
     * <= maxHamming. */

@@ -111,7 +111,9 @@ object PlanAudit {
         name.contains("snapshot_neardup")) &&
       !lines.exists(l =>
         l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)" +
-          ".*(_band_a|_bucket_a|_band_new).*"))
+          // _key# = the shared Multimodal.bandedNearDups kernel's band
+          // key (simhash_pairs_md5_256 joins through it)
+          ".*(_band_a|_bucket_a|_band_new|_key#).*"))
     val flags = Seq(
       if (cartesian > 0) Some(s"CARTESIAN=$cartesian") else None,
       if (nljUnexpected) Some(s"NLJ=$nlj") else None,

@@ -85,6 +85,39 @@ class DedupRecallSpec extends SparkSpec {
     assert(wideP == narrowP)
   }
 
+  test("256-bit simhash kernels: pairs equal brute force over the four " +
+      "words; exact duplicates land at hamming 0") {
+    // exact twins guarantee hamming-0 pairs whatever the corpus text;
+    // the banded join must equal brute force over the collected words
+    val d = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").filter(col("doc_id") < 40)
+    val twins = d.withColumn("doc_id", col("doc_id") + 10000)
+    val c = d.unionByName(twins).persist()
+    def brute(sigs: org.apache.spark.sql.DataFrame, h: Int) = {
+      val m = sigs.collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+      (for {
+        a <- m.keys; b <- m.keys if a < b
+        dh = m(a).zip(m(b))
+          .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+        if dh <= h
+      } yield (a, b, dh)).toSet
+    }
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("hamming").cast("int")).as[(Long, Long, Int)].collect().toSet
+    val xx = got(Dedup.simhashPairs256(c, "doc_id", "text", maxHamming = 3))
+    assert(xx == brute(Dedup.simhashes256(c, "doc_id", "text"), 3))
+    // every exact twin found at hamming 0
+    (0L until 40L).foreach { i =>
+      assert(xx.contains((i, i + 10000L, 0)), s"exact twin $i missed")
+    }
+    val md = got(Dedup.simhashPairs256Portable(c, "doc_id", "text", maxHamming = 3))
+    assert(md == brute(Dedup.simhashes256Portable(c, "doc_id", "text"), 3))
+    (0L until 40L).foreach { i =>
+      assert(md.contains((i, i + 10000L, 0)), s"portable exact twin $i missed")
+    }
+  }
+
   test("LSH cosine join (4 planes x 8 tables): recall >= 0.9 vs the " +
       "exact n^2 join at cosine >= 0.9; candidates exactly verified") {
     val emb = graft.core.Tables.embeddings(spark, sfDir)
