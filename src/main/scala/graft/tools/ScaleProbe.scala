@@ -743,6 +743,48 @@ object ScaleProbe {
     // makeText convention applied to edges), 3 damped iterations.
     // Per-iteration work is one keyed join + one groupBy, so wall
     // should track edge volume linearly.
+    // Text-simhash axis (SPARK_GRAFT_SH_N=<docs>): synthetic 50-token
+    // docs off range() (token t of doc d = "t" + xxhash(d, t) mod 100k
+    // — avalanche-random, so non-twin sketches concentrate near
+    // hamming 128/256 and random ≤3 collisions are absent w.h.p.);
+    // odd ids are EXACT twins of id−1, so the planted pair set is
+    // exactly n/2 hamming-0 pairs. Measures the 64-bit vs 256-bit
+    // signature builds (22 vs 89 aggregates — both ONE groupBy, one
+    // shuffle) and the 256-bit pair join, whose count the probe
+    // REQUIRES equal to the planted n/2 (the no-birthday-term claim,
+    // asserted not narrated).
+    sys.env.get("SPARK_GRAFT_SH_N").map(_.toLong).filter(_ > 0).foreach { n =>
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(49)), i =>
+          concat(lit("t"), pmod(xxhash64(col("id") - col("id") % 2, i),
+            lit(100000L)))), " ").as("text")).persist()
+      docs.count()
+      def timeIt(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val rows = f
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        println(f"""SHPROBE {"op":"$name","docs":$n,"rows":$rows,"sec":$sec%.3f}""")
+      }
+      timeIt("simhash_sig64") {
+        graft.text.Dedup.simhashes(docs, "doc_id", "text").count()
+      }
+      timeIt("simhash_sig256") {
+        graft.text.Dedup.simhashes256(docs, "doc_id", "text").count()
+      }
+      timeIt("simhash_pairs256") {
+        val p = graft.text.Dedup
+          .simhashPairs256(docs, "doc_id", "text", maxHamming = 3).count()
+        require(p == n / 2,
+          s"256-bit pair count $p != planted exact-twin count ${n / 2}")
+        p
+      }
+      timeIt("simhash_pairs_wide64") {
+        graft.text.Dedup
+          .simhashPairsWide(docs, "doc_id", "text", maxHamming = 3).count()
+      }
+      spark.stop()
+      return
+    }
+
     sys.env.get("SPARK_GRAFT_PR_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val nNodes = math.max(n / 10, 1L)
       val edges = spark.range(n).select(
