@@ -66,7 +66,8 @@ object SparkEntry {
       entries.Batch39Entries.queries ++
       entries.Batch40Entries.queries ++
       entries.Batch41Entries.queries ++
-      entries.Batch42Entries.queries
+      entries.Batch42Entries.queries ++
+      entries.Batch43Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -111,7 +112,8 @@ object SparkEntry {
       entries.Batch39Entries.oracleSql ++
       entries.Batch40Entries.oracleSql ++
       entries.Batch41Entries.oracleSql ++
-      entries.Batch42Entries.oracleSql
+      entries.Batch42Entries.oracleSql ++
+      entries.Batch43Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

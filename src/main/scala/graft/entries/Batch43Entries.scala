@@ -1,0 +1,86 @@
+package graft.entries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{Sas, Sav}
+
+/** Round-15 batch (cont.): statistical-package ingest — closes the
+  * read_data descope list COMPLETELY (csv/tsv/json/parquet/orc/xml/
+  * html/xlsx/npy/npz/pickle/sas7bdat/sav all dispatch from IO.readData;
+  * gofast/api/property.py:2781's extension map).
+  *
+  *  - `read_sas7bdat`: the pure-JVM sas7bdat subset reader — two shard
+  *    files synthesized in-memory by [[Sas.dumps]] (the writer's output
+  *    is pandas-validated, see SasSpec / tools/make_sas_fixture.py),
+  *    parsed per-partition off the blob kernel, pivoted to the wide
+  *    record frame under the file's own column metadata. FULL oracle —
+  *    the records' closed form.
+  *  - `read_sav`: the pure-JVM SPSS system-file subset reader — the
+  *    SAME records, one shard UNCOMPRESSED and one BYTECODE-compressed
+  *    (both decode paths in one entry), dictionary long names from the
+  *    info-13 record. FULL oracle — the same closed form.
+  */
+object Batch43Entries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "read_sas7bdat" -> ((s, dir) => {
+      def shard(ids: Range): Array[Byte] = Sas.dumps(
+        Seq(("id", true), ("grp", false), ("score", true),
+          ("note", false)),
+        ids.map { i =>
+          Seq[Any](i.toDouble, s"g${i % 3}",
+            if (i % 4 == 0) null else i * 0.5 - 3.0,
+            if (i % 5 == 0) null else s"n$i")
+        })
+      val cells = Sas.readSasBlobs(s, Seq(
+        ("shard_a.sas7bdat", shard(0 until 12)),
+        ("shard_b.sas7bdat", shard(12 until 24))))
+      Sas.records(cells, Seq(("id", true), ("grp", false),
+          ("score", true), ("note", false)))
+        .select(col("id"), col("grp"), col("score"), col("note"))
+        .orderBy("id")
+    }),
+
+    "read_sav" -> ((s, dir) => {
+      val cols = Seq(("id", true), ("grp", false), ("score", true),
+        ("note", false))
+      def rows(ids: Range): Seq[Seq[Any]] = ids.map { i =>
+        Seq[Any](i.toDouble, s"g${i % 3}",
+          if (i % 4 == 0) null else i * 0.5 - 3.0,
+          if (i % 5 == 0) null else s"n$i")
+      }
+      val cells = Sav.readSavBlobs(s, Seq(
+        ("shard_a.sav", Sav.dumps(cols, rows(0 until 12))),
+        ("shard_b.sav", Sav.dumps(cols, rows(12 until 24),
+          bytecode = true))))
+      Sav.records(cells, cols)
+        .select(col("id"), col("grp"), col("score"), col("note"))
+        .orderBy("id")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // the sharded records' closed form: 24 rows across two files
+    "read_sas7bdat" -> """
+      SELECT CAST(id AS DOUBLE) AS id,
+             'g' || CAST(id % 3 AS VARCHAR) AS grp,
+             CASE WHEN id % 4 = 0 THEN NULL
+                  ELSE CAST(id AS DOUBLE) * 0.5 - 3.0 END AS score,
+             CASE WHEN id % 5 = 0 THEN NULL
+                  ELSE 'n' || CAST(id AS VARCHAR) END AS note
+      FROM range(24) t(id) ORDER BY id""",
+
+    // same closed form — the sav path must land on identical records
+    // whether the shard was uncompressed or bytecode-compressed
+    "read_sav" -> """
+      SELECT CAST(id AS DOUBLE) AS id,
+             'g' || CAST(id % 3 AS VARCHAR) AS grp,
+             CASE WHEN id % 4 = 0 THEN NULL
+                  ELSE CAST(id AS DOUBLE) * 0.5 - 3.0 END AS score,
+             CASE WHEN id % 5 = 0 THEN NULL
+                  ELSE 'n' || CAST(id AS VARCHAR) END AS note
+      FROM range(24) t(id) ORDER BY id"""
+  )
+}

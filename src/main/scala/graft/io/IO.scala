@@ -17,8 +17,11 @@ object IO {
     * .npz dispatch to the pure-JVM [[Npy]] parser (COO rows); .pkl /
     * .pickle to the pure-JVM [[Pickle]] record reader (flat
     * list/dict/scalar frames only — constructor opcodes refuse, by
-    * design); formats without a distributed reader (.sas/.sav/.h5)
-    * remain intentionally unsupported. `sanitizeNames`
+    * design); .sas7bdat to the pure-JVM [[Sas]] record reader
+    * (little-endian uncompressed subset — RLE/RDC refuse loudly);
+    * .sav to the pure-JVM [[Sav]] record reader (little-endian $FL2,
+    * no/bytecode compression — zlib refuses loudly); .h5 remains a
+    * documented conversion. `sanitizeNames`
     * lower-snake-cases columns, the `sanitize=True` read option
     * (io.py:826). */
   def readData(spark: SparkSession, path: String,
@@ -40,6 +43,8 @@ object IO {
       case "npy" => Npy.readNpy(spark, path)
       case "npz" => Npy.readNpz(spark, path)
       case "pkl" | "pickle" => Pickle.readPickleRecords(spark, path)
+      case "sas7bdat" => Sas.readSasRecords(spark, path)
+      case "sav" => Sav.readSavRecords(spark, path)
       case "html" | "htm" =>
         val tables = Scrape.readHtmlTables(spark, path)
         require(tables.nonEmpty, s"no <table> found in $path")

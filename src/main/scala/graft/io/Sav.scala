@@ -1,0 +1,494 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Pure-JVM SPSS system-file (.sav) ingest over a `binaryFile` scan —
+  * closes the last `read_data` statistical-package descope (reference:
+  * gofast/api/property.py:2781 read_data's extension map;
+  * gofast/core/io.py:826 read_data).
+  *
+  * The layout parsed here is the one publicly documented in the PSPP
+  * manual's "System File Format" appendix. NO independent .sav
+  * implementation exists in this sandbox (no pyreadstat / R), so —
+  * unlike [[Sas]], whose fixtures are pandas-validated — conformance
+  * is anchored to the spec text: golden fixtures are assembled
+  * field-by-field from the spec by tools/make_sav_fixture.py, a second
+  * implementation kept deliberately separate from this file, and
+  * SavSpec pins this parser against those exact bytes.
+  *
+  * SUPPORTED SUBSET, refused loudly outside it:
+  *  - "$FL2" files, little-endian (layout_code 2 read LE; a
+  *    byte-swapped layout_code refuses as big-endian);
+  *  - compression 0 (none) and 1 (bytecode); 2 (zlib / .zsav) refuses;
+  *  - string variables up to 255 bytes via continuation records; the
+  *    very-long-string extension (info subtype 14) refuses.
+  *
+  * Layout mirrors [[Sas]]: the scan parses per-partition, [[readSav]]
+  * emits tall (row, key, typed value) cells, [[records]] pivots to the
+  * wide record frame under the FIRST file's own dictionary. Variable
+  * names prefer the long-name map (info subtype 13) and fall back to
+  * the trimmed 8-byte short names lowercased.
+  */
+object Sav {
+
+  /** One variable: name, string width (0 = numeric), and the index of
+    * its first 8-byte element inside a case. */
+  final case class SavVar(name: String, width: Int, elementAt: Int)
+
+  final case class SavMeta(caseSize: Int, compression: Int, nCases: Int,
+                           bias: Double, sysmis: Double, vars: Seq[SavVar],
+                           dataAt: Int)
+
+  private val DefaultSysmis = -java.lang.Double.MAX_VALUE
+
+  // --------------------------------------------------------------
+  // little-endian primitives over a cursor
+  // --------------------------------------------------------------
+
+  private final class Cur(val bytes: Array[Byte]) {
+    var pos = 0
+    def i4(): Int = {
+      require(pos + 4 <= bytes.length, "sav: truncated record")
+      var v = 0; var i = 3
+      while (i >= 0) { v = (v << 8) | (bytes(pos + i) & 0xff); i -= 1 }
+      pos += 4; v
+    }
+    def f8(): Double = {
+      require(pos + 8 <= bytes.length, "sav: truncated record")
+      var bits = 0L; var i = 7
+      while (i >= 0) { bits = (bits << 8) | (bytes(pos + i) & 0xffL); i -= 1 }
+      pos += 8
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    def s(n: Int): Array[Byte] = {
+      require(pos + n <= bytes.length, "sav: truncated record")
+      val out = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
+      pos += n; out
+    }
+    def skip(n: Int): Unit = {
+      require(pos + n <= bytes.length && n >= 0, "sav: truncated record")
+      pos += n
+    }
+  }
+
+  private def refuse(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"sav: $msg — the supported subset is little-endian $$FL2 files " +
+        "with no or bytecode compression; re-export once (e.g. " +
+        "pyreadstat.read_sav(...).to_parquet(...)) for anything outside it.")
+
+  private def ascii(b: Array[Byte]): String =
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+
+  // --------------------------------------------------------------
+  // dictionary
+  // --------------------------------------------------------------
+
+  /** Parse header + every dictionary record up to the 999 terminator. */
+  def parseMeta(bytes: Array[Byte]): SavMeta = {
+    require(bytes.length >= 176, "sav: file shorter than a header")
+    val magic = ascii(java.util.Arrays.copyOfRange(bytes, 0, 4))
+    if (magic == "$FL3") refuse("zlib-compressed .zsav (magic $FL3)")
+    require(magic == "$FL2", s"sav: bad magic '$magic' — not a system file")
+    val c = new Cur(bytes)
+    c.skip(64) // magic + product name
+    val layout = c.i4()
+    if (layout != 2 && layout != 3) {
+      if (layout == 0x02000000 || layout == 0x03000000)
+        refuse("big-endian file (byte-swapped layout code)")
+      refuse(s"unknown layout code $layout")
+    }
+    val caseSize = c.i4()
+    val compression = c.i4()
+    if (compression == 2) refuse("zlib compression (2)")
+    if (compression != 0 && compression != 1)
+      refuse(s"unknown compression code $compression")
+    c.skip(4) // weight index
+    val nCases = c.i4()
+    val bias = c.f8()
+    c.skip(9 + 8 + 64 + 3) // dates, label, padding
+    require(c.pos == 176, "sav: header arithmetic broke")
+
+    var sysmis = DefaultSysmis
+    val shortVars = mutable.ArrayBuffer.empty[(String, Int)] // name, type
+    var longNames = Map.empty[String, String]
+    var done = false
+    while (!done) {
+      val rec = c.i4()
+      rec match {
+        case 2 => // variable
+          val typ = c.i4()
+          val hasLabel = c.i4()
+          val nMissing = c.i4()
+          c.skip(8) // print/write formats
+          val name = ascii(c.s(8)).trim
+          if (hasLabel == 1) {
+            val len = c.i4()
+            c.skip((len + 3) / 4 * 4)
+          }
+          if (nMissing != 0) c.skip(math.abs(nMissing) * 8)
+          shortVars += ((name, typ))
+        case 3 => // value labels: (f8 value, padded label) pairs
+          val n = c.i4()
+          var i = 0
+          while (i < n) {
+            c.skip(8)
+            val len = c.bytes(c.pos) & 0xff
+            c.skip((1 + len + 7) / 8 * 8)
+            i += 1
+          }
+        case 4 => // value-label variable indexes
+          val n = c.i4(); c.skip(4 * n)
+        case 6 => // documents: 80-char lines
+          val n = c.i4(); c.skip(80 * n)
+        case 7 => // info records
+          val subtype = c.i4()
+          val size = c.i4()
+          val count = c.i4()
+          val payload = c.s(size * count)
+          subtype match {
+            case 4 if size == 8 && count >= 1 =>
+              var bits = 0L; var i = 7
+              while (i >= 0) { bits = (bits << 8) | (payload(i) & 0xffL); i -= 1 }
+              sysmis = java.lang.Double.longBitsToDouble(bits)
+            case 13 => // long variable names: SHORT=Long \t SHORT=Long
+              longNames = ascii(payload).split('\t').iterator
+                .map(_.split("=", 2)).collect {
+                  case Array(s, l) if s.nonEmpty => s.trim -> l.trim
+                }.toMap
+            case 14 =>
+              refuse("very-long-string records (info subtype 14; " +
+                "strings past 255 bytes)")
+            case _ => ()
+          }
+        case 999 =>
+          c.skip(4); done = true
+        case other =>
+          refuse(s"unknown dictionary record type $other at ${c.pos - 4}")
+      }
+    }
+
+    // fold continuation records into their string variable; assign
+    // element slots in declaration order
+    val vars = mutable.ArrayBuffer.empty[SavVar]
+    var el = 0
+    shortVars.foreach { case (name, typ) =>
+      if (typ == -1) el += 1 // continuation: slot consumed, no new var
+      else {
+        if (typ > 255) refuse(s"string variable '$name' of width $typ")
+        val long = longNames.getOrElse(name, name.toLowerCase)
+        vars += SavVar(long, typ, el)
+        el += 1
+      }
+    }
+    require(el == caseSize,
+      s"sav: dictionary declares $el case elements, header says $caseSize")
+    SavMeta(caseSize, compression, nCases, bias, sysmis, vars.toSeq, c.pos)
+  }
+
+  // --------------------------------------------------------------
+  // data
+  // --------------------------------------------------------------
+
+  /** Decode every case into one Seq[Any] per row (Double or String,
+    * null for sysmis / all-blank strings). */
+  def rows(bytes: Array[Byte], meta: SavMeta): Iterator[Seq[Any]] = {
+    require(meta.nCases >= 0,
+      "sav: unknown case count (-1) is outside the supported subset")
+    val els = new Array[Array[Byte]](meta.caseSize)
+    val out = mutable.ArrayBuffer.empty[Seq[Any]]
+    val c = new Cur(bytes)
+    c.pos = meta.dataAt
+
+    def emit(): Unit = out += meta.vars.map { v =>
+      if (v.width == 0) {
+        var bits = 0L; var i = 7
+        val e = els(v.elementAt)
+        while (i >= 0) { bits = (bits << 8) | (e(i) & 0xffL); i -= 1 }
+        val d = java.lang.Double.longBitsToDouble(bits)
+        if (d == meta.sysmis || java.lang.Double.isNaN(d)) null
+        else java.lang.Double.valueOf(d)
+      } else {
+        val n = (v.width + 7) / 8
+        val raw = new Array[Byte](n * 8)
+        var i = 0
+        while (i < n) { els(v.elementAt + i).copyToArray(raw, i * 8); i += 1 }
+        var end = math.min(v.width, raw.length)
+        while (end > 0 && (raw(end - 1) == ' '.toByte || raw(end - 1) == 0))
+          end -= 1
+        if (end == 0) null
+        else new String(raw, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+      }
+    }
+
+    if (meta.compression == 0) {
+      var r = 0
+      while (r < meta.nCases) {
+        var e = 0
+        while (e < meta.caseSize) { els(e) = c.s(8); e += 1 }
+        emit(); r += 1
+      }
+    } else {
+      // bytecode: 8-command blocks; raw data follows each block
+      val Spaces = "        ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val sysmisBytes = {
+        val b = new Array[Byte](8)
+        val bits = java.lang.Double.doubleToRawLongBits(meta.sysmis)
+        var i = 0
+        while (i < 8) { b(i) = ((bits >> (8 * i)) & 0xff).toByte; i += 1 }
+        b
+      }
+      def biased(code: Int): Array[Byte] = {
+        val b = new Array[Byte](8)
+        val bits = java.lang.Double.doubleToRawLongBits(code - meta.bias)
+        var i = 0
+        while (i < 8) { b(i) = ((bits >> (8 * i)) & 0xff).toByte; i += 1 }
+        b
+      }
+      var e = 0
+      var eof = false
+      while (!eof && out.length < meta.nCases) {
+        val block = c.s(8)
+        val pending = mutable.ArrayBuffer.empty[Int] // slots awaiting raw
+        val slots = mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+        var i = 0
+        var filled = 0
+        while (i < 8 && !eof) {
+          val cmd = block(i) & 0xff
+          cmd match {
+            case 0 => () // padding
+            case 252 => eof = true
+            case 253 => pending += (e + filled); filled += 1
+            case 254 => slots += ((e + filled, Spaces)); filled += 1
+            case 255 => slots += ((e + filled, sysmisBytes)); filled += 1
+            case code => slots += ((e + filled, biased(code))); filled += 1
+          }
+          i += 1
+        }
+        pending.foreach(at => slots += ((at, c.s(8))))
+        slots.sortBy(_._1).foreach { case (at, v) =>
+          els(at % meta.caseSize) = v
+          if (at % meta.caseSize == meta.caseSize - 1) emit()
+        }
+        e += filled
+      }
+      require(out.length == meta.nCases,
+        s"sav: header promised ${meta.nCases} cases, stream held ${out.length}")
+    }
+    require(out.length == meta.nCases,
+      s"sav: header promised ${meta.nCases} cases, data held ${out.length}")
+    out.iterator
+  }
+
+  // --------------------------------------------------------------
+  // Spark surface — the Sas tall-cells + records convention
+  // --------------------------------------------------------------
+
+  private val cellSchema = StructType(Seq(
+    StructField("src_file", StringType, nullable = false),
+    StructField("row", LongType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("vtype", StringType, nullable = false),
+    StructField("value_str", StringType, nullable = true),
+    StructField("value_double", DoubleType, nullable = true)))
+
+  private def cells(file: String, bytes: Array[Byte]): Iterator[Row] = {
+    val meta = parseMeta(bytes)
+    rows(bytes, meta).zipWithIndex.flatMap { case (vals, r) =>
+      meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
+        if (v.width == 0) Row(file, r.toLong, v.name, "num", null, x)
+        else Row(file, r.toLong, v.name, "str", x, null)
+      }
+    }
+  }
+
+  /** Read .sav file(s) (path, directory or glob) as tall cells —
+    * parsed per-partition off a binaryFile scan. */
+  def readSav(spark: SparkSession, path: String): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    val rdd = bin.rdd.flatMap(r =>
+      cells(r.getString(0), r.getAs[Array[Byte]](1)))
+    spark.createDataFrame(rdd, cellSchema)
+  }
+
+  /** In-memory blobs through the same kernel. */
+  def readSavBlobs(spark: SparkSession,
+                   blobs: Seq[(String, Array[Byte])]): DataFrame = {
+    require(blobs.nonEmpty, "readSavBlobs needs at least one blob")
+    val rdd = spark.sparkContext
+      .parallelize(blobs, math.min(blobs.size, 32))
+      .flatMap { case (name, bytes) => cells(name, bytes) }
+    spark.createDataFrame(rdd, cellSchema)
+  }
+
+  /** Pivot tall cells into the wide record frame under a (name, isNum)
+    * column list — one groupBy(row) shuffle ([[Sas.records]]). */
+  def records(cellsDf: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
+    Sas.records(cellsDf, cols)
+
+  /** The one-call wide read: dictionary from the FIRST file (bounded
+    * driver read, the fitted-scalar pattern), then distributed parse. */
+  def readSavRecords(spark: SparkSession, path: String): DataFrame = {
+    val firstPath = spark.read.format("binaryFile").load(path)
+      .select("path").orderBy("path").limit(1).head().getString(0)
+    val firstBytes = spark.read.format("binaryFile").load(firstPath)
+      .select("content").head().getAs[Array[Byte]](0)
+    val meta = parseMeta(firstBytes)
+    records(readSav(spark, path), meta.vars.map(v => (v.name, v.width == 0)))
+  }
+
+  // --------------------------------------------------------------
+  // writer — fixtures and round-trip tests. The READER is pinned to
+  // the spec-assembled fixtures in SavSpec; this writer round-trips
+  // (the Pickle.dumps convention).
+  // --------------------------------------------------------------
+
+  /** Dump records as a little-endian $FL2 system file. Values: Double
+    * (null = sysmis) for numeric columns, String for char columns
+    * (width = longest value, min 1, max 255). `bytecode = true` emits
+    * compression-1 blocks (small exact integers as biased bytes, the
+    * rest as raw data). Short names VAR00001.. carry an info-13 long-
+    * name map to the real column names. */
+  def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]],
+            bytecode: Boolean = false): Array[Byte] = {
+    require(cols.nonEmpty, "dumps needs at least one column")
+    data.foreach(r => require(r.length == cols.length,
+      s"row arity ${r.length} != ${cols.length} columns"))
+    val widths = cols.zipWithIndex.map { case ((_, isNum), i) =>
+      if (isNum) 0
+      else {
+        val w = math.max(1, data.iterator.map(r =>
+          Option(r(i)).fold(0)(_.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8).length))
+          .foldLeft(0)(math.max))
+        require(w <= 255, s"string column '${cols(i)._1}' wider than 255")
+        w
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w4(v: Int): Unit = {
+      var i = 0
+      while (i < 4) { out.write((v >> (8 * i)) & 0xff); i += 1 }
+    }
+    def w8(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToRawLongBits(d)
+      var i = 0
+      while (i < 8) { out.write(((bits >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def ws(s: String, n: Int): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(b.length <= n, s"'$s' wider than $n")
+      out.write(b); out.write(Array.fill[Byte](n - b.length)(' '.toByte))
+    }
+    val caseSize = widths.map(w => if (w == 0) 1 else (w + 7) / 8).sum
+
+    out.write("$FL2".getBytes); ws("graft sav writer", 60)
+    w4(2); w4(caseSize); w4(if (bytecode) 1 else 0); w4(0)
+    w4(data.length); w8(100.0)
+    ws("01 Jan 90", 9); ws("00:00:00", 8); ws("graft", 64)
+    out.write(Array[Byte](0, 0, 0))
+
+    val shortNames = cols.indices.map(i => f"VAR${i + 1}%05d")
+    cols.indices.foreach { i =>
+      val width = widths(i)
+      w4(2); w4(width); w4(0); w4(0)
+      val fmt = if (width == 0) 0x050800 else 0x010000 | (width << 8)
+      w4(fmt); w4(fmt)
+      ws(shortNames(i), 8)
+      var extra = (if (width == 0) 1 else (width + 7) / 8) - 1
+      while (extra > 0) {
+        w4(2); w4(-1); w4(0); w4(0); w4(0); w4(0); ws("", 8)
+        extra -= 1
+      }
+    }
+    val longMap = shortNames.zip(cols.map(_._1))
+      .map { case (s, l) => s"$s=$l" }.mkString("\t")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    w4(7); w4(13); w4(1); w4(longMap.length); out.write(longMap)
+    w4(999); w4(0)
+
+    // --- data
+    val sysmis = DefaultSysmis
+    def elements(r: Seq[Any]): Seq[Array[Byte]] = {
+      val els = mutable.ArrayBuffer.empty[Array[Byte]]
+      cols.indices.foreach { i =>
+        val w = widths(i)
+        if (w == 0) {
+          val d = r(i) match {
+            case null => sysmis
+            case x: Double => x
+            case other => throw new IllegalArgumentException(
+              s"numeric column '${cols(i)._1}' got ${other.getClass.getName}")
+          }
+          val b = new Array[Byte](8)
+          val bits = java.lang.Double.doubleToRawLongBits(d)
+          var k = 0
+          while (k < 8) { b(k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1 }
+          els += b
+        } else {
+          val n = (w + 7) / 8
+          val raw = new Array[Byte](n * 8)
+          java.util.Arrays.fill(raw, ' '.toByte)
+          r(i) match {
+            case null => ()
+            case s: String =>
+              val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              b.copyToArray(raw)
+            case other => throw new IllegalArgumentException(
+              s"string column '${cols(i)._1}' got ${other.getClass.getName}")
+          }
+          (0 until n).foreach(k =>
+            els += java.util.Arrays.copyOfRange(raw, k * 8, k * 8 + 8))
+        }
+      }
+      els.toSeq
+    }
+
+    if (!bytecode) data.foreach(r => elements(r).foreach(out.write))
+    else {
+      val spaces8 = Array.fill[Byte](8)(' '.toByte)
+      val cmds = mutable.ArrayBuffer.empty[Int]
+      val raws = mutable.ArrayBuffer.empty[Array[Byte]]
+      val numericAt = {
+        // element index -> is it a numeric slot (biasable)?
+        val flags = mutable.ArrayBuffer.empty[Boolean]
+        cols.indices.foreach { i =>
+          if (widths(i) == 0) flags += true
+          else (0 until (widths(i) + 7) / 8).foreach(_ => flags += false)
+        }
+        flags.toIndexedSeq
+      }
+      data.foreach { r =>
+        elements(r).zipWithIndex.foreach { case (el, at) =>
+          if (numericAt(at)) {
+            var bits = 0L; var k = 7
+            while (k >= 0) { bits = (bits << 8) | (el(k) & 0xffL); k -= 1 }
+            val d = java.lang.Double.longBitsToDouble(bits)
+            if (d == sysmis) cmds += 255
+            else if (d == math.rint(d) && d + 100.0 >= 1 && d + 100.0 <= 251)
+              cmds += (d + 100.0).toInt
+            else { cmds += 253; raws += el }
+          } else if (java.util.Arrays.equals(el, spaces8)) cmds += 254
+          else { cmds += 253; raws += el }
+        }
+      }
+      cmds += 252
+      var i = 0; var ri = 0
+      while (i < cmds.length) {
+        val block = cmds.slice(i, i + 8)
+        val nRaw = block.count(_ == 253)
+        block.foreach(out.write)
+        (block.length until 8).foreach(_ => out.write(0))
+        (0 until nRaw).foreach { k => out.write(raws(ri + k)) }
+        ri += nRaw
+        i += 8
+      }
+    }
+    out.toByteArray
+  }
+}

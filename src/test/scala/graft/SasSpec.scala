@@ -1,0 +1,135 @@
+package graft
+
+import graft.io.Sas
+
+/** SAS7BDAT ingest against GOLDEN fixtures handcrafted by
+  * tools/make_sas_fixture.py and validated by pandas.read_sas (an
+  * independent public implementation) before check-in — both the
+  * 64-bit meta+data-page layout and the 32-bit single-mix-page layout.
+  * The refusal cases pin the documented subset: big-endian and
+  * RLE/RDC-compressed files never parse silently wrong. */
+class SasSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "src/test/resources/sas"
+
+  private def bytes(f: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f))
+
+  /** The intended frame both fixtures carry (tools/make_sas_fixture.py
+    * ROWS): id f8, score f8 with row 7 missing, name char(8). */
+  private def expected: Seq[(Double, Option[Double], String)] =
+    (0 until 20).map { i =>
+      (i.toDouble,
+        if (i == 7) None
+        else Some(math.rint((i * 0.5 - 3.0) * 1e6) / 1e6),
+        if (i % 4 == 0) "pad" else s"r${i % 3}x")
+    }
+
+  private def check(file: String): Unit = {
+    val wide = Sas.readSasRecords(spark, s"$dir/$file")
+      .orderBy("row").select($"id", $"score", $"name")
+      .as[(Double, Option[Double], String)].collect()
+    assert(wide.toSeq === expected)
+  }
+
+  test("u64 fixture (meta page + data page) matches the pandas golden") {
+    check("fixture_u64.sas7bdat")
+  }
+
+  test("x86 fixture (single mix page) matches the pandas golden") {
+    check("fixture_x86.sas7bdat")
+  }
+
+  test("golden.csv (the pandas-read dump) agrees row for row") {
+    // the CSV is what pandas itself decoded from the same bytes — a
+    // second anchor independent of the fixture generator's intent
+    val golden = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/golden.csv")
+      .orderBy("id")
+      .select($"id", $"score", $"name")
+      .as[(Double, Option[Double], String)].collect()
+    val ours = Sas.readSasRecords(spark, s"$dir/fixture_u64.sas7bdat")
+      .orderBy("row").select($"id", $"score", $"name")
+      .as[(Double, Option[Double], String)].collect()
+    assert(ours.length === golden.length)
+    ours.zip(golden).foreach { case ((i1, s1, n1), (i2, s2, n2)) =>
+      assert(i1 === i2)
+      assert(n1 === n2)
+      (s1, s2) match {
+        case (None, None) => ()
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9)
+        case other => fail(s"missing-value mismatch: $other")
+      }
+    }
+  }
+
+  test("tall cells carry per-column types; numeric missing is null") {
+    val tall = Sas.readSas(spark, s"$dir/fixture_u64.sas7bdat")
+    assert(tall.count() === 60L)
+    val types = tall.select("key", "vtype").distinct()
+      .as[(String, String)].collect().toMap
+    assert(types === Map("id" -> "num", "score" -> "num", "name" -> "str"))
+    val missing = tall
+      .filter($"key" === "score" && $"value_double".isNull)
+      .select($"row").as[Long].collect()
+    assert(missing.toSeq === Seq(7L))
+  }
+
+  test("writer round-trips through the parser and the blob reader") {
+    val cols = Seq(("k", true), ("txt", false), ("v", true))
+    val data = (0 until 300).map { i =>
+      Seq(i.toDouble,
+        if (i % 5 == 0) null else s"s${i % 11}",
+        if (i % 7 == 0) null else (i * 1.25 - 10.0)): Seq[Any]
+    }
+    val blob = Sas.dumps(cols, data)
+    // 300 rows x 24 bytes spill past one 4096-byte data page — the
+    // round-trip covers the multi-data-page path
+    val wide = Sas.records(
+        Sas.readSasBlobs(spark, Seq(("t.sas7bdat", blob))), cols)
+      .orderBy("row")
+      .select($"k", $"txt", $"v")
+      .as[(Double, Option[String], Option[Double])].collect()
+    assert(wide.length === 300)
+    wide.zipWithIndex.foreach { case ((k, txt, v), i) =>
+      assert(k === i.toDouble)
+      assert(txt === (if (i % 5 == 0) None else Some(s"s${i % 11}")))
+      assert(v === (if (i % 7 == 0) None else Some(i * 1.25 - 10.0)))
+    }
+  }
+
+  test("big-endian, compressed and corrupt files refuse loudly") {
+    val be = bytes("fixture_u64.sas7bdat").clone()
+    be(37) = 0x00 // endianness byte
+    val e1 = intercept[IllegalArgumentException] { Sas.parseMeta(be) }
+    assert(e1.getMessage.contains("big-endian"))
+
+    // plant the RLE literal inside the first column-text blob: the
+    // u64 fixture's text subheader sits on page 1 — find its payload
+    // by scanning for the name bytes we know it holds
+    val rle = bytes("fixture_u64.sas7bdat").clone()
+    val idAt = (1024 until rle.length - 8).find(i =>
+      rle(i) == 'i'.toByte && rle(i + 1) == 'd'.toByte &&
+        rle(i + 2) == 0.toByte).get
+    "SASYZCRL".getBytes("ISO-8859-1").copyToArray(rle, idAt)
+    val e2 = intercept[IllegalArgumentException] { Sas.parseMeta(rle) }
+    assert(e2.getMessage.contains("compressed"))
+
+    val junk = Array.fill[Byte](2048)(0x5A)
+    intercept[IllegalArgumentException] { Sas.parseMeta(junk) }
+
+    val truncated = bytes("fixture_u64.sas7bdat").take(3000)
+    val e3 = intercept[IllegalArgumentException] {
+      Sas.parseMeta(truncated)
+    }
+    assert(e3.getMessage.contains("truncated"))
+  }
+
+  test("IO.readData dispatches .sas7bdat") {
+    val df = graft.io.IO.readData(spark, s"$dir/fixture_u64.sas7bdat")
+    assert(df.count() === 20L)
+    assert(df.columns.sorted.toSeq === Seq("id", "name", "row",
+      "score", "src_file"))
+  }
+}

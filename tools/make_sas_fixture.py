@@ -1,0 +1,247 @@
+#!/usr/bin/env python3
+"""Handcraft sas7bdat golden fixtures for SasSpec, validated by pandas.
+
+The sas7bdat layout followed here is the publicly reverse-engineered
+one (the BioStatMatt sas7bdat vignette / the parso and pandas readers).
+pandas.read_sas is an INDEPENDENT public implementation: this script
+asserts that the bytes it emits parse to exactly the intended frame
+before writing them, so the checked-in fixtures conform to the format
+as implemented outside this repo, not merely to our own Scala parser.
+
+Emits (under src/test/resources/sas/):
+  fixture_u64.sas7bdat    64-bit little-endian, uncompressed, 2 pages
+  fixture_x86.sas7bdat    32-bit little-endian, uncompressed, 1 mix page
+  golden.csv              the pandas-read values both files decode to
+"""
+import io
+import struct
+import sys
+
+import pandas as pd
+
+MAGIC = bytes([
+    0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+    0x00, 0x00, 0x00, 0x00, 0xC2, 0xEA, 0x81, 0x60,
+    0xB3, 0x14, 0x11, 0xCF, 0xBD, 0x92, 0x08, 0x00,
+    0x09, 0xC7, 0x31, 0x8C, 0x18, 0x1F, 0x10, 0x11,
+])
+SAS_MISSING = bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])  # LE NaN, SAS "."
+
+# the intended frame: id f8, score f8 (one missing), name char(8)
+ROWS = [
+    (float(i),
+     None if i == 7 else round(i * 0.5 - 3.0, 6),
+     f"r{i % 3}x" if i % 4 else "pad  ".strip())
+    for i in range(20)
+]
+COLS = [("id", "d", 8), ("score", "d", 8), ("name", "s", 8)]
+ROW_LEN = sum(w for _, _, w in COLS)
+
+
+def pad(b: bytes, n: int) -> bytes:
+    assert len(b) <= n, (len(b), n)
+    return b + b"\x00" * (n - len(b))
+
+
+def encode_row(row) -> bytes:
+    out = b""
+    for (name, typ, width), v in zip(COLS, row):
+        if typ == "d":
+            out += SAS_MISSING if v is None else struct.pack("<d", v)
+        else:
+            out += pad(v.encode("ascii"), width).replace(b"\x00", b" ")
+    return out
+
+
+def header(u64: bool, page_size: int, page_count: int) -> bytes:
+    h = bytearray(1024)
+    h[0:32] = MAGIC
+    a1 = 4 if u64 else 0  # byte 35 == '3' shifts the date/size fields
+    a2 = 4 if u64 else 0  # byte 32 == '3' selects the 64-bit layout
+    if u64:
+        h[32] = 0x33
+        h[35] = 0x33
+    h[37] = 0x01  # little-endian
+    h[39] = ord("1")  # unix
+    h[70] = 20  # utf-8
+    h[84:92] = b"SAS FILE"
+    h[92:156] = pad(b"GRAFTFIX", 64).replace(b"\x00", b" ")
+    h[156:164] = b"DATA    "
+    created = struct.pack("<d", 2.0e9)  # seconds since 1960, arbitrary
+    h[164 + a1:172 + a1] = created
+    h[172 + a1:180 + a1] = created
+    h[196 + a1:200 + a1] = struct.pack("<I", 1024)
+    h[200 + a1:204 + a1] = struct.pack("<I", page_size)
+    cnt_len = 8 if u64 else 4
+    h[204 + a1:204 + a1 + cnt_len] = page_count.to_bytes(cnt_len, "little")
+    ta = a1 + a2
+    h[216 + ta:224 + ta] = b"9.0401M2"
+    h[224 + ta:240 + ta] = pad(b"Linux", 16).replace(b"\x00", b" ")
+    return bytes(h)
+
+
+def subheaders(u64: bool, mix_rows: int):
+    """Return [(signature_payload_bytes, compression, shtype)] in the
+    order they will be pointed at from the meta/mix page."""
+    il = 8 if u64 else 4
+    U = "<Q" if u64 else "<I"
+
+    def sig(le32: bytes) -> bytes:
+        # LE signatures: 32-bit files use the 4-byte form, 64-bit files
+        # extend row/col-size with zeros and the pointer family with FF
+        if not u64:
+            return le32
+        if le32 in (b"\xf7\xf7\xf7\xf7", b"\xf6\xf6\xf6\xf6"):
+            return le32 + b"\x00\x00\x00\x00"
+        if le32 == b"\x00\xfc\xff\xff":
+            return le32 + b"\xff\xff\xff\xff"
+        return le32 + b"\xff\xff\xff\xff"
+
+    out = []
+
+    # --- row size: row length / row count / col count / mix rows
+    rs = bytearray(808 if u64 else 480)
+    rs[0:il] = sig(b"\xf7\xf7\xf7\xf7")
+    rs[5 * il:6 * il] = struct.pack(U, ROW_LEN)
+    rs[6 * il:7 * il] = struct.pack(U, len(ROWS))
+    rs[9 * il:10 * il] = struct.pack(U, len(COLS))   # col_count_p1
+    rs[10 * il:11 * il] = struct.pack(U, 0)          # col_count_p2
+    rs[15 * il:16 * il] = struct.pack(U, mix_rows)
+    # lcs/lcp stay 0 -> no creator-proc / compression-literal reads
+    out.append(bytes(rs))
+
+    # --- column size
+    cs = bytearray(3 * il)
+    cs[0:il] = sig(b"\xf6\xf6\xf6\xf6")
+    cs[il:2 * il] = struct.pack(U, len(COLS))
+    out.append(bytes(cs))
+
+    # --- column text: blob starts right after the signature; name
+    # pointers index into it (offset 0 = the u16 size field itself)
+    names = [n.encode("ascii") for n, _, _ in COLS]
+    blob = bytearray(b"\x00" * 8)  # size u16 + pad, strings from 8
+    name_at = []
+    for nb in names:
+        name_at.append(len(blob))
+        blob += pad(nb, (len(nb) + 7) // 8 * 8)
+    struct.pack_into("<H", blob, 0, len(blob))
+    out.append(sig(b"\xfd\xff\xff\xff") + bytes(blob))
+
+    # --- column name pointers: 8 bytes each, first at sig + il + 8
+    # (pandas addresses them as subheader + int_len + 8*(i+1))
+    cn = bytearray(sig(b"\xff\xff\xff\xff") + b"\x00" * 8)
+    for (n, _, _), off in zip(COLS, name_at):
+        cn += struct.pack("<HHHH", 0, off, len(n), 0)
+    cn += b"\x00" * 12  # count = (len - 2*il - 12) // 8
+    out.append(bytes(cn))
+
+    # --- column attributes: (il+8)-byte vectors, first at sig + il + 8
+    ca = bytearray(sig(b"\xfc\xff\xff\xff") + b"\x00" * 8)
+    rowoff = 0
+    for _, typ, width in COLS:
+        vec = bytearray(il + 8)
+        vec[0:il] = struct.pack(U, rowoff)
+        struct.pack_into("<I", vec, il, width)
+        vec[il + 6] = 1 if typ == "d" else 2
+        ca += vec
+        rowoff += width
+    ca += b"\x00" * 12  # count = (len - 2*il - 12) // (il + 8)
+    out.append(bytes(ca))
+
+    # --- one format-and-label subheader per column (pandas builds its
+    # column list here); zero-length format and label
+    for _ in COLS:
+        out.append(pad(sig(b"\xfe\xfb\xff\xff"), 3 * il + 40))
+
+    return out
+
+
+def build(u64: bool, split_pages: bool) -> bytes:
+    il = 8 if u64 else 4
+    bit_offset = 32 if u64 else 16
+    ptr_len = 24 if u64 else 12
+    page_size = 4096
+
+    mix_rows = 0 if split_pages else len(ROWS)
+    shs = subheaders(u64, mix_rows)
+
+    # lay subheaders from the END of page 1 (the real-file convention),
+    # 8-aligned; pointers live right after the page header
+    page1 = bytearray(page_size)
+    tail = page_size
+    ptrs = []
+    for sh in shs:
+        tail = (tail - len(sh)) & ~7
+        page1[tail:tail + len(sh)] = sh
+        ptrs.append((tail, len(sh)))
+    ptr_area = bit_offset + 8
+    assert ptr_area + len(ptrs) * ptr_len <= tail, "page 1 overflow"
+    for i, (off, ln) in enumerate(ptrs):
+        base = ptr_area + i * ptr_len
+        if u64:
+            struct.pack_into("<QQBB", page1, base, off, ln, 0, 1)
+        else:
+            struct.pack_into("<IIBB", page1, base, off, ln, 0, 1)
+
+    page_type = 0 if split_pages else 512  # meta vs mix
+    rows_on_p1 = 0
+    if not split_pages:
+        data_at = bit_offset + 8 + len(ptrs) * ptr_len
+        data_at += data_at % 8  # the reader's mix-page alignment rule
+        for r in ROWS:
+            enc = encode_row(r)
+            assert data_at + len(enc) <= tail, "mix page overflow"
+            page1[data_at:data_at + len(enc)] = enc
+            data_at += len(enc)
+        rows_on_p1 = len(ROWS)
+    struct.pack_into("<HHH", page1, bit_offset,
+                     page_type, len(ptrs) + rows_on_p1, len(ptrs))
+
+    pages = [bytes(page1)]
+    if split_pages:
+        page2 = bytearray(page_size)
+        struct.pack_into("<HHH", page2, bit_offset, 256, len(ROWS), 0)
+        at = bit_offset + 8
+        for r in ROWS:
+            enc = encode_row(r)
+            page2[at:at + len(enc)] = enc
+            at += len(enc)
+        pages.append(bytes(page2))
+
+    return header(u64, page_size, len(pages)) + b"".join(pages)
+
+
+def validate(raw: bytes, label: str) -> pd.DataFrame:
+    df = pd.read_sas(io.BytesIO(raw), format="sas7bdat", encoding="utf-8")
+    assert list(df.columns) == [n for n, _, _ in COLS], df.columns
+    assert len(df) == len(ROWS), (label, len(df))
+    for i, (rid, score, name) in enumerate(ROWS):
+        assert df.iloc[i]["id"] == rid, (label, i, df.iloc[i]["id"])
+        got = df.iloc[i]["score"]
+        if score is None:
+            assert pd.isna(got), (label, i, got)
+        else:
+            assert abs(got - score) < 1e-12, (label, i, got)
+        assert df.iloc[i]["name"] == ROWS[i][2], (label, i, df.iloc[i]["name"])
+    print(f"{label}: pandas reads {len(df)} rows OK")
+    return df
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/sas"
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+    u64 = build(u64=True, split_pages=True)
+    x86 = build(u64=False, split_pages=False)
+    df = validate(u64, "fixture_u64 (meta+data pages)")
+    validate(x86, "fixture_x86 (single mix page)")
+    with open(f"{out_dir}/fixture_u64.sas7bdat", "wb") as f:
+        f.write(u64)
+    with open(f"{out_dir}/fixture_x86.sas7bdat", "wb") as f:
+        f.write(x86)
+    df.to_csv(f"{out_dir}/golden.csv", index=False)
+    print(f"wrote fixtures to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
