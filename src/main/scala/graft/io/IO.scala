@@ -86,9 +86,56 @@ object IO {
               "append to an existing .xlsx is not supported")
           case _ => Excel.writeXlsx(path, Seq("Sheet1" -> df))
         }
+      case "sas7bdat" | "sav" =>
+        // single-file statistical-package exports are driver-side by
+        // design, like .xlsx — same save-mode contract, same bound
+        val exists = new java.io.File(path).exists()
+        mode match {
+          case SaveMode.ErrorIfExists if exists =>
+            throw new IllegalStateException(s"path already exists: $path")
+          case SaveMode.Ignore if exists => ()
+          case SaveMode.Append if exists =>
+            throw new UnsupportedOperationException(
+              s"append to an existing .$ext is not supported")
+          case _ =>
+            val (cols, rows) = driverRows(df, ext)
+            val bytes =
+              if (ext == "sav") Sav.dumps(cols, rows, bytecode = true)
+              else Sas.dumps(cols, rows)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(path), bytes)
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported format: .$other")
     }
+  }
+
+  /** Bounded driver-side materialization for single-file exports:
+    * numeric/boolean columns widen to double (both formats' only
+    * numeric type), strings pass through, anything else refuses
+    * loudly. The row bound matches writeXlsx's sheet limit — past it,
+    * a single non-splittable file is the wrong export; write parquet. */
+  private def driverRows(df: DataFrame, fmt: String, maxRows: Int = 1048575)
+      : (Seq[(String, Boolean)], Seq[Seq[Any]]) = {
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case _: NumericType | BooleanType => (f.name, true)
+        case StringType => (f.name, false)
+        case other => throw new IllegalArgumentException(
+          s".$fmt export supports numeric/boolean/string columns; " +
+            s"'${f.name}' is $other — cast or stringify upstream")
+      }
+    }
+    val widened = df.select(cols.map { case (n, isNum) =>
+      val c = org.apache.spark.sql.functions.col(n)
+      if (isNum) c.cast("double").as(n) else c
+    }: _*)
+    val taken = widened.take(maxRows + 1)
+    require(taken.length <= maxRows,
+      s"single-file .$fmt export is bounded at $maxRows rows " +
+        "(driver-side by design) — write parquet for anything bigger")
+    (cols, taken.toSeq.map(r => cols.indices.map(r.get)))
   }
 }
 

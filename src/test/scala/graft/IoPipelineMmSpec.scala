@@ -19,9 +19,10 @@ class IoPipelineMmSpec extends SparkSpec {
     assert(back.count() == 2)
     IO.exportData(df, s"$tmp/t.json")
     assert(IO.readData(spark, s"$tmp/t.json").count() == 2)
-    // .pkl now dispatches to the Pickle reader (PickleSpec); the
-    // remaining documented descopes still refuse loudly
-    intercept[IllegalArgumentException] { IO.readData(spark, s"$tmp/t.sav") }
+    // .pkl/.sas7bdat/.sav now dispatch to their pure-JVM readers
+    // (PickleSpec/SasSpec/SavSpec); the remaining documented descope
+    // (.h5) still refuses loudly
+    intercept[IllegalArgumentException] { IO.readData(spark, s"$tmp/t.h5") }
   }
 
   test("IO reads xml via the built-in reader") {

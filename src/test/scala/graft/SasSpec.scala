@@ -132,4 +132,28 @@ class SasSpec extends SparkSpec {
     assert(df.columns.sorted.toSeq === Seq("id", "name", "row",
       "score", "src_file"))
   }
+
+  test("IO.exportData round-trips .sas7bdat; non-scalar types refuse") {
+    val tmp = java.nio.file.Files
+      .createTempFile("graft_sas_export_", ".sas7bdat")
+    val src = spark.range(50).selectExpr("CAST(id AS DOUBLE) AS k",
+      "CAST(id % 2 = 0 AS BOOLEAN) AS flag",
+      "'v' || CAST(id AS STRING) AS txt")
+    graft.io.IO.exportData(src, tmp.toString)
+    val back = graft.io.IO.readData(spark, tmp.toString)
+      .orderBy("row").select($"k", $"flag", $"txt")
+      .as[(Double, Double, String)].collect()
+    assert(back.length === 50)
+    back.zipWithIndex.foreach { case ((k, flag, txt), i) =>
+      assert(k === i.toDouble)
+      assert(flag === (if (i % 2 == 0) 1.0 else 0.0)) // bool widens
+      assert(txt === s"v$i")
+    }
+    java.nio.file.Files.delete(tmp)
+    val bad = spark.range(3).selectExpr("array(id) AS a")
+    val e = intercept[IllegalArgumentException] {
+      graft.io.IO.exportData(bad, "/tmp/never_written.sas7bdat")
+    }
+    assert(e.getMessage.contains("cast or stringify"))
+  }
 }

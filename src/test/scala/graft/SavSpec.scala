@@ -115,4 +115,23 @@ class SavSpec extends SparkSpec {
     assert(df.columns.sorted.toSeq === Seq("id", "name", "row",
       "score", "src_file"))
   }
+
+  test("IO.exportData round-trips .sav (bytecode) incl. nulls") {
+    val tmp = java.nio.file.Files.createTempFile("graft_sav_export_", ".sav")
+    val src = spark.range(40).selectExpr(
+      "CAST(id AS DOUBLE) AS k",
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 4 END AS v",
+      "CASE WHEN id % 5 = 0 THEN NULL ELSE 'v' || CAST(id AS STRING) END AS txt")
+    graft.io.IO.exportData(src, tmp.toString)
+    val back = graft.io.IO.readData(spark, tmp.toString)
+      .orderBy("row").select($"k", $"v", $"txt")
+      .as[(Double, Option[Double], Option[String])].collect()
+    assert(back.length === 40)
+    back.zipWithIndex.foreach { case ((k, v, txt), i) =>
+      assert(k === i.toDouble)
+      assert(v === (if (i % 3 == 0) None else Some(i / 4.0)))
+      assert(txt === (if (i % 5 == 0) None else Some(s"v$i")))
+    }
+    java.nio.file.Files.delete(tmp)
+  }
 }
