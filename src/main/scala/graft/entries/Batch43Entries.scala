@@ -2,7 +2,7 @@ package graft.entries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.io.{Sas, Sav}
+import graft.io.{Dta, Sas, Sav}
 
 /** Round-15 batch (cont.): statistical-package ingest — closes the
   * read_data descope list COMPLETELY (csv/tsv/json/parquet/orc/xml/
@@ -19,6 +19,11 @@ import graft.io.{Sas, Sav}
   *    SAME records, one shard UNCOMPRESSED and one BYTECODE-compressed
   *    (both decode paths in one entry), dictionary long names from the
   *    info-13 record. FULL oracle — the same closed form.
+  *  - `read_dta`: the pure-JVM Stata reader (releases 114-118; the
+  *    reference writers map carries `.stata`) — shards written by
+  *    [[Dta.dumps]] (pandas.read_stata-validated, DtaSpec), sections
+  *    located via the format's own <map> offsets. FULL oracle — the
+  *    same closed form.
   */
 object Batch43Entries {
 
@@ -57,6 +62,22 @@ object Batch43Entries {
       Sav.records(cells, cols)
         .select(col("id"), col("grp"), col("score"), col("note"))
         .orderBy("id")
+    }),
+
+    "read_dta" -> ((s, dir) => {
+      val cols = Seq(("id", true), ("grp", false), ("score", true),
+        ("note", false))
+      def rows(ids: Range): Seq[Seq[Any]] = ids.map { i =>
+        Seq[Any](i.toDouble, s"g${i % 3}",
+          if (i % 4 == 0) null else i * 0.5 - 3.0,
+          if (i % 5 == 0) null else s"n$i")
+      }
+      val cells = Dta.readDtaBlobs(s, Seq(
+        ("shard_a.dta", Dta.dumps(cols, rows(0 until 12))),
+        ("shard_b.dta", Dta.dumps(cols, rows(12 until 24)))))
+      Dta.records(cells, cols)
+        .select(col("id"), col("grp"), col("score"), col("note"))
+        .orderBy("id")
     })
   )
 
@@ -75,6 +96,17 @@ object Batch43Entries {
     // same closed form — the sav path must land on identical records
     // whether the shard was uncompressed or bytecode-compressed
     "read_sav" -> """
+      SELECT CAST(id AS DOUBLE) AS id,
+             'g' || CAST(id % 3 AS VARCHAR) AS grp,
+             CASE WHEN id % 4 = 0 THEN NULL
+                  ELSE CAST(id AS DOUBLE) * 0.5 - 3.0 END AS score,
+             CASE WHEN id % 5 = 0 THEN NULL
+                  ELSE 'n' || CAST(id AS VARCHAR) END AS note
+      FROM range(24) t(id) ORDER BY id""",
+
+    // same closed form again — three statistical-package formats, one
+    // arithmetic: any decode divergence breaks exactly one entry
+    "read_dta" -> """
       SELECT CAST(id AS DOUBLE) AS id,
              'g' || CAST(id % 3 AS VARCHAR) AS grp,
              CASE WHEN id % 4 = 0 THEN NULL

@@ -1,0 +1,412 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Pure-JVM Stata .dta ingest over a `binaryFile` scan — the
+  * reference's writers map carries `.stata` (to_stata,
+  * gofast/api/property.py:2835) and read_data's pandas dispatch reads
+  * it back; here both directions are pure JVM.
+  *
+  * The .dta format is PUBLICLY documented by Stata itself
+  * (www.stata.com/help.cgi?dta). Golden fixtures in
+  * src/test/resources/dta/ are written by pandas.to_stata — the real
+  * producer and an independent public implementation — in formats 114,
+  * 117 and 118 (tools/make_dta_fixture.py), and this file's writer is
+  * validated by pandas.read_stata, so conformance is anchored outside
+  * the repo in BOTH directions (the [[Sas]] convention, with an even
+  * stronger producer-side anchor).
+  *
+  * SUPPORTED SUBSET, refused loudly outside it:
+  *  - releases 114/115 (classic binary header) and 117/118 (tagged
+  *    header, sections located via the spec's own <map> offsets);
+  *    releases before 114 and 119 (>32k variables) refuse;
+  *  - little-endian (MSF refuses);
+  *  - fixed-width str# columns; strL (BLOB) columns refuse;
+  *  - all five numeric types, every missing class (., .a–.z) → null.
+  *
+  * Layout mirrors [[Sas]]/[[Sav]]: per-partition parse, tall cells,
+  * wide records under the file's own dictionary.
+  */
+object Dta {
+
+  /** One variable: name, string width (0 = numeric), numeric width in
+    * bytes (1/2/4/8; 0 for strings), float flag. */
+  final case class DtaVar(name: String, strWidth: Int, numWidth: Int,
+                          isFloat: Boolean)
+
+  final case class DtaMeta(release: Int, nVars: Int, nRows: Long,
+                           vars: Seq[DtaVar], dataAt: Long, utf8: Boolean)
+
+  private def refuse(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"dta: $msg — the supported subset is little-endian releases " +
+        "114/115/117/118 with fixed-width columns; re-export once " +
+        "(pandas.read_stata(...).to_parquet(...)) for anything outside it.")
+
+  // --------------------------------------------------------------
+  // little-endian primitives
+  // --------------------------------------------------------------
+
+  private def u1(b: Array[Byte], at: Long): Int = b(at.toInt) & 0xff
+  private def u2(b: Array[Byte], at: Long): Int =
+    u1(b, at) | (u1(b, at + 1) << 8)
+  private def i2(b: Array[Byte], at: Long): Int = u2(b, at).toShort.toInt
+  private def i4(b: Array[Byte], at: Long): Int = {
+    var v = 0; var i = 3
+    while (i >= 0) { v = (v << 8) | u1(b, at + i); i -= 1 }
+    v
+  }
+  private def i8(b: Array[Byte], at: Long): Long = {
+    var v = 0L; var i = 7
+    while (i >= 0) { v = (v << 8) | u1(b, at + i); i -= 1 }
+    v
+  }
+  private def f4(b: Array[Byte], at: Long): Float =
+    java.lang.Float.intBitsToFloat(i4(b, at))
+  private def f8(b: Array[Byte], at: Long): Double =
+    java.lang.Double.longBitsToDouble(i8(b, at))
+
+  private def str(b: Array[Byte], at: Long, len: Int, utf8: Boolean): String = {
+    var end = at.toInt + len
+    while (end > at && b(end - 1) == 0) end -= 1
+    new String(b, at.toInt, end - at.toInt,
+      if (utf8) java.nio.charset.StandardCharsets.UTF_8
+      else java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  private def tag(b: Array[Byte], at: Long, t: String): Long = {
+    val tb = t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var i = 0
+    while (i < tb.length) {
+      if (at + i >= b.length || b((at + i).toInt) != tb(i))
+        refuse(s"expected '$t' at offset $at (corrupt or unsupported file)")
+      i += 1
+    }
+    at + tb.length
+  }
+
+  // Stata missing thresholds: the first missing value of each type is
+  // the power of two just past the documented valid maximum; ., .a–.z
+  // all sit at or above it (positive side only).
+  private val MissDouble = java.lang.Double.longBitsToDouble(0x7fe0000000000000L)
+  private val MissFloat = java.lang.Float.intBitsToFloat(0x7f000000)
+
+  // --------------------------------------------------------------
+  // metadata
+  // --------------------------------------------------------------
+
+  /** Map a (release, raw type code) to a DtaVar skeleton. */
+  private def varOf(release: Int, name: String, code: Int): DtaVar =
+    if (release >= 117) code match {
+      case w if w >= 1 && w <= 2045 => DtaVar(name, w, 0, isFloat = false)
+      case 32768 => refuse(s"strL (BLOB) column '$name'")
+      case 65526 => DtaVar(name, 0, 8, isFloat = false)
+      case 65527 => DtaVar(name, 0, 4, isFloat = true)
+      case 65528 => DtaVar(name, 0, 4, isFloat = false)
+      case 65529 => DtaVar(name, 0, 2, isFloat = false)
+      case 65530 => DtaVar(name, 0, 1, isFloat = false)
+      case other => refuse(s"unknown type code $other for '$name'")
+    } else code match {
+      case w if w >= 1 && w <= 244 => DtaVar(name, w, 0, isFloat = false)
+      case 251 => DtaVar(name, 0, 1, isFloat = false)
+      case 252 => DtaVar(name, 0, 2, isFloat = false)
+      case 253 => DtaVar(name, 0, 4, isFloat = false)
+      case 254 => DtaVar(name, 0, 4, isFloat = true)
+      case 255 => DtaVar(name, 0, 8, isFloat = false)
+      case other => refuse(s"unknown type code $other for '$name'")
+    }
+
+  def parseMeta(bytes: Array[Byte]): DtaMeta = {
+    require(bytes.length > 16, "dta: file too short")
+    if (bytes(0) == '<'.toByte) parseMetaTagged(bytes)
+    else parseMetaClassic(bytes)
+  }
+
+  private def parseMetaClassic(bytes: Array[Byte]): DtaMeta = {
+    val release = u1(bytes, 0)
+    if (release < 114 && release >= 102)
+      refuse(s"release $release (before 114)")
+    require(release == 114 || release == 115,
+      s"dta: byte 0 = $release is neither a classic release nor a tag")
+    if (u1(bytes, 1) != 2) refuse("big-endian (MSF) file")
+    val k = i2(bytes, 4)
+    val n = i4(bytes, 6).toLong
+    require(k >= 0 && n >= 0, s"dta: negative K/N ($k/$n)")
+    var at = 109L
+    val codes = (0 until k).map(i => u1(bytes, at + i)); at += k
+    val names = (0 until k).map(i => str(bytes, at + 33L * i, 33,
+      utf8 = false)); at += 33L * k
+    at += 2L * (k + 1) // sortlist
+    at += 49L * k // formats
+    at += 33L * k // value-label names
+    at += 81L * k // variable labels
+    // expansion fields: {u8 type, i32 len, payload} until type=0 len=0
+    var open = true
+    while (open) {
+      val t = u1(bytes, at)
+      val len = i4(bytes, at + 1)
+      at += 5
+      if (t == 0 && len == 0) open = false
+      else {
+        require(len >= 0 && at + len <= bytes.length,
+          "dta: runaway expansion field")
+        at += len
+      }
+    }
+    val vars = names.zip(codes).map { case (nm, c) => varOf(release, nm, c) }
+    DtaMeta(release, k, n, vars, at, utf8 = false)
+  }
+
+  private def parseMetaTagged(bytes: Array[Byte]): DtaMeta = {
+    var at = tag(bytes, 0, "<stata_dta><header><release>")
+    val release = str(bytes, at, 3, utf8 = false).toInt
+    if (release == 119) refuse("release 119 (>32k variables)")
+    require(release == 117 || release == 118,
+      s"dta: unsupported tagged release $release")
+    at = tag(bytes, at + 3, "</release><byteorder>")
+    val bo = str(bytes, at, 3, utf8 = false)
+    if (bo == "MSF") refuse("big-endian (MSF) file")
+    require(bo == "LSF", s"dta: unknown byte order '$bo'")
+    at = tag(bytes, at + 3, "</byteorder><K>")
+    val k = u2(bytes, at)
+    at = tag(bytes, at + 2, "</K><N>")
+    val n = if (release == 118) i8(bytes, at) else i4(bytes, at).toLong
+    at += (if (release == 118) 8 else 4)
+    at = tag(bytes, at, "</N><label>")
+    val labLen = if (release == 118) u2(bytes, at) else u1(bytes, at)
+    at += (if (release == 118) 2 else 1) + labLen
+    at = tag(bytes, at, "</label><timestamp>")
+    at += 1 + u1(bytes, at)
+    at = tag(bytes, at, "</timestamp></header><map>")
+    // the spec's own section index: 14 u64 offsets
+    val map = (0 until 14).map(i => i8(bytes, at + 8L * i))
+    val typesAt = tag(bytes, map(2), "<variable_types>")
+    val codes = (0 until k).map(i => u2(bytes, typesAt + 2L * i))
+    val nameLen = if (release == 118) 129 else 33
+    val namesAt = tag(bytes, map(3), "<varnames>")
+    val names = (0 until k).map(i =>
+      str(bytes, namesAt + nameLen.toLong * i, nameLen, release == 118))
+    val dataAt = tag(bytes, map(9), "<data>")
+    val vars = names.zip(codes).map { case (nm, c) => varOf(release, nm, c) }
+    DtaMeta(release, k, n, vars, dataAt, utf8 = release == 118)
+  }
+
+  // --------------------------------------------------------------
+  // data
+  // --------------------------------------------------------------
+
+  /** Decode every row (Double or String cells; missing classes and
+    * empty strings → null). */
+  def rows(bytes: Array[Byte], meta: DtaMeta): Iterator[Seq[Any]] = {
+    val rowLen = meta.vars.map(v =>
+      if (v.strWidth > 0) v.strWidth else v.numWidth).sum.toLong
+    require(meta.dataAt + rowLen * meta.nRows <= bytes.length,
+      s"dta: ${meta.nRows} rows of $rowLen bytes overrun the file")
+    val offs = meta.vars.scanLeft(0L)((a, v) =>
+      a + (if (v.strWidth > 0) v.strWidth else v.numWidth))
+    (0L until meta.nRows).iterator.map { r =>
+      val base = meta.dataAt + r * rowLen
+      meta.vars.zip(offs).map { case (v, o) =>
+        val at = base + o
+        if (v.strWidth > 0) {
+          val s = str(bytes, at, v.strWidth, meta.utf8)
+          if (s.isEmpty) null else s
+        } else {
+          val d: Double = v.numWidth match {
+            case 1 =>
+              val x = bytes(at.toInt).toInt
+              if (x >= 101) MissDouble else x.toDouble
+            case 2 =>
+              val x = i2(bytes, at)
+              if (x >= 32741) MissDouble else x.toDouble
+            case 4 if v.isFloat =>
+              val x = f4(bytes, at)
+              if (x >= MissFloat) MissDouble else x.toDouble
+            case 4 =>
+              val x = i4(bytes, at)
+              if (x >= 2147483621) MissDouble else x.toDouble
+            case _ => f8(bytes, at)
+          }
+          if (d >= MissDouble || java.lang.Double.isNaN(d)) null
+          else java.lang.Double.valueOf(d)
+        }
+      }
+    }
+  }
+
+  // --------------------------------------------------------------
+  // Spark surface — the Sas tall-cells + records convention
+  // --------------------------------------------------------------
+
+  private val cellSchema = StructType(Seq(
+    StructField("src_file", StringType, nullable = false),
+    StructField("row", LongType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("vtype", StringType, nullable = false),
+    StructField("value_str", StringType, nullable = true),
+    StructField("value_double", DoubleType, nullable = true)))
+
+  private def cells(file: String, bytes: Array[Byte]): Iterator[Row] = {
+    val meta = parseMeta(bytes)
+    rows(bytes, meta).zipWithIndex.flatMap { case (vals, r) =>
+      meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
+        if (v.strWidth > 0) Row(file, r.toLong, v.name, "str", x, null)
+        else Row(file, r.toLong, v.name, "num", null, x)
+      }
+    }
+  }
+
+  /** Read .dta file(s) (path, directory or glob) as tall cells. */
+  def readDta(spark: SparkSession, path: String): DataFrame = {
+    val bin = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    val rdd = bin.rdd.flatMap(r =>
+      cells(r.getString(0), r.getAs[Array[Byte]](1)))
+    spark.createDataFrame(rdd, cellSchema)
+  }
+
+  /** In-memory blobs through the same kernel. */
+  def readDtaBlobs(spark: SparkSession,
+                   blobs: Seq[(String, Array[Byte])]): DataFrame = {
+    require(blobs.nonEmpty, "readDtaBlobs needs at least one blob")
+    val rdd = spark.sparkContext
+      .parallelize(blobs, math.min(blobs.size, 32))
+      .flatMap { case (name, bytes) => cells(name, bytes) }
+    spark.createDataFrame(rdd, cellSchema)
+  }
+
+  /** Wide pivot — one groupBy(row) shuffle ([[Sas.records]]). */
+  def records(cellsDf: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
+    Sas.records(cellsDf, cols)
+
+  /** The one-call wide read: dictionary from the FIRST file. */
+  def readDtaRecords(spark: SparkSession, path: String): DataFrame = {
+    val firstPath = spark.read.format("binaryFile").load(path)
+      .select("path").orderBy("path").limit(1).head().getString(0)
+    val firstBytes = spark.read.format("binaryFile").load(firstPath)
+      .select("content").head().getAs[Array[Byte]](0)
+    val meta = parseMeta(firstBytes)
+    records(readDta(spark, path),
+      meta.vars.map(v => (v.name, v.strWidth == 0)))
+  }
+
+  // --------------------------------------------------------------
+  // writer — release 118, doubles + fixed-width strings. Validated
+  // against pandas.read_stata (DtaSpec pins the round-trip; the
+  // development cross-check is recorded in tools/make_dta_fixture.py's
+  // sibling note in SCALE.md).
+  // --------------------------------------------------------------
+
+  /** Dump records as a release-118 little-endian .dta: numeric columns
+    * as double (null = '.'), string columns as str# (width = longest
+    * value, min 1, max 2045; null = empty). */
+  def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]]): Array[Byte] = {
+    require(cols.nonEmpty, "dumps needs at least one column")
+    data.foreach(r => require(r.length == cols.length,
+      s"row arity ${r.length} != ${cols.length} columns"))
+    val widths = cols.zipWithIndex.map { case ((name, isNum), i) =>
+      if (isNum) 0
+      else {
+        val w = math.max(1, data.iterator.map(r =>
+          Option(r(i)).fold(0)(_.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8).length))
+          .foldLeft(0)(math.max))
+        require(w <= 2045, s"string column '$name' wider than 2045")
+        w
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def wb(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def w2(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w8(v: Long): Unit = {
+      var i = 0
+      while (i < 8) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def pad(s: String, n: Int): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(b.length <= n, s"'$s' wider than $n")
+      out.write(b)
+      out.write(new Array[Byte](n - b.length))
+    }
+
+    wb("<stata_dta><header><release>118</release><byteorder>LSF" +
+      "</byteorder><K>")
+    w2(cols.length)
+    wb("</K><N>"); w8(data.length.toLong)
+    wb("</N><label>"); w2(0)
+    wb("</label><timestamp>"); out.write(0)
+    wb("</timestamp></header><map>")
+    val mapAt = out.size()
+    (0 until 14).foreach(_ => w8(0L)) // patched below
+    wb("</map>")
+    val sections = mutable.ArrayBuffer.empty[(Int, Long)] // map slot, offset
+
+    def section(slot: Int, open: String)(body: => Unit)(close: String): Unit = {
+      sections += ((slot, out.size().toLong))
+      wb(open); body; wb(close)
+    }
+    section(2, "<variable_types>") {
+      widths.foreach(w => w2(if (w == 0) 65526 else w))
+    }("</variable_types>")
+    section(3, "<varnames>") {
+      cols.foreach(c => pad(c._1, 129))
+    }("</varnames>")
+    section(4, "<sortlist>") {
+      (0 to cols.length).foreach(_ => w2(0))
+    }("</sortlist>")
+    section(5, "<formats>") {
+      cols.zip(widths).foreach { case (_, w) =>
+        pad(if (w == 0) "%10.0g" else s"%${w}s", 57)
+      }
+    }("</formats>")
+    section(6, "<value_label_names>") {
+      cols.foreach(_ => pad("", 129))
+    }("</value_label_names>")
+    section(7, "<variable_labels>") {
+      cols.foreach(_ => pad("", 321))
+    }("</variable_labels>")
+    section(8, "<characteristics>")(())("</characteristics>")
+    section(9, "<data>") {
+      data.foreach { r =>
+        cols.indices.foreach { i =>
+          if (widths(i) == 0) {
+            val d = r(i) match {
+              case null => MissDouble
+              case x: Double => x
+              case other => throw new IllegalArgumentException(
+                s"numeric column '${cols(i)._1}' got ${other.getClass.getName}")
+            }
+            w8(java.lang.Double.doubleToRawLongBits(d))
+          } else r(i) match {
+            case null => out.write(new Array[Byte](widths(i)))
+            case s: String => pad(s, widths(i))
+            case other => throw new IllegalArgumentException(
+              s"string column '${cols(i)._1}' got ${other.getClass.getName}")
+          }
+        }
+      }
+    }("</data>")
+    section(10, "<strls>")(())("</strls>")
+    section(11, "<value_labels>")(())("</value_labels>")
+    val endAt = out.size().toLong
+    wb("</stata_dta>")
+    val eof = out.size().toLong
+
+    val bytes = out.toByteArray
+    def patch8(at: Int, v: Long): Unit = {
+      var i = 0
+      while (i < 8) { bytes(at + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+    }
+    patch8(mapAt, 0L) // <stata_dta>
+    patch8(mapAt + 8, (mapAt - "<map>".length).toLong)
+    sections.foreach { case (slot, off) => patch8(mapAt + 8 * slot, off) }
+    patch8(mapAt + 8 * 12, endAt)
+    patch8(mapAt + 8 * 13, eof)
+    bytes
+  }
+}

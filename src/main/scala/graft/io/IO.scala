@@ -45,6 +45,7 @@ object IO {
       case "pkl" | "pickle" => Pickle.readPickleRecords(spark, path)
       case "sas7bdat" => Sas.readSasRecords(spark, path)
       case "sav" => Sav.readSavRecords(spark, path)
+      case "dta" => Dta.readDtaRecords(spark, path)
       case "html" | "htm" =>
         val tables = Scrape.readHtmlTables(spark, path)
         require(tables.nonEmpty, s"no <table> found in $path")
@@ -86,9 +87,11 @@ object IO {
               "append to an existing .xlsx is not supported")
           case _ => Excel.writeXlsx(path, Seq("Sheet1" -> df))
         }
-      case "sas7bdat" | "sav" =>
+      case "sas7bdat" | "sav" | "dta" | "stata" =>
         // single-file statistical-package exports are driver-side by
         // design, like .xlsx — same save-mode contract, same bound
+        // (.stata is the reference writers-map name for .dta,
+        // gofast/api/property.py:2835)
         val exists = new java.io.File(path).exists()
         mode match {
           case SaveMode.ErrorIfExists if exists =>
@@ -99,9 +102,11 @@ object IO {
               s"append to an existing .$ext is not supported")
           case _ =>
             val (cols, rows) = driverRows(df, ext)
-            val bytes =
-              if (ext == "sav") Sav.dumps(cols, rows, bytecode = true)
-              else Sas.dumps(cols, rows)
+            val bytes = ext match {
+              case "sav" => Sav.dumps(cols, rows, bytecode = true)
+              case "dta" | "stata" => Dta.dumps(cols, rows)
+              case _ => Sas.dumps(cols, rows)
+            }
             java.nio.file.Files.write(
               java.nio.file.Paths.get(path), bytes)
         }

@@ -1,0 +1,127 @@
+package graft
+
+import graft.io.Dta
+
+/** Stata .dta ingest against GOLDEN fixtures written by
+  * pandas.to_stata — the real producer — in formats 114, 117 and 118
+  * (tools/make_dta_fixture.py validates each with pandas.read_stata
+  * before check-in). Every numeric type, every release's header
+  * layout, missing classes, and the documented refusals. */
+class DtaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "src/test/resources/dta"
+
+  private def bytes(f: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f))
+
+  /** tools/make_dta_fixture.py frame(): b Int8 (null@3), i Int16
+    * (null@7), l Int32 (null@11), f float32 (nan@15), d float64
+    * (nan@19), s string (empty@5 -> null). */
+  private def expected: Seq[(Option[Double], Option[Double], Option[Double],
+      Option[Double], Option[Double], Option[String])] =
+    (0 until 25).map { i =>
+      (if (i == 3) None else Some(((i % 100) - 20).toDouble),
+        if (i == 7) None else Some((i * 300 - 2000).toDouble),
+        if (i == 11) None else Some((i * 100000 - 60000).toDouble),
+        if (i == 15) None else Some((i * 0.25f - 1.5f).toDouble),
+        if (i == 19) None else Some(i * 0.125 - 2.0),
+        if (i == 5) None else Some(s"str_${i % 7}_$i"))
+    }
+
+  private def check(file: String): Unit = {
+    val wide = Dta.readDtaRecords(spark, s"$dir/$file")
+      .orderBy("row").select($"b", $"i", $"l", $"f", $"d", $"s")
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[String])].collect()
+    assert(wide.toSeq === expected)
+  }
+
+  test("release 114 (classic header) matches the pandas golden") {
+    check("fixture_114.dta")
+  }
+
+  test("release 117 (tagged, 33-byte names) matches the pandas golden") {
+    check("fixture_117.dta")
+  }
+
+  test("release 118 (tagged, UTF-8) matches the pandas golden") {
+    check("fixture_118.dta")
+  }
+
+  test("tall cells carry per-column types; every missing class is null") {
+    val tall = Dta.readDta(spark, s"$dir/fixture_118.dta")
+    assert(tall.count() === 150L)
+    val types = tall.select("key", "vtype").distinct()
+      .as[(String, String)].collect().toMap
+    assert(types === Map("b" -> "num", "i" -> "num", "l" -> "num",
+      "f" -> "num", "d" -> "num", "s" -> "str"))
+    val missing = tall.filter($"value_str".isNull && $"value_double".isNull)
+      .select("key", "row").as[(String, Long)].collect().toSet
+    assert(missing === Set(("b", 3L), ("i", 7L), ("l", 11L), ("f", 15L),
+      ("d", 19L), ("s", 5L)))
+  }
+
+  test("writer round-trips through the parser and the blob reader") {
+    val cols = Seq(("k", true), ("txt", false), ("v", true))
+    val data = (0 until 200).map { i =>
+      Seq(i.toDouble,
+        if (i % 5 == 0) null else s"dta_value_$i",
+        if (i % 7 == 0) null else (i * 1.25 - 10.0)): Seq[Any]
+    }
+    val blob = Dta.dumps(cols, data)
+    val wide = Dta.records(
+        Dta.readDtaBlobs(spark, Seq(("t.dta", blob))), cols)
+      .orderBy("row").select($"k", $"txt", $"v")
+      .as[(Double, Option[String], Option[Double])].collect()
+    assert(wide.length === 200)
+    wide.zipWithIndex.foreach { case ((k, txt, v), i) =>
+      assert(k === i.toDouble)
+      assert(txt === (if (i % 5 == 0) None else Some(s"dta_value_$i")))
+      assert(v === (if (i % 7 == 0) None else Some(i * 1.25 - 10.0)))
+    }
+  }
+
+  test("MSF, strL, pre-114 and junk refuse loudly") {
+    val msf = bytes("fixture_118.dta").clone()
+    // <byteorder>LSF -> MSF
+    val at = new String(msf, "ISO-8859-1").indexOf("LSF")
+    msf(at) = 'M'.toByte
+    val e1 = intercept[IllegalArgumentException] { Dta.parseMeta(msf) }
+    assert(e1.getMessage.contains("big-endian"))
+
+    val old = bytes("fixture_114.dta").clone()
+    old(0) = 108 // release 108
+    val e2 = intercept[IllegalArgumentException] { Dta.parseMeta(old) }
+    assert(e2.getMessage.contains("before 114"))
+
+    // patch the first variable's type code to strL (32768) in the 118
+    // fixture's <variable_types> section
+    val strl = bytes("fixture_118.dta").clone()
+    val vt = new String(strl, "ISO-8859-1").indexOf("<variable_types>") +
+      "<variable_types>".length
+    strl(vt) = 0; strl(vt + 1) = 0x80.toByte
+    val e3 = intercept[IllegalArgumentException] { Dta.parseMeta(strl) }
+    assert(e3.getMessage.contains("strL"))
+
+    intercept[Exception] { Dta.parseMeta(Array.fill[Byte](64)('x')) }
+  }
+
+  test("IO.readData and exportData dispatch .dta / .stata") {
+    val df = graft.io.IO.readData(spark, s"$dir/fixture_118.dta")
+    assert(df.count() === 25L)
+    val tmp = java.nio.file.Files.createTempFile("graft_dta_", ".dta")
+    val src = spark.range(30).selectExpr("CAST(id AS DOUBLE) AS k",
+      "CASE WHEN id % 3 = 0 THEN NULL ELSE 'x' || CAST(id AS STRING) END AS t")
+    graft.io.IO.exportData(src, tmp.toString)
+    val back = graft.io.IO.readData(spark, tmp.toString)
+      .orderBy("row").select($"k", $"t")
+      .as[(Double, Option[String])].collect()
+    assert(back.length === 30)
+    back.zipWithIndex.foreach { case ((k, t), i) =>
+      assert(k === i.toDouble)
+      assert(t === (if (i % 3 == 0) None else Some(s"x$i")))
+    }
+    java.nio.file.Files.delete(tmp)
+  }
+}

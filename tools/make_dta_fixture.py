@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Write Stata .dta golden fixtures for DtaSpec with pandas.to_stata —
+the REAL producer (pandas is an independent public implementation of
+the publicly documented .dta format, www.stata.com/help.cgi?dta).
+Emits the same logical frame in format 114 (classic), 117 and 118
+(modern tagged), so the Scala reader is pinned against every release
+it claims, plus a golden CSV of what pandas itself reads back.
+
+Under src/test/resources/dta/:
+  fixture_114.dta  fixture_117.dta  fixture_118.dta  golden.csv
+"""
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+
+
+def frame() -> pd.DataFrame:
+    n = 25
+    return pd.DataFrame({
+        # one column per Stata numeric type + a string
+        "b": pd.array([None if i == 3 else (i % 100) - 20 for i in range(n)],
+                      dtype="Int8"),
+        "i": pd.array([None if i == 7 else i * 300 - 2000 for i in range(n)],
+                      dtype="Int16"),
+        "l": pd.array([None if i == 11 else i * 100000 - 60000
+                       for i in range(n)], dtype="Int32"),
+        "f": np.array([np.nan if i == 15 else i * 0.25 - 1.5
+                       for i in range(n)], dtype="float32"),
+        "d": np.array([np.nan if i == 19 else i * 0.125 - 2.0
+                       for i in range(n)], dtype="float64"),
+        "s": ["" if i == 5 else f"str_{i % 7}_{i}" for i in range(n)],
+    })
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/dta"
+    os.makedirs(out_dir, exist_ok=True)
+    df = frame()
+    for ver in (114, 117, 118):
+        p = f"{out_dir}/fixture_{ver}.dta"
+        df.to_stata(p, write_index=False, version=ver)
+        back = pd.read_stata(p)
+        assert len(back) == len(df), (ver, len(back))
+        for c in df.columns:
+            for i in range(len(df)):
+                a, b = df[c][i], back[c][i]
+                if c == "s":
+                    assert a == b, (ver, c, i, a, b)
+                elif pd.isna(a):
+                    assert pd.isna(b), (ver, c, i, b)
+                else:
+                    assert abs(float(a) - float(b)) < 1e-6, (ver, c, i, a, b)
+        print(f"fixture_{ver}.dta: pandas round-trip OK")
+    pd.read_stata(f"{out_dir}/fixture_118.dta").to_csv(
+        f"{out_dir}/golden.csv", index=False)
+    print(f"wrote fixtures to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
