@@ -24,6 +24,10 @@ import graft.io.{Dta, Sas, Sav}
   *    [[Dta.dumps]] (pandas.read_stata-validated, DtaSpec), sections
   *    located via the format's own <map> offsets. FULL oracle — the
   *    same closed form.
+  *  - `read_fwf`: fixed-width ingest (read_data(.fwf) → pandas
+  *    read_fwf) — boundaries/types fitted once from a bounded sample,
+  *    slicing pure codegen substring so the scan stays splittable.
+  *    FULL oracle.
   */
 object Batch43Entries {
 
@@ -78,6 +82,15 @@ object Batch43Entries {
       Dta.records(cells, cols)
         .select(col("id"), col("grp"), col("score"), col("note"))
         .orderBy("id")
+    }),
+
+    "read_fwf" -> ((s, dir) => {
+      import s.implicits._
+      val lines = "id    name  score" +: (0 until 30).map { i =>
+        val score = if (i % 4 == 0) "" else f"${i * 0.25 - 2.0}%.2f"
+        f"$i%-6d${s"g${i % 3}"}%-6s$score"
+      }
+      graft.io.Fwf.fromLines(lines.toDS()).orderBy("id")
     })
   )
 
@@ -113,6 +126,15 @@ object Batch43Entries {
                   ELSE CAST(id AS DOUBLE) * 0.5 - 3.0 END AS score,
              CASE WHEN id % 5 = 0 THEN NULL
                   ELSE 'n' || CAST(id AS VARCHAR) END AS note
-      FROM range(24) t(id) ORDER BY id"""
+      FROM range(24) t(id) ORDER BY id""",
+
+    // the fixed-width lines' closed form: quarters are exact doubles,
+    // %.2f text round-trips them bit-identically
+    "read_fwf" -> """
+      SELECT CAST(id AS BIGINT) AS id,
+             'g' || CAST(id % 3 AS VARCHAR) AS name,
+             CASE WHEN id % 4 = 0 THEN NULL
+                  ELSE CAST(id AS DOUBLE) * 0.25 - 2.0 END AS score
+      FROM range(30) t(id) ORDER BY id"""
   )
 }

@@ -32,9 +32,10 @@ object IO {
       case "csv" | "txt" =>
         spark.read.option("header", "true")
           .option("inferSchema", inferSchema.toString).csv(path)
-      case "tsv" | "fwf" =>
+      case "tsv" =>
         spark.read.option("header", "true").option("sep", "\t")
           .option("inferSchema", inferSchema.toString).csv(path)
+      case "fwf" => Fwf.readFwf(spark, path)
       case "json" => spark.read.option("multiLine", "false").json(path)
       case "parquet" | "parq" => spark.read.parquet(path)
       case "orc" => spark.read.orc(path)
