@@ -88,6 +88,35 @@ object IO {
               "append to an existing .xlsx is not supported")
           case _ => Excel.writeXlsx(path, Seq("Sheet1" -> df))
         }
+      case "html" | "htm" | "tex" =>
+        // text-table exports (the reference writers map's to_html /
+        // to_latex, property.py:2835): any column type stringifies,
+        // same driver-side bound and SaveMode contract as .xlsx.
+        // .html round-trips through Scrape.readHtmlTables.
+        val exists = new java.io.File(path).exists()
+        mode match {
+          case SaveMode.ErrorIfExists if exists =>
+            throw new IllegalStateException(s"path already exists: $path")
+          case SaveMode.Ignore if exists => ()
+          case SaveMode.Append if exists =>
+            throw new UnsupportedOperationException(
+              s"append to an existing .$ext is not supported")
+          case _ =>
+            val names = df.columns.toSeq
+            val taken = df.select(names.map(n =>
+              org.apache.spark.sql.functions.col(n).cast("string")): _*)
+              .take(1048576)
+            require(taken.length <= 1048575,
+              s"single-file .$ext export is bounded at 1048575 rows " +
+                "(driver-side by design) — write parquet for anything bigger")
+            val rows = taken.toSeq.map(r =>
+              names.indices.map(i => Option(r.getString(i)).getOrElse("")))
+            val body =
+              if (ext == "tex") texTable(names, rows)
+              else htmlTable(names, rows)
+            java.nio.file.Files.write(java.nio.file.Paths.get(path),
+              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
       case "sas7bdat" | "sav" | "dta" | "stata" =>
         // single-file statistical-package exports are driver-side by
         // design, like .xlsx — same save-mode contract, same bound
@@ -114,6 +143,40 @@ object IO {
       case other =>
         throw new IllegalArgumentException(s"unsupported format: .$other")
     }
+  }
+
+  private def escHtml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def htmlTable(names: Seq[String], rows: Seq[Seq[String]]): String = {
+    val sb = new StringBuilder("<table>\n<thead><tr>")
+    names.foreach(n => sb.append("<th>").append(escHtml(n)).append("</th>"))
+    sb.append("</tr></thead>\n<tbody>\n")
+    rows.foreach { r =>
+      sb.append("<tr>")
+      r.foreach(v => sb.append("<td>").append(escHtml(v)).append("</td>"))
+      sb.append("</tr>\n")
+    }
+    sb.append("</tbody>\n</table>\n").toString
+  }
+
+  private def escTex(s: String): String =
+    s.flatMap {
+      case c @ ('&' | '%' | '$' | '#' | '_' | '{' | '}') => s"\\$c"
+      case '~' => "\\textasciitilde{}"
+      case '^' => "\\textasciicircum{}"
+      case '\\' => "\\textbackslash{}"
+      case c => c.toString
+    }
+
+  private def texTable(names: Seq[String], rows: Seq[Seq[String]]): String = {
+    val sb = new StringBuilder("\\begin{tabular}{")
+    sb.append("l" * names.length).append("}\n\\toprule\n")
+    sb.append(names.map(escTex).mkString(" & ")).append(" \\\\\n\\midrule\n")
+    rows.foreach(r =>
+      sb.append(r.map(escTex).mkString(" & ")).append(" \\\\\n"))
+    sb.append("\\bottomrule\n\\end{tabular}\n")
+    sb.toString
   }
 
   /** Bounded driver-side materialization for single-file exports:

@@ -25,6 +25,23 @@ class IoPipelineMmSpec extends SparkSpec {
     intercept[IllegalArgumentException] { IO.readData(spark, s"$tmp/t.h5") }
   }
 
+  test("IO exports .html (round-trips through Scrape) and .tex") {
+    val tmp = Files.createTempDirectory("graft_texhtml").toString
+    val df = Seq((1L, "a<b&c", 1.5), (2L, "d_e%f", 2.5))
+      .toDF("id", "txt", "v")
+    IO.exportData(df, s"$tmp/t.html")
+    val back = IO.readData(spark, s"$tmp/t.html")
+    assert(back.count() === 2L)
+    assert(back.columns.toSeq === Seq("id", "txt", "v"))
+    assert(back.orderBy("id").select($"txt").as[String].collect().toSeq ===
+      Seq("a<b&c", "d_e%f"))
+    IO.exportData(df, s"$tmp/t.tex")
+    val tex = Files.readString(java.nio.file.Paths.get(s"$tmp/t.tex"))
+    assert(tex.startsWith("\\begin{tabular}{lll}"))
+    assert(tex.contains("d\\_e\\%f"))
+    assert(tex.contains("id & txt & v"))
+  }
+
   test("IO reads xml via the built-in reader") {
     val tmp = Files.createTempDirectory("graft_xml").toString
     val f = java.nio.file.Paths.get(tmp, "t.xml")
