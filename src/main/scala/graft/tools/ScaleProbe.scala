@@ -753,6 +753,38 @@ object ScaleProbe {
     // shuffle) and the 256-bit pair join, whose count the probe
     // REQUIRES equal to the planted n/2 (the no-birthday-term claim,
     // asserted not narrated).
+    // Statistical-ingest axis (SPARK_GRAFT_ING_N=<files>): the binary
+    // statistical formats are unsplittable WITHIN a file, so their
+    // scale unit is the file — this axis writes N .dta shards (2000
+    // rows × 4 cols each, Dta.dumps) and times the full
+    // binaryFile-scan → per-partition parse → groupBy(file,row) pivot,
+    // asserting the exact total row count. Wall should be flat-ish
+    // until the shard count saturates the cores, then linear in files.
+    sys.env.get("SPARK_GRAFT_ING_N").map(_.toInt).filter(_ > 0).foreach { n =>
+      val rowsPerFile = 2000
+      val dir = java.nio.file.Files.createTempDirectory("graft_ing_")
+      dir.toFile.deleteOnExit()
+      val cols = Seq(("id", true), ("grp", false), ("score", true),
+        ("note", false))
+      (0 until n).foreach { f =>
+        val data: Seq[Seq[Any]] = (0 until rowsPerFile).map { i =>
+          val g = (f.toLong * rowsPerFile + i).toDouble
+          Seq[Any](g, s"g${i % 5}",
+            if (i % 4 == 0) null else g * 0.5, s"n$i")
+        }
+        java.nio.file.Files.write(dir.resolve(f"shard_$f%05d.dta"),
+          graft.io.Dta.dumps(cols, data))
+      }
+      val t0 = System.nanoTime()
+      val got = graft.io.Dta.readDtaRecords(spark, dir.toString).count()
+      val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+      require(got == n.toLong * rowsPerFile,
+        s"ingest probe decoded $got rows, expected ${n.toLong * rowsPerFile}")
+      println(f"""INGPROBE {"files":$n,"rows":$got,"sec":$sec%.3f}""")
+      spark.stop()
+      return
+    }
+
     sys.env.get("SPARK_GRAFT_SH_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val docs = spark.range(n).select(col("id").as("doc_id"),
         array_join(transform(sequence(lit(0), lit(49)), i =>
