@@ -2,7 +2,7 @@ package graft.entries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.io.{Dta, Sas, Sav}
+import graft.io.{Dta, Sas, Sav, Xpt}
 
 /** Round-15 batch (cont.): statistical-package ingest — closes the
   * read_data descope list COMPLETELY (csv/tsv/json/parquet/orc/xml/
@@ -28,6 +28,10 @@ import graft.io.{Dta, Sas, Sav}
   *    read_fwf) — boundaries/types fitted once from a bounded sample,
   *    slicing pure codegen substring so the scan stays splittable.
   *    FULL oracle.
+  *  - `read_xpt`: SAS Transport V5 (the other pandas read_sas format)
+  *    — IBM System/360 float decode, 80-byte cards, pandas-validated
+  *    writer (XptSpec). FULL oracle — the shared closed form under the
+  *    format's uppercase 8-char names, aliased back.
   */
 object Batch43Entries {
 
@@ -91,6 +95,25 @@ object Batch43Entries {
         f"$i%-6d${s"g${i % 3}"}%-6s$score"
       }
       graft.io.Fwf.fromLines(lines.toDS()).orderBy("id")
+    }),
+
+    "read_xpt" -> ((s, dir) => {
+      val cols = Seq(("id", true), ("grp", false), ("score", true),
+        ("note", false))
+      def rows(ids: Range): Seq[Seq[Any]] = ids.map { i =>
+        Seq[Any](i.toDouble, s"g${i % 3}",
+          if (i % 4 == 0) null else i * 0.5 - 3.0,
+          if (i % 5 == 0) null else s"n$i")
+      }
+      val cells = Xpt.readXptBlobs(s, Seq(
+        ("shard_a.xpt", Xpt.dumps(cols, rows(0 until 12))),
+        ("shard_b.xpt", Xpt.dumps(cols, rows(12 until 24)))))
+      // V5 names are uppercase 8-char; alias back for the shared oracle
+      Xpt.records(cells, Seq(("ID", true), ("GRP", false),
+          ("SCORE", true), ("NOTE", false)))
+        .select(col("ID").as("id"), col("GRP").as("grp"),
+          col("SCORE").as("score"), col("NOTE").as("note"))
+        .orderBy("id")
     })
   )
 
@@ -135,6 +158,17 @@ object Batch43Entries {
              'g' || CAST(id % 3 AS VARCHAR) AS name,
              CASE WHEN id % 4 = 0 THEN NULL
                   ELSE CAST(id AS DOUBLE) * 0.25 - 2.0 END AS score
-      FROM range(30) t(id) ORDER BY id"""
+      FROM range(30) t(id) ORDER BY id""",
+
+    // the IBM-float path must land on the identical closed form —
+    // quarters and halves are exact in both IBM and IEEE
+    "read_xpt" -> """
+      SELECT CAST(id AS DOUBLE) AS id,
+             'g' || CAST(id % 3 AS VARCHAR) AS grp,
+             CASE WHEN id % 4 = 0 THEN NULL
+                  ELSE CAST(id AS DOUBLE) * 0.5 - 3.0 END AS score,
+             CASE WHEN id % 5 = 0 THEN NULL
+                  ELSE 'n' || CAST(id AS VARCHAR) END AS note
+      FROM range(24) t(id) ORDER BY id"""
   )
 }

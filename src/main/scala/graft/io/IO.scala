@@ -47,6 +47,7 @@ object IO {
       case "sas7bdat" => Sas.readSasRecords(spark, path)
       case "sav" => Sav.readSavRecords(spark, path)
       case "dta" => Dta.readDtaRecords(spark, path)
+      case "xpt" => Xpt.readXptRecords(spark, path)
       case "html" | "htm" =>
         val tables = Scrape.readHtmlTables(spark, path)
         require(tables.nonEmpty, s"no <table> found in $path")
@@ -117,7 +118,7 @@ object IO {
             java.nio.file.Files.write(java.nio.file.Paths.get(path),
               body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-      case "sas7bdat" | "sav" | "dta" | "stata" =>
+      case "sas7bdat" | "sav" | "dta" | "stata" | "xpt" =>
         // single-file statistical-package exports are driver-side by
         // design, like .xlsx — same save-mode contract, same bound
         // (.stata is the reference writers-map name for .dta,
@@ -135,6 +136,7 @@ object IO {
             val bytes = ext match {
               case "sav" => Sav.dumps(cols, rows, bytecode = true)
               case "dta" | "stata" => Dta.dumps(cols, rows)
+              case "xpt" => Xpt.dumps(cols, rows)
               case _ => Sas.dumps(cols, rows)
             }
             java.nio.file.Files.write(
