@@ -377,7 +377,14 @@ object Dta {
           if (widths(i) == 0) {
             val d = r(i) match {
               case null => MissDouble
-              case x: Double => x
+              case x: Double if x.isNaN => MissDouble
+              case x: Double =>
+                // values at or past 2^1023 ARE the missing ladder —
+                // writing one would silently read back as null
+                if (x >= MissDouble) refuse(
+                  f"$x%g collides with Stata's missing-value range " +
+                    "(x >= 2^1023)")
+                x
               case other => throw new IllegalArgumentException(
                 s"numeric column '${cols(i)._1}' got ${other.getClass.getName}")
             }

@@ -421,7 +421,12 @@ object Sav {
         if (w == 0) {
           val d = r(i) match {
             case null => sysmis
-            case x: Double => x
+            case x: Double if x.isNaN => sysmis // reads back null either way
+            case x: Double =>
+              // -DBL_MAX IS sysmis: writing it would silently null
+              if (x == sysmis) refuse(
+                "-1.7976931348623157e308 is the sysmis sentinel itself")
+              x
             case other => throw new IllegalArgumentException(
               s"numeric column '${cols(i)._1}' got ${other.getClass.getName}")
           }

@@ -77,11 +77,23 @@ object Xpt {
     }
   }
 
-  /** IEEE double → big-endian IBM 360 bytes (null = SAS '.'). */
+  /** Largest IBM-representable magnitude: 16^63 ≈ 7.24e75 — far below
+    * IEEE's 1.8e308, so overflow must refuse, not wrap the 7-bit
+    * exponent into a silently wrong value. */
+  private val IbmMax = Math.scalb(1.0, 252)
+  private val IbmMinNormal = Math.scalb(1.0, -260) // 16^-65
+
+  /** IEEE double → big-endian IBM 360 bytes (null/NaN = SAS '.';
+    * magnitudes past 16^63 refuse loudly; sub-16^-65 underflow to
+    * zero, the standard float semantics). */
   private[graft] def doubleToIbm(v: java.lang.Double): Array[Byte] = {
-    if (v == null) return ('.'.toByte) +: new Array[Byte](7)
+    if (v == null || v.isNaN) return ('.'.toByte) +: new Array[Byte](7)
     val x = v.doubleValue()
-    if (x == 0.0) return new Array[Byte](8)
+    if (math.abs(x) >= IbmMax)
+      refuse(f"$x%g exceeds the IBM float range (|x| < 16^63 ≈ 7.24e75)" +
+        " — the transport format cannot represent it")
+    if (x == 0.0 || math.abs(x) < IbmMinNormal)
+      return new Array[Byte](8)
     val sign = if (x < 0) 0x80 else 0
     val ax = math.abs(x)
     val k = Math.getExponent(ax) + 1 // ax = f * 2^k, 0.5 <= f < 1
