@@ -35,7 +35,40 @@ import graft.io.{Dta, Sas, Sav, Xpt}
   */
 object Batch43Entries {
 
+  /** One multi-page sas7bdat per JVM for the paged-scan entry — the
+    * [[Batch42Entries.npyShardDir]] write-once convention. */
+  private val pagedFileCache =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def pagedFile(): String = {
+    val cached = pagedFileCache.get()
+    if (cached != null) cached
+    else {
+      val cols = Seq(("k", true), ("txt", false))
+      val data = (0 until 24000).map(i =>
+        Seq(i.toDouble, s"v${i % 13}"): Seq[Any])
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_sas_paged_", ".sas7bdat")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.write(tmp, Sas.dumps(cols, data))
+      pagedFileCache.compareAndSet(null, tmp.toString)
+      pagedFileCache.get()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the page-parallel scan of ONE large sas7bdat (binaryFile would
+    // hand the whole file to a single task): driver reads a bounded
+    // head for the metadata, executors pread their own page ranges.
+    // 24k rows over ~68 data pages split across the default
+    // parallelism; FULL oracle — the file's closed form.
+    "read_sas_paged" -> ((s, dir) => {
+      val cells = Sas.readSasPaged(s, pagedFile())
+      Sas.records(cells, Seq(("k", true), ("txt", false)))
+        .select(col("k"), col("txt"))
+        .orderBy("k")
+    }),
 
     "read_sas7bdat" -> ((s, dir) => {
       def shard(ids: Range): Array[Byte] = Sas.dumps(
@@ -118,6 +151,12 @@ object Batch43Entries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the paged file's closed form
+    "read_sas_paged" -> """
+      SELECT CAST(id AS DOUBLE) AS k,
+             'v' || CAST(id % 13 AS VARCHAR) AS txt
+      FROM range(24000) t(id) ORDER BY k""",
 
     // the sharded records' closed form: 24 rows across two files
     "read_sas7bdat" -> """

@@ -95,7 +95,12 @@ object Sas {
   /** Parse header + every metadata subheader. Two passes over the page
     * directory are deliberate: column subheaders may sit on any meta/
     * mix page, and rows can only be sliced once ALL of them are in. */
-  def parseMeta(bytes: Array[Byte]): SasMeta = {
+  /** The header's physical-layout fields alone — what the paged reader
+    * needs before any page is fetched. */
+  final case class SasHeader(u64: Boolean, headerLength: Int,
+                             pageSize: Int, pageCount: Long)
+
+  def parseHeader(bytes: Array[Byte]): SasHeader = {
     require(bytes.length >= 1024, "sas7bdat: file shorter than a header")
     require(java.util.Arrays.equals(
       java.util.Arrays.copyOfRange(bytes, 0, 32), Magic),
@@ -106,11 +111,28 @@ object Sas {
     val headerLength = u4(bytes, 196 + a1).toInt
     val pageSize = u4(bytes, 200 + a1).toInt
     val pageCount = uint(bytes, 204 + a1, if (u64) 8 else 4)
-    require(headerLength > 0 && pageSize > 0 &&
-      headerLength + pageCount * pageSize <= bytes.length,
-      s"sas7bdat: truncated file (header $headerLength, " +
-        s"$pageCount pages of $pageSize over ${bytes.length} bytes)")
+    require(headerLength > 0 && pageSize > 0 && pageCount >= 0,
+      "sas7bdat: nonsense header geometry")
+    SasHeader(u64, headerLength, pageSize, pageCount)
+  }
 
+  def parseMeta(bytes: Array[Byte]): SasMeta = {
+    val hdr = parseHeader(bytes)
+    require(hdr.headerLength + hdr.pageCount * hdr.pageSize <= bytes.length,
+      s"sas7bdat: truncated file (header ${hdr.headerLength}, " +
+        s"${hdr.pageCount} pages of ${hdr.pageSize} over ${bytes.length} bytes)")
+    scanMeta(bytes, hdr, hdr.pageCount)
+  }
+
+  /** Collect metadata subheaders from the first `pages` pages — the
+    * whole file for [[parseMeta]], a bounded HEAD for the paged
+    * reader (real files put the meta at the front). */
+  private def scanMeta(bytes: Array[Byte], hdr: SasHeader,
+                       pages: Long): SasMeta = {
+    val u64 = hdr.u64
+    val headerLength = hdr.headerLength
+    val pageSize = hdr.pageSize
+    val pageCount = pages
     val il = if (u64) 8 else 4
     val bitOffset = if (u64) 32 else 16
     val ptrLen = if (u64) 24 else 12
@@ -271,6 +293,120 @@ object Sas {
     require(seen == meta.rowCount,
       s"sas7bdat: header promised ${meta.rowCount} rows, pages held $seen")
     out.iterator
+  }
+
+  /** Decode ONE page's rows given its raw bytes — the paged reader's
+    * per-task kernel. Mix pages bound their rows by
+    * min(mixPageRowCount, blockCount − subheaderCount): unlike the
+    * whole-file walk, a task has no global row cursor, and the page's
+    * own block count carries what it holds. */
+  def pageRows(page: Array[Byte], meta: SasMeta): Iterator[Seq[Any]] = {
+    val bitOffset = if (meta.u64) 32 else 16
+    val ptrLen = if (meta.u64) 24 else 12
+    val pageType = u2(page, bitOffset) & 0xFF00
+    val blockCount = u2(page, bitOffset + 2)
+    val shCount = u2(page, bitOffset + 4)
+    val (start, n) =
+      if (pageType == 0x0100) (bitOffset + 8, blockCount.toLong)
+      else if (pageType == 0x0200) {
+        val raw = bitOffset + 8 + shCount * ptrLen
+        (raw + raw % 8,
+          math.min(meta.mixPageRowCount,
+            math.max(0, blockCount - shCount).toLong))
+      } else if (pageType == 0x9000) refuse("compressed page (type 0x9xxx)")
+      else (0, 0L)
+    (0L until n).iterator.map { r =>
+      val at = start + (r * meta.rowLength).toInt
+      require(at + meta.rowLength <= page.length,
+        s"sas7bdat: row $r overruns its page")
+      meta.cols.map { c =>
+        val cAt = at + c.rowOffset.toInt
+        if (c.isNum) sasDouble(page, cAt, c.width)
+        else {
+          var end = cAt + c.width
+          while (end > cAt && (page(end - 1) == ' '.toByte ||
+            page(end - 1) == 0)) end -= 1
+          if (end == cAt) null
+          else new String(page, cAt, end - cAt,
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+      }
+    }
+  }
+
+  /** Page-parallel scan of ONE large sas7bdat: `binaryFile` hands a
+    * whole file to a single task, so a 100 GB sas7bdat would land on
+    * one executor — here the driver reads a bounded HEAD for the
+    * metadata (real files front-load it; the scan widens up to
+    * `metaPageLimit` pages and refuses loudly past it) and each task
+    * then preads and decodes its own contiguous page range.
+    * Uncompressed pages are fixed-size and self-contained, which is
+    * what makes the split sound. Emitted `row` ids are unique and
+    * order-preserving ((pageIdx, rowInPage) packed), NOT dense 0..N−1.
+    */
+  def readSasPaged(spark: SparkSession, path: String,
+                   partitions: Int = 0,
+                   metaPageLimit: Int = 4096): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hPath)
+    val (hdr, meta) =
+      try {
+        val head = new Array[Byte](1024)
+        in.readFully(0, head)
+        val hdr = parseHeader(head)
+        // widen the head until the metadata closes, bounded loudly
+        var pages = math.min(8L, hdr.pageCount)
+        var found: Option[SasMeta] = None
+        while (found.isEmpty) {
+          val buf = new Array[Byte](
+            (hdr.headerLength + pages * hdr.pageSize).toInt)
+          in.readFully(0, buf)
+          try found = Some(scanMeta(buf, hdr, pages))
+          catch {
+            case e: IllegalArgumentException
+                if pages < math.min(metaPageLimit.toLong, hdr.pageCount) &&
+                  e.getMessage.contains("subheaders missing") =>
+              pages = math.min(pages * 8, math.min(
+                metaPageLimit.toLong, hdr.pageCount))
+          }
+        }
+        (hdr, found.get.copy(pageCount = hdr.pageCount))
+      } finally in.close()
+
+    val nParts = math.max(1, if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism)
+    val perPart = (hdr.pageCount + nParts - 1) / nParts
+    val ranges = (0L until hdr.pageCount by perPart)
+      .map(s => (s, math.min(perPart, hdr.pageCount - s)))
+    // row ids pack (pageIdx, rowInPage): unique + order-preserving
+    val rowCap = meta.pageSize / math.max(1, meta.rowLength) + 1
+    val file = path
+    val rdd = spark.sparkContext
+      .parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { case (startPage, nPages) =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val tfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tin = tfs.open(p)
+        // close on task end, not iterator end — a downstream limit()
+        // may abandon the iterator mid-range
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => tin.close()))
+        val page = new Array[Byte](meta.pageSize)
+        (0L until nPages).iterator.flatMap { i =>
+          val pageIdx = startPage + i
+          tin.readFully(meta.headerLength + pageIdx * meta.pageSize,
+            page, 0, meta.pageSize)
+          pageRows(page, meta).zipWithIndex.flatMap { case (vals, r) =>
+            val rowId = pageIdx * rowCap + r
+            meta.cols.iterator.zip(vals.iterator).map { case (c, v) =>
+              if (c.isNum) Row(file, rowId, c.name, "num", null, v)
+              else Row(file, rowId, c.name, "str", v, null)
+            }
+          }.toVector // materialize before the page buffer is reused
+        }
+      }
+    spark.createDataFrame(rdd, cellSchema)
   }
 
   // --------------------------------------------------------------

@@ -785,6 +785,36 @@ object ScaleProbe {
       return
     }
 
+    // Paged-ingest axis (SPARK_GRAFT_INGP_N=<rows>): ONE large
+    // sas7bdat, whole-blob read (binaryFile: a single task owns the
+    // file) vs the page-parallel pread scan — the within-file scale
+    // path. Exact count asserted on both.
+    sys.env.get("SPARK_GRAFT_INGP_N").map(_.toInt).filter(_ > 0).foreach { n =>
+      val cols = Seq(("k", true), ("txt", false))
+      val data = (0 until n).map(i =>
+        Seq(i.toDouble, s"v${i % 13}"): Seq[Any])
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_ingp_", ".sas7bdat")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.write(tmp, graft.io.Sas.dumps(cols, data))
+      def timeIt(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val rows = f
+        require(rows == n.toLong, s"$name decoded $rows of $n rows")
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        println(f"""INGPPROBE {"op":"$name","rows":$n,"sec":$sec%.3f}""")
+      }
+      timeIt("whole_blob") {
+        graft.io.Sas.readSas(spark, tmp.toString)
+          .filter(col("key") === "k").count()
+      }
+      timeIt("paged") {
+        graft.io.Sas.readSasPaged(spark, tmp.toString)
+          .filter(col("key") === "k").count()
+      }
+      spark.stop()
+      return
+    }
+
     sys.env.get("SPARK_GRAFT_SH_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val docs = spark.range(n).select(col("id").as("doc_id"),
         array_join(transform(sequence(lit(0), lit(49)), i =>

@@ -133,6 +133,38 @@ class SasSpec extends SparkSpec {
       "score", "src_file"))
   }
 
+  test("paged reader matches the whole-blob reader on both fixtures") {
+    Seq("fixture_u64.sas7bdat", "fixture_x86.sas7bdat").foreach { f =>
+      val paged = Sas.records(
+          Sas.readSasPaged(spark, s"$dir/$f", partitions = 3),
+          Seq(("id", true), ("score", true), ("name", false)))
+        .orderBy("row").select($"id", $"score", $"name")
+        .as[(Double, Option[Double], String)].collect()
+      assert(paged.toSeq === expected, f)
+    }
+  }
+
+  test("paged reader splits a multi-page file across partitions exactly") {
+    val cols = Seq(("k", true), ("txt", false))
+    val n = 5000
+    val data = (0 until n).map(i =>
+      Seq(i.toDouble, s"v${i % 13}"): Seq[Any])
+    val tmp = java.nio.file.Files.createTempFile("graft_paged_", ".sas7bdat")
+    java.nio.file.Files.write(tmp, Sas.dumps(cols, data))
+    val cells = Sas.readSasPaged(spark, tmp.toString, partitions = 7)
+    // ceil-split: 15 pages over 7 requested parts → 5 ranges of ≤3
+    assert(cells.rdd.getNumPartitions > 1)
+    val wide = Sas.records(cells, cols)
+      .orderBy("row").select($"k", $"txt")
+      .as[(Double, String)].collect()
+    assert(wide.length === n)
+    wide.zipWithIndex.foreach { case ((k, txt), i) =>
+      assert(k === i.toDouble) // row ids pack (page, idx): order holds
+      assert(txt === s"v${i % 13}")
+    }
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("IO.exportData round-trips .sas7bdat; non-scalar types refuse") {
     val tmp = java.nio.file.Files
       .createTempFile("graft_sas_export_", ".sas7bdat")
