@@ -283,6 +283,28 @@ object Dta {
   def records(cellsDf: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
     Sas.records(cellsDf, cols)
 
+  /** Range-parallel scan of ONE large .dta: rows are a fixed stride in
+    * every supported release, so after a bounded driver read of the
+    * dictionary each task preads and decodes its own row range
+    * ([[Sas.readSasPaged]]'s story). Row ids are the true indexes. */
+  def readDtaPaged(spark: SparkSession, path: String,
+                   partitions: Int = 0): DataFrame = {
+    val meta = PagedScan.driverMeta(spark, path)(parseMeta)
+    val rowLen = meta.vars.map(v =>
+      if (v.strWidth > 0) v.strWidth else v.numWidth).sum.toLong
+    PagedScan.scan(spark, path, cellSchema, meta.nRows, meta.dataAt,
+      rowLen, partitions) { (buf, startRow, nRows) =>
+      val m = meta.copy(nRows = nRows, dataAt = 0L)
+      rows(buf, m).zipWithIndex.flatMap { case (vals, r) =>
+        meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
+          if (v.strWidth > 0)
+            Row(path, startRow + r, v.name, "str", x, null)
+          else Row(path, startRow + r, v.name, "num", null, x)
+        }
+      }
+    }
+  }
+
   /** The one-call wide read: dictionary from the FIRST file. */
   def readDtaRecords(spark: SparkSession, path: String): DataFrame = {
     val firstPath = spark.read.format("binaryFile").load(path)

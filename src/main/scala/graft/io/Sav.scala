@@ -331,6 +331,32 @@ object Sav {
   def records(cellsDf: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
     Sas.records(cellsDf, cols)
 
+  /** Range-parallel scan of ONE large UNCOMPRESSED .sav: cases are a
+    * fixed stride (caseSize × 8 bytes), so after a bounded driver read
+    * of the dictionary each task preads and decodes its own case
+    * range ([[Sas.readSasPaged]]'s story; bytecode compression cannot
+    * split — it refuses loudly toward the whole-file reader). Row ids
+    * are the true case indexes (dense, unlike the sas7bdat packing). */
+  def readSavPaged(spark: SparkSession, path: String,
+                   partitions: Int = 0): DataFrame = {
+    val meta = PagedScan.driverMeta(spark, path)(parseMeta)
+    if (meta.compression != 0)
+      refuse("the paged scan needs uncompressed data (bytecode blocks " +
+        "have no fixed stride) — use readSav/readSavRecords instead")
+    val rowLen = meta.caseSize * 8L
+    PagedScan.scan(spark, path, cellSchema, meta.nCases.toLong,
+      meta.dataAt.toLong, rowLen, partitions) { (buf, startRow, nRows) =>
+      val m = meta.copy(nCases = nRows.toInt, dataAt = 0)
+      rows(buf, m).zipWithIndex.flatMap { case (vals, r) =>
+        meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
+          if (v.width == 0)
+            Row(path, startRow + r, v.name, "num", null, x)
+          else Row(path, startRow + r, v.name, "str", x, null)
+        }
+      }
+    }
+  }
+
   /** The one-call wide read: dictionary from the FIRST file (bounded
     * driver read, the fitted-scalar pattern), then distributed parse. */
   def readSavRecords(spark: SparkSession, path: String): DataFrame = {

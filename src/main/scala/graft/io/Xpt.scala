@@ -159,7 +159,8 @@ object Xpt {
   /** Decode every observation. Trailing card padding is recognized as
     * all-blank rows at the tail (numeric fields of a REAL row are IBM
     * bytes, never 0x20-filled). */
-  def rows(bytes: Array[Byte], meta: XptMeta): Iterator[Seq[Any]] = {
+  def rows(bytes: Array[Byte], meta: XptMeta,
+           trimBlankTail: Boolean = true): Iterator[Seq[Any]] = {
     val dataLen = bytes.length - meta.dataAt
     require(dataLen >= 0, "xpt: data section missing")
     var n = dataLen / meta.rowLength
@@ -167,7 +168,7 @@ object Xpt {
       val base = meta.dataAt + r * meta.rowLength
       (0 until meta.rowLength).forall(j => bytes((base + j).toInt) == ' ')
     }
-    while (n > 0 && allBlank(n - 1)) n -= 1
+    while (trimBlankTail && n > 0 && allBlank(n - 1)) n -= 1
     val out = mutable.ArrayBuffer.empty[Seq[Any]]
     var r = 0L
     while (r < n) {
@@ -239,6 +240,39 @@ object Xpt {
   /** Wide pivot — one groupBy(row) shuffle ([[Sas.records]]). */
   def records(cellsDf: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
     Sas.records(cellsDf, cols)
+
+  /** Range-parallel scan of ONE large .xpt: observations are a fixed
+    * stride after the OBS header, so after a bounded driver read of
+    * the NAMESTRs each task preads its own row range. The trailing
+    * blank-card pad is trimmed ON THE DRIVER (tiny backward preads),
+    * so chunk decodes never guess — interior all-blank rows survive
+    * exactly as the whole-file reader keeps them. */
+  def readXptPaged(spark: SparkSession, path: String,
+                   partitions: Int = 0): DataFrame = {
+    val meta = PagedScan.driverMeta(spark, path, align = 80)(parseMeta)
+    val fileLen = PagedScan.fileLength(spark, path)
+    require(fileLen % 80 == 0, s"xpt: $fileLen bytes is not card-aligned")
+    var n = (fileLen - meta.dataAt) / meta.rowLength
+    // trim pad-born blank rows from the tail: pad < 80 bytes, so only
+    // a bounded run of final rows can be padding — walk backward
+    var trimming = n > 0
+    while (trimming && n > 0) {
+      val base = meta.dataAt + (n - 1) * meta.rowLength
+      val row = PagedScan.readTail(spark, path, base, meta.rowLength)
+      if (row.forall(_ == ' '.toByte)) n -= 1 else trimming = false
+    }
+    PagedScan.scan(spark, path, cellSchema, n, meta.dataAt,
+      meta.rowLength.toLong, partitions) { (buf, startRow, nRows) =>
+      val m = meta.copy(dataAt = 0)
+      rows(buf, m, trimBlankTail = false).zipWithIndex.flatMap {
+        case (vals, r) =>
+          meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
+            if (v.isNum) Row(path, startRow + r, v.name, "num", null, x)
+            else Row(path, startRow + r, v.name, "str", x, null)
+          }
+      }
+    }
+  }
 
   /** The one-call wide read: variables from the FIRST file. */
   def readXptRecords(spark: SparkSession, path: String): DataFrame = {

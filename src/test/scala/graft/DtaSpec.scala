@@ -82,6 +82,19 @@ class DtaSpec extends SparkSpec {
     }
   }
 
+  test("paged reader matches whole-file on classic and tagged releases") {
+    Seq("fixture_114.dta", "fixture_118.dta").foreach { f =>
+      val paged = Dta.records(
+          Dta.readDtaPaged(spark, s"$dir/$f", partitions = 4),
+          Seq(("b", true), ("i", true), ("l", true), ("f", true),
+            ("d", true), ("s", false)))
+        .orderBy("row").select($"b", $"i", $"l", $"f", $"d", $"s")
+        .as[(Option[Double], Option[Double], Option[Double], Option[Double],
+          Option[Double], Option[String])].collect()
+      assert(paged.toSeq === expected, f)
+    }
+  }
+
   test("MSF, strL, pre-114 and junk refuse loudly") {
     val msf = bytes("fixture_118.dta").clone()
     // <byteorder>LSF -> MSF

@@ -116,6 +116,19 @@ class SavSpec extends SparkSpec {
       "score", "src_file"))
   }
 
+  test("paged reader matches whole-file; bytecode refuses the split") {
+    val paged = Sav.records(
+        Sav.readSavPaged(spark, s"$dir/fixture_plain.sav", partitions = 4),
+        Seq(("id", true), ("name", false), ("score", true)))
+      .orderBy("row").select($"id", $"name", $"score")
+      .as[(Double, Option[String], Option[Double])].collect()
+    assert(paged.toSeq === expected)
+    val e = intercept[IllegalArgumentException] {
+      Sav.readSavPaged(spark, s"$dir/fixture_bytecode.sav")
+    }
+    assert(e.getMessage.contains("paged scan needs uncompressed"))
+  }
+
   test("IO.exportData round-trips .sav (bytecode) incl. nulls") {
     val tmp = java.nio.file.Files.createTempFile("graft_sav_export_", ".sav")
     val src = spark.range(40).selectExpr(

@@ -69,6 +69,15 @@ class XptSpec extends SparkSpec {
     }
   }
 
+  test("paged reader matches whole-file (driver-side blank-pad trim)") {
+    val paged = Xpt.records(
+        Xpt.readXptPaged(spark, s"$dir/fixture.xpt", partitions = 4),
+        Seq(("ID", true), ("SCORE", true), ("NAME", false)))
+      .orderBy("row").select($"ID", $"SCORE", $"NAME")
+      .as[(Double, Option[Double], Option[String])].collect()
+    assert(paged.toSeq === expected)
+  }
+
   test("CPORT, V8 namestr width, multi-member and junk refuse loudly") {
     val cport = bytes("fixture.xpt").clone()
     "**COMPRESSED**".getBytes.copyToArray(cport, 20)
