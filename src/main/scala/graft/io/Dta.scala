@@ -242,13 +242,8 @@ object Dta {
   // Spark surface — the Sas tall-cells + records convention
   // --------------------------------------------------------------
 
-  private val cellSchema = StructType(Seq(
-    StructField("src_file", StringType, nullable = false),
-    StructField("row", LongType, nullable = false),
-    StructField("key", StringType, nullable = false),
-    StructField("vtype", StringType, nullable = false),
-    StructField("value_str", StringType, nullable = true),
-    StructField("value_double", DoubleType, nullable = true)))
+  // the shared statistical tall-cell layout — declared once
+  private val cellSchema = PagedScan.cellSchema
 
   private def cells(file: String, bytes: Array[Byte]): Iterator[Row] = {
     val meta = parseMeta(bytes)
@@ -307,10 +302,7 @@ object Dta {
 
   /** The one-call wide read: dictionary from the FIRST file. */
   def readDtaRecords(spark: SparkSession, path: String): DataFrame = {
-    val firstPath = spark.read.format("binaryFile").load(path)
-      .select("path").orderBy("path").limit(1).head().getString(0)
-    val firstBytes = spark.read.format("binaryFile").load(firstPath)
-      .select("content").head().getAs[Array[Byte]](0)
+    val firstBytes = PagedScan.firstFileBytes(spark, path)
     val meta = parseMeta(firstBytes)
     records(readDta(spark, path),
       meta.vars.map(v => (v.name, v.strWidth == 0)))

@@ -88,8 +88,22 @@ object Fwf {
       val cell = slice(raw, a, b)
       val nulled = when(cell === lit(""), lit(null)).otherwise(cell)
       (t match {
-        case "long" => nulled.cast("long")
-        case "double" => nulled.cast("double")
+        case "long" | "double" =>
+          // the type was fitted on a SAMPLE: a later row outside it
+          // must fail LOUDLY with a message that names the fix —
+          // validity is checked BEFORE the cast (ANSI mode would throw
+          // its own opaque error; non-ANSI would silently null)
+          val valid =
+            if (t == "long") nulled.rlike("^[+-]?[0-9]+$")
+            else nulled.rlike(
+              "^[+-]?(([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?" +
+                "|NaN|Infinity)$")
+          when(nulled.isNotNull && !valid,
+            raise_error(concat(
+              lit(s"fwf: column '$n' sampled as $t but value '"), nulled,
+              lit("' does not parse — raise sampleRows past the first " +
+                "divergent row"))).cast(t))
+            .otherwise(nulled.cast(t))
         case _ => nulled
       }).as(n)
     }

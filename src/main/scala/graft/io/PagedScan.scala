@@ -1,29 +1,73 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
-/** Shared machinery for the range-parallel single-file scans
-  * ([[Sas.readSasPaged]] pioneered the shape): a bounded, widening
-  * driver read fits the file's own metadata, then each task preads
-  * and decodes a contiguous fixed-stride row range. */
+/** Shared machinery for the statistical-format readers: the tall-cell
+  * schema they all emit, the bounded first-file bootstrap, and the
+  * range-parallel single-file scan ([[Sas.readSasPaged]] pioneered the
+  * shape: a widening driver read fits the file's own metadata, then
+  * each task preads and decodes a contiguous fixed-stride row range).
+  */
 private[io] object PagedScan {
+
+  /** The (src_file, row, key, vtype, value_str, value_double) cell
+    * layout every statistical reader emits — declared once. */
+  val cellSchema: StructType = StructType(Seq(
+    StructField("src_file", StringType, nullable = false),
+    StructField("row", LongType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("vtype", StringType, nullable = false),
+    StructField("value_str", StringType, nullable = true),
+    StructField("value_double", DoubleType, nullable = true)))
+
+  /** First file of a path/glob by NAME, its bytes read once — the
+    * records() schema bootstrap (binaryFile prunes `content` when
+    * unselected, so choosing by path costs no data reads). */
+  def firstFileBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val firstPath = spark.read.format("binaryFile").load(path)
+      .select("path").orderBy("path").limit(1).head().getString(0)
+    spark.read.format("binaryFile").load(firstPath)
+      .select("content").head().getAs[Array[Byte]](0)
+  }
+
+  /** The session Hadoop conf flattened for task-side rebuild — a bare
+    * `new Configuration()` on an executor would lose every non-default
+    * filesystem property (s3a credentials, endpoints, timeouts). */
+  private def confMap(spark: SparkSession): Map[String, String] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  private def rebuild(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
   /** Read a HEAD of the file, widening geometrically until `parse`
     * accepts it — metadata is front-loaded in every supported format,
     * so this stays a bounded driver read (loud past `limit`). `align`
-    * rounds head sizes down (xpt parses whole 80-byte cards only). */
+    * rounds head sizes down (xpt parses whole 80-byte cards only).
+    * `retryable` decides whether a parse failure means "head too
+    * short" (widen) or "broken file" (rethrow). */
   def driverMeta[M](spark: SparkSession, path: String,
                     initial: Int = 1 << 16, limit: Int = 1 << 26,
-                    align: Int = 1)(parse: Array[Byte] => M): M = {
+                    align: Int = 1,
+                    retryable: Exception => Boolean = _ => true)
+                   (parse: Array[Byte] => M): M = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val len = fs.getFileStatus(p).getLen
-    val cap = math.min(limit.toLong, len)
     def aligned(s: Long): Int = {
-      val a = math.min(s, cap)
+      val a = math.min(math.min(s, limit.toLong), len)
       (a - a % align).toInt
     }
+    val cap = aligned(Long.MaxValue) // largest head we will ever read
+    require(cap > 0,
+      s"$path is shorter than one $align-byte unit — not a data file")
     val in = fs.open(p)
     try {
       var size = aligned(initial.toLong)
@@ -34,10 +78,10 @@ private[io] object PagedScan {
         try out = Some(parse(buf))
         catch {
           case e: Exception =>
-            if (size >= cap) throw new IllegalArgumentException(
-              s"metadata did not close within the first $cap bytes of " +
-                s"$path — not a front-loaded file the paged scan " +
-                s"supports (${e.getMessage})", e)
+            if (size >= cap || !retryable(e))
+              throw new IllegalArgumentException(
+                s"metadata did not close within the first $size bytes " +
+                  s"of $path (head limit $cap) — ${e.getMessage}", e)
             size = aligned(size.toLong * 8)
         }
       }
@@ -45,7 +89,7 @@ private[io] object PagedScan {
     } finally in.close()
   }
 
-  /** Pread the tail of the file on the driver — xpt's blank-pad trim. */
+  /** Pread a byte range on the driver — xpt's blank-pad trim. */
   def readTail(spark: SparkSession, path: String, from: Long,
                n: Int): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -64,22 +108,30 @@ private[io] object PagedScan {
       .getFileStatus(p).getLen
   }
 
-  /** Fan contiguous row ranges across tasks; each task preads its
-    * bytes and hands them to `decode(buf, startRow, nRows)`. */
+  /** Largest per-task pread — keeps every buffer far under both the
+    * 2 GB Array limit and executor memory; ranges split further when
+    * `totalRows / partitions` rows would exceed it. */
+  private val MaxRangeBytes = 128L << 20
+
+  /** Fan contiguous row ranges across tasks; each task rebuilds the
+    * session's Hadoop conf, preads its bytes and hands them to
+    * `decode(buf, startRow, nRows)`. */
   def scan(spark: SparkSession, path: String, schema: StructType,
            totalRows: Long, dataAt: Long, rowLen: Long, partitions: Int)
           (decode: (Array[Byte], Long, Long) => Iterator[Row]): DataFrame = {
     require(rowLen > 0, "paged scan needs a positive row stride")
     val nParts = math.max(1, if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism)
-    val perPart = math.max(1L, (totalRows + nParts - 1) / nParts)
+    val byParts = math.max(1L, (totalRows + nParts - 1) / nParts)
+    val perPart = math.min(byParts, math.max(1L, MaxRangeBytes / rowLen))
     val ranges = (0L until totalRows by perPart)
       .map(s => (s, math.min(perPart, totalRows - s)))
+    val hconf = confMap(spark)
     val rdd = spark.sparkContext
       .parallelize(ranges, math.max(1, ranges.size))
       .flatMap { case (start, n) =>
         val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(rebuild(hconf))
         val in = fs.open(p)
         try {
           val buf = new Array[Byte]((n * rowLen).toInt)

@@ -344,82 +344,52 @@ object Sas {
     * what makes the split sound. Emitted `row` ids are unique and
     * order-preserving ((pageIdx, rowInPage) packed), NOT dense 0..N−1.
     */
-  def readSasPaged(spark: SparkSession, path: String,
-                   partitions: Int = 0,
-                   metaPageLimit: Int = 4096): DataFrame = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(hPath)
-    val (hdr, meta) =
-      try {
-        val head = new Array[Byte](1024)
-        in.readFully(0, head)
-        val hdr = parseHeader(head)
-        // widen the head until the metadata closes, bounded loudly
-        var pages = math.min(8L, hdr.pageCount)
-        var found: Option[SasMeta] = None
-        while (found.isEmpty) {
-          val buf = new Array[Byte](
-            (hdr.headerLength + pages * hdr.pageSize).toInt)
-          in.readFully(0, buf)
-          try found = Some(scanMeta(buf, hdr, pages))
-          catch {
-            case e: IllegalArgumentException
-                if pages < math.min(metaPageLimit.toLong, hdr.pageCount) &&
-                  e.getMessage.contains("subheaders missing") =>
-              pages = math.min(pages * 8, math.min(
-                metaPageLimit.toLong, hdr.pageCount))
-          }
-        }
-        (hdr, found.get.copy(pageCount = hdr.pageCount))
-      } finally in.close()
+  /** Parse-failure messages that mean "the head was too short", not
+    * "the file is broken" — [[PagedScan.driverMeta]] widens on these. */
+  private def headIncomplete(e: Exception): Boolean = {
+    val m = Option(e.getMessage).getOrElse("")
+    m.contains("subheaders missing") || m.contains("metadata mismatch") ||
+      m.contains("points past") || m.contains("no full page yet")
+  }
 
-    val nParts = math.max(1, if (partitions > 0) partitions
-      else spark.sparkContext.defaultParallelism)
-    val perPart = (hdr.pageCount + nParts - 1) / nParts
-    val ranges = (0L until hdr.pageCount by perPart)
-      .map(s => (s, math.min(perPart, hdr.pageCount - s)))
-    // row ids pack (pageIdx, rowInPage): unique + order-preserving
+  def readSasPaged(spark: SparkSession, path: String,
+                   partitions: Int = 0): DataFrame = {
+    val meta = PagedScan.driverMeta(spark, path,
+        retryable = headIncomplete) { buf =>
+      val hdr = parseHeader(buf)
+      val pages = math.min(hdr.pageCount,
+        (buf.length.toLong - hdr.headerLength) / hdr.pageSize)
+      require(pages > 0, "sas7bdat: no full page yet")
+      scanMeta(buf, hdr, pages).copy(pageCount = hdr.pageCount)
+    }
+    // a "row" of the range scan is a PAGE: fixed stride, self-contained
+    // under the uncompressed subset. Emitted row ids pack
+    // (pageIdx, rowInPage) — unique and order-preserving, NOT dense.
     val rowCap = meta.pageSize / math.max(1, meta.rowLength) + 1
-    val file = path
-    val rdd = spark.sparkContext
-      .parallelize(ranges, math.max(1, ranges.size))
-      .flatMap { case (startPage, nPages) =>
-        val p = new org.apache.hadoop.fs.Path(file)
-        val tfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val tin = tfs.open(p)
-        // close on task end, not iterator end — a downstream limit()
-        // may abandon the iterator mid-range
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => tin.close()))
-        val page = new Array[Byte](meta.pageSize)
+    PagedScan.scan(spark, path, cellSchema, meta.pageCount,
+      meta.headerLength.toLong, meta.pageSize.toLong, partitions) {
+      (buf, startPage, nPages) =>
         (0L until nPages).iterator.flatMap { i =>
           val pageIdx = startPage + i
-          tin.readFully(meta.headerLength + pageIdx * meta.pageSize,
-            page, 0, meta.pageSize)
+          val page = java.util.Arrays.copyOfRange(buf,
+            (i * meta.pageSize).toInt, ((i + 1) * meta.pageSize).toInt)
           pageRows(page, meta).zipWithIndex.flatMap { case (vals, r) =>
             val rowId = pageIdx * rowCap + r
             meta.cols.iterator.zip(vals.iterator).map { case (c, v) =>
-              if (c.isNum) Row(file, rowId, c.name, "num", null, v)
-              else Row(file, rowId, c.name, "str", v, null)
+              if (c.isNum) Row(path, rowId, c.name, "num", null, v)
+              else Row(path, rowId, c.name, "str", v, null)
             }
-          }.toVector // materialize before the page buffer is reused
+          }
         }
-      }
-    spark.createDataFrame(rdd, cellSchema)
+    }
   }
 
   // --------------------------------------------------------------
   // Spark surface — the Pickle tall-cells + records convention
   // --------------------------------------------------------------
 
-  private val cellSchema = StructType(Seq(
-    StructField("src_file", StringType, nullable = false),
-    StructField("row", LongType, nullable = false),
-    StructField("key", StringType, nullable = false),
-    StructField("vtype", StringType, nullable = false),
-    StructField("value_str", StringType, nullable = true),
-    StructField("value_double", DoubleType, nullable = true)))
+  // the shared statistical tall-cell layout — declared once
+  private val cellSchema = PagedScan.cellSchema
 
   private def cells(file: String, bytes: Array[Byte]): Iterator[Row] = {
     val meta = parseMeta(bytes)
@@ -471,10 +441,7 @@ object Sas {
     * one file, the fitted-scalar pattern), every file then parsed
     * distributed and pivoted. */
   def readSasRecords(spark: SparkSession, path: String): DataFrame = {
-    val firstPath = spark.read.format("binaryFile").load(path)
-      .select("path").orderBy("path").limit(1).head().getString(0)
-    val firstBytes = spark.read.format("binaryFile").load(firstPath)
-      .select("content").head().getAs[Array[Byte]](0)
+    val firstBytes = PagedScan.firstFileBytes(spark, path)
     val meta = parseMeta(firstBytes)
     records(readSas(spark, path), meta.cols.map(c => (c.name, c.isNum)))
   }

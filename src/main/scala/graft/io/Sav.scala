@@ -288,13 +288,8 @@ object Sav {
   // Spark surface — the Sas tall-cells + records convention
   // --------------------------------------------------------------
 
-  private val cellSchema = StructType(Seq(
-    StructField("src_file", StringType, nullable = false),
-    StructField("row", LongType, nullable = false),
-    StructField("key", StringType, nullable = false),
-    StructField("vtype", StringType, nullable = false),
-    StructField("value_str", StringType, nullable = true),
-    StructField("value_double", DoubleType, nullable = true)))
+  // the shared statistical tall-cell layout — declared once
+  private val cellSchema = PagedScan.cellSchema
 
   private def cells(file: String, bytes: Array[Byte]): Iterator[Row] = {
     val meta = parseMeta(bytes)
@@ -360,10 +355,7 @@ object Sav {
   /** The one-call wide read: dictionary from the FIRST file (bounded
     * driver read, the fitted-scalar pattern), then distributed parse. */
   def readSavRecords(spark: SparkSession, path: String): DataFrame = {
-    val firstPath = spark.read.format("binaryFile").load(path)
-      .select("path").orderBy("path").limit(1).head().getString(0)
-    val firstBytes = spark.read.format("binaryFile").load(firstPath)
-      .select("content").head().getAs[Array[Byte]](0)
+    val firstBytes = PagedScan.firstFileBytes(spark, path)
     val meta = parseMeta(firstBytes)
     records(readSav(spark, path), meta.vars.map(v => (v.name, v.width == 0)))
   }

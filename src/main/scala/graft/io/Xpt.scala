@@ -200,13 +200,8 @@ object Xpt {
   // Spark surface — the Sas tall-cells + records convention
   // --------------------------------------------------------------
 
-  private val cellSchema = StructType(Seq(
-    StructField("src_file", StringType, nullable = false),
-    StructField("row", LongType, nullable = false),
-    StructField("key", StringType, nullable = false),
-    StructField("vtype", StringType, nullable = false),
-    StructField("value_str", StringType, nullable = true),
-    StructField("value_double", DoubleType, nullable = true)))
+  // the shared statistical tall-cell layout — declared once
+  private val cellSchema = PagedScan.cellSchema
 
   private def cells(file: String, bytes: Array[Byte]): Iterator[Row] = {
     val meta = parseMeta(bytes)
@@ -276,10 +271,7 @@ object Xpt {
 
   /** The one-call wide read: variables from the FIRST file. */
   def readXptRecords(spark: SparkSession, path: String): DataFrame = {
-    val firstPath = spark.read.format("binaryFile").load(path)
-      .select("path").orderBy("path").limit(1).head().getString(0)
-    val firstBytes = spark.read.format("binaryFile").load(firstPath)
-      .select("content").head().getAs[Array[Byte]](0)
+    val firstBytes = PagedScan.firstFileBytes(spark, path)
     val meta = parseMeta(firstBytes)
     records(readXpt(spark, path), meta.vars.map(v => (v.name, v.isNum)))
   }
@@ -368,8 +360,21 @@ object Xpt {
       }
     }
     val db = dataB.toByteArray
+    // a FINAL row that encoded to all blanks (all-string schema, every
+    // cell null/empty) is byte-identical to card padding: any reader —
+    // this one, pandas, SAS itself — would drop it. Refuse rather than
+    // write a file that reads back short. Numeric columns never blank
+    // (IBM/missing bytes contain non-0x20), so only all-string rows hit.
+    if (data.nonEmpty && db.length >= rowLen(widths) &&
+        (db.length - rowLen(widths) until db.length)
+          .forall(j => db(j) == ' '.toByte))
+      refuse("the last row is entirely blank (all-string schema, every " +
+        "cell null/empty) — indistinguishable from card padding on read; " +
+        "drop it, reorder, or add a numeric column")
     sb.write(db)
     sb.write(Array.fill[Byte]((80 - db.length % 80) % 80)(' '.toByte))
     sb.toByteArray
   }
+
+  private def rowLen(widths: Seq[Int]): Int = widths.sum
 }

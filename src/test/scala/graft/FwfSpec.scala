@@ -57,6 +57,23 @@ class FwfSpec extends SparkSpec {
     assert(!plan.toString.toLowerCase.contains("scalaudf"))
   }
 
+  test("a value outside the sampled type errors loudly, not nulls") {
+    // sampleRows = 3 sees only integer ids; row 4 carries '9.5'
+    val drifted = Seq(
+      "id     v",
+      "100    a",
+      "200    b",
+      "9.5    c",
+      "400    d")
+    val df = Fwf.fromLines(drifted.toDS(), sampleRows = 3)
+    val e = intercept[Exception] { df.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("sampled as long") &&
+      m.contains("9.5")))
+  }
+
   test("empty sample and duplicate headers refuse loudly") {
     intercept[IllegalArgumentException] {
       Fwf.inferColspecs(Seq.empty)

@@ -78,6 +78,17 @@ class XptSpec extends SparkSpec {
     assert(paged.toSeq === expected)
   }
 
+  test("an all-blank FINAL row refuses at write (padding-ambiguous)") {
+    val cols = Seq(("a", false), ("b", false))
+    val ok = Xpt.dumps(cols, Seq(Seq[Any]("x", null), Seq[Any](null, "y")))
+    assert(Xpt.rows(ok, Xpt.parseMeta(ok)).size === 2)
+    // interior blank row survives; a FINAL one cannot be represented
+    val e = intercept[IllegalArgumentException] {
+      Xpt.dumps(cols, Seq(Seq[Any]("x", "y"), Seq[Any](null, null)))
+    }
+    assert(e.getMessage.contains("indistinguishable from card padding"))
+  }
+
   test("CPORT, V8 namestr width, multi-member and junk refuse loudly") {
     val cport = bytes("fixture.xpt").clone()
     "**COMPRESSED**".getBytes.copyToArray(cport, 20)
