@@ -102,6 +102,20 @@ private[io] object PagedScan {
     } finally in.close()
   }
 
+  /** Expand a path/glob/directory into its data files — the
+    * multi-file paged readers union one scan per file. */
+  def listFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath)
+      else Seq(st.getPath)
+    }
+    files.map(_.toString).sorted
+  }
+
   def fileLength(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)

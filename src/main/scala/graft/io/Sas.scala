@@ -423,6 +423,17 @@ object Sas {
     spark.createDataFrame(rdd, cellSchema)
   }
 
+  /** [[readSasPaged]] over a directory/glob of large files: one
+    * within-file-parallel scan per file, unioned — both axes of
+    * parallelism at once (across files AND across each file's pages). */
+  def readSasPagedAll(spark: SparkSession, path: String,
+                      partitions: Int = 0): DataFrame = {
+    val files = PagedScan.listFiles(spark, path)
+    require(files.nonEmpty, s"sas7bdat: no files match $path")
+    files.map(f => readSasPaged(spark, f, partitions))
+      .reduce(_.unionByName(_))
+  }
+
   /** Pivot tall cells into the wide record frame under a (name, isNum)
     * column list — one groupBy(row) shuffle, max over the single
     * matching cell (the [[Pickle.records]] null-safe convention). */

@@ -165,6 +165,28 @@ class SasSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("readSasPagedAll unions per-file paged scans over a directory") {
+    val cols = Seq(("k", true), ("txt", false))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_paged_all")
+    Seq(0, 1).foreach { f =>
+      val data = (0 until 1000).map(i =>
+        Seq((f * 1000 + i).toDouble, s"v${i % 7}"): Seq[Any])
+      java.nio.file.Files.write(tmp.resolve(s"part_$f.sas7bdat"),
+        Sas.dumps(cols, data))
+    }
+    val wide = Sas.records(
+        Sas.readSasPagedAll(spark, tmp.toString, partitions = 3), cols)
+      .orderBy("k").select($"k", $"txt")
+      .as[(Double, String)].collect()
+    assert(wide.length === 2000)
+    wide.zipWithIndex.foreach { case ((k, txt), i) =>
+      assert(k === i.toDouble)
+      assert(txt === s"v${i % 1000 % 7}")
+    }
+    tmp.toFile.listFiles.foreach(_.delete())
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("IO.exportData round-trips .sas7bdat; non-scalar types refuse") {
     val tmp = java.nio.file.Files
       .createTempFile("graft_sas_export_", ".sas7bdat")
