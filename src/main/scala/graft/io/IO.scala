@@ -89,7 +89,26 @@ object IO {
               "append to an existing .xlsx is not supported")
           case _ => Excel.writeXlsx(path, Seq("Sheet1" -> df))
         }
-      case "html" | "htm" | "tex" =>
+      case "pkl" | "pickle" =>
+        // records → protocol-2 list-of-dicts via Pickle.dumps (the
+        // reader's own writer); same bound + SaveMode as the others
+        val exists = new java.io.File(path).exists()
+        mode match {
+          case SaveMode.ErrorIfExists if exists =>
+            throw new IllegalStateException(s"path already exists: $path")
+          case SaveMode.Ignore if exists => ()
+          case SaveMode.Append if exists =>
+            throw new UnsupportedOperationException(
+              "append to an existing .pkl is not supported")
+          case _ =>
+            val (cols, rows) = driverRows(df, ext)
+            val recs = rows.map(r =>
+              scala.collection.immutable.ListMap(
+                cols.map(_._1).zip(r): _*))
+            java.nio.file.Files.write(java.nio.file.Paths.get(path),
+              Pickle.dumps(recs))
+        }
+      case "html" | "htm" | "tex" | "md" =>
         // text-table exports (the reference writers map's to_html /
         // to_latex, property.py:2835): any column type stringifies,
         // same driver-side bound and SaveMode contract as .xlsx.
@@ -112,9 +131,11 @@ object IO {
                 "(driver-side by design) — write parquet for anything bigger")
             val rows = taken.toSeq.map(r =>
               names.indices.map(i => Option(r.getString(i)).getOrElse("")))
-            val body =
-              if (ext == "tex") texTable(names, rows)
-              else htmlTable(names, rows)
+            val body = ext match {
+              case "tex" => texTable(names, rows)
+              case "md" => mdTable(names, rows)
+              case _ => htmlTable(names, rows)
+            }
             java.nio.file.Files.write(java.nio.file.Paths.get(path),
               body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
@@ -160,6 +181,16 @@ object IO {
       sb.append("</tr>\n")
     }
     sb.append("</tbody>\n</table>\n").toString
+  }
+
+  private def mdTable(names: Seq[String], rows: Seq[Seq[String]]): String = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("|", "\\|").replace("\n", "<br>")
+    val sb = new StringBuilder
+    sb.append(names.map(esc).mkString("| ", " | ", " |\n"))
+    sb.append(names.map(_ => "---").mkString("| ", " | ", " |\n"))
+    rows.foreach(r => sb.append(r.map(esc).mkString("| ", " | ", " |\n")))
+    sb.toString
   }
 
   private def escTex(s: String): String =

@@ -42,6 +42,20 @@ class IoPipelineMmSpec extends SparkSpec {
     assert(tex.contains("id & txt & v"))
   }
 
+  test("IO exports .md tables and round-trips .pkl records") {
+    val tmp = Files.createTempDirectory("graft_mdpkl").toString
+    val df = Seq((1L, "a|b", 0.5), (2L, "c", 1.5)).toDF("id", "txt", "v")
+    IO.exportData(df, s"$tmp/t.md")
+    val md = Files.readString(java.nio.file.Paths.get(s"$tmp/t.md"))
+    assert(md.startsWith("| id | txt | v |\n| --- | --- | --- |"))
+    assert(md.contains("| a\\|b |")) // pipe escaped
+    IO.exportData(df, s"$tmp/t.pkl")
+    val back = IO.readData(spark, s"$tmp/t.pkl")
+      .orderBy("id").select($"id", $"txt", $"v")
+      .as[(Double, String, Double)].collect() // numerics widen to double
+    assert(back.toSeq === Seq((1.0, "a|b", 0.5), (2.0, "c", 1.5)))
+  }
+
   test("IO reads xml via the built-in reader") {
     val tmp = Files.createTempDirectory("graft_xml").toString
     val f = java.nio.file.Paths.get(tmp, "t.xml")
