@@ -20,10 +20,11 @@ import scala.collection.mutable
   *
   * SUPPORTED SUBSET, refused loudly outside it:
   *  - little-endian files, both 32-bit and 64-bit layouts;
-  *  - UNCOMPRESSED pages (RLE "SASYZCRL" / RDC "SASYZCR2" refuse with
-  *    the re-export recipe — the compressed page formats are
-  *    block-oriented and row-splitting them distributed is a
-  *    documented descope);
+  *  - UNCOMPRESSED pages and RLE-compressed ("SASYZCRL") pages — in an
+  *    RLE file every row is its own data subheader (pointer compression
+  *    flag 4), decompressed per row by [[rleDecompress]]; rows stay
+  *    page-local, so the page-parallel scan survives compression.
+  *    RDC ("SASYZCR2") still refuses with the re-export recipe;
   *  - numeric cells 3–8 bytes wide (the SAS truncated-double ladder)
   *    and fixed-width char cells.
   *
@@ -45,10 +46,13 @@ object Sas {
   final case class SasCol(name: String, rowOffset: Long, width: Int,
                           isNum: Boolean)
 
-  /** Everything needed to slice rows out of pages. */
+  /** Everything needed to slice rows out of pages. `rle` marks a
+    * SASYZCRL-compressed file: rows live in per-row data subheaders
+    * instead of fixed-stride page bodies. */
   final case class SasMeta(u64: Boolean, headerLength: Int, pageSize: Int,
                            pageCount: Long, rowLength: Long, rowCount: Long,
-                           mixPageRowCount: Long, cols: Seq[SasCol])
+                           mixPageRowCount: Long, cols: Seq[SasCol],
+                           rle: Boolean = false)
 
   // --------------------------------------------------------------
   // little-endian primitives
@@ -88,8 +92,8 @@ object Sas {
 
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(
-      s"sas7bdat: $msg — the supported subset is little-endian " +
-        "uncompressed files; re-export once with " +
+      s"sas7bdat: $msg — the supported subset is little-endian files, " +
+        "uncompressed or RLE-compressed (SASYZCRL); re-export once with " +
         "pandas.read_sas(...).to_parquet(...) for anything outside it.")
 
   /** Parse header + every metadata subheader. Two passes over the page
@@ -139,16 +143,20 @@ object Sas {
 
     var rowLength = 0L; var rowCount = 0L; var mixRows = 0L
     var colCount = -1L
+    var rleFlag = false
     val textBlobs = mutable.ArrayBuffer.empty[Array[Byte]]
     val names = mutable.ArrayBuffer.empty[(Int, Int, Int)] // blob, off, len
     val attrs = mutable.ArrayBuffer.empty[(Long, Int, Int)] // rowOff, w, typ
 
-    def sig4(off: Int): Long = u4(bytes, off)
-    def isRowSize(off: Int): Boolean = sig4(off) == 0xF7F7F7F7L
-    def isColSize(off: Int): Boolean = sig4(off) == 0xF6F6F6F6L
-    // the 64-bit pointer-family signatures extend the 32-bit ones with
-    // FF bytes, so the LOW word identifies them in both layouts
-    def lowWord(off: Int): Long = sig4(off)
+    // The 64-bit pointer-family signatures extend the 32-bit ones with
+    // FF bytes, so the LOW word identifies them in both layouts — EXCEPT
+    // the high-word-first row/col-size variant some producers emit
+    // (00 00 00 00 F7 F7 F7 F7), which pandas also accepts: when the
+    // low word is zero on a u64 file, the word at shOff+4 decides.
+    def sigOf(off: Int): Long = {
+      val lo = u4(bytes, off)
+      if (lo == 0L && u64) u4(bytes, off + 4) else lo
+    }
 
     var p = 0L
     while (p < pageCount) {
@@ -163,14 +171,16 @@ object Sas {
           val shOff = base + uint(bytes, pAt, il).toInt
           val shLen = uint(bytes, pAt + il, il)
           val comp = u1(bytes, pAt + 2 * il)
-          if (shLen > 0 && comp != 1) { // 1 = truncated pointer
-            if (isRowSize(shOff)) {
-              rowLength = uint(bytes, shOff + 5 * il, il)
-              rowCount = uint(bytes, shOff + 6 * il, il)
-              mixRows = uint(bytes, shOff + 15 * il, il)
-            } else if (isColSize(shOff)) {
-              colCount = uint(bytes, shOff + il, il)
-            } else lowWord(shOff) match {
+          val ptyp = u1(bytes, pAt + 2 * il + 1)
+          if (shLen > 0 && comp != 1 && // 1 = truncated pointer
+              !(comp == CompData && ptyp == 1)) { // per-row data subheader
+            sigOf(shOff) match {
+              case 0xF7F7F7F7L =>
+                rowLength = uint(bytes, shOff + 5 * il, il)
+                rowCount = uint(bytes, shOff + 6 * il, il)
+                mixRows = uint(bytes, shOff + 15 * il, il)
+              case 0xF6F6F6F6L =>
+                colCount = uint(bytes, shOff + il, il)
               case 0xFFFFFFFDL => // column text
                 val at = shOff + il
                 val size = u2(bytes, at)
@@ -178,9 +188,10 @@ object Sas {
                 if (textBlobs.isEmpty) {
                   val s = new String(blob,
                     java.nio.charset.StandardCharsets.ISO_8859_1)
-                  if (s.contains("SASYZCRL") || s.contains("SASYZCR2"))
-                    refuse("compressed pages (RLE/RDC literal in the " +
-                      "column-text subheader)")
+                  if (s.contains("SASYZCR2"))
+                    refuse("RDC-compressed pages (SASYZCR2 literal in " +
+                      "the column-text subheader)")
+                  if (s.contains("SASYZCRL")) rleFlag = true
                 }
                 textBlobs += blob
               case 0xFFFFFFFFL => // column names
@@ -205,6 +216,11 @@ object Sas {
               // format-and-label (column list built elsewhere here),
               // column-list, subheader-counts: metadata we don't need
               case 0xFFFFFBFEL | 0xFFFFFFFEL | 0xFFFFFC00L => ()
+              // RLE files may mark an INCOMPRESSIBLE row's subheader
+              // with compression flag 0 — pandas accepts unknown-sig
+              // (comp 0, type 1) pointers as data once the literal is
+              // seen; the literal precedes data in every real file
+              case _ if rleFlag && comp == 0 && ptyp == 1 => ()
               case other =>
                 refuse(f"unknown subheader signature 0x$other%08x on " +
                   s"page $p (possibly a compressed or newer-format file)")
@@ -236,7 +252,184 @@ object Sas {
       SasCol(nm, ro, w, isNum)
     }.toSeq
     SasMeta(u64, headerLength, pageSize, pageCount, rowLength, rowCount,
-      mixRows, cols)
+      mixRows, cols, rle = rleFlag)
+  }
+
+  // --------------------------------------------------------------
+  // RLE ("SASYZCRL") page compression
+  // --------------------------------------------------------------
+
+  /** Pointer compression flag marking a per-row data subheader. */
+  private val CompData = 4
+
+  /** Decompress one RLE-compressed row into its `outLen` plain bytes.
+    * The command set is the publicly documented SASYZCRL one (the
+    * BioStatMatt vignette lineage implemented by parso and pandas):
+    * control nibble selects the op, low nibble + optional extension
+    * byte the length. EVERY op's semantics were confirmed empirically
+    * against pandas.read_sas (including 0x40 = n0*256+ext+18 repeats
+    * and 0xD0 = n0+2 fills of 0x40) during fixture development, and
+    * tools/make_sas_fixture.py keeps the ops the writer emits pinned:
+    * pandas must decode its compressed fixture to the golden values. */
+  private[graft] def rleDecompress(src: Array[Byte], from: Int, len: Int,
+                                outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    val end = from + len
+    var ip = from
+    var op = 0
+    def take(): Int = {
+      if (ip >= end) refuse("RLE stream ran out mid-command")
+      val b = src(ip) & 0xff; ip += 1; b
+    }
+    def copy(n: Int): Unit = {
+      if (ip + n > end || op + n > outLen)
+        refuse(s"RLE literal of $n bytes overruns its row")
+      System.arraycopy(src, ip, out, op, n); ip += n; op += n
+    }
+    def fill(n: Int, x: Byte): Unit = {
+      if (op + n > outLen) refuse(s"RLE fill of $n bytes overruns its row")
+      java.util.Arrays.fill(out, op, op + n, x); op += n
+    }
+    while (ip < end) {
+      val b0 = take()
+      val n0 = b0 & 0x0F
+      (b0 & 0xF0) match {
+        case 0x00 => copy(n0 * 256 + take() + 64)
+        case 0x40 => val n = n0 * 256 + take() + 18; fill(n, take().toByte)
+        case 0x60 => fill(n0 * 256 + take() + 17, ' '.toByte)
+        case 0x70 => fill(n0 * 256 + take() + 17, 0.toByte)
+        case 0x80 => copy(n0 + 1)
+        case 0x90 => copy(n0 + 17)
+        case 0xA0 => copy(n0 + 33)
+        case 0xB0 => copy(n0 + 49)
+        case 0xC0 => fill(n0 + 3, take().toByte)
+        case 0xD0 => fill(n0 + 2, 0x40.toByte)
+        case 0xE0 => fill(n0 + 2, ' '.toByte)
+        case 0xF0 => fill(n0 + 2, 0.toByte)
+      }
+    }
+    if (op != outLen)
+      refuse(s"RLE row decompressed to $op bytes, row length is $outLen")
+    out
+  }
+
+  /** Compress one row with the subset of SASYZCRL ops the fixture
+    * validation covers: zero/space fills, byte repeats, literal copies.
+    * Never emits 0x40/0xD0 (the writer doesn't need them; the
+    * decompressor still accepts them for real SAS files). */
+  private[graft] def rleCompress(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    var litStart = 0
+    def flushLiteral(until: Int): Unit = {
+      var at = litStart
+      while (at < until) {
+        val n = math.min(until - at, 4159) // 0x00 op ceiling: 15*256+255+64
+        if (n <= 16) out.write(0x80 | (n - 1))
+        else if (n <= 32) out.write(0x90 | (n - 17))
+        else if (n <= 48) out.write(0xA0 | (n - 33))
+        else if (n <= 64) out.write(0xB0 | (n - 49))
+        else {
+          val ext = n - 64
+          out.write(ext >> 8); out.write(ext & 0xff)
+        }
+        out.write(row, at, n)
+        at += n
+      }
+    }
+    while (i < row.length) {
+      var run = i + 1
+      while (run < row.length && row(run) == row(i)) run += 1
+      val n = run - i
+      val b = row(i)
+      val isFillByte = b == 0 || b == ' '.toByte
+      if ((isFillByte && n >= 2) || n >= 3) {
+        flushLiteral(i)
+        var left = n
+        while (left > 0) {
+          if (isFillByte) {
+            // short op encodes 2..17, long op 17..4112: pick `take` so
+            // the remainder is never a lone byte (unencodable as fill)
+            var take = if (left <= 17) left else math.min(left, 4112)
+            if (left - take == 1) take -= 1
+            if (take <= 17)
+              out.write((if (b == 0) 0xF0 else 0xE0) | (take - 2))
+            else {
+              val ext = take - 17
+              out.write((if (b == 0) 0x70 else 0x60) | (ext >> 8))
+              out.write(ext & 0xff)
+            }
+            left -= take
+          } else {
+            // byte-repeat encodes 3..18: keep the remainder 0 or >= 3
+            var take = math.min(left, 18)
+            if (left - take > 0 && left - take < 3) take = left - 3
+            out.write(0xC0 | (take - 3)); out.write(b & 0xff)
+            left -= take
+          }
+        }
+        i = run
+        litStart = run
+      } else i = run
+    }
+    flushLiteral(row.length)
+    out.toByteArray
+  }
+
+  /** The data-subheader rows of ONE page of an RLE file, in pointer
+    * order — pointer comp flag 4 (or 0 with an unknown signature) and
+    * type 1; payload shorter than the row decompresses, payload equal
+    * to the row is stored raw (the pandas convention). */
+  private def pageSubheaderRows(buf: Array[Byte], base: Int,
+                                meta: SasMeta): Iterator[Seq[Any]] = {
+    if (!meta.rle) Iterator.empty
+    else {
+      val il = if (meta.u64) 8 else 4
+      val bitOffset = if (meta.u64) 32 else 16
+      val ptrLen = if (meta.u64) 24 else 12
+      val pageType = u2(buf, base + bitOffset) & 0xFF00
+      if (pageType != 0x0000 && pageType != 0x4000 &&
+          pageType != 0x0200 && pageType != 0x0400) Iterator.empty
+      else {
+        val metaSigs = Set(0xF7F7F7F7L, 0xF6F6F6F6L, 0xFFFFFFFDL,
+          0xFFFFFFFFL, 0xFFFFFFFCL, 0xFFFFFBFEL, 0xFFFFFFFEL, 0xFFFFFC00L)
+        val shCount = u2(buf, base + bitOffset + 4)
+        (0 until shCount).iterator.flatMap { i =>
+          val pAt = base + bitOffset + 8 + i * ptrLen
+          val shOff = base + uint(buf, pAt, il).toInt
+          val shLen = uint(buf, pAt + il, il).toInt
+          val comp = u1(buf, pAt + 2 * il)
+          val ptyp = u1(buf, pAt + 2 * il + 1)
+          def sig: Long = {
+            val lo = u4(buf, shOff)
+            if (lo == 0L && meta.u64) u4(buf, shOff + 4) else lo
+          }
+          val isData = shLen > 0 && ptyp == 1 &&
+            (comp == CompData || (comp == 0 && !metaSigs.contains(sig)))
+          if (!isData) Iterator.empty
+          else if (shLen == meta.rowLength)
+            Iterator.single(decodeRowAt(buf, shOff, meta))
+          else Iterator.single(
+            decodeRowAt(rleDecompress(buf, shOff, shLen,
+              meta.rowLength.toInt), 0, meta))
+        }
+      }
+    }
+  }
+
+  /** Decode one plain row at `at` inside `buf`. */
+  private def decodeRowAt(buf: Array[Byte], at: Int,
+                          meta: SasMeta): Seq[Any] = meta.cols.map { c =>
+    val cAt = at + c.rowOffset.toInt
+    if (c.isNum) sasDouble(buf, cAt, c.width)
+    else {
+      var end = cAt + c.width
+      while (end > cAt && (buf(end - 1) == ' '.toByte ||
+        buf(end - 1) == 0)) end -= 1
+      if (end == cAt) null
+      else new String(buf, cAt, end - cAt,
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
   }
 
   /** Slice every data row out of the pages under a parsed meta.
@@ -251,25 +444,15 @@ object Sas {
     val out = mutable.ArrayBuffer.empty[Seq[Any]]
     var seen = 0L
 
-    def decode(at: Int): Seq[Any] = meta.cols.map { c =>
-      val cAt = at + c.rowOffset.toInt
-      if (c.isNum) sasDouble(bytes, cAt, c.width)
-      else {
-        var end = cAt + c.width
-        while (end > cAt && (bytes(end - 1) == ' '.toByte ||
-          bytes(end - 1) == 0)) end -= 1
-        if (end == cAt) null
-        else new String(bytes, cAt, end - cAt,
-          java.nio.charset.StandardCharsets.UTF_8)
-      }
-    }
-
     var p = 0L
     while (p < meta.pageCount && seen < meta.rowCount) {
       val base = meta.headerLength + (p * meta.pageSize).toInt
       val pageType = u2(bytes, base + bitOffset) & 0xFF00
       val blockCount = u2(bytes, base + bitOffset + 2)
       val shCount = u2(bytes, base + bitOffset + 4)
+      pageSubheaderRows(bytes, base, meta).foreach { vals =>
+        if (seen < meta.rowCount) { out += vals; seen += 1 }
+      }
       val (start, n) =
         if (pageType == 0x0100)
           (bitOffset + 8, math.min(blockCount.toLong, meta.rowCount - seen))
@@ -285,7 +468,7 @@ object Sas {
         val at = base + start + (r * meta.rowLength).toInt
         require(at + meta.rowLength <= base + meta.pageSize,
           s"sas7bdat: row $seen overruns page $p")
-        out += decode(at)
+        out += decodeRowAt(bytes, at, meta)
         r += 1; seen += 1
       }
       p += 1
@@ -315,22 +498,11 @@ object Sas {
             math.max(0, blockCount - shCount).toLong))
       } else if (pageType == 0x9000) refuse("compressed page (type 0x9xxx)")
       else (0, 0L)
-    (0L until n).iterator.map { r =>
+    pageSubheaderRows(page, 0, meta) ++ (0L until n).iterator.map { r =>
       val at = start + (r * meta.rowLength).toInt
       require(at + meta.rowLength <= page.length,
         s"sas7bdat: row $r overruns its page")
-      meta.cols.map { c =>
-        val cAt = at + c.rowOffset.toInt
-        if (c.isNum) sasDouble(page, cAt, c.width)
-        else {
-          var end = cAt + c.width
-          while (end > cAt && (page(end - 1) == ' '.toByte ||
-            page(end - 1) == 0)) end -= 1
-          if (end == cAt) null
-          else new String(page, cAt, end - cAt,
-            java.nio.charset.StandardCharsets.UTF_8)
-        }
-      }
+      decodeRowAt(page, at, meta)
     }
   }
 
@@ -339,10 +511,19 @@ object Sas {
     * one executor — here the driver reads a bounded HEAD for the
     * metadata (real files front-load it; the scan widens up to
     * `metaPageLimit` pages and refuses loudly past it) and each task
-    * then preads and decodes its own contiguous page range.
-    * Uncompressed pages are fixed-size and self-contained, which is
-    * what makes the split sound. Emitted `row` ids are unique and
-    * order-preserving ((pageIdx, rowInPage) packed), NOT dense 0..N−1.
+    * then preads and decodes its own contiguous page range. Pages are
+    * fixed-size and self-contained in BOTH supported layouts
+    * (uncompressed stride rows; RLE per-row subheaders), which is what
+    * makes the split sound.
+    *
+    * RETURN CONTRACT — the `row` column: ids pack (pageIdx, rowInPage)
+    * as `pageIdx * rowCap + rowInPage`. They are UNIQUE and ORDER-
+    * PRESERVING but NOT dense 0..N−1 (unlike [[readSas]]): sorting or
+    * windowing by `row` is sound, but joining/diffing paged-vs-whole
+    * cells BY ID matches nothing — join on key columns, or count
+    * rows via `dense_rank` over `row` if a dense index is needed
+    * (a cumulative per-page prefix would force a driver-side scan of
+    * every page header, defeating the pread parallelism).
     */
   /** Parse-failure messages that mean "the head was too short", not
     * "the file is broken" — [[PagedScan.driverMeta]] widens on these. */
@@ -363,9 +544,14 @@ object Sas {
       scanMeta(buf, hdr, pages).copy(pageCount = hdr.pageCount)
     }
     // a "row" of the range scan is a PAGE: fixed stride, self-contained
-    // under the uncompressed subset. Emitted row ids pack
-    // (pageIdx, rowInPage) — unique and order-preserving, NOT dense.
-    val rowCap = meta.pageSize / math.max(1, meta.rowLength) + 1
+    // for both the uncompressed layout and RLE (each row's subheader is
+    // page-local). Emitted row ids pack (pageIdx, rowInPage) — unique
+    // and order-preserving, NOT dense. RLE pages can hold more rows
+    // than pageSize/rowLength (compression), so the stride there is the
+    // pointer-count ceiling instead.
+    val rowCap =
+      if (meta.rle) meta.pageSize / 12 + 1 // one 12/24-byte ptr per row
+      else meta.pageSize / math.max(1, meta.rowLength) + 1
     PagedScan.scan(spark, path, cellSchema, meta.pageCount,
       meta.headerLength.toLong, meta.pageSize.toLong, partitions) {
       (buf, startPage, nPages) =>
@@ -465,11 +651,15 @@ object Sas {
   // against pandas.read_sas during development.
   // --------------------------------------------------------------
 
-  /** Dump records as a minimal 64-bit little-endian uncompressed
-    * sas7bdat: one meta page + data pages. Values: Double (null = SAS
-    * missing) for numeric columns, String for char columns (width =
-    * longest value, min 1). */
-  def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]]): Array[Byte] = {
+  /** Dump records as a minimal 64-bit little-endian sas7bdat: one meta
+    * page + data pages, or — with `rle = true` — SASYZCRL-compressed
+    * pages where every row is its own comp-4 data subheader
+    * ([[rleCompress]]; rows that don't shrink are stored raw at exactly
+    * rowLength, the convention pandas keys decompression on). Values:
+    * Double (null = SAS missing) for numeric columns, String for char
+    * columns (width = longest value, min 1). */
+  def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]],
+            rle: Boolean = false): Array[Byte] = {
     require(cols.nonEmpty, "dumps needs at least one column")
     data.foreach(r => require(r.length == cols.length,
       s"row arity ${r.length} != ${cols.length} columns"))
@@ -505,9 +695,12 @@ object Sas {
       .copyToArray(cs, 0)
     p64(cols.length.toLong).copyToArray(cs, 8)
     sh += cs
-    // text blob: u16 size + pad to 8, then 8-padded names
+    // text blob: u16 size + pad to 8, then (for RLE) the compression
+    // literal pandas and our reader key on, then 8-padded names
     val blob = mutable.ArrayBuffer.empty[Byte]
     blob ++= new Array[Byte](8)
+    if (rle) blob ++= "SASYZCRL".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
     val nameAt = cols.map { case (n, _) =>
       val at = blob.length
       val nb = n.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -547,26 +740,7 @@ object Sas {
       f
     })
 
-    // --- meta page: pointers up front, subheaders packed from the end
-    val metaPage = new Array[Byte](pageSize)
-    var tail = pageSize
-    val ptrs = sh.map { s =>
-      tail = (tail - s.length) & ~7
-      s.copyToArray(metaPage, tail)
-      (tail, s.length)
-    }
-    require(40 + ptrs.length * 24 <= tail, "sas7bdat writer: meta overflow")
-    p16(0x0000).copyToArray(metaPage, 32) // meta page type
-    p16(ptrs.length).copyToArray(metaPage, 34)
-    p16(ptrs.length).copyToArray(metaPage, 36)
-    ptrs.zipWithIndex.foreach { case ((off, len), i) =>
-      val at = 40 + i * 24
-      p64(off.toLong).copyToArray(metaPage, at)
-      p64(len.toLong).copyToArray(metaPage, at + 8)
-      metaPage(at + 16) = 0; metaPage(at + 17) = 1
-    }
-
-    // --- data pages
+    // --- encode rows once (both layouts slice from these)
     val encoded = data.map { r =>
       val row = mutable.ArrayBuffer.empty[Byte]
       cols.indices.foreach { i =>
@@ -586,14 +760,81 @@ object Sas {
       }
       row.toArray
     }
-    val dataPages = encoded.grouped(dataRowsPerPage).map { chunk =>
-      val page = new Array[Byte](pageSize)
-      p16(0x0100).copyToArray(page, 32) // data page type
-      p16(chunk.length).copyToArray(page, 34)
-      var at = 40
-      chunk.foreach { r => r.copyToArray(page, at); at += r.length }
-      page
-    }.toSeq
+
+    val pages: Seq[Array[Byte]] = if (!rle) {
+      // --- meta page: pointers up front, subheaders packed from the end
+      val metaPage = new Array[Byte](pageSize)
+      var tail = pageSize
+      val ptrs = sh.map { s =>
+        tail = (tail - s.length) & ~7
+        s.copyToArray(metaPage, tail)
+        (tail, s.length)
+      }
+      require(40 + ptrs.length * 24 <= tail, "sas7bdat writer: meta overflow")
+      p16(0x0000).copyToArray(metaPage, 32) // meta page type
+      p16(ptrs.length).copyToArray(metaPage, 34)
+      p16(ptrs.length).copyToArray(metaPage, 36)
+      ptrs.zipWithIndex.foreach { case ((off, len), i) =>
+        val at = 40 + i * 24
+        p64(off.toLong).copyToArray(metaPage, at)
+        p64(len.toLong).copyToArray(metaPage, at + 8)
+        metaPage(at + 16) = 0; metaPage(at + 17) = 1
+      }
+      val dataPages = encoded.grouped(dataRowsPerPage).map { chunk =>
+        val page = new Array[Byte](pageSize)
+        p16(0x0100).copyToArray(page, 32) // data page type
+        p16(chunk.length).copyToArray(page, 34)
+        var at = 40
+        chunk.foreach { r => r.copyToArray(page, at); at += r.length }
+        page
+      }.toSeq
+      metaPage +: dataPages
+    } else {
+      // --- RLE layout: every subheader (meta AND per-row data) packs
+      // from each page's end, pointers grow from the front; a new meta
+      // page opens when either side would collide
+      val acc = mutable.ArrayBuffer.empty[Array[Byte]]
+      var cur = new Array[Byte](pageSize)
+      var tail = pageSize
+      val ptrs = mutable.ArrayBuffer.empty[(Int, Int, Int)] // off, len, comp
+      def flushPage(): Unit = {
+        p16(0x0000).copyToArray(cur, 32)
+        p16(ptrs.length).copyToArray(cur, 34)
+        p16(ptrs.length).copyToArray(cur, 36)
+        ptrs.zipWithIndex.foreach { case ((off, len, comp), i) =>
+          val at = 40 + i * 24
+          p64(off.toLong).copyToArray(cur, at)
+          p64(len.toLong).copyToArray(cur, at + 8)
+          cur(at + 16) = comp.toByte; cur(at + 17) = 1
+        }
+        acc += cur
+        cur = new Array[Byte](pageSize); ptrs.clear(); tail = pageSize
+      }
+      def place(payload: Array[Byte], comp: Int, align: Boolean): Unit = {
+        // meta subheaders keep the real-file 8-alignment; row payloads
+        // pack tight (readers address them via explicit offsets)
+        val newTail =
+          if (align) (tail - payload.length) & ~7 else tail - payload.length
+        if (40 + (ptrs.length + 1) * 24 > newTail) {
+          require(ptrs.nonEmpty, "sas7bdat writer: subheader exceeds a page")
+          flushPage()
+          place(payload, comp, align)
+        } else {
+          tail = newTail
+          payload.copyToArray(cur, tail)
+          ptrs += ((tail, payload.length, comp))
+        }
+      }
+      sh.foreach(place(_, 0, align = true))
+      // rows that don't shrink are stored raw at EXACTLY rowLength —
+      // readers key "decompress or not" on that equality
+      encoded.foreach { r =>
+        val c = rleCompress(r)
+        place(if (c.length >= r.length) r else c, 4, align = false)
+      }
+      flushPage()
+      acc.toSeq
+    }
 
     // --- header
     val header = new Array[Byte](1024)
@@ -607,12 +848,12 @@ object Sas {
     "DATA    ".getBytes.copyToArray(header, 156)
     p32(1024L).copyToArray(header, 200)
     p32(pageSize.toLong).copyToArray(header, 204)
-    p64((1 + dataPages.length).toLong).copyToArray(header, 208)
+    p64(pages.length.toLong).copyToArray(header, 208)
     "9.0401M2".getBytes.copyToArray(header, 224)
 
     val out = new java.io.ByteArrayOutputStream()
-    out.write(header); out.write(metaPage)
-    dataPages.foreach(out.write)
+    out.write(header)
+    pages.foreach(out.write)
     out.toByteArray
   }
 }

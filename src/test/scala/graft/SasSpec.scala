@@ -105,16 +105,17 @@ class SasSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] { Sas.parseMeta(be) }
     assert(e1.getMessage.contains("big-endian"))
 
-    // plant the RLE literal inside the first column-text blob: the
+    // plant the RDC literal inside the first column-text blob: the
     // u64 fixture's text subheader sits on page 1 — find its payload
-    // by scanning for the name bytes we know it holds
-    val rle = bytes("fixture_u64.sas7bdat").clone()
-    val idAt = (1024 until rle.length - 8).find(i =>
-      rle(i) == 'i'.toByte && rle(i + 1) == 'd'.toByte &&
-        rle(i + 2) == 0.toByte).get
-    "SASYZCRL".getBytes("ISO-8859-1").copyToArray(rle, idAt)
-    val e2 = intercept[IllegalArgumentException] { Sas.parseMeta(rle) }
-    assert(e2.getMessage.contains("compressed"))
+    // by scanning for the name bytes we know it holds. (RLE is
+    // SUPPORTED since round 16; RDC still refuses.)
+    val rdc = bytes("fixture_u64.sas7bdat").clone()
+    val idAt = (1024 until rdc.length - 8).find(i =>
+      rdc(i) == 'i'.toByte && rdc(i + 1) == 'd'.toByte &&
+        rdc(i + 2) == 0.toByte).get
+    "SASYZCR2".getBytes("ISO-8859-1").copyToArray(rdc, idAt)
+    val e2 = intercept[IllegalArgumentException] { Sas.parseMeta(rdc) }
+    assert(e2.getMessage.contains("RDC"))
 
     val junk = Array.fill[Byte](2048)(0x5A)
     intercept[IllegalArgumentException] { Sas.parseMeta(junk) }
@@ -209,5 +210,111 @@ class SasSpec extends SparkSpec {
       graft.io.IO.exportData(bad, "/tmp/never_written.sas7bdat")
     }
     assert(e.getMessage.contains("cast or stringify"))
+  }
+
+  // ---------------------------------------------------------------
+  // RLE ("SASYZCRL") compression — round 16
+  // ---------------------------------------------------------------
+
+  /** The RLE fixture's intended frame (tools/make_sas_fixture.py
+    * RLE_ROWS): row 13 is the incompressible raw-fallback row; i%6==0
+    * rows carry a 24-zero run (long zero fill); i%5∈{0,1} rows carry
+    * 90-char repeat / high-entropy blobs. */
+  private def expectedRle: Seq[(Double, Option[Double], Option[Double],
+      Option[Double], String, Option[String])] =
+    (0 until 60).map { i =>
+      if (i == 13)
+        (13.137137137, Some(13.731731731), Some(31.137137137),
+          Some(1013.7731137),
+          (0 until 90).map(j => (65 + (j * 11) % 26).toChar).mkString,
+          Some((0 until 16).map(j => (97 + (j * 7) % 26).toChar).mkString))
+      else
+        (i.toDouble,
+          Some(if (i % 6 == 0) 0.0 else i * 1.5 + 0.125),
+          Some(if (i % 6 == 0) 0.0 else i * 2.5 + 0.125),
+          if (i % 7 == 3) None
+          else Some(math.rint((i * 0.25 - 2.0) * 1e6) / 1e6),
+          if (i % 5 == 0) "z" * 90
+          else if (i % 5 == 1)
+            (0 until 90).map(j => (65 + (i * 7 + j * 11) % 26).toChar).mkString
+          else s"w$i",
+          if (i % 12 == 0) None else Some("x" * (i % 12)))
+    }
+
+  test("RLE fixture (pandas-validated compressed subheader rows) decodes") {
+    val wide = Sas.readSasRecords(spark, s"$dir/fixture_rle.sas7bdat")
+      .orderBy("row")
+      .select($"id", $"z1", $"z2", $"score", $"blob", $"tag")
+      .as[(Double, Option[Double], Option[Double], Option[Double],
+        String, Option[String])].collect()
+    assert(wide.toSeq === expectedRle)
+  }
+
+  test("golden_rle.csv (the pandas-read dump) agrees row for row") {
+    val golden = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/golden_rle.csv")
+      .orderBy("id").select($"id", $"blob")
+      .as[(Double, String)].collect()
+    val ours = Sas.readSasRecords(spark, s"$dir/fixture_rle.sas7bdat")
+      .orderBy("id").select($"id", $"blob")
+      .as[(Double, String)].collect()
+    assert(ours.toSeq === golden.toSeq)
+  }
+
+  test("RLE writer round-trips; paged scan matches the whole-file read") {
+    val cols = Seq(("k", true), ("pad", false), ("txt", false))
+    val n = 4000
+    val data = (0 until n).map { i =>
+      Seq(i.toDouble,
+        if (i % 3 == 0) null else "y" * (i % 120), // null → 120 spaces
+        s"v${i % 13}"): Seq[Any]
+    }
+    val blob = Sas.dumps(cols, data, rle = true)
+    val plain = Sas.dumps(cols, data)
+    // compression must actually bite vs the uncompressed layout (the
+    // floor is the per-row 24-byte subheader pointer, which real SAS
+    // pays too)
+    assert(blob.length * 2 < plain.length,
+      s"RLE ${blob.length} vs plain ${plain.length} bytes")
+    val whole = Sas.records(
+        Sas.readSasBlobs(spark, Seq(("t.sas7bdat", blob))), cols)
+      .orderBy("row").select($"k", $"pad", $"txt")
+      .as[(Double, Option[String], String)].collect()
+    assert(whole.length === n)
+    whole.zipWithIndex.foreach { case ((k, pad, txt), i) =>
+      assert(k === i.toDouble)
+      assert(pad === (if (i % 3 == 0 || i % 120 == 0) None
+        else Some("y" * (i % 120))))
+      assert(txt === s"v${i % 13}")
+    }
+    // paged == whole on the SAME rle bytes (rows are page-local, so
+    // the page-range scan survives compression)
+    val tmp = java.nio.file.Files.createTempFile("graft_rle_", ".sas7bdat")
+    java.nio.file.Files.write(tmp, blob)
+    val meta = Sas.parseMeta(blob)
+    assert(meta.rle && meta.pageCount > 2, "multi-page rle expected")
+    val paged = Sas.records(
+        Sas.readSasPaged(spark, tmp.toString, partitions = 5), cols)
+      .orderBy("row").select($"k", $"pad", $"txt")
+      .as[(Double, Option[String], String)].collect()
+    assert(paged.toSeq === whole.toSeq)
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("rleCompress/rleDecompress round-trip every byte pattern class") {
+    val rnd = new scala.util.Random(421)
+    val rows = Seq(
+      Array.fill[Byte](200)(0),
+      Array.fill[Byte](200)(' '.toByte),
+      Array.fill[Byte](200)('q'.toByte),
+      Array.tabulate[Byte](200)(i => (i % 251).toByte),
+      Array.tabulate[Byte](5000)(i => if (i < 4300) 0 else (i % 97).toByte),
+      Array.fill[Byte](1)('z'.toByte),
+      Array.tabulate[Byte](300)(_ => rnd.nextInt(256).toByte))
+    rows.foreach { r =>
+      val c = Sas.rleCompress(r)
+      val back = Sas.rleDecompress(c, 0, c.length, r.length)
+      assert(back.toSeq === r.toSeq, s"len ${r.length}")
+    }
   }
 }

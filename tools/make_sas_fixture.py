@@ -8,10 +8,18 @@ asserts that the bytes it emits parse to exactly the intended frame
 before writing them, so the checked-in fixtures conform to the format
 as implemented outside this repo, not merely to our own Scala parser.
 
+The RLE fixture exercises every compression op the Scala writer emits
+(zero/space fills short+long, byte repeats, literal copies short+long,
+and the raw-at-rowLength fallback); pandas decoding the golden values
+is the empirical proof of those ops' semantics — the compressor here
+is a second implementation kept deliberately separate from Sas.scala.
+
 Emits (under src/test/resources/sas/):
   fixture_u64.sas7bdat    64-bit little-endian, uncompressed, 2 pages
   fixture_x86.sas7bdat    32-bit little-endian, uncompressed, 1 mix page
-  golden.csv              the pandas-read values both files decode to
+  fixture_rle.sas7bdat    64-bit little-endian, RLE (SASYZCRL), 2+ pages
+  golden.csv              the pandas-read values of the uncompressed pair
+  golden_rle.csv          the pandas-read values of the RLE fixture
 """
 import io
 import struct
@@ -35,7 +43,32 @@ ROWS = [
     for i in range(20)
 ]
 COLS = [("id", "d", 8), ("score", "d", 8), ("name", "s", 8)]
-ROW_LEN = sum(w for _, _, w in COLS)
+
+# the RLE frame: long space-padded and zero-heavy cells force fills,
+# a char(90) cell forces long-literal copies, run cells force repeats,
+# and one high-entropy row lands on the raw (incompressible) fallback
+RLE_ROWS = [
+    # row 13 is dense in EVERY byte (no run >= 2, no zero/space bytes
+    # in the doubles, full-width varied strings): its compressed form
+    # is >= row_len, forcing the raw-at-rowLength fallback path
+    (13.137137137, 13.731731731, 31.137137137, 1013.7731137,
+     "".join(chr(65 + (j * 11) % 26) for j in range(90)),
+     "".join(chr(97 + (j * 7) % 26) for j in range(16)))
+    if i == 13 else
+    # z1/z2 sit right after id: on i%6==0 rows all three are 0.0 and
+    # the 24-zero run forces the LONG zero fill (0x70)
+    (float(i),
+     0.0 if i % 6 == 0 else i * 1.5 + 0.125,
+     0.0 if i % 6 == 0 else i * 2.5 + 0.125,
+     None if i % 7 == 3 else round(i * 0.25 - 2.0, 6),
+     ("z" * 90 if i % 5 == 0 else
+      "".join(chr(65 + (i * 7 + j * 11) % 26) for j in range(90))
+      if i % 5 == 1 else f"w{i}"),
+     "x" * (i % 12))
+    for i in range(60)
+]
+RLE_COLS = [("id", "d", 8), ("z1", "d", 8), ("z2", "d", 8),
+            ("score", "d", 8), ("blob", "s", 90), ("tag", "s", 16)]
 
 
 def pad(b: bytes, n: int) -> bytes:
@@ -43,14 +76,74 @@ def pad(b: bytes, n: int) -> bytes:
     return b + b"\x00" * (n - len(b))
 
 
-def encode_row(row) -> bytes:
+def encode_row(cols, row) -> bytes:
     out = b""
-    for (name, typ, width), v in zip(COLS, row):
+    for (name, typ, width), v in zip(cols, row):
         if typ == "d":
             out += SAS_MISSING if v is None else struct.pack("<d", v)
         else:
             out += pad(v.encode("ascii"), width).replace(b"\x00", b" ")
     return out
+
+
+def rle_compress(row: bytes) -> bytes:
+    """The SASYZCRL op subset the Scala writer uses, re-implemented
+    independently: zero/space fills, byte repeats, literal copies."""
+    out = bytearray()
+    lit_start = 0
+
+    def flush_literal(until):
+        at = lit_start
+        while at < until:
+            n = min(until - at, 4159)
+            if n <= 16:
+                out.append(0x80 | (n - 1))
+            elif n <= 32:
+                out.append(0x90 | (n - 17))
+            elif n <= 48:
+                out.append(0xA0 | (n - 33))
+            elif n <= 64:
+                out.append(0xB0 | (n - 49))
+            else:
+                ext = n - 64
+                out.append(ext >> 8)
+                out.append(ext & 0xFF)
+            out.extend(row[at:at + n])
+            at += n
+
+    i = 0
+    while i < len(row):
+        run = i + 1
+        while run < len(row) and row[run] == row[i]:
+            run += 1
+        n = run - i
+        b = row[i]
+        is_fill = b in (0x00, 0x20)
+        if (is_fill and n >= 2) or n >= 3:
+            flush_literal(i)
+            left = n
+            while left > 0:
+                if is_fill:
+                    take = left if left <= 17 else min(left, 4112)
+                    if left - take == 1:
+                        take -= 1
+                    if take <= 17:
+                        out.append((0xF0 if b == 0 else 0xE0) | (take - 2))
+                    else:
+                        ext = take - 17
+                        out.append((0x70 if b == 0 else 0x60) | (ext >> 8))
+                        out.append(ext & 0xFF)
+                else:
+                    take = min(left, 18)
+                    if 0 < left - take < 3:
+                        take = left - 3
+                    out.append(0xC0 | (take - 3))
+                    out.append(b)
+                left -= take
+            lit_start = run
+        i = run
+    flush_literal(len(row))
+    return bytes(out)
 
 
 def header(u64: bool, page_size: int, page_count: int) -> bytes:
@@ -80,9 +173,10 @@ def header(u64: bool, page_size: int, page_count: int) -> bytes:
     return bytes(h)
 
 
-def subheaders(u64: bool, mix_rows: int):
-    """Return [(signature_payload_bytes, compression, shtype)] in the
-    order they will be pointed at from the meta/mix page."""
+def subheaders(u64: bool, cols, n_rows: int, row_len: int, mix_rows: int,
+               rle: bool):
+    """Return the metadata subheaders in the order they will be pointed
+    at from the meta/mix page."""
     il = 8 if u64 else 4
     U = "<Q" if u64 else "<I"
 
@@ -93,8 +187,6 @@ def subheaders(u64: bool, mix_rows: int):
             return le32
         if le32 in (b"\xf7\xf7\xf7\xf7", b"\xf6\xf6\xf6\xf6"):
             return le32 + b"\x00\x00\x00\x00"
-        if le32 == b"\x00\xfc\xff\xff":
-            return le32 + b"\xff\xff\xff\xff"
         return le32 + b"\xff\xff\xff\xff"
 
     out = []
@@ -102,9 +194,9 @@ def subheaders(u64: bool, mix_rows: int):
     # --- row size: row length / row count / col count / mix rows
     rs = bytearray(808 if u64 else 480)
     rs[0:il] = sig(b"\xf7\xf7\xf7\xf7")
-    rs[5 * il:6 * il] = struct.pack(U, ROW_LEN)
-    rs[6 * il:7 * il] = struct.pack(U, len(ROWS))
-    rs[9 * il:10 * il] = struct.pack(U, len(COLS))   # col_count_p1
+    rs[5 * il:6 * il] = struct.pack(U, row_len)
+    rs[6 * il:7 * il] = struct.pack(U, n_rows)
+    rs[9 * il:10 * il] = struct.pack(U, len(cols))   # col_count_p1
     rs[10 * il:11 * il] = struct.pack(U, 0)          # col_count_p2
     rs[15 * il:16 * il] = struct.pack(U, mix_rows)
     # lcs/lcp stay 0 -> no creator-proc / compression-literal reads
@@ -113,13 +205,17 @@ def subheaders(u64: bool, mix_rows: int):
     # --- column size
     cs = bytearray(3 * il)
     cs[0:il] = sig(b"\xf6\xf6\xf6\xf6")
-    cs[il:2 * il] = struct.pack(U, len(COLS))
+    cs[il:2 * il] = struct.pack(U, len(cols))
     out.append(bytes(cs))
 
     # --- column text: blob starts right after the signature; name
-    # pointers index into it (offset 0 = the u16 size field itself)
-    names = [n.encode("ascii") for n, _, _ in COLS]
+    # pointers index into it (offset 0 = the u16 size field itself).
+    # RLE files carry the SASYZCRL literal here — both pandas and the
+    # Scala reader key compression on its presence in the FIRST blob.
+    names = [n.encode("ascii") for n, _, _ in cols]
     blob = bytearray(b"\x00" * 8)  # size u16 + pad, strings from 8
+    if rle:
+        blob += b"SASYZCRL"
     name_at = []
     for nb in names:
         name_at.append(len(blob))
@@ -130,7 +226,7 @@ def subheaders(u64: bool, mix_rows: int):
     # --- column name pointers: 8 bytes each, first at sig + il + 8
     # (pandas addresses them as subheader + int_len + 8*(i+1))
     cn = bytearray(sig(b"\xff\xff\xff\xff") + b"\x00" * 8)
-    for (n, _, _), off in zip(COLS, name_at):
+    for (n, _, _), off in zip(cols, name_at):
         cn += struct.pack("<HHHH", 0, off, len(n), 0)
     cn += b"\x00" * 12  # count = (len - 2*il - 12) // 8
     out.append(bytes(cn))
@@ -138,7 +234,7 @@ def subheaders(u64: bool, mix_rows: int):
     # --- column attributes: (il+8)-byte vectors, first at sig + il + 8
     ca = bytearray(sig(b"\xfc\xff\xff\xff") + b"\x00" * 8)
     rowoff = 0
-    for _, typ, width in COLS:
+    for _, typ, width in cols:
         vec = bytearray(il + 8)
         vec[0:il] = struct.pack(U, rowoff)
         struct.pack_into("<I", vec, il, width)
@@ -150,7 +246,7 @@ def subheaders(u64: bool, mix_rows: int):
 
     # --- one format-and-label subheader per column (pandas builds its
     # column list here); zero-length format and label
-    for _ in COLS:
+    for _ in cols:
         out.append(pad(sig(b"\xfe\xfb\xff\xff"), 3 * il + 40))
 
     return out
@@ -161,9 +257,10 @@ def build(u64: bool, split_pages: bool) -> bytes:
     bit_offset = 32 if u64 else 16
     ptr_len = 24 if u64 else 12
     page_size = 4096
+    row_len = sum(w for _, _, w in COLS)
 
     mix_rows = 0 if split_pages else len(ROWS)
-    shs = subheaders(u64, mix_rows)
+    shs = subheaders(u64, COLS, len(ROWS), row_len, mix_rows, rle=False)
 
     # lay subheaders from the END of page 1 (the real-file convention),
     # 8-aligned; pointers live right after the page header
@@ -189,7 +286,7 @@ def build(u64: bool, split_pages: bool) -> bytes:
         data_at = bit_offset + 8 + len(ptrs) * ptr_len
         data_at += data_at % 8  # the reader's mix-page alignment rule
         for r in ROWS:
-            enc = encode_row(r)
+            enc = encode_row(COLS, r)
             assert data_at + len(enc) <= tail, "mix page overflow"
             page1[data_at:data_at + len(enc)] = enc
             data_at += len(enc)
@@ -203,7 +300,7 @@ def build(u64: bool, split_pages: bool) -> bytes:
         struct.pack_into("<HHH", page2, bit_offset, 256, len(ROWS), 0)
         at = bit_offset + 8
         for r in ROWS:
-            enc = encode_row(r)
+            enc = encode_row(COLS, r)
             page2[at:at + len(enc)] = enc
             at += len(enc)
         pages.append(bytes(page2))
@@ -211,18 +308,79 @@ def build(u64: bool, split_pages: bool) -> bytes:
     return header(u64, page_size, len(pages)) + b"".join(pages)
 
 
-def validate(raw: bytes, label: str) -> pd.DataFrame:
-    df = pd.read_sas(io.BytesIO(raw), format="sas7bdat", encoding="utf-8")
-    assert list(df.columns) == [n for n, _, _ in COLS], df.columns
-    assert len(df) == len(ROWS), (label, len(df))
-    for i, (rid, score, name) in enumerate(ROWS):
-        assert df.iloc[i]["id"] == rid, (label, i, df.iloc[i]["id"])
-        got = df.iloc[i]["score"]
-        if score is None:
-            assert pd.isna(got), (label, i, got)
+def build_rle() -> bytes:
+    """64-bit RLE file: meta subheaders AND one comp-4 data subheader
+    per row, packed from each page's end (new page on overflow)."""
+    u64 = True
+    bit_offset = 32
+    ptr_len = 24
+    page_size = 2048  # small on purpose: forces multi-page packing
+    row_len = sum(w for _, _, w in RLE_COLS)
+    shs = subheaders(u64, RLE_COLS, len(RLE_ROWS), row_len, 0, rle=True)
+
+    pages = []
+    cur = bytearray(page_size)
+    tail = page_size
+    ptrs = []  # (off, len, comp)
+
+    def flush():
+        nonlocal cur, tail, ptrs
+        struct.pack_into("<HHH", cur, bit_offset, 0, len(ptrs), len(ptrs))
+        for i, (off, ln, comp) in enumerate(ptrs):
+            struct.pack_into("<QQBB", cur, bit_offset + 8 + i * ptr_len,
+                             off, ln, comp, 1)
+        pages.append(bytes(cur))
+        cur = bytearray(page_size)
+        tail = page_size
+        ptrs = []
+
+    def place(payload: bytes, comp: int):
+        nonlocal tail
+        new_tail = (tail - len(payload)) & ~7
+        if bit_offset + 8 + (len(ptrs) + 1) * ptr_len > new_tail:
+            assert ptrs, "subheader exceeds a page"
+            flush()
+            place(payload, comp)
+            return
+        tail = new_tail
+        cur[tail:tail + len(payload)] = payload
+        ptrs.append((tail, len(payload), comp))
+
+    for sh in shs:
+        place(sh, 0)
+    raw_fallbacks = 0
+    for r in RLE_ROWS:
+        enc = encode_row(RLE_COLS, r)
+        c = rle_compress(enc)
+        if len(c) >= len(enc):  # raw at EXACTLY row_len = "uncompressed"
+            place(enc, 4)
+            raw_fallbacks += 1
         else:
-            assert abs(got - score) < 1e-12, (label, i, got)
-        assert df.iloc[i]["name"] == ROWS[i][2], (label, i, df.iloc[i]["name"])
+            place(c, 4)
+    flush()
+    assert raw_fallbacks > 0, "RLE fixture must exercise the raw fallback"
+    assert len(pages) > 2, "RLE fixture must span multiple pages"
+    return header(u64, page_size, len(pages)) + b"".join(pages)
+
+
+def validate(raw: bytes, label: str, cols, rows) -> pd.DataFrame:
+    df = pd.read_sas(io.BytesIO(raw), format="sas7bdat", encoding="utf-8")
+    assert list(df.columns) == [n for n, _, _ in cols], df.columns
+    assert len(df) == len(rows), (label, len(df))
+    for i, expect in enumerate(rows):
+        for (name, typ, _), v in zip(cols, expect):
+            got = df.iloc[i][name]
+            if typ == "d":
+                if v is None:
+                    assert pd.isna(got), (label, i, name, got)
+                else:
+                    assert abs(got - v) < 1e-12, (label, i, name, got)
+            elif v == "":
+                # all-blank char cells read back as missing — the same
+                # null convention the Scala reader uses
+                assert pd.isna(got), (label, i, name, got)
+            else:
+                assert got == v, (label, i, name, got)
     print(f"{label}: pandas reads {len(df)} rows OK")
     return df
 
@@ -233,13 +391,19 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     u64 = build(u64=True, split_pages=True)
     x86 = build(u64=False, split_pages=False)
-    df = validate(u64, "fixture_u64 (meta+data pages)")
-    validate(x86, "fixture_x86 (single mix page)")
+    rle = build_rle()
+    df = validate(u64, "fixture_u64 (meta+data pages)", COLS, ROWS)
+    validate(x86, "fixture_x86 (single mix page)", COLS, ROWS)
+    df_rle = validate(rle, "fixture_rle (SASYZCRL subheader rows)",
+                      RLE_COLS, RLE_ROWS)
     with open(f"{out_dir}/fixture_u64.sas7bdat", "wb") as f:
         f.write(u64)
     with open(f"{out_dir}/fixture_x86.sas7bdat", "wb") as f:
         f.write(x86)
+    with open(f"{out_dir}/fixture_rle.sas7bdat", "wb") as f:
+        f.write(rle)
     df.to_csv(f"{out_dir}/golden.csv", index=False)
+    df_rle.to_csv(f"{out_dir}/golden_rle.csv", index=False)
     print(f"wrote fixtures to {out_dir}")
 
 
