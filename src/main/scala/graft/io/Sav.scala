@@ -23,7 +23,14 @@ import scala.collection.mutable
   * SUPPORTED SUBSET, refused loudly outside it:
   *  - "$FL2" files, little-endian (layout_code 2 read LE; a
   *    byte-swapped layout_code refuses as big-endian);
-  *  - compression 0 (none) and 1 (bytecode); 2 (zlib / .zsav) refuses;
+  *  - compression 0 (none), 1 (bytecode) and 2 (zlib / .zsav, "$FL3"):
+  *    the zlib block table from the PSPP-documented zheader/ztrailer
+  *    is inflated with the JDK Inflater and the result IS a bytecode
+  *    stream, decoded by the same compression-1 path. (No WITHIN-file
+  *    paged scan for either compressed codec: bytecode units are
+  *    sequential state — a command block's raw values can land in the
+  *    next zlib block — so splitting needs a scan anyway; across-file
+  *    parallelism via binaryFile is unaffected.)
   *  - string variables up to 255 bytes via continuation records; the
   *    very-long-string extension (info subtype 14) refuses.
   *
@@ -31,7 +38,8 @@ import scala.collection.mutable
   * emits tall (row, key, typed value) cells, [[records]] pivots to the
   * wide record frame under the FIRST file's own dictionary. Variable
   * names prefer the long-name map (info subtype 13) and fall back to
-  * the trimmed 8-byte short names lowercased.
+  * the trimmed 8-byte short names AS STORED (typically uppercase —
+  * the case pyreadstat/SPSS keep).
   */
 object Sav {
 
@@ -77,9 +85,10 @@ object Sav {
 
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(
-      s"sav: $msg — the supported subset is little-endian $$FL2 files " +
-        "with no or bytecode compression; re-export once (e.g. " +
-        "pyreadstat.read_sav(...).to_parquet(...)) for anything outside it.")
+      s"sav: $msg — the supported subset is little-endian $$FL2/$$FL3 " +
+        "files with no, bytecode or zlib compression; re-export once " +
+        "(e.g. pyreadstat.read_sav(...).to_parquet(...)) for anything " +
+        "outside it.")
 
   private def ascii(b: Array[Byte]): String =
     new String(b, java.nio.charset.StandardCharsets.UTF_8)
@@ -92,8 +101,8 @@ object Sav {
   def parseMeta(bytes: Array[Byte]): SavMeta = {
     require(bytes.length >= 176, "sav: file shorter than a header")
     val magic = ascii(java.util.Arrays.copyOfRange(bytes, 0, 4))
-    if (magic == "$FL3") refuse("zlib-compressed .zsav (magic $FL3)")
-    require(magic == "$FL2", s"sav: bad magic '$magic' — not a system file")
+    require(magic == "$FL2" || magic == "$FL3",
+      s"sav: bad magic '$magic' — not a system file")
     val c = new Cur(bytes)
     c.skip(64) // magic + product name
     val layout = c.i4()
@@ -104,8 +113,11 @@ object Sav {
     }
     val caseSize = c.i4()
     val compression = c.i4()
-    if (compression == 2) refuse("zlib compression (2)")
-    if (compression != 0 && compression != 1)
+    if (magic == "$FL3" && compression != 2)
+      refuse(s"$$FL3 magic with compression $compression (zsav must be 2)")
+    if (compression == 2 && magic != "$FL3")
+      refuse("zlib compression (2) without the $FL3 magic")
+    if (compression != 0 && compression != 1 && compression != 2)
       refuse(s"unknown compression code $compression")
     c.skip(4) // weight index
     val nCases = c.i4()
@@ -180,7 +192,10 @@ object Sav {
       if (typ == -1) el += 1 // continuation: slot consumed, no new var
       else {
         if (typ > 255) refuse(s"string variable '$name' of width $typ")
-        val long = longNames.getOrElse(name, name.toLowerCase)
+        // no info-13 record → keep the stored (typically uppercase)
+        // short name AS STORED: pyreadstat and SPSS keep the case, so
+        // lowercasing here would diverge from other tools (r15 advice)
+        val long = longNames.getOrElse(name, name)
         vars += SavVar(long, typ, el)
         el += 1
       }
@@ -194,9 +209,75 @@ object Sav {
   // data
   // --------------------------------------------------------------
 
+  /** Inflate a .zsav's zlib block table into the bytecode stream it
+    * wraps. Layout (PSPP manual, "ZLIB Compressed Data Record"):
+    * zheader {i64 zheader_ofs; i64 ztrailer_ofs; i64 ztrailer_len} at
+    * meta.dataAt, blocks between, ztrailer {i64 -bias; i64 zero;
+    * i32 block_size; i32 n_blocks; n x {i64 uncompressed_ofs;
+    * i64 compressed_ofs; i32 uncompressed_size; i32 compressed_size}}.
+    */
+  private def inflateZsav(bytes: Array[Byte], meta: SavMeta): Array[Byte] = {
+    def i8(at: Int): Long = {
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (bytes(at + i) & 0xffL); i -= 1 }
+      v
+    }
+    def i4(at: Int): Int = {
+      var v = 0; var i = 3
+      while (i >= 0) { v = (v << 8) | (bytes(at + i) & 0xff); i -= 1 }
+      v
+    }
+    val zheaderOfs = i8(meta.dataAt)
+    val ztrailerOfs = i8(meta.dataAt + 8)
+    val ztrailerLen = i8(meta.dataAt + 16)
+    if (zheaderOfs != meta.dataAt.toLong)
+      refuse(s"zsav zheader self-offset $zheaderOfs != ${meta.dataAt}")
+    require(ztrailerOfs + ztrailerLen <= bytes.length,
+      "sav: zsav trailer overruns the file")
+    val t = ztrailerOfs.toInt
+    val nBlocks = i4(t + 20)
+    if (ztrailerLen != 24L + 24L * nBlocks)
+      refuse(s"zsav trailer length $ztrailerLen != 24 + 24*$nBlocks")
+    val out = new java.io.ByteArrayOutputStream()
+    var b = 0
+    while (b < nBlocks) {
+      val d = t + 24 + 24 * b
+      val compressedOfs = i8(d + 8)
+      val uncompressedSize = i4(d + 16)
+      val compressedSize = i4(d + 20)
+      require(compressedOfs + compressedSize <= bytes.length,
+        s"sav: zsav block $b overruns the file")
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(bytes, compressedOfs.toInt, compressedSize)
+      val buf = new Array[Byte](uncompressedSize)
+      var got = 0
+      try {
+        while (got < uncompressedSize && !inf.finished()) {
+          val n = inf.inflate(buf, got, uncompressedSize - got)
+          if (n == 0 && inf.needsInput())
+            refuse(s"zsav block $b zlib stream truncated")
+          got += n
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          refuse(s"zsav block $b is not a zlib stream (${e.getMessage})")
+      } finally inf.end()
+      if (got != uncompressedSize)
+        refuse(s"zsav block $b inflated to $got of $uncompressedSize bytes")
+      out.write(buf)
+      b += 1
+    }
+    out.toByteArray
+  }
+
   /** Decode every case into one Seq[Any] per row (Double or String,
-    * null for sysmis / all-blank strings). */
+    * null for sysmis / all-blank strings). A zlib file inflates its
+    * block table first — the result IS a bytecode stream, decoded by
+    * the compression-1 path below. */
   def rows(bytes: Array[Byte], meta: SavMeta): Iterator[Seq[Any]] = {
+    if (meta.compression == 2)
+      return rows(inflateZsav(bytes, meta),
+        meta.copy(compression = 1, dataAt = 0))
     require(meta.nCases >= 0,
       "sav: unknown case count (-1) is outside the supported subset")
     val els = new Array[Array[Byte]](meta.caseSize)
@@ -336,8 +417,8 @@ object Sav {
                    partitions: Int = 0): DataFrame = {
     val meta = PagedScan.driverMeta(spark, path)(parseMeta)
     if (meta.compression != 0)
-      refuse("the paged scan needs uncompressed data (bytecode blocks " +
-        "have no fixed stride) — use readSav/readSavRecords instead")
+      refuse("the paged scan needs uncompressed data (bytecode and zlib " +
+        "streams have no fixed stride) — use readSav/readSavRecords instead")
     val rowLen = meta.caseSize * 8L
     PagedScan.scan(spark, path, cellSchema, meta.nCases.toLong,
       meta.dataAt.toLong, rowLen, partitions) { (buf, startRow, nRows) =>
@@ -370,10 +451,12 @@ object Sav {
     * (null = sysmis) for numeric columns, String for char columns
     * (width = longest value, min 1, max 255). `bytecode = true` emits
     * compression-1 blocks (small exact integers as biased bytes, the
-    * rest as raw data). Short names VAR00001.. carry an info-13 long-
-    * name map to the real column names. */
+    * rest as raw data); `zsav = true` emits a $FL3 zlib file whose
+    * inflated blocks carry that same bytecode stream. Short names
+    * VAR00001.. carry an info-13 long-name map to the real column
+    * names. */
   def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]],
-            bytecode: Boolean = false): Array[Byte] = {
+            bytecode: Boolean = false, zsav: Boolean = false): Array[Byte] = {
     require(cols.nonEmpty, "dumps needs at least one column")
     data.foreach(r => require(r.length == cols.length,
       s"row arity ${r.length} != ${cols.length} columns"))
@@ -405,8 +488,11 @@ object Sav {
     }
     val caseSize = widths.map(w => if (w == 0) 1 else (w + 7) / 8).sum
 
-    out.write("$FL2".getBytes); ws("graft sav writer", 60)
-    w4(2); w4(caseSize); w4(if (bytecode) 1 else 0); w4(0)
+    val useBytecode = bytecode || zsav // zsav wraps a bytecode stream
+    out.write((if (zsav) "$FL3" else "$FL2").getBytes)
+    ws("graft sav writer", 60)
+    w4(2); w4(caseSize)
+    w4(if (zsav) 2 else if (bytecode) 1 else 0); w4(0)
     w4(data.length); w8(100.0)
     ws("01 Jan 90", 9); ws("00:00:00", 8); ws("graft", 64)
     out.write(Array[Byte](0, 0, 0))
@@ -472,7 +558,10 @@ object Sav {
       els.toSeq
     }
 
-    if (!bytecode) data.foreach(r => elements(r).foreach(out.write))
+    // zsav detours the data stream through a buffer so the zlib block
+    // table can wrap it; plain/bytecode write straight through
+    val dout = if (zsav) new java.io.ByteArrayOutputStream() else out
+    if (!useBytecode) data.foreach(r => elements(r).foreach(dout.write))
     else {
       val spaces8 = Array.fill[Byte](8)(' '.toByte)
       val cmds = mutable.ArrayBuffer.empty[Int]
@@ -505,11 +594,45 @@ object Sav {
       while (i < cmds.length) {
         val block = cmds.slice(i, i + 8)
         val nRaw = block.count(_ == 253)
-        block.foreach(out.write)
-        (block.length until 8).foreach(_ => out.write(0))
-        (0 until nRaw).foreach { k => out.write(raws(ri + k)) }
+        block.foreach(dout.write)
+        (block.length until 8).foreach(_ => dout.write(0))
+        (0 until nRaw).foreach { k => dout.write(raws(ri + k)) }
         ri += nRaw
         i += 8
+      }
+    }
+    if (zsav) {
+      val stream = dout.asInstanceOf[java.io.ByteArrayOutputStream]
+        .toByteArray
+      def wq(v: Long): Unit = {
+        var i = 0
+        while (i < 8) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+      }
+      def deflate(b: Array[Byte], from: Int, n: Int): Array[Byte] = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(b, from, n); d.finish()
+        val acc = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) acc.write(buf, 0, d.deflate(buf))
+        d.end(); acc.toByteArray
+      }
+      val blockSize = 0x3ff000 // the PSPP/SPSS conventional block span
+      val spans = (0 until stream.length by blockSize)
+        .map(s => (s, math.min(blockSize, stream.length - s)))
+      val zblocks =
+        if (spans.isEmpty) Seq((0, 0, deflate(stream, 0, 0)))
+        else spans.map { case (s, n) => (s, n, deflate(stream, s, n)) }
+      val zheaderOfs = out.size().toLong
+      val ztrailerOfs = zheaderOfs + 24 +
+        zblocks.iterator.map(_._3.length.toLong).sum
+      wq(zheaderOfs); wq(ztrailerOfs); wq(24L + 24L * zblocks.length)
+      zblocks.foreach(z => out.write(z._3))
+      wq(-100L); wq(0L) // -bias, zero
+      w4(blockSize); w4(zblocks.length)
+      var at = zheaderOfs + 24
+      zblocks.foreach { case (s, n, z) =>
+        wq(zheaderOfs + s); wq(at); w4(n); w4(z.length)
+        at += z.length
       }
     }
     out.toByteArray

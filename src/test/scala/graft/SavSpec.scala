@@ -42,6 +42,62 @@ class SavSpec extends SparkSpec {
     check("fixture_bytecode.sav")
   }
 
+  test("zsav fixture decodes identically (two-block zlib table)") {
+    // the spec-driven builder splits the bytecode stream MID-STREAM
+    // across two zlib blocks: a reader that mishandles block
+    // boundaries decodes garbage rows, not a clean error
+    check("fixture_zlib.zsav")
+  }
+
+  test("zsav writer round-trips through the JDK Inflater path") {
+    val cols = Seq(("id", true), ("grp", false), ("score", true),
+      ("note", false))
+    val n = 400
+    val data = (0 until n).map { i =>
+      Seq[Any](i.toDouble, s"g${i % 3}",
+        if (i % 4 == 0) null else i * 0.5 - 3.0,
+        if (i % 5 == 0) null else s"note_${i}_" + ("p" * (i % 21)))
+    }
+    val blob = Sav.dumps(cols, data, zsav = true)
+    assert(new String(blob, 0, 4,
+      java.nio.charset.StandardCharsets.US_ASCII) === "$FL3")
+    // zlib must actually shrink the bytecode stream
+    val plainLen = Sav.dumps(cols, data, bytecode = true).length
+    assert(blob.length < plainLen,
+      s"zsav $blob.length vs bytecode $plainLen")
+    val wide = Sav.records(
+        Sav.readSavBlobs(spark, Seq(("t.zsav", blob))), cols)
+      .orderBy("row").select($"id", $"grp", $"score", $"note")
+      .as[(Double, String, Option[Double], Option[String])].collect()
+    assert(wide.length === n)
+    wide.zipWithIndex.foreach { case ((id, grp, score, note), i) =>
+      assert(id === i.toDouble)
+      assert(grp === s"g${i % 3}")
+      assert(score === (if (i % 4 == 0) None else Some(i * 0.5 - 3.0)))
+      assert(note === (if (i % 5 == 0) None
+        else Some(s"note_${i}_" + ("p" * (i % 21)))))
+    }
+  }
+
+  test("corrupt zsav block tables refuse loudly, never decode garbage") {
+    val good = bytes("fixture_zlib.zsav")
+    val meta = Sav.parseMeta(good)
+    // ztrailer_len is the third i64 of the zheader — misdeclare it
+    val broken = good.clone()
+    broken(meta.dataAt + 16) = 7
+    val e = intercept[IllegalArgumentException] {
+      Sav.rows(broken, meta).toSeq
+    }
+    assert(e.getMessage.contains("zsav"))
+    // and a zheader whose self-offset disagrees with its position
+    val broken2 = good.clone()
+    broken2(meta.dataAt) = (broken2(meta.dataAt) + 1).toByte
+    val e2 = intercept[IllegalArgumentException] {
+      Sav.rows(broken2, meta).toSeq
+    }
+    assert(e2.getMessage.contains("zheader"))
+  }
+
   test("long names from info-13 win; tall cells carry types") {
     val tall = Sav.readSav(spark, s"$dir/fixture_plain.sav")
     assert(tall.count() === 60L)
@@ -87,11 +143,13 @@ class SavSpec extends SparkSpec {
     assert(packed.length < plain.length - 500)
   }
 
-  test("zsav, zlib code, big-endian and junk refuse loudly") {
+  test("magic/compression mismatches, big-endian and junk refuse loudly") {
+    // zsav is SUPPORTED since round 16 — but only as the consistent
+    // ($FL3, compression 2) pair; each half alone refuses
     val zsav = bytes("fixture_plain.sav").clone()
     "$FL3".getBytes.copyToArray(zsav, 0)
     val e1 = intercept[IllegalArgumentException] { Sav.parseMeta(zsav) }
-    assert(e1.getMessage.contains("zlib") || e1.getMessage.contains("FL3"))
+    assert(e1.getMessage.contains("zsav must be 2"))
 
     val z2 = bytes("fixture_plain.sav").clone()
     z2(72) = 2 // compression code field
@@ -129,22 +187,25 @@ class SavSpec extends SparkSpec {
     assert(e.getMessage.contains("paged scan needs uncompressed"))
   }
 
-  test("IO.exportData round-trips .sav (bytecode) incl. nulls") {
-    val tmp = java.nio.file.Files.createTempFile("graft_sav_export_", ".sav")
-    val src = spark.range(40).selectExpr(
-      "CAST(id AS DOUBLE) AS k",
-      "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 4 END AS v",
-      "CASE WHEN id % 5 = 0 THEN NULL ELSE 'v' || CAST(id AS STRING) END AS txt")
-    graft.io.IO.exportData(src, tmp.toString)
-    val back = graft.io.IO.readData(spark, tmp.toString)
-      .orderBy("row").select($"k", $"v", $"txt")
-      .as[(Double, Option[Double], Option[String])].collect()
-    assert(back.length === 40)
-    back.zipWithIndex.foreach { case ((k, v, txt), i) =>
-      assert(k === i.toDouble)
-      assert(v === (if (i % 3 == 0) None else Some(i / 4.0)))
-      assert(txt === (if (i % 5 == 0) None else Some(s"v$i")))
+  test("IO.exportData round-trips .sav (bytecode) and .zsav incl. nulls") {
+    Seq(".sav", ".zsav").foreach { suffix =>
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_sav_export_", suffix)
+      val src = spark.range(40).selectExpr(
+        "CAST(id AS DOUBLE) AS k",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE CAST(id AS DOUBLE) / 4 END AS v",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE 'v' || CAST(id AS STRING) END AS txt")
+      graft.io.IO.exportData(src, tmp.toString)
+      val back = graft.io.IO.readData(spark, tmp.toString)
+        .orderBy("row").select($"k", $"v", $"txt")
+        .as[(Double, Option[Double], Option[String])].collect()
+      assert(back.length === 40, suffix)
+      back.zipWithIndex.foreach { case ((k, v, txt), i) =>
+        assert(k === i.toDouble)
+        assert(v === (if (i % 3 == 0) None else Some(i / 4.0)))
+        assert(txt === (if (i % 5 == 0) None else Some(s"v$i")))
+      }
+      java.nio.file.Files.delete(tmp)
     }
-    java.nio.file.Files.delete(tmp)
   }
 }

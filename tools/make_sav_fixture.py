@@ -16,11 +16,16 @@ Emits (under src/test/resources/sav/):
   fixture_bytecode.sav   compression=1 bytecode stream exercising all
                          five command classes (pad/biased/raw/spaces/
                          sysmis)
+  fixture_zlib.zsav      compression=2 ($FL3): the SAME bytecode stream
+                         wrapped in the PSPP-documented zheader/
+                         ztrailer zlib block table, split across TWO
+                         blocks so the multi-block walk is exercised
   golden.csv             the intended decoded frame
 """
 import os
 import struct
 import sys
+import zlib
 
 SYSMIS = struct.unpack("<d", struct.pack("<d", -1.7976931348623157e308))[0]
 
@@ -88,7 +93,7 @@ def dictionary() -> bytes:
 
 
 def header(compression: int) -> bytes:
-    h = b"$FL2"
+    h = b"$FL3" if compression == 2 else b"$FL2"
     h += pad(b"@(#) SPSS DATA FILE graft fixture", 60)
     h += struct.pack("<iiii", 2, 4, compression, 0)  # layout, case size,
     h += struct.pack("<i", len(ROWS))                # compression, weight
@@ -154,6 +159,29 @@ def bytecode_data() -> bytes:
     return out
 
 
+def zlib_data(dict_len: int) -> bytes:
+    """Wrap the bytecode stream in the zheader/blocks/ztrailer layout
+    (PSPP manual, "ZLIB Compressed Data Record"). Two blocks on purpose:
+    the split lands mid-stream, so a reader that mishandles block
+    boundaries decodes garbage rows."""
+    stream = bytecode_data()
+    zheader_ofs = 176 + dict_len
+    split = (len(stream) // 2) & ~7  # 8-aligned, mid-stream
+    spans = [(0, split), (split, len(stream) - split)]
+    blocks = [zlib.compress(stream[s:s + n]) for s, n in spans]
+    ztrailer_len = 24 + 24 * len(blocks)
+    out = struct.pack("<qqq", zheader_ofs,
+                      zheader_ofs + 24 + sum(len(b) for b in blocks),
+                      ztrailer_len)
+    out += b"".join(blocks)
+    out += struct.pack("<qqii", -100, 0, 0x3FF000, len(blocks))
+    at = zheader_ofs + 24
+    for (s, n), b in zip(spans, blocks):
+        out += struct.pack("<qqii", zheader_ofs + s, at, n, len(b))
+        at += len(b)
+    return out
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/sav"
     os.makedirs(out_dir, exist_ok=True)
@@ -161,6 +189,8 @@ def main():
         f.write(header(0) + dictionary() + plain_data())
     with open(f"{out_dir}/fixture_bytecode.sav", "wb") as f:
         f.write(header(1) + dictionary() + bytecode_data())
+    with open(f"{out_dir}/fixture_zlib.zsav", "wb") as f:
+        f.write(header(2) + dictionary() + zlib_data(len(dictionary())))
     with open(f"{out_dir}/golden.csv", "w") as f:
         f.write("id,name,score\n")
         for rid, name, score in ROWS:
