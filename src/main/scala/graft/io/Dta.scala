@@ -25,7 +25,13 @@ import scala.collection.mutable
   *    header, sections located via the spec's own <map> offsets);
   *    releases before 114 and 119 (>32k variables) refuse;
   *  - little-endian (MSF refuses);
-  *  - fixed-width str# columns; strL (BLOB) columns refuse;
+  *  - fixed-width str# columns AND strL columns (type 32768): cells
+  *    carry (v, o) refs — u4+u4 in 117, u2+u48 in 118, both confirmed
+  *    against pandas.to_stata(convert_strl) output — resolved through
+  *    the <strls> GSO table; ascii/utf-8 payloads (t=130) decode,
+  *    BINARY strL (t=129) refuses. The paged scan refuses strL files
+  *    (refs resolve against the file-global GSO table; use readDta,
+  *    which parses whole files per-partition);
   *  - all five numeric types, every missing class (., .a–.z) → null.
   *
   * Layout mirrors [[Sas]]/[[Sav]]: per-partition parse, tall cells,
@@ -34,12 +40,14 @@ import scala.collection.mutable
 object Dta {
 
   /** One variable: name, string width (0 = numeric), numeric width in
-    * bytes (1/2/4/8; 0 for strings), float flag. */
+    * bytes (1/2/4/8; 0 for strings), float flag; strL columns carry an
+    * 8-byte (v, o) ref in the data (numWidth = 8, isStrL = true). */
   final case class DtaVar(name: String, strWidth: Int, numWidth: Int,
-                          isFloat: Boolean)
+                          isFloat: Boolean, isStrL: Boolean = false)
 
   final case class DtaMeta(release: Int, nVars: Int, nRows: Long,
-                           vars: Seq[DtaVar], dataAt: Long, utf8: Boolean)
+                           vars: Seq[DtaVar], dataAt: Long, utf8: Boolean,
+                           strlsAt: Long = -1L)
 
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(
@@ -103,7 +111,8 @@ object Dta {
   private def varOf(release: Int, name: String, code: Int): DtaVar =
     if (release >= 117) code match {
       case w if w >= 1 && w <= 2045 => DtaVar(name, w, 0, isFloat = false)
-      case 32768 => refuse(s"strL (BLOB) column '$name'")
+      case 32768 =>
+        DtaVar(name, 0, 8, isFloat = false, isStrL = true)
       case 65526 => DtaVar(name, 0, 8, isFloat = false)
       case 65527 => DtaVar(name, 0, 4, isFloat = true)
       case 65528 => DtaVar(name, 0, 4, isFloat = false)
@@ -192,7 +201,41 @@ object Dta {
       str(bytes, namesAt + nameLen.toLong * i, nameLen, release == 118))
     val dataAt = tag(bytes, map(9), "<data>")
     val vars = names.zip(codes).map { case (nm, c) => varOf(release, nm, c) }
-    DtaMeta(release, k, n, vars, dataAt, utf8 = release == 118)
+    DtaMeta(release, k, n, vars, dataAt, utf8 = release == 118,
+      strlsAt = map(10))
+  }
+
+  /** Parse the <strls> GSO table into (v, o) → payload. Layout per the
+    * spec and pandas.to_stata's bytes: "GSO" + v u4 + o (u4 in 117,
+    * u8 in 118) + t u1 (130 = text incl. trailing NUL, 129 = binary)
+    * + len u4 + payload. */
+  private def parseStrls(bytes: Array[Byte],
+                         meta: DtaMeta): Map[(Long, Long), String] = {
+    require(meta.strlsAt >= 0, "dta: strL columns need a <strls> section")
+    var at = tag(bytes, meta.strlsAt, "<strls>")
+    val out = Map.newBuilder[(Long, Long), String]
+    while (!(bytes(at.toInt) == '<'.toByte)) {
+      at = tag(bytes, at, "GSO")
+      val v = i4(bytes, at).toLong & 0xffffffffL
+      val o = if (meta.release == 118) i8(bytes, at + 4)
+              else i4(bytes, at + 4).toLong & 0xffffffffL
+      at += (if (meta.release == 118) 12 else 8)
+      val t = u1(bytes, at)
+      val len = i4(bytes, at + 1)
+      at += 5
+      require(len >= 0 && at + len <= bytes.length,
+        s"dta: GSO payload of $len bytes overruns the file")
+      if (t == 129)
+        refuse(s"binary strL payload (t=129) at GSO ($v,$o)")
+      if (t != 130) refuse(s"unknown strL payload type $t at GSO ($v,$o)")
+      // t=130: len includes the terminating NUL
+      val end = if (len > 0 && bytes((at + len - 1).toInt) == 0) len - 1
+                else len
+      out += ((v, o) -> str(bytes, at, end, meta.utf8))
+      at += len
+    }
+    tag(bytes, at, "</strls>")
+    out.result()
   }
 
   // --------------------------------------------------------------
@@ -208,11 +251,28 @@ object Dta {
       s"dta: ${meta.nRows} rows of $rowLen bytes overrun the file")
     val offs = meta.vars.scanLeft(0L)((a, v) =>
       a + (if (v.strWidth > 0) v.strWidth else v.numWidth))
+    val gso: Map[(Long, Long), String] =
+      if (meta.vars.exists(_.isStrL)) parseStrls(bytes, meta)
+      else Map.empty
     (0L until meta.nRows).iterator.map { r =>
       val base = meta.dataAt + r * rowLen
       meta.vars.zip(offs).map { case (v, o) =>
         val at = base + o
-        if (v.strWidth > 0) {
+        if (v.isStrL) {
+          // the (v, o) ref: u4+u4 in 117, u2 + 48-bit o in 118
+          val (rv, ro) =
+            if (meta.release == 118)
+              (u2(bytes, at).toLong,
+                i8(bytes, at) >>> 16) // o = high 6 bytes of the LE u64
+            else (i4(bytes, at).toLong & 0xffffffffL,
+              i4(bytes, at + 4).toLong & 0xffffffffL)
+          if (rv == 0L && ro == 0L) null
+          else {
+            val s = gso.getOrElse((rv, ro),
+              refuse(s"strL cell ($rv,$ro) has no GSO entry"))
+            if (s.isEmpty) null else s
+          }
+        } else if (v.strWidth > 0) {
           val s = str(bytes, at, v.strWidth, meta.utf8)
           if (s.isEmpty) null else s
         } else {
@@ -249,7 +309,8 @@ object Dta {
     val meta = parseMeta(bytes)
     rows(bytes, meta).zipWithIndex.flatMap { case (vals, r) =>
       meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
-        if (v.strWidth > 0) Row(file, r.toLong, v.name, "str", x, null)
+        if (v.strWidth > 0 || v.isStrL)
+          Row(file, r.toLong, v.name, "str", x, null)
         else Row(file, r.toLong, v.name, "num", null, x)
       }
     }
@@ -285,6 +346,10 @@ object Dta {
   def readDtaPaged(spark: SparkSession, path: String,
                    partitions: Int = 0): DataFrame = {
     val meta = PagedScan.driverMeta(spark, path)(parseMeta)
+    if (meta.vars.exists(_.isStrL))
+      refuse("the paged scan cannot resolve strL columns (refs point " +
+        "into the file-global <strls> table) — use readDta, which " +
+        "parses whole files per-partition")
     val rowLen = meta.vars.map(v =>
       if (v.strWidth > 0) v.strWidth else v.numWidth).sum.toLong
     PagedScan.scan(spark, path, cellSchema, meta.nRows, meta.dataAt,
@@ -305,7 +370,7 @@ object Dta {
     val firstBytes = PagedScan.firstFileBytes(spark, path)
     val meta = parseMeta(firstBytes)
     records(readDta(spark, path),
-      meta.vars.map(v => (v.name, v.strWidth == 0)))
+      meta.vars.map(v => (v.name, v.strWidth == 0 && !v.isStrL)))
   }
 
   // --------------------------------------------------------------
@@ -317,8 +382,12 @@ object Dta {
 
   /** Dump records as a release-118 little-endian .dta: numeric columns
     * as double (null = '.'), string columns as str# (width = longest
-    * value, min 1, max 2045; null = empty). */
-  def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]]): Array[Byte] = {
+    * value, min 1, max 2045; null = empty) — or, with `strl = true`,
+    * every string column as a strL (type 32768): cells carry the
+    * 118-layout u2 v + 48-bit o ref and payloads live in the <strls>
+    * GSO table (t = 130, trailing NUL, the pandas.to_stata layout). */
+  def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]],
+            strl: Boolean = false): Array[Byte] = {
     require(cols.nonEmpty, "dumps needs at least one column")
     data.foreach(r => require(r.length == cols.length,
       s"row arity ${r.length} != ${cols.length} columns"))
@@ -365,7 +434,8 @@ object Dta {
       wb(open); body; wb(close)
     }
     section(2, "<variable_types>") {
-      widths.foreach(w => w2(if (w == 0) 65526 else w))
+      widths.foreach(w =>
+        w2(if (w == 0) 65526 else if (strl) 32768 else w))
     }("</variable_types>")
     section(3, "<varnames>") {
       cols.foreach(c => pad(c._1, 129))
@@ -375,7 +445,7 @@ object Dta {
     }("</sortlist>")
     section(5, "<formats>") {
       cols.zip(widths).foreach { case (_, w) =>
-        pad(if (w == 0) "%10.0g" else s"%${w}s", 57)
+        pad(if (w == 0) "%10.0g" else if (strl) "%9s" else s"%${w}s", 57)
       }
     }("</formats>")
     section(6, "<value_label_names>") {
@@ -385,10 +455,26 @@ object Dta {
       cols.foreach(_ => pad("", 321))
     }("</variable_labels>")
     section(8, "<characteristics>")(())("</characteristics>")
+    // GSO payloads accumulate while the data cells are written (cells
+    // reference v = 1-based column, o = 1-based row, the 118 packing)
+    val gsoEntries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte])]
     section(9, "<data>") {
-      data.foreach { r =>
+      data.zipWithIndex.foreach { case (r, rowIdx) =>
         cols.indices.foreach { i =>
-          if (widths(i) == 0) {
+          if (widths(i) > 0 && strl) {
+            r(i) match {
+              case null => w8(0L)
+              case s: String if s.isEmpty => w8(0L)
+              case s: String =>
+                val v = i + 1
+                val o = rowIdx + 1L
+                gsoEntries += ((v, o,
+                  s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+                w8(v.toLong | (o << 16))
+              case other => throw new IllegalArgumentException(
+                s"string column '${cols(i)._1}' got ${other.getClass.getName}")
+            }
+          } else if (widths(i) == 0) {
             val d = r(i) match {
               case null => MissDouble
               case x: Double if x.isNaN => MissDouble
@@ -412,7 +498,17 @@ object Dta {
         }
       }
     }("</data>")
-    section(10, "<strls>")(())("</strls>")
+    section(10, "<strls>") {
+      gsoEntries.foreach { case (v, o, payload) =>
+        wb("GSO")
+        w2(v); w2(0) // v u4
+        w8(o) // o u8
+        out.write(130) // t: text, trailing NUL
+        val len = payload.length + 1
+        w2(len & 0xffff); w2(len >>> 16) // len u4
+        out.write(payload); out.write(0)
+      }
+    }("</strls>")
     section(11, "<value_labels>")(())("</value_labels>")
     val endAt = out.size().toLong
     wb("</stata_dta>")

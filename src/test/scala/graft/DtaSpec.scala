@@ -95,7 +95,7 @@ class DtaSpec extends SparkSpec {
     }
   }
 
-  test("MSF, strL, pre-114 and junk refuse loudly") {
+  test("MSF, pre-114, paged-strL and junk refuse loudly") {
     val msf = bytes("fixture_118.dta").clone()
     // <byteorder>LSF -> MSF
     val at = new String(msf, "ISO-8859-1").indexOf("LSF")
@@ -108,16 +108,66 @@ class DtaSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] { Dta.parseMeta(old) }
     assert(e2.getMessage.contains("before 114"))
 
-    // patch the first variable's type code to strL (32768) in the 118
-    // fixture's <variable_types> section
-    val strl = bytes("fixture_118.dta").clone()
-    val vt = new String(strl, "ISO-8859-1").indexOf("<variable_types>") +
-      "<variable_types>".length
-    strl(vt) = 0; strl(vt + 1) = 0x80.toByte
-    val e3 = intercept[IllegalArgumentException] { Dta.parseMeta(strl) }
+    // strL PARSES since round 16 — but the paged scan must refuse it
+    // (refs resolve against the file-global <strls> table)
+    val e3 = intercept[IllegalArgumentException] {
+      Dta.readDtaPaged(spark, s"$dir/fixture_strl.dta")
+    }
     assert(e3.getMessage.contains("strL"))
 
     intercept[Exception] { Dta.parseMeta(Array.fill[Byte](64)('x')) }
+  }
+
+  // ---------------------------------------------------------------
+  // strL (type 32768) — round 16
+  // ---------------------------------------------------------------
+
+  test("pandas convert_strl fixtures decode (117 u4+u4 / 118 u2+u48 refs)") {
+    // tools/make_dta_fixture.py STRL_ROWS: k numeric, s strL with
+    // empties (-> (0,0) ref -> null), long and short payloads
+    Seq("fixture_strl.dta", "fixture_strl_117.dta").foreach { f =>
+      val wide = Dta.readDtaRecords(spark, s"$dir/$f")
+        .orderBy("row").select($"k", $"s", $"w")
+        .as[(Double, Option[String], String)].collect()
+      assert(wide.length === 24, f)
+      wide.zipWithIndex.foreach { case ((k, s, w), i) =>
+        assert(k === i.toDouble, f)
+        assert(s === (if (i % 6 == 0) None
+          else Some(s"strl_${i}_" + ("q" * (i * 7 % 120)))), f)
+        assert(w === s"fix$i", f)
+      }
+    }
+  }
+
+  test("strL writer round-trips; binary strL refuses") {
+    val cols = Seq(("id", true), ("txt", false), ("note", false))
+    val n = 300
+    val data = (0 until n).map { i =>
+      Seq[Any](i.toDouble,
+        if (i % 5 == 0) null else "t" * (i % 50) + s"#$i",
+        s"n${i % 9}")
+    }
+    val blob = Dta.dumps(cols, data, strl = true)
+    val wide = Dta.records(
+        Dta.readDtaBlobs(spark, Seq(("t.dta", blob))), cols)
+      .orderBy("row").select($"id", $"txt", $"note")
+      .as[(Double, Option[String], String)].collect()
+    assert(wide.length === n)
+    wide.zipWithIndex.foreach { case ((id, txt, note), i) =>
+      assert(id === i.toDouble)
+      assert(txt === (if (i % 5 == 0) None else Some("t" * (i % 50) + s"#$i")))
+      assert(note === s"n${i % 9}")
+    }
+    // flip one GSO's t byte to 129 (binary): loud refusal, not garbage
+    val s = new String(blob, "ISO-8859-1")
+    val g = s.indexOf("GSO")
+    val binary = blob.clone()
+    binary(g + 3 + 12) = 129.toByte
+    val meta = Dta.parseMeta(binary)
+    val e = intercept[IllegalArgumentException] {
+      Dta.rows(binary, meta).toSeq
+    }
+    assert(e.getMessage.contains("binary strL"))
   }
 
   test("IO.readData and exportData dispatch .dta / .stata") {

@@ -34,6 +34,37 @@ def frame() -> pd.DataFrame:
     })
 
 
+def strl_frame() -> pd.DataFrame:
+    """k numeric, s strL (via convert_strl: empties -> (0,0) refs,
+    payloads past 2045 would force strL anyway but convert_strl makes
+    it explicit at any length), w a plain fixed-width string."""
+    n = 24
+    return pd.DataFrame({
+        "k": np.arange(n, dtype="float64"),
+        "s": ["" if i % 6 == 0 else f"strl_{i}_" + "q" * (i * 7 % 120)
+              for i in range(n)],
+        "w": [f"fix{i}" for i in range(n)],
+    })
+
+
+def write_strl(out_dir: str):
+    df = strl_frame()
+    for ver, name in ((118, "fixture_strl.dta"), (117, "fixture_strl_117.dta")):
+        p = f"{out_dir}/{name}"
+        df.to_stata(p, write_index=False, version=ver, convert_strl=["s"])
+        back = pd.read_stata(p)
+        assert len(back) == len(df), (ver, len(back))
+        for i in range(len(df)):
+            assert back["k"][i] == float(i)
+            assert back["s"][i] == df["s"][i], (ver, i, back["s"][i])
+            assert back["w"][i] == f"fix{i}"
+        raw = open(p, "rb").read()
+        assert b"GSO" in raw, "convert_strl did not emit GSO entries"
+        print(f"{name}: pandas strL round-trip OK ({raw.count(b'GSO')} GSOs)")
+    back = pd.read_stata(f"{out_dir}/fixture_strl.dta")
+    back.to_csv(f"{out_dir}/golden_strl.csv", index=False)
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/dta"
     os.makedirs(out_dir, exist_ok=True)
@@ -55,6 +86,7 @@ def main():
         print(f"fixture_{ver}.dta: pandas round-trip OK")
     pd.read_stata(f"{out_dir}/fixture_118.dta").to_csv(
         f"{out_dir}/golden.csv", index=False)
+    write_strl(out_dir)
     print(f"wrote fixtures to {out_dir}")
 
 
