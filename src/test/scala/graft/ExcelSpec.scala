@@ -96,6 +96,50 @@ class ExcelSpec extends SparkSpec {
     }
   }
 
+  test("readXlsxDir: task-side directory parse matches the driver-side " +
+      "reader workbook for workbook; types fitted from the first file") {
+    val dir = tmpDir()
+    // 6 homogeneous workbooks (the exports-directory deploy shape),
+    // varied types: long, double, string with nulls, date
+    (0 until 6).foreach { f =>
+      val df = spark.range(f * 10, f * 10 + 10).selectExpr(
+        "id AS k",
+        "CAST(id AS DOUBLE) / 4 AS v",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE 'w' || CAST(id AS STRING) END AS txt",
+        "DATE '2026-01-01' + CAST(id AS INT) AS d")
+      Excel.writeXlsx(new File(dir, f"wb_$f%02d.xlsx").getPath,
+        Seq("data" -> df))
+    }
+    val wide = Excel.readXlsxDir(spark, dir.getPath)
+    assert(wide.columns.toSeq ===
+      Seq("src_file", "row", "k", "v", "txt", "d"))
+    // the fitted schema surfaces real types, not strings
+    val byName = wide.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("k") === LongType)
+    assert(byName("v") === DoubleType)
+    assert(byName("d") === DateType)
+    val got = wide.orderBy("k")
+      .select($"k", $"v", $"txt", $"d".cast("string"))
+      .as[(Long, Double, Option[String], String)].collect()
+    assert(got.length === 60)
+    got.zipWithIndex.foreach { case ((k, v, txt, d), i) =>
+      assert(k === i.toLong)
+      assert(v === i / 4.0)
+      assert(txt === (if (i % 3 == 0) None else Some(s"w$i")))
+      assert(d === java.time.LocalDate.of(2026, 1, 1).plusDays(i).toString)
+    }
+    // parity with the driver-side single-workbook reader on one file
+    val driverSide = Excel.readExcelSheets(spark,
+      new File(dir, "wb_02.xlsx").getPath)._2.head._2
+      .orderBy("k").select($"k").as[Long].collect()
+    val taskSide = wide.filter($"src_file".contains("wb_02"))
+      .orderBy("k").select($"k").as[Long].collect()
+    assert(driverSide.toSeq === taskSide.toSeq)
+    // the cells scan parallelizes across files (no driver serialization)
+    assert(Excel.readXlsxDirCells(spark, dir.getPath)
+      .select("src_file").distinct().count() === 6L)
+  }
+
   test("handcrafted xlsx: shared strings, rich text, gap cells, ragged rows") {
     val dir = tmpDir()
     val path = new File(dir, "hand.xlsx").getPath
