@@ -152,6 +152,11 @@ object Bench {
       val sorted = ts.sorted
       name -> sorted(sorted.size / 2)
     }.toMap
+    // Per-query MIN across the interleaved passes: the contention-free
+    // estimator for CPU-bound queries (r15 verdict — every flagged
+    // "regression" of r14/r15 was interleaving noise that collapsed on
+    // an isolated re-time; min self-adjudicates those without re-runs).
+    val mins = timesByName.map { case (name, ts) => name -> ts.min }.toMap
     // Locale.ROOT: the driver parses this JSON; a comma decimal
     // separator under e.g. de_DE would break it.
     def fmt(v: Double): String =
@@ -166,6 +171,12 @@ object Bench {
     val allQs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"BENCHALL cpus=$cpus $allQs")
+    // full per-query minimums on their own diagnostic line —
+    // bench_compare flags regressions on MIN ratios when both sides
+    // carry them, so interleaving flaps self-adjudicate
+    val allMins = mins.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"BENCHMIN cpus=$cpus $allMins")
     // Full error detail on its own diagnostic line; the final JSON line
     // carries every failed name (short messages) within the driver's
     // ~2000-char tail window — truncated messages beat a truncated line.
@@ -204,23 +215,25 @@ object Bench {
           .exists(_ > cpuCount)
       }
     val headlineRule = s"all>=${HEAVY_SEC}s then representatives, pruned to fit"
-    def line(qsJson: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsJson,"headline_rule":"$headlineRule","sf":"$sfDir","cpus":$cpus,"timed_iters":$iters,"interleaved":true,"contended":$contended,"loadavg_at_start":$startLoad1m,"loadavg_per_pass":$loadsJson,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}","error_count":${errors.size},"errors":$errJson}"""
+    // the artifact carries BOTH estimators for the same picked keys:
+    // "queries" stays the median (the driver's documented contract),
+    // "queries_min" the cross-pass minimum (r15 verdict ask — a flap
+    // like r15's bootstrap_ci self-adjudicates with zero re-runs)
+    def mapOf(keys: Seq[String], vals: Map[String, Double]): String =
+      keys.map(k => s"\"" + k + "\":" + fmt(vals(k)))
+        .mkString("{", ",", "}")
+    def line(keys: Seq[String]): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapOf(keys, results)},"queries_min":${mapOf(keys, mins)},"headline_rule":"$headlineRule","sf":"$sfDir","cpus":$cpus,"timed_iters":$iters,"interleaved":true,"contended":$contended,"loadavg_at_start":$startLoad1m,"loadavg_per_pass":$loadsJson,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}","error_count":${errors.size},"errors":$errJson}"""
     // grow the headline map until the WHOLE line would cross the
     // driver's retention window (heavy entries are never dropped —
     // they were selected first)
     val budget = 1950
     val picked = scala.collection.mutable.ArrayBuffer[String]()
     for (n <- heavy ++ reps) {
-      val candidate = (picked :+ n)
-        .map(k => s"\"" + k + "\":" + fmt(results(k)))
-        .mkString("{", ",", "}")
-      if (line(candidate).length <= budget || heavy.contains(n))
+      if (line((picked :+ n).toSeq).length <= budget || heavy.contains(n))
         picked += n
     }
-    val qs = picked.map(k => s"\"" + k + "\":" + fmt(results(k)))
-      .mkString("{", ",", "}")
-    println(line(qs))
+    println(line(picked.toSeq))
     spark.stop()
   }
 }
