@@ -175,6 +175,22 @@ object SketchArtifacts {
       }
   }
 
+  /** Latest persisted snapshot row (highest batch_id) at a stream
+    * fit's persistPath — shared by every RunningX.recover. PATH_NOT_
+    * FOUND = nothing persisted yet (first-ever start); any filesystem
+    * scheme, no java.io.File assumptions. */
+  private def latestPersisted(spark: SparkSession,
+                              persistPath: String): Option[Row] = {
+    val rows = try {
+      spark.read.parquet(persistPath)
+        .orderBy(col("batch_id").desc).limit(1).collect()
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => Array.empty[Row]
+    }
+    rows.headOption
+  }
+
   object RunningCms {
     /** Recover the running artifact from the per-batch snapshot table
       * [[cmsFitStream]] appends at `persistPath`: the row with the
@@ -191,17 +207,7 @@ object SketchArtifacts {
     def recover(spark: SparkSession, persistPath: String, eps: Double = 1e-4,
                 confidence: Double = 0.99, seed: Int = 42): RunningCms = {
       val st = new RunningCms(eps, confidence, seed)
-      // PATH_NOT_FOUND = nothing persisted yet (first-ever start) —
-      // any filesystem scheme, no java.io.File assumptions
-      val latest = try {
-        spark.read.parquet(persistPath)
-          .orderBy(col("batch_id").desc).limit(1).collect()
-      } catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if e.getCondition == "PATH_NOT_FOUND" => Array.empty[Row]
-      }
-      if (latest.nonEmpty) {
-        val r = latest.head
+      latestPersisted(spark, persistPath).foreach { r =>
         require(r.getAs[String]("kind") == "cms" &&
             r.getAs[String]("params") == cmsParams(eps, confidence, seed),
           s"persisted artifact ${r.getAs[String]("kind")}(" +
@@ -285,6 +291,94 @@ object SketchArtifacts {
     artifact.select(col("column"), col("n_rows"),
       hll_sketch_estimate(col("sketch")).cast("long").as("n_unique_est"))
 
+  /** Driver-side running HLL artifact for [[hllFitStream]] — the
+    * [[RunningCms]] shape: idempotent per batchId, restart-durable via
+    * persistPath + [[RunningHll.recover]]. Folding is the register-max
+    * union (`hll_union` over two 1-row literals — a driver-bounded
+    * op), which is deterministic for a fixed operand sequence, so a
+    * recovered run's bytes match an uninterrupted run's exactly. */
+  final class RunningHll(val lgConfigK: Int) extends Serializable {
+    private[this] var bytes: Array[Byte] = _
+    private[this] var rows: Long = 0L
+    private[this] var lastBatch: Long = -1L
+    private[graft] def applyBatch(spark: SparkSession, batchId: Long,
+                                  fit: Array[Byte], n: Long): Boolean =
+      synchronized {
+        if (batchId <= lastBatch) false
+        else {
+          bytes =
+            if (bytes == null) fit
+            else spark.range(1)
+              .select(hll_union(lit(bytes), lit(fit)).as("_u"))
+              .head().getAs[Array[Byte]](0)
+          rows += n
+          lastBatch = batchId
+          true
+        }
+      }
+    private[graft] def seed(b: Array[Byte], n: Long, batchId: Long): Unit =
+      synchronized {
+        require(lastBatch == -1L, "cannot seed a RunningHll that has state")
+        bytes = b; rows = n; lastBatch = batchId
+      }
+    private[graft] def lastBatchId: Long = synchronized(lastBatch)
+    def artifact(spark: SparkSession, column: String): DataFrame =
+      synchronized {
+        require(bytes != null, "no micro-batch has been folded in yet")
+        artifactDf(spark, "hll", column, s"lgConfigK=$lgConfigK", rows, bytes)
+      }
+  }
+
+  object RunningHll {
+    /** Recover from the latest persisted snapshot — the
+      * [[RunningCms.recover]] contract: replayed batches at or below
+      * the recovered batch_id are skipped; a batch whose snapshot
+      * write never landed is re-fitted by the checkpoint replay. */
+    def recover(spark: SparkSession, persistPath: String,
+                lgConfigK: Int = 12): RunningHll = {
+      val st = new RunningHll(lgConfigK)
+      latestPersisted(spark, persistPath).foreach { r =>
+        require(r.getAs[String]("kind") == "hll" &&
+            r.getAs[String]("params") == s"lgConfigK=$lgConfigK",
+          s"persisted artifact ${r.getAs[String]("kind")}(" +
+            s"${r.getAs[String]("params")}) does not match requested " +
+            s"hll(lgConfigK=$lgConfigK)")
+        st.seed(r.getAs[Array[Byte]]("sketch"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("batch_id"))
+      }
+      st
+    }
+  }
+
+  /** STREAMING FIT: running distinct-count artifact over an unbounded
+    * stream — per-micro-batch `hll_sketch_agg` (new rows only), folded
+    * driver-side by register-max union. Same durability contract as
+    * [[cmsFitStream]]: persist-per-batchId AFTER the merge and BEFORE
+    * the checkpoint commits, so every crash window replays to the
+    * same bytes. */
+  def hllFitStream(events: DataFrame, column: String, state: RunningHll,
+                   persistPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    events.select(col(column).cast("string").as("_k"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = batch.filter(col("_k").isNotNull).agg(
+          hll_sketch_agg(col("_k"), lit(state.lgConfigK)).as("_sk"),
+          count(col("_k")).as("_n")).head()
+        val fit = r.getAs[Array[Byte]](0)
+        if (fit != null) {
+          val applied = state.applyBatch(batch.sparkSession, batchId,
+            fit, r.getLong(1))
+          if (applied) persistPath.foreach { path =>
+            state.artifact(batch.sparkSession, column)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(path)
+          }
+        }
+      }
+  }
+
   // ------------------------------------------------------------------
   // GK (quantiles) — Greenwald–Khanna summaries, the engine's own
   // percentile_approx core, exposed as a mergeable artifact
@@ -363,6 +457,88 @@ object SketchArtifacts {
     }
     artifactDf(artifacts.sparkSession, "gk", row.getString(1),
       row.getString(2), row.getLong(3), row.getAs[Array[Byte]](4))
+  }
+
+  /** Driver-side running GK artifact for [[gkFitStream]] — the
+    * [[RunningCms]] shape: idempotent per batchId, restart-durable via
+    * persistPath + [[RunningGk.recover]]. Folding is the summary's own
+    * deterministic merge ([[gkMerge]]'s law), all pure JVM, so a
+    * recovered run's (value, g, delta) rows are bit-identical to an
+    * uninterrupted run's. */
+  final class RunningGk(val relativeError: Double) extends Serializable {
+    private[this] var bytes: Array[Byte] = _
+    private[this] var rows: Long = 0L
+    private[this] var lastBatch: Long = -1L
+    private[graft] def applyBatch(batchId: Long,
+                                  fit: Array[Byte], n: Long): Boolean =
+      synchronized {
+        if (batchId <= lastBatch) false
+        else {
+          bytes =
+            if (bytes == null) fit
+            else serialize(deserialize(bytes).merge(deserialize(fit)))
+          rows += n
+          lastBatch = batchId
+          true
+        }
+      }
+    private[graft] def seed(b: Array[Byte], n: Long, batchId: Long): Unit =
+      synchronized {
+        require(lastBatch == -1L, "cannot seed a RunningGk that has state")
+        bytes = b; rows = n; lastBatch = batchId
+      }
+    private[graft] def lastBatchId: Long = synchronized(lastBatch)
+    def artifact(spark: SparkSession, column: String): DataFrame =
+      synchronized {
+        require(bytes != null, "no micro-batch has been folded in yet")
+        artifactDf(spark, "gk", column,
+          s"relativeError=$relativeError", rows, bytes)
+      }
+  }
+
+  object RunningGk {
+    /** Recover from the latest persisted snapshot — the
+      * [[RunningCms.recover]] contract. */
+    def recover(spark: SparkSession, persistPath: String,
+                relativeError: Double = 1e-4): RunningGk = {
+      val st = new RunningGk(relativeError)
+      latestPersisted(spark, persistPath).foreach { r =>
+        require(r.getAs[String]("kind") == "gk" &&
+            r.getAs[String]("params") == s"relativeError=$relativeError",
+          s"persisted artifact ${r.getAs[String]("kind")}(" +
+            s"${r.getAs[String]("params")}) does not match requested " +
+            s"gk(relativeError=$relativeError)")
+        st.seed(r.getAs[Array[Byte]]("sketch"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("batch_id"))
+      }
+      st
+    }
+  }
+
+  /** STREAMING FIT: running quantile artifact over an unbounded stream
+    * — [[gkFit]]'s bounded per-micro-batch pass over the NEW rows
+    * only, merged driver-side by the summary's own merge. Same
+    * durability contract as [[cmsFitStream]]. */
+  def gkFitStream(events: DataFrame, column: String, state: RunningGk,
+                  persistPath: Option[String] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    events.select(col(column).cast("double").as("_v"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fitRow = gkFit(batch, "_v", state.relativeError)
+          .select("n_rows", "sketch").head()
+        val n = fitRow.getLong(0)
+        if (n > 0) {
+          val applied = state.applyBatch(batchId,
+            fitRow.getAs[Array[Byte]](1), n)
+          if (applied) persistPath.foreach { path =>
+            state.artifact(batch.sparkSession, column)
+              .withColumn("batch_id", lit(batchId))
+              .coalesce(1).write.mode("append").parquet(path)
+          }
+        }
+      }
   }
 
   /** DEPLOY: query quantiles from a GK artifact, zero corpus touches.

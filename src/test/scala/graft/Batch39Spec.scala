@@ -78,6 +78,47 @@ class Batch39Spec extends SparkSpec {
     assert(split.toSeq === direct.toSeq)
   }
 
+  test("psi stream survives a query KILL + checkpoint restart: the " +
+      "engine-recovered Complete-mode counts land on the batch PSI") {
+    // drift_psi_stream's durability story rests on the state store
+    // restoring the per-bin counts — this kills the query between
+    // micro-batches and restarts a FRESH query (new memory sink) on
+    // the same checkpoint; the resumed counts must equal a batch pass
+    // over everything fed across both lives.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ref = (0 until 2000).map(i => (i * 7919 % 997) * 0.5).toDF("v")
+    val curAll = (0 until 1800).map(i => (i * 6271 % 997) * 0.55 + 3.0)
+    val edges = DataAudit.psiFitEdges(ref, "v")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_psi_ckpt").toString
+    val in = MemoryStream[Double]
+    def start(qn: String) =
+      DataAudit.psiStreamCounts(in.toDF().toDF("v"), "v", edges)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+    val chunks = curAll.grouped(600).toSeq
+    val q1 = start("psi_kill_a")
+    try chunks.take(2).foreach { c =>
+      in.addData(c: _*); q1.processAllAvailable()
+    } finally q1.stop() // the "crash"
+    val q2 = start("psi_kill_b")
+    try {
+      in.addData(chunks(2): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val refCounts = DataAudit.binCounts(ref, "v", edges, "_cr")
+    val streamed = DataAudit.psiOfCounts(refCounts,
+      spark.table("psi_kill_b"), bins = 10).orderBy("bin")
+    val batch = DataAudit.psiOfCounts(refCounts,
+      DataAudit.binCounts(curAll.toDF("v"), "v", edges, "_cc"),
+      bins = 10).orderBy("bin")
+    val a = streamed.collect()
+    val b = batch.collect()
+    assert(a.length === b.length)
+    a.zip(b).foreach { case (x, y) => assert(x === y) }
+  }
+
   test("psiCategorical: value-group bins, one-sided categories floored, " +
       "null its own category") {
     val ref = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq(null))

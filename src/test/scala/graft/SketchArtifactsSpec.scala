@@ -193,6 +193,121 @@ class SketchArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("streaming hll fit survives a DRIVER restart bit-identically; " +
+      "estimate tracks the batch fit within the HLL bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hll_restart").toString
+    val all = rows.as[(Long, Long)].collect()
+    val chunks = all.grouped(all.length / 3 + 1).toSeq
+
+    def run(tag: String, killAfter: Int): SA.RunningHll = {
+      val ckpt = s"$base/$tag/ckpt"
+      val persist = s"$base/$tag/artifact"
+      val in = MemoryStream[(Long, Long)]
+      def startQuery(state: SA.RunningHll) =
+        SA.hllFitStream(in.toDF().toDF("row_id", "key"), "key", state,
+            persistPath = Some(persist))
+          .option("checkpointLocation", ckpt).start()
+      val state1 = new SA.RunningHll(12)
+      val q1 = startQuery(state1)
+      try chunks.take(killAfter).foreach { c =>
+        in.addData(c.toSeq: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      val state2 =
+        if (killAfter == chunks.length) state1 // uninterrupted
+        else {
+          val st = SA.RunningHll.recover(spark, persist, 12)
+          assert(st.lastBatchId === state1.lastBatchId, tag)
+          val q2 = startQuery(st)
+          try chunks.drop(killAfter).foreach { c =>
+            in.addData(c.toSeq: _*); q2.processAllAvailable()
+          } finally q2.stop()
+          st
+        }
+      state2
+    }
+
+    val interrupted = run("killed", 2)
+    val uninterrupted = run("clean", chunks.length)
+    val a = interrupted.artifact(spark, "key").select("n_rows", "sketch").head()
+    val b = uninterrupted.artifact(spark, "key").select("n_rows", "sketch").head()
+    assert(a.getLong(0) === b.getLong(0))
+    assert(java.util.Arrays.equals(a.getAs[Array[Byte]](1),
+      b.getAs[Array[Byte]](1)))
+    // the recovered estimate tracks the whole-corpus batch fit within
+    // the standard HLL relative error (union may leave sparse mode
+    // earlier than one pass — bound, not bit-equality, vs the batch)
+    val est = SA.hllEstimate(interrupted.artifact(spark, "key"))
+      .select("n_unique_est").head().getLong(0)
+    val exact = rows.select("key").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 3 * 1.04 /
+      math.sqrt(1 << 12), s"est $est vs exact $exact")
+    // mismatched lgConfigK refuses loudly
+    intercept[IllegalArgumentException] {
+      SA.RunningHll.recover(spark, s"$base/killed/artifact", lgConfigK = 13)
+    }
+  }
+
+  test("streaming gk fit survives a DRIVER restart bit-identically; " +
+      "quantiles stay within the eps rank bound") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val eps = 0.01
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_gk_restart").toString
+    val all = rows.as[(Long, Long)].collect()
+    val chunks = all.grouped(all.length / 3 + 1).toSeq
+
+    def run(tag: String, killAfter: Int): SA.RunningGk = {
+      val ckpt = s"$base/$tag/ckpt"
+      val persist = s"$base/$tag/artifact"
+      val in = MemoryStream[(Long, Long)]
+      def startQuery(state: SA.RunningGk) =
+        SA.gkFitStream(in.toDF().toDF("row_id", "key"), "key", state,
+            persistPath = Some(persist))
+          .option("checkpointLocation", ckpt).start()
+      val state1 = new SA.RunningGk(eps)
+      val q1 = startQuery(state1)
+      try chunks.take(killAfter).foreach { c =>
+        in.addData(c.toSeq: _*); q1.processAllAvailable()
+      } finally q1.stop()
+      if (killAfter == chunks.length) state1
+      else {
+        val st = SA.RunningGk.recover(spark, persist, eps)
+        assert(st.lastBatchId === state1.lastBatchId, tag)
+        val q2 = startQuery(st)
+        try chunks.drop(killAfter).foreach { c =>
+          in.addData(c.toSeq: _*); q2.processAllAvailable()
+        } finally q2.stop()
+        st
+      }
+    }
+
+    val interrupted = run("killed", 2)
+    val uninterrupted = run("clean", chunks.length)
+    val a = interrupted.artifact(spark, "key").select("n_rows", "sketch").head()
+    val b = uninterrupted.artifact(spark, "key").select("n_rows", "sketch").head()
+    assert(a.getLong(0) === b.getLong(0))
+    assert(java.util.Arrays.equals(a.getAs[Array[Byte]](1),
+      b.getAs[Array[Byte]](1)))
+    // rank-bound check against the exact sorted data
+    val sorted = all.map(_._2.toDouble).sorted
+    val qdf = SA.gkQuantiles(interrupted.artifact(spark, "key"),
+      Seq(0.25, 0.5, 0.75))
+    Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (q, i) =>
+      val v = qdf.head().getDouble(i)
+      val rank = sorted.count(_ <= v)
+      assert(math.abs(rank - q * sorted.length) <= 2 * eps * sorted.length + 1,
+        s"q=$q: value $v rank $rank")
+    }
+    intercept[IllegalArgumentException] {
+      SA.RunningGk.recover(spark, s"$base/killed/artifact",
+        relativeError = 0.5)
+    }
+  }
+
   test("incompatible artifact merges are refused loudly") {
     val a = SA.cmsFit(third(0), "key", eps = 1e-3)
     val b = SA.cmsFit(third(1), "key", eps = 1e-4)
