@@ -45,9 +45,10 @@ object IO {
       case "npz" => Npy.readNpz(spark, path)
       case "pkl" | "pickle" => Pickle.readPickleRecords(spark, path)
       case "sas7bdat" => Sas.readSasRecords(spark, path)
-      case "sav" => Sav.readSavRecords(spark, path)
+      case "sav" | "zsav" => Sav.readSavRecords(spark, path)
       case "dta" => Dta.readDtaRecords(spark, path)
       case "xpt" => Xpt.readXptRecords(spark, path)
+      case "feather" | "arrow" => Feather.readFeatherRecords(spark, path)
       case "html" | "htm" =>
         val tables = Scrape.readHtmlTables(spark, path)
         require(tables.nonEmpty, s"no <table> found in $path")
@@ -66,6 +67,31 @@ object IO {
         .replaceAll("^_+|_+$", "")
     }.toMap)
 
+  /** Single-file export under the DataFrameWriter SaveMode contract,
+    * resolved through the HADOOP filesystem for both the exists()
+    * check and the write — a java.io.File check would mis-detect
+    * hdfs:// or s3a:// targets as absent while the read side resolves
+    * the same URIs through Hadoop FS (r15 advice). */
+  private def singleFileWrite(df: DataFrame, path: String, ext: String,
+                              mode: SaveMode)
+                             (write: java.io.OutputStream => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(p)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"path already exists: $path")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Append if exists =>
+        throw new UnsupportedOperationException(
+          s"append to an existing .$ext is not supported")
+      case _ =>
+        val out = fs.create(p, true)
+        try write(out) finally out.close()
+    }
+  }
+
   /** Extension-dispatched write (`export_data`, io.py:1137). */
   def exportData(df: DataFrame, path: String,
                  mode: SaveMode = SaveMode.Overwrite): Unit = {
@@ -77,91 +103,57 @@ object IO {
       case "parquet" | "parq" => w.parquet(path)
       case "orc"            => w.orc(path)
       case "xlsx"           =>
-        // Excel.writeXlsx overwrites unconditionally, so honor the
-        // DataFrameWriter save-mode contract here like every other branch
-        val exists = new java.io.File(path).exists()
-        mode match {
-          case SaveMode.ErrorIfExists if exists =>
-            throw new IllegalStateException(s"path already exists: $path")
-          case SaveMode.Ignore if exists => ()
-          case SaveMode.Append if exists =>
-            throw new UnsupportedOperationException(
-              "append to an existing .xlsx is not supported")
-          case _ => Excel.writeXlsx(path, Seq("Sheet1" -> df))
-        }
+        singleFileWrite(df, path, ext, mode)(os =>
+          Excel.writeXlsx(os, Seq("Sheet1" -> df), 1048575))
       case "pkl" | "pickle" =>
         // records → protocol-2 list-of-dicts via Pickle.dumps (the
         // reader's own writer); same bound + SaveMode as the others
-        val exists = new java.io.File(path).exists()
-        mode match {
-          case SaveMode.ErrorIfExists if exists =>
-            throw new IllegalStateException(s"path already exists: $path")
-          case SaveMode.Ignore if exists => ()
-          case SaveMode.Append if exists =>
-            throw new UnsupportedOperationException(
-              "append to an existing .pkl is not supported")
-          case _ =>
-            val (cols, rows) = driverRows(df, ext)
-            val recs = rows.map(r =>
-              scala.collection.immutable.ListMap(
-                cols.map(_._1).zip(r): _*))
-            java.nio.file.Files.write(java.nio.file.Paths.get(path),
-              Pickle.dumps(recs))
+        singleFileWrite(df, path, ext, mode) { os =>
+          val (cols, rows) = driverRows(df, ext)
+          val recs = rows.map(r =>
+            scala.collection.immutable.ListMap(
+              cols.map(_._1).zip(r): _*))
+          os.write(Pickle.dumps(recs))
         }
       case "html" | "htm" | "tex" | "md" =>
         // text-table exports (the reference writers map's to_html /
         // to_latex, property.py:2835): any column type stringifies,
         // same driver-side bound and SaveMode contract as .xlsx.
         // .html round-trips through Scrape.readHtmlTables.
-        val exists = new java.io.File(path).exists()
-        mode match {
-          case SaveMode.ErrorIfExists if exists =>
-            throw new IllegalStateException(s"path already exists: $path")
-          case SaveMode.Ignore if exists => ()
-          case SaveMode.Append if exists =>
-            throw new UnsupportedOperationException(
-              s"append to an existing .$ext is not supported")
-          case _ =>
-            val names = df.columns.toSeq
-            val taken = df.select(names.map(n =>
-              org.apache.spark.sql.functions.col(n).cast("string")): _*)
-              .take(1048576)
-            require(taken.length <= 1048575,
-              s"single-file .$ext export is bounded at 1048575 rows " +
-                "(driver-side by design) — write parquet for anything bigger")
-            val rows = taken.toSeq.map(r =>
-              names.indices.map(i => Option(r.getString(i)).getOrElse("")))
-            val body = ext match {
-              case "tex" => texTable(names, rows)
-              case "md" => mdTable(names, rows)
-              case _ => htmlTable(names, rows)
-            }
-            java.nio.file.Files.write(java.nio.file.Paths.get(path),
-              body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        singleFileWrite(df, path, ext, mode) { os =>
+          val names = df.columns.toSeq
+          val taken = df.select(names.map(n =>
+            org.apache.spark.sql.functions.col(n).cast("string")): _*)
+            .take(1048576)
+          require(taken.length <= 1048575,
+            s"single-file .$ext export is bounded at 1048575 rows " +
+              "(driver-side by design) — write parquet for anything bigger")
+          val rows = taken.toSeq.map(r =>
+            names.indices.map(i => Option(r.getString(i)).getOrElse("")))
+          val body = ext match {
+            case "tex" => texTable(names, rows)
+            case "md" => mdTable(names, rows)
+            case _ => htmlTable(names, rows)
+          }
+          os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
-      case "sas7bdat" | "sav" | "dta" | "stata" | "xpt" =>
+      case "sas7bdat" | "sav" | "zsav" | "dta" | "stata" | "xpt" |
+           "feather" | "arrow" =>
         // single-file statistical-package exports are driver-side by
         // design, like .xlsx — same save-mode contract, same bound
         // (.stata is the reference writers-map name for .dta,
         // gofast/api/property.py:2835)
-        val exists = new java.io.File(path).exists()
-        mode match {
-          case SaveMode.ErrorIfExists if exists =>
-            throw new IllegalStateException(s"path already exists: $path")
-          case SaveMode.Ignore if exists => ()
-          case SaveMode.Append if exists =>
-            throw new UnsupportedOperationException(
-              s"append to an existing .$ext is not supported")
-          case _ =>
-            val (cols, rows) = driverRows(df, ext)
-            val bytes = ext match {
-              case "sav" => Sav.dumps(cols, rows, bytecode = true)
-              case "dta" | "stata" => Dta.dumps(cols, rows)
-              case "xpt" => Xpt.dumps(cols, rows)
-              case _ => Sas.dumps(cols, rows)
-            }
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(path), bytes)
+        singleFileWrite(df, path, ext, mode) { os =>
+          val (cols, rows) = driverRows(df, ext)
+          val bytes = ext match {
+            case "sav" => Sav.dumps(cols, rows, bytecode = true)
+            case "zsav" => Sav.dumps(cols, rows, zsav = true)
+            case "dta" | "stata" => Dta.dumps(cols, rows)
+            case "xpt" => Xpt.dumps(cols, rows)
+            case "feather" | "arrow" => Feather.dumps(cols, rows)
+            case _ => Sas.dumps(cols, rows)
+          }
+          os.write(bytes)
         }
       case other =>
         throw new IllegalArgumentException(s"unsupported format: .$other")

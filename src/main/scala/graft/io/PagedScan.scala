@@ -34,14 +34,14 @@ private[io] object PagedScan {
   /** The session Hadoop conf flattened for task-side rebuild — a bare
     * `new Configuration()` on an executor would lose every non-default
     * filesystem property (s3a credentials, endpoints, timeouts). */
-  private def confMap(spark: SparkSession): Map[String, String] = {
+  private[io] def confMap(spark: SparkSession): Map[String, String] = {
     val it = spark.sparkContext.hadoopConfiguration.iterator()
     val b = Map.newBuilder[String, String]
     while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
     b.result()
   }
 
-  private def rebuild(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+  private[io] def rebuild(m: Map[String, String]): org.apache.hadoop.conf.Configuration = {
     val c = new org.apache.hadoop.conf.Configuration(false)
     m.foreach { case (k, v) => c.set(k, v) }
     c

@@ -1,0 +1,169 @@
+package graft
+
+import graft.io.Feather
+
+/** Feather v2 (Arrow IPC) ingest against GOLDEN fixtures written by
+  * pyarrow — the REAL producer — in uncompressed and LZ4_FRAME form
+  * (tools/make_feather_fixture.py validates both before check-in).
+  * The refusal cases pin the documented subset: zstd, dictionaries
+  * and >2^53 int64s stop loudly, never decode silently wrong. */
+class FeatherSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "src/test/resources/feather"
+
+  private def bytes(f: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, f))
+
+  /** tools/make_feather_fixture.py frame(): 40 rows across TWO record
+    * batches of 24 + 16. */
+  private def expected: Seq[(Option[Double], Option[Double], Option[Double],
+      Option[String], Option[String])] =
+    (0 until 40).map { i =>
+      (if (i % 7 == 2) None else Some((i * 10007 - 90000).toDouble),
+        if (i % 6 == 0) None else Some(i * 0.125 - 1.0),
+        if (i % 10 == 7) None else Some(if (i % 3 == 0) 1.0 else 0.0),
+        if (i % 12 == 2) None
+        else if (i % 12 == 6) Some("")
+        else Some(s"s${i}_" + "x" * (i % 9)),
+        if (i % 14 == 9) None
+        else Some(java.time.LocalDate.ofEpochDay(20000L + i * 13L).toString))
+    }
+
+  private def check(file: String): Unit = {
+    val wide = Feather.readFeatherRecords(spark, s"$dir/$file")
+      .orderBy("row")
+      .select($"i32", $"f64", $"b", $"s", $"d")
+      .as[(Option[Double], Option[Double], Option[Double], Option[String],
+        Option[String])].collect()
+    assert(wide.length === 40, file)
+    wide.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g === e, s"$file row $i")
+    }
+  }
+
+  test("uncompressed pyarrow fixture decodes (two record batches)") {
+    check("fixture_unc.feather")
+  }
+
+  test("lz4-framed pyarrow fixture decodes identically") {
+    check("fixture_lz4.feather")
+  }
+
+  test("every int width and f32 decode; nulls land per column") {
+    val tall = Feather.readFeather(spark, s"$dir/fixture_unc.feather")
+    val byKey = tall.groupBy("key")
+      .agg(org.apache.spark.sql.functions.count("value_double").as("n"),
+        org.apache.spark.sql.functions.count("value_str").as("ns"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def nonNull(m: Int, r: Int): Long = (0 until 40).count(_ % m != r).toLong
+    assert(byKey("i8")._1 === nonNull(11, 3))
+    assert(byKey("i16")._1 === nonNull(13, 5))
+    assert(byKey("i64")._1 === nonNull(9, 4))
+    assert(byKey("f32")._1 === nonNull(8, 1))
+    assert(byKey("s")._2 === nonNull(12, 2))
+  }
+
+  test("golden.csv (pyarrow's own read) agrees on the f64 column") {
+    val golden = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/golden.csv")
+      .select($"i32", $"f64").orderBy("i32")
+      .as[(Option[Double], Option[Double])].collect()
+    val ours = Feather.readFeatherRecords(spark, s"$dir/fixture_unc.feather")
+      .select($"i32", $"f64").orderBy("i32")
+      .as[(Option[Double], Option[Double])].collect()
+    assert(ours.filter(_._1.nonEmpty).toSeq ===
+      golden.filter(_._1.nonEmpty).toSeq)
+  }
+
+  test("writer round-trips through the parser; multi-batch files split") {
+    val cols = Seq(("k", true), ("grp", false), ("score", true),
+      ("note", false))
+    val n = 300
+    val data = (0 until n).map { i =>
+      Seq[Any](i.toDouble, s"g${i % 3}",
+        if (i % 4 == 0) null else i * 0.5 - 3.0,
+        if (i % 5 == 0) null else s"n$i")
+    }
+    val blob = Feather.dumps(cols, data, rowsPerBatch = 64) // 5 batches
+    val meta = Feather.parseFooter(blob)
+    assert(meta.blocks.length === 5)
+    val wide = Feather.records(
+        Feather.readFeatherBlobs(spark, Seq(("t.feather", blob))), cols)
+      .orderBy("row").select($"k", $"grp", $"score", $"note")
+      .as[(Double, String, Option[Double], Option[String])].collect()
+    assert(wide.length === n)
+    wide.zipWithIndex.foreach { case ((k, grp, score, note), i) =>
+      assert(k === i.toDouble)
+      assert(grp === s"g${i % 3}")
+      assert(score === (if (i % 4 == 0) None else Some(i * 0.5 - 3.0)))
+      assert(note === (if (i % 5 == 0) None else Some(s"n$i")))
+    }
+    // keep the bytes around for the pyarrow cross-validation step
+    // (tools/make_feather_fixture.py <dir> <file> — run at fixture
+    // regeneration time; the check-in gate, not a test-time dependency)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "scala_feather_check.feather"), blob)
+  }
+
+  test("paged reader (footer tail read + per-block tasks) matches whole") {
+    val cols = Seq(("k", true), ("txt", false))
+    val n = 5000
+    val data = (0 until n).map(i =>
+      Seq[Any](i.toDouble, s"v${i % 13}"))
+    val tmp = java.nio.file.Files.createTempFile("graft_feather_", ".feather")
+    java.nio.file.Files.write(tmp,
+      Feather.dumps(cols, data, rowsPerBatch = 512)) // 10 blocks
+    val paged = Feather.records(
+        Feather.readFeatherPaged(spark, tmp.toString, partitions = 4), cols)
+      .orderBy("row").select($"k", $"txt")
+      .as[(Double, String)].collect()
+    assert(paged.length === n)
+    paged.zipWithIndex.foreach { case ((k, txt), i) =>
+      assert(k === i.toDouble) // block-packed row ids preserve order
+      assert(txt === s"v${i % 13}")
+    }
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("zstd, big int64, bad magic and truncation refuse loudly") {
+    // the decode is lazy — force it so the task-side refusal surfaces
+    val e1 = intercept[Exception] {
+      Feather.readFeatherRecords(spark, s"$dir/fixture_zstd.feather")
+        .collect()
+    }
+    assert(e1.getMessage.contains("ZSTD") ||
+      e1.getMessage.contains("codec"))
+
+    val e2 = intercept[Exception] {
+      Feather.readFeatherRecords(spark, s"$dir/fixture_bigint.feather")
+        .collect()
+    }
+    assert(e2.getMessage.contains("2^53"))
+
+    val junk = Array.fill[Byte](64)('Q')
+    intercept[IllegalArgumentException] { Feather.parseFooter(junk) }
+
+    val cut = bytes("fixture_unc.feather").dropRight(3)
+    intercept[IllegalArgumentException] { Feather.parseFooter(cut) }
+  }
+
+  test("IO.readData and exportData dispatch .feather") {
+    val tmp = java.nio.file.Files
+      .createTempFile("graft_feather_io_", ".feather")
+    java.nio.file.Files.delete(tmp)
+    val src = spark.range(50).selectExpr("CAST(id AS DOUBLE) AS k",
+      "'v' || CAST(id AS STRING) AS txt")
+    graft.io.IO.exportData(src, tmp.toString)
+    val back = graft.io.IO.readData(spark, tmp.toString)
+      .orderBy("row").select($"k", $"txt")
+      .as[(Double, String)].collect()
+    assert(back.length === 50)
+    back.zipWithIndex.foreach { case ((k, txt), i) =>
+      assert(k === i.toDouble)
+      assert(txt === s"v$i")
+    }
+    java.nio.file.Files.delete(tmp)
+  }
+}

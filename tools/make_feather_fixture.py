@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Write Feather v2 (Arrow IPC file) golden fixtures for FeatherSpec
+with pyarrow — the REAL producer and an independent public
+implementation of the publicly specified Arrow columnar format.
+
+Emits (under src/test/resources/feather/):
+  fixture_unc.feather    uncompressed, 2 record batches, every
+                         supported column kind incl. nulls
+  fixture_lz4.feather    the SAME frame, LZ4_FRAME buffer compression
+                         (the pyarrow default)
+  golden.csv             what pyarrow itself reads back
+
+The second half validates the SCALA writer: if a path is passed as
+argv[2], that file (written by Feather.dumps) is read back with
+pyarrow and checked against the closed form used by FeatherSpec.
+"""
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.feather as feather
+
+
+def frame() -> pa.Table:
+    n = 40
+    return pa.table({
+        "i8": pa.array([None if i % 11 == 3 else (i % 120) - 60
+                        for i in range(n)], type=pa.int8()),
+        "i16": pa.array([None if i % 13 == 5 else i * 77 - 900
+                         for i in range(n)], type=pa.int16()),
+        "i32": pa.array([None if i % 7 == 2 else i * 10007 - 90000
+                         for i in range(n)], type=pa.int32()),
+        "i64": pa.array([None if i % 9 == 4 else i * 1000003 - 9999999
+                         for i in range(n)], type=pa.int64()),
+        "f32": pa.array([None if i % 8 == 1 else i * 0.25 - 2.0
+                         for i in range(n)], type=pa.float32()),
+        "f64": pa.array([None if i % 6 == 0 else i * 0.125 - 1.0
+                         for i in range(n)], type=pa.float64()),
+        "b": pa.array([None if i % 10 == 7 else (i % 3 == 0)
+                       for i in range(n)], type=pa.bool_()),
+        "s": pa.array(["" if i % 12 == 6 else
+                       None if i % 12 == 2 else f"s{i}_" + "x" * (i % 9)
+                       for i in range(n)], type=pa.utf8()),
+        "d": pa.array([None if i % 14 == 9 else 20000 + i * 13
+                       for i in range(n)], type=pa.date32()),
+    })
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/feather"
+    os.makedirs(out_dir, exist_ok=True)
+    t = frame()
+    # two batches on purpose: the per-block walk (and the paged
+    # reader's block parallelism) must cross a batch boundary
+    batches = t.to_batches(max_chunksize=24)
+    assert len(batches) == 2, len(batches)
+    t2 = pa.Table.from_batches(batches)
+    for name, comp in (("fixture_unc.feather", "uncompressed"),
+                       ("fixture_lz4.feather", "lz4")):
+        p = f"{out_dir}/{name}"
+        feather.write_feather(t2, p, compression=comp, chunksize=24)
+        back = feather.read_table(p)
+        assert back.equals(t2.combine_chunks()) or back.combine_chunks() \
+            .equals(t2.combine_chunks()), name
+        print(f"{name}: pyarrow round-trip OK "
+              f"({len(back)} rows, {back.num_columns} cols)")
+    df = feather.read_table(f"{out_dir}/fixture_unc.feather").to_pandas()
+    df.to_csv(f"{out_dir}/golden.csv", index=False)
+    # refusal fixtures: ZSTD compression and an int64 past 2^53 — both
+    # must stop loudly, never decode silently wrong
+    feather.write_feather(t2, f"{out_dir}/fixture_zstd.feather",
+                          compression="zstd")
+    feather.write_feather(
+        pa.table({"k": pa.array([1, 2 ** 60], type=pa.int64())}),
+        f"{out_dir}/fixture_bigint.feather", compression="uncompressed")
+    print(f"wrote fixtures to {out_dir}")
+
+
+def check_scala_writer(path: str):
+    """pyarrow reads a Feather.dumps file: 300 rows of the closed form
+    FeatherSpec uses (k double, txt string with nulls)."""
+    t = feather.read_table(path)
+    assert t.column_names == ["k", "grp", "score", "note"], t.column_names
+    n = len(t)
+    assert n == 300, n
+    k = t.column("k").to_pylist()
+    grp = t.column("grp").to_pylist()
+    score = t.column("score").to_pylist()
+    note = t.column("note").to_pylist()
+    for i in range(n):
+        assert k[i] == float(i)
+        assert grp[i] == f"g{i % 3}"
+        if i % 4 == 0:
+            assert score[i] is None, (i, score[i])
+        else:
+            assert score[i] == i * 0.5 - 3.0
+        if i % 5 == 0:
+            assert note[i] is None, (i, note[i])
+        else:
+            assert note[i] == f"n{i}"
+    print(f"{path}: pyarrow reads the SCALA-written feather OK ({n} rows)")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2:
+        check_scala_writer(sys.argv[2])
+    else:
+        main()
