@@ -67,7 +67,8 @@ object SparkEntry {
       entries.Batch40Entries.queries ++
       entries.Batch41Entries.queries ++
       entries.Batch42Entries.queries ++
-      entries.Batch43Entries.queries
+      entries.Batch43Entries.queries ++
+      entries.Batch44Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -113,7 +114,8 @@ object SparkEntry {
       entries.Batch40Entries.oracleSql ++
       entries.Batch41Entries.oracleSql ++
       entries.Batch42Entries.oracleSql ++
-      entries.Batch43Entries.oracleSql
+      entries.Batch43Entries.oracleSql ++
+      entries.Batch44Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.
