@@ -815,6 +815,92 @@ object ScaleProbe {
       return
     }
 
+    // Compressed paged-ingest axis (SPARK_GRAFT_INGR_N=<rows>): ONE
+    // large RLE sas7bdat, whole-blob vs page-parallel — the claim
+    // that compression keeps pages self-contained, measured.
+    sys.env.get("SPARK_GRAFT_INGR_N").map(_.toInt).filter(_ > 0).foreach { n =>
+      val cols = Seq(("k", true), ("pad", false), ("txt", false))
+      val data = (0 until n).map(i =>
+        Seq(i.toDouble, "y" * (i % 60), s"v${i % 13}"): Seq[Any])
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_ingr_", ".sas7bdat")
+      tmp.toFile.deleteOnExit()
+      val blob = graft.io.Sas.dumps(cols, data, rle = true)
+      java.nio.file.Files.write(tmp, blob)
+      def timeIt(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val rows = f
+        require(rows == n.toLong, s"$name decoded $rows of $n rows")
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        println(f"""INGRPROBE {"op":"$name","rows":$n,"bytes":${blob.length},"sec":$sec%.3f}""")
+      }
+      timeIt("whole_blob") {
+        graft.io.Sas.readSas(spark, tmp.toString)
+          .filter(col("key") === "k").count()
+      }
+      timeIt("paged") {
+        graft.io.Sas.readSasPaged(spark, tmp.toString)
+          .filter(col("key") === "k").count()
+      }
+      spark.stop()
+      return
+    }
+
+    // xlsx directory axis (SPARK_GRAFT_INGX_N=<files>): the task-side
+    // workbook-directory scan — wall should follow the INGPROBE shape
+    // (flat-ish until files saturate cores), where the old driver-side
+    // readWorksheets walk was strictly serial in files.
+    sys.env.get("SPARK_GRAFT_INGX_N").map(_.toInt).filter(_ > 0).foreach { n =>
+      val rowsPerFile = 200
+      val dir = java.nio.file.Files.createTempDirectory("graft_ingx_")
+      dir.toFile.deleteOnExit()
+      (0 until n).foreach { f =>
+        val df = spark.range(f * rowsPerFile, (f + 1) * rowsPerFile)
+          .selectExpr("CAST(id AS DOUBLE) AS k",
+            "'g' || CAST(id % 7 AS STRING) AS g")
+        graft.io.Excel.writeXlsx(
+          dir.resolve(f"wb_$f%05d.xlsx").toString, Seq("data" -> df))
+      }
+      val t0 = System.nanoTime()
+      val got = graft.io.Excel.readXlsxDir(spark, dir.toString).count()
+      val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+      require(got == n.toLong * rowsPerFile,
+        s"xlsx probe decoded $got rows, expected ${n.toLong * rowsPerFile}")
+      println(f"""INGXPROBE {"files":$n,"rows":$got,"sec":$sec%.3f}""")
+      spark.stop()
+      return
+    }
+
+    // Feather batch-parallel axis (SPARK_GRAFT_INGF_N=<rows>): ONE
+    // multi-batch Arrow IPC file, whole-blob vs the footer-driven
+    // per-block scan — the only statistical-family format whose
+    // within-file split unit is in the file's own index.
+    sys.env.get("SPARK_GRAFT_INGF_N").map(_.toInt).filter(_ > 0).foreach { n =>
+      val cols = Seq(("k", true), ("txt", false))
+      val data = (0 until n).map(i =>
+        Seq[Any](i.toDouble, s"v${i % 13}"))
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_ingf_", ".feather")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.write(tmp,
+        graft.io.Feather.dumps(cols, data, rowsPerBatch = 1 << 16))
+      def timeIt(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val rows = f
+        require(rows == n.toLong, s"$name decoded $rows of $n rows")
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        println(f"""INGFPROBE {"op":"$name","rows":$n,"sec":$sec%.3f}""")
+      }
+      timeIt("whole_blob") {
+        graft.io.Feather.readFeather(spark, tmp.toString)
+          .filter(col("key") === "k").count()
+      }
+      timeIt("paged") {
+        graft.io.Feather.readFeatherPaged(spark, tmp.toString)
+          .filter(col("key") === "k").count()
+      }
+      spark.stop()
+      return
+    }
+
     sys.env.get("SPARK_GRAFT_SH_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val docs = spark.range(n).select(col("id").as("doc_id"),
         array_join(transform(sequence(lit(0), lit(49)), i =>
