@@ -20,11 +20,11 @@ import scala.collection.mutable
   *
   * SUPPORTED SUBSET, refused loudly outside it:
   *  - little-endian files, both 32-bit and 64-bit layouts;
-  *  - UNCOMPRESSED pages and RLE-compressed ("SASYZCRL") pages — in an
-  *    RLE file every row is its own data subheader (pointer compression
-  *    flag 4), decompressed per row by [[rleDecompress]]; rows stay
-  *    page-local, so the page-parallel scan survives compression.
-  *    RDC ("SASYZCR2") still refuses with the re-export recipe;
+  *  - UNCOMPRESSED, RLE-compressed ("SASYZCRL") and RDC-compressed
+  *    ("SASYZCR2") pages — in a compressed file every row is its own
+  *    data subheader (pointer compression flag 4), decompressed per
+  *    row by [[rleDecompress]]/[[rdcDecompress]]; rows stay
+  *    page-local, so the page-parallel scan survives compression;
   *  - numeric cells 3–8 bytes wide (the SAS truncated-double ladder)
   *    and fixed-width char cells.
   *
@@ -46,13 +46,19 @@ object Sas {
   final case class SasCol(name: String, rowOffset: Long, width: Int,
                           isNum: Boolean)
 
-  /** Everything needed to slice rows out of pages. `rle` marks a
-    * SASYZCRL-compressed file: rows live in per-row data subheaders
-    * instead of fixed-stride page bodies. */
+  /** Page compression codecs: rows of a compressed file live in
+    * per-row data subheaders instead of fixed-stride page bodies. */
+  val CompNone = 0
+  val CompRle = 1 // "SASYZCRL"
+  val CompRdc = 2 // "SASYZCR2"
+
+  /** Everything needed to slice rows out of pages. */
   final case class SasMeta(u64: Boolean, headerLength: Int, pageSize: Int,
                            pageCount: Long, rowLength: Long, rowCount: Long,
                            mixPageRowCount: Long, cols: Seq[SasCol],
-                           rle: Boolean = false)
+                           compression: Int = CompNone) {
+    def rle: Boolean = compression == CompRle
+  }
 
   // --------------------------------------------------------------
   // little-endian primitives
@@ -93,8 +99,9 @@ object Sas {
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(
       s"sas7bdat: $msg — the supported subset is little-endian files, " +
-        "uncompressed or RLE-compressed (SASYZCRL); re-export once with " +
-        "pandas.read_sas(...).to_parquet(...) for anything outside it.")
+        "uncompressed, RLE (SASYZCRL) or RDC (SASYZCR2) compressed; " +
+        "re-export once with pandas.read_sas(...).to_parquet(...) for " +
+        "anything outside it.")
 
   /** Parse header + every metadata subheader. Two passes over the page
     * directory are deliberate: column subheaders may sit on any meta/
@@ -143,7 +150,7 @@ object Sas {
 
     var rowLength = 0L; var rowCount = 0L; var mixRows = 0L
     var colCount = -1L
-    var rleFlag = false
+    var codec = CompNone
     val textBlobs = mutable.ArrayBuffer.empty[Array[Byte]]
     val names = mutable.ArrayBuffer.empty[(Int, Int, Int)] // blob, off, len
     val attrs = mutable.ArrayBuffer.empty[(Long, Int, Int)] // rowOff, w, typ
@@ -188,10 +195,8 @@ object Sas {
                 if (textBlobs.isEmpty) {
                   val s = new String(blob,
                     java.nio.charset.StandardCharsets.ISO_8859_1)
-                  if (s.contains("SASYZCR2"))
-                    refuse("RDC-compressed pages (SASYZCR2 literal in " +
-                      "the column-text subheader)")
-                  if (s.contains("SASYZCRL")) rleFlag = true
+                  if (s.contains("SASYZCR2")) codec = CompRdc
+                  else if (s.contains("SASYZCRL")) codec = CompRle
                 }
                 textBlobs += blob
               case 0xFFFFFFFFL => // column names
@@ -216,11 +221,11 @@ object Sas {
               // format-and-label (column list built elsewhere here),
               // column-list, subheader-counts: metadata we don't need
               case 0xFFFFFBFEL | 0xFFFFFFFEL | 0xFFFFFC00L => ()
-              // RLE files may mark an INCOMPRESSIBLE row's subheader
-              // with compression flag 0 — pandas accepts unknown-sig
-              // (comp 0, type 1) pointers as data once the literal is
-              // seen; the literal precedes data in every real file
-              case _ if rleFlag && comp == 0 && ptyp == 1 => ()
+              // compressed files may mark an INCOMPRESSIBLE row's
+              // subheader with compression flag 0 — pandas accepts
+              // unknown-sig (comp 0, type 1) pointers as data once the
+              // literal is seen; the literal precedes data in real files
+              case _ if codec != CompNone && comp == 0 && ptyp == 1 => ()
               case other =>
                 refuse(f"unknown subheader signature 0x$other%08x on " +
                   s"page $p (possibly a compressed or newer-format file)")
@@ -252,7 +257,7 @@ object Sas {
       SasCol(nm, ro, w, isNum)
     }.toSeq
     SasMeta(u64, headerLength, pageSize, pageCount, rowLength, rowCount,
-      mixRows, cols, rle = rleFlag)
+      mixRows, cols, compression = codec)
   }
 
   // --------------------------------------------------------------
@@ -376,13 +381,123 @@ object Sas {
     out.toByteArray
   }
 
-  /** The data-subheader rows of ONE page of an RLE file, in pointer
-    * order — pointer comp flag 4 (or 0 with an unknown signature) and
-    * type 1; payload shorter than the row decompresses, payload equal
-    * to the row is stored raw (the pandas convention). */
+  /** Decompress one RDC ("SASYZCR2", Ross Data Compression) row into
+    * its `outLen` plain bytes. Layout pinned EMPIRICALLY against
+    * pandas during fixture development: 16-bit big-endian control
+    * words precede their 16 items (bit 1 = command, 0 = literal byte);
+    * commands: 0 = short fill (cnt+3 of next byte), 1 = long fill
+    * (cnt + ext·16 + 19), 2 = long copy (ofs = cnt+3+ext·16, len =
+    * third byte + 16), 3–15 = short copy of `cmd` bytes at
+    * ofs = cnt+3+ext·16; copies may overlap (byte-wise). */
+  private[graft] def rdcDecompress(src: Array[Byte], from: Int, len: Int,
+                                   outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    val end = from + len
+    var ip = from
+    var op = 0
+    var ctrl = 0
+    var mask = 0
+    def take(): Int = {
+      if (ip >= end) refuse("RDC stream ran out mid-command")
+      val b = src(ip) & 0xff; ip += 1; b
+    }
+    def fill(n: Int, x: Byte): Unit = {
+      if (op + n > outLen) refuse(s"RDC fill of $n bytes overruns its row")
+      java.util.Arrays.fill(out, op, op + n, x); op += n
+    }
+    def copyBack(ofs: Int, n: Int): Unit = {
+      if (ofs <= 0 || ofs > op) refuse(s"RDC copy offset $ofs at $op")
+      if (op + n > outLen) refuse(s"RDC copy of $n bytes overruns its row")
+      var i = 0
+      val s = op - ofs
+      while (i < n) { out(op + i) = out(s + i); i += 1 } // may overlap
+      op += n
+    }
+    while (ip < end && op < outLen) {
+      mask >>>= 1
+      if (mask == 0) { ctrl = (take() << 8) | take(); mask = 0x8000 }
+      if ((ctrl & mask) == 0) { out(op) = take().toByte; op += 1 }
+      else {
+        val b0 = take()
+        val cmd = (b0 >> 4) & 0x0F
+        val cnt = b0 & 0x0F
+        cmd match {
+          case 0 => fill(cnt + 3, take().toByte)
+          case 1 => val n = cnt + (take() << 4) + 19; fill(n, take().toByte)
+          case 2 =>
+            val ofs = cnt + 3 + (take() << 4)
+            copyBack(ofs, take() + 16)
+          case _ => copyBack(cnt + 3 + (take() << 4), cmd)
+        }
+      }
+    }
+    if (op != outLen)
+      refuse(s"RDC row decompressed to $op bytes, row length is $outLen")
+    out
+  }
+
+  /** Compress one row with RDC fill + literal ops (copies are never
+    * required for a VALID stream; the decompressor's copy ops are
+    * pinned by the pandas-validated fixture instead). */
+  private[graft] def rdcCompress(row: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val items = mutable.ArrayBuffer.empty[(Boolean, Array[Byte])]
+    def flush(): Unit = {
+      if (items.isEmpty) return
+      var ctrl = 0
+      items.zipWithIndex.foreach { case ((isCmd, _), i) =>
+        if (isCmd) ctrl |= 0x8000 >>> i
+      }
+      out.write((ctrl >> 8) & 0xff); out.write(ctrl & 0xff)
+      items.foreach { case (_, bytes) => out.write(bytes) }
+      items.clear()
+    }
+    def item(isCmd: Boolean, bytes: Array[Byte]): Unit = {
+      items += ((isCmd, bytes))
+      if (items.length == 16) flush()
+    }
+    var i = 0
+    while (i < row.length) {
+      var run = i + 1
+      while (run < row.length && row(run) == row(i)) run += 1
+      val n = run - i
+      if (n >= 3) {
+        var left = n
+        while (left > 0) {
+          var take = math.min(left, 15 + 255 * 16 + 19) // long-fill max 4114
+          // keep the remainder encodable as a fill (0 or >= 3)
+          if (left - take > 0 && left - take < 3) take -= 3
+          if (take <= 2) { // unreachable (take >= 3 by construction)
+            item(isCmd = false, Array(row(i)))
+            take = 1
+          } else if (take <= 18) {
+            item(isCmd = true, Array((take - 3).toByte, row(i)))
+          } else {
+            val ext = take - 19
+            item(isCmd = true, Array((0x10 | (ext & 0x0F)).toByte,
+              ((ext >> 4) & 0xff).toByte, row(i)))
+          }
+          left -= take
+        }
+        i = run
+      } else {
+        var k = i
+        while (k < run) { item(isCmd = false, Array(row(k))); k += 1 }
+        i = run
+      }
+    }
+    flush()
+    out.toByteArray
+  }
+
+  /** The data-subheader rows of ONE page of a compressed file, in
+    * pointer order — pointer comp flag 4 (or 0 with an unknown
+    * signature) and type 1; payload shorter than the row decompresses
+    * via the file's codec, payload equal to the row is stored raw
+    * (the pandas convention). */
   private def pageSubheaderRows(buf: Array[Byte], base: Int,
                                 meta: SasMeta): Iterator[Seq[Any]] = {
-    if (!meta.rle) Iterator.empty
+    if (meta.compression == CompNone) Iterator.empty
     else {
       val il = if (meta.u64) 8 else 4
       val bitOffset = if (meta.u64) 32 else 16
@@ -409,9 +524,13 @@ object Sas {
           if (!isData) Iterator.empty
           else if (shLen == meta.rowLength)
             Iterator.single(decodeRowAt(buf, shOff, meta))
-          else Iterator.single(
-            decodeRowAt(rleDecompress(buf, shOff, shLen,
-              meta.rowLength.toInt), 0, meta))
+          else {
+            val plain =
+              if (meta.compression == CompRdc)
+                rdcDecompress(buf, shOff, shLen, meta.rowLength.toInt)
+              else rleDecompress(buf, shOff, shLen, meta.rowLength.toInt)
+            Iterator.single(decodeRowAt(plain, 0, meta))
+          }
         }
       }
     }
@@ -550,7 +669,8 @@ object Sas {
     // than pageSize/rowLength (compression), so the stride there is the
     // pointer-count ceiling instead.
     val rowCap =
-      if (meta.rle) meta.pageSize / 12 + 1 // one 12/24-byte ptr per row
+      if (meta.compression != CompNone)
+        meta.pageSize / 12 + 1 // one 12/24-byte ptr per row
       else meta.pageSize / math.max(1, meta.rowLength) + 1
     PagedScan.scan(spark, path, cellSchema, meta.pageCount,
       meta.headerLength.toLong, meta.pageSize.toLong, partitions) {
@@ -613,12 +733,8 @@ object Sas {
     * within-file-parallel scan per file, unioned — both axes of
     * parallelism at once (across files AND across each file's pages). */
   def readSasPagedAll(spark: SparkSession, path: String,
-                      partitions: Int = 0): DataFrame = {
-    val files = PagedScan.listFiles(spark, path)
-    require(files.nonEmpty, s"sas7bdat: no files match $path")
-    files.map(f => readSasPaged(spark, f, partitions))
-      .reduce(_.unionByName(_))
-  }
+                      partitions: Int = 0): DataFrame =
+    PagedScan.unionPerFile(spark, path)(readSasPaged(spark, _, partitions))
 
   /** Pivot tall cells into the wide record frame under a (name, isNum)
     * column list — one groupBy(row) shuffle, max over the single
@@ -652,14 +768,15 @@ object Sas {
   // --------------------------------------------------------------
 
   /** Dump records as a minimal 64-bit little-endian sas7bdat: one meta
-    * page + data pages, or — with `rle = true` — SASYZCRL-compressed
-    * pages where every row is its own comp-4 data subheader
-    * ([[rleCompress]]; rows that don't shrink are stored raw at exactly
+    * page + data pages, or — with `rle`/`rdc` — compressed pages where
+    * every row is its own comp-4 data subheader ([[rleCompress]] /
+    * [[rdcCompress]]; rows that don't shrink are stored raw at exactly
     * rowLength, the convention pandas keys decompression on). Values:
     * Double (null = SAS missing) for numeric columns, String for char
     * columns (width = longest value, min 1). */
   def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]],
-            rle: Boolean = false): Array[Byte] = {
+            rle: Boolean = false, rdc: Boolean = false): Array[Byte] = {
+    require(!(rle && rdc), "pick ONE compression codec")
     require(cols.nonEmpty, "dumps needs at least one column")
     data.foreach(r => require(r.length == cols.length,
       s"row arity ${r.length} != ${cols.length} columns"))
@@ -695,12 +812,12 @@ object Sas {
       .copyToArray(cs, 0)
     p64(cols.length.toLong).copyToArray(cs, 8)
     sh += cs
-    // text blob: u16 size + pad to 8, then (for RLE) the compression
+    // text blob: u16 size + pad to 8, then (when compressed) the codec
     // literal pandas and our reader key on, then 8-padded names
     val blob = mutable.ArrayBuffer.empty[Byte]
     blob ++= new Array[Byte](8)
-    if (rle) blob ++= "SASYZCRL".getBytes(
-      java.nio.charset.StandardCharsets.US_ASCII)
+    if (rle || rdc) blob ++= (if (rdc) "SASYZCR2" else "SASYZCRL")
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val nameAt = cols.map { case (n, _) =>
       val at = blob.length
       val nb = n.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -761,7 +878,7 @@ object Sas {
       row.toArray
     }
 
-    val pages: Seq[Array[Byte]] = if (!rle) {
+    val pages: Seq[Array[Byte]] = if (!rle && !rdc) {
       // --- meta page: pointers up front, subheaders packed from the end
       val metaPage = new Array[Byte](pageSize)
       var tail = pageSize
@@ -829,7 +946,7 @@ object Sas {
       // rows that don't shrink are stored raw at EXACTLY rowLength —
       // readers key "decompress or not" on that equality
       encoded.foreach { r =>
-        val c = rleCompress(r)
+        val c = if (rdc) rdcCompress(r) else rleCompress(r)
         place(if (c.length >= r.length) r else c, 4, align = false)
       }
       flushPage()

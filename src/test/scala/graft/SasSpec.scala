@@ -105,17 +105,18 @@ class SasSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] { Sas.parseMeta(be) }
     assert(e1.getMessage.contains("big-endian"))
 
-    // plant the RDC literal inside the first column-text blob: the
-    // u64 fixture's text subheader sits on page 1 — find its payload
-    // by scanning for the name bytes we know it holds. (RLE is
-    // SUPPORTED since round 16; RDC still refuses.)
+    // plant the RDC literal inside the first column-text blob: BOTH
+    // codecs parse since round 16 — a compression literal over plain
+    // data pages must still decode (the literal only gates how data
+    // SUBHEADERS decompress; fixed-stride page rows are untouched)
     val rdc = bytes("fixture_u64.sas7bdat").clone()
     val idAt = (1024 until rdc.length - 8).find(i =>
       rdc(i) == 'i'.toByte && rdc(i + 1) == 'd'.toByte &&
         rdc(i + 2) == 0.toByte).get
     "SASYZCR2".getBytes("ISO-8859-1").copyToArray(rdc, idAt)
-    val e2 = intercept[IllegalArgumentException] { Sas.parseMeta(rdc) }
-    assert(e2.getMessage.contains("RDC"))
+    val m2 = Sas.parseMeta(rdc)
+    assert(m2.compression === Sas.CompRdc)
+    assert(Sas.rows(rdc, m2).size === 20)
 
     val junk = Array.fill[Byte](2048)(0x5A)
     intercept[IllegalArgumentException] { Sas.parseMeta(junk) }
@@ -299,6 +300,81 @@ class SasSpec extends SparkSpec {
       .as[(Double, Option[String], String)].collect()
     assert(paged.toSeq === whole.toSeq)
     java.nio.file.Files.delete(tmp)
+  }
+
+  test("RDC fixture (pandas-validated compressed subheader rows) decodes " +
+      "to the same frame as the RLE fixture") {
+    val wide = Sas.readSasRecords(spark, s"$dir/fixture_rdc.sas7bdat")
+      .orderBy("row")
+      .select($"id", $"z1", $"z2", $"score", $"blob", $"tag")
+      .as[(Double, Option[Double], Option[Double], Option[Double],
+        String, Option[String])].collect()
+    assert(wide.toSeq === expectedRle)
+  }
+
+  test("RDC writer round-trips; paged scan matches the whole-file read") {
+    val cols = Seq(("k", true), ("pad", false), ("txt", false))
+    val n = 3000
+    val data = (0 until n).map { i =>
+      Seq(i.toDouble,
+        if (i % 3 == 0) null else "y" * (i % 110),
+        s"v${i % 13}"): Seq[Any]
+    }
+    val blob = Sas.dumps(cols, data, rdc = true)
+    val plain = Sas.dumps(cols, data)
+    assert(blob.length * 2 < plain.length,
+      s"RDC ${blob.length} vs plain ${plain.length} bytes")
+    val meta = Sas.parseMeta(blob)
+    assert(meta.compression === Sas.CompRdc && meta.pageCount > 2)
+    val whole = Sas.records(
+        Sas.readSasBlobs(spark, Seq(("t.sas7bdat", blob))), cols)
+      .orderBy("row").select($"k", $"pad", $"txt")
+      .as[(Double, Option[String], String)].collect()
+    assert(whole.length === n)
+    whole.zipWithIndex.foreach { case ((k, pad, txt), i) =>
+      assert(k === i.toDouble)
+      assert(pad === (if (i % 3 == 0 || i % 110 == 0) None
+        else Some("y" * (i % 110))))
+      assert(txt === s"v${i % 13}")
+    }
+    val tmp = java.nio.file.Files.createTempFile("graft_rdc_", ".sas7bdat")
+    java.nio.file.Files.write(tmp, blob)
+    val paged = Sas.records(
+        Sas.readSasPaged(spark, tmp.toString, partitions = 5), cols)
+      .orderBy("row").select($"k", $"pad", $"txt")
+      .as[(Double, Option[String], String)].collect()
+    assert(paged.toSeq === whole.toSeq)
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("rdcCompress/rdcDecompress round-trip every byte pattern class; " +
+      "copy commands decode (pandas-probed semantics)") {
+    val rnd = new scala.util.Random(1637)
+    val rows = Seq(
+      Array.fill[Byte](200)(0),
+      Array.fill[Byte](200)('q'.toByte),
+      Array.tabulate[Byte](200)(i => (i % 251).toByte),
+      Array.tabulate[Byte](5000)(i => if (i < 4300) ' '.toByte
+        else (i % 97).toByte),
+      Array.fill[Byte](1)('z'.toByte),
+      Array.tabulate[Byte](300)(_ => rnd.nextInt(256).toByte))
+    rows.foreach { r =>
+      val c = Sas.rdcCompress(r)
+      val back = Sas.rdcDecompress(c, 0, c.length, r.length)
+      assert(back.toSeq === r.toSeq, s"len ${r.length}")
+    }
+    // hand-built streams with the COPY commands the writer never
+    // emits, bytes matching the pandas probes exactly:
+    // 5 literals ABCDE then short-copy 15 at ofs 5
+    val sp = Array(0x04, 0x00, 'A', 'B', 'C', 'D', 'E', 0xF2, 0x00)
+      .map(_.toByte)
+    assert(new String(Sas.rdcDecompress(sp, 0, sp.length, 20)) ===
+      "ABCDEABCDEABCDEABCDE")
+    // 4 literals ABCD then long-copy len 18 at ofs 4 (overlap wrap)
+    val lp = Array(0x0F, 0x80, 'A', 'B', 'C', 'D', 0x21, 0x00, 0x02)
+      .map(_.toByte)
+    assert(new String(Sas.rdcDecompress(lp, 0, lp.length, 22)) ===
+      "ABCDABCDABCDABCDABCDAB")
   }
 
   test("rleCompress/rleDecompress round-trip every byte pattern class") {

@@ -18,8 +18,10 @@ Emits (under src/test/resources/sas/):
   fixture_u64.sas7bdat    64-bit little-endian, uncompressed, 2 pages
   fixture_x86.sas7bdat    32-bit little-endian, uncompressed, 1 mix page
   fixture_rle.sas7bdat    64-bit little-endian, RLE (SASYZCRL), 2+ pages
+  fixture_rdc.sas7bdat    64-bit little-endian, RDC (SASYZCR2), 2+ pages
   golden.csv              the pandas-read values of the uncompressed pair
   golden_rle.csv          the pandas-read values of the RLE fixture
+  golden_rdc.csv          the pandas-read values of the RDC fixture
 """
 import io
 import struct
@@ -174,7 +176,7 @@ def header(u64: bool, page_size: int, page_count: int) -> bytes:
 
 
 def subheaders(u64: bool, cols, n_rows: int, row_len: int, mix_rows: int,
-               rle: bool):
+               literal: bytes | None = None):
     """Return the metadata subheaders in the order they will be pointed
     at from the meta/mix page."""
     il = 8 if u64 else 4
@@ -210,12 +212,13 @@ def subheaders(u64: bool, cols, n_rows: int, row_len: int, mix_rows: int,
 
     # --- column text: blob starts right after the signature; name
     # pointers index into it (offset 0 = the u16 size field itself).
-    # RLE files carry the SASYZCRL literal here — both pandas and the
-    # Scala reader key compression on its presence in the FIRST blob.
+    # Compressed files carry the codec literal here — both pandas and
+    # the Scala reader key compression on its presence in the FIRST
+    # blob.
     names = [n.encode("ascii") for n, _, _ in cols]
     blob = bytearray(b"\x00" * 8)  # size u16 + pad, strings from 8
-    if rle:
-        blob += b"SASYZCRL"
+    if literal:
+        blob += literal
     name_at = []
     for nb in names:
         name_at.append(len(blob))
@@ -260,7 +263,7 @@ def build(u64: bool, split_pages: bool) -> bytes:
     row_len = sum(w for _, _, w in COLS)
 
     mix_rows = 0 if split_pages else len(ROWS)
-    shs = subheaders(u64, COLS, len(ROWS), row_len, mix_rows, rle=False)
+    shs = subheaders(u64, COLS, len(ROWS), row_len, mix_rows)
 
     # lay subheaders from the END of page 1 (the real-file convention),
     # 8-aligned; pointers live right after the page header
@@ -308,15 +311,69 @@ def build(u64: bool, split_pages: bool) -> bytes:
     return header(u64, page_size, len(pages)) + b"".join(pages)
 
 
-def build_rle() -> bytes:
-    """64-bit RLE file: meta subheaders AND one comp-4 data subheader
-    per row, packed from each page's end (new page on overflow)."""
+def rdc_compress(row: bytes) -> bytes:
+    """RDC (SASYZCR2): 16-bit big-endian control words before their 16
+    items (bit 1 = command); fills (cmd 0 short / 1 long) + literals.
+    Copy commands (2-15) are never emitted — not needed for a valid
+    stream — but the Scala decoder handles them (probed via pandas)."""
+    out = bytearray()
+    items = []  # (is_cmd, bytes)
+
+    def flush():
+        if not items:
+            return
+        ctrl = 0
+        for i, (is_cmd, _) in enumerate(items):
+            if is_cmd:
+                ctrl |= 0x8000 >> i
+        out.append((ctrl >> 8) & 0xFF)
+        out.append(ctrl & 0xFF)
+        for _, bs in items:
+            out.extend(bs)
+        items.clear()
+
+    def item(is_cmd, bs):
+        items.append((is_cmd, bs))
+        if len(items) == 16:
+            flush()
+
+    i = 0
+    while i < len(row):
+        run = i + 1
+        while run < len(row) and row[run] == row[i]:
+            run += 1
+        n = run - i
+        if n >= 3:
+            left = n
+            while left > 0:
+                take = min(left, 15 + 255 * 16 + 19)  # long-fill max 4114
+                if 0 < left - take < 3:
+                    take -= 3
+                if take <= 18:
+                    item(True, bytes([take - 3, row[i]]))
+                else:
+                    ext = take - 19
+                    item(True, bytes([0x10 | (ext & 0x0F),
+                                      (ext >> 4) & 0xFF, row[i]]))
+                left -= take
+        else:
+            for k in range(i, run):
+                item(False, bytes([row[k]]))
+        i = run
+    flush()
+    return bytes(out)
+
+
+def build_compressed(literal: bytes, compress) -> bytes:
+    """64-bit compressed file: meta subheaders AND one comp-4 data
+    subheader per row, packed from each page's end (new page on
+    overflow)."""
     u64 = True
     bit_offset = 32
     ptr_len = 24
     page_size = 2048  # small on purpose: forces multi-page packing
     row_len = sum(w for _, _, w in RLE_COLS)
-    shs = subheaders(u64, RLE_COLS, len(RLE_ROWS), row_len, 0, rle=True)
+    shs = subheaders(u64, RLE_COLS, len(RLE_ROWS), row_len, 0, literal)
 
     pages = []
     cur = bytearray(page_size)
@@ -351,15 +408,15 @@ def build_rle() -> bytes:
     raw_fallbacks = 0
     for r in RLE_ROWS:
         enc = encode_row(RLE_COLS, r)
-        c = rle_compress(enc)
+        c = compress(enc)
         if len(c) >= len(enc):  # raw at EXACTLY row_len = "uncompressed"
             place(enc, 4)
             raw_fallbacks += 1
         else:
             place(c, 4)
     flush()
-    assert raw_fallbacks > 0, "RLE fixture must exercise the raw fallback"
-    assert len(pages) > 2, "RLE fixture must span multiple pages"
+    assert raw_fallbacks > 0, "fixture must exercise the raw fallback"
+    assert len(pages) > 2, "fixture must span multiple pages"
     return header(u64, page_size, len(pages)) + b"".join(pages)
 
 
@@ -391,10 +448,13 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     u64 = build(u64=True, split_pages=True)
     x86 = build(u64=False, split_pages=False)
-    rle = build_rle()
+    rle = build_compressed(b"SASYZCRL", rle_compress)
+    rdc = build_compressed(b"SASYZCR2", rdc_compress)
     df = validate(u64, "fixture_u64 (meta+data pages)", COLS, ROWS)
     validate(x86, "fixture_x86 (single mix page)", COLS, ROWS)
     df_rle = validate(rle, "fixture_rle (SASYZCRL subheader rows)",
+                      RLE_COLS, RLE_ROWS)
+    df_rdc = validate(rdc, "fixture_rdc (SASYZCR2 subheader rows)",
                       RLE_COLS, RLE_ROWS)
     with open(f"{out_dir}/fixture_u64.sas7bdat", "wb") as f:
         f.write(u64)
@@ -402,8 +462,11 @@ def main():
         f.write(x86)
     with open(f"{out_dir}/fixture_rle.sas7bdat", "wb") as f:
         f.write(rle)
+    with open(f"{out_dir}/fixture_rdc.sas7bdat", "wb") as f:
+        f.write(rdc)
     df.to_csv(f"{out_dir}/golden.csv", index=False)
     df_rle.to_csv(f"{out_dir}/golden_rle.csv", index=False)
+    df_rdc.to_csv(f"{out_dir}/golden_rdc.csv", index=False)
     print(f"wrote fixtures to {out_dir}")
 
 
