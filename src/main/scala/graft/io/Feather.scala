@@ -24,9 +24,13 @@ import scala.collection.mutable
   *
   * SUPPORTED SUBSET, refused loudly outside it:
   *  - File format v4/v5 (the footer's own version field), little-endian;
-  *  - flat columns: signed Int 8/16/32/64, FloatingPoint single/double,
-  *    Bool, Utf8, Date32(DAY), Null — nested types, dictionaries,
-  *    unions, decimals, large/binary types refuse;
+  *  - flat columns: Int 8/16/32/64 signed AND unsigned, FloatingPoint
+  *    single/double, Bool, Utf8, LargeUtf8, Date32(DAY), Date64(MS),
+  *    Timestamp (any unit; naive or UTC — other zones refuse), Null,
+  *    and DICTIONARY-encoded utf8 (pandas categoricals: the
+  *    DictionaryBatch blocks resolve index columns; delta
+  *    dictionaries refuse) — nested types, unions, decimals, binary
+  *    refuse;
   *  - uncompressed bodies and LZ4_FRAME-compressed buffers (the
   *    pyarrow/R default — each buffer is an i64 plain length + one lz4
   *    frame, decoded by [[Lz4.decodeFrame]]); ZSTD refuses;
@@ -136,30 +140,48 @@ object Feather {
   // --------------------------------------------------------------
 
   /** One column: Arrow type tag + width metadata, flattened to what
-    * the cell decoder needs. `kind`: 'l' int, 'f' float, 'b' bool,
-    * 's' utf8, 'd' date32, '0' null. */
-  final case class FeatherCol(name: String, kind: Char, bits: Int)
+    * the cell decoder needs. `kind`: 'l' signed int, 'u' unsigned int,
+    * 'f' float, 'b' bool, 's' utf8, 'S' large utf8, 'd' date32,
+    * 'D' date64, 't' timestamp (bits = TimeUnit code), '0' null,
+    * 'x' dictionary-encoded utf8 (bits = index width, dictId set). */
+  final case class FeatherCol(name: String, kind: Char, bits: Int,
+                              dictId: Long = -1L)
 
   final case class FeatherMeta(cols: Seq[FeatherCol],
-                               blocks: Seq[(Long, Int, Long)])
+                               blocks: Seq[(Long, Int, Long)],
+                               dictBlocks: Seq[(Long, Int, Long)] = Nil)
 
   /** Type union tags from Schema.fbs (confirmed against pyarrow 16's
     * bytes in the fixture tool). */
   private def parseField(f: FbTable): FeatherCol = {
     val name = f.string(0).getOrElse(refuse("unnamed field"))
-    if (f.present(4)) refuse(s"dictionary-encoded column '$name'")
     val (_, nChildren) = f.vector(5)
     if (nChildren > 0) refuse(s"nested column '$name' ($nChildren children)")
+    if (f.present(4)) {
+      // DictionaryEncoding { id: long(0), indexType: Int(1),
+      // isOrdered(2) } — the field's OWN type describes the
+      // dictionary VALUES; the stored column is indices
+      val enc = f.table(4).get
+      if (f.i8f(2) != 5)
+        refuse(s"dictionary column '$name' over non-utf8 values " +
+          s"(type tag ${f.i8f(2)})")
+      val idx = enc.table(1)
+      val bits = idx.map(_.i32f(0)).getOrElse(32)
+      if (idx.exists(!_.boolf(1)))
+        refuse(s"unsigned dictionary indices in '$name'")
+      if (bits != 8 && bits != 16 && bits != 32 && bits != 64)
+        refuse(s"int$bits dictionary indices in '$name'")
+      return FeatherCol(name, 'x', bits, dictId = enc.i64f(0))
+    }
     val t = f.table(3)
     f.i8f(2) match {
       case 1 => FeatherCol(name, '0', 0) // Null
       case 2 =>
         val it = t.getOrElse(refuse(s"Int column '$name' without type table"))
         val bits = it.i32f(0)
-        if (!it.boolf(1)) refuse(s"unsigned int column '$name'")
         if (bits != 8 && bits != 16 && bits != 32 && bits != 64)
           refuse(s"int$bits column '$name'")
-        FeatherCol(name, 'l', bits)
+        FeatherCol(name, if (it.boolf(1)) 'l' else 'u', bits)
       case 3 =>
         val ft = t.getOrElse(refuse(s"float column '$name' without type table"))
         ft.i16f(0) match {
@@ -171,13 +193,48 @@ object Feather {
       case 6 => FeatherCol(name, 'b', 0)
       case 8 =>
         val dt = t.getOrElse(refuse(s"date column '$name' without type table"))
-        if (dt.i16f(0) != 0) refuse(s"millisecond date column '$name'")
-        FeatherCol(name, 'd', 32)
+        // unit: DAY=0 (int32 days) or MILLISECOND=1 (int64 ms).
+        // Schema.fbs declares `unit: DateUnit = MILLISECOND`, so
+        // flatbuffers OMITS the field for date64 and stores the 0
+        // explicitly for date32 — the absent-field default must be 1
+        // (this exact trap shipped as a 2.5-million-year date)
+        if (dt.i16f(0, default = 1) == 0) FeatherCol(name, 'd', 32)
+        else FeatherCol(name, 'D', 64)
+      case 10 =>
+        val tt = t.getOrElse(
+          refuse(s"timestamp column '$name' without type table"))
+        val tz = tt.string(1).getOrElse("")
+        if (tz.nonEmpty && tz != "UTC" && tz != "+00:00")
+          refuse(s"timestamp column '$name' in zone '$tz' — values are " +
+            "stored UTC-epoch; re-export naive or UTC")
+        val unit = tt.i16f(0) // SECOND/MILLI/MICRO/NANO = 0..3
+        if (unit < 0 || unit > 3) refuse(s"timestamp unit $unit in '$name'")
+        FeatherCol(name, 't', unit)
+      case 20 => FeatherCol(name, 'S', 0) // LargeUtf8: 64-bit offsets
       case other =>
         refuse(s"column '$name' has unsupported Arrow type tag $other " +
-          "(nested/large/decimal/timestamp family)")
+          "(nested/decimal/interval/binary family)")
     }
   }
+
+  /** Epoch count in `unit` (0 s / 1 ms / 2 us / 3 ns) → the fixed
+    * "uuuu-MM-dd HH:mm:ss.SSSSSS" UTC form (micro precision — what the
+    * tall-cell string channel can compare exactly). */
+  private[graft] def timestampIso(v: Long, unit: Int): String = {
+    val (sec, nanos) = unit match {
+      case 0 => (v, 0L)
+      case 1 => (Math.floorDiv(v, 1000L), Math.floorMod(v, 1000L) * 1000000L)
+      case 2 => (Math.floorDiv(v, 1000000L),
+        Math.floorMod(v, 1000000L) * 1000L)
+      case _ => (Math.floorDiv(v, 1000000000L), Math.floorMod(v, 1000000000L))
+    }
+    val ldt = java.time.LocalDateTime.ofEpochSecond(sec, nanos.toInt,
+      java.time.ZoneOffset.UTC)
+    ldt.format(TsFmt)
+  }
+
+  private val TsFmt =
+    java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss.SSSSSS")
 
   /** Parse the footer (schema + record-batch block table) from the
     * whole file OR from a tail slice (`base` = the slice's offset in
@@ -214,14 +271,14 @@ object Feather {
       val o = fBase + 4 * i
       parseField(FbTable(bytes, o + i32(bytes, o)))
     }
-    val (dBase, dN) = footer.vector(2)
-    if (dN > 0) refuse(s"$dN dictionary batches")
-    val (bBase, bN) = footer.vector(3)
-    val blocks = (0 until bN).map { i =>
-      val at = bBase + 24 * i // Block struct: i64 offset, i32 meta, pad, i64 body
-      (i64(bytes, at), i32(bytes, at + 8), i64(bytes, at + 16))
+    def blockVec(id: Int): Seq[(Long, Int, Long)] = {
+      val (base, n) = footer.vector(id)
+      (0 until n).map { i =>
+        val at = base + 24 * i // Block: i64 offset, i32 meta, pad, i64 body
+        (i64(bytes, at), i32(bytes, at + 8), i64(bytes, at + 16))
+      }
     }
-    FeatherMeta(cols, blocks)
+    FeatherMeta(cols, blockVec(3), blockVec(2))
   }
 
   // --------------------------------------------------------------
@@ -314,28 +371,65 @@ object Feather {
   // record-batch decoding
   // --------------------------------------------------------------
 
+  /** Every dictionary batch of the file → id → values. Dictionary
+    * batches carry ONE utf8 column each in this subset; delta
+    * dictionaries refuse. */
+  private def parseDicts(bytes: Array[Byte],
+                         meta: FeatherMeta): Map[Long, IndexedSeq[String]] =
+    meta.dictBlocks.map { case (off, metaLen, _) =>
+      parseDictBatch(bytes, off.toInt, metaLen)
+    }.toMap
+
+  /** One dictionary batch at `at` (whole-file bytes or a pread of just
+    * this block). */
+  private def parseDictBatch(bytes: Array[Byte], at: Int,
+                             metaLen: Int): (Long, IndexedSeq[String]) = {
+    require(i32(bytes, at) == 0xFFFFFFFF,
+      "feather: dictionary message continuation marker missing")
+    val msg = rootTable(bytes, at + 8)
+    if (msg.i8f(1) != 2)
+      refuse(s"dictionary block holds message type ${msg.i8f(1)}")
+    val db = msg.table(2).getOrElse(refuse("empty DictionaryBatch"))
+    if (db.boolf(2)) refuse("delta dictionary batch")
+    val rb = db.table(1)
+      .getOrElse(refuse("DictionaryBatch without data"))
+    val values = decodeBatch(bytes, rb, at + metaLen,
+      Seq(FeatherCol("_dict", 's', 0)), Map.empty)
+      .map(_.head.asInstanceOf[String]).toIndexedSeq
+    db.i64f(0) -> values
+  }
+
   /** Decode ONE encapsulated record-batch message (+ its body) into
     * per-row cell values, in schema column order. `bytes` holds the
     * message at `at` (continuation + i32 len + flatbuffer), the body
     * at `at + metaLen`. */
   private def batchRows(bytes: Array[Byte], at: Int, metaLen: Int,
-                        meta: FeatherMeta): Iterator[Seq[Any]] = {
+                        meta: FeatherMeta,
+                        dicts: Map[Long, IndexedSeq[String]] = Map.empty)
+      : Iterator[Seq[Any]] = {
     require(i32(bytes, at) == 0xFFFFFFFF,
       "feather: message continuation marker missing (pre-0.15 stream?)")
     val msg = rootTable(bytes, at + 8)
     if (msg.i8f(1) != 3)
       refuse(s"block holds message type ${msg.i8f(1)}, wanted RecordBatch")
     val rb = msg.table(2).getOrElse(refuse("empty RecordBatch message"))
+    decodeBatch(bytes, rb, at + metaLen, meta.cols, dicts)
+  }
+
+  /** The buffer walk shared by record AND dictionary batches. */
+  private def decodeBatch(bytes: Array[Byte], rb: FbTable, body: Int,
+                          colsIn: Seq[FeatherCol],
+                          dicts: Map[Long, IndexedSeq[String]])
+      : Iterator[Seq[Any]] = {
     val nRows = rb.i64f(0).toInt
     val (_, nNodes) = rb.vector(1)
-    require(nNodes == meta.cols.length,
-      s"feather: batch has $nNodes nodes for ${meta.cols.length} columns")
+    require(nNodes == colsIn.length,
+      s"feather: batch has $nNodes nodes for ${colsIn.length} columns")
     val (bufBase, nBufs) = rb.vector(2)
     val codec = rb.table(3).map(_.i8f(0))
     if (codec.exists(_ != 0))
       refuse(s"body compression codec ${codec.get} (ZSTD?)")
     val lz4 = codec.isDefined
-    val body = at + metaLen
 
     var bufIdx = 0
     def nextBuf(): Array[Byte] = {
@@ -358,7 +452,7 @@ object Feather {
       }
     }
 
-    val cols: Seq[(FeatherCol, Int => Any)] = meta.cols.map { c =>
+    val cols: Seq[(FeatherCol, Int => Any)] = colsIn.map { c =>
       if (c.kind == '0') (c, (_: Int) => null)
       else {
         val validity = nextBuf()
@@ -373,6 +467,16 @@ object Feather {
               new String(data, s, e - s,
                 java.nio.charset.StandardCharsets.UTF_8)
             })
+          case 'S' => // LargeUtf8: 64-bit offsets, same shape
+            val offs = nextBuf()
+            val data = nextBuf()
+            (c, (r: Int) => if (!isSet(r)) null else {
+              val s = i64(offs, 8 * r); val e = i64(offs, 8 * r + 8)
+              if (e - s > Int.MaxValue)
+                refuse(s"large_utf8 value of ${e - s} bytes in '${c.name}'")
+              new String(data, s.toInt, (e - s).toInt,
+                java.nio.charset.StandardCharsets.UTF_8)
+            })
           case 'b' =>
             val data = nextBuf()
             (c, (r: Int) => if (!isSet(r)) null
@@ -383,6 +487,15 @@ object Feather {
             (c, (r: Int) => if (!isSet(r)) null
               else java.time.LocalDate.ofEpochDay(i32(data, 4 * r).toLong)
                 .toString)
+          case 'D' => // Date64: epoch MILLIS, still a calendar date
+            val data = nextBuf()
+            (c, (r: Int) => if (!isSet(r)) null
+              else java.time.LocalDate.ofEpochDay(
+                Math.floorDiv(i64(data, 8 * r), 86400000L)).toString)
+          case 't' =>
+            val data = nextBuf()
+            (c, (r: Int) => if (!isSet(r)) null
+              else timestampIso(i64(data, 8 * r), c.bits))
           case 'f' =>
             val data = nextBuf()
             (c, (r: Int) => if (!isSet(r)) null
@@ -390,18 +503,39 @@ object Feather {
                 if (c.bits == 32)
                   java.lang.Float.intBitsToFloat(i32(data, 4 * r)).toDouble
                 else java.lang.Double.longBitsToDouble(i64(data, 8 * r))))
-          case 'l' =>
+          case 'x' =>
             val data = nextBuf()
+            val dict = dicts.getOrElse(c.dictId,
+              refuse(s"no dictionary batch with id ${c.dictId} for " +
+                s"'${c.name}'"))
             (c, (r: Int) => if (!isSet(r)) null else {
-              val v: Long = c.bits match {
+              val idx: Long = c.bits match {
                 case 8 => data(r).toLong
                 case 16 => i16(data, 2 * r).toLong
                 case 32 => i32(data, 4 * r).toLong
                 case _ => i64(data, 8 * r)
               }
+              if (idx < 0 || idx >= dict.length)
+                refuse(s"dictionary index $idx of ${dict.length} in " +
+                  s"'${c.name}'")
+              dict(idx.toInt)
+            })
+          case 'l' | 'u' =>
+            val data = nextBuf()
+            (c, (r: Int) => if (!isSet(r)) null else {
+              val v: Long = (c.kind, c.bits) match {
+                case ('l', 8) => data(r).toLong
+                case ('l', 16) => i16(data, 2 * r).toLong
+                case ('l', 32) => i32(data, 4 * r).toLong
+                case ('u', 8) => (data(r) & 0xff).toLong
+                case ('u', 16) => u16(data, 2 * r).toLong
+                case ('u', 32) => i32(data, 4 * r).toLong & 0xffffffffL
+                case _ => i64(data, 8 * r) // i64 / u64 share the guard
+              }
               if (v > (1L << 53) || v < -(1L << 53))
-                refuse(s"int64 value $v in '${c.name}' exceeds 2^53 " +
-                  "(the double cell channel would lose precision)")
+                refuse(s"int value $v in '${c.name}' exceeds 2^53 " +
+                  "(the double cell channel would lose precision; " +
+                  "u64 bit patterns past 2^63 land here too)")
               java.lang.Double.valueOf(v.toDouble)
             })
           case other => refuse(s"unreachable kind $other")
@@ -418,15 +552,17 @@ object Feather {
   private val cellSchema = PagedScan.cellSchema
 
   private def isNum(c: FeatherCol): Boolean = c.kind match {
-    case 'l' | 'f' | 'b' => true
-    case _ => false // utf8, date-as-iso, null-typed default to str
+    case 'l' | 'u' | 'f' | 'b' => true
+    case _ => false // utf8/dict, dates/timestamps-as-iso, null → str
   }
 
   private def cells(file: String, bytes: Array[Byte]): Iterator[Row] = {
     val meta = parseFooter(bytes)
+    val dicts = parseDicts(bytes, meta)
     var rowBase = 0L
     meta.blocks.iterator.flatMap { case (off, metaLen, _) =>
-      val rows = batchRows(bytes, off.toInt, metaLen, meta).zipWithIndex
+      val rows = batchRows(bytes, off.toInt, metaLen, meta, dicts)
+        .zipWithIndex
         .flatMap { case (vals, r) =>
           val rowId = rowBase + r
           meta.cols.iterator.zip(vals.iterator).map { case (c, v) =>
@@ -501,6 +637,18 @@ object Feather {
       }
     }
     val m = meta.get
+    // dictionaries resolve task-side lookups, so the driver preads the
+    // dictionary blocks once (bounded — categorical dictionaries are
+    // value sets, not data) and ships the map in the closure
+    val dictBytes = m.dictBlocks.map { case (_, ml, bl) => ml + bl }.sum
+    require(dictBytes < (64L << 20),
+      s"feather: $dictBytes bytes of dictionary batches — past the " +
+        "driver pread bound; use readFeather (whole-file per task)")
+    val dicts: Map[Long, IndexedSeq[String]] =
+      m.dictBlocks.map { case (off, ml, bl) =>
+        val buf = PagedScan.readTail(spark, path, off, ml + bl.toInt)
+        parseDictBatch(buf, 0, ml)
+      }.toMap
     val nParts = math.max(1, if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism)
     val hconf = PagedScan.confMap(spark)
@@ -520,7 +668,7 @@ object Feather {
           in.readFully(off, b)
           b
         } finally in.close()
-        batchRows(buf, 0, metaLen, m).zipWithIndex.flatMap { case (vals, r) =>
+        batchRows(buf, 0, metaLen, m, dicts).zipWithIndex.flatMap { case (vals, r) =>
           val rowId = (blockIdx.toLong << 32) | r.toLong
           m.cols.iterator.zip(vals.iterator).map { case (c, v) =>
             if (isNum(c)) Row(path, rowId, c.name, "num", null, v)
@@ -530,6 +678,13 @@ object Feather {
       }
     spark.createDataFrame(rdd, cellSchema)
   }
+
+  /** [[readFeatherPaged]] over a directory/glob of large files — both
+    * parallelism axes ([[Sas.readSasPagedAll]]'s shape). */
+  def readFeatherPagedAll(spark: SparkSession, path: String,
+                          partitions: Int = 0): DataFrame =
+    PagedScan.unionPerFile(spark, path)(
+      readFeatherPaged(spark, _, partitions))
 
   // --------------------------------------------------------------
   // writer — uncompressed v2 files for round-trips and entries; the

@@ -65,6 +65,56 @@ class FeatherSpec extends SparkSpec {
     assert(byKey("s")._2 === nonNull(12, 2))
   }
 
+  test("widened types decode: timestamp[us], uint32, large_utf8, date64") {
+    val wide = Feather.readFeatherRecords(spark, s"$dir/fixture_unc.feather")
+      .orderBy("row").select($"ts", $"u32", $"lu", $"d64")
+      .as[(Option[String], Option[Double], Option[String], Option[String])]
+      .collect()
+    assert(wide.length === 40)
+    // epoch 1,700,000,000 s = 2023-11-14 22:13:20 UTC — a hand-checked
+    // literal anchors the formatter, the rest follow the closed form
+    assert(wide(0)._1 === Some("2023-11-14 22:13:20.000000"))
+    wide.zipWithIndex.foreach { case ((ts, u32, lu, d64), i) =>
+      if (i % 15 == 8) assert(ts === None, s"ts $i")
+      else {
+        val us = 1700000000000000L + i.toLong * 987654321L
+        val exp = java.time.LocalDateTime.ofEpochSecond(us / 1000000L,
+          (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
+        val got = ts.get
+        assert(got.startsWith(exp.toLocalDate.toString), s"ts $i: $got")
+        assert(got === Feather.timestampIso(us, 2), s"ts $i")
+      }
+      assert(u32 === (if (i % 16 == 11) None
+        else Some((4000000000L + i).toDouble)), s"u32 $i")
+      assert(lu === (if (i % 17 == 4) None
+        else Some(s"L${i}_" + "y" * (i % 7))), s"lu $i")
+      assert(d64 === (if (i % 18 == 13) None
+        else Some(java.time.LocalDate.ofEpochDay(19000L + i * 11L)
+          .toString)), s"d64 $i")
+    }
+  }
+
+  test("dictionary-encoded (categorical) columns decode via the " +
+      "DictionaryBatch blocks, whole-file AND paged") {
+    val whole = Feather.readFeatherRecords(spark, s"$dir/fixture_unc.feather")
+      .orderBy("row").select($"cat").as[Option[String]].collect()
+    assert(whole.length === 40)
+    whole.zipWithIndex.foreach { case (cat, i) =>
+      assert(cat === (if (i % 19 == 6) None else Some(s"cat_${i % 5}")), s"$i")
+    }
+    // the lz4 fixture's dictionary batch is compressed too
+    val lz = Feather.readFeatherRecords(spark, s"$dir/fixture_lz4.feather")
+      .orderBy("row").select($"cat").as[Option[String]].collect()
+    assert(lz.toSeq === whole.toSeq)
+    // paged: dictionaries pread once on the driver, blocks per task
+    val paged = Feather.records(
+        Feather.readFeatherPaged(spark, s"$dir/fixture_unc.feather",
+          partitions = 2),
+        Seq(("cat", false)))
+      .orderBy("row").select($"cat").as[Option[String]].collect()
+    assert(paged.toSeq === whole.toSeq)
+  }
+
   test("golden.csv (pyarrow's own read) agrees on the f64 column") {
     val golden = spark.read.option("header", "true")
       .option("inferSchema", "true").csv(s"$dir/golden.csv")
@@ -124,6 +174,29 @@ class FeatherSpec extends SparkSpec {
       assert(k === i.toDouble) // block-packed row ids preserve order
       assert(txt === s"v${i % 13}")
     }
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("readFeatherPagedAll unions per-file batch scans over a directory") {
+    val cols = Seq(("k", true), ("txt", false))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_feather_all")
+    Seq(0, 1, 2).foreach { f =>
+      val data = (0 until 800).map(i =>
+        Seq[Any]((f * 800 + i).toDouble, s"v${i % 7}"))
+      java.nio.file.Files.write(tmp.resolve(s"part_$f.feather"),
+        Feather.dumps(cols, data, rowsPerBatch = 128))
+    }
+    val wide = Feather.records(
+        Feather.readFeatherPagedAll(spark, tmp.toString, partitions = 3),
+        cols)
+      .orderBy("k").select($"k", $"txt")
+      .as[(Double, String)].collect()
+    assert(wide.length === 2400)
+    wide.zipWithIndex.foreach { case ((k, txt), i) =>
+      assert(k === i.toDouble)
+      assert(txt === s"v${i % 800 % 7}")
+    }
+    tmp.toFile.listFiles.foreach(_.delete())
     java.nio.file.Files.delete(tmp)
   }
 

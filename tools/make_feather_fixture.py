@@ -16,6 +16,7 @@ pyarrow and checked against the closed form used by FeatherSpec.
 """
 import os
 import sys
+from datetime import date as _date
 
 import pyarrow as pa
 import pyarrow.feather as feather
@@ -43,6 +44,22 @@ def frame() -> pa.Table:
                        for i in range(n)], type=pa.utf8()),
         "d": pa.array([None if i % 14 == 9 else 20000 + i * 13
                        for i in range(n)], type=pa.date32()),
+        "ts": pa.array([None if i % 15 == 8
+                        else 1700000000_000000 + i * 987_654_321
+                        for i in range(n)], type=pa.timestamp("us")),
+        "u32": pa.array([None if i % 16 == 11 else 4000000000 + i
+                         for i in range(n)], type=pa.uint32()),
+        "lu": pa.array([None if i % 17 == 4 else f"L{i}_" + "y" * (i % 7)
+                        for i in range(n)], type=pa.large_utf8()),
+        # date64 stores epoch MILLIS; build from date objects so the
+        # scaling is pyarrow's own (ints would be taken verbatim as ms)
+        "d64": pa.array([None if i % 18 == 13
+                         else _date.fromordinal(719163 + 19000 + i * 11)
+                         for i in range(n)], type=pa.date64()),
+        # a pandas-categorical column: pyarrow writes a DictionaryBatch
+        # block and an index column
+        "cat": pa.array([None if i % 19 == 6 else f"cat_{i % 5}"
+                         for i in range(n)]).dictionary_encode(),
     })
 
 
