@@ -365,6 +365,12 @@ object Dta {
     }
   }
 
+  /** [[readDtaPaged]] over a directory/glob of large files — both
+    * parallelism axes at once ([[Sas.readSasPagedAll]]'s shape). */
+  def readDtaPagedAll(spark: SparkSession, path: String,
+                      partitions: Int = 0): DataFrame =
+    PagedScan.unionPerFile(spark, path)(readDtaPaged(spark, _, partitions))
+
   /** The one-call wide read: dictionary from the FIRST file. */
   def readDtaRecords(spark: SparkSession, path: String): DataFrame = {
     val firstBytes = PagedScan.firstFileBytes(spark, path)

@@ -116,6 +116,16 @@ private[io] object PagedScan {
     files.map(_.toString).sorted
   }
 
+  /** Union one WITHIN-file-parallel scan per matched file — both axes
+    * of parallelism at once (across files AND across each file's
+    * pages/rows/batches). Backs every reader's `*PagedAll`. */
+  def unionPerFile(spark: SparkSession, path: String)
+                  (perFile: String => DataFrame): DataFrame = {
+    val files = listFiles(spark, path)
+    require(files.nonEmpty, s"no files match $path")
+    files.map(perFile).reduce(_.unionByName(_))
+  }
+
   def fileLength(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -269,6 +269,12 @@ object Xpt {
     }
   }
 
+  /** [[readXptPaged]] over a directory/glob of large files — both
+    * parallelism axes ([[Sas.readSasPagedAll]]'s shape). */
+  def readXptPagedAll(spark: SparkSession, path: String,
+                      partitions: Int = 0): DataFrame =
+    PagedScan.unionPerFile(spark, path)(readXptPaged(spark, _, partitions))
+
   /** The one-call wide read: variables from the FIRST file. */
   def readXptRecords(spark: SparkSession, path: String): DataFrame = {
     val firstBytes = PagedScan.firstFileBytes(spark, path)
