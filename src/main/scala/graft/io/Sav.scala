@@ -31,8 +31,10 @@ import scala.collection.mutable
   *    sequential state — a command block's raw values can land in the
   *    next zlib block — so splitting needs a scan anyway; across-file
   *    parallelism via binaryFile is unaffected.)
-  *  - string variables up to 255 bytes via continuation records; the
-  *    very-long-string extension (info subtype 14) refuses.
+  *  - string variables up to 255 bytes via continuation records AND
+  *    very long strings (info subtype 14): a declared width past 255
+  *    spans ceil(w/252) segment variables of width 255 whose first 252
+  *    bytes are real data — folded back to one value on read.
   *
   * Layout mirrors [[Sas]]: the scan parses per-partition, [[readSav]]
   * emits tall (row, key, typed value) cells, [[records]] pivots to the
@@ -128,6 +130,7 @@ object Sav {
     var sysmis = DefaultSysmis
     val shortVars = mutable.ArrayBuffer.empty[(String, Int)] // name, type
     var longNames = Map.empty[String, String]
+    var vls = Map.empty[String, Int] // short name -> very-long width
     var done = false
     while (!done) {
       val rec = c.i4()
@@ -173,8 +176,17 @@ object Sav {
                   case Array(s, l) if s.nonEmpty => s.trim -> l.trim
                 }.toMap
             case 14 =>
-              refuse("very-long-string records (info subtype 14; " +
-                "strings past 255 bytes)")
+              // very long strings: SHORT=width pairs (width as ASCII
+              // decimal, NUL-terminated, tab-separated — the PSPP
+              // layout). A declared width past 255 splits the value
+              // into 252-byte SEGMENTS, each its own 255-wide variable
+              vls = ascii(payload).split('\t').iterator
+                .map(_.replace("\u0000", "").trim)
+                .filter(_.nonEmpty)
+                .map(_.split("=", 2)).collect {
+                  case Array(s, w) if s.nonEmpty && w.nonEmpty =>
+                    s.trim -> w.trim.toInt
+                }.toMap
             case _ => ()
           }
         case 999 =>
@@ -185,19 +197,41 @@ object Sav {
     }
 
     // fold continuation records into their string variable; assign
-    // element slots in declaration order
+    // element slots in declaration order. A very-long string (subtype
+    // 14) spans ceil(width/252) SEGMENT variables — the first carries
+    // the short name, each non-final segment is declared width 255 and
+    // holds 252 real bytes; the group folds to ONE SavVar whose width
+    // is the declared total (> 255 marks the segmented layout for the
+    // decoder).
     val vars = mutable.ArrayBuffer.empty[SavVar]
     var el = 0
-    shortVars.foreach { case (name, typ) =>
-      if (typ == -1) el += 1 // continuation: slot consumed, no new var
-      else {
-        if (typ > 255) refuse(s"string variable '$name' of width $typ")
-        // no info-13 record → keep the stored (typically uppercase)
-        // short name AS STORED: pyreadstat and SPSS keep the case, so
-        // lowercasing here would diverge from other tools (r15 advice)
-        val long = longNames.getOrElse(name, name)
-        vars += SavVar(long, typ, el)
-        el += 1
+    var vi = 0
+    while (vi < shortVars.length) {
+      val (name, typ) = shortVars(vi)
+      if (typ == -1) { el += 1; vi += 1 } // continuation: slot consumed
+      else vls.get(name).filter(_ > 255) match {
+        case Some(total) =>
+          val k = (total + 251) / 252
+          val startEl = el
+          var seg = 0
+          while (seg < k) {
+            require(vi < shortVars.length && shortVars(vi)._2 != -1,
+              s"sav: very-long string '$name' is missing segment $seg")
+            el += 1; vi += 1 // the segment head
+            while (vi < shortVars.length && shortVars(vi)._2 == -1) {
+              el += 1; vi += 1 // its continuations
+            }
+            seg += 1
+          }
+          vars += SavVar(longNames.getOrElse(name, name), total, startEl)
+        case None =>
+          if (typ > 255) refuse(s"string variable '$name' of width $typ " +
+            "without a subtype-14 very-long-string record")
+          // no info-13 record → keep the stored (typically uppercase)
+          // short name AS STORED: pyreadstat and SPSS keep the case, so
+          // lowercasing here would diverge from other tools (r15 advice)
+          vars += SavVar(longNames.getOrElse(name, name), typ, el)
+          el += 1; vi += 1
       }
     }
     require(el == caseSize,
@@ -294,10 +328,37 @@ object Sav {
         if (d == meta.sysmis || java.lang.Double.isNaN(d)) null
         else java.lang.Double.valueOf(d)
       } else {
-        val n = (v.width + 7) / 8
-        val raw = new Array[Byte](n * 8)
-        var i = 0
-        while (i < n) { els(v.elementAt + i).copyToArray(raw, i * 8); i += 1 }
+        val raw: Array[Byte] =
+          if (v.width <= 255) {
+            val n = (v.width + 7) / 8
+            val b = new Array[Byte](n * 8)
+            var i = 0
+            while (i < n) {
+              els(v.elementAt + i).copyToArray(b, i * 8); i += 1
+            }
+            b
+          } else {
+            // very long string: k segments of 32 slots each (a width-
+            // 255 segment occupies 256 bytes); the first 252 bytes of
+            // every non-final segment are real data, the final segment
+            // contributes its own declared width
+            val k = (v.width + 251) / 252
+            val acc = new java.io.ByteArrayOutputStream()
+            var seg = 0
+            while (seg < k) {
+              val segStart = v.elementAt + seg * 32
+              val segWidth =
+                if (seg < k - 1) 252 else v.width - 252 * (k - 1)
+              val b = new Array[Byte](((segWidth + 7) / 8) * 8)
+              var i = 0
+              while (i < (segWidth + 7) / 8) {
+                els(segStart + i).copyToArray(b, i * 8); i += 1
+              }
+              acc.write(b, 0, segWidth)
+              seg += 1
+            }
+            acc.toByteArray
+          }
         var end = math.min(v.width, raw.length)
         while (end > 0 && (raw(end - 1) == ' '.toByte || raw(end - 1) == 0))
           end -= 1
@@ -433,6 +494,12 @@ object Sav {
     }
   }
 
+  /** [[readSavPaged]] over a directory/glob of large UNCOMPRESSED
+    * files — both parallelism axes ([[Sas.readSasPagedAll]]'s shape). */
+  def readSavPagedAll(spark: SparkSession, path: String,
+                      partitions: Int = 0): DataFrame =
+    PagedScan.unionPerFile(spark, path)(readSavPaged(spark, _, partitions))
+
   /** The one-call wide read: dictionary from the FIRST file (bounded
     * driver read, the fitted-scalar pattern), then distributed parse. */
   def readSavRecords(spark: SparkSession, path: String): DataFrame = {
@@ -467,10 +534,21 @@ object Sav {
           Option(r(i)).fold(0)(_.asInstanceOf[String]
             .getBytes(java.nio.charset.StandardCharsets.UTF_8).length))
           .foldLeft(0)(math.max))
-        require(w <= 255, s"string column '${cols(i)._1}' wider than 255")
+        require(w <= 252 * 99,
+          s"string column '${cols(i)._1}' wider than ${252 * 99}")
         w
       }
     }
+    // widths past 255 emit the very-long-string layout: ceil(w/252)
+    // segment variables (non-final declared 255 / 32 slots, real data
+    // in the first 252 bytes) + an info-14 record mapping the first
+    // segment's short name to the total width
+    def segWidthsOf(w: Int): Seq[Int] =
+      if (w <= 255) Seq(w)
+      else {
+        val k = (w + 251) / 252
+        Seq.fill(k - 1)(255) :+ (w - 252 * (k - 1))
+      }
     val out = new java.io.ByteArrayOutputStream()
     def w4(v: Int): Unit = {
       var i = 0
@@ -486,7 +564,8 @@ object Sav {
       require(b.length <= n, s"'$s' wider than $n")
       out.write(b); out.write(Array.fill[Byte](n - b.length)(' '.toByte))
     }
-    val caseSize = widths.map(w => if (w == 0) 1 else (w + 7) / 8).sum
+    val caseSize = widths.map(w =>
+      if (w == 0) 1 else segWidthsOf(w).map(s => (s + 7) / 8).sum).sum
 
     val useBytecode = bytecode || zsav // zsav wraps a bytecode stream
     out.write((if (zsav) "$FL3" else "$FL2").getBytes)
@@ -499,21 +578,30 @@ object Sav {
 
     val shortNames = cols.indices.map(i => f"VAR${i + 1}%05d")
     cols.indices.foreach { i =>
-      val width = widths(i)
-      w4(2); w4(width); w4(0); w4(0)
-      val fmt = if (width == 0) 0x050800 else 0x010000 | (width << 8)
-      w4(fmt); w4(fmt)
-      ws(shortNames(i), 8)
-      var extra = (if (width == 0) 1 else (width + 7) / 8) - 1
-      while (extra > 0) {
-        w4(2); w4(-1); w4(0); w4(0); w4(0); w4(0); ws("", 8)
-        extra -= 1
+      val segs = if (widths(i) == 0) Seq(0) else segWidthsOf(widths(i))
+      segs.zipWithIndex.foreach { case (width, j) =>
+        w4(2); w4(width); w4(0); w4(0)
+        val fmt = if (width == 0) 0x050800 else 0x010000 | (width << 8)
+        w4(fmt); w4(fmt)
+        ws(if (j == 0) shortNames(i) else f"S${i}_$j%04d", 8)
+        var extra = (if (width == 0) 1 else (width + 7) / 8) - 1
+        while (extra > 0) {
+          w4(2); w4(-1); w4(0); w4(0); w4(0); w4(0); ws("", 8)
+          extra -= 1
+        }
       }
     }
     val longMap = shortNames.zip(cols.map(_._1))
       .map { case (s, l) => s"$s=$l" }.mkString("\t")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     w4(7); w4(13); w4(1); w4(longMap.length); out.write(longMap)
+    val vlsCols = cols.indices.filter(i => widths(i) > 255)
+    if (vlsCols.nonEmpty) {
+      val body = vlsCols.map(i => f"${shortNames(i)}=${widths(i)}%05d")
+        .mkString("\u0000\t") + "\u0000\t"
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      w4(7); w4(14); w4(1); w4(b.length); out.write(b)
+    }
     w4(999); w4(0)
 
     // --- data
@@ -540,19 +628,27 @@ object Sav {
           while (k < 8) { b(k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1 }
           els += b
         } else {
-          val n = (w + 7) / 8
-          val raw = new Array[Byte](n * 8)
-          java.util.Arrays.fill(raw, ' '.toByte)
-          r(i) match {
-            case null => ()
+          val vb = r(i) match {
+            case null => Array.emptyByteArray
             case s: String =>
-              val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              b.copyToArray(raw)
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             case other => throw new IllegalArgumentException(
               s"string column '${cols(i)._1}' got ${other.getClass.getName}")
           }
-          (0 until n).foreach(k =>
-            els += java.util.Arrays.copyOfRange(raw, k * 8, k * 8 + 8))
+          // one space-padded area per segment; non-final segments take
+          // 252 REAL bytes into a 256-byte (32-slot) area
+          var at = 0
+          segWidthsOf(w).foreach { segW =>
+            val real = if (segW == 255) 252 else segW
+            val n = (segW + 7) / 8
+            val raw = new Array[Byte](n * 8)
+            java.util.Arrays.fill(raw, ' '.toByte)
+            val take = math.max(0, math.min(real, vb.length - at))
+            if (take > 0) System.arraycopy(vb, at, raw, 0, take)
+            at += real
+            (0 until n).foreach(k =>
+              els += java.util.Arrays.copyOfRange(raw, k * 8, k * 8 + 8))
+          }
         }
       }
       els.toSeq
@@ -567,11 +663,13 @@ object Sav {
       val cmds = mutable.ArrayBuffer.empty[Int]
       val raws = mutable.ArrayBuffer.empty[Array[Byte]]
       val numericAt = {
-        // element index -> is it a numeric slot (biasable)?
+        // element index -> is it a numeric slot (biasable)? VLS string
+        // columns occupy one slot group PER SEGMENT
         val flags = mutable.ArrayBuffer.empty[Boolean]
         cols.indices.foreach { i =>
           if (widths(i) == 0) flags += true
-          else (0 until (widths(i) + 7) / 8).foreach(_ => flags += false)
+          else segWidthsOf(widths(i)).foreach(s =>
+            (0 until (s + 7) / 8).foreach(_ => flags += false))
         }
         flags.toIndexedSeq
       }

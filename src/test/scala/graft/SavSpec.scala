@@ -79,6 +79,50 @@ class SavSpec extends SparkSpec {
     }
   }
 
+  test("very long strings (info 14) fold across 252-byte segments") {
+    // tools/make_sav_fixture.py VLS_ROWS: id f8 + one 600-wide text in
+    // three segments (255/255/96 declared, 252/252/96 real)
+    val wide = Sav.readSavRecords(spark, s"$dir/fixture_vls.sav")
+      .orderBy("row").select($"id", $"txt")
+      .as[(Double, Option[String])].collect()
+    assert(wide.length === 12)
+    wide.zipWithIndex.foreach { case ((id, txt), i) =>
+      assert(id === i.toDouble)
+      val expect =
+        if (i == 4) None
+        else Some(s"doc$i:" + (0 until (i * 83) % 592)
+          .map(j => (97 + (i * 7 + j) % 26).toChar).mkString)
+      assert(txt === expect, s"row $i")
+    }
+  }
+
+  test("VLS writer round-trips through plain, bytecode AND zsav codecs") {
+    val cols = Seq(("k", true), ("doc", false), ("tag", false))
+    val n = 40
+    def docOf(i: Int): String =
+      if (i % 7 == 2) "short"
+      else s"D$i|" + ("abcdefghij" * 80).take(300 + (i * 61) % 400)
+    val data = (0 until n).map { i =>
+      Seq[Any](i.toDouble, if (i % 9 == 5) null else docOf(i), s"t${i % 4}")
+    }
+    Seq(("plain", Sav.dumps(cols, data)),
+        ("bytecode", Sav.dumps(cols, data, bytecode = true)),
+        ("zsav", Sav.dumps(cols, data, zsav = true))).foreach {
+      case (label, blob) =>
+        val wide = Sav.records(
+            Sav.readSavBlobs(spark, Seq(("t.sav", blob))), cols)
+          .orderBy("row").select($"k", $"doc", $"tag")
+          .as[(Double, Option[String], String)].collect()
+        assert(wide.length === n, label)
+        wide.zipWithIndex.foreach { case ((k, doc, tag), i) =>
+          assert(k === i.toDouble, label)
+          assert(doc === (if (i % 9 == 5) None else Some(docOf(i))),
+            s"$label row $i")
+          assert(tag === s"t${i % 4}", label)
+        }
+    }
+  }
+
   test("corrupt zsav block tables refuse loudly, never decode garbage") {
     val good = bytes("fixture_zlib.zsav")
     val meta = Sav.parseMeta(good)

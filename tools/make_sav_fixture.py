@@ -92,11 +92,11 @@ def dictionary() -> bytes:
     return d
 
 
-def header(compression: int) -> bytes:
+def header(compression: int, case_size: int = 4, n_rows: int = None) -> bytes:
     h = b"$FL3" if compression == 2 else b"$FL2"
     h += pad(b"@(#) SPSS DATA FILE graft fixture", 60)
-    h += struct.pack("<iiii", 2, 4, compression, 0)  # layout, case size,
-    h += struct.pack("<i", len(ROWS))                # compression, weight
+    h += struct.pack("<iiii", 2, case_size, compression, 0)  # layout, size,
+    h += struct.pack("<i", len(ROWS) if n_rows is None else n_rows)
     h += struct.pack("<d", 100.0)                    # bias
     h += pad(b"15 Aug 26", 9)
     h += pad(b"12:00:00", 8)
@@ -182,6 +182,50 @@ def zlib_data(dict_len: int) -> bytes:
     return out
 
 
+# --- very long strings (info subtype 14): one id + one 600-wide text.
+# 600 bytes span 3 segments (255/255/96 declared; 252/252/96 real data)
+VLS_W = 600
+VLS_ROWS = [
+    (float(i),
+     "" if i == 4 else
+     f"doc{i}:" + "".join(chr(97 + (i * 7 + j) % 26)
+                          for j in range((i * 83) % (VLS_W - 8))))
+    for i in range(12)
+]
+
+
+def _segment(name: bytes, w: int) -> bytes:
+    out = var_record(w, name)
+    for _ in range((w + 7) // 8 - 1):
+        out += var_record(-1, b"")
+    return out
+
+
+def vls_file() -> bytes:
+    d = var_record(0, b"ID")
+    d += _segment(b"LONGTXT", 255)
+    d += _segment(b"LONGTX0", 255)
+    d += _segment(b"LONGTX1", VLS_W - 504)
+    ln = b"ID=id\tLONGTXT=txt"
+    d += struct.pack("<iiii", 7, 13, 1, len(ln)) + ln
+    vl = b"LONGTXT=00600\x00\t"
+    d += struct.pack("<iiii", 7, 14, 1, len(vl)) + vl
+    d += struct.pack("<ii", 999, 0)
+    case_size = 1 + 32 + 32 + (VLS_W - 504 + 7) // 8
+    data = b""
+    for rid, txt in VLS_ROWS:
+        els = struct.pack("<d", rid)
+        b = txt.encode("ascii")
+        for real, area in ((252, 256), (252, 256),
+                           (VLS_W - 504, (VLS_W - 504 + 7) // 8 * 8)):
+            seg = b[:real]
+            b = b[real:]
+            els += seg + b" " * (area - len(seg))
+        assert len(els) == case_size * 8
+        data += els
+    return header(0, case_size, len(VLS_ROWS)) + d + data
+
+
 def main():
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/sav"
     os.makedirs(out_dir, exist_ok=True)
@@ -191,6 +235,8 @@ def main():
         f.write(header(1) + dictionary() + bytecode_data())
     with open(f"{out_dir}/fixture_zlib.zsav", "wb") as f:
         f.write(header(2) + dictionary() + zlib_data(len(dictionary())))
+    with open(f"{out_dir}/fixture_vls.sav", "wb") as f:
+        f.write(vls_file())
     with open(f"{out_dir}/golden.csv", "w") as f:
         f.write("id,name,score\n")
         for rid, name, score in ROWS:
