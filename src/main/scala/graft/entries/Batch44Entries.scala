@@ -32,6 +32,11 @@ import graft.io.{Dta, Sas, Sav}
   *    StAX-walks its own workbooks; header + column types fitted once
   *    from the first workbook. FULL oracle — the workbooks' closed
   *    form.
+  *  - `read_sas_rdc`: RDC-compressed ("SASYZCR2") sas7bdat — the
+  *    OTHER SAS codec, control-word commands (fills + back-copies)
+  *    probed against pandas byte-for-byte; same subheader-per-row
+  *    shape as RLE, so the page-parallel scan splits it identically.
+  *    FULL oracle.
   *  - `read_feather`: Feather v2 / Arrow IPC (the LAST named format in
   *    the reference writers map, property.py:2835) — flatbuffer
   *    footer/schema/batch navigation with a ~60-line vtable walker,
@@ -125,6 +130,23 @@ object Batch44Entries {
     }
   }
 
+  private val rdcFileCache =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def rdcFile(): String = {
+    val cached = rdcFileCache.get()
+    if (cached != null) cached
+    else {
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_sas_rdc_", ".sas7bdat")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.write(tmp,
+        Sas.dumps(rleCols, rleRows(600 until 1200), rdc = true))
+      rdcFileCache.compareAndSet(null, tmp.toString)
+      rdcFileCache.get()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // half the rows arrive as an in-memory RLE blob through the
@@ -135,6 +157,18 @@ object Batch44Entries {
         ("shard_a.sas7bdat",
           Sas.dumps(rleCols, rleRows(0 until 600), rle = true))))
       val paged = Sas.readSasPaged(s, rleFile())
+      Sas.records(whole.unionByName(paged), rleCols)
+        .select(col("id"), col("grp"), col("score"), col("note"))
+        .orderBy("id")
+    }),
+
+    // the OTHER SAS codec through both decode paths: one RDC blob
+    // whole-file, one RDC file through the page-parallel scan
+    "read_sas_rdc" -> ((s, dir) => {
+      val whole = Sas.readSasBlobs(s, Seq(
+        ("shard_a.sas7bdat",
+          Sas.dumps(rleCols, rleRows(0 until 600), rdc = true))))
+      val paged = Sas.readSasPaged(s, rdcFile())
       Sas.records(whole.unionByName(paged), rleCols)
         .select(col("id"), col("grp"), col("score"), col("note"))
         .orderBy("id")
@@ -154,6 +188,24 @@ object Batch44Entries {
           bytecode = true))))
       Sav.records(cells, cols)
         .select(col("id"), col("grp"), col("score"), col("note"))
+        .orderBy("id")
+    }),
+
+    // very long strings (info subtype 14): values past 255 bytes span
+    // 252-byte segments; one zsav shard + one plain shard, strings up
+    // to ~600 bytes, one closed form
+    "read_sav_vls" -> ((s, dir) => {
+      val cols = Seq(("id", true), ("doc", false))
+      def rows(ids: Range): Seq[Seq[Any]] = ids.map { i =>
+        Seq[Any](i.toDouble,
+          if (i % 6 == 0) null
+          else s"d$i:" + ("x" * ((i * 53) % 580)))
+      }
+      val cells = Sav.readSavBlobs(s, Seq(
+        ("shard_a.sav", Sav.dumps(cols, rows(0 until 150))),
+        ("shard_b.zsav", Sav.dumps(cols, rows(150 until 300), zsav = true))))
+      Sav.records(cells, cols)
+        .select(col("id"), col("doc"))
         .orderBy("id")
     }),
 
@@ -212,6 +264,18 @@ object Batch44Entries {
                        repeat('y', CAST(id % 37 AS INTEGER)) END AS note
       FROM range(1200) t(id) ORDER BY id""",
 
+    // the RDC twin of read_sas_rle's closed form — the two SAS codecs
+    // must land on identical records
+    "read_sas_rdc" -> """
+      SELECT CAST(id AS DOUBLE) AS id,
+             'g' || CAST(id % 3 AS VARCHAR) AS grp,
+             CASE WHEN id % 4 = 0 THEN NULL
+                  ELSE CAST(id AS DOUBLE) * 0.5 - 3.0 END AS score,
+             CASE WHEN id % 5 = 0 THEN NULL
+                  ELSE 'n' || CAST(id AS VARCHAR) ||
+                       repeat('y', CAST(id % 37 AS INTEGER)) END AS note
+      FROM range(1200) t(id) ORDER BY id""",
+
     // the zsav/bytecode pair's shared closed form: 600 rows, any
     // divergence between the two codecs breaks exactly this entry
     "read_zsav" -> """
@@ -222,6 +286,16 @@ object Batch44Entries {
              CASE WHEN id % 5 = 0 THEN NULL
                   ELSE 'n' || CAST(id AS VARCHAR) END AS note
       FROM range(600) t(id) ORDER BY id""",
+
+    // the segment-fold arithmetic in closed form: doc lengths sweep
+    // 0..579 so every segment-count class (1, 2 and 3 segments) is hit
+    "read_sav_vls" -> """
+      SELECT CAST(id AS DOUBLE) AS id,
+             CASE WHEN id % 6 = 0 THEN NULL
+                  ELSE 'd' || CAST(id AS VARCHAR) || ':' ||
+                       repeat('x', CAST((id * 53) % 580 AS INTEGER))
+             END AS doc
+      FROM range(300) t(id) ORDER BY id""",
 
     // strL + fixed-width shards share one closed form — a ref-decode
     // or GSO-table divergence breaks exactly this entry
