@@ -404,7 +404,10 @@ object Dta {
           Option(r(i)).fold(0)(_.asInstanceOf[String]
             .getBytes(java.nio.charset.StandardCharsets.UTF_8).length))
           .foldLeft(0)(math.max))
-        require(w <= 2045, s"string column '$name' wider than 2045")
+        // strL payloads are u4-length GSO entries — the 2045 cap is a
+        // fixed-width (str#) constraint only
+        require(strl || w <= 2045, s"string column '$name' wider than " +
+          "2045 — use dumps(..., strl = true)")
         w
       }
     }

@@ -161,12 +161,16 @@ object Excel {
       .select(col("path"), col("content"))
     val rdd = bin.rdd.flatMap { r =>
       val file = r.getString(0)
-      val (names, data) =
+      val (names0, data) =
         xlsxFirstSheetStrings(r.getAs[Array[Byte]](1), header)
+      // cells key under the DEDUPED names the fitted schema carries
+      // (repeated header labels are routine in real spreadsheets);
+      // null cells are emitted too — an all-blank spreadsheet row must
+      // still form a pivot group instead of silently vanishing
+      val names = TypedRows.dedupeNames(names0)
       data.iterator.zipWithIndex.flatMap { case (vals, i) =>
-        names.iterator.zip(vals.iterator).collect {
-          case (k, v) if v != null =>
-            Row(file, i.toLong, k, "str", v, null)
+        names.iterator.zip(vals.iterator).map { case (k, v) =>
+          Row(file, i.toLong, k, "str", v, null)
         }
       }
     }
@@ -180,13 +184,15 @@ object Excel {
   def readXlsxDir(spark: SparkSession, path: String,
                   header: Boolean = true): DataFrame = {
     val firstBytes = PagedScan.firstFileBytes(spark, path)
-    val (names, sample) = xlsxFirstSheetStrings(firstBytes, header)
-    require(names.nonEmpty, "first workbook has no columns")
-    val fitted = TypedRows.toDf(spark, names, sample).schema
+    val (names0, sample) = xlsxFirstSheetStrings(firstBytes, header)
+    require(names0.nonEmpty, "first workbook has no columns")
+    val names = TypedRows.dedupeNames(names0)
+    val fitted = TypedRows.toDf(spark, names0, sample).schema
     val wide = Sas.records(readXlsxDirCells(spark, path, header),
       names.map(n => (n, false)))
+    // backticked refs: header labels may carry dots/spaces
     wide.select(col("src_file") +: col("row") +: fitted.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+      col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
   }
 
   /** Minimal xlsx writer (numbers as native cells, everything else as

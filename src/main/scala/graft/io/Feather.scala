@@ -335,24 +335,29 @@ object Feather {
       val end = from + len
       var ip = from
       var op = outFrom
+      def take(): Int = {
+        require(ip < end, "feather: lz4 block truncated mid-sequence")
+        val b = u8v(src, ip); ip += 1; b
+      }
       while (ip < end) {
-        val token = u8v(src, ip); ip += 1
+        val token = take()
         var litLen = token >> 4
         if (litLen == 15) {
           var x = 255
-          while (x == 255) { x = u8v(src, ip); ip += 1; litLen += x }
+          while (x == 255) { x = take(); litLen += x }
         }
         require(ip + litLen <= end && op + litLen <= out.length,
           "feather: lz4 literal overrun")
         System.arraycopy(src, ip, out, op, litLen)
         ip += litLen; op += litLen
         if (ip < end) { // the last sequence has no match part
+          require(ip + 2 <= end, "feather: lz4 block truncated at offset")
           val offset = u16(src, ip); ip += 2
           require(offset > 0 && offset <= op, "feather: lz4 match offset")
           var matchLen = (token & 0x0F) + 4
           if ((token & 0x0F) == 15) {
             var x = 255
-            while (x == 255) { x = u8v(src, ip); ip += 1; matchLen += x }
+            while (x == 255) { x = take(); matchLen += x }
           }
           require(op + matchLen <= out.length, "feather: lz4 match overrun")
           var i = 0
@@ -625,14 +630,21 @@ object Feather {
     // too-short head; the footer length field bounds the real need)
     var tailLen = math.min(fileLen, 1L << 16).toInt
     var meta: Option[FeatherMeta] = None
+    // widen ONLY on too-short-slice symptoms (the footer-length fit
+    // check, or flatbuffer offsets running off the slice start) — a
+    // definitive refusal (big-endian, bad version, unsupported type)
+    // must NOT trigger a geometric re-read up to the whole file
+    def sliceTooShort(e: Throwable): Boolean = e match {
+      case _: IndexOutOfBoundsException => true
+      case _: NegativeArraySizeException => true
+      case _ => Option(e.getMessage).exists(m =>
+        m.contains("does not fit the buffer"))
+    }
     while (meta.isEmpty) {
       val tail = PagedScan.readTail(spark, path, fileLen - tailLen, tailLen)
-      try {
-        // footer flatbuffer addresses are tail-relative only when the
-        // slice holds the whole footer; widen until the parse closes
-        meta = Some(parseFooterTail(tail))
-      } catch {
-        case e: Exception if tailLen < fileLen =>
+      try meta = Some(parseFooterTail(tail))
+      catch {
+        case e: Exception if tailLen < fileLen && sliceTooShort(e) =>
           tailLen = math.min(fileLen, tailLen.toLong * 8).toInt
       }
     }

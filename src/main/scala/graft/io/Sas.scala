@@ -581,6 +581,8 @@ object Sas {
           // matched to pandas so both accept the same files
           (raw + raw % 8,
             math.min(meta.mixPageRowCount, meta.rowCount - seen))
+        } else if (pageType == 0x9000) {
+          refuse("compressed page (type 0x9xxx)") // as pageRows does
         } else (0, 0L)
       var r = 0L
       while (r < n) {
@@ -668,10 +670,14 @@ object Sas {
     // and order-preserving, NOT dense. RLE pages can hold more rows
     // than pageSize/rowLength (compression), so the stride there is the
     // pointer-count ceiling instead.
+    // compressed pages bound rows by pointer size (>= 12 bytes each),
+    // but a compressed FILE may still carry stride-row mix/data pages —
+    // take the larger bound or ids from adjacent pages could collide
+    val strideCap = meta.pageSize / math.max(1, meta.rowLength) + 1
     val rowCap =
       if (meta.compression != CompNone)
-        meta.pageSize / 12 + 1 // one 12/24-byte ptr per row
-      else meta.pageSize / math.max(1, meta.rowLength) + 1
+        math.max(meta.pageSize / 12 + 1, strideCap)
+      else strideCap
     PagedScan.scan(spark, path, cellSchema, meta.pageCount,
       meta.headerLength.toLong, meta.pageSize.toLong, partitions) {
       (buf, startPage, nPages) =>

@@ -184,8 +184,11 @@ object Sav {
                 .map(_.replace("\u0000", "").trim)
                 .filter(_.nonEmpty)
                 .map(_.split("=", 2)).collect {
-                  case Array(s, w) if s.nonEmpty && w.nonEmpty =>
-                    s.trim -> w.trim.toInt
+                  case Array(s, w) if s.nonEmpty && w.trim.nonEmpty =>
+                    val wt = w.trim
+                    if (!wt.forall(_.isDigit))
+                      refuse(s"non-numeric very-long-string width '$wt'")
+                    s.trim -> wt.toInt
                 }.toMap
             case _ => ()
           }
@@ -577,13 +580,17 @@ object Sav {
     out.write(Array[Byte](0, 0, 0))
 
     val shortNames = cols.indices.map(i => f"VAR${i + 1}%05d")
+    var segSeq = 0
     cols.indices.foreach { i =>
       val segs = if (widths(i) == 0) Seq(0) else segWidthsOf(widths(i))
       segs.zipWithIndex.foreach { case (width, j) =>
         w4(2); w4(width); w4(0); w4(0)
         val fmt = if (width == 0) 0x050800 else 0x010000 | (width << 8)
         w4(fmt); w4(fmt)
-        ws(if (j == 0) shortNames(i) else f"S${i}_$j%04d", 8)
+        // global counter: f"S$i..$j" would blow the 8-byte field past
+        // 100 columns
+        ws(if (j == 0) shortNames(i)
+           else { segSeq += 1; f"S$segSeq%07d" }, 8)
         var extra = (if (width == 0) 1 else (width + 7) / 8) - 1
         while (extra > 0) {
           w4(2); w4(-1); w4(0); w4(0); w4(0); w4(0); ws("", 8)

@@ -11,15 +11,22 @@ import org.apache.spark.sql.types._
   * cells — these formats are small by construction. */
 private[graft] object TypedRows {
 
+  /** Numeric-suffix dedup for repeated header labels — exposed so the
+    * tall-cell path (Excel.readXlsxDir) keys cells under EXACTLY the
+    * names the fitted schema will carry. */
+  def dedupeNames(rawNames: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    rawNames.map { n =>
+      val k = seen.getOrElse(n, 0); seen(n) = k + 1
+      if (k == 0) n else s"${n}_$k"
+    }
+  }
+
   def toDf(spark: SparkSession, rawNames: Seq[String],
            data: Seq[Seq[String]]): DataFrame = {
     // real spreadsheets repeat header labels; dedupe with numeric
     // suffixes or the per-column cast below hits AMBIGUOUS_REFERENCE
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    val names = rawNames.map { n =>
-      val k = seen.getOrElse(n, 0); seen(n) = k + 1
-      if (k == 0) n else s"${n}_$k"
-    }
+    val names = dedupeNames(rawNames)
     val schema = StructType(names.map(StructField(_, StringType, true)))
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(

@@ -158,6 +158,15 @@ class DtaSpec extends SparkSpec {
       assert(txt === (if (i % 5 == 0) None else Some("t" * (i % 50) + s"#$i")))
       assert(note === s"n${i % 9}")
     }
+    // strings past the str# 2045 cap are exactly what strL is FOR
+    val big = Seq(Seq[Any](1.0, "z" * 5000, "n"))
+    val wideBlob = Dta.dumps(cols, big, strl = true)
+    val back = Dta.records(
+        Dta.readDtaBlobs(spark, Seq(("big.dta", wideBlob))), cols)
+      .select($"txt").as[String].head()
+    assert(back === "z" * 5000)
+    intercept[IllegalArgumentException] { Dta.dumps(cols, big) } // str# cap
+
     // flip one GSO's t byte to 129 (binary): loud refusal, not garbage
     val s = new String(blob, "ISO-8859-1")
     val g = s.indexOf("GSO")

@@ -140,6 +140,33 @@ class ExcelSpec extends SparkSpec {
       .select("src_file").distinct().count() === 6L)
   }
 
+  test("readXlsxDir survives duplicate and dotted headers and keeps " +
+      "all-blank rows (self-review regressions)") {
+    val dir = tmpDir()
+    // duplicate header 'v' and a dotted header — the deduped fitted
+    // schema and the cell keys must agree; row 2 is entirely blank
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("a", "b", "c"),
+        org.apache.spark.sql.Row("d", "e", "f"),
+        org.apache.spark.sql.Row(null, null, null),
+        org.apache.spark.sql.Row("g", "h", "i")),
+      StructType(Seq(StructField("v", StringType), StructField("v2", StringType),
+        StructField("px", StringType))))
+      .withColumnRenamed("v2", "v").withColumnRenamed("px", "p.x")
+    Excel.writeXlsx(new File(dir, "dup.xlsx").getPath, Seq("data" -> df))
+    val wide = Excel.readXlsxDir(spark, dir.getPath)
+    assert(wide.columns.toSeq === Seq("src_file", "row", "v", "v_1", "p.x"))
+    val got = wide.orderBy("row")
+      .select($"v", $"v_1",
+        org.apache.spark.sql.functions.col("`p.x`"))
+      .as[(Option[String], Option[String], Option[String])].collect()
+    assert(got.length === 4) // the all-blank row SURVIVES the pivot
+    assert(got(0) === ((Some("a"), Some("b"), Some("c"))))
+    assert(got(2) === ((None, None, None)))
+    assert(got(3) === ((Some("g"), Some("h"), Some("i"))))
+  }
+
   test("handcrafted xlsx: shared strings, rich text, gap cells, ragged rows") {
     val dir = tmpDir()
     val path = new File(dir, "hand.xlsx").getPath
