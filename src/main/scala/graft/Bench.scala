@@ -225,12 +225,16 @@ object Bench {
     def line(keys: Seq[String]): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${mapOf(keys, results)},"queries_min":${mapOf(keys, mins)},"headline_rule":"$headlineRule","sf":"$sfDir","cpus":$cpus,"timed_iters":$iters,"interleaved":true,"contended":$contended,"loadavg_at_start":$startLoad1m,"loadavg_per_pass":$loadsJson,"warmup_iters":$warmups,"warmup_sf":"${if (warmExists) warmDir else ""}","error_count":${errors.size},"errors":$errJson}"""
     // grow the headline map until the WHOLE line would cross the
-    // driver's retention window (heavy entries are never dropped —
-    // they were selected first)
+    // driver's retention window. The budget is a HARD cap: heavy
+    // entries get priority by iterating first, but force-including
+    // them past the window (the pre-r16 behavior) now OVERFLOWS it —
+    // with queries_min doubling per-key cost, a contended run's long
+    // heavy list pushed the line to 2.5k chars and the driver's tail
+    // capture would truncate the line's head, breaking its json parse.
     val budget = 1950
     val picked = scala.collection.mutable.ArrayBuffer[String]()
     for (n <- heavy ++ reps) {
-      if (line((picked :+ n).toSeq).length <= budget || heavy.contains(n))
+      if (line((picked :+ n).toSeq).length <= budget)
         picked += n
     }
     println(line(picked.toSeq))
