@@ -231,6 +231,36 @@ object Batch44Entries {
         .orderBy("id")
     }),
 
+    // the media-corpus glue: BMP blobs land as an Arrow BINARY column
+    // (the real-world layout for media corpora), come back through the
+    // TYPED feather reader, and run the perceptual-dedup stack — the
+    // same 112 pairs image_near_dups_256's oracle brute-forces from
+    // the pixel closed form, so the ingest path is oracle-gated end
+    // to end (the npy_ann_topk composition convention)
+    "feather_media_dedup" -> ((s, dir) => {
+      val media = Batch42Entries.dhash256Bmps(s)
+      val rows = media.select(col("media_id"), col("content"),
+          col("meta.format"), col("meta.width"), col("meta.height"))
+        .collect() // 32 fixture rows — a bounded driver write
+        .map(r => Seq[Any](r.getLong(0).toDouble, r.getAs[Array[Byte]](1),
+          r.getString(2), r.getInt(3).toDouble, r.getInt(4).toDouble))
+        .toSeq
+      val blob = graft.io.Feather.dumpsTyped(
+        Seq(("media_id", 'n'), ("content", 'y'), ("format", 's'),
+          ("width", 'n'), ("height", 'n')), rows, rowsPerBatch = 8)
+      val typed = graft.io.Feather.readFeatherTypedBlobs(s,
+        Seq(("corpus.feather", blob)))
+      val rebuilt = typed.select(
+        col("media_id").cast("long").as("media_id"),
+        col("content"),
+        struct(col("format"), col("width").cast("int").as("width"),
+          col("height").cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+      graft.mm.Multimodal.bandedNearDups(
+          graft.mm.Multimodal.imageDHash256(rebuilt), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "read_feather" -> ((s, dir) => {
       val cols = Seq(("id", true), ("grp", false), ("score", true),
         ("note", false))
@@ -319,6 +349,10 @@ object Batch44Entries {
              CASE WHEN id % 5 = 0 THEN NULL
                   ELSE 'n' || CAST(id AS VARCHAR) END AS note
       FROM range(600) t(id) ORDER BY id""",
+
+    // image_near_dups_256's oracle verbatim: the feather round-trip
+    // must be invisible to the pixel arithmetic
+    "feather_media_dedup" -> Batch42Entries.oracleSql("image_near_dups_256"),
 
     // the two feather shards' shared closed form — whole-file and
     // batch-parallel decode paths must agree bit for bit

@@ -210,6 +210,7 @@ object Feather {
         val unit = tt.i16f(0) // SECOND/MILLI/MICRO/NANO = 0..3
         if (unit < 0 || unit > 3) refuse(s"timestamp unit $unit in '$name'")
         FeatherCol(name, 't', unit)
+      case 4 => FeatherCol(name, 'y', 0) // Binary: 32-bit offsets
       case 20 => FeatherCol(name, 'S', 0) // LargeUtf8: 64-bit offsets
       case other =>
         refuse(s"column '$name' has unsupported Arrow type tag $other " +
@@ -472,6 +473,13 @@ object Feather {
               new String(data, s, e - s,
                 java.nio.charset.StandardCharsets.UTF_8)
             })
+          case 'y' => // Binary: utf8's buffer shape, raw bytes out
+            val offs = nextBuf()
+            val data = nextBuf()
+            (c, (r: Int) => if (!isSet(r)) null else {
+              val s = i32(offs, 4 * r); val e = i32(offs, 4 * r + 4)
+              java.util.Arrays.copyOfRange(data, s, e)
+            })
           case 'S' => // LargeUtf8: 64-bit offsets, same shape
             val offs = nextBuf()
             val data = nextBuf()
@@ -563,6 +571,9 @@ object Feather {
 
   private def cells(file: String, bytes: Array[Byte]): Iterator[Row] = {
     val meta = parseFooter(bytes)
+    meta.cols.find(_.kind == 'y').foreach(c =>
+      refuse(s"binary column '${c.name}' has no tall-cell channel — " +
+        "use readFeatherTyped, which keeps BinaryType columns"))
     val dicts = parseDicts(bytes, meta)
     var rowBase = 0L
     meta.blocks.iterator.flatMap { case (off, metaLen, _) =>
@@ -689,6 +700,67 @@ object Feather {
         }
       }
     spark.createDataFrame(rdd, cellSchema)
+  }
+
+  /** The Spark schema a typed feather read carries: numerics widen to
+    * double (the family convention), text/dates/dicts land as string,
+    * Binary stays BinaryType — the channel the tall-cell layout lacks. */
+  def featherSchema(meta: FeatherMeta): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(meta.cols.map(c => StructField(c.name, c.kind match {
+      case 'l' | 'u' | 'f' | 'b' => DoubleType
+      case 'y' => BinaryType
+      case _ => StringType
+    }, nullable = true)))
+  }
+
+  /** TYPED read: one DataFrame row per record row, columns under
+    * [[featherSchema]] — the path for files carrying BINARY columns
+    * (media blobs in Arrow corpora), which the tall-cell pivot cannot
+    * hold. Per-partition parse over binaryFile like [[readFeather]];
+    * every file must carry the FIRST file's column list. */
+  def readFeatherTyped(spark: SparkSession, path: String): DataFrame = {
+    val firstBytes = PagedScan.firstFileBytes(spark, path)
+    typedFrom(spark, parseFooter(firstBytes),
+      spark.read.format("binaryFile").load(path)
+        .select(col("path"), col("content")).rdd
+        .map(r => (r.getString(0), r.getAs[Array[Byte]](1))))
+  }
+
+  /** In-memory blobs through the typed kernel. */
+  def readFeatherTypedBlobs(spark: SparkSession,
+                            blobs: Seq[(String, Array[Byte])]): DataFrame = {
+    require(blobs.nonEmpty, "readFeatherTypedBlobs needs at least one blob")
+    typedFrom(spark, parseFooter(blobs.head._2),
+      spark.sparkContext.parallelize(blobs, math.min(blobs.size, 32)))
+  }
+
+  private def typedFrom(spark: SparkSession, first: FeatherMeta,
+                        files: org.apache.spark.rdd.RDD[(String, Array[Byte])])
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      StructField("src_file", StringType, nullable = false) +:
+      StructField("row", LongType, nullable = false) +:
+      featherSchema(first).fields.toSeq)
+    val expect = first.cols.map(c => (c.name, c.kind))
+    val rdd = files.flatMap { case (file, bytes) =>
+      val meta = parseFooter(bytes)
+      require(meta.cols.map(c => (c.name, c.kind)) == expect,
+        s"feather: $file's columns ${meta.cols.map(_.name)} do not " +
+          s"match the first file's ${expect.map(_._1)}")
+      val dicts = parseDicts(bytes, meta)
+      var rowBase = 0L
+      meta.blocks.iterator.flatMap { case (off, metaLen, _) =>
+        val rows = batchRows(bytes, off.toInt, metaLen, meta, dicts)
+          .zipWithIndex.map { case (vals, r) =>
+            Row.fromSeq(file +: java.lang.Long.valueOf(rowBase + r) +: vals)
+          }.toSeq
+        rowBase += rows.length
+        rows
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** [[readFeatherPaged]] over a directory/glob of large files — both
@@ -853,8 +925,18 @@ object Feather {
     * Double (null = validity 0) or String, the [[Sas.dumps]] value
     * convention. */
   def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]],
-            rowsPerBatch: Int = 1 << 16): Array[Byte] = {
+            rowsPerBatch: Int = 1 << 16): Array[Byte] =
+    dumpsTyped(cols.map { case (n, isNum) =>
+      (n, if (isNum) 'n' else 's') }, data, rowsPerBatch)
+
+  /** [[dumps]] with explicit column kinds: 'n' double, 's' utf8,
+    * 'y' BINARY (Array[Byte] cells — the Arrow channel for media
+    * blobs). */
+  def dumpsTyped(cols: Seq[(String, Char)], data: Seq[Seq[Any]],
+                 rowsPerBatch: Int = 1 << 16): Array[Byte] = {
     require(cols.nonEmpty, "dumps needs at least one column")
+    require(cols.forall(c => "nsy".contains(c._2)),
+      s"column kinds must be n/s/y: $cols")
     data.foreach(r => require(r.length == cols.length,
       s"row arity ${r.length} != ${cols.length} columns"))
     val out = new java.io.ByteArrayOutputStream()
@@ -867,15 +949,20 @@ object Feather {
 
     // --- schema message (shared shape with the footer's schema)
     def schemaNode(b: FbBuilder): b.Node = {
-      val fields = cols.map { case (name, isNum) =>
+      val fields = cols.map { case (name, kind) =>
         val nameN = b.string(name)
         val typeN =
-          if (isNum) b.table(Seq(b.Slot(0, 's', 2L))) // FloatingPoint DOUBLE
-          else b.table(Seq.empty) // Utf8
+          if (kind == 'n') b.table(Seq(b.Slot(0, 's', 2L))) // FP DOUBLE
+          else b.table(Seq.empty) // Utf8 and Binary: empty type tables
+        val tag = kind match {
+          case 'n' => 3L // FloatingPoint
+          case 'y' => 4L // Binary
+          case _ => 5L // Utf8
+        }
         b.table(Seq(
           b.Slot(0, 'o', 0L, nameN),
           b.Slot(1, 'b', 1L), // nullable
-          b.Slot(2, 'b', if (isNum) 3L else 5L), // type_type
+          b.Slot(2, 'b', tag), // type_type
           b.Slot(3, 'o', 0L, typeN)))
       }
       b.table(Seq(b.Slot(1, 'o', 0L, b.offsetVector(fields))))
@@ -910,7 +997,7 @@ object Feather {
         body.write(bytes)
         while (body.size() % 8 != 0) body.write(0)
       }
-      val nodes = cols.zipWithIndex.map { case ((_, isNum), ci) =>
+      val nodes = cols.zipWithIndex.map { case ((_, kind), ci) =>
         val validity = new Array[Byte]((n + 7) / 8)
         var nulls = 0L
         chunk.zipWithIndex.foreach { case (r, i) =>
@@ -919,7 +1006,7 @@ object Feather {
           else nulls += 1
         }
         addBuf(validity)
-        if (isNum) {
+        if (kind == 'n') {
           val d = new Array[Byte](8 * n)
           chunk.zipWithIndex.foreach { case (r, i) =>
             val bits = r(ci) match {
@@ -935,12 +1022,15 @@ object Feather {
           }
           addBuf(d)
         } else {
+          // utf8 and binary share the offsets+data shape
           val strs = chunk.map(r => r(ci) match {
             case null => Array.emptyByteArray
-            case s: String =>
+            case s: String if kind == 's' =>
               s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case b: Array[Byte] if kind == 'y' => b
             case other => throw new IllegalArgumentException(
-              s"string column got ${other.getClass.getName}")
+              s"${if (kind == 'y') "binary" else "string"} column got " +
+                other.getClass.getName)
           })
           val offs = new Array[Byte](4 * (n + 1))
           var acc = 0

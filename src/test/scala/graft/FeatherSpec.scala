@@ -177,6 +177,44 @@ class FeatherSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
+  test("binary columns: typed read keeps bytes exactly; the tall-cell " +
+      "path refuses them loudly; writer round-trips") {
+    // pyarrow-written blobs byte-for-byte
+    val typed = Feather.readFeatherTyped(spark, s"$dir/fixture_bin.feather")
+      .orderBy("row").select($"media_id", $"blob")
+      .as[(Double, Option[Array[Byte]])].collect()
+    assert(typed.length === 6)
+    typed.zipWithIndex.foreach { case ((id, blob), i) =>
+      assert(id === i.toDouble)
+      if (i == 3) assert(blob === None)
+      else assert(blob.get.toSeq ===
+        (0 until i * 11 + 1).map(j => ((i * 37 + j) % 256).toByte), s"$i")
+    }
+    val e = intercept[Exception] {
+      Feather.readFeather(spark, s"$dir/fixture_bin.feather").collect()
+    }
+    assert(e.getMessage.contains("readFeatherTyped"))
+    // Scala writer: kinds n/s/y round-trip through the typed reader
+    val cols = Seq(("k", 'n'), ("tag", 's'), ("payload", 'y'))
+    val data = (0 until 200).map { i =>
+      Seq[Any](i.toDouble, s"t${i % 5}",
+        if (i % 7 == 3) null
+        else Array.tabulate[Byte](i % 40 + 1)(j => ((i + j * 13) % 256).toByte))
+    }
+    val blob = Feather.dumpsTyped(cols, data, rowsPerBatch = 64)
+    val back = Feather.readFeatherTypedBlobs(spark, Seq(("t.feather", blob)))
+      .orderBy("row").select($"k", $"tag", $"payload")
+      .as[(Double, String, Option[Array[Byte]])].collect()
+    assert(back.length === 200)
+    back.zipWithIndex.foreach { case ((k, tag, payload), i) =>
+      assert(k === i.toDouble)
+      assert(tag === s"t${i % 5}")
+      if (i % 7 == 3) assert(payload === None)
+      else assert(payload.get.toSeq ===
+        (0 until i % 40 + 1).map(j => ((i + j * 13) % 256).toByte), s"$i")
+    }
+  }
+
   test("readFeatherPagedAll unions per-file batch scans over a directory") {
     val cols = Seq(("k", true), ("txt", false))
     val tmp = java.nio.file.Files.createTempDirectory("graft_feather_all")

@@ -90,6 +90,15 @@ def main():
     feather.write_feather(
         pa.table({"k": pa.array([1, 2 ** 60], type=pa.int64())}),
         f"{out_dir}/fixture_bigint.feather", compression="uncompressed")
+    # binary columns (media blobs): read through readFeatherTyped — the
+    # tall-cell pivot refuses them loudly
+    feather.write_feather(
+        pa.table({"media_id": pa.array(range(6), type=pa.int64()),
+                  "blob": pa.array([None if i == 3 else
+                                    bytes((i * 37 + j) % 256
+                                          for j in range(i * 11 + 1))
+                                    for i in range(6)], type=pa.binary())}),
+        f"{out_dir}/fixture_bin.feather", compression="uncompressed")
     print(f"wrote fixtures to {out_dir}")
 
 
