@@ -28,10 +28,13 @@ import scala.collection.mutable
   *  - fixed-width str# columns AND strL columns (type 32768): cells
   *    carry (v, o) refs — u4+u4 in 117, u2+u48 in 118, both confirmed
   *    against pandas.to_stata(convert_strl) output — resolved through
-  *    the <strls> GSO table; ascii/utf-8 payloads (t=130) decode,
-  *    BINARY strL (t=129) refuses. The paged scan refuses strL files
-  *    (refs resolve against the file-global GSO table; use readDta,
-  *    which parses whole files per-partition);
+  *    the <strls> GSO table. Text payloads (t=130) decode on every
+  *    path; BINARY strL (t=129) has no tall-cell channel, so the
+  *    cells()/records() paths refuse it toward [[readDtaTyped]],
+  *    which carries it as BinaryType. The paged scan splits strL
+  *    files too — refs travel as markers and resolve via an equi-join
+  *    against a GSO-section scan (the GSO scan itself is one task,
+  *    bounded by the section's <map> length);
   *  - all five numeric types, every missing class (., .a–.z) → null.
   *
   * Layout mirrors [[Sas]]/[[Sav]]: per-partition parse, tall cells,
@@ -47,7 +50,7 @@ object Dta {
 
   final case class DtaMeta(release: Int, nVars: Int, nRows: Long,
                            vars: Seq[DtaVar], dataAt: Long, utf8: Boolean,
-                           strlsAt: Long = -1L)
+                           strlsAt: Long = -1L, strlsEndAt: Long = -1L)
 
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(
@@ -202,18 +205,18 @@ object Dta {
     val dataAt = tag(bytes, map(9), "<data>")
     val vars = names.zip(codes).map { case (nm, c) => varOf(release, nm, c) }
     DtaMeta(release, k, n, vars, dataAt, utf8 = release == 118,
-      strlsAt = map(10))
+      strlsAt = map(10), strlsEndAt = map(11))
   }
 
-  /** Parse the <strls> GSO table into (v, o) → payload. Layout per the
-    * spec and pandas.to_stata's bytes: "GSO" + v u4 + o (u4 in 117,
-    * u8 in 118) + t u1 (130 = text incl. trailing NUL, 129 = binary)
-    * + len u4 + payload. */
-  private def parseStrls(bytes: Array[Byte],
-                         meta: DtaMeta): Map[(Long, Long), String] = {
+  /** Parse the <strls> GSO table into (v, o) → (t, payload bytes).
+    * Layout per the spec and pandas.to_stata's bytes: "GSO" + v u4 +
+    * o (u4 in 117, u8 in 118) + t u1 (130 = text incl. trailing NUL,
+    * 129 = binary) + len u4 + payload. */
+  private def parseStrlsTyped(bytes: Array[Byte], meta: DtaMeta)
+      : Map[(Long, Long), (Int, Array[Byte])] = {
     require(meta.strlsAt >= 0, "dta: strL columns need a <strls> section")
     var at = tag(bytes, meta.strlsAt, "<strls>")
-    val out = Map.newBuilder[(Long, Long), String]
+    val out = Map.newBuilder[(Long, Long), (Int, Array[Byte])]
     while (!(bytes(at.toInt) == '<'.toByte)) {
       at = tag(bytes, at, "GSO")
       val v = i4(bytes, at).toLong & 0xffffffffL
@@ -225,35 +228,68 @@ object Dta {
       at += 5
       require(len >= 0 && at + len <= bytes.length,
         s"dta: GSO payload of $len bytes overruns the file")
-      if (t == 129)
-        refuse(s"binary strL payload (t=129) at GSO ($v,$o)")
-      if (t != 130) refuse(s"unknown strL payload type $t at GSO ($v,$o)")
-      // t=130: len includes the terminating NUL
-      val end = if (len > 0 && bytes((at + len - 1).toInt) == 0) len - 1
-                else len
-      out += ((v, o) -> str(bytes, at, end, meta.utf8))
+      if (t != 129 && t != 130)
+        refuse(s"unknown strL payload type $t at GSO ($v,$o)")
+      out += ((v, o) ->
+        (t, java.util.Arrays.copyOfRange(bytes, at.toInt, (at + len).toInt)))
       at += len
     }
     tag(bytes, at, "</strls>")
     out.result()
   }
 
+  /** A t=130 payload as a string (the trailing NUL stripped). */
+  private def strlText(payload: Array[Byte], utf8: Boolean): String = {
+    val end = if (payload.nonEmpty && payload.last == 0) payload.length - 1
+              else payload.length
+    new String(payload, 0, end,
+      if (utf8) java.nio.charset.StandardCharsets.UTF_8
+      else java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** The tall-cell paths' view of the GSO table: text payloads only —
+    * binary strL (t=129) has no tall-cell channel and refuses toward
+    * [[readDtaTyped]]. */
+  private def parseStrls(bytes: Array[Byte],
+                         meta: DtaMeta): Map[(Long, Long), String] =
+    parseStrlsTyped(bytes, meta).map { case ((v, o), (t, payload)) =>
+      if (t == 129)
+        refuse(s"binary strL payload (t=129) at GSO ($v,$o) has no " +
+          "tall-cell channel — use readDtaTyped, which keeps BinaryType")
+      (v, o) -> strlText(payload, meta.utf8)
+    }
+
   // --------------------------------------------------------------
   // data
   // --------------------------------------------------------------
 
   /** Decode every row (Double or String cells; missing classes and
-    * empty strings → null). */
+    * empty strings → null). strL refs resolve against the file's own
+    * GSO table. */
   def rows(bytes: Array[Byte], meta: DtaMeta): Iterator[Seq[Any]] = {
+    val gso: Map[(Long, Long), String] =
+      if (meta.vars.exists(_.isStrL)) parseStrls(bytes, meta)
+      else Map.empty
+    rowsResolved(bytes, meta, (rv, ro) => {
+      val s = gso.getOrElse((rv, ro),
+        refuse(s"strL cell ($rv,$ro) has no GSO entry"))
+      if (s.isEmpty) null else s
+    })
+  }
+
+  /** The row walk with strL resolution abstracted: `resolve` receives
+    * each non-null (v, o) ref — the whole-file read looks payloads up
+    * in the parsed GSO map, the paged scan emits ref markers for a
+    * later equi-join, the typed read returns bytes. */
+  private def rowsResolved(bytes: Array[Byte], meta: DtaMeta,
+                           resolve: (Long, Long) => Any)
+      : Iterator[Seq[Any]] = {
     val rowLen = meta.vars.map(v =>
       if (v.strWidth > 0) v.strWidth else v.numWidth).sum.toLong
     require(meta.dataAt + rowLen * meta.nRows <= bytes.length,
       s"dta: ${meta.nRows} rows of $rowLen bytes overrun the file")
     val offs = meta.vars.scanLeft(0L)((a, v) =>
       a + (if (v.strWidth > 0) v.strWidth else v.numWidth))
-    val gso: Map[(Long, Long), String] =
-      if (meta.vars.exists(_.isStrL)) parseStrls(bytes, meta)
-      else Map.empty
     (0L until meta.nRows).iterator.map { r =>
       val base = meta.dataAt + r * rowLen
       meta.vars.zip(offs).map { case (v, o) =>
@@ -267,11 +303,7 @@ object Dta {
             else (i4(bytes, at).toLong & 0xffffffffL,
               i4(bytes, at + 4).toLong & 0xffffffffL)
           if (rv == 0L && ro == 0L) null
-          else {
-            val s = gso.getOrElse((rv, ro),
-              refuse(s"strL cell ($rv,$ro) has no GSO entry"))
-            if (s.isEmpty) null else s
-          }
+          else resolve(rv, ro)
         } else if (v.strWidth > 0) {
           val s = str(bytes, at, v.strWidth, meta.utf8)
           if (s.isEmpty) null else s
@@ -342,26 +374,92 @@ object Dta {
   /** Range-parallel scan of ONE large .dta: rows are a fixed stride in
     * every supported release, so after a bounded driver read of the
     * dictionary each task preads and decodes its own row range
-    * ([[Sas.readSasPaged]]'s story). Row ids are the true indexes. */
+    * ([[Sas.readSasPaged]]'s story). Row ids are the true indexes.
+    *
+    * strL files split too: the row tasks emit each cell's (v, o) ref,
+    * one task scans the file-global <strls> GSO section (bounded by
+    * the section's own <map> length — the residual single-task axis),
+    * and the refs resolve through an equi-join (broadcast when the
+    * table is small, shuffle when it isn't — AQE's call). A ref with
+    * no GSO entry raises loudly at execution, matching the whole-file
+    * read. */
   def readDtaPaged(spark: SparkSession, path: String,
                    partitions: Int = 0): DataFrame = {
     val meta = PagedScan.driverMeta(spark, path)(parseMeta)
-    if (meta.vars.exists(_.isStrL))
-      refuse("the paged scan cannot resolve strL columns (refs point " +
-        "into the file-global <strls> table) — use readDta, which " +
-        "parses whole files per-partition")
     val rowLen = meta.vars.map(v =>
       if (v.strWidth > 0) v.strWidth else v.numWidth).sum.toLong
-    PagedScan.scan(spark, path, cellSchema, meta.nRows, meta.dataAt,
-      rowLen, partitions) { (buf, startRow, nRows) =>
-      val m = meta.copy(nRows = nRows, dataAt = 0L)
-      rows(buf, m).zipWithIndex.flatMap { case (vals, r) =>
-        meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
-          if (v.strWidth > 0)
-            Row(path, startRow + r, v.name, "str", x, null)
-          else Row(path, startRow + r, v.name, "num", null, x)
+    if (!meta.vars.exists(_.isStrL)) {
+      PagedScan.scan(spark, path, cellSchema, meta.nRows, meta.dataAt,
+        rowLen, partitions) { (buf, startRow, nRows) =>
+        val m = meta.copy(nRows = nRows, dataAt = 0L)
+        rows(buf, m).zipWithIndex.flatMap { case (vals, r) =>
+          meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
+            if (v.strWidth > 0)
+              Row(path, startRow + r, v.name, "str", x, null)
+            else Row(path, startRow + r, v.name, "num", null, x)
+          }
         }
       }
+    } else {
+      require(meta.strlsAt >= 0 && meta.strlsEndAt > meta.strlsAt,
+        "dta: strL columns but the <map> locates no <strls> section")
+      val secLen = meta.strlsEndAt - meta.strlsAt
+      require(secLen <= Int.MaxValue - 16L,
+        s"dta: $secLen-byte <strls> section — past the single-buffer " +
+          "GSO scan bound; re-export with fixed-width strings or split " +
+          "the file")
+      // 1. the row scan emits strL cells as "v,o" ref markers
+      val raw = PagedScan.scan(spark, path, cellSchema, meta.nRows,
+        meta.dataAt, rowLen, partitions) { (buf, startRow, nRows) =>
+        val m = meta.copy(nRows = nRows, dataAt = 0L)
+        rowsResolved(buf, m, (rv, ro) => (rv, ro))
+          .zipWithIndex.flatMap { case (vals, r) =>
+            meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
+              x match {
+                case (rv: Long, ro: Long) =>
+                  Row(path, startRow + r, v.name, "strl", s"$rv,$ro", null)
+                case _ =>
+                  if (v.strWidth > 0 || v.isStrL)
+                    Row(path, startRow + r, v.name, "str", x, null)
+                  else Row(path, startRow + r, v.name, "num", null, x)
+              }
+            }
+          }
+      }
+      // 2. ONE task preads and parses the GSO section (entries are
+      //    variable-length, so the section itself does not range-split)
+      val hconf = PagedScan.confMap(spark)
+      val strlsAt = meta.strlsAt
+      val metaForGso = meta
+      val gsoRdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(PagedScan.rebuild(hconf))
+        val in = fs.open(p)
+        val buf = try {
+          val b = new Array[Byte](secLen.toInt)
+          in.readFully(strlsAt, b)
+          b
+        } finally in.close()
+        parseStrls(buf, metaForGso.copy(strlsAt = 0L)).iterator
+          .map { case ((rv, ro), payload) => Row(s"$rv,$ro", payload) }
+      }
+      val gsoDf = spark.createDataFrame(gsoRdd, StructType(Seq(
+        StructField("gso_ref", StringType, nullable = false),
+        StructField("gso_payload", StringType, nullable = true))))
+      // 3. resolve the refs; empty payloads land as null (the
+      //    whole-file convention), missing GSO entries raise loudly
+      val resolved = raw.filter(col("vtype") === "strl")
+        .join(gsoDf, col("value_str") === col("gso_ref"), "left")
+        .select(col("src_file"), col("row"), col("key"),
+          lit("str").as("vtype"),
+          when(col("gso_ref").isNull,
+            raise_error(concat(lit("dta: strL cell ("), col("value_str"),
+              lit(") has no GSO entry"))).cast(StringType))
+            .otherwise(when(length(col("gso_payload")) === 0,
+              lit(null).cast(StringType))
+              .otherwise(col("gso_payload"))).as("value_str"),
+          lit(null).cast(DoubleType).as("value_double"))
+      raw.filter(col("vtype") =!= "strl").unionByName(resolved)
     }
   }
 
@@ -380,6 +478,93 @@ object Dta {
   }
 
   // --------------------------------------------------------------
+  // typed read — the BinaryType channel for binary strL (t=129),
+  // mirroring Feather.readFeatherTyped (media blobs in Stata
+  // containers; pandas read_stata hands them back as Python bytes)
+  // --------------------------------------------------------------
+
+  /** Column kinds for the typed read: 'n' double, 's' string, 'y'
+    * binary — a strL column whose GSO table carries ANY t=129 payload
+    * is binary (its t=130 entries, if mixed in, come back as raw
+    * bytes too). */
+  def dtaTypedKinds(bytes: Array[Byte]): Seq[(String, Char)] = {
+    val meta = parseMeta(bytes)
+    val binCols: Set[Long] =
+      if (meta.vars.exists(_.isStrL))
+        parseStrlsTyped(bytes, meta).collect {
+          case ((v, _), (129, _)) => v
+        }.toSet
+      else Set.empty
+    meta.vars.zipWithIndex.map { case (v, i) =>
+      (v.name,
+        if (v.strWidth == 0 && !v.isStrL) 'n'
+        else if (v.isStrL && binCols.contains(i + 1L)) 'y'
+        else 's')
+    }
+  }
+
+  /** TYPED read: one DataFrame row per record, numerics as double,
+    * strings as string, binary strL columns as BinaryType — the
+    * channel the tall-cell layout lacks. Every file must land on the
+    * FIRST file's column kinds. */
+  def readDtaTyped(spark: SparkSession, path: String): DataFrame =
+    typedFrom(spark, dtaTypedKinds(PagedScan.firstFileBytes(spark, path)),
+      spark.read.format("binaryFile").load(path)
+        .select(col("path"), col("content")).rdd
+        .map(r => (r.getString(0), r.getAs[Array[Byte]](1))))
+
+  /** In-memory blobs through the typed kernel. */
+  def readDtaTypedBlobs(spark: SparkSession,
+                        blobs: Seq[(String, Array[Byte])]): DataFrame = {
+    require(blobs.nonEmpty, "readDtaTypedBlobs needs at least one blob")
+    typedFrom(spark, dtaTypedKinds(blobs.head._2),
+      spark.sparkContext.parallelize(blobs, math.min(blobs.size, 32)))
+  }
+
+  private def typedFrom(spark: SparkSession, kinds: Seq[(String, Char)],
+                        files: org.apache.spark.rdd.RDD[(String, Array[Byte])])
+      : DataFrame = {
+    val schema = StructType(
+      StructField("src_file", StringType, nullable = false) +:
+      StructField("row", LongType, nullable = false) +:
+      kinds.map { case (name, kind) =>
+        StructField(name, kind match {
+          case 'n' => DoubleType
+          case 'y' => BinaryType
+          case _ => StringType
+        }, nullable = true)
+      })
+    val rdd = files.flatMap { case (file, bytes) =>
+      val got = dtaTypedKinds(bytes)
+      require(got == kinds,
+        s"dta: $file's column kinds $got do not match the first " +
+          s"file's $kinds")
+      val meta = parseMeta(bytes)
+      val binCols: Set[Long] = kinds.zipWithIndex.collect {
+        case ((_, 'y'), i) => i + 1L
+      }.toSet
+      val gso: Map[(Long, Long), (Int, Array[Byte])] =
+        if (meta.vars.exists(_.isStrL)) parseStrlsTyped(bytes, meta)
+        else Map.empty
+      rowsResolved(bytes, meta, (rv, ro) => {
+        val (t, payload) = gso.getOrElse((rv, ro),
+          refuse(s"strL cell ($rv,$ro) has no GSO entry"))
+        if (binCols.contains(rv)) {
+          if (t == 130 && payload.nonEmpty && payload.last == 0)
+            java.util.Arrays.copyOf(payload, payload.length - 1)
+          else payload
+        } else {
+          val s = strlText(payload, meta.utf8)
+          if (s.isEmpty) null else s
+        }
+      }).zipWithIndex.map { case (vals, r) =>
+        Row.fromSeq(file +: java.lang.Long.valueOf(r.toLong) +: vals)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  // --------------------------------------------------------------
   // writer — release 118, doubles + fixed-width strings. Validated
   // against pandas.read_stata (DtaSpec pins the round-trip; the
   // development cross-check is recorded in tools/make_dta_fixture.py's
@@ -393,12 +578,31 @@ object Dta {
     * 118-layout u2 v + 48-bit o ref and payloads live in the <strls>
     * GSO table (t = 130, trailing NUL, the pandas.to_stata layout). */
   def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]],
-            strl: Boolean = false): Array[Byte] = {
+            strl: Boolean = false): Array[Byte] =
+    dumpsModes(cols.map { case (n, isNum) =>
+      (n, if (isNum) 'n' else if (strl) 'l' else 'f') }, data)
+
+  /** [[dumps]] with explicit column kinds: 'n' double, 's' strL text
+    * (t=130), 'y' strL BINARY (t=129, Array[Byte] cells — the Stata
+    * channel for media blobs, read back by [[readDtaTyped]] and by
+    * pandas.read_stata as bytes). */
+  def dumpsTyped(cols: Seq[(String, Char)], data: Seq[Seq[Any]])
+      : Array[Byte] = {
+    require(cols.forall(c => "nsy".contains(c._2)),
+      s"column kinds must be n/s/y: $cols")
+    dumpsModes(cols.map { case (n, k) =>
+      (n, if (k == 's') 'l' else k) }, data)
+  }
+
+  /** The shared writer: per-column mode 'n' (double), 'f' (fixed
+    * str#), 'l' (strL text, t=130), 'y' (strL binary, t=129). */
+  private def dumpsModes(cols: Seq[(String, Char)],
+                         data: Seq[Seq[Any]]): Array[Byte] = {
     require(cols.nonEmpty, "dumps needs at least one column")
     data.foreach(r => require(r.length == cols.length,
       s"row arity ${r.length} != ${cols.length} columns"))
-    val widths = cols.zipWithIndex.map { case ((name, isNum), i) =>
-      if (isNum) 0
+    val widths = cols.zipWithIndex.map { case ((name, mode), i) =>
+      if (mode != 'f') 0
       else {
         val w = math.max(1, data.iterator.map(r =>
           Option(r(i)).fold(0)(_.asInstanceOf[String]
@@ -406,7 +610,7 @@ object Dta {
           .foldLeft(0)(math.max))
         // strL payloads are u4-length GSO entries — the 2045 cap is a
         // fixed-width (str#) constraint only
-        require(strl || w <= 2045, s"string column '$name' wider than " +
+        require(w <= 2045, s"string column '$name' wider than " +
           "2045 — use dumps(..., strl = true)")
         w
       }
@@ -443,8 +647,13 @@ object Dta {
       wb(open); body; wb(close)
     }
     section(2, "<variable_types>") {
-      widths.foreach(w =>
-        w2(if (w == 0) 65526 else if (strl) 32768 else w))
+      cols.zip(widths).foreach { case ((_, mode), w) =>
+        w2(mode match {
+          case 'n' => 65526
+          case 'f' => w
+          case _ => 32768 // strL, text or binary
+        })
+      }
     }("</variable_types>")
     section(3, "<varnames>") {
       cols.foreach(c => pad(c._1, 129))
@@ -453,8 +662,12 @@ object Dta {
       (0 to cols.length).foreach(_ => w2(0))
     }("</sortlist>")
     section(5, "<formats>") {
-      cols.zip(widths).foreach { case (_, w) =>
-        pad(if (w == 0) "%10.0g" else if (strl) "%9s" else s"%${w}s", 57)
+      cols.zip(widths).foreach { case ((_, mode), w) =>
+        pad(mode match {
+          case 'n' => "%10.0g"
+          case 'f' => s"%${w}s"
+          case _ => "%9s"
+        }, 57)
       }
     }("</formats>")
     section(6, "<value_label_names>") {
@@ -465,57 +678,69 @@ object Dta {
     }("</variable_labels>")
     section(8, "<characteristics>")(())("</characteristics>")
     // GSO payloads accumulate while the data cells are written (cells
-    // reference v = 1-based column, o = 1-based row, the 118 packing)
-    val gsoEntries = mutable.ArrayBuffer.empty[(Int, Long, Array[Byte])]
+    // reference v = 1-based column, o = 1-based row, the 118 packing;
+    // t = 130 text + trailing NUL, 129 binary verbatim)
+    val gsoEntries = mutable.ArrayBuffer.empty[(Int, Long, Int, Array[Byte])]
     section(9, "<data>") {
       data.zipWithIndex.foreach { case (r, rowIdx) =>
         cols.indices.foreach { i =>
-          if (widths(i) > 0 && strl) {
-            r(i) match {
+          def strlRef(t: Int, payload: Array[Byte]): Unit = {
+            val v = i + 1
+            val o = rowIdx + 1L
+            gsoEntries += ((v, o, t, payload))
+            w8(v.toLong | (o << 16))
+          }
+          cols(i)._2 match {
+            case 'l' => r(i) match {
               case null => w8(0L)
               case s: String if s.isEmpty => w8(0L)
-              case s: String =>
-                val v = i + 1
-                val o = rowIdx + 1L
-                gsoEntries += ((v, o,
-                  s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-                w8(v.toLong | (o << 16))
+              case s: String => strlRef(130,
+                s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
               case other => throw new IllegalArgumentException(
                 s"string column '${cols(i)._1}' got ${other.getClass.getName}")
             }
-          } else if (widths(i) == 0) {
-            val d = r(i) match {
-              case null => MissDouble
-              case x: Double if x.isNaN => MissDouble
-              case x: Double =>
-                // values at or past 2^1023 ARE the missing ladder —
-                // writing one would silently read back as null
-                if (x >= MissDouble) refuse(
-                  f"$x%g collides with Stata's missing-value range " +
-                    "(x >= 2^1023)")
-                x
+            case 'y' => r(i) match {
+              case null => w8(0L)
+              case b: Array[Byte] => strlRef(129, b)
               case other => throw new IllegalArgumentException(
-                s"numeric column '${cols(i)._1}' got ${other.getClass.getName}")
+                s"binary column '${cols(i)._1}' got ${other.getClass.getName}")
             }
-            w8(java.lang.Double.doubleToRawLongBits(d))
-          } else r(i) match {
-            case null => out.write(new Array[Byte](widths(i)))
-            case s: String => pad(s, widths(i))
-            case other => throw new IllegalArgumentException(
-              s"string column '${cols(i)._1}' got ${other.getClass.getName}")
+            case 'n' =>
+              val d = r(i) match {
+                case null => MissDouble
+                case x: Double if x.isNaN => MissDouble
+                case x: Double =>
+                  // values at or past 2^1023 ARE the missing ladder —
+                  // writing one would silently read back as null
+                  if (x >= MissDouble) refuse(
+                    f"$x%g collides with Stata's missing-value range " +
+                      "(x >= 2^1023)")
+                  x
+                case other => throw new IllegalArgumentException(
+                  s"numeric column '${cols(i)._1}' got " +
+                    other.getClass.getName)
+              }
+              w8(java.lang.Double.doubleToRawLongBits(d))
+            case _ => r(i) match {
+              case null => out.write(new Array[Byte](widths(i)))
+              case s: String => pad(s, widths(i))
+              case other => throw new IllegalArgumentException(
+                s"string column '${cols(i)._1}' got ${other.getClass.getName}")
+            }
           }
         }
       }
     }("</data>")
     section(10, "<strls>") {
-      gsoEntries.foreach { case (v, o, payload) =>
+      gsoEntries.foreach { case (v, o, t, payload) =>
         wb("GSO")
         w2(v); w2(0) // v u4
         w8(o) // o u8
-        out.write(130) // t: text, trailing NUL
-        val len = payload.length + 1
+        out.write(t)
+        val len = payload.length + (if (t == 130) 1 else 0)
         w2(len & 0xffff); w2(len >>> 16) // len u4
-        out.write(payload); out.write(0)
+        out.write(payload)
+        if (t == 130) out.write(0)
       }
     }("</strls>")
     section(11, "<value_labels>")(())("</value_labels>")

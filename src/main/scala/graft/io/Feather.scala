@@ -27,13 +27,16 @@ import scala.collection.mutable
   *  - flat columns: Int 8/16/32/64 signed AND unsigned, FloatingPoint
   *    single/double, Bool, Utf8, LargeUtf8, Date32(DAY), Date64(MS),
   *    Timestamp (any unit; naive or UTC — other zones refuse), Null,
-  *    and DICTIONARY-encoded utf8 (pandas categoricals: the
-  *    DictionaryBatch blocks resolve index columns; delta
-  *    dictionaries refuse) — nested types, unions, decimals, binary
-  *    refuse;
-  *  - uncompressed bodies and LZ4_FRAME-compressed buffers (the
-  *    pyarrow/R default — each buffer is an i64 plain length + one lz4
-  *    frame, decoded by [[Lz4.decodeFrame]]); ZSTD refuses;
+  *    DICTIONARY-encoded utf8 (pandas categoricals: the DictionaryBatch
+  *    blocks resolve index columns; delta dictionaries refuse), and
+  *    Binary — which has no tall-cell channel, so the cells()/records()
+  *    paths refuse it loudly and [[readFeatherTyped]] carries it as
+  *    BinaryType (media blobs) — nested types, unions, decimals refuse;
+  *  - uncompressed bodies, LZ4_FRAME-compressed buffers (the pyarrow/R
+  *    default — each buffer is an i64 plain length + one lz4 frame,
+  *    decoded by [[Lz4.decodeFrame]]) AND ZSTD-compressed buffers (the
+  *    common pyarrow/polars/DuckDB export option — same i64-prefixed
+  *    shape, inflated by the zstd-jni already on Spark's classpath);
   *  - int64 magnitudes past 2^53 refuse (the tall-cell value channel
   *    is a double — silent precision loss is worse than a loud stop).
   *
@@ -69,9 +72,11 @@ object Feather {
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(
       s"feather: $msg — the supported subset is little-endian Arrow IPC " +
-        "files with flat int/float/bool/utf8/date32 columns, plain or " +
-        "lz4-frame bodies; re-export once (pyarrow.feather.read_table(...)" +
-        ".to_pandas().to_parquet(...)) for anything outside it.")
+        "files with flat int/float/bool/utf8/large_utf8/date32/date64/" +
+        "timestamp/dictionary columns (binary via readFeatherTyped), " +
+        "plain, lz4-frame or zstd bodies; re-export once (pyarrow.feather" +
+        ".read_table(...).to_pandas().to_parquet(...)) for anything " +
+        "outside it.")
 
   // --------------------------------------------------------------
   // flatbuffer navigation (vtable walk — the whole dependency)
@@ -422,6 +427,18 @@ object Feather {
     decodeBatch(bytes, rb, at + metaLen, meta.cols, dicts)
   }
 
+  /** Row count of one record-batch MESSAGE (its first metaLen bytes —
+    * the length field sits in the flatbuffer, not the body): the paged
+    * scan's dense-row-id metadata pass. */
+  private def blockRowCount(buf: Array[Byte]): Long = {
+    require(i32(buf, 0) == 0xFFFFFFFF,
+      "feather: message continuation marker missing (pre-0.15 stream?)")
+    val msg = rootTable(buf, 8)
+    if (msg.i8f(1) != 3)
+      refuse(s"block holds message type ${msg.i8f(1)}, wanted RecordBatch")
+    msg.table(2).getOrElse(refuse("empty RecordBatch message")).i64f(0)
+  }
+
   /** The buffer walk shared by record AND dictionary batches. */
   private def decodeBatch(bytes: Array[Byte], rb: FbTable, body: Int,
                           colsIn: Seq[FeatherCol],
@@ -432,10 +449,12 @@ object Feather {
     require(nNodes == colsIn.length,
       s"feather: batch has $nNodes nodes for ${colsIn.length} columns")
     val (bufBase, nBufs) = rb.vector(2)
+    // BodyCompression.codec: 0 = LZ4_FRAME, 1 = ZSTD (Message.fbs) —
+    // both share the i64-plain-length-prefixed buffer shape
     val codec = rb.table(3).map(_.i8f(0))
-    if (codec.exists(_ != 0))
-      refuse(s"body compression codec ${codec.get} (ZSTD?)")
-    val lz4 = codec.isDefined
+    codec.foreach(c => if (c != 0L && c != 1L)
+      refuse(s"unknown body compression codec $c"))
+    val compressed = codec.isDefined
 
     var bufIdx = 0
     def nextBuf(): Array[Byte] = {
@@ -443,7 +462,7 @@ object Feather {
       val off = i64(bytes, bufBase + 16 * bufIdx).toInt
       val len = i64(bytes, bufBase + 16 * bufIdx + 8).toInt
       bufIdx += 1
-      if (!lz4) {
+      if (!compressed) {
         val out = new Array[Byte](len)
         System.arraycopy(bytes, body + off, out, 0, len)
         out
@@ -453,6 +472,13 @@ object Feather {
         if (plain == -1L) { // spec: -1 = this buffer left uncompressed
           val out = new Array[Byte](len - 8)
           System.arraycopy(bytes, body + off + 8, out, 0, len - 8)
+          out
+        } else if (codec.contains(1L)) {
+          val out = new Array[Byte](plain.toInt)
+          val got = com.github.luben.zstd.Zstd.decompressByteArray(
+            out, 0, out.length, bytes, body + off + 8, len - 8)
+          require(got == out.length,
+            s"feather: zstd buffer inflated to $got of $plain bytes")
           out
         } else Lz4.decodeFrame(bytes, body + off + 8, len - 8, plain.toInt)
       }
@@ -627,13 +653,10 @@ object Feather {
     * independent by design (each block's message + body decodes alone),
     * so the driver reads ONLY the footer — a bounded geometrically-
     * widening TAIL read — and each task preads and decodes its own
-    * batch blocks.
-    *
-    * RETURN CONTRACT — the `row` column packs (blockIdx, rowInBatch)
-    * as `blockIdx << 32 | rowInBatch`: unique and order-preserving,
-    * NOT dense (the [[Sas.readSasPaged]] contract — batch row counts
-    * live in each block's own message, which the driver never reads).
-    */
+    * batch blocks. Row ids are DENSE 0..N−1 in file order, identical
+    * to [[readFeather]]'s: a metadata pass preads each block's message
+    * header (metaLen bytes, never the body) for its row count and
+    * prefix-sums the per-block bases. */
   def readFeatherPaged(spark: SparkSession, path: String,
                        partitions: Int = 0): DataFrame = {
     val fileLen = PagedScan.fileLength(spark, path)
@@ -660,6 +683,9 @@ object Feather {
       }
     }
     val m = meta.get
+    m.cols.find(_.kind == 'y').foreach(c =>
+      refuse(s"binary column '${c.name}' has no tall-cell channel — " +
+        "use readFeatherTyped, which keeps BinaryType columns"))
     // dictionaries resolve task-side lookups, so the driver preads the
     // dictionary blocks once (bounded — categorical dictionaries are
     // value sets, not data) and ships the map in the closure
@@ -676,6 +702,25 @@ object Feather {
       else spark.sparkContext.defaultParallelism)
     val hconf = PagedScan.confMap(spark)
     val blocks = m.blocks.zipWithIndex
+    // dense row ids: per-block row counts from a distributed metadata
+    // pass over the message headers (metaLen bytes each — the body is
+    // never read), prefix-summed into bases; one long per block back
+    // to the driver, the same bound as the footer's own block table
+    val counts = spark.sparkContext
+      .parallelize(blocks, math.min(nParts, math.max(1, blocks.size)))
+      .map { case ((off, metaLen, _), blockIdx) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(PagedScan.rebuild(hconf))
+        val in = fs.open(p)
+        val buf = try {
+          val b = new Array[Byte](metaLen)
+          in.readFully(off, b)
+          b
+        } finally in.close()
+        (blockIdx, blockRowCount(buf))
+      }.collect().sortBy(_._1).map(_._2)
+    // broadcast, not closure — the bases array is O(blocks)
+    val rowBase = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
     val rdd = spark.sparkContext
       .parallelize(blocks, math.min(nParts, math.max(1, blocks.size)))
       .flatMap { case ((off, metaLen, bodyLen), blockIdx) =>
@@ -692,7 +737,7 @@ object Feather {
           b
         } finally in.close()
         batchRows(buf, 0, metaLen, m, dicts).zipWithIndex.flatMap { case (vals, r) =>
-          val rowId = (blockIdx.toLong << 32) | r.toLong
+          val rowId = rowBase.value(blockIdx) + r
           m.cols.iterator.zip(vals.iterator).map { case (c, v) =>
             if (isNum(c)) Row(path, rowId, c.name, "num", null, v)
             else Row(path, rowId, c.name, "str", v, null)
@@ -920,20 +965,24 @@ object Feather {
     }
   }
 
-  /** Dump records as an UNCOMPRESSED Feather v2 file: one schema
-    * message + record batches of `rowsPerBatch` + footer. Columns:
-    * Double (null = validity 0) or String, the [[Sas.dumps]] value
-    * convention. */
+  /** Dump records as a Feather v2 file: one schema message + record
+    * batches of `rowsPerBatch` + footer. Columns: Double (null =
+    * validity 0) or String, the [[Sas.dumps]] value convention.
+    * `zstd = true` compresses every buffer (the i64-prefixed
+    * BodyCompression shape pyarrow emits; buffers that don't shrink
+    * are stored raw behind the spec's -1 prefix). */
   def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]],
-            rowsPerBatch: Int = 1 << 16): Array[Byte] =
+            rowsPerBatch: Int = 1 << 16,
+            zstd: Boolean = false): Array[Byte] =
     dumpsTyped(cols.map { case (n, isNum) =>
-      (n, if (isNum) 'n' else 's') }, data, rowsPerBatch)
+      (n, if (isNum) 'n' else 's') }, data, rowsPerBatch, zstd)
 
   /** [[dumps]] with explicit column kinds: 'n' double, 's' utf8,
     * 'y' BINARY (Array[Byte] cells — the Arrow channel for media
     * blobs). */
   def dumpsTyped(cols: Seq[(String, Char)], data: Seq[Seq[Any]],
-                 rowsPerBatch: Int = 1 << 16): Array[Byte] = {
+                 rowsPerBatch: Int = 1 << 16,
+                 zstd: Boolean = false): Array[Byte] = {
     require(cols.nonEmpty, "dumps needs at least one column")
     require(cols.forall(c => "nsy".contains(c._2)),
       s"column kinds must be n/s/y: $cols")
@@ -993,8 +1042,23 @@ object Feather {
       val body = new java.io.ByteArrayOutputStream()
       val buffers = mutable.ArrayBuffer.empty[(Long, Long)]
       def addBuf(bytes: Array[Byte]): Unit = {
-        buffers += ((body.size().toLong, bytes.length.toLong))
-        body.write(bytes)
+        val stored =
+          if (!zstd || bytes.isEmpty) bytes
+          else {
+            val packed = com.github.luben.zstd.Zstd.compress(bytes, 3)
+            val keep = packed.length < bytes.length
+            val out = new Array[Byte](8 +
+              (if (keep) packed.length else bytes.length))
+            val plain = if (keep) bytes.length.toLong else -1L
+            var k = 0
+            while (k < 8) {
+              out(k) = ((plain >> (8 * k)) & 0xff).toByte; k += 1
+            }
+            (if (keep) packed else bytes).copyToArray(out, 8)
+            out
+          }
+        buffers += ((body.size().toLong, stored.length.toLong))
+        body.write(stored)
         while (body.size() % 8 != 0) body.write(0)
       }
       val nodes = cols.zipWithIndex.map { case ((_, kind), ci) =>
@@ -1051,10 +1115,14 @@ object Feather {
       val b = new FbBuilder
       val nodesVec = b.structVector16(nodes)
       val bufsVec = b.structVector16(buffers.toSeq)
-      val rb = b.table(Seq(
+      val rbSlots = Seq(
         b.Slot(0, 'q', n.toLong),
         b.Slot(1, 'o', 0L, nodesVec),
-        b.Slot(2, 'o', 0L, bufsVec)))
+        b.Slot(2, 'o', 0L, bufsVec)) ++
+        // BodyCompression { codec: i8 } — 1 = ZSTD (Message.fbs)
+        (if (zstd) Seq(b.Slot(3, 'o', 0L, b.table(Seq(b.Slot(0, 'b', 1L)))))
+         else Seq.empty)
+      val rb = b.table(rbSlots)
       val fb = b.finish(b.table(Seq(
         b.Slot(0, 's', 4L),
         b.Slot(1, 'b', 3L), // RecordBatch

@@ -490,13 +490,13 @@ object Sas {
     out.toByteArray
   }
 
-  /** The data-subheader rows of ONE page of a compressed file, in
-    * pointer order — pointer comp flag 4 (or 0 with an unknown
-    * signature) and type 1; payload shorter than the row decompresses
-    * via the file's codec, payload equal to the row is stored raw
-    * (the pandas convention). */
-  private def pageSubheaderRows(buf: Array[Byte], base: Int,
-                                meta: SasMeta): Iterator[Seq[Any]] = {
+  /** (offset, length) of each DATA subheader on one page of a
+    * compressed file, in pointer order — pointer comp flag 4 (or 0
+    * with an unknown signature) and type 1. The identification is
+    * declared ONCE here so the decode ([[pageSubheaderRows]]) and the
+    * dense-id row count ([[pageRowCount]]) can never drift. */
+  private def dataSubheaders(buf: Array[Byte], base: Int,
+                             meta: SasMeta): Iterator[(Int, Int)] = {
     if (meta.compression == CompNone) Iterator.empty
     else {
       val il = if (meta.u64) 8 else 4
@@ -521,20 +521,27 @@ object Sas {
           }
           val isData = shLen > 0 && ptyp == 1 &&
             (comp == CompData || (comp == 0 && !metaSigs.contains(sig)))
-          if (!isData) Iterator.empty
-          else if (shLen == meta.rowLength)
-            Iterator.single(decodeRowAt(buf, shOff, meta))
-          else {
-            val plain =
-              if (meta.compression == CompRdc)
-                rdcDecompress(buf, shOff, shLen, meta.rowLength.toInt)
-              else rleDecompress(buf, shOff, shLen, meta.rowLength.toInt)
-            Iterator.single(decodeRowAt(plain, 0, meta))
-          }
+          if (isData) Iterator.single((shOff, shLen)) else Iterator.empty
         }
       }
     }
   }
+
+  /** The data-subheader rows of ONE page of a compressed file —
+    * payload shorter than the row decompresses via the file's codec,
+    * payload equal to the row is stored raw (the pandas convention). */
+  private def pageSubheaderRows(buf: Array[Byte], base: Int,
+                                meta: SasMeta): Iterator[Seq[Any]] =
+    dataSubheaders(buf, base, meta).map { case (shOff, shLen) =>
+      if (shLen == meta.rowLength) decodeRowAt(buf, shOff, meta)
+      else {
+        val plain =
+          if (meta.compression == CompRdc)
+            rdcDecompress(buf, shOff, shLen, meta.rowLength.toInt)
+          else rleDecompress(buf, shOff, shLen, meta.rowLength.toInt)
+        decodeRowAt(plain, 0, meta)
+      }
+    }
 
   /** Decode one plain row at `at` inside `buf`. */
   private def decodeRowAt(buf: Array[Byte], at: Int,
@@ -627,6 +634,28 @@ object Sas {
     }
   }
 
+  /** Rows ONE page holds, without decoding any of them — the paged
+    * scan's dense-id metadata pass. For uncompressed files the count
+    * comes from the page HEADER alone (`buf` may hold just the first
+    * bitOffset+8 bytes); compressed files add the data-subheader count
+    * (the full page — the pointer walk, no decompression). The span
+    * formula and [[dataSubheaders]] are shared with [[pageRows]], so
+    * counting and decoding cannot drift. */
+  def pageRowCount(buf: Array[Byte], meta: SasMeta): Long = {
+    val bitOffset = if (meta.u64) 32 else 16
+    val pageType = u2(buf, bitOffset) & 0xFF00
+    val blockCount = u2(buf, bitOffset + 2)
+    val shCount = u2(buf, bitOffset + 4)
+    val stride =
+      if (pageType == 0x0100) blockCount.toLong
+      else if (pageType == 0x0200)
+        math.min(meta.mixPageRowCount,
+          math.max(0, blockCount - shCount).toLong)
+      else if (pageType == 0x9000) refuse("compressed page (type 0x9xxx)")
+      else 0L
+    stride + dataSubheaders(buf, 0, meta).size
+  }
+
   /** Page-parallel scan of ONE large sas7bdat: `binaryFile` hands a
     * whole file to a single task, so a 100 GB sas7bdat would land on
     * one executor — here the driver reads a bounded HEAD for the
@@ -635,17 +664,11 @@ object Sas {
     * then preads and decodes its own contiguous page range. Pages are
     * fixed-size and self-contained in BOTH supported layouts
     * (uncompressed stride rows; RLE per-row subheaders), which is what
-    * makes the split sound.
-    *
-    * RETURN CONTRACT — the `row` column: ids pack (pageIdx, rowInPage)
-    * as `pageIdx * rowCap + rowInPage`. They are UNIQUE and ORDER-
-    * PRESERVING but NOT dense 0..N−1 (unlike [[readSas]]): sorting or
-    * windowing by `row` is sound, but joining/diffing paged-vs-whole
-    * cells BY ID matches nothing — join on key columns, or count
-    * rows via `dense_rank` over `row` if a dense index is needed
-    * (a cumulative per-page prefix would force a driver-side scan of
-    * every page header, defeating the pread parallelism).
-    */
+    * makes the split sound. Row ids are DENSE 0..N−1 in file order,
+    * identical to [[readSas]]'s: a distributed metadata pass counts
+    * each page's rows ([[pageRowCount]] — header-only preads for
+    * uncompressed files, a pointer walk without decompression for
+    * compressed ones) and prefix-sums the per-page bases. */
   /** Parse-failure messages that mean "the head was too short", not
     * "the file is broken" — [[PagedScan.driverMeta]] widens on these. */
   private def headIncomplete(e: Exception): Boolean = {
@@ -666,18 +689,38 @@ object Sas {
     }
     // a "row" of the range scan is a PAGE: fixed stride, self-contained
     // for both the uncompressed layout and RLE (each row's subheader is
-    // page-local). Emitted row ids pack (pageIdx, rowInPage) — unique
-    // and order-preserving, NOT dense. RLE pages can hold more rows
-    // than pageSize/rowLength (compression), so the stride there is the
-    // pointer-count ceiling instead.
-    // compressed pages bound rows by pointer size (>= 12 bytes each),
-    // but a compressed FILE may still carry stride-row mix/data pages —
-    // take the larger bound or ids from adjacent pages could collide
-    val strideCap = meta.pageSize / math.max(1, meta.rowLength) + 1
-    val rowCap =
-      if (meta.compression != CompNone)
-        math.max(meta.pageSize / 12 + 1, strideCap)
-      else strideCap
+    // page-local). Dense row ids: a metadata pass counts each page's
+    // rows — header-only preads when uncompressed, full-page pointer
+    // walks (no decompression) when compressed — and prefix-sums the
+    // bases; one long per page comes back to the driver.
+    require(meta.pageCount <= (1L << 27),
+      s"sas7bdat: ${meta.pageCount} pages — past the dense-id count " +
+        "bound (8 bytes per page on the driver); split the file")
+    val nParts = math.max(1, if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism)
+    val headLen = (if (meta.u64) 32 else 16) + 8
+    val countWant =
+      if (meta.compression == CompNone) headLen else meta.pageSize
+    val hconf = PagedScan.confMap(spark)
+    val perPart = math.max(1L, (meta.pageCount + nParts - 1) / nParts)
+    val ranges = (0L until meta.pageCount by perPart)
+      .map(s => (s, math.min(perPart, meta.pageCount - s)))
+    val counts = spark.sparkContext
+      .parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { case (start, n) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(PagedScan.rebuild(hconf))
+        val in = fs.open(p)
+        try {
+          (0L until n).map { i =>
+            val pageIdx = start + i
+            val b = new Array[Byte](countWant)
+            in.readFully(meta.headerLength + pageIdx * meta.pageSize, b)
+            (pageIdx, pageRowCount(b, meta))
+          }.toVector
+        } finally in.close()
+      }.collect().sortBy(_._1).map(_._2)
+    val pageBase = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
     PagedScan.scan(spark, path, cellSchema, meta.pageCount,
       meta.headerLength.toLong, meta.pageSize.toLong, partitions) {
       (buf, startPage, nPages) =>
@@ -686,7 +729,7 @@ object Sas {
           val page = java.util.Arrays.copyOfRange(buf,
             (i * meta.pageSize).toInt, ((i + 1) * meta.pageSize).toInt)
           pageRows(page, meta).zipWithIndex.flatMap { case (vals, r) =>
-            val rowId = pageIdx * rowCap + r
+            val rowId = pageBase.value(pageIdx.toInt) + r
             meta.cols.iterator.zip(vals.iterator).map { case (c, v) =>
               if (c.isNum) Row(path, rowId, c.name, "num", null, v)
               else Row(path, rowId, c.name, "str", v, null)

@@ -95,7 +95,92 @@ class DtaSpec extends SparkSpec {
     }
   }
 
-  test("MSF, pre-114, paged-strL and junk refuse loudly") {
+  test("paged reader splits strL files: refs resolve via the GSO " +
+      "equi-join, matching the pandas-written fixture") {
+    // the same pandas convert_strl fixture the whole-file test pins —
+    // the paged scan's GSO join must land on identical records
+    Seq("fixture_strl.dta", "fixture_strl_117.dta").foreach { f =>
+      val paged = Dta.records(
+          Dta.readDtaPaged(spark, s"$dir/$f", partitions = 4),
+          Seq(("k", true), ("s", false), ("w", false)))
+        .orderBy("row").select($"k", $"s", $"w")
+        .as[(Double, Option[String], String)].collect()
+      assert(paged.length === 24, f)
+      paged.zipWithIndex.foreach { case ((k, s, w), i) =>
+        assert(k === i.toDouble, f)
+        assert(s === (if (i % 6 == 0) None
+          else Some(s"strl_${i}_" + ("q" * (i * 7 % 120)))), f)
+        assert(w === s"fix$i", f)
+      }
+    }
+    // multi-range split on a bigger Scala-written strL file: row ids
+    // stay the true indexes and every ref resolves
+    val cols = Seq(("id", true), ("txt", false))
+    val n = 4000
+    val data = (0 until n).map { i =>
+      Seq[Any](i.toDouble,
+        if (i % 7 == 0) null else s"t$i" + ("x" * (i % 83)))
+    }
+    val tmp = java.nio.file.Files.createTempFile("graft_strl_", ".dta")
+    java.nio.file.Files.write(tmp, Dta.dumps(cols, data, strl = true))
+    val cells = Dta.readDtaPaged(spark, tmp.toString, partitions = 6)
+    assert(cells.rdd.getNumPartitions > 1)
+    val wide = Dta.records(cells, cols)
+      .orderBy("row").select($"id", $"txt")
+      .as[(Double, Option[String])].collect()
+    assert(wide.length === n)
+    wide.zipWithIndex.foreach { case ((id, txt), i) =>
+      assert(id === i.toDouble)
+      assert(txt === (if (i % 7 == 0) None
+        else Some(s"t$i" + ("x" * (i % 83)))))
+    }
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("typed read keeps binary strL (t=129) as BinaryType; text " +
+      "columns stay strings; writer round-trips") {
+    val cols = Seq(("id", 'n'), ("tag", 's'), ("payload", 'y'))
+    val data = (0 until 200).map { i =>
+      Seq[Any](i.toDouble, if (i % 11 == 5) null else s"t${i % 5}",
+        if (i % 7 == 3) null
+        else Array.tabulate[Byte](i % 40 + 1)(j => ((i + j * 13) % 256).toByte))
+    }
+    val blob = Dta.dumpsTyped(cols, data)
+    assert(Dta.dtaTypedKinds(blob) ===
+      Seq(("id", 'n'), ("tag", 's'), ("payload", 'y')))
+    val back = Dta.readDtaTypedBlobs(spark, Seq(("t.dta", blob)))
+      .orderBy("row").select($"id", $"tag", $"payload")
+      .as[(Double, Option[String], Option[Array[Byte]])].collect()
+    assert(back.length === 200)
+    back.zipWithIndex.foreach { case ((id, tag, payload), i) =>
+      assert(id === i.toDouble)
+      assert(tag === (if (i % 11 == 5) None else Some(s"t${i % 5}")))
+      if (i % 7 == 3) assert(payload === None, s"$i")
+      else assert(payload.get.toSeq ===
+        (0 until i % 40 + 1).map(j => ((i + j * 13) % 256).toByte), s"$i")
+    }
+    // the tall-cell path refuses the SAME bytes toward the typed read
+    val e = intercept[Exception] {
+      Dta.readDtaBlobs(spark, Seq(("t.dta", blob))).collect()
+    }
+    assert(e.getMessage.contains("readDtaTyped"))
+    // a pure-text strL file reads typed too (all strings)
+    val tcols = Seq(("id", true), ("txt", false))
+    val tblob = Dta.dumps(tcols,
+      (0 until 30).map(i => Seq[Any](i.toDouble, s"v$i")), strl = true)
+    val t = Dta.readDtaTypedBlobs(spark, Seq(("x.dta", tblob)))
+      .orderBy("row").select($"id", $"txt")
+      .as[(Double, String)].collect()
+    t.zipWithIndex.foreach { case ((id, txt), i) =>
+      assert(id === i.toDouble); assert(txt === s"v$i")
+    }
+    // keep the bytes around for the pandas cross-validation step
+    // (tools/make_dta_fixture.py <dir> <file> — the check-in gate)
+    java.nio.file.Files.write(java.nio.file.Paths
+      .get("target", "scala_dta_binstrl_check.dta"), blob)
+  }
+
+  test("MSF, pre-114 and junk refuse loudly") {
     val msf = bytes("fixture_118.dta").clone()
     // <byteorder>LSF -> MSF
     val at = new String(msf, "ISO-8859-1").indexOf("LSF")
@@ -107,13 +192,6 @@ class DtaSpec extends SparkSpec {
     old(0) = 108 // release 108
     val e2 = intercept[IllegalArgumentException] { Dta.parseMeta(old) }
     assert(e2.getMessage.contains("before 114"))
-
-    // strL PARSES since round 16 — but the paged scan must refuse it
-    // (refs resolve against the file-global <strls> table)
-    val e3 = intercept[IllegalArgumentException] {
-      Dta.readDtaPaged(spark, s"$dir/fixture_strl.dta")
-    }
-    assert(e3.getMessage.contains("strL"))
 
     intercept[Exception] { Dta.parseMeta(Array.fill[Byte](64)('x')) }
   }

@@ -3,10 +3,11 @@ package graft
 import graft.io.Feather
 
 /** Feather v2 (Arrow IPC) ingest against GOLDEN fixtures written by
-  * pyarrow — the REAL producer — in uncompressed and LZ4_FRAME form
-  * (tools/make_feather_fixture.py validates both before check-in).
-  * The refusal cases pin the documented subset: zstd, dictionaries
-  * and >2^53 int64s stop loudly, never decode silently wrong. */
+  * pyarrow — the REAL producer — in uncompressed, LZ4_FRAME and ZSTD
+  * form (tools/make_feather_fixture.py validates all three before
+  * check-in, and reads the Scala writer's plain AND zstd bytes back).
+  * The refusal cases pin the documented subset: >2^53 int64s, nested
+  * types and bad magic stop loudly, never decode silently wrong. */
 class FeatherSpec extends SparkSpec {
   import spark.implicits._
 
@@ -171,9 +172,15 @@ class FeatherSpec extends SparkSpec {
       .as[(Double, String)].collect()
     assert(paged.length === n)
     paged.zipWithIndex.foreach { case ((k, txt), i) =>
-      assert(k === i.toDouble) // block-packed row ids preserve order
+      assert(k === i.toDouble)
       assert(txt === s"v${i % 13}")
     }
+    // row ids are DENSE 0..N−1, identical to the whole-file read: the
+    // paged and whole cells join BY ID
+    val pagedIds = Feather.readFeatherPaged(spark, tmp.toString,
+        partitions = 4)
+      .select($"row").distinct().as[Long].collect().sorted
+    assert(pagedIds.toSeq === (0L until n.toLong))
     java.nio.file.Files.delete(tmp)
   }
 
@@ -238,15 +245,69 @@ class FeatherSpec extends SparkSpec {
     java.nio.file.Files.delete(tmp)
   }
 
-  test("zstd, big int64, bad magic and truncation refuse loudly") {
-    // the decode is lazy — force it so the task-side refusal surfaces
-    val e1 = intercept[Exception] {
-      Feather.readFeatherRecords(spark, s"$dir/fixture_zstd.feather")
-        .collect()
+  test("zstd pyarrow fixture decodes identically to the uncompressed " +
+      "one (incl. the zstd-compressed dictionary batch)") {
+    check("fixture_zstd.feather")
+    val cat = Feather.readFeatherRecords(spark, s"$dir/fixture_zstd.feather")
+      .orderBy("row").select($"cat").as[Option[String]].collect()
+    cat.zipWithIndex.foreach { case (c, i) =>
+      assert(c === (if (i % 19 == 6) None else Some(s"cat_${i % 5}")), s"$i")
     }
-    assert(e1.getMessage.contains("ZSTD") ||
-      e1.getMessage.contains("codec"))
+  }
 
+  test("zstd writer round-trips: whole-file, paged and typed reads " +
+      "all agree; incompressible buffers take the -1 raw escape") {
+    val cols = Seq(("k", true), ("txt", false))
+    val n = 2000
+    val data = (0 until n).map(i => Seq[Any](i.toDouble, s"w${i % 11}"))
+    val blob = Feather.dumps(cols, data, rowsPerBatch = 256, zstd = true)
+    assert(blob.length < Feather.dumps(cols, data, rowsPerBatch = 256).length)
+    val whole = Feather.records(
+        Feather.readFeatherBlobs(spark, Seq(("z.feather", blob))), cols)
+      .orderBy("row").select($"k", $"txt").as[(Double, String)].collect()
+    assert(whole.length === n)
+    whole.zipWithIndex.foreach { case ((k, txt), i) =>
+      assert(k === i.toDouble); assert(txt === s"w${i % 11}")
+    }
+    val tmp = java.nio.file.Files.createTempFile("graft_zstd_", ".feather")
+    java.nio.file.Files.write(tmp, blob)
+    val paged = Feather.records(
+        Feather.readFeatherPaged(spark, tmp.toString, partitions = 3), cols)
+      .orderBy("row").select($"k", $"txt").as[(Double, String)].collect()
+    assert(paged.toSeq === whole.toSeq)
+    java.nio.file.Files.delete(tmp)
+    // binary + zstd through the typed path: random bytes don't shrink,
+    // so the data buffer exercises the -1 uncompressed escape
+    val rnd = new scala.util.Random(7)
+    val bcols = Seq(("k", 'n'), ("payload", 'y'))
+    val bdata = (0 until 64).map { i =>
+      val b = new Array[Byte](200); rnd.nextBytes(b)
+      Seq[Any](i.toDouble, b)
+    }
+    val bblob = Feather.dumpsTyped(bcols, bdata, rowsPerBatch = 16,
+      zstd = true)
+    val back = Feather.readFeatherTypedBlobs(spark,
+        Seq(("zb.feather", bblob)))
+      .orderBy("row").select($"k", $"payload")
+      .as[(Double, Array[Byte])].collect()
+    assert(back.length === 64)
+    back.zipWithIndex.foreach { case ((k, p), i) =>
+      assert(k === i.toDouble)
+      assert(p.toSeq === bdata(i)(1).asInstanceOf[Array[Byte]].toSeq, s"$i")
+    }
+    // keep the bytes around for the pyarrow cross-validation step
+    java.nio.file.Files.write(java.nio.file.Paths
+      .get("target", "scala_feather_zstd_check.feather"),
+      Feather.dumps(Seq(("k", true), ("grp", false), ("score", true),
+        ("note", false)),
+        (0 until 300).map { i =>
+          Seq[Any](i.toDouble, s"g${i % 3}",
+            if (i % 4 == 0) null else i * 0.5 - 3.0,
+            if (i % 5 == 0) null else s"n$i")
+        }, rowsPerBatch = 64, zstd = true))
+  }
+
+  test("big int64, bad magic and truncation refuse loudly") {
     val e2 = intercept[Exception] {
       Feather.readFeatherRecords(spark, s"$dir/fixture_bigint.feather")
         .collect()

@@ -161,9 +161,14 @@ class SasSpec extends SparkSpec {
       .as[(Double, String)].collect()
     assert(wide.length === n)
     wide.zipWithIndex.foreach { case ((k, txt), i) =>
-      assert(k === i.toDouble) // row ids pack (page, idx): order holds
+      assert(k === i.toDouble)
       assert(txt === s"v${i % 13}")
     }
+    // row ids are DENSE 0..N−1, identical to readSas's: paged and
+    // whole cells join BY ID
+    val pagedIds = cells.select($"row").distinct().as[Long]
+      .collect().sorted
+    assert(pagedIds.toSeq === (0L until n.toLong))
     java.nio.file.Files.delete(tmp)
   }
 
@@ -294,11 +299,15 @@ class SasSpec extends SparkSpec {
     java.nio.file.Files.write(tmp, blob)
     val meta = Sas.parseMeta(blob)
     assert(meta.rle && meta.pageCount > 2, "multi-page rle expected")
-    val paged = Sas.records(
-        Sas.readSasPaged(spark, tmp.toString, partitions = 5), cols)
+    val pagedCells = Sas.readSasPaged(spark, tmp.toString, partitions = 5)
+    val paged = Sas.records(pagedCells, cols)
       .orderBy("row").select($"k", $"pad", $"txt")
       .as[(Double, Option[String], String)].collect()
     assert(paged.toSeq === whole.toSeq)
+    // dense ids hold on COMPRESSED pages too (per-page counts come
+    // from the pointer walk, not the stride)
+    val ids = pagedCells.select($"row").distinct().as[Long].collect().sorted
+    assert(ids.toSeq === (0L until whole.length.toLong))
     java.nio.file.Files.delete(tmp)
   }
 

@@ -92,21 +92,25 @@ def main():
               "medians shown as context")
     regressions, improvements = [], []
     for q in shared:
-        old, new = qa[q], qb[q]
-        if use_min and q in ma and q in mb:
-            old, new = ma[q], mb[q]
+        # a query missing from either side's minimums falls back to
+        # median adjudication — tag each row with the estimator USED so
+        # mixed estimators stay distinguishable in the output
+        judged_min = use_min and q in ma and q in mb
+        old, new = (ma[q], mb[q]) if judged_min else (qa[q], qb[q])
         ratio = new / max(old, 0.01)
         if (ratio >= 1.5 and new - old >= 0.5) or \
                 (ratio >= 2.0 and new - old >= 0.2):
-            regressions.append((ratio, q, old, new))
+            regressions.append((ratio, q, old, new, judged_min))
         elif ratio <= 1 / 1.5 and old - new >= 0.5:
-            improvements.append((ratio, q, old, new))
+            improvements.append((ratio, q, old, new, judged_min))
     for tag, rows in (("REGRESSION", sorted(regressions, reverse=True)),
                       ("improved", sorted(improvements))):
-        for ratio, q, old, new in rows:
-            med = f"  [med {qa[q]:.2f} -> {qb[q]:.2f}]" if use_min else ""
+        for ratio, q, old, new, judged_min in rows:
+            ctx = f"  [med {qa[q]:.2f} -> {qb[q]:.2f}]" if judged_min \
+                else ("  [MEDIAN-judged: no min on one side]"
+                      if use_min else "")
             print(f"{tag:>10}  {q}: {old:.2f} -> {new:.2f} s "
-                  f"({ratio:.2f}x){med}")
+                  f"({ratio:.2f}x){ctx}")
     tot_a = sum(qa[q] for q in shared)
     tot_b = sum(qb[q] for q in shared)
     print(f"shared-query totals: {tot_a:.1f} -> {tot_b:.1f} s "

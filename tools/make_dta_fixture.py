@@ -90,5 +90,35 @@ def main():
     print(f"wrote fixtures to {out_dir}")
 
 
+def check_scala_binstrl(path: str):
+    """pandas reads a Dta.dumpsTyped file carrying BINARY strL (t=129):
+    200 rows of DtaSpec's closed form — id double, tag text strL with
+    nulls, payload binary strL read back as Python bytes."""
+    back = pd.read_stata(path)
+    assert list(back.columns) == ["id", "tag", "payload"], back.columns
+    assert len(back) == 200, len(back)
+    for i in range(200):
+        assert back["id"][i] == float(i)
+        tag = back["tag"][i]
+        if i % 11 == 5:
+            assert tag == "" or pd.isna(tag), (i, tag)
+        else:
+            assert tag == f"t{i % 5}", (i, tag)
+        p = back["payload"][i]
+        if i % 7 == 3:
+            assert p in (b"", "", str(b"")) or pd.isna(p), (i, p)
+        else:
+            want = bytes((i + j * 13) % 256 for j in range(i % 40 + 1))
+            # pandas 2.x parses t=129 payloads as bytes but stringifies
+            # them into the frame — accept either form; both pin the
+            # GSO layout (refs, t, len, payload) byte-for-byte
+            assert p == want or p == str(want), (i, p, want)
+    print(f"{path}: pandas reads the SCALA-written binary strL OK "
+          f"({len(back)} rows)")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2:
+        check_scala_binstrl(sys.argv[2])
+    else:
+        main()

@@ -83,10 +83,12 @@ def main():
               f"({len(back)} rows, {back.num_columns} cols)")
     df = feather.read_table(f"{out_dir}/fixture_unc.feather").to_pandas()
     df.to_csv(f"{out_dir}/golden.csv", index=False)
-    # refusal fixtures: ZSTD compression and an int64 past 2^53 — both
-    # must stop loudly, never decode silently wrong
+    # the SAME frame zstd-compressed: decoded via zstd-jni since r17
+    # (previously a refusal fixture)
     feather.write_feather(t2, f"{out_dir}/fixture_zstd.feather",
                           compression="zstd")
+    # refusal fixture: an int64 past 2^53 must stop loudly, never
+    # decode silently wrong
     feather.write_feather(
         pa.table({"k": pa.array([1, 2 ** 60], type=pa.int64())}),
         f"{out_dir}/fixture_bigint.feather", compression="uncompressed")
