@@ -376,15 +376,19 @@ object Dta {
     * dictionary each task preads and decodes its own row range
     * ([[Sas.readSasPaged]]'s story). Row ids are the true indexes.
     *
-    * strL files split too: the row tasks emit each cell's (v, o) ref,
-    * one task scans the file-global <strls> GSO section (bounded by
-    * the section's own <map> length — the residual single-task axis),
-    * and the refs resolve through an equi-join (broadcast when the
-    * table is small, shuffle when it isn't — AQE's call). A ref with
-    * no GSO entry raises loudly at execution, matching the whole-file
-    * read. */
+    * strL files split too. When the <strls> GSO section fits
+    * `gsoInlineBytes` the DRIVER preads and parses it once and ships
+    * the map by broadcast — one file scan, zero joins (the
+    * [[Feather.readFeatherPaged]] dictionary convention). Past the
+    * bound, the row tasks emit each cell's (v, o) ref, ONE task scans
+    * the GSO section (bounded by the section's own <map> length — the
+    * residual single-task axis), and the refs resolve through an
+    * equi-join in the SAME single scan (null join keys for non-strL
+    * cells; left join preserves them). A ref with no GSO entry raises
+    * loudly at execution, matching the whole-file read. */
   def readDtaPaged(spark: SparkSession, path: String,
-                   partitions: Int = 0): DataFrame = {
+                   partitions: Int = 0,
+                   gsoInlineBytes: Long = 64L << 20): DataFrame = {
     val meta = PagedScan.driverMeta(spark, path)(parseMeta)
     val rowLen = meta.vars.map(v =>
       if (v.strWidth > 0) v.strWidth else v.numWidth).sum.toLong
@@ -408,58 +412,85 @@ object Dta {
         s"dta: $secLen-byte <strls> section — past the single-buffer " +
           "GSO scan bound; re-export with fixed-width strings or split " +
           "the file")
-      // 1. the row scan emits strL cells as "v,o" ref markers
-      val raw = PagedScan.scan(spark, path, cellSchema, meta.nRows,
-        meta.dataAt, rowLen, partitions) { (buf, startRow, nRows) =>
-        val m = meta.copy(nRows = nRows, dataAt = 0L)
-        rowsResolved(buf, m, (rv, ro) => (rv, ro))
-          .zipWithIndex.flatMap { case (vals, r) =>
-            meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
-              x match {
-                case (rv: Long, ro: Long) =>
-                  Row(path, startRow + r, v.name, "strl", s"$rv,$ro", null)
-                case _ =>
-                  if (v.strWidth > 0 || v.isStrL)
-                    Row(path, startRow + r, v.name, "str", x, null)
-                  else Row(path, startRow + r, v.name, "num", null, x)
+      def scanRows(resolve: (Long, Long) => Any,
+                   strlCell: (String, Long, String, Any) => Row)
+          : DataFrame =
+        PagedScan.scan(spark, path, cellSchema, meta.nRows,
+          meta.dataAt, rowLen, partitions) { (buf, startRow, nRows) =>
+          val m = meta.copy(nRows = nRows, dataAt = 0L)
+          rowsResolved(buf, m, resolve)
+            .zipWithIndex.flatMap { case (vals, r) =>
+              meta.vars.iterator.zip(vals.iterator).map { case (v, x) =>
+                if (v.isStrL) strlCell(path, startRow + r, v.name, x)
+                else if (v.strWidth > 0)
+                  Row(path, startRow + r, v.name, "str", x, null)
+                else Row(path, startRow + r, v.name, "num", null, x)
               }
             }
-          }
+        }
+      if (secLen <= gsoInlineBytes) {
+        // driver preads + parses the GSO once, ships it by BROADCAST:
+        // one file scan, zero joins (the feather-dictionary shape)
+        val gsoBuf = PagedScan.readTail(spark, path, meta.strlsAt,
+          secLen.toInt)
+        val gso = spark.sparkContext.broadcast(
+          parseStrls(gsoBuf, meta.copy(strlsAt = 0L)))
+        scanRows(
+          resolve = (rv, ro) => {
+            val s = gso.value.getOrElse((rv, ro),
+              refuse(s"strL cell ($rv,$ro) has no GSO entry"))
+            if (s.isEmpty) null else s
+          },
+          strlCell = (p, rowId, name, x) => Row(p, rowId, name, "str", x, null))
+      } else {
+        // 1. the row scan emits strL cells as "v,o" ref markers
+        val raw = scanRows(
+          resolve = (rv, ro) => (rv, ro),
+          strlCell = (p, rowId, name, x) => x match {
+            case (rv: Long, ro: Long) =>
+              Row(p, rowId, name, "strl", s"$rv,$ro", null)
+            case _ => Row(p, rowId, name, "str", x, null) // (0,0) → null
+          })
+        // 2. ONE task preads and parses the GSO section (entries are
+        //    variable-length, so the section itself does not range-split)
+        val hconf = PagedScan.confMap(spark)
+        val strlsAt = meta.strlsAt
+        val metaForGso = meta
+        val gsoRdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(PagedScan.rebuild(hconf))
+          val in = fs.open(p)
+          val buf = try {
+            val b = new Array[Byte](secLen.toInt)
+            in.readFully(strlsAt, b)
+            b
+          } finally in.close()
+          parseStrls(buf, metaForGso.copy(strlsAt = 0L)).iterator
+            .map { case ((rv, ro), payload) => Row(s"$rv,$ro", payload) }
+        }
+        val gsoDf = spark.createDataFrame(gsoRdd, StructType(Seq(
+          StructField("gso_ref", StringType, nullable = false),
+          StructField("gso_payload", StringType, nullable = true))))
+        // 3. resolve in the SAME scan: a null join key for every
+        //    non-strL cell, left join preserves them; empty payloads
+        //    land as null (the whole-file convention), missing GSO
+        //    entries raise loudly
+        raw.withColumn("_gso_key",
+            when(col("vtype") === "strl", col("value_str")))
+          .join(gsoDf, col("_gso_key") === col("gso_ref"), "left")
+          .select(col("src_file"), col("row"), col("key"),
+            when(col("vtype") === "strl", lit("str"))
+              .otherwise(col("vtype")).as("vtype"),
+            when(col("vtype") =!= "strl", col("value_str"))
+              .otherwise(when(col("gso_ref").isNull,
+                raise_error(concat(lit("dta: strL cell ("),
+                  col("value_str"), lit(") has no GSO entry")))
+                  .cast(StringType))
+                .otherwise(when(length(col("gso_payload")) === 0,
+                  lit(null).cast(StringType))
+                  .otherwise(col("gso_payload")))).as("value_str"),
+            col("value_double"))
       }
-      // 2. ONE task preads and parses the GSO section (entries are
-      //    variable-length, so the section itself does not range-split)
-      val hconf = PagedScan.confMap(spark)
-      val strlsAt = meta.strlsAt
-      val metaForGso = meta
-      val gsoRdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(PagedScan.rebuild(hconf))
-        val in = fs.open(p)
-        val buf = try {
-          val b = new Array[Byte](secLen.toInt)
-          in.readFully(strlsAt, b)
-          b
-        } finally in.close()
-        parseStrls(buf, metaForGso.copy(strlsAt = 0L)).iterator
-          .map { case ((rv, ro), payload) => Row(s"$rv,$ro", payload) }
-      }
-      val gsoDf = spark.createDataFrame(gsoRdd, StructType(Seq(
-        StructField("gso_ref", StringType, nullable = false),
-        StructField("gso_payload", StringType, nullable = true))))
-      // 3. resolve the refs; empty payloads land as null (the
-      //    whole-file convention), missing GSO entries raise loudly
-      val resolved = raw.filter(col("vtype") === "strl")
-        .join(gsoDf, col("value_str") === col("gso_ref"), "left")
-        .select(col("src_file"), col("row"), col("key"),
-          lit("str").as("vtype"),
-          when(col("gso_ref").isNull,
-            raise_error(concat(lit("dta: strL cell ("), col("value_str"),
-              lit(") has no GSO entry"))).cast(StringType))
-            .otherwise(when(length(col("gso_payload")) === 0,
-              lit(null).cast(StringType))
-              .otherwise(col("gso_payload"))).as("value_str"),
-          lit(null).cast(DoubleType).as("value_double"))
-      raw.filter(col("vtype") =!= "strl").unionByName(resolved)
     }
   }
 
@@ -595,9 +626,10 @@ object Dta {
   }
 
   /** The shared writer: per-column mode 'n' (double), 'f' (fixed
-    * str#), 'l' (strL text, t=130), 'y' (strL binary, t=129). */
-  private def dumpsModes(cols: Seq[(String, Char)],
-                         data: Seq[Seq[Any]]): Array[Byte] = {
+    * str#), 'l' (strL text, t=130), 'y' (strL binary, t=129).
+    * Package-visible for the ScaleProbe fixture shapes. */
+  private[graft] def dumpsModes(cols: Seq[(String, Char)],
+                                data: Seq[Seq[Any]]): Array[Byte] = {
     require(cols.nonEmpty, "dumps needs at least one column")
     data.foreach(r => require(r.length == cols.length,
       s"row arity ${r.length} != ${cols.length} columns"))

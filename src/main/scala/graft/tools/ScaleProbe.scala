@@ -901,6 +901,98 @@ object ScaleProbe {
       return
     }
 
+    // strL paged-ingest axis (SPARK_GRAFT_INGS_N=<rows>): ONE large
+    // strL .dta, whole-blob vs the range-parallel scan whose refs
+    // resolve through the GSO equi-join — the r16 verdict's "one
+    // statistical format whose big-file story regressed to a single
+    // task", measured after the fix.
+    sys.env.get("SPARK_GRAFT_INGS_N").map(_.toInt).filter(_ > 0).foreach { n =>
+      // two file shapes: "heavy" = strL payloads ARE the file (the GSO
+      // section is serial by layout, so Amdahl caps the split there);
+      // "mixed" = wide fixed-width rows with an occasional strL note
+      // (the common huge-.dta shape — the row stride dominates and the
+      // range split carries)
+      val shapes = Seq(
+        ("heavy", Seq(("k", 'n'), ("txt", 'l')),
+          (i: Int) => Seq[Any](i.toDouble, s"t$i" + ("x" * (i % 60)))),
+        ("mixed", Seq(("k", 'n'), ("pad", 'f'), ("note", 'l')),
+          (i: Int) => Seq[Any](i.toDouble, s"p$i" + ("w" * 100),
+            if (i % 50 == 0) s"t$i" + ("x" * (i % 60)) else null)))
+      shapes.foreach { case (shape, kinds, mk) =>
+        val data = (0 until n).map(mk)
+        val tmp = java.nio.file.Files.createTempFile("graft_ings_", ".dta")
+        tmp.toFile.deleteOnExit()
+        val blob = graft.io.Dta.dumpsModes(kinds, data)
+        java.nio.file.Files.write(tmp, blob)
+        def timeIt(name: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime(); val rows = f
+          require(rows == n.toLong, s"$name decoded $rows of $n rows")
+          val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+          println(f"""INGSPROBE {"shape":"$shape","op":"$name","rows":$n,"bytes":${blob.length},"sec":$sec%.3f}""")
+        }
+        timeIt("whole_blob") {
+          graft.io.Dta.readDta(spark, tmp.toString)
+            .filter(col("key") === "k").count()
+        }
+        timeIt("paged") {
+          graft.io.Dta.readDtaPaged(spark, tmp.toString)
+            .filter(col("key") === "k").count()
+        }
+        java.nio.file.Files.delete(tmp)
+      }
+      spark.stop()
+      return
+    }
+
+    // zsav ingest axis (SPARK_GRAFT_INGZ_N=<rows>): the bytecode
+    // stream carries state across the PSPP block table's boundaries,
+    // so ONE .zsav inflates serially in one task (the documented
+    // ceiling — Inflater throughput); a DIRECTORY of shards is the
+    // parallel axis. Both measured, plus the plain-bytecode single
+    // file as the no-inflate baseline.
+    sys.env.get("SPARK_GRAFT_INGZ_N").map(_.toInt).filter(_ > 0).foreach { n =>
+      val cols = Seq(("k", true), ("txt", false))
+      def rows(ids: Range): Seq[Seq[Any]] = ids.map(i =>
+        Seq[Any](i.toDouble, s"v$i" + ("x" * (i % 40))))
+      def timeIt(name: String, want: Long)(f: => Long): Unit = {
+        val t0 = System.nanoTime(); val got = f
+        require(got == want, s"$name decoded $got of $want rows")
+        val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+        println(f"""INGZPROBE {"op":"$name","rows":$want,"sec":$sec%.3f}""")
+      }
+      val one = java.nio.file.Files.createTempFile("graft_ingz_", ".zsav")
+      one.toFile.deleteOnExit()
+      java.nio.file.Files.write(one,
+        graft.io.Sav.dumps(cols, rows(0 until n), zsav = true))
+      timeIt("single_zsav", n.toLong) {
+        graft.io.Sav.readSav(spark, one.toString)
+          .filter(col("key") === "k").count()
+      }
+      val plain = java.nio.file.Files.createTempFile("graft_ingz_", ".sav")
+      plain.toFile.deleteOnExit()
+      java.nio.file.Files.write(plain,
+        graft.io.Sav.dumps(cols, rows(0 until n)))
+      timeIt("single_bytecode", n.toLong) {
+        graft.io.Sav.readSav(spark, plain.toString)
+          .filter(col("key") === "k").count()
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft_ingz_dir")
+      dir.toFile.deleteOnExit()
+      val per = n / 8
+      (0 until 8).foreach { f =>
+        java.nio.file.Files.write(
+          dir.resolve(f"shard_$f%02d.zsav"),
+          graft.io.Sav.dumps(cols, rows(f * per until (f + 1) * per),
+            zsav = true))
+      }
+      timeIt("sharded_x8", 8L * per) {
+        graft.io.Sav.readSav(spark, dir.toString)
+          .filter(col("key") === "k").count()
+      }
+      spark.stop()
+      return
+    }
+
     sys.env.get("SPARK_GRAFT_SH_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val docs = spark.range(n).select(col("id").as("doc_id"),
         array_join(transform(sequence(lit(0), lit(49)), i =>

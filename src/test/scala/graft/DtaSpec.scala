@@ -98,19 +98,23 @@ class DtaSpec extends SparkSpec {
   test("paged reader splits strL files: refs resolve via the GSO " +
       "equi-join, matching the pandas-written fixture") {
     // the same pandas convert_strl fixture the whole-file test pins —
-    // the paged scan's GSO join must land on identical records
-    Seq("fixture_strl.dta", "fixture_strl_117.dta").foreach { f =>
+    // BOTH paged resolve paths (driver-broadcast inline, and the
+    // forced equi-join via gsoInlineBytes = 0) must land on the
+    // identical records
+    for (f <- Seq("fixture_strl.dta", "fixture_strl_117.dta");
+         inlineBytes <- Seq(64L << 20, 0L)) {
       val paged = Dta.records(
-          Dta.readDtaPaged(spark, s"$dir/$f", partitions = 4),
+          Dta.readDtaPaged(spark, s"$dir/$f", partitions = 4,
+            gsoInlineBytes = inlineBytes),
           Seq(("k", true), ("s", false), ("w", false)))
         .orderBy("row").select($"k", $"s", $"w")
         .as[(Double, Option[String], String)].collect()
-      assert(paged.length === 24, f)
+      assert(paged.length === 24, (f, inlineBytes))
       paged.zipWithIndex.foreach { case ((k, s, w), i) =>
-        assert(k === i.toDouble, f)
+        assert(k === i.toDouble, (f, inlineBytes))
         assert(s === (if (i % 6 == 0) None
-          else Some(s"strl_${i}_" + ("q" * (i * 7 % 120)))), f)
-        assert(w === s"fix$i", f)
+          else Some(s"strl_${i}_" + ("q" * (i * 7 % 120)))), (f, inlineBytes))
+        assert(w === s"fix$i", (f, inlineBytes))
       }
     }
     // multi-range split on a bigger Scala-written strL file: row ids
@@ -123,16 +127,21 @@ class DtaSpec extends SparkSpec {
     }
     val tmp = java.nio.file.Files.createTempFile("graft_strl_", ".dta")
     java.nio.file.Files.write(tmp, Dta.dumps(cols, data, strl = true))
-    val cells = Dta.readDtaPaged(spark, tmp.toString, partitions = 6)
-    assert(cells.rdd.getNumPartitions > 1)
-    val wide = Dta.records(cells, cols)
-      .orderBy("row").select($"id", $"txt")
-      .as[(Double, Option[String])].collect()
-    assert(wide.length === n)
-    wide.zipWithIndex.foreach { case ((id, txt), i) =>
-      assert(id === i.toDouble)
-      assert(txt === (if (i % 7 == 0) None
-        else Some(s"t$i" + ("x" * (i % 83)))))
+    Seq(64L << 20, 0L).foreach { inlineBytes =>
+      val cells = Dta.readDtaPaged(spark, tmp.toString, partitions = 6,
+        gsoInlineBytes = inlineBytes)
+      // the post-join plan may AQE-coalesce tiny data to 1 partition;
+      // the range-split assertion belongs to the direct scan path
+      if (inlineBytes > 0) assert(cells.rdd.getNumPartitions > 1)
+      val wide = Dta.records(cells, cols)
+        .orderBy("row").select($"id", $"txt")
+        .as[(Double, Option[String])].collect()
+      assert(wide.length === n, inlineBytes)
+      wide.zipWithIndex.foreach { case ((id, txt), i) =>
+        assert(id === i.toDouble, inlineBytes)
+        assert(txt === (if (i % 7 == 0) None
+          else Some(s"t$i" + ("x" * (i % 83)))), inlineBytes)
+      }
     }
     java.nio.file.Files.delete(tmp)
   }

@@ -761,6 +761,131 @@ class StreamSpec extends SparkSpec {
         .as[(java.sql.Date, Long, Long)].collect().toSeq)
   }
 
+  test("OOO event-analytics deploys survive a query KILL + checkpoint " +
+      "restart: recovered reorder-buffer state lands on the batch answer") {
+    // The four mapGroupsWithState deploys' durability story rests on
+    // the state store restoring each user's watermark-bounded buffer
+    // (+ fold state). This kills each query CLEANLY between
+    // micro-batches and restarts a FRESH query (new memory sink) on
+    // the same checkpoint; the union of both lives' append-mode sinks
+    // must land on the batch operator's answer — duplicated or lost
+    // emissions across the restart would break the counts exactly.
+    import Streaming.TypedEvent
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(789)
+    val steps = Seq("view", "click", "purchase")
+    val types = steps :+ "signup"
+    def dayTs(d: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-02-${1 + d}%02d $h%02d:00:00")
+    val evs = (1 to 300).map { i =>
+      TypedEvent(rnd.nextInt(25).toLong, i.toLong,
+        types(rnd.nextInt(types.size)), dayTs(rnd.nextInt(27), rnd.nextInt(4)))
+    }
+    val base = evs.sortBy(e => (Streaming.epochMicros(e.ts), e.event_id))
+    val shuffled = base.zipWithIndex
+      .map { case (e, i) => (e, i + rnd.nextInt(60)) }
+      .sortBy { case (e, k) => (k, e.event_id) }
+      .map(_._1)
+    assert(shuffled !== base, "shuffle must actually reorder")
+    var runMax = Long.MinValue; var lateMax = 0L
+    shuffled.foreach { e =>
+      val m = Streaming.epochMicros(e.ts)
+      if (runMax > m) lateMax = math.max(lateMax, runMax - m)
+      runMax = math.max(runMax, m)
+    }
+    val delayMs = lateMax / 1000L + 2000L
+    val maxTsMs = shuffled.map(_.ts.getTime).max
+    val chunks = shuffled.grouped(shuffled.size / 4 + 1).toSeq
+
+    def killRestart(name: String,
+                    mk: (MemoryStream[TypedEvent], String) =>
+                      org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      // the memory sink refuses append-mode checkpoint recovery, so
+      // the kill-test rides the production sink shape: foreachBatch →
+      // idempotent per-batchId parquet partitions (toCatalogSink) —
+      // a batch replayed after the crash OVERWRITES its own partition,
+      // which is exactly the exactly-once story under test
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_ooo_ckpt_$name").toString
+      val wh = java.nio.file.Files
+        .createTempDirectory(s"graft_ooo_wh_$name").toString
+      val in = MemoryStream[TypedEvent]
+      def start() = Streaming.toCatalogSink(
+          mk(in, s"$delayMs milliseconds"), wh, name, ckpt)
+        .outputMode(OutputMode.Append).start()
+      val q1 = start()
+      try chunks.take(2).foreach { c =>
+        in.addData(c: _*); q1.processAllAvailable()
+      } finally q1.stop() // the "crash" between micro-batches
+      val q2 = start()
+      try {
+        chunks.drop(2).foreach { c =>
+          in.addData(c: _*); q2.processAllAvailable()
+        }
+        val t1 = maxTsMs + delayMs + 10000L
+        in.addData(TypedEvent(-1L, -1L, "__flush__", new Timestamp(t1)))
+        q2.processAllAvailable()
+        in.addData(TypedEvent(-1L, -2L, "__flush__",
+          new Timestamp(t1 + 1000L)))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(Streaming.droppedByWatermark(q2) === 0L, name)
+      spark.read.parquet(s"$wh/$name").drop("batch_id")
+    }
+
+    // funnel
+    val fLate = spark.sparkContext.longAccumulator("kill_f")
+    val fu = killRestart("kfu", (in, d) =>
+      Streaming.funnelStreamOoo(in.toDS(), steps, d, Some(fLate)).toDF())
+    assert(fLate.value === 0L)
+    assert(Streaming.funnelStreamCounts(fu, steps)
+        .orderBy("step").as[(Int, String, Long)].collect().toSeq ===
+      graft.ts.EventAnalytics.funnel(evs.toDF(), "user_id", "event_type",
+          "ts", steps)
+        .orderBy("step").as[(Int, String, Long)].collect().toSeq)
+    // transitions — exactly-once emission across the restart is
+    // load-bearing: a re-emitted pair would inflate its count
+    val tLate = spark.sparkContext.longAccumulator("kill_t")
+    val tr = killRestart("ktr", (in, d) =>
+      Streaming.transitionsStreamOoo(in.toDS(), d, Some(tLate)).toDF())
+    assert(tLate.value === 0L)
+    assert(tr.filter($"user_id" >= 0)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+        .as[(String, String, Long)].collect().toSeq ===
+      graft.ts.EventAnalytics.eventTransitions(evs.toDF(), "user_id",
+          "event_type", "ts", Seq("event_id"))
+        .orderBy("from_type", "to_type").select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect().toSeq)
+    // conversion time — one row per converted user, so n_converted
+    // pins exactly-once across the restart too
+    val cLate = spark.sparkContext.longAccumulator("kill_c")
+    val cv = killRestart("kcv", (in, d) =>
+      Streaming.conversionTimeStreamOoo(in.toDS(), "view", "purchase", d,
+        Some(cLate)).toDF())
+    assert(cLate.value === 0L)
+    assert(Streaming.conversionTimeSummary(cv)
+        .as[(Long, Long, Double, Double, Double, Long, Double)].head() ===
+      graft.ts.EventAnalytics.conversionTime(evs.toDF(), "user_id",
+          "event_type", "ts", "view", "purchase")
+        .as[(Long, Long, Double, Double, Double, Long, Double)].head())
+    // cohort retention — the recovered buffer must still fix each
+    // user's cohort at the true min-ts event
+    val hLate = spark.sparkContext.longAccumulator("kill_h")
+    val co = killRestart("kco", (in, d) =>
+      Streaming.cohortRetentionStreamOoo(in.toDS(), "week", d,
+        Some(hLate)).toDF())
+    assert(hLate.value === 0L)
+    assert(Streaming.cohortRetentionCounts(co.filter($"user_id" >= 0))
+        .orderBy("cohort", "period_offset")
+        .as[(java.sql.Date, Long, Long)].collect().toSeq ===
+      graft.ts.EventAnalytics.cohortRetention(evs.toDF(), "user_id", "ts",
+          period = "week")
+        .orderBy("cohort", "period_offset")
+        .as[(java.sql.Date, Long, Long)].collect().toSeq)
+  }
+
   test("out-of-order deploy counts and drops arrivals behind the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import Streaming.TypedEvent
