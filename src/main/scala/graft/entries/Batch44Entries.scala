@@ -250,6 +250,22 @@ object Batch44Entries {
           ("width", 'n'), ("height", 'n')), rows, rowsPerBatch = 8)
       val typed = graft.io.Feather.readFeatherTypedBlobs(s,
         Seq(("corpus.feather", blob)))
+      // law, asserted in-entry (the merge-artifact convention): the
+      // block-parallel TYPED scan of the same bytes must hand back the
+      // identical blobs — 32 bounded rows, so the compare is cheap
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_media_corpus_", ".feather")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.write(tmp, blob)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("row"), col("media_id"), md5(col("content")),
+          col("format"), col("width"), col("height"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val paged = graft.io.Feather.readFeatherTypedPaged(s, tmp.toString,
+        partitions = 4)
+      require(key(paged).toSeq == key(typed).toSeq,
+        "feather_media_dedup: typed paged scan diverged from the " +
+          "whole-file typed read")
       val rebuilt = typed.select(
         col("media_id").cast("long").as("media_id"),
         col("content"),

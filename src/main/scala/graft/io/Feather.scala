@@ -659,6 +659,23 @@ object Feather {
     * prefix-sums the per-block bases. */
   def readFeatherPaged(spark: SparkSession, path: String,
                        partitions: Int = 0): DataFrame = {
+    val m = pagedMeta(spark, path)
+    m.cols.find(_.kind == 'y').foreach(c =>
+      refuse(s"binary column '${c.name}' has no tall-cell channel — " +
+        "use readFeatherTypedPaged, which keeps BinaryType columns"))
+    val rdd = pagedRowsRdd(spark, path, m, partitions)
+      .flatMap { case (rowId, vals) =>
+        m.cols.iterator.zip(vals.iterator).map { case (c, v) =>
+          if (isNum(c)) Row(path, rowId, c.name, "num", null, v)
+          else Row(path, rowId, c.name, "str", v, null)
+        }
+      }
+    spark.createDataFrame(rdd, cellSchema)
+  }
+
+  /** Footer of ONE file off a bounded, geometrically-widening TAIL
+    * read — the paged scans' driver bootstrap. */
+  private def pagedMeta(spark: SparkSession, path: String): FeatherMeta = {
     val fileLen = PagedScan.fileLength(spark, path)
     // widen the tail until the footer closes (magic check catches a
     // too-short head; the footer length field bounds the real need)
@@ -682,10 +699,16 @@ object Feather {
           tailLen = math.min(fileLen, tailLen.toLong * 8).toInt
       }
     }
-    val m = meta.get
-    m.cols.find(_.kind == 'y').foreach(c =>
-      refuse(s"binary column '${c.name}' has no tall-cell channel — " +
-        "use readFeatherTyped, which keeps BinaryType columns"))
+    meta.get
+  }
+
+  /** The shared block-parallel scan: each task preads and decodes its
+    * own record-batch blocks; row ids are DENSE 0..N−1 in file order
+    * (the metadata counts pass). Backs the tall-cell AND the typed
+    * paged readers. */
+  private def pagedRowsRdd(spark: SparkSession, path: String,
+                           m: FeatherMeta, partitions: Int)
+      : org.apache.spark.rdd.RDD[(Long, Seq[Any])] = {
     // dictionaries resolve task-side lookups, so the driver preads the
     // dictionary blocks once (bounded — categorical dictionaries are
     // value sets, not data) and ships the map in the closure
@@ -721,7 +744,7 @@ object Feather {
       }.collect().sortBy(_._1).map(_._2)
     // broadcast, not closure — the bases array is O(blocks)
     val rowBase = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
-    val rdd = spark.sparkContext
+    spark.sparkContext
       .parallelize(blocks, math.min(nParts, math.max(1, blocks.size)))
       .flatMap { case ((off, metaLen, bodyLen), blockIdx) =>
         require(metaLen.toLong + bodyLen < Int.MaxValue.toLong,
@@ -736,16 +759,37 @@ object Feather {
           in.readFully(off, b)
           b
         } finally in.close()
-        batchRows(buf, 0, metaLen, m, dicts).zipWithIndex.flatMap { case (vals, r) =>
-          val rowId = rowBase.value(blockIdx) + r
-          m.cols.iterator.zip(vals.iterator).map { case (c, v) =>
-            if (isNum(c)) Row(path, rowId, c.name, "num", null, v)
-            else Row(path, rowId, c.name, "str", v, null)
-          }
+        batchRows(buf, 0, metaLen, m, dicts).zipWithIndex.map {
+          case (vals, r) => (rowBase.value(blockIdx) + r, vals)
         }
       }
-    spark.createDataFrame(rdd, cellSchema)
   }
+
+  /** [[readFeatherTyped]] with WITHIN-file parallelism: the media
+    * ingest path for ONE large Arrow file carrying binary columns —
+    * block-parallel like [[readFeatherPaged]], typed output like
+    * [[readFeatherTyped]] (BinaryType blobs intact, dense row ids). */
+  def readFeatherTypedPaged(spark: SparkSession, path: String,
+                            partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types._
+    val m = pagedMeta(spark, path)
+    val schema = StructType(
+      StructField("src_file", StringType, nullable = false) +:
+      StructField("row", LongType, nullable = false) +:
+      featherSchema(m).fields.toSeq)
+    val rdd = pagedRowsRdd(spark, path, m, partitions).map {
+      case (rowId, vals) =>
+        Row.fromSeq(path +: java.lang.Long.valueOf(rowId) +: vals)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** [[readFeatherTypedPaged]] over a directory/glob — both
+    * parallelism axes. */
+  def readFeatherTypedPagedAll(spark: SparkSession, path: String,
+                               partitions: Int = 0): DataFrame =
+    PagedScan.unionPerFile(spark, path)(
+      readFeatherTypedPaged(spark, _, partitions))
 
   /** The Spark schema a typed feather read carries: numerics widen to
     * double (the family convention), text/dates/dicts land as string,

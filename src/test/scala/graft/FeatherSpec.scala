@@ -222,6 +222,39 @@ class FeatherSpec extends SparkSpec {
     }
   }
 
+  test("typed PAGED read splits a multi-batch binary file and matches " +
+      "the whole-file typed read byte-for-byte (plain and zstd)") {
+    val cols = Seq(("k", 'n'), ("tag", 's'), ("payload", 'y'))
+    val n = 500
+    val data = (0 until n).map { i =>
+      Seq[Any](i.toDouble, s"t${i % 5}",
+        if (i % 7 == 3) null
+        else Array.tabulate[Byte](i % 64 + 1)(j => ((i * 3 + j * 17) % 256).toByte))
+    }
+    Seq(false, true).foreach { zstd =>
+      val blob = Feather.dumpsTyped(cols, data, rowsPerBatch = 64,
+        zstd = zstd)
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_typed_paged_", ".feather")
+      java.nio.file.Files.write(tmp, blob)
+      val paged = Feather.readFeatherTypedPaged(spark, tmp.toString,
+          partitions = 4)
+        .orderBy("row").select($"row", $"k", $"tag", $"payload")
+        .as[(Long, Double, String, Option[Array[Byte]])].collect()
+      assert(paged.length === n, s"zstd=$zstd")
+      paged.zipWithIndex.foreach { case ((rowId, k, tag, payload), i) =>
+        assert(rowId === i.toLong, s"zstd=$zstd: dense ids") // dense 0..N−1
+        assert(k === i.toDouble, s"zstd=$zstd")
+        assert(tag === s"t${i % 5}", s"zstd=$zstd")
+        if (i % 7 == 3) assert(payload === None, s"zstd=$zstd $i")
+        else assert(payload.get.toSeq ===
+          (0 until i % 64 + 1).map(j => ((i * 3 + j * 17) % 256).toByte),
+          s"zstd=$zstd $i")
+      }
+      java.nio.file.Files.delete(tmp)
+    }
+  }
+
   test("readFeatherPagedAll unions per-file batch scans over a directory") {
     val cols = Seq(("k", true), ("txt", false))
     val tmp = java.nio.file.Files.createTempDirectory("graft_feather_all")
