@@ -474,6 +474,9 @@ object Feather {
           System.arraycopy(bytes, body + off + 8, out, 0, len - 8)
           out
         } else if (codec.contains(1L)) {
+          require(plain > 0 && plain <= Int.MaxValue - 16L,
+            s"feather: zstd buffer claims $plain plain bytes — past " +
+              "the single-buffer bound (re-export with smaller batches)")
           val out = new Array[Byte](plain.toInt)
           val got = com.github.luben.zstd.Zstd.decompressByteArray(
             out, 0, out.length, bytes, body + off + 8, len - 8)

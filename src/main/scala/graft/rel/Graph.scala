@@ -49,21 +49,30 @@ object Graph {
     require(n > 0, "empty graph: PageRank undefined")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("_deg"))
     val base = lit((1.0 - damping) / n)
-    var pr = nodes.withColumn("pr", lit(1.0 / n))
+    // iteration-INVARIANT joins hoisted out of the loop: the node
+    // list carries its dangling flag (so the per-iteration dangling
+    // mass is a filter + 1-row agg, not a join), and every edge
+    // carries its src out-degree (so contributions are ONE join per
+    // iteration, not two)
+    val nodesF = nodes.join(outdeg, nodes("id") === outdeg("src"), "left")
+      .select(nodes("id"), col("_deg").isNull.as("_dang"))
+      .localCheckpoint()
+    val eDeg = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("_deg"))
+      .localCheckpoint()
+    var pr = nodesF.withColumn("pr", lit(1.0 / n))
     var it = 0
     while (it < iterations) {
-      val withDeg = pr.join(outdeg, pr("id") === outdeg("src"), "left")
       // dangling mass: total rank sitting on nodes with no out-edges,
       // rounded like every other per-iteration aggregate
-      val dangling = withDeg.filter(col("_deg").isNull)
+      val dangling = pr.filter(col("_dang"))
         .agg(coalesce(round(sum("pr"), 9), lit(0.0)).as("_dm"))
-      val contribs = e.join(pr, e("src") === pr("id"))
-        .join(outdeg, "src")
-        .select(col("dst").as("id"), (col("pr") / col("_deg")).as("_c"))
+      val contribs = eDeg.join(pr, eDeg("src") === pr("id"))
+        .select(eDeg("dst").as("id"), (col("pr") / col("_deg")).as("_c"))
       val inMass = contribs.groupBy("id").agg(round(sum("_c"), 9).as("_m"))
-      pr = nodes.join(inMass, Seq("id"), "left")
+      pr = nodesF.join(inMass, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("id"),
+        .select(col("id"), col("_dang"),
           round(base + lit(damping) *
             (coalesce(col("_m"), lit(0.0)) + col("_dm") / n), 9).as("pr"))
         .localCheckpoint(eager = false)

@@ -294,9 +294,11 @@ object SketchArtifacts {
   /** Driver-side running HLL artifact for [[hllFitStream]] — the
     * [[RunningCms]] shape: idempotent per batchId, restart-durable via
     * persistPath + [[RunningHll.recover]]. Folding is the register-max
-    * union (`hll_union` over two 1-row literals — a driver-bounded
-    * op), which is deterministic for a fixed operand sequence, so a
-    * recovered run's bytes match an uninterrupted run's exactly. */
+    * union via the datasketches-java already on Spark's classpath —
+    * a pure driver-local op (the first cut spawned a 1-row `hll_union`
+    * Spark job per micro-batch), deterministic for a fixed operand
+    * sequence, so a recovered run's bytes match an uninterrupted
+    * run's exactly. */
   final class RunningHll(val lgConfigK: Int) extends Serializable {
     private[this] var bytes: Array[Byte] = _
     private[this] var rows: Long = 0L
@@ -308,9 +310,16 @@ object SketchArtifacts {
         else {
           bytes =
             if (bytes == null) fit
-            else spark.range(1)
-              .select(hll_union(lit(bytes), lit(fit)).as("_u"))
-              .head().getAs[Array[Byte]](0)
+            else {
+              import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
+              val u = new Union(lgConfigK)
+              u.update(HllSketch.heapify(bytes))
+              u.update(HllSketch.heapify(fit))
+              // HLL_8 updatable bytes — the encoding Spark's own
+              // hll_sketch_agg emits, so every downstream consumer
+              // (hll_sketch_estimate, hll_union_agg) reads it as-is
+              u.getResult(TgtHllType.HLL_8).toUpdatableByteArray
+            }
           rows += n
           lastBatch = batchId
           true
