@@ -270,7 +270,7 @@ object Dta {
     val gso: Map[(Long, Long), String] =
       if (meta.vars.exists(_.isStrL)) parseStrls(bytes, meta)
       else Map.empty
-    rowsResolved(bytes, meta, (rv, ro) => {
+    rowsResolved(bytes, meta, (_, rv, ro) => {
       val s = gso.getOrElse((rv, ro),
         refuse(s"strL cell ($rv,$ro) has no GSO entry"))
       if (s.isEmpty) null else s
@@ -278,11 +278,16 @@ object Dta {
   }
 
   /** The row walk with strL resolution abstracted: `resolve` receives
-    * each non-null (v, o) ref — the whole-file read looks payloads up
-    * in the parsed GSO map, the paged scan emits ref markers for a
-    * later equi-join, the typed read returns bytes. */
+    * (cellColIdx, v, o) for each non-null ref — the CELL's own 0-based
+    * column index first, because strL values can be shared across
+    * columns (Stata and pandas dedup identical payloads, so a cell in
+    * column B may carry a ref whose v names column A): any per-column
+    * routing must key on the cell's column, never the ref's v. The
+    * whole-file read looks payloads up in the parsed GSO map, the
+    * paged scan emits ref markers for a later equi-join, the typed
+    * read returns bytes for binary columns. */
   private def rowsResolved(bytes: Array[Byte], meta: DtaMeta,
-                           resolve: (Long, Long) => Any)
+                           resolve: (Int, Long, Long) => Any)
       : Iterator[Seq[Any]] = {
     val rowLen = meta.vars.map(v =>
       if (v.strWidth > 0) v.strWidth else v.numWidth).sum.toLong
@@ -292,7 +297,7 @@ object Dta {
       a + (if (v.strWidth > 0) v.strWidth else v.numWidth))
     (0L until meta.nRows).iterator.map { r =>
       val base = meta.dataAt + r * rowLen
-      meta.vars.zip(offs).map { case (v, o) =>
+      meta.vars.zip(offs).zipWithIndex.map { case ((v, o), ci) =>
         val at = base + o
         if (v.isStrL) {
           // the (v, o) ref: u4+u4 in 117, u2 + 48-bit o in 118
@@ -303,7 +308,7 @@ object Dta {
             else (i4(bytes, at).toLong & 0xffffffffL,
               i4(bytes, at + 4).toLong & 0xffffffffL)
           if (rv == 0L && ro == 0L) null
-          else resolve(rv, ro)
+          else resolve(ci, rv, ro)
         } else if (v.strWidth > 0) {
           val s = str(bytes, at, v.strWidth, meta.utf8)
           if (s.isEmpty) null else s
@@ -412,7 +417,7 @@ object Dta {
         s"dta: $secLen-byte <strls> section — past the single-buffer " +
           "GSO scan bound; re-export with fixed-width strings or split " +
           "the file")
-      def scanRows(resolve: (Long, Long) => Any,
+      def scanRows(resolve: (Int, Long, Long) => Any,
                    strlCell: (String, Long, String, Any) => Row)
           : DataFrame =
         PagedScan.scan(spark, path, cellSchema, meta.nRows,
@@ -436,7 +441,7 @@ object Dta {
         val gso = spark.sparkContext.broadcast(
           parseStrls(gsoBuf, meta.copy(strlsAt = 0L)))
         scanRows(
-          resolve = (rv, ro) => {
+          resolve = (_, rv, ro) => {
             val s = gso.value.getOrElse((rv, ro),
               refuse(s"strL cell ($rv,$ro) has no GSO entry"))
             if (s.isEmpty) null else s
@@ -445,7 +450,7 @@ object Dta {
       } else {
         // 1. the row scan emits strL cells as "v,o" ref markers
         val raw = scanRows(
-          resolve = (rv, ro) => (rv, ro),
+          resolve = (_, rv, ro) => (rv, ro),
           strlCell = (p, rowId, name, x) => x match {
             case (rv: Long, ro: Long) =>
               Row(p, rowId, name, "strl", s"$rv,$ro", null)
@@ -515,21 +520,35 @@ object Dta {
   // --------------------------------------------------------------
 
   /** Column kinds for the typed read: 'n' double, 's' string, 'y'
-    * binary — a strL column whose GSO table carries ANY t=129 payload
-    * is binary (its t=130 entries, if mixed in, come back as raw
-    * bytes too). */
+    * binary — a strL column ANY of whose CELLS references a t=129
+    * payload is binary (its t=130 cells, if mixed in, come back as
+    * raw bytes too). Classification walks the data rows' own refs,
+    * not the GSO entries' v field: strL values are deduped across
+    * columns by real writers, so an entry's v only names the FIRST
+    * column that used the payload. */
   def dtaTypedKinds(bytes: Array[Byte]): Seq[(String, Char)] = {
     val meta = parseMeta(bytes)
-    val binCols: Set[Long] =
-      if (meta.vars.exists(_.isStrL))
-        parseStrlsTyped(bytes, meta).collect {
-          case ((v, _), (129, _)) => v
-        }.toSet
-      else Set.empty
+    val gso: Map[(Long, Long), (Int, Array[Byte])] =
+      if (meta.vars.exists(_.isStrL)) parseStrlsTyped(bytes, meta)
+      else Map.empty
+    typedKindsOf(bytes, meta, gso)
+  }
+
+  private def typedKindsOf(bytes: Array[Byte], meta: DtaMeta,
+                           gso: Map[(Long, Long), (Int, Array[Byte])])
+      : Seq[(String, Char)] = {
+    val isBin = new Array[Boolean](meta.vars.length)
+    if (meta.vars.exists(_.isStrL))
+      rowsResolved(bytes, meta, (ci, rv, ro) => {
+        val (t, _) = gso.getOrElse((rv, ro),
+          refuse(s"strL cell ($rv,$ro) has no GSO entry"))
+        if (t == 129) isBin(ci) = true
+        null
+      }).foreach(_ => ())
     meta.vars.zipWithIndex.map { case (v, i) =>
       (v.name,
         if (v.strWidth == 0 && !v.isStrL) 'n'
-        else if (v.isStrL && binCols.contains(i + 1L)) 'y'
+        else if (v.isStrL && isBin(i)) 'y'
         else 's')
     }
   }
@@ -566,25 +585,35 @@ object Dta {
         }, nullable = true)
       })
     val rdd = files.flatMap { case (file, bytes) =>
-      val got = dtaTypedKinds(bytes)
-      require(got == kinds,
-        s"dta: $file's column kinds $got do not match the first " +
-          s"file's $kinds")
+      // ONE GSO parse per file feeds the kind check AND the resolve
+      // map — for media files the GSO section IS the bulk, so a
+      // second parse would double CPU and payload allocation
       val meta = parseMeta(bytes)
-      val binCols: Set[Long] = kinds.zipWithIndex.collect {
-        case ((_, 'y'), i) => i + 1L
-      }.toSet
       val gso: Map[(Long, Long), (Int, Array[Byte])] =
         if (meta.vars.exists(_.isStrL)) parseStrlsTyped(bytes, meta)
         else Map.empty
-      rowsResolved(bytes, meta, (rv, ro) => {
+      // structural check only (names + numeric/string split) — the
+      // binary-vs-text routing is guarded per CELL below, so a full
+      // kind re-derivation (a second row walk) buys nothing
+      val got = meta.vars.map(v =>
+        (v.name, if (v.strWidth == 0 && !v.isStrL) 'n' else 's'))
+      val want = kinds.map { case (n, k) => (n, if (k == 'n') 'n' else 's') }
+      require(got == want,
+        s"dta: $file's columns $got do not match the first file's $want")
+      // routing keys on the CELL's own column kind (never the ref's
+      // v — payloads are shared across columns by real writers)
+      val binCol: Array[Boolean] = kinds.map(_._2 == 'y').toArray
+      rowsResolved(bytes, meta, (ci, rv, ro) => {
         val (t, payload) = gso.getOrElse((rv, ro),
           refuse(s"strL cell ($rv,$ro) has no GSO entry"))
-        if (binCols.contains(rv)) {
+        if (binCol(ci)) {
           if (t == 130 && payload.nonEmpty && payload.last == 0)
             java.util.Arrays.copyOf(payload, payload.length - 1)
           else payload
         } else {
+          if (t == 129)
+            refuse(s"column '${kinds(ci)._1}' is text-kinded but cell " +
+              s"($rv,$ro) carries a binary (t=129) payload")
           val s = strlText(payload, meta.utf8)
           if (s.isEmpty) null else s
         }
@@ -711,17 +740,23 @@ object Dta {
     section(8, "<characteristics>")(())("</characteristics>")
     // GSO payloads accumulate while the data cells are written (cells
     // reference v = 1-based column, o = 1-based row, the 118 packing;
-    // t = 130 text + trailing NUL, 129 binary verbatim)
+    // t = 130 text + trailing NUL, 129 binary verbatim). Identical
+    // (t, payload) values DEDUP to one entry — the convention real
+    // writers follow (Stata and pandas share payloads even across
+    // columns, which is why the readers route by the CELL's column,
+    // never the ref's v).
     val gsoEntries = mutable.ArrayBuffer.empty[(Int, Long, Int, Array[Byte])]
+    val gsoIndex = mutable.HashMap.empty[(Int, collection.Seq[Byte]), Long]
     section(9, "<data>") {
       data.zipWithIndex.foreach { case (r, rowIdx) =>
         cols.indices.foreach { i =>
-          def strlRef(t: Int, payload: Array[Byte]): Unit = {
-            val v = i + 1
-            val o = rowIdx + 1L
-            gsoEntries += ((v, o, t, payload))
-            w8(v.toLong | (o << 16))
-          }
+          def strlRef(t: Int, payload: Array[Byte]): Unit =
+            w8(gsoIndex.getOrElseUpdate((t, payload.toSeq), {
+              val v = i + 1
+              val o = rowIdx + 1L
+              gsoEntries += ((v, o, t, payload))
+              v.toLong | (o << 16)
+            }))
           cols(i)._2 match {
             case 'l' => r(i) match {
               case null => w8(0L)

@@ -417,27 +417,27 @@ object Feather {
   private def batchRows(bytes: Array[Byte], at: Int, metaLen: Int,
                         meta: FeatherMeta,
                         dicts: Map[Long, IndexedSeq[String]] = Map.empty)
-      : Iterator[Seq[Any]] = {
+      : Iterator[Seq[Any]] =
+    decodeBatch(bytes, recordBatchTable(bytes, at), at + metaLen,
+      meta.cols, dicts)
+
+  /** The RecordBatch flatbuffer table of one encapsulated message at
+    * `at` — validation declared ONCE so the decode ([[batchRows]]) and
+    * the dense-id row count ([[blockRowCount]]) cannot drift. */
+  private def recordBatchTable(bytes: Array[Byte], at: Int): FbTable = {
     require(i32(bytes, at) == 0xFFFFFFFF,
       "feather: message continuation marker missing (pre-0.15 stream?)")
     val msg = rootTable(bytes, at + 8)
     if (msg.i8f(1) != 3)
       refuse(s"block holds message type ${msg.i8f(1)}, wanted RecordBatch")
-    val rb = msg.table(2).getOrElse(refuse("empty RecordBatch message"))
-    decodeBatch(bytes, rb, at + metaLen, meta.cols, dicts)
+    msg.table(2).getOrElse(refuse("empty RecordBatch message"))
   }
 
   /** Row count of one record-batch MESSAGE (its first metaLen bytes —
     * the length field sits in the flatbuffer, not the body): the paged
     * scan's dense-row-id metadata pass. */
-  private def blockRowCount(buf: Array[Byte]): Long = {
-    require(i32(buf, 0) == 0xFFFFFFFF,
-      "feather: message continuation marker missing (pre-0.15 stream?)")
-    val msg = rootTable(buf, 8)
-    if (msg.i8f(1) != 3)
-      refuse(s"block holds message type ${msg.i8f(1)}, wanted RecordBatch")
-    msg.table(2).getOrElse(refuse("empty RecordBatch message")).i64f(0)
-  }
+  private def blockRowCount(buf: Array[Byte]): Long =
+    recordBatchTable(buf, 0).i64f(0)
 
   /** The buffer walk shared by record AND dictionary batches. */
   private def decodeBatch(bytes: Array[Byte], rb: FbTable, body: Int,
@@ -474,9 +474,11 @@ object Feather {
           System.arraycopy(bytes, body + off + 8, out, 0, len - 8)
           out
         } else if (codec.contains(1L)) {
-          require(plain > 0 && plain <= Int.MaxValue - 16L,
+          require(plain >= 0 && plain <= Int.MaxValue - 16L,
             s"feather: zstd buffer claims $plain plain bytes — past " +
               "the single-buffer bound (re-export with smaller batches)")
+          // plain == 0: a prefix-always producer's empty buffer — the
+          // same shape the lz4 branch accepts
           val out = new Array[Byte](plain.toInt)
           val got = com.github.luben.zstd.Zstd.decompressByteArray(
             out, 0, out.length, bytes, body + off + 8, len - 8)
@@ -734,16 +736,23 @@ object Feather {
     // to the driver, the same bound as the footer's own block table
     val counts = spark.sparkContext
       .parallelize(blocks, math.min(nParts, math.max(1, blocks.size)))
-      .map { case ((off, metaLen, _), blockIdx) =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(PagedScan.rebuild(hconf))
-        val in = fs.open(p)
-        val buf = try {
-          val b = new Array[Byte](metaLen)
-          in.readFully(off, b)
-          b
-        } finally in.close()
-        (blockIdx, blockRowCount(buf))
+      .mapPartitions { it =>
+        // one open per PARTITION, many preads — a per-block open would
+        // pay an object-store round-trip per record batch
+        if (it.isEmpty) Iterator.empty
+        else {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(PagedScan.rebuild(hconf))
+          val in = fs.open(p)
+          val out = try {
+            it.map { case ((off, metaLen, _), blockIdx) =>
+              val b = new Array[Byte](metaLen)
+              in.readFully(off, b)
+              (blockIdx, blockRowCount(b))
+            }.toVector
+          } finally in.close()
+          out.iterator
+        }
       }.collect().sortBy(_._1).map(_._2)
     // broadcast, not closure — the bases array is O(blocks)
     val rowBase = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))

@@ -189,6 +189,46 @@ class DtaSpec extends SparkSpec {
       .get("target", "scala_dta_binstrl_check.dta"), blob)
   }
 
+  test("strL payloads dedup to one GSO entry; typed routing keys on " +
+      "the CELL's column, never the shared ref's v") {
+    // b2 reuses b1's payload bytes row-for-row: the writer dedups, so
+    // every b2 cell's ref points at an entry whose v names b1 — the
+    // exact cross-column sharing real writers (Stata, pandas) produce.
+    // The typed read must still hand b2 back as bytes, and the kinds
+    // walk must classify b2 binary even though no GSO entry carries
+    // its column index.
+    val cols = Seq(("id", 'n'), ("b1", 'y'), ("b2", 'y'), ("t1", 's'),
+      ("t2", 's'))
+    val data = (0 until 60).map { i =>
+      val shared = Array.tabulate[Byte](8)(j => ((i % 5) * 7 + j).toByte)
+      Seq[Any](i.toDouble, shared, shared.clone(),
+        s"v${i % 4}", s"v${i % 4}") // t2 shares t1's text payloads
+    }
+    val blob = Dta.dumpsTyped(cols, data)
+    // 5 distinct binary + 4 distinct text payloads — not 240 entries
+    val raw = new String(blob, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val gsoCount = raw.sliding(3).count(_ == "GSO")
+    assert(gsoCount === 9, s"expected 9 deduped GSO entries, got $gsoCount")
+    assert(Dta.dtaTypedKinds(blob) === Seq(("id", 'n'), ("b1", 'y'),
+      ("b2", 'y'), ("t1", 's'), ("t2", 's')))
+    val back = Dta.readDtaTypedBlobs(spark, Seq(("t.dta", blob)))
+      .orderBy("row")
+      .select($"id", $"b1", $"b2", $"t1", $"t2")
+      .as[(Double, Array[Byte], Array[Byte], String, String)].collect()
+    assert(back.length === 60)
+    back.zipWithIndex.foreach { case ((id, b1, b2, t1, t2), i) =>
+      assert(id === i.toDouble)
+      val want = (0 until 8).map(j => ((i % 5) * 7 + j).toByte)
+      assert(b1.toSeq === want, s"$i")
+      assert(b2.toSeq === want, s"$i")
+      assert(t1 === s"v${i % 4}"); assert(t2 === s"v${i % 4}")
+    }
+    // keep the bytes for the pandas cross-validation (tool mode
+    // "shared"): pandas must resolve the shared refs identically
+    java.nio.file.Files.write(java.nio.file.Paths
+      .get("target", "scala_dta_shared_check.dta"), blob)
+  }
+
   test("MSF, pre-114 and junk refuse loudly") {
     val msf = bytes("fixture_118.dta").clone()
     // <byteorder>LSF -> MSF

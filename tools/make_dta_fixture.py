@@ -117,8 +117,29 @@ def check_scala_binstrl(path: str):
           f"({len(back)} rows)")
 
 
+def check_scala_shared(path: str):
+    """pandas reads a Dta.dumpsTyped file whose strL payloads are
+    DEDUPED across columns (b2's refs point at entries first written
+    for b1; t2's at t1's) — pandas must resolve the shared refs to the
+    same values, pinning the cross-column sharing convention."""
+    back = pd.read_stata(path)
+    assert list(back.columns) == ["id", "b1", "b2", "t1", "t2"], back.columns
+    assert len(back) == 60, len(back)
+    for i in range(60):
+        assert back["id"][i] == float(i)
+        want = bytes(((i % 5) * 7 + j) % 256 for j in range(8))
+        for c in ("b1", "b2"):
+            p = back[c][i]
+            assert p == want or p == str(want), (c, i, p, want)
+        for c in ("t1", "t2"):
+            assert back[c][i] == f"v{i % 4}", (c, i, back[c][i])
+    print(f"{path}: pandas resolves the SHARED strL refs OK (60 rows)")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 2:
+    if len(sys.argv) > 3 and sys.argv[3] == "shared":
+        check_scala_shared(sys.argv[2])
+    elif len(sys.argv) > 2:
         check_scala_binstrl(sys.argv[2])
     else:
         main()
