@@ -124,6 +124,26 @@ object Batch45Entries {
         Seq(("media_id", 'n'), ("content", 'y'), ("format", 's'),
           ("width", 'n'), ("height", 'n')), rows)
       val typed = Dta.readDtaTypedBlobs(s, Seq(("corpus.dta", blob)))
+      // law, asserted in-entry (the feather_media_dedup convention):
+      // the range-parallel TYPED scan of the same bytes — BOTH resolve
+      // paths — must hand back the identical blobs (32 bounded rows)
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_media_corpus_", ".dta")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.write(tmp, blob)
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("row"), col("media_id"), md5(col("content")),
+          col("width"), col("height"))
+        .collect().map(_.toSeq).sortBy(_.toString)
+      val wholeKey = key(typed.select(col("row"), col("media_id"),
+        col("content"), col("width"), col("height")))
+      Seq(64L << 20, 0L).foreach { bound =>
+        val paged = Dta.readDtaTypedPaged(s, tmp.toString,
+          partitions = 4, gsoInlineBytes = bound)
+        require(key(paged).toSeq == wholeKey.toSeq,
+          s"dta_media_dedup: typed paged scan (gsoInlineBytes=$bound) " +
+            "diverged from the whole-file typed read")
+      }
       val rebuilt = typed.select(
         col("media_id").cast("long").as("media_id"),
         col("content"),

@@ -571,6 +571,112 @@ object Dta {
       spark.sparkContext.parallelize(blobs, math.min(blobs.size, 32)))
   }
 
+  /** TYPED read of ONE large .dta with WITHIN-file parallelism — the
+    * media path for big binary-strL corpora ([[Feather.readFeatherTypedPaged]]'s
+    * role for the Stata container). Row ranges split like
+    * [[readDtaPaged]]; strL payloads resolve either from a
+    * driver-broadcast GSO map (section ≤ `gsoInlineBytes`) or through
+    * one left equi-join per strL column against a one-task GSO scan.
+    *
+    * SCHEMA NOTE: every strL column lands as BinaryType. Classifying
+    * text-vs-binary strL requires walking each cell's ref (payloads
+    * are shared across columns, so the GSO entries' own v field
+    * cannot type a column) — a full extra pass the paged scan refuses
+    * to spend. Text strL arrives as its UTF-8 bytes (t=130 trailing
+    * NUL already stripped): `decode(col, 'UTF-8')` downstream, or use
+    * [[readDtaTyped]] (whole-file per task) for classified kinds. */
+  def readDtaTypedPaged(spark: SparkSession, path: String,
+                        partitions: Int = 0,
+                        gsoInlineBytes: Long = 64L << 20): DataFrame = {
+    val meta = PagedScan.driverMeta(spark, path)(parseMeta)
+    val rowLen = meta.vars.map(v =>
+      if (v.strWidth > 0) v.strWidth else v.numWidth).sum.toLong
+    val schema = StructType(
+      StructField("src_file", StringType, nullable = false) +:
+      StructField("row", LongType, nullable = false) +:
+      meta.vars.map(v => StructField(v.name,
+        if (v.isStrL) BinaryType
+        else if (v.strWidth > 0) StringType
+        else DoubleType, nullable = true)))
+    // payloads FINALIZED in the parse (t=130 NUL stripped) so both
+    // resolve paths hand back identical bytes
+    def finalized(t: Int, payload: Array[Byte]): Array[Byte] =
+      if (t == 130 && payload.nonEmpty && payload.last == 0)
+        java.util.Arrays.copyOf(payload, payload.length - 1)
+      else payload
+    def scanWide(resolve: (Int, Long, Long) => Any): DataFrame =
+      PagedScan.scan(spark, path, schema, meta.nRows, meta.dataAt,
+        rowLen, partitions) { (buf, startRow, nRows) =>
+        val m = meta.copy(nRows = nRows, dataAt = 0L)
+        rowsResolved(buf, m, resolve).zipWithIndex.map { case (vals, r) =>
+          Row.fromSeq(path +: java.lang.Long.valueOf(startRow + r) +: vals)
+        }
+      }
+    if (!meta.vars.exists(_.isStrL))
+      return scanWide((_, _, _) => refuse("unreachable: no strL columns"))
+    require(meta.strlsAt >= 0 && meta.strlsEndAt > meta.strlsAt,
+      "dta: strL columns but the <map> locates no <strls> section")
+    val secLen = meta.strlsEndAt - meta.strlsAt
+    require(secLen <= Int.MaxValue - 16L,
+      s"dta: $secLen-byte <strls> section — past the single-buffer " +
+        "GSO scan bound; split the file or use readDtaTyped")
+    if (secLen <= gsoInlineBytes) {
+      val gsoBuf = PagedScan.readTail(spark, path, meta.strlsAt,
+        secLen.toInt)
+      val gso = spark.sparkContext.broadcast(
+        parseStrlsTyped(gsoBuf, meta.copy(strlsAt = 0L)))
+      scanWide((_, rv, ro) => {
+        val (t, payload) = gso.value.getOrElse((rv, ro),
+          refuse(s"strL cell ($rv,$ro) has no GSO entry"))
+        finalized(t, payload)
+      })
+    } else {
+      // refs ride the frame as "v,o" BYTES in the binary slot, one
+      // left equi-join per strL column resolves them (media corpora
+      // usually carry ONE blob column, so "per column" is one join)
+      val refd = scanWide((_, rv, ro) =>
+        s"$rv,$ro".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val hconf = PagedScan.confMap(spark)
+      val strlsAt = meta.strlsAt
+      val metaForGso = meta
+      val gsoRdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(PagedScan.rebuild(hconf))
+        val in = fs.open(p)
+        val buf = try {
+          val b = new Array[Byte](secLen.toInt)
+          in.readFully(strlsAt, b)
+          b
+        } finally in.close()
+        parseStrlsTyped(buf, metaForGso.copy(strlsAt = 0L)).iterator
+          .map { case ((rv, ro), (t, payload)) =>
+            Row(s"$rv,$ro", finalized(t, payload))
+          }
+      }
+      val gsoDf = spark.createDataFrame(gsoRdd, StructType(Seq(
+        StructField("gso_ref", StringType, nullable = false),
+        StructField("gso_payload", BinaryType, nullable = true))))
+      meta.vars.filter(_.isStrL).foldLeft(refd) { (df, v) =>
+        val refStr = decode(col(v.name), "US-ASCII")
+        df.join(gsoDf, refStr === col("gso_ref"), "left")
+          .withColumn(v.name,
+            when(col(v.name).isNull, lit(null).cast(BinaryType))
+              .otherwise(when(col("gso_ref").isNull,
+                raise_error(concat(lit(s"dta: strL cell ("), refStr,
+                  lit(") has no GSO entry"))).cast(BinaryType))
+                .otherwise(col("gso_payload"))))
+          .drop("gso_ref", "gso_payload")
+      }
+    }
+  }
+
+  /** [[readDtaTypedPaged]] over a directory/glob — both parallelism
+    * axes. */
+  def readDtaTypedPagedAll(spark: SparkSession, path: String,
+                           partitions: Int = 0): DataFrame =
+    PagedScan.unionPerFile(spark, path)(
+      readDtaTypedPaged(spark, _, partitions))
+
   private def typedFrom(spark: SparkSession, kinds: Seq[(String, Char)],
                         files: org.apache.spark.rdd.RDD[(String, Array[Byte])])
       : DataFrame = {

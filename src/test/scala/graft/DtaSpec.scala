@@ -1,6 +1,7 @@
 package graft
 
 import graft.io.Dta
+import org.apache.spark.sql.functions.decode
 
 /** Stata .dta ingest against GOLDEN fixtures written by
   * pandas.to_stata — the real producer — in formats 114, 117 and 118
@@ -187,6 +188,42 @@ class DtaSpec extends SparkSpec {
     // (tools/make_dta_fixture.py <dir> <file> — the check-in gate)
     java.nio.file.Files.write(java.nio.file.Paths
       .get("target", "scala_dta_binstrl_check.dta"), blob)
+  }
+
+  test("typed PAGED read splits a binary-strL file; broadcast and " +
+      "equi-join resolve paths both match the whole-file typed read") {
+    val cols = Seq(("id", 'n'), ("tag", 's'), ("payload", 'y'))
+    val n = 300
+    val data = (0 until n).map { i =>
+      Seq[Any](i.toDouble, if (i % 11 == 5) null else s"t${i % 5}",
+        if (i % 7 == 3) null
+        else Array.tabulate[Byte](i % 48 + 1)(j => ((i + j * 13) % 256).toByte))
+    }
+    val blob = Dta.dumpsTyped(cols, data)
+    val tmp = java.nio.file.Files.createTempFile("graft_typed_paged_", ".dta")
+    java.nio.file.Files.write(tmp, blob)
+    Seq(64L << 20, 0L).foreach { bound =>
+      // every strL column lands as BinaryType on the paged typed scan
+      // (classification needs a full cell walk); text decodes via SQL
+      val paged = Dta.readDtaTypedPaged(spark, tmp.toString,
+          partitions = 5, gsoInlineBytes = bound)
+        .orderBy("row")
+        .select($"row", $"id", decode($"tag", "UTF-8").as("tag"),
+          $"payload")
+        .as[(Long, Double, Option[String], Option[Array[Byte]])].collect()
+      assert(paged.length === n, bound)
+      paged.zipWithIndex.foreach { case ((rowId, id, tag, payload), i) =>
+        assert(rowId === i.toLong, s"$bound: dense ids")
+        assert(id === i.toDouble, bound)
+        assert(tag === (if (i % 11 == 5) None else Some(s"t${i % 5}")),
+          s"$bound $i")
+        if (i % 7 == 3) assert(payload === None, s"$bound $i")
+        else assert(payload.get.toSeq ===
+          (0 until i % 48 + 1).map(j => ((i + j * 13) % 256).toByte),
+          s"$bound $i")
+      }
+    }
+    java.nio.file.Files.delete(tmp)
   }
 
   test("strL payloads dedup to one GSO entry; typed routing keys on " +
