@@ -266,6 +266,63 @@ class DtaSpec extends SparkSpec {
       .get("target", "scala_dta_shared_check.dta"), blob)
   }
 
+  test("property: random typed frames round-trip through dumpsTyped " +
+      "(payload dedup on) under the Stata null rules") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val strGen = Gen.frequency(
+      5 -> Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf('é', '中', '_'))).map(l => ("s" + l.mkString).take(20)),
+      1 -> Gen.const(""), // "" writes a (0,0) ref → reads back null
+      1 -> Gen.const(null: String))
+    val numGen = Gen.frequency(
+      6 -> Gen.choose(-1e12, 1e12).map(java.lang.Double.valueOf),
+      1 -> Gen.const(java.lang.Double.valueOf(Double.NaN)), // → missing
+      1 -> Gen.const(null: java.lang.Double))
+    // small byte alphabet so payloads COLLIDE across rows and columns
+    // — the dedup + shared-ref routing is exercised, not incidental
+    val binGen = Gen.frequency(
+      5 -> Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 3).map(_.toByte)).map(_.toArray)),
+      1 -> Gen.const(null: Array[Byte]))
+    val rowsGen = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, for {
+        a <- numGen; b <- strGen; c <- binGen; d <- binGen
+      } yield Seq[Any](a, b, c, d))
+    } yield rows
+    val cols = Seq(("a", 'n'), ("b", 's'), ("c", 'y'), ("d", 'y'))
+    val samples = (0 until 12).flatMap(i =>
+      rowsGen(Gen.Parameters.default, Seed(9876L + i)).map(r => (i, r)))
+    assert(samples.size >= 10)
+    samples.foreach { case (i, rows) =>
+      val blob = Dta.dumpsTyped(cols, rows)
+      val back = Dta.readDtaTypedBlobs(spark, Seq((s"p$i.dta", blob)))
+        .orderBy("row").select($"a", $"b", $"c", $"d")
+        .as[(Option[Double], Option[String], Option[Array[Byte]],
+          Option[Array[Byte]])].collect()
+      assert(back.length === rows.length, s"sample $i")
+      back.zip(rows).zipWithIndex.foreach { case (((a, b, c, d), row), r) =>
+        row(0) match {
+          case null => assert(a === None, s"$i/$r a")
+          case x: java.lang.Double if x.isNaN => assert(a === None, s"$i/$r a")
+          case x: java.lang.Double =>
+            assert(a === Some(x.doubleValue), s"$i/$r a")
+        }
+        val wb = Option(row(1).asInstanceOf[String]).filter(_.nonEmpty)
+        assert(b === wb, s"$i/$r b")
+        Seq((row(2), c, "c"), (row(3), d, "d")).foreach { case (w, g, nm) =>
+          (Option(w.asInstanceOf[Array[Byte]]), g) match {
+            case (None, None) =>
+            case (Some(wv), Some(gv)) =>
+              assert(gv.toSeq === wv.toSeq, s"$i/$r $nm")
+            case other => fail(s"$i/$r $nm: $other")
+          }
+        }
+      }
+    }
+  }
+
   test("MSF, pre-114 and junk refuse loudly") {
     val msf = bytes("fixture_118.dta").clone()
     // <byteorder>LSF -> MSF

@@ -255,6 +255,63 @@ class FeatherSpec extends SparkSpec {
     }
   }
 
+  test("property: random typed frames round-trip through dumpsTyped, " +
+      "plain AND zstd, in one multi-blob read") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val strGen = Gen.frequency(
+      5 -> Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf('é', '中', '_'))).map(l => ("s" + l.mkString).take(20)),
+      1 -> Gen.const(""), // feather has REAL nulls, so "" survives
+      1 -> Gen.const(null: String))
+    val numGen = Gen.frequency(
+      6 -> Gen.choose(-1e12, 1e12).map(java.lang.Double.valueOf),
+      1 -> Gen.const(java.lang.Double.valueOf(Double.NaN)), // NaN survives too
+      1 -> Gen.const(null: java.lang.Double))
+    val binGen = Gen.frequency(
+      5 -> Gen.choose(0, 48).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+          .map(_.toArray)),
+      1 -> Gen.const(null: Array[Byte]))
+    val rowsGen = for {
+      n <- Gen.choose(0, 50) // 0-row files must round-trip too
+      rows <- Gen.listOfN(n, for {
+        a <- numGen; b <- strGen; c <- binGen
+      } yield Seq[Any](a, b, c))
+    } yield rows
+    val cols = Seq(("a", 'n'), ("b", 's'), ("c", 'y'))
+    val samples = (0 until 12).flatMap(i =>
+      rowsGen(Gen.Parameters.default, Seed(4321L + i)).map(r => (i, r)))
+    assert(samples.size >= 10)
+    val blobs = samples.map { case (i, rows) =>
+      (f"f$i%02d.feather",
+        Feather.dumpsTyped(cols, rows, rowsPerBatch = 16, zstd = i % 2 == 1))
+    }
+    val back = Feather.readFeatherTypedBlobs(spark, blobs)
+      .orderBy("src_file", "row")
+      .select($"src_file", $"a", $"b", $"c")
+      .as[(String, Option[Double], Option[String], Option[Array[Byte]])]
+      .collect().groupBy(_._1)
+    samples.foreach { case (i, rows) =>
+      val got = back.getOrElse(f"f$i%02d.feather", Array.empty).toSeq
+      assert(got.length === rows.length, s"sample $i")
+      got.zip(rows).zipWithIndex.foreach { case (((_, a, b, c), row), r) =>
+        row(0) match {
+          case null => assert(a === None, s"$i/$r a")
+          case d: java.lang.Double if d.isNaN =>
+            assert(a.exists(_.isNaN), s"$i/$r a NaN")
+          case d: java.lang.Double => assert(a === Some(d.doubleValue), s"$i/$r a")
+        }
+        assert(b === Option(row(1).asInstanceOf[String]), s"$i/$r b")
+        (Option(row(2).asInstanceOf[Array[Byte]]), c) match {
+          case (None, None) =>
+          case (Some(w), Some(g)) => assert(g.toSeq === w.toSeq, s"$i/$r c")
+          case other => fail(s"$i/$r c: $other")
+        }
+      }
+    }
+  }
+
   test("readFeatherPagedAll unions per-file batch scans over a directory") {
     val cols = Seq(("k", true), ("txt", false))
     val tmp = java.nio.file.Files.createTempDirectory("graft_feather_all")
