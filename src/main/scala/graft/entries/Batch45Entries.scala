@@ -67,6 +67,35 @@ object Batch45Entries {
   private val strlFileCache =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 
+  /** The media corpus as (blob, on-disk path), built once per JVM —
+    * bench passes and multi-scale verify runs must not re-serialize
+    * the BMP corpus per invocation. */
+  private val mediaCorpusCache =
+    new java.util.concurrent.atomic.AtomicReference[(Array[Byte], String)](null)
+
+  private def mediaCorpus(s: SparkSession): (Array[Byte], String) = {
+    val cached = mediaCorpusCache.get()
+    if (cached != null) cached
+    else {
+      val media = Batch42Entries.dhash256Bmps(s)
+      val rows = media.select(col("media_id"), col("content"),
+          col("meta.format"), col("meta.width"), col("meta.height"))
+        .collect() // 32 fixture rows — a bounded driver write
+        .map(r => Seq[Any](r.getLong(0).toDouble, r.getAs[Array[Byte]](1),
+          r.getString(2), r.getInt(3).toDouble, r.getInt(4).toDouble))
+        .toSeq
+      val blob = Dta.dumpsTyped(
+        Seq(("media_id", 'n'), ("content", 'y'), ("format", 's'),
+          ("width", 'n'), ("height", 'n')), rows)
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_media_corpus_", ".dta")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.write(tmp, blob)
+      mediaCorpusCache.compareAndSet(null, (blob, tmp.toString))
+      mediaCorpusCache.get()
+    }
+  }
+
   private def strlRows(ids: Range): Seq[Seq[Any]] = ids.map { i =>
     Seq[Any](i.toDouble, s"g${i % 3}",
       if (i % 4 == 0) null else i * 0.5 - 3.0,
@@ -113,24 +142,11 @@ object Batch45Entries {
     // BINARY strL payloads (t=129) through the TYPED .dta surface —
     // the feather_media_dedup closed form over a Stata container
     "dta_media_dedup" -> ((s, dir) => {
-      val media = Batch42Entries.dhash256Bmps(s)
-      val rows = media.select(col("media_id"), col("content"),
-          col("meta.format"), col("meta.width"), col("meta.height"))
-        .collect() // 32 fixture rows — a bounded driver write
-        .map(r => Seq[Any](r.getLong(0).toDouble, r.getAs[Array[Byte]](1),
-          r.getString(2), r.getInt(3).toDouble, r.getInt(4).toDouble))
-        .toSeq
-      val blob = Dta.dumpsTyped(
-        Seq(("media_id", 'n'), ("content", 'y'), ("format", 's'),
-          ("width", 'n'), ("height", 'n')), rows)
+      val (blob, corpusPath) = mediaCorpus(s)
       val typed = Dta.readDtaTypedBlobs(s, Seq(("corpus.dta", blob)))
       // law, asserted in-entry (the feather_media_dedup convention):
       // the range-parallel TYPED scan of the same bytes — BOTH resolve
       // paths — must hand back the identical blobs (32 bounded rows)
-      val tmp = java.nio.file.Files
-        .createTempFile("graft_media_corpus_", ".dta")
-      tmp.toFile.deleteOnExit()
-      java.nio.file.Files.write(tmp, blob)
       def key(df: org.apache.spark.sql.DataFrame) = df
         .select(col("row"), col("media_id"), md5(col("content")),
           col("width"), col("height"))
@@ -138,7 +154,7 @@ object Batch45Entries {
       val wholeKey = key(typed.select(col("row"), col("media_id"),
         col("content"), col("width"), col("height")))
       Seq(64L << 20, 0L).foreach { bound =>
-        val paged = Dta.readDtaTypedPaged(s, tmp.toString,
+        val paged = Dta.readDtaTypedPaged(s, corpusPath,
           partitions = 4, gsoInlineBytes = bound)
         require(key(paged).toSeq == wholeKey.toSeq,
           s"dta_media_dedup: typed paged scan (gsoInlineBytes=$bound) " +

@@ -238,6 +238,21 @@ object Dta {
     out.result()
   }
 
+  /** A payload's BYTES for the typed surfaces: t=130 strips the
+    * trailing NUL and an empty text payload lands as NULL (the
+    * empty-string convention every dta surface shares); t=129 binary
+    * passes verbatim (empty binary stays empty bytes). Declared ONCE
+    * so the typed whole-file, typed paged broadcast and typed paged
+    * join paths cannot drift. */
+  private def finalizedPayload(t: Int, payload: Array[Byte]): Array[Byte] =
+    if (t != 130) payload
+    else {
+      val n = if (payload.nonEmpty && payload.last == 0)
+        payload.length - 1 else payload.length
+      if (n == 0) null
+      else java.util.Arrays.copyOf(payload, n)
+    }
+
   /** A t=130 payload as a string (the trailing NUL stripped). */
   private def strlText(payload: Array[Byte], utf8: Boolean): String = {
     val end = if (payload.nonEmpty && payload.last == 0) payload.length - 1
@@ -456,22 +471,17 @@ object Dta {
               Row(p, rowId, name, "strl", s"$rv,$ro", null)
             case _ => Row(p, rowId, name, "str", x, null) // (0,0) → null
           })
-        // 2. ONE task preads and parses the GSO section (entries are
-        //    variable-length, so the section itself does not range-split)
-        val hconf = PagedScan.confMap(spark)
-        val strlsAt = meta.strlsAt
-        val metaForGso = meta
-        val gsoRdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
-          val p = new org.apache.hadoop.fs.Path(path)
-          val fs = p.getFileSystem(PagedScan.rebuild(hconf))
-          val in = fs.open(p)
-          val buf = try {
-            val b = new Array[Byte](secLen.toInt)
-            in.readFully(strlsAt, b)
-            b
-          } finally in.close()
-          parseStrls(buf, metaForGso.copy(strlsAt = 0L)).iterator
-            .map { case ((rv, ro), payload) => Row(s"$rv,$ro", payload) }
+        // 2. ONE task preads and parses the GSO section (the shared
+        //    [[gsoTaskRdd]] kernel); the tall-cell path refuses binary
+        //    payloads toward the typed scan, like the whole-file read
+        val utf8 = meta.utf8
+        val gsoRdd = gsoTaskRdd(spark, path, meta, secLen).map {
+          case ((rv, ro), (t, payload)) =>
+            if (t == 129)
+              refuse(s"binary strL payload (t=129) at GSO ($rv,$ro) has " +
+                "no tall-cell channel — use readDtaTypedPaged, which " +
+                "keeps BinaryType")
+            Row(s"$rv,$ro", strlText(payload, utf8))
         }
         val gsoDf = spark.createDataFrame(gsoRdd, StructType(Seq(
           StructField("gso_ref", StringType, nullable = false),
@@ -571,6 +581,28 @@ object Dta {
       spark.sparkContext.parallelize(blobs, math.min(blobs.size, 32)))
   }
 
+  /** ONE task preads and parses the <strls> section — the shared
+    * kernel behind both paged equi-join paths (entries are
+    * variable-length, so the section itself does not range-split). */
+  private def gsoTaskRdd(spark: SparkSession, path: String, meta: DtaMeta,
+                         secLen: Long)
+      : org.apache.spark.rdd.RDD[((Long, Long), (Int, Array[Byte]))] = {
+    val hconf = PagedScan.confMap(spark)
+    val strlsAt = meta.strlsAt
+    val metaForGso = meta
+    spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(PagedScan.rebuild(hconf))
+      val in = fs.open(p)
+      val buf = try {
+        val b = new Array[Byte](secLen.toInt)
+        in.readFully(strlsAt, b)
+        b
+      } finally in.close()
+      parseStrlsTyped(buf, metaForGso.copy(strlsAt = 0L)).iterator
+    }
+  }
+
   /** TYPED read of ONE large .dta with WITHIN-file parallelism — the
     * media path for big binary-strL corpora ([[Feather.readFeatherTypedPaged]]'s
     * role for the Stata container). Row ranges split like
@@ -582,8 +614,10 @@ object Dta {
     * text-vs-binary strL requires walking each cell's ref (payloads
     * are shared across columns, so the GSO entries' own v field
     * cannot type a column) — a full extra pass the paged scan refuses
-    * to spend. Text strL arrives as its UTF-8 bytes (t=130 trailing
-    * NUL already stripped): `decode(col, 'UTF-8')` downstream, or use
+    * to spend. Text strL arrives as its raw bytes (t=130 trailing NUL
+    * stripped, empty → null like every other dta surface): decode
+    * downstream with the RELEASE's charset — `decode(col, 'UTF-8')`
+    * for 118 files, `decode(col, 'ISO-8859-1')` for 114-117 — or use
     * [[readDtaTyped]] (whole-file per task) for classified kinds. */
   def readDtaTypedPaged(spark: SparkSession, path: String,
                         partitions: Int = 0,
@@ -598,12 +632,6 @@ object Dta {
         if (v.isStrL) BinaryType
         else if (v.strWidth > 0) StringType
         else DoubleType, nullable = true)))
-    // payloads FINALIZED in the parse (t=130 NUL stripped) so both
-    // resolve paths hand back identical bytes
-    def finalized(t: Int, payload: Array[Byte]): Array[Byte] =
-      if (t == 130 && payload.nonEmpty && payload.last == 0)
-        java.util.Arrays.copyOf(payload, payload.length - 1)
-      else payload
     def scanWide(resolve: (Int, Long, Long) => Any): DataFrame =
       PagedScan.scan(spark, path, schema, meta.nRows, meta.dataAt,
         rowLen, partitions) { (buf, startRow, nRows) =>
@@ -621,38 +649,26 @@ object Dta {
       s"dta: $secLen-byte <strls> section — past the single-buffer " +
         "GSO scan bound; split the file or use readDtaTyped")
     if (secLen <= gsoInlineBytes) {
+      // payloads FINALIZED once per GSO entry before the broadcast
+      // (not per referencing cell — shared payloads would re-copy)
       val gsoBuf = PagedScan.readTail(spark, path, meta.strlsAt,
         secLen.toInt)
       val gso = spark.sparkContext.broadcast(
-        parseStrlsTyped(gsoBuf, meta.copy(strlsAt = 0L)))
-      scanWide((_, rv, ro) => {
-        val (t, payload) = gso.value.getOrElse((rv, ro),
-          refuse(s"strL cell ($rv,$ro) has no GSO entry"))
-        finalized(t, payload)
-      })
+        parseStrlsTyped(gsoBuf, meta.copy(strlsAt = 0L)).map {
+          case (k, (t, payload)) => k -> finalizedPayload(t, payload)
+        })
+      scanWide((_, rv, ro) => gso.value.getOrElse((rv, ro),
+        refuse(s"strL cell ($rv,$ro) has no GSO entry")))
     } else {
       // refs ride the frame as "v,o" BYTES in the binary slot, one
       // left equi-join per strL column resolves them (media corpora
       // usually carry ONE blob column, so "per column" is one join)
       val refd = scanWide((_, rv, ro) =>
         s"$rv,$ro".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-      val hconf = PagedScan.confMap(spark)
-      val strlsAt = meta.strlsAt
-      val metaForGso = meta
-      val gsoRdd = spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(PagedScan.rebuild(hconf))
-        val in = fs.open(p)
-        val buf = try {
-          val b = new Array[Byte](secLen.toInt)
-          in.readFully(strlsAt, b)
-          b
-        } finally in.close()
-        parseStrlsTyped(buf, metaForGso.copy(strlsAt = 0L)).iterator
-          .map { case ((rv, ro), (t, payload)) =>
-            Row(s"$rv,$ro", finalized(t, payload))
-          }
-      }
+      val gsoRdd = gsoTaskRdd(spark, path, meta, secLen)
+        .map { case ((rv, ro), (t, payload)) =>
+          Row(s"$rv,$ro", finalizedPayload(t, payload))
+        }
       val gsoDf = spark.createDataFrame(gsoRdd, StructType(Seq(
         StructField("gso_ref", StringType, nullable = false),
         StructField("gso_payload", BinaryType, nullable = true))))
@@ -673,9 +689,10 @@ object Dta {
   /** [[readDtaTypedPaged]] over a directory/glob — both parallelism
     * axes. */
   def readDtaTypedPagedAll(spark: SparkSession, path: String,
-                           partitions: Int = 0): DataFrame =
+                           partitions: Int = 0,
+                           gsoInlineBytes: Long = 64L << 20): DataFrame =
     PagedScan.unionPerFile(spark, path)(
-      readDtaTypedPaged(spark, _, partitions))
+      readDtaTypedPaged(spark, _, partitions, gsoInlineBytes))
 
   private def typedFrom(spark: SparkSession, kinds: Seq[(String, Char)],
                         files: org.apache.spark.rdd.RDD[(String, Array[Byte])])
@@ -712,11 +729,8 @@ object Dta {
       rowsResolved(bytes, meta, (ci, rv, ro) => {
         val (t, payload) = gso.getOrElse((rv, ro),
           refuse(s"strL cell ($rv,$ro) has no GSO entry"))
-        if (binCol(ci)) {
-          if (t == 130 && payload.nonEmpty && payload.last == 0)
-            java.util.Arrays.copyOf(payload, payload.length - 1)
-          else payload
-        } else {
+        if (binCol(ci)) finalizedPayload(t, payload)
+        else {
           if (t == 129)
             refuse(s"column '${kinds(ci)._1}' is text-kinded but cell " +
               s"($rv,$ro) carries a binary (t=129) payload")

@@ -224,6 +224,30 @@ class DtaSpec extends SparkSpec {
       }
     }
     java.nio.file.Files.delete(tmp)
+    // directory variant: both parallelism axes, gsoInlineBytes
+    // FORWARDED (0 forces the equi-join path on every shard)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_typed_paged_all")
+    java.nio.file.Files.write(dir2.resolve("shard_a.dta"),
+      Dta.dumpsTyped(cols, data.take(150)))
+    java.nio.file.Files.write(dir2.resolve("shard_b.dta"),
+      Dta.dumpsTyped(cols, data.drop(150)))
+    val all = Dta.readDtaTypedPagedAll(spark, dir2.toString,
+        partitions = 3, gsoInlineBytes = 0L)
+      .orderBy("src_file", "row")
+      .select($"src_file", $"row", $"id", $"payload")
+      .as[(String, Long, Double, Option[Array[Byte]])].collect()
+    assert(all.length === n)
+    all.foreach { case (f, rowId, id, payload) =>
+      val i = (if (f.endsWith("shard_b.dta")) 150 else 0) + rowId.toInt
+      assert(id === i.toDouble, s"all $i")
+      if (i % 7 == 3) assert(payload === None, s"all $i")
+      else assert(payload.get.toSeq ===
+        (0 until i % 48 + 1).map(j => ((i + j * 13) % 256).toByte),
+        s"all $i")
+    }
+    dir2.toFile.listFiles.foreach(_.delete())
+    java.nio.file.Files.delete(dir2)
   }
 
   test("strL payloads dedup to one GSO entry; typed routing keys on " +
