@@ -69,7 +69,8 @@ object SparkEntry {
       entries.Batch42Entries.queries ++
       entries.Batch43Entries.queries ++
       entries.Batch44Entries.queries ++
-      entries.Batch45Entries.queries
+      entries.Batch45Entries.queries ++
+      entries.Batch46Entries.queries
 
   def oracleSql: Map[String, String] =
     baseOracle ++
@@ -117,7 +118,8 @@ object SparkEntry {
       entries.Batch42Entries.oracleSql ++
       entries.Batch43Entries.oracleSql ++
       entries.Batch44Entries.oracleSql ++
-      entries.Batch45Entries.oracleSql
+      entries.Batch45Entries.oracleSql ++
+      entries.Batch46Entries.oracleSql
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.4 smart_group (transformation.py:663): groupBy + agg + HAVING + sort.

@@ -226,7 +226,7 @@ object Batch42Entries {
 
   /** The 256 gradient bits of [[dhash256Bmps]] in closed form — the
     * thumbnail IS the 17×16 source, so no resize mapping. */
-  private val dhash256BitsCte =
+  private[entries] val dhash256BitsCte =
     """ids AS (SELECT unnest(range(0, 32)) AS media_id),
       |dims AS (SELECT media_id, 37 + (media_id % 4) * 26 AS m FROM ids),
       |grid AS (SELECT media_id, m, ty, tx FROM dims,

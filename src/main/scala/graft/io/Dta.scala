@@ -623,6 +623,8 @@ object Dta {
                         partitions: Int = 0,
                         gsoInlineBytes: Long = 64L << 20): DataFrame = {
     val meta = PagedScan.driverMeta(spark, path)(parseMeta)
+    PagedScan.requireNoReservedNames(meta.vars.map(_.name),
+      "readDtaTypedPaged")
     val rowLen = meta.vars.map(v =>
       if (v.strWidth > 0) v.strWidth else v.numWidth).sum.toLong
     val schema = StructType(
@@ -669,19 +671,22 @@ object Dta {
         .map { case ((rv, ro), (t, payload)) =>
           Row(s"$rv,$ro", finalizedPayload(t, payload))
         }
+      // collision-proof internal names: the joined frame carries the
+      // file's OWN variable names, and gso_ref/gso_payload are legal
+      // Stata identifiers
       val gsoDf = spark.createDataFrame(gsoRdd, StructType(Seq(
-        StructField("gso_ref", StringType, nullable = false),
-        StructField("gso_payload", BinaryType, nullable = true))))
+        StructField("__graft_gso_ref", StringType, nullable = false),
+        StructField("__graft_gso_payload", BinaryType, nullable = true))))
       meta.vars.filter(_.isStrL).foldLeft(refd) { (df, v) =>
         val refStr = decode(col(v.name), "US-ASCII")
-        df.join(gsoDf, refStr === col("gso_ref"), "left")
+        df.join(gsoDf, refStr === col("__graft_gso_ref"), "left")
           .withColumn(v.name,
             when(col(v.name).isNull, lit(null).cast(BinaryType))
-              .otherwise(when(col("gso_ref").isNull,
+              .otherwise(when(col("__graft_gso_ref").isNull,
                 raise_error(concat(lit(s"dta: strL cell ("), refStr,
                   lit(") has no GSO entry"))).cast(BinaryType))
-                .otherwise(col("gso_payload"))))
-          .drop("gso_ref", "gso_payload")
+                .otherwise(col("__graft_gso_payload"))))
+          .drop("__graft_gso_ref", "__graft_gso_payload")
       }
     }
   }
@@ -697,6 +702,7 @@ object Dta {
   private def typedFrom(spark: SparkSession, kinds: Seq[(String, Char)],
                         files: org.apache.spark.rdd.RDD[(String, Array[Byte])])
       : DataFrame = {
+    PagedScan.requireNoReservedNames(kinds.map(_._1), "readDtaTyped")
     val schema = StructType(
       StructField("src_file", StringType, nullable = false) +:
       StructField("row", LongType, nullable = false) +:

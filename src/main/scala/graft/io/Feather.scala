@@ -148,9 +148,12 @@ object Feather {
     * the cell decoder needs. `kind`: 'l' signed int, 'u' unsigned int,
     * 'f' float, 'b' bool, 's' utf8, 'S' large utf8, 'd' date32,
     * 'D' date64, 't' timestamp (bits = TimeUnit code), '0' null,
-    * 'x' dictionary-encoded utf8 (bits = index width, dictId set). */
+    * 'x' dictionary-encoded utf8 (bits = index width, dictId set),
+    * 'v' fixed_size_list of float (bits = child float width, listSize
+    * set), 'V' list of float (bits = child float width) — the two
+    * standard Arrow embedding layouts. */
   final case class FeatherCol(name: String, kind: Char, bits: Int,
-                              dictId: Long = -1L)
+                              dictId: Long = -1L, listSize: Int = -1)
 
   final case class FeatherMeta(cols: Seq[FeatherCol],
                                blocks: Seq[(Long, Int, Long)],
@@ -160,7 +163,40 @@ object Feather {
     * bytes in the fixture tool). */
   private def parseField(f: FbTable): FeatherCol = {
     val name = f.string(0).getOrElse(refuse("unnamed field"))
-    val (_, nChildren) = f.vector(5)
+    val (chBase, nChildren) = f.vector(5)
+    val tag = f.i8f(2)
+    // the ONE supported nested shape: List (12) / FixedSizeList (16)
+    // over a float32/float64 child — the standard Arrow embedding
+    // layouts (pyarrow writes fixed_size_list<float32> for vector
+    // tables; list<float> is the schema-flexible variant)
+    if (tag == 12 || tag == 16) {
+      if (nChildren != 1)
+        refuse(s"list column '$name' with $nChildren children")
+      if (f.present(4)) refuse(s"dictionary-encoded list column '$name'")
+      val child = FbTable(f.b, chBase + i32(f.b, chBase))
+      val (_, nGrand) = child.vector(5)
+      if (nGrand > 0 || child.present(4))
+        refuse(s"list column '$name' nests a non-flat child")
+      if (child.i8f(2) != 3)
+        refuse(s"list column '$name' over non-float child " +
+          s"(type tag ${child.i8f(2)}) — only float32/float64 " +
+          "embedding vectors are in the subset")
+      val bits = child.table(3)
+        .getOrElse(refuse(s"list column '$name' child without type table"))
+        .i16f(0) match {
+          case 1 => 32
+          case 2 => 64
+          case p => refuse(s"precision-$p float child in '$name' (half?)")
+        }
+      if (tag == 16) {
+        val k = f.table(3)
+          .getOrElse(refuse(s"fixed_size_list '$name' without type table"))
+          .i32f(0)
+        if (k <= 0) refuse(s"fixed_size_list '$name' of size $k")
+        return FeatherCol(name, 'v', bits, listSize = k)
+      }
+      return FeatherCol(name, 'V', bits)
+    }
     if (nChildren > 0) refuse(s"nested column '$name' ($nChildren children)")
     if (f.present(4)) {
       // DictionaryEncoding { id: long(0), indexType: Int(1),
@@ -446,8 +482,12 @@ object Feather {
       : Iterator[Seq[Any]] = {
     val nRows = rb.i64f(0).toInt
     val (_, nNodes) = rb.vector(1)
-    require(nNodes == colsIn.length,
-      s"feather: batch has $nNodes nodes for ${colsIn.length} columns")
+    // FieldNodes list the tree in pre-order: list columns carry their
+    // child's node right after their own
+    val expectNodes = colsIn.iterator
+      .map(c => if (c.kind == 'v' || c.kind == 'V') 2 else 1).sum
+    require(nNodes == expectNodes,
+      s"feather: batch has $nNodes nodes for $expectNodes fields")
     val (bufBase, nBufs) = rb.vector(2)
     // BodyCompression.codec: 0 = LZ4_FRAME, 1 = ZSTD (Message.fbs) —
     // both share the i64-plain-length-prefixed buffer shape
@@ -564,6 +604,29 @@ object Feather {
                   s"'${c.name}'")
               dict(idx.toInt)
             })
+          case 'v' | 'V' =>
+            // list buffers in spec order: [parent offsets (List only),]
+            // child validity, child data — the child is its own array
+            val offs = if (c.kind == 'V') nextBuf() else Array.emptyByteArray
+            val childValidity = nextBuf()
+            val data = nextBuf()
+            def childSet(j: Int): Boolean =
+              childValidity.isEmpty ||
+                (childValidity(j >> 3) & (1 << (j & 7))) != 0
+            def elem(j: Int): Any =
+              if (!childSet(j)) null
+              else if (c.bits == 32)
+                java.lang.Float.intBitsToFloat(i32(data, 4 * j))
+              else java.lang.Double.valueOf(
+                java.lang.Double.longBitsToDouble(i64(data, 8 * j)))
+            (c, (r: Int) => if (!isSet(r)) null else {
+              val (s, e) =
+                if (c.kind == 'v') (r * c.listSize, (r + 1) * c.listSize)
+                else (i32(offs, 4 * r), i32(offs, 4 * r + 4))
+              require(e >= s, s"feather: list offsets run backwards in " +
+                s"'${c.name}' at row $r")
+              (s until e).map(elem)
+            })
           case 'l' | 'u' =>
             val data = nextBuf()
             (c, (r: Int) => if (!isSet(r)) null else {
@@ -600,11 +663,17 @@ object Feather {
     case _ => false // utf8/dict, dates/timestamps-as-iso, null → str
   }
 
+  /** Column kinds only the TYPED surfaces can hold (blobs, vectors). */
+  private def noTallChannel(meta: FeatherMeta, typedName: String): Unit =
+    meta.cols.find(c => c.kind == 'y' || c.kind == 'v' || c.kind == 'V')
+      .foreach(c => refuse(
+        s"${if (c.kind == 'y') "binary" else "vector"} column " +
+          s"'${c.name}' has no tall-cell channel — use $typedName, " +
+          "which keeps BinaryType/ArrayType columns"))
+
   private def cells(file: String, bytes: Array[Byte]): Iterator[Row] = {
     val meta = parseFooter(bytes)
-    meta.cols.find(_.kind == 'y').foreach(c =>
-      refuse(s"binary column '${c.name}' has no tall-cell channel — " +
-        "use readFeatherTyped, which keeps BinaryType columns"))
+    noTallChannel(meta, "readFeatherTyped")
     val dicts = parseDicts(bytes, meta)
     var rowBase = 0L
     meta.blocks.iterator.flatMap { case (off, metaLen, _) =>
@@ -665,9 +734,7 @@ object Feather {
   def readFeatherPaged(spark: SparkSession, path: String,
                        partitions: Int = 0): DataFrame = {
     val m = pagedMeta(spark, path)
-    m.cols.find(_.kind == 'y').foreach(c =>
-      refuse(s"binary column '${c.name}' has no tall-cell channel — " +
-        "use readFeatherTypedPaged, which keeps BinaryType columns"))
+    noTallChannel(m, "readFeatherTypedPaged")
     val rdd = pagedRowsRdd(spark, path, m, partitions)
       .flatMap { case (rowId, vals) =>
         m.cols.iterator.zip(vals.iterator).map { case (c, v) =>
@@ -785,6 +852,8 @@ object Feather {
                             partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.types._
     val m = pagedMeta(spark, path)
+    PagedScan.requireNoReservedNames(m.cols.map(_.name),
+      "readFeatherTypedPaged")
     val schema = StructType(
       StructField("src_file", StringType, nullable = false) +:
       StructField("row", LongType, nullable = false) +:
@@ -811,6 +880,9 @@ object Feather {
     StructType(meta.cols.map(c => StructField(c.name, c.kind match {
       case 'l' | 'u' | 'f' | 'b' => DoubleType
       case 'y' => BinaryType
+      case 'v' | 'V' =>
+        ArrayType(if (c.bits == 32) FloatType else DoubleType,
+          containsNull = true)
       case _ => StringType
     }, nullable = true)))
   }
@@ -840,6 +912,8 @@ object Feather {
                         files: org.apache.spark.rdd.RDD[(String, Array[Byte])])
       : DataFrame = {
     import org.apache.spark.sql.types._
+    PagedScan.requireNoReservedNames(first.cols.map(_.name),
+      "readFeatherTyped")
     val schema = StructType(
       StructField("src_file", StringType, nullable = false) +:
       StructField("row", LongType, nullable = false) +:
@@ -1035,15 +1109,47 @@ object Feather {
 
   /** [[dumps]] with explicit column kinds: 'n' double, 's' utf8,
     * 'y' BINARY (Array[Byte] cells — the Arrow channel for media
-    * blobs). */
+    * blobs), 'v' fixed_size_list of float32 (Seq[Float]/Array[Float]
+    * cells, all non-null rows the same length), 'V' list of float32
+    * (variable-length vector cells) — the two standard Arrow
+    * embedding layouts. */
   def dumpsTyped(cols: Seq[(String, Char)], data: Seq[Seq[Any]],
                  rowsPerBatch: Int = 1 << 16,
                  zstd: Boolean = false): Array[Byte] = {
     require(cols.nonEmpty, "dumps needs at least one column")
-    require(cols.forall(c => "nsy".contains(c._2)),
-      s"column kinds must be n/s/y: $cols")
+    require(cols.forall(c => "nsyvV".contains(c._2)),
+      s"column kinds must be n/s/y/v/V: $cols")
     data.foreach(r => require(r.length == cols.length,
       s"row arity ${r.length} != ${cols.length} columns"))
+    // a float cell in either vector layout, normalized once
+    def vecCell(v: Any, colName: String): IndexedSeq[java.lang.Float] =
+      v match {
+        case null => null
+        case a: Array[Float] => a.map(java.lang.Float.valueOf).toIndexedSeq
+        // collection.Seq: Row.getSeq hands back mutable ArraySeq
+        case s: scala.collection.Seq[_] => s.iterator.map {
+          case null => null
+          case f: java.lang.Float => f
+          case other => throw new IllegalArgumentException(
+            s"vector column '$colName' element got ${other.getClass.getName}")
+        }.toIndexedSeq
+        case other => throw new IllegalArgumentException(
+          s"vector column '$colName' got ${other.getClass.getName}")
+      }
+    // fixed_size_list widths come from the data: the first non-null
+    // cell fixes k, every other non-null cell must match it
+    val fixedK: Map[Int, Int] = cols.zipWithIndex.collect {
+      case ((name, 'v'), ci) =>
+        val ks = data.iterator.map(r => vecCell(r(ci), name))
+          .filter(_ != null).map(_.length).toSeq.distinct
+        require(ks.nonEmpty,
+          s"fixed_size_list column '$name' has no non-null cell to fix " +
+            "its width — use kind 'V' (variable list) for an all-null " +
+            "column")
+        require(ks.size == 1,
+          s"fixed_size_list column '$name' has mixed widths $ks")
+        ci -> ks.head
+    }.toMap
     val out = new java.io.ByteArrayOutputStream()
     def w32(v: Int): Unit = {
       var i = 0
@@ -1054,21 +1160,45 @@ object Feather {
 
     // --- schema message (shared shape with the footer's schema)
     def schemaNode(b: FbBuilder): b.Node = {
-      val fields = cols.map { case (name, kind) =>
-        val nameN = b.string(name)
-        val typeN =
-          if (kind == 'n') b.table(Seq(b.Slot(0, 's', 2L))) // FP DOUBLE
-          else b.table(Seq.empty) // Utf8 and Binary: empty type tables
-        val tag = kind match {
-          case 'n' => 3L // FloatingPoint
-          case 'y' => 4L // Binary
-          case _ => 5L // Utf8
+      val fields = cols.zipWithIndex.map { case ((name, kind), ci) =>
+        if (kind == 'v' || kind == 'V') {
+          // one float32 child field ("item" — pyarrow's name), created
+          // BEFORE its parent (the builder lays references forward)
+          val childName = b.string("item")
+          val childType = b.table(Seq(b.Slot(0, 's', 1L))) // FP SINGLE
+          val child = b.table(Seq(
+            b.Slot(0, 'o', 0L, childName),
+            b.Slot(1, 'b', 1L), // nullable
+            b.Slot(2, 'b', 3L), // FloatingPoint
+            b.Slot(3, 'o', 0L, childType)))
+          val children = b.offsetVector(Seq(child))
+          val nameN = b.string(name)
+          val typeN =
+            if (kind == 'v') // FixedSizeList { listSize: i32 }
+              b.table(Seq(b.Slot(0, 'i', fixedK(ci).toLong)))
+            else b.table(Seq.empty) // List: empty type table
+          b.table(Seq(
+            b.Slot(0, 'o', 0L, nameN),
+            b.Slot(1, 'b', 1L), // nullable
+            b.Slot(2, 'b', if (kind == 'v') 16L else 12L), // type_type
+            b.Slot(3, 'o', 0L, typeN),
+            b.Slot(5, 'o', 0L, children)))
+        } else {
+          val nameN = b.string(name)
+          val typeN =
+            if (kind == 'n') b.table(Seq(b.Slot(0, 's', 2L))) // FP DOUBLE
+            else b.table(Seq.empty) // Utf8 and Binary: empty type tables
+          val tag = kind match {
+            case 'n' => 3L // FloatingPoint
+            case 'y' => 4L // Binary
+            case _ => 5L // Utf8
+          }
+          b.table(Seq(
+            b.Slot(0, 'o', 0L, nameN),
+            b.Slot(1, 'b', 1L), // nullable
+            b.Slot(2, 'b', tag), // type_type
+            b.Slot(3, 'o', 0L, typeN)))
         }
-        b.table(Seq(
-          b.Slot(0, 'o', 0L, nameN),
-          b.Slot(1, 'b', 1L), // nullable
-          b.Slot(2, 'b', tag), // type_type
-          b.Slot(3, 'o', 0L, typeN)))
       }
       b.table(Seq(b.Slot(1, 'o', 0L, b.offsetVector(fields))))
     }
@@ -1117,7 +1247,7 @@ object Feather {
         body.write(stored)
         while (body.size() % 8 != 0) body.write(0)
       }
-      val nodes = cols.zipWithIndex.map { case ((_, kind), ci) =>
+      val nodes = cols.zipWithIndex.flatMap { case ((cname, kind), ci) =>
         val validity = new Array[Byte]((n + 7) / 8)
         var nulls = 0L
         chunk.zipWithIndex.foreach { case (r, i) =>
@@ -1126,7 +1256,60 @@ object Feather {
           else nulls += 1
         }
         addBuf(validity)
-        if (kind == 'n') {
+        if (kind == 'v' || kind == 'V') {
+          // list layout: [offsets (List only),] then the child float32
+          // array ([child validity, child data]) with its OWN FieldNode
+          // right after the parent's (pre-order)
+          val cells = chunk.map(r => vecCell(r(ci), cname))
+          if (kind == 'V') {
+            val offs = new Array[Byte](4 * (n + 1))
+            var acc = 0
+            (0 to n).foreach { i =>
+              var k = 0
+              while (k < 4) {
+                offs(4 * i + k) = ((acc >> (8 * k)) & 0xff).toByte; k += 1
+              }
+              if (i < n && cells(i) != null) acc += cells(i).length
+            }
+            addBuf(offs)
+          }
+          // flatten child slots — fixed_size_list keeps k (zeroed,
+          // invalid) slots under a null parent so row r maps to
+          // [r*k, (r+1)*k) unconditionally
+          val flat = mutable.ArrayBuffer.empty[java.lang.Float]
+          cells.foreach { c =>
+            if (c != null) flat ++= c
+            else if (kind == 'v')
+              (0 until fixedK(ci)).foreach(_ => flat += null)
+          }
+          val cn = flat.length
+          val cv = new Array[Byte]((cn + 7) / 8)
+          var childNulls = 0L
+          var j = 0
+          while (j < cn) {
+            if (flat(j) != null)
+              cv(j >> 3) = (cv(j >> 3) | (1 << (j & 7))).toByte
+            else childNulls += 1
+            j += 1
+          }
+          // pyarrow's shape: a zero-length validity buffer when the
+          // child has no nulls
+          addBuf(if (childNulls == 0L) Array.emptyByteArray else cv)
+          val d = new Array[Byte](4 * cn)
+          j = 0
+          while (j < cn) {
+            val bits =
+              if (flat(j) == null) 0
+              else java.lang.Float.floatToRawIntBits(flat(j).floatValue)
+            var k = 0
+            while (k < 4) {
+              d(4 * j + k) = ((bits >> (8 * k)) & 0xff).toByte; k += 1
+            }
+            j += 1
+          }
+          addBuf(d)
+          Seq((n.toLong, nulls), (cn.toLong, childNulls))
+        } else if (kind == 'n') {
           val d = new Array[Byte](8 * n)
           chunk.zipWithIndex.foreach { case (r, i) =>
             val bits = r(ci) match {
@@ -1141,6 +1324,7 @@ object Feather {
             }
           }
           addBuf(d)
+          Seq((n.toLong, nulls))
         } else {
           // utf8 and binary share the offsets+data shape
           val strs = chunk.map(r => r(ci) match {
@@ -1165,8 +1349,8 @@ object Feather {
           val dat = new java.io.ByteArrayOutputStream()
           strs.foreach(dat.write)
           addBuf(dat.toByteArray)
+          Seq((n.toLong, nulls))
         }
-        (n.toLong, nulls)
       }
       val b = new FbBuilder
       val nodesVec = b.structVector16(nodes)

@@ -21,6 +21,19 @@ private[io] object PagedScan {
     StructField("value_str", StringType, nullable = true),
     StructField("value_double", DoubleType, nullable = true)))
 
+  /** The TYPED surfaces prepend (src_file, row) to the file's own
+    * variables — a user variable with either name would collide
+    * silently (duplicate columns, or an ambiguous-column error three
+    * operators later). Refuse loudly at the read, the family's
+    * convention. */
+  def requireNoReservedNames(names: Seq[String], reader: String): Unit = {
+    val hit = names.filter(n => n == "src_file" || n == "row")
+    require(hit.isEmpty,
+      s"$reader: column name(s) ${hit.mkString(", ")} collide with the " +
+        "typed surface's reserved (src_file, row) columns — rename them " +
+        "at the producer")
+  }
+
   /** First file of a path/glob by NAME, its bytes read once — the
     * records() schema bootstrap (binaryFile prunes `content` when
     * unselected, so choosing by path costs no data reads). */

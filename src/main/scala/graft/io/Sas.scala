@@ -612,20 +612,7 @@ object Sas {
     * whole-file walk, a task has no global row cursor, and the page's
     * own block count carries what it holds. */
   def pageRows(page: Array[Byte], meta: SasMeta): Iterator[Seq[Any]] = {
-    val bitOffset = if (meta.u64) 32 else 16
-    val ptrLen = if (meta.u64) 24 else 12
-    val pageType = u2(page, bitOffset) & 0xFF00
-    val blockCount = u2(page, bitOffset + 2)
-    val shCount = u2(page, bitOffset + 4)
-    val (start, n) =
-      if (pageType == 0x0100) (bitOffset + 8, blockCount.toLong)
-      else if (pageType == 0x0200) {
-        val raw = bitOffset + 8 + shCount * ptrLen
-        (raw + raw % 8,
-          math.min(meta.mixPageRowCount,
-            math.max(0, blockCount - shCount).toLong))
-      } else if (pageType == 0x9000) refuse("compressed page (type 0x9xxx)")
-      else (0, 0L)
+    val (start, n) = pageSpan(page, meta)
     pageSubheaderRows(page, 0, meta) ++ (0L until n).iterator.map { r =>
       val at = start + (r * meta.rowLength).toInt
       require(at + meta.rowLength <= page.length,
@@ -634,27 +621,37 @@ object Sas {
     }
   }
 
+  /** (rowStart, strideRows) of ONE page from its header fields alone —
+    * the span formula declared ONCE so [[pageRows]] (decode) and
+    * [[pageRowCount]] (dense-id count) can never desynchronize. `buf`
+    * may hold just the first bitOffset+8 bytes. */
+  private def pageSpan(buf: Array[Byte], meta: SasMeta): (Int, Long) = {
+    val bitOffset = if (meta.u64) 32 else 16
+    val ptrLen = if (meta.u64) 24 else 12
+    val pageType = u2(buf, bitOffset) & 0xFF00
+    val blockCount = u2(buf, bitOffset + 2)
+    val shCount = u2(buf, bitOffset + 4)
+    if (pageType == 0x0100) (bitOffset + 8, blockCount.toLong)
+    else if (pageType == 0x0200) {
+      val raw = bitOffset + 8 + shCount * ptrLen
+      // the reader convention adds raw % 8 (NOT an align-up) —
+      // matched to pandas so both accept the same files
+      (raw + raw % 8,
+        math.min(meta.mixPageRowCount,
+          math.max(0, blockCount - shCount).toLong))
+    } else if (pageType == 0x9000) refuse("compressed page (type 0x9xxx)")
+    else (0, 0L)
+  }
+
   /** Rows ONE page holds, without decoding any of them — the paged
     * scan's dense-id metadata pass. For uncompressed files the count
     * comes from the page HEADER alone (`buf` may hold just the first
     * bitOffset+8 bytes); compressed files add the data-subheader count
-    * (the full page — the pointer walk, no decompression). The span
-    * formula and [[dataSubheaders]] are shared with [[pageRows]], so
-    * counting and decoding cannot drift. */
-  def pageRowCount(buf: Array[Byte], meta: SasMeta): Long = {
-    val bitOffset = if (meta.u64) 32 else 16
-    val pageType = u2(buf, bitOffset) & 0xFF00
-    val blockCount = u2(buf, bitOffset + 2)
-    val shCount = u2(buf, bitOffset + 4)
-    val stride =
-      if (pageType == 0x0100) blockCount.toLong
-      else if (pageType == 0x0200)
-        math.min(meta.mixPageRowCount,
-          math.max(0, blockCount - shCount).toLong)
-      else if (pageType == 0x9000) refuse("compressed page (type 0x9xxx)")
-      else 0L
-    stride + dataSubheaders(buf, 0, meta).size
-  }
+    * (the full page — the pointer walk, no decompression).
+    * [[pageSpan]] and [[dataSubheaders]] are shared with [[pageRows]],
+    * so counting and decoding cannot drift. */
+  def pageRowCount(buf: Array[Byte], meta: SasMeta): Long =
+    pageSpan(buf, meta)._2 + dataSubheaders(buf, 0, meta).size
 
   /** Page-parallel scan of ONE large sas7bdat: `binaryFile` hands a
     * whole file to a single task, so a 100 GB sas7bdat would land on
@@ -705,21 +702,30 @@ object Sas {
     val perPart = math.max(1L, (meta.pageCount + nParts - 1) / nParts)
     val ranges = (0L until meta.pageCount by perPart)
       .map(s => (s, math.min(perPart, meta.pageCount - s)))
-    val counts = spark.sparkContext
+    // one PRIMITIVE long array per range comes back to the driver —
+    // 8 bytes per page, so the 2^27 bound above is the real memory
+    // ceiling (boxed per-page tuples would cost ~10× that)
+    val counts = new Array[Long](meta.pageCount.toInt)
+    spark.sparkContext
       .parallelize(ranges, math.max(1, ranges.size))
-      .flatMap { case (start, n) =>
+      .map { case (start, n) =>
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(PagedScan.rebuild(hconf))
         val in = fs.open(p)
+        val arr = new Array[Long](n.toInt)
         try {
-          (0L until n).map { i =>
-            val pageIdx = start + i
+          var i = 0
+          while (i < n) {
             val b = new Array[Byte](countWant)
-            in.readFully(meta.headerLength + pageIdx * meta.pageSize, b)
-            (pageIdx, pageRowCount(b, meta))
-          }.toVector
+            in.readFully(meta.headerLength + (start + i) * meta.pageSize, b)
+            arr(i) = pageRowCount(b, meta)
+            i += 1
+          }
         } finally in.close()
-      }.collect().sortBy(_._1).map(_._2)
+        (start, arr)
+      }.collect().foreach { case (start, arr) =>
+        System.arraycopy(arr, 0, counts, start.toInt, arr.length)
+      }
     val pageBase = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
     PagedScan.scan(spark, path, cellSchema, meta.pageCount,
       meta.headerLength.toLong, meta.pageSize.toLong, partitions) {

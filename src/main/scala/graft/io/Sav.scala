@@ -284,27 +284,88 @@ object Sav {
       val compressedSize = i4(d + 20)
       require(compressedOfs + compressedSize <= bytes.length,
         s"sav: zsav block $b overruns the file")
-      val inf = new java.util.zip.Inflater()
-      inf.setInput(bytes, compressedOfs.toInt, compressedSize)
-      val buf = new Array[Byte](uncompressedSize)
-      var got = 0
-      try {
-        while (got < uncompressedSize && !inf.finished()) {
-          val n = inf.inflate(buf, got, uncompressedSize - got)
-          if (n == 0 && inf.needsInput())
-            refuse(s"zsav block $b zlib stream truncated")
-          got += n
-        }
-      } catch {
-        case e: java.util.zip.DataFormatException =>
-          refuse(s"zsav block $b is not a zlib stream (${e.getMessage})")
-      } finally inf.end()
-      if (got != uncompressedSize)
-        refuse(s"zsav block $b inflated to $got of $uncompressedSize bytes")
-      out.write(buf)
+      out.write(inflateOne(bytes, compressedOfs.toInt, compressedSize,
+        uncompressedSize, b))
       b += 1
     }
     out.toByteArray
+  }
+
+  /** Inflate ONE zlib block (each block is its own complete zlib
+    * stream — PSPP writes a fresh deflate per block, which is exactly
+    * what makes the block-parallel zsav scan sound). */
+  private def inflateOne(bytes: Array[Byte], at: Int, clen: Int,
+                         ulen: Int, label: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(bytes, at, clen)
+    val buf = new Array[Byte](ulen)
+    var got = 0
+    try {
+      while (got < ulen && !inf.finished()) {
+        val n = inf.inflate(buf, got, ulen - got)
+        if (n == 0 && inf.needsInput())
+          refuse(s"zsav block $label zlib stream truncated")
+        got += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        refuse(s"zsav block $label is not a zlib stream (${e.getMessage})")
+    } finally inf.end()
+    if (got != ulen)
+      refuse(s"zsav block $label inflated to $got of $ulen bytes")
+    buf
+  }
+
+  /** Decode ONE filled element array into a case row — shared by the
+    * whole-file walk and the zsav block-parallel decoder so the two
+    * surfaces can never diverge on VLS/segment arithmetic. */
+  private def decodeCase(els: Array[Array[Byte]],
+                         meta: SavMeta): Seq[Any] = meta.vars.map { v =>
+    if (v.width == 0) {
+      var bits = 0L; var i = 7
+      val e = els(v.elementAt)
+      while (i >= 0) { bits = (bits << 8) | (e(i) & 0xffL); i -= 1 }
+      val d = java.lang.Double.longBitsToDouble(bits)
+      if (d == meta.sysmis || java.lang.Double.isNaN(d)) null
+      else java.lang.Double.valueOf(d)
+    } else {
+      val raw: Array[Byte] =
+        if (v.width <= 255) {
+          val n = (v.width + 7) / 8
+          val b = new Array[Byte](n * 8)
+          var i = 0
+          while (i < n) {
+            els(v.elementAt + i).copyToArray(b, i * 8); i += 1
+          }
+          b
+        } else {
+          // very long string: k segments of 32 slots each (a width-
+          // 255 segment occupies 256 bytes); the first 252 bytes of
+          // every non-final segment are real data, the final segment
+          // contributes its own declared width
+          val k = (v.width + 251) / 252
+          val acc = new java.io.ByteArrayOutputStream()
+          var seg = 0
+          while (seg < k) {
+            val segStart = v.elementAt + seg * 32
+            val segWidth =
+              if (seg < k - 1) 252 else v.width - 252 * (k - 1)
+            val b = new Array[Byte](((segWidth + 7) / 8) * 8)
+            var i = 0
+            while (i < (segWidth + 7) / 8) {
+              els(segStart + i).copyToArray(b, i * 8); i += 1
+            }
+            acc.write(b, 0, segWidth)
+            seg += 1
+          }
+          acc.toByteArray
+        }
+      var end = math.min(v.width, raw.length)
+      while (end > 0 && (raw(end - 1) == ' '.toByte || raw(end - 1) == 0))
+        end -= 1
+      if (end == 0) null
+      else new String(raw, 0, end, java.nio.charset.StandardCharsets.UTF_8)
+    }
   }
 
   /** Decode every case into one Seq[Any] per row (Double or String,
@@ -322,53 +383,7 @@ object Sav {
     val c = new Cur(bytes)
     c.pos = meta.dataAt
 
-    def emit(): Unit = out += meta.vars.map { v =>
-      if (v.width == 0) {
-        var bits = 0L; var i = 7
-        val e = els(v.elementAt)
-        while (i >= 0) { bits = (bits << 8) | (e(i) & 0xffL); i -= 1 }
-        val d = java.lang.Double.longBitsToDouble(bits)
-        if (d == meta.sysmis || java.lang.Double.isNaN(d)) null
-        else java.lang.Double.valueOf(d)
-      } else {
-        val raw: Array[Byte] =
-          if (v.width <= 255) {
-            val n = (v.width + 7) / 8
-            val b = new Array[Byte](n * 8)
-            var i = 0
-            while (i < n) {
-              els(v.elementAt + i).copyToArray(b, i * 8); i += 1
-            }
-            b
-          } else {
-            // very long string: k segments of 32 slots each (a width-
-            // 255 segment occupies 256 bytes); the first 252 bytes of
-            // every non-final segment are real data, the final segment
-            // contributes its own declared width
-            val k = (v.width + 251) / 252
-            val acc = new java.io.ByteArrayOutputStream()
-            var seg = 0
-            while (seg < k) {
-              val segStart = v.elementAt + seg * 32
-              val segWidth =
-                if (seg < k - 1) 252 else v.width - 252 * (k - 1)
-              val b = new Array[Byte](((segWidth + 7) / 8) * 8)
-              var i = 0
-              while (i < (segWidth + 7) / 8) {
-                els(segStart + i).copyToArray(b, i * 8); i += 1
-              }
-              acc.write(b, 0, segWidth)
-              seg += 1
-            }
-            acc.toByteArray
-          }
-        var end = math.min(v.width, raw.length)
-        while (end > 0 && (raw(end - 1) == ' '.toByte || raw(end - 1) == 0))
-          end -= 1
-        if (end == 0) null
-        else new String(raw, 0, end, java.nio.charset.StandardCharsets.UTF_8)
-      }
-    }
+    def emit(): Unit = out += decodeCase(els, meta)
 
     if (meta.compression == 0) {
       var r = 0
@@ -480,9 +495,11 @@ object Sav {
   def readSavPaged(spark: SparkSession, path: String,
                    partitions: Int = 0): DataFrame = {
     val meta = PagedScan.driverMeta(spark, path)(parseMeta)
+    if (meta.compression == 2) // zsav: the ztrailer re-sync scan
+      return readZsavPaged(spark, path, partitions)
     if (meta.compression != 0)
-      refuse("the paged scan needs uncompressed data (bytecode and zlib " +
-        "streams have no fixed stride) — use readSav/readSavRecords instead")
+      refuse("the paged scan needs uncompressed data (a bytecode stream " +
+        "has no fixed stride) — use readSav/readSavRecords instead")
     val rowLen = meta.caseSize * 8L
     PagedScan.scan(spark, path, cellSchema, meta.nCases.toLong,
       meta.dataAt.toLong, rowLen, partitions) { (buf, startRow, nRows) =>
@@ -502,6 +519,295 @@ object Sav {
   def readSavPagedAll(spark: SparkSession, path: String,
                       partitions: Int = 0): DataFrame =
     PagedScan.unionPerFile(spark, path)(readSavPaged(spark, _, partitions))
+
+  // --------------------------------------------------------------
+  // zsav block-parallel scan — the ztrailer re-sync
+  // --------------------------------------------------------------
+
+  /** One ztrailer block row: (compressed offset/size, uncompressed
+    * size). */
+  private final case class ZBlock(cofs: Long, csize: Int, usize: Int)
+
+  /** Walk ONE inflated block's bytecode STRUCTURE given `rIn` raw
+    * units still pending at entry: (rOut, elementsClaimed, eofSeen).
+    * Only command bytes are inspected — raw runs are skipped by
+    * offset — so the 9-way speculative walk in [[readZsavPaged]]
+    * costs pointer arithmetic, not decoding. Element indexes are
+    * assigned at COMMAND time (matching [[rows]]' `e + filled`), so
+    * `elementsClaimed` counts commands, wherever their raw data
+    * lands. */
+  private def walkBlock(buf: Array[Byte], rIn: Int): (Int, Long, Boolean) = {
+    val nUnits = buf.length / 8
+    var p = math.min(rIn, nUnits)
+    var r = rIn - p
+    var de = 0L
+    var eof = false
+    while (!eof && p < nUnits) {
+      var raws = 0
+      var i = 0
+      while (i < 8 && !eof) {
+        val cmd = buf(p * 8 + i) & 0xff
+        if (cmd == 252) eof = true
+        else if (cmd == 253) { raws += 1; de += 1 }
+        else if (cmd != 0) de += 1
+        i += 1
+      }
+      p += 1
+      val take = math.min(raws, nUnits - p)
+      p += take
+      r = raws - take
+    }
+    (r, de, eof)
+  }
+
+  /** Decode cases off a lazily-supplied stream of inflated blocks,
+    * starting at global element `e0` with `rSkip` raw units pending,
+    * emitting only case indexes in [caseFrom, caseTo) — the
+    * block-parallel decoder's per-task kernel. Elements of cases that
+    * started in an earlier block are decoded and DISCARDED (their
+    * owner emits them by reading into this block); the final owned
+    * case pulls continuation blocks only as far as it needs. */
+  private def decodeCases(meta: SavMeta, e0: Long, rSkip: Int,
+                          caseFrom: Long, caseTo: Long,
+                          blocks: Iterator[Array[Byte]])
+      : Iterator[(Long, Seq[Any])] = {
+    val cs = meta.caseSize.toLong
+    val out = mutable.ArrayBuffer.empty[(Long, Seq[Any])]
+    if (caseFrom >= caseTo) return out.iterator
+    val Spaces = "        ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def f8(d: Double): Array[Byte] = {
+      val b = new Array[Byte](8)
+      val bits = java.lang.Double.doubleToRawLongBits(d)
+      var i = 0
+      while (i < 8) { b(i) = ((bits >> (8 * i)) & 0xff).toByte; i += 1 }
+      b
+    }
+    val sysmisBytes = f8(meta.sysmis)
+    val els = new Array[Array[Byte]](meta.caseSize)
+    // unit cursor over the lazily-concatenated blocks
+    var cur: Array[Byte] = Array.emptyByteArray
+    var p = 0 // unit index within cur
+    def nextUnit(): Array[Byte] = {
+      while (p * 8 >= cur.length) {
+        require(blocks.hasNext,
+          s"sav: zsav bytecode ended before case ${caseTo - 1} completed")
+        cur = blocks.next(); p = 0
+      }
+      val u = java.util.Arrays.copyOfRange(cur, p * 8, p * 8 + 8)
+      p += 1
+      u
+    }
+    var skip = rSkip
+    while (skip > 0) { nextUnit(); skip -= 1 }
+    var e = e0
+    var eof = false
+    var emitted = 0L
+    while (emitted < caseTo - caseFrom && !eof) {
+      val block = nextUnit()
+      val pending = mutable.ArrayBuffer.empty[Long]
+      val slots = mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+      var i = 0
+      var filled = 0
+      while (i < 8 && !eof) {
+        val cmd = block(i) & 0xff
+        cmd match {
+          case 0 => ()
+          case 252 => eof = true
+          case 253 => pending += (e + filled); filled += 1
+          case 254 => slots += ((e + filled, Spaces)); filled += 1
+          case 255 => slots += ((e + filled, sysmisBytes)); filled += 1
+          case code => slots += ((e + filled, f8(code - meta.bias))); filled += 1
+        }
+        i += 1
+      }
+      pending.foreach(at => slots += ((at, nextUnit())))
+      slots.sortBy(_._1).foreach { case (at, v) =>
+        val k = at / cs
+        if (k >= caseFrom && k < caseTo) {
+          els((at % cs).toInt) = v
+          if (at % cs == cs - 1) {
+            out += ((k, decodeCase(els, meta)))
+            emitted += 1
+          }
+        }
+      }
+      e += filled
+    }
+    require(emitted == caseTo - caseFrom,
+      s"sav: zsav range [$caseFrom,$caseTo) decoded only $emitted cases")
+    out.iterator
+  }
+
+  /** Range-parallel scan of ONE large .zsav ($FL3): the zlib blocks
+    * inflate independently (each is a complete zlib stream), but the
+    * BYTECODE inside carries state across block boundaries, so a
+    * speculative structure pass resolves every block's entry state
+    * first — the classic parallel-FSM re-sync, sound here because the
+    * state space is tiny: at any 8-byte unit boundary the decoder is
+    * fully described by (pending raw units ∈ 0..8, eof, element
+    * counter). Pass 1 (parallel): each task inflates its blocks and
+    * walks the command structure once per candidate entry state → a
+    * 9-row transfer table per block. Driver: composes the tables
+    * (9 longs per block — the ztrailer's own size bound). Pass 2
+    * (parallel): each task decodes its block range from its exact
+    * (element, pending) entry state, reading INTO following blocks
+    * only to finish its last straddling case; a case that STARTED
+    * earlier is skipped (its owner emits it). Requires every
+    * non-final block's uncompressed size to be a multiple of 8 —
+    * PSPP's 0x3ff000 convention — and refuses loudly otherwise.
+    * Row ids are true case indexes, dense 0..N−1. */
+  def readZsavPaged(spark: SparkSession, path: String,
+                    partitions: Int = 0): DataFrame = {
+    val meta = PagedScan.driverMeta(spark, path)(parseMeta)
+    if (meta.compression != 2)
+      refuse("readZsavPaged needs a $FL3 zlib file — use readSavPaged " +
+        "(uncompressed) or readSav (bytecode)")
+    require(meta.nCases >= 0,
+      "sav: unknown case count (-1) is outside the supported subset")
+    val cs = meta.caseSize.toLong
+    def i8(b: Array[Byte], at: Int): Long = {
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (b(at + i) & 0xffL); i -= 1 }
+      v
+    }
+    def i4(b: Array[Byte], at: Int): Int = {
+      var v = 0; var i = 3
+      while (i >= 0) { v = (v << 8) | (b(at + i) & 0xff); i -= 1 }
+      v
+    }
+    // zheader + ztrailer: two bounded driver preads (24 B; 24 B/block)
+    val zh = PagedScan.readTail(spark, path, meta.dataAt.toLong, 24)
+    if (i8(zh, 0) != meta.dataAt.toLong)
+      refuse(s"zsav zheader self-offset ${i8(zh, 0)} != ${meta.dataAt}")
+    val ztrailerOfs = i8(zh, 8)
+    val ztrailerLen = i8(zh, 16)
+    require(ztrailerLen >= 24 && ztrailerLen <= 24L + 24L * (1 << 22),
+      s"sav: $ztrailerLen-byte ztrailer — past the driver pread bound")
+    val tr = PagedScan.readTail(spark, path, ztrailerOfs, ztrailerLen.toInt)
+    val nBlocks = i4(tr, 20)
+    if (ztrailerLen != 24L + 24L * nBlocks)
+      refuse(s"zsav trailer length $ztrailerLen != 24 + 24*$nBlocks")
+    val blocks: IndexedSeq[ZBlock] = (0 until nBlocks).map { b =>
+      val d = 24 + 24 * b
+      ZBlock(i8(tr, d + 8), i4(tr, d + 20), i4(tr, d + 16))
+    }
+    blocks.dropRight(1).zipWithIndex.foreach { case (b, bi) =>
+      if (b.usize % 8 != 0)
+        refuse(s"zsav block $bi uncompressed size ${b.usize} is not a " +
+          "multiple of 8 — the bytecode re-sync needs unit-aligned " +
+          "blocks (PSPP writes 0x3ff000 spans); use readSav")
+    }
+    if (meta.nCases == 0 || blocks.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], cellSchema)
+    val nParts = math.max(1, if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism)
+    val hconf = PagedScan.confMap(spark)
+    val bcBlocks = spark.sparkContext.broadcast(blocks)
+    // contiguous block ranges, capped by count AND compressed bytes
+    val perPart = math.max(1, (blocks.size + nParts - 1) / nParts)
+    val ranges = {
+      val out = mutable.ArrayBuffer.empty[(Int, Int)]
+      var b0 = 0
+      while (b0 < blocks.size) {
+        var b1 = b0
+        var bytes = 0L
+        while (b1 < blocks.size && b1 - b0 < perPart &&
+            (b1 == b0 || bytes + blocks(b1).csize <= (64L << 20))) {
+          bytes += blocks(b1).csize; b1 += 1
+        }
+        out += ((b0, b1)); b0 = b1
+      }
+      out.toSeq
+    }
+    def inflateRange(in: org.apache.hadoop.fs.FSDataInputStream,
+                     b0: Int, b1: Int): IndexedSeq[Array[Byte]] = {
+      // contiguous blocks = ONE pread of the compressed span
+      val zb = bcBlocks.value
+      val from = zb(b0).cofs
+      val len = (zb(b1 - 1).cofs + zb(b1 - 1).csize - from).toInt
+      val cbuf = new Array[Byte](len)
+      in.readFully(from, cbuf)
+      (b0 until b1).map(bi => inflateOne(cbuf,
+        (zb(bi).cofs - from).toInt, zb(bi).csize, zb(bi).usize, bi))
+    }
+    // ---- pass 1: the 9-way speculative structure walk, parallel
+    val tables: Array[Array[(Int, Long, Boolean)]] = spark.sparkContext
+      .parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { case (b0, b1) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(PagedScan.rebuild(hconf))
+        val in = fs.open(p)
+        try {
+          inflateRange(in, b0, b1).zipWithIndex.map { case (ubuf, k) =>
+            (b0 + k, Array.tabulate(9)(r => walkBlock(ubuf, r)))
+          }
+        } finally in.close()
+      }.collect().sortBy(_._1).map(_._2)
+    // ---- compose on the driver: 9 longs per block, ztrailer-bounded
+    val eStart = new Array[Long](blocks.size)
+    val rIn = new Array[Int](blocks.size)
+    var e = 0L; var r = 0; var eofAt = blocks.size
+    var bi = 0
+    while (bi < blocks.size) {
+      eStart(bi) = e; rIn(bi) = r
+      if (bi < eofAt) {
+        val (r2, de, eof2) = tables(bi)(r)
+        e += de; r = r2
+        if (eof2 && eofAt == blocks.size) eofAt = bi + 1
+      }
+      bi += 1
+    }
+    require(e >= cs * meta.nCases,
+      s"sav: zsav bytecode claims $e elements for ${meta.nCases} cases " +
+        s"of $cs")
+    // ownership: block b owns cases whose FIRST element's claiming
+    // command lies in it — caseFrom is monotone, so ranges partition
+    // [0, nCases) exactly
+    val caseFrom = Array.tabulate(blocks.size + 1) { b =>
+      if (b >= eofAt || b == blocks.size) meta.nCases.toLong
+      else math.min(meta.nCases.toLong, (eStart(b) + cs - 1) / cs)
+    }
+    val bcState = spark.sparkContext.broadcast((eStart, rIn, caseFrom))
+    // ---- pass 2: decode, each task from its exact entry state
+    val vars = meta.vars.map(v => (v.name, v.width == 0))
+    val bcMeta = spark.sparkContext.broadcast(meta)
+    val rdd = spark.sparkContext
+      .parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { case (b0, b1) =>
+        val (eS, rI, cF) = bcState.value
+        val from = cF(b0); val to = cF(b1)
+        if (from >= to) Iterator.empty
+        else {
+          val m = bcMeta.value
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(PagedScan.rebuild(hconf))
+          // the range inflates off ONE pread; straddle continuations
+          // past b1 pull one block per short-lived pread (rare — only
+          // the last owned case can need them)
+          val in = fs.open(p)
+          val rangeBufs = try inflateRange(in, b0, b1) finally in.close()
+          val zb = bcBlocks.value
+          val tail = (b1 until zb.size).iterator.map { bj =>
+            val in2 = fs.open(p)
+            try {
+              val cbuf = new Array[Byte](zb(bj).csize)
+              in2.readFully(zb(bj).cofs, cbuf)
+              inflateOne(cbuf, 0, zb(bj).csize, zb(bj).usize, bj)
+            } finally in2.close()
+          }
+          decodeCases(m, eS(b0), rI(b0), from, to,
+              rangeBufs.iterator ++ tail)
+            .flatMap { case (rowId, vals) =>
+              vars.iterator.zip(vals.iterator).map { case ((name, isNum), x) =>
+                if (isNum) Row(path, rowId, name, "num", null, x)
+                else Row(path, rowId, name, "str", x, null)
+              }
+            }
+        }
+      }
+    spark.createDataFrame(rdd, cellSchema)
+  }
 
   /** The one-call wide read: dictionary from the FIRST file (bounded
     * driver read, the fitted-scalar pattern), then distributed parse. */
@@ -526,7 +832,10 @@ object Sav {
     * VAR00001.. carry an info-13 long-name map to the real column
     * names. */
   def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]],
-            bytecode: Boolean = false, zsav: Boolean = false): Array[Byte] = {
+            bytecode: Boolean = false, zsav: Boolean = false,
+            zsavBlockSize: Int = 0x3ff000): Array[Byte] = {
+    require(zsavBlockSize >= 8 && zsavBlockSize % 8 == 0,
+      s"zsav block size must be a positive multiple of 8: $zsavBlockSize")
     require(cols.nonEmpty, "dumps needs at least one column")
     data.foreach(r => require(r.length == cols.length,
       s"row arity ${r.length} != ${cols.length} columns"))
@@ -721,7 +1030,7 @@ object Sav {
         while (!d.finished()) acc.write(buf, 0, d.deflate(buf))
         d.end(); acc.toByteArray
       }
-      val blockSize = 0x3ff000 // the PSPP/SPSS conventional block span
+      val blockSize = zsavBlockSize // PSPP's conventional span is 0x3ff000
       val spans = (0 until stream.length by blockSize)
         .map(s => (s, math.min(blockSize, stream.length - s)))
       val zblocks =

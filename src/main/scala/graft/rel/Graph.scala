@@ -32,16 +32,39 @@ object Graph {
     * `iterations` is fixed (default 3) rather than
     * convergence-tested: a deterministic, replayable trajectory beats
     * a data-dependent stopping rule for pipeline use — rank ORDER
-    * stabilizes long before the values do. */
+    * stabilizes long before the values do. Set `tol > 0` to ALSO stop
+    * early once the L1 delta Σ|pr−pr_prev| drops below it (real host
+    * graphs converge well before a conservative iteration budget; the
+    * delta rides the iteration's own frame — no extra join).
+    *
+    * Cluster safety: `localCheckpoint` stores blocks on executors
+    * only — at real cluster scale an executor loss mid-loop kills the
+    * query (unrecoverable lineage). Pass `reliableCheckpointDir` to
+    * checkpoint the hoisted invariants once and the rank vector every
+    * `checkpointEveryK` iterations to reliable storage (HDFS/object
+    * store) instead; local[*] callers keep the zero-IO default. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 3, damping: Double = 0.85,
+               tol: Double = 0.0,
+               reliableCheckpointDir: Option[String] = None,
+               checkpointEveryK: Int = 10): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0 && damping < 1,
       s"damping must be in (0, 1), got $damping")
+    require(tol >= 0, s"tol must be >= 0, got $tol")
+    require(checkpointEveryK >= 1,
+      s"checkpointEveryK must be >= 1, got $checkpointEveryK")
+    val sc = edges.sparkSession.sparkContext
+    reliableCheckpointDir.foreach(sc.setCheckpointDir)
+    // pin the invariants: reliable when a dir is given (survives
+    // executor loss), executor-local otherwise (zero IO)
+    def pin(df: DataFrame): DataFrame =
+      if (reliableCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint() // reused every iteration: cut the lineage once
+      .localCheckpoint() // setup-only: unused once nodesF/eDeg exist
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint()
@@ -54,15 +77,14 @@ object Graph {
     // mass is a filter + 1-row agg, not a join), and every edge
     // carries its src out-degree (so contributions are ONE join per
     // iteration, not two)
-    val nodesF = nodes.join(outdeg, nodes("id") === outdeg("src"), "left")
-      .select(nodes("id"), col("_deg").isNull.as("_dang"))
-      .localCheckpoint()
-    val eDeg = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("_deg"))
-      .localCheckpoint()
+    val nodesF = pin(nodes.join(outdeg, nodes("id") === outdeg("src"), "left")
+      .select(nodes("id"), col("_deg").isNull.as("_dang")))
+    val eDeg = pin(e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("_deg")))
     var pr = nodesF.withColumn("pr", lit(1.0 / n))
     var it = 0
-    while (it < iterations) {
+    var converged = false
+    while (it < iterations && !converged) {
       // dangling mass: total rank sitting on nodes with no out-edges,
       // rounded like every other per-iteration aggregate
       val dangling = pr.filter(col("_dang"))
@@ -70,12 +92,31 @@ object Graph {
       val contribs = eDeg.join(pr, eDeg("src") === pr("id"))
         .select(eDeg("dst").as("id"), (col("pr") / col("_deg")).as("_c"))
       val inMass = contribs.groupBy("id").agg(round(sum("_c"), 9).as("_m"))
-      pr = nodesF.join(inMass, Seq("id"), "left")
+      // tol > 0 carries the previous rank on the SAME frame so the L1
+      // delta is a 1-row agg, not an extra join; tol == 0 keeps the
+      // nodesF source (the deterministic fixed-budget plan, unchanged)
+      val src =
+        if (tol > 0) pr.select(col("id"), col("_dang"),
+          col("pr").as("_prev"))
+        else nodesF
+      var next = src.join(inMass, Seq("id"), "left")
         .crossJoin(broadcast(dangling))
-        .select(col("id"), col("_dang"),
-          round(base + lit(damping) *
-            (coalesce(col("_m"), lit(0.0)) + col("_dm") / n), 9).as("pr"))
-        .localCheckpoint(eager = false)
+        .withColumn("pr", round(base + lit(damping) *
+          (coalesce(col("_m"), lit(0.0)) + col("_dm") / n), 9))
+        .drop("_m", "_dm")
+      next =
+        if (reliableCheckpointDir.isDefined && ((it + 1) % checkpointEveryK
+            == 0 || it + 1 == iterations))
+          next.checkpoint()
+        else next.localCheckpoint(eager = tol > 0)
+      if (tol > 0) {
+        val delta = next
+          .agg(coalesce(sum(abs(col("pr") - col("_prev"))), lit(0.0)))
+          .head().getDouble(0)
+        converged = delta < tol
+        next = next.drop("_prev")
+      }
+      pr = next
       it += 1
     }
     pr.select(col("id"), round(col("pr"), 6).as("pr"))

@@ -60,8 +60,11 @@ object PlanAudit {
     "quality_clf", "quality_clf_xx",
     // semantic_dedup: the EXACT pairwise screen — the oracle-baseline
     // twin of semantic_dedup_ivf, bounded like embed_dedup; the ivf
-    // variant joins keyed on the bucket and is NOT allowlisted
-    "semantic_dedup",
+    // variant joins keyed on the bucket and is NOT allowlisted.
+    // feather_embed_dedup runs the same screen over the Arrow-ingested
+    // corpus (broadcast-hinted: the RDD-backed typed read has no size
+    // stats)
+    "semantic_dedup", "feather_embed_dedup",
     // cluster_assign / cluster_balance: the K-centroid codebook (K=8)
     // broadcasts onto the corpus — the intended n×K expansion that
     // collapses in a partial-aggregable argmax

@@ -49,6 +49,44 @@ class Batch37Spec extends SparkSpec {
     assert(out === goldenPr(star, 2))
   }
 
+  test("pageRank tol>0 stops early once the L1 delta is small, and " +
+      "the early-stopped trajectory equals the fixed-budget one") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    // a huge tol stops after ONE iteration: result == iterations=1
+    val early = Graph.pageRank(edges.toDF("s", "d"), "s", "d",
+        iterations = 50, tol = 10.0)
+      .as[(Long, Double)].collect().toMap
+    assert(early === goldenPr(edges, 1))
+    // a tiny tol runs the full budget: result == the plain call
+    val full = Graph.pageRank(edges.toDF("s", "d"), "s", "d",
+        iterations = 3, tol = 1e-15)
+      .as[(Long, Double)].collect().toMap
+    assert(full === goldenPr(edges, 3))
+    // a realistic tol on a converging cycle stops before 50 and lands
+    // within tol-scale distance of the 50-iteration fixed point
+    val conv = Graph.pageRank(edges.toDF("s", "d"), "s", "d",
+        iterations = 50, tol = 1e-6)
+      .as[(Long, Double)].collect().toMap
+    val fixp = goldenPr(edges, 50)
+    conv.foreach { case (k, v) => assert(math.abs(v - fixp(k)) < 1e-4, k) }
+  }
+
+  test("pageRank reliable-checkpoint path lands on the identical " +
+      "trajectory (flag-gated cluster-safety, same arithmetic)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pr_ckpt_").toString
+    val out = Graph.pageRank(edges.toDF("s", "d"), "s", "d",
+        iterations = 3, reliableCheckpointDir = Some(dir),
+        checkpointEveryK = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(out === goldenPr(edges, 3))
+    // the rank vector actually hit reliable storage
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "no checkpoint files written")
+  }
+
   test("degrees: out/in counts over distinct edges") {
     val d = Graph.degrees(
         Seq((1L, 2L), (1L, 2L), (1L, 3L), (3L, 1L)).toDF("s", "d"),

@@ -411,6 +411,121 @@ class FeatherSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Feather.parseFooter(cut) }
   }
 
+  // ---- embedding-vector columns: fixed_size_list<f32>, list<f32>,
+  // list<f64> — the standard Arrow layouts for embedding tables ----
+
+  /** tools/make_feather_fixture.py vector closed form, 30 rows in TWO
+    * record batches of 16 + 14. */
+  private def vecExpect(i: Int): (Option[Seq[Float]], Option[Seq[Any]],
+      Option[Seq[Double]]) = (
+    if (i % 7 == 3) None
+    else Some((0 until 8).map(j => (i + j * 0.25).toFloat)),
+    if (i % 9 == 4) None
+    else Some((0 until i % 5).map(j =>
+      if (j == 1 && i % 6 == 0) null
+      else java.lang.Float.valueOf((i - j * 0.5).toFloat))),
+    if (i % 8 == 5) None else Some((0 until 3).map(j => i * 0.125 + j)))
+
+  private def checkVecRows(rows: Array[org.apache.spark.sql.Row],
+                           label: String): Unit = {
+    assert(rows.length === 30, label)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("doc_id") === i.toDouble, s"$label $i")
+      val (fsl, lst, d) = vecExpect(i)
+      assert(Option(r.getAs[scala.collection.Seq[Float]]("emb_fsl")).map(_.toSeq) === fsl,
+        s"$label emb_fsl $i")
+      assert(Option(r.getAs[scala.collection.Seq[Any]]("emb_list")).map(_.toSeq) === lst,
+        s"$label emb_list $i")
+      assert(Option(r.getAs[scala.collection.Seq[Double]]("emb_d")).map(_.toSeq) === d,
+        s"$label emb_d $i")
+    }
+  }
+
+  test("pyarrow vector fixtures decode as ArrayType (fixed_size_list " +
+      "f32 + list f32 with null elements + list f64; all 3 codecs)") {
+    import org.apache.spark.sql.types._
+    Seq("fixture_vec.feather", "fixture_vec_lz4.feather",
+        "fixture_vec_zstd.feather").foreach { f =>
+      val df = Feather.readFeatherTyped(spark, s"$dir/$f")
+      assert(df.schema("emb_fsl").dataType === ArrayType(FloatType), f)
+      assert(df.schema("emb_list").dataType === ArrayType(FloatType), f)
+      assert(df.schema("emb_d").dataType === ArrayType(DoubleType), f)
+      checkVecRows(df.orderBy("row").collect(), f)
+    }
+  }
+
+  test("typed PAGED vector read splits the multi-batch fixture and " +
+      "matches the whole-file read; the tall-cell paths refuse toward " +
+      "the typed read") {
+    Seq("fixture_vec.feather", "fixture_vec_zstd.feather").foreach { f =>
+      checkVecRows(Feather.readFeatherTypedPaged(spark, s"$dir/$f",
+        partitions = 3).orderBy("row").collect(), s"paged $f")
+    }
+    val e = intercept[Exception] {
+      Feather.readFeather(spark, s"$dir/fixture_vec.feather").collect()
+    }
+    assert(e.getMessage.contains("readFeatherTyped"))
+    assert(e.getMessage.contains("vector column"))
+    val e2 = intercept[Exception] {
+      Feather.readFeatherPaged(spark, s"$dir/fixture_vec.feather").count()
+    }
+    assert(e2.getMessage.contains("readFeatherTypedPaged"))
+  }
+
+  test("Scala vector writer round-trips both layouts (v fixed / V " +
+      "variable), plain and zstd, incl. null rows and null elements") {
+    val cols = Seq(("vid", 'n'), ("fsl", 'v'), ("lst", 'V'))
+    val n = 50
+    val data = (0 until n).map { i =>
+      Seq[Any](i.toDouble,
+        if (i % 7 == 3) null
+        else (0 until 6).map(j => (i + j * 0.25).toFloat),
+        if (i % 9 == 4) null
+        else (0 until i % 5).map(j =>
+          if (j == 1 && i % 6 == 0) null
+          else java.lang.Float.valueOf((i - j * 0.5).toFloat)))
+    }
+    Seq(false, true).foreach { zstd =>
+      val blob = Feather.dumpsTyped(cols, data, rowsPerBatch = 16,
+        zstd = zstd)
+      val back = Feather.readFeatherTypedBlobs(spark,
+          Seq(("v.feather", blob)))
+        .orderBy("row").collect()
+      assert(back.length === n, s"zstd=$zstd")
+      back.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Double]("vid") === i.toDouble, s"zstd=$zstd $i")
+        assert(Option(r.getAs[scala.collection.Seq[Float]]("fsl")).map(_.toSeq) ===
+          Option(data(i)(1)).map(_.asInstanceOf[Seq[Float]].toSeq),
+          s"zstd=$zstd fsl $i")
+        assert(Option(r.getAs[scala.collection.Seq[Any]]("lst")).map(_.toSeq) ===
+          Option(data(i)(2)).map(_.asInstanceOf[Seq[Any]].toSeq),
+          s"zstd=$zstd lst $i")
+      }
+      // the typed PAGED scan splits the same bytes identically
+      val tmp = java.nio.file.Files
+        .createTempFile("graft_vec_paged_", ".feather")
+      java.nio.file.Files.write(tmp, blob)
+      val paged = Feather.readFeatherTypedPaged(spark, tmp.toString,
+          partitions = 4)
+        .drop("src_file").orderBy("row").collect()
+      assert(paged.map(_.toSeq).toSeq ===
+        back.map(_.toSeq.drop(1)).toSeq, s"zstd=$zstd paged")
+      java.nio.file.Files.delete(tmp)
+    }
+    // mixed fixed widths refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Feather.dumpsTyped(Seq(("v", 'v')),
+        Seq(Seq[Any](Seq(1f, 2f)), Seq[Any](Seq(1f, 2f, 3f))))
+    }
+    assert(e.getMessage.contains("mixed widths"))
+    // keep the bytes around for the pyarrow cross-validation step
+    // (tools/make_feather_fixture.py <dir> <file> vec — the check-in
+    // gate, not a test-time dependency)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "scala_vec_check.feather"),
+      Feather.dumpsTyped(cols, data, rowsPerBatch = 16))
+  }
+
   test("IO.readData and exportData dispatch .feather") {
     val tmp = java.nio.file.Files
       .createTempFile("graft_feather_io_", ".feather")

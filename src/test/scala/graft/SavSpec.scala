@@ -123,6 +123,98 @@ class SavSpec extends SparkSpec {
     }
   }
 
+  test("zsav block-parallel scan (ztrailer re-sync) matches the " +
+      "whole-file read across many block boundaries, with dense ids") {
+    // numeric + biasable ints + strings + nulls: all five command
+    // classes, and a 64-byte block size so command blocks, their raw
+    // runs, and whole cases straddle zlib-block boundaries constantly
+    val cols = Seq(("k", true), ("small", true), ("txt", false),
+      ("score", true))
+    val n = 700
+    val data = (0 until n).map { i =>
+      Seq[Any](i.toDouble,
+        if (i % 6 == 1) null else (i % 90).toDouble, // biasable range
+        if (i % 5 == 0) null else s"v$i" + ("x" * (i % 17)),
+        if (i % 4 == 2) null else i * 0.25 - 3.0)
+    }
+    Seq(64, 256, 4096).foreach { bs =>
+      val blob = Sav.dumps(cols, data, zsav = true, zsavBlockSize = bs)
+      val tmp = java.nio.file.Files.createTempFile("graft_zsav_", ".zsav")
+      java.nio.file.Files.write(tmp, blob)
+      val paged = Sav.records(
+          Sav.readSavPaged(spark, tmp.toString, partitions = 5), cols)
+        .orderBy("row").select($"row", $"k", $"small", $"txt", $"score")
+        .as[(Long, Double, Option[Double], Option[String], Option[Double])]
+        .collect()
+      assert(paged.length === n, s"bs=$bs")
+      paged.zipWithIndex.foreach { case ((rowId, k, small, txt, score), i) =>
+        assert(rowId === i.toLong, s"bs=$bs dense ids")
+        assert(k === i.toDouble, s"bs=$bs")
+        assert(small === (if (i % 6 == 1) None else Some((i % 90).toDouble)),
+          s"bs=$bs $i")
+        assert(txt === (if (i % 5 == 0) None
+          else Some(s"v$i" + ("x" * (i % 17)))), s"bs=$bs $i")
+        assert(score === (if (i % 4 == 2) None else Some(i * 0.25 - 3.0)),
+          s"bs=$bs $i")
+      }
+      java.nio.file.Files.delete(tmp)
+    }
+  }
+
+  test("zsav paged scan: VLS cases spanning several tiny blocks " +
+      "decode identically to the whole-file read") {
+    val cols = Seq(("k", true), ("doc", false), ("tag", false))
+    val n = 25
+    def docOf(i: Int): String =
+      if (i % 7 == 2) "short"
+      else s"D$i|" + ("abcdefghij" * 80).take(300 + (i * 61) % 400)
+    val data = (0 until n).map { i =>
+      Seq[Any](i.toDouble, if (i % 9 == 5) null else docOf(i), s"t${i % 4}")
+    }
+    // 64-byte blocks: one VLS case (≥ 700 B wide) spans 10+ blocks,
+    // so the straddle continuation pulls multiple tail blocks
+    val blob = Sav.dumps(cols, data, zsav = true, zsavBlockSize = 64)
+    val tmp = java.nio.file.Files.createTempFile("graft_zsav_vls_", ".zsav")
+    java.nio.file.Files.write(tmp, blob)
+    val paged = Sav.records(
+        Sav.readSavPaged(spark, tmp.toString, partitions = 6), cols)
+      .orderBy("row").select($"k", $"doc", $"tag")
+      .as[(Double, Option[String], String)].collect()
+    assert(paged.length === n)
+    paged.zipWithIndex.foreach { case ((k, doc, tag), i) =>
+      assert(k === i.toDouble)
+      assert(doc === (if (i % 9 == 5) None else Some(docOf(i))), s"row $i")
+      assert(tag === s"t${i % 4}")
+    }
+    java.nio.file.Files.delete(tmp)
+  }
+
+  test("zsav paged scan refuses non-8-aligned block sizes loudly") {
+    val cols = Seq(("k", true), ("txt", false))
+    val data = (0 until 200).map(i => Seq[Any](i.toDouble, s"w$i"))
+    val blob = Sav.dumps(cols, data, zsav = true, zsavBlockSize = 128)
+    val meta = Sav.parseMeta(blob)
+    // locate the ztrailer via the zheader and mis-align the FIRST
+    // block's uncompressed_size (trailer-only patch: the refusal must
+    // fire on the table, before any inflation)
+    def i8(b: Array[Byte], at: Int): Long = {
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (b(at + i) & 0xffL); i -= 1 }
+      v
+    }
+    val broken = blob.clone()
+    val trailerAt = i8(broken, meta.dataAt + 8).toInt
+    val usizeAt = trailerAt + 24 + 16 // first block's uncompressed_size
+    broken(usizeAt) = (broken(usizeAt) + 4).toByte
+    val tmp = java.nio.file.Files.createTempFile("graft_zsav_bad_", ".zsav")
+    java.nio.file.Files.write(tmp, broken)
+    val e = intercept[Exception] {
+      Sav.readSavPaged(spark, tmp.toString).count()
+    }
+    assert(e.getMessage.contains("multiple of 8"))
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("corrupt zsav block tables refuse loudly, never decode garbage") {
     val good = bytes("fixture_zlib.zsav")
     val meta = Sav.parseMeta(good)

@@ -101,6 +101,44 @@ def main():
                                           for j in range(i * 11 + 1))
                                     for i in range(6)], type=pa.binary())}),
         f"{out_dir}/fixture_bin.feather", compression="uncompressed")
+    # embedding-vector columns: the two standard Arrow layouts
+    # (fixed_size_list<float32> — what pyarrow writes for vector
+    # tables — and list<float32/float64>), read through
+    # readFeatherTyped as ArrayType. Deterministic closed form
+    # asserted by FeatherSpec:
+    #   emb_fsl[i][j] = i + j*0.25      (8 wide; row null iff i%7==3)
+    #   emb_list[i][j] = i - j*0.5      (len i%5; row null iff i%9==4;
+    #                                    element j==1 null iff i%6==0)
+    #   emb_d[i][j] = i*0.125 + j       (len 3 f64; row null iff i%8==5)
+    nv = 30
+    vec_t = pa.table({
+        "doc_id": pa.array(range(nv), type=pa.int64()),
+        "emb_fsl": pa.array(
+            [None if i % 7 == 3 else [i + j * 0.25 for j in range(8)]
+             for i in range(nv)],
+            type=pa.list_(pa.float32(), 8)),
+        "emb_list": pa.array(
+            [None if i % 9 == 4 else
+             [None if (j == 1 and i % 6 == 0) else i - j * 0.5
+              for j in range(i % 5)]
+             for i in range(nv)],
+            type=pa.list_(pa.float32())),
+        "emb_d": pa.array(
+            [None if i % 8 == 5 else [i * 0.125 + j for j in range(3)]
+             for i in range(nv)],
+            type=pa.list_(pa.float64())),
+    })
+    vb = vec_t.to_batches(max_chunksize=16)
+    assert len(vb) == 2, len(vb)
+    vec_t2 = pa.Table.from_batches(vb)
+    for name, comp in (("fixture_vec.feather", "uncompressed"),
+                       ("fixture_vec_lz4.feather", "lz4"),
+                       ("fixture_vec_zstd.feather", "zstd")):
+        feather.write_feather(vec_t2, f"{out_dir}/{name}",
+                              compression=comp, chunksize=16)
+        back = feather.read_table(f"{out_dir}/{name}")
+        assert back.combine_chunks().equals(vec_t2.combine_chunks()), name
+        print(f"{name}: pyarrow round-trip OK")
     print(f"wrote fixtures to {out_dir}")
 
 
@@ -129,8 +167,44 @@ def check_scala_writer(path: str):
     print(f"{path}: pyarrow reads the SCALA-written feather OK ({n} rows)")
 
 
+def check_scala_vec(path: str):
+    """pyarrow reads a Feather.dumpsTyped vector file: 50 rows of the
+    closed form FeatherSpec's writer test uses — vid double,
+    fsl fixed_size_list<float32, 6>, lst list<float32>."""
+    t = feather.read_table(path)
+    assert t.column_names == ["vid", "fsl", "lst"], t.column_names
+    assert pa.types.is_fixed_size_list(t.schema.field("fsl").type), \
+        t.schema.field("fsl").type
+    assert t.schema.field("fsl").type.list_size == 6
+    assert pa.types.is_list(t.schema.field("lst").type), \
+        t.schema.field("lst").type
+    assert t.schema.field("lst").type.value_type == pa.float32()
+    n = len(t)
+    assert n == 50, n
+    vid = t.column("vid").to_pylist()
+    fsl = t.column("fsl").to_pylist()
+    lst = t.column("lst").to_pylist()
+    f32 = lambda x: pa.scalar(x, type=pa.float32()).as_py()
+    for i in range(n):
+        assert vid[i] == float(i)
+        if i % 7 == 3:
+            assert fsl[i] is None, (i, fsl[i])
+        else:
+            assert fsl[i] == [f32(i + j * 0.25) for j in range(6)], i
+        if i % 9 == 4:
+            assert lst[i] is None, (i, lst[i])
+        else:
+            want = [None if (j == 1 and i % 6 == 0) else f32(i - j * 0.5)
+                    for j in range(i % 5)]
+            assert lst[i] == want, (i, lst[i], want)
+    print(f"{path}: pyarrow reads the SCALA-written vector feather OK "
+          f"({n} rows)")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 2:
+    if len(sys.argv) > 3 and sys.argv[3] == "vec":
+        check_scala_vec(sys.argv[2])
+    elif len(sys.argv) > 2:
         check_scala_writer(sys.argv[2])
     else:
         main()
