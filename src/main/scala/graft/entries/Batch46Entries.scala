@@ -168,11 +168,12 @@ object Batch46Entries {
         struct(col("format"), col("width").cast("int").as("width"),
           col("height").cast("int").as("height"),
           lit(null).cast("long").as("duration_ms")).as("meta"))
-      val pairs = graft.mm.Multimodal.bandedNearDups(
+      // the drop-set kernel, not the pair kernel: identical blobs
+      // collapse in one groupBy and the banded join runs over
+      // DISTINCT fingerprints (clone-skew immune; same drop set)
+      val drops = graft.mm.Multimodal.nearDupDrops(
         graft.mm.Multimodal.imageDHash256(media), maxHamming = 3)
-      val survivors = media.join(
-        pairs.select(col("id_b").as("media_id")).distinct(),
-        Seq("media_id"), "left_anti")
+      val survivors = media.join(drops, Seq("media_id"), "left_anti")
       // integer-exact gate: 64-pixel thumbnail sum (px_mean would be
       // the same gate but the sum keeps the oracle in BIGINTs)
       val kept = graft.mm.Multimodal.imageFeatures(survivors, thumbSide = 8)

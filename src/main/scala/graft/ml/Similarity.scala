@@ -267,21 +267,56 @@ object Similarity {
     /** SemDeDup over the index's buckets: the pairwise screen of
       * [[Similarity.semanticDedupExact]] scoped to IVF buckets, so the
       * self-join is an equi-join on the bucket id and cost is
-      * Σ_b n_b² — never n² across the corpus. Near-duplicate pairs
+      * Σ_b d_b² over DISTINCT vectors per bucket (identical
+      * embeddings — exact-dup documents — collapse to one screened
+      * representative first; see the collapse comment in the body) —
+      * never n² across the corpus, and immune to clone skew. Near-duplicate pairs
       * that straddle a centroid boundary are missed by design (the
       * SemDeDup recall dial is nlist; SemanticDedupSpec asserts drop
       * recall ≥ 0.9 against the exact screen on the planted corpus).
       * Returns surviving rows with the index bookkeeping columns
       * removed. */
-    def semanticDedup(threshold: Double): DataFrame = {
-      val a = bucketed.select(col("_ivf_bucket").as("_bk"),
+    def semanticDedup(threshold: Double,
+                      collapseClones: Boolean = true): DataFrame = {
+      val keyed = bucketed.select(col("_ivf_bucket").as("_bk"),
+        col(idCol), col(vecCol))
+      // Clone collapse (the nearDupDrops argument in embedding space):
+      // exact-duplicate documents produce IDENTICAL embeddings, so k
+      // clones of one vector cost the bucketed screen C(k,2) cosine
+      // pairs just to learn "everyone but the min drops". Collapse
+      // them first — one linear shuffle keyed by (bucket, vector) —
+      // and screen only one representative (the min id) per distinct
+      // vector. Exactness, including at threshold = 1.0 where the
+      // FLOAT self-cosine of an identical pair may land just under 1:
+      // clones drop iff cos(v,v) >= threshold under the SAME float
+      // kernel the pair screen runs (the identical decision the
+      // (rep, clone) pair would reach), and a clone group whose
+      // self-cosine misses the threshold is left uncollapsed — every
+      // member enters the screen exactly as before. Any witness a < b
+      // for a screened item b has its group's rep (same vector,
+      // id <= a) in the screen, so the drop set is IDENTICAL to the
+      // uncollapsed kernel's (asserted in SemanticDedupSpec).
+      val (screen, cloneDrops) = if (!collapseClones) {
+        (keyed, keyed.filter(lit(false)).select(col(idCol)))
+      } else {
+        val w = Window.partitionBy(col("_bk"), col(vecCol))
+        val m = keyed.withColumn("_rep", min(col(idCol)).over(w))
+        val withSelf = m.withColumn("_selfcos",
+          cosineNative(m, col(vecCol), col(vecCol)))
+        val collapsible = col("_selfcos") >= threshold
+        (withSelf.filter(!collapsible || col(idCol) === col("_rep"))
+           .select(col("_bk"), col(idCol), col(vecCol)),
+         withSelf.filter(collapsible && col(idCol) > col("_rep"))
+           .select(col(idCol)))
+      }
+      val a = screen.select(col("_bk"),
         col(idCol).as("_id_a"), col(vecCol).as("_ea"))
-      val b = bucketed.select(col("_ivf_bucket").as("_bk"),
+      val b = screen.select(col("_bk"),
         col(idCol).as("_id_b"), col(vecCol).as("_eb"))
       val pairs = a.join(b, Seq("_bk")).filter(col("_id_a") < col("_id_b"))
       val dropped = pairs
         .filter(cosineNative(pairs, col("_ea"), col("_eb")) >= threshold)
-        .select(col("_id_b").as(idCol)).distinct()
+        .select(col("_id_b").as(idCol)).union(cloneDrops).distinct()
       bucketed.drop("_ivf_bucket", "_vec_i8", "_pq64")
         .join(dropped, Seq(idCol), "left_anti")
     }

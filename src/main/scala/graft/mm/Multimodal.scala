@@ -345,6 +345,51 @@ object Multimodal {
     verifyCandidates(ok, cand, maxHamming)
   }
 
+  /** The keep-lowest-id DROP SET of [[bandedNearDups]] — exactly
+    * `pairs.select(id_b).distinct()` (an item drops iff a LOWER-id
+    * item sits within `maxHamming`), computed without materializing
+    * the pair set. Dedup consumers (media_pipeline, the probe chain)
+    * only ever read that projection, and on real corpora the dominant
+    * dup mode is IDENTICAL blobs — k copies of one image are k
+    * identical fingerprints, and the pair kernel pays C(k,2) verified
+    * pairs per clone set just to learn "everyone but the min drops".
+    * This kernel collapses identical fingerprints FIRST (one
+    * map-side-combinable groupBy; every non-min member drops at
+    * hamming 0), then runs the banded join over DISTINCT fingerprints
+    * only, each carrying its min id as the representative. A rep
+    * drops iff a rep with a smaller min id sits within `maxHamming`:
+    * any witness `a < b` for rep b lives in some fingerprint group
+    * whose min is `<= a`, so the (min(a's group), b) rep pair is a
+    * witness too — the drop set is IDENTICAL to the pair kernel's
+    * (asserted in MultimodalSpec), while the candidate term falls
+    * from Σ_b n_b² over items to Σ_b d_b² over distinct fingerprints
+    * — immune to clone skew. Output: (media_id) — the ids to drop. */
+  def nearDupDrops(hashes: DataFrame, maxHamming: Int = 3,
+                   allowWeak: Boolean = false): DataFrame = {
+    // pin the fingerprint table: it is consumed ~6× downstream
+    // (groupBy, exact-drop join, band x/y, verify a/b) and without a
+    // cut each consumer re-runs the upstream decode+hash pass over
+    // the MEDIA corpus — measured 5× the whole chain's wall at 400k
+    // images. 40 B/item, the same localCheckpoint convention as
+    // Dedup.pairs256.
+    val ok = hashes.filter(col("ok"))
+      .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+      .localCheckpoint()
+    val reps = ok.groupBy("b0", "b1", "b2", "b3")
+      .agg(min(col("media_id")).as("media_id"))
+      .localCheckpoint()
+    val exactDrops = ok.join(reps.select(col("media_id").as("_rep"),
+        col("b0"), col("b1"), col("b2"), col("b3")),
+        Seq("b0", "b1", "b2", "b3"))
+      .filter(col("media_id") > col("_rep")).select("media_id")
+    val nearDrops = bandedNearDups(
+        reps.select(col("media_id"), lit(true).as("ok"),
+          col("b0"), col("b1"), col("b2"), col("b3")),
+        maxHamming, allowWeak)
+      .select(col("id_b").as("media_id"))
+    exactDrops.union(nearDrops).distinct()
+  }
+
   /** Exact verify shared by the banded kernels: join the candidate
     * (id_a, id_b) pairs back to their bands and keep pairs at
     * bit-exact Hamming ≤ `maxHamming`. Candidate-bounded — never

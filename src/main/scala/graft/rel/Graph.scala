@@ -35,7 +35,10 @@ object Graph {
     * stabilizes long before the values do. Set `tol > 0` to ALSO stop
     * early once the L1 delta Σ|pr−pr_prev| drops below it (real host
     * graphs converge well before a conservative iteration budget; the
-    * delta rides the iteration's own frame — no extra join).
+    * delta rides the iteration's own frame — no extra join). Pick tol
+    * ABOVE the round-9 quantization floor — each rank rounds to 9 dp
+    * per iteration, so the L1 delta bottoms out near n·5e-10 and a
+    * tighter tol can never fire.
     *
     * Cluster safety: `localCheckpoint` stores blocks on executors
     * only — at real cluster scale an executor loss mid-loop kills the

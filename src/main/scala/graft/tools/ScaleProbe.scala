@@ -946,10 +946,12 @@ object ScaleProbe {
 
     // zsav ingest axis (SPARK_GRAFT_INGZ_N=<rows>): the bytecode
     // stream carries state across the PSPP block table's boundaries,
-    // so ONE .zsav inflates serially in one task (the documented
-    // ceiling — Inflater throughput); a DIRECTORY of shards is the
-    // parallel axis. Both measured, plus the plain-bytecode single
-    // file as the no-inflate baseline.
+    // so ONE .zsav used to inflate serially in one task; since r18 the
+    // ztrailer re-sync scan (9-state speculative bytecode walk) splits
+    // it block-parallel — single_zsav_paged measures that against the
+    // whole-file single_zsav ceiling. A DIRECTORY of shards remains
+    // the embarrassing axis, and the plain-bytecode single file is the
+    // no-inflate baseline.
     sys.env.get("SPARK_GRAFT_INGZ_N").map(_.toInt).filter(_ > 0).foreach { n =>
       val cols = Seq(("k", true), ("txt", false))
       def rows(ids: Range): Seq[Seq[Any]] = ids.map(i =>
@@ -966,6 +968,10 @@ object ScaleProbe {
         graft.io.Sav.dumps(cols, rows(0 until n), zsav = true))
       timeIt("single_zsav", n.toLong) {
         graft.io.Sav.readSav(spark, one.toString)
+          .filter(col("key") === "k").count()
+      }
+      timeIt("single_zsav_paged", n.toLong) {
+        graft.io.Sav.readSavPaged(spark, one.toString, partitions = 16)
           .filter(col("key") === "k").count()
       }
       val plain = java.nio.file.Files.createTempFile("graft_ingz_", ".sav")
@@ -1025,6 +1031,70 @@ object ScaleProbe {
       return
     }
 
+    // composed media-pipeline axis (SPARK_GRAFT_MEDIAPIPE_N=<images>):
+    // media_pipeline's post-ingest chain at scale — 256-bit perceptual
+    // dedup (banded, keyed; candidates bounded by planted groups) →
+    // keep-lowest-id anti-join → decode quality gate (codec-bound,
+    // linear) → pack_shards (two-level prefix sum, bucket-keyed).
+    // The ingest stage is INGFPROBE's axis (typed paged feather);
+    // blob serialization is a bounded driver write and stays out of
+    // the measurement. Corpus: the MM probe's avalanche-mixed BMP
+    // groups (~100 members each — dup output linear in n).
+    sys.env.get("SPARK_GRAFT_MEDIAPIPE_N").map(_.toLong).filter(_ > 0)
+        .foreach { n =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("content", BinaryType, nullable = true)))
+      val nGroups = math.max(n / 100, 1L)
+      val rdd = spark.range(n).rdd.mapPartitions(_.map { id =>
+        val g = (id % nGroups).toInt
+        val bytes = graft.mm.Multimodal.encodeBmp(16, 16, { (x, y) =>
+          var h = g.toLong * 2654435761L ^
+            (x * 0x9E3779B97F4A7C15L) ^ (y * 0xC2B2AE3D27D4EB4FL)
+          h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+          (((h & 0xffL).toInt +
+            (if (id % 2 == 1 && x == 5 && y == 4) 96 else 0)) % 256)
+        })
+        org.apache.spark.sql.Row(id.longValue(), bytes)
+      })
+      val media = spark.createDataFrame(rdd, schema).persist()
+      media.count()
+      if (sys.env.contains("SPARK_GRAFT_MEDIAPIPE_STAGES")) {
+        def st(name: String)(f: => Long): Unit = {
+          val s0 = System.nanoTime(); val r = f
+          val s = math.round((System.nanoTime() - s0) / 1e9 * 1000) / 1000.0
+          println(f"""MEDIAPIPESTAGE {"op":"$name","rows":$r,"sec":$s%.3f}""")
+        }
+        val hashes = graft.mm.Multimodal.imageDHash256(media)
+        st("hash_only")(hashes.count())
+        val hp = hashes.persist(); hp.count()
+        st("pairs_from_persisted_hashes")(
+          graft.mm.Multimodal.bandedNearDups(hp, maxHamming = 3).count())
+        st("dupset_distinct")(
+          graft.mm.Multimodal.bandedNearDups(hp, maxHamming = 3)
+            .select(col("id_b")).distinct().count())
+        st("dupset_nearDupDrops")(
+          graft.mm.Multimodal.nearDupDrops(hp, maxHamming = 3).count())
+      }
+      val t0 = System.nanoTime()
+      val drops = graft.mm.Multimodal.nearDupDrops(
+        graft.mm.Multimodal.imageDHash256(media), maxHamming = 3)
+      val survivors = media.join(drops, Seq("media_id"), "left_anti")
+      // the murmur-mixed pixels are ~uniform: mean 127.5 × 64 slots →
+      // a ≤8160 gate keeps about half the survivors
+      val kept = graft.mm.Multimodal.imageFeatures(survivors, thumbSide = 8)
+        .filter(col("ok") && col("px_sum") <= 8160L)
+        .select(col("media_id"), lit(256L).as("px"))
+      val shards = graft.text.Shards.packShards(kept, "media_id", "px",
+        shardTokens = 1L << 20, bucketExpr = floor(col("media_id") / 4096))
+      val rows = shards.count()
+      val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+      println(f"""MEDIAPIPEPROBE {"images":$n,"kept":$rows,"sec":$sec%.3f}""")
+      spark.stop()
+      return
+    }
+
     sys.env.get("SPARK_GRAFT_PR_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val nNodes = math.max(n / 10, 1L)
       val edges = spark.range(n).select(
@@ -1035,6 +1105,36 @@ object ScaleProbe {
         iterations = 3).count()
       val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
       println(f"""PRPROBE {"edges":$n,"nodes":$rows,"sec":$sec%.3f}""")
+      // the r18 cluster-safety axes on the same graph: a generous
+      // fixed budget, the same budget with the L1 early stop (real
+      // graphs converge first — the stop should buy iterations), and
+      // the reliable-checkpoint path's IO overhead (executor-loss
+      // safety at cluster scale; local[*] pays the disk write)
+      def timeIt(name: String)(f: => Long): Unit = {
+        val s0 = System.nanoTime(); val r = f
+        val s = math.round((System.nanoTime() - s0) / 1e9 * 1000) / 1000.0
+        println(f"""PRPROBE {"op":"$name","edges":$n,"nodes":$r,"sec":$s%.3f}""")
+      }
+      // tol must sit ABOVE the round-9 quantization floor (~n·5e-10
+      // L1) to ever fire; 1e-3 on this graph converges at ~42 of the
+      // 56-iteration budget (delta ~ damping^k), so the early stop
+      // should buy ~25% of the wall
+      timeIt("fixed56") {
+        graft.rel.Graph.pageRank(edges, "src", "dst",
+          iterations = 56).count()
+      }
+      timeIt("tol56_1e-3") {
+        graft.rel.Graph.pageRank(edges, "src", "dst",
+          iterations = 56, tol = 1e-3).count()
+      }
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_pr_probe_ckpt_")
+      ckpt.toFile.deleteOnExit()
+      timeIt("fixed56_reliable_ckpt_k8") {
+        graft.rel.Graph.pageRank(edges, "src", "dst", iterations = 56,
+          reliableCheckpointDir = Some(ckpt.toString),
+          checkpointEveryK = 8).count()
+      }
       spark.stop()
       return
     }
@@ -1346,6 +1446,43 @@ object ScaleProbe {
     // with n_b ≈ const); the probe prints the observed 4×-growth
     // ratio — quadratic would be 16×, the design target is ≲ 6×
     // (linear + fixed overheads).
+    // clone-skew sub-axis (SPARK_GRAFT_SEMDEDUPC_N=<vectors>): the
+    // corpus is ~100-member EXACT clone sets (distinct ids, identical
+    // embeddings — the exact-dup-document mode real corpora are full
+    // of). The uncollapsed screen pays C(100,2) cosine pairs per set;
+    // the r18 clone collapse screens one rep per distinct vector.
+    sys.env.get("SPARK_GRAFT_SEMDEDUPC_N").map(_.toLong).filter(_ > 0)
+        .foreach { n =>
+      val dim = 64
+      val nGroups = math.max(n / 100, 1L)
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => (xxhash64((col("id") % nGroups) * lit(1000003L) + j)
+            .cast("double") / lit(Long.MaxValue.toDouble)).cast("float"))
+          .as("embedding")).persist()
+      emb.count()
+      val nlist = math.min(2048, math.max(16, (nGroups / 100).toInt))
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nlist = nlist, maxIter = 4, fitFraction = math.min(1.0, 2e5 / n))
+      def med3(label: String, collapse: Boolean): Unit = {
+        var survivors = 0L
+        val secs = (0 until 3).map { _ =>
+          val t1 = System.nanoTime()
+          survivors = idx.semanticDedup(0.9, collapseClones = collapse)
+            .count()
+          (System.nanoTime() - t1) / 1e9
+        }.sorted
+        val med = math.round(secs(1) * 1000) / 1000.0
+        println(f"""SEMDEDUPCPROBE {"op":"$label","n":$n,""" +
+          f""""groups":$nGroups,"survivors":$survivors,"sec":$med}""")
+      }
+      med3("screen_plain", collapse = false)
+      med3("screen_collapsed", collapse = true)
+      idx.unpersist(); emb.unpersist()
+      spark.stop()
+      return
+    }
+
     sys.env.get("SPARK_GRAFT_SEMDEDUP_N").map(_.toLong).filter(_ > 0).foreach { n =>
       val dim = 64
       def mk(sz: Long): DataFrame = {

@@ -183,6 +183,42 @@ class MultimodalCodecSpec extends SparkSpec {
     }
   }
 
+  test("nearDupDrops equals the pair kernel's keep-lowest-id drop set " +
+      "on clone sets, cross-clone near-dups, and singletons") {
+    val rnd = new scala.util.Random(53)
+    val pix = Array.fill(6)(Array.fill(17, 16)(rnd.nextInt(256)))
+    // clone sets: images 0..2 each copied 3× (ids 0..8, id = 3*base+k)
+    val clones = (for (base <- 0 until 3; k <- 0 until 3) yield {
+      ((base * 3 + k).toLong,
+        Multimodal.encodeBmp(17, 16, (x, y) => pix(base)(x)(y)),
+        "bmp", 17, 16, 0L)
+    })
+    // near-dups OF clone-set base 1 (one perturbed pixel) — their
+    // drop/keep must route through the rep pair, not the clones
+    val nears = (0 until 2).map { i =>
+      (9L + i,
+        Multimodal.encodeBmp(17, 16, (x, y) =>
+          (pix(1)(x)(y) + (if (x == 7 && y == 6) 128 else 0)) % 256),
+        "bmp", 17, 16, 0L)
+    }
+    // singletons + one corrupt blob (excluded by ok on both paths)
+    val singles = (0 until 3).map { i =>
+      (11L + i, Multimodal.encodeBmp(17, 16, (x, y) => pix(3 + i)(x)(y)),
+        "bmp", 17, 16, 0L)
+    } :+ ((14L, Array[Byte](9, 9), "bmp", 0, 0, 0L))
+    (0 to 3).foreach { h =>
+      val hashes = Multimodal.imageDHash256(
+        Multimodal.toMediaFrame(spark, rnd.shuffle(clones ++ nears ++ singles)))
+      val fromPairs = Multimodal.bandedNearDups(hashes, maxHamming = h)
+        .select($"id_b").distinct().as[Long].collect().toSet
+      val drops = Multimodal.nearDupDrops(hashes, maxHamming = h)
+        .as[Long].collect().toSet
+      assert(drops == fromPairs, s"maxHamming=$h drop sets diverge")
+      // every clone set keeps exactly its min id at any threshold
+      assert(Set(1L, 2L, 4L, 5L, 7L, 8L).subsetOf(drops))
+    }
+  }
+
   test("byte-histogram features are a real normalized histogram") {
     val media = Multimodal.toMediaFrame(spark, Seq(
       (1L, Array[Byte](0, 0, 0, -1), "bin", 0, 0, 0L))) // 3× bucket 0, 1× bucket 7 (0xff)

@@ -34,7 +34,13 @@ class PlanAuditSpec extends SparkSpec {
     // composed entry (four chained stages, each individually under
     // the gate) — its ceiling is the sum-of-stages 40, adjudicated at
     // 33 on entry; every shuffle keyed by doc/hash/token/bucket.
-    val ceiling = Map("llm_pipeline" -> 40).withDefaultValue(24)
+    // media_pipeline is the composed media twin (ingest → drop-set
+    // dedup → pixel gate → shards): the r18 nearDupDrops kernel's
+    // exact-drop join + rep band join + verify + union land it at 29,
+    // every shuffle keyed by band/fingerprint/media_id/bucket —
+    // adjudicated ceiling 32.
+    val ceiling = Map("llm_pipeline" -> 40, "media_pipeline" -> 32)
+      .withDefaultValue(24)
     val heavy = audits.filter(a => a.exchanges > ceiling(a.name))
     assert(heavy.isEmpty,
       s"exchange explosion: ${heavy.map(a => s"${a.name}=${a.exchanges}").mkString("; ")}")

@@ -93,6 +93,35 @@ class SemanticDedupSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("clone collapse leaves the bucketed drop set identical, " +
+      "including exact clone sets and threshold 1.0") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planted = graft.entries.Batch14Entries.withPlantedDups(emb)
+    // plant EXACT clone sets on top of the near-dups: ids +200000/+300000
+    // re-use the base vector byte-for-byte (the dominant real dup mode)
+    val clones = Seq(200000L, 300000L).map { off =>
+      planted.filter(col("vec_id") < 50)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    val corpus = planted.select("vec_id", "embedding").unionByName(clones)
+    Seq(0.9, 1.0).foreach { t =>
+      val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+        nlist = 16)
+      try {
+        val collapsed = idx.semanticDedup(t)
+          .select("vec_id").as[Long].collect().toSet
+        val plain = idx.semanticDedup(t, collapseClones = false)
+          .select("vec_id").as[Long].collect().toSet
+        assert(collapsed == plain, s"threshold $t drop sets diverge")
+        if (t == 0.9) {
+          // every clone of a surviving base must be gone
+          assert(Seq(200000L, 300000L).forall(off =>
+            collapsed.intersect((0L until 50L).map(_ + off).toSet).isEmpty))
+        }
+      } finally idx.unpersist()
+    }
+  }
+
   test("semanticDedup output schema is the input schema, even withPQ") {
     // the survivors contract is "input rows unchanged" — no index
     // bookkeeping column (_ivf_bucket/_vec_i8/_pq64) may leak
