@@ -636,16 +636,44 @@ object Dedup {
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 32, bands: Int = 8,
                          threshold: Double = 0.6, shingleK: Int = 3,
-                         portableHash: Boolean = false): DataFrame = {
-    val pairs =
+                         portableHash: Boolean = false,
+                         collapseClones: Boolean = true): DataFrame = {
+    def sigs: DataFrame =
       if (portableHash)
-        minhashPairsPortable(df, idCol, textCol, numHashes, bands, threshold, shingleK)
-      else
-        minhashPairs(df, idCol, textCol, numHashes, bands, threshold, shingleK)
-    val clusters = connectedComponents(pairs)
-    df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .filter(col("comp").isNull || col("comp") === col(idCol))
-      .drop("comp")
+        minhashSignaturesPortable(df, idCol, textCol, numHashes, shingleK)
+      else minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    if (collapseClones && threshold <= 1.0) {
+      // Clone collapse (the nearDupDrops argument on MinHash): exact-
+      // duplicate texts produce IDENTICAL signatures, and the banded
+      // self-join pays C(k,2) sig_sim pairs per k-clone set. Identical
+      // signatures score sig_sim = 1.0 EXACTLY (numHashes/numHashes),
+      // so at any threshold <= 1 every non-min clone is in the drop
+      // set and its group's min id stands in for it in every pair the
+      // kernel would have found (rep = group min <= any witness from
+      // that group) — one rep per distinct signature enters the
+      // banding + CC, and the cluster min over reps IS the cluster
+      // min over members. Drop set identical to the uncollapsed path
+      // (asserted in ActivationsSpec); the collapse costs one linear
+      // window shuffle keyed by the signature.
+      val w = Window.partitionBy(col("_sig"))
+      val withRep = sigs.withColumn("_rep", min(col("_id")).over(w))
+        .localCheckpoint()
+      val repSigs = withRep.filter(col("_id") === col("_rep"))
+        .select(col("_id"), col("_sig"))
+      val pairs = minhashPairsFromSigs(repSigs, numHashes, bands, threshold)
+      val clusters = connectedComponents(pairs)
+      val drops = withRep.filter(col("_id") =!= col("_rep"))
+        .select(col("_id").as(idCol))
+        .unionByName(clusters.filter(col("comp") =!= col("id"))
+          .select(col("id").as(idCol)))
+      df.join(drops.distinct(), Seq(idCol), "left_anti")
+    } else {
+      val pairs = minhashPairsFromSigs(sigs, numHashes, bands, threshold)
+      val clusters = connectedComponents(pairs)
+      df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+        .filter(col("comp").isNull || col("comp") === col(idCol))
+        .drop("comp")
+    }
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs produced by a

@@ -1446,6 +1446,34 @@ object ScaleProbe {
     // with n_b ≈ const); the probe prints the observed 4×-growth
     // ratio — quadratic would be 16×, the design target is ≲ 6×
     // (linear + fixed overheads).
+    // text clone-skew axis (SPARK_GRAFT_DEDUPC_N=<docs>): ~100-member
+    // EXACT-clone text sets through the one-call dropNearDuplicates
+    // capstone, collapse off vs on. The uncollapsed path pays
+    // 8·C(100,2) banded sig_sim pairs per set AND feeds C(100,2)
+    // edges per set into connected components; the collapse screens
+    // one rep per distinct signature.
+    sys.env.get("SPARK_GRAFT_DEDUPC_N").map(_.toLong).filter(_ > 0)
+        .foreach { n =>
+      val nGroups = math.max(n / 100, 1L)
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => concat(lit("w"),
+            pmod(xxhash64((col("id") % nGroups) * lit(31L) + j),
+              lit(50000L)))), " ").as("text")).persist()
+      docs.count()
+      Seq(("drop_plain", false), ("drop_collapsed", true)).foreach {
+        case (label, collapse) =>
+          val t0 = System.nanoTime()
+          val survivors = graft.text.Dedup.dropNearDuplicates(docs,
+            "doc_id", "text", collapseClones = collapse).count()
+          val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+          println(f"""DEDUPCPROBE {"op":"$label","n":$n,""" +
+            f""""groups":$nGroups,"survivors":$survivors,"sec":$sec}""")
+      }
+      spark.stop()
+      return
+    }
+
     // clone-skew sub-axis (SPARK_GRAFT_SEMDEDUPC_N=<vectors>): the
     // corpus is ~100-member EXACT clone sets (distinct ids, identical
     // embeddings — the exact-dup-document mode real corpora are full

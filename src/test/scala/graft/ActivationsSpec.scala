@@ -127,6 +127,34 @@ class ActivationsSpec extends SparkSpec {
     assert(kept == Set(1L, 9L)) // cluster {1,2,3} -> min id 1; 9 untouched
   }
 
+  test("dropNearDuplicates clone collapse: exact-dup texts drop to the " +
+      "min id and the survivor set equals the uncollapsed path") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val other = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen"
+    val df = (Seq(
+      (1L, base),
+      (2L, base.replace("alpha ", "")), // near-dup bridging into 1
+      (9L, other),
+      (20L, "tiny")) ++                 // shingle-less: passes through
+      // exact clone sets: base re-appears at 5,6,7; other at 30,31
+      Seq(5L, 6L, 7L).map((_, base)) ++ Seq(30L, 31L).map((_, other)))
+      .toDF("doc_id", "text")
+    Seq(0.4, 1.0).foreach { t =>
+      val collapsed = Dedup.dropNearDuplicates(df, "doc_id", "text",
+          threshold = t)
+        .select("doc_id").as[Long].collect().toSet
+      val plain = Dedup.dropNearDuplicates(df, "doc_id", "text",
+          threshold = t, collapseClones = false)
+        .select("doc_id").as[Long].collect().toSet
+      assert(collapsed == plain, s"threshold $t survivor sets diverge")
+      assert(Set(1L, 9L, 20L).subsetOf(collapsed), s"threshold $t")
+      assert(collapsed.intersect(Set(5L, 6L, 7L, 30L, 31L)).isEmpty,
+        s"threshold $t clones survived")
+    }
+  }
+
   test("repetitionStats flags duplicated token mass and the dominant bigram") {
     val df = Seq(
       (1L, "spam spam spam spam ham"),
