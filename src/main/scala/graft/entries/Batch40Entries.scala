@@ -283,7 +283,7 @@ object Batch40Entries {
 
   /** The dHash fixture's analytic thumbnail-pixel CTE (shared by both
     * image oracles): v(media_id, tx, ty) for the 9×8 grid. */
-  private val dhashPixCte =
+  private[entries] val dhashPixCte =
     """ids AS (SELECT unnest(range(0, 32)) AS media_id),
       |t AS (SELECT g.media_id, tx.i AS tx, ty.i AS ty,
       |    ((tx.i * 16 // 9) * (37 + (g.media_id % 4) * 26)

@@ -31,6 +31,10 @@ import graft.ml.Similarity
   *    pack_shards), mirroring llm_pipeline's composed-entry
   *    convention so the media path has ONE end-to-end oracle-anchored
   *    artifact. FULL oracle (analytic pixel replay end to end).
+  *  - `media_dedup_stream`: streaming media dedup-on-ingest replayed
+  *    over a MemoryStream and anchored to the closed-form fingerprint
+  *    set (one survivor per distinct 64-bit dHash, undecodables pass
+  *    through). FULL oracle.
   */
 object Batch46Entries {
 
@@ -186,8 +190,51 @@ object Batch46Entries {
           shardTokens = 500L, bucketExpr = floor(col("media_id") / 8))
         .select(col("media_id"), col("px_sum"), col("px"), col("shard"))
         .orderBy("media_id")
+    }),
+
+    // Streaming media dedup-on-ingest, oracle-anchored: the 32-image
+    // closed-form corpus + 16 byte-identical clones + 2 corrupt blobs
+    // replayed over a MemoryStream through mediaDedupStream
+    // (dropDuplicatesWithinWatermark on the exact 64-bit dHash), then
+    // the SURVIVORS are re-fingerprinted. Exactly one survivor per
+    // distinct fingerprint must remain (which clone of a tie survives
+    // is arrival-order dependent, so the entry projects the
+    // fingerprints, not the ids) and both undecodable rows must pass
+    // through un-deduped. DuckDB replays the fingerprints analytically
+    // from the same closed-form pixels — a dedup that dropped nothing
+    // (dup fingerprint rows) or too much (a missing fingerprint, an
+    // eaten corrupt row) breaks the row set.
+    "media_dedup_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      // 50 bounded fixture rows: the closed-form corpus collected once
+      val base = Batch40Entries.dhashBmps(s)
+        .select("media_id", "content")
+        .as[(Long, Array[Byte])].collect().sortBy(_._1)
+      val rows: Seq[(java.sql.Timestamp, Long, Array[Byte])] =
+        (base.map { case (id, c) => (ts, id, c) } ++
+          base.filter(_._1 < 16).map { case (id, c) => (ts, 100L + id, c) } ++
+          Seq(200L, 201L).map(id => (ts, id, Array[Byte](9, 9, 9)))).toSeq
+      val in = MemoryStream[(java.sql.Timestamp, Long, Array[Byte])]
+      val qn = s"media_dedup_sink_${mddSinkSeq.incrementAndGet()}"
+      val q = graft.mm.Multimodal.mediaDedupStream(
+          in.toDF().toDF("ts", "media_id", "content"), "ts", "10 minutes")
+        .select("media_id", "content")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try rows.grouped(17).foreach { ch =>
+        in.addData(ch: _*); q.processAllAvailable()
+      } finally q.stop()
+      graft.mm.Multimodal.imageDHash(s.table(qn))
+        .select(col("ok"), col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy(col("ok").desc, col("b0"), col("b1"), col("b2"),
+          col("b3"))
     })
   )
+
+  private val mddSinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   val oracleSql: Map[String, String] = Map(
     // cosine_topk's oracle verbatim: the Arrow vector round-trip must
@@ -195,6 +242,29 @@ object Batch46Entries {
     "read_feather_vec" -> TextEntries.oracleSql("cosine_topk"),
     // semantic_dedup's oracle verbatim, same convention
     "feather_embed_dedup" -> Batch27Entries.oracleSql("semantic_dedup"),
+
+    // one row per DISTINCT closed-form fingerprint (the clones add no
+    // new groups) + the two pass-through undecodables; the 9×8
+    // thumbnail bits replayed analytically, image_hash's band packing
+    "media_dedup_stream" ->
+      s"""WITH ${Batch40Entries.dhashPixCte},
+        |hv AS (SELECT media_id,
+        |  CAST(SUM(CASE WHEN idx // 16 = 0
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b0,
+        |  CAST(SUM(CASE WHEN idx // 16 = 1
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b1,
+        |  CAST(SUM(CASE WHEN idx // 16 = 2
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b2,
+        |  CAST(SUM(CASE WHEN idx // 16 = 3
+        |    THEN bit * (1 << (idx % 16)) ELSE 0 END) AS INT) AS b3
+        |  FROM bits GROUP BY media_id)
+        |SELECT TRUE AS ok, b0, b1, b2, b3
+        |  FROM (SELECT DISTINCT b0, b1, b2, b3 FROM hv)
+        |UNION ALL
+        |SELECT FALSE AS ok, CAST(NULL AS INT) AS b0,
+        |  CAST(NULL AS INT) AS b1, CAST(NULL AS INT) AS b2,
+        |  CAST(NULL AS INT) AS b3 FROM range(2)
+        |ORDER BY ok DESC, b0, b1, b2, b3""".stripMargin,
 
     // the full chain replayed analytically: brute-force pair screen
     // over the 256 gradient bits → greedy keep-lowest-id → 8×8
