@@ -365,13 +365,28 @@ object Multimodal {
     * from Σ_b n_b² over items to Σ_b d_b² over distinct fingerprints
     * — immune to clone skew. Output: (media_id) — the ids to drop. */
   def nearDupDrops(hashes: DataFrame, maxHamming: Int = 3,
-                   allowWeak: Boolean = false): DataFrame = {
-    // pin the fingerprint table: it is consumed ~6× downstream
-    // (groupBy, exact-drop join, band x/y, verify a/b) and without a
-    // cut each consumer re-runs the upstream decode+hash pass over
-    // the MEDIA corpus — measured 5× the whole chain's wall at 400k
-    // images. 40 B/item, the same localCheckpoint convention as
-    // Dedup.pairs256.
+                   allowWeak: Boolean = false): DataFrame =
+    collapsedDropSet(hashes, bandedNearDups(_, maxHamming, allowWeak))
+
+  /** [[nearDupDrops]] over the wide (2×32-bit multi-index) kernel —
+    * the drop-set face of [[bandedNearDupsWide]] for corpora past the
+    * 64-bit bands' birthday knee. Same collapse, same equivalence
+    * argument, same output: (media_id) — the ids to drop. */
+  def nearDupDropsWide(hashes: DataFrame, maxHamming: Int = 3,
+                       allowWeak: Boolean = false): DataFrame =
+    collapsedDropSet(hashes, bandedNearDupsWide(_, maxHamming, allowWeak))
+
+  /** The clone collapse shared by the drop-set kernels: pin the
+    * fingerprint table (it is consumed ~6× downstream — groupBy,
+    * exact-drop join, band x/y, verify a/b — and without a cut each
+    * consumer re-runs the upstream decode+hash pass over the MEDIA
+    * corpus; measured 5× the whole chain's wall at 400k images —
+    * 40 B/item, the Dedup.pairs256 localCheckpoint convention), drop
+    * every non-min member of an identical-fingerprint group at
+    * hamming 0, and hand ONE min-id representative per distinct
+    * fingerprint to `pairKernel`. */
+  private def collapsedDropSet(hashes: DataFrame,
+      pairKernel: DataFrame => DataFrame): DataFrame = {
     val ok = hashes.filter(col("ok"))
       .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"))
       .localCheckpoint()
@@ -382,10 +397,9 @@ object Multimodal {
         col("b0"), col("b1"), col("b2"), col("b3")),
         Seq("b0", "b1", "b2", "b3"))
       .filter(col("media_id") > col("_rep")).select("media_id")
-    val nearDrops = bandedNearDups(
+    val nearDrops = pairKernel(
         reps.select(col("media_id"), lit(true).as("ok"),
-          col("b0"), col("b1"), col("b2"), col("b3")),
-        maxHamming, allowWeak)
+          col("b0"), col("b1"), col("b2"), col("b3")))
       .select(col("id_b").as("media_id"))
     exactDrops.union(nearDrops).distinct()
   }

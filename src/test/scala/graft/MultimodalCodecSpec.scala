@@ -216,6 +216,18 @@ class MultimodalCodecSpec extends SparkSpec {
       assert(drops == fromPairs, s"maxHamming=$h drop sets diverge")
       // every clone set keeps exactly its min id at any threshold
       assert(Set(1L, 2L, 4L, 5L, 7L, 8L).subsetOf(drops))
+      // the wide (multi-index) drop-set kernel agrees with ITS pair
+      // kernel on the 64-bit fixture too
+      val hashes64 = Multimodal.imageDHash(
+        Multimodal.toMediaFrame(spark,
+          rnd.shuffle(clones ++ nears ++ singles)))
+      val wideFromPairs = Multimodal.bandedNearDupsWide(hashes64,
+          maxHamming = h)
+        .select($"id_b").distinct().as[Long].collect().toSet
+      val wideDrops = Multimodal.nearDupDropsWide(hashes64, maxHamming = h)
+        .as[Long].collect().toSet
+      assert(wideDrops == wideFromPairs,
+        s"maxHamming=$h wide drop sets diverge")
     }
   }
 
