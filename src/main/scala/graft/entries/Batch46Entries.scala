@@ -35,6 +35,10 @@ import graft.ml.Similarity
   *    over a MemoryStream and anchored to the closed-form fingerprint
   *    set (one survivor per distinct 64-bit dHash, undecodables pass
   *    through). FULL oracle.
+  *  - `read_sas_be`: big-endian sas7bdat (an LE shard + a BE
+  *    RDC-compressed shard in one scan) onto read_sas7bdat's closed
+  *    form — the byte order must be invisible to the records. FULL
+  *    oracle.
   */
 object Batch46Entries {
 
@@ -204,6 +208,28 @@ object Batch46Entries {
     // from the same closed-form pixels — a dedup that dropped nothing
     // (dup fingerprint rows) or too much (a missing fingerprint, an
     // eaten corrupt row) breaks the row set.
+    // Big-endian sas7bdat (r18): one shard little-endian, one
+    // BIG-endian (RDC-compressed — endianness × codec crossed), read
+    // through the same scan and landing on read_sas7bdat's closed
+    // form. Our BE writer's bytes are pandas-validated
+    // (tools/make_sas_fixture.py check-be).
+    "read_sas_be" -> ((s, dir) => {
+      val cols = Seq(("id", true), ("grp", false), ("score", true),
+        ("note", false))
+      def rows(ids: Range): Seq[Seq[Any]] = ids.map { i =>
+        Seq[Any](i.toDouble, s"g${i % 3}",
+          if (i % 4 == 0) null else i * 0.5 - 3.0,
+          if (i % 5 == 0) null else s"n$i")
+      }
+      val cells = graft.io.Sas.readSasBlobs(s, Seq(
+        ("shard_le.sas7bdat", graft.io.Sas.dumps(cols, rows(0 until 12))),
+        ("shard_be.sas7bdat", graft.io.Sas.dumps(cols, rows(12 until 24),
+          rdc = true, bigEndian = true))))
+      graft.io.Sas.records(cells, cols)
+        .select(col("id"), col("grp"), col("score"), col("note"))
+        .orderBy("id")
+    }),
+
     "media_dedup_stream" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
@@ -242,6 +268,10 @@ object Batch46Entries {
     "read_feather_vec" -> TextEntries.oracleSql("cosine_topk"),
     // semantic_dedup's oracle verbatim, same convention
     "feather_embed_dedup" -> Batch27Entries.oracleSql("semantic_dedup"),
+
+    // read_sas7bdat's closed form verbatim: the byte order must be
+    // invisible to the decoded records
+    "read_sas_be" -> Batch43Entries.oracleSql("read_sas7bdat"),
 
     // one row per DISTINCT closed-form fingerprint (the clones add no
     // new groups) + the two pass-through undecodables; the 9×8

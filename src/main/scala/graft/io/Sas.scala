@@ -19,7 +19,10 @@ import scala.collection.mutable
   * the repo, not to its own writer.
   *
   * SUPPORTED SUBSET, refused loudly outside it:
-  *  - little-endian files, both 32-bit and 64-bit layouts;
+  *  - little- AND big-endian files (header byte 37; every multi-byte
+  *    field reads in the file's own order, which keeps the semantic
+  *    constants identical — except the 64-bit subheader signatures,
+  *    whose distinctive word flips sides), both 32/64-bit layouts;
   *  - UNCOMPRESSED, RLE-compressed ("SASYZCRL") and RDC-compressed
   *    ("SASYZCR2") pages — in a compressed file every row is its own
   *    data subheader (pointer compression flag 4), decompressed per
@@ -56,37 +59,52 @@ object Sas {
   final case class SasMeta(u64: Boolean, headerLength: Int, pageSize: Int,
                            pageCount: Long, rowLength: Long, rowCount: Long,
                            mixPageRowCount: Long, cols: Seq[SasCol],
-                           compression: Int = CompNone) {
+                           compression: Int = CompNone,
+                           be: Boolean = false) {
     def rle: Boolean = compression == CompRle
   }
 
   // --------------------------------------------------------------
-  // little-endian primitives
+  // integer primitives — every multi-byte field is read in the FILE's
+  // byte order (header byte 37: 0x01 little, 0x00 big), which keeps
+  // every semantic constant (page types, subheader signatures)
+  // identical across both layouts
   // --------------------------------------------------------------
 
   private def u1(b: Array[Byte], at: Int): Int = b(at) & 0xff
-  private def u2(b: Array[Byte], at: Int): Int = u1(b, at) | (u1(b, at + 1) << 8)
-  private def u4(b: Array[Byte], at: Int): Long = {
-    var v = 0L; var i = 3
-    while (i >= 0) { v = (v << 8) | u1(b, at + i); i -= 1 }
+  private def u2(b: Array[Byte], at: Int, be: Boolean): Int =
+    if (be) (u1(b, at) << 8) | u1(b, at + 1)
+    else u1(b, at) | (u1(b, at + 1) << 8)
+  private def u4(b: Array[Byte], at: Int, be: Boolean): Long = {
+    var v = 0L
+    if (be) { var i = 0; while (i <= 3) { v = (v << 8) | u1(b, at + i); i += 1 } }
+    else { var i = 3; while (i >= 0) { v = (v << 8) | u1(b, at + i); i -= 1 } }
     v
   }
-  private def u8(b: Array[Byte], at: Int): Long = {
-    var v = 0L; var i = 7
-    while (i >= 0) { v = (v << 8) | u1(b, at + i); i -= 1 }
+  private def u8(b: Array[Byte], at: Int, be: Boolean): Long = {
+    var v = 0L
+    if (be) { var i = 0; while (i <= 7) { v = (v << 8) | u1(b, at + i); i += 1 } }
+    else { var i = 7; while (i >= 0) { v = (v << 8) | u1(b, at + i); i -= 1 } }
     v
   }
-  private def uint(b: Array[Byte], at: Int, len: Int): Long =
-    if (len == 8) u8(b, at) else u4(b, at)
+  private def uint(b: Array[Byte], at: Int, len: Int, be: Boolean): Long =
+    if (len == 8) u8(b, at, be) else u4(b, at, be)
 
   /** Numeric cell: full or SAS-truncated double — the stored bytes are
-    * the HIGH-order bytes of the ieee754 pattern (little-endian file,
-    * so they sit at the END of the 8-byte slot). NaN patterns (every
-    * SAS missing class ., .A–.Z, ._) decode to null. */
-  private def sasDouble(b: Array[Byte], at: Int, width: Int): java.lang.Double = {
+    * the HIGH-order bytes of the ieee754 pattern, in the file's byte
+    * order (little-endian: reversed at the END of the slot;
+    * big-endian: a natural prefix). NaN patterns (every SAS missing
+    * class ., .A–.Z, ._) decode to null. */
+  private def sasDouble(b: Array[Byte], at: Int, width: Int,
+                        be: Boolean): java.lang.Double = {
     var bits = 0L
-    var i = width - 1
-    while (i >= 0) { bits = (bits << 8) | u1(b, at + i); i -= 1 }
+    if (be) {
+      var i = 0
+      while (i < width) { bits = (bits << 8) | u1(b, at + i); i += 1 }
+    } else {
+      var i = width - 1
+      while (i >= 0) { bits = (bits << 8) | u1(b, at + i); i -= 1 }
+    }
     bits <<= 8 * (8 - width)
     val d = java.lang.Double.longBitsToDouble(bits)
     if (java.lang.Double.isNaN(d)) null else java.lang.Double.valueOf(d)
@@ -98,8 +116,9 @@ object Sas {
 
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(
-      s"sas7bdat: $msg — the supported subset is little-endian files, " +
-        "uncompressed, RLE (SASYZCRL) or RDC (SASYZCR2) compressed; " +
+      s"sas7bdat: $msg — the supported subset is little- and " +
+        "big-endian files, uncompressed, RLE (SASYZCRL) or RDC " +
+        "(SASYZCR2) compressed; " +
         "re-export once with pandas.read_sas(...).to_parquet(...) for " +
         "anything outside it.")
 
@@ -109,7 +128,8 @@ object Sas {
   /** The header's physical-layout fields alone — what the paged reader
     * needs before any page is fetched. */
   final case class SasHeader(u64: Boolean, headerLength: Int,
-                             pageSize: Int, pageCount: Long)
+                             pageSize: Int, pageCount: Long,
+                             be: Boolean = false)
 
   def parseHeader(bytes: Array[Byte]): SasHeader = {
     require(bytes.length >= 1024, "sas7bdat: file shorter than a header")
@@ -118,13 +138,19 @@ object Sas {
       "sas7bdat: bad magic number — not a sas7bdat file")
     val u64 = u1(bytes, 32) == 0x33
     val a1 = if (u1(bytes, 35) == 0x33) 4 else 0
-    if (u1(bytes, 37) != 0x01) refuse("big-endian file")
-    val headerLength = u4(bytes, 196 + a1).toInt
-    val pageSize = u4(bytes, 200 + a1).toInt
-    val pageCount = uint(bytes, 204 + a1, if (u64) 8 else 4)
+    // header byte 37: 0x01 little-endian, 0x00 big-endian — every
+    // multi-byte field below reads in the file's own order
+    val be = u1(bytes, 37) match {
+      case 0x01 => false
+      case 0x00 => true
+      case other => refuse(f"unknown endianness byte 0x$other%02x")
+    }
+    val headerLength = u4(bytes, 196 + a1, be).toInt
+    val pageSize = u4(bytes, 200 + a1, be).toInt
+    val pageCount = uint(bytes, 204 + a1, if (u64) 8 else 4, be)
     require(headerLength > 0 && pageSize > 0 && pageCount >= 0,
       "sas7bdat: nonsense header geometry")
-    SasHeader(u64, headerLength, pageSize, pageCount)
+    SasHeader(u64, headerLength, pageSize, pageCount, be)
   }
 
   def parseMeta(bytes: Array[Byte]): SasMeta = {
@@ -141,6 +167,7 @@ object Sas {
   private def scanMeta(bytes: Array[Byte], hdr: SasHeader,
                        pages: Long): SasMeta = {
     val u64 = hdr.u64
+    val be = hdr.be
     val headerLength = hdr.headerLength
     val pageSize = hdr.pageSize
     val pageCount = pages
@@ -161,36 +188,42 @@ object Sas {
     // (00 00 00 00 F7 F7 F7 F7), which pandas also accepts: when the
     // low word is zero on a u64 file, the word at shOff+4 decides.
     def sigOf(off: Int): Long = {
-      val lo = u4(bytes, off)
-      if (lo == 0L && u64) u4(bytes, off + 4) else lo
+      // BE-64 signatures sit in the LAST word (the order pandas'
+      // constant table records: 00000000 F7F7F7F7, FFFFFFFF FFFFFFFD,
+      // ...), so the distinctive word flips sides with the byte order
+      if (be && u64) u4(bytes, off + 4, be)
+      else {
+        val lo = u4(bytes, off, be)
+        if (lo == 0L && u64) u4(bytes, off + 4, be) else lo
+      }
     }
 
     var p = 0L
     while (p < pageCount) {
       val base = headerLength + (p * pageSize).toInt
-      val pageType = u2(bytes, base + bitOffset) & 0xFF00
+      val pageType = u2(bytes, base + bitOffset, be) & 0xFF00
       if (pageType == 0x0000 || pageType == 0x4000 ||
           pageType == 0x0200 || pageType == 0x0400) {
-        val shCount = u2(bytes, base + bitOffset + 4)
+        val shCount = u2(bytes, base + bitOffset + 4, be)
         var i = 0
         while (i < shCount) {
           val pAt = base + bitOffset + 8 + i * ptrLen
-          val shOff = base + uint(bytes, pAt, il).toInt
-          val shLen = uint(bytes, pAt + il, il)
+          val shOff = base + uint(bytes, pAt, il, be).toInt
+          val shLen = uint(bytes, pAt + il, il, be)
           val comp = u1(bytes, pAt + 2 * il)
           val ptyp = u1(bytes, pAt + 2 * il + 1)
           if (shLen > 0 && comp != 1 && // 1 = truncated pointer
               !(comp == CompData && ptyp == 1)) { // per-row data subheader
             sigOf(shOff) match {
               case 0xF7F7F7F7L =>
-                rowLength = uint(bytes, shOff + 5 * il, il)
-                rowCount = uint(bytes, shOff + 6 * il, il)
-                mixRows = uint(bytes, shOff + 15 * il, il)
+                rowLength = uint(bytes, shOff + 5 * il, il, be)
+                rowCount = uint(bytes, shOff + 6 * il, il, be)
+                mixRows = uint(bytes, shOff + 15 * il, il, be)
               case 0xF6F6F6F6L =>
-                colCount = uint(bytes, shOff + il, il)
+                colCount = uint(bytes, shOff + il, il, be)
               case 0xFFFFFFFDL => // column text
                 val at = shOff + il
-                val size = u2(bytes, at)
+                val size = u2(bytes, at, be)
                 val blob = java.util.Arrays.copyOfRange(bytes, at, at + size)
                 if (textBlobs.isEmpty) {
                   val s = new String(blob,
@@ -204,8 +237,8 @@ object Sas {
                 var j = 0
                 while (j < n) {
                   val at = shOff + il + 8 * (j + 1)
-                  names += ((u2(bytes, at), u2(bytes, at + 2),
-                    u2(bytes, at + 4)))
+                  names += ((u2(bytes, at, be), u2(bytes, at + 2, be),
+                    u2(bytes, at + 4, be)))
                   j += 1
                 }
               case 0xFFFFFFFCL => // column attributes
@@ -213,8 +246,8 @@ object Sas {
                 val n = ((shLen - 2 * il - 12) / vec).toInt
                 var j = 0
                 while (j < n) {
-                  attrs += ((uint(bytes, shOff + il + 8 + j * vec, il),
-                    u4(bytes, shOff + 2 * il + 8 + j * vec).toInt,
+                  attrs += ((uint(bytes, shOff + il + 8 + j * vec, il, be),
+                    u4(bytes, shOff + 2 * il + 8 + j * vec, be).toInt,
                     u1(bytes, shOff + 2 * il + 14 + j * vec)))
                   j += 1
                 }
@@ -257,7 +290,7 @@ object Sas {
       SasCol(nm, ro, w, isNum)
     }.toSeq
     SasMeta(u64, headerLength, pageSize, pageCount, rowLength, rowCount,
-      mixRows, cols, compression = codec)
+      mixRows, cols, compression = codec, be = be)
   }
 
   // --------------------------------------------------------------
@@ -502,22 +535,27 @@ object Sas {
       val il = if (meta.u64) 8 else 4
       val bitOffset = if (meta.u64) 32 else 16
       val ptrLen = if (meta.u64) 24 else 12
-      val pageType = u2(buf, base + bitOffset) & 0xFF00
+      val be = meta.be
+      val pageType = u2(buf, base + bitOffset, be) & 0xFF00
       if (pageType != 0x0000 && pageType != 0x4000 &&
           pageType != 0x0200 && pageType != 0x0400) Iterator.empty
       else {
         val metaSigs = Set(0xF7F7F7F7L, 0xF6F6F6F6L, 0xFFFFFFFDL,
           0xFFFFFFFFL, 0xFFFFFFFCL, 0xFFFFFBFEL, 0xFFFFFFFEL, 0xFFFFFC00L)
-        val shCount = u2(buf, base + bitOffset + 4)
+        val shCount = u2(buf, base + bitOffset + 4, be)
         (0 until shCount).iterator.flatMap { i =>
           val pAt = base + bitOffset + 8 + i * ptrLen
-          val shOff = base + uint(buf, pAt, il).toInt
-          val shLen = uint(buf, pAt + il, il).toInt
+          val shOff = base + uint(buf, pAt, il, be).toInt
+          val shLen = uint(buf, pAt + il, il, be).toInt
           val comp = u1(buf, pAt + 2 * il)
           val ptyp = u1(buf, pAt + 2 * il + 1)
           def sig: Long = {
-            val lo = u4(buf, shOff)
-            if (lo == 0L && meta.u64) u4(buf, shOff + 4) else lo
+            // BE-64 signatures sit in the LAST word — see scanMeta
+            if (be && meta.u64) u4(buf, shOff + 4, be)
+            else {
+              val lo = u4(buf, shOff, be)
+              if (lo == 0L && meta.u64) u4(buf, shOff + 4, be) else lo
+            }
           }
           val isData = shLen > 0 && ptyp == 1 &&
             (comp == CompData || (comp == 0 && !metaSigs.contains(sig)))
@@ -547,7 +585,7 @@ object Sas {
   private def decodeRowAt(buf: Array[Byte], at: Int,
                           meta: SasMeta): Seq[Any] = meta.cols.map { c =>
     val cAt = at + c.rowOffset.toInt
-    if (c.isNum) sasDouble(buf, cAt, c.width)
+    if (c.isNum) sasDouble(buf, cAt, c.width, meta.be)
     else {
       var end = cAt + c.width
       while (end > cAt && (buf(end - 1) == ' '.toByte ||
@@ -573,9 +611,9 @@ object Sas {
     var p = 0L
     while (p < meta.pageCount && seen < meta.rowCount) {
       val base = meta.headerLength + (p * meta.pageSize).toInt
-      val pageType = u2(bytes, base + bitOffset) & 0xFF00
-      val blockCount = u2(bytes, base + bitOffset + 2)
-      val shCount = u2(bytes, base + bitOffset + 4)
+      val pageType = u2(bytes, base + bitOffset, meta.be) & 0xFF00
+      val blockCount = u2(bytes, base + bitOffset + 2, meta.be)
+      val shCount = u2(bytes, base + bitOffset + 4, meta.be)
       pageSubheaderRows(bytes, base, meta).foreach { vals =>
         if (seen < meta.rowCount) { out += vals; seen += 1 }
       }
@@ -628,9 +666,9 @@ object Sas {
   private def pageSpan(buf: Array[Byte], meta: SasMeta): (Int, Long) = {
     val bitOffset = if (meta.u64) 32 else 16
     val ptrLen = if (meta.u64) 24 else 12
-    val pageType = u2(buf, bitOffset) & 0xFF00
-    val blockCount = u2(buf, bitOffset + 2)
-    val shCount = u2(buf, bitOffset + 4)
+    val pageType = u2(buf, bitOffset, meta.be) & 0xFF00
+    val blockCount = u2(buf, bitOffset + 2, meta.be)
+    val shCount = u2(buf, bitOffset + 4, meta.be)
     if (pageType == 0x0100) (bitOffset + 8, blockCount.toLong)
     else if (pageType == 0x0200) {
       val raw = bitOffset + 8 + shCount * ptrLen
@@ -830,7 +868,8 @@ object Sas {
     * Double (null = SAS missing) for numeric columns, String for char
     * columns (width = longest value, min 1). */
   def dumps(cols: Seq[(String, Boolean)], data: Seq[Seq[Any]],
-            rle: Boolean = false, rdc: Boolean = false): Array[Byte] = {
+            rle: Boolean = false, rdc: Boolean = false,
+            bigEndian: Boolean = false): Array[Byte] = {
     require(!(rle && rdc), "pick ONE compression codec")
     require(cols.nonEmpty, "dumps needs at least one column")
     data.foreach(r => require(r.length == cols.length,
@@ -847,15 +886,29 @@ object Sas {
     while (pageSize < rowLen + 48) pageSize *= 2
     val dataRowsPerPage = (pageSize - 40) / math.max(1, rowLen)
 
-    def p16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    def p32(v: Long) = (0 until 4).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
-    def p64(v: Long) = (0 until 8).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    // every multi-byte field packs in the declared byte order; the
+    // subheader signature byte ARRAYS flip separately (BE-64 puts the
+    // distinctive word LAST — the order pandas' constant table records)
+    def p16(v: Int) =
+      if (bigEndian) Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      else Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def p32(v: Long) =
+      if (bigEndian) (3 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+      else (0 until 4).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def p64(v: Long) =
+      if (bigEndian) (7 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+      else (0 until 8).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
     def pf8(d: Double) = p64(java.lang.Double.doubleToRawLongBits(d))
+    // a BE-64 signature is the LE-64 byte array REVERSED: the pad
+    // word moves in front and the distinctive word byte-swaps
+    // (F7F7F7F7 00000000 -> 00000000 F7F7F7F7;
+    //  FDFFFFFF FFFFFFFF -> FFFFFFFF FFFFFFFD)
+    def sig(a: Array[Byte]): Array[Byte] = if (bigEndian) a.reverse else a
 
     // --- subheaders (the fixture generator's layout, 8-byte sigs)
     val sh = mutable.ArrayBuffer.empty[Array[Byte]]
     val rs = new Array[Byte](808)
-    Array(0xF7, 0xF7, 0xF7, 0xF7, 0, 0, 0, 0).map(_.toByte)
+    sig(Array(0xF7, 0xF7, 0xF7, 0xF7, 0, 0, 0, 0).map(_.toByte))
       .copyToArray(rs, 0)
     p64(rowLen.toLong).copyToArray(rs, 5 * 8)
     p64(data.length.toLong).copyToArray(rs, 6 * 8)
@@ -863,7 +916,7 @@ object Sas {
     p64(0L).copyToArray(rs, 15 * 8) // mix rows: meta page carries none
     sh += rs
     val cs = new Array[Byte](24)
-    Array(0xF6, 0xF6, 0xF6, 0xF6, 0, 0, 0, 0).map(_.toByte)
+    sig(Array(0xF6, 0xF6, 0xF6, 0xF6, 0, 0, 0, 0).map(_.toByte))
       .copyToArray(cs, 0)
     p64(cols.length.toLong).copyToArray(cs, 8)
     sh += cs
@@ -880,13 +933,14 @@ object Sas {
       blob ++= new Array[Byte]((8 - nb.length % 8) % 8)
       (at, nb.length)
     }
-    blob(0) = (blob.length & 0xff).toByte
-    blob(1) = ((blob.length >> 8) & 0xff).toByte
-    sh += (Array(0xFD, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF)
-      .map(_.toByte) ++ blob)
+    val blobSize = p16(blob.length)
+    blob(0) = blobSize(0); blob(1) = blobSize(1)
+    sh += (sig(Array(0xFD, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF)
+      .map(_.toByte)) ++ blob)
     // name pointers at sig + il + 8
     val cn = mutable.ArrayBuffer.empty[Byte]
-    cn ++= Array(0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)
+    cn ++= sig(Array(0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF)
+      .map(_.toByte))
     cn ++= new Array[Byte](8)
     nameAt.foreach { case (at, len) =>
       cn ++= p16(0); cn ++= p16(at); cn ++= p16(len); cn ++= p16(0)
@@ -895,7 +949,8 @@ object Sas {
     sh += cn.toArray
     // attribute vectors at sig + il + 8
     val ca = mutable.ArrayBuffer.empty[Byte]
-    ca ++= Array(0xFC, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)
+    ca ++= sig(Array(0xFC, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF)
+      .map(_.toByte))
     ca ++= new Array[Byte](8)
     var ro = 0L
     cols.zip(widths).foreach { case ((_, isNum), w) =>
@@ -907,8 +962,8 @@ object Sas {
     sh += ca.toArray
     cols.foreach(_ => sh += {
       val f = new Array[Byte](64)
-      Array(0xFE, 0xFB, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF).map(_.toByte)
-        .copyToArray(f, 0)
+      sig(Array(0xFE, 0xFB, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF)
+        .map(_.toByte)).copyToArray(f, 0)
       f
     })
 
@@ -919,7 +974,7 @@ object Sas {
         val w = widths(i)
         r(i) match {
           case null if cols(i)._2 =>
-            row ++= Array(0, 0, 0, 0, 0, 0, 0xFF, 0xFF).map(_.toByte)
+            row ++= p64(0xFFFF000000000000L) // '.' missing bit pattern
           case null => row ++= Array.fill(w)(' '.toByte)
           case d: Double => row ++= pf8(d)
           case s: String =>
@@ -1012,7 +1067,7 @@ object Sas {
     val header = new Array[Byte](1024)
     Magic.copyToArray(header, 0)
     header(32) = 0x33; header(35) = 0x33 // u64 layout
-    header(37) = 0x01 // little-endian
+    header(37) = if (bigEndian) 0x00 else 0x01
     header(39) = '1'.toByte
     header(70) = 20 // utf-8
     "SAS FILE".getBytes.copyToArray(header, 84)

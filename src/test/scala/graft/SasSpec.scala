@@ -99,11 +99,19 @@ class SasSpec extends SparkSpec {
     }
   }
 
-  test("big-endian, compressed and corrupt files refuse loudly") {
+  test("unknown-endianness, compressed and corrupt files refuse loudly") {
+    // an unknown endianness byte refuses; a byte-37 flip on an
+    // LE-packed file is GARBAGE under big-endian reads and dies on
+    // the geometry checks, never decoding wrong data silently
+    val bad = bytes("fixture_u64.sas7bdat").clone()
+    bad(37) = 0x02
+    val e0 = intercept[IllegalArgumentException] { Sas.parseMeta(bad) }
+    assert(e0.getMessage.contains("endianness"))
     val be = bytes("fixture_u64.sas7bdat").clone()
-    be(37) = 0x00 // endianness byte
+    be(37) = 0x00
     val e1 = intercept[IllegalArgumentException] { Sas.parseMeta(be) }
-    assert(e1.getMessage.contains("big-endian"))
+    assert(e1.getMessage.contains("truncated") ||
+      e1.getMessage.contains("geometry"))
 
     // plant the RDC literal inside the first column-text blob: BOTH
     // codecs parse since round 16 — a compression literal over plain
@@ -126,6 +134,47 @@ class SasSpec extends SparkSpec {
       Sas.parseMeta(truncated)
     }
     assert(e3.getMessage.contains("truncated"))
+  }
+
+  test("big-endian files decode identically to little-endian, " +
+      "plain and compressed, whole and paged") {
+    val cols = Seq(("k", true), ("txt", false), ("v", true))
+    val data = (0 until 300).map { i =>
+      Seq(i.toDouble,
+        if (i % 5 == 0) null else s"s${i % 11}",
+        if (i % 7 == 0) null else (i * 1.25 - 10.0)): Seq[Any]
+    }
+    def readBack(blob: Array[Byte]) = Sas.records(
+        Sas.readSasBlobs(spark, Seq(("t.sas7bdat", blob))), cols)
+      .orderBy("row").select($"k", $"txt", $"v")
+      .as[(Double, Option[String], Option[Double])].collect().toSeq
+    val le = readBack(Sas.dumps(cols, data))
+    Seq(
+      ("plain", Sas.dumps(cols, data, bigEndian = true)),
+      ("rle", Sas.dumps(cols, data, rle = true, bigEndian = true)),
+      ("rdc", Sas.dumps(cols, data, rdc = true, bigEndian = true))
+    ).foreach { case (label, blob) =>
+      assert(blob(37) === 0x00.toByte, label)
+      assert(readBack(blob) === le, label)
+    }
+    // the paged scan splits a BE file identically (dense ids included)
+    val tmp = java.nio.file.Files.createTempFile("graft_sas_be_", ".sas7bdat")
+    java.nio.file.Files.write(tmp, Sas.dumps(cols, data, bigEndian = true))
+    val paged = Sas.records(
+        Sas.readSasPaged(spark, tmp.toString, partitions = 4), cols)
+      .orderBy("row").select($"k", $"txt", $"v")
+      .as[(Double, Option[String], Option[Double])].collect().toSeq
+    assert(paged === le)
+    java.nio.file.Files.delete(tmp)
+    // keep the bytes around for the pandas cross-validation step
+    // (tools/make_sas_fixture.py check-be <file> — the check-in gate,
+    // not a test-time dependency); both codecs pinned
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "scala_sas_be_check.sas7bdat"),
+      Sas.dumps(cols, data, bigEndian = true))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "scala_sas_be_rle_check.sas7bdat"),
+      Sas.dumps(cols, data, rle = true, bigEndian = true))
   }
 
   test("IO.readData dispatches .sas7bdat") {

@@ -442,7 +442,36 @@ def validate(raw: bytes, label: str, cols, rows) -> pd.DataFrame:
     return df
 
 
+def check_scala_be(path: str):
+    """pandas reads a Sas.dumps(bigEndian=true) file — SasSpec's 300-row
+    closed form (k double, txt char with nulls, v double with nulls).
+    pandas is the independent implementation: if our big-endian packing
+    (header byte 37, file-order ints/doubles, reversed 64-bit subheader
+    signatures, BE missing pattern) deviated from the real layout,
+    pandas would refuse the file or read different values."""
+    df = pd.read_sas(path, format="sas7bdat", encoding="utf-8")
+    assert list(df.columns) == ["k", "txt", "v"], df.columns
+    assert len(df) == 300, len(df)
+    for i in range(300):
+        assert df["k"][i] == float(i), (i, df["k"][i])
+        t = df["txt"][i]
+        if i % 5 == 0:
+            assert pd.isna(t) or t == "", (i, t)
+        else:
+            assert t == f"s{i % 11}", (i, t)
+        v = df["v"][i]
+        if i % 7 == 0:
+            assert pd.isna(v), (i, v)
+        else:
+            assert abs(v - (i * 1.25 - 10.0)) < 1e-12, (i, v)
+    print(f"{path}: pandas reads the SCALA-written big-endian file OK "
+          f"({len(df)} rows)")
+
+
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "check-be":
+        check_scala_be(sys.argv[2])
+        return
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "src/test/resources/sas"
     import os
     os.makedirs(out_dir, exist_ok=True)
