@@ -39,6 +39,9 @@ import graft.ml.Similarity
   *    RDC-compressed shard in one scan) onto read_sas7bdat's closed
   *    form — the byte order must be invisible to the records. FULL
   *    oracle.
+  *  - `read_dta_113`: classic pre-114 Stata (a release-113 shard + a
+  *    release-118 shard in one scan) onto read_dta's closed form —
+  *    the release must be invisible to the records. FULL oracle.
   */
 object Batch46Entries {
 
@@ -230,6 +233,26 @@ object Batch46Entries {
         .orderBy("id")
     }),
 
+    // Pre-114 classic Stata (r18): a release-113 shard (12-byte
+    // formats, the Stata 8 layout; writer bytes pandas-validated via
+    // make_dta_fixture.py check-113) + a release-118 shard in one
+    // scan, landing on read_dta's closed form.
+    "read_dta_113" -> ((s, dir) => {
+      val cols = Seq(("id", true), ("grp", false), ("score", true),
+        ("note", false))
+      def rows(ids: Range): Seq[Seq[Any]] = ids.map { i =>
+        Seq[Any](i.toDouble, s"g${i % 3}",
+          if (i % 4 == 0) null else i * 0.5 - 3.0,
+          if (i % 5 == 0) null else s"n$i")
+      }
+      val cells = graft.io.Dta.readDtaBlobs(s, Seq(
+        ("shard_113.dta", graft.io.Dta.dumps113(cols, rows(0 until 12))),
+        ("shard_118.dta", graft.io.Dta.dumps(cols, rows(12 until 24)))))
+      graft.io.Dta.records(cells, cols)
+        .select(col("id"), col("grp"), col("score"), col("note"))
+        .orderBy("id")
+    }),
+
     "media_dedup_stream" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import s.implicits._
@@ -272,6 +295,9 @@ object Batch46Entries {
     // read_sas7bdat's closed form verbatim: the byte order must be
     // invisible to the decoded records
     "read_sas_be" -> Batch43Entries.oracleSql("read_sas7bdat"),
+
+    // read_dta's closed form verbatim: the release must be invisible
+    "read_dta_113" -> Batch43Entries.oracleSql("read_dta"),
 
     // one row per DISTINCT closed-form fingerprint (the clones add no
     // new groups) + the two pass-through undecodables; the 9×8

@@ -55,7 +55,7 @@ object Dta {
   private def refuse(msg: String): Nothing =
     throw new IllegalArgumentException(
       s"dta: $msg — the supported subset is little-endian releases " +
-        "114/115/117/118 with fixed-width columns; re-export once " +
+        "113/114/115/117/118 with fixed-width columns; re-export once " +
         "(pandas.read_stata(...).to_parquet(...)) for anything outside it.")
 
   // --------------------------------------------------------------
@@ -140,9 +140,10 @@ object Dta {
 
   private def parseMetaClassic(bytes: Array[Byte]): DtaMeta = {
     val release = u1(bytes, 0)
-    if (release < 114 && release >= 102)
-      refuse(s"release $release (before 114)")
-    require(release == 114 || release == 115,
+    if (release < 113 && release >= 102)
+      refuse(s"release $release (before 113 — the pre-113 classics " +
+        "use the old char typlist and single-missing conventions)")
+    require(release == 113 || release == 114 || release == 115,
       s"dta: byte 0 = $release is neither a classic release nor a tag")
     if (u1(bytes, 1) != 2) refuse("big-endian (MSF) file")
     val k = i2(bytes, 4)
@@ -153,7 +154,9 @@ object Dta {
     val names = (0 until k).map(i => str(bytes, at + 33L * i, 33,
       utf8 = false)); at += 33L * k
     at += 2L * (k + 1) // sortlist
-    at += 49L * k // formats
+    // the ONE classic-ladder width change: release 113 (Stata 8)
+    // carries 12-byte formats; 114/115 grew them to 49
+    at += (if (release >= 114) 49L else 12L) * k // formats
     at += 33L * k // value-label names
     at += 81L * k // variable labels
     // expansion fields: {u8 type, i32 len, payload} until type=0 len=0
@@ -778,6 +781,78 @@ object Dta {
       s"column kinds must be n/s/y: $cols")
     dumpsModes(cols.map { case (n, k) =>
       (n, if (k == 's') 'l' else k) }, data)
+  }
+
+  /** Minimal classic release-113 writer — Stata 8's format, the
+    * oldest classic this reader accepts: 109-byte header, byte
+    * typlist, 33-byte names, 12-byte formats (the one ladder width
+    * that distinguishes 113 from 114), fixed-width LE data rows.
+    * pandas.read_stata parses the output value-for-value
+    * (tools/make_dta_fixture.py check-113 — the independent
+    * implementation anchoring this layout). Numeric columns are
+    * doubles (null = '.'), strings fixed-width str# (null = empty,
+    * the classic missing-string convention). */
+  def dumps113(cols: Seq[(String, Boolean)],
+               data: Seq[Seq[Any]]): Array[Byte] = {
+    require(cols.nonEmpty, "dumps113 needs at least one column")
+    data.foreach(r => require(r.length == cols.length,
+      s"row arity ${r.length} != ${cols.length} columns"))
+    val widths = cols.zipWithIndex.map { case ((_, isNum), i) =>
+      if (isNum) 0
+      else math.max(1, data.iterator.map(r => Option(r(i)).fold(0)(
+        _.asInstanceOf[String].getBytes(
+          java.nio.charset.StandardCharsets.ISO_8859_1).length))
+        .foldLeft(0)(math.max))
+    }
+    widths.foreach(w => require(w <= 244,
+      s"dta 113: str width $w exceeds the classic 244-byte cap"))
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def padded(b: Array[Byte], n: Int): Unit = {
+      out.write(b, 0, math.min(b.length, n))
+      var i = b.length; while (i < n) { out.write(0); i += 1 }
+    }
+    w8(113); w8(2); w8(1); w8(0) // release, LOHI, filetype, unused
+    w16(cols.length); w32(data.length.toLong)
+    padded("graft".getBytes(java.nio.charset.StandardCharsets.US_ASCII), 81)
+    padded(Array.emptyByteArray, 18) // timestamp
+    cols.zip(widths).foreach { case ((_, isNum), w) =>
+      w8(if (isNum) 255 else w) } // typlist: double / str#
+    cols.foreach { case (n, _) =>
+      padded(n.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 33) }
+    (0 to cols.length).foreach(_ => w16(0)) // srtlist
+    cols.foreach { case (_, isNum) =>
+      padded((if (isNum) "%10.0g" else "%9s")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII), 12) }
+    cols.foreach(_ => padded(Array.emptyByteArray, 33)) // lbllist
+    cols.foreach(_ => padded(Array.emptyByteArray, 81)) // var labels
+    w8(0); w32(0) // expansion-field terminator
+    data.foreach { r =>
+      cols.indices.foreach { i =>
+        if (cols(i)._2) {
+          val bits = r(i) match {
+            case null => 0x7fe0000000000000L // '.'
+            case d: Double => java.lang.Double.doubleToRawLongBits(d)
+            case other => throw new IllegalArgumentException(
+              s"dumps113 numeric cells are Double/null, got " +
+                other.getClass.getName)
+          }
+          (0 until 8).foreach(j =>
+            out.write(((bits >> (8 * j)) & 0xff).toInt))
+        } else padded(r(i) match {
+          case null => Array.emptyByteArray
+          case st: String => st.getBytes(
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          case other => throw new IllegalArgumentException(
+            s"dumps113 string cells are String/null, got " +
+              other.getClass.getName)
+        }, widths(i))
+      }
+    }
+    out.toByteArray
   }
 
   /** The shared writer: per-column mode 'n' (double), 'f' (fixed

@@ -83,6 +83,45 @@ class DtaSpec extends SparkSpec {
     }
   }
 
+  test("release 113 (Stata 8 classic, 12-byte formats) round-trips " +
+      "through dumps113 and the paged scan; pre-113 still refuses") {
+    val cols = Seq(("k", true), ("txt", false), ("v", true))
+    val data = (0 until 200).map { i =>
+      Seq(i.toDouble,
+        if (i % 5 == 0) null else s"dta_value_$i",
+        if (i % 7 == 0) null else (i * 1.25 - 10.0)): Seq[Any]
+    }
+    val blob = Dta.dumps113(cols, data)
+    assert(blob(0) === 113.toByte)
+    def check(rows: Seq[(Double, Option[String], Option[Double])]): Unit = {
+      assert(rows.length === 200)
+      rows.zipWithIndex.foreach { case ((k, txt, v), i) =>
+        assert(k === i.toDouble)
+        assert(txt === (if (i % 5 == 0) None else Some(s"dta_value_$i")))
+        assert(v === (if (i % 7 == 0) None else Some(i * 1.25 - 10.0)))
+      }
+    }
+    check(Dta.records(Dta.readDtaBlobs(spark, Seq(("t.dta", blob))), cols)
+      .orderBy("row").select($"k", $"txt", $"v")
+      .as[(Double, Option[String], Option[Double])].collect().toSeq)
+    val tmp = java.nio.file.Files.createTempFile("graft_dta113_", ".dta")
+    java.nio.file.Files.write(tmp, blob)
+    check(Dta.records(Dta.readDtaPaged(spark, tmp.toString, partitions = 4),
+        cols)
+      .orderBy("row").select($"k", $"txt", $"v")
+      .as[(Double, Option[String], Option[Double])].collect().toSeq)
+    java.nio.file.Files.delete(tmp)
+    // the ONLY ladder change is the 12-byte formats: a release-112
+    // byte on the same bytes refuses (old typlist/missing conventions)
+    val old113 = blob.clone(); old113(0) = 112
+    val e = intercept[IllegalArgumentException] { Dta.parseMeta(old113) }
+    assert(e.getMessage.contains("before 113"))
+    // keep the bytes for the pandas cross-validation step
+    // (tools/make_dta_fixture.py check-113 — the check-in gate)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "scala_dta113_check.dta"), blob)
+  }
+
   test("paged reader matches whole-file on classic and tagged releases") {
     Seq("fixture_114.dta", "fixture_118.dta").foreach { f =>
       val paged = Dta.records(
@@ -358,7 +397,7 @@ class DtaSpec extends SparkSpec {
     val old = bytes("fixture_114.dta").clone()
     old(0) = 108 // release 108
     val e2 = intercept[IllegalArgumentException] { Dta.parseMeta(old) }
-    assert(e2.getMessage.contains("before 114"))
+    assert(e2.getMessage.contains("before 113"))
 
     intercept[Exception] { Dta.parseMeta(Array.fill[Byte](64)('x')) }
   }

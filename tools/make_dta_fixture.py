@@ -90,6 +90,30 @@ def main():
     print(f"wrote fixtures to {out_dir}")
 
 
+def check_scala_113(path: str):
+    """pandas reads a Dta.dumps113 file — DtaSpec's 200-row closed form
+    (k double, txt str# with nulls, v double with nulls). pandas is the
+    independent implementation anchoring the classic release-113 layout
+    (109-byte header, byte typlist, 33-byte names, 12-byte formats)."""
+    back = pd.read_stata(path)
+    assert list(back.columns) == ["k", "txt", "v"], back.columns
+    assert len(back) == 200, len(back)
+    for i in range(200):
+        assert back["k"][i] == float(i)
+        t = back["txt"][i]
+        if i % 5 == 0:
+            assert t == "" or pd.isna(t), (i, t)
+        else:
+            assert t == f"dta_value_{i}", (i, t)
+        v = back["v"][i]
+        if i % 7 == 0:
+            assert pd.isna(v), (i, v)
+        else:
+            assert abs(v - (i * 1.25 - 10.0)) < 1e-12, (i, v)
+    print(f"{path}: pandas reads the SCALA-written release-113 file OK "
+          f"({len(back)} rows)")
+
+
 def check_scala_binstrl(path: str):
     """pandas reads a Dta.dumpsTyped file carrying BINARY strL (t=129):
     200 rows of DtaSpec's closed form — id double, tag text strL with
@@ -139,6 +163,8 @@ def check_scala_shared(path: str):
 if __name__ == "__main__":
     if len(sys.argv) > 3 and sys.argv[3] == "shared":
         check_scala_shared(sys.argv[2])
+    elif len(sys.argv) > 2 and sys.argv[1] == "check-113":
+        check_scala_113(sys.argv[2])
     elif len(sys.argv) > 2:
         check_scala_binstrl(sys.argv[2])
     else:
