@@ -134,7 +134,10 @@ object Batch14Entries {
     // bucketed variant (lsh_cosine_join) is the 100 TB path.
     "embed_dedup" -> ((s, dir) => {
       val all = withPlantedDups(T.embeddings(s, dir))
-      val a = all.select(col("vec_id").as("id_a"), col("embedding").as("_ea"))
+      // spread the probe side: the n² cosine work is orders of
+      // magnitude larger than the 2-partition scan feeding it
+      val a = Similarity.spreadForPairScan(
+        all.select(col("vec_id").as("id_a"), col("embedding").as("_ea")))
       val b = all.select(col("vec_id").as("id_b"), col("embedding").as("_eb"))
       val pairs = a.join(b, col("id_a") < col("id_b"))
       pairs

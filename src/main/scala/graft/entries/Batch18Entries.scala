@@ -69,6 +69,7 @@ object Batch18Entries {
       val df = in.toDF().toDF("k", "toff", "v")
         .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("toff")))
       val qn = s"stream_dedup_sink_${sinkSeq.incrementAndGet()}"
+      Streaming.withTempCheckpointTuning(s)
       val q = Streaming.dedupWithinWatermark(df, "ts", "60 seconds", Seq("k"))
         .select("k", "v")
         .writeStream.format("memory").queryName(qn).outputMode("append")

@@ -123,6 +123,7 @@ object Batch27Entries {
       in.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
         -1L, Seq.empty[String]))
       val qn = s"bm25_stream_sink_${sinkSeq.incrementAndGet()}"
+      graft.stream.Streaming.withTempCheckpointTuning(s)
       val q = graft.stream.Streaming.bm25StreamScores(
           in.toDF().toDF("ts", "qid", "qtoks"), index,
           "qid", "qtoks", "ts", "5 minutes", "10 minutes")

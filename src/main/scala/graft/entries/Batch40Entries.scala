@@ -145,6 +145,7 @@ object Batch40Entries {
         .filter(e => stepIdx.contains(e.event_type))
       val in = MemoryStream[TypedEvent]
       val qn = s"funnel_stream_sink_${sinkSeq.incrementAndGet()}"
+      Streaming.withTempCheckpointTuning(s)
       val q = Streaming.funnelStream(in.toDS(), funnelSteps).toDF()
         .writeStream.format("memory").queryName(qn).outputMode("update")
         .start()
@@ -164,6 +165,7 @@ object Batch40Entries {
         .filter(e => e.event_type == "view" || e.event_type == "purchase")
       val in = MemoryStream[TypedEvent]
       val qn = s"conversion_stream_sink_${sinkSeq.incrementAndGet()}"
+      Streaming.withTempCheckpointTuning(s)
       val q = Streaming.conversionTimeStream(in.toDS(), "view", "purchase")
         .toDF()
         .writeStream.format("memory").queryName(qn).outputMode("append")
@@ -185,6 +187,7 @@ object Batch40Entries {
       val evs = orderedEvents(s, dir, Map.empty)
       val in = MemoryStream[TypedEvent]
       val qn = s"cohort_stream_sink_${sinkSeq.incrementAndGet()}"
+      Streaming.withTempCheckpointTuning(s)
       val q = Streaming.cohortRetentionStream(in.toDS(), "week").toDF()
         .writeStream.format("memory").queryName(qn).outputMode("append")
         .start()
@@ -256,6 +259,7 @@ object Batch40Entries {
       val evs = orderedEvents(s, dir, Map.empty)
       val in = MemoryStream[TypedEvent]
       val qn = s"transitions_stream_sink_${sinkSeq.incrementAndGet()}"
+      Streaming.withTempCheckpointTuning(s)
       val q = Streaming.transitionsStream(in.toDS()).toDF()
         .writeStream.format("memory").queryName(qn).outputMode("append")
         .start()

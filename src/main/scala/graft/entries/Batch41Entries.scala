@@ -122,6 +122,7 @@ object Batch41Entries {
     // the zero-drop assertion below sums recentProgress — keep every
     // micro-batch's metrics, not just the default last 100
     Streaming.withFullProgressRetention(s)
+    Streaming.withTempCheckpointTuning(s)
     val in = MemoryStream[TypedEvent]
     val qn = s"${name}_sink_${sinkSeq.incrementAndGet()}"
     val q = mk(in, s"$delayMs milliseconds").writeStream

@@ -188,6 +188,7 @@ object Batch42Entries {
         .select(col("o_orderpriority").cast("string")).as[String].collect()
       val in = MemoryStream[String]
       val qn = s"psi_cat_sink_${sinkSeq.incrementAndGet()}"
+      graft.stream.Streaming.withTempCheckpointTuning(s)
       val q = graft.stats.DataAudit.psiCatStreamCounts(
           in.toDF().toDF("o_orderpriority"), "o_orderpriority")
         .writeStream.format("memory").queryName(qn)
@@ -210,6 +211,7 @@ object Batch42Entries {
         .select(col("l_extendedprice").cast("double")).as[Double].collect()
       val in = MemoryStream[Double]
       val qn = s"psi_sink_${sinkSeq.incrementAndGet()}"
+      graft.stream.Streaming.withTempCheckpointTuning(s)
       val q = graft.stats.DataAudit.psiStreamCounts(
           in.toDF().toDF("l_extendedprice"), "l_extendedprice", edges)
         .writeStream.format("memory").queryName(qn)

@@ -268,6 +268,7 @@ object Batch46Entries {
           Seq(200L, 201L).map(id => (ts, id, Array[Byte](9, 9, 9)))).toSeq
       val in = MemoryStream[(java.sql.Timestamp, Long, Array[Byte])]
       val qn = s"media_dedup_sink_${mddSinkSeq.incrementAndGet()}"
+      graft.stream.Streaming.withTempCheckpointTuning(s)
       val q = graft.mm.Multimodal.mediaDedupStream(
           in.toDF().toDF("ts", "media_id", "content"), "ts", "10 minutes")
         .select("media_id", "content")

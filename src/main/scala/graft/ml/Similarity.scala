@@ -14,6 +14,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Spread the PROBE side of a quadratic pair scan (broadcast
+    * nested-loop n×m cosine screens) across the cluster: a small
+    * corpus read from one file arrives in 1-2 scan partitions, so the
+    * n² work — orders of magnitude larger than the input — would
+    * otherwise serialize onto 1-2 tasks while every other core idles
+    * (guide: straggler/idle-capacity). Round-robin repartition to at
+    * least defaultParallelism; inputs that already carry more
+    * partitions keep them. Row placement never affects results here
+    * (pair joins are keyed by id predicates, outputs re-sorted). */
+  private[graft] def spreadForPairScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Dot product of two array<float|double> columns as a sequential
     * left-to-right fold — deterministic, engine-portable. */
   def dot(a: Column, b: Column): Column =
@@ -442,7 +456,8 @@ object Similarity {
     * KMeans buckets. Returns surviving input rows unchanged. */
   def semanticDedupExact(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("_id_a"), col(vecCol).as("_ea"))
+    val a = spreadForPairScan(
+      df.select(col(idCol).as("_id_a"), col(vecCol).as("_ea")))
     val b = df.select(col(idCol).as("_id_b"), col(vecCol).as("_eb"))
     val pairs = a.join(b, col("_id_a") < col("_id_b"))
     val dropped = pairs
@@ -604,7 +619,7 @@ object Similarity {
         centroids, cidCol, cvecCol)
       .withColumn("_one", lit(1L))
       .withColumn("_src", concat(lit("c"), col("cluster")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     graft.text.Quality.selectByTokenBudgetTemperature(assigned, idCol,
         "_src", "cos", "_one", totalRows, alpha)
       .select(col(idCol), col("cluster"), col("cos"))
@@ -707,7 +722,7 @@ object Similarity {
     }: _*)
     val bucketed = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .select(col("_id"), col("_v"), explode(tables).as("_bucket"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // distinct per-leg attribute names so the bucket equi-join never
     // leans on Spark's self-join disambiguation heuristic
     val a = bucketed.select(col("_id").as("id_a"), col("_v").as("_va"),

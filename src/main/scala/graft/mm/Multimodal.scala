@@ -389,10 +389,10 @@ object Multimodal {
       pairKernel: DataFrame => DataFrame): DataFrame = {
     val ok = hashes.filter(col("ok"))
       .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val reps = ok.groupBy("b0", "b1", "b2", "b3")
       .agg(min(col("media_id")).as("media_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val exactDrops = ok.join(reps.select(col("media_id").as("_rep"),
         col("b0"), col("b1"), col("b2"), col("b3")),
         Seq("b0", "b1", "b2", "b3"))

@@ -61,16 +61,20 @@ object Graph {
     reliableCheckpointDir.foreach(sc.setCheckpointDir)
     // pin the invariants: reliable when a dir is given (survives
     // executor loss), executor-local otherwise (zero IO)
+    // lazy local pins: materialization folds into the first job that
+    // reads them (nodes.count() for n, the iteration-1 broadcast for
+    // the rest) instead of four serialized setup jobs — the lineage
+    // cut is identical once computed
     def pin(df: DataFrame): DataFrame =
       if (reliableCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+      else df.localCheckpoint(eager = false)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint() // setup-only: unused once nodesF/eDeg exist
+      .localCheckpoint(eager = false) // setup-only: unused once nodesF/eDeg exist
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val n = nodes.count()
     require(n > 0, "empty graph: PageRank undefined")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("_deg"))

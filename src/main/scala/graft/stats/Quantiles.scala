@@ -28,10 +28,14 @@ object Quantiles {
                               buckets: Int = 256): DataFrame = {
     require(ps.nonEmpty, "need at least one percentile")
     val g = partitionCols.map(col)
+    // lazy cut (raw row blocks, no separate blocking job — the first
+    // consumer materializes it): the count table feeds the rank
+    // kernel's three traversals AND `totals`
     val pv = df.filter(col(valueCol).isNotNull)
       .groupBy(g :+ col(valueCol).cast("double").as("_v"): _*)
-      .agg(count(lit(1)).as("_cv")).localCheckpoint()
-    val ranked = graft.ts.Windows.rank2OfCounts(pv, partitionCols, buckets)
+      .agg(count(lit(1)).as("_cv")).localCheckpoint(eager = false)
+    val ranked = graft.ts.Windows.rank2OfCounts(pv, partitionCols, buckets,
+      cut = false)
     val totals = pv.groupBy(g: _*).agg(sum("_cv").as("_n"))
     val targets = totals
       .select(g :+ explode(array(ps.map(lit): _*)).as("_p") :+ col("_n"): _*)

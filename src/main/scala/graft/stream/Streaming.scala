@@ -589,6 +589,21 @@ object Streaming {
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
       maxBatches.toString)
 
+  /** Tune a session for a TEMP-checkpoint replay deploy (memory sink,
+    * checkpoint auto-deleted on stop): turn off per-file checkpoint
+    * CHECKSUMS. Spark 4.1 writes and await-verifies a checksum file
+    * next to every state/offset/commit file to detect durable-storage
+    * corruption; on a throwaway local checkpoint that guard is pure
+    * fixed cost — thread dumps show every stateful task blocked in
+    * ChecksumCheckpointFileManager.awaitResult (~0.4 s per state
+    * partition per micro-batch, the wall floor of every bounded
+    * replay here). Durable deploys (kill-restart recovery tests, real
+    * clusters) keep the default ON — this helper is only for queries
+    * whose checkpoint dies with the query. */
+  def withTempCheckpointTuning(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+
   /** Reorder-buffer state: the held not-yet-ripe events plus the
     * wrapped operator's own state. The buffer is bounded by the
     * watermark horizon — only events within `delay` of the stream's

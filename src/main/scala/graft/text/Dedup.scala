@@ -164,7 +164,7 @@ object Dedup {
     // signatures instead of re-hashing the corpus; unlike persist()
     // nothing stays pinned in the CacheManager after the caller drops
     // the returned plan (ContextCleaner frees checkpoint blocks)
-    val sig = sigDf.localCheckpoint()
+    val sig = sigDf.localCheckpoint(eager = false)
     val banded = sig.select(col("_id"), col("_sig"),
       explode(bandStructs(col("_sig"), bands, rowsPer)).as("_band"))
     // distinct attribute names per leg: the join key must never rely on
@@ -272,7 +272,7 @@ object Dedup {
     * VERIFIED band but not the guaranteed candidate recall. */
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 8): DataFrame = {
-    val sk = simhashesPortable(df, idCol, textCol).localCheckpoint()
+    val sk = simhashesPortable(df, idCol, textCol).localCheckpoint(eager = false)
     val banded = sk.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -341,7 +341,7 @@ object Dedup {
     * engine can brute-force. */
   def simhashPairsPortableWide(df: DataFrame, idCol: String, textCol: String,
                                maxHamming: Int = 8): DataFrame =
-    wideBandPairs(simhashesPortable(df, idCol, textCol).localCheckpoint(),
+    wideBandPairs(simhashesPortable(df, idCol, textCol).localCheckpoint(eager = false),
       60, maxHamming)
 
   /** [[simhashPairs]]'s scale path past the 16-bit band birthday
@@ -349,7 +349,7 @@ object Dedup {
     * (2×32-bit halves, radius-1 balls). Complete for Hamming ≤ 3. */
   def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
                        maxHamming: Int = 8): DataFrame =
-    wideBandPairs(simhashes(df, idCol, textCol).localCheckpoint(),
+    wideBandPairs(simhashes(df, idCol, textCol).localCheckpoint(eager = false),
       64, maxHamming)
 
   /** 256-bit SimHash — the text sibling of
@@ -429,7 +429,7 @@ object Dedup {
 
   private def pairs256(sigs: DataFrame, maxHamming: Int): DataFrame =
     graft.mm.Multimodal.bandedNearDups(
-      sigs.localCheckpoint().select(col("_id").as("media_id"),
+      sigs.localCheckpoint(eager = false).select(col("_id").as("media_id"),
         lit(true).as("ok"), col("_s0").as("b0"), col("_s1").as("b1"),
         col("_s2").as("b2"), col("_s3").as("b3")),
       maxHamming, allowWeak = maxHamming > 3)
@@ -439,7 +439,7 @@ object Dedup {
     * <= maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 8): DataFrame = {
-    val sk = simhashes(df, idCol, textCol).localCheckpoint()
+    val sk = simhashes(df, idCol, textCol).localCheckpoint(eager = false)
     val banded = sk.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -496,10 +496,10 @@ object Dedup {
     val e0 = pairs.select(checkedId(col(aCol)).as("src"),
       checkedId(col(bCol)).as("dst"))
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -509,7 +509,7 @@ object Dedup {
       val next = labels.join(prop, labels("id") === prop("_nid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("_ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val changed = next.as("n")
         .join(labels.as("p"), col("n.id") === col("p.id"))
         .filter(col("n.comp") =!= col("p.comp"))
@@ -567,14 +567,14 @@ object Dedup {
     val ids = pairs
       .select(explode(array(checkedId(col(aCol)), checkedId(col(bCol))))
         .as("id"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     // canonical edge invariant maintained by both stars: u > v
     var edges = pairs
       .select(checkedId(col(aCol)).as("_a"), checkedId(col(bCol)).as("_b"))
       .filter(col("_a") =!= col("_b"))
       .select(greatest(col("_a"), col("_b")).as("u"),
         least(col("_a"), col("_b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
 
     // large-star over the undirected view: m(u) = min(Γ(u) ∪ {u});
     // emit (v, m(u)) for every STRICTLY LARGER neighbor v. m ≤ u < v
@@ -603,7 +603,7 @@ object Dedup {
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextCount = next.count()
       converged = nextCount == edges.count() &&
         next.except(edges).limit(1).isEmpty
@@ -657,7 +657,7 @@ object Dedup {
       // window shuffle keyed by the signature.
       val w = Window.partitionBy(col("_sig"))
       val withRep = sigs.withColumn("_rep", min(col("_id")).over(w))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val repSigs = withRep.filter(col("_id") === col("_rep"))
         .select(col("_id"), col("_sig"))
       val pairs = minhashPairsFromSigs(repSigs, numHashes, bands, threshold)
@@ -681,7 +681,7 @@ object Dedup {
     * shuffle is proportional to shingle postings, not n². */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shinglesExploded(df, idCol, textCol, k).localCheckpoint()
+    val sh = shinglesExploded(df, idCol, textCol, k).localCheckpoint(eager = false)
     val a = sh.select(col("_id").as("id_a"), col("_sh"))
     val b = sh.select(col("_id").as("id_b"), col("_sh"))
     val inter = a.join(b, Seq("_sh")).filter(col("id_a") < col("id_b"))

@@ -42,7 +42,7 @@ object EvalMetrics {
                       textCol: String): DataFrame =
     df.select(col(idCol).as("doc"),
         TextFns.tokens(lower(col(textCol))).as("_t"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   /** Per-(doc, gram) counts of order-n grams over a [[tokSide]]. */
   private def gramCounts(toks: DataFrame, n: Int): DataFrame =
@@ -239,7 +239,7 @@ object EvalMetrics {
     requireKernel(kernel)
     if (kernel == "local") {
       val ov = localOverlap(cands, refs, idCol, candCol, refCol, bleuMaxN)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val rouge = ov.filter(col("_cl").isNotNull)
         .select(col("doc") +: (1 to rougeMaxN).map { n =>
           val m = element_at(col("_ov"), 3 * n - 2)
@@ -260,7 +260,7 @@ object EvalMetrics {
       val cToks = tokSide(cands, idCol, candCol)
       val rToks = tokSide(refs, idCol, refCol)
       val ov = overlapAllOrders(cToks, rToks, bleuMaxN, hashGrams)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // ROUGE face: the n <= rougeMaxN slice of the shared table
       val spine = cToks.select(col("doc")).distinct()
       val perOrder = ov.filter(col("n") <= rougeMaxN)
@@ -359,7 +359,7 @@ object EvalMetrics {
                        textCol: String): DataFrame =
     df.select(col(idCol).as("doc"),
         regexp_replace(lower(col(textCol)), "\\s+", "").as("_s"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   /** Per-document chrF (Popović 2015): character n-gram F-β score,
     * the tokenization-free eval metric (no tokenizer to disagree

@@ -81,12 +81,12 @@ object Keywords {
     val sent = df.select(col(idCol).as("doc"),
         posexplode(split(col(textCol), "[.!?]\\s+")).as(Seq("sidx", "sent")))
       .filter(length(trim(col("sent"))) > 0)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val toks = sent.select(col("doc"), col("sidx"),
         explode(TextFns.tokens(lower(col("sent")))).as("token"))
       .filter(length(col("token")) >= minTokenLen)
     val tf = toks.groupBy("doc", "sidx", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // tf is unique per (doc, sidx, token), so the sentence-frequency of
     // a token is just its row count in tf — no second pass over the raw
     // token stream and no distinct() shuffle of it.

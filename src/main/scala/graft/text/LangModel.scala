@@ -48,7 +48,7 @@ object LangModel {
     val counts = corpus
       .select(explode(TextFns.tokens(lower(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // an empty model must fail HERE, loudly: with zero rows the
     // totals are NULL, every log-prob is NULL, and downstream
     // coalescing would silently score every document as the neutral
@@ -86,7 +86,7 @@ object LangModel {
                      alpha: Double = 0.5): DataFrame = {
     // the single training pipeline (one corpus explode, one groupBy,
     // vocab cut once, non-empty guard) lives in unigramVocab; the
-    // totals re-derive from the checkpointed vocab — a vocab-sized
+    // totals re-derive from the cached vocab — a vocab-sized
     // aggregate, not a second corpus pass
     val vocab = unigramVocab(refCorpus, textCol, alpha)
       .select(col("token"), col("tf").as("_ctf"), col("logp").as("_lp"))
@@ -117,7 +117,7 @@ object LangModel {
     *
     * Plan shape: bigrams are a pure array expression (no window — a
     * `transform(sequence)` over adjacent token pairs), counted in ONE
-    * groupBy; context counts re-aggregate the checkpointed bigram
+    * groupBy; context counts re-aggregate the cached bigram
     * table, never the corpus; scoring pre-aggregates to
     * (doc, w₁, w₂, tf) then takes two keyed equi-joins.
     *
@@ -146,7 +146,7 @@ object LangModel {
   }
 
   /** Distinct-bigram counts of the reference corpus, cut once
-    * (`localCheckpoint`) because every derived table — context totals,
+    * (`persist`) because every derived table — context totals,
     * continuation counts, type totals — re-aggregates it rather than
     * re-reading the corpus. Loud non-empty guard: see unigramVocab. */
   private def refBigramCounts(refCorpus: DataFrame,
@@ -156,7 +156,7 @@ object LangModel {
       .select(explode(bigramsOf(col("_toks"))).as("_bg"))
       .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     require(!refBg.isEmpty,
       "reference corpus has no bigrams: refusing to train an empty " +
         "bigram model (every document would score ppl = 1)")
@@ -198,7 +198,7 @@ object LangModel {
     *
     * Plan shape is scoreByBigram's: one corpus explode into ONE
     * bigram groupBy; context totals `(c(w₁·), N₁₊(w₁·))` and
-    * continuation counts `N₁₊(·w₂)` re-aggregate the checkpointed
+    * continuation counts `N₁₊(·w₂)` re-aggregate the cached
     * bigram table; type totals ride as a 1-row broadcast; scoring
     * pre-aggregates to (doc, w₁, w₂, tf) then takes three keyed
     * equi-joins — AQE broadcasts the model tables when small, shuffles
@@ -244,7 +244,7 @@ object LangModel {
   }
 
   /** Fit-time Kneser–Ney artifact for the stream deploy: the three
-    * model tables (each a re-aggregation of the one checkpointed
+    * model tables (each a re-aggregation of the one cached
     * bigram-count pass) plus the two type totals collected once at fit
     * time — the [[graft.stream.Streaming]] deploy joins the tables
     * stream-static and carries the totals as literals, the
@@ -288,7 +288,7 @@ object LangModel {
     * context backs off to P₂ alone (λ₃ = 1); an unseen w₂ backs off
     * to P₁ (λ₂ = 1) — every log stays finite.
     *
-    * Every model table is a RE-AGGREGATION of the one checkpointed
+    * Every model table is a RE-AGGREGATION of the one cached
     * trigram count table (the count-of-count statistics KN needs are
     * exactly one groupBy each), and scoring is six keyed equi-joins
     * on the pre-aggregated (doc, w₁, w₂, w₃, tf) table — the
@@ -305,7 +305,7 @@ object LangModel {
       s"discount must be in (0, 1), got $discount")
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     val (_, _, tri0) = refNgramCounts(refCorpus, textCol)
-    val tri = tri0.localCheckpoint()
+    val tri = tri0.localCheckpoint(eager = false)
     require(!tri.isEmpty,
       "reference corpus has no trigrams: refusing to train an empty " +
         "KN3 model (every document would score ppl = 1)")
@@ -354,7 +354,7 @@ object LangModel {
   }
 
   /** Fit-time order-3 KN artifact for the stream deploy: the five
-    * model tables (each a re-aggregation of the one checkpointed
+    * model tables (each a re-aggregation of the one cached
     * trigram type table) plus the two totals collected once — the
     * KnModel/SbModel convention. */
   final case class Kn3Model(tri: DataFrame, ctx12: DataFrame,
@@ -372,7 +372,7 @@ object LangModel {
       s"discount must be in (0, 1), got $discount")
     require(alpha > 0, s"alpha must be > 0, got $alpha")
     val (_, _, tri0) = refNgramCounts(refCorpus, textCol)
-    val tri = tri0.localCheckpoint()
+    val tri = tri0.localCheckpoint(eager = false)
     require(!tri.isEmpty,
       "reference corpus has no trigrams: refusing to train an empty " +
         "KN3 model (every document would score ppl = 1)")
@@ -408,7 +408,7 @@ object LangModel {
     * `mean_logprob`/`ppl` keep their ladder names so banding code is
     * model-agnostic, but read them as mean log-score and its exp.
     *
-    * Plan shape: the reference tokenizes ONCE into a checkpointed
+    * Plan shape: the reference tokenizes ONCE into a cached
     * token-array table (at cluster scale this is the "write the
     * tokenized corpus to a temp table" step every n-gram pipeline
     * has); the three count tables are then three explode→groupBy
@@ -472,7 +472,7 @@ object LangModel {
   }
 
   /** The three n-gram count tables of the stupid-backoff model: one
-    * tokenize pass materialized (`localCheckpoint`), then uni/bi/tri
+    * tokenize pass materialized (`persist`), then uni/bi/tri
     * re-aggregate the ARRAYS — never re-reading raw text. Loud
     * non-empty guard: see unigramVocab. */
   private def refNgramCounts(refCorpus: DataFrame, textCol: String)
@@ -480,7 +480,7 @@ object LangModel {
     val refToks = refCorpus
       .select(TextFns.tokens(lower(col(textCol))).as("_toks"))
       .filter(size(col("_toks")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     require(!refToks.isEmpty,
       "reference corpus has no tokens: refusing to train an empty " +
         "n-gram model (every document would score ppl = 1)")

@@ -71,8 +71,11 @@ object Retrieval {
         explode(TextFns.tokens(lower(col(textCol)))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
       // cut once: feeds df, dl AND the candidate join — without it the
-      // corpus explode+groupBy re-runs three times
-      .localCheckpoint()
+      // corpus explode+groupBy re-runs three times. persist() (not an
+      // eager localCheckpoint) so the cache materializes inside the
+      // first consumer's job and the downstream aggregates can run as
+      // concurrent stages instead of behind a blocking checkpoint job
+      .persist()
     // document lengths and corpus scalars. N counts DISTINCT doc ids —
     // rows sharing a doc id merge their term frequencies into one
     // logical document and count once toward N (zero-token documents
@@ -132,7 +135,7 @@ object Retrieval {
     }
     val grouped = cand.groupBy("query", "doc").agg(aggs.head, aggs.tail: _*)
     val scoredAll =
-      if (params.size > 1) grouped.localCheckpoint() else grouped
+      if (params.size > 1) grouped.persist() else grouped
     params.indices.map { i =>
       graft.rel.Sampling.topKPerGroup(
           scoredAll.select(col("query"), col("doc"),
@@ -155,7 +158,7 @@ object Retrieval {
     val docTf = docs.select(col(docId).as("doc"),
         explode(TextFns.tokens(lower(col(textCol)))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nDocs = docs.select(col(docId).as("doc")).distinct().count()
     require(nDocs > 0, "empty corpus: BM25 idf is undefined at N = 0")
     val dl = docTf.groupBy("doc").agg(sum("tf").as("dl"))

@@ -98,12 +98,44 @@ object PlanAudit {
     // BNLJ ever reappears there it is a regression to the join path
     // and must flag
 
-  /** Audit one query's executed plan string. */
-  def auditPlan(name: String, plan: String): Audit = {
+  /** Count the exchanges a plan EXECUTES, not the ones its printout
+    * mentions: a `persist()`ed / lazily checkpointed shared subtree
+    * prints once per consumer but runs once, so the r17 text count
+    * (`lines.count(_.contains("Exchange"))`, which also miscounted
+    * every `ReusedExchange` as a new shuffle) over-reported plans that
+    * share work — the exact plans the optimization round moves
+    * toward. Tree walk instead: each `Exchange` node counts once,
+    * `ReusedExchange` never (it is not an `Exchange`), an
+    * `InMemoryTableScan`'s cached plan counts ONCE per distinct
+    * relation no matter how many consumers scan it, and subquery
+    * plans are included. */
+  def distinctExchanges(root: org.apache.spark.sql.execution.SparkPlan): Int = {
+    val seenCached = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    var n = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case _: org.apache.spark.sql.execution.exchange.Exchange => n += 1
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          if (seenCached.add(im.relation.cachedPlan)) walk(im.relation.cachedPlan)
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(root)
+    n
+  }
+
+  /** Audit one query's executed plan (tree for the exchange count,
+    * text for the shape flags). */
+  def auditPlan(name: String,
+                planTree: org.apache.spark.sql.execution.SparkPlan): Audit = {
+    val plan = planTree.toString
     val lines = plan.split('\n')
     val cartesian = lines.count(_.contains("CartesianProduct"))
     val nlj = lines.count(_.contains("BroadcastNestedLoopJoin"))
-    val exchanges = lines.count(_.contains("Exchange"))
+    val exchanges = distinctExchanges(planTree)
     val nljUnexpected = nlj > 0 && !nljAllowed.contains(name)
     // dedup/LSH pair queries MUST join keyed on their band/bucket
     // column — a degenerated self-join would still return correct
@@ -124,14 +156,20 @@ object PlanAudit {
     Audit(name, exchanges, flags, None)
   }
 
-  /** Audit every (or a subset of) SparkEntry queries at `sfDir`. */
+  /** Audit every (or a subset of) SparkEntry queries at `sfDir`.
+    * AQE is disabled while plans are CONSTRUCTED so the audited tree
+    * is the plain physical plan (the adaptive wrapper hides its
+    * children from a tree walk; the pre-runtime operators are the
+    * same ones the old text audit saw). */
   def audit(spark: SparkSession, sfDir: String,
-            only: Option[Set[String]] = None): Seq[Audit] =
-    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+            only: Option[Set[String]] = None): Seq[Audit] = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeBefore = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        try auditPlan(name,
-          fn(spark, sfDir).queryExecution.executedPlan.toString)
+        try auditPlan(name, fn(spark, sfDir).queryExecution.executedPlan)
         catch { case e: Throwable =>
           // Option(getMessage): a null-message exception must not turn
           // into Some(null) and NPE the spec's failure formatting
@@ -139,6 +177,8 @@ object PlanAudit {
             Some(Option(e.getMessage).getOrElse(e.toString)))
         }
       }
+    finally spark.conf.set(aqeKey, aqeBefore)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

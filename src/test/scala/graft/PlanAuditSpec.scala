@@ -26,19 +26,18 @@ class PlanAuditSpec extends SparkSpec {
     val flagged = audits.filter(_.flags.nonEmpty)
     assert(flagged.isEmpty,
       s"plan red flags: ${flagged.map(a => s"${a.name} ${a.flags.mkString(",")}").mkString("; ")}")
-    // exchange-count ceiling: the heaviest adjudicated plans (wilcoxon
-    // 19, spearman/quantiles_exact 18 — aggregate-sized rank-kernel
-    // exchanges, round-9 verdict) sit just under this; a refactor that
-    // suddenly shuffles more than 24 times per query is a regression
-    // even when every shuffle is keyed. llm_pipeline is the ONE
-    // composed entry (four chained stages, each individually under
-    // the gate) — its ceiling is the sum-of-stages 40, adjudicated at
-    // 33 on entry; every shuffle keyed by doc/hash/token/bucket.
-    // media_pipeline is the composed media twin (ingest → drop-set
-    // dedup → pixel gate → shards): the r18 nearDupDrops kernel's
-    // exact-drop join + rep band join + verify + union land it at 29,
-    // every shuffle keyed by band/fingerprint/media_id/bucket —
-    // adjudicated ceiling 32.
+    // exchange-count ceiling over PlanAudit.distinctExchanges — since
+    // the r18 optimization round this counts the exchanges a plan
+    // EXECUTES (tree walk: ReusedExchange never counts, a persisted /
+    // checkpointed shared subtree counts once however many consumers
+    // print it), where the old text count over-reported exactly the
+    // work-sharing plans the optimization moves toward. Heaviest
+    // adjudicated plans under the new count at r18: llm_pipeline 26,
+    // media_pipeline 25, dsir_select 20, rank_eval/kn3_ppl 19,
+    // rrf_fuse 16, wilcoxon 15 — a refactor that suddenly EXECUTES
+    // more than 24 shuffles per query is a regression even when every
+    // shuffle is keyed. The two composed multi-stage entries keep
+    // their sum-of-stages ceilings.
     val ceiling = Map("llm_pipeline" -> 40, "media_pipeline" -> 32)
       .withDefaultValue(24)
     val heavy = audits.filter(a => a.exchanges > ceiling(a.name))
