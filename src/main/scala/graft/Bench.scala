@@ -231,7 +231,13 @@ object Bench {
     // with queries_min doubling per-key cost, a contended run's long
     // heavy list pushed the line to 2.5k chars and the driver's tail
     // capture would truncate the line's head, breaking its json parse.
-    val budget = 1950
+    // The window holds MORE than this line: sbt prints a trailing
+    // "[success] Total time: ..." line (~80 chars) AFTER it, which at
+    // the former 1950 budget pushed the JSON's head out of the 2000-
+    // char tail and broke the driver's parse in r17 AND r18
+    // (BENCH_r18.json: parsed=null, tail starts mid-line). Budget =
+    // 2000 − 120 headroom for the sbt epilogue + newlines.
+    val budget = 1880
     val picked = scala.collection.mutable.ArrayBuffer[String]()
     for (n <- heavy ++ reps) {
       if (line((picked :+ n).toSeq).length <= budget)

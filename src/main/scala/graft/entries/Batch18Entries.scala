@@ -69,12 +69,16 @@ object Batch18Entries {
       val df = in.toDF().toDF("k", "toff", "v")
         .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("toff")))
       val qn = s"stream_dedup_sink_${sinkSeq.incrementAndGet()}"
-      Streaming.withTempCheckpointTuning(s)
-      val q = Streaming.dedupWithinWatermark(df, "ts", "60 seconds", Seq("k"))
-        .select("k", "v")
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // state = one row per distinct key inside the watermark horizon;
+      // the tuning scope covers the query's whole lifetime (the cloned
+      // stream session reads confs on the query thread, after start())
+      Streaming.withReplayTuning(s, stateRows = n / 2) {
+        val q = Streaming.dedupWithinWatermark(df, "ts", "60 seconds", Seq("k"))
+          .select("k", "v")
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(qn).orderBy("k")
     }),
 

@@ -123,14 +123,19 @@ object Batch27Entries {
       in.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"),
         -1L, Seq.empty[String]))
       val qn = s"bm25_stream_sink_${sinkSeq.incrementAndGet()}"
-      graft.stream.Streaming.withTempCheckpointTuning(s)
-      val q = graft.stream.Streaming.bm25StreamScores(
-          in.toDF().toDF("ts", "qid", "qtoks"), index,
-          "qid", "qtoks", "ts", "5 minutes", "10 minutes")
-        .select(col("query"), col("doc"), col("score"))
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // no stateRows: the window-agg state here is per (query, doc)
+      // candidate pair — Σ_t df(t), CORPUS-proportional and unknown at
+      // deploy time — so state partitions keep the session default
+      // (the scale-honest choice; only the checksum toggle is scoped)
+      graft.stream.Streaming.withReplayTuning(s) {
+        val q = graft.stream.Streaming.bm25StreamScores(
+            in.toDF().toDF("ts", "qid", "qtoks"), index,
+            "qid", "qtoks", "ts", "5 minutes", "10 minutes")
+          .select(col("query"), col("doc"), col("score"))
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(qn).orderBy("query", "doc")
     }),
 

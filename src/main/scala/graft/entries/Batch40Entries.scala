@@ -38,6 +38,13 @@ object Batch40Entries {
         stepIdx.getOrElse(e.event_type, Int.MaxValue), e.event_id))
   }
 
+  /** Expected state rows of every per-user stateful deploy here: one
+    * state entry per distinct user in the (already driver-collected)
+    * replay — the known-at-deploy-time quantity
+    * [[Streaming.statePartitionsFor]] sizes state partitions from. */
+  private[entries] def nUsers(evs: Array[TypedEvent]): Long =
+    evs.iterator.map(_.user_id).toSet.size.toLong
+
   private def replay[A](in: MemoryStream[A],
                         evs: Array[A],
                         q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -145,11 +152,12 @@ object Batch40Entries {
         .filter(e => stepIdx.contains(e.event_type))
       val in = MemoryStream[TypedEvent]
       val qn = s"funnel_stream_sink_${sinkSeq.incrementAndGet()}"
-      Streaming.withTempCheckpointTuning(s)
-      val q = Streaming.funnelStream(in.toDS(), funnelSteps).toDF()
-        .writeStream.format("memory").queryName(qn).outputMode("update")
-        .start()
-      replay(in, evs, q)
+      Streaming.withReplayTuning(s, stateRows = nUsers(evs)) {
+        val q = Streaming.funnelStream(in.toDS(), funnelSteps).toDF()
+          .writeStream.format("memory").queryName(qn).outputMode("update")
+          .start()
+        replay(in, evs, q)
+      }
       Streaming.funnelStreamCounts(s.table(qn), funnelSteps)
         .orderBy("step")
     }),
@@ -165,12 +173,13 @@ object Batch40Entries {
         .filter(e => e.event_type == "view" || e.event_type == "purchase")
       val in = MemoryStream[TypedEvent]
       val qn = s"conversion_stream_sink_${sinkSeq.incrementAndGet()}"
-      Streaming.withTempCheckpointTuning(s)
-      val q = Streaming.conversionTimeStream(in.toDS(), "view", "purchase")
-        .toDF()
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .start()
-      replay(in, evs, q)
+      Streaming.withReplayTuning(s, stateRows = nUsers(evs)) {
+        val q = Streaming.conversionTimeStream(in.toDS(), "view", "purchase")
+          .toDF()
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .start()
+        replay(in, evs, q)
+      }
       Streaming.conversionTimeSummary(s.table(qn))
     }),
 
@@ -187,11 +196,12 @@ object Batch40Entries {
       val evs = orderedEvents(s, dir, Map.empty)
       val in = MemoryStream[TypedEvent]
       val qn = s"cohort_stream_sink_${sinkSeq.incrementAndGet()}"
-      Streaming.withTempCheckpointTuning(s)
-      val q = Streaming.cohortRetentionStream(in.toDS(), "week").toDF()
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .start()
-      replay(in, evs, q)
+      Streaming.withReplayTuning(s, stateRows = nUsers(evs)) {
+        val q = Streaming.cohortRetentionStream(in.toDS(), "week").toDF()
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .start()
+        replay(in, evs, q)
+      }
       Streaming.cohortRetentionCounts(s.table(qn))
         .orderBy("cohort", "period_offset")
     }),
@@ -259,11 +269,12 @@ object Batch40Entries {
       val evs = orderedEvents(s, dir, Map.empty)
       val in = MemoryStream[TypedEvent]
       val qn = s"transitions_stream_sink_${sinkSeq.incrementAndGet()}"
-      Streaming.withTempCheckpointTuning(s)
-      val q = Streaming.transitionsStream(in.toDS()).toDF()
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .start()
-      replay(in, evs, q)
+      Streaming.withReplayTuning(s, stateRows = nUsers(evs)) {
+        val q = Streaming.transitionsStream(in.toDS()).toDF()
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .start()
+        replay(in, evs, q)
+      }
       // snapshot the memory sink: a MemoryPlan View can't dedup its
       // references across the counts-vs-totals self-join
       val pairs = s.table(qn).localCheckpoint()

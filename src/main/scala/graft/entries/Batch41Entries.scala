@@ -119,15 +119,21 @@ object Batch41Entries {
       : String = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    // the zero-drop assertion below sums recentProgress — keep every
-    // micro-batch's metrics, not just the default last 100
-    Streaming.withFullProgressRetention(s)
-    Streaming.withTempCheckpointTuning(s)
     val in = MemoryStream[TypedEvent]
     val qn = s"${name}_sink_${sinkSeq.incrementAndGet()}"
-    val q = mk(in, s"$delayMs milliseconds").writeStream
-      .format("memory").queryName(qn).outputMode("append").start()
-    replayShuffled(in, evs, delayMs, maxTsMs, q)
+    // state = one OooBuf row per distinct user; fullProgressRetention
+    // because the zero-drop assertion below sums recentProgress over
+    // EVERY micro-batch, not just the default last 100. The tuning
+    // scope covers start() through stop() (the stream session reads
+    // confs on the query thread).
+    val q = Streaming.withReplayTuning(s,
+        stateRows = Batch40Entries.nUsers(evs),
+        fullProgressRetention = true) {
+      val q0 = mk(in, s"$delayMs milliseconds").writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      replayShuffled(in, evs, delayMs, maxTsMs, q0)
+      q0
+    }
     val dropped = Streaming.droppedByWatermark(q)
     require(dropped == 0L,
       s"$name: engine dropped $dropped events behind the watermark")

@@ -188,14 +188,17 @@ object Batch42Entries {
         .select(col("o_orderpriority").cast("string")).as[String].collect()
       val in = MemoryStream[String]
       val qn = s"psi_cat_sink_${sinkSeq.incrementAndGet()}"
-      graft.stream.Streaming.withTempCheckpointTuning(s)
-      val q = graft.stats.DataAudit.psiCatStreamCounts(
-          in.toDF().toDF("o_orderpriority"), "o_orderpriority")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
-      try cur.grouped(cur.length / 3 + 1).foreach { chunk =>
-        in.addData(chunk.toSeq: _*); q.processAllAvailable()
-      } finally q.stop()
+      // state = one count row per live category (exact, driver-known)
+      graft.stream.Streaming.withReplayTuning(s,
+          stateRows = cur.distinct.length.toLong) {
+        val q = graft.stats.DataAudit.psiCatStreamCounts(
+            in.toDF().toDF("o_orderpriority"), "o_orderpriority")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+        try cur.grouped(cur.length / 3 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
       graft.stats.DataAudit.psiCatOfCounts(refCounts, s.table(qn))
         .orderBy("category")
     }),
@@ -211,14 +214,16 @@ object Batch42Entries {
         .select(col("l_extendedprice").cast("double")).as[Double].collect()
       val in = MemoryStream[Double]
       val qn = s"psi_sink_${sinkSeq.incrementAndGet()}"
-      graft.stream.Streaming.withTempCheckpointTuning(s)
-      val q = graft.stats.DataAudit.psiStreamCounts(
-          in.toDF().toDF("l_extendedprice"), "l_extendedprice", edges)
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("complete").start()
-      try cur.grouped(cur.length / 3 + 1).foreach { chunk =>
-        in.addData(chunk.toSeq: _*); q.processAllAvailable()
-      } finally q.stop()
+      // state = one count row per PSI bin (the fitted decile grid)
+      graft.stream.Streaming.withReplayTuning(s, stateRows = 10L) {
+        val q = graft.stats.DataAudit.psiStreamCounts(
+            in.toDF().toDF("l_extendedprice"), "l_extendedprice", edges)
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("complete").start()
+        try cur.grouped(cur.length / 3 + 1).foreach { chunk =>
+          in.addData(chunk.toSeq: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
       graft.stats.DataAudit.psiOfCounts(
           graft.stats.DataAudit.binCounts(ref, "l_extendedprice", edges, "_cr"),
           s.table(qn), bins = 10)

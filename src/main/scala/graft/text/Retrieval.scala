@@ -71,11 +71,16 @@ object Retrieval {
         explode(TextFns.tokens(lower(col(textCol)))).as("token"))
       .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
       // cut once: feeds df, dl AND the candidate join — without it the
-      // corpus explode+groupBy re-runs three times. persist() (not an
-      // eager localCheckpoint) so the cache materializes inside the
-      // first consumer's job and the downstream aggregates can run as
-      // concurrent stages instead of behind a blocking checkpoint job
-      .persist()
+      // corpus explode+groupBy re-runs three times. LAZY localCheckpoint
+      // (not persist): it materializes inside the first consumer's job
+      // like a cache, but its blocks are freed by the ContextCleaner
+      // when the DataFrame is dropped — persist() pinned one columnar
+      // (doc,token,tf) copy per invocation for the session lifetime
+      // (nothing here can unpersist: the returned rankings still read
+      // it), which regressed the whole bm25 family 18–40% in the r18
+      // driver bench and pins corpus-scale memory in any long-lived
+      // application.
+      .localCheckpoint(eager = false)
     // document lengths and corpus scalars. N counts DISTINCT doc ids —
     // rows sharing a doc id merge their term frequencies into one
     // logical document and count once toward N (zero-token documents
@@ -134,8 +139,11 @@ object Retrieval {
       round(sum(contrib), 6).as(s"_score$i")
     }
     val grouped = cand.groupBy("query", "doc").agg(aggs.head, aggs.tail: _*)
+    // same lifecycle reasoning as docTf: lazy checkpoint, not persist —
+    // the K top-k tails all read this cut, and the caller keeps the
+    // returned frames alive for as long as it needs them
     val scoredAll =
-      if (params.size > 1) grouped.persist() else grouped
+      if (params.size > 1) grouped.localCheckpoint(eager = false) else grouped
     params.indices.map { i =>
       graft.rel.Sampling.topKPerGroup(
           scoredAll.select(col("query"), col("doc"),

@@ -108,20 +108,37 @@ object PlanAudit {
     * `ReusedExchange` never (it is not an `Exchange`), an
     * `InMemoryTableScan`'s cached plan counts ONCE per distinct
     * relation no matter how many consumers scan it, and subquery
-    * plans are included. */
+    * plans are included — a subquery reused N times
+    * (`ReusedSubqueryExec`) counts once, identity-deduped on the
+    * shared target exactly like cached relations. An
+    * `AdaptiveSparkPlanExec` anywhere in the tree (a caller auditing
+    * an AQE plan outside [[audit]], which disables AQE) is unwrapped
+    * to its current physical plan rather than silently contributing
+    * zero (the adaptive wrapper hides its children from `children`). */
   def distinctExchanges(root: org.apache.spark.sql.execution.SparkPlan): Int = {
     val seenCached = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    val seenSub = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     var n = 0
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      p match {
-        case _: org.apache.spark.sql.execution.exchange.Exchange => n += 1
-        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          if (seenCached.add(im.relation.cachedPlan)) walk(im.relation.cachedPlan)
-        case _ =>
-      }
-      p.children.foreach(walk)
-      p.subqueries.foreach(walk)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case _ =>
+        p match {
+          case _: org.apache.spark.sql.execution.exchange.Exchange => n += 1
+          case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            if (seenCached.add(im.relation.cachedPlan)) walk(im.relation.cachedPlan)
+          case _ =>
+        }
+        p.children.foreach(walk)
+        p.subqueries.foreach { sq =>
+          val target = sq match {
+            case r: org.apache.spark.sql.execution.ReusedSubqueryExec => r.child
+            case other => other
+          }
+          if (seenSub.add(target)) walk(target)
+        }
     }
     walk(root)
     n

@@ -1153,4 +1153,42 @@ class StreamSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(batch === Set((1L, 900L)))
   }
+
+  test("statePartitionsFor sizes state partitions from state volume") {
+    val par = spark.sparkContext.defaultParallelism
+    // tiny state → one partition; grows with rows; capped at parallelism
+    assert(Streaming.statePartitionsFor(spark, 0L) === 1)
+    assert(Streaming.statePartitionsFor(spark, 4096L) === 1)
+    assert(Streaming.statePartitionsFor(spark, 4097L) === math.min(2, par))
+    assert(Streaming.statePartitionsFor(spark, Long.MaxValue) === par)
+    // the target is a conf, not a constant (scale-dependent settings
+    // stay parameterised)
+    spark.conf.set("spark.graft.stream.stateRowsPerPartition", "10")
+    try assert(Streaming.statePartitionsFor(spark, 25L) === math.min(3, par))
+    finally spark.conf.unset("spark.graft.stream.stateRowsPerPartition")
+  }
+
+  test("withReplayTuning scopes replay confs to one query (r18 leak fix)") {
+    val keys = Seq(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.streaming.numRecentProgressUpdates")
+    val before = keys.map(k => k -> spark.conf.get(k))
+    // inside the scope the tuned values are live (the started query's
+    // cloned session captures them)
+    Streaming.withReplayTuning(spark, stateRows = 1L,
+        fullProgressRetention = true) {
+      assert(spark.conf.get(keys(0)) === "false")
+      assert(spark.conf.get(keys(1)) === "1")
+      assert(spark.conf.get(keys(2)) === "100000")
+    }
+    assert(keys.map(k => k -> spark.conf.get(k)) === before)
+    // and a REAL replay entry (temp checkpoint, memory sink, scoped
+    // tuning inside) leaves the session conf exactly as it found it —
+    // durable-checkpoint queries started afterwards keep the
+    // corruption guard ON
+    graft.SparkEntry.queries("drift_psi_cat_stream")(spark, sf).collect()
+    assert(keys.map(k => k -> spark.conf.get(k)) === before,
+      "a replay entry leaked session confs")
+  }
 }
