@@ -44,7 +44,14 @@ object LangModel {
   def unigramVocab(corpus: DataFrame, textCol: String,
                    alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
-    // cut once: the counts feed both the totals and the projection
+    // cut once: the counts feed both the totals and the projection.
+    // NOT Spread.scan: measured r19 — spreading the tokenize made the
+    // whole LM ladder SLOWER (sb_ppl 2.2→2.7 s min even with an eager
+    // cut): the tokenize is ~0.5 s serial here, and the repartition +
+    // token-array checkpoint blocks + concurrent consumer stages
+    // racing the lazy materialization cost more than the parallelism
+    // buys. quality_clf's featureRows (md5-bound, single consumer, no
+    // checkpoint) is the shape where Spread wins.
     val counts = corpus
       .select(explode(TextFns.tokens(lower(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
