@@ -76,8 +76,11 @@ object Batch15Entries {
     "wspearman" -> ((s, dir) => {
       val li = T.lineitem(s, dir)
         .select("l_returnflag", "l_quantity", "l_extendedprice", "l_linenumber")
+      // inner pass: cut = false — its input is the bare 4-column scan
+      // (see the spearman entry note)
       val base = graft.ts.Windows.rank2Rows(
-        graft.ts.Windows.rank2Rows(li, Seq("l_returnflag"), "l_quantity", "r2q"),
+        graft.ts.Windows.rank2Rows(li, Seq("l_returnflag"), "l_quantity", "r2q",
+          cut = false),
         Seq("l_returnflag"), "l_extendedprice", "r2p")
       val w = col("l_linenumber").cast("long")
       def sd(c: org.apache.spark.sql.Column) =

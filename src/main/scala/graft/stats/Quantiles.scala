@@ -30,7 +30,11 @@ object Quantiles {
     val g = partitionCols.map(col)
     // lazy cut (raw row blocks, no separate blocking job — the first
     // consumer materializes it): the count table feeds the rank
-    // kernel's three traversals AND `totals`
+    // kernel's three traversals AND `totals`. NOT Spread.scan
+    // (measured r19): repartitioning the raw rows before the groupBy
+    // regressed quantiles_exact 1.2→2.0 s min — the round-robin
+    // shuffle of every row costs more than the 3-task map-side
+    // hash-agg it parallelizes.
     val pv = df.filter(col(valueCol).isNotNull)
       .groupBy(g :+ col(valueCol).cast("double").as("_v"): _*)
       .agg(count(lit(1)).as("_cv")).localCheckpoint(eager = false)

@@ -94,11 +94,11 @@ object Chunk {
     * Removal is every-occurrence (the conservative corpus-hygiene
     * variant; keep-one-copy is a policy layer above).
     *
-    * The tokenized corpus is persisted for the duration of the call
-    * (it feeds the span explode, the token explode AND the final
-    * length join — without a cut, the regex split would run three
-    * times over the full corpus) and the result is cut eagerly with
-    * `localCheckpoint` so the cache can be dropped before returning.
+    * The tokenized corpus is cut once with an eager spread-parallel
+    * `localCheckpoint` (it feeds the span explode, the token explode
+    * AND the final length join — without a cut, the regex split would
+    * run three times over the full corpus); raw checkpoint blocks are
+    * freed by the ContextCleaner, so no unpersist bookkeeping.
     *
     * Output: (idCol, text_deduped, n_kept, n_removed). */
   def maskDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
@@ -107,9 +107,17 @@ object Chunk {
     require(minOccur >= 2, s"minOccur must be >= 2, got $minOccur")
     import org.apache.spark.sql.expressions.Window
     val toks = toksOf(col(textCol))
-    val base = df.select(col(idCol), toks.as("_toks"),
-      size(toks).cast("long").as("_n")).persist()
-    try {
+    // Spread.scan: the k-token rolling md5 is ~150 hashes/doc — a
+    // 1-partition corpus scan serialized it on one task (r19 Profile).
+    // EAGER localCheckpoint (raw row blocks, ContextCleaner-freed)
+    // instead of persist+finally-unpersist: token-ARRAY frames are
+    // pathological for the columnar cache encode, and the three
+    // consumers otherwise race the materialization as concurrent AQE
+    // stages; the blocking job is now spread-parallel, and dropping
+    // the persist also drops the final whole-plan eager checkpoint
+    // that existed only to guard the unpersist.
+    val base = graft.core.Spread.scan(df).select(col(idCol), toks.as("_toks"),
+      size(toks).cast("long").as("_n")).localCheckpoint()
     val starts = base.filter(col("_n") >= k)
       .select(col(idCol), explode(transform(
         sequence(lit(1), (col("_n") - k + 1).cast("int")),
@@ -155,8 +163,6 @@ object Chunk {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("_n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
-      .localCheckpoint()
-    } finally base.unpersist(false)
   }
 
   /** Remove every line whose normalized text appears in at least

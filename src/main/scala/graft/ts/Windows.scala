@@ -213,7 +213,8 @@ object Windows {
     * two-phase and exact, just pays the join shuffle). */
   def rank2Rows(df0: DataFrame, partitionCols: Seq[String], valueCol: String,
                 outName: String, buckets: Int = 256,
-                tieCountCol: Option[String] = None): DataFrame = {
+                tieCountCol: Option[String] = None,
+                cut: Boolean = true): DataFrame = {
     // the input feeds three consumers (bounds, bucket counts, the
     // ranked join) — materialize it once so each reads computed rows
     // instead of re-running the upstream subtree (3× the scan
@@ -221,8 +222,11 @@ object Windows {
     // localCheckpoint beats persist() here: raw row blocks skip the
     // columnar cache encode (measured 1.5× slower on spearman), and
     // eager=false folds the materialization into the first consumer's
-    // job instead of a separate blocking one.
-    val df = df0.localCheckpoint(eager = false)
+    // job instead of a separate blocking one. Callers whose input is
+    // a bare column-pruned scan (re-running it three times is cheaper
+    // than one block copy of every row — the nested spearman's INNER
+    // pass) opt out with cut = false, the rank2OfCounts convention.
+    val df = if (cut) df0.localCheckpoint(eager = false) else df0
     val g = partitionCols.map(col)
     val v = col(valueCol)
     val bounds = df.filter(v.isNotNull).groupBy(g: _*)
