@@ -134,13 +134,15 @@ object MoreEntries {
     // §3.2 audit_data composite (quality.py:98): one fused lazy chain of
     // fill -> clip -> date features -> scale.
     "audit_composite" -> ((s, dir) => {
-      // persist: the fence pass, the min/max aggregate, and the output
-      // projection otherwise each rescan the parquet — one scan + two
-      // cache reads instead of three scans (Bench clearCache() reclaims)
+      // NO cache: the fence pass reads 1 column, the min/max aggregate
+      // 1, the output projection 8 — three column-pruned parquet scans
+      // are cheaper than ONE full-width columnar encode of the table
+      // (the r18 persist() spent 1.5 s — 40% of the query — building a
+      // 16-column cache; measured r19: 4.0 → 2.6 s without it), and a
+      // whole-table memory cache is the wrong plan at 100 TB anyway
       val li = T.lineitem(s, dir)
         .withColumn("qty_n",
           when(col("l_linenumber") === 5, lit(null)).otherwise(col("l_quantity")))
-        .persist()
       // distributed exact fences (the built-in percentile aggregate
       // merges all values into one buffer — the 100 TB bottleneck)
       val f = graft.stats.Quantiles

@@ -322,6 +322,16 @@ object LangModel {
     // count(*) aggregates ARE the N₁₊ statistics
     val ctx12 = tri.groupBy("w1", "w2")
       .agg(sum("_c123").as("_c12d"), count(lit(1)).as("_n1f12"))
+    // bgCont is NOT cut, deliberately (measured r19): its three
+    // re-computations (ctx2, uniCont, totals — the executed plan shows
+    // the (w2,w3) agg subtree 3×) run as CONCURRENT broadcast-build
+    // futures over the tri checkpoint's blocks on otherwise-idle
+    // cores, while a lazy cut serialized every consumer behind one
+    // block-copy materialization (taskRunSum 2–3 s → 4.6–6.5 s,
+    // wall +0.4 s). Dedup-vs-recompute flips in favor of a cut only
+    // when the duplicated subtree carries its own wide shuffle of
+    // corpus-scale rows — here it re-reads already-materialized
+    // checkpoint blocks.
     val bgCont = tri.groupBy("w2", "w3").agg(count(lit(1)).as("_n1b23"))
     val ctx2 = bgCont.groupBy("w2")
       .agg(sum("_n1b23").as("_nmid"), count(lit(1)).as("_n1f2"))
@@ -387,6 +397,7 @@ object LangModel {
         "KN3 model (every document would score ppl = 1)")
     val ctx12 = tri.groupBy("w1", "w2")
       .agg(sum("_c123").as("_c12d"), count(lit(1)).as("_n1f12"))
+    // bgCont not cut — see scoreByKneserNey3 (measured r19)
     val bgCont = tri.groupBy("w2", "w3").agg(count(lit(1)).as("_n1b23"))
     val ctx2 = bgCont.groupBy("w2")
       .agg(sum("_n1b23").as("_nmid"), count(lit(1)).as("_n1f2"))
@@ -494,11 +505,24 @@ object LangModel {
     require(!refToks.isEmpty,
       "reference corpus has no tokens: refusing to train an empty " +
         "n-gram model (every document would score ppl = 1)")
+    // uni and bi are lazily cut too: stupid-backoff's scoring joins
+    // consume uni THREE times (two join slots + the token totals) and
+    // bi twice — without a cut each consumer re-explodes the token
+    // arrays and re-shuffles (the r19 executed-plan audit showed the
+    // whole explode→groupBy subtree duplicated per slot). Measured
+    // flat at sf0.1 (the duplicates ran as concurrent broadcast-build
+    // futures on idle cores; sb_ppl 1.87 vs 1.90 min isolated), but at
+    // corpus scale — where a web-scale vocabulary stops being
+    // broadcastable and each duplicate becomes its own full shuffle —
+    // the cut is the only sane plan. A lazy checkpoint that is never
+    // consumed (kn3 uses only tri) runs no job and costs nothing.
     val uni = refToks.select(explode(col("_toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("_cu"))
+      .localCheckpoint(eager = false)
     val bi = refToks.select(explode(bigramsOf(col("_toks"))).as("_bg"))
       .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("_cb"))
+      .localCheckpoint(eager = false)
     val tri = refToks.select(explode(trigramsOf(col("_toks"))).as("_tg"))
       .select(col("_tg.w1").as("w1"), col("_tg.w2").as("w2"),
         col("_tg.w3").as("w3"))
