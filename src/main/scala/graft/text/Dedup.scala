@@ -506,16 +506,21 @@ object Dedup {
       // min label over in-neighbors, then fold into the node's own label
       val prop = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("_nid")).agg(min("comp").as("_ncomp"))
-      val next = labels.join(prop, labels("id") === prop("_nid"), "left")
+      // labels only DECREASE (least), so "changed" is decidable per
+      // ROW during propagation — carry it as a flag and aggregate
+      // linearly over the materialized blocks instead of re-joining
+      // next against labels (the r18 check paid a full two-sided
+      // shuffle join per iteration just to detect the fixed point)
+      val next0 = labels.join(prop, labels("id") === prop("_nid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("_ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("_ncomp"), col("comp"))).as("comp"),
+          (col("_ncomp").isNotNull && col("_ncomp") < col("comp"))
+            .as("_chg"))
         .localCheckpoint(eager = false)
-      val changed = next.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.comp") =!= col("p.comp"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+      val changed = next0
+        .agg(coalesce(max(col("_chg")), lit(false))).head().getBoolean(0)
+      labels = next0.select(col("id"), col("comp"))
+      converged = !changed
       iter += 1
     }
     edges.unpersist()
