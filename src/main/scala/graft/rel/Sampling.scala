@@ -166,14 +166,43 @@ object Sampling {
     * A·(k² mod P) + B·k + C ≤ 4.2e36 + 6.1e36 < 10^38). Modulo bias
     * after the final `% n` is ≤ n/P ≈ 4.3e-7 even at n = 10^12 rows.
     */
+  /** a·b mod [[DrawP]] in primitive 64-bit arithmetic, for
+    * 0 ≤ a, b < DrawP: `Math.multiplyHigh` gives the 128-bit product,
+    * and 2^61 ≡ 1 (mod 2^61 − 1) folds it in one step —
+    * bits [0,61) + bits [61,122), each < P, so one conditional
+    * subtract finishes the reduction. Exact for the full operand
+    * range (the high part is ≤ (P−1)²/2^61 < P − 1; `hi << 3` cannot
+    * overflow because hi < 2^58). */
+  @inline private def mulmodP(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val x = (lo & DrawP) + ((hi << 3) | (lo >>> 61))
+    if (x >= DrawP) x - DrawP else x
+  }
+
   private[graft] def drawIndex(k: Column, n: Long): Column = {
-    val kd = k.cast("decimal(19,0)")
-    val p = lit(DrawP).cast("decimal(19,0)")
-    val h1 = (kd * kd) % p
-    val h = (h1 * lit(DrawA).cast("decimal(19,0)")
-      + kd * lit(DrawB).cast("decimal(19,0)")
-      + lit(DrawC).cast("decimal(19,0)")) % p
-    (h % lit(n).cast("decimal(19,0)")).cast("long")
+    // Primitive-long evaluation of the SAME residues the documented
+    // decimal(38,0) tree defines (and the DuckDB oracle replays):
+    // reducing k mod P first and folding each product is congruent to
+    // the decimal form's single trailing mod — modular arithmetic,
+    // exact integers, bit-identical indexes. The decimal tree stays
+    // the SPEC (see the oracle SQL); this body exists because
+    // precision-19+ decimals fall off Spark's compact-long
+    // representation and the codegen'd tree allocated ~6 BigDecimals
+    // per row — 18–24 s of task time and most of the GC debt of
+    // bootstrap_ci's 3M-draw join (measured r19: taskRunSum 18.8 s →
+    // 1.3 s, query 2.5 s → 1.3 s steady-state).
+    val f = udf { (k: Long) =>
+      val kr = k % DrawP
+      val t = mulmodP(DrawA, mulmodP(kr, kr))
+      val u = mulmodP(DrawB, kr)
+      val s0 = t + u
+      val s1 = if (s0 >= DrawP) s0 - DrawP else s0
+      val s2 = s1 + DrawC
+      val h = if (s2 >= DrawP) s2 - DrawP else s2
+      h % n
+    }.asNonNullable()
+    f(k)
   }
 
   /** Deterministic bootstrap CI of the mean (reference: `bootstrap`,
